@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Core aggregator surface (SURVEY.md §2.5,
+  * processing/src/main/java/org/apache/druid/query/aggregation/).
+  * All run as two-phase hash aggregation (partial per-partition, final
+  * after a keys-only shuffle) — the exact Spark analog of the
+  * reference's per-segment + merge execution.
+  */
+object AggQueries {
+
+  /** count / longSum / doubleSum / min / max family
+    * (ref CountAggregatorFactory, LongSumAggregatorFactory, ...). */
+  val aggSumsMinmax: Q = q(
+    "agg_sums_minmax",
+    """SELECT l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+      |       round(sum(l_extendedprice), 4) AS sum_price,
+      |       round(min(l_extendedprice), 4) AS min_price,
+      |       round(max(l_extendedprice), 4) AS max_price,
+      |       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+      |       CAST(max(l_orderkey) AS BIGINT) AS max_key
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum("l_linenumber").cast("long").as("sum_line"),
+        round(sum("l_extendedprice"), 4).as("sum_price"),
+        round(min("l_extendedprice"), 4).as("min_price"),
+        round(max("l_extendedprice"), 4).as("max_price"),
+        min("l_orderkey").as("min_key"),
+        max("l_orderkey").as("max_key"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** doubleMean (ref mean/DoubleMeanAggregatorFactory.java). */
+  val aggMean: Q = q(
+    "agg_mean",
+    """SELECT o_orderstatus, round(avg(o_totalprice), 4) AS mean_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy(col("o_orderstatus"))
+      .agg(round(avg("o_totalprice"), 4).as("mean_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** first/last: value at min/max __time (ref aggregation first/ and last/;
+    * SerializablePairLongString intermediates ⇒ Spark min_by/max_by).
+    * Deterministic here because event timestamps are unique per group at
+    * microsecond resolution. */
+  val aggFirstLast: Q = q(
+    "agg_first_last",
+    """SELECT event_type,
+      |       round(arg_min(value, ts), 4) AS first_value,
+      |       round(arg_max(value, ts), 4) AS last_value,
+      |       epoch_ms(min(ts)) AS first_ts_ms,
+      |       epoch_ms(max(ts)) AS last_ts_ms
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(
+        round(min_by(col("value"), col("ts")), 4).as("first_value"),
+        round(max_by(col("value"), col("ts")), 4).as("last_value"),
+        unix_millis(min(col("ts"))).as("first_ts_ms"),
+        unix_millis(max(col("ts"))).as("last_ts_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  /** exact distinct count (the reference's cardinality agg is approximate;
+    * exact distinct is the SQL-layer COUNT(DISTINCT) it also plans). */
+  val aggCountDistinct: Q = q(
+    "agg_count_distinct",
+    """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** cardinality/hyperUnique (approximate distinct; ref
+    * cardinality/CardinalityAggregatorFactory.java:62,
+    * hyperloglog/HyperUniquesAggregatorFactory.java:57).
+    * Each engine checks ITS OWN approximation against the exact count —
+    * the graded value is the approximation-contract boolean, which is
+    * engine-independent. */
+  val aggApproxDistinctContract: Q = q(
+    "agg_approx_distinct_contract",
+    """SELECT event_type,
+      |       (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+      |          <= 0.05 * count(DISTINCT user_id) + 1) AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg((abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+        <= lit(0.05) * countDistinct(col("user_id")) + 1).as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  /** filtered aggregator: agg over rows matching a DimFilter
+    * (ref FilteredAggregatorFactory.java:48 ⇒ SQL FILTER clause). */
+  val aggFiltered: Q = q(
+    "agg_filtered",
+    """SELECT l_returnflag,
+      |       round(sum(l_quantity) FILTER (WHERE l_discount > 0.05), 4) AS qty_disc,
+      |       CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS cnt_notax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(when(col("l_discount") > 0.05, col("l_quantity"))), 4).as("qty_disc"),
+        count(when(col("l_tax") === 0, lit(1))).as("cnt_notax"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** variance / stddev (ref extensions-core/stats VarianceAggregatorFactory).
+    * Computed over small-magnitude columns and rounded to keep the
+    * cross-engine FP comparison stable. */
+  val aggVarStddev: Q = q(
+    "agg_var_stddev",
+    """SELECT l_returnflag,
+      |       round(var_samp(l_discount), 6) AS var_disc,
+      |       round(stddev_samp(l_discount), 6) AS stddev_disc,
+      |       round(var_pop(l_tax), 6) AS varp_tax,
+      |       round(stddev_pop(l_tax), 6) AS stddevp_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(stddev_samp(col("l_discount")), 6).as("stddev_disc"),
+        round(var_pop(col("l_tax")), 6).as("varp_tax"),
+        round(stddev_pop(col("l_tax")), 6).as("stddevp_tax"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** expressionLambda fold (ref ExpressionLambdaAggregatorFactory.java:59):
+    * user-defined fold over group rows. Demonstrated as an integer fold
+    * so the result is FP-exact; production-scale folds with commutative
+    * ops compile to plain aggregates instead (no list materialization). */
+  val aggExpressionFold: Q = q(
+    "agg_expression_fold",
+    """SELECT l_returnflag,
+      |       CAST(sum(CAST(l_quantity AS BIGINT) * 2 + 1) AS BIGINT) AS folded
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // fold(acc, x -> acc + x*2 + 1) over the group == sum(x*2+1): the
+    // commutative-fold rewrite the reference also relies on for
+    // distribution; exact because operands are integers.
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long") * 2 + 1).cast("long").as("folded"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Post-aggregators: arithmetic over aggregate results computed after
+    * the agg (ref query/aggregation/post/ArithmeticPostAggregator.java:51). */
+  val postAggArithmetic: Q = q(
+    "post_agg_arithmetic",
+    """SELECT l_returnflag,
+      |       round(sum(l_extendedprice) / count(*), 4) AS avg_price_post,
+      |       round(greatest(max(l_quantity), 50.0), 4) AS capped_max,
+      |       round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6) AS disc_ratio
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        sum("l_extendedprice").as("sp"),
+        count(lit(1)).as("c"),
+        max("l_quantity").as("mq"),
+        sum(col("l_extendedprice") * col("l_discount")).as("spd"))
+      .select(
+        col("l_returnflag"),
+        round(col("sp") / col("c"), 4).as("avg_price_post"),
+        round(greatest(col("mq"), lit(50.0)), 4).as("capped_max"),
+        round(col("spd") / col("sp"), 6).as("disc_ratio"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(
+    aggSumsMinmax, aggMean, aggFirstLast, aggCountDistinct,
+    aggApproxDistinctContract, aggFiltered, aggVarStddev, aggExpressionFold,
+    postAggArithmetic)
+}

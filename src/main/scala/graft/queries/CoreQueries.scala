@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** The reference engine's nine native query types (SURVEY.md §2.1),
+  * re-expressed as declarative Spark plans over the driver test tables.
+  *
+  * Determinism rules for the DuckDB-oracle hash compare:
+  *  - every floating-point aggregate is `round(..., 4)` on both sides;
+  *  - every LIMIT is preceded by a total order (unique tiebreak columns);
+  *  - timestamps cross the engine boundary as epoch-millis BIGINT;
+  *  - aliases match exactly between the Spark plan and the oracle SQL.
+  *
+  * Scale notes: all aggregations here are partial+final hash aggs
+  * (map-side combine, no row explosion); top-k uses
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  * never a global sort); zero-fill joins a tiny generated bucket axis
+  * (broadcast). Reference semantics cited per query.
+  */
+object CoreQueries {
+
+  /** timeseries: time-bucketed aggregation with a selector filter.
+    * Ref: query/timeseries/TimeseriesQuery.java:52. */
+  val timeseriesHourly: Q = q(
+    "timeseries_hourly",
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("bucket_ms"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+  }
+
+  /** timeseries with zero-filled empty buckets over the query interval
+    * (Druid fills gaps per granularity bucket; ref TimeseriesQueryQueryToolChest). */
+  val timeseriesDailyZerofill: Q = q(
+    "timeseries_daily_zerofill",
+    """WITH axis AS (
+      |  SELECT r AS bucket FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', INTERVAL 1 DAY) t(r)
+      |), agg AS (
+      |  SELECT date_trunc('day', ts) AS bucket, count(*) AS c, sum(value) AS sv
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |)
+      |SELECT epoch_ms(axis.bucket) AS bucket_ms,
+      |       CAST(coalesce(agg.c, 0) AS BIGINT) AS cnt,
+      |       round(coalesce(agg.sv, 0.0), 4) AS sum_value
+      |FROM axis LEFT JOIN agg ON axis.bucket = agg.bucket""".stripMargin) { (s, d) =>
+    val agg = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("c"), sum("value").as("sv"))
+    // The bucket axis is a handful of literal rows — broadcast side of the
+    // join; at any scale this stays a broadcast join against the agg result.
+    val axis = s.range(1).select(explode(sequence(
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      lit(java.sql.Timestamp.valueOf("2024-01-31 00:00:00")),
+      expr("interval 1 day"))).as("bucket"))
+    axis.join(agg, Seq("bucket"), "left")
+      .select(
+        unix_millis(col("bucket")).as("bucket_ms"),
+        coalesce(col("c"), lit(0L)).as("cnt"),
+        round(coalesce(col("sv"), lit(0.0)), 4).as("sum_value"))
+  }
+
+  /** topN by aggregated metric (exact mode; ref query/topn/TopNQuery.java:50).
+    * Plan: hash agg then TakeOrderedAndProject — no global sort. */
+  val topnUserValue: Q = q(
+    "topn_user_value",
+    """SELECT user_id, round(sum(value), 4) AS total_value,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY user_id
+      |ORDER BY total_value DESC, user_id ASC LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(round(sum("value"), 4).as("total_value"), count(lit(1)).as("cnt"))
+      .orderBy(col("total_value").desc, col("user_id").asc)
+      .limit(10)
+  }
+
+  /** topN with lexicographic dimension ordering
+    * (ref query/topn/LexicographicTopNMetricSpec.java). */
+  val topnLexicographic: Q = q(
+    "topn_lexicographic",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type ASC LIMIT 3""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type").asc)
+      .limit(3)
+  }
+
+  /** groupBy: multi-dimension aggregation — the flagship "pricing summary"
+    * shape (ref query/groupby/GroupByQuery.java:89). */
+  val groupbyPricingSummary: Q = q(
+    "groupby_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4) AS sum_qty,
+      |       round(sum(l_extendedprice), 4) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** groupBy + having + order/limit
+    * (ref query/groupby/having/, orderby/DefaultLimitSpec.java:66). */
+  val groupbyHavingLimit: Q = q(
+    "groupby_having_limit",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(o_totalprice), 4) AS total
+      |FROM orders GROUP BY o_orderpriority
+      |HAVING count(*) > 10
+      |ORDER BY cnt DESC, o_orderpriority ASC LIMIT 5""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 4).as("total"))
+      .where(col("cnt") > 10)
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+      .limit(5)
+  }
+
+  /** groupBy subtotalsSpec ⇒ GROUPING SETS + grouping id
+    * (ref query/groupby/GroupByQuery.java:115 subtotals;
+    * query/aggregation/GroupingAggregatorFactory.java:79). */
+  val groupbySubtotals: Q = q(
+    "groupby_subtotals",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .where(col("gid").isin(1L, 2L, 3L))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("sum_qty"))
+  }
+
+  /** scan: projection + filter + time order + limit/offset
+    * (ref query/scan/ScanQuery.java:49, offset :221, limit :232). */
+  val scanOrdered: Q = q(
+    "scan_ordered",
+    """SELECT epoch_ms(l_shipdate) AS ship_ms, l_orderkey, l_linenumber,
+      |       l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |ORDER BY ship_ms ASC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 50 OFFSET 10""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select(
+        // parquet TIMESTAMP_NTZ ⇒ cast through session-UTC TimestampType
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .orderBy(col("ship_ms").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .offset(10)
+      .limit(50)
+  }
+
+  /** search: find dimension VALUES across several dims matching a
+    * case-insensitive contains predicate; returns (dim, value, count)
+    * (ref query/search/SearchQuery.java:42,
+    * InsensitiveContainsSearchQuerySpec.java). */
+  val searchDims: Q = q(
+    "search_dims",
+    """SELECT dim, value, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT 'o_orderstatus' AS dim, o_orderstatus AS value FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority' AS dim, o_orderpriority AS value FROM orders
+      |) WHERE contains(lower(value), 'p')
+      |GROUP BY dim, value ORDER BY dim, value""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val pairs = o.select(lit("o_orderstatus").as("dim"), col("o_orderstatus").as("value"))
+      .unionByName(o.select(lit("o_orderpriority").as("dim"), col("o_orderpriority").as("value")))
+    pairs.filter(lower(col("value")).contains("p"))
+      .groupBy(col("dim"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("dim"), col("value"))
+  }
+
+  /** timeBoundary: min/max __time (ref query/timeboundary/TimeBoundaryQuery.java:46). */
+  val timeBoundary: Q = q(
+    "time_boundary",
+    """SELECT epoch_ms(min(ts)) AS min_time_ms, epoch_ms(max(ts)) AS max_time_ms
+      |FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).agg(
+      unix_millis(min(col("ts"))).as("min_time_ms"),
+      unix_millis(max(col("ts"))).as("max_time_ms"))
+  }
+
+  /** dataSourceMetadata: max ingested timestamp
+    * (ref query/datasourcemetadata/DataSourceMetadataQuery.java:43). */
+  val dataSourceMetadata: Q = q(
+    "datasource_metadata",
+    "SELECT epoch_ms(max(ts)) AS max_ingested_ms FROM events") { (s, d) =>
+    Tables.events(s, d).agg(unix_millis(max(col("ts"))).as("max_ingested_ms"))
+  }
+
+  /** segmentMetadata: column-level stats (cardinality / minmax / row count)
+    * (ref query/metadata/metadata/SegmentMetadataQuery.java:47). */
+  val segmentMetadataStats: Q = q(
+    "segment_metadata_stats",
+    """SELECT CAST(count(*) AS BIGINT) AS num_rows,
+      |       CAST(count(DISTINCT event_type) AS BIGINT) AS event_type_cardinality,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_cardinality,
+      |       round(min(value), 4) AS value_min, round(max(value), 4) AS value_max,
+      |       epoch_ms(min(ts)) AS min_ts_ms, epoch_ms(max(ts)) AS max_ts_ms
+      |FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).agg(
+      count(lit(1)).as("num_rows"),
+      countDistinct(col("event_type")).as("event_type_cardinality"),
+      countDistinct(col("user_id")).as("user_id_cardinality"),
+      round(min("value"), 4).as("value_min"),
+      round(max("value"), 4).as("value_max"),
+      unix_millis(min(col("ts"))).as("min_ts_ms"),
+      unix_millis(max(col("ts"))).as("max_ts_ms"))
+  }
+
+  val all: Seq[Q] = Seq(
+    timeseriesHourly, timeseriesDailyZerofill, topnUserValue, topnLexicographic,
+    groupbyPricingSummary, groupbyHavingLimit, groupbySubtotals, scanOrdered,
+    searchDims, timeBoundary, dataSourceMetadata, segmentMetadataStats)
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** The reference's native filter algebra (SURVEY.md §2.3,
+  * processing/src/main/java/org/apache/druid/query/filter/), one graded
+  * query per filter type. Each is a filtered count/agg so the DuckDB
+  * oracle is cheap and the Spark side demonstrates predicate pushdown
+  * into the parquet scan (visible as PushedFilters in explain).
+  */
+object FilterQueries {
+
+  /** selector filter: dim = value (ref SelectorDimFilter.java:44). */
+  val filterSelector: Q = q(
+    "filter_selector",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sum_qty"))
+  }
+
+  /** in filter: dim IN (set) (ref InDimFilter.java:81). */
+  val filterIn: Q = q(
+    "filter_in",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM orders WHERE o_orderstatus IN ('F', 'P')""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "P"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** bound filter: numeric range (ref BoundDimFilter.java:50). */
+  val filterBound: Q = q(
+    "filter_bound",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt, round(avg(l_extendedprice), 4) AS avg_price
+      |FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 10 && col("l_quantity") < 20)
+      .agg(count(lit(1)).as("cnt"), round(avg("l_extendedprice"), 4).as("avg_price"))
+  }
+
+  /** like filter: SQL LIKE (ref LikeDimFilter.java:44). */
+  val filterLike: Q = q(
+    "filter_like",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM part WHERE p_name LIKE '%gre%'""".stripMargin) { (s, d) =>
+    Tables.part(s, d).filter(col("p_name").like("%gre%"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** regex filter: java regex (ref RegexDimFilter.java:41). */
+  val filterRegex: Q = q(
+    "filter_regex",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM customer WHERE regexp_matches(c_name, 'Customer#0*1[0-9]')""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_name").rlike("Customer#0*1[0-9]"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** interval filter on __time (ref IntervalDimFilter.java:45). */
+  val filterInterval: Q = q(
+    "filter_interval",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE (ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10')
+      |   OR (ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-22')""".stripMargin) { (s, d) =>
+    val ts = col("ts")
+    def t(x: String) = lit(java.sql.Timestamp.valueOf(x))
+    Tables.events(s, d)
+      .filter((ts >= t("2024-01-05 00:00:00") && ts < t("2024-01-10 00:00:00")) ||
+        (ts >= t("2024-01-20 00:00:00") && ts < t("2024-01-22 00:00:00")))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+  }
+
+  /** search filter: contains / insensitive-contains
+    * (ref SearchQueryDimFilter.java). */
+  val filterSearchContains: Q = q(
+    "filter_search_contains",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM part WHERE contains(lower(p_type), 'brass')""".stripMargin) { (s, d) =>
+    Tables.part(s, d).filter(lower(col("p_type")).contains("brass"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** columnComparison filter: dimA = dimB (ref ColumnComparisonDimFilter.java). */
+  val filterColumnComparison: Q = q(
+    "filter_column_comparison",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem WHERE l_returnflag = l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_returnflag") === col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** expression filter: arbitrary expression predicate
+    * (ref ExpressionDimFilter.java:40). */
+  val filterExpression: Q = q(
+    "filter_expression",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem
+      |WHERE l_extendedprice * (1 - l_discount) * (1 + l_tax) > 50000""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) > 50000)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** and/or/not boolean algebra (ref AndDimFilter/OrDimFilter/NotDimFilter). */
+  val filterBoolAlgebra: Q = q(
+    "filter_bool_algebra",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM orders
+      |WHERE (o_orderstatus = 'O' OR o_totalprice > 200000)
+      |  AND NOT (o_orderpriority = '1-URGENT')""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter((col("o_orderstatus") === "O" || col("o_totalprice") > 200000) &&
+        !(col("o_orderpriority") === "1-URGENT"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** null-aware selector (SQL-compatible null mode; ref
+    * common/config/NullHandling.java:33 — we implement the SQL mode). */
+  val filterNullAware: Q = q(
+    "filter_null_aware",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt_not_null,
+      |       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cnt_null
+      |FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).agg(
+      count(col("props")).as("cnt_not_null"),
+      sum(when(col("props").isNull, 1).otherwise(0)).cast("long").as("cnt_null"))
+  }
+
+  val all: Seq[Q] = Seq(
+    filterSelector, filterIn, filterBound, filterLike, filterRegex, filterInterval,
+    filterSearchContains, filterColumnComparison, filterExpression, filterBoolAlgebra,
+    filterNullAware)
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** The reference's join/datasource algebra (SURVEY.md §1.3, §2.4):
+  * broadcast equi-joins (JoinDataSource), lookups, unions, inline and
+  * query datasources. The reference only supports broadcast-right hash
+  * joins (segment/join/HashJoinEngine.java); Spark gives the same plan
+  * via broadcast() hints for small dims and scales past it with
+  * shuffle joins when the right side grows — we broadcast explicitly
+  * wherever the reference would (dim tables), which is also the right
+  * call at 100 TB: dims stay small while facts grow.
+  */
+object JoinQueries {
+
+  /** Broadcast inner equi-join fact⋈dim⋈dim (ref JoinDataSource.java:56,
+    * HashJoinEngine.java). Both dims broadcast — zero shuffle for the
+    * join itself; the only shuffle is the final aggregation. */
+  val joinBroadcastInner: Q = q(
+    "join_broadcast_inner",
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(c_acctbal), 4) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 4).as("sum_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** LEFT join with residual (non-equi) condition evaluated post-match
+    * (ref JoinConditionAnalysis.java:42-76 equi + residual split). */
+  val joinLeftResidual: Q = q(
+    "join_left_residual",
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(count(c_name) AS BIGINT) AS matched
+      |FROM orders
+      |LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 5000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(
+        broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey") && col("c_acctbal") > 5000,
+        "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), count(col("c_name")).as("matched"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** SEMI join (IN-subquery rewrite; ref DruidJoinRule / Calcite
+    * semi-join planning, sql/.../rule/DruidJoinRule.java:59). */
+  val joinSemi: Q = q(
+    "join_semi",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)""".stripMargin) { (s, d) =>
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** ANTI join (NOT IN / EXISTS rewrite). */
+  val joinAnti: Q = q(
+    "join_anti",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Lookup datasource: key→value map applied as a dimension transform
+    * (ref query/LookupDataSource.java:41, LookupExtractionFn.java:34).
+    * Implemented as a broadcast 2-col join — the Spark-native lookup. */
+  val lookupNationName: Q = q(
+    "lookup_nation_name",
+    """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS suppliers,
+      |       round(sum(s_acctbal), 4) AS sum_bal
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val lookup = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("key"), col("n_name").as("nation")))
+    Tables.supplier(s, d)
+      .join(lookup, col("s_nationkey") === col("key"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("suppliers"), round(sum("s_acctbal"), 4).as("sum_bal"))
+      .orderBy(col("nation"))
+  }
+
+  /** UNION ALL of same-schema tables (ref query/UnionDataSource.java:34). */
+  val unionAll: Q = q(
+    "union_all",
+    """SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT 'low' AS bucket, o_totalprice AS p FROM orders WHERE o_totalprice < 50000
+      |  UNION ALL
+      |  SELECT 'high' AS bucket, o_totalprice AS p FROM orders WHERE o_totalprice >= 250000
+      |) GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val low = o.filter(col("o_totalprice") < 50000)
+      .select(lit("low").as("bucket"), col("o_totalprice").as("p"))
+    val high = o.filter(col("o_totalprice") >= 250000)
+      .select(lit("high").as("bucket"), col("o_totalprice").as("p"))
+    low.unionByName(high)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Inline datasource: literal rows joined against a table
+    * (ref query/InlineDataSource.java:51). */
+  val inlineJoin: Q = q(
+    "inline_join",
+    """SELECT t.tier, CAST(count(*) AS BIGINT) AS cnt
+      |FROM orders
+      |JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'))
+      |  AS t(prio, tier) ON o_orderpriority = t.prio
+      |GROUP BY t.tier ORDER BY t.tier""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val inline = broadcast(
+      Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "warm"))
+        .toDF("prio", "tier"))
+    Tables.orders(s, d)
+      .join(inline, col("o_orderpriority") === col("prio"))
+      .groupBy(col("tier")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("tier"))
+  }
+
+  /** QueryDataSource: aggregation over an aggregating subquery
+    * (ref query/QueryDataSource.java:34 — subquery-as-input). */
+  val subqueryNested: Q = q(
+    "subquery_nested",
+    """SELECT CAST(count(*) AS BIGINT) AS n_custs,
+      |       round(avg(order_cnt), 4) AS avg_orders,
+      |       round(max(total_spent), 4) AS max_spent
+      |FROM (
+      |  SELECT o_custkey, count(*) AS order_cnt, sum(o_totalprice) AS total_spent
+      |  FROM orders GROUP BY o_custkey
+      |)""".stripMargin) { (s, d) =>
+    val inner = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"), sum("o_totalprice").as("total_spent"))
+    inner.agg(
+      count(lit(1)).as("n_custs"),
+      round(avg("order_cnt"), 4).as("avg_orders"),
+      round(max("total_spent"), 4).as("max_spent"))
+  }
+
+  val all: Seq[Q] = Seq(
+    joinBroadcastInner, joinLeftResidual, joinSemi, joinAnti, lookupNationName,
+    unionAll, inlineJoin, subqueryNested)
+}

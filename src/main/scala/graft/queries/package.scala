@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+package object queries {
+  /** One graded operator: a Spark query and (when SQL-expressible) the
+    * equivalent DuckDB oracle SQL over the same parquet tables. */
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+
+  def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify
+output against DuckDB oracles on the same parquet tables and diff.
+
+Usage: python3 tools/localverify.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    # driver sorts columns by name, then compares value hashes; emulate
+    # with a sorted-rows, sorted-columns canonical form.
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = list(got_rel.columns)
+            got = canon(got_rel.fetchall(), got_cols)
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp = canon(exp_rel.fetchall(), exp_cols)
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+        elif got != exp:
+            print(f"FAIL {name}: {len(got)} rows vs {len(exp)} rows")
+            for i, (g, e) in enumerate(zip(got, exp)):
+                if g != e:
+                    print(f"  first diff row {i}:\n   got {g}\n   exp {e}")
+                    break
+            else:
+                tail = got[len(exp):] or exp[len(got):]
+                print(f"  extra rows: {tail[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
