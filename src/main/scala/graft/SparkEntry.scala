@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    CoreQueries.all ++ FilterQueries.all ++ JoinQueries.all ++ AggQueries.all
+    CoreQueries.all ++ FilterQueries.all ++ JoinQueries.all ++ AggQueries.all ++
+      ScalarQueries.all ++ MvdQueries.all ++ SketchQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

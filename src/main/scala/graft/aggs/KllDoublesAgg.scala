@@ -1,0 +1,70 @@
+package graft.aggs
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** KLL doubles quantile sketch aggregate — the Spark analog of the
+  * reference's DoublesSketch aggregator
+  * (reference: extensions-core/datasketches/.../quantiles/DoublesSketchAggregatorFactory.java).
+  * Accepts raw numeric columns or pre-aggregated sketch binaries, so
+  * sketch columns survive rollup and re-merge at query time.
+  */
+case class KllDoublesAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case BinaryType =>
+        buffer.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      case DoubleType => buffer.update(v.asInstanceOf[Double])
+      case FloatType => buffer.update(v.asInstanceOf[Float].toDouble)
+      case LongType => buffer.update(v.asInstanceOf[Long].toDouble)
+      case IntegerType => buffer.update(v.asInstanceOf[Int].toDouble)
+      case dt => throw new UnsupportedOperationException(s"kll over $dt")
+    }
+    buffer
+  }
+
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): KllDoublesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllDoublesAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllDoublesAgg =
+    copy(child = c)
+  override def prettyName: String = "ds_kll_doubles"
+}
+
+object KllDoublesAgg {
+  def apply(col: Column): Column =
+    graft.exprs.toCol(
+      KllDoublesAgg(graft.exprs.toExpr(col)).toAggregateExpression())
+}

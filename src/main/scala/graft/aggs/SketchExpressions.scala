@@ -1,0 +1,86 @@
+package graft.aggs
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+import org.apache.datasketches.theta.SetOperation
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+import graft.exprs.{toCol, toExpr}
+
+/** Sketch post-aggregators (reference: theta/sql SketchEstimate +
+  * set-op post-aggs, quantiles DoublesSketchToQuantile) as scalar
+  * Catalyst expressions over sketch binaries. These run on aggregated
+  * (small) results, so interpreted eval is off the hot path by
+  * construction.
+  */
+case class ThetaEstimate(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    ThetaSketchAgg.wrap(v.asInstanceOf[Array[Byte]]).getEstimate
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate = copy(c)
+  override def prettyName: String = "theta_sketch_estimate"
+}
+
+/** op: 0=union, 1=intersect, 2=aNotB (reference theta/sql set ops). */
+case class ThetaSetOp(left: Expression, right: Expression, op: Int)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = ThetaSketchAgg.wrap(a.asInstanceOf[Array[Byte]])
+    val sb = ThetaSketchAgg.wrap(b.asInstanceOf[Array[Byte]])
+    val out = op match {
+      case 0 =>
+        val u = SetOperation.builder().buildUnion()
+        u.union(sa); u.union(sb); u.getResult
+      case 1 =>
+        val i = SetOperation.builder().buildIntersection()
+        i.intersect(sa); i.intersect(sb); i.getResult
+      case 2 =>
+        SetOperation.builder().buildANotB().aNotB(sa, sb)
+    }
+    out.toByteArray
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaSetOp =
+    copy(left = l, right = r)
+  override def prettyName: String =
+    Seq("theta_union", "theta_intersect", "theta_not")(op)
+}
+
+case class KllQuantile(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(bin: Any, rank: Any): Any =
+    KllDoublesSketch.heapify(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
+      .getQuantile(rank.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile =
+    copy(left = l, right = r)
+  override def prettyName: String = "kll_quantile"
+}
+
+case class KllRank(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(bin: Any, value: Any): Any =
+    KllDoublesSketch.heapify(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
+      .getRank(value.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
+    copy(left = l, right = r)
+  override def prettyName: String = "kll_rank"
+}
+
+/** Column-level API mirroring the reference's sketch SQL operators. */
+object sketches {
+  def thetaSketch(c: Column): Column = ThetaSketchAgg(c)
+  def thetaEstimate(c: Column): Column = toCol(ThetaEstimate(toExpr(c)))
+  def thetaUnion(a: Column, b: Column): Column = toCol(ThetaSetOp(toExpr(a), toExpr(b), 0))
+  def thetaIntersect(a: Column, b: Column): Column = toCol(ThetaSetOp(toExpr(a), toExpr(b), 1))
+  def thetaNot(a: Column, b: Column): Column = toCol(ThetaSetOp(toExpr(a), toExpr(b), 2))
+  def kllSketch(c: Column): Column = KllDoublesAgg(c)
+  def kllQuantile(bin: Column, rank: Column): Column = toCol(KllQuantile(toExpr(bin), toExpr(rank)))
+  def kllRank(bin: Column, value: Column): Column = toCol(KllRank(toExpr(bin), toExpr(value)))
+}

@@ -1,0 +1,86 @@
+package graft.aggs
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Theta sketch build/merge aggregate — the Spark analog of the
+  * reference's Theta sketch aggregator
+  * (reference: extensions-core/datasketches/.../theta/SketchMergeAggregatorFactory.java).
+  *
+  * Buffer = a theta Union (accepts raw updates AND sketch merges), so
+  * the same aggregate both BUILDS from raw columns and FOLDS
+  * pre-aggregated sketch columns (BinaryType input) — mirroring the
+  * reference's rollup-then-merge lifecycle (SURVEY.md §1.1).
+  * Partial/final merge runs through serialize/deserialize of compact
+  * sketches, identical in structure to the reference's
+  * BufferAggregator combine path, but distributed by Spark's two-phase
+  * hash aggregation.
+  */
+case class ThetaSketchAgg(
+    child: Expression,
+    lgNomEntries: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setNominalEntries(1 << lgNomEntries).buildUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case BinaryType => buffer.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      case StringType => buffer.update(v.asInstanceOf[UTF8String].toString)
+      case LongType => buffer.update(v.asInstanceOf[Long])
+      case IntegerType => buffer.update(v.asInstanceOf[Int].toLong)
+      case ShortType => buffer.update(v.asInstanceOf[Short].toLong)
+      case DoubleType => buffer.update(v.asInstanceOf[Double])
+      case FloatType => buffer.update(v.asInstanceOf[Float].toDouble)
+      case dt => throw new UnsupportedOperationException(s"theta over $dt")
+    }
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+
+  override def serialize(buffer: Union): Array[Byte] =
+    buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaSketchAgg =
+    copy(child = c)
+  override def prettyName: String = "ds_theta"
+}
+
+object ThetaSketchAgg {
+  def apply(col: Column): Column =
+    graft.exprs.toCol(
+      ThetaSketchAgg(graft.exprs.toExpr(col)).toAggregateExpression())
+
+  def wrap(bytes: Array[Byte]): CompactSketch =
+    Sketches.wrapCompactSketch(Memory.wrap(bytes))
+}

@@ -1,0 +1,11 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Catalyst ⇔ public-API bridging (Spark 4 moved Column off Expression). */
+object exprs {
+  def toCol(e: Expression): Column = Bridge.toCol(e)
+  def toExpr(c: Column): Expression = Bridge.toExpr(c)
+}

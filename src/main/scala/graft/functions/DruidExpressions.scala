@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.exprs.{toCol, toExpr}
+
+/** IPv4 helpers (reference: IPv4AddressParseExprMacro /
+  * StringifyExprMacro / MatchExprMacro under
+  * processing/src/main/java/org/apache/druid/query/expression/). */
+object Ipv4 {
+  def parse(s: String): java.lang.Long = {
+    val parts = s.split('.')
+    if (parts.length != 4) return null
+    var out = 0L
+    var i = 0
+    while (i < 4) {
+      val p = try parts(i).toInt catch { case _: NumberFormatException => return null }
+      if (p < 0 || p > 255) return null
+      out = (out << 8) | p
+      i += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  def stringify(v: Long): String =
+    s"${(v >> 24) & 0xff}.${(v >> 16) & 0xff}.${(v >> 8) & 0xff}.${v & 0xff}"
+
+  /** subnet is CIDR "a.b.c.d/prefix". */
+  def matches(addr: Long, subnet: String): java.lang.Boolean = {
+    val slash = subnet.indexOf('/')
+    if (slash < 0) return null
+    val base = parse(subnet.substring(0, slash))
+    if (base == null) return null
+    val prefix = try subnet.substring(slash + 1).toInt catch {
+      case _: NumberFormatException => return null
+    }
+    if (prefix < 0 || prefix > 32) return null
+    val mask = if (prefix == 0) 0L else (0xffffffffL << (32 - prefix)) & 0xffffffffL
+    java.lang.Boolean.valueOf((addr & mask) == (base & mask))
+  }
+}
+
+case class Ipv4Parse(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  // returns null on malformed input even for non-null children
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = Ipv4.parse(v.toString)
+  override protected def withNewChildInternal(c: Expression): Ipv4Parse = copy(c)
+  override def prettyName: String = "ipv4_parse"
+}
+
+case class Ipv4Stringify(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Ipv4.stringify(v.asInstanceOf[Long]))
+  override protected def withNewChildInternal(c: Expression): Ipv4Stringify = copy(c)
+  override def prettyName: String = "ipv4_stringify"
+}
+
+/** left: address (long or dotted string), right: CIDR subnet string. */
+case class Ipv4Match(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  // returns null on malformed address/subnet even for non-null children
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, s: Any): Any = {
+    val addr: java.lang.Long = left.dataType match {
+      case LongType => java.lang.Long.valueOf(a.asInstanceOf[Long])
+      case IntegerType => java.lang.Long.valueOf(a.asInstanceOf[Int].toLong)
+      case _ => Ipv4.parse(a.toString)
+    }
+    if (addr == null) null else Ipv4.matches(addr.longValue(), s.toString)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Ipv4Match =
+    copy(left = l, right = r)
+  override def prettyName: String = "ipv4_match"
+}
+
+/** Sort key realizing the reference's "alphanumeric" comparator
+  * (core/.../StringComparators.java): digit runs compare numerically,
+  * text runs lexicographically. Each digit run is rewritten as
+  * zero-padded-length + digits, so plain byte order on the key equals
+  * alphanumeric order ("a2" < "a10" because length 1 < length 2; equal
+  * lengths fall back to digit order). Sorting by this key distributes
+  * through Spark's range-partitioned sort with no custom ordering. */
+case class AlphanumericSortKey(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    val out = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') j += 1
+        // strip leading zeros so 007 == 7 numerically, then length-prefix
+        var k = i
+        while (k < j - 1 && s.charAt(k) == '0') k += 1
+        val digits = s.substring(k, j)
+        out.append('#') // digits sort before letters as a class
+        out.append(f"${digits.length}%04d")
+        out.append(digits)
+        i = j
+      } else {
+        out.append('~').append(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): AlphanumericSortKey = copy(c)
+  override def prettyName: String = "alphanumeric_sort_key"
+}
+
+object DruidExpressions {
+  def ipv4Parse(c: Column): Column = toCol(Ipv4Parse(toExpr(c)))
+  def ipv4Stringify(c: Column): Column = toCol(Ipv4Stringify(toExpr(c)))
+  def ipv4Match(addr: Column, subnet: Column): Column =
+    toCol(Ipv4Match(toExpr(addr), toExpr(subnet)))
+  def alphanumericSortKey(c: Column): Column = toCol(AlphanumericSortKey(toExpr(c)))
+}

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+import graft.aggs.{KllDoublesAgg, KllQuantile, KllRank, ThetaEstimate, ThetaSetOp, ThetaSketchAgg}
+import graft.exprs.{toCol, toExpr}
+
+/** Registers the reference SQL operator surface under its own names
+  * (SURVEY.md §2.7; reference planner/DruidOperatorTable.java) into a
+  * SparkSession's FunctionRegistry, so `spark.sql` answers the
+  * reference's SQL dialect: TIME_FLOOR / MV_* multi-value ops /
+  * IPV4_* / sketch aggregates, on top of everything Spark already
+  * shares with it by name (ABS, CONCAT, LOWER, ...).
+  *
+  * Most entries are thin Expression-tree builders over built-in
+  * functions — they inline into whole-stage codegen exactly like the
+  * built-ins. Only genuinely novel operators (ipv4, sketches,
+  * minhash/simhash) are custom expressions.
+  */
+object DruidFunctions {
+
+  private def litStr(e: Expression): String = {
+    val v = e.eval(null)
+    require(v != null, "expected literal argument")
+    v.toString
+  }
+  private def litLong(e: Expression): Long = e.eval(null).toString.toLong
+  private def litInt(e: Expression): Int = e.eval(null).toString.toInt
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+
+    // ---- time functions (reference Timestamp*ExprMacro) ----
+    fn("time_floor") { args =>
+      val ts = toCol(args.head)
+      val period = litStr(args(1))
+      val origin = args.lift(2).map(litLong)
+      val tz = args.lift(3).map(litStr)
+      toExpr(TimeFunctions.timeFloor(ts, period, origin, tz))
+    }
+    fn("time_ceil") { args =>
+      toExpr(TimeFunctions.timeCeil(toCol(args.head), litStr(args(1)),
+        args.lift(2).map(litLong), args.lift(3).map(litStr)))
+    }
+    fn("time_shift") { args =>
+      toExpr(TimeFunctions.timeShift(toCol(args.head), litStr(args(1)),
+        litInt(args(2)), args.lift(3).map(litStr)))
+    }
+    fn("time_extract") { args =>
+      toExpr(TimeFunctions.timeExtract(toCol(args.head), litStr(args(1)),
+        args.lift(2).map(litStr)))
+    }
+    fn("millis_to_timestamp")(a => toExpr(timestamp_millis(toCol(a.head))))
+    fn("timestamp_to_millis")(a => toExpr(unix_millis(toCol(a.head))))
+    fn("time_parse") { args =>
+      val c = toCol(args.head)
+      toExpr(args.lift(1).map(p => to_timestamp(c, litStr(p))).getOrElse(to_timestamp(c)))
+    }
+    fn("time_format") { args =>
+      val pattern = args.lift(1).map(litStr).getOrElse("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      toExpr(date_format(toCol(args.head), pattern))
+    }
+
+    // ---- multi-value string ops (reference MultiValueStringOperatorConversions) ----
+    fn("mv_length")(a => toExpr(size(toCol(a.head))))
+    fn("mv_contains")(a => toExpr(array_contains(toCol(a.head), toCol(a(1)))))
+    fn("mv_overlap")(a => toExpr(arrays_overlap(toCol(a.head), toCol(a(1)))))
+    // 0-based, null out of range (reference array_offset:3176)
+    fn("mv_offset")(a => toExpr(get(toCol(a.head), toCol(a(1)))))
+    // 1-based, null out of range (reference array_ordinal:3204)
+    fn("mv_ordinal")(a => toExpr(get(toCol(a.head), toCol(a(1)) - lit(1))))
+    fn("mv_append")(a => toExpr(array_append(toCol(a.head), toCol(a(1)))))
+    fn("mv_prepend")(a => toExpr(array_prepend(toCol(a(1)), toCol(a.head))))
+    fn("mv_concat")(a => toExpr(concat(toCol(a.head), toCol(a(1)))))
+    fn("mv_slice") { a =>
+      // reference array_slice:3462 is [start, end) 0-based
+      val arr = toCol(a.head)
+      val start = toCol(a(1)); val end = toCol(a(2))
+      toExpr(slice(arr, start + lit(1), end - start))
+    }
+    fn("mv_to_string")(a => toExpr(array_join(toCol(a.head), litStr(a(1)))))
+    fn("string_to_mv")(a => toExpr(split(toCol(a.head), litStr(a(1)))))
+    fn("mv_filter_only") { a =>
+      val allow = toCol(a(1))
+      toExpr(filter(toCol(a.head), x => array_contains(allow, x)))
+    }
+    fn("mv_filter_none") { a =>
+      val deny = toCol(a(1))
+      toExpr(filter(toCol(a.head), x => !array_contains(deny, x)))
+    }
+
+    // ---- conditional / misc scalar names the reference keeps ----
+    fn("nvl")(a => toExpr(coalesce(toCol(a.head), toCol(a(1)))))
+    fn("div")(a => toExpr((toCol(a.head) / toCol(a(1))).cast("long")))
+    fn("parse_long")(a => toExpr(toCol(a.head).cast("long")))
+    fn("safe_divide") { a =>
+      val d = toCol(a(1))
+      toExpr(when(d === 0, null).otherwise(toCol(a.head) / d))
+    }
+
+    // ---- ipv4 ----
+    fn("ipv4_parse")(a => Ipv4Parse(a.head))
+    fn("ipv4_stringify")(a => Ipv4Stringify(a.head))
+    fn("ipv4_match")(a => Ipv4Match(a.head, a(1)))
+
+    // ---- text / vector primitives ----
+    fn("minhash_signature") { a =>
+      MinHashSignature(a.head,
+        a.lift(1).map(litInt).getOrElse(64), a.lift(2).map(litInt).getOrElse(42))
+    }
+    fn("simhash64")(a => SimHash64(a.head, a.lift(1).map(litInt).getOrElse(42)))
+    fn("dot_f32")(a => DotProductF32(a.head, a(1)))
+    fn("cosine_f32")(a => CosineSimilarityF32(a.head, a(1)))
+    fn("l2_f32")(a => L2DistanceF32(a.head, a(1)))
+    fn("alphanumeric_sort_key")(a => AlphanumericSortKey(a.head))
+
+    // ---- sketch aggregates + post-aggs (reference datasketches ext) ----
+    fn("ds_theta")(a => ThetaSketchAgg(a.head,
+      a.lift(1).map(litInt).getOrElse(12)))
+    fn("theta_sketch_estimate")(a => ThetaEstimate(a.head))
+    fn("theta_sketch_union")(a => ThetaSetOp(a.head, a(1), 0))
+    fn("theta_sketch_intersect")(a => ThetaSetOp(a.head, a(1), 1))
+    fn("theta_sketch_not")(a => ThetaSetOp(a.head, a(1), 2))
+    fn("ds_kll")(a => KllDoublesAgg(a.head, a.lift(1).map(litInt).getOrElse(200)))
+    fn("kll_quantile")(a => KllQuantile(a.head, a(1)))
+    fn("kll_rank")(a => KllRank(a.head, a(1)))
+    fn("approx_count_distinct_ds_theta") { a =>
+      ThetaEstimate(ThetaSketchAgg(a.head).toAggregateExpression())
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.exprs.{toCol, toExpr}
+
+/** MinHash signature over a token/shingle array — the primitive behind
+  * near-duplicate detection at corpus scale. k hash functions are
+  * derived from two murmur3 evaluations via the Kirsch-Mitzenmacher
+  * construction (h_i = h1 + i·h2), so each token is hashed twice
+  * regardless of k. Output: array<int> of k signature slots.
+  *
+  * Evaluated per-row with primitive loops (no allocation besides the
+  * output); used by graft.operators.Dedup's LSH banding join.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0 && numHashes <= 1024)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = new Array[Int](numHashes)
+    java.util.Arrays.fill(sig, Int.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+        val h2 = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), seed ^ 0x5bd1e995)
+        var j = 0
+        while (j < numHashes) {
+          // strip sign so "min" is over the unsigned-ish positive range
+          val h = (h1 + j * h2) & 0x7fffffff
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash over a token array: per-bit weighted vote of token
+  * hashes. Near-duplicate distance = bit_count(a ^ b) (built-in). */
+case class SimHash64(child: Expression, seed: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+        val h2 = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), seed ^ 0x2545f491)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+object TextExpressions {
+  def minhashSignature(tokens: Column, numHashes: Int = 64, seed: Int = 42): Column =
+    toCol(MinHashSignature(toExpr(tokens), numHashes, seed))
+  def simhash64(tokens: Column, seed: Int = 42): Column =
+    toCol(SimHash64(toExpr(tokens), seed))
+}

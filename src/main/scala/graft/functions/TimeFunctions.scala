@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Druid-parity time bucketing: TIME_FLOOR / TIME_CEIL / TIME_SHIFT /
+  * TIME_EXTRACT with arbitrary ISO-8601 periods, an optional origin,
+  * and an optional timezone
+  * (reference: core/.../granularity/PeriodGranularity.java:47 and the
+  * timestamp_floor/ceil/shift/extract expr macros,
+  * processing/src/main/java/org/apache/druid/query/expression/).
+  *
+  * Implementation stance: build Column trees from built-in functions so
+  * everything stays inside whole-stage codegen — no UDF, no
+  * interpreted Expression on the per-row hot path. Month-granular
+  * periods floor on a month index; sub-month periods floor on epoch
+  * millis with pmod (correct for pre-1970 too). Timezone bucketing
+  * converts to wall-clock, floors, and converts back; for DST-crossing
+  * day+ periods this matches local wall-clock bucketing, same as the
+  * reference's period granularity.
+  */
+object TimeFunctions {
+
+  /** (months, millis) decomposition of an ISO-8601 period. */
+  final case class IsoPeriod(months: Int, millis: Long) {
+    require(months == 0 || millis == 0,
+      "mixed month+sub-month periods unsupported (same as reference granularity)")
+  }
+
+  private val P = ("^P(?:(\\d+)Y)?(?:(\\d+)M)?(?:(\\d+)W)?(?:(\\d+)D)?" +
+    "(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+(?:\\.\\d+)?)S)?)?$").r
+
+  def parsePeriod(s: String): IsoPeriod = s.trim.toUpperCase match {
+    case P(y, mo, w, d, h, mi, sec) =>
+      def i(x: String) = Option(x).map(_.toInt).getOrElse(0)
+      val months = i(y) * 12 + i(mo)
+      val millis = i(w) * 7L * 86400000L + i(d) * 86400000L +
+        i(h) * 3600000L + i(mi) * 60000L +
+        Option(sec).map(v => (v.toDouble * 1000).toLong).getOrElse(0L)
+      require(months > 0 || millis > 0, s"empty period: $s")
+      IsoPeriod(months, millis)
+    case _ => throw new IllegalArgumentException(s"bad ISO period: $s")
+  }
+
+  /** Default origin: epoch for month/day/time periods; the epoch-week
+    * Monday (1969-12-29) for pure-week periods — matching the
+    * reference's ISO-chronology week bucketing. */
+  private def defaultOriginMs(s: String): Long =
+    if (s.toUpperCase.contains("W")) -3L * 86400000L else 0L
+
+  private def toLocal(ts: Column, tz: Option[String]): Column =
+    tz.fold(ts)(z => from_utc_timestamp(ts, z))
+  private def fromLocal(ts: Column, tz: Option[String]): Column =
+    tz.fold(ts)(z => to_utc_timestamp(ts, z))
+
+  /** months-since-epoch index of a timestamp column's month. */
+  private def monthIndex(ts: Column): Column =
+    (year(ts) * 12 + month(ts) - 1).cast("long")
+
+  def timeFloor(
+      ts: Column,
+      period: String,
+      originMs: Option[Long] = None,
+      tz: Option[String] = None): Column = {
+    val p = parsePeriod(period)
+    val local = toLocal(ts, tz)
+    val floored =
+      if (p.months > 0) {
+        val o = lit(originMs.getOrElse(0L)) // month-period origin: its month index
+        val oIdx = monthIndex(timestamp_millis(o))
+        val idx = monthIndex(local)
+        val n = lit(p.months.toLong)
+        val fl = idx - pmod(idx - oIdx, n)
+        make_timestamp(
+          (fl / 12).cast("int"), (pmod(fl, lit(12L)) + 1).cast("int"),
+          lit(1), lit(0), lit(0), lit(0))
+      } else {
+        val o = lit(originMs.getOrElse(defaultOriginMs(period)))
+        val ms = unix_millis(local)
+        val n = lit(p.millis)
+        timestamp_millis(ms - pmod(ms - o, n))
+      }
+    fromLocal(floored, tz)
+  }
+
+  def timeCeil(
+      ts: Column,
+      period: String,
+      originMs: Option[Long] = None,
+      tz: Option[String] = None): Column = {
+    val fl = timeFloor(ts, period, originMs, tz)
+    when(fl === ts, ts).otherwise(timeShift(fl, period, 1, tz))
+  }
+
+  def timeShift(ts: Column, period: String, n: Int, tz: Option[String] = None): Column = {
+    val p = parsePeriod(period)
+    if (p.months > 0) {
+      val local = toLocal(ts, tz)
+      // interval-month add keeps time-of-day (add_months would return a date)
+      fromLocal(local + expr(s"INTERVAL ${p.months * n} MONTH"), tz)
+    } else timestamp_millis(unix_millis(ts) + p.millis * n)
+  }
+
+  /** TIME_EXTRACT units (reference TimestampExtractExprMacro.java). */
+  def timeExtract(ts: Column, unit: String, tz: Option[String] = None): Column = {
+    val local = toLocal(ts, tz)
+    unit.toUpperCase match {
+      case "EPOCH" => unix_millis(local) / 1000
+      case "MILLIS" => unix_millis(local)
+      case "SECOND" => second(local).cast("long")
+      case "MINUTE" => minute(local).cast("long")
+      case "HOUR" => hour(local).cast("long")
+      case "DAY" => dayofmonth(local).cast("long")
+      case "DOW" => dayofweek(local).cast("long") // 1=Sunday..7=Saturday
+      case "ISODOW" => (pmod(dayofweek(local) + 5, lit(7)) + 1).cast("long") // 1=Mon
+      case "DOY" => dayofyear(local).cast("long")
+      case "WEEK" => weekofyear(local).cast("long")
+      case "MONTH" => month(local).cast("long")
+      case "QUARTER" => quarter(local).cast("long")
+      case "YEAR" => year(local).cast("long")
+      case u => throw new IllegalArgumentException(s"bad TIME_EXTRACT unit: $u")
+    }
+  }
+
+  /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS (sql/.../builtin). */
+  def millisToTimestamp(ms: Column): Column = timestamp_millis(ms)
+  def timestampToMillis(ts: Column): Column = unix_millis(ts)
+}

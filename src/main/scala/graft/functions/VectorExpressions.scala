@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.exprs.{toCol, toExpr}
+
+/** Dense-vector primitives over array<float> embedding columns, for
+  * the similarity-search operators (brute-force and LSH/IVF paths).
+  * Tight primitive loops over ArrayData — `toFloatArray` is a single
+  * primitive copy when the array is unsafe-backed, so the per-pair
+  * cost is the fused dot/norm loop itself.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  protected def compute(a: Array[Float], b: Array[Float]): Double
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toFloatArray()
+    val b = r.asInstanceOf[ArrayData].toFloatArray()
+    require(a.length == b.length, s"vector length mismatch: ${a.length} vs ${b.length}")
+    java.lang.Double.valueOf(compute(a, b))
+  }
+}
+
+case class DotProductF32(left: Expression, right: Expression)
+  extends VectorBinaryExpression {
+  override protected def compute(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF32 =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_f32"
+}
+
+case class CosineSimilarityF32(left: Expression, right: Expression)
+  extends VectorBinaryExpression {
+  override protected def compute(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarityF32 =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_f32"
+}
+
+case class L2DistanceF32(left: Expression, right: Expression)
+  extends VectorBinaryExpression {
+  override protected def compute(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistanceF32 =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_f32"
+}
+
+object VectorExpressions {
+  def dotF32(a: Column, b: Column): Column = toCol(DotProductF32(toExpr(a), toExpr(b)))
+  def cosineF32(a: Column, b: Column): Column = toCol(CosineSimilarityF32(toExpr(a), toExpr(b)))
+  def l2F32(a: Column, b: Column): Column = toCol(L2DistanceF32(toExpr(a), toExpr(b)))
+}

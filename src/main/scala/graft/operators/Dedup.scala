@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** Deduplication operators for corpus-scale pipelines.
+  *
+  * Scale design: every method is a pure DataFrame transform —
+  * candidate generation is always a key-equi self-join (shuffle on a
+  * small band/bucket key, never a cross join), and exact verification
+  * only runs on candidate pairs. At 100 TB the LSH band join shuffles
+  * each row `bands` times (signature ints, not documents), and skewed
+  * buckets are handled by AQE skew-join splitting.
+  */
+object Dedup {
+
+  /** exact dedup on raw or normalized content: keep the smallest id
+    * per fingerprint (deterministic representative). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * shingle→minhash→band→bucket-join: each doc gets a k-slot minhash
+    * signature over n-word shingles; the signature is cut into
+    * `bands` bands of k/bands ints; docs agreeing on any full band
+    * become a candidate pair; pairs are scored by exact signature
+    * agreement (estimated Jaccard) and optionally verified exactly.
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Int = 42): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sigs = df.select(
+      col(idCol).as("id"),
+      TextExpressions.minhashSignature(
+        TextAnalysis.wordShingles(toks, shingleSize), numHashes, seed).as("sig"))
+    // band key = (band index, hash of that band's signature slice);
+    // hashing the slice keeps the shuffle key narrow.
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band")
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair can collide in several bands — count it once
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** MinHash candidates verified by exact shingle-set Jaccard. */
+  def minhashVerified(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
+    val sh = df.select(
+      col(idCol).as("vid"),
+      array_distinct(TextAnalysis.wordShingles(
+        TextAnalysis.tokens(col(textCol)), shingleSize)).as("vsh"))
+    cands
+      .join(sh.withColumnRenamed("vid", "id_a").withColumnRenamed("vsh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("vid", "id_b").withColumnRenamed("vsh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** SimHash near-dup grouping: 64-bit fingerprint; candidates agree
+    * on at least one of 4 16-bit bands ⇒ hamming ≤ 3 pairs found
+    * (pigeonhole: distance-3 pairs share a clean band). */
+  def simhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      seed: Int = 42): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      TextExpressions.simhash64(
+        TextAnalysis.tokens(col(textCol)), seed).as("sim"))
+    val banded = sigs.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first("sim_a").as("sim_a"), first("sim_b").as("sim_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** exact n-gram Jaccard over all pairs of a (pre-filtered, small)
+    * candidate set — the verification primitive; not for whole-corpus
+    * use (that's what the LSH paths above are for). */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordShingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+}

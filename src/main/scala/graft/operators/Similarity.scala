@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Approximate-nearest-neighbor search over an `array<float>`
+  * embedding column.
+  *
+  * Scale design: the query set is broadcast (top-k search is always
+  * few-queries × huge-corpus); the corpus is never collected or
+  * re-partitioned. Brute force is a broadcast nested-loop scoring scan
+  * (one pass over the corpus, per-partition top-k heap via window +
+  * TakeOrderedAndProject). The LSH path buckets the corpus once
+  * (sign-random-projection) and only scores colliding buckets —
+  * recall is tuned by nPlanes/probes, cost drops by ~2^nPlanes.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k for each query vector.
+    * queries: (qid, qvec) — small; corpus: (id, vec) — arbitrarily large. */
+  def bruteForceTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(q, if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .select(col("qid"), col("id"),
+        VectorExpressions.cosineF32(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-random-projection bucket id (LSH) for an embedding: nPlanes
+    * pseudo-random hyperplanes derived deterministically from (seed,
+    * plane, dim) hashes; bucket = sign bit pattern. Pure Column tree:
+    * the per-plane dot product is a zip_with/aggregate over the vector
+    * with hash-generated ±1 weights. */
+  def srpBucket(vec: Column, dim: Int, nPlanes: Int = 8, seed: Int = 42): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      // ±1 weight per (plane, dim index) from a 32-bit hash
+      val weights = array((0 until dim).map { i =>
+        lit(if (scala.util.hashing.MurmurHash3.productHash((seed, p, i)) > 0) 1.0f else -1.0f)
+      }: _*)
+      val dot = aggregate(
+        zip_with(vec, weights, (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: score only corpus rows sharing
+    * the query's bucket. Brute-force fallback quality is recovered by
+    * lowering nPlanes (bigger buckets) or multi-probing. */
+  def lshTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, nPlanes: Int = 8, seed: Int = 42): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      srpBucket(col(qvecCol), dim, nPlanes, seed).as("bucket")))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      srpBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorExpressions.cosineF32(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: all are
+  * Column builders over built-in (codegen'd) functions, so they fuse
+  * into whole-stage codegen and scan each document exactly once —
+  * the property that matters when the documents table is 100 TB.
+  */
+object TextAnalysis {
+
+  /** whitespace tokens (the MVD-style word array). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish subword tokens: maximal letter runs and digit runs. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+"), lit(0))
+
+  /** n-word shingles from a token array (input to minhash). Requires
+    * size(tokens) >= n; callers guard or get an empty array. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** exact Jaccard similarity of two string arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** content fingerprint: md5 of case/whitespace-normalized text —
+    * the exact-dedup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** simple quality signals: (n_chars, n_tokens, avg_token_len,
+    * punct_count, digit_count, stopword_count). */
+  def nChars(text: Column): Column = length(text)
+  def nTokens(text: Column): Column = size(tokens(text))
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "are", "was", "be", "this")
+
+  def stopwordCount(toks: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+
+  /** stopword-density language-ID heuristic: score = fraction of
+    * tokens that are stopwords of the candidate language; highest
+    * scoring language wins, 'und' when nothing matches. */
+  def langIdScore(toks: Column, stopwords: Seq[String]): Column =
+    stopwordCount(toks, stopwords).cast("double") / size(toks)
+
+  /** composite quality score in [0,1]: length sweet-spot × word-shape ×
+    * stopword presence — the usual pre-training heuristic shape. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val lenScore = when(length(text).between(200, 5000), 1.0)
+      .when(length(text) < 200, length(text).cast("double") / 200.0)
+      .otherwise(lit(5000.0) / length(text))
+    val wordScore = when(avgTokenLen(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val swScore = when(stopwordCount(t) > 0, 1.0).otherwise(0.3)
+    round(lenScore * wordScore * swScore, 4)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Multi-value dimension semantics (SURVEY.md §1.2 — the reference's
+  * single biggest non-standard semantic): a STRING dim holding an
+  * array, where filtering matches if ANY element matches and grouping
+  * EXPLODES the row into one group-row per element
+  * (reference StringDimensionIndexer.java:489-498,
+  * MultiValuedDimensionTest.java). The documents word array plays the
+  * MVD role here; fixture tests cover the inline-array cases.
+  */
+object MvdQueries {
+
+  /** groupBy on an MVD ⇒ implicit explode: one group-row per element. */
+  val mvdGroupbyExplode: Q = q(
+    "mvd_groupby_explode",
+    """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 15""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(15)
+  }
+
+  /** filter on an MVD: row matches if ANY element matches. */
+  val mvdFilterAny: Q = q(
+    "mvd_filter_any",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt
+      |FROM documents
+      |WHERE list_contains(string_split(text, ' '), 'spark')""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(array_contains(split(col("text"), " "), "spark"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** MV_* element functions (MultiValueStringOperatorConversions):
+    * length / offset / ordinal / contains / overlap / to_string. */
+  val mvFunctions: Q = q(
+    "mv_functions",
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS mv_len,
+      |       string_split(text, ' ')[1] AS mv_first,
+      |       string_split(text, ' ')[3] AS mv_ordinal3,
+      |       list_contains(string_split(text, ' '), 'data') AS mv_has_data,
+      |       len(list_intersect(string_split(text, ' '), ['spark','data','query'])) > 0 AS mv_overlap,
+      |       coalesce(array_to_string(list_sort(list_distinct(list_intersect(
+      |         string_split(text, ' '), ['spark','data','query']))), ','), '') AS mv_filter_only
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val words = split(col("text"), " ")
+    val allow = array(lit("spark"), lit("data"), lit("query"))
+    Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        size(words).as("mv_len"),
+        element_at(words, 1).as("mv_first"),
+        element_at(words, 3).as("mv_ordinal3"),
+        array_contains(words, "data").as("mv_has_data"),
+        arrays_overlap(words, allow).as("mv_overlap"),
+        array_join(array_sort(array_distinct(array_intersect(words, allow))), ",")
+          .as("mv_filter_only"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** lambda/apply functions over arrays (ApplyFunction.java map/filter/
+    * fold/any/all ⇒ Spark transform/filter/aggregate/exists/forall). */
+  val exprLambda: Q = q(
+    "expr_lambda",
+    """SELECT doc_id,
+      |       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 5)) AS INT) AS n_long,
+      |       list_contains(string_split(text, ' '), 'the') AS has_the,
+      |       len(list_filter(string_split(text, ' '), x -> length(x) >= 12)) = 0 AS all_short
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val words = split(col("text"), " ")
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        aggregate(words, lit(0L), (acc, x) => acc + length(x)).as("total_chars"),
+        size(filter(words, x => length(x) > 5)).as("n_long"),
+        exists(words, x => x === "the").as("has_the"),
+        forall(words, x => length(x) < 12).as("all_short"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(mvdGroupbyExplode, mvdFilterAny, mvFunctions, exprLambda)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (builder brief + SURVEY.md §7.1 item 9):
+  * dedup, similarity search, text analysis over the documents /
+  * embeddings tables. Oracle-checked where cross-engine deterministic;
+  * LSH internals get fixture specs instead (hash functions differ by
+  * construction).
+  */
+object PipelineQueries {
+
+  /** exact dedup statistics: raw vs normalized-fingerprint cardinality. */
+  val dedupExactStats: Q = q(
+    "dedup_exact_stats",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+      |       CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT)
+      |         AS n_distinct_fp
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_distinct_text"),
+      countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct_fp"))
+  }
+
+  /** per-document content fingerprint (md5 of normalized text) —
+    * cross-engine-stable dedup keys. */
+  val textFingerprint: Q = q(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 30)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text quality/statistics signals per document. */
+  val textQualityStats: Q = q(
+    "text_quality_stats",
+    """SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS n_chars,
+      |       CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+      |       round(CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+      |                x -> length(x))) AS DOUBLE)
+      |             / len(string_split_regex(text, '\s+')), 4) AS avg_token_len,
+      |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+      |       CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |                x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+      |                                    'that','for','on','with','as','are','was','be','this'], x)))
+      |            AS INT) AS n_stopwords,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS INT) AS n_regex_tokens
+      |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(
+        col("doc_id"),
+        TextAnalysis.nChars(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.nTokens(col("text")).as("n_tokens"),
+        round(TextAnalysis.avgTokenLen(col("text")), 4).as("avg_token_len"),
+        TextAnalysis.digitCount(col("text")).cast("long").as("n_digits"),
+        TextAnalysis.stopwordCount(toks).as("n_stopwords"),
+        size(TextAnalysis.regexTokens(col("text"))).as("n_regex_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** stopword-density language-ID heuristic (deterministic formula,
+    * same in both engines). */
+  val textLangid: Q = q(
+    "text_langid",
+    """SELECT doc_id,
+      |       round(CAST(len(list_filter(string_split(text, ' '),
+      |               x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+      |                                   'that','for','on','with','as','are','was','be','this'], x)))
+      |             AS DOUBLE) / len(string_split(text, ' ')), 4) AS en_score,
+      |       CASE WHEN len(list_filter(string_split(text, ' '),
+      |               x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+      |                                   'that','for','on','with','as','are','was','be','this'], x))) > 0
+      |            THEN 'en' ELSE 'und' END AS lang_pred
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val sw = TextAnalysis.stopwordCount(toks)
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        round(TextAnalysis.langIdScore(toks, TextAnalysis.englishStopwords), 4).as("en_score"),
+        when(sw > 0, "en").otherwise("und").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** exact n-gram Jaccard between document pairs (the verification
+    * primitive under minhash LSH; cross-engine exact). */
+  val ngramJaccardPairs: Q = q(
+    "ngram_jaccard_pairs",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' ||
+      |                string_split(text, ' ')[i+1] || ' ' ||
+      |                string_split(text, ' ')[i+2])) AS g
+      |  FROM documents WHERE doc_id < 12
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |             len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 12), "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** brute-force cosine top-k similarity search (ANN baseline). */
+  val similarityBruteForce: Q = q(
+    "similarity_brute_force",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id AS id,
+      |         round(CAST(list_cosine_similarity(
+      |                 CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+      |),
+      |ranked AS (
+      |  SELECT qid, id, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT qid, id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions
+    val emb = Tables.embeddings(s, d)
+    // rank on the ROUNDED score (with id tiebreak) so ordering is
+    // FP-stable across engines; Similarity.bruteForceTopK is the
+    // unrounded production entrypoint.
+    val q = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    val scored = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .join(q, col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(VectorExpressions.cosineF32(col("qvec"), col("vec")), 4).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(
+    dedupExactStats, textFingerprint, textQualityStats, textLangid,
+    ngramJaccardPairs, similarityBruteForce)
+}

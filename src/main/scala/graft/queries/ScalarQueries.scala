@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TimeFunctions
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY.md §2.7: the reference's expression
+  * language + SQL operator table). Each suite projects computed columns
+  * over a deterministic slice so every function is value-checked
+  * against DuckDB, not just executed.
+  */
+object ScalarQueries {
+
+  /** math functions (Function.java abs/ceil/floor/exp/log/pow/sqrt/round…). */
+  val exprMath: Q = q(
+    "expr_math",
+    """SELECT l_orderkey, l_linenumber,
+      |       round(abs(-l_extendedprice), 4) AS f_abs,
+      |       CAST(floor(l_quantity) AS BIGINT) AS f_floor,
+      |       CAST(ceil(l_quantity) AS BIGINT) AS f_ceil,
+      |       round(sqrt(l_extendedprice), 6) AS f_sqrt,
+      |       round(ln(l_extendedprice), 6) AS f_ln,
+      |       round(log10(l_extendedprice), 6) AS f_log10,
+      |       round(pow(l_discount + 1, 3), 6) AS f_pow,
+      |       round(exp(l_discount), 6) AS f_exp,
+      |       CAST(sign(l_extendedprice - 30000) AS BIGINT) AS f_sign,
+      |       mod(l_linenumber, 3) AS f_mod,
+      |       CAST(l_orderkey % 7 AS BIGINT) AS f_mod2,
+      |       round(sin(l_discount), 6) AS f_sin,
+      |       round(cos(l_discount), 6) AS f_cos,
+      |       round(atan2(l_discount, l_tax + 0.01), 6) AS f_atan2,
+      |       greatest(l_discount, l_tax) AS f_greatest,
+      |       least(l_discount, l_tax) AS f_least
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 200)
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(abs(-col("l_extendedprice")), 4).as("f_abs"),
+      floor(col("l_quantity")).as("f_floor"),
+      ceil(col("l_quantity")).as("f_ceil"),
+      round(sqrt(col("l_extendedprice")), 6).as("f_sqrt"),
+      round(log(col("l_extendedprice")), 6).as("f_ln"),
+      round(log10(col("l_extendedprice")), 6).as("f_log10"),
+      round(pow(col("l_discount") + 1, 3), 6).as("f_pow"),
+      round(exp(col("l_discount")), 6).as("f_exp"),
+      signum(col("l_extendedprice") - 30000).cast("long").as("f_sign"),
+      (col("l_linenumber") % 3).as("f_mod"),
+      (col("l_orderkey") % 7).as("f_mod2"),
+      round(sin(col("l_discount")), 6).as("f_sin"),
+      round(cos(col("l_discount")), 6).as("f_cos"),
+      round(atan2(col("l_discount"), col("l_tax") + 0.01), 6).as("f_atan2"),
+      greatest(col("l_discount"), col("l_tax")).as("f_greatest"),
+      least(col("l_discount"), col("l_tax")).as("f_least"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** string functions (concat/substring/replace/lower/upper/lpad/…). */
+  val exprString: Q = q(
+    "expr_string",
+    """SELECT c_custkey,
+      |       concat(c_name, '|', c_mktsegment) AS f_concat,
+      |       substring(c_name, 1, 8) AS f_substr,
+      |       upper(c_mktsegment) AS f_upper,
+      |       lower(c_name) AS f_lower,
+      |       CAST(length(c_name) AS BIGINT) AS f_len,
+      |       replace(c_name, 'Customer', 'C') AS f_replace,
+      |       reverse(c_mktsegment) AS f_reverse,
+      |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS f_lpad,
+      |       rpad(c_mktsegment, 12, '.') AS f_rpad,
+      |       repeat(c_mktsegment[1:1], 3) AS f_repeat,
+      |       left(c_name, 4) AS f_left,
+      |       right(c_name, 4) AS f_right,
+      |       CAST(instr(c_name, '#') AS BIGINT) AS f_strpos,
+      |       trim('  ' || c_mktsegment || ' ') AS f_trim,
+      |       regexp_extract(c_name, '[0-9]+', 0) AS f_regex_extract,
+      |       contains(c_name, '9') AS f_contains
+      |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_custkey") <= 100)
+    c.select(
+      col("c_custkey"),
+      concat(col("c_name"), lit("|"), col("c_mktsegment")).as("f_concat"),
+      substring(col("c_name"), 1, 8).as("f_substr"),
+      upper(col("c_mktsegment")).as("f_upper"),
+      lower(col("c_name")).as("f_lower"),
+      length(col("c_name")).cast("long").as("f_len"),
+      regexp_replace(col("c_name"), "Customer", "C").as("f_replace"),
+      reverse(col("c_mktsegment")).as("f_reverse"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("f_lpad"),
+      rpad(col("c_mktsegment"), 12, ".").as("f_rpad"),
+      repeat(substring(col("c_mktsegment"), 1, 1), 3).as("f_repeat"),
+      substring(col("c_name"), 1, 4).as("f_left"),
+      col("c_name").substr(length(col("c_name")) - 3, lit(4)).as("f_right"),
+      instr(col("c_name"), "#").cast("long").as("f_strpos"),
+      trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("f_trim"),
+      regexp_extract(col("c_name"), "[0-9]+", 0).as("f_regex_extract"),
+      col("c_name").contains("9").as("f_contains"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** time functions: extraction, truncation, arithmetic, formatting
+    * (reference Timestamp*ExprMacro + SQL time operator table). */
+  val exprTime: Q = q(
+    "expr_time",
+    """SELECT event_id,
+      |       CAST(year(ts) AS BIGINT) AS f_year,
+      |       CAST(month(ts) AS BIGINT) AS f_month,
+      |       CAST(day(ts) AS BIGINT) AS f_day,
+      |       CAST(hour(ts) AS BIGINT) AS f_hour,
+      |       CAST(minute(ts) AS BIGINT) AS f_minute,
+      |       CAST(isodow(ts) AS BIGINT) AS f_isodow,
+      |       CAST(dayofyear(ts) AS BIGINT) AS f_doy,
+      |       CAST(quarter(ts) AS BIGINT) AS f_quarter,
+      |       epoch_ms(date_trunc('month', ts)) AS f_trunc_month_ms,
+      |       epoch_ms(date_trunc('week', ts)) AS f_trunc_week_ms,
+      |       epoch_ms(ts + INTERVAL 1 MONTH) AS f_shift_month_ms,
+      |       epoch_ms(ts - INTERVAL 90 MINUTE) AS f_shift_min_ms,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS f_fmt,
+      |       epoch_ms(strptime('2024-03-05 10:30:00', '%Y-%m-%d %H:%M:%S')) AS f_parse_ms
+      |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("event_id") < 100)
+    e.select(
+      col("event_id"),
+      year(col("ts")).cast("long").as("f_year"),
+      month(col("ts")).cast("long").as("f_month"),
+      dayofmonth(col("ts")).cast("long").as("f_day"),
+      hour(col("ts")).cast("long").as("f_hour"),
+      minute(col("ts")).cast("long").as("f_minute"),
+      TimeFunctions.timeExtract(col("ts"), "ISODOW").as("f_isodow"),
+      dayofyear(col("ts")).cast("long").as("f_doy"),
+      quarter(col("ts")).cast("long").as("f_quarter"),
+      unix_millis(TimeFunctions.timeFloor(col("ts"), "P1M")).as("f_trunc_month_ms"),
+      unix_millis(TimeFunctions.timeFloor(col("ts"), "P1W")).as("f_trunc_week_ms"),
+      unix_millis(TimeFunctions.timeShift(col("ts"), "P1M", 1)).as("f_shift_month_ms"),
+      unix_millis(TimeFunctions.timeShift(col("ts"), "PT1M", -90)).as("f_shift_min_ms"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("f_fmt"),
+      unix_millis(to_timestamp(lit("2024-03-05 10:30:00"), "yyyy-MM-dd HH:mm:ss"))
+        .as("f_parse_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  /** TIME_FLOOR with arbitrary period + origin — the reference
+    * granularity semantic Spark lacks natively
+    * (PeriodGranularity.java:47); oracle = DuckDB time_bucket. */
+  val timeFloorPeriodOrigin: Q = q(
+    "time_floor_period_origin",
+    """SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts,
+      |                            TIMESTAMP '2024-01-01 00:05:00')) AS bucket_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1 ORDER BY 1 LIMIT 40""".stripMargin) { (s, d) =>
+    val originMs = java.sql.Timestamp.valueOf("2024-01-01 00:05:00").getTime
+    Tables.events(s, d).filter(col("event_type") === "view")
+      .groupBy(unix_millis(TimeFunctions.timeFloor(
+        col("ts"), "PT15M", Some(originMs))).as("bucket_ms"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket_ms")).limit(40)
+  }
+
+  /** 3-month (quarter-like) floor via month-index arithmetic. */
+  val timeFloorQuarter: Q = q(
+    "time_floor_quarter",
+    """SELECT epoch_ms(time_bucket(INTERVAL '3 months', o_orderdate)) AS q_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(o_totalprice), 4) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(unix_millis(TimeFunctions.timeFloor(
+        col("o_orderdate").cast("timestamp"), "P3M")).as("q_ms"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy(col("q_ms"))
+  }
+
+  /** conditionals / null handling (if, case_searched, case_simple, nvl,
+    * isnull, notnull, cast — Function.java:1934-2252). */
+  val exprCaseNull: Q = q(
+    "expr_case_null",
+    """SELECT event_id,
+      |       CASE WHEN value > 150 THEN 'hi' WHEN value > 50 THEN 'mid' ELSE 'lo' END AS f_case,
+      |       CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 ELSE 0 END AS f_case_simple,
+      |       coalesce(props, '{}') AS f_nvl,
+      |       (props IS NULL) AS f_isnull,
+      |       (props IS NOT NULL) AS f_notnull,
+      |       CAST(floor(value) AS BIGINT) AS f_cast_long,
+      |       CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS f_roundtrip,
+      |       CAST(regexp_extract(coalesce(props, ''), '[0-9]+', 0) AS BIGINT) AS f_props_k
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("event_id") < 200)
+    e.select(
+      col("event_id"),
+      when(col("value") > 150, "hi").when(col("value") > 50, "mid").otherwise("lo").as("f_case"),
+      when(col("event_type") === "click", 1).when(col("event_type") === "view", 2)
+        .otherwise(0).as("f_case_simple"),
+      coalesce(col("props"), lit("{}")).as("f_nvl"),
+      col("props").isNull.as("f_isnull"),
+      col("props").isNotNull.as("f_notnull"),
+      floor(col("value")).cast("long").as("f_cast_long"),
+      col("event_id").cast("string").cast("long").as("f_roundtrip"),
+      regexp_extract(coalesce(col("props"), lit("")), "[0-9]+", 0).cast("long").as("f_props_k"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    exprMath, exprString, exprTime, timeFloorPeriodOrigin, timeFloorQuarter,
+    exprCaseNull)
+}

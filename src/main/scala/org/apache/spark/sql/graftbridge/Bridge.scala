@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Catalyst ⇔ public-API bridging. Spark 4 severed Column from
+  * Expression (connect-compatible Column nodes); the supported classic
+  * conversion lives in a private[sql] helper, so this one-file bridge
+  * sits inside the org.apache.spark.sql namespace — the conventional
+  * pattern for Catalyst-extending libraries.
+  */
+object Bridge {
+  def toCol(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Eager node→expression conversion. The lazy wrapper
+    * (ExpressionUtils.expression) yields a ColumnNodeExpression leaf
+    * placeholder that the analyzer won't look inside when the result
+    * is returned from a FunctionRegistry builder mid-resolution —
+    * convert eagerly so nested functions/lambdas resolve normally. */
+  def toExpr(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+}

@@ -1,0 +1,67 @@
+package graft.aggs
+
+import graft.SparkSpec
+import graft.aggs.sketches._
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  test("theta sketch: exact below nominal entries, mergeable across partitions") {
+    import spark.implicits._
+    val df = spark.range(0, 10000).repartition(8)
+      .select((col("id") % 1000).as("k"))
+    val est = df.agg(thetaEstimate(thetaSketch(col("k"))).as("e"))
+      .collect()(0).getDouble(0)
+    assert(math.round(est) == 1000L)
+  }
+
+  test("theta set operations") {
+    val a = spark.range(0, 1000).select(col("id").as("k"))
+      .agg(thetaSketch(col("k")).as("s")).collect()(0).getAs[Array[Byte]](0)
+    val b = spark.range(500, 1500).select(col("id").as("k"))
+      .agg(thetaSketch(col("k")).as("s")).collect()(0).getAs[Array[Byte]](0)
+    val r = spark.range(1).select(
+      thetaEstimate(thetaUnion(lit(a), lit(b))).as("u"),
+      thetaEstimate(thetaIntersect(lit(a), lit(b))).as("i"),
+      thetaEstimate(thetaNot(lit(a), lit(b))).as("n")).collect()(0)
+    assert(math.round(r.getDouble(0)) == 1500L)
+    assert(math.round(r.getDouble(1)) == 500L)
+    assert(math.round(r.getDouble(2)) == 500L)
+  }
+
+  test("theta folds pre-aggregated sketch binaries (rollup lifecycle)") {
+    // build per-group sketches, then merge the BINARY column — the
+    // ingest-rollup then query-merge pattern (SURVEY.md §1.1)
+    val perGroup = spark.range(0, 4000)
+      .select((col("id") % 4).as("g"), (col("id") % 1300).as("k"))
+      .groupBy("g").agg(thetaSketch(col("k")).as("sk"))
+    val merged = perGroup.agg(thetaEstimate(thetaSketch(col("sk"))).as("e"))
+      .collect()(0).getDouble(0)
+    assert(math.round(merged) == 1300L)
+  }
+
+  test("kll quantiles within rank error, mergeable") {
+    val df = spark.range(0, 100000).repartition(16).select(col("id").cast("double").as("v"))
+    val r = df.agg(kllSketch(col("v")).as("s"))
+      .select(
+        kllQuantile(col("s"), lit(0.5)).as("q50"),
+        kllQuantile(col("s"), lit(0.95)).as("q95"),
+        kllRank(col("s"), lit(25000.0)).as("r25")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 50000) < 2000, s"q50=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 95000) < 2000, s"q95=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 0.25) < 0.02, s"r25=${r.getDouble(2)}")
+  }
+
+  test("SQL surface: ds_theta / theta_sketch_estimate / ds_kll / kll_quantile") {
+    spark.range(0, 5000).select((col("id") % 700).as("k"), col("id").cast("double").as("v"))
+      .createOrReplaceTempView("sk_t")
+    val r = spark.sql(
+      """SELECT round(theta_sketch_estimate(ds_theta(k))) AS thetad,
+        |       round(approx_count_distinct_ds_theta(k)) AS thetad2,
+        |       round(kll_quantile(ds_kll(v), 0.5d)) AS med
+        |FROM sk_t""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 700.0)
+    assert(r.getDouble(1) == 700.0)
+    assert(math.abs(r.getDouble(2) - 2500.0) < 200)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DruidExpressionsSpec extends SparkSpec {
+
+  test("ipv4 parse/stringify/match") {
+    val r = spark.sql(
+      """SELECT ipv4_parse('192.168.1.10') AS p,
+        |       ipv4_stringify(3232235786) AS s,
+        |       ipv4_match('192.168.1.10', '192.168.0.0/16') AS m1,
+        |       ipv4_match('10.0.0.1', '192.168.0.0/16') AS m2,
+        |       ipv4_parse('not an ip') AS bad
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 3232235786L)
+    assert(r.getString(1) == "192.168.1.10")
+    assert(r.getBoolean(2))
+    assert(!r.getBoolean(3))
+    assert(r.isNullAt(4))
+  }
+
+  test("alphanumeric sort key orders digit runs numerically") {
+    import spark.implicits._
+    val in = Seq("x2", "x10", "x1", "x10a", "x2b", "y1", "x02").toDF("s")
+    val sorted = in.orderBy(DruidExpressions.alphanumericSortKey(col("s")))
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("x1", "x2", "x02", "x2b", "x10", "x10a", "y1"),
+      s"got $sorted")
+  }
+
+  test("minhash: identical inputs identical sigs; similarity tracks overlap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("x y z", "y z w", "z w v"))
+    ).toDF("id", "sh")
+    val sigs = df.select(col("id"),
+      TextExpressions.minhashSignature(col("sh"), 32, 7).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash: identical equal; disjoint disagree") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("a", "b", "c", "d", "e", "f")),
+      (3L, Seq("q", "r", "s", "t", "u", "v"))
+    ).toDF("id", "toks")
+    val h = df.select(col("id"), TextExpressions.simhash64(col("toks")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L))
+  }
+
+  test("MV_FILTER_ONLY / MV_FILTER_NONE preserve element order") {
+    val r = spark.sql(
+      """SELECT mv_filter_only(array('c','a','b','a'), array('a','c')) AS only,
+        |       mv_filter_none(array('c','a','b','a'), array('a','c')) AS none
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == Seq("c", "a", "a"))
+    assert(r.getSeq[String](1) == Seq("b"))
+  }
+}

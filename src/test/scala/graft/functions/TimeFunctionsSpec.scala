@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeFunctionsSpec extends SparkSpec {
+  import TimeFunctions._
+
+  private def floorMs(tsMs: Long, period: String,
+      origin: Option[Long] = None, tz: Option[String] = None): Long = {
+    val df = spark.range(1).select(
+      unix_millis(timeFloor(timestamp_millis(lit(tsMs)), period, origin, tz)).as("v"))
+    df.collect()(0).getLong(0)
+  }
+
+  private def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+
+  test("parsePeriod decomposes ISO periods") {
+    assert(parsePeriod("PT15M") == IsoPeriod(0, 15 * 60000L))
+    assert(parsePeriod("P1D") == IsoPeriod(0, 86400000L))
+    assert(parsePeriod("P2W") == IsoPeriod(0, 14 * 86400000L))
+    assert(parsePeriod("P3M") == IsoPeriod(3, 0))
+    assert(parsePeriod("P1Y") == IsoPeriod(12, 0))
+    assert(parsePeriod("PT1.5S") == IsoPeriod(0, 1500L))
+    intercept[IllegalArgumentException](parsePeriod("nope"))
+  }
+
+  test("sub-day floor with origin") {
+    assert(floorMs(ms("2024-01-01T00:37:00Z"), "PT15M") == ms("2024-01-01T00:30:00Z"))
+    // origin 00:05 shifts the bucket lattice
+    assert(floorMs(ms("2024-01-01T00:37:00Z"), "PT15M",
+      Some(ms("2024-01-01T00:05:00Z"))) == ms("2024-01-01T00:35:00Z"))
+    // pre-origin timestamps floor correctly (pmod, not %)
+    assert(floorMs(ms("2023-12-31T23:59:00Z"), "PT1H") == ms("2023-12-31T23:00:00Z"))
+  }
+
+  test("week floor lands on Monday (ISO chronology)") {
+    // 2024-01-03 is a Wednesday; its ISO week starts Monday 2024-01-01
+    assert(floorMs(ms("2024-01-03T10:00:00Z"), "P1W") == ms("2024-01-01T00:00:00Z"))
+    assert(floorMs(ms("2024-01-07T23:59:59Z"), "P1W") == ms("2024-01-01T00:00:00Z"))
+    assert(floorMs(ms("2024-01-08T00:00:00Z"), "P1W") == ms("2024-01-08T00:00:00Z"))
+  }
+
+  test("month-granular floor") {
+    assert(floorMs(ms("2024-02-15T10:00:00Z"), "P1M") == ms("2024-02-01T00:00:00Z"))
+    assert(floorMs(ms("2024-02-15T10:00:00Z"), "P3M") == ms("2024-01-01T00:00:00Z"))
+    assert(floorMs(ms("2024-11-15T10:00:00Z"), "P3M") == ms("2024-10-01T00:00:00Z"))
+    assert(floorMs(ms("2024-11-15T10:00:00Z"), "P1Y") == ms("2024-01-01T00:00:00Z"))
+  }
+
+  test("timezone-aware day floor") {
+    // 2024-06-15T03:00Z is 2024-06-14T23:00 in New York (EDT, UTC-4):
+    // local-day floor = 2024-06-14T00:00 local = 2024-06-14T04:00Z
+    assert(floorMs(ms("2024-06-15T03:00:00Z"), "P1D", None, Some("America/New_York"))
+      == ms("2024-06-14T04:00:00Z"))
+  }
+
+  test("timeCeil returns ts when aligned, next bucket otherwise") {
+    def ceilMs(t: Long, p: String): Long =
+      spark.range(1).select(
+        unix_millis(timeCeil(timestamp_millis(lit(t)), p)).as("v")).collect()(0).getLong(0)
+    assert(ceilMs(ms("2024-01-01T00:30:00Z"), "PT15M") == ms("2024-01-01T00:30:00Z"))
+    assert(ceilMs(ms("2024-01-01T00:31:00Z"), "PT15M") == ms("2024-01-01T00:45:00Z"))
+    assert(ceilMs(ms("2024-02-15T00:00:00Z"), "P1M") == ms("2024-03-01T00:00:00Z"))
+  }
+
+  test("timeShift by months keeps time-of-day") {
+    def shiftMs(t: Long, p: String, n: Int): Long =
+      spark.range(1).select(
+        unix_millis(timeShift(timestamp_millis(lit(t)), p, n)).as("v")).collect()(0).getLong(0)
+    assert(shiftMs(ms("2024-01-31T10:30:00Z"), "P1M", 1) == ms("2024-02-29T10:30:00Z"))
+    assert(shiftMs(ms("2024-01-15T10:30:00Z"), "PT1H", -2) == ms("2024-01-15T08:30:00Z"))
+  }
+
+  test("SQL registration: TIME_FLOOR / TIME_EXTRACT / MV fns") {
+    val r = spark.sql(
+      """SELECT unix_millis(time_floor(timestamp_millis(1704070620000), 'PT15M')) AS f,
+        |       time_extract(timestamp_millis(1704070620000), 'HOUR') AS h,
+        |       mv_length(array('a','b','c')) AS l,
+        |       mv_offset(array('a','b','c'), 0) AS o0,
+        |       mv_ordinal(array('a','b','c'), 3) AS o3,
+        |       mv_to_string(array('a','b'), ',') AS js,
+        |       nvl(NULL, 'x') AS nv,
+        |       div(7, 2) AS dv
+        |""".stripMargin).collect()(0)
+    // 1704070620000 = 2024-01-01T00:57:00Z
+    assert(r.getLong(0) == 1704069900000L) // 00:45:00Z
+    assert(r.getLong(1) == 0L)
+    assert(r.getInt(2) == 3)
+    assert(r.getString(3) == "a")
+    assert(r.getString(4) == "c")
+    assert(r.getString(5) == "a,b")
+    assert(r.getString(6) == "x")
+    assert(r.getLong(7) == 3L)
+  }
+}

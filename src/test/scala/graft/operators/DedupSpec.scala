@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+      (4L, "completely different content about spark query engines and columnar formats"),
+      (5L, "THE  quick brown fox jumps over the lazy dog near the river bank today") // case/ws dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps smallest id per normalized fingerprint") {
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds near-duplicate pairs, not unrelated ones") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact dup pair missing: $keys")
+    assert(keys.contains((1L, 3L)) || keys.contains((2L, 3L)), s"near dup missing: $keys")
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L), s"false positive with 4: $keys")
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(exact._3 == 1.0, s"identical docs must have est_jaccard 1.0: $exact")
+  }
+
+  test("minhashVerified attaches exact jaccard and filters") {
+    val v = Dedup.minhashVerified(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(3))).toMap
+    assert(v.keySet.contains((2L, 1L)))
+    assert(v((2L, 1L)) == 1.0)
+  }
+
+  test("simhash candidates: identical docs at hamming 0") {
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"got $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard pairs: dup pair is 1.0, unrelated ~0") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) == 0.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+      (3L, Array(0.7f, 0.7f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks by cosine") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 3)
+      .orderBy(col("rank")).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    assert(top(0).getDouble(2) > 0.99)
+    assert(math.abs(top(2).getDouble(2)) < 1e-9)
+  }
+
+  test("lsh top-k finds the same nearest neighbor for clustered vectors") {
+    // with few planes the near-identical pair must share a bucket
+    val top = Similarity.lshTopK(
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", k = 2, dim = 4, nPlanes = 2)
+      .orderBy(col("rank")).collect()
+    assert(top.nonEmpty)
+    assert(top(0).getLong(1) == 1L, s"nearest must be vec 1: ${top.toSeq}")
+  }
+
+  test("cosine/dot/l2 expression values") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      graft.functions.VectorExpressions.dotF32(col("a"), col("b")),
+      graft.functions.VectorExpressions.cosineF32(col("a"), col("b")),
+      graft.functions.VectorExpressions.l2F32(col("a"), col("b"))).collect()(0)
+    assert(r.getDouble(0) == 8.0)
+    assert(math.abs(r.getDouble(1) - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
+    assert(math.abs(r.getDouble(2) - math.sqrt(2)) < 1e-12)
+  }
+}
