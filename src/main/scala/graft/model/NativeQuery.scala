@@ -1,0 +1,194 @@
+package graft.model
+
+/** The reference's native JSON query language as a Scala ADT
+  * (SURVEY.md §2.1 / §1.3 / §2.3 / §2.5; reference Jackson subtypes in
+  * processing/src/main/java/org/apache/druid/query/Query.java:68-76).
+  * Pure data — graft.planner.NativePlanner compiles these to
+  * DataFrames; graft.model.QueryJson parses the reference's JSON wire
+  * format into them.
+  */
+sealed trait DataSource
+object DataSource {
+  final case class Table(name: String) extends DataSource
+  final case class Union(dataSources: Seq[DataSource]) extends DataSource
+  final case class SubQuery(query: NativeQuery) extends DataSource
+  /** reference JoinDataSource.java:56 — left-deep, broadcastable right. */
+  final case class Join(
+      left: DataSource, right: DataSource, rightPrefix: String,
+      leftKey: String, rightKey: String, joinType: String) extends DataSource
+  final case class Inline(columnNames: Seq[String], rows: Seq[Seq[Any]]) extends DataSource
+  /** reference GlobalTableDataSource.java:37 — broadcast-replicated. */
+  final case class GlobalTable(name: String) extends DataSource
+  /** reference LookupDataSource.java:41 — (k, v) map table. */
+  final case class Lookup(name: String, map: Map[String, String]) extends DataSource
+}
+
+sealed trait DimFilter
+object DimFilter {
+  final case class Selector(dimension: String, value: Option[String]) extends DimFilter
+  final case class In(dimension: String, values: Seq[String]) extends DimFilter
+  final case class Bound(
+      dimension: String, lower: Option[String], upper: Option[String],
+      lowerStrict: Boolean, upperStrict: Boolean, ordering: String) extends DimFilter
+  final case class Like(dimension: String, pattern: String) extends DimFilter
+  final case class Regex(dimension: String, pattern: String) extends DimFilter
+  final case class Interval(dimension: String, intervals: Seq[QueryInterval]) extends DimFilter
+  /** contains / insensitive_contains / fragment search specs. */
+  final case class Search(
+      dimension: String, value: Seq[String], caseSensitive: Boolean) extends DimFilter
+  final case class ColumnComparison(dimensions: Seq[String]) extends DimFilter
+  /** expression string evaluated through the registered function surface. */
+  final case class Expr(expression: String) extends DimFilter
+  final case class And(fields: Seq[DimFilter]) extends DimFilter
+  final case class Or(fields: Seq[DimFilter]) extends DimFilter
+  final case class Not(field: DimFilter) extends DimFilter
+  case object True extends DimFilter
+  case object False extends DimFilter
+}
+
+final case class QueryInterval(startMs: Long, endMs: Long)
+
+/** granularity: ALL or a period with optional origin + tz
+  * (reference PeriodGranularity.java:47). */
+sealed trait Granularity
+object Granularity {
+  case object All extends Granularity
+  final case class Period(
+      period: String, originMs: Option[Long], timeZone: Option[String]) extends Granularity
+
+  /** the reference's simple-name granularities (GranularityType). */
+  val simpleNames: Map[String, String] = Map(
+    "none" -> "PT1MS", "second" -> "PT1S", "minute" -> "PT1M",
+    "five_minute" -> "PT5M", "ten_minute" -> "PT10M", "fifteen_minute" -> "PT15M",
+    "thirty_minute" -> "PT30M", "hour" -> "PT1H", "six_hour" -> "PT6H",
+    "eight_hour" -> "PT8H", "day" -> "P1D", "week" -> "P1W",
+    "month" -> "P1M", "quarter" -> "P3M", "year" -> "P1Y")
+}
+
+/** DimensionSpec (reference query/dimension/): dim reference with
+  * optional rename and extraction. */
+final case class DimensionSpec(
+    dimension: String, outputName: String, extractionFn: Option[ExtractionFn])
+
+sealed trait ExtractionFn
+object ExtractionFn {
+  final case class Substring(index: Int, length: Option[Int]) extends ExtractionFn
+  final case class RegexExtract(expr: String) extends ExtractionFn
+  final case class TimeFormat(format: String) extends ExtractionFn
+  case object Lower extends ExtractionFn
+  case object Upper extends ExtractionFn
+  case object Strlen extends ExtractionFn
+}
+
+sealed trait Aggregator { def name: String }
+object Aggregator {
+  final case class Count(name: String) extends Aggregator
+  final case class LongSum(name: String, fieldName: String) extends Aggregator
+  final case class DoubleSum(name: String, fieldName: String) extends Aggregator
+  final case class LongMin(name: String, fieldName: String) extends Aggregator
+  final case class LongMax(name: String, fieldName: String) extends Aggregator
+  final case class DoubleMin(name: String, fieldName: String) extends Aggregator
+  final case class DoubleMax(name: String, fieldName: String) extends Aggregator
+  final case class DoubleMean(name: String, fieldName: String) extends Aggregator
+  final case class First(name: String, fieldName: String) extends Aggregator
+  final case class Last(name: String, fieldName: String) extends Aggregator
+  final case class AnyValue(name: String, fieldName: String) extends Aggregator
+  /** approx distinct over dims (cardinality) or a column (hyperUnique). */
+  final case class Cardinality(name: String, fields: Seq[String]) extends Aggregator
+  final case class Filtered(filter: DimFilter, aggregator: Aggregator) extends Aggregator {
+    def name: String = aggregator.name
+  }
+  final case class Variance(name: String, fieldName: String, population: Boolean) extends Aggregator
+  final case class ThetaSketch(name: String, fieldName: String) extends Aggregator
+  final case class KllSketch(name: String, fieldName: String) extends Aggregator
+}
+
+sealed trait PostAggregator { def name: String }
+object PostAggregator {
+  final case class Arithmetic(
+      name: String, fn: String, fields: Seq[PostAggregator]) extends PostAggregator
+  final case class FieldAccess(name: String, fieldName: String) extends PostAggregator
+  final case class Constant(name: String, value: Double) extends PostAggregator
+  final case class GreatestLeast(
+      name: String, fields: Seq[PostAggregator], greatest: Boolean) extends PostAggregator
+  final case class Expr(name: String, expression: String) extends PostAggregator
+  final case class ThetaEstimate(name: String, field: PostAggregator) extends PostAggregator
+  final case class KllToQuantile(
+      name: String, field: PostAggregator, fraction: Double) extends PostAggregator
+}
+
+sealed trait HavingSpec
+object HavingSpec {
+  final case class GreaterThan(aggregation: String, value: Double) extends HavingSpec
+  final case class LessThan(aggregation: String, value: Double) extends HavingSpec
+  final case class EqualTo(aggregation: String, value: Double) extends HavingSpec
+  final case class DimSelector(dimension: String, value: String) extends HavingSpec
+  final case class Filter(filter: DimFilter) extends HavingSpec
+  final case class And(specs: Seq[HavingSpec]) extends HavingSpec
+  final case class Or(specs: Seq[HavingSpec]) extends HavingSpec
+  final case class Not(spec: HavingSpec) extends HavingSpec
+}
+
+final case class OrderByColumn(dimension: String, descending: Boolean, comparator: String)
+final case class LimitSpec(columns: Seq[OrderByColumn], limit: Option[Int], offset: Option[Int])
+final case class VirtualColumn(name: String, expression: String)
+
+sealed trait NativeQuery {
+  def dataSource: DataSource
+  def intervals: Seq[QueryInterval]
+  def filter: Option[DimFilter]
+  def virtualColumns: Seq[VirtualColumn]
+}
+
+object NativeQuery {
+  final case class Timeseries(
+      dataSource: DataSource, intervals: Seq[QueryInterval],
+      granularity: Granularity, filter: Option[DimFilter],
+      aggregations: Seq[Aggregator], postAggregations: Seq[PostAggregator],
+      virtualColumns: Seq[VirtualColumn], descending: Boolean) extends NativeQuery
+
+  final case class TopN(
+      dataSource: DataSource, intervals: Seq[QueryInterval],
+      granularity: Granularity, filter: Option[DimFilter],
+      dimension: DimensionSpec, metric: String, metricDescending: Boolean,
+      threshold: Int, aggregations: Seq[Aggregator],
+      postAggregations: Seq[PostAggregator],
+      virtualColumns: Seq[VirtualColumn]) extends NativeQuery
+
+  final case class GroupBy(
+      dataSource: DataSource, intervals: Seq[QueryInterval],
+      granularity: Granularity, filter: Option[DimFilter],
+      dimensions: Seq[DimensionSpec], aggregations: Seq[Aggregator],
+      postAggregations: Seq[PostAggregator], having: Option[HavingSpec],
+      limitSpec: Option[LimitSpec], subtotalsSpec: Seq[Seq[String]],
+      virtualColumns: Seq[VirtualColumn]) extends NativeQuery
+
+  final case class Scan(
+      dataSource: DataSource, intervals: Seq[QueryInterval],
+      filter: Option[DimFilter], columns: Seq[String],
+      order: String, limit: Option[Long], offset: Option[Long],
+      virtualColumns: Seq[VirtualColumn]) extends NativeQuery {
+    def granularity: Granularity = Granularity.All
+  }
+
+  final case class Search(
+      dataSource: DataSource, intervals: Seq[QueryInterval],
+      filter: Option[DimFilter], searchDimensions: Seq[String],
+      value: String, caseSensitive: Boolean, limit: Option[Int],
+      virtualColumns: Seq[VirtualColumn]) extends NativeQuery
+
+  final case class TimeBoundary(
+      dataSource: DataSource, intervals: Seq[QueryInterval],
+      filter: Option[DimFilter], bound: Option[String],
+      virtualColumns: Seq[VirtualColumn]) extends NativeQuery
+
+  final case class DataSourceMetadata(
+      dataSource: DataSource, intervals: Seq[QueryInterval],
+      filter: Option[DimFilter],
+      virtualColumns: Seq[VirtualColumn]) extends NativeQuery
+
+  final case class SegmentMetadata(
+      dataSource: DataSource, intervals: Seq[QueryInterval],
+      filter: Option[DimFilter],
+      virtualColumns: Seq[VirtualColumn]) extends NativeQuery
+}

@@ -1,0 +1,309 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Parser for the reference's native JSON query wire format
+  * (POST /druid/v2 bodies; reference Jackson polymorphic subtypes).
+  * Hand-rolled over JsonNode so the accepted field names and `type`
+  * discriminators match the reference exactly, with clear errors for
+  * the unsupported legacy corners (javascript, spatial).
+  */
+object QueryJson {
+
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): NativeQuery = parseQuery(mapper.readTree(json))
+
+  private def str(n: JsonNode, f: String): String = {
+    val v = n.get(f)
+    require(v != null && !v.isNull, s"missing field '$f' in ${n.toString.take(120)}")
+    v.asText()
+  }
+  private def strOpt(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+  private def intOpt(n: JsonNode, f: String): Option[Int] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asInt())
+  private def longOpt(n: JsonNode, f: String): Option[Long] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asLong())
+  private def boolOpt(n: JsonNode, f: String): Option[Boolean] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean())
+  private def arr(n: JsonNode, f: String): Seq[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  def parseQuery(n: JsonNode): NativeQuery = {
+    val ds = parseDataSource(n.get("dataSource"))
+    val intervals = parseIntervals(n)
+    val filter = Option(n.get("filter")).filterNot(_.isNull).map(parseFilter)
+    val vcols = arr(n, "virtualColumns").map(v =>
+      VirtualColumn(str(v, "name"), str(v, "expression")))
+    str(n, "queryType") match {
+      case "timeseries" => NativeQuery.Timeseries(
+        ds, intervals, parseGranularity(n.get("granularity")), filter,
+        arr(n, "aggregations").map(parseAggregator),
+        arr(n, "postAggregations").map(parsePostAggregator),
+        vcols, boolOpt(n, "descending").getOrElse(false))
+      case "topN" => NativeQuery.TopN(
+        ds, intervals, parseGranularity(n.get("granularity")), filter,
+        parseDimensionSpec(n.get("dimension")),
+        metricName(n.get("metric")), metricDescending(n.get("metric")),
+        n.get("threshold").asInt(),
+        arr(n, "aggregations").map(parseAggregator),
+        arr(n, "postAggregations").map(parsePostAggregator), vcols)
+      case "groupBy" => NativeQuery.GroupBy(
+        ds, intervals, parseGranularity(n.get("granularity")), filter,
+        arr(n, "dimensions").map(parseDimensionSpec),
+        arr(n, "aggregations").map(parseAggregator),
+        arr(n, "postAggregations").map(parsePostAggregator),
+        Option(n.get("having")).filterNot(_.isNull).map(parseHaving),
+        Option(n.get("limitSpec")).filterNot(_.isNull).map(parseLimitSpec),
+        arr(n, "subtotalsSpec").map(_.elements().asScala.map(_.asText()).toSeq),
+        vcols)
+      case "scan" => NativeQuery.Scan(
+        ds, intervals, filter,
+        arr(n, "columns").map(_.asText()),
+        strOpt(n, "order").getOrElse("none"),
+        longOpt(n, "limit"), longOpt(n, "offset"), vcols)
+      case "search" =>
+        val q = n.get("query")
+        NativeQuery.Search(
+          ds, intervals, filter,
+          arr(n, "searchDimensions").map(_.asText()),
+          if (q != null) str(q, "value") else str(n, "value"),
+          q != null && boolOpt(q, "caseSensitive").getOrElse(false),
+          intOpt(n, "limit"), vcols)
+      case "timeBoundary" => NativeQuery.TimeBoundary(
+        ds, intervals, filter, strOpt(n, "bound"), vcols)
+      case "dataSourceMetadata" => NativeQuery.DataSourceMetadata(ds, intervals, filter, vcols)
+      case "segmentMetadata" => NativeQuery.SegmentMetadata(ds, intervals, filter, vcols)
+      case "select" => throw new UnsupportedOperationException(
+        "select query was removed by the reference; use scan") // SelectQuery.java:43-49
+      case t => throw new UnsupportedOperationException(s"queryType $t")
+    }
+  }
+
+  def parseDataSource(n: JsonNode): DataSource = {
+    if (n == null) throw new IllegalArgumentException("missing dataSource")
+    if (n.isTextual) return DataSource.Table(n.asText())
+    str(n, "type") match {
+      case "table" => DataSource.Table(str(n, "name"))
+      case "union" => DataSource.Union(arr(n, "dataSources").map(parseDataSource))
+      case "query" => DataSource.SubQuery(parseQuery(n.get("query")))
+      case "globalTable" => DataSource.GlobalTable(str(n, "name"))
+      case "lookup" =>
+        val m = Option(n.get("map")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+        DataSource.Lookup(strOpt(n, "lookup").getOrElse(""), m)
+      case "inline" =>
+        val names = arr(n, "columnNames").map(_.asText())
+        val rows = arr(n, "rows").map(_.elements().asScala.map(jsonScalar).toSeq)
+        DataSource.Inline(names, rows)
+      case "join" =>
+        // reference condition syntax: "k == \"prefix.k\""
+        val cond = str(n, "condition")
+        val sides = cond.split("==").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        require(sides.length == 2, s"only single equi-conditions supported: $cond")
+        val prefix = str(n, "rightPrefix")
+        val (l, r) =
+          if (sides(1).startsWith(prefix)) (sides(0), sides(1).stripPrefix(prefix))
+          else (sides(1), sides(0).stripPrefix(prefix))
+        DataSource.Join(
+          parseDataSource(n.get("left")), parseDataSource(n.get("right")),
+          prefix, l, r, strOpt(n, "joinType").getOrElse("INNER").toLowerCase)
+      case t => throw new UnsupportedOperationException(s"dataSource type $t")
+    }
+  }
+
+  private def jsonScalar(n: JsonNode): Any =
+    if (n.isNull) null
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else n.asText()
+
+  def parseIntervals(n: JsonNode): Seq[QueryInterval] = {
+    val node = n.get("intervals")
+    if (node == null || node.isNull) return Nil
+    val items =
+      if (node.isObject) arr(node, "intervals") else node.elements().asScala.toSeq
+    items.map(i => parseInterval(i.asText()))
+  }
+
+  def parseInterval(s: String): QueryInterval = {
+    val parts = s.split("/")
+    require(parts.length == 2, s"bad interval: $s")
+    QueryInterval(isoMs(parts(0)), isoMs(parts(1)))
+  }
+
+  private def isoMs(s: String): Long = {
+    val t = if (s.endsWith("Z") || s.contains("+")) s else s + "Z"
+    java.time.Instant.parse(t).toEpochMilli
+  }
+
+  def parseGranularity(n: JsonNode): Granularity = {
+    if (n == null || n.isNull) return Granularity.All
+    if (n.isTextual) {
+      val s = n.asText().toLowerCase
+      if (s == "all") Granularity.All
+      else Granularity.Period(
+        Granularity.simpleNames.getOrElse(s,
+          if (s.toUpperCase.startsWith("P")) s.toUpperCase
+          else throw new IllegalArgumentException(s"granularity $s")), None, None)
+    } else str(n, "type") match {
+      case "all" => Granularity.All
+      case "period" => Granularity.Period(
+        str(n, "period"),
+        strOpt(n, "origin").map(isoMs), strOpt(n, "timeZone"))
+      case "duration" => Granularity.Period(
+        s"PT${n.get("duration").asLong() / 1000}S",
+        strOpt(n, "origin").map(isoMs), None)
+      case t => throw new UnsupportedOperationException(s"granularity type $t")
+    }
+  }
+
+  def parseDimensionSpec(n: JsonNode): DimensionSpec = {
+    if (n.isTextual) return DimensionSpec(n.asText(), n.asText(), None)
+    str(n, "type") match {
+      case "default" =>
+        val d = str(n, "dimension")
+        DimensionSpec(d, strOpt(n, "outputName").getOrElse(d), None)
+      case "extraction" =>
+        val d = str(n, "dimension")
+        DimensionSpec(d, strOpt(n, "outputName").getOrElse(d),
+          Some(parseExtractionFn(n.get("extractionFn"))))
+      case t => throw new UnsupportedOperationException(s"dimensionSpec type $t")
+    }
+  }
+
+  def parseExtractionFn(n: JsonNode): ExtractionFn = str(n, "type") match {
+    case "substring" => ExtractionFn.Substring(
+      n.get("index").asInt(), intOpt(n, "length"))
+    case "regex" => ExtractionFn.RegexExtract(str(n, "expr"))
+    case "timeFormat" => ExtractionFn.TimeFormat(strOpt(n, "format").getOrElse("yyyy-MM-dd"))
+    case "lower" => ExtractionFn.Lower
+    case "upper" => ExtractionFn.Upper
+    case "strlen" => ExtractionFn.Strlen
+    case t => throw new UnsupportedOperationException(s"extractionFn type $t")
+  }
+
+  private def metricName(n: JsonNode): String =
+    if (n.isTextual) n.asText()
+    else str(n, "type") match {
+      case "numeric" => str(n, "metric")
+      case "inverted" => metricName(n.get("metric"))
+      case "dimension" | "lexicographic" => "" // dimension-ordered topN
+      case t => throw new UnsupportedOperationException(s"topN metric $t")
+    }
+  private def metricDescending(n: JsonNode): Boolean =
+    if (n.isTextual) true
+    else str(n, "type") match {
+      case "numeric" => true
+      case "inverted" => !metricDescending(n.get("metric"))
+      case _ => false
+    }
+
+  def parseFilter(n: JsonNode): DimFilter = str(n, "type") match {
+    case "selector" => DimFilter.Selector(str(n, "dimension"), strOpt(n, "value"))
+    case "in" => DimFilter.In(str(n, "dimension"), arr(n, "values").map(_.asText()))
+    case "bound" => DimFilter.Bound(
+      str(n, "dimension"), strOpt(n, "lower"), strOpt(n, "upper"),
+      boolOpt(n, "lowerStrict").getOrElse(false), boolOpt(n, "upperStrict").getOrElse(false),
+      strOpt(n, "ordering").getOrElse("lexicographic"))
+    case "like" => DimFilter.Like(str(n, "dimension"), str(n, "pattern"))
+    case "regex" => DimFilter.Regex(str(n, "dimension"), str(n, "pattern"))
+    case "interval" => DimFilter.Interval(
+      str(n, "dimension"), arr(n, "intervals").map(i => parseInterval(i.asText())))
+    case "search" =>
+      val q = n.get("query")
+      str(q, "type") match {
+        case "contains" => DimFilter.Search(
+          str(n, "dimension"), Seq(str(q, "value")),
+          boolOpt(q, "caseSensitive").getOrElse(true))
+        case "insensitive_contains" => DimFilter.Search(
+          str(n, "dimension"), Seq(str(q, "value")), caseSensitive = false)
+        case "fragment" => DimFilter.Search(
+          str(n, "dimension"), arr(q, "values").map(_.asText()),
+          boolOpt(q, "caseSensitive").getOrElse(true))
+        case t => throw new UnsupportedOperationException(s"search query type $t")
+      }
+    case "columnComparison" => DimFilter.ColumnComparison(
+      arr(n, "dimensions").map(d => if (d.isTextual) d.asText() else str(d, "dimension")))
+    case "expression" => DimFilter.Expr(str(n, "expression"))
+    case "and" => DimFilter.And(arr(n, "fields").map(parseFilter))
+    case "or" => DimFilter.Or(arr(n, "fields").map(parseFilter))
+    case "not" => DimFilter.Not(parseFilter(n.get("field")))
+    case "true" => DimFilter.True
+    case "false" => DimFilter.False
+    case t => throw new UnsupportedOperationException(s"filter type $t")
+  }
+
+  def parseAggregator(n: JsonNode): Aggregator = {
+    def nm = str(n, "name")
+    def f = str(n, "fieldName")
+    str(n, "type") match {
+      case "count" => Aggregator.Count(nm)
+      case "longSum" => Aggregator.LongSum(nm, f)
+      case "doubleSum" | "floatSum" => Aggregator.DoubleSum(nm, f)
+      case "longMin" => Aggregator.LongMin(nm, f)
+      case "longMax" => Aggregator.LongMax(nm, f)
+      case "doubleMin" | "floatMin" => Aggregator.DoubleMin(nm, f)
+      case "doubleMax" | "floatMax" => Aggregator.DoubleMax(nm, f)
+      case "doubleMean" => Aggregator.DoubleMean(nm, f)
+      case t if t.endsWith("First") => Aggregator.First(nm, f)
+      case t if t.endsWith("Last") => Aggregator.Last(nm, f)
+      case t if t.endsWith("Any") => Aggregator.AnyValue(nm, f)
+      case "cardinality" => Aggregator.Cardinality(nm, arr(n, "fields").map(_.asText()))
+      case "hyperUnique" => Aggregator.Cardinality(nm, Seq(f))
+      case "filtered" => Aggregator.Filtered(
+        parseFilter(n.get("filter")), parseAggregator(n.get("aggregator")))
+      case "variance" => Aggregator.Variance(nm, f,
+        strOpt(n, "estimator").contains("population"))
+      case "thetaSketch" => Aggregator.ThetaSketch(nm, f)
+      case "quantilesDoublesSketch" | "KllDoublesSketch" => Aggregator.KllSketch(nm, f)
+      case t => throw new UnsupportedOperationException(s"aggregator type $t")
+    }
+  }
+
+  def parsePostAggregator(n: JsonNode): PostAggregator = {
+    def nm = strOpt(n, "name").getOrElse("")
+    str(n, "type") match {
+      case "arithmetic" => PostAggregator.Arithmetic(
+        nm, str(n, "fn"), arr(n, "fields").map(parsePostAggregator))
+      case "fieldAccess" | "finalizingFieldAccess" =>
+        PostAggregator.FieldAccess(nm, str(n, "fieldName"))
+      case "constant" => PostAggregator.Constant(nm, n.get("value").asDouble())
+      case "doubleGreatest" | "longGreatest" => PostAggregator.GreatestLeast(
+        nm, arr(n, "fields").map(parsePostAggregator), greatest = true)
+      case "doubleLeast" | "longLeast" => PostAggregator.GreatestLeast(
+        nm, arr(n, "fields").map(parsePostAggregator), greatest = false)
+      case "expression" => PostAggregator.Expr(nm, str(n, "expression"))
+      case "thetaSketchEstimate" => PostAggregator.ThetaEstimate(
+        nm, parsePostAggregator(n.get("field")))
+      case "quantilesDoublesSketchToQuantile" => PostAggregator.KllToQuantile(
+        nm, parsePostAggregator(n.get("field")), n.get("fraction").asDouble())
+      case t => throw new UnsupportedOperationException(s"postAggregator type $t")
+    }
+  }
+
+  def parseHaving(n: JsonNode): HavingSpec = str(n, "type") match {
+    case "greaterThan" => HavingSpec.GreaterThan(str(n, "aggregation"), n.get("value").asDouble())
+    case "lessThan" => HavingSpec.LessThan(str(n, "aggregation"), n.get("value").asDouble())
+    case "equalTo" => HavingSpec.EqualTo(str(n, "aggregation"), n.get("value").asDouble())
+    case "dimSelector" => HavingSpec.DimSelector(str(n, "dimension"), str(n, "value"))
+    case "filter" => HavingSpec.Filter(parseFilter(n.get("filter")))
+    case "and" => HavingSpec.And(arr(n, "havingSpecs").map(parseHaving))
+    case "or" => HavingSpec.Or(arr(n, "havingSpecs").map(parseHaving))
+    case "not" => HavingSpec.Not(parseHaving(n.get("havingSpec")))
+    case t => throw new UnsupportedOperationException(s"having type $t")
+  }
+
+  def parseLimitSpec(n: JsonNode): LimitSpec = LimitSpec(
+    arr(n, "columns").map { c =>
+      if (c.isTextual) OrderByColumn(c.asText(), descending = false, "lexicographic")
+      else OrderByColumn(
+        str(c, "dimension"),
+        strOpt(c, "direction").exists(_.toLowerCase.startsWith("desc")),
+        strOpt(c, "dimensionOrder").getOrElse("lexicographic"))
+    },
+    intOpt(n, "limit"), intOpt(n, "offset"))
+}

@@ -1,0 +1,390 @@
+package graft.planner
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+import graft.aggs.sketches
+import graft.functions.{DruidExpressions, DruidFunctions, TimeFunctions}
+import graft.model._
+
+/** Compiles a NativeQuery (the reference's JSON query language) into a
+  * declarative Spark DataFrame plan — the "broker" of this engine,
+  * except planning/execution are Catalyst's (SURVEY.md §3.2 mapping).
+  *
+  * Scale properties by construction:
+  *  - interval specs become `__time` range predicates → parquet
+  *    predicate pushdown + time-partition pruning;
+  *  - every aggregation is a declarative groupBy → two-phase hash agg;
+  *  - topN is agg + per-bucket rank (TakeOrderedAndProject when
+  *    single-bucket) — never a global sort of raw rows;
+  *  - join datasources broadcast the right side exactly like the
+  *    reference's broadcast-only joins, but fall back to shuffle joins
+  *    when the right side outgrows the broadcast threshold (superset);
+  *  - MVD dimensions (ArrayType) are exploded at groupBy, implementing
+  *    the reference's implicit-unnest semantic
+  *    (StringDimensionIndexer.java:489-498).
+  */
+class NativePlanner(
+    spark: SparkSession,
+    resolveTable: String => DataFrame,
+    timeColumn: String = "__time") {
+
+  DruidFunctions.registerAll(spark)
+
+  def plan(json: String): DataFrame = plan(QueryJson.parse(json))
+
+  def plan(q: NativeQuery): DataFrame = q match {
+    case t: NativeQuery.Timeseries => planTimeseries(t)
+    case t: NativeQuery.TopN => planTopN(t)
+    case g: NativeQuery.GroupBy => planGroupBy(g)
+    case s: NativeQuery.Scan => planScan(s)
+    case s: NativeQuery.Search => planSearch(s)
+    case t: NativeQuery.TimeBoundary => planTimeBoundary(t)
+    case d: NativeQuery.DataSourceMetadata => planDataSourceMetadata(d)
+    case m: NativeQuery.SegmentMetadata => planSegmentMetadata(m)
+  }
+
+  // ---------------- datasource tree ----------------
+
+  private[planner] def planDataSource(ds: DataSource): DataFrame = ds match {
+    case DataSource.Table(name) => resolveTable(name)
+    case DataSource.GlobalTable(name) => broadcast(resolveTable(name))
+    case DataSource.Union(children) =>
+      children.map(planDataSource).reduce(_.unionByName(_, allowMissingColumns = true))
+    case DataSource.SubQuery(q) => plan(q)
+    case DataSource.Inline(names, rows) =>
+      val rdd = rows.map(r => org.apache.spark.sql.Row(r: _*))
+      val sample = rows.headOption.getOrElse(
+        throw new IllegalArgumentException("empty inline datasource"))
+      val fields = names.zip(sample).map { case (n, v) =>
+        val dt = v match {
+          case _: java.lang.Long => org.apache.spark.sql.types.LongType
+          case _: java.lang.Double => org.apache.spark.sql.types.DoubleType
+          case _: java.lang.Boolean => org.apache.spark.sql.types.BooleanType
+          case _ => org.apache.spark.sql.types.StringType
+        }
+        org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rdd, 1),
+        org.apache.spark.sql.types.StructType(fields))
+    case DataSource.Lookup(_, map) =>
+      import spark.implicits._
+      broadcast(map.toSeq.toDF("k", "v"))
+    case DataSource.Join(left, right, prefix, lk, rk, joinType) =>
+      val l = planDataSource(left)
+      val r0 = planDataSource(right)
+      // reference joins require a broadcastable right side; we hint the
+      // same but Catalyst may still pick a shuffle join if it's large.
+      val r = broadcast(r0.columns.foldLeft(r0)((df, c) =>
+        df.withColumnRenamed(c, prefix + c)))
+      l.join(r, l.col(lk) === r.col(prefix + rk), joinType)
+  }
+
+  // ---------------- shared pieces ----------------
+
+  private def base(q: NativeQuery): DataFrame = {
+    var df = planDataSource(q.dataSource)
+    for (vc <- q.virtualColumns) df = df.withColumn(vc.name, expr(vc.expression))
+    q.intervals.foldLeft(Option.empty[Column]) { (acc, iv) =>
+      val c = col(timeColumn) >= timestamp_millis(lit(iv.startMs)) &&
+        col(timeColumn) < timestamp_millis(lit(iv.endMs))
+      Some(acc.map(_ || c).getOrElse(c))
+    }.foreach(c => df = df.filter(c))
+    q.filter.foreach(f => df = df.filter(filterToColumn(f)))
+    df
+  }
+
+  private def bucketCol(g: Granularity): Option[Column] = g match {
+    case Granularity.All => None
+    case Granularity.Period(p, origin, tz) =>
+      Some(TimeFunctions.timeFloor(col(timeColumn), p, origin, tz))
+  }
+
+  private[planner] def filterToColumn(f: DimFilter): Column = f match {
+    case DimFilter.Selector(d, Some(v)) => col(d) === v
+    case DimFilter.Selector(d, None) => col(d).isNull
+    case DimFilter.In(d, vs) => col(d).isin(vs: _*)
+    case DimFilter.Bound(d, lo, hi, loS, hiS, ordering) =>
+      def side(c: Column) = ordering match {
+        case "numeric" => c.cast("double")
+        case "alphanumeric" => DruidExpressions.alphanumericSortKey(c)
+        case _ => c
+      }
+      def bound(v: String) = ordering match {
+        case "numeric" => lit(v.toDouble)
+        case "alphanumeric" => DruidExpressions.alphanumericSortKey(lit(v))
+        case _ => lit(v)
+      }
+      val c = side(col(d))
+      val conds =
+        lo.map(v => if (loS) c > bound(v) else c >= bound(v)).toSeq ++
+          hi.map(v => if (hiS) c < bound(v) else c <= bound(v))
+      conds.reduceOption(_ && _).getOrElse(lit(true))
+    case DimFilter.Like(d, p) => col(d).like(p)
+    case DimFilter.Regex(d, p) => col(d).rlike(p)
+    case DimFilter.Interval(d, ivs) =>
+      ivs.map(iv => col(d) >= timestamp_millis(lit(iv.startMs)) &&
+        col(d) < timestamp_millis(lit(iv.endMs))).reduce(_ || _)
+    case DimFilter.Search(d, vs, cs) =>
+      vs.map(v =>
+        if (cs) col(d).contains(v) else lower(col(d)).contains(v.toLowerCase))
+        .reduce(_ && _)
+    case DimFilter.ColumnComparison(ds) =>
+      ds.sliding(2).map(p => col(p(0)) === col(p(1))).reduce(_ && _)
+    case DimFilter.Expr(e) => expr(e)
+    case DimFilter.And(fs) => fs.map(filterToColumn).reduce(_ && _)
+    case DimFilter.Or(fs) => fs.map(filterToColumn).reduce(_ || _)
+    case DimFilter.Not(f0) => !filterToColumn(f0)
+    case DimFilter.True => lit(true)
+    case DimFilter.False => lit(false)
+  }
+
+  private[planner] def aggToColumn(a: Aggregator): Column = a match {
+    case Aggregator.Count(n) => count(lit(1)).as(n)
+    case Aggregator.LongSum(n, f) => coalesce(sum(col(f).cast("long")), lit(0L)).as(n)
+    case Aggregator.DoubleSum(n, f) => sum(col(f).cast("double")).as(n)
+    case Aggregator.LongMin(n, f) => min(col(f).cast("long")).as(n)
+    case Aggregator.LongMax(n, f) => max(col(f).cast("long")).as(n)
+    case Aggregator.DoubleMin(n, f) => min(col(f).cast("double")).as(n)
+    case Aggregator.DoubleMax(n, f) => max(col(f).cast("double")).as(n)
+    case Aggregator.DoubleMean(n, f) => avg(col(f)).as(n)
+    case Aggregator.First(n, f) => min_by(col(f), col(timeColumn)).as(n)
+    case Aggregator.Last(n, f) => max_by(col(f), col(timeColumn)).as(n)
+    case Aggregator.AnyValue(n, f) => any_value(col(f), lit(true)).as(n)
+    case Aggregator.Cardinality(n, fields) =>
+      val target = if (fields.size == 1) col(fields.head)
+        else struct(fields.map(col): _*)
+      approx_count_distinct(target).as(n)
+    case Aggregator.Filtered(f, inner) =>
+      filteredAgg(filterToColumn(f), inner)
+    case Aggregator.Variance(n, f, pop) =>
+      (if (pop) var_pop(col(f)) else var_samp(col(f))).as(n)
+    case Aggregator.ThetaSketch(n, f) => sketches.thetaSketch(col(f)).as(n)
+    case Aggregator.KllSketch(n, f) => sketches.kllSketch(col(f)).as(n)
+  }
+
+  /** FILTER-clause rewrite of a wrapped aggregator
+    * (reference FilteredAggregatorFactory.java:48). */
+  private def filteredAgg(cond: Column, a: Aggregator): Column = a match {
+    case Aggregator.Count(n) => count(when(cond, 1)).as(n)
+    case Aggregator.LongSum(n, f) =>
+      coalesce(sum(when(cond, col(f).cast("long"))), lit(0L)).as(n)
+    case Aggregator.DoubleSum(n, f) => sum(when(cond, col(f).cast("double"))).as(n)
+    case Aggregator.LongMin(n, f) => min(when(cond, col(f).cast("long"))).as(n)
+    case Aggregator.LongMax(n, f) => max(when(cond, col(f).cast("long"))).as(n)
+    case Aggregator.DoubleMin(n, f) => min(when(cond, col(f).cast("double"))).as(n)
+    case Aggregator.DoubleMax(n, f) => max(when(cond, col(f).cast("double"))).as(n)
+    case Aggregator.DoubleMean(n, f) => avg(when(cond, col(f))).as(n)
+    case other => throw new UnsupportedOperationException(
+      s"filtered wrapper around ${other.getClass.getSimpleName}")
+  }
+
+  private[planner] def postAggToColumn(p: PostAggregator): Column = p match {
+    case PostAggregator.Arithmetic(n, fn, fields) =>
+      val cols = fields.map(postAggToColumn)
+      val c = fn match {
+        case "+" => cols.reduce(_ + _)
+        case "-" => cols.reduce(_ - _)
+        case "*" => cols.reduce(_ * _)
+        case "/" => // reference "/" returns 0 on divide-by-zero
+          cols.map(_.cast("double")).reduce((a, b) =>
+            when(b === 0, 0.0).otherwise(a / b))
+        case "quotient" => // IEEE double division
+          cols.map(_.cast("double")).reduce(_ / _)
+        case o => throw new UnsupportedOperationException(s"arithmetic fn $o")
+      }
+      c.as(n)
+    case PostAggregator.FieldAccess(n, f) =>
+      if (n.isEmpty) col(f) else col(f).as(n)
+    case PostAggregator.Constant(n, v) => lit(v).as(n)
+    case PostAggregator.GreatestLeast(n, fields, g) =>
+      val cols = fields.map(postAggToColumn)
+      (if (g) greatest(cols: _*) else least(cols: _*)).as(n)
+    case PostAggregator.Expr(n, e) => expr(e).as(n)
+    case PostAggregator.ThetaEstimate(n, f) =>
+      sketches.thetaEstimate(postAggToColumn(f)).as(n)
+    case PostAggregator.KllToQuantile(n, f, frac) =>
+      sketches.kllQuantile(postAggToColumn(f), lit(frac)).as(n)
+  }
+
+  private def havingToColumn(h: HavingSpec): Column = h match {
+    case HavingSpec.GreaterThan(a, v) => col(a) > v
+    case HavingSpec.LessThan(a, v) => col(a) < v
+    case HavingSpec.EqualTo(a, v) => col(a) === v
+    case HavingSpec.DimSelector(d, v) => col(d) === v
+    case HavingSpec.Filter(f) => filterToColumn(f)
+    case HavingSpec.And(hs) => hs.map(havingToColumn).reduce(_ && _)
+    case HavingSpec.Or(hs) => hs.map(havingToColumn).reduce(_ || _)
+    case HavingSpec.Not(h0) => !havingToColumn(h0)
+  }
+
+  /** dimension output column, applying extractionFns and the MVD
+    * convention (ArrayType dims explode at groupBy — handled by caller). */
+  private def dimColumn(df: DataFrame, d: DimensionSpec): Column = {
+    val c = col(d.dimension)
+    val extracted = d.extractionFn match {
+      case None => c
+      case Some(ExtractionFn.Lower) => lower(c)
+      case Some(ExtractionFn.Upper) => upper(c)
+      case Some(ExtractionFn.Strlen) => length(c).cast("string")
+      case Some(ExtractionFn.Substring(i, len)) =>
+        len.map(l => substring(c, i + 1, l)).getOrElse(expr(s"substring(${d.dimension}, ${i + 1})"))
+      case Some(ExtractionFn.RegexExtract(r)) => regexp_extract(c, r, 1)
+      case Some(ExtractionFn.TimeFormat(fmt)) => date_format(c, fmt)
+    }
+    extracted.as(d.outputName)
+  }
+
+  /** explode ArrayType (MVD) dims before grouping — the reference's
+    * implicit group-per-element semantic. */
+  private def explodeMvds(df0: DataFrame, dims: Seq[DimensionSpec]): DataFrame =
+    dims.foldLeft(df0) { (df, d) =>
+      df.schema.find(_.name == d.dimension) match {
+        case Some(f) if f.dataType.isInstanceOf[ArrayType] =>
+          df.withColumn(d.dimension, explode_outer(col(d.dimension)))
+        case _ => df
+      }
+    }
+
+  // ---------------- query types ----------------
+
+  private def planTimeseries(q: NativeQuery.Timeseries): DataFrame = {
+    val df = base(q)
+    val aggs = q.aggregations.map(aggToColumn)
+    val out = bucketCol(q.granularity) match {
+      case Some(b) => df.groupBy(b.as(timeColumn)).agg(aggs.head, aggs.tail: _*)
+      case None => df.agg(aggs.head, aggs.tail: _*)
+    }
+    val withPost = q.postAggregations.foldLeft(out)((d, p) =>
+      d.withColumn(p.name, postAggToColumn(p)))
+    bucketCol(q.granularity) match {
+      case Some(_) =>
+        withPost.orderBy(if (q.descending) col(timeColumn).desc else col(timeColumn).asc)
+      case None => withPost
+    }
+  }
+
+  private def planTopN(q: NativeQuery.TopN): DataFrame = {
+    val df = explodeMvds(base(q), Seq(q.dimension))
+    val dim = dimColumn(df, q.dimension)
+    val aggs = q.aggregations.map(aggToColumn)
+    val keys = bucketCol(q.granularity).map(_.as(timeColumn)).toSeq :+ dim
+    var out = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    for (p <- q.postAggregations) out = out.withColumn(p.name, postAggToColumn(p))
+    val orderCol =
+      if (q.metric.isEmpty) // dimension-ordered
+        (if (q.metricDescending) col(q.dimension.outputName).desc
+         else col(q.dimension.outputName).asc)
+      else (if (q.metricDescending) col(q.metric).desc else col(q.metric).asc)
+    bucketCol(q.granularity) match {
+      case Some(_) =>
+        val w = Window.partitionBy(col(timeColumn))
+          .orderBy(orderCol, col(q.dimension.outputName).asc)
+        out.withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= q.threshold).drop("__rank")
+          .orderBy(col(timeColumn).asc, orderCol)
+      case None =>
+        out.orderBy(orderCol, col(q.dimension.outputName).asc).limit(q.threshold)
+    }
+  }
+
+  private def planGroupBy(q: NativeQuery.GroupBy): DataFrame = {
+    val df = explodeMvds(base(q), q.dimensions)
+    def aggregate(dims: Seq[DimensionSpec], src: DataFrame): DataFrame = {
+      val aggs = q.aggregations.map(aggToColumn)
+      val keys = bucketCol(q.granularity).map(_.as(timeColumn)).toSeq ++
+        dims.map(d => dimColumn(src, d))
+      val grouped =
+        if (keys.isEmpty) src.agg(aggs.head, aggs.tail: _*)
+        else src.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      q.postAggregations.foldLeft(grouped)((d, p) => d.withColumn(p.name, postAggToColumn(p)))
+    }
+    var out =
+      if (q.subtotalsSpec.isEmpty) aggregate(q.dimensions, df)
+      else {
+        // reference GroupByStrategyV2.processSubtotalsSpec: one grouping
+        // per subset, null-filled to the full dimension list, unioned.
+        val full = q.dimensions.map(_.outputName)
+        val outCols = bucketCol(q.granularity).map(_ => timeColumn).toSeq ++ full ++
+          q.aggregations.map(_.name) ++ q.postAggregations.map(_.name)
+        q.subtotalsSpec.map { subset =>
+          val dims = q.dimensions.filter(d => subset.contains(d.outputName))
+          val g = aggregate(dims, df)
+          full.filterNot(subset.contains).foldLeft(g)((d, missing) =>
+            d.withColumn(missing, lit(null).cast("string")))
+            .select(outCols.map(col): _*) // canonical column order per branch
+        }.reduce(_.unionByName(_))
+      }
+    q.having.foreach(h => out = out.where(havingToColumn(h)))
+    q.limitSpec.foreach { ls =>
+      val orders = ls.columns.map { c =>
+        val base = c.comparator match {
+          case "numeric" => col(c.dimension).cast("double")
+          case "alphanumeric" => DruidExpressions.alphanumericSortKey(col(c.dimension))
+          case _ => col(c.dimension)
+        }
+        if (c.descending) base.desc else base.asc
+      }
+      if (orders.nonEmpty) out = out.orderBy(orders: _*)
+      ls.offset.foreach(o => out = out.offset(o))
+      ls.limit.foreach(l => out = out.limit(l))
+    }
+    out
+  }
+
+  private def planScan(q: NativeQuery.Scan): DataFrame = {
+    var df = base(q)
+    if (q.columns.nonEmpty) df = df.select(q.columns.map(col): _*)
+    q.order.toLowerCase match {
+      case "ascending" => df = df.orderBy(col(timeColumn).asc)
+      case "descending" => df = df.orderBy(col(timeColumn).desc)
+      case _ =>
+    }
+    q.offset.foreach(o => df = df.offset(o.toInt))
+    q.limit.foreach(l => df = df.limit(l.toInt))
+    df
+  }
+
+  private def planSearch(q: NativeQuery.Search): DataFrame = {
+    val df = base(q)
+    val pairs = q.searchDimensions.map { d =>
+      df.select(lit(d).as("dimension"), col(d).cast("string").as("value"))
+    }.reduce(_.unionByName(_))
+    val pred =
+      if (q.caseSensitive) col("value").contains(q.value)
+      else lower(col("value")).contains(q.value.toLowerCase)
+    val out = pairs.filter(pred)
+      .groupBy(col("dimension"), col("value"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("dimension").asc, col("value").asc)
+    q.limit.map(out.limit).getOrElse(out)
+  }
+
+  private def planTimeBoundary(q: NativeQuery.TimeBoundary): DataFrame = {
+    val df = base(q)
+    q.bound match {
+      case Some("minTime") => df.agg(min(col(timeColumn)).as("minTime"))
+      case Some("maxTime") => df.agg(max(col(timeColumn)).as("maxTime"))
+      case _ => df.agg(
+        min(col(timeColumn)).as("minTime"), max(col(timeColumn)).as("maxTime"))
+    }
+  }
+
+  private def planDataSourceMetadata(q: NativeQuery.DataSourceMetadata): DataFrame =
+    planDataSource(q.dataSource).agg(max(col(timeColumn)).as("maxIngestedEventTime"))
+
+  /** per-column stats (reference SegmentMetadataQuery analyses:
+    * cardinality/minmax/size). */
+  private def planSegmentMetadata(q: NativeQuery.SegmentMetadata): DataFrame = {
+    val df = base(q)
+    val stats = df.schema.fields.flatMap { f =>
+      Seq(
+        approx_count_distinct(col(f.name)).as(s"${f.name}__cardinality"),
+        count(col(f.name)).as(s"${f.name}__count"))
+    }
+    df.agg(count(lit(1)).as("numRows"), stats.toSeq: _*)
+  }
+}

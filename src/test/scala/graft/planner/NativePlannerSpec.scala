@@ -1,0 +1,138 @@
+package graft.planner
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixture tests in the style of the reference's CalciteQueryTest /
+  * MultiValuedDimensionTest: tiny inline datasource, exact expected
+  * rows — covering the semantics DuckDB can't oracle (MVD explode,
+  * zero-length handling, extraction fns, topN ranking, time buckets).
+  */
+class NativePlannerSpec extends SparkSpec {
+
+  /** the `foo`-style fixture (FIXTURES.md A1): 6 rows, MVD dim2. */
+  private lazy val foo: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("2000-01-01 00:00:00", "", Seq("a", "b"), 1.0),
+      ("2000-01-02 00:00:00", "10.1", Seq[String](), 2.0),
+      ("2000-01-03 00:00:00", "2", Seq("b", "c"), 3.0),
+      ("2001-01-01 00:00:00", "1", Seq("a"), 4.0),
+      ("2001-01-02 00:00:00", "def", Seq("abc"), 5.0),
+      ("2001-01-03 00:00:00", "abc", null, 6.0)
+    ).toDF("t", "dim1", "dim2", "m1")
+      .withColumn("__time", col("t").cast("timestamp")).drop("t")
+  }
+
+  private def planner = new NativePlanner(spark, { case "foo" => foo })
+
+  test("MVD groupBy explodes one group-row per element") {
+    val rows = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all", "dimensions": ["dim2"],
+        |"aggregations": [{"type": "count", "name": "cnt"},
+        |                 {"type": "doubleSum", "name": "sm", "fieldName": "m1"}]}""".stripMargin)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSet
+    // row 1 contributes to a AND b; empty array → null group; null → null group
+    assert(rows == Set(
+      (Some("a"), 2L, 5.0), (Some("b"), 2L, 4.0), (Some("c"), 1L, 3.0),
+      (Some("abc"), 1L, 5.0), (None, 2L, 8.0)))
+  }
+
+  test("MVD filter matches ANY element without exploding row count") {
+    val n = planner.plan(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"filter": {"type": "expression", "expression": "array_contains(dim2, 'b')"},
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 2L)
+  }
+
+  test("timeseries with year granularity buckets and interval pruning") {
+    val rows = planner.plan(
+      """{"queryType": "timeseries", "dataSource": "foo",
+        |"intervals": ["2000-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+        |"granularity": "year",
+        |"aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m1"}]}""".stripMargin)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1)))
+    assert(rows.toSeq == Seq(("2000-01-01 00:00:00.0", 6.0), ("2001-01-01 00:00:00.0", 15.0)))
+  }
+
+  test("topN by metric with threshold") {
+    val rows = planner.plan(
+      """{"queryType": "topN", "dataSource": "foo", "intervals": [],
+        |"granularity": "all", "dimension": "dim1", "metric": "sm", "threshold": 2,
+        |"aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m1"}]}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("abc", 6.0), ("def", 5.0)))
+  }
+
+  test("inverted topN metric spec ranks ascending") {
+    val rows = planner.plan(
+      """{"queryType": "topN", "dataSource": "foo", "intervals": [],
+        |"granularity": "all", "dimension": "dim1",
+        |"metric": {"type": "inverted", "metric": {"type": "numeric", "metric": "sm"}},
+        |"threshold": 2,
+        |"aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m1"}]}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("", 1.0), ("10.1", 2.0)))
+  }
+
+  test("extraction dimension spec (substring)") {
+    val rows = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"dimensions": [{"type": "extraction", "dimension": "dim1", "outputName": "d",
+        |  "extractionFn": {"type": "substring", "index": 0, "length": 1}}],
+        |"aggregations": [{"type": "count", "name": "cnt"}],
+        |"limitSpec": {"type": "default",
+        |  "columns": [{"dimension": "d", "direction": "ascending"}]}}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("", 1L), ("1", 2L), ("2", 1L), ("a", 1L), ("d", 1L)))
+  }
+
+  test("subtotalsSpec unions null-filled regroupings") {
+    val rows = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all", "dimensions": ["dim1", "dim2"],
+        |"subtotalsSpec": [["dim1"], []],
+        |"aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m1"}]}""".stripMargin)
+      .collect()
+    // 6 dim1 groups + 1 grand total; dim2 column present but null.
+    // Sums follow the reference's subtotals semantics: re-grouping the
+    // MVD-exploded base, so row 1 (dim2=[a,b]) and row 3 ([b,c]) count
+    // once per element: exploded m1 total = 25 per branch.
+    assert(rows.length == 7)
+    assert(rows.forall(_.isNullAt(1)))
+    assert(rows.map(_.getDouble(2)).sum == 50.0)
+  }
+
+  test("numeric-ordered bound filter and in filter via native JSON") {
+    val n = planner.plan(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"filter": {"type": "and", "fields": [
+        |  {"type": "bound", "dimension": "m1", "lower": "2", "upper": "5",
+        |   "lowerStrict": false, "upperStrict": true, "ordering": "numeric"},
+        |  {"type": "not", "field": {"type": "selector", "dimension": "dim1", "value": "2"}}
+        |]},
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 2L) // m1 in [2,5) minus dim1='2' row → rows with m1=2,4
+  }
+
+  test("lookup datasource joins as broadcast map") {
+    val p = new NativePlanner(spark, { case "foo" => foo })
+    val df = p.planDataSource(graft.model.DataSource.Lookup("x", Map("a" -> "A", "b" -> "B")))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "A"), ("b", "B")))
+  }
+
+  test("unsupported legacy query types fail loudly") {
+    intercept[UnsupportedOperationException] {
+      graft.model.QueryJson.parse("""{"queryType": "select", "dataSource": "foo"}""")
+    }
+  }
+}
