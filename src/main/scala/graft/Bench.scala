@@ -1,23 +1,82 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): runs the headline workload set —
+  * the reference's SqlBenchmark shapes (scan rate, filtered sum,
+  * timeseries, topN, groupBy, search, join+lookup) plus the pipeline
+  * operators (MVD explode, sketches, dedup LSH, similarity) — on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Methodology: one warmup pass (JIT + codegen + file-listing caches),
+  * then each query timed once, fully materialized through the noop
+  * sink (count() would let Catalyst prune the very work being
+  * measured).
+  */
 object Bench {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def run(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    functions.DruidFunctions.registerAll(spark)
+
+    val q = SparkEntry.queries
+    val headline = Seq(
+      // raw scan rates (BASELINE.md scan-rate rows)
+      "bench_scan_count" -> ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1998-01-01"))
+          .agg(count(lit(1)).as("cnt"))),
+      "bench_scan_sum" -> ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1998-01-01"))
+          .agg(sum(col("l_extendedprice")).as("s"))),
+      "timeseries_hourly" -> q("timeseries_hourly"),
+      "topn_user_value" -> q("topn_user_value"),
+      "groupby_pricing_summary" -> q("groupby_pricing_summary"),
+      "groupby_subtotals" -> q("groupby_subtotals"),
+      "scan_ordered" -> q("scan_ordered"),
+      "search_dims" -> q("search_dims"),
+      "join_broadcast_inner" -> q("join_broadcast_inner"),
+      "join_semi" -> q("join_semi"),
+      "agg_first_last" -> q("agg_first_last"),
+      "sketch_theta_distinct" -> q("sketch_theta_distinct"),
+      "mvd_groupby_explode" -> q("mvd_groupby_explode"),
+      "similarity_brute_force" -> q("similarity_brute_force"),
+      "dedup_minhash" -> ((s: SparkSession, d: String) =>
+        operators.Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
+          .agg(count(lit(1)).as("pairs"))),
+      "native_groupby" -> q("native_groupby"))
+
+    // warmup: touch every table + exercise codegen/agg/join machinery
+    run(Tables.lineitem(spark, sfDir).agg(count(lit(1))))
+    run(q("groupby_pricing_summary")(spark, sfDir))
+    run(q("join_broadcast_inner")(spark, sfDir))
+
+    val results = headline.map { case (name, fn) =>
+      val sec = try time(run(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

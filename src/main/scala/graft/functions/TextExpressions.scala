@@ -98,7 +98,77 @@ case class SimHash64(child: Expression, seed: Int)
   override def prettyName: String = "simhash64"
 }
 
+/** n-word shingles of a text column in ONE pass: whitespace-tokenize
+  * and emit sliding windows joined by ' '. The equivalent built-in
+  * Column tree (transform(sequence…, i => concat_ws(element_at(split…))))
+  * re-evaluates the regex split for every element — O(words²) per
+  * document; this is O(chars). */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val tokens = new java.util.ArrayList[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) tokens.add(s.substring(start, i))
+    }
+    val m = tokens.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens.get(j + k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
+/** fraction of equal slots between two equal-length int arrays — the
+  * minhash Jaccard estimator. A primitive loop: the pair-scoring stage
+  * runs over every LSH candidate pair, where an interpreted
+  * zip_with/aggregate lambda chain is ~50× slower. */
+case class SignatureAgreement(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toIntArray()
+    val b = r.asInstanceOf[ArrayData].toIntArray()
+    val n = math.min(a.length, b.length)
+    var eq = 0; var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SignatureAgreement =
+    copy(left = l, right = r)
+  override def prettyName: String = "signature_agreement"
+}
+
 object TextExpressions {
+  def signatureAgreement(a: Column, b: Column): Column =
+    toCol(SignatureAgreement(toExpr(a), toExpr(b)))
+  def wordShingles(text: Column, n: Int): Column =
+    toCol(WordShingles(toExpr(text), n))
+
   def minhashSignature(tokens: Column, numHashes: Int = 64, seed: Int = 42): Column =
     toCol(MinHashSignature(toExpr(tokens), numHashes, seed))
   def simhash64(tokens: Column, seed: Int = 42): Column =

@@ -43,38 +43,37 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 8,
       seed: Int = 42): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val toks = TextAnalysis.tokens(col(textCol))
     val sigs = df.select(
       col(idCol).as("id"),
       TextExpressions.minhashSignature(
-        TextAnalysis.wordShingles(toks, shingleSize), numHashes, seed).as("sig"))
+        TextExpressions.wordShingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
     // band key = (band index, hash of that band's signature slice);
-    // hashing the slice keeps the shuffle key narrow.
+    // hashing the slice keeps the shuffle key narrow. The collision
+    // join carries ONLY (band, bucket, id) — signatures rejoin once
+    // per distinct pair afterwards, so a pair colliding in k bands
+    // doesn't shuffle its signatures k times.
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("col", "bucket")
       .withColumnRenamed("pos", "band")
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      // a pair can collide in several bands — count it once
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v)
-          .cast("double") / numHashes).as("est_jaccard"))
+        TextExpressions.signatureAgreement(col("sig_a"), col("sig_b"))
+          .as("est_jaccard"))
   }
 
   /** MinHash candidates verified by exact shingle-set Jaccard. */
@@ -85,12 +84,11 @@ object Dedup {
       minJaccard: Double,
       shingleSize: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
     val sh = df.select(
       col(idCol).as("vid"),
-      array_distinct(TextAnalysis.wordShingles(
-        TextAnalysis.tokens(col(textCol)), shingleSize)).as("vsh"))
+      array_distinct(TextExpressions.wordShingles(col(textCol), shingleSize)).as("vsh"))
     cands
       .join(sh.withColumnRenamed("vid", "id_a").withColumnRenamed("vsh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("vid", "id_b").withColumnRenamed("vsh", "sh_b"), Seq("id_b"))
@@ -135,8 +133,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordShingles(
-        TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+      array_distinct(TextExpressions.wordShingles(col(textCol), n)).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

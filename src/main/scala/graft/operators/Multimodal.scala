@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media travels as an opaque `binary` column plus a typed
+  * metadata struct; per-item compute runs as partition-batched
+  * transforms so a 100 TB media table streams through executors
+  * without driver involvement.
+  *
+  * The actual codec work is STUBBED (this container ships no
+  * image/audio libraries): `decodeStub` derives deterministic fake
+  * metadata/features from the bytes. The Spark-side contract — schema,
+  * batch shape, partition sizing, null passthrough — is real and
+  * tested; swapping the stub body for a JNI/codec call changes no
+  * plumbing.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** ==== STUB: deterministic fake decode ====
+    * Real implementation: decode the container header (JPEG/PNG/WAV…)
+    * and return true dimensions. Stubbed as a pure function of the
+    * bytes so tests are deterministic and the pipeline is runnable. */
+  private[operators] def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
+    if (bytes == null || bytes.isEmpty) return ("empty", 0, 0)
+    val h = java.util.Arrays.hashCode(bytes)
+    val fmt = Seq("jpeg", "png", "webp")(math.floorMod(h, 3))
+    (fmt, 64 + math.floorMod(h >> 8, 1920), 64 + math.floorMod(h >> 16, 1080))
+  }
+
+  /** ==== STUB: fake feature extractor (would be a vision encoder);
+    * produces a deterministic unit-norm vector from the bytes. */
+  private[operators] def featureStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = if (bytes == null) 1 else java.util.Arrays.hashCode(bytes)
+    var i = 0
+    var norm = 0.0
+    while (i < dim) {
+      h = h * 0x9E3779B1 + 1
+      out(i) = (h >> 8).toFloat / (1 << 23)
+      norm += out(i) * out(i)
+      i += 1
+    }
+    val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
+    out.map(_ * inv)
+  }
+
+  /** attach decoded metadata to a media binary column. Runs inside a
+    * partition-batched map — one task per input split, no shuffle. */
+  def withMediaMeta(df: DataFrame, binCol: String, metaCol: String = "media_meta"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(metaCol, mediaMetaType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val (fmt, w, h) = decodeStub(bytes)
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        Row.fromSeq(r.toSeq :+ Row(fmt, w, h, n))
+      }
+    }(enc)
+  }
+
+  /** attach stub embeddings (the feature-extract stage). */
+  def withMediaEmbedding(
+      df: DataFrame, binCol: String, dim: Int = 64,
+      outCol: String = "media_embedding"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+ featureStub(bytes, dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** size-aware repartition: media rows are wildly skewed (bytes column
+    * dominates); range-partition on cumulative size proxy (n_bytes) so
+    * each task gets a comparable byte budget rather than row count. */
+  def repartitionBySize(df: DataFrame, binCol: String, targetPartitions: Int): DataFrame =
+    df.withColumn("__sz", coalesce(length(col(binCol)), lit(0)))
+      .repartitionByRange(targetPartitions, col("__sz"), rand(42))
+      .drop("__sz")
+}

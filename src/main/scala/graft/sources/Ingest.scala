@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.aggs.sketches
+import graft.functions.TimeFunctions
+
+/** Batch ingestion: the reference's ingest pipeline
+  * (TransformSpec → rollup IncrementalIndex → IndexMergerV9 segments,
+  * SURVEY.md §2.2) re-expressed as a declarative write path:
+  *
+  *   read → transform/filter → optional rollup groupBy →
+  *   write.partitionBy(time bucket)
+  *
+  * The time-bucket partition column IS the segment timeline: queries
+  * with interval predicates prune partitions exactly like the
+  * reference's CachingClusteredClient timeline lookup (SURVEY.md §4.1).
+  * Rollup metrics may be sketches (theta/kll binaries), which the
+  * query-time aggregators fold — the mergeable-metric lifecycle of
+  * reference §1.1.
+  */
+object Ingest {
+
+  /** rollup metric: how a measure column pre-aggregates at ingest. */
+  sealed trait Metric { def name: String }
+  object Metric {
+    final case class Count(name: String) extends Metric
+    final case class LongSum(name: String, field: String) extends Metric
+    final case class DoubleSum(name: String, field: String) extends Metric
+    final case class Min(name: String, field: String) extends Metric
+    final case class Max(name: String, field: String) extends Metric
+    final case class ThetaSketch(name: String, field: String) extends Metric
+    final case class KllSketch(name: String, field: String) extends Metric
+  }
+
+  final case class IngestSpec(
+      timeColumn: String,
+      transforms: Seq[(String, String)] = Nil, // output name -> SQL expr
+      rowFilter: Option[String] = None,
+      dimensions: Seq[String] = Nil,
+      metrics: Seq[Metric] = Nil,
+      /** rollup granularity (ISO period); None = no rollup, store raw. */
+      queryGranularity: Option[String] = None,
+      /** partition (segment) granularity. */
+      segmentGranularity: String = "P1D")
+
+  val TimeCol = "__time"
+  val BucketCol = "__bucket"
+
+  private def metricCol(m: Metric): Column = m match {
+    case Metric.Count(n) => count(lit(1)).as(n)
+    case Metric.LongSum(n, f) => sum(col(f).cast("long")).as(n)
+    case Metric.DoubleSum(n, f) => sum(col(f).cast("double")).as(n)
+    case Metric.Min(n, f) => min(col(f)).as(n)
+    case Metric.Max(n, f) => max(col(f)).as(n)
+    case Metric.ThetaSketch(n, f) => sketches.thetaSketch(col(f)).as(n)
+    case Metric.KllSketch(n, f) => sketches.kllSketch(col(f)).as(n)
+  }
+
+  /** transform + filter + (optional) rollup; adds __time and __bucket.
+    * Pure transform — shared by batch and streaming paths. */
+  def prepare(input: DataFrame, spec: IngestSpec): DataFrame = {
+    var df = input.withColumn(TimeCol, col(spec.timeColumn).cast("timestamp"))
+    for ((name, e) <- spec.transforms) df = df.withColumn(name, expr(e))
+    spec.rowFilter.foreach(f => df = df.filter(expr(f)))
+    val withRollup = spec.queryGranularity match {
+      case Some(g) =>
+        val dims = spec.dimensions.map(col)
+        val keys = TimeFunctions.timeFloor(col(TimeCol), g).as(TimeCol) +: dims
+        val aggs = spec.metrics.map(metricCol)
+        df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      case None =>
+        if (spec.dimensions.nonEmpty)
+          df.select((TimeCol +: spec.dimensions).map(col) ++
+            spec.metrics.collect {
+              case Metric.LongSum(_, f) => col(f)
+              case Metric.DoubleSum(_, f) => col(f)
+              case Metric.Min(_, f) => col(f)
+              case Metric.Max(_, f) => col(f)
+            }.distinct: _*)
+        else df
+    }
+    withRollup.withColumn(
+      BucketCol,
+      date_format(TimeFunctions.timeFloor(col(TimeCol), spec.segmentGranularity),
+        "yyyy-MM-dd'T'HH"))
+  }
+
+  /** write prepared rows as a time-partitioned parquet table. */
+  def write(prepared: DataFrame, path: String, mode: String = "append"): Unit =
+    prepared.write.mode(mode).partitionBy(BucketCol).parquet(path)
+
+  def ingest(input: DataFrame, spec: IngestSpec, path: String): Unit =
+    write(prepare(input, spec), path)
+
+  /** read a previously written table; interval filters on __time prune
+    * partitions via the __bucket directory column. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** compaction: rewrite small files per partition (the reference's
+    * compaction task analog). maxFilesPerBucket≈1 gives one file per
+    * segment bucket. */
+  def compact(spark: SparkSession, path: String, outPath: String): Unit =
+    spark.read.parquet(path)
+      .repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(outPath)
+}

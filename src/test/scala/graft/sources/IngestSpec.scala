@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.aggs.sketches
+import org.apache.spark.sql.functions._
+
+class IngestSpecSuite extends SparkSpec {
+  import Ingest._
+
+  private def raw = {
+    import spark.implicits._
+    Seq(
+      ("2024-01-01 00:10:00", "click", "u1", 10.0),
+      ("2024-01-01 00:20:00", "click", "u2", 20.0),
+      ("2024-01-01 01:10:00", "click", "u1", 30.0),
+      ("2024-01-02 00:05:00", "view", "u3", 40.0),
+      ("2024-01-02 00:06:00", "spam", "u3", 50.0)
+    ).toDF("ts", "etype", "user", "v")
+  }
+
+  private val spec = IngestSpec(
+    timeColumn = "ts",
+    transforms = Seq("etype_up" -> "upper(etype)"),
+    rowFilter = Some("etype <> 'spam'"),
+    dimensions = Seq("etype_up"),
+    metrics = Seq(
+      Metric.Count("cnt"), Metric.DoubleSum("sv", "v"),
+      Metric.ThetaSketch("users_sk", "user")),
+    queryGranularity = Some("PT1H"),
+    segmentGranularity = "P1D")
+
+  test("rollup ingest: hourly pre-aggregation with sketch metrics") {
+    val out = Ingest.prepare(raw, spec)
+    val rows = out.orderBy(col(TimeCol), col("etype_up")).collect()
+    assert(rows.length == 3) // 2 click-hours + 1 view-hour; spam filtered
+    val first = rows(0)
+    assert(first.getAs[java.sql.Timestamp](TimeCol).toString == "2024-01-01 00:00:00.0")
+    assert(first.getAs[Long]("cnt") == 2L)
+    assert(first.getAs[Double]("sv") == 30.0)
+    assert(first.getAs[String](BucketCol) == "2024-01-01T00")
+  }
+
+  test("write→read roundtrip with partition pruning; sketches fold at query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    Ingest.ingest(raw, spec, dir)
+    val table = Ingest.read(spark, dir)
+    // query-time fold of rollup sketch metrics: distinct users over all
+    val users = table.agg(
+      sketches.thetaEstimate(sketches.thetaSketch(col("users_sk"))).as("u"))
+      .collect()(0).getDouble(0)
+    assert(math.round(users) == 3L)
+    // interval filter prunes by the partition column
+    val pruned = table.filter(col(BucketCol) === "2024-01-01T00")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("2024-01-02"),
+      s"expected partition pruning in plan")
+  }
+
+  test("streaming ingest: rollup micro-batches append to the same layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, String, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val stream = mem.toDF.toDF("ts", "etype", "user", "v")
+    val q = graft.streaming.StreamingIngest.start(
+      stream,
+      graft.streaming.StreamingIngest.StreamSpec(ingest = spec),
+      dir, cp)
+    mem.addData(
+      ("2024-01-01 00:10:00", "click", "u1", 10.0),
+      ("2024-01-01 00:20:00", "click", "u2", 20.0),
+      ("2024-01-02 00:05:00", "view", "u3", 40.0),
+      ("2024-01-02 00:06:00", "spam", "u3", 50.0))
+    q.processAllAvailable()
+    mem.addData(("2024-01-01 00:40:00", "click", "u3", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val table = Ingest.read(spark, dir)
+    // spam rejected; both micro-batches landed; partial aggregates fold
+    val folded = table.filter(col("etype_up") === "CLICK")
+      .agg(sum("cnt").as("c"), sum("sv").as("s"),
+        sketches.thetaEstimate(sketches.thetaSketch(col("users_sk"))).as("u"))
+      .collect()(0)
+    assert(folded.getLong(0) == 3L)
+    assert(folded.getDouble(1) == 35.0)
+    assert(math.round(folded.getDouble(2)) == 3L)
+  }
+}
