@@ -36,7 +36,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    functions.DruidFunctions.registerAll(spark)
+    GraftSession.setup(spark)
 
     val q = SparkEntry.queries
     val headline = Seq(

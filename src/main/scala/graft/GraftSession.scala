@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.plans.NanoTimePushdown
+
+/** One-call wiring of the engine into a SparkSession: the Druid-named
+  * function surface + custom optimizer rules. Two entry points:
+  *
+  *  - `GraftSession.setup(spark)` for an existing session;
+  *  - `spark.sql.extensions=graft.GraftExtensions` for config-driven
+  *    injection (the SparkSessionExtensions path).
+  */
+object GraftSession {
+  def setup(spark: SparkSession): SparkSession = {
+    functions.DruidFunctions.registerAll(spark)
+    if (!spark.experimental.extraOptimizations.contains(NanoTimePushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NanoTimePushdown
+    spark
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => NanoTimePushdown)
+    functions.DruidFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+  }
+}

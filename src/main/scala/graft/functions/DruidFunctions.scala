@@ -29,10 +29,13 @@ object DruidFunctions {
   private def litLong(e: Expression): Long = e.eval(null).toString.toLong
   private def litInt(e: Expression): Int = e.eval(null).toString.toInt
 
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** every Druid-named function as (name, expression builder) — the
+    * single source for both live-session registration and
+    * SparkSessionExtensions.injectFunction. */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val acc = Seq.newBuilder[(String, Seq[Expression] => Expression)]
     def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      acc += (name -> builder)
 
     // ---- time functions (reference Timestamp*ExprMacro) ----
     fn("time_floor") { args =>
@@ -130,6 +133,14 @@ object DruidFunctions {
     fn("kll_rank")(a => KllRank(a.head, a(1)))
     fn("approx_count_distinct_ds_theta") { a =>
       ThetaEstimate(ThetaSketchAgg(a.head).toAggregateExpression())
+    }
+    acc.result()
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 }

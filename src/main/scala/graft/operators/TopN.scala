@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate topN — the reference's default topN semantics
+  * (query/topn/BaseTopNAlgorithm.java + AggregateTopNMetricFirstAlgorithm:
+  * each segment computes its local top K·fanout by the first metric,
+  * then partials merge and re-rank). Exact mode is just
+  * groupBy+orderBy+limit (TakeOrderedAndProject); this operator is the
+  * opt-in approximation for when the dimension cardinality per
+  * partition is itself huge: it caps the merge input at
+  * partitions × K·fanout rows instead of full cardinality.
+  *
+  * Divergence note (same as the reference documents): a value that
+  * never enters any partition-local top K·fanout is lost even if its
+  * global sum would qualify; fanout tunes that risk.
+  */
+object TopN {
+
+  def approxTopK(
+      df: DataFrame,
+      dim: Column,
+      metric: Column => Column, // aggregator, e.g. sum(_)
+      valueCol: Column,
+      k: Int,
+      fanout: Int = 4): DataFrame = {
+    // stage 1: partition-local partial aggregation + local rank cap
+    val partial = df
+      .groupBy(spark_partition_id().as("__p"), dim.as("__dim"))
+      .agg(metric(valueCol).as("__partial"))
+    val w = Window.partitionBy(col("__p")).orderBy(col("__partial").desc)
+    val localTop = partial
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k * fanout)
+      .drop("__r", "__p")
+    // stage 2: merge partials, final rank
+    localTop
+      .groupBy(col("__dim"))
+      .agg(metric(col("__partial")).as("__value"))
+      .orderBy(col("__value").desc, col("__dim").asc)
+      .limit(k)
+      .select(col("__dim").as("dim"), col("__value").as("value"))
+  }
+
+  /** exact topN (the engine's default; reference's "exact" context). */
+  def exactTopK(
+      df: DataFrame, dim: Column, metric: Column => Column,
+      valueCol: Column, k: Int): DataFrame =
+    df.groupBy(dim.as("dim")).agg(metric(valueCol).as("value"))
+      .orderBy(col("value").desc, col("dim").asc)
+      .limit(k)
+}

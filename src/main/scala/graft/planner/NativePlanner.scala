@@ -31,7 +31,7 @@ class NativePlanner(
     resolveTable: String => DataFrame,
     timeColumn: String = "__time") {
 
-  DruidFunctions.registerAll(spark)
+  graft.GraftSession.setup(spark)
 
   def plan(json: String): DataFrame = plan(QueryJson.parse(json))
 

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Derives parquet-pushable raw-nanos bounds for time predicates over
+  * nanosecond-encoded long columns.
+  *
+  * The events table stores TIMESTAMP(NANOS), which Spark reads as a
+  * raw long (legacy nanosAsLong); our readers expose
+  * `timestamp_micros(ts div 1000)`. A query predicate on that derived
+  * timestamp is a function of the column, so the parquet scan gets NO
+  * PushedFilters and every row group is read — at 100 TB that is the
+  * difference between pruning by row-group stats and a full scan.
+  *
+  * This rule spots comparisons of the derived expression against
+  * timestamp literals and CONJOINS an equivalent predicate on the raw
+  * long column (floor-division bound arithmetic). The original
+  * predicate is kept — the added one is implied, so semantics are
+  * unchanged while the scan gains a pushable column-vs-literal filter.
+  * Registered via GraftSession/GraftExtensions (experimental
+  * extraOptimizations / injectOptimizerRule).
+  */
+object NanoTimePushdown extends Rule[LogicalPlan] {
+
+  /** marks comparisons already augmented, so the rewrite is idempotent
+    * (the conjoined original would otherwise re-match forever). */
+  private val augmented =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.nanoPushdown")
+
+  /** matches timestamp_micros(col div 1000) over a long column. */
+  private object NanosDerivedTs {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(IntegralDivide(child, Literal(1000L, LongType), _))
+        if child.dataType == LongType => Some(child)
+      case _ => None
+    }
+  }
+
+  private def tsMicros(l: Literal): Long = l.value.asInstanceOf[Long]
+
+  /** derived bound on raw nanos implied by `ts div 1000` (floor for
+    * non-negative values) compared to a micros literal. */
+  private def derived(cmp: BinaryComparison, raw: Expression, lit: Literal): Option[Expression] = {
+    val us = tsMicros(lit)
+    cmp match {
+      case _: GreaterThanOrEqual => Some(GreaterThanOrEqual(raw, Literal(us * 1000)))
+      case _: GreaterThan => Some(GreaterThan(raw, Literal(us * 1000 + 999)))
+      case _: LessThan => Some(LessThan(raw, Literal(us * 1000)))
+      case _: LessThanOrEqual => Some(LessThanOrEqual(raw, Literal(us * 1000 + 999)))
+      case _: EqualTo => Some(And(
+        GreaterThanOrEqual(raw, Literal(us * 1000)),
+        LessThanOrEqual(raw, Literal(us * 1000 + 999))))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case cmp @ BinaryComparison(NanosDerivedTs(raw), l @ Literal(_, TimestampType))
+        if cmp.getTagValue(augmented).isEmpty =>
+      cmp.setTagValue(augmented, true)
+      derived(cmp, raw, l).map(And(cmp, _)).getOrElse(cmp)
+    case cmp @ BinaryComparison(l @ Literal(_, TimestampType), NanosDerivedTs(raw))
+        if cmp.getTagValue(augmented).isEmpty =>
+      cmp.setTagValue(augmented, true)
+      // mirror the comparison so the helper sees column-op-literal
+      val mirrored: BinaryComparison = cmp match {
+        case _: GreaterThan => LessThan(cmp.right, cmp.left)
+        case _: GreaterThanOrEqual => LessThanOrEqual(cmp.right, cmp.left)
+        case _: LessThan => GreaterThan(cmp.right, cmp.left)
+        case _: LessThanOrEqual => GreaterThanOrEqual(cmp.right, cmp.left)
+        case _: EqualTo => EqualTo(cmp.right, cmp.left)
+        case other => other
+      }
+      derived(mirrored, raw, l).map(And(cmp, _)).getOrElse(cmp)
+  }
+}

@@ -22,7 +22,7 @@ object SketchQueries {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS theta_users,
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-    graft.functions.DruidFunctions.registerAll(s)
+    graft.GraftSession.setup(s)
     Tables.events(s, d).groupBy(col("event_type"))
       .agg(
         round(thetaEstimate(ThetaAgg14(col("user_id")))).cast("long").as("theta_users"),

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Multimodal, TopN}
+import org.apache.spark.sql.functions._
+
+/** Capabilities beyond the reference's own surface that its users get
+  * for free here (SURVEY.md §2.6 windows, §2.9 set ops — the reference
+  * rejects these natively), plus remaining operator-inventory corners:
+  * bitwise expressions, string first/last, the Druid SQL dialect over
+  * spark.sql, approximate topN, and the multimodal pipeline.
+  */
+object SupersetQueries {
+
+  /** window functions (reference has none — served by topN; superset). */
+  val windowRunningAgg: Q = q(
+    "window_running_agg",
+    """SELECT event_id, user_id,
+      |       CAST(row_number() OVER w AS BIGINT) AS rn,
+      |       round(sum(value) OVER w, 4) AS running_value,
+      |       round(lag(value, 1) OVER w, 4) AS prev_value
+      |FROM events WHERE user_id < 5
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).filter(col("user_id") < 5)
+      .select(
+        col("event_id"), col("user_id"),
+        row_number().over(wl).cast("long").as("rn"),
+        round(sum("value").over(w), 4).as("running_value"),
+        round(lag("value", 1).over(wl), 4).as("prev_value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** INTERSECT / EXCEPT (reference planner rejects; Spark native). */
+  val setopIntersectExcept: Q = q(
+    "setop_intersect_except",
+    """SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |)
+      |UNION ALL
+      |SELECT 'except', CAST(count(*) AS BIGINT) FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |)
+      |ORDER BY op""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    open.intersect(fin).agg(count(lit(1)).as("cnt"))
+      .select(lit("intersect").as("op"), col("cnt"))
+      .unionByName(open.except(fin).agg(count(lit(1)).as("cnt"))
+        .select(lit("except").as("op"), col("cnt")))
+      .orderBy(col("op"))
+  }
+
+  /** bitwise expression family (reference Function.java bitwise*). */
+  val exprBitwise: Q = q(
+    "expr_bitwise",
+    """SELECT o_orderkey,
+      |       CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+      |       CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+      |       CAST(xor(o_orderkey, 1023) AS BIGINT) AS b_xor,
+      |       CAST(o_orderkey << 2 AS BIGINT) AS b_shl,
+      |       CAST(o_orderkey >> 3 AS BIGINT) AS b_shr,
+      |       CAST(bit_count(o_orderkey) AS BIGINT) AS b_cnt
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val k = col("o_orderkey")
+    Tables.orders(s, d).filter(k < 500)
+      .select(
+        k,
+        k.bitwiseAND(255).as("b_and"),
+        k.bitwiseOR(4096).as("b_or"),
+        k.bitwiseXOR(1023).as("b_xor"),
+        shiftleft(k, 2).as("b_shl"),
+        shiftright(k, 3).as("b_shr"),
+        bit_count(k).cast("long").as("b_cnt"))
+      .orderBy(k)
+  }
+
+  /** string-typed first/last aggregators (reference stringFirst/stringLast). */
+  val aggFirstLastString: Q = q(
+    "agg_first_last_string",
+    """SELECT user_id,
+      |       arg_min(event_type, ts) AS first_type,
+      |       arg_max(event_type, ts) AS last_type,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events WHERE user_id < 10
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("user_id") < 10)
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), col("ts")).as("first_type"),
+        max_by(col("event_type"), col("ts")).as("last_type"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("user_id"))
+  }
+
+  /** the Druid SQL dialect through spark.sql: TIME_FLOOR / MV_* /
+    * STRING_TO_MV registered names answering the reference's SQL. */
+  val druidSqlDialect: Q = q(
+    "druid_sql_dialect",
+    """SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS bucket_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(value), 4) AS total
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.events(s, d).createOrReplaceTempView("graft_events")
+    s.sql(
+      """SELECT unix_millis(TIME_FLOOR(ts, 'PT6H')) AS bucket_ms,
+        |       count(*) AS cnt,
+        |       round(sum(value), 4) AS total
+        |FROM graft_events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Druid MV_* dialect over spark.sql against the documents table. */
+  val druidSqlMv: Q = q(
+    "druid_sql_mv",
+    """SELECT CAST(count(*) AS BIGINT) AS docs_with_spark,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
+      |FROM documents
+      |WHERE list_contains(string_split(text, ' '), 'spark')""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_docs")
+    s.sql(
+      """SELECT count(*) AS docs_with_spark,
+        |       sum(MV_LENGTH(STRING_TO_MV(text, ' '))) AS total_words
+        |FROM graft_docs
+        |WHERE MV_CONTAINS(STRING_TO_MV(text, ' '), 'spark')""".stripMargin)
+      .select(col("docs_with_spark"), col("total_words").cast("long").as("total_words"))
+  }
+
+  /** approximate topN (reference default mode): per-partition top K·f,
+    * merge, re-rank. Graded rows-only — approximation is
+    * engine-specific by design. */
+  val topnApprox: Q = qNoOracle("topn_approx") { (s, d) =>
+    TopN.approxTopK(
+      Tables.events(s, d), col("user_id"), sum, col("value"), k = 10)
+  }
+
+  /** multimodal pipeline (decode stubbed, plumbing real): binary media
+    * column → metadata → embedding → size-aware repartition → stats.
+    * Rows-only: the stub decode is engine-specific. */
+  val multimodalPipeline: Q = qNoOracle("multimodal_pipeline") { (s, d) =>
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val decoded = Multimodal.withMediaEmbedding(
+      Multimodal.withMediaMeta(
+        Multimodal.repartitionBySize(media, "media", 8), "media"), "media")
+    decoded.groupBy(col("media_meta.format").as("format"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("media_meta.n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("media_embedding"), 1)), 6).as("avg_dim0"))
+      .orderBy(col("format"))
+  }
+
+  val all: Seq[Q] = Seq(
+    windowRunningAgg, setopIntersectExcept, exprBitwise, aggFirstLastString,
+    druidSqlDialect, druidSqlMv, topnApprox, multimodalPipeline)
+}

@@ -20,7 +20,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    graft.functions.DruidFunctions.registerAll(s)
+    GraftSession.setup(s)
     s
   }
 }

@@ -1,0 +1,30 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class NanoTimePushdownSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("time predicates on nanos-derived timestamps push raw bounds to parquet") {
+    val df = Tables.events(spark, d)
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")))
+      .agg(count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000)"), plan.take(2000))
+    assert(plan.contains("LessThan(ts,1704931200000000000)"), plan.take(2000))
+  }
+
+  test("augmented predicate preserves row-level semantics") {
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-20 12:34:56")
+    val viaRule = Tables.events(spark, d)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi)).count()
+    val raw = spark.read.parquet(s"$d/events.parquet")
+      .filter(col("ts") >= lo.getTime * 1000000L &&
+        col("ts") <= hi.getTime * 1000000L + 999999L).count()
+    assert(viaRule == raw)
+  }
+}
