@@ -134,6 +134,12 @@ object DruidFunctions {
     fn("approx_count_distinct_ds_theta") { a =>
       ThetaEstimate(ThetaSketchAgg(a.head).toAggregateExpression())
     }
+
+    // ---- registered lookups (reference LookupExprMacro / LOOKUP) ----
+    fn("lookup") { a =>
+      toExpr(LookupRegistry.lookup(
+        toCol(a.head), litStr(a(1)), a.lift(2).map(litStr)))
+    }
     acc.result()
   }
 

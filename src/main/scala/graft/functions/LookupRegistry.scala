@@ -1,0 +1,33 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Named key→value lookups — the reference's lookup registry
+  * (query/lookup/LookupExtractor.java, LookupExprMacro.java,
+  * RegisteredLookupExtractionFn.java:34). A registered lookup is a
+  * small map; `apply` compiles it into the plan as a map literal, so
+  * the executor side is a broadcast-free element_at over a constant —
+  * codegen-friendly and replicated with the plan exactly like the
+  * reference's global lookup tables. For lookups too big to inline,
+  * use a broadcast-join (JoinQueries.lookupNationName pattern) instead.
+  */
+object LookupRegistry {
+
+  private val lookups = new ConcurrentHashMap[String, Map[String, String]]()
+
+  def register(name: String, map: Map[String, String]): Unit =
+    lookups.put(name, map)
+
+  def get(name: String): Option[Map[String, String]] = Option(lookups.get(name))
+
+  /** LOOKUP(col, 'name'[, replaceMissingWith]) semantics. */
+  def lookup(key: Column, name: String, replaceMissing: Option[String] = None): Column = {
+    val m = get(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown lookup: $name"))
+    val mapped = element_at(typedLit(m), key)
+    replaceMissing.map(r => coalesce(mapped, lit(r))).getOrElse(mapped)
+  }
+}

@@ -145,7 +145,10 @@ object NativeQuery {
       dataSource: DataSource, intervals: Seq[QueryInterval],
       granularity: Granularity, filter: Option[DimFilter],
       aggregations: Seq[Aggregator], postAggregations: Seq[PostAggregator],
-      virtualColumns: Seq[VirtualColumn], descending: Boolean) extends NativeQuery
+      virtualColumns: Seq[VirtualColumn], descending: Boolean,
+      /** reference default: zero-fill empty buckets
+        * (context.skipEmptyBuckets=false). */
+      skipEmptyBuckets: Boolean) extends NativeQuery
 
   final case class TopN(
       dataSource: DataSource, intervals: Seq[QueryInterval],

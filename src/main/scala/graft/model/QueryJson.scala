@@ -38,11 +38,14 @@ object QueryJson {
     val vcols = arr(n, "virtualColumns").map(v =>
       VirtualColumn(str(v, "name"), str(v, "expression")))
     str(n, "queryType") match {
-      case "timeseries" => NativeQuery.Timeseries(
-        ds, intervals, parseGranularity(n.get("granularity")), filter,
-        arr(n, "aggregations").map(parseAggregator),
-        arr(n, "postAggregations").map(parsePostAggregator),
-        vcols, boolOpt(n, "descending").getOrElse(false))
+      case "timeseries" =>
+        val skipEmpty = Option(n.get("context")).filterNot(_.isNull)
+          .flatMap(c => boolOpt(c, "skipEmptyBuckets")).getOrElse(false)
+        NativeQuery.Timeseries(
+          ds, intervals, parseGranularity(n.get("granularity")), filter,
+          arr(n, "aggregations").map(parseAggregator),
+          arr(n, "postAggregations").map(parsePostAggregator),
+          vcols, boolOpt(n, "descending").getOrElse(false), skipEmpty)
       case "topN" => NativeQuery.TopN(
         ds, intervals, parseGranularity(n.get("granularity")), filter,
         parseDimensionSpec(n.get("dimension")),

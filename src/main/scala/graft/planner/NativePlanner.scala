@@ -258,13 +258,47 @@ class NativePlanner(
       case Some(b) => df.groupBy(b.as(timeColumn)).agg(aggs.head, aggs.tail: _*)
       case None => df.agg(aggs.head, aggs.tail: _*)
     }
-    val withPost = q.postAggregations.foldLeft(out)((d, p) =>
+    val filled = (q.granularity, q.skipEmptyBuckets) match {
+      case (g: Granularity.Period, false) if q.intervals.nonEmpty =>
+        zeroFill(out, g, q.intervals, q.aggregations)
+      case _ => out
+    }
+    val withPost = q.postAggregations.foldLeft(filled)((d, p) =>
       d.withColumn(p.name, postAggToColumn(p)))
     bucketCol(q.granularity) match {
       case Some(_) =>
         withPost.orderBy(if (q.descending) col(timeColumn).desc else col(timeColumn).asc)
       case None => withPost
     }
+  }
+
+  /** Zero-fill empty granularity buckets across the query intervals —
+    * the reference's timeseries default. Empty buckets get 0 for
+    * count/longSum and null for the rest (SQL-compatible null mode).
+    * The bucket axis is a generated literal sequence (tiny, broadcast
+    * side of the join at any data scale). */
+  private def zeroFill(
+      agg: DataFrame, g: Granularity.Period,
+      intervals: Seq[QueryInterval], aggs: Seq[Aggregator]): DataFrame = {
+    val p = TimeFunctions.parsePeriod(g.period)
+    val step =
+      if (p.months > 0) s"INTERVAL ${p.months} MONTH"
+      else s"INTERVAL ${p.millis} MILLISECOND"
+    val axis = intervals.map { iv =>
+      spark.range(1).select(explode(sequence(
+        TimeFunctions.timeFloor(
+          timestamp_millis(lit(iv.startMs)), g.period, g.originMs, g.timeZone),
+        timestamp_millis(lit(iv.endMs - 1)),
+        expr(step))).as(timeColumn))
+        .filter(col(timeColumn) < timestamp_millis(lit(iv.endMs)))
+    }.reduce(_.unionByName(_)).distinct()
+    val fills = aggs.map {
+      case Aggregator.Count(n) => coalesce(col(n), lit(0L)).as(n)
+      case Aggregator.LongSum(n, _) => coalesce(col(n), lit(0L)).as(n)
+      case a => col(a.name)
+    }
+    broadcast(axis).join(agg, Seq(timeColumn), "left")
+      .select(col(timeColumn) +: fills: _*)
   }
 
   private def planTopN(q: NativeQuery.TopN): DataFrame = {

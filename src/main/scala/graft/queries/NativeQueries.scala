@@ -39,11 +39,67 @@ object NativeQueries {
         |  "aggregations": [
         |    {"type": "count", "name": "cnt"},
         |    {"type": "doubleSum", "name": "total", "fieldName": "value"}
-        |  ]
+        |  ],
+        |  "context": {"skipEmptyBuckets": true}
         |}""".stripMargin)
       .select(unix_millis(col("__time")).as("__time_ms"), col("cnt"),
         round(col("total"), 4).as("total"))
       .orderBy(col("__time_ms"))
+  }
+
+  /** zero-filled timeseries — the reference's default bucket semantics
+    * (empty granularity buckets appear with count 0). */
+  val nativeTimeseriesZerofill: Q = q(
+    "native_timeseries_zerofill",
+    """WITH axis AS (
+      |  SELECT r AS b FROM range(TIMESTAMP '2024-01-28', TIMESTAMP '2024-02-04', INTERVAL 1 DAY) t(r)
+      |), agg AS (
+      |  SELECT date_trunc('day', ts) AS b, count(*) AS c, sum(value) AS sv
+      |  FROM events WHERE event_type = 'error'
+      |    AND ts >= TIMESTAMP '2024-01-28' AND ts < TIMESTAMP '2024-02-04'
+      |  GROUP BY 1
+      |)
+      |SELECT epoch_ms(axis.b) AS __time_ms,
+      |       CAST(coalesce(agg.c, 0) AS BIGINT) AS cnt,
+      |       round(coalesce(agg.sv, 0.0), 4) AS total
+      |FROM axis LEFT JOIN agg ON axis.b = agg.b ORDER BY 1""".stripMargin) { (s, d) =>
+    // data ends Jan 30 — days 31..Feb 3 exist only via zero-fill
+    planner(s, d).plan(
+      """{
+        |  "queryType": "timeseries",
+        |  "dataSource": "events",
+        |  "intervals": ["2024-01-28T00:00:00Z/2024-02-04T00:00:00Z"],
+        |  "granularity": "day",
+        |  "filter": {"type": "selector", "dimension": "event_type", "value": "error"},
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "doubleSum", "name": "total", "fieldName": "value"}
+        |  ]
+        |}""".stripMargin)
+      .select(unix_millis(col("__time")).as("__time_ms"), col("cnt"),
+        round(coalesce(col("total"), lit(0.0)), 4).as("total"))
+      .orderBy(col("__time_ms"))
+  }
+
+  /** extraction dimensionSpec through the JSON API (substring fn). */
+  val nativeExtractionDim: Q = q(
+    "native_extraction_dim",
+    """SELECT substring(o_orderpriority, 1, 1) AS prio_class,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "orders",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": [{"type": "extraction", "dimension": "o_orderpriority",
+        |    "outputName": "prio_class",
+        |    "extractionFn": {"type": "substring", "index": 0, "length": 1}}],
+        |  "aggregations": [{"type": "count", "name": "cnt"}],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "prio_class", "direction": "ascending"}]}
+        |}""".stripMargin)
   }
 
   val nativeTopN: Q = q(
@@ -209,6 +265,7 @@ object NativeQueries {
   }
 
   val all: Seq[Q] = Seq(
-    nativeTimeseries, nativeTopN, nativeGroupBy, nativeGroupByJoin, nativeScan,
-    nativeSearch, nativeTimeBoundary, nativeSubquery)
+    nativeTimeseries, nativeTimeseriesZerofill, nativeExtractionDim, nativeTopN,
+    nativeGroupBy, nativeGroupByJoin, nativeScan, nativeSearch, nativeTimeBoundary,
+    nativeSubquery)
 }

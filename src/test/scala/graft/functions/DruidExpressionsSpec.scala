@@ -56,6 +56,17 @@ class DruidExpressionsSpec extends SparkSpec {
     assert(h(1L) != h(3L))
   }
 
+  test("registered LOOKUP function with replaceMissingWith") {
+    LookupRegistry.register("country", Map("US" -> "United States", "FR" -> "France"))
+    val r = spark.sql(
+      """SELECT lookup('US', 'country') AS a,
+        |       lookup('XX', 'country') AS b,
+        |       lookup('XX', 'country', 'unknown') AS c""".stripMargin).collect()(0)
+    assert(r.getString(0) == "United States")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "unknown")
+  }
+
   test("MV_FILTER_ONLY / MV_FILTER_NONE preserve element order") {
     val r = spark.sql(
       """SELECT mv_filter_only(array('c','a','b','a'), array('a','c')) AS only,
