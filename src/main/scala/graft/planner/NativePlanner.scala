@@ -384,9 +384,11 @@ class NativePlanner(
 
   private def planSearch(q: NativeQuery.Search): DataFrame = {
     val df = base(q)
-    val pairs = q.searchDimensions.map { d =>
-      df.select(lit(d).as("dimension"), col(d).cast("string").as("value"))
-    }.reduce(_.unionByName(_))
+    // single scan: explode (dimension, value) structs instead of one
+    // union branch (= one full table pass) per searched dimension.
+    val pairs = df.select(explode(array(q.searchDimensions.map(d =>
+      struct(lit(d).as("dimension"), col(d).cast("string").as("value"))): _*)).as("dv"))
+      .select(col("dv.dimension").as("dimension"), col("dv.value").as("value"))
     val pred =
       if (q.caseSensitive) col("value").contains(q.value)
       else lower(col("value")).contains(q.value.toLowerCase)

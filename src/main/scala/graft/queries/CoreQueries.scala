@@ -184,9 +184,12 @@ object CoreQueries {
       |  SELECT 'o_orderpriority' AS dim, o_orderpriority AS value FROM orders
       |) WHERE contains(lower(value), 'p')
       |GROUP BY dim, value ORDER BY dim, value""".stripMargin) { (s, d) =>
-    val o = Tables.orders(s, d)
-    val pairs = o.select(lit("o_orderstatus").as("dim"), col("o_orderstatus").as("value"))
-      .unionByName(o.select(lit("o_orderpriority").as("dim"), col("o_orderpriority").as("value")))
+    // one scan for all searched dims: explode (dim, value) structs
+    // rather than a union branch (= a full table pass) per dimension
+    val pairs = Tables.orders(s, d).select(explode(array(
+      struct(lit("o_orderstatus").as("dim"), col("o_orderstatus").as("value")),
+      struct(lit("o_orderpriority").as("dim"), col("o_orderpriority").as("value")))).as("dv"))
+      .select(col("dv.dim").as("dim"), col("dv.value").as("value"))
     pairs.filter(lower(col("value")).contains("p"))
       .groupBy(col("dim"), col("value"))
       .agg(count(lit(1)).as("cnt"))

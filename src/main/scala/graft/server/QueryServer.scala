@@ -1,0 +1,73 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.planner.NativePlanner
+
+/** HTTP wire shim for the reference's query endpoints (SURVEY.md §3.1/
+  * §3.2; reference sql/http/SqlResource.java:66 and
+  * server/QueryResource.java:90):
+  *
+  *   POST /druid/v2      — native JSON query → JSON row array
+  *   POST /druid/v2/sql  — {"query": "..."} (Druid-dialect SQL via the
+  *                         registered function surface) → JSON row array
+  *   GET  /status/health — liveness
+  *
+  * Results are returned as a flat JSON array of row objects (the
+  * reference SQL "object" result format; native per-type envelope
+  * shapes are not reproduced). Built on the JDK HttpServer — the shim
+  * is a thin adapter; planning and execution stay in NativePlanner /
+  * Catalyst.
+  */
+class QueryServer(
+    spark: SparkSession,
+    resolveTable: String => DataFrame,
+    port: Int = 0) {
+
+  private val planner = new NativePlanner(spark, resolveTable)
+  private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/druid/v2/sql", (ex: HttpExchange) => handle(ex) { body =>
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).get("query").asText()
+      graft.GraftSession.setup(spark).sql(q)
+    })
+    server.createContext("/druid/v2", (ex: HttpExchange) => handle(ex)(planner.plan))
+    server.createContext("/status/health", (ex: HttpExchange) => {
+      respond(ex, 200, "true")
+    })
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange)(run: String => DataFrame): Unit = {
+    try {
+      if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val rows = run(body).toJSON.collect()
+      respond(ex, 200, rows.mkString("[", ",", "]"))
+    } catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+        respond(ex, 400, s"""{"error":"$msg"}""")
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}

@@ -1,0 +1,65 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QueryServerSpec extends SparkSpec {
+
+  private lazy val fixture = {
+    import spark.implicits._
+    Seq(
+      ("2024-01-01 01:00:00", "a", 1.0),
+      ("2024-01-01 02:00:00", "b", 2.0),
+      ("2024-01-02 01:00:00", "a", 3.0)
+    ).toDF("t", "dim", "m")
+      .withColumn("__time", col("t").cast("timestamp")).drop("t")
+  }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("POST /druid/v2 answers native JSON queries over HTTP") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/druid/v2",
+        """{"queryType": "groupBy", "dataSource": "ds", "intervals": [],
+          |"granularity": "all", "dimensions": ["dim"],
+          |"aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m"}],
+          |"limitSpec": {"type": "default",
+          |  "columns": [{"dimension": "dim", "direction": "ascending"}]}}""".stripMargin)
+      assert(code == 200, body)
+      assert(body == """[{"dim":"a","sm":4.0},{"dim":"b","sm":2.0}]""", body)
+    } finally srv.stop()
+  }
+
+  test("POST /druid/v2/sql answers Druid-dialect SQL over HTTP") {
+    fixture.createOrReplaceTempView("ds_sql")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT dim, MV_LENGTH(STRING_TO_MV(dim, ',')) AS n FROM ds_sql WHERE m > 1 ORDER BY dim"}""")
+      assert(code == 200, body)
+      assert(body == """[{"dim":"a","n":1},{"dim":"b","n":1}]""", body)
+    } finally srv.stop()
+  }
+
+  test("bad query returns a JSON error, not a hang") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/druid/v2", """{"queryType": "nope"}""")
+      assert(code == 400)
+      assert(body.contains("error"))
+    } finally srv.stop()
+  }
+}
