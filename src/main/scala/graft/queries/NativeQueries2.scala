@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.Tables
+import graft.planner.NativePlanner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second native-JSON coverage batch: the aggregator/post-aggregator/
+  * granularity corners of the wire format (filtered, variance, theta +
+  * estimate post-agg, KLL + toQuantile post-agg, greatest/least,
+  * virtual columns, period granularity with origin, union datasource).
+  */
+object NativeQueries2 {
+
+  private def planner(s: SparkSession, d: String): NativePlanner =
+    new NativePlanner(s, {
+      case "events" => Tables.events(s, d).withColumnRenamed("ts", "__time")
+      case name => Tables.t(s, d, name)
+    })
+
+  val nativeFilteredAgg: Q = q(
+    "native_filtered_agg",
+    """SELECT event_type,
+      |       CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS big_cnt,
+      |       round(coalesce(sum(value) FILTER (WHERE user_id % 2 = 0), 0.0), 4) AS even_total,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [
+        |    {"type": "filtered",
+        |     "filter": {"type": "bound", "dimension": "value", "lower": "100",
+        |                "lowerStrict": true, "ordering": "numeric"},
+        |     "aggregator": {"type": "count", "name": "big_cnt"}},
+        |    {"type": "filtered",
+        |     "filter": {"type": "expression", "expression": "user_id % 2 = 0"},
+        |     "aggregator": {"type": "doubleSum", "name": "even_total", "fieldName": "value"}},
+        |    {"type": "count", "name": "cnt"}
+        |  ],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+      .select(col("event_type"), col("big_cnt"),
+        round(coalesce(col("even_total"), lit(0.0)), 4).as("even_total"), col("cnt"))
+  }
+
+  val nativeVarianceAgg: Q = q(
+    "native_variance_agg",
+    """SELECT event_type,
+      |       round(var_samp(value), 4) AS var_value,
+      |       round(var_pop(value), 4) AS varp_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [
+        |    {"type": "variance", "name": "var_value", "fieldName": "value"},
+        |    {"type": "variance", "name": "varp_value", "fieldName": "value",
+        |     "estimator": "population"}
+        |  ],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+      .select(col("event_type"),
+        round(col("var_value"), 4).as("var_value"),
+        round(col("varp_value"), 4).as("varp_value"))
+  }
+
+  /** thetaSketch agg + thetaSketchEstimate post-agg; exact below
+    * nominal entries so the estimate value-checks against DuckDB. */
+  val nativeThetaEstimate: Q = q(
+    "native_theta_estimate",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [{"type": "thetaSketch", "name": "sk", "fieldName": "user_id"}],
+        |  "postAggregations": [
+        |    {"type": "thetaSketchEstimate", "name": "users_est",
+        |     "field": {"type": "fieldAccess", "fieldName": "sk"}}
+        |  ],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+      .select(col("event_type"), round(col("users_est")).cast("long").as("users"))
+  }
+
+  /** quantilesDoublesSketch + toQuantile post-agg, contract-checked
+    * against the exact quantile envelope. */
+  val nativeKllQuantile: Q = q(
+    "native_kll_quantile",
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS exact_median,
+      |       true AS kll_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val fromJson = planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [
+        |    {"type": "quantilesDoublesSketch", "name": "qs", "fieldName": "value"}],
+        |  "postAggregations": [
+        |    {"type": "quantilesDoublesSketchToQuantile", "name": "median",
+        |     "field": {"type": "fieldAccess", "fieldName": "qs"}, "fraction": 0.5}
+        |  ]
+        |}""".stripMargin)
+      .select(col("event_type"), col("median"))
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("exact_median"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+    exact.join(fromJson, Seq("event_type"))
+      .select(col("event_type"), col("exact_median"),
+        col("median").between(col("p45"), col("p55")).as("kll_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val nativeGreatestLeast: Q = q(
+    "native_greatest_least",
+    """SELECT round(greatest(sum(value) FILTER (WHERE event_type = 'click'),
+      |                      sum(value) FILTER (WHERE event_type = 'view'), 1000.0), 4) AS g,
+      |       round(least(sum(value) FILTER (WHERE event_type = 'click'),
+      |                   sum(value) FILTER (WHERE event_type = 'view')), 4) AS l
+      |FROM events""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "timeseries",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "aggregations": [
+        |    {"type": "filtered",
+        |     "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+        |     "aggregator": {"type": "doubleSum", "name": "click_total", "fieldName": "value"}},
+        |    {"type": "filtered",
+        |     "filter": {"type": "selector", "dimension": "event_type", "value": "view"},
+        |     "aggregator": {"type": "doubleSum", "name": "view_total", "fieldName": "value"}}
+        |  ],
+        |  "postAggregations": [
+        |    {"type": "doubleGreatest", "name": "g", "fields": [
+        |      {"type": "fieldAccess", "fieldName": "click_total"},
+        |      {"type": "fieldAccess", "fieldName": "view_total"},
+        |      {"type": "constant", "name": "c", "value": 1000.0}]},
+        |    {"type": "doubleLeast", "name": "l", "fields": [
+        |      {"type": "fieldAccess", "fieldName": "click_total"},
+        |      {"type": "fieldAccess", "fieldName": "view_total"}]}
+        |  ]
+        |}""".stripMargin)
+      .select(round(col("g"), 4).as("g"), round(col("l"), 4).as("l"))
+  }
+
+  /** virtual column (expression-backed dimension) through the JSON API
+    * (reference ExpressionVirtualColumn.java:53). */
+  val nativeVirtualColumn: Q = q(
+    "native_virtual_column",
+    """SELECT upper(event_type) AS etype_up,
+      |       CAST(round(floor(value / 50) * 50) AS BIGINT) AS value_bucket,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "virtualColumns": [
+        |    {"name": "etype_up", "expression": "upper(event_type)"},
+        |    {"name": "value_bucket", "expression": "CAST(round(floor(value / 50) * 50) AS BIGINT)"}
+        |  ],
+        |  "dimensions": ["etype_up", "value_bucket"],
+        |  "aggregations": [{"type": "count", "name": "cnt"}],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "etype_up", "direction": "ascending"},
+        |    {"dimension": "value_bucket", "direction": "ascending", "dimensionOrder": "numeric"}]}
+        |}""".stripMargin)
+  }
+
+  /** period granularity with origin through the JSON envelope
+    * (reference PeriodGranularity origin semantics). */
+  val nativeGranularityOrigin: Q = q(
+    "native_granularity_origin",
+    """SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts,
+      |                            TIMESTAMP '2024-01-01 03:00:00')) AS __time_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events WHERE event_type = 'signup'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "timeseries",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": {"type": "period", "period": "PT6H",
+        |                  "origin": "2024-01-01T03:00:00Z"},
+        |  "filter": {"type": "selector", "dimension": "event_type", "value": "signup"},
+        |  "aggregations": [{"type": "count", "name": "cnt"}],
+        |  "context": {"skipEmptyBuckets": true}
+        |}""".stripMargin)
+      .select(unix_millis(col("__time")).as("__time_ms"), col("cnt"))
+      .orderBy(col("__time_ms"))
+  }
+
+  /** union datasource through the JSON API (UnionDataSource.java:34). */
+  val nativeUnionDatasource: Q = q(
+    "native_union_datasource",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT event_type FROM events WHERE value > 150
+      |  UNION ALL
+      |  SELECT event_type FROM events WHERE value < 20
+      |) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": {"type": "union", "dataSources": [
+        |    {"type": "query", "query": {
+        |      "queryType": "scan", "dataSource": "events", "intervals": [],
+        |      "filter": {"type": "bound", "dimension": "value", "lower": "150",
+        |                 "lowerStrict": true, "ordering": "numeric"},
+        |      "columns": ["event_type"]}},
+        |    {"type": "query", "query": {
+        |      "queryType": "scan", "dataSource": "events", "intervals": [],
+        |      "filter": {"type": "bound", "dimension": "value", "upper": "20",
+        |                 "upperStrict": true, "ordering": "numeric"},
+        |      "columns": ["event_type"]}}
+        |  ]},
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [{"type": "count", "name": "cnt"}],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(
+    nativeFilteredAgg, nativeVarianceAgg, nativeThetaEstimate, nativeKllQuantile,
+    nativeGreatestLeast, nativeVirtualColumn, nativeGranularityOrigin,
+    nativeUnionDatasource)
+}
