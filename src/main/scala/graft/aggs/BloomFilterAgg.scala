@@ -1,0 +1,101 @@
+package graft.aggs
+
+import org.apache.datasketches.filters.bloomfilter.{BloomFilter, BloomFilterBuilder}
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.exprs.{toCol, toExpr}
+
+/** Bloom filter build aggregate + membership-test expression — the
+  * reference's druid-bloom-filter extension (BLOOM_FILTER /
+  * BLOOM_FILTER_TEST) over datasketches. A fixed seed keeps partial
+  * filters union-compatible across partitions; the serialized filter
+  * is also usable as a pre-computed probe (build once on the dim-value
+  * set, ship to any query as a literal).
+  */
+case class BloomFilterAgg(
+    child: Expression,
+    maxItems: Long = 100000L,
+    fpp: Double = 0.01,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomFilter] with UnaryLike[Expression] {
+
+  private val seed = 9001L // fixed: partials must share hashes to union
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilterBuilder.createByAccuracy(maxItems, fpp, seed)
+
+  override def update(buffer: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case StringType => buffer.update(v.asInstanceOf[UTF8String].toString)
+      case LongType => buffer.update(v.asInstanceOf[Long])
+      case IntegerType => buffer.update(v.asInstanceOf[Int].toLong)
+      case DoubleType => buffer.update(v.asInstanceOf[Double])
+      case FloatType => buffer.update(v.asInstanceOf[Float].toDouble)
+      case BinaryType => buffer.update(v.asInstanceOf[Array[Byte]])
+      case dt => throw new UnsupportedOperationException(s"bloom over $dt")
+    }
+    buffer
+  }
+
+  override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter = {
+    buffer.union(other)
+    buffer
+  }
+
+  override def eval(buffer: BloomFilter): Any = buffer.toByteArray
+
+  override def serialize(buffer: BloomFilter): Array[Byte] = buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BloomFilterAgg =
+    copy(child = c)
+  override def prettyName: String = "bloom_filter"
+}
+
+/** BLOOM_FILTER_TEST(value, serializedFilter). */
+case class BloomFilterTest(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any, bin: Any): Any = {
+    val bf = BloomFilter.wrap(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
+    val hit = left.dataType match {
+      case StringType => bf.query(v.asInstanceOf[UTF8String].toString)
+      case LongType => bf.query(v.asInstanceOf[Long])
+      case IntegerType => bf.query(v.asInstanceOf[Int].toLong)
+      case DoubleType => bf.query(v.asInstanceOf[Double])
+      case FloatType => bf.query(v.asInstanceOf[Float].toDouble)
+      case BinaryType => bf.query(v.asInstanceOf[Array[Byte]])
+      case dt => throw new UnsupportedOperationException(s"bloom test over $dt")
+    }
+    java.lang.Boolean.valueOf(hit)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomFilterTest =
+    copy(left = l, right = r)
+  override def prettyName: String = "bloom_filter_test"
+}
+
+object bloom {
+  def bloomFilter(c: Column, maxItems: Long = 100000L, fpp: Double = 0.01): Column =
+    toCol(BloomFilterAgg(toExpr(c), maxItems, fpp).toAggregateExpression())
+  def bloomFilterTest(value: Column, filter: Column): Column =
+    toCol(BloomFilterTest(toExpr(value), toExpr(filter)))
+}

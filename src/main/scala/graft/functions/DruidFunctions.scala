@@ -135,6 +135,12 @@ object DruidFunctions {
       ThetaEstimate(ThetaSketchAgg(a.head).toAggregateExpression())
     }
 
+    // ---- bloom filter (reference druid-bloom-filter extension) ----
+    fn("bloom_filter")(a => graft.aggs.BloomFilterAgg(a.head,
+      a.lift(1).map(litLong).getOrElse(100000L),
+      a.lift(2).map(x => x.eval(null).toString.toDouble).getOrElse(0.01)))
+    fn("bloom_filter_test")(a => graft.aggs.BloomFilterTest(a.head, a(1)))
+
     // ---- registered lookups (reference LookupExprMacro / LOOKUP) ----
     fn("lookup") { a =>
       toExpr(LookupRegistry.lookup(

@@ -91,6 +91,35 @@ object SketchQueries {
       .orderBy(col("event_type"))
   }
 
+  /** bloom-filter pre-join probe (reference druid-bloom-filter):
+    * build on the dim side, probe the fact side. Exact match count is
+    * value-checked; the bloom count asserts the no-false-negative /
+    * bounded-false-positive contract. */
+  val sketchBloomProbe: Q = q(
+    "sketch_bloom_probe",
+    """SELECT CAST((SELECT count(*) FROM orders WHERE o_custkey IN
+      |             (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+      |       AS BIGINT) AS exact_cnt,
+      |       true AS bloom_ok""".stripMargin) { (s, d) =>
+    import graft.aggs.bloom._
+    val members = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val bf = members.agg(bloomFilter(col("c_custkey")).as("bf"))
+    val counts = Tables.orders(s, d).crossJoin(broadcast(bf))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(bloomFilterTest(col("o_custkey"), col("bf")), 1L).otherwise(0L))
+          .as("bloom_cnt"))
+    val exact = Tables.orders(s, d)
+      .join(broadcast(members.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("exact_cnt"))
+    counts.crossJoin(exact).select(
+      col("exact_cnt"),
+      (col("bloom_cnt") >= col("exact_cnt") &&
+        col("bloom_cnt") <= col("exact_cnt") +
+          (col("total") - col("exact_cnt")) * 0.05 + 10).as("bloom_ok"))
+  }
+
   private object ThetaAgg14 {
     def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       graft.exprs.toCol(graft.aggs.ThetaSketchAgg(graft.exprs.toExpr(c), 14)
@@ -98,5 +127,6 @@ object SketchQueries {
   }
 
   val all: Seq[Q] = Seq(
-    sketchThetaDistinct, sketchThetaSetops, sketchKllQuantiles, sketchHllContract)
+    sketchThetaDistinct, sketchThetaSetops, sketchKllQuantiles, sketchHllContract,
+    sketchBloomProbe)
 }

@@ -52,6 +52,25 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 0.25) < 0.02, s"r25=${r.getDouble(2)}")
   }
 
+  test("bloom filter: no false negatives, mergeable across partitions, SQL surface") {
+    import graft.aggs.bloom._
+    val bin = spark.range(0, 5000).repartition(8)
+      .select((col("id") * 3).as("k"))
+      .agg(bloomFilter(col("k")).as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val probe = spark.range(0, 5000)
+      .select((col("id") * 3).as("member"), (col("id") * 3 + 1).as("nonmember"))
+      .agg(
+        sum(when(bloomFilterTest(col("member"), lit(bin)), 1).otherwise(0)).as("hits"),
+        sum(when(bloomFilterTest(col("nonmember"), lit(bin)), 1).otherwise(0)).as("fp"))
+      .collect()(0)
+    assert(probe.getLong(0) == 5000L, "bloom filters must have no false negatives")
+    assert(probe.getLong(1) < 250L, s"false positives ${probe.getLong(1)} exceed 5x fpp budget")
+    val viaSql = spark.sql(
+      "SELECT bloom_filter_test(9, bloom_filter(k)) FROM (SELECT 9L AS k)")
+      .collect()(0).getBoolean(0)
+    assert(viaSql)
+  }
+
   test("SQL surface: ds_theta / theta_sketch_estimate / ds_kll / kll_quantile") {
     spark.range(0, 5000).select((col("id") % 700).as("k"), col("id").cast("double").as("v"))
       .createOrReplaceTempView("sk_t")
