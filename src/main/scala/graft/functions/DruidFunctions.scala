@@ -135,6 +135,36 @@ object DruidFunctions {
       ThetaEstimate(ThetaSketchAgg(a.head).toAggregateExpression())
     }
 
+    // ---- remaining SQL-dialect aliases (DruidOperatorTable names that
+    // differ from Spark's; thin wrappers over built-ins) ----
+    fn("contains_string")(a => toExpr(toCol(a.head).contains(toCol(a(1)))))
+    fn("icontains_string")(a =>
+      toExpr(lower(toCol(a.head)).contains(lower(toCol(a(1))))))
+    fn("regexp_like")(a => toExpr(toCol(a.head).rlike(litStr(a(1)))))
+    fn("textcat")(a => toExpr(concat(toCol(a.head), toCol(a(1)))))
+    fn("string_format")(a =>
+      toExpr(format_string(litStr(a.head), a.tail.map(toCol): _*)))
+    fn("strpos")(a => toExpr(instr(toCol(a.head), litStr(a(1)))))
+    // reference array fns: array_offset 0-based, array_ordinal 1-based,
+    // *_of return -1-adjusted positions (array_offset_of null→null)
+    fn("array_length")(a => toExpr(size(toCol(a.head))))
+    fn("array_offset")(a => toExpr(get(toCol(a.head), toCol(a(1)))))
+    fn("array_ordinal")(a => toExpr(get(toCol(a.head), toCol(a(1)) - lit(1))))
+    fn("array_offset_of")(a =>
+      toExpr(array_position(toCol(a.head), toCol(a(1))) - lit(1)))
+    fn("array_ordinal_of")(a => toExpr(array_position(toCol(a.head), toCol(a(1)))))
+    fn("array_set_add")(a =>
+      toExpr(array_union(toCol(a.head), array(toCol(a(1))))))
+    fn("array_set_add_all")(a => toExpr(array_union(toCol(a.head), toCol(a(1)))))
+    fn("array_overlap")(a => toExpr(arrays_overlap(toCol(a.head), toCol(a(1)))))
+    fn("array_slice") { a =>
+      val arr = toCol(a.head)
+      toExpr(slice(arr, toCol(a(1)) + lit(1), toCol(a(2)) - toCol(a(1))))
+    }
+    fn("array_to_string")(a => toExpr(array_join(toCol(a.head), litStr(a(1)))))
+    fn("string_to_array")(a => toExpr(split(toCol(a.head), litStr(a(1)))))
+    fn("array_concat")(a => toExpr(concat(a.map(toCol): _*)))
+
     // ---- bloom filter (reference druid-bloom-filter extension) ----
     fn("bloom_filter")(a => graft.aggs.BloomFilterAgg(a.head,
       a.lift(1).map(litLong).getOrElse(100000L),

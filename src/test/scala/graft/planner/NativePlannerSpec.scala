@@ -130,6 +130,71 @@ class NativePlannerSpec extends SparkSpec {
       Set(("a", "A"), ("b", "B")))
   }
 
+  test("having forms: and/not/greaterThan/dimSelector") {
+    val rows = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all", "dimensions": ["dim1"],
+        |"aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m1"}],
+        |"having": {"type": "and", "havingSpecs": [
+        |  {"type": "greaterThan", "aggregation": "sm", "value": 1.5},
+        |  {"type": "not", "havingSpec": {"type": "dimSelector", "dimension": "dim1", "value": "def"}}
+        |]},
+        |"limitSpec": {"type": "default",
+        |  "columns": [{"dimension": "sm", "direction": "descending", "dimensionOrder": "numeric"}]}
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("abc", 6.0), ("1", 4.0), ("2", 3.0), ("10.1", 2.0)))
+  }
+
+  test("fragment search spec requires all fragments (case-insensitive)") {
+    val rows = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all", "dimensions": ["dim1"],
+        |"filter": {"type": "search", "dimension": "dim1",
+        |  "query": {"type": "fragment", "values": ["a", "b"], "caseSensitive": true}},
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("abc"))
+  }
+
+  test("scan with descending time order, limit and offset") {
+    val rows = planner.plan(
+      """{"queryType": "scan", "dataSource": "foo", "intervals": [],
+        |"columns": ["__time", "dim1", "m1"],
+        |"order": "descending", "offset": 1, "limit": 2}""".stripMargin)
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("def", 5.0), ("1", 4.0)))
+  }
+
+  test("groupBy limitSpec offset pages through ordered results") {
+    val rows = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all", "dimensions": ["dim1"],
+        |"aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m1"}],
+        |"limitSpec": {"type": "default", "limit": 2, "offset": 2,
+        |  "columns": [{"dimension": "sm", "direction": "descending", "dimensionOrder": "numeric"}]}
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // ordered desc: abc 6, def 5, "1" 4, "2" 3, "10.1" 2, "" 1 — offset 2
+    assert(rows.toSeq == Seq(("1", 4.0), ("2", 3.0)))
+  }
+
+  test("first/last/any aggregators through JSON") {
+    val rows = planner.plan(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"aggregations": [
+        |  {"type": "doubleFirst", "name": "f", "fieldName": "m1"},
+        |  {"type": "doubleLast", "name": "l", "fieldName": "m1"},
+        |  {"type": "stringFirst", "name": "sf", "fieldName": "dim1"},
+        |  {"type": "doubleAny", "name": "a", "fieldName": "m1"}
+        |]}""".stripMargin).collect()(0)
+    assert(rows.getDouble(0) == 1.0)
+    assert(rows.getDouble(1) == 6.0)
+    assert(rows.getString(2) == "")
+    assert(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).contains(rows.getDouble(3)))
+  }
+
   test("unsupported legacy query types fail loudly") {
     intercept[UnsupportedOperationException] {
       graft.model.QueryJson.parse("""{"queryType": "select", "dataSource": "foo"}""")
