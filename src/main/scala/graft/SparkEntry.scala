@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     CoreQueries.all ++ FilterQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       ScalarQueries.all ++ MvdQueries.all ++ SketchQueries.all ++ PipelineQueries.all ++
-      NativeQueries.all ++ NativeQueries2.all ++ SupersetQueries.all
+      NativeQueries.all ++ NativeQueries2.all ++ SupersetQueries.all ++
+      IngestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
