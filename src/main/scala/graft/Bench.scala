@@ -66,8 +66,13 @@ object Bench {
           .agg(count(lit(1)).as("pairs"))),
       "native_groupby" -> q("native_groupby"))
 
-    // warmup: touch every table + exercise codegen/agg/join machinery
-    run(Tables.lineitem(spark, sfDir).agg(count(lit(1))))
+    // warmup: touch every table (file listing + footer caches) and
+    // exercise codegen/agg/join machinery
+    Tables.all.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, sfDir)
+        else Tables.t(spark, sfDir, t)
+      run(df.agg(count(lit(1))))
+    }
     run(q("groupby_pricing_summary")(spark, sfDir))
     run(q("join_broadcast_inner")(spark, sfDir))
 

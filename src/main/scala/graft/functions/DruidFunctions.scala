@@ -134,6 +134,13 @@ object DruidFunctions {
     fn("approx_count_distinct_ds_theta") { a =>
       ThetaEstimate(ThetaSketchAgg(a.head).toAggregateExpression())
     }
+    // HLL names (reference datasketches hll ext) over Spark's
+    // datasketches-backed hll_sketch_agg built-ins
+    fn("ds_hll")(a => toExpr(hll_sketch_agg(toCol(a.head))))
+    fn("hll_sketch_estimate_graft")(a => toExpr(hll_sketch_estimate(toCol(a.head))))
+    fn("approx_count_distinct_ds_hll") { a =>
+      toExpr(hll_sketch_estimate(hll_sketch_agg(toCol(a.head))).cast("long"))
+    }
 
     // ---- remaining SQL-dialect aliases (DruidOperatorTable names that
     // differ from Spark's; thin wrappers over built-ins) ----
