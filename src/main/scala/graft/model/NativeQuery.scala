@@ -58,7 +58,7 @@ object Granularity {
 
   /** the reference's simple-name granularities (GranularityType). */
   val simpleNames: Map[String, String] = Map(
-    "none" -> "PT1MS", "second" -> "PT1S", "minute" -> "PT1M",
+    "none" -> "PT0.001S", "second" -> "PT1S", "minute" -> "PT1M",
     "five_minute" -> "PT5M", "ten_minute" -> "PT10M", "fifteen_minute" -> "PT15M",
     "thirty_minute" -> "PT30M", "hour" -> "PT1H", "six_hour" -> "PT6H",
     "eight_hour" -> "PT8H", "day" -> "P1D", "week" -> "P1W",

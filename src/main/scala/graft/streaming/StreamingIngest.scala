@@ -62,8 +62,10 @@ object StreamingIngest {
       .trigger(spec.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val out = Ingest.prepare(
-            batch.drop(TimeCol), spec.ingest)
+          // transforms/filter already ran in prepareStream — strip them
+          // so non-idempotent transforms don't apply twice per row
+          val batchSpec = spec.ingest.copy(transforms = Nil, rowFilter = None)
+          val out = Ingest.prepare(batch.drop(TimeCol), batchSpec)
           Ingest.write(out, path)
         }
       }

@@ -20,11 +20,12 @@ class IngestSpecSuite extends SparkSpec {
 
   private val spec = IngestSpec(
     timeColumn = "ts",
-    transforms = Seq("etype_up" -> "upper(etype)"),
+    transforms = Seq("etype_up" -> "upper(etype)", "v2" -> "v * 2"),
     rowFilter = Some("etype <> 'spam'"),
     dimensions = Seq("etype_up"),
     metrics = Seq(
       Metric.Count("cnt"), Metric.DoubleSum("sv", "v"),
+      Metric.DoubleSum("sv2", "v2"), // non-idempotent transform: catches double-apply
       Metric.ThetaSketch("users_sk", "user")),
     queryGranularity = Some("PT1H"),
     segmentGranularity = "P1D")
@@ -37,6 +38,7 @@ class IngestSpecSuite extends SparkSpec {
     assert(first.getAs[java.sql.Timestamp](TimeCol).toString == "2024-01-01 00:00:00.0")
     assert(first.getAs[Long]("cnt") == 2L)
     assert(first.getAs[Double]("sv") == 30.0)
+    assert(first.getAs[Double]("sv2") == 60.0)
     assert(first.getAs[String](BucketCol) == "2024-01-01T00")
   }
 
@@ -81,11 +83,12 @@ class IngestSpecSuite extends SparkSpec {
     val table = Ingest.read(spark, dir)
     // spam rejected; both micro-batches landed; partial aggregates fold
     val folded = table.filter(col("etype_up") === "CLICK")
-      .agg(sum("cnt").as("c"), sum("sv").as("s"),
+      .agg(sum("cnt").as("c"), sum("sv").as("s"), sum("sv2").as("s2"),
         sketches.thetaEstimate(sketches.thetaSketch(col("users_sk"))).as("u"))
       .collect()(0)
     assert(folded.getLong(0) == 3L)
     assert(folded.getDouble(1) == 35.0)
-    assert(math.round(folded.getDouble(2)) == 3L)
+    assert(folded.getDouble(2) == 70.0, "transforms must apply exactly once in streaming")
+    assert(math.round(folded.getDouble(3)) == 3L)
   }
 }
