@@ -172,6 +172,23 @@ object DruidFunctions {
     fn("string_to_array")(a => toExpr(split(toCol(a.head), litStr(a(1)))))
     fn("array_concat")(a => toExpr(concat(a.map(toCol): _*)))
 
+    // ---- spatial bounds (reference SpatialDimFilter rectangular /
+    // radius; r-tree index replaced by parquet min/max pruning on the
+    // lat/lon columns, which these plain comparisons push down) ----
+    fn("spatial_rectangular") { a =>
+      val Seq(lat, lon, minLat, maxLat, minLon, maxLon) = a.take(6).map(toCol)
+      toExpr(lat >= minLat && lat <= maxLat && lon >= minLon && lon <= maxLon)
+    }
+    fn("spatial_radius") { a =>
+      val Seq(lat, lon, cLat, cLon, radiusKm) = a.take(5).map(toCol)
+      // haversine distance in km
+      val dLat = radians(lat - cLat) / 2
+      val dLon = radians(lon - cLon) / 2
+      val h = pow(sin(dLat), 2) +
+        cos(radians(lat)) * cos(radians(cLat)) * pow(sin(dLon), 2)
+      toExpr(lit(2 * 6371.0088) * asin(sqrt(h)) <= radiusKm)
+    }
+
     // ---- bloom filter (reference druid-bloom-filter extension) ----
     fn("bloom_filter")(a => graft.aggs.BloomFilterAgg(a.head,
       a.lift(1).map(litLong).getOrElse(100000L),

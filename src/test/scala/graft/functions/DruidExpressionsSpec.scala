@@ -56,6 +56,19 @@ class DruidExpressionsSpec extends SparkSpec {
     assert(h(1L) != h(3L))
   }
 
+  test("spatial rectangular and radius filters") {
+    val r = spark.sql(
+      """SELECT spatial_rectangular(40.7, -74.0, 40.0, 41.0, -75.0, -73.0) AS in_rect,
+        |       spatial_rectangular(50.0, -74.0, 40.0, 41.0, -75.0, -73.0) AS out_rect,
+        |       spatial_radius(40.7128, -74.0060, 40.7580, -73.9855, 10.0) AS near,
+        |       spatial_radius(40.7128, -74.0060, 34.0522, -118.2437, 10.0) AS far
+        |""".stripMargin).collect()(0)
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1))
+    assert(r.getBoolean(2)) // Times Square ~5.4 km from City Hall
+    assert(!r.getBoolean(3)) // LA is not within 10 km of NYC
+  }
+
   test("registered LOOKUP function with replaceMissingWith") {
     LookupRegistry.register("country", Map("US" -> "United States", "FR" -> "France"))
     val r = spark.sql(
