@@ -171,8 +171,26 @@ object AggQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** any aggregator (ref aggregation any/): contractually any value from the
+    * group. Graded determinism trick: over single-row groups (orders by
+    * key) "any" must equal the group's only value, so the count of
+    * groups where any_value == min is the table row count — engine-
+    * independent even though "any" itself is nondeterministic. */
+  val aggAnyContract: Q = q(
+    "agg_any_contract",
+    """SELECT CAST(count(*) AS BIGINT) AS consistent_groups FROM (
+      |  SELECT o_orderkey, any_value(o_orderstatus) AS a, min(o_orderstatus) AS m
+      |  FROM orders GROUP BY o_orderkey
+      |) WHERE a = m""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderkey"))
+      .agg(any_value(col("o_orderstatus")).as("a"), min(col("o_orderstatus")).as("m"))
+      .where(col("a") === col("m"))
+      .agg(count(lit(1)).as("consistent_groups"))
+  }
+
   val all: Seq[Q] = Seq(
     aggSumsMinmax, aggMean, aggFirstLast, aggCountDistinct,
     aggApproxDistinctContract, aggFiltered, aggVarStddev, aggExpressionFold,
-    postAggArithmetic)
+    postAggArithmetic, aggAnyContract)
 }
