@@ -55,6 +55,76 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) index: k-means centroids learned with a few
+    * Lloyd iterations entirely as DataFrame transforms — assignment is
+    * a broadcast argmin over the centroid set, centroid update is a
+    * per-(cluster, position) average via posexplode. Returns
+    * (centroid_id, centroid) — small, intended to be broadcast.
+    *
+    * At corpus scale this is the standard ANN layout: each row is
+    * scored against nCentroids vectors per iteration (centroids
+    * broadcast, no shuffle of the corpus beyond the final cluster
+    * groupBy), and the search path only scores rows in the query's
+    * nProbe nearest clusters. */
+  def ivfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iterations: Int = 3): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // deterministic seed centroids: first n rows in hash order
+    var centroids = c0
+      .withColumn("__h", hash(col("id")))
+      .orderBy(col("__h")).limit(nCentroids)
+      .select(row_number().over(
+        Window.orderBy(col("__h"))).as("centroid_id"), col("vec").as("centroid"))
+    for (_ <- 1 to iterations) {
+      val assigned = assignClusters(c0, centroids)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("vec")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** nearest-centroid assignment via broadcast argmin (no shuffle). */
+  private def assignClusters(c0: DataFrame, centroids: DataFrame): DataFrame =
+    c0.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("centroid_id"),
+        VectorExpressions.l2F32(col("vec"), col("centroid")).as("d"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("__r") === 1)
+      .select(col("id"), col("vec"), col("centroid_id"))
+
+  /** IVF approximate top-k: score only corpus rows whose cluster is
+    * among the query's nProbe nearest centroids. */
+  def ivfTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, nProbe: Int = 2, iterations: Int = 3): DataFrame = {
+    val centroids = broadcast(ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations))
+    val assigned = assignClusters(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val probes = q.crossJoin(centroids)
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        VectorExpressions.l2F32(col("qvec"), col("centroid")).as("d"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("__r") <= nProbe)
+      .select(col("qid"), col("qvec"), col("centroid_id"))
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorExpressions.cosineF32(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: score only corpus rows sharing
     * the query's bucket. Brute-force fallback quality is recovered by
     * lowering nPlanes (bigger buckets) or multi-probing. */

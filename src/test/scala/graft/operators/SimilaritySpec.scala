@@ -36,6 +36,29 @@ class SimilaritySpec extends SparkSpec {
     assert(top(0).getLong(1) == 1L, s"nearest must be vec 1: ${top.toSeq}")
   }
 
+  test("ivf: centroids converge to clusters; search probes the right cell") {
+    import spark.implicits._
+    // two tight clusters around (1,0) and (0,1)
+    val pts = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      val jit = (i / 2) * 0.004f
+      (i.toLong, Array(base(0) + jit, base(1) - jit))
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 2, iterations = 4)
+      .collect().map(_.getSeq[Float](1))
+    assert(cents.length == 2)
+    assert(cents.exists(c => math.abs(c.head - 1.0) < 0.1 && math.abs(c(1)) < 0.1), cents.toSeq)
+    assert(cents.exists(c => math.abs(c.head) < 0.1 && math.abs(c(1) - 1.0) < 0.1), cents.toSeq)
+    // query near cluster (1,0): all top-3 neighbors are even ids, probing 1 cell
+    val top = Similarity.ivfTopK(
+      corpus.filter($"vec_id" === 0L), "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 3, nCentroids = 2, nProbe = 1)
+      .collect().map(_.getLong(1))
+    assert(top.length == 3)
+    assert(top.forall(_ % 2 == 0), top.toSeq)
+  }
+
   test("cosine/dot/l2 expression values") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
