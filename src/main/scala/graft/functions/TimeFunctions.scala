@@ -66,14 +66,29 @@ object TimeFunctions {
     val local = toLocal(ts, tz)
     val floored =
       if (p.months > 0) {
-        val o = lit(originMs.getOrElse(0L)) // month-period origin: its month index
-        val oIdx = monthIndex(timestamp_millis(o))
+        // Month-period origin honors the origin's FULL offset: buckets sit
+        // at origin + k*P, i.e. the origin's day/time-of-day carries onto
+        // each floored month boundary (reference PeriodGranularity.truncate).
+        // Origin is a plan-time constant, so decompose it driver-side into
+        // (month index, intra-month millis) in the bucketing zone.
+        val zone = java.time.ZoneId.of(tz.getOrElse("UTC"))
+        val oLdt = java.time.Instant.ofEpochMilli(originMs.getOrElse(0L))
+          .atZone(zone).toLocalDateTime
+        val oIdx = oLdt.getYear.toLong * 12 + oLdt.getMonthValue - 1
+        val intraMs = java.time.Duration.between(
+          oLdt.toLocalDate.withDayOfMonth(1).atStartOfDay, oLdt).toMillis
         val idx = monthIndex(local)
         val n = lit(p.months.toLong)
-        val fl = idx - pmod(idx - oIdx, n)
-        make_timestamp(
-          (fl / 12).cast("int"), (pmod(fl, lit(12L)) + 1).cast("int"),
-          lit(1), lit(0), lit(0), lit(0))
+        val fl = idx - pmod(idx - lit(oIdx), n)
+        def bucketAt(i: Column): Column = timestamp_millis(
+          unix_millis(make_timestamp(
+            (i / 12).cast("int"), (pmod(i, lit(12L)) + 1).cast("int"),
+            lit(1), lit(0), lit(0), lit(0))) + lit(intraMs))
+        val cand = bucketAt(fl)
+        // candidate can land after ts (e.g. t=Feb-10, origin Jan-15) —
+        // step back one period to the greatest boundary <= ts.
+        if (intraMs == 0L) cand
+        else when(cand <= local, cand).otherwise(bucketAt(fl - n))
       } else {
         val o = lit(originMs.getOrElse(defaultOriginMs(period)))
         val ms = unix_millis(local)

@@ -138,9 +138,19 @@ object QueryJson {
     QueryInterval(isoMs(parts(0)), isoMs(parts(1)))
   }
 
+  /** Lenient ISO-8601 instant parse matching the reference's Joda
+    * acceptance: full offset datetimes ("...Z", "...+05:30",
+    * "...-05:00"), offset-less datetimes (treated as UTC), and
+    * date-only forms like "2011-01-01" (midnight UTC). */
   private def isoMs(s: String): Long = {
-    val t = if (s.endsWith("Z") || s.contains("+")) s else s + "Z"
-    java.time.Instant.parse(t).toEpochMilli
+    import java.time._
+    val t = s.trim
+    def tryParse[A](f: => A): Option[A] =
+      try Some(f) catch { case _: format.DateTimeParseException => None }
+    tryParse(OffsetDateTime.parse(t).toInstant.toEpochMilli)
+      .orElse(tryParse(LocalDateTime.parse(t).toInstant(ZoneOffset.UTC).toEpochMilli))
+      .orElse(tryParse(LocalDate.parse(t).atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli))
+      .getOrElse(Instant.parse(t).toEpochMilli) // last resort: surface its error
   }
 
   def parseGranularity(n: JsonNode): Granularity = {
@@ -157,9 +167,13 @@ object QueryJson {
       case "period" => Granularity.Period(
         str(n, "period"),
         strOpt(n, "origin").map(isoMs), strOpt(n, "timeZone"))
-      case "duration" => Granularity.Period(
-        s"PT${n.get("duration").asLong() / 1000}S",
-        strOpt(n, "origin").map(isoMs), None)
+      case "duration" =>
+        // Carry raw millis (PT1.5S etc.) — parsePeriod accepts fractional
+        // seconds, so sub-second and non-whole-second durations survive.
+        val ms = n.get("duration").asLong()
+        val secs = new java.math.BigDecimal(ms).movePointLeft(3)
+          .stripTrailingZeros.toPlainString
+        Granularity.Period(s"PT${secs}S", strOpt(n, "origin").map(isoMs), None)
       case t => throw new UnsupportedOperationException(s"granularity type $t")
     }
   }
@@ -219,14 +233,17 @@ object QueryJson {
     case "search" =>
       val q = n.get("query")
       str(q, "type") match {
+        // caseSensitive is a primitive boolean in the reference's specs
+        // (ContainsSearchQuerySpec/FragmentSearchQuerySpec) — Jackson
+        // defaults it to FALSE when absent.
         case "contains" => DimFilter.Search(
           str(n, "dimension"), Seq(str(q, "value")),
-          boolOpt(q, "caseSensitive").getOrElse(true))
+          boolOpt(q, "caseSensitive").getOrElse(false))
         case "insensitive_contains" => DimFilter.Search(
           str(n, "dimension"), Seq(str(q, "value")), caseSensitive = false)
         case "fragment" => DimFilter.Search(
           str(n, "dimension"), arr(q, "values").map(_.asText()),
-          boolOpt(q, "caseSensitive").getOrElse(true))
+          boolOpt(q, "caseSensitive").getOrElse(false))
         case t => throw new UnsupportedOperationException(s"search query type $t")
       }
     case "columnComparison" => DimFilter.ColumnComparison(

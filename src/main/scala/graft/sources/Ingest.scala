@@ -78,6 +78,10 @@ object Ingest {
               case Metric.DoubleSum(_, f) => col(f)
               case Metric.Min(_, f) => col(f)
               case Metric.Max(_, f) => col(f)
+              // store-raw must keep sketch SOURCE fields too, so query-time
+              // aggregators can still build theta/kll sketches from raw rows
+              case Metric.ThetaSketch(_, f) => col(f)
+              case Metric.KllSketch(_, f) => col(f)
             }.distinct: _*)
         else df
     }

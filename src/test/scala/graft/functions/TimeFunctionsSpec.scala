@@ -48,6 +48,26 @@ class TimeFunctionsSpec extends SparkSpec {
     assert(floorMs(ms("2024-11-15T10:00:00Z"), "P1Y") == ms("2024-01-01T00:00:00Z"))
   }
 
+  test("month floor honors origin's intra-month day/time offset") {
+    // reference PeriodGranularity.truncate: P1M origin 1970-01-15 buckets
+    // on the 15th of each month.
+    val origin = Some(ms("1970-01-15T00:00:00Z"))
+    assert(floorMs(ms("2024-02-20T10:00:00Z"), "P1M", origin)
+      == ms("2024-02-15T00:00:00Z"))
+    // before the 15th → previous month's bucket
+    assert(floorMs(ms("2024-02-10T10:00:00Z"), "P1M", origin)
+      == ms("2024-01-15T00:00:00Z"))
+    // origin with time-of-day carries onto the boundary
+    val o6 = Some(ms("1970-01-01T06:00:00Z"))
+    assert(floorMs(ms("2024-02-01T05:00:00Z"), "P1M", o6)
+      == ms("2024-01-01T06:00:00Z"))
+    assert(floorMs(ms("2024-02-01T07:00:00Z"), "P1M", o6)
+      == ms("2024-02-01T06:00:00Z"))
+    // multi-month period with offset origin
+    assert(floorMs(ms("2024-05-20T00:00:00Z"), "P3M", origin)
+      == ms("2024-04-15T00:00:00Z"))
+  }
+
   test("timezone-aware day floor") {
     // 2024-06-15T03:00Z is 2024-06-14T23:00 in New York (EDT, UTC-4):
     // local-day floor = 2024-06-14T00:00 local = 2024-06-14T04:00Z

@@ -1,0 +1,54 @@
+package graft.model
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Wire-format corners flagged by round-1 advice: lenient ISO instant
+  * parsing, duration granularities in raw millis, and the reference's
+  * primitive-boolean caseSensitive default (false) on search specs. */
+class QueryJsonSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+  private def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+
+  test("parseInterval accepts date-only, offset-less, and offset forms") {
+    val dateOnly = QueryJson.parseInterval("2011-01-01/2011-01-02")
+    assert(dateOnly.startMs == ms("2011-01-01T00:00:00Z"))
+    assert(dateOnly.endMs == ms("2011-01-02T00:00:00Z"))
+
+    val offsetless = QueryJson.parseInterval("2011-01-01T06:30:00/2011-01-01T07:00:00")
+    assert(offsetless.startMs == ms("2011-01-01T06:30:00Z"))
+
+    val negOffset = QueryJson.parseInterval(
+      "2020-01-01T00:00:00-05:00/2020-01-02T00:00:00-05:00")
+    assert(negOffset.startMs == ms("2020-01-01T05:00:00Z"))
+
+    val zulu = QueryJson.parseInterval("2020-01-01T00:00:00Z/2020-01-02T00:00:00Z")
+    assert(zulu.startMs == ms("2020-01-01T00:00:00Z"))
+
+    val posOffset = QueryJson.parseInterval(
+      "2020-01-01T05:30:00+05:30/2020-01-02T05:30:00+05:30")
+    assert(posOffset.startMs == ms("2020-01-01T00:00:00Z"))
+  }
+
+  test("duration granularity carries raw millis (incl. sub-second)") {
+    def gran(ms: Long): Granularity =
+      QueryJson.parseGranularity(mapper.readTree(s"""{"type":"duration","duration":$ms}"""))
+    assert(gran(1500) == Granularity.Period("PT1.5S", None, None))
+    assert(gran(500) == Granularity.Period("PT0.5S", None, None))
+    assert(gran(60000) == Granularity.Period("PT60S", None, None))
+    import graft.functions.TimeFunctions
+    assert(TimeFunctions.parsePeriod("PT1.5S").millis == 1500L)
+    assert(TimeFunctions.parsePeriod("PT0.5S").millis == 500L)
+  }
+
+  test("search specs default caseSensitive=false (Jackson primitive default)") {
+    def filt(json: String): DimFilter =
+      QueryJson.parseFilter(mapper.readTree(json))
+    assert(filt("""{"type":"search","dimension":"d","query":{"type":"contains","value":"X"}}""")
+      == DimFilter.Search("d", Seq("X"), caseSensitive = false))
+    assert(filt("""{"type":"search","dimension":"d","query":{"type":"contains","value":"X","caseSensitive":true}}""")
+      == DimFilter.Search("d", Seq("X"), caseSensitive = true))
+    assert(filt("""{"type":"search","dimension":"d","query":{"type":"fragment","values":["a","b"]}}""")
+      == DimFilter.Search("d", Seq("a", "b"), caseSensitive = false))
+  }
+}
