@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     CoreQueries.all ++ FilterQueries.all ++ JoinQueries.all ++ AggQueries.all ++
-      ScalarQueries.all ++ MvdQueries.all ++ SketchQueries.all ++ PipelineQueries.all ++
+      ScalarQueries.all ++ MvdQueries.all ++ SketchQueries.all ++
+      PipelineQueries.all ++ PipelineQueries2.all ++
       NativeQueries.all ++ NativeQueries2.all ++ SupersetQueries.all ++
       IngestQueries.all
 
