@@ -13,7 +13,8 @@ object SparkEntry {
     CoreQueries.all ++ FilterQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       ScalarQueries.all ++ MvdQueries.all ++ SketchQueries.all ++
       PipelineQueries.all ++ PipelineQueries2.all ++
-      NativeQueries.all ++ NativeQueries2.all ++ SupersetQueries.all ++
+      NativeQueries.all ++ NativeQueries2.all ++ NativeQueries3.all ++
+      SupersetQueries.all ++
       IngestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

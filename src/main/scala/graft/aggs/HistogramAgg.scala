@@ -1,0 +1,72 @@
+package graft.aggs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Fixed-buckets histogram aggregation
+  * (reference extensions-core/histogram/.../FixedBucketsHistogramAggregator.java)
+  * as a declarative Column build: the histogram is a self-describing
+  * struct (lower, upper, buckets, lowerOutlier, upperOutlier, count),
+  * each bucket a codegen'd conditional count — partial/final merge and
+  * spill come from Spark's hash aggregation for free, so the operator
+  * scales exactly like any sum.
+  *
+  * Quantiles interpolate linearly inside the covering bucket, matching
+  * the reference's FixedBucketsHistogram.percentilesFloat.
+  */
+object HistogramAgg {
+
+  /** aggregate expression: fixed-buckets histogram of `v`.
+    * mode: ignore (drop outliers), overflow (track, don't bucket),
+    * clip (clamp into edge buckets). */
+  def fixedHistogram(
+      v: Column, lower: Double, upper: Double, numBuckets: Int,
+      mode: String = "ignore"): Column = {
+    require(upper > lower && numBuckets > 0, "bad histogram bounds")
+    val width = (upper - lower) / numBuckets
+    val raw = floor((v.cast("double") - lower) / width).cast("int")
+    val idx = mode match {
+      case "clip" => least(greatest(raw, lit(0)), lit(numBuckets - 1))
+      case _ => raw
+    }
+    val counted = mode match {
+      case "clip" => v.isNotNull
+      case _ => v.isNotNull && raw >= 0 && raw < numBuckets
+    }
+    val buckets = array((0 until numBuckets).map(i =>
+      count(when(counted && idx === i, 1))): _*)
+    struct(
+      lit(lower).as("lower"), lit(upper).as("upper"), buckets.as("buckets"),
+      count(when(v.isNotNull && raw < 0, 1)).as("lowerOutlier"),
+      count(when(v.isNotNull && raw >= numBuckets, 1)).as("upperOutlier"),
+      count(when(counted, 1)).as("count"))
+  }
+
+  /** interpolated quantile over a fixedHistogram struct: rank
+    * p*total falls in the first bucket whose cumulative count reaches
+    * it; interpolate linearly within. Null when the histogram is empty. */
+  def histogramQuantile(h: Column, p: Double): Column = {
+    val counts = h.getField("buckets")
+    val lower = h.getField("lower")
+    val width = (h.getField("upper") - lower) / size(counts)
+    val total = h.getField("count").cast("double")
+    val rank = lit(p) * total
+    // single left-to-right scan: (pos, cum, foundIdx, cumBefore)
+    val scan = aggregate(
+      counts,
+      struct(lit(0).as("pos"), lit(0L).as("cum"),
+        lit(-1).as("idx"), lit(0L).as("cumBefore")),
+      (acc, c) => {
+        val newCum = acc.getField("cum") + c
+        val hit = acc.getField("idx") === -1 && newCum.cast("double") >= rank
+        struct(
+          (acc.getField("pos") + 1).as("pos"), newCum.as("cum"),
+          when(hit, acc.getField("pos")).otherwise(acc.getField("idx")).as("idx"),
+          when(hit, acc.getField("cum")).otherwise(acc.getField("cumBefore")).as("cumBefore"))
+      })
+    val i = scan.getField("idx")
+    val cBucket = element_at(counts, i + 1).cast("double")
+    when(total > 0 && i >= 0 && cBucket > 0,
+      lower + width * (i + (rank - scan.getField("cumBefore")) / cBucket))
+  }
+}

@@ -83,4 +83,9 @@ object sketches {
   def kllSketch(c: Column): Column = KllDoublesAgg(c)
   def kllQuantile(bin: Column, rank: Column): Column = toCol(KllQuantile(toExpr(bin), toExpr(rank)))
   def kllRank(bin: Column, value: Column): Column = toCol(KllRank(toExpr(bin), toExpr(value)))
+  def tupleSketch(key: Column, values: Column, numValues: Int): Column =
+    TupleSketchAgg(key, values, numValues)
+  def tupleEstimate(c: Column): Column = toCol(TupleEstimate(toExpr(c)))
+  def tupleMetricSum(bin: Column, idx: Column): Column =
+    toCol(TupleMetricSum(toExpr(bin), toExpr(idx)))
 }

@@ -1,0 +1,155 @@
+package graft.aggs
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.tuple.arrayofdoubles.{
+  ArrayOfDoublesCompactSketch, ArrayOfDoublesSetOperationBuilder,
+  ArrayOfDoublesSketch, ArrayOfDoublesSketches, ArrayOfDoublesUnion,
+  ArrayOfDoublesUpdatableSketch, ArrayOfDoublesUpdatableSketchBuilder}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ArrayOfDoubles "tuple" sketch aggregate — the Spark analog of the
+  * reference's tuple sketch
+  * (extensions-core/datasketches/.../tuple/ArrayOfDoublesSketchAggregatorFactory.java):
+  * a theta-style distinct sample over `key` that carries, for each
+  * retained key, the element-wise SUM of a double-array of metrics.
+  *
+  * Buffer = an updatable sketch for raw rows + a union allocated only
+  * when partials merge; a BinaryType key folds pre-aggregated sketch
+  * columns (rollup lifecycle, like ThetaSketchAgg). Post-aggs below
+  * mirror the reference's estimate / metric-sum operators.
+  */
+case class TupleSketchAgg(
+    left: Expression, // key: string/long, or binary = pre-built sketch
+    right: Expression, // values: array<double>
+    numValues: Int = 1,
+    lgNomEntries: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TupleSketchAgg.Buf] with BinaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TupleSketchAgg.Buf =
+    new TupleSketchAgg.Buf(numValues, 1 << lgNomEntries)
+
+  override def update(buffer: TupleSketchAgg.Buf, input: InternalRow): TupleSketchAgg.Buf = {
+    val k = left.eval(input)
+    if (k != null) left.dataType match {
+      case BinaryType =>
+        buffer.unionWith(ArrayOfDoublesSketches.wrapSketch(
+          Memory.wrap(k.asInstanceOf[Array[Byte]])))
+      case _ =>
+        val vs = right.eval(input)
+        if (vs != null) {
+          val arr = vs.asInstanceOf[ArrayData].toDoubleArray()
+          left.dataType match {
+            case StringType => buffer.sk.update(k.asInstanceOf[UTF8String].toString, arr)
+            case LongType => buffer.sk.update(k.asInstanceOf[Long], arr)
+            case IntegerType => buffer.sk.update(k.asInstanceOf[Int].toLong, arr)
+            case dt => throw new UnsupportedOperationException(s"tuple sketch key $dt")
+          }
+        }
+    }
+    buffer
+  }
+
+  override def merge(buffer: TupleSketchAgg.Buf, other: TupleSketchAgg.Buf): TupleSketchAgg.Buf = {
+    buffer.unionWith(other.result)
+    buffer
+  }
+
+  override def eval(buffer: TupleSketchAgg.Buf): Any = buffer.result.toByteArray
+
+  override def serialize(buffer: TupleSketchAgg.Buf): Array[Byte] =
+    buffer.result.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): TupleSketchAgg.Buf = {
+    val b = createAggregationBuffer()
+    b.unionWith(ArrayOfDoublesSketches.wrapSketch(Memory.wrap(bytes)))
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TupleSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TupleSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TupleSketchAgg =
+    copy(left = l, right = r)
+  override def prettyName: String = "ds_tuple"
+}
+
+object TupleSketchAgg {
+  /** raw-row sketch + union lazily allocated for merges; `result`
+    * always unions into a FRESH union so repeated reads never
+    * double-sum values. */
+  final class Buf(numValues: Int, nomEntries: Int) {
+    val sk: ArrayOfDoublesUpdatableSketch =
+      new ArrayOfDoublesUpdatableSketchBuilder()
+        .setNumberOfValues(numValues).setNominalEntries(nomEntries).build()
+    private var merged: ArrayOfDoublesUnion = _
+
+    def unionWith(other: ArrayOfDoublesSketch): Unit = {
+      if (merged == null) merged = newUnion()
+      merged.union(other)
+    }
+
+    def result: ArrayOfDoublesCompactSketch =
+      if (merged == null) sk.compact()
+      else {
+        val u = newUnion()
+        u.union(merged.getResult)
+        u.union(sk.compact())
+        u.getResult
+      }
+
+    private def newUnion(): ArrayOfDoublesUnion =
+      new ArrayOfDoublesSetOperationBuilder()
+        .setNumberOfValues(numValues).setNominalEntries(nomEntries).buildUnion()
+  }
+
+  def apply(key: Column, values: Column, numValues: Int): Column =
+    graft.exprs.toCol(
+      TupleSketchAgg(graft.exprs.toExpr(key), graft.exprs.toExpr(values),
+        numValues).toAggregateExpression())
+}
+
+/** distinct-key estimate of a tuple sketch binary. */
+case class TupleEstimate(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    ArrayOfDoublesSketches.wrapSketch(
+      Memory.wrap(v.asInstanceOf[Array[Byte]])).getEstimate
+  override protected def withNewChildInternal(c: Expression): TupleEstimate = copy(c)
+  override def prettyName: String = "tuple_sketch_estimate"
+}
+
+/** sum of metric column `idx` over retained entries (reference
+  * ArrayOfDoublesSketchToMetricsSumEstimate post-agg, exact when the
+  * sketch is in exact mode). */
+case class TupleMetricSum(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(bin: Any, idx: Any): Any = {
+    val sk = ArrayOfDoublesSketches.wrapSketch(
+      Memory.wrap(bin.asInstanceOf[Array[Byte]]))
+    val i = idx.asInstanceOf[Int]
+    val it = sk.iterator()
+    var s = 0.0
+    while (it.next()) s += it.getValues()(i)
+    // scale up by 1/theta for estimated mode (exact mode: theta = 1)
+    s / sk.getTheta
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TupleMetricSum =
+    copy(left = l, right = r)
+  override def prettyName: String = "tuple_sketch_metric_sum"
+}

@@ -78,6 +78,21 @@ object ExtractionFn {
   case object Lower extends ExtractionFn
   case object Upper extends ExtractionFn
   case object Strlen extends ExtractionFn
+  /** numeric bucketing (reference BucketExtractionFn): floor to a
+    * size-aligned bucket start, offset-shifted. */
+  final case class Bucket(size: Double, offset: Double) extends ExtractionFn
+  /** printf-style reformat (reference StringFormatExtractionFn). */
+  final case class StringFormat(format: String) extends ExtractionFn
+  /** value kept when the regex FINDS a match, else null (reference
+    * MatchingDimExtractionFn). */
+  final case class RegexMatch(pattern: String) extends ExtractionFn
+  /** value kept when it contains the search target, else null
+    * (reference SearchQuerySpecDimExtractionFn). */
+  final case class SearchQuery(value: String, caseSensitive: Boolean) extends ExtractionFn
+  /** left-to-right composition (reference CascadeExtractionFn). */
+  final case class Cascade(fns: Seq[ExtractionFn]) extends ExtractionFn
+  /** registered-lookup mapping (reference RegisteredLookupExtractionFn). */
+  final case class RegisteredLookup(lookup: String, retainMissing: Boolean) extends ExtractionFn
 }
 
 sealed trait Aggregator { def name: String }
@@ -101,6 +116,11 @@ object Aggregator {
   final case class Variance(name: String, fieldName: String, population: Boolean) extends Aggregator
   final case class ThetaSketch(name: String, fieldName: String) extends Aggregator
   final case class KllSketch(name: String, fieldName: String) extends Aggregator
+  /** fixed-buckets histogram (reference FixedBucketsHistogramAggregatorFactory):
+    * outlierHandlingMode ∈ ignore | overflow | clip. */
+  final case class FixedBucketsHistogram(
+      name: String, fieldName: String, lowerLimit: Double, upperLimit: Double,
+      numBuckets: Int, outlierHandlingMode: String) extends Aggregator
 }
 
 sealed trait PostAggregator { def name: String }
@@ -115,6 +135,16 @@ object PostAggregator {
   final case class ThetaEstimate(name: String, field: PostAggregator) extends PostAggregator
   final case class KllToQuantile(
       name: String, field: PostAggregator, fraction: Double) extends PostAggregator
+  /** interpolated quantile over a fixedBucketsHistogram column
+    * (reference histogram QuantilePostAggregator). */
+  final case class HistogramQuantile(
+      name: String, field: PostAggregator, probability: Double) extends PostAggregator
+  /** sqrt of a variance agg (reference StandardDeviationPostAggregator). */
+  final case class StdDev(name: String, field: PostAggregator) extends PostAggregator
+  /** two-sample z-test score (reference teststats ZtestPostAggregator). */
+  final case class ZScore2Sample(
+      name: String, successCount1: PostAggregator, sample1: PostAggregator,
+      successCount2: PostAggregator, sample2: PostAggregator) extends PostAggregator
 }
 
 sealed trait HavingSpec

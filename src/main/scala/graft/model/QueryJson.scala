@@ -200,6 +200,24 @@ object QueryJson {
     case "lower" => ExtractionFn.Lower
     case "upper" => ExtractionFn.Upper
     case "strlen" => ExtractionFn.Strlen
+    case "bucket" => ExtractionFn.Bucket(
+      Option(n.get("size")).map(_.asDouble()).getOrElse(1.0),
+      Option(n.get("offset")).map(_.asDouble()).getOrElse(0.0))
+    case "stringFormat" => ExtractionFn.StringFormat(str(n, "format"))
+    case "partial" => ExtractionFn.RegexMatch(str(n, "expr"))
+    case "searchQuery" =>
+      val q = n.get("query")
+      str(q, "type") match {
+        case "contains" => ExtractionFn.SearchQuery(
+          str(q, "value"), boolOpt(q, "caseSensitive").getOrElse(false))
+        case "insensitive_contains" =>
+          ExtractionFn.SearchQuery(str(q, "value"), caseSensitive = false)
+        case t => throw new UnsupportedOperationException(s"searchQuery spec $t")
+      }
+    case "cascade" => ExtractionFn.Cascade(
+      arr(n, "extractionFns").map(parseExtractionFn))
+    case "registeredLookup" => ExtractionFn.RegisteredLookup(
+      str(n, "lookup"), boolOpt(n, "retainMissingValue").getOrElse(false))
     case t => throw new UnsupportedOperationException(s"extractionFn type $t")
   }
 
@@ -280,6 +298,11 @@ object QueryJson {
         strOpt(n, "estimator").contains("population"))
       case "thetaSketch" => Aggregator.ThetaSketch(nm, f)
       case "quantilesDoublesSketch" | "KllDoublesSketch" => Aggregator.KllSketch(nm, f)
+      case "HLLSketchBuild" | "HLLSketchMerge" => Aggregator.Cardinality(nm, Seq(f))
+      case "fixedBucketsHistogram" => Aggregator.FixedBucketsHistogram(
+        nm, f, n.get("lowerLimit").asDouble(), n.get("upperLimit").asDouble(),
+        n.get("numBuckets").asInt(),
+        strOpt(n, "outlierHandlingMode").getOrElse("ignore").toLowerCase)
       case t => throw new UnsupportedOperationException(s"aggregator type $t")
     }
   }
@@ -301,6 +324,18 @@ object QueryJson {
         nm, parsePostAggregator(n.get("field")))
       case "quantilesDoublesSketchToQuantile" => PostAggregator.KllToQuantile(
         nm, parsePostAggregator(n.get("field")), n.get("fraction").asDouble())
+      case "quantile" => PostAggregator.HistogramQuantile(
+        nm,
+        strOpt(n, "fieldName").map(PostAggregator.FieldAccess("", _))
+          .getOrElse(parsePostAggregator(n.get("field"))),
+        n.get("probability").asDouble())
+      case "stddev" => PostAggregator.StdDev(
+        nm, PostAggregator.FieldAccess("", str(n, "fieldName")))
+      case "zscore2sample" => PostAggregator.ZScore2Sample(
+        nm, parsePostAggregator(n.get("successCount1")),
+        parsePostAggregator(n.get("sample1")),
+        parsePostAggregator(n.get("successCount2")),
+        parsePostAggregator(n.get("sample2")))
       case t => throw new UnsupportedOperationException(s"postAggregator type $t")
     }
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.ArrayType
 
-import graft.aggs.sketches
+import graft.aggs.{sketches, HistogramAgg}
 import graft.functions.{DruidExpressions, DruidFunctions, TimeFunctions}
 import graft.model._
 
@@ -164,6 +164,8 @@ class NativePlanner(
       (if (pop) var_pop(col(f)) else var_samp(col(f))).as(n)
     case Aggregator.ThetaSketch(n, f) => sketches.thetaSketch(col(f)).as(n)
     case Aggregator.KllSketch(n, f) => sketches.kllSketch(col(f)).as(n)
+    case Aggregator.FixedBucketsHistogram(n, f, lo, hi, buckets, mode) =>
+      HistogramAgg.fixedHistogram(col(f), lo, hi, buckets, mode).as(n)
   }
 
   /** FILTER-clause rewrite of a wrapped aggregator
@@ -208,6 +210,17 @@ class NativePlanner(
       sketches.thetaEstimate(postAggToColumn(f)).as(n)
     case PostAggregator.KllToQuantile(n, f, frac) =>
       sketches.kllQuantile(postAggToColumn(f), lit(frac)).as(n)
+    case PostAggregator.HistogramQuantile(n, f, p) =>
+      HistogramAgg.histogramQuantile(postAggToColumn(f), p).as(n)
+    case PostAggregator.StdDev(n, f) =>
+      sqrt(postAggToColumn(f)).as(n)
+    case PostAggregator.ZScore2Sample(n, s1, n1, s2, n2) =>
+      val p1 = postAggToColumn(s1).cast("double") / postAggToColumn(n1).cast("double")
+      val p2 = postAggToColumn(s2).cast("double") / postAggToColumn(n2).cast("double")
+      val se = sqrt(
+        p1 * (lit(1.0) - p1) / postAggToColumn(n1).cast("double") +
+        p2 * (lit(1.0) - p2) / postAggToColumn(n2).cast("double"))
+      ((p1 - p2) / se).as(n)
   }
 
   private def havingToColumn(h: HavingSpec): Column = h match {
@@ -224,18 +237,31 @@ class NativePlanner(
   /** dimension output column, applying extractionFns and the MVD
     * convention (ArrayType dims explode at groupBy — handled by caller). */
   private def dimColumn(df: DataFrame, d: DimensionSpec): Column = {
-    val c = col(d.dimension)
     val extracted = d.extractionFn match {
-      case None => c
-      case Some(ExtractionFn.Lower) => lower(c)
-      case Some(ExtractionFn.Upper) => upper(c)
-      case Some(ExtractionFn.Strlen) => length(c).cast("string")
-      case Some(ExtractionFn.Substring(i, len)) =>
-        len.map(l => substring(c, i + 1, l)).getOrElse(expr(s"substring(${d.dimension}, ${i + 1})"))
-      case Some(ExtractionFn.RegexExtract(r)) => regexp_extract(c, r, 1)
-      case Some(ExtractionFn.TimeFormat(fmt)) => date_format(c, fmt)
+      case None => col(d.dimension)
+      case Some(fn) => extractionColumn(col(d.dimension), fn)
     }
     extracted.as(d.outputName)
+  }
+
+  private[planner] def extractionColumn(c: Column, fn: ExtractionFn): Column = fn match {
+    case ExtractionFn.Lower => lower(c)
+    case ExtractionFn.Upper => upper(c)
+    case ExtractionFn.Strlen => length(c).cast("string")
+    case ExtractionFn.Substring(i, len) =>
+      len.map(l => substring(c, i + 1, l)).getOrElse(substring(c, i + 1, Int.MaxValue))
+    case ExtractionFn.RegexExtract(r) => regexp_extract(c, r, 1)
+    case ExtractionFn.TimeFormat(fmt) => date_format(c, fmt)
+    case ExtractionFn.Bucket(sz, off) =>
+      (floor((c.cast("double") - off) / sz) * sz + off).cast("string")
+    case ExtractionFn.StringFormat(fmt) => format_string(fmt, c)
+    case ExtractionFn.RegexMatch(p) => when(c.rlike(p), c)
+    case ExtractionFn.SearchQuery(v, cs) =>
+      when(if (cs) c.contains(v) else lower(c).contains(v.toLowerCase), c)
+    case ExtractionFn.Cascade(fns) => fns.foldLeft(c)(extractionColumn)
+    case ExtractionFn.RegisteredLookup(name, retain) =>
+      val mapped = graft.functions.LookupRegistry.lookup(c, name)
+      if (retain) coalesce(mapped, c) else mapped
   }
 
   /** explode ArrayType (MVD) dims before grouping — the reference's

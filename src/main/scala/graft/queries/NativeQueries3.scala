@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.Tables
+import graft.aggs.HistogramAgg
+import graft.planner.NativePlanner
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Third native coverage batch: the histogram extension
+  * (fixedBucketsHistogram agg + quantile post-agg), the stats
+  * extension's z-test + stddev post-aggs — each oracle-replicated in
+  * plain SQL (bucketing formula, interpolation, z formula).
+  */
+object NativeQueries3 {
+
+  private def planner(s: SparkSession, d: String): NativePlanner =
+    new NativePlanner(s, {
+      case "events" => Tables.events(s, d).withColumnRenamed("ts", "__time")
+      case name => Tables.t(s, d, name)
+    })
+
+  /** fixed-buckets histogram counts (clip mode) exploded per group —
+    * grades the bucketing formula + clamp semantics. */
+  val aggFixedHistogram: Q = q(
+    "agg_fixed_histogram",
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |         LEAST(GREATEST(CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0) AS INT), 0), 9) AS bucket
+      |  FROM lineitem),
+      |grid AS (
+      |  SELECT l_returnflag, CAST(i AS INT) AS bucket
+      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem), range(0, 10) t(i)),
+      |c AS (SELECT l_returnflag, bucket, count(*) AS cnt FROM b GROUP BY 1, 2)
+      |SELECT grid.l_returnflag, grid.bucket,
+      |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |FROM grid LEFT JOIN c ON grid.l_returnflag = c.l_returnflag AND grid.bucket = c.bucket
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(HistogramAgg.fixedHistogram(
+        col("l_quantity"), 0.0, 50.0, 10, "clip").as("h"))
+      .select(col("l_returnflag"),
+        posexplode(col("h").getField("buckets")).as(Seq("bucket", "cnt")))
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
+  /** histogram quantile post-agg (linear interpolation inside the
+    * covering bucket) via the JSON wire format. */
+  val nativeHistogramQuantile: Q = q(
+    "native_histogram_quantile",
+    """WITH b AS (
+      |  SELECT event_type,
+      |         CAST(floor(value / 50.0) AS INT) AS bucket
+      |  FROM events WHERE value >= 0 AND CAST(floor(value / 50.0) AS INT) < 10),
+      |grid AS (
+      |  SELECT event_type, CAST(i AS INT) AS bucket
+      |  FROM (SELECT DISTINCT event_type FROM events), range(0, 10) t(i)),
+      |c AS (
+      |  SELECT grid.event_type, grid.bucket, CAST(coalesce(n.cnt, 0) AS BIGINT) AS cnt
+      |  FROM grid LEFT JOIN (SELECT event_type, bucket, count(*) AS cnt
+      |                       FROM b GROUP BY 1, 2) n
+      |    ON grid.event_type = n.event_type AND grid.bucket = n.bucket),
+      |cum AS (
+      |  SELECT event_type, bucket, cnt,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS total
+      |  FROM c),
+      |sel AS (SELECT *, cum - cnt AS cum_before FROM cum),
+      |h50 AS (SELECT event_type, min(bucket) AS b FROM sel WHERE cum >= 0.5 * total GROUP BY 1),
+      |h90 AS (SELECT event_type, min(bucket) AS b FROM sel WHERE cum >= 0.9 * total GROUP BY 1)
+      |SELECT s.event_type,
+      |       round(50.0 * (s.bucket + (0.5 * s.total - s.cum_before) / s.cnt), 4) AS p50,
+      |       round(50.0 * (t.bucket + (0.9 * t.total - t.cum_before) / t.cnt), 4) AS p90
+      |FROM sel s
+      |JOIN h50 ON s.event_type = h50.event_type AND s.bucket = h50.b
+      |JOIN sel t ON t.event_type = s.event_type
+      |JOIN h90 ON t.event_type = h90.event_type AND t.bucket = h90.b
+      |ORDER BY s.event_type""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [
+        |    {"type": "fixedBucketsHistogram", "name": "h", "fieldName": "value",
+        |     "lowerLimit": 0.0, "upperLimit": 500.0, "numBuckets": 10,
+        |     "outlierHandlingMode": "ignore"}
+        |  ],
+        |  "postAggregations": [
+        |    {"type": "quantile", "name": "p50", "fieldName": "h", "probability": 0.5},
+        |    {"type": "quantile", "name": "p90", "fieldName": "h", "probability": 0.9}
+        |  ],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+      .select(col("event_type"), round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"))
+  }
+
+  /** two-sample z-test + stddev post-aggs (stats extension) via JSON:
+    * conversion-rate z-score between two event types. */
+  val nativeZtest: Q = q(
+    "native_ztest",
+    """WITH a AS (
+      |  SELECT CAST(count(*) FILTER (WHERE event_type = 'click' AND value > 200) AS DOUBLE) AS s1,
+      |         CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS n1,
+      |         CAST(count(*) FILTER (WHERE event_type = 'view' AND value > 200) AS DOUBLE) AS s2,
+      |         CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS n2,
+      |         var_samp(value) AS v
+      |  FROM events)
+      |SELECT round((s1/n1 - s2/n2) /
+      |             sqrt((s1/n1)*(1 - s1/n1)/n1 + (s2/n2)*(1 - s2/n2)/n2), 6) AS zscore,
+      |       round(sqrt(v), 6) AS sd
+      |FROM a""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "timeseries",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "aggregations": [
+        |    {"type": "filtered",
+        |     "filter": {"type": "and", "fields": [
+        |       {"type": "selector", "dimension": "event_type", "value": "click"},
+        |       {"type": "bound", "dimension": "value", "lower": "200",
+        |        "lowerStrict": true, "ordering": "numeric"}]},
+        |     "aggregator": {"type": "count", "name": "s1"}},
+        |    {"type": "filtered",
+        |     "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+        |     "aggregator": {"type": "count", "name": "n1"}},
+        |    {"type": "filtered",
+        |     "filter": {"type": "and", "fields": [
+        |       {"type": "selector", "dimension": "event_type", "value": "view"},
+        |       {"type": "bound", "dimension": "value", "lower": "200",
+        |        "lowerStrict": true, "ordering": "numeric"}]},
+        |     "aggregator": {"type": "count", "name": "s2"}},
+        |    {"type": "filtered",
+        |     "filter": {"type": "selector", "dimension": "event_type", "value": "view"},
+        |     "aggregator": {"type": "count", "name": "n2"}},
+        |    {"type": "variance", "name": "v", "fieldName": "value"}
+        |  ],
+        |  "postAggregations": [
+        |    {"type": "zscore2sample", "name": "zscore",
+        |     "successCount1": {"type": "fieldAccess", "fieldName": "s1"},
+        |     "sample1": {"type": "fieldAccess", "fieldName": "n1"},
+        |     "successCount2": {"type": "fieldAccess", "fieldName": "s2"},
+        |     "sample2": {"type": "fieldAccess", "fieldName": "n2"}},
+        |    {"type": "stddev", "name": "sd", "fieldName": "v"}
+        |  ]
+        |}""".stripMargin)
+      .select(round(col("zscore"), 6).as("zscore"), round(col("sd"), 6).as("sd"))
+  }
+
+  /** bucket / stringFormat / cascade extraction fns on dimensions
+    * (reference BucketExtractionFn, StringFormatExtractionFn,
+    * CascadeExtractionFn) via the JSON wire format. */
+  val nativeExtractionMore: Q = q(
+    "native_extraction_more",
+    """SELECT CAST(floor(value / 100.0) * 100.0 + 0.0 AS VARCHAR) AS vb,
+      |       printf('%s!', upper(substr(event_type, 1, 2))) AS et2,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": [
+        |    {"type": "extraction", "dimension": "value", "outputName": "vb",
+        |     "extractionFn": {"type": "bucket", "size": 100.0, "offset": 0.0}},
+        |    {"type": "extraction", "dimension": "event_type", "outputName": "et2",
+        |     "extractionFn": {"type": "cascade", "extractionFns": [
+        |       {"type": "substring", "index": 0, "length": 2},
+        |       {"type": "upper"},
+        |       {"type": "stringFormat", "format": "%s!"}]}}
+        |  ],
+        |  "aggregations": [{"type": "count", "name": "cnt"}],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "vb", "direction": "ascending"},
+        |    {"dimension": "et2", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(
+    aggFixedHistogram, nativeHistogramQuantile, nativeZtest, nativeExtractionMore)
+}

@@ -126,7 +126,31 @@ object SketchQueries {
         .toAggregateExpression())
   }
 
+  /** ArrayOfDoubles tuple sketch: theta-style distinct keys carrying
+    * element-wise metric sums (reference datasketches tuple extension).
+    * lgK=14 keeps the sketch exact at verification scale, so estimate
+    * and metric sum hash-match exact SQL; 2dp rounding absorbs
+    * summation-order FP noise. */
+  val sketchTupleContract: Q = q(
+    "sketch_tuple_contract",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS tuple_users,
+      |       round(sum(value), 2) AS tuple_value_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    val sk = graft.exprs.toCol(graft.aggs.TupleSketchAgg(
+      graft.exprs.toExpr(col("user_id")),
+      graft.exprs.toExpr(array(col("value"))),
+      numValues = 1, lgNomEntries = 14).toAggregateExpression())
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(sk.as("sk"))
+      .select(col("event_type"),
+        round(tupleEstimate(col("sk"))).cast("long").as("tuple_users"),
+        round(tupleMetricSum(col("sk"), lit(0)), 2).as("tuple_value_sum"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     sketchThetaDistinct, sketchThetaSetops, sketchKllQuantiles, sketchHllContract,
-    sketchBloomProbe)
+    sketchBloomProbe, sketchTupleContract)
 }

@@ -71,6 +71,44 @@ class SketchSpec extends SparkSpec {
     assert(viaSql)
   }
 
+  test("tuple (ArrayOfDoubles) sketch: exact distinct + metric sums, mergeable") {
+    // 1000 keys × 3 rows each across 8 partitions; values (1.0, k)
+    val df = spark.range(0, 3000).repartition(8)
+      .select((col("id") % 1000).as("k"),
+        array(lit(1.0), (col("id") % 1000).cast("double")).as("vals"))
+    val r = df.agg(
+      graft.exprs.toCol(graft.aggs.TupleSketchAgg(
+        graft.exprs.toExpr(col("k")), graft.exprs.toExpr(col("vals")),
+        numValues = 2, lgNomEntries = 12).toAggregateExpression()).as("sk"))
+      .select(
+        sketches.tupleEstimate(col("sk")).as("est"),
+        sketches.tupleMetricSum(col("sk"), lit(0)).as("rows"),
+        sketches.tupleMetricSum(col("sk"), lit(1)).as("ksum"))
+      .collect()(0)
+    assert(r.getDouble(0) == 1000.0) // exact below nominal entries
+    assert(r.getDouble(1) == 3000.0) // each row contributes 1.0
+    assert(r.getDouble(2) == 3.0 * (0 until 1000).sum) // per-key k summed 3x
+  }
+
+  test("tuple sketch folds pre-aggregated sketch binaries") {
+    val part = spark.range(0, 200)
+      .select((col("id") % 50).as("k"), array(lit(2.0)).as("vals"),
+        (col("id") % 4).as("g"))
+      .groupBy(col("g"))
+      .agg(graft.exprs.toCol(graft.aggs.TupleSketchAgg(
+        graft.exprs.toExpr(col("k")), graft.exprs.toExpr(col("vals")),
+        numValues = 1, lgNomEntries = 12).toAggregateExpression()).as("sk"))
+    val folded = part.agg(
+      graft.exprs.toCol(graft.aggs.TupleSketchAgg(
+        graft.exprs.toExpr(col("sk")), graft.exprs.toExpr(lit(null)),
+        numValues = 1, lgNomEntries = 12).toAggregateExpression()).as("sk2"))
+      .select(sketches.tupleEstimate(col("sk2")).as("est"),
+        sketches.tupleMetricSum(col("sk2"), lit(0)).as("s"))
+      .collect()(0)
+    assert(folded.getDouble(0) == 50.0)
+    assert(folded.getDouble(1) == 400.0) // 200 rows × 2.0
+  }
+
   test("SQL surface: ds_theta / theta_sketch_estimate / ds_kll / kll_quantile") {
     spark.range(0, 5000).select((col("id") % 700).as("k"), col("id").cast("double").as("v"))
       .createOrReplaceTempView("sk_t")
