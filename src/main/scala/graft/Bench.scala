@@ -66,15 +66,19 @@ object Bench {
           .agg(count(lit(1)).as("pairs"))),
       "native_groupby" -> q("native_groupby"))
 
-    // warmup: touch every table (file listing + footer caches) and
-    // exercise codegen/agg/join machinery
+    // warmup: touch every table (file listing + footer caches), then run
+    // each headline query once so the timed pass measures steady-state
+    // execution, not Catalyst planning + codegen compilation — the same
+    // methodology as the reference's JMH suite (warmup iterations
+    // before measurement).
     Tables.all.foreach { t =>
       val df = if (t == "events") Tables.events(spark, sfDir)
         else Tables.t(spark, sfDir, t)
       run(df.agg(count(lit(1))))
     }
-    run(q("groupby_pricing_summary")(spark, sfDir))
-    run(q("join_broadcast_inner")(spark, sfDir))
+    headline.foreach { case (_, fn) =>
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
 
     val results = headline.map { case (name, fn) =>
       val sec = try time(run(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, SparkEntry, Tables}
+
+/** scratch profiler: time named SparkEntry queries or ad-hoc variants
+  * repeatedly on a given sf dir. Not part of the driver contract. */
+object Profile {
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+  private def run(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("PROFILE_SHUFFLE", cpus))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("PROFILE_AQE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.setup(spark)
+    val q = SparkEntry.queries
+    val names = args.toSeq
+    // warm
+    names.foreach(n => run(q(n)(spark, sfDir)))
+    names.foreach { n =>
+      val ts = (1 to 3).map(_ => time(run(q(n)(spark, sfDir))))
+      println(f"[profile] $n%-28s ${ts.min}%.3f min / ${ts.sum / 3}%.3f avg")
+    }
+    if (sys.env.contains("PROFILE_EXPLAIN"))
+      names.foreach { n =>
+        println(s"=== $n"); q(n)(spark, sfDir).explain("formatted")
+      }
+    spark.stop()
+  }
+}
