@@ -134,6 +134,13 @@ object DruidFunctions {
     fn("approx_count_distinct_ds_theta") { a =>
       ThetaEstimate(ThetaSketchAgg(a.head).toAggregateExpression())
     }
+    // tuple (ArrayOfDoubles) sketch: DS_TUPLE_DOUBLES(key, valuesArray[, numValues])
+    fn("ds_tuple_doubles") { a =>
+      graft.aggs.TupleSketchAgg(a.head, a(1),
+        a.lift(2).map(litInt).getOrElse(1)).toAggregateExpression()
+    }
+    fn("ds_tuple_doubles_estimate")(a => graft.aggs.TupleEstimate(a.head))
+    fn("ds_tuple_doubles_metrics_sum")(a => graft.aggs.TupleMetricSum(a.head, a(1)))
     // HLL names (reference datasketches hll ext) over Spark's
     // datasketches-backed hll_sketch_agg built-ins
     fn("ds_hll")(a => toExpr(hll_sketch_agg(toCol(a.head))))

@@ -66,9 +66,12 @@ object Granularity {
 }
 
 /** DimensionSpec (reference query/dimension/): dim reference with
-  * optional rename and extraction. */
+  * optional rename, extraction, and MVD element filter
+  * (ListFilteredDimensionSpec: whitelist/blacklist on array ELEMENTS
+  * before the implicit explode). */
 final case class DimensionSpec(
-    dimension: String, outputName: String, extractionFn: Option[ExtractionFn])
+    dimension: String, outputName: String, extractionFn: Option[ExtractionFn],
+    elementFilter: Option[(Seq[String], Boolean)] = None)
 
 sealed trait ExtractionFn
 object ExtractionFn {

@@ -188,6 +188,11 @@ object QueryJson {
         val d = str(n, "dimension")
         DimensionSpec(d, strOpt(n, "outputName").getOrElse(d),
           Some(parseExtractionFn(n.get("extractionFn"))))
+      case "listFiltered" =>
+        val delegate = parseDimensionSpec(n.get("delegate"))
+        delegate.copy(elementFilter = Some((
+          arr(n, "values").map(_.asText()),
+          boolOpt(n, "isWhitelist").getOrElse(true))))
       case t => throw new UnsupportedOperationException(s"dimensionSpec type $t")
     }
   }

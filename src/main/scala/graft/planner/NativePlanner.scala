@@ -270,7 +270,19 @@ class NativePlanner(
     dims.foldLeft(df0) { (df, d) =>
       df.schema.find(_.name == d.dimension) match {
         case Some(f) if f.dataType.isInstanceOf[ArrayType] =>
-          df.withColumn(d.dimension, explode_outer(col(d.dimension)))
+          // ListFilteredDimensionSpec: whitelist/blacklist ELEMENTS
+          // before the implicit explode (order/dup-preserving filter,
+          // like the reference's decorated selector).
+          val src = d.elementFilter match {
+            case Some((vals, isWhitelist)) =>
+              val lits = vals.map(lit)
+              filter(col(d.dimension), x => {
+                val hit = lits.map(x === _).reduceOption(_ || _).getOrElse(lit(false))
+                if (isWhitelist) hit else !hit
+              })
+            case None => col(d.dimension)
+          }
+          df.withColumn(d.dimension, explode_outer(src))
         case _ => df
       }
     }

@@ -184,6 +184,44 @@ object NativeQueries3 {
         |}""".stripMargin)
   }
 
+  /** listFiltered dimensionSpec: whitelist MVD ELEMENTS before the
+    * implicit explode (reference ListFilteredDimensionSpec); rows with
+    * no surviving element group under null, like the reference's
+    * empty-row handling. */
+  val nativeMvdListFiltered: Q = q(
+    "native_mvd_list_filtered",
+    """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(
+      |    CASE WHEN len(list_filter(string_split(text, ' '),
+      |                 x -> list_contains(['spark','data','query'], x))) = 0
+      |         THEN [CAST(NULL AS VARCHAR)]
+      |         ELSE list_filter(string_split(text, ' '),
+      |                 x -> list_contains(['spark','data','query'], x)) END) AS word
+      |  FROM documents
+      |) GROUP BY word""".stripMargin) { (s, d) =>
+    planner2(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "documents",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "virtualColumns": [
+        |    {"name": "words", "expression": "string_to_array(text, ' ')"}],
+        |  "dimensions": [
+        |    {"type": "listFiltered",
+        |     "delegate": {"type": "default", "dimension": "words", "outputName": "word"},
+        |     "values": ["spark", "data", "query"], "isWhitelist": true}
+        |  ],
+        |  "aggregations": [{"type": "count", "name": "cnt"}]
+        |}""".stripMargin)
+  }
+
+  /** documents/embeddings-capable planner (no __time column needed at
+    * granularity=all). */
+  private def planner2(s: SparkSession, d: String): NativePlanner =
+    new NativePlanner(s, name => Tables.t(s, d, name))
+
   val all: Seq[Q] = Seq(
-    aggFixedHistogram, nativeHistogramQuantile, nativeZtest, nativeExtractionMore)
+    aggFixedHistogram, nativeHistogramQuantile, nativeZtest, nativeExtractionMore,
+    nativeMvdListFiltered)
 }

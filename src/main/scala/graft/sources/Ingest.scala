@@ -103,6 +103,27 @@ object Ingest {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** input formats (reference data/input/impl: JsonInputFormat,
+    * CsvInputFormat, DelimitedInputFormat + parquet/orc extensions) —
+    * each a thin mapping onto the corresponding Spark reader so schema
+    * inference, pushdown, and splittability come from the source
+    * implementation. */
+  def readSource(
+      spark: SparkSession, path: String, format: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.options(options)
+    format.toLowerCase match {
+      case "json" => r.json(path)
+      case "csv" => r.option("header", options.getOrElse("header", "true")).csv(path)
+      case "tsv" | "delimited" =>
+        r.option("header", options.getOrElse("header", "true"))
+          .option("sep", options.getOrElse("sep", "\t")).csv(path)
+      case "parquet" => r.parquet(path)
+      case "orc" => r.orc(path)
+      case f => throw new UnsupportedOperationException(s"input format $f")
+    }
+  }
+
   /** compaction: rewrite small files per partition (the reference's
     * compaction task analog). maxFilesPerBucket≈1 gives one file per
     * segment bucket. */

@@ -120,5 +120,12 @@ class SketchSpec extends SparkSpec {
     assert(r.getDouble(0) == 700.0)
     assert(r.getDouble(1) == 700.0)
     assert(math.abs(r.getDouble(2) - 2500.0) < 200)
+    val t = spark.sql(
+      """SELECT ds_tuple_doubles_estimate(sk) AS est,
+        |       ds_tuple_doubles_metrics_sum(sk, 0) AS s
+        |FROM (SELECT ds_tuple_doubles(k, array(v)) AS sk FROM sk_t)""".stripMargin)
+      .collect()(0)
+    assert(t.getDouble(0) == 700.0)
+    assert(t.getDouble(1) == (0 until 5000).map(_.toDouble).sum)
   }
 }

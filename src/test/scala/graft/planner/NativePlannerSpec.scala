@@ -50,6 +50,29 @@ class NativePlannerSpec extends SparkSpec {
     assert(n == 2L)
   }
 
+  test("listFiltered dimensionSpec whitelists/blacklists MVD elements") {
+    val white = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"dimensions": [{"type": "listFiltered",
+        |  "delegate": {"type": "default", "dimension": "dim2", "outputName": "d"},
+        |  "values": ["a", "c"], "isWhitelist": true}],
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    // a,b→a; b,c→c; a→a; abc filtered out → null; empty/null → null
+    assert(white == Set(
+      (Some("a"), 2L), (Some("c"), 1L), (None, 3L)))
+    val black = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"dimensions": [{"type": "listFiltered",
+        |  "delegate": {"type": "default", "dimension": "dim2", "outputName": "d"},
+        |  "values": ["a", "b"], "isWhitelist": false}],
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(black == Set((Some("c"), 1L), (Some("abc"), 1L), (None, 4L)))
+  }
+
   test("timeseries with year granularity buckets and interval pruning") {
     val rows = planner.plan(
       """{"queryType": "timeseries", "dataSource": "foo",

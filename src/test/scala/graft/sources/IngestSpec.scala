@@ -59,6 +59,33 @@ class IngestSpecSuite extends SparkSpec {
       s"expected partition pruning in plan")
   }
 
+  test("input formats: json / csv / tsv read into the same ingest path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt")
+    val jsonF = dir.resolve("in.json")
+    java.nio.file.Files.writeString(jsonF,
+      """{"t": "2024-01-01T00:10:00Z", "u": 1, "v": 10.0}
+        |{"t": "2024-01-01T00:50:00Z", "u": 2, "v": 5.0}
+        |""".stripMargin)
+    val csvF = dir.resolve("in.csv")
+    java.nio.file.Files.writeString(csvF,
+      "t,u,v\n2024-01-01T00:10:00Z,1,10.0\n2024-01-01T00:50:00Z,2,5.0\n")
+    val tsvF = dir.resolve("in.tsv")
+    java.nio.file.Files.writeString(tsvF,
+      "t\tu\tv\n2024-01-01T00:10:00Z\t1\t10.0\n2024-01-01T00:50:00Z\t2\t5.0\n")
+    for ((f, fmt) <- Seq((jsonF, "json"), (csvF, "csv"), (tsvF, "tsv"))) {
+      val df = Ingest.readSource(spark, f.toString, fmt)
+      val out = Ingest.prepare(df, Ingest.IngestSpec(
+        timeColumn = "t", dimensions = Nil,
+        metrics = Seq(Ingest.Metric.DoubleSum("sv", "v")),
+        queryGranularity = Some("PT1H")))
+      val r = out.collect()
+      assert(r.length == 1, s"$fmt: expected 1 rolled-up row")
+      assert(r(0).getAs[Double]("sv") == 15.0, s"$fmt: rollup sum")
+    }
+    intercept[UnsupportedOperationException](
+      Ingest.readSource(spark, dir.toString, "protobuf"))
+  }
+
   test("streaming ingest: rollup micro-batches append to the same layout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
