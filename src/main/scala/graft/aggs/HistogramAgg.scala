@@ -42,6 +42,22 @@ object HistogramAgg {
       count(when(counted, 1)).as("count"))
   }
 
+  /** explicit-breaks histogram (reference HistogramAggregatorFactory):
+    * counts of values in [breaks(i), breaks(i+1)); under/overflow in
+    * the first/last slots, like the reference's Histogram.offer. */
+  def breaksHistogram(v: Column, breaks: Seq[Double]): Column = {
+    require(breaks.size >= 2 && breaks == breaks.sorted, "breaks must be ascending")
+    val inner = breaks.sliding(2).map { case Seq(lo, hi) =>
+      count(when(v.isNotNull && v.cast("double") >= lo && v.cast("double") < hi, 1))
+    }.toSeq
+    struct(
+      typedLit(breaks).as("breaks"),
+      array(inner: _*).as("buckets"),
+      count(when(v.cast("double") < breaks.head, 1)).as("lowerOutlier"),
+      count(when(v.cast("double") >= breaks.last, 1)).as("upperOutlier"),
+      count(when(v.isNotNull, 1)).as("count"))
+  }
+
   /** interpolated quantile over a fixedHistogram struct: rank
     * p*total falls in the first bucket whose cumulative count reaches
     * it; interpolate linearly within. Null when the histogram is empty. */

@@ -195,6 +195,26 @@ object DruidFunctions {
         cos(radians(lat)) * cos(radians(cLat)) * pow(sin(dLon), 2)
       toExpr(lit(2 * 6371.0088) * asin(sqrt(h)) <= radiusKm)
     }
+    // SPATIAL_POLYGON(lat, lon, latsArray, lonsArray): ray-casting
+    // point-in-polygon (reference PolygonBound's abscissa/ordinate
+    // vertex arrays), evaluated as a pure Column scan over the edges.
+    fn("spatial_polygon") { a =>
+      val Seq(py, px, ys, xs) = a.take(4).map(toCol)
+      val n = size(ys)
+      val crossings = aggregate(
+        sequence(lit(0), n - 1), lit(0),
+        (acc, i) => {
+          val yi = element_at(ys, i + 1).cast("double")
+          val xi = element_at(xs, i + 1).cast("double")
+          val j = pmod(i - 1 + n, n) + 1 // previous vertex, wrapping
+          val yj = element_at(ys, j).cast("double")
+          val xj = element_at(xs, j).cast("double")
+          val crosses = ((yi > py) =!= (yj > py)) &&
+            (px < (xj - xi) * (py - yi) / (yj - yi) + xi)
+          acc + when(crosses, 1).otherwise(0)
+        })
+      toExpr(crossings % 2 === 1)
+    }
 
     // ---- bloom filter (reference druid-bloom-filter extension) ----
     fn("bloom_filter")(a => graft.aggs.BloomFilterAgg(a.head,

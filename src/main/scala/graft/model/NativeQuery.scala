@@ -124,6 +124,15 @@ object Aggregator {
   final case class FixedBucketsHistogram(
       name: String, fieldName: String, lowerLimit: Double, upperLimit: Double,
       numBuckets: Int, outlierHandlingMode: String) extends Aggregator
+  /** explicit-breaks equal-width histogram (reference
+    * HistogramAggregatorFactory): counts between consecutive breaks. */
+  final case class Histogram(
+      name: String, fieldName: String, breaks: Seq[Double]) extends Aggregator
+  /** user-defined fold over group rows (reference
+    * ExpressionLambdaAggregatorFactory.java:59); single-field form. */
+  final case class ExpressionLambda(
+      name: String, field: String, accumulatorId: String,
+      initialValue: String, fold: String, finalizeExpr: Option[String]) extends Aggregator
 }
 
 sealed trait PostAggregator { def name: String }

@@ -308,6 +308,19 @@ object QueryJson {
         nm, f, n.get("lowerLimit").asDouble(), n.get("upperLimit").asDouble(),
         n.get("numBuckets").asInt(),
         strOpt(n, "outlierHandlingMode").getOrElse("ignore").toLowerCase)
+      case "histogram" => Aggregator.Histogram(
+        nm, f, arr(n, "breaks").map(_.asDouble()))
+      case "expressionLambda" =>
+        val fields = arr(n, "fields").map(_.asText())
+        require(fields.size == 1,
+          "expressionLambda: single-field folds supported (multi-field " +
+            "folds are not commutative-distributable in general)")
+        Aggregator.ExpressionLambda(
+          nm, fields.head,
+          strOpt(n, "accumulatorIdentifier").getOrElse("__acc"),
+          strOpt(n, "initialValue").getOrElse("0"),
+          str(n, "fold"),
+          strOpt(n, "finalize"))
       case t => throw new UnsupportedOperationException(s"aggregator type $t")
     }
   }

@@ -166,6 +166,18 @@ class NativePlanner(
     case Aggregator.KllSketch(n, f) => sketches.kllSketch(col(f)).as(n)
     case Aggregator.FixedBucketsHistogram(n, f, lo, hi, buckets, mode) =>
       HistogramAgg.fixedHistogram(col(f), lo, hi, buckets, mode).as(n)
+    case Aggregator.Histogram(n, f, breaks) =>
+      HistogramAgg.breaksHistogram(col(f), breaks).as(n)
+    case Aggregator.ExpressionLambda(n, f, acc, init, fold, fin) =>
+      // general fold: materialize the group's values and run the fold
+      // expression through Spark's aggregate() HOF; the lambda variable
+      // shadows the field name, so the fold expr references work
+      // unchanged. Commutative folds should compile to plain aggregates
+      // instead (see AggQueries.aggExpressionFold) — this is the
+      // catch-all exact path, like the reference's single-threaded
+      // per-segment fold.
+      val finish = fin.map(e => s", $acc -> $e").getOrElse("")
+      expr(s"aggregate(collect_list(`$f`), $init, ($acc, `$f`) -> $fold$finish)").as(n)
   }
 
   /** FILTER-clause rewrite of a wrapped aggregator

@@ -69,6 +69,22 @@ class DruidExpressionsSpec extends SparkSpec {
     assert(!r.getBoolean(3)) // LA is not within 10 km of NYC
   }
 
+  test("spatial polygon filter (ray casting)") {
+    // triangle (0,0) (10,0) (0,10): contains (2,2), excludes (8,8)
+    val r = spark.sql(
+      """SELECT spatial_polygon(2.0D, 2.0D,
+        |         array(0.0D, 10.0D, 0.0D), array(0.0D, 0.0D, 10.0D)) AS inside,
+        |       spatial_polygon(8.0D, 8.0D,
+        |         array(0.0D, 10.0D, 0.0D), array(0.0D, 0.0D, 10.0D)) AS outside,
+        |       spatial_polygon(5.0D, 5.0D,
+        |         array(0.0D, 0.0D, 10.0D, 10.0D),
+        |         array(0.0D, 10.0D, 10.0D, 0.0D)) AS square_in
+        |""".stripMargin).collect()(0)
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1))
+    assert(r.getBoolean(2))
+  }
+
   test("registered LOOKUP function with replaceMissingWith") {
     LookupRegistry.register("country", Map("US" -> "United States", "FR" -> "France"))
     val r = spark.sql(

@@ -218,6 +218,28 @@ class NativePlannerSpec extends SparkSpec {
     assert(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).contains(rows.getDouble(3)))
   }
 
+  test("expressionLambda fold + explicit-breaks histogram through JSON") {
+    val r = planner.plan(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"aggregations": [
+        |  {"type": "expressionLambda", "name": "folded", "fields": ["m1"],
+        |   "initialValue": "0.0D", "fold": "__acc + m1 * 2"},
+        |  {"type": "expressionLambda", "name": "folded_fin", "fields": ["m1"],
+        |   "accumulatorIdentifier": "a", "initialValue": "1.0D",
+        |   "fold": "a * m1", "finalize": "a / 2"},
+        |  {"type": "histogram", "name": "h", "fieldName": "m1",
+        |   "breaks": [0.0, 2.0, 4.0, 6.0]}
+        |]}""".stripMargin).collect()(0)
+    assert(r.getAs[Double]("folded") == 42.0) // 2*(1+..+6)
+    assert(r.getAs[Double]("folded_fin") == 720.0 / 2) // 6!/2
+    val h = r.getAs[org.apache.spark.sql.Row]("h")
+    assert(h.getSeq[Long](h.fieldIndex("buckets")).toList ==
+      List(1L, 2L, 2L)) // [0,2):1  [2,4):2,3  [4,6):4,5
+    assert(h.getAs[Long]("upperOutlier") == 1L) // 6.0 >= last break
+    assert(h.getAs[Long]("count") == 6L)
+  }
+
   test("unsupported legacy query types fail loudly") {
     intercept[UnsupportedOperationException] {
       graft.model.QueryJson.parse("""{"queryType": "select", "dataSource": "foo"}""")
