@@ -96,6 +96,29 @@ object DruidFunctions {
       toExpr(filter(toCol(a.head), x => !array_contains(deny, x)))
     }
 
+    // ---- java.lang.Math long tail (reference Function.java names) ----
+    def d(e: Expression) = toExpr(toCol(e).cast("double"))
+    fn("cot")(a => JavaMathUnary(d(a.head), "cot"))
+    fn("nextup")(a => JavaMathUnary(d(a.head), "nextUp"))
+    fn("ulp")(a => JavaMathUnary(d(a.head), "ulp"))
+    fn("getexponent")(a => JavaMathUnary(d(a.head), "getExponent"))
+    fn("copysign")(a => JavaMathBinary(d(a.head), d(a(1)), "copySign"))
+    fn("nextafter")(a => JavaMathBinary(d(a.head), d(a(1)), "nextAfter"))
+    fn("remainder")(a => JavaMathBinary(d(a.head), d(a(1)), "remainder"))
+    fn("scalb")(a => JavaMathBinary(d(a.head), d(a(1)), "scalb"))
+    fn("bitwiseconvertdoubletolongbits")(a => JavaMathUnary(d(a.head), "doubleToLongBits"))
+    fn("bitwiseconvertlongbitstodouble")(a =>
+      LongBitsToDouble(toExpr(toCol(a.head).cast("long"))))
+    fn("todegrees")(a => toExpr(degrees(toCol(a.head))))
+    fn("toradians")(a => toExpr(radians(toCol(a.head))))
+    // subtract_months(t1, t2): whole-month index difference
+    // (reference Function.java:2884 SubtractMonths).
+    fn("subtract_months") { a =>
+      def idx(c: org.apache.spark.sql.Column) =
+        (year(c) * 12 + month(c) - 1).cast("long")
+      toExpr(idx(toCol(a.head)) - idx(toCol(a(1))))
+    }
+
     // ---- conditional / misc scalar names the reference keeps ----
     fn("nvl")(a => toExpr(coalesce(toCol(a.head), toCol(a(1)))))
     fn("div")(a => toExpr((toCol(a.head) / toCol(a(1))).cast("long")))

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** The reference expression language's long tail of java.lang.Math
+  * functions (core/.../math/expr/Function.java: cot, copySign,
+  * getExponent, nextUp, nextAfter, remainder, scalb, ulp, and the
+  * Double bit conversions). Spark has no built-ins for these; each
+  * delegates to java.lang.Math so the semantics (subnormal handling,
+  * signed zero, NaN propagation) are bit-exact with the reference's
+  * evaluator, which calls the same methods. Off the hot path by
+  * nature — scalar oddities, not aggregation kernels. Callers cast
+  * inputs to double/long at registration (DruidFunctions).
+  */
+case class JavaMathUnary(child: Expression, fn: String)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = fn match {
+    case "getExponent" => IntegerType
+    case "doubleToLongBits" => LongType
+    case _ => DoubleType
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val d = v.asInstanceOf[Double]
+    fn match {
+      case "cot" => 1.0 / math.tan(d)
+      case "nextUp" => Math.nextUp(d)
+      case "ulp" => Math.ulp(d)
+      case "getExponent" => Math.getExponent(d)
+      case "doubleToLongBits" => java.lang.Double.doubleToLongBits(d)
+      case o => throw new UnsupportedOperationException(o)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): JavaMathUnary = copy(child = c)
+  override def prettyName: String = fn.toLowerCase
+}
+
+case class LongBitsToDouble(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.longBitsToDouble(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): LongBitsToDouble = copy(c)
+  override def prettyName: String = "bitwiseconvertlongbitstodouble"
+}
+
+case class JavaMathBinary(left: Expression, right: Expression, fn: String)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Double]
+    val y = b.asInstanceOf[Double]
+    fn match {
+      case "copySign" => Math.copySign(x, y)
+      case "nextAfter" => Math.nextAfter(x, y)
+      case "remainder" => Math.IEEEremainder(x, y)
+      case "scalb" => Math.scalb(x, y.toInt)
+      case o => throw new UnsupportedOperationException(o)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JavaMathBinary =
+    copy(left = l, right = r)
+  override def prettyName: String = fn.toLowerCase
+}

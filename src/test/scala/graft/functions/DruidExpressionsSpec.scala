@@ -69,6 +69,35 @@ class DruidExpressionsSpec extends SparkSpec {
     assert(!r.getBoolean(3)) // LA is not within 10 km of NYC
   }
 
+  test("java.lang.Math long-tail functions match Java semantics") {
+    val r = spark.sql(
+      """SELECT cot(1.0D) AS cot1,
+        |       copysign(3.0D, -1.0D) AS cs,
+        |       getexponent(8.5D) AS ge,
+        |       ulp(1.0D) AS u,
+        |       nextup(1.0D) AS nu,
+        |       nextafter(1.0D, 2.0D) AS na,
+        |       remainder(7.0D, 3.0D) AS rem,
+        |       scalb(3.0D, 4.0D) AS sb,
+        |       bitwiseconvertdoubletolongbits(1.0D) AS dtb,
+        |       bitwiseconvertlongbitstodouble(4607182418800017408L) AS btd,
+        |       todegrees(pi()) AS deg,
+        |       subtract_months(timestamp'2024-03-15', timestamp'2023-12-31') AS sm
+        |""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0 / math.tan(1.0)) < 1e-15)
+    assert(r.getDouble(1) == -3.0)
+    assert(r.getInt(2) == 3)
+    assert(r.getDouble(3) == Math.ulp(1.0))
+    assert(r.getDouble(4) == Math.nextUp(1.0))
+    assert(r.getDouble(5) == Math.nextAfter(1.0, 2.0))
+    assert(r.getDouble(6) == Math.IEEEremainder(7.0, 3.0))
+    assert(r.getDouble(7) == 48.0)
+    assert(r.getLong(8) == java.lang.Double.doubleToLongBits(1.0))
+    assert(r.getDouble(9) == 1.0)
+    assert(math.abs(r.getDouble(10) - 180.0) < 1e-12)
+    assert(r.getLong(11) == 3L)
+  }
+
   test("spatial polygon filter (ray casting)") {
     // triangle (0,0) (10,0) (0,10): contains (2,2), excludes (8,8)
     val r = spark.sql(
