@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful stream processing — the Structured Streaming
+  * superset the reference lacks (its "streaming" is ingest-only,
+  * SURVEY.md §2.10): gap-based sessionization per key via
+  * flatMapGroupsWithState, the `KeyValueGroupedDataset` path for
+  * arbitrary per-key state machines.
+  *
+  * Scale design: state is partitioned by key across executors (hash
+  * shuffle), sized O(active keys), checkpointed incrementally; event-
+  * time timeouts ride the watermark, so memory is bounded regardless
+  * of stream length.
+  */
+object Sessionize {
+
+  final case class Event(key: String, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  final case class Session(
+      key: String, startMs: Long, endMs: Long, nEvents: Long, totalValue: Double)
+
+  /** close a session after `gapMs` of event-time silence per key; the
+    * timeout fires when the watermark passes lastSeen + gap. The
+    * watermark is applied HERE, on the typed event-time field, so it
+    * survives into the stateful operator. */
+  def sessions(
+      events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    implicit val se = Encoders.product[Session]
+    implicit val sk = Encoders.STRING
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(key, s.startMs, s.lastMs, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.lastMs, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) => // gap exceeded within the batch → close, start new
+                  closed += Session(key, s.startMs, s.lastMs, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }(Encoders.product[SessionState], se)
+  }
+}

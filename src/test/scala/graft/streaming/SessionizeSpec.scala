@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkSpec {
+
+  private def m(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+
+  test("gap sessionization closes sessions as the watermark advances") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF.toDF("key", "tsMs", "value")
+      .select(col("key"), timestamp_millis(col("tsMs")).as("ts"), col("value"))
+      .as[Sessionize.Event]
+    val sessions = Sessionize.sessions(events, gapMs = 60000L)
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+
+    // u1: two events 30s apart (one session); u2: one event
+    mem.addData(
+      ("u1", m("2024-01-01T00:00:00Z"), 1.0),
+      ("u1", m("2024-01-01T00:00:30Z"), 2.0),
+      ("u2", m("2024-01-01T00:00:10Z"), 5.0))
+    q.processAllAvailable()
+    // advance the watermark far past the gap → both sessions time out
+    mem.addData(("u3", m("2024-01-01T01:00:00Z"), 9.0))
+    q.processAllAvailable()
+    mem.addData(("u3", m("2024-01-01T02:00:00Z"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_out").as[Sessionize.Session].collect()
+      .map(s => s.key -> s).toMap
+    assert(rows.contains("u1") && rows.contains("u2"))
+    assert(rows("u1").nEvents == 2 && rows("u1").totalValue == 3.0)
+    assert(rows("u1").startMs == m("2024-01-01T00:00:00Z"))
+    assert(rows("u1").endMs == m("2024-01-01T00:00:30Z"))
+    assert(rows("u2").nEvents == 1 && rows("u2").totalValue == 5.0)
+  }
+
+  test("in-batch gap splits produce multiple sessions per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF.toDF("key", "tsMs", "value")
+      .select(col("key"), timestamp_millis(col("tsMs")).as("ts"), col("value"))
+      .as[Sessionize.Event]
+    val q = Sessionize.sessions(events, gapMs = 60000L).writeStream
+      .format("memory").queryName("sess_out2").outputMode("append").start()
+    // one batch, two bursts 10 minutes apart → first closes in-batch
+    val base = m("2024-01-01T00:00:00Z")
+    mem.addData(
+      ("u1", base, 1.0), ("u1", base + 1000L, 1.0),
+      ("u1", base + 600000L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_out2").as[Sessionize.Session].collect()
+    assert(closed.length == 1) // second session still open (no watermark past it)
+    assert(closed(0).nEvents == 2 && closed(0).totalValue == 2.0)
+    assert(closed(0).endMs == base + 1000L)
+  }
+}
