@@ -152,6 +152,18 @@ object DruidFunctions {
     fn("theta_sketch_intersect")(a => ThetaSetOp(a.head, a(1), 1))
     fn("theta_sketch_not")(a => ThetaSetOp(a.head, a(1), 2))
     fn("ds_kll")(a => KllDoublesAgg(a.head, a.lift(1).map(litInt).getOrElse(200)))
+    // APPROX_QUANTILE (reference sql QuantileSqlAggregator) → Spark's
+    // percentile_approx; APPROX_QUANTILE_DS → the KLL sketch path.
+    fn("approx_quantile") { a =>
+      toExpr(percentile_approx(toCol(a.head), toCol(a(1)),
+        a.lift(2).map(toCol).getOrElse(lit(10000))))
+    }
+    fn("approx_quantile_ds") { a =>
+      KllQuantile(
+        KllDoublesAgg(a.head, a.lift(2).map(litInt).getOrElse(200))
+          .toAggregateExpression(),
+        a(1))
+    }
     fn("kll_quantile")(a => KllQuantile(a.head, a(1)))
     fn("kll_rank")(a => KllRank(a.head, a(1)))
     fn("approx_count_distinct_ds_theta") { a =>

@@ -46,6 +46,32 @@ class NativePlanner(
     case m: NativeQuery.SegmentMetadata => planSegmentMetadata(m)
   }
 
+  /** timewarp post-processing (reference query/TimewarpOperator.java):
+    * run the query over intervals shifted back by `period`, then shift
+    * result timestamps forward — period-over-period comparison against
+    * the same axis. Fixed-millis periods only, like the operator's
+    * period.toStandardDuration. */
+  def planTimewarp(q: NativeQuery, period: String): DataFrame = {
+    val p = TimeFunctions.parsePeriod(period)
+    require(p.months == 0, "timewarp requires a fixed-duration period")
+    val delta = p.millis
+    def warp(ivs: Seq[QueryInterval]): Seq[QueryInterval] =
+      ivs.map(iv => QueryInterval(iv.startMs - delta, iv.endMs - delta))
+    val shifted: NativeQuery = q match {
+      case t: NativeQuery.Timeseries => t.copy(intervals = warp(t.intervals))
+      case g: NativeQuery.GroupBy => g.copy(intervals = warp(g.intervals))
+      case t: NativeQuery.TopN => t.copy(intervals = warp(t.intervals))
+      case s: NativeQuery.Scan => s.copy(intervals = warp(s.intervals))
+      case other => throw new UnsupportedOperationException(
+        s"timewarp over ${other.getClass.getSimpleName}")
+    }
+    val df = plan(shifted)
+    if (df.columns.contains(timeColumn))
+      df.withColumn(timeColumn,
+        timestamp_millis(unix_millis(col(timeColumn)) + delta))
+    else df
+  }
+
   // ---------------- datasource tree ----------------
 
   private[planner] def planDataSource(ds: DataSource): DataFrame = ds match {

@@ -125,10 +125,17 @@ object Ingest {
   }
 
   /** compaction: rewrite small files per partition (the reference's
-    * compaction task analog). maxFilesPerBucket≈1 gives one file per
-    * segment bucket. */
-  def compact(spark: SparkSession, path: String, outPath: String): Unit =
-    spark.read.parquet(path)
-      .repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(outPath)
+    * compaction task analog). Optionally sort rows by dims inside each
+    * segment so parquet row-group min/max statistics act like the
+    * reference's dimension indexes — selective dim filters then skip
+    * whole row groups at scan time (zone-map pruning). */
+  def compact(
+      spark: SparkSession, path: String, outPath: String,
+      sortDims: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(path).repartition(col(BucketCol))
+    val sorted =
+      if (sortDims.isEmpty) df
+      else df.sortWithinPartitions((BucketCol +: sortDims).map(col): _*)
+    sorted.write.mode("overwrite").partitionBy(BucketCol).parquet(outPath)
+  }
 }

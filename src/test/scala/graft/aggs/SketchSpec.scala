@@ -120,6 +120,12 @@ class SketchSpec extends SparkSpec {
     assert(r.getDouble(0) == 700.0)
     assert(r.getDouble(1) == 700.0)
     assert(math.abs(r.getDouble(2) - 2500.0) < 200)
+    val aq = spark.sql(
+      """SELECT round(approx_quantile(v, 0.5d)) AS q1,
+        |       round(approx_quantile_ds(v, 0.5d)) AS q2 FROM sk_t""".stripMargin)
+      .collect()(0)
+    assert(math.abs(aq.getDouble(0) - 2500.0) < 200)
+    assert(math.abs(aq.getDouble(1) - 2500.0) < 200)
     val t = spark.sql(
       """SELECT ds_tuple_doubles_estimate(sk) AS est,
         |       ds_tuple_doubles_metrics_sum(sk, 0) AS s

@@ -240,6 +240,26 @@ class NativePlannerSpec extends SparkSpec {
     assert(h.getAs[Long]("count") == 6L)
   }
 
+  test("timewarp shifts query intervals back and result timestamps forward") {
+    import graft.model.QueryJson
+    // warp a 2001 window back one year (P52W ≈ the reference's typical
+    // week-aligned warp; here use exact 366 days to land on 2000 rows)
+    val q = QueryJson.parse(
+      """{"queryType": "timeseries", "dataSource": "foo",
+        |"intervals": ["2001-01-01/2001-01-04"],
+        |"granularity": "day",
+        |"aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m1"}],
+        |"context": {"skipEmptyBuckets": true}}""".stripMargin)
+    val warped = planner.planTimewarp(q, "P366D")
+    val rows = warped.collect().map(r =>
+      (r.getTimestamp(0).toInstant.toString, r.getDouble(1))).toSet
+    // data from 2000-01-01..03 surfaces on the 2001 axis
+    assert(rows == Set(
+      ("2001-01-01T00:00:00Z", 1.0),
+      ("2001-01-02T00:00:00Z", 2.0),
+      ("2001-01-03T00:00:00Z", 3.0)))
+  }
+
   test("unsupported legacy query types fail loudly") {
     intercept[UnsupportedOperationException] {
       graft.model.QueryJson.parse("""{"queryType": "select", "dataSource": "foo"}""")
