@@ -25,11 +25,16 @@ object DataSource {
 
 sealed trait DimFilter
 object DimFilter {
-  final case class Selector(dimension: String, value: Option[String]) extends DimFilter
-  final case class In(dimension: String, values: Seq[String]) extends DimFilter
+  final case class Selector(
+      dimension: String, value: Option[String],
+      extractionFn: Option[ExtractionFn] = None) extends DimFilter
+  final case class In(
+      dimension: String, values: Seq[String],
+      extractionFn: Option[ExtractionFn] = None) extends DimFilter
   final case class Bound(
       dimension: String, lower: Option[String], upper: Option[String],
-      lowerStrict: Boolean, upperStrict: Boolean, ordering: String) extends DimFilter
+      lowerStrict: Boolean, upperStrict: Boolean, ordering: String,
+      extractionFn: Option[ExtractionFn] = None) extends DimFilter
   final case class Like(dimension: String, pattern: String) extends DimFilter
   final case class Regex(dimension: String, pattern: String) extends DimFilter
   final case class Interval(dimension: String, intervals: Seq[QueryInterval]) extends DimFilter
@@ -111,8 +116,11 @@ object Aggregator {
   final case class First(name: String, fieldName: String) extends Aggregator
   final case class Last(name: String, fieldName: String) extends Aggregator
   final case class AnyValue(name: String, fieldName: String) extends Aggregator
-  /** approx distinct over dims (cardinality) or a column (hyperUnique). */
-  final case class Cardinality(name: String, fields: Seq[String]) extends Aggregator
+  /** approx distinct over dims (cardinality) or a column (hyperUnique).
+    * byRow=false (the reference's Jackson default) = distinct over the
+    * UNION of the dims' value sets; byRow=true = distinct dim tuples. */
+  final case class Cardinality(
+      name: String, fields: Seq[String], byRow: Boolean = true) extends Aggregator
   final case class Filtered(filter: DimFilter, aggregator: Aggregator) extends Aggregator {
     def name: String = aggregator.name
   }

@@ -242,13 +242,18 @@ object QueryJson {
       case _ => false
     }
 
+  private def extractionOpt(n: JsonNode): Option[ExtractionFn] =
+    Option(n.get("extractionFn")).filterNot(_.isNull).map(parseExtractionFn)
+
   def parseFilter(n: JsonNode): DimFilter = str(n, "type") match {
-    case "selector" => DimFilter.Selector(str(n, "dimension"), strOpt(n, "value"))
-    case "in" => DimFilter.In(str(n, "dimension"), arr(n, "values").map(_.asText()))
+    case "selector" => DimFilter.Selector(
+      str(n, "dimension"), strOpt(n, "value"), extractionOpt(n))
+    case "in" => DimFilter.In(
+      str(n, "dimension"), arr(n, "values").map(_.asText()), extractionOpt(n))
     case "bound" => DimFilter.Bound(
       str(n, "dimension"), strOpt(n, "lower"), strOpt(n, "upper"),
       boolOpt(n, "lowerStrict").getOrElse(false), boolOpt(n, "upperStrict").getOrElse(false),
-      strOpt(n, "ordering").getOrElse("lexicographic"))
+      strOpt(n, "ordering").getOrElse("lexicographic"), extractionOpt(n))
     case "like" => DimFilter.Like(str(n, "dimension"), str(n, "pattern"))
     case "regex" => DimFilter.Regex(str(n, "dimension"), str(n, "pattern"))
     case "interval" => DimFilter.Interval(
@@ -295,7 +300,9 @@ object QueryJson {
       case t if t.endsWith("First") => Aggregator.First(nm, f)
       case t if t.endsWith("Last") => Aggregator.Last(nm, f)
       case t if t.endsWith("Any") => Aggregator.AnyValue(nm, f)
-      case "cardinality" => Aggregator.Cardinality(nm, arr(n, "fields").map(_.asText()))
+      case "cardinality" => Aggregator.Cardinality(
+        nm, arr(n, "fields").map(_.asText()),
+        boolOpt(n, "byRow").getOrElse(false)) // primitive-boolean default
       case "hyperUnique" => Aggregator.Cardinality(nm, Seq(f))
       case "filtered" => Aggregator.Filtered(
         parseFilter(n.get("filter")), parseAggregator(n.get("aggregator")))

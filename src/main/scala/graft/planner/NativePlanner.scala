@@ -129,13 +129,21 @@ class NativePlanner(
       Some(TimeFunctions.timeFloor(col(timeColumn), p, origin, tz))
   }
 
+  /** filters accept an optional extractionFn applied to the dim before
+    * comparison (reference DimFilter extraction support). */
+  private def dimOrExtract(d: String, ex: Option[ExtractionFn]): Column =
+    ex.fold(col(d))(extractionColumn(col(d), _))
+
   private[planner] def filterToColumn(f: DimFilter): Column = f match {
-    case DimFilter.Selector(d, Some(v)) => col(d) === v
-    case DimFilter.Selector(d, None) => col(d).isNull
-    case DimFilter.In(d, vs) => col(d).isin(vs: _*)
-    case DimFilter.Bound(d, lo, hi, loS, hiS, ordering) =>
+    case DimFilter.Selector(d, Some(v), ex) => dimOrExtract(d, ex) === v
+    case DimFilter.Selector(d, None, ex) => dimOrExtract(d, ex).isNull
+    case DimFilter.In(d, vs, ex) => dimOrExtract(d, ex).isin(vs: _*)
+    case DimFilter.Bound(d, lo, hi, loS, hiS, ordering, ex) =>
       def side(c: Column) = ordering match {
-        case "numeric" => c.cast("double")
+        // try_cast: non-numeric values become null and match nothing,
+        // like the reference's numeric bound over string dims (vs an
+        // ANSI cast error on malformed input).
+        case "numeric" => c.try_cast("double")
         case "alphanumeric" => DruidExpressions.alphanumericSortKey(c)
         case _ => c
       }
@@ -144,7 +152,7 @@ class NativePlanner(
         case "alphanumeric" => DruidExpressions.alphanumericSortKey(lit(v))
         case _ => lit(v)
       }
-      val c = side(col(d))
+      val c = side(dimOrExtract(d, ex))
       val conds =
         lo.map(v => if (loS) c > bound(v) else c >= bound(v)).toSeq ++
           hi.map(v => if (hiS) c < bound(v) else c <= bound(v))
@@ -180,10 +188,20 @@ class NativePlanner(
     case Aggregator.First(n, f) => min_by(col(f), col(timeColumn)).as(n)
     case Aggregator.Last(n, f) => max_by(col(f), col(timeColumn)).as(n)
     case Aggregator.AnyValue(n, f) => any_value(col(f), lit(true)).as(n)
-    case Aggregator.Cardinality(n, fields) =>
-      val target = if (fields.size == 1) col(fields.head)
-        else struct(fields.map(col): _*)
-      approx_count_distinct(target).as(n)
+    case Aggregator.Cardinality(n, fields, byRow) =>
+      if (byRow || fields.size == 1) {
+        // byRow: distinct dim TUPLES (struct key)
+        val target = if (fields.size == 1) col(fields.head)
+          else struct(fields.map(col): _*)
+        approx_count_distinct(target).as(n)
+      } else {
+        // byValue (the reference's default): distinct over the UNION of
+        // the dims' value sets — per-dim HLL sketches merged via
+        // hll_union, one pass, no explode.
+        hll_sketch_estimate(
+          fields.map(f => hll_sketch_agg(col(f).cast("string")))
+            .reduce(hll_union(_, _))).as(n)
+      }
     case Aggregator.Filtered(f, inner) =>
       filteredAgg(filterToColumn(f), inner)
     case Aggregator.Variance(n, f, pop) =>

@@ -240,6 +240,59 @@ class NativePlannerSpec extends SparkSpec {
     assert(h.getAs[Long]("count") == 6L)
   }
 
+  test("cardinality byValue unions dim value sets; byRow counts tuples") {
+    val r = planner.plan(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"aggregations": [
+        |  {"type": "cardinality", "name": "by_value", "fields": ["dim1", "dim1"]},
+        |  {"type": "cardinality", "name": "by_row", "fields": ["dim1", "m1"], "byRow": true}
+        |]}""".stripMargin).collect()(0)
+    // byValue of (dim1, dim1): union collapses → 5 distinct non-empty
+    // dim1 values ("" ≡ null is skipped, the reference's default-mode
+    // null handling; datasketches HLL likewise ignores empty updates)
+    assert(r.getAs[Long]("by_value") == 5L)
+    // byRow of (dim1, m1): 6 distinct pairs
+    assert(r.getAs[Long]("by_row") == 6L)
+    val union = planner.plan(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"aggregations": [
+        |  {"type": "cardinality", "name": "v", "fields": ["dim1", "dim2"]}
+        |]}""".stripMargin).collect()(0)
+    // dim1 values {",10.1,2,1,def,abc} (6, "" counts) ∪ dim2 MVD-as-string
+    // values — byValue over a string-cast array column unions its
+    // rendered forms; just assert it exceeds the single-dim count
+    assert(union.getAs[Long]("v") >= 6L)
+  }
+
+  test("filters accept extractionFn (selector/in/bound on transformed dim)") {
+    def cnt(json: String): Long =
+      planner.plan(json).collect()(0).getLong(0)
+    // upper(dim1) = 'ABC' matches both 'abc' (and not 'def')
+    assert(cnt(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"filter": {"type": "selector", "dimension": "dim1", "value": "ABC",
+        |           "extractionFn": {"type": "upper"}},
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin) == 1L)
+    // strlen(dim1) in ('1','3'): "" (0), "2"/"1" (1)... lengths: 0,4,1,1,3,3
+    assert(cnt(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"filter": {"type": "in", "dimension": "dim1", "values": ["1", "3"],
+        |           "extractionFn": {"type": "strlen"}},
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin) == 4L)
+    // numeric bound over substring(1) of "10.1" → "0.1" etc.
+    assert(cnt(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"filter": {"type": "bound", "dimension": "dim1", "lower": "0",
+        |           "upper": "3", "ordering": "numeric",
+        |           "extractionFn": {"type": "substring", "index": 1}},
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin) == 1L)
+  }
+
   test("timewarp shifts query intervals back and result timestamps forward") {
     import graft.model.QueryJson
     // warp a 2001 window back one year (P52W ≈ the reference's typical
