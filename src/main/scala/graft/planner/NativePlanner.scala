@@ -433,18 +433,25 @@ class NativePlanner(
     var out =
       if (q.subtotalsSpec.isEmpty) aggregate(q.dimensions, df)
       else {
-        // reference GroupByStrategyV2.processSubtotalsSpec: one grouping
-        // per subset, null-filled to the full dimension list, unioned.
-        val full = q.dimensions.map(_.outputName)
-        val outCols = bucketCol(q.granularity).map(_ => timeColumn).toSeq ++ full ++
-          q.aggregations.map(_.name) ++ q.postAggregations.map(_.name)
-        q.subtotalsSpec.map { subset =>
-          val dims = q.dimensions.filter(d => subset.contains(d.outputName))
-          val g = aggregate(dims, df)
-          full.filterNot(subset.contains).foldLeft(g)((d, missing) =>
-            d.withColumn(missing, lit(null).cast("string")))
-            .select(outCols.map(col): _*) // canonical column order per branch
-        }.reduce(_.unionByName(_))
+        // reference GroupByStrategyV2.processSubtotalsSpec semantics
+        // (each subset null-filled to the full dim list), executed as a
+        // SINGLE grouping-sets pass: one scan + one Expand instead of
+        // one scan per subset — the plan that survives a 100× scale-up.
+        val withDims = q.dimensions.foldLeft(df)((d, ds) =>
+          d.withColumn(ds.outputName, dimColumn(d, ds)))
+        val withTime = bucketCol(q.granularity)
+          .map(b => withDims.withColumn(timeColumn, b)).getOrElse(withDims)
+        val timeKey = bucketCol(q.granularity).map(_ => timeColumn).toSeq
+        val allKeys = (timeKey ++ q.dimensions.map(_.outputName)).map(col)
+        val sets = q.subtotalsSpec.map(subset =>
+          timeKey.map(col) ++ q.dimensions
+            .filter(d => subset.contains(d.outputName))
+            .map(d => col(d.outputName)))
+        val aggs = q.aggregations.map(aggToColumn)
+        val grouped = withTime.groupingSets(sets, allKeys: _*)
+          .agg(aggs.head, aggs.tail: _*)
+        q.postAggregations.foldLeft(grouped)((d, p) =>
+          d.withColumn(p.name, postAggToColumn(p)))
       }
     q.having.foreach(h => out = out.where(havingToColumn(h)))
     q.limitSpec.foreach { ls =>
