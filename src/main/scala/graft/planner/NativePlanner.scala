@@ -379,11 +379,21 @@ class NativePlanner(
       if (p.months > 0) s"INTERVAL ${p.months} MONTH"
       else s"INTERVAL ${p.millis} MILLISECOND"
     val axis = intervals.map { iv =>
-      spark.range(1).select(explode(sequence(
-        TimeFunctions.timeFloor(
-          timestamp_millis(lit(iv.startMs)), g.period, g.originMs, g.timeZone),
-        timestamp_millis(lit(iv.endMs - 1)),
-        expr(step))).as(timeColumn))
+      val startBucket = TimeFunctions.timeFloor(
+        timestamp_millis(lit(iv.startMs)), g.period, g.originMs, g.timeZone)
+      val end = timestamp_millis(lit(iv.endMs - 1))
+      // tz granularities bucket on LOCAL wall clock (DST days are 23/25
+      // fixed-step hours apart in UTC), so the axis must be generated in
+      // local space and converted back — a fixed-millis UTC sequence
+      // would drift off the data's buckets at every DST transition.
+      val seq = g.timeZone match {
+        case Some(z) => transform(
+          sequence(from_utc_timestamp(startBucket, z),
+            from_utc_timestamp(end, z), expr(step)),
+          x => to_utc_timestamp(x, z))
+        case None => sequence(startBucket, end, expr(step))
+      }
+      spark.range(1).select(explode(seq).as(timeColumn))
         .filter(col(timeColumn) < timestamp_millis(lit(iv.endMs)))
     }.reduce(_.unionByName(_)).distinct()
     val fills = aggs.map {

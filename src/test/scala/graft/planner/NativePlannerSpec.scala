@@ -293,6 +293,26 @@ class NativePlannerSpec extends SparkSpec {
         |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin) == 1L)
   }
 
+  test("zero-fill axis follows local wall clock across a DST transition") {
+    // America/New_York springs forward 2024-03-10: local midnights are
+    // 05:00Z, 05:00Z, 04:00Z. Only 03-09 has data; 03-10/03-11 must
+    // zero-fill on the LOCAL boundaries, not fixed 24h steps.
+    import spark.implicits._
+    val dst = Seq(("2024-03-09 12:00:00", 1.0))
+      .toDF("t", "m1").withColumn("__time", col("t").cast("timestamp")).drop("t")
+    val p = new NativePlanner(spark, { case "dst" => dst })
+    val rows = p.plan(
+      """{"queryType": "timeseries", "dataSource": "dst",
+        |"intervals": ["2024-03-09T05:00:00Z/2024-03-12T04:00:00Z"],
+        |"granularity": {"type": "period", "period": "P1D", "timeZone": "America/New_York"},
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1)))
+    assert(rows.toSeq == Seq(
+      ("2024-03-09T05:00:00Z", 1L),
+      ("2024-03-10T05:00:00Z", 0L),
+      ("2024-03-11T04:00:00Z", 0L))) // post-DST local midnight = 04:00Z
+  }
+
   test("timewarp shifts query intervals back and result timestamps forward") {
     import graft.model.QueryJson
     // warp a 2001 window back one year (P52W ≈ the reference's typical
