@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch gap-sessionization: the window-function twin of
+  * streaming.Sessionize (same session semantics, computed over a
+  * bounded table). Classic lag→gap-flag→cumsum-session-id shape —
+  * one shuffle on (key), then linear scans; at 100 TB the per-key
+  * ordering is the partition-local sort of a single exchange.
+  */
+object Sessions {
+
+  /** assign a session id per (key) using event-time gaps > gapMs. */
+  def assign(df: DataFrame, keyCol: String, tsCol: String, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prev.isNull ||
+        (unix_millis(col(tsCol)) - unix_millis(prev)) > gapMs, 1).otherwise(0)
+    df.withColumn("__new_sess", newSession)
+      .withColumn("session_id", sum(col("__new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_sess")
+  }
+
+  /** per-session stats: start/end/duration/events/agg of a measure. */
+  def stats(
+      df: DataFrame, keyCol: String, tsCol: String, gapMs: Long,
+      measure: Column): DataFrame =
+    assign(df, keyCol, tsCol, gapMs)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        unix_millis(min(col(tsCol))).as("start_ms"),
+        unix_millis(max(col(tsCol))).as("end_ms"),
+        (unix_millis(max(col(tsCol))) - unix_millis(min(col(tsCol)))).as("duration_ms"),
+        count(lit(1)).as("n_events"),
+        sum(measure).as("total"))
+}

@@ -221,7 +221,81 @@ object NativeQueries3 {
   private def planner2(s: SparkSession, d: String): NativePlanner =
     new NativePlanner(s, name => Tables.t(s, d, name))
 
+  /** expressionLambda fold via JSON: integer fold so the result is
+    * FP-exact and equals the commutative-rewrite sum. */
+  val nativeExpressionLambda: Q = q(
+    "native_expression_lambda",
+    """SELECT l_returnflag,
+      |       CAST(sum(CAST(l_quantity AS BIGINT) * 2 + 1) AS BIGINT) AS folded
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    planner2(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "lineitem",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["l_returnflag"],
+        |  "aggregations": [
+        |    {"type": "expressionLambda", "name": "folded", "fields": ["l_quantity"],
+        |     "initialValue": "CAST(0 AS BIGINT)",
+        |     "fold": "__acc + CAST(l_quantity AS BIGINT) * 2 + 1"}
+        |  ],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "l_returnflag", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
+  /** timewarp post-processing: last week's daily counts presented on
+    * this week's axis (reference TimewarpOperator). */
+  val nativeTimewarp: Q = q(
+    "native_timewarp",
+    """SELECT epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 7 DAY) AS t_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val warped = planner(s, d).planTimewarp(
+      graft.model.QueryJson.parse(
+        """{"queryType": "timeseries", "dataSource": "events",
+          |"intervals": ["2024-01-15/2024-01-22"],
+          |"granularity": "day",
+          |"aggregations": [{"type": "count", "name": "cnt"}],
+          |"context": {"skipEmptyBuckets": true}}""".stripMargin),
+      "P7D")
+    warped.select(unix_millis(col("__time")).as("t_ms"), col("cnt"))
+      .orderBy(col("t_ms"))
+  }
+
+  /** batch gap-sessionization stats (window-function twin of the
+    * streaming Sessionize operator). */
+  val sessionStats: Q = q(
+    "session_stats",
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000 THEN 1 ELSE 0 END AS ns
+      |  FROM events WHERE user_id < 20
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |                              ROWS UNBOUNDED PRECEDING) AS session_id FROM o)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+      |       CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       round(sum(value), 4) AS total
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import graft.operators.Sessions
+    Sessions.stats(
+      Tables.events(s, d).withColumnRenamed("ts", "__time").filter(col("user_id") < 20),
+      "user_id", "__time", gapMs = 3600000L, measure = col("value"))
+      .select(col("user_id"), col("session_id"),
+        col("start_ms"), col("end_ms"), col("duration_ms"), col("n_events"),
+        round(col("total"), 4).as("total"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val all: Seq[Q] = Seq(
     aggFixedHistogram, nativeHistogramQuantile, nativeZtest, nativeExtractionMore,
-    nativeMvdListFiltered)
+    nativeMvdListFiltered, nativeExpressionLambda, nativeTimewarp, sessionStats)
 }
