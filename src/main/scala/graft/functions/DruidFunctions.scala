@@ -120,6 +120,38 @@ object DruidFunctions {
     }
 
     // ---- conditional / misc scalar names the reference keeps ----
+    // case_searched(c1, r1, c2, r2, ..., [else]) (Function.java:2095)
+    fn("case_searched") { a =>
+      val pairs = a.grouped(2).toSeq
+      val (cases, elseV) =
+        if (a.size % 2 == 0) (pairs, None)
+        else (pairs.init, Some(toCol(a.last)))
+      val chained = cases.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, Seq(c, r)) =>
+          Some(acc.map(_.when(toCol(c), toCol(r)))
+            .getOrElse(when(toCol(c), toCol(r))))
+        case (acc, _) => acc
+      }.get
+      toExpr(elseV.map(chained.otherwise).getOrElse(chained))
+    }
+    // case_simple(expr, v1, r1, v2, r2, ..., [else]) (Function.java:2144)
+    fn("case_simple") { a =>
+      val scrut = toCol(a.head)
+      val rest = a.tail
+      val pairs = rest.grouped(2).toSeq
+      val (cases, elseV) =
+        if (rest.size % 2 == 0) (pairs, None)
+        else (pairs.init, Some(toCol(rest.last)))
+      val chained = cases.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, Seq(v, r)) =>
+          Some(acc.map(_.when(scrut === toCol(v), toCol(r)))
+            .getOrElse(when(scrut === toCol(v), toCol(r))))
+        case (acc, _) => acc
+      }.get
+      toExpr(elseV.map(chained.otherwise).getOrElse(chained))
+    }
+    fn("format")(a => toExpr(format_string(litStr(a.head), a.tail.map(toCol): _*)))
+    fn("notnull")(a => toExpr(toCol(a.head).isNotNull))
     fn("nvl")(a => toExpr(coalesce(toCol(a.head), toCol(a(1)))))
     fn("div")(a => toExpr((toCol(a.head) / toCol(a(1))).cast("long")))
     fn("parse_long")(a => toExpr(toCol(a.head).cast("long")))

@@ -69,6 +69,23 @@ class DruidExpressionsSpec extends SparkSpec {
     assert(!r.getBoolean(3)) // LA is not within 10 km of NYC
   }
 
+  test("case_searched / case_simple / format / notnull") {
+    val r = spark.sql(
+      """SELECT case_searched(1 > 2, 'a', 3 > 2, 'b', 'c') AS cs,
+        |       case_searched(1 > 2, 'a', 2 > 3, 'b') AS cs_null,
+        |       case_simple('y', 'x', 1, 'y', 2, 0) AS sim,
+        |       case_simple('z', 'x', 1, 'y', 2) AS sim_null,
+        |       format('%s-%d', 'v', 7) AS fmt,
+        |       notnull('x') AS nn
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "b")
+    assert(r.isNullAt(1))
+    assert(r.getInt(2) == 2)
+    assert(r.isNullAt(3))
+    assert(r.getString(4) == "v-7")
+    assert(r.getBoolean(5))
+  }
+
   test("java.lang.Math long-tail functions match Java semantics") {
     val r = spark.sql(
       """SELECT cot(1.0D) AS cot1,
