@@ -198,7 +198,10 @@ object NativeQuery {
       virtualColumns: Seq[VirtualColumn], descending: Boolean,
       /** reference default: zero-fill empty buckets
         * (context.skipEmptyBuckets=false). */
-      skipEmptyBuckets: Boolean) extends NativeQuery
+      skipEmptyBuckets: Boolean,
+      /** context.grandTotal: append an all-buckets summary row with a
+        * null timestamp (reference TimeseriesQueryQueryToolChest). */
+      grandTotal: Boolean = false) extends NativeQuery
 
   final case class TopN(
       dataSource: DataSource, intervals: Seq[QueryInterval],

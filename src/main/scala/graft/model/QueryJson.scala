@@ -39,13 +39,14 @@ object QueryJson {
       VirtualColumn(str(v, "name"), str(v, "expression")))
     str(n, "queryType") match {
       case "timeseries" =>
-        val skipEmpty = Option(n.get("context")).filterNot(_.isNull)
-          .flatMap(c => boolOpt(c, "skipEmptyBuckets")).getOrElse(false)
+        val ctx = Option(n.get("context")).filterNot(_.isNull)
+        val skipEmpty = ctx.flatMap(c => boolOpt(c, "skipEmptyBuckets")).getOrElse(false)
+        val grandTotal = ctx.flatMap(c => boolOpt(c, "grandTotal")).getOrElse(false)
         NativeQuery.Timeseries(
           ds, intervals, parseGranularity(n.get("granularity")), filter,
           arr(n, "aggregations").map(parseAggregator),
           arr(n, "postAggregations").map(parsePostAggregator),
-          vcols, boolOpt(n, "descending").getOrElse(false), skipEmpty)
+          vcols, boolOpt(n, "descending").getOrElse(false), skipEmpty, grandTotal)
       case "topN" => NativeQuery.TopN(
         ds, intervals, parseGranularity(n.get("granularity")), filter,
         parseDimensionSpec(n.get("dimension")),

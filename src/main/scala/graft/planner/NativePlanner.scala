@@ -361,7 +361,19 @@ class NativePlanner(
       d.withColumn(p.name, postAggToColumn(p)))
     bucketCol(q.granularity) match {
       case Some(_) =>
-        withPost.orderBy(if (q.descending) col(timeColumn).desc else col(timeColumn).asc)
+        val ordered = withPost.orderBy(
+          if (q.descending) col(timeColumn).desc_nulls_last
+          else col(timeColumn).asc_nulls_last)
+        if (!q.grandTotal) ordered
+        else {
+          // context.grandTotal: one summary row over the whole interval,
+          // null timestamp, appended after the buckets (nulls-last sort).
+          val total = q.postAggregations.foldLeft(
+            df.agg(aggs.head, aggs.tail: _*)
+              .withColumn(timeColumn, lit(null).cast("timestamp")))(
+            (d, p) => d.withColumn(p.name, postAggToColumn(p)))
+          ordered.unionByName(total.select(ordered.columns.map(col): _*))
+        }
       case None => withPost
     }
   }
@@ -528,9 +540,20 @@ class NativePlanner(
   private def planSegmentMetadata(q: NativeQuery.SegmentMetadata): DataFrame = {
     val df = base(q)
     val stats = df.schema.fields.flatMap { f =>
-      Seq(
+      val base = Seq(
         approx_count_distinct(col(f.name)).as(s"${f.name}__cardinality"),
         count(col(f.name)).as(s"${f.name}__count"))
+      // MINMAX analysis (reference SegmentMetadataQuery.AnalysisType) for
+      // orderable scalar columns
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.TimestampType =>
+          base ++ Seq(
+            min(col(f.name)).cast("string").as(s"${f.name}__min"),
+            max(col(f.name)).cast("string").as(s"${f.name}__max"))
+        case _ => base
+      }
     }
     df.agg(count(lit(1)).as("numRows"), stats.toSeq: _*)
   }

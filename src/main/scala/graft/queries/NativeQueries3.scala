@@ -295,7 +295,30 @@ object NativeQueries3 {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** context.grandTotal: buckets plus an all-interval summary row with
+    * a null timestamp (reference TimeseriesQueryQueryToolChest). */
+  val nativeTimeseriesGrandtotal: Q = q(
+    "native_timeseries_grandtotal",
+    """SELECT epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS t_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS sv
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT CAST(NULL AS BIGINT), CAST(count(*) AS BIGINT), round(sum(value), 4)
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{"queryType": "timeseries", "dataSource": "events",
+        |"intervals": ["2024-01-10/2024-01-15"],
+        |"granularity": "day",
+        |"aggregations": [{"type": "count", "name": "cnt"},
+        |                 {"type": "doubleSum", "name": "sv", "fieldName": "value"}],
+        |"context": {"grandTotal": true}}""".stripMargin)
+      .select(unix_millis(col("__time")).as("t_ms"), col("cnt"),
+        round(col("sv"), 4).as("sv"))
+  }
+
   val all: Seq[Q] = Seq(
     aggFixedHistogram, nativeHistogramQuantile, nativeZtest, nativeExtractionMore,
-    nativeMvdListFiltered, nativeExpressionLambda, nativeTimewarp, sessionStats)
+    nativeMvdListFiltered, nativeExpressionLambda, nativeTimewarp, sessionStats,
+    nativeTimeseriesGrandtotal)
 }
