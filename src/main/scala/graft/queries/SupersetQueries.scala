@@ -149,6 +149,21 @@ object SupersetQueries {
       Tables.events(s, d), col("user_id"), sum, col("value"), k = 10)
   }
 
+  /** approx-topN coverage contract: when k·fanout covers every key,
+    * the per-partition cap drops nothing and the merge must equal the
+    * exact topN — grading the partial-rank/merge plumbing end to end
+    * (the production fanout=4 path above stays rows-only by design). */
+  val topnApproxContract: Q = q(
+    "topn_approx_contract",
+    """SELECT user_id AS dim, round(sum(value), 2) AS value
+      |FROM events GROUP BY user_id
+      |ORDER BY sum(value) DESC, user_id ASC LIMIT 10""".stripMargin) { (s, d) =>
+    TopN.approxTopK(
+      Tables.events(s, d), col("user_id"), sum, col("value"),
+      k = 10, fanout = 100) // k·fanout = 1000 ≥ 150 distinct users
+      .select(col("dim"), round(col("value"), 2).as("value"))
+  }
+
   /** multimodal pipeline (decode stubbed, plumbing real): binary media
     * column → metadata → embedding → size-aware repartition → stats.
     * Rows-only: the stub decode is engine-specific. */
@@ -168,5 +183,5 @@ object SupersetQueries {
 
   val all: Seq[Q] = Seq(
     windowRunningAgg, setopIntersectExcept, exprBitwise, aggFirstLastString,
-    druidSqlDialect, druidSqlMv, topnApprox, multimodalPipeline)
+    druidSqlDialect, druidSqlMv, topnApprox, topnApproxContract, multimodalPipeline)
 }
