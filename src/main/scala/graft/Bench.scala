@@ -64,6 +64,11 @@ object Bench {
       "dedup_minhash" -> ((s: SparkSession, d: String) =>
         operators.Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
           .agg(count(lit(1)).as("pairs"))),
+      "session_stats" -> ((s: SparkSession, d: String) =>
+        operators.Sessions.stats(
+          Tables.events(s, d).withColumnRenamed("ts", "__time"),
+          "user_id", "__time", gapMs = 3600000L, measure = col("value"))
+          .agg(count(lit(1)).as("sessions"), sum(col("n_events")).as("events"))),
       "native_groupby" -> q("native_groupby"))
 
     // warmup: touch every table (file listing + footer caches), then run

@@ -90,8 +90,10 @@ object AggQueries {
       |       (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
       |          <= 0.05 * count(DISTINCT user_id) + 1) AS approx_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    // rsd 0.02 so the 5% contract holds with wide margin at any SF (the
+    // default rsd 0.05 sketch itself can brush past a 5% band)
     Tables.events(s, d).groupBy(col("event_type"))
-      .agg((abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+      .agg((abs(approx_count_distinct(col("user_id"), 0.02) - countDistinct(col("user_id")))
         <= lit(0.05) * countDistinct(col("user_id")) + 1).as("approx_ok"))
       .orderBy(col("event_type"))
   }
