@@ -164,6 +164,26 @@ object SupersetQueries {
       .select(col("dim"), round(col("value"), 2).as("value"))
   }
 
+  /** multimodal metadata stats through the REAL plumbing (binary
+    * column → mapPartitions meta extraction): n_bytes is byte-exact
+    * regardless of the stub codec, so this slice oracle-checks. */
+  val multimodalMetaStats: Q = q(
+    "multimodal_meta_stats",
+    """SELECT CAST(count(*) AS BIGINT) AS n_media,
+      |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+      |       CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes
+      |FROM documents""".stripMargin) { (s, d) =>
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    Multimodal.withMediaMeta(media, "media")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("media_meta.n_bytes")).as("total_bytes"),
+        max(col("media_meta.n_bytes")).as("max_bytes"),
+        min(col("media_meta.n_bytes")).as("min_bytes"))
+  }
+
   /** multimodal pipeline (decode stubbed, plumbing real): binary media
     * column → metadata → embedding → size-aware repartition → stats.
     * Rows-only: the stub decode is engine-specific. */
@@ -183,5 +203,6 @@ object SupersetQueries {
 
   val all: Seq[Q] = Seq(
     windowRunningAgg, setopIntersectExcept, exprBitwise, aggFirstLastString,
-    druidSqlDialect, druidSqlMv, topnApprox, topnApproxContract, multimodalPipeline)
+    druidSqlDialect, druidSqlMv, topnApprox, topnApproxContract,
+    multimodalMetaStats, multimodalPipeline)
 }
