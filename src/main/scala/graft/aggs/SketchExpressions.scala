@@ -62,6 +62,26 @@ case class KllQuantile(left: Expression, right: Expression)
   override def prettyName: String = "kll_quantile"
 }
 
+/** histogram/CDF over a KLL sketch binary given split points
+  * (reference DoublesSketchToHistogram / ToCDF post-aggregators):
+  * histogram = PMF mass × n per bin; CDF = cumulative ranks. */
+case class KllToHistogram(left: Expression, right: Expression, cdf: Boolean)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(bin: Any, splitsAny: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
+    val splits = splitsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    val out =
+      if (cdf) sk.getCDF(splits, QuantileSearchCriteria.INCLUSIVE)
+      else sk.getPMF(splits, QuantileSearchCriteria.INCLUSIVE).map(_ * sk.getN)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllToHistogram =
+    copy(left = l, right = r)
+  override def prettyName: String = if (cdf) "kll_cdf" else "kll_histogram"
+}
+
 case class KllRank(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
@@ -83,6 +103,10 @@ object sketches {
   def kllSketch(c: Column): Column = KllDoublesAgg(c)
   def kllQuantile(bin: Column, rank: Column): Column = toCol(KllQuantile(toExpr(bin), toExpr(rank)))
   def kllRank(bin: Column, value: Column): Column = toCol(KllRank(toExpr(bin), toExpr(value)))
+  def kllHistogram(bin: Column, splits: Column): Column =
+    toCol(KllToHistogram(toExpr(bin), toExpr(splits), cdf = false))
+  def kllCdf(bin: Column, splits: Column): Column =
+    toCol(KllToHistogram(toExpr(bin), toExpr(splits), cdf = true))
   def tupleSketch(key: Column, values: Column, numValues: Int): Column =
     TupleSketchAgg(key, values, numValues)
   def tupleEstimate(c: Column): Column = toCol(TupleEstimate(toExpr(c)))

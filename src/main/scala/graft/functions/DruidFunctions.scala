@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-import graft.aggs.{KllDoublesAgg, KllQuantile, KllRank, ThetaEstimate, ThetaSetOp, ThetaSketchAgg}
+import graft.aggs.{KllDoublesAgg, KllQuantile, KllRank, KllToHistogram, ThetaEstimate, ThetaSetOp, ThetaSketchAgg}
 import graft.exprs.{toCol, toExpr}
 
 /** Registers the reference SQL operator surface under its own names
@@ -198,6 +198,21 @@ object DruidFunctions {
     }
     fn("kll_quantile")(a => KllQuantile(a.head, a(1)))
     fn("kll_rank")(a => KllRank(a.head, a(1)))
+    // DS_HISTOGRAM/DS_CDF(expr, split1, split2, ...) / DS_RANK(expr, v)
+    // (reference datasketches quantiles SQL operators) — aggregate the
+    // column into a KLL sketch, then evaluate the distribution fn.
+    fn("ds_histogram") { a =>
+      KllToHistogram(KllDoublesAgg(a.head).toAggregateExpression(),
+        toExpr(array(a.tail.map(toCol): _*)), cdf = false)
+    }
+    fn("ds_cdf") { a =>
+      KllToHistogram(KllDoublesAgg(a.head).toAggregateExpression(),
+        toExpr(array(a.tail.map(toCol): _*)), cdf = true)
+    }
+    fn("ds_rank") { a =>
+      KllRank(KllDoublesAgg(a.head).toAggregateExpression(), a(1))
+    }
+    fn("ds_get_quantile")(a => KllQuantile(a.head, a(1)))
     fn("approx_count_distinct_ds_theta") { a =>
       ThetaEstimate(ThetaSketchAgg(a.head).toAggregateExpression())
     }

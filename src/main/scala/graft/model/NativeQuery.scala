@@ -155,6 +155,13 @@ object PostAggregator {
   final case class ThetaEstimate(name: String, field: PostAggregator) extends PostAggregator
   final case class KllToQuantile(
       name: String, field: PostAggregator, fraction: Double) extends PostAggregator
+  /** KLL histogram/CDF/rank post-aggs (reference
+    * DoublesSketchToHistogram/ToCDF/ToRank). */
+  final case class KllToHistogram(
+      name: String, field: PostAggregator, splitPoints: Seq[Double],
+      cdf: Boolean) extends PostAggregator
+  final case class KllToRank(
+      name: String, field: PostAggregator, value: Double) extends PostAggregator
   /** interpolated quantile over a fixedBucketsHistogram column
     * (reference histogram QuantilePostAggregator). */
   final case class HistogramQuantile(

@@ -350,6 +350,14 @@ object QueryJson {
         nm, parsePostAggregator(n.get("field")))
       case "quantilesDoublesSketchToQuantile" => PostAggregator.KllToQuantile(
         nm, parsePostAggregator(n.get("field")), n.get("fraction").asDouble())
+      case "quantilesDoublesSketchToHistogram" => PostAggregator.KllToHistogram(
+        nm, parsePostAggregator(n.get("field")),
+        arr(n, "splitPoints").map(_.asDouble()), cdf = false)
+      case "quantilesDoublesSketchToCDF" => PostAggregator.KllToHistogram(
+        nm, parsePostAggregator(n.get("field")),
+        arr(n, "splitPoints").map(_.asDouble()), cdf = true)
+      case "quantilesDoublesSketchToRank" => PostAggregator.KllToRank(
+        nm, parsePostAggregator(n.get("field")), n.get("value").asDouble())
       case "quantile" => PostAggregator.HistogramQuantile(
         nm,
         strOpt(n, "fieldName").map(PostAggregator.FieldAccess("", _))

@@ -266,6 +266,12 @@ class NativePlanner(
       sketches.thetaEstimate(postAggToColumn(f)).as(n)
     case PostAggregator.KllToQuantile(n, f, frac) =>
       sketches.kllQuantile(postAggToColumn(f), lit(frac)).as(n)
+    case PostAggregator.KllToHistogram(n, f, splits, cdf) =>
+      val sp = array(splits.map(lit): _*)
+      (if (cdf) sketches.kllCdf(postAggToColumn(f), sp)
+       else sketches.kllHistogram(postAggToColumn(f), sp)).as(n)
+    case PostAggregator.KllToRank(n, f, v) =>
+      sketches.kllRank(postAggToColumn(f), lit(v)).as(n)
     case PostAggregator.HistogramQuantile(n, f, p) =>
       HistogramAgg.histogramQuantile(postAggToColumn(f), p).as(n)
     case PostAggregator.StdDev(n, f) =>

@@ -32,6 +32,11 @@ object Ingest {
     final case class Max(name: String, field: String) extends Metric
     final case class ThetaSketch(name: String, field: String) extends Metric
     final case class KllSketch(name: String, field: String) extends Metric
+    /** first/last at rollup: stored as a (ts, value) struct — the
+      * reference's SerializablePair intermediate — so later compaction
+      * or query-time folds re-merge correctly across segments. */
+    final case class First(name: String, field: String) extends Metric
+    final case class Last(name: String, field: String) extends Metric
   }
 
   final case class IngestSpec(
@@ -56,7 +61,18 @@ object Ingest {
     case Metric.Max(n, f) => max(col(f)).as(n)
     case Metric.ThetaSketch(n, f) => sketches.thetaSketch(col(f)).as(n)
     case Metric.KllSketch(n, f) => sketches.kllSketch(col(f)).as(n)
+    case Metric.First(n, f) =>
+      min_by(struct(col(TimeCol).as("t"), col(f).as("v")), col(TimeCol)).as(n)
+    case Metric.Last(n, f) =>
+      max_by(struct(col(TimeCol).as("t"), col(f).as("v")), col(TimeCol)).as(n)
   }
+
+  /** query-time fold of a stored first/last pair column across
+    * segments/buckets: re-minimize/maximize on the carried timestamp. */
+  def foldFirst(pairCol: Column): Column =
+    min_by(pairCol.getField("v"), pairCol.getField("t"))
+  def foldLast(pairCol: Column): Column =
+    max_by(pairCol.getField("v"), pairCol.getField("t"))
 
   /** transform + filter + (optional) rollup; adds __time and __bucket.
     * Pure transform — shared by batch and streaming paths. */

@@ -120,6 +120,16 @@ class SketchSpec extends SparkSpec {
     assert(r.getDouble(0) == 700.0)
     assert(r.getDouble(1) == 700.0)
     assert(math.abs(r.getDouble(2) - 2500.0) < 200)
+    val kd = spark.sql(
+      """SELECT ds_histogram(v, 1000.0d, 4000.0d) AS h,
+        |       ds_cdf(v, 1000.0d, 4000.0d) AS c,
+        |       ds_rank(v, 2500.0d) AS r FROM sk_t""".stripMargin).collect()(0)
+    val hist = kd.getSeq[Double](0)
+    assert(hist.length == 3 && math.abs(hist.sum - 5000.0) < 1e-6)
+    assert(math.abs(hist.head - 1000.0) < 150) // ~20% of mass below 1000
+    val cdfv = kd.getSeq[Double](1)
+    assert(cdfv.length == 3 && math.abs(cdfv.last - 1.0) < 1e-9)
+    assert(math.abs(kd.getDouble(2) - 0.5) < 0.05) // rank of median ≈ 0.5
     val aq = spark.sql(
       """SELECT round(approx_quantile(v, 0.5d)) AS q1,
         |       round(approx_quantile_ds(v, 0.5d)) AS q2 FROM sk_t""".stripMargin)

@@ -59,6 +59,29 @@ class IngestSpecSuite extends SparkSpec {
       s"expected partition pruning in plan")
   }
 
+  test("first/last rollup metrics carry (ts,value) pairs and fold across buckets") {
+    import spark.implicits._
+    val raw = Seq(
+      ("2024-01-01 00:10:00", "a", 1.0),
+      ("2024-01-01 00:50:00", "a", 2.0),
+      ("2024-01-01 01:20:00", "a", 3.0),
+      ("2024-01-01 01:40:00", "a", 4.0)
+    ).toDF("t", "k", "v")
+    val spec = Ingest.IngestSpec(
+      timeColumn = "t", dimensions = Seq("k"),
+      metrics = Seq(Ingest.Metric.First("first_v", "v"),
+        Ingest.Metric.Last("last_v", "v")),
+      queryGranularity = Some("PT1H"))
+    val rolled = Ingest.prepare(raw, spec)
+    assert(rolled.count() == 2) // two hourly buckets
+    // fold across buckets at query time: global first=1.0, last=4.0
+    val folded = rolled.groupBy(col("k")).agg(
+      Ingest.foldFirst(col("first_v")).as("f"),
+      Ingest.foldLast(col("last_v")).as("l")).collect()(0)
+    assert(folded.getAs[Double]("f") == 1.0)
+    assert(folded.getAs[Double]("l") == 4.0)
+  }
+
   test("input formats: json / csv / tsv read into the same ingest path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt")
     val jsonF = dir.resolve("in.json")
