@@ -238,7 +238,10 @@ object NativeQuery {
       dataSource: DataSource, intervals: Seq[QueryInterval],
       filter: Option[DimFilter], searchDimensions: Seq[String],
       value: String, caseSensitive: Boolean, limit: Option[Int],
-      virtualColumns: Seq[VirtualColumn]) extends NativeQuery
+      virtualColumns: Seq[VirtualColumn],
+      /** hit ordering: lexicographic | alphanumeric | strlen
+        * (reference SearchSortSpec). */
+      sort: String = "lexicographic") extends NativeQuery
 
   final case class TimeBoundary(
       dataSource: DataSource, intervals: Seq[QueryInterval],

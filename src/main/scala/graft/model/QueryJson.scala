@@ -75,7 +75,10 @@ object QueryJson {
           arr(n, "searchDimensions").map(_.asText()),
           if (q != null) str(q, "value") else str(n, "value"),
           q != null && boolOpt(q, "caseSensitive").getOrElse(false),
-          intOpt(n, "limit"), vcols)
+          intOpt(n, "limit"), vcols,
+          Option(n.get("sort")).filterNot(_.isNull)
+            .map(s => if (s.isTextual) s.asText() else str(s, "type"))
+            .getOrElse("lexicographic"))
       case "timeBoundary" => NativeQuery.TimeBoundary(
         ds, intervals, filter, strOpt(n, "bound"), vcols)
       case "dataSourceMetadata" => NativeQuery.DataSourceMetadata(ds, intervals, filter, vcols)

@@ -521,10 +521,15 @@ class NativePlanner(
     val pred =
       if (q.caseSensitive) col("value").contains(q.value)
       else lower(col("value")).contains(q.value.toLowerCase)
+    val valueKey = q.sort match {
+      case "alphanumeric" => DruidExpressions.alphanumericSortKey(col("value"))
+      case "strlen" => length(col("value"))
+      case _ => col("value") // lexicographic
+    }
     val out = pairs.filter(pred)
       .groupBy(col("dimension"), col("value"))
       .agg(count(lit(1)).as("count"))
-      .orderBy(col("dimension").asc, col("value").asc)
+      .orderBy(valueKey.asc, col("value").asc, col("dimension").asc)
     q.limit.map(out.limit).getOrElse(out)
   }
 

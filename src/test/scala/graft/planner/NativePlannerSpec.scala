@@ -240,6 +240,25 @@ class NativePlannerSpec extends SparkSpec {
     assert(h.getAs[Long]("count") == 6L)
   }
 
+  test("search sort specs: strlen and alphanumeric orderings with limit") {
+    import spark.implicits._
+    val t = Seq("x9", "x10", "x2", "longest", "a").toDF("d")
+    val p = new NativePlanner(spark, { case "t" => t })
+    def firstHits(sort: String, n: Int): Seq[String] = p.plan(
+      s"""{"queryType": "search", "dataSource": "t", "intervals": [],
+         |"searchDimensions": ["d"],
+         |"query": {"type": "insensitive_contains", "value": ""},
+         |"sort": {"type": "$sort"}, "limit": $n}""".stripMargin)
+      .collect().map(_.getString(1)).toSeq
+    // strlen: shortest values first
+    assert(firstHits("strlen", 2) == Seq("a", "x2"))
+    // alphanumeric: digit runs compare numerically → x2 < x9 < x10
+    assert(firstHits("alphanumeric", 4) == Seq("a", "longest", "x2", "x9"))
+    // lexicographic default: x10 < x2 stringwise
+    assert(firstHits("lexicographic", 5)
+      == Seq("a", "longest", "x10", "x2", "x9"))
+  }
+
   test("cardinality byValue unions dim value sets; byRow counts tuples") {
     val r = planner.plan(
       """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
