@@ -197,6 +197,14 @@ object QueryJson {
         delegate.copy(elementFilter = Some((
           arr(n, "values").map(_.asText()),
           boolOpt(n, "isWhitelist").getOrElse(true))))
+      case "lookup" =>
+        // LookupDimensionSpec: dim mapped through a registered lookup
+        // (reference query/dimension/LookupDimensionSpec.java)
+        val d = str(n, "dimension")
+        DimensionSpec(d, strOpt(n, "outputName").getOrElse(d),
+          Some(ExtractionFn.RegisteredLookup(
+            str(n, "name"),
+            boolOpt(n, "retainMissingValue").getOrElse(false))))
       case t => throw new UnsupportedOperationException(s"dimensionSpec type $t")
     }
   }

@@ -153,6 +153,20 @@ class NativePlannerSpec extends SparkSpec {
       Set(("a", "A"), ("b", "B")))
   }
 
+  test("lookup dimensionSpec maps through a registered lookup") {
+    graft.functions.LookupRegistry.register("np_dim1",
+      Map("abc" -> "ALPHA", "def" -> "DELTA"))
+    val rows = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"dimensions": [{"type": "lookup", "dimension": "dim1",
+        |  "outputName": "mapped", "name": "np_dim1", "retainMissingValue": true}],
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("ALPHA") == 1L && rows("DELTA") == 1L)
+    assert(rows("10.1") == 1L) // retained unmapped value
+  }
+
   test("having forms: and/not/greaterThan/dimSelector") {
     val rows = planner.plan(
       """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
