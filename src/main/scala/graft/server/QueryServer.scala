@@ -53,15 +53,48 @@ class QueryServer(
     try {
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val rows = run(body).toJSON.collect()
+      val rows = collectWithTimeout(run(body), timeoutMs(body))
       respond(ex, 200, rows.mkString("[", ",", "]"))
     } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        respond(ex, 504, """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
       case e: Exception =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
         respond(ex, 400, s"""{"error":"$msg"}""")
     }
   }
+
+  /** context.timeout (ms) — the reference's per-query timeout
+    * (QueryContexts.getTimeout): on expiry the Spark job group is
+    * cancelled so executor work actually stops, and the caller gets
+    * the reference's QueryTimeoutException shape (HTTP 504). */
+  private def timeoutMs(body: String): Option[Long] =
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      Option(n.get("context")).flatMap(c => Option(c.get("timeout"))).map(_.asLong())
+    } catch { case _: Exception => None }
+
+  private def collectWithTimeout(df: DataFrame, timeout: Option[Long]): Array[String] =
+    timeout match {
+      case None => df.toJSON.collect()
+      case Some(ms) =>
+        val group = "graft-query-" + java.util.UUID.randomUUID()
+        val sc = spark.sparkContext
+        import scala.concurrent.{Await, Future, blocking}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fut = Future(blocking {
+          sc.setJobGroup(group, "graft query", interruptOnCancel = true)
+          try df.toJSON.collect() finally sc.clearJobGroup()
+        })
+        try Await.result(fut, Duration(ms, "ms"))
+        catch {
+          case e: java.util.concurrent.TimeoutException =>
+            sc.cancelJobGroup(group)
+            throw e
+        }
+    }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -53,6 +53,25 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("context.timeout cancels the job group and returns 504") {
+    // a deliberately slow query: sleepy UDF over a modest range
+    spark.udf.register("graft_test_sleep", (x: Long) => { Thread.sleep(50); x })
+    spark.range(0, 10000).createOrReplaceTempView("slow_t")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(graft_test_sleep(id)) FROM slow_t",
+          |"context": {"timeout": 300}}""".stripMargin)
+      assert(code == 504, s"expected 504, got $code: $body")
+      assert(body.contains("QueryTimeoutException"))
+      // and a fast query with a generous timeout still succeeds
+      val (ok, rows) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT 1 AS one", "context": {"timeout": 30000}}""")
+      assert(ok == 200 && rows.contains("\"one\":1"))
+    } finally srv.stop()
+  }
+
   test("bad query returns a JSON error, not a hang") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
