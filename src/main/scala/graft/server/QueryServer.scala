@@ -38,7 +38,7 @@ class QueryServer(
         .readTree(body).get("query").asText()
       graft.GraftSession.setup(spark).sql(q)
     })
-    server.createContext("/druid/v2", (ex: HttpExchange) => handle(ex)(planner.plan))
+    server.createContext("/druid/v2", (ex: HttpExchange) => handleNative(ex))
     server.createContext("/status/health", (ex: HttpExchange) => {
       respond(ex, 200, "true")
     })
@@ -53,7 +53,7 @@ class QueryServer(
     try {
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val rows = collectWithTimeout(run(body), timeoutMs(body))
+      val rows = collectWithTimeout(run(body).toJSON.collect(), timeoutMs(body))
       respond(ex, 200, rows.mkString("[", ",", "]"))
     } catch {
       case _: java.util.concurrent.TimeoutException =>
@@ -62,6 +62,79 @@ class QueryServer(
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
         respond(ex, 400, s"""{"error":"$msg"}""")
+    }
+  }
+
+  /** native endpoint: plan, execute, and wrap rows in the reference's
+    * per-query-type result envelope (timeseries/topN/groupBy/scan/
+    * search/timeBoundary response shapes), so native-API clients can
+    * switch without changing their response parsing. */
+  private def handleNative(ex: HttpExchange): Unit = {
+    try {
+      if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val q = graft.model.QueryJson.parse(body)
+      val df = planner.plan(q)
+      respond(ex, 200, envelope(q, df, timeoutMs(body)))
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        respond(ex, 504, """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+        respond(ex, 400, s"""{"error":"$msg"}""")
+    }
+  }
+
+  /** collect (timestamp-ISO-or-null, rest-of-row-json) pairs. */
+  private def tsRows(df: DataFrame, timeout: Option[Long]): Array[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val others = df.columns.filterNot(_ == "__time")
+    val prepared =
+      if (df.columns.contains("__time"))
+        df.select(
+          date_format(col("__time"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("__ts"),
+          to_json(struct(others.map(col): _*)).as("__j"))
+      else df.select(lit(null).cast("string").as("__ts"),
+        to_json(struct(others.map(col): _*)).as("__j"))
+    collectWithTimeout(prepared.toJSON.collect(), timeout).map { j =>
+      // prepared rows are {"__ts": ..., "__j": "..."} — reparse cheaply
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+      val ts = Option(n.get("__ts")).filterNot(_.isNull)
+        .map(t => "\"" + t.asText() + "\"").getOrElse("null")
+      (ts, n.get("__j").asText())
+    }
+  }
+
+  private def envelope(
+      q: graft.model.NativeQuery, df: DataFrame, timeout: Option[Long]): String = {
+    import graft.model.NativeQuery._
+    q match {
+      case _: Timeseries =>
+        tsRows(df, timeout)
+          .map { case (ts, j) => s"""{"timestamp":$ts,"result":$j}""" }
+          .mkString("[", ",", "]")
+      case _: TopN =>
+        // one envelope per time bucket, hits in rank order within
+        val rows = tsRows(df, timeout)
+        rows.map(_._1).distinct.map { ts =>
+          val hits = rows.filter(_._1 == ts).map(_._2).mkString("[", ",", "]")
+          s"""{"timestamp":$ts,"result":$hits}"""
+        }.mkString("[", ",", "]")
+      case _: GroupBy =>
+        tsRows(df, timeout)
+          .map { case (ts, j) => s"""{"version":"v1","timestamp":$ts,"event":$j}""" }
+          .mkString("[", ",", "]")
+      case _: Scan =>
+        val cols = df.columns.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val events = collectWithTimeout(df.toJSON.collect(), timeout).mkString("[", ",", "]")
+        s"""[{"columns":$cols,"events":$events}]"""
+      case _: Search =>
+        val hits = collectWithTimeout(df.toJSON.collect(), timeout).mkString("[", ",", "]")
+        s"""[{"timestamp":null,"result":$hits}]"""
+      case _: TimeBoundary | _: DataSourceMetadata | _: SegmentMetadata =>
+        val rows = collectWithTimeout(df.toJSON.collect(), timeout)
+        rows.map(j => s"""{"timestamp":null,"result":$j}""").mkString("[", ",", "]")
     }
   }
 
@@ -75,9 +148,10 @@ class QueryServer(
       Option(n.get("context")).flatMap(c => Option(c.get("timeout"))).map(_.asLong())
     } catch { case _: Exception => None }
 
-  private def collectWithTimeout(df: DataFrame, timeout: Option[Long]): Array[String] =
+  private def collectWithTimeout(
+      thunk: => Array[String], timeout: Option[Long]): Array[String] =
     timeout match {
-      case None => df.toJSON.collect()
+      case None => thunk
       case Some(ms) =>
         val group = "graft-query-" + java.util.UUID.randomUUID()
         val sc = spark.sparkContext
@@ -86,7 +160,7 @@ class QueryServer(
         import scala.concurrent.ExecutionContext.Implicits.global
         val fut = Future(blocking {
           sc.setJobGroup(group, "graft query", interruptOnCancel = true)
-          try df.toJSON.collect() finally sc.clearJobGroup()
+          try thunk finally sc.clearJobGroup()
         })
         try Await.result(fut, Duration(ms, "ms"))
         catch {

@@ -37,7 +37,31 @@ class QueryServerSpec extends SparkSpec {
           |"limitSpec": {"type": "default",
           |  "columns": [{"dimension": "dim", "direction": "ascending"}]}}""".stripMargin)
       assert(code == 200, body)
-      assert(body == """[{"dim":"a","sm":4.0},{"dim":"b","sm":2.0}]""", body)
+      // reference groupBy v1 envelope
+      assert(body ==
+        """[{"version":"v1","timestamp":null,"event":{"dim":"a","sm":4.0}},""" +
+        """{"version":"v1","timestamp":null,"event":{"dim":"b","sm":2.0}}]""", body)
+    } finally srv.stop()
+  }
+
+  test("native envelopes: timeseries timestamps + scan columns/events") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (c1, ts) = post(port, "/druid/v2",
+        """{"queryType": "timeseries", "dataSource": "ds", "intervals": [],
+          |"granularity": "day",
+          |"aggregations": [{"type": "count", "name": "cnt"}],
+          |"context": {"skipEmptyBuckets": true}}""".stripMargin)
+      assert(c1 == 200, ts)
+      assert(ts ==
+        """[{"timestamp":"2024-01-01T00:00:00.000Z","result":{"cnt":2}},""" +
+        """{"timestamp":"2024-01-02T00:00:00.000Z","result":{"cnt":1}}]""", ts)
+      val (c2, scan) = post(port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "ds", "intervals": [],
+          |"columns": ["dim", "m"], "limit": 1, "order": "ascending"}""".stripMargin)
+      assert(c2 == 200, scan)
+      assert(scan == """[{"columns":["dim","m"],"events":[{"dim":"a","m":1.0}]}]""", scan)
     } finally srv.stop()
   }
 
