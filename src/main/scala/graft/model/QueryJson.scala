@@ -349,6 +349,10 @@ object QueryJson {
     str(n, "type") match {
       case "arithmetic" => PostAggregator.Arithmetic(
         nm, str(n, "fn"), arr(n, "fields").map(parsePostAggregator))
+      // our hyperUnique/cardinality aggs already finalize to a count, so
+      // the finalizing accessor is a plain field access
+      case "hyperUniqueCardinality" => PostAggregator.FieldAccess(
+        nm, str(n, "fieldName"))
       case "fieldAccess" | "finalizingFieldAccess" =>
         PostAggregator.FieldAccess(nm, str(n, "fieldName"))
       case "constant" => PostAggregator.Constant(nm, n.get("value").asDouble())
