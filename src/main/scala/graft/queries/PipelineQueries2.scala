@@ -203,7 +203,22 @@ object PipelineQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** exact dedup keep-policy: smallest doc_id survives per normalized
+    * fingerprint (operators.Dedup.exact end to end). */
+  val dedupExactKeep: Q = q(
+    "dedup_exact_keep",
+    """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents WHERE doc_id < 80
+      |GROUP BY 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.exact(
+      Tables.documents(s, d).filter(col("doc_id") < 80), "doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupMinhashLsh, dedupSimhash, dedupEmbeddingCosine,
-    similarityIvfContract, textTokenCount)
+    similarityIvfContract, textTokenCount, dedupExactKeep)
 }
