@@ -125,8 +125,10 @@ object Aggregator {
     def name: String = aggregator.name
   }
   final case class Variance(name: String, fieldName: String, population: Boolean) extends Aggregator
-  final case class ThetaSketch(name: String, fieldName: String) extends Aggregator
-  final case class KllSketch(name: String, fieldName: String) extends Aggregator
+  final case class ThetaSketch(
+      name: String, fieldName: String, lgNomEntries: Int = 12) extends Aggregator
+  final case class KllSketch(
+      name: String, fieldName: String, k: Int = 200) extends Aggregator
   /** fixed-buckets histogram (reference FixedBucketsHistogramAggregatorFactory):
     * outlierHandlingMode ∈ ignore | overflow | clip. */
   final case class FixedBucketsHistogram(

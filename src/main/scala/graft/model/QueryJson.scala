@@ -320,8 +320,15 @@ object QueryJson {
         parseFilter(n.get("filter")), parseAggregator(n.get("aggregator")))
       case "variance" => Aggregator.Variance(nm, f,
         strOpt(n, "estimator").contains("population"))
-      case "thetaSketch" => Aggregator.ThetaSketch(nm, f)
-      case "quantilesDoublesSketch" | "KllDoublesSketch" => Aggregator.KllSketch(nm, f)
+      case "thetaSketch" =>
+        // "size" = nominal entries (reference SketchAggregatorFactory);
+        // carry as lgK, rounding up to the next power of two
+        val lgK = Option(n.get("size")).map(_.asLong())
+          .map(sz => math.ceil(math.log(sz.toDouble) / math.log(2)).toInt)
+          .getOrElse(12)
+        Aggregator.ThetaSketch(nm, f, lgK)
+      case "quantilesDoublesSketch" | "KllDoublesSketch" =>
+        Aggregator.KllSketch(nm, f, intOpt(n, "k").getOrElse(200))
       case "HLLSketchBuild" | "HLLSketchMerge" => Aggregator.Cardinality(nm, Seq(f))
       case "fixedBucketsHistogram" => Aggregator.FixedBucketsHistogram(
         nm, f, n.get("lowerLimit").asDouble(), n.get("upperLimit").asDouble(),

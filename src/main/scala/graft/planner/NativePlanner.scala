@@ -206,8 +206,12 @@ class NativePlanner(
       filteredAgg(filterToColumn(f), inner)
     case Aggregator.Variance(n, f, pop) =>
       (if (pop) var_pop(col(f)) else var_samp(col(f))).as(n)
-    case Aggregator.ThetaSketch(n, f) => sketches.thetaSketch(col(f)).as(n)
-    case Aggregator.KllSketch(n, f) => sketches.kllSketch(col(f)).as(n)
+    case Aggregator.ThetaSketch(n, f, lgK) =>
+      graft.exprs.toCol(graft.aggs.ThetaSketchAgg(
+        graft.exprs.toExpr(col(f)), lgK).toAggregateExpression()).as(n)
+    case Aggregator.KllSketch(n, f, k) =>
+      graft.exprs.toCol(graft.aggs.KllDoublesAgg(
+        graft.exprs.toExpr(col(f)), k).toAggregateExpression()).as(n)
     case Aggregator.FixedBucketsHistogram(n, f, lo, hi, buckets, mode) =>
       HistogramAgg.fixedHistogram(col(f), lo, hi, buckets, mode).as(n)
     case Aggregator.Histogram(n, f, breaks) =>
