@@ -134,6 +134,10 @@ object Aggregator {
   final case class FixedBucketsHistogram(
       name: String, fieldName: String, lowerLimit: Double, upperLimit: Double,
       numBuckets: Int, outlierHandlingMode: String) extends Aggregator
+  /** exact distinct count (reference extensions-contrib/distinctcount). */
+  final case class DistinctCount(name: String, fieldName: String) extends Aggregator
+  /** min/max of __time as epoch millis (extensions-contrib/time-min-max). */
+  final case class TimeMinMax(name: String, isMax: Boolean) extends Aggregator
   /** explicit-breaks equal-width histogram (reference
     * HistogramAggregatorFactory): counts between consecutive breaks. */
   final case class Histogram(

@@ -330,6 +330,10 @@ object QueryJson {
       case "quantilesDoublesSketch" | "KllDoublesSketch" =>
         Aggregator.KllSketch(nm, f, intOpt(n, "k").getOrElse(200))
       case "HLLSketchBuild" | "HLLSketchMerge" => Aggregator.Cardinality(nm, Seq(f))
+      // contrib extensions: time-min-max, distinctcount
+      case "timeMin" => Aggregator.TimeMinMax(nm, isMax = false)
+      case "timeMax" => Aggregator.TimeMinMax(nm, isMax = true)
+      case "distinctCount" => Aggregator.DistinctCount(nm, f)
       case "fixedBucketsHistogram" => Aggregator.FixedBucketsHistogram(
         nm, f, n.get("lowerLimit").asDouble(), n.get("upperLimit").asDouble(),
         n.get("numBuckets").asInt(),

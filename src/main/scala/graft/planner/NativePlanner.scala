@@ -212,6 +212,10 @@ class NativePlanner(
     case Aggregator.KllSketch(n, f, k) =>
       graft.exprs.toCol(graft.aggs.KllDoublesAgg(
         graft.exprs.toExpr(col(f)), k).toAggregateExpression()).as(n)
+    case Aggregator.DistinctCount(n, f) => count_distinct(col(f)).as(n)
+    case Aggregator.TimeMinMax(n, isMax) =>
+      (if (isMax) max(unix_millis(col(timeColumn)))
+       else min(unix_millis(col(timeColumn)))).as(n)
     case Aggregator.FixedBucketsHistogram(n, f, lo, hi, buckets, mode) =>
       HistogramAgg.fixedHistogram(col(f), lo, hi, buckets, mode).as(n)
     case Aggregator.Histogram(n, f, breaks) =>

@@ -317,8 +317,44 @@ object NativeQueries3 {
         round(col("sv"), 4).as("sv"))
   }
 
+  /** moving-average query (reference extensions-contrib/
+    * moving-average-query): timeseries buckets + a trailing-window
+    * average over the bucketed aggregate — a window over the (small)
+    * agg result, not the raw rows. Also grades the contrib timeMin/
+    * timeMax and distinctCount aggregators in the same pass. */
+  val nativeMovingAverage: Q = q(
+    "native_moving_average",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+      |         count(*) AS cnt,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |         epoch_ms(min(ts)) AS t_min, epoch_ms(max(ts)) AS t_max
+      |  FROM events GROUP BY 1)
+      |SELECT epoch_ms(bucket) AS t_ms, CAST(cnt AS BIGINT) AS cnt, users,
+      |       t_min, t_max,
+      |       round(avg(cnt) OVER (ORDER BY bucket
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS cnt_ma7
+      |FROM b ORDER BY t_ms""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val buckets = planner(s, d).plan(
+      """{"queryType": "timeseries", "dataSource": "events", "intervals": [],
+        |"granularity": "day",
+        |"aggregations": [
+        |  {"type": "count", "name": "cnt"},
+        |  {"type": "distinctCount", "name": "users", "fieldName": "user_id"},
+        |  {"type": "timeMin", "name": "t_min"},
+        |  {"type": "timeMax", "name": "t_max"}],
+        |"context": {"skipEmptyBuckets": true}}""".stripMargin)
+    val w = Window.orderBy(col("__time")).rowsBetween(-6, Window.currentRow)
+    buckets
+      .withColumn("cnt_ma7", round(avg(col("cnt")).over(w), 4))
+      .select(unix_millis(col("__time")).as("t_ms"), col("cnt"), col("users"),
+        col("t_min"), col("t_max"), col("cnt_ma7"))
+      .orderBy(col("t_ms"))
+  }
+
   val all: Seq[Q] = Seq(
     aggFixedHistogram, nativeHistogramQuantile, nativeZtest, nativeExtractionMore,
     nativeMvdListFiltered, nativeExpressionLambda, nativeTimewarp, sessionStats,
-    nativeTimeseriesGrandtotal)
+    nativeTimeseriesGrandtotal, nativeMovingAverage)
 }
