@@ -136,6 +136,10 @@ object Aggregator {
       numBuckets: Int, outlierHandlingMode: String) extends Aggregator
   /** exact distinct count (reference extensions-contrib/distinctcount). */
   final case class DistinctCount(name: String, fieldName: String) extends Aggregator
+  /** grouping-set id bitmask over the listed dims (reference
+    * GroupingAggregatorFactory; bit=1 when the dim is NOT grouped).
+    * Meaningful under subtotalsSpec (grouping sets). */
+  final case class Grouping(name: String, groupings: Seq[String]) extends Aggregator
   /** min/max of __time as epoch millis (extensions-contrib/time-min-max). */
   final case class TimeMinMax(name: String, isMax: Boolean) extends Aggregator
   /** explicit-breaks equal-width histogram (reference

@@ -334,6 +334,7 @@ object QueryJson {
       case "timeMin" => Aggregator.TimeMinMax(nm, isMax = false)
       case "timeMax" => Aggregator.TimeMinMax(nm, isMax = true)
       case "distinctCount" => Aggregator.DistinctCount(nm, f)
+      case "grouping" => Aggregator.Grouping(nm, arr(n, "groupings").map(_.asText()))
       case "fixedBucketsHistogram" => Aggregator.FixedBucketsHistogram(
         nm, f, n.get("lowerLimit").asDouble(), n.get("upperLimit").asDouble(),
         n.get("numBuckets").asInt(),

@@ -1,0 +1,89 @@
+package graft.planner
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import graft.model._
+
+/** Materialized-view selection (reference extensions-contrib/
+  * materialized-view-{maintenance,selection}): a derived rollup table
+  * groups the base datasource by a dim subset and pre-aggregates
+  * metrics; groupBy queries whose dims, filters, and aggregators are
+  * covered are transparently rewritten to scan the (much smaller) view
+  * with COMBINING aggregators — count folds as sum, sums/mins/maxes
+  * fold as themselves, sketch metrics fold their binaries.
+  *
+  * At 100 TB this is the classic rollup-cube speedup: the rewrite is a
+  * pure plan transformation, so Catalyst still gets pushdown/pruning
+  * over the view scan.
+  */
+object MaterializedViews {
+
+  /** view over `baseTable`: stored at `viewTable` (resolvable through
+    * the planner's table resolver), grouped by `dims`, carrying metric
+    * columns produced by `aggs` (keyed by output name). */
+  final case class MatView(
+      viewTable: String, dims: Set[String], aggs: Map[String, Aggregator])
+
+  private val registry = new ConcurrentHashMap[String, List[MatView]]()
+
+  def register(baseTable: String, view: MatView): Unit =
+    registry.merge(baseTable, List(view), (a, b) => b ++ a)
+
+  def clear(): Unit = registry.clear()
+
+  /** combining form of an aggregator reading the view's pre-aggregated
+    * column of the same name; None = not view-foldable. */
+  private def combining(a: Aggregator): Option[Aggregator] = a match {
+    case Aggregator.Count(n) => Some(Aggregator.LongSum(n, n))
+    case Aggregator.LongSum(n, _) => Some(Aggregator.LongSum(n, n))
+    case Aggregator.DoubleSum(n, _) => Some(Aggregator.DoubleSum(n, n))
+    case Aggregator.LongMin(n, _) => Some(Aggregator.LongMin(n, n))
+    case Aggregator.LongMax(n, _) => Some(Aggregator.LongMax(n, n))
+    case Aggregator.DoubleMin(n, _) => Some(Aggregator.DoubleMin(n, n))
+    case Aggregator.DoubleMax(n, _) => Some(Aggregator.DoubleMax(n, n))
+    case Aggregator.ThetaSketch(n, _, lgK) => Some(Aggregator.ThetaSketch(n, n, lgK))
+    case Aggregator.KllSketch(n, _, k) => Some(Aggregator.KllSketch(n, n, k))
+    case _ => None
+  }
+
+  private def filterDims(f: DimFilter): Set[String] = f match {
+    case DimFilter.Selector(d, _, _) => Set(d)
+    case DimFilter.In(d, _, _) => Set(d)
+    case DimFilter.Bound(d, _, _, _, _, _, _) => Set(d)
+    case DimFilter.Like(d, _) => Set(d)
+    case DimFilter.Regex(d, _) => Set(d)
+    case DimFilter.Interval(d, _) => Set(d)
+    case DimFilter.Search(d, _, _) => Set(d)
+    case DimFilter.ColumnComparison(ds) => ds.toSet
+    case DimFilter.Expr(_) => Set("__not_coverable__")
+    case DimFilter.And(fs) => fs.flatMap(filterDims).toSet
+    case DimFilter.Or(fs) => fs.flatMap(filterDims).toSet
+    case DimFilter.Not(f0) => filterDims(f0)
+    case _ => Set.empty
+  }
+
+  /** rewrite a groupBy to scan a covering view, if one is registered.
+    * Coverage: base is a plain table; no virtual columns; query dims
+    * (un-extracted) ⊆ view dims; filter dims ⊆ view dims (+__time);
+    * every aggregator matches the view's stored definition by name and
+    * shape, and has a combining form. */
+  def rewrite(q: NativeQuery.GroupBy): NativeQuery.GroupBy = q.dataSource match {
+    case DataSource.Table(base) =>
+      val qDims = q.dimensions.map(_.dimension).toSet
+      val fDims = q.filter.map(filterDims).getOrElse(Set.empty)
+      registry.getOrDefault(base, Nil).asInstanceOf[List[MatView]].collectFirst {
+        case v
+          if q.virtualColumns.isEmpty &&
+            qDims.subsetOf(v.dims) &&
+            fDims.subsetOf(v.dims + "__time") &&
+            q.aggregations.nonEmpty &&
+            q.aggregations.forall(a => v.aggs.get(a.name).contains(a)) &&
+            q.aggregations.forall(a => combining(a).isDefined) =>
+          q.copy(
+            dataSource = DataSource.Table(v.viewTable),
+            aggregations = q.aggregations.map(a => combining(a).get))
+      }.getOrElse(q)
+    case _ => q
+  }
+}

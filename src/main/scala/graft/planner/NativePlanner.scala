@@ -213,6 +213,12 @@ class NativePlanner(
       graft.exprs.toCol(graft.aggs.KllDoublesAgg(
         graft.exprs.toExpr(col(f)), k).toAggregateExpression()).as(n)
     case Aggregator.DistinctCount(n, f) => count_distinct(col(f)).as(n)
+    case Aggregator.Grouping(n, gs) =>
+      // bit i (msb-first) set when groupings(i) is NOT in the current
+      // grouping set — exactly Spark's grouping() under groupingSets
+      gs.zipWithIndex.map { case (g, i) =>
+        grouping(col(g)).cast("long") * (1L << (gs.size - 1 - i))
+      }.reduce(_ + _).as(n)
     case Aggregator.TimeMinMax(n, isMax) =>
       (if (isMax) max(unix_millis(col(timeColumn)))
        else min(unix_millis(col(timeColumn)))).as(n)
@@ -455,7 +461,10 @@ class NativePlanner(
     }
   }
 
-  private def planGroupBy(q: NativeQuery.GroupBy): DataFrame = {
+  private def planGroupBy(q0: NativeQuery.GroupBy): DataFrame = {
+    // materialized-view selection: transparently scan a covering rollup
+    // view with combining aggregators when one is registered.
+    val q = MaterializedViews.rewrite(q0)
     val df = explodeMvds(base(q), q.dimensions)
     def aggregate(dims: Seq[DimensionSpec], src: DataFrame): DataFrame = {
       val aggs = q.aggregations.map(aggToColumn)

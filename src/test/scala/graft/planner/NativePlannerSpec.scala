@@ -132,6 +132,20 @@ class NativePlannerSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).sum == 50.0)
   }
 
+  test("grouping aggregator yields the reference's subset bitmask") {
+    val rows = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+        |"granularity": "all", "dimensions": ["dim1", "dim2"],
+        |"subtotalsSpec": [["dim1"], ["dim2"], []],
+        |"aggregations": [
+        |  {"type": "count", "name": "cnt"},
+        |  {"type": "grouping", "name": "gid", "groupings": ["dim1", "dim2"]}
+        |]}""".stripMargin)
+      .select("gid").distinct().collect().map(_.getLong(0)).toSet
+    // [dim1] → dim2 missing → 01 = 1; [dim2] → 10 = 2; [] → 11 = 3
+    assert(rows == Set(1L, 2L, 3L))
+  }
+
   test("numeric-ordered bound filter and in filter via native JSON") {
     val n = planner.plan(
       """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
@@ -344,6 +358,49 @@ class NativePlannerSpec extends SparkSpec {
       ("2024-03-09T05:00:00Z", 1L),
       ("2024-03-10T05:00:00Z", 0L),
       ("2024-03-11T04:00:00Z", 0L))) // post-DST local midnight = 04:00Z
+  }
+
+  test("materialized-view selection rewrites covered groupBys to the rollup") {
+    import graft.model._
+    import graft.planner.{MaterializedViews => MV}
+    // build the view: foo grouped by dim1 with count + doubleSum
+    val viewAggs = Map[String, Aggregator](
+      "cnt" -> Aggregator.Count("cnt"),
+      "sm" -> Aggregator.DoubleSum("sm", "m1"))
+    val view = foo.groupBy(col("dim1"))
+      .agg(count(lit(1)).as("cnt"), sum(col("m1")).as("sm"))
+    var viewScans = 0
+    val p = new NativePlanner(spark, {
+      case "foo" => foo
+      case "foo_by_dim1" => viewScans += 1; view
+    })
+    MV.clear()
+    MV.register("foo", MV.MatView("foo_by_dim1", Set("dim1"), viewAggs))
+    try {
+      val q =
+        """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+          |"granularity": "all", "dimensions": ["dim1"],
+          |"aggregations": [
+          |  {"type": "count", "name": "cnt"},
+          |  {"type": "doubleSum", "name": "sm", "fieldName": "m1"}]}""".stripMargin
+      val rows = p.plan(q).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viewScans == 1, "covered query must scan the view")
+      // identical answers to the base-table plan
+      MV.clear()
+      val direct = p.plan(q).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == direct)
+      // uncovered query (dim2 not in view) falls through to the base
+      MV.register("foo", MV.MatView("foo_by_dim1", Set("dim1"), viewAggs))
+      val scansBefore = viewScans
+      p.plan(
+        """{"queryType": "groupBy", "dataSource": "foo", "intervals": [],
+          |"granularity": "all", "dimensions": ["dim2"],
+          |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+        .collect()
+      assert(viewScans == scansBefore, "uncovered query must not use the view")
+    } finally MV.clear()
   }
 
   test("timewarp shifts query intervals back and result timestamps forward") {
