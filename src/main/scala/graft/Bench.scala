@@ -64,6 +64,20 @@ object Bench {
       "dedup_minhash" -> ((s: SparkSession, d: String) =>
         operators.Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
           .agg(count(lit(1)).as("pairs"))),
+      // ingest rate (BASELINE.md ingestion rows): transform + hourly
+      // rollup with a sketch metric over the events table
+      "ingest_rollup" -> ((s: SparkSession, d: String) =>
+        sources.Ingest.prepare(
+          Tables.events(s, d).withColumnRenamed("ts", "t"),
+          sources.Ingest.IngestSpec(
+            timeColumn = "t",
+            transforms = Seq("etype_up" -> "upper(event_type)"),
+            dimensions = Seq("etype_up"),
+            metrics = Seq(
+              sources.Ingest.Metric.Count("cnt"),
+              sources.Ingest.Metric.DoubleSum("sv", "value"),
+              sources.Ingest.Metric.ThetaSketch("users_sk", "user_id")),
+            queryGranularity = Some("PT1H")))),
       "session_stats" -> ((s: SparkSession, d: String) =>
         operators.Sessions.stats(
           Tables.events(s, d).withColumnRenamed("ts", "__time"),

@@ -218,7 +218,38 @@ object PipelineQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** logistic quality score from the deterministic text signals — the
+    * "quality classifier" stage of a filtering pipeline (fixed weights;
+    * 4dp rounding absorbs cross-engine libm ulps). */
+  val textQualityScore: Q = q(
+    "text_quality_score",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         ln(1 + length(text)) AS log_len,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |              x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+      |                                  'that','for','on','with','as','are','was','be','this'], x)))
+      |              AS DOUBLE) / len(string_split(text, ' ')) AS sw_ratio,
+      |         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      |           / length(text) AS digit_ratio
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id,
+      |       round(1.0 / (1.0 + exp(-(-2.0 + 0.5*log_len + 4.0*sw_ratio - 3.0*digit_ratio))), 4)
+      |         AS quality
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextAnalysis
+    val toks = split(col("text"), " ")
+    val logLen = log(lit(1) + length(col("text")))
+    val swRatio = TextAnalysis.stopwordCount(toks).cast("double") / size(toks)
+    val digitRatio = TextAnalysis.digitCount(col("text")).cast("double") / length(col("text"))
+    val z = lit(-2.0) + lit(0.5) * logLen + lit(4.0) * swRatio - lit(3.0) * digitRatio
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupMinhashLsh, dedupSimhash, dedupEmbeddingCosine,
-    similarityIvfContract, textTokenCount, dedupExactKeep)
+    similarityIvfContract, textTokenCount, dedupExactKeep, textQualityScore)
 }
