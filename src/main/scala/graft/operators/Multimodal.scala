@@ -85,6 +85,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** ==== STUB: resize (would be an image scaler) — deterministic
+    * truncate/pad of the bytes to a size derived from target dims, so
+    * output sizing and schema behave like a real resize. */
+  private[operators] def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null) return null
+    val target = math.max(16, (w * h) / 64)
+    java.util.Arrays.copyOf(bytes, target)
+  }
+
+  /** resize stage: media binary → resized binary + updated meta.
+    * Same partition-batched shape as a real codec call. */
+  def withResized(
+      df: DataFrame, binCol: String, width: Int, height: Int,
+      outCol: String = "media_resized"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+ resizeStub(bytes, width, height))
+      }
+    }(enc)
+  }
+
+  /** ==== STUB: frame sampling (would decode video and grab every
+    * n-th frame) — deterministic byte-slices standing in for frames. */
+  def withFrameSamples(
+      df: DataFrame, binCol: String, nFrames: Int,
+      outCol: String = "media_frames"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(BinaryType, containsNull = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val frames: Seq[Array[Byte]] =
+          if (bytes == null || bytes.isEmpty) Seq.empty
+          else {
+            val stride = math.max(1, bytes.length / nFrames)
+            (0 until math.min(nFrames, bytes.length)).map { i =>
+              val from = i * stride
+              java.util.Arrays.copyOfRange(bytes, from,
+                math.min(from + stride, bytes.length))
+            }
+          }
+        Row.fromSeq(r.toSeq :+ frames)
+      }
+    }(enc)
+  }
+
   /** size-aware repartition: media rows are wildly skewed (bytes column
     * dominates); range-partition on cumulative size proxy (n_bytes) so
     * each task gets a comparable byte budget rather than row count. */

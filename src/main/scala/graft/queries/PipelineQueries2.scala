@@ -249,7 +249,26 @@ object PipelineQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** polynomial rolling-hash document fingerprint (Rabin–Karp style)
+    * over normalized text — the non-cryptographic sibling of the md5
+    * fingerprint, oracle-replicated via the portable hash. */
+  val textRollingFingerprint: Q = q(
+    "text_rolling_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_extract_all(
+      |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '.'),
+      |      c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, b) -> (a*31 + b) % 1000000007) AS roll_fp
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), rollHash(normalized).as("roll_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupMinhashLsh, dedupSimhash, dedupEmbeddingCosine,
-    similarityIvfContract, textTokenCount, dedupExactKeep, textQualityScore)
+    similarityIvfContract, textTokenCount, dedupExactKeep, textQualityScore,
+    textRollingFingerprint)
 }

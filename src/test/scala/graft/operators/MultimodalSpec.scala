@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = {
+    import spark.implicits._
+    Seq((1L, "x" * 1000), (2L, "y" * 64), (3L, null: String))
+      .toDF("id", "payload")
+      .select(col("id"), encode(col("payload"), "UTF-8").as("media"))
+  }
+
+  test("resize stage produces deterministic target-sized binaries") {
+    val out = Multimodal.withResized(media, "media", width = 64, height = 64)
+      .select(col("id"), length(col("media_resized")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out(1L) == 64 && out(2L) == 64) // (64*64)/64 = 64 bytes
+    assert(out(3L) == -1) // null media passes through as null
+  }
+
+  test("frame sampling yields n byte-slices covering the media") {
+    val out = Multimodal.withFrameSamples(media, "media", nFrames = 4)
+      .select(col("id"), size(col("media_frames")).as("n"),
+        aggregate(transform(col("media_frames"), f => length(f).cast("long")),
+          lit(0L), (a, b) => a + b).as("bytes"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == 4)
+    assert(out(1L)._2 <= 1000 && out(1L)._2 >= 992) // strided slices cover ~all
+    assert(out(3L)._1 == 0) // null media → no frames
+  }
+}
