@@ -136,6 +136,17 @@ object Ingest {
           .option("sep", options.getOrElse("sep", "\t")).csv(path)
       case "parquet" => r.parquet(path)
       case "orc" => r.orc(path)
+      case "regex" =>
+        // reference RegexInputFormat: one row per line, capture groups
+        // become the columns listed in options("columns")
+        val pattern = options.getOrElse("pattern",
+          throw new IllegalArgumentException("regex format needs options(pattern)"))
+        val cols = options.getOrElse("columns",
+          throw new IllegalArgumentException("regex format needs options(columns)"))
+          .split(",").map(_.trim)
+        spark.read.text(path).select(cols.zipWithIndex.map { case (c, i) =>
+          regexp_extract(col("value"), pattern, i + 1).as(c)
+        }.toSeq: _*)
       case f => throw new UnsupportedOperationException(s"input format $f")
     }
   }

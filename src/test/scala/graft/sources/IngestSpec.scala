@@ -105,6 +105,18 @@ class IngestSpecSuite extends SparkSpec {
       assert(r.length == 1, s"$fmt: expected 1 rolled-up row")
       assert(r(0).getAs[Double]("sv") == 15.0, s"$fmt: rollup sum")
     }
+    // regex input format: capture groups become named columns
+    val logF = dir.resolve("in.log")
+    java.nio.file.Files.writeString(logF,
+      "2024-01-01T00:10:00Z u=1 v=10.0\n2024-01-01T00:50:00Z u=2 v=5.0\n")
+    val rx = Ingest.readSource(spark, logF.toString, "regex", Map(
+      "pattern" -> "^(\\S+) u=(\\d+) v=([0-9.]+)$",
+      "columns" -> "t,u,v"))
+    val rolled = Ingest.prepare(rx, Ingest.IngestSpec(
+      timeColumn = "t",
+      metrics = Seq(Ingest.Metric.DoubleSum("sv", "v")),
+      queryGranularity = Some("PT1H"))).collect()
+    assert(rolled.length == 1 && rolled(0).getAs[Double]("sv") == 15.0)
     intercept[UnsupportedOperationException](
       Ingest.readSource(spark, dir.toString, "protobuf"))
   }
