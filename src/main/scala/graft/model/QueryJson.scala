@@ -139,7 +139,23 @@ object QueryJson {
   def parseInterval(s: String): QueryInterval = {
     val parts = s.split("/")
     require(parts.length == 2, s"bad interval: $s")
-    QueryInterval(isoMs(parts(0)), isoMs(parts(1)))
+    // Joda Interval accepts start/end, start/period, and period/end
+    (parts(0).headOption.contains('P'), parts(1).headOption.contains('P')) match {
+      case (false, false) => QueryInterval(isoMs(parts(0)), isoMs(parts(1)))
+      case (false, true) =>
+        val start = isoMs(parts(0))
+        QueryInterval(start, addPeriod(start, parts(1), 1))
+      case (true, false) =>
+        val end = isoMs(parts(1))
+        QueryInterval(addPeriod(end, parts(0), -1), end)
+      case _ => throw new IllegalArgumentException(s"bad interval: $s")
+    }
+  }
+
+  private def addPeriod(ms: Long, period: String, sign: Int): Long = {
+    val p = graft.functions.TimeFunctions.parsePeriod(period)
+    java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC)
+      .plusMonths(sign.toLong * p.months).toInstant.toEpochMilli + sign * p.millis
   }
 
   /** Lenient ISO-8601 instant parse matching the reference's Joda

@@ -30,6 +30,20 @@ class QueryJsonSpec extends AnyFunSuite {
     assert(posOffset.startMs == ms("2020-01-01T00:00:00Z"))
   }
 
+  test("interval accepts start/period and period/end forms (Joda parity)") {
+    val sp = QueryJson.parseInterval("2011-01-01/P1D")
+    assert(sp.startMs == ms("2011-01-01T00:00:00Z"))
+    assert(sp.endMs == ms("2011-01-02T00:00:00Z"))
+    val pe = QueryJson.parseInterval("P1M/2011-03-01")
+    assert(pe.startMs == ms("2011-02-01T00:00:00Z"))
+    assert(pe.endMs == ms("2011-03-01T00:00:00Z"))
+    // month periods honor calendar lengths
+    val feb = QueryJson.parseInterval("2011-01-31/P1M")
+    assert(feb.endMs == ms("2011-02-28T00:00:00Z"))
+    val pt = QueryJson.parseInterval("2011-01-01T06:00:00/PT6H30M")
+    assert(pt.endMs == ms("2011-01-01T12:30:00Z"))
+  }
+
   test("duration granularity carries raw millis (incl. sub-second)") {
     def gran(ms: Long): Granularity =
       QueryJson.parseGranularity(mapper.readTree(s"""{"type":"duration","duration":$ms}"""))
