@@ -82,6 +82,23 @@ case class KllToHistogram(left: Expression, right: Expression, cdf: Boolean)
   override def prettyName: String = if (cdf) "kll_cdf" else "kll_histogram"
 }
 
+/** multiple quantiles at once → array<double> (reference
+  * quantilesFromTDigestSketch / momentSketchSolveQuantiles shapes). */
+case class KllQuantiles(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(bin: Any, fracsAny: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
+    val fracs = fracsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      fracs.map(f => sk.getQuantile(f, QuantileSearchCriteria.INCLUSIVE)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantiles =
+    copy(left = l, right = r)
+  override def prettyName: String = "kll_quantiles"
+}
+
 case class KllRank(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType

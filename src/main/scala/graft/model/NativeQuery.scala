@@ -165,6 +165,10 @@ object PostAggregator {
   final case class ThetaEstimate(name: String, field: PostAggregator) extends PostAggregator
   final case class KllToQuantile(
       name: String, field: PostAggregator, fraction: Double) extends PostAggregator
+  /** multiple quantiles → array (tDigest/momentSketch post-agg shapes,
+    * served by the KLL path). */
+  final case class KllToQuantiles(
+      name: String, field: PostAggregator, fractions: Seq[Double]) extends PostAggregator
   /** KLL histogram/CDF/rank post-aggs (reference
     * DoublesSketchToHistogram/ToCDF/ToRank). */
   final case class KllToHistogram(

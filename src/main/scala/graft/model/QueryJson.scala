@@ -345,6 +345,9 @@ object QueryJson {
         Aggregator.ThetaSketch(nm, f, lgK)
       case "quantilesDoublesSketch" | "KllDoublesSketch" =>
         Aggregator.KllSketch(nm, f, intOpt(n, "k").getOrElse(200))
+      // tDigest/momentSketch quantile aggs: same contract, KLL-served
+      case "tDigestSketch" | "momentSketch" =>
+        Aggregator.KllSketch(nm, f, intOpt(n, "k").getOrElse(200))
       case "HLLSketchBuild" | "HLLSketchMerge" => Aggregator.Cardinality(nm, Seq(f))
       // contrib extensions: time-min-max, distinctcount
       case "timeMin" => Aggregator.TimeMinMax(nm, isMax = false)
@@ -393,6 +396,14 @@ object QueryJson {
         nm, parsePostAggregator(n.get("field")))
       case "quantilesDoublesSketchToQuantile" => PostAggregator.KllToQuantile(
         nm, parsePostAggregator(n.get("field")), n.get("fraction").asDouble())
+      // tDigest/momentSketch extensions: same quantiles contract,
+      // served by the KLL sketch family
+      case "quantileFromTDigestSketch" => PostAggregator.KllToQuantile(
+        nm, parsePostAggregator(n.get("field")), n.get("fraction").asDouble())
+      case "quantilesFromTDigestSketch" | "momentSketchSolveQuantiles" =>
+        PostAggregator.KllToQuantiles(
+          nm, parsePostAggregator(n.get("field")),
+          arr(n, "fractions").map(_.asDouble()))
       case "quantilesDoublesSketchToHistogram" => PostAggregator.KllToHistogram(
         nm, parsePostAggregator(n.get("field")),
         arr(n, "splitPoints").map(_.asDouble()), cdf = false)

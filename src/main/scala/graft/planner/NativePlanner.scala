@@ -280,6 +280,10 @@ class NativePlanner(
       sketches.thetaEstimate(postAggToColumn(f)).as(n)
     case PostAggregator.KllToQuantile(n, f, frac) =>
       sketches.kllQuantile(postAggToColumn(f), lit(frac)).as(n)
+    case PostAggregator.KllToQuantiles(n, f, fracs) =>
+      graft.exprs.toCol(graft.aggs.KllQuantiles(
+        graft.exprs.toExpr(postAggToColumn(f)),
+        graft.exprs.toExpr(array(fracs.map(lit): _*)))).as(n)
     case PostAggregator.KllToHistogram(n, f, splits, cdf) =>
       val sp = array(splits.map(lit): _*)
       (if (cdf) sketches.kllCdf(postAggToColumn(f), sp)

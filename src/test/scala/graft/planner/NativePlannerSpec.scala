@@ -246,6 +246,24 @@ class NativePlannerSpec extends SparkSpec {
     assert(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).contains(rows.getDouble(3)))
   }
 
+  test("tDigest/momentSketch quantile aliases answer through the KLL path") {
+    val r = planner.plan(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"aggregations": [
+        |  {"type": "tDigestSketch", "name": "td", "fieldName": "m1"}],
+        |"postAggregations": [
+        |  {"type": "quantileFromTDigestSketch", "name": "p50",
+        |   "field": {"type": "fieldAccess", "fieldName": "td"}, "fraction": 0.5},
+        |  {"type": "quantilesFromTDigestSketch", "name": "ps",
+        |   "field": {"type": "fieldAccess", "fieldName": "td"},
+        |   "fractions": [0.0, 1.0]}
+        |]}""".stripMargin).collect()(0)
+    // m1 = 1..6, sub-threshold KLL is exact
+    assert(r.getAs[Double]("p50") == 3.0)
+    assert(r.getSeq[Double](r.fieldIndex("ps")).toList == List(1.0, 6.0))
+  }
+
   test("expressionLambda fold + explicit-breaks histogram through JSON") {
     val r = planner.plan(
       """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
