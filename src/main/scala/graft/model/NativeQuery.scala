@@ -163,6 +163,10 @@ object PostAggregator {
       name: String, fields: Seq[PostAggregator], greatest: Boolean) extends PostAggregator
   final case class Expr(name: String, expression: String) extends PostAggregator
   final case class ThetaEstimate(name: String, field: PostAggregator) extends PostAggregator
+  /** theta set operation over sketch fields (reference
+    * SketchSetPostAggregator): func ∈ UNION | INTERSECT | NOT. */
+  final case class ThetaSetOp(
+      name: String, func: String, fields: Seq[PostAggregator]) extends PostAggregator
   final case class KllToQuantile(
       name: String, field: PostAggregator, fraction: Double) extends PostAggregator
   /** multiple quantiles → array (tDigest/momentSketch post-agg shapes,

@@ -394,6 +394,14 @@ object QueryJson {
       case "expression" => PostAggregator.Expr(nm, str(n, "expression"))
       case "thetaSketchEstimate" => PostAggregator.ThetaEstimate(
         nm, parsePostAggregator(n.get("field")))
+      case "thetaSketchSetOp" => PostAggregator.ThetaSetOp(
+        nm, str(n, "func").toUpperCase,
+        arr(n, "fields").map(parsePostAggregator))
+      // our HLL build aggs finalize to a count already
+      case "HLLSketchEstimate" =>
+        PostAggregator.FieldAccess(nm,
+          Option(n.get("field")).map(f => str(f, "fieldName"))
+            .getOrElse(str(n, "fieldName")))
       case "quantilesDoublesSketchToQuantile" => PostAggregator.KllToQuantile(
         nm, parsePostAggregator(n.get("field")), n.get("fraction").asDouble())
       // tDigest/momentSketch extensions: same quantiles contract,

@@ -250,6 +250,19 @@ class NativePlanner(
     case Aggregator.DoubleMin(n, f) => min(when(cond, col(f).cast("double"))).as(n)
     case Aggregator.DoubleMax(n, f) => max(when(cond, col(f).cast("double"))).as(n)
     case Aggregator.DoubleMean(n, f) => avg(when(cond, col(f))).as(n)
+    // null-skipping aggregators filter by nulling non-matching inputs
+    case Aggregator.ThetaSketch(n, f, lgK) =>
+      graft.exprs.toCol(graft.aggs.ThetaSketchAgg(
+        graft.exprs.toExpr(when(cond, col(f))), lgK).toAggregateExpression()).as(n)
+    case Aggregator.KllSketch(n, f, k) =>
+      graft.exprs.toCol(graft.aggs.KllDoublesAgg(
+        graft.exprs.toExpr(when(cond, col(f))), k).toAggregateExpression()).as(n)
+    case Aggregator.Variance(n, f, pop) =>
+      (if (pop) var_pop(when(cond, col(f))) else var_samp(when(cond, col(f)))).as(n)
+    case Aggregator.Cardinality(n, fields, _) if fields.size == 1 =>
+      approx_count_distinct(when(cond, col(fields.head))).as(n)
+    case Aggregator.DistinctCount(n, f) =>
+      count_distinct(when(cond, col(f))).as(n)
     case other => throw new UnsupportedOperationException(
       s"filtered wrapper around ${other.getClass.getSimpleName}")
   }
@@ -278,6 +291,15 @@ class NativePlanner(
     case PostAggregator.Expr(n, e) => expr(e).as(n)
     case PostAggregator.ThetaEstimate(n, f) =>
       sketches.thetaEstimate(postAggToColumn(f)).as(n)
+    case PostAggregator.ThetaSetOp(n, func, fields) =>
+      val cols = fields.map(postAggToColumn)
+      val op: (Column, Column) => Column = func match {
+        case "UNION" => sketches.thetaUnion
+        case "INTERSECT" => sketches.thetaIntersect
+        case "NOT" => sketches.thetaNot
+        case o => throw new UnsupportedOperationException(s"theta set op $o")
+      }
+      cols.reduce(op).as(n)
     case PostAggregator.KllToQuantile(n, f, frac) =>
       sketches.kllQuantile(postAggToColumn(f), lit(frac)).as(n)
     case PostAggregator.KllToQuantiles(n, f, fracs) =>

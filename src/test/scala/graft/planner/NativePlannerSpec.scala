@@ -246,6 +246,40 @@ class NativePlannerSpec extends SparkSpec {
     assert(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).contains(rows.getDouble(3)))
   }
 
+  test("thetaSketchSetOp post-agg: UNION / INTERSECT / NOT through JSON") {
+    val r = planner.plan(
+      """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+        |"granularity": "all",
+        |"aggregations": [
+        |  {"type": "filtered",
+        |   "filter": {"type": "bound", "dimension": "m1", "upper": "4",
+        |              "ordering": "numeric"},
+        |   "aggregator": {"type": "thetaSketch", "name": "lo", "fieldName": "m1"}},
+        |  {"type": "filtered",
+        |   "filter": {"type": "bound", "dimension": "m1", "lower": "3",
+        |              "lowerStrict": false, "ordering": "numeric"},
+        |   "aggregator": {"type": "thetaSketch", "name": "hi", "fieldName": "m1"}}
+        |],
+        |"postAggregations": [
+        |  {"type": "thetaSketchEstimate", "name": "n_union",
+        |   "field": {"type": "thetaSketchSetOp", "func": "UNION",
+        |             "fields": [{"type": "fieldAccess", "fieldName": "lo"},
+        |                        {"type": "fieldAccess", "fieldName": "hi"}]}},
+        |  {"type": "thetaSketchEstimate", "name": "n_inter",
+        |   "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+        |             "fields": [{"type": "fieldAccess", "fieldName": "lo"},
+        |                        {"type": "fieldAccess", "fieldName": "hi"}]}},
+        |  {"type": "thetaSketchEstimate", "name": "n_not",
+        |   "field": {"type": "thetaSketchSetOp", "func": "NOT",
+        |             "fields": [{"type": "fieldAccess", "fieldName": "lo"},
+        |                        {"type": "fieldAccess", "fieldName": "hi"}]}}
+        |]}""".stripMargin).collect()(0)
+    // lo = {1..4}, hi = {3..6}: union 6, intersect 2, lo\hi 2
+    assert(r.getAs[Double]("n_union") == 6.0)
+    assert(r.getAs[Double]("n_inter") == 2.0)
+    assert(r.getAs[Double]("n_not") == 2.0)
+  }
+
   test("tDigest/momentSketch quantile aliases answer through the KLL path") {
     val r = planner.plan(
       """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
