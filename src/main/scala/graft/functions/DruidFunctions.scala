@@ -152,6 +152,14 @@ object DruidFunctions {
     }
     fn("format")(a => toExpr(format_string(litStr(a.head), a.tail.map(toCol): _*)))
     fn("notnull")(a => toExpr(toCol(a.head).isNotNull))
+    // TRUNCATE(x[, digits]): truncate toward zero (reference
+    // TruncateOperatorConversion semantics, unlike floor for negatives)
+    fn("truncate") { a =>
+      val x = toCol(a.head).cast("double")
+      val digits = a.lift(1).map(litInt).getOrElse(0)
+      val scale = math.pow(10, digits)
+      toExpr((x * scale).cast("long").cast("double") / scale)
+    }
     fn("nvl")(a => toExpr(coalesce(toCol(a.head), toCol(a(1)))))
     fn("div")(a => toExpr((toCol(a.head) / toCol(a(1))).cast("long")))
     fn("parse_long")(a => toExpr(toCol(a.head).cast("long")))

@@ -84,6 +84,12 @@ class DruidExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(3))
     assert(r.getString(4) == "v-7")
     assert(r.getBoolean(5))
+    val t = spark.sql(
+      """SELECT truncate(3.79D) AS t0, truncate(-3.79D) AS tn,
+        |       truncate(3.789D, 2) AS t2""".stripMargin).collect()(0)
+    assert(t.getDouble(0) == 3.0)
+    assert(t.getDouble(1) == -3.0) // toward zero, not floor
+    assert(t.getDouble(2) == 3.78)
   }
 
   test("java.lang.Math long-tail functions match Java semantics") {
