@@ -267,8 +267,18 @@ object PipelineQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** the production murmur-fused MinHash path (bench workload), graded
+    * rows-only: its hash family is engine-specific by design; the
+    * portable-hash variant above is the oracle-checked algorithm. */
+  val dedupMinhashFast: Q = qNoOracle("dedup_minhash_fast") { (s, d) =>
+    graft.operators.Dedup.minhashCandidates(
+      Tables.documents(s, d), "doc_id", "text")
+      .agg(count(lit(1)).as("pairs"),
+        round(avg(col("est_jaccard")), 4).as("avg_est"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupMinhashLsh, dedupSimhash, dedupEmbeddingCosine,
     similarityIvfContract, textTokenCount, dedupExactKeep, textQualityScore,
-    textRollingFingerprint)
+    textRollingFingerprint, dedupMinhashFast)
 }
