@@ -168,6 +168,13 @@ object DruidFunctions {
       toExpr(when(d === 0, null).otherwise(toCol(a.head) / d))
     }
 
+    // ---- first/last SQL aggregates (reference EarliestLatestAnySqlAggregator):
+    // EARLIEST/LATEST use the datasource's __time by convention ----
+    fn("earliest")(a => toExpr(min_by(toCol(a.head), col("__time"))))
+    fn("latest")(a => toExpr(max_by(toCol(a.head), col("__time"))))
+    fn("earliest_by")(a => toExpr(min_by(toCol(a.head), toCol(a(1)))))
+    fn("latest_by")(a => toExpr(max_by(toCol(a.head), toCol(a(1)))))
+
     // ---- ipv4 ----
     fn("ipv4_parse")(a => Ipv4Parse(a.head))
     fn("ipv4_stringify")(a => Ipv4Stringify(a.head))

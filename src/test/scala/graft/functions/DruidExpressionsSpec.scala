@@ -69,6 +69,25 @@ class DruidExpressionsSpec extends SparkSpec {
     assert(!r.getBoolean(3)) // LA is not within 10 km of NYC
   }
 
+  test("EARLIEST / LATEST / EARLIEST_BY / LATEST_BY aggregates") {
+    import spark.implicits._
+    Seq(
+      ("2024-01-01 00:00:00", "first", 3.0),
+      ("2024-01-02 00:00:00", "mid", 1.0),
+      ("2024-01-03 00:00:00", "last", 2.0)
+    ).toDF("t", "s", "m")
+      .withColumn("__time", col("t").cast("timestamp"))
+      .createOrReplaceTempView("el_t")
+    val r = spark.sql(
+      """SELECT earliest(s) AS e, latest(s) AS l,
+        |       earliest_by(s, m) AS eb, latest_by(s, m) AS lb
+        |FROM el_t""".stripMargin).collect()(0)
+    assert(r.getString(0) == "first")
+    assert(r.getString(1) == "last")
+    assert(r.getString(2) == "mid") // min m
+    assert(r.getString(3) == "first") // max m
+  }
+
   test("case_searched / case_simple / format / notnull") {
     val r = spark.sql(
       """SELECT case_searched(1 > 2, 'a', 3 > 2, 'b', 'c') AS cs,
