@@ -1,0 +1,559 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.DruidExprLang._
+
+/** Compiles a parsed native-grammar expression (DruidExprLang) into a
+  * Catalyst Column, tracking the reference's type system
+  * (core/.../math/expr/ExprType.java, ExprTypeConversion.java) well
+  * enough to reproduce its operator semantics:
+  *
+  *  - LONG op LONG stays LONG (`/` truncates like Java, `%` keeps
+  *    Java remainder sign, `^` is LongMath.pow);
+  *  - any DOUBLE operand widens the op to DOUBLE;
+  *  - `+` with a STRING side concatenates;
+  *  - comparisons yield LONG 1/0, or DOUBLE 1.0/0.0 when a side is
+  *    DOUBLE (the reference's evalDouble quirk);
+  *  - `__time` (TimestampType columns in general) surface as LONG
+  *    epoch millis, matching the reference's row binding.
+  *
+  * The schema parameter types identifiers; when present, unknown
+  * identifiers hard-reject (wire-parity: the reference errors on
+  * unbound identifiers rather than guessing). Function names come from
+  * reference Function.java / ApplyFunction.java / the expression
+  * macros (processing/.../query/expression/); unknown names
+  * hard-reject.
+  */
+object DruidExprCompiler {
+
+  sealed trait DT
+  object DT {
+    case object L extends DT      // long
+    case object D extends DT      // double
+    case object S extends DT      // string
+    case object BL extends DT     // boolean column, long-valued on materialize
+    case object BD extends DT     // boolean column, double-valued on materialize
+    final case class A(elem: DT) extends DT // array
+    case object U extends DT      // unknown (schema-less compile)
+  }
+  import DT._
+
+  final case class TC(c: Column, t: DT)
+
+  final case class Env(schema: Option[StructType], bindings: Map[String, TC])
+
+  // ---------------- public entry points ----------------
+
+  /** compile to a value column (virtualColumns, post-aggs). */
+  def column(expr: String, schema: Option[StructType]): Column =
+    materialize(compile(parse(expr), Env(schema, Map.empty)))
+
+  /** compile to a boolean predicate (expression filters, residual join
+    * conditions): the reference's truthiness — nonzero numbers are
+    * true (Evals.asBoolean). */
+  def filterColumn(expr: String, schema: Option[StructType]): Column =
+    asBool(compile(parse(expr), Env(schema, Map.empty)))
+
+  /** compile with extra identifier bindings (expressionLambda folds:
+    * the accumulator and element identifiers). */
+  def columnWith(expr: String, schema: Option[StructType], bindings: Map[String, TC]): Column =
+    materialize(compile(parse(expr), Env(schema, bindings)))
+
+  def typedWith(expr: String, schema: Option[StructType], bindings: Map[String, TC]): TC =
+    compile(parse(expr), Env(schema, bindings))
+
+  def materialize(tc: TC): Column = tc.t match {
+    case BL => tc.c.cast(LongType)
+    case BD => tc.c.cast(DoubleType)
+    case _ => tc.c
+  }
+
+  // ---------------- typing helpers ----------------
+
+  def dtOf(dataType: DataType): DT = dataType match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType => L
+    case DoubleType | FloatType | _: DecimalType => D
+    case StringType => S
+    case TimestampType | TimestampNTZType | DateType => L
+    case ArrayType(et, _) => A(dtOf(et))
+    case _ => U
+  }
+
+  private def resolve(name: String, env: Env): TC =
+    env.bindings.get(name).getOrElse {
+      env.schema match {
+        case Some(schema) =>
+          schema.find(_.name == name) match {
+            case Some(f) => fieldTC(name, f.dataType)
+            case None => throw new ParseError(
+              s"unknown identifier '$name' (available: ${schema.fieldNames.mkString(", ")})")
+          }
+        case None => TC(col(name), U)
+      }
+    }
+
+  private def fieldTC(name: String, dataType: DataType): TC = dataType match {
+    case LongType => TC(col(name), L)
+    case IntegerType | ShortType | ByteType => TC(col(name).cast(LongType), L)
+    case BooleanType => TC(col(name).cast(LongType), L)
+    case DoubleType => TC(col(name), D)
+    case FloatType | _: DecimalType => TC(col(name).cast(DoubleType), D)
+    case StringType => TC(col(name), S)
+    // the reference binds __time (and any timestamp) as epoch millis
+    case TimestampType | TimestampNTZType => TC(unix_millis(col(name)), L)
+    case DateType => TC(unix_millis(col(name).cast(TimestampType)), L)
+    case ArrayType(et, _) => TC(col(name), A(dtOf(et)))
+    case _ => TC(col(name), U)
+  }
+
+  /** truthiness (reference Evals.asBoolean). */
+  def asBool(tc: TC): Column = tc.t match {
+    case BL | BD => tc.c
+    case L => tc.c =!= lit(0L)
+    case D => tc.c =!= lit(0.0)
+    case S => lower(tc.c) === "true"
+    case _ => tc.c.cast(DoubleType) =!= lit(0.0)
+  }
+
+  /** numeric view + effective numeric type. */
+  private def num(tc: TC): TC = tc.t match {
+    case L | D => tc
+    case BL => TC(tc.c.cast(LongType), L)
+    case BD => TC(tc.c.cast(DoubleType), D)
+    case S | U => TC(tc.c.try_cast("double"), D)
+    case other => throw new ParseError(s"numeric operand expected, got $other")
+  }
+
+  private def str(tc: TC): Column = tc.t match {
+    case S => tc.c
+    case _ => materialize(tc).cast(StringType)
+  }
+
+  private def bothLong(a: TC, b: TC): Boolean = {
+    def l(t: DT) = t == L || t == BL
+    l(a.t) && l(b.t)
+  }
+
+  private def integralDivide(l: Column, r: Column): Column =
+    graft.exprs.toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      graft.exprs.toExpr(l), graft.exprs.toExpr(r)))
+
+  // ---------------- compile ----------------
+
+  def compile(node: Node, env: Env): TC = node match {
+    case NullLit => TC(lit(null), U)
+    case LongLit(v) => TC(lit(v), L)
+    case DoubleLit(v) => TC(lit(v), D)
+    case StrLit(v) => TC(lit(v), S)
+    case Ident(name) => resolve(name, env)
+    case Unary("-", e) =>
+      val v = num(compile(e, env))
+      TC(-v.c, v.t)
+    case Unary("!", e) =>
+      val v = compile(e, env)
+      val t = if (v.t == D || v.t == BD) BD else BL
+      TC(!asBool(v), t)
+    case Unary(op, _) => throw new ParseError(s"unary op $op")
+    case Bin(op, ln, rn) => binOp(op, compile(ln, env), compile(rn, env))
+    case ArrLit(elems, hint) => arrayLit(elems, hint, env)
+    case FnCall(name, args) => fnCall(name, args, env)
+    case ApplyFn(name, params, body, args) => applyFn(name, params, body, args, env)
+  }
+
+  private def binOp(op: String, l: TC, r: TC): TC = op match {
+    case "+" if l.t == S || r.t == S =>
+      // string + is concat; null-propagating in SQL mode like the
+      // reference's early null return (BinaryEvalOpExprBase.eval)
+      TC(concat(str(l), str(r)), S)
+    case "+" | "-" | "*" =>
+      val (a, b) = (num(l), num(r))
+      val c = op match {
+        case "+" => a.c + b.c
+        case "-" => a.c - b.c
+        case _ => a.c * b.c
+      }
+      TC(c, if (bothLong(l, r)) L else D)
+    case "/" =>
+      if (bothLong(l, r)) TC(integralDivide(num(l).c, num(r).c), L)
+      else TC(num(l).c.cast(DoubleType) / num(r).c.cast(DoubleType), D)
+    case "%" =>
+      val (a, b) = (num(l), num(r))
+      TC(a.c % b.c, if (bothLong(l, r)) L else D)
+    case "^" =>
+      // LongMath.pow for long^long (exact for results < 2^53 here),
+      // Math.pow otherwise
+      if (bothLong(l, r)) TC(pow(num(l).c, num(r).c).cast(LongType), L)
+      else TC(pow(num(l).c.cast(DoubleType), num(r).c.cast(DoubleType)), D)
+    case "<" | "<=" | ">" | ">=" | "==" | "!=" =>
+      val c =
+        if (l.t == S && r.t == S) cmp(op, l.c, r.c)
+        else cmp(op, num(l).c, num(r).c)
+      val anyDouble = Seq(l.t, r.t).exists(t => t == D || t == BD)
+      TC(c, if (anyDouble) BD else BL)
+    case "&&" => TC(asBool(l) && asBool(r), BL)
+    case "||" => TC(asBool(l) || asBool(r), BL)
+    case other => throw new ParseError(s"binary op $other")
+  }
+
+  private def cmp(op: String, a: Column, b: Column): Column = op match {
+    case "<" => a < b
+    case "<=" => a <= b
+    case ">" => a > b
+    case ">=" => a >= b
+    case "==" => a === b
+    case "!=" => a =!= b
+  }
+
+  private def arrayLit(elems: Seq[Node], hint: Option[String], env: Env): TC = {
+    val hinted = hint.map {
+      case "LONG" => L
+      case "DOUBLE" => D
+      case _ => S
+    }
+    val compiled = elems.map(e => compile(e, env))
+    val elemT = hinted.getOrElse {
+      if (compiled.exists(_.t == S)) S
+      else if (compiled.exists(_.t == D)) D
+      else L
+    }
+    val castTo = elemT match {
+      case L => LongType
+      case D => DoubleType
+      case _ => StringType
+    }
+    TC(array(compiled.map(tc => materialize(tc).cast(castTo)): _*), A(elemT))
+  }
+
+  // ---------------- function library ----------------
+
+  private def elemType(tc: TC): DT = tc.t match {
+    case A(e) => e
+    case _ => U
+  }
+
+  private def reqLitStr(n: Node, what: String): String = n match {
+    case StrLit(v) => v
+    case NullLit => null
+    case _ => throw new ParseError(s"$what must be a string literal")
+  }
+  private def reqLitLong(n: Node, what: String): Long = n match {
+    case LongLit(v) => v
+    case Unary("-", LongLit(v)) => -v
+    case _ => throw new ParseError(s"$what must be a long literal")
+  }
+
+  private def fnCall(name: String, raw: Seq[Node], env: Env): TC = {
+    def a(i: Int): TC = compile(raw(i), env)
+    def all: Seq[TC] = raw.map(n => compile(n, env))
+    def d(i: Int): Column = num(a(i)).c.cast(DoubleType)
+    def need(k: Int): Unit = if (raw.size != k)
+      throw new ParseError(s"function $name needs $k arguments, got ${raw.size}")
+    def dbl1(f: Column => Column): TC = { need(1); TC(f(d(0)), D) }
+
+    name match {
+      // ---- math (Function.java) ----
+      case "abs" => need(1); val v = num(a(0)); TC(abs(v.c), v.t)
+      case "acos" => dbl1(acos)
+      case "asin" => dbl1(asin)
+      case "atan" => dbl1(atan)
+      case "atan2" => need(2); TC(atan2(d(0), d(1)), D)
+      case "cbrt" => dbl1(cbrt)
+      case "ceil" => dbl1(x => ceil(x).cast(DoubleType))
+      case "floor" => dbl1(x => floor(x).cast(DoubleType))
+      case "cos" => dbl1(cos)
+      case "cosh" => dbl1(cosh)
+      case "cot" => dbl1(x => cos(x) / sin(x))
+      case "div" => need(2); TC(integralDivide(num(a(0)).c.cast(LongType), num(a(1)).c.cast(LongType)), L)
+      case "exp" => dbl1(exp)
+      case "expm1" => dbl1(expm1)
+      case "hypot" => need(2); TC(hypot(d(0), d(1)), D)
+      case "log" => dbl1(log)
+      case "log10" => dbl1(log10)
+      case "log1p" => dbl1(log1p)
+      case "max" =>
+        need(2); val (x, y) = (num(a(0)), num(a(1)))
+        TC(greatest(x.c, y.c), if (bothLong(x, y)) L else D)
+      case "min" =>
+        need(2); val (x, y) = (num(a(0)), num(a(1)))
+        TC(least(x.c, y.c), if (bothLong(x, y)) L else D)
+      case "pow" => need(2); TC(pow(d(0), d(1)), D)
+      case "remainder" => need(2); TC(d(0) - rint(d(0) / d(1)) * d(1), D)
+      case "rint" => dbl1(rint)
+      case "round" =>
+        val v = num(a(0))
+        if (raw.size == 1) TC(round(v.c, 0), v.t)
+        else { need(2); TC(round(v.c, reqLitLong(raw(1), "round scale").toInt), v.t) }
+      case "scalb" => need(2); TC(d(0) * pow(lit(2.0), num(a(1)).c.cast(DoubleType)), D)
+      case "signum" => dbl1(signum)
+      case "sin" => dbl1(sin)
+      case "sinh" => dbl1(sinh)
+      case "sqrt" => dbl1(sqrt)
+      case "tan" => dbl1(tan)
+      case "tanh" => dbl1(tanh)
+      case "todegrees" => dbl1(degrees)
+      case "toradians" => dbl1(radians)
+      case "pi" => TC(lit(math.Pi), D)
+
+      // ---- conditionals / null (Function.java) ----
+      case "if" =>
+        need(3); val (t, f) = (a(1), a(2))
+        TC(when(asBool(a(0)), materialize(t)).otherwise(materialize(f)), joinT(t.t, f.t))
+      case "nvl" =>
+        need(2); val (x, y) = (a(0), a(1))
+        TC(coalesce(materialize(x), materialize(y)), joinT(x.t, y.t))
+      case "isnull" => need(1); TC(materialize(a(0)).isNull, BL)
+      case "notnull" => need(1); TC(materialize(a(0)).isNotNull, BL)
+      case "case_searched" =>
+        // (cond1, r1, cond2, r2, ..., [else])
+        caseChain(raw.grouped(2).toSeq, env, cond => asBool(compile(cond, env)))
+      case "case_simple" =>
+        val scrut = materialize(a(0))
+        caseChain(raw.drop(1).grouped(2).toSeq, env,
+          v => scrut === materialize(compile(v, env)))
+      case "cast" =>
+        need(2)
+        castTo(a(0), reqLitStr(raw(1), "cast type"))
+
+      // ---- strings (Function.java + macros) ----
+      case "concat" => TC(concat(all.map(str): _*), S)
+      case "format" =>
+        TC(format_string(reqLitStr(raw.head, "format pattern"),
+          all.drop(1).map(materialize): _*), S)
+      case "like" =>
+        val c = str(a(0)).like(reqLitStr(raw(1), "like pattern"))
+        TC(c, BL)
+      case "lower" => need(1); TC(lower(str(a(0))), S)
+      case "upper" => need(1); TC(upper(str(a(0))), S)
+      case "lpad" => need(3); TC(lpad(str(a(0)), reqLitLong(raw(1), "lpad length").toInt, reqLitStr(raw(2), "lpad chars")), S)
+      case "rpad" => need(3); TC(rpad(str(a(0)), reqLitLong(raw(1), "rpad length").toInt, reqLitStr(raw(2), "rpad chars")), S)
+      case "left" => need(2); TC(call_function("left", str(a(0)), num(a(1)).c.cast(IntegerType)), S)
+      case "right" => need(2); TC(call_function("right", str(a(0)), num(a(1)).c.cast(IntegerType)), S)
+      case "repeat" => need(2); TC(repeat(str(a(0)), reqLitLong(raw(1), "repeat count").toInt), S)
+      case "replace" => need(3); TC(call_function("replace", str(a(0)), str(a(1)), str(a(2))), S)
+      case "reverse" => need(1); TC(reverse(str(a(0))), S)
+      case "strlen" => need(1); TC(length(str(a(0))).cast(LongType), L)
+      case "strpos" =>
+        // 0-based, -1 when absent (Function.StrposFunc)
+        val from = if (raw.size >= 3) reqLitLong(raw(2), "strpos fromIndex").toInt else 0
+        TC(locate0(str(a(0)), str(a(1)), from), L)
+      case "substring" =>
+        need(3)
+        val s0 = str(a(0))
+        val start = num(a(1)).c.cast(IntegerType) + 1
+        val len = num(a(2)).c.cast(IntegerType)
+        TC(s0.substr(start, when(len < 0, lit(Int.MaxValue)).otherwise(len)), S)
+      case "trim" =>
+        if (raw.size == 1) TC(trim(str(a(0))), S)
+        else { need(2); TC(trim(str(a(0)), reqLitStr(raw(1), "trim chars")), S) }
+      case "ltrim" =>
+        if (raw.size == 1) TC(ltrim(str(a(0))), S)
+        else { need(2); TC(ltrim(str(a(0)), reqLitStr(raw(1), "trim chars")), S) }
+      case "rtrim" =>
+        if (raw.size == 1) TC(rtrim(str(a(0))), S)
+        else { need(2); TC(rtrim(str(a(0)), reqLitStr(raw(1), "trim chars")), S) }
+      case "parse_long" =>
+        val radix = if (raw.size >= 2) reqLitLong(raw(1), "radix") else 10L
+        radix match {
+          case 10 => TC(str(a(0)).try_cast("long"), L)
+          case 16 => TC(conv(regexp_replace(str(a(0)), lit("^0[xX]"), lit("")), 16, 10).try_cast("long"), L)
+          case r => throw new ParseError(s"parse_long radix $r unsupported (10/16)")
+        }
+      case "regexp_extract" =>
+        val pattern = reqLitStr(raw(1), "regex")
+        val group = if (raw.size >= 3) reqLitLong(raw(2), "group").toInt else 0
+        val s0 = str(a(0))
+        // the reference returns null on no match (RegexpExtractExprMacro)
+        TC(when(s0.rlike(pattern), regexp_extract(s0, pattern, group)), S)
+      case "regexp_like" =>
+        TC(str(a(0)).rlike(reqLitStr(raw(1), "regex")), BL)
+      case "contains_string" => need(2); TC(str(a(0)).contains(str(a(1))), BL)
+      case "icontains_string" => need(2); TC(lower(str(a(0))).contains(lower(str(a(1)))), BL)
+      case "string_to_array" =>
+        need(2); TC(split(str(a(0)), reqLitStr(raw(1), "delimiter")), A(S))
+      case "lookup" =>
+        TC(LookupRegistry.lookup(str(a(0)), reqLitStr(raw(1), "lookup name")), S)
+
+      // ---- ipv4 macros ----
+      case "ipv4_parse" => need(1); TC(DruidExpressions.ipv4Parse(str(a(0))), L)
+      case "ipv4_stringify" => need(1); TC(DruidExpressions.ipv4Stringify(num(a(0)).c.cast(LongType)), S)
+      case "ipv4_match" => need(2); TC(DruidExpressions.ipv4Match(materialize(a(0)), str(a(1))), BL)
+
+      // ---- time macros (processing/.../query/expression/) ----
+      case "timestamp" | "timestamp_parse" =>
+        val pattern = if (raw.size >= 2) Option(reqLitStr(raw(1), "pattern")) else None
+        val ts = pattern match {
+          case Some(p) => call_function("try_to_timestamp", str(a(0)), lit(p))
+          case None => call_function("try_to_timestamp", str(a(0)))
+        }
+        TC(unix_millis(ts), L)
+      case "unix_timestamp" =>
+        val pattern = if (raw.size >= 2) Option(reqLitStr(raw(1), "pattern")) else None
+        val ts = pattern match {
+          case Some(p) => call_function("try_to_timestamp", str(a(0)), lit(p))
+          case None => call_function("try_to_timestamp", str(a(0)))
+        }
+        TC((unix_millis(ts) / 1000L).cast(LongType), L)
+      case "timestamp_format" =>
+        val pattern = if (raw.size >= 2) reqLitStr(raw(1), "pattern") else "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+        val tz = if (raw.size >= 3) Option(reqLitStr(raw(2), "timeZone")) else None
+        val local = tz.fold(timestamp_millis(num(a(0)).c.cast(LongType)))(z =>
+          from_utc_timestamp(timestamp_millis(num(a(0)).c.cast(LongType)), z))
+        TC(date_format(local, pattern), S)
+      case "timestamp_floor" | "timestamp_ceil" =>
+        val period = reqLitStr(raw(1), "period")
+        val origin = if (raw.size >= 3) Option(raw(2)).collect { case LongLit(v) => v } else None
+        val tz = if (raw.size >= 4) Option(reqLitStr(raw(3), "timeZone")) else None
+        val ts = timestamp_millis(num(a(0)).c.cast(LongType))
+        val out =
+          if (name == "timestamp_floor") TimeFunctions.timeFloor(ts, period, origin, tz)
+          else TimeFunctions.timeCeil(ts, period, origin, tz)
+        TC(unix_millis(out), L)
+      case "timestamp_shift" =>
+        val period = reqLitStr(raw(1), "period")
+        val step = reqLitLong(raw(2), "step").toInt
+        val tz = if (raw.size >= 4) Option(reqLitStr(raw(3), "timeZone")) else None
+        val ts = timestamp_millis(num(a(0)).c.cast(LongType))
+        TC(unix_millis(TimeFunctions.timeShift(ts, period, step, tz)), L)
+      case "timestamp_extract" =>
+        val unit = reqLitStr(raw(1), "unit")
+        val tz = if (raw.size >= 3) Option(reqLitStr(raw(2), "timeZone")) else None
+        TC(TimeFunctions.timeExtract(timestamp_millis(num(a(0)).c.cast(LongType)), unit, tz), L)
+      case "subtract_months" =>
+        need(2)
+        val t1 = timestamp_millis(num(a(0)).c.cast(LongType))
+        val t2 = timestamp_millis(num(a(1)).c.cast(LongType))
+        TC(floor(months_between(t1, t2)).cast(LongType), L)
+
+      // ---- arrays (Function.java) ----
+      case "array" => arrayLit(raw, None, env)
+      case "array_length" => need(1); TC(size(a(0).c).cast(LongType), L)
+      case "array_offset" => need(2); TC(get(a(0).c, num(a(1)).c.cast(IntegerType)), elemType(a(0)))
+      case "array_ordinal" => need(2); TC(get(a(0).c, num(a(1)).c.cast(IntegerType) - 1), elemType(a(0)))
+      case "array_contains" =>
+        need(2); val (arr, v) = (a(0), a(1))
+        v.t match {
+          case A(_) => TC(forall(v.c, x => array_contains(arr.c, x)), BL)
+          case _ => TC(array_contains(arr.c, materialize(v)), BL)
+        }
+      case "array_overlap" => need(2); TC(arrays_overlap(a(0).c, a(1).c), BL)
+      case "array_offset_of" =>
+        need(2)
+        val pos = array_position(a(0).c, materialize(a(1)))
+        TC(when(pos === 0, lit(null)).otherwise(pos - 1).cast(LongType), L)
+      case "array_ordinal_of" =>
+        need(2)
+        val pos = array_position(a(0).c, materialize(a(1)))
+        TC(when(pos === 0, lit(null)).otherwise(pos).cast(LongType), L)
+      case "array_append" => need(2); TC(array_append(a(0).c, materialize(a(1))), a(0).t)
+      case "array_prepend" => need(2); TC(array_prepend(a(1).c, materialize(a(0))), a(1).t)
+      case "array_concat" => need(2); TC(concat(a(0).c, a(1).c), a(0).t)
+      case "array_set_add" => need(2); TC(array_sort(array_union(a(0).c, array(materialize(a(1))))), a(0).t)
+      case "array_set_add_all" => need(2); TC(array_sort(array_union(a(0).c, a(1).c)), a(0).t)
+      case "array_slice" =>
+        // [start, end) with 0-based offsets (Function.ArraySliceFunction)
+        val start = num(a(1)).c.cast(IntegerType)
+        val end = if (raw.size >= 3) num(a(2)).c.cast(IntegerType) else size(a(0).c)
+        TC(slice(a(0).c, start + 1, greatest(end - start, lit(0))), a(0).t)
+      case "array_to_string" => need(2); TC(array_join(a(0).c, reqLitStr(raw(1), "delimiter")), S)
+
+      case other => throw new ParseError(
+        s"unknown function '$other' — not part of the native expression library")
+    }
+  }
+
+  private def caseChain(
+      pairs: Seq[Seq[Node]], env: Env, condOf: Node => Column): TC = {
+    val whens = pairs.filter(_.size == 2)
+    val elseNode = pairs.find(_.size == 1).map(_.head)
+    val results = whens.map(p => compile(p(1), env)) ++ elseNode.map(n => compile(n, env))
+    val t = results.map(_.t).reduceOption(joinT).getOrElse(U)
+    val chain = whens.zip(results).foldLeft(Option.empty[Column]) { case (acc, (p, r)) =>
+      val w = acc match {
+        case None => when(condOf(p.head), materialize(r))
+        case Some(c) => c.when(condOf(p.head), materialize(r))
+      }
+      Some(w)
+    }
+    val withElse = (chain, elseNode) match {
+      case (Some(c), Some(e)) => c.otherwise(materialize(compile(e, env)))
+      case (Some(c), None) => c
+      case (None, Some(e)) => materialize(compile(e, env))
+      case (None, None) => lit(null)
+    }
+    TC(withElse, t)
+  }
+
+  private def joinT(x: DT, y: DT): DT = (x, y) match {
+    case (a, b) if a == b => a
+    case (U, b) => b
+    case (a, U) => a
+    case (S, _) | (_, S) => S
+    case (D, _) | (_, D) | (BD, _) | (_, BD) => D
+    case _ => L
+  }
+
+  private def castTo(v: TC, typeName: String): TC = typeName.toUpperCase match {
+    case "LONG" => TC(materialize(v).try_cast("long"), L)
+    case "DOUBLE" => TC(materialize(v).try_cast("double"), D)
+    case "STRING" => TC(materialize(v).cast(StringType), S)
+    case "LONG_ARRAY" => TC(materialize(v).try_cast("array<long>"), A(L))
+    case "DOUBLE_ARRAY" => TC(materialize(v).try_cast("array<double>"), A(D))
+    case "STRING_ARRAY" => TC(materialize(v).cast("array<string>"), A(S))
+    case t => throw new ParseError(s"cast type $t")
+  }
+
+  /** 0-based strpos with -1 on absent, honoring fromIndex. */
+  private def locate0(haystack: Column, needle: Column, from: Int): Column = {
+    val found = call_function("locate", needle, haystack, lit(from + 1))
+    (when(found === 0, lit(0)).otherwise(found) - 1).cast(LongType)
+  }
+
+  private def applyFn(
+      name: String, params: Seq[String], body: Node, args: Seq[Node], env: Env): TC = {
+    def arr(i: Int): TC = compile(args(i), env)
+    def bodyTC(bound: Map[String, TC]): TC = compile(body, Env(env.schema, env.bindings ++ bound))
+    name match {
+      case "map" =>
+        val in = arr(0)
+        val et = elemType(in)
+        var outT: DT = U
+        val c = transform(in.c, x => {
+          val r = bodyTC(Map(params.head -> TC(x, et)))
+          outT = r.t
+          materialize(r)
+        })
+        TC(c, A(outT))
+      case "filter" =>
+        val in = arr(0)
+        val et = elemType(in)
+        TC(filter(in.c, x => asBool(bodyTC(Map(params.head -> TC(x, et))))), in.t)
+      case "any" =>
+        val in = arr(0)
+        val et = elemType(in)
+        TC(exists(in.c, x => asBool(bodyTC(Map(params.head -> TC(x, et))))), BL)
+      case "all" =>
+        val in = arr(0)
+        val et = elemType(in)
+        TC(forall(in.c, x => asBool(bodyTC(Map(params.head -> TC(x, et))))), BL)
+      case "fold" =>
+        // fold((x, acc) -> body, arr, init) — param order is (element,
+        // accumulator) in the reference (ApplyFunction.FoldFunction)
+        require(params.size == 2, "fold lambda needs (element, accumulator)")
+        val in = arr(0)
+        val init = arr(1)
+        val et = elemType(in)
+        var outT: DT = init.t
+        val c = aggregate(in.c, materialize(init), (acc, x) => {
+          val r = bodyTC(Map(params(0) -> TC(x, et), params(1) -> TC(acc, init.t)))
+          outT = r.t
+          materialize(r)
+        })
+        TC(c, outT)
+      case other => throw new ParseError(
+        s"apply function '$other' unsupported (map/filter/fold/any/all)")
+    }
+  }
+}

@@ -12,10 +12,15 @@ object DataSource {
   final case class Table(name: String) extends DataSource
   final case class Union(dataSources: Seq[DataSource]) extends DataSource
   final case class SubQuery(query: NativeQuery) extends DataSource
-  /** reference JoinDataSource.java:56 — left-deep, broadcastable right. */
+  /** reference JoinDataSource.java:56 — left-deep, broadcastable
+    * right. The condition is split like JoinConditionAnalysis.java:
+    * 42-76: `keys` are the equi-conditions (leftExpr == "prefix.col"),
+    * `residual` the remaining non-equi conjuncts, in the native
+    * expression grammar. */
   final case class Join(
       left: DataSource, right: DataSource, rightPrefix: String,
-      leftKey: String, rightKey: String, joinType: String) extends DataSource
+      keys: Seq[(String, String)], residual: Option[String],
+      joinType: String) extends DataSource
   final case class Inline(columnNames: Seq[String], rows: Seq[Seq[Any]]) extends DataSource
   /** reference GlobalTableDataSource.java:37 — broadcast-replicated. */
   final case class GlobalTable(name: String) extends DataSource

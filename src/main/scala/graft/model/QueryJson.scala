@@ -106,19 +106,48 @@ object QueryJson {
         val rows = arr(n, "rows").map(_.elements().asScala.map(jsonScalar).toSeq)
         DataSource.Inline(names, rows)
       case "join" =>
-        // reference condition syntax: "k == \"prefix.k\""
+        // reference condition syntax: conjunctions of equi-conditions
+        // (`k == "prefix.k"`) plus optional non-equi residual clauses —
+        // split like JoinConditionAnalysis.java:42-76 by parsing with
+        // the native expression grammar and walking top-level `&&`s.
         val cond = str(n, "condition")
-        val sides = cond.split("==").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        require(sides.length == 2, s"only single equi-conditions supported: $cond")
         val prefix = str(n, "rightPrefix")
-        val (l, r) =
-          if (sides(1).startsWith(prefix)) (sides(0), sides(1).stripPrefix(prefix))
-          else (sides(1), sides(0).stripPrefix(prefix))
+        val (keys, residual) = splitJoinCondition(cond, prefix)
         DataSource.Join(
           parseDataSource(n.get("left")), parseDataSource(n.get("right")),
-          prefix, l, r, strOpt(n, "joinType").getOrElse("INNER").toLowerCase)
+          prefix, keys, residual,
+          strOpt(n, "joinType").getOrElse("INNER").toLowerCase)
       case t => throw new UnsupportedOperationException(s"dataSource type $t")
     }
+  }
+
+  /** Split a join condition into equi keys + residual, mirroring
+    * JoinConditionAnalysis.java:42-76: parse with the native grammar,
+    * walk top-level `&&` conjuncts; `leftCol == "prefix.rightCol"`
+    * (either orientation) is an equi key, everything else is residual.
+    * At least one equi key is required (same as the reference's
+    * broadcast hash-join requirement). */
+  private def splitJoinCondition(
+      cond: String, prefix: String): (Seq[(String, String)], Option[String]) = {
+    import graft.functions.DruidExprLang
+    import graft.functions.DruidExprLang.{Bin, Ident, Node}
+    val parts = DruidExprLang.conjuncts(DruidExprLang.parse(cond))
+    val equis = Seq.newBuilder[(String, String)]
+    val resid = Seq.newBuilder[Node]
+    parts.foreach {
+      case Bin("==", Ident(l), Ident(r))
+          if r.startsWith(prefix) && !l.startsWith(prefix) =>
+        equis += ((l, r.stripPrefix(prefix)))
+      case Bin("==", Ident(r), Ident(l))
+          if r.startsWith(prefix) && !l.startsWith(prefix) =>
+        equis += ((l, r.stripPrefix(prefix)))
+      case other => resid += other
+    }
+    val keys = equis.result()
+    require(keys.nonEmpty, s"join requires at least one equi-condition: $cond")
+    val residual = resid.result()
+    (keys, if (residual.isEmpty) None
+           else Some(residual.map(DruidExprLang.render).mkString(" && ")))
   }
 
   private def jsonScalar(n: JsonNode): Any =

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.ArrayType
 
 import graft.aggs.{sketches, HistogramAgg}
-import graft.functions.{DruidExpressions, DruidFunctions, TimeFunctions}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.{DruidExprCompiler, DruidExpressions, DruidFunctions, TimeFunctions}
 import graft.model._
 
 /** Compiles a NativeQuery (the reference's JSON query language) into a
@@ -99,27 +101,45 @@ class NativePlanner(
     case DataSource.Lookup(_, map) =>
       import spark.implicits._
       broadcast(map.toSeq.toDF("k", "v"))
-    case DataSource.Join(left, right, prefix, lk, rk, joinType) =>
+    case DataSource.Join(left, right, prefix, keys, residual, joinType) =>
       val l = planDataSource(left)
       val r0 = planDataSource(right)
       // reference joins require a broadcastable right side; we hint the
       // same but Catalyst may still pick a shuffle join if it's large.
+      // Multi-key equis shuffle/probe on all keys; the residual is a
+      // non-equi post-condition inside the same join (reference
+      // JoinConditionAnalysis equi + residual split).
       val r = broadcast(r0.columns.foldLeft(r0)((df, c) =>
         df.withColumnRenamed(c, prefix + c)))
-      l.join(r, l.col(lk) === r.col(prefix + rk), joinType)
+      val equi = keys.map { case (lk, rk) => l.col(lk) === r.col(prefix + rk) }
+        .reduce(_ && _)
+      val cond = residual match {
+        case Some(e) =>
+          val joined = org.apache.spark.sql.types.StructType(
+            l.schema.fields ++ r.schema.fields)
+          equi && DruidExprCompiler.filterColumn(e, Some(joined))
+        case None => equi
+      }
+      l.join(r, cond, joinType)
   }
 
   // ---------------- shared pieces ----------------
 
   private def base(q: NativeQuery): DataFrame = {
     var df = planDataSource(q.dataSource)
-    for (vc <- q.virtualColumns) df = df.withColumn(vc.name, expr(vc.expression))
+    // virtualColumns/expression filters arrive in the reference's
+    // native expression grammar, NOT Spark SQL (Expr.g4: `^` is pow,
+    // long/long division truncates, comparisons yield 1/0) — compiled
+    // by DruidExprCompiler into plain Column trees (stays in codegen).
+    for (vc <- q.virtualColumns)
+      df = df.withColumn(vc.name,
+        DruidExprCompiler.column(vc.expression, Some(df.schema)))
     q.intervals.foldLeft(Option.empty[Column]) { (acc, iv) =>
       val c = col(timeColumn) >= timestamp_millis(lit(iv.startMs)) &&
         col(timeColumn) < timestamp_millis(lit(iv.endMs))
       Some(acc.map(_ || c).getOrElse(c))
     }.foreach(c => df = df.filter(c))
-    q.filter.foreach(f => df = df.filter(filterToColumn(f)))
+    q.filter.foreach(f => df = df.filter(filterToColumn(f, Some(df.schema))))
     df
   }
 
@@ -134,7 +154,8 @@ class NativePlanner(
   private def dimOrExtract(d: String, ex: Option[ExtractionFn]): Column =
     ex.fold(col(d))(extractionColumn(col(d), _))
 
-  private[planner] def filterToColumn(f: DimFilter): Column = f match {
+  private[planner] def filterToColumn(
+      f: DimFilter, schema: Option[StructType] = None): Column = f match {
     case DimFilter.Selector(d, Some(v), ex) => dimOrExtract(d, ex) === v
     case DimFilter.Selector(d, None, ex) => dimOrExtract(d, ex).isNull
     case DimFilter.In(d, vs, ex) => dimOrExtract(d, ex).isin(vs: _*)
@@ -168,17 +189,21 @@ class NativePlanner(
         .reduce(_ && _)
     case DimFilter.ColumnComparison(ds) =>
       ds.sliding(2).map(p => col(p(0)) === col(p(1))).reduce(_ && _)
-    case DimFilter.Expr(e) => expr(e)
-    case DimFilter.And(fs) => fs.map(filterToColumn).reduce(_ && _)
-    case DimFilter.Or(fs) => fs.map(filterToColumn).reduce(_ || _)
-    case DimFilter.Not(f0) => !filterToColumn(f0)
+    case DimFilter.Expr(e) => DruidExprCompiler.filterColumn(e, schema)
+    case DimFilter.And(fs) => fs.map(filterToColumn(_, schema)).reduce(_ && _)
+    case DimFilter.Or(fs) => fs.map(filterToColumn(_, schema)).reduce(_ || _)
+    case DimFilter.Not(f0) => !filterToColumn(f0, schema)
     case DimFilter.True => lit(true)
     case DimFilter.False => lit(false)
   }
 
-  private[planner] def aggToColumn(a: Aggregator): Column = a match {
+  private[planner] def aggToColumn(
+      a: Aggregator, schema: Option[StructType] = None): Column = a match {
     case Aggregator.Count(n) => count(lit(1)).as(n)
-    case Aggregator.LongSum(n, f) => coalesce(sum(col(f).cast("long")), lit(0L)).as(n)
+    // SQL-compatible null mode (SURVEY §1.2): sum over zero rows is
+    // null, not 0 — matching nullable LongSumAggregatorFactory, not
+    // the legacy replaceWithDefault identity.
+    case Aggregator.LongSum(n, f) => sum(col(f).cast("long")).as(n)
     case Aggregator.DoubleSum(n, f) => sum(col(f).cast("double")).as(n)
     case Aggregator.LongMin(n, f) => min(col(f).cast("long")).as(n)
     case Aggregator.LongMax(n, f) => max(col(f).cast("long")).as(n)
@@ -203,7 +228,7 @@ class NativePlanner(
             .reduce(hll_union(_, _))).as(n)
       }
     case Aggregator.Filtered(f, inner) =>
-      filteredAgg(filterToColumn(f), inner)
+      filteredAgg(filterToColumn(f, schema), inner)
     case Aggregator.Variance(n, f, pop) =>
       (if (pop) var_pop(col(f)) else var_samp(col(f))).as(n)
     case Aggregator.ThetaSketch(n, f, lgK) =>
@@ -228,14 +253,25 @@ class NativePlanner(
       HistogramAgg.breaksHistogram(col(f), breaks).as(n)
     case Aggregator.ExpressionLambda(n, f, acc, init, fold, fin) =>
       // general fold: materialize the group's values and run the fold
-      // expression through Spark's aggregate() HOF; the lambda variable
-      // shadows the field name, so the fold expr references work
-      // unchanged. Commutative folds should compile to plain aggregates
+      // expression (native grammar) through Spark's aggregate() HOF,
+      // binding the accumulator + field identifiers to the lambda
+      // variables. Commutative folds should compile to plain aggregates
       // instead (see AggQueries.aggExpressionFold) — this is the
       // catch-all exact path, like the reference's single-threaded
       // per-segment fold.
-      val finish = fin.map(e => s", $acc -> $e").getOrElse("")
-      expr(s"aggregate(collect_list(`$f`), $init, ($acc, `$f`) -> $fold$finish)").as(n)
+      import DruidExprCompiler.TC
+      val initTC = DruidExprCompiler.typedWith(init, None, Map.empty)
+      val fieldT = schema.flatMap(_.fields.find(_.name == f))
+        .map(x => DruidExprCompiler.dtOf(x.dataType))
+        .getOrElse(DruidExprCompiler.DT.U)
+      aggregate(
+        collect_list(col(f)),
+        DruidExprCompiler.materialize(initTC),
+        (a0, x) => DruidExprCompiler.columnWith(
+          fold, schema, Map(acc -> TC(a0, initTC.t), f -> TC(x, fieldT))),
+        a0 => fin.map(e => DruidExprCompiler.columnWith(
+          e, schema, Map(acc -> TC(a0, initTC.t)))).getOrElse(a0)
+      ).as(n)
   }
 
   /** FILTER-clause rewrite of a wrapped aggregator
@@ -243,7 +279,8 @@ class NativePlanner(
   private def filteredAgg(cond: Column, a: Aggregator): Column = a match {
     case Aggregator.Count(n) => count(when(cond, 1)).as(n)
     case Aggregator.LongSum(n, f) =>
-      coalesce(sum(when(cond, col(f).cast("long"))), lit(0L)).as(n)
+      // SQL-null mode: a group where no row matches sums to null
+      sum(when(cond, col(f).cast("long"))).as(n)
     case Aggregator.DoubleSum(n, f) => sum(when(cond, col(f).cast("double"))).as(n)
     case Aggregator.LongMin(n, f) => min(when(cond, col(f).cast("long"))).as(n)
     case Aggregator.LongMax(n, f) => max(when(cond, col(f).cast("long"))).as(n)
@@ -267,9 +304,10 @@ class NativePlanner(
       s"filtered wrapper around ${other.getClass.getSimpleName}")
   }
 
-  private[planner] def postAggToColumn(p: PostAggregator): Column = p match {
+  private[planner] def postAggToColumn(
+      p: PostAggregator, schema: Option[StructType] = None): Column = p match {
     case PostAggregator.Arithmetic(n, fn, fields) =>
-      val cols = fields.map(postAggToColumn)
+      val cols = fields.map(postAggToColumn(_, schema))
       val c = fn match {
         case "+" => cols.reduce(_ + _)
         case "-" => cols.reduce(_ - _)
@@ -286,13 +324,15 @@ class NativePlanner(
       if (n.isEmpty) col(f) else col(f).as(n)
     case PostAggregator.Constant(n, v) => lit(v).as(n)
     case PostAggregator.GreatestLeast(n, fields, g) =>
-      val cols = fields.map(postAggToColumn)
+      val cols = fields.map(postAggToColumn(_, schema))
       (if (g) greatest(cols: _*) else least(cols: _*)).as(n)
-    case PostAggregator.Expr(n, e) => expr(e).as(n)
+    case PostAggregator.Expr(n, e) =>
+      // expression post-aggs arrive in the native grammar too
+      DruidExprCompiler.column(e, schema).as(n)
     case PostAggregator.ThetaEstimate(n, f) =>
-      sketches.thetaEstimate(postAggToColumn(f)).as(n)
+      sketches.thetaEstimate(postAggToColumn(f, schema)).as(n)
     case PostAggregator.ThetaSetOp(n, func, fields) =>
-      val cols = fields.map(postAggToColumn)
+      val cols = fields.map(postAggToColumn(_, schema))
       val op: (Column, Column) => Column = func match {
         case "UNION" => sketches.thetaUnion
         case "INTERSECT" => sketches.thetaIntersect
@@ -301,39 +341,40 @@ class NativePlanner(
       }
       cols.reduce(op).as(n)
     case PostAggregator.KllToQuantile(n, f, frac) =>
-      sketches.kllQuantile(postAggToColumn(f), lit(frac)).as(n)
+      sketches.kllQuantile(postAggToColumn(f, schema), lit(frac)).as(n)
     case PostAggregator.KllToQuantiles(n, f, fracs) =>
       graft.exprs.toCol(graft.aggs.KllQuantiles(
-        graft.exprs.toExpr(postAggToColumn(f)),
+        graft.exprs.toExpr(postAggToColumn(f, schema)),
         graft.exprs.toExpr(array(fracs.map(lit): _*)))).as(n)
     case PostAggregator.KllToHistogram(n, f, splits, cdf) =>
       val sp = array(splits.map(lit): _*)
-      (if (cdf) sketches.kllCdf(postAggToColumn(f), sp)
-       else sketches.kllHistogram(postAggToColumn(f), sp)).as(n)
+      (if (cdf) sketches.kllCdf(postAggToColumn(f, schema), sp)
+       else sketches.kllHistogram(postAggToColumn(f, schema), sp)).as(n)
     case PostAggregator.KllToRank(n, f, v) =>
-      sketches.kllRank(postAggToColumn(f), lit(v)).as(n)
+      sketches.kllRank(postAggToColumn(f, schema), lit(v)).as(n)
     case PostAggregator.HistogramQuantile(n, f, p) =>
-      HistogramAgg.histogramQuantile(postAggToColumn(f), p).as(n)
+      HistogramAgg.histogramQuantile(postAggToColumn(f, schema), p).as(n)
     case PostAggregator.StdDev(n, f) =>
-      sqrt(postAggToColumn(f)).as(n)
+      sqrt(postAggToColumn(f, schema)).as(n)
     case PostAggregator.ZScore2Sample(n, s1, n1, s2, n2) =>
-      val p1 = postAggToColumn(s1).cast("double") / postAggToColumn(n1).cast("double")
-      val p2 = postAggToColumn(s2).cast("double") / postAggToColumn(n2).cast("double")
+      val p1 = postAggToColumn(s1, schema).cast("double") / postAggToColumn(n1, schema).cast("double")
+      val p2 = postAggToColumn(s2, schema).cast("double") / postAggToColumn(n2, schema).cast("double")
       val se = sqrt(
-        p1 * (lit(1.0) - p1) / postAggToColumn(n1).cast("double") +
-        p2 * (lit(1.0) - p2) / postAggToColumn(n2).cast("double"))
+        p1 * (lit(1.0) - p1) / postAggToColumn(n1, schema).cast("double") +
+        p2 * (lit(1.0) - p2) / postAggToColumn(n2, schema).cast("double"))
       ((p1 - p2) / se).as(n)
   }
 
-  private def havingToColumn(h: HavingSpec): Column = h match {
+  private def havingToColumn(
+      h: HavingSpec, schema: Option[StructType] = None): Column = h match {
     case HavingSpec.GreaterThan(a, v) => col(a) > v
     case HavingSpec.LessThan(a, v) => col(a) < v
     case HavingSpec.EqualTo(a, v) => col(a) === v
     case HavingSpec.DimSelector(d, v) => col(d) === v
-    case HavingSpec.Filter(f) => filterToColumn(f)
-    case HavingSpec.And(hs) => hs.map(havingToColumn).reduce(_ && _)
-    case HavingSpec.Or(hs) => hs.map(havingToColumn).reduce(_ || _)
-    case HavingSpec.Not(h0) => !havingToColumn(h0)
+    case HavingSpec.Filter(f) => filterToColumn(f, schema)
+    case HavingSpec.And(hs) => hs.map(havingToColumn(_, schema)).reduce(_ && _)
+    case HavingSpec.Or(hs) => hs.map(havingToColumn(_, schema)).reduce(_ || _)
+    case HavingSpec.Not(h0) => !havingToColumn(h0, schema)
   }
 
   /** dimension output column, applying extractionFns and the MVD
@@ -393,7 +434,7 @@ class NativePlanner(
 
   private def planTimeseries(q: NativeQuery.Timeseries): DataFrame = {
     val df = base(q)
-    val aggs = q.aggregations.map(aggToColumn)
+    val aggs = q.aggregations.map(aggToColumn(_, Some(df.schema)))
     val out = bucketCol(q.granularity) match {
       case Some(b) => df.groupBy(b.as(timeColumn)).agg(aggs.head, aggs.tail: _*)
       case None => df.agg(aggs.head, aggs.tail: _*)
@@ -404,7 +445,7 @@ class NativePlanner(
       case _ => out
     }
     val withPost = q.postAggregations.foldLeft(filled)((d, p) =>
-      d.withColumn(p.name, postAggToColumn(p)))
+      d.withColumn(p.name, postAggToColumn(p, Some(d.schema))))
     bucketCol(q.granularity) match {
       case Some(_) =>
         val ordered = withPost.orderBy(
@@ -417,7 +458,7 @@ class NativePlanner(
           val total = q.postAggregations.foldLeft(
             df.agg(aggs.head, aggs.tail: _*)
               .withColumn(timeColumn, lit(null).cast("timestamp")))(
-            (d, p) => d.withColumn(p.name, postAggToColumn(p)))
+            (d, p) => d.withColumn(p.name, postAggToColumn(p, Some(d.schema))))
           ordered.unionByName(total.select(ordered.columns.map(col): _*))
         }
       case None => withPost
@@ -466,10 +507,11 @@ class NativePlanner(
   private def planTopN(q: NativeQuery.TopN): DataFrame = {
     val df = explodeMvds(base(q), Seq(q.dimension))
     val dim = dimColumn(df, q.dimension)
-    val aggs = q.aggregations.map(aggToColumn)
+    val aggs = q.aggregations.map(aggToColumn(_, Some(df.schema)))
     val keys = bucketCol(q.granularity).map(_.as(timeColumn)).toSeq :+ dim
     var out = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-    for (p <- q.postAggregations) out = out.withColumn(p.name, postAggToColumn(p))
+    for (p <- q.postAggregations)
+      out = out.withColumn(p.name, postAggToColumn(p, Some(out.schema)))
     val orderCol =
       if (q.metric.isEmpty) // dimension-ordered
         (if (q.metricDescending) col(q.dimension.outputName).desc
@@ -493,13 +535,14 @@ class NativePlanner(
     val q = MaterializedViews.rewrite(q0)
     val df = explodeMvds(base(q), q.dimensions)
     def aggregate(dims: Seq[DimensionSpec], src: DataFrame): DataFrame = {
-      val aggs = q.aggregations.map(aggToColumn)
+      val aggs = q.aggregations.map(aggToColumn(_, Some(src.schema)))
       val keys = bucketCol(q.granularity).map(_.as(timeColumn)).toSeq ++
         dims.map(d => dimColumn(src, d))
       val grouped =
         if (keys.isEmpty) src.agg(aggs.head, aggs.tail: _*)
         else src.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-      q.postAggregations.foldLeft(grouped)((d, p) => d.withColumn(p.name, postAggToColumn(p)))
+      q.postAggregations.foldLeft(grouped)((d, p) =>
+        d.withColumn(p.name, postAggToColumn(p, Some(d.schema))))
     }
     var out =
       if (q.subtotalsSpec.isEmpty) aggregate(q.dimensions, df)
@@ -518,13 +561,13 @@ class NativePlanner(
           timeKey.map(col) ++ q.dimensions
             .filter(d => subset.contains(d.outputName))
             .map(d => col(d.outputName)))
-        val aggs = q.aggregations.map(aggToColumn)
+        val aggs = q.aggregations.map(aggToColumn(_, Some(withTime.schema)))
         val grouped = withTime.groupingSets(sets, allKeys: _*)
           .agg(aggs.head, aggs.tail: _*)
         q.postAggregations.foldLeft(grouped)((d, p) =>
-          d.withColumn(p.name, postAggToColumn(p)))
+          d.withColumn(p.name, postAggToColumn(p, Some(d.schema))))
       }
-    q.having.foreach(h => out = out.where(havingToColumn(h)))
+    q.having.foreach(h => out = out.where(havingToColumn(h, Some(out.schema))))
     q.limitSpec.foreach { ls =>
       val orders = ls.columns.map { c =>
         val base = c.comparator match {

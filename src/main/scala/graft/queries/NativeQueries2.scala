@@ -38,7 +38,7 @@ object NativeQueries2 {
         |                "lowerStrict": true, "ordering": "numeric"},
         |     "aggregator": {"type": "count", "name": "big_cnt"}},
         |    {"type": "filtered",
-        |     "filter": {"type": "expression", "expression": "user_id % 2 = 0"},
+        |     "filter": {"type": "expression", "expression": "user_id % 2 == 0"},
         |     "aggregator": {"type": "doubleSum", "name": "even_total", "fieldName": "value"}},
         |    {"type": "count", "name": "cnt"}
         |  ],
@@ -182,7 +182,7 @@ object NativeQueries2 {
         |  "granularity": "all",
         |  "virtualColumns": [
         |    {"name": "etype_up", "expression": "upper(event_type)"},
-        |    {"name": "value_bucket", "expression": "CAST(round(floor(value / 50) * 50) AS BIGINT)"}
+        |    {"name": "value_bucket", "expression": "cast(round(floor(value / 50) * 50), 'LONG')"}
         |  ],
         |  "dimensions": ["etype_up", "value_bucket"],
         |  "aggregations": [{"type": "count", "name": "cnt"}],

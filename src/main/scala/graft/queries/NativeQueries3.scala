@@ -237,8 +237,8 @@ object NativeQueries3 {
         |  "dimensions": ["l_returnflag"],
         |  "aggregations": [
         |    {"type": "expressionLambda", "name": "folded", "fields": ["l_quantity"],
-        |     "initialValue": "CAST(0 AS BIGINT)",
-        |     "fold": "__acc + CAST(l_quantity AS BIGINT) * 2 + 1"}
+        |     "initialValue": "0",
+        |     "fold": "__acc + cast(l_quantity, 'LONG') * 2 + 1"}
         |  ],
         |  "limitSpec": {"type": "default",
         |    "columns": [{"dimension": "l_returnflag", "direction": "ascending"}]}

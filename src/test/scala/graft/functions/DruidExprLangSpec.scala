@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{DruidExprCompiler => C}
+
+/** Native expression grammar semantics (reference Expr.g4 +
+  * Function.java): the places where the grammar deliberately differs
+  * from Spark SQL — `^` pow, long division, 1/0 comparisons, Druid
+  * function names — plus hard-reject on unknown syntax/functions. */
+class DruidExprLangSpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (1L, 2.5, "alpha", Seq("a", "b"), 4L),
+      (7L, 0.5, "Beta", Seq("b", "c"), 2L),
+      (-3L, 4.0, "gamma", Seq.empty[String], 3L)
+    ).toDF("l", "d", "s", "arr", "k")
+  }
+
+  private def eval1(e: String): Any =
+    df.limit(1).select(C.column(e, Some(df.schema)).as("v")).collect()(0).get(0)
+
+  private def evalAll(e: String): Seq[Any] =
+    df.select(C.column(e, Some(df.schema)).as("v")).collect().toSeq.map(_.get(0))
+
+  test("^ is pow (right-assoc), not xor; long^long stays long") {
+    assert(eval1("2 ^ 10") == 1024L)
+    assert(eval1("2 ^ 3 ^ 2") == 512L) // right-assoc: 2^(3^2)
+    assert(eval1("2.0 ^ 10") == 1024.0)
+  }
+
+  test("long/long truncates; double division is IEEE") {
+    assert(eval1("7 / 2") == 3L)
+    assert(eval1("-7 / 2") == -3L) // truncation toward zero, not floor
+    assert(eval1("7 / 2.0") == 3.5)
+    assert(eval1("l / k") == 0L) // 1/4
+    assert(eval1("div(9, 4)") == 2L)
+  }
+
+  test("comparisons yield 1/0 longs (doubles when a side is double)") {
+    assert(eval1("3 > 2") == 1L)
+    assert(eval1("3 < 2") == 0L)
+    assert(eval1("3.0 > 2") == 1.0)
+    assert(eval1("l == 1") == 1L)
+    assert(eval1("'b' > 'a'") == 1L)
+  }
+
+  test("unary binds tighter than pow (grammar alternative order)") {
+    assert(eval1("-2 ^ 2") == 4L) // (-2)^2, not -(2^2)
+  }
+
+  test("&&/|| truthiness on numbers; ! negates") {
+    assert(eval1("1 && 2") == 1L)
+    assert(eval1("0 || 2") == 1L)
+    assert(eval1("!0") == 1L)
+    assert(eval1("!7") == 0L)
+  }
+
+  test("+ concatenates when a side is string") {
+    assert(eval1("s + '!'") == "alpha!")
+    assert(eval1("1 + 2") == 3L)
+  }
+
+  test("% keeps java remainder semantics on longs") {
+    assert(eval1("7 % 3") == 1L)
+    assert(eval1("-7 % 3") == -1L)
+  }
+
+  test("null literal propagates through binary ops") {
+    assert(eval1("null + 1") == null)
+    assert(eval1("nvl(null, 5)") == 5L)
+    assert(eval1("isnull(null)") == 1L)
+    assert(eval1("notnull(l)") == 1L)
+  }
+
+  test("if/case_searched/case_simple") {
+    assert(eval1("if(l == 1, 'yes', 'no')") == "yes")
+    assert(eval1("case_searched(l > 5, 'big', l > 0, 'small', 'neg')") == "small")
+    assert(eval1("case_simple(s, 'alpha', 1, 'Beta', 2, 0)") == 1L)
+  }
+
+  test("cast uses the reference type names; bad numerics go null") {
+    assert(eval1("cast(d, 'LONG')") == 2L)
+    assert(eval1("cast(l, 'STRING')") == "1")
+    assert(eval1("cast('abc', 'LONG')") == null)
+    assert(eval1("cast('2.5', 'DOUBLE')") == 2.5)
+  }
+
+  test("string functions: strlen/strpos/substring/parse_long/regexp") {
+    assert(eval1("strlen(s)") == 5L)
+    assert(eval1("strpos(s, 'ph')") == 2L) // 0-based
+    assert(eval1("strpos(s, 'zz')") == -1L)
+    assert(eval1("substring(s, 1, 3)") == "lph") // 0-based start
+    assert(eval1("substring(s, 1, -1)") == "lpha")
+    assert(eval1("parse_long('42')") == 42L)
+    assert(eval1("parse_long('ff', 16)") == 255L)
+    assert(eval1("regexp_extract('x123y', '([0-9]+)', 1)") == "123")
+    assert(eval1("regexp_extract('xy', '[0-9]+')") == null) // null on no match
+    assert(eval1("regexp_like(s, 'al.*')") == 1L)
+    assert(eval1("contains_string(s, 'lph')") == 1L)
+    assert(eval1("icontains_string('ALPHA', 'lph')") == 1L)
+  }
+
+  test("time macros: floor/shift/extract/parse/format on epoch millis") {
+    // 2024-03-15T13:45:30Z
+    val t = 1710510330000L
+    assert(eval1(s"timestamp_floor($t, 'P1D')") == 1710460800000L)
+    assert(eval1(s"timestamp_ceil($t, 'P1D')") == 1710547200000L)
+    assert(eval1(s"timestamp_shift($t, 'PT1H', 2)") == t + 7200000L)
+    assert(eval1(s"timestamp_extract($t, 'HOUR')") == 13L)
+    assert(eval1(s"timestamp_extract($t, 'MONTH')") == 3L)
+    assert(eval1("timestamp_parse('2024-03-15T13:45:30')") == 1710510330000L)
+    assert(eval1(s"timestamp_format($t, 'yyyy-MM-dd')") == "2024-03-15")
+    assert(eval1("timestamp_parse('garbage')") == null)
+  }
+
+  test("array functions are 0-based offset / 1-based ordinal") {
+    assert(eval1("array_offset(arr, 0)") == "a")
+    assert(eval1("array_ordinal(arr, 2)") == "b")
+    assert(eval1("array_offset(arr, 9)") == null)
+    assert(eval1("array_length(arr)") == 2L)
+    assert(eval1("array_contains(arr, 'b')") == 1L)
+    assert(eval1("array_offset_of(arr, 'b')") == 1L)
+    assert(eval1("array_to_string(arr, ',')") == "a,b")
+    assert(eval1("array_length(string_to_array('x y z', ' '))") == 3L)
+    assert(eval1("array_length([1, 2, 3])") == 3L)
+    assert(eval1("array_to_string(array_slice(['a','b','c','d'], 1, 3), '')") == "bc")
+  }
+
+  test("apply functions: map/filter/fold/any/all") {
+    assert(eval1("array_to_string(map(x -> upper(x), arr), '')") == "AB")
+    assert(eval1("array_length(filter(x -> x != 'a', arr))") == 1L)
+    // fold params are (element, accumulator) in the reference
+    assert(eval1("fold((x, acc) -> acc + x, [1, 2, 3], 0)") == 6L)
+    assert(eval1("any(x -> x == 'b', arr)") == 1L)
+    assert(eval1("all(x -> x == 'b', arr)") == 0L)
+  }
+
+  test("timestamp columns bind as epoch millis") {
+    import spark.implicits._
+    val tdf = Seq(Tuple1(java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-02T03:00:00Z")))).toDF("__time")
+    val out = tdf.select(C.column("timestamp_extract(__time, 'HOUR')", Some(tdf.schema)))
+      .collect()(0).get(0)
+    assert(out == 3L)
+  }
+
+  test("quoted identifiers and math library") {
+    import spark.implicits._
+    val qdf = Seq((2.0, 3L)).toDF("weird name", "n")
+    assert(qdf.select(C.column("\"weird name\" * 2", Some(qdf.schema)))
+      .collect()(0).get(0) == 4.0)
+    assert(eval1("max(3, 9)") == 9L)
+    assert(eval1("min(3, 9.0)") == 3.0)
+    assert(eval1("abs(-4)") == 4L)
+    assert(eval1("floor(2.7)") == 2.0) // double, like Math.floor
+    assert(eval1("round(2.5)") == 3.0)
+    assert(math.abs(eval1("pow(2, 0.5)").asInstanceOf[Double] - math.sqrt(2)) < 1e-12)
+  }
+
+  test("filterColumn applies truthiness") {
+    val n = df.filter(C.filterColumn("l % 2 == 1", Some(df.schema))).count()
+    assert(n == 2) // 1 and 7; -3 % 2 == -1
+  }
+
+  test("hard-reject: unknown function, unknown identifier, bad syntax") {
+    intercept[IllegalArgumentException](eval1("no_such_fn(1)"))
+    intercept[IllegalArgumentException](eval1("no_such_column + 1"))
+    intercept[IllegalArgumentException](eval1("1 +"))
+    intercept[IllegalArgumentException](eval1("cartesian_map((x, y) -> x, arr, arr)"))
+  }
+
+  test("render round-trips through the grammar") {
+    import DruidExprLang._
+    val exprs = Seq(
+      "a + b * 2", "timestamp_floor(\"__time\", 'P1D')",
+      "fold((x, acc) -> acc + x, [1, 2], 0)", "nvl(s, 'x') == 'y'")
+    for (e <- exprs) {
+      val once = render(parse(e))
+      assert(render(parse(once)) == once)
+    }
+  }
+}

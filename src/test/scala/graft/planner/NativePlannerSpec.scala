@@ -304,9 +304,9 @@ class NativePlannerSpec extends SparkSpec {
         |"granularity": "all",
         |"aggregations": [
         |  {"type": "expressionLambda", "name": "folded", "fields": ["m1"],
-        |   "initialValue": "0.0D", "fold": "__acc + m1 * 2"},
+        |   "initialValue": "0.0", "fold": "__acc + m1 * 2"},
         |  {"type": "expressionLambda", "name": "folded_fin", "fields": ["m1"],
-        |   "accumulatorIdentifier": "a", "initialValue": "1.0D",
+        |   "accumulatorIdentifier": "a", "initialValue": "1.0",
         |   "fold": "a * m1", "finalize": "a / 2"},
         |  {"type": "histogram", "name": "h", "fieldName": "m1",
         |   "breaks": [0.0, 2.0, 4.0, 6.0]}
