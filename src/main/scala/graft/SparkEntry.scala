@@ -14,6 +14,7 @@ object SparkEntry {
       ScalarQueries.all ++ MvdQueries.all ++ SketchQueries.all ++
       PipelineQueries.all ++ PipelineQueries2.all ++
       NativeQueries.all ++ NativeQueries2.all ++ NativeQueries3.all ++
+      NativeQueries4.all ++
       SupersetQueries.all ++
       IngestQueries.all
 

@@ -82,6 +82,11 @@ object DruidExprCompiler {
     case _ => U
   }
 
+  /** backtick-quoted column ref so join-prefixed names like
+    * `o.o_totalprice` resolve as one column, not a struct path. */
+  private def colRef(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def resolve(name: String, env: Env): TC =
     env.bindings.get(name).getOrElse {
       env.schema match {
@@ -91,22 +96,22 @@ object DruidExprCompiler {
             case None => throw new ParseError(
               s"unknown identifier '$name' (available: ${schema.fieldNames.mkString(", ")})")
           }
-        case None => TC(col(name), U)
+        case None => TC(colRef(name), U)
       }
     }
 
   private def fieldTC(name: String, dataType: DataType): TC = dataType match {
-    case LongType => TC(col(name), L)
-    case IntegerType | ShortType | ByteType => TC(col(name).cast(LongType), L)
-    case BooleanType => TC(col(name).cast(LongType), L)
-    case DoubleType => TC(col(name), D)
-    case FloatType | _: DecimalType => TC(col(name).cast(DoubleType), D)
-    case StringType => TC(col(name), S)
+    case LongType => TC(colRef(name), L)
+    case IntegerType | ShortType | ByteType => TC(colRef(name).cast(LongType), L)
+    case BooleanType => TC(colRef(name).cast(LongType), L)
+    case DoubleType => TC(colRef(name), D)
+    case FloatType | _: DecimalType => TC(colRef(name).cast(DoubleType), D)
+    case StringType => TC(colRef(name), S)
     // the reference binds __time (and any timestamp) as epoch millis
-    case TimestampType | TimestampNTZType => TC(unix_millis(col(name)), L)
-    case DateType => TC(unix_millis(col(name).cast(TimestampType)), L)
-    case ArrayType(et, _) => TC(col(name), A(dtOf(et)))
-    case _ => TC(col(name), U)
+    case TimestampType | TimestampNTZType => TC(unix_millis(colRef(name)), L)
+    case DateType => TC(unix_millis(colRef(name).cast(TimestampType)), L)
+    case ArrayType(et, _) => TC(colRef(name), A(dtOf(et)))
+    case _ => TC(colRef(name), U)
   }
 
   /** truthiness (reference Evals.asBoolean). */

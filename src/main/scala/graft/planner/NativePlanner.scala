@@ -111,7 +111,10 @@ class NativePlanner(
       // JoinConditionAnalysis equi + residual split).
       val r = broadcast(r0.columns.foldLeft(r0)((df, c) =>
         df.withColumnRenamed(c, prefix + c)))
-      val equi = keys.map { case (lk, rk) => l.col(lk) === r.col(prefix + rk) }
+      // backtick-quote: reference prefixes conventionally end in '.'
+      // ("r."), which Dataset.col would otherwise read as a struct path
+      def bq(n: String) = "`" + n.replace("`", "``") + "`"
+      val equi = keys.map { case (lk, rk) => l.col(bq(lk)) === r.col(bq(prefix + rk)) }
         .reduce(_ && _)
       val cond = residual match {
         case Some(e) =>

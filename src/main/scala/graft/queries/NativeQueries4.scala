@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.planner.NativePlanner
+import org.apache.spark.sql.SparkSession
+
+/** Fourth native coverage batch: the native expression grammar wired
+  * end to end through the JSON API (reference Expr.g4 + Function.java
+  * semantics that DIFFER from SQL dialects: `^` = pow, long/long
+  * division truncates, 0-based array_offset, fold apply-functions),
+  * and multi-key + residual join conditions
+  * (JoinConditionAnalysis.java:42-76).
+  */
+object NativeQueries4 {
+
+  private def planner(s: SparkSession, d: String): NativePlanner =
+    new NativePlanner(s, {
+      case "events" => Tables.events(s, d).withColumnRenamed("ts", "__time")
+      case name => Tables.t(s, d, name)
+    })
+
+  /** Druid-only expression syntax through virtualColumns + an
+    * expression filter: `^` pow on longs, truncating long division,
+    * nvl, case_searched — each replicated by the DuckDB oracle with
+    * its ANSI equivalent, so a mis-parse (e.g. `^` as xor) hash-fails. */
+  val nativeDruidExpr: Q = q(
+    "native_druid_expr",
+    """SELECT CAST(power(user_id % 5, 3) AS BIGINT) AS pow5,
+      |       user_id // 40 AS ldiv,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(floor(value) AS BIGINT) * 2 + 1) AS BIGINT) AS fsum,
+      |       CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_cnt
+      |FROM events
+      |WHERE coalesce(event_type, 'x') <> 'purchase' AND value >= 1.0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "virtualColumns": [
+        |    {"name": "pow5", "expression": "(user_id % 5) ^ 3"},
+        |    {"name": "ldiv", "expression": "user_id / 40"},
+        |    {"name": "fv", "expression": "cast(floor(value), 'LONG') * 2 + 1"},
+        |    {"name": "big", "expression": "case_searched(value > 100.0, 1, 0)"}
+        |  ],
+        |  "filter": {"type": "expression",
+        |             "expression": "nvl(event_type, 'x') != 'purchase' && value >= 1.0"},
+        |  "dimensions": ["pow5", "ldiv"],
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "longSum", "name": "fsum", "fieldName": "fv"},
+        |    {"type": "longSum", "name": "big_cnt", "fieldName": "big"}
+        |  ],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "pow5", "direction": "ascending", "dimensionOrder": "numeric"},
+        |    {"dimension": "ldiv", "direction": "ascending", "dimensionOrder": "numeric"}]}
+        |}""".stripMargin)
+  }
+
+  /** string/array/apply functions of the native grammar in a scan:
+    * 0-based array_offset, string_to_array, left/upper, and a fold
+    * over per-word lengths (ApplyFunction.FoldFunction's (element,
+    * accumulator) parameter order). */
+  val nativeDruidExprScan: Q = q(
+    "native_druid_expr_scan",
+    """SELECT doc_id,
+      |       string_split(text, ' ')[3] AS w3,
+      |       upper(left(text, 5)) AS shout,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT))),
+      |         (a, b) -> a + b) AS chsum
+      |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    new NativePlanner(s, name => Tables.t(s, d, name)).plan(
+      """{
+        |  "queryType": "scan",
+        |  "dataSource": "documents",
+        |  "intervals": [],
+        |  "virtualColumns": [
+        |    {"name": "w3", "expression": "array_offset(string_to_array(text, ' '), 2)"},
+        |    {"name": "shout", "expression": "upper(left(text, 5))"},
+        |    {"name": "chsum",
+        |     "expression": "fold((x, acc) -> acc + strlen(x), string_to_array(text, ' '), 0)"}
+        |  ],
+        |  "filter": {"type": "bound", "dimension": "doc_id",
+        |             "upper": "60", "upperStrict": true, "ordering": "numeric"},
+        |  "columns": ["doc_id", "w3", "shout", "chsum"]
+        |}""".stripMargin)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+  }
+
+  /** multi-key equi + non-equi residual join condition through the
+    * JSON wire form (JoinConditionAnalysis.java:42-76): two equi keys
+    * hash-join against a broadcast inline datasource, the residual
+    * (`l_quantity > "r.cap"`) is applied inside the same join. */
+  val nativeJoinResidual: Q = q(
+    "native_join_residual",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem JOIN (VALUES ('A','F',30.0),('N','O',20.0)) r(rf, ls, cap)
+      |  ON l_returnflag = rf AND l_linestatus = ls AND l_quantity > cap
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    new NativePlanner(s, name => Tables.t(s, d, name)).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": {
+        |    "type": "join",
+        |    "left": "lineitem",
+        |    "right": {"type": "inline",
+        |              "columnNames": ["rf", "ls", "cap"],
+        |              "rows": [["A", "F", 30.0], ["N", "O", 20.0]]},
+        |    "rightPrefix": "r.",
+        |    "condition": "l_returnflag == \"r.rf\" && l_linestatus == \"r.ls\" && l_quantity > \"r.cap\"",
+        |    "joinType": "INNER"
+        |  },
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["l_returnflag", "l_linestatus"],
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "longSum", "name": "qty", "fieldName": "l_quantity"}
+        |  ],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "l_returnflag", "direction": "ascending"},
+        |    {"dimension": "l_linestatus", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual)
+}
