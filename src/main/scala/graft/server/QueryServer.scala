@@ -1,10 +1,14 @@
 package graft.server
 
+import java.io.OutputStream
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 
 import graft.planner.NativePlanner
 
@@ -12,16 +16,21 @@ import graft.planner.NativePlanner
   * §3.2; reference sql/http/SqlResource.java:66 and
   * server/QueryResource.java:90):
   *
-  *   POST /druid/v2      — native JSON query → JSON row array
-  *   POST /druid/v2/sql  — {"query": "..."} (Druid-dialect SQL via the
-  *                         registered function surface) → JSON row array
+  *   POST /druid/v2      — native JSON query → per-query-type envelopes
+  *   POST /druid/v2/sql  — {"query", "parameters", "resultFormat",
+  *                         "header"} (reference SqlQuery.java:55,
+  *                         ResultFormat.java) → object / array / csv /
+  *                         objectLines / arrayLines
   *   GET  /status/health — liveness
   *
-  * Results are returned as a flat JSON array of row objects (the
-  * reference SQL "object" result format; native per-type envelope
-  * shapes are not reproduced). Built on the JDK HttpServer — the shim
-  * is a thin adapter; planning and execution stay in NativePlanner /
-  * Catalyst.
+  * Scale posture: results are STREAMED — rows flow from
+  * `toLocalIterator` (one partition resident at a time) into a chunked
+  * HTTP response; the driver never materializes a full result array.
+  * A row cap (`context.maxRows`, default 1M) rejects runaway results
+  * with the reference's ResourceLimitExceededException shape, the
+  * HTTP analog of maxSubqueryRows (ClientQuerySegmentWalker.java:
+  * 152-157). `context.timeout` cancels the Spark job group on expiry
+  * (QueryContexts.getTimeout), so executor work actually stops.
   */
 class QueryServer(
     spark: SparkSession,
@@ -29,15 +38,16 @@ class QueryServer(
     port: Int = 0) {
 
   private val planner = new NativePlanner(spark, resolveTable)
+  private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+
+  /** default HTTP result-row cap; override per query with
+    * context.maxRows. */
+  var defaultMaxRows: Long = 1000000L
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.createContext("/druid/v2/sql", (ex: HttpExchange) => handle(ex) { body =>
-      val q = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(body).get("query").asText()
-      graft.GraftSession.setup(spark).sql(q)
-    })
+    server.createContext("/druid/v2/sql", (ex: HttpExchange) => handleSql(ex))
     server.createContext("/druid/v2", (ex: HttpExchange) => handleNative(ex))
     server.createContext("/status/health", (ex: HttpExchange) => {
       respond(ex, 200, "true")
@@ -49,109 +59,127 @@ class QueryServer(
 
   def stop(): Unit = if (server != null) server.stop(0)
 
-  private def handle(ex: HttpExchange)(run: String => DataFrame): Unit = {
+  // ---------------- error shapes ----------------
+
+  private final class RowLimitExceeded(val limit: Long) extends RuntimeException(
+    s"Query result rows exceeded the limit of $limit rows")
+
+  private def errorBody(e: Throwable): (Int, String) = e match {
+    case _: java.util.concurrent.TimeoutException =>
+      (504, """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
+    case rl: RowLimitExceeded =>
+      (400, s"""{"error":"Resource limit exceeded","errorMessage":"${rl.getMessage}","errorClass":"ResourceLimitExceededException"}""")
+    case _ =>
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+      (400, s"""{"error":"$msg"}""")
+  }
+
+  // ---------------- SQL endpoint ----------------
+
+  private def handleSql(ex: HttpExchange): Unit = {
     try {
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val rows = collectWithTimeout(run(body).toJSON.collect(), timeoutMs(body))
-      respond(ex, 200, rows.mkString("[", ",", "]"))
+      val node = mapper.readTree(body)
+      val sql0 = Option(node.get("query")).filterNot(_.isNull)
+        .getOrElse(throw new IllegalArgumentException("missing 'query'")).asText()
+      val params = Option(node.get("parameters")).filterNot(_.isNull)
+        .map(_.elements()).map(it => Iterator.continually(it)
+          .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
+      val sql = substituteParameters(sql0, params)
+      val format = Option(node.get("resultFormat")).filterNot(_.isNull)
+        .map(_.asText().toLowerCase).getOrElse("object")
+      val header = Option(node.get("header")).exists(_.asBoolean(false))
+      val df = graft.GraftSession.setup(spark).sql(sql)
+      withLimits(ex, body) { () =>
+        val cap = maxRows(body)
+        ensureUnderCap(df, cap)
+        writeSqlResult(ex, df, format, header, cap)
+      }
     } catch {
-      case _: java.util.concurrent.TimeoutException =>
-        respond(ex, 504, """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
-      case e: Exception =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
-        respond(ex, 400, s"""{"error":"$msg"}""")
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
     }
   }
 
-  /** native endpoint: plan, execute, and wrap rows in the reference's
-    * per-query-type result envelope (timeseries/topN/groupBy/scan/
-    * search/timeBoundary response shapes), so native-API clients can
-    * switch without changing their response parsing. */
+  /** dynamic parameter substitution (reference SqlQuery.java:55 —
+    * positional `?` placeholders bound from typed {type, value}
+    * pairs). The substitution is literal-inlining, skipping `?` inside
+    * string literals. */
+  private[server] def substituteParameters(sql: String, params: Seq[JsonNode]): String = {
+    if (params.isEmpty) return sql
+    val out = new StringBuilder
+    var inString = false
+    var pi = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { inString = !inString; out += c }
+      else if (c == '?' && !inString) {
+        require(pi < params.size, s"missing value for parameter ${pi + 1}")
+        out ++= renderParameter(params(pi)); pi += 1
+      } else out += c
+      i += 1
+    }
+    out.toString
+  }
+
+  private def renderParameter(p: JsonNode): String = {
+    val t = Option(p.get("type")).map(_.asText().toUpperCase).getOrElse("VARCHAR")
+    val v = p.get("value")
+    if (v == null || v.isNull) "NULL"
+    else t match {
+      case "INTEGER" | "BIGINT" | "SMALLINT" | "TINYINT" => v.asLong().toString
+      case "DOUBLE" | "FLOAT" | "REAL" | "DECIMAL" => v.asDouble().toString
+      case "BOOLEAN" => v.asBoolean().toString
+      case "TIMESTAMP" => s"TIMESTAMP '${v.asText().replace("'", "''")}'"
+      case "DATE" => s"DATE '${v.asText().replace("'", "''")}'"
+      case _ => s"'${v.asText().replace("'", "''")}'"
+    }
+  }
+
+  // ---------------- native endpoint ----------------
+
   private def handleNative(ex: HttpExchange): Unit = {
     try {
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val q = graft.model.QueryJson.parse(body)
       val df = planner.plan(q)
-      respond(ex, 200, envelope(q, df, timeoutMs(body)))
+      withLimits(ex, body) { () =>
+        val cap = maxRows(body)
+        ensureUnderCap(df, cap)
+        writeEnvelope(ex, q, df, cap)
+      }
     } catch {
-      case _: java.util.concurrent.TimeoutException =>
-        respond(ex, 504, """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
-      case e: Exception =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
-        respond(ex, 400, s"""{"error":"$msg"}""")
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
     }
   }
 
-  /** collect (timestamp-ISO-or-null, rest-of-row-json) pairs. */
-  private def tsRows(df: DataFrame, timeout: Option[Long]): Array[(String, String)] = {
-    import org.apache.spark.sql.functions._
-    val others = df.columns.filterNot(_ == "__time")
-    val prepared =
-      if (df.columns.contains("__time"))
-        df.select(
-          date_format(col("__time"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("__ts"),
-          to_json(struct(others.map(col): _*)).as("__j"))
-      else df.select(lit(null).cast("string").as("__ts"),
-        to_json(struct(others.map(col): _*)).as("__j"))
-    collectWithTimeout(prepared.toJSON.collect(), timeout).map { j =>
-      // prepared rows are {"__ts": ..., "__j": "..."} — reparse cheaply
-      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
-      val ts = Option(n.get("__ts")).filterNot(_.isNull)
-        .map(t => "\"" + t.asText() + "\"").getOrElse("null")
-      (ts, n.get("__j").asText())
-    }
-  }
+  // ---------------- streaming machinery ----------------
 
-  private def envelope(
-      q: graft.model.NativeQuery, df: DataFrame, timeout: Option[Long]): String = {
-    import graft.model.NativeQuery._
-    q match {
-      case _: Timeseries =>
-        tsRows(df, timeout)
-          .map { case (ts, j) => s"""{"timestamp":$ts,"result":$j}""" }
-          .mkString("[", ",", "]")
-      case _: TopN =>
-        // one envelope per time bucket, hits in rank order within
-        val rows = tsRows(df, timeout)
-        rows.map(_._1).distinct.map { ts =>
-          val hits = rows.filter(_._1 == ts).map(_._2).mkString("[", ",", "]")
-          s"""{"timestamp":$ts,"result":$hits}"""
-        }.mkString("[", ",", "]")
-      case _: GroupBy =>
-        tsRows(df, timeout)
-          .map { case (ts, j) => s"""{"version":"v1","timestamp":$ts,"event":$j}""" }
-          .mkString("[", ",", "]")
-      case _: Scan =>
-        val cols = df.columns.map("\"" + _ + "\"").mkString("[", ",", "]")
-        val events = collectWithTimeout(df.toJSON.collect(), timeout).mkString("[", ",", "]")
-        s"""[{"columns":$cols,"events":$events}]"""
-      case _: Search =>
-        val hits = collectWithTimeout(df.toJSON.collect(), timeout).mkString("[", ",", "]")
-        s"""[{"timestamp":null,"result":$hits}]"""
-      case _: TimeBoundary | _: DataSourceMetadata | _: SegmentMetadata =>
-        val rows = collectWithTimeout(df.toJSON.collect(), timeout)
-        rows.map(j => s"""{"timestamp":null,"result":$j}""").mkString("[", ",", "]")
-    }
-  }
+  private def maxRows(body: String): Long =
+    try {
+      val n = mapper.readTree(body)
+      Option(n.get("context")).flatMap(c => Option(c.get("maxRows")))
+        .map(_.asLong()).getOrElse(defaultMaxRows)
+    } catch { case _: Exception => defaultMaxRows }
 
-  /** context.timeout (ms) — the reference's per-query timeout
-    * (QueryContexts.getTimeout): on expiry the Spark job group is
-    * cancelled so executor work actually stops, and the caller gets
-    * the reference's QueryTimeoutException shape (HTTP 504). */
   private def timeoutMs(body: String): Option[Long] =
     try {
-      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val n = mapper.readTree(body)
       Option(n.get("context")).flatMap(c => Option(c.get("timeout"))).map(_.asLong())
     } catch { case _: Exception => None }
 
-  private def collectWithTimeout(
-      thunk: => Array[String], timeout: Option[Long]): Array[String] =
-    timeout match {
-      case None => thunk
+  /** run the writer under context.timeout: the producing thread owns a
+    * Spark job group that is cancelled on expiry so executor work
+    * stops. If the deadline passes before the first byte, the caller's
+    * catch still gets to send a 504; mid-stream expiry closes the
+    * chunked response (the reference's streamed results have the same
+    * property). */
+  private def withLimits(ex: HttpExchange, body: String)(write: () => Unit): Unit =
+    timeoutMs(body) match {
+      case None => write()
       case Some(ms) =>
         val group = "graft-query-" + java.util.UUID.randomUUID()
         val sc = spark.sparkContext
@@ -160,15 +188,294 @@ class QueryServer(
         import scala.concurrent.ExecutionContext.Implicits.global
         val fut = Future(blocking {
           sc.setJobGroup(group, "graft query", interruptOnCancel = true)
-          try thunk finally sc.clearJobGroup()
+          try write() finally sc.clearJobGroup()
         })
         try Await.result(fut, Duration(ms, "ms"))
         catch {
           case e: java.util.concurrent.TimeoutException =>
-            sc.cancelJobGroup(group)
+            // keep cancelling for a grace window: the job may not have
+            // been submitted yet when the deadline fires, and a single
+            // cancel would miss it (leaving its tasks hogging slots)
+            Future(blocking {
+              var i = 0
+              while (i < 40 && !fut.isCompleted) {
+                sc.cancelJobGroup(group)
+                Thread.sleep(250)
+                i += 1
+              }
+              sc.cancelJobGroup(group)
+            })
             throw e
         }
     }
+
+  /** bounded pre-flight cap check BEFORE the first response byte: a
+    * limit(cap+1) count scans only until the limit is hit, so the
+    * reject costs at most cap rows of work and the client gets a clean
+    * 400 instead of a truncated 200 stream. */
+  private def ensureUnderCap(df: DataFrame, cap: Long): Unit =
+    if (cap < Int.MaxValue - 1 &&
+        df.limit(cap.toInt + 1).count() > cap)
+      throw new RowLimitExceeded(cap)
+
+  /** capped streaming iterator over a DataFrame's rows: one partition
+    * resident on the driver at a time, RowLimitExceeded past the cap
+    * (belt and braces behind ensureUnderCap). */
+  private def cappedRows(df: DataFrame, cap: Long): Iterator[Row] = {
+    var n = 0L
+    val it = df.toLocalIterator()
+    new Iterator[Row] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Row = {
+        n += 1
+        if (n > cap) throw new RowLimitExceeded(cap)
+        it.next()
+      }
+    }
+  }
+
+  /** open a chunked response; rows are written as they stream. */
+  private def openStream(ex: HttpExchange, contentType: String): OutputStream = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(200, 0)
+    ex.getResponseBody
+  }
+
+  // ---------------- row → JSON/CSV rendering ----------------
+
+  private def jsonValue(v: Any, dt: DataType, target: ArrayNode): Unit = (v, dt) match {
+    case (null, _) => target.addNull()
+    case (x: Long, _) => target.add(x)
+    case (x: Int, _) => target.add(x)
+    case (x: Short, _) => target.add(x.toInt)
+    case (x: Byte, _) => target.add(x.toInt)
+    case (x: Double, _) => target.add(x)
+    case (x: Float, _) => target.add(x.toDouble)
+    case (x: Boolean, _) => target.add(x)
+    case (x: java.sql.Timestamp, _) => target.add(isoTs(x))
+    case (x: java.time.Instant, _) => target.add(isoTs(java.sql.Timestamp.from(x)))
+    case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
+      val arr = target.addArray()
+      x.foreach(e => jsonValue(e, et, arr))
+    case (x, _) => target.add(String.valueOf(x))
+  }
+
+  private def jsonField(o: ObjectNode, name: String, v: Any, dt: DataType): Unit = (v, dt) match {
+    case (null, _) => o.putNull(name)
+    case (x: Long, _) => o.put(name, x)
+    case (x: Int, _) => o.put(name, x)
+    case (x: Short, _) => o.put(name, x.toInt)
+    case (x: Byte, _) => o.put(name, x.toInt)
+    case (x: Double, _) => o.put(name, x)
+    case (x: Float, _) => o.put(name, x.toDouble)
+    case (x: Boolean, _) => o.put(name, x)
+    case (x: java.sql.Timestamp, _) => o.put(name, isoTs(x))
+    case (x: java.time.Instant, _) => o.put(name, isoTs(java.sql.Timestamp.from(x)))
+    case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
+      val arr = o.putArray(name)
+      x.foreach(e => jsonValue(e, et, arr))
+    case (x, _) => o.put(name, String.valueOf(x))
+  }
+
+  private def isoTs(ts: java.sql.Timestamp): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(ts.toInstant)
+
+  private def rowObject(row: Row, schema: StructType): ObjectNode = {
+    val o = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      jsonField(o, f.name, row.get(i), f.dataType)
+    }
+    o
+  }
+
+  private def rowArray(row: Row, schema: StructType): ArrayNode = {
+    val a = mapper.createArrayNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      jsonValue(row.get(i), f.dataType, a)
+    }
+    a
+  }
+
+  private def csvCell(v: Any, dt: DataType): String = v match {
+    case null => ""
+    case ts: java.sql.Timestamp => isoTs(ts)
+    case other =>
+      val s = String.valueOf(other)
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+  }
+
+  // ---------------- SQL result formats (ResultFormat.java) ----------------
+
+  private def writeSqlResult(
+      ex: HttpExchange, df: DataFrame, format: String,
+      header: Boolean, cap: Long): Unit = {
+    val schema = df.schema
+    val rows = cappedRows(df, cap)
+    def writeLines(os: OutputStream, render: Row => String, headerLine: Option[String]): Unit = {
+      headerLine.foreach(h => os.write((h + "\n").getBytes(StandardCharsets.UTF_8)))
+      rows.foreach(r => os.write((render(r) + "\n").getBytes(StandardCharsets.UTF_8)))
+      os.write("\n".getBytes(StandardCharsets.UTF_8)) // trailing blank line (reference format)
+    }
+    format match {
+      case "object" =>
+        val os = openStream(ex, "application/json")
+        try {
+          os.write('[')
+          var first = true
+          rows.foreach { r =>
+            if (!first) os.write(',')
+            first = false
+            os.write(mapper.writeValueAsBytes(rowObject(r, schema)))
+          }
+          os.write(']')
+        } finally os.close()
+      case "array" =>
+        val os = openStream(ex, "application/json")
+        try {
+          os.write('[')
+          var first = true
+          if (header) {
+            val h = mapper.createArrayNode()
+            schema.fieldNames.foreach(h.add)
+            os.write(mapper.writeValueAsBytes(h)); first = false
+          }
+          rows.foreach { r =>
+            if (!first) os.write(',')
+            first = false
+            os.write(mapper.writeValueAsBytes(rowArray(r, schema)))
+          }
+          os.write(']')
+        } finally os.close()
+      case "objectlines" =>
+        val os = openStream(ex, "text/plain")
+        try writeLines(os, r => mapper.writeValueAsString(rowObject(r, schema)), None)
+        finally os.close()
+      case "arraylines" =>
+        val os = openStream(ex, "text/plain")
+        try {
+          val h = if (header) {
+            val a = mapper.createArrayNode(); schema.fieldNames.foreach(a.add)
+            Some(mapper.writeValueAsString(a))
+          } else None
+          writeLines(os, r => mapper.writeValueAsString(rowArray(r, schema)), h)
+        } finally os.close()
+      case "csv" =>
+        val os = openStream(ex, "text/csv")
+        try {
+          val h = if (header) Some(schema.fieldNames.mkString(",")) else None
+          writeLines(os, r => schema.fields.zipWithIndex
+            .map { case (f, i) => csvCell(r.get(i), f.dataType) }.mkString(","), h)
+        } finally os.close()
+      case other => throw new IllegalArgumentException(s"resultFormat $other")
+    }
+  }
+
+  // ---------------- native result envelopes ----------------
+
+  /** (iso timestamp or null, rest-of-row object json) pairs, streamed. */
+  private def tsRowIter(df: DataFrame, cap: Long): Iterator[(String, String)] = {
+    val schema = df.schema
+    val tIdx = schema.fieldNames.indexOf("__time")
+    cappedRows(df, cap).map { r =>
+      val ts =
+        if (tIdx < 0 || r.isNullAt(tIdx)) null
+        else r.get(tIdx) match {
+          case t: java.sql.Timestamp => isoTs(t)
+          case t: java.time.Instant => isoTs(java.sql.Timestamp.from(t))
+          case other => String.valueOf(other)
+        }
+      val o = mapper.createObjectNode()
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (i != tIdx) jsonField(o, f.name, r.get(i), f.dataType)
+      }
+      (ts, mapper.writeValueAsString(o))
+    }
+  }
+
+  private def writeEnvelope(
+      ex: HttpExchange, q: graft.model.NativeQuery, df: DataFrame, cap: Long): Unit = {
+    import graft.model.NativeQuery._
+    def tsQuoted(ts: String) = if (ts == null) "null" else "\"" + ts + "\""
+    val os = openStream(ex, "application/json")
+    try {
+      q match {
+        case _: Timeseries =>
+          os.write('[')
+          var first = true
+          tsRowIter(df, cap).foreach { case (ts, j) =>
+            if (!first) os.write(',')
+            first = false
+            os.write(s"""{"timestamp":${tsQuoted(ts)},"result":$j}"""
+              .getBytes(StandardCharsets.UTF_8))
+          }
+          os.write(']')
+        case _: TopN =>
+          // one envelope per time bucket; rows arrive ordered by
+          // (__time, rank), so ONE streaming pass groups consecutive
+          // equal timestamps — no quadratic driver re-filtering.
+          os.write('[')
+          var started = false
+          var cur: String = null
+          tsRowIter(df, cap).foreach { case (ts, j) =>
+            if (!started || cur != ts) {
+              if (started) os.write("]},".getBytes(StandardCharsets.UTF_8))
+              os.write(s"""{"timestamp":${tsQuoted(ts)},"result":["""
+                .getBytes(StandardCharsets.UTF_8))
+              started = true
+              cur = ts
+            } else os.write(',')
+            os.write(j.getBytes(StandardCharsets.UTF_8))
+          }
+          if (started) os.write("]}".getBytes(StandardCharsets.UTF_8))
+          os.write(']')
+        case _: GroupBy =>
+          os.write('[')
+          var first = true
+          tsRowIter(df, cap).foreach { case (ts, j) =>
+            if (!first) os.write(',')
+            first = false
+            os.write(s"""{"version":"v1","timestamp":${tsQuoted(ts)},"event":$j}"""
+              .getBytes(StandardCharsets.UTF_8))
+          }
+          os.write(']')
+        case _: Scan =>
+          val cols = df.columns.map("\"" + _ + "\"").mkString("[", ",", "]")
+          os.write(s"""[{"columns":$cols,"events":[""".getBytes(StandardCharsets.UTF_8))
+          val schema = df.schema
+          var first = true
+          cappedRows(df, cap).foreach { r =>
+            if (!first) os.write(',')
+            first = false
+            os.write(mapper.writeValueAsBytes(rowObject(r, schema)))
+          }
+          os.write("]}]".getBytes(StandardCharsets.UTF_8))
+        case _: Search =>
+          os.write("""[{"timestamp":null,"result":[""".getBytes(StandardCharsets.UTF_8))
+          val schema = df.schema
+          var first = true
+          cappedRows(df, cap).foreach { r =>
+            if (!first) os.write(',')
+            first = false
+            os.write(mapper.writeValueAsBytes(rowObject(r, schema)))
+          }
+          os.write("]}]".getBytes(StandardCharsets.UTF_8))
+        case _: TimeBoundary | _: DataSourceMetadata | _: SegmentMetadata =>
+          os.write('[')
+          val schema = df.schema
+          var first = true
+          cappedRows(df, cap).foreach { r =>
+            if (!first) os.write(',')
+            first = false
+            os.write(s"""{"timestamp":null,"result":${mapper.writeValueAsString(rowObject(r, schema))}}"""
+              .getBytes(StandardCharsets.UTF_8))
+          }
+          os.write(']')
+      }
+    } finally os.close()
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

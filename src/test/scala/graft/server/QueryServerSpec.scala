@@ -96,6 +96,85 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("SQL dynamic parameters substitute positionally (SqlQuery.parameters)") {
+    fixture.createOrReplaceTempView("ds_par")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT dim, m FROM ds_par WHERE m > ? AND dim <> ? ORDER BY m",
+          |"parameters": [
+          |  {"type": "DOUBLE", "value": 1.5},
+          |  {"type": "VARCHAR", "value": "zzz?not-a-param"}]}""".stripMargin)
+      assert(code == 200, body)
+      assert(body == """[{"dim":"b","m":2.0},{"dim":"a","m":3.0}]""", body)
+      // a ? inside a string literal is NOT a placeholder
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT '?' AS q, ? AS p",
+          |"parameters": [{"type": "BIGINT", "value": 7}]}""".stripMargin)
+      assert(c2 == 200, b2)
+      assert(b2 == """[{"q":"?","p":7}]""", b2)
+    } finally srv.stop()
+  }
+
+  test("SQL result formats: array/csv/objectLines/arrayLines + header") {
+    fixture.createOrReplaceTempView("ds_fmt")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      def q(fmt: String, header: Boolean) = post(port, "/druid/v2/sql",
+        s"""{"query": "SELECT dim, m FROM ds_fmt WHERE m < 3 ORDER BY m",
+           |"resultFormat": "$fmt", "header": $header}""".stripMargin)
+      val (c1, arr) = q("array", true)
+      assert(c1 == 200, arr)
+      assert(arr == """[["dim","m"],["a",1.0],["b",2.0]]""", arr)
+      val (c2, csv) = q("csv", true)
+      assert(c2 == 200, csv)
+      assert(csv == "dim,m\na,1.0\nb,2.0\n\n", csv)
+      val (c3, ol) = q("objectLines", false)
+      assert(c3 == 200, ol)
+      assert(ol == "{\"dim\":\"a\",\"m\":1.0}\n{\"dim\":\"b\",\"m\":2.0}\n\n", ol)
+      val (c4, al) = q("arrayLines", false)
+      assert(c4 == 200, al)
+      assert(al == "[\"a\",1.0]\n[\"b\",2.0]\n\n", al)
+    } finally srv.stop()
+  }
+
+  test("context.maxRows caps results with the reference error shape") {
+    spark.range(0, 5000).createOrReplaceTempView("big_t")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT id FROM big_t", "context": {"maxRows": 100}}""")
+      assert(code == 400, s"expected 400, got $code: $body")
+      assert(body.contains("ResourceLimitExceededException"), body)
+      // under the cap streams fine
+      val (ok, rows) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM big_t", "context": {"maxRows": 100}}""")
+      assert(ok == 200 && rows.contains("\"c\":5000"), rows)
+    } finally srv.stop()
+  }
+
+  test("large scan streams through the chunked native endpoint") {
+    import spark.implicits._
+    val big = spark.range(0, 20000)
+      .select(col("id"),
+        org.apache.spark.sql.functions.timestamp_millis(col("id") * 1000).as("__time"))
+    val srv = new QueryServer(spark, { case "big" => big })
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "big", "intervals": [],
+          |"columns": ["id"]}""".stripMargin)
+      assert(code == 200)
+      // all 20k rows arrive; spot-check the envelope + an arbitrary row
+      assert(body.startsWith("""[{"columns":["id"],"events":["""))
+      assert(body.contains("""{"id":19999}"""), body.takeRight(200))
+      assert(body.count(_ == '{') == 20001)
+    } finally srv.stop()
+  }
+
   test("bad query returns a JSON error, not a hang") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
