@@ -118,10 +118,87 @@ case class AlphanumericSortKey(child: Expression)
   override def prettyName: String = "alphanumeric_sort_key"
 }
 
+/** Sort key realizing the reference's "version" comparator
+  * (processing/.../StringComparators.java:437 VersionComparator →
+  * maven DefaultArtifactVersion). Tokens split on '.'/'-' and
+  * letter↔digit transitions; numeric tokens compare numerically and
+  * sort AFTER every qualifier; qualifiers rank
+  * alpha < beta < milestone < rc < snapshot < release("") < sp <
+  * other; trailing release/zero tokens trim so 1.0.0 == 1; keys end
+  * with the release sentinel so "1.alpha" < "1" < "1.1" under plain
+  * byte order. Divergence: maven's '-'-sublist subtleties (1-1 vs
+  * 1.1) collapse — both separators rank equally. */
+case class VersionSortKey(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString.toLowerCase(java.util.Locale.ROOT)
+    // tokenize on separators + letter/digit boundaries
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    def flush(): Unit = if (cur.length > 0) { toks += cur.toString; cur.setLength(0) }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.' || c == '-' || c == '_' || c == '+') flush()
+      else {
+        if (cur.length > 0 &&
+            Character.isDigit(cur.charAt(cur.length - 1)) != Character.isDigit(c)) flush()
+        cur.append(c)
+      }
+      i += 1
+    }
+    flush()
+    def enc(t: String): String =
+      if (t.nonEmpty && t.forall(Character.isDigit)) {
+        val d = t.dropWhile(_ == '0')
+        val digits = if (d.isEmpty) "0" else d
+        "N" + f"${digits.length}%04d" + digits
+      } else t match {
+        case "alpha" | "a" => "A"
+        case "beta" | "b" => "B"
+        case "milestone" | "m" => "C"
+        case "rc" | "cr" => "D"
+        case "snapshot" => "E"
+        case "" | "ga" | "final" | "release" => "F"
+        case "sp" => "G"
+        case other => "H" + other
+      }
+    val encoded = toks.map(enc)
+    // maven normalization: zero/release tokens drop when followed only
+    // by qualifiers or the end (1.0.0 == 1, 1.0-alpha == 1-alpha) —
+    // right-to-left pass keeping zeros that precede a numeric token
+    val kept = scala.collection.mutable.ArrayDeque.empty[String]
+    var k = encoded.length - 1
+    while (k >= 0) {
+      val t = encoded(k)
+      val nullish = t == "F" || t == "N00010"
+      val rightIsQualifier = kept.isEmpty || !kept.head.startsWith("N")
+      if (!(nullish && rightIsQualifier)) kept.prepend(t)
+      k -= 1
+    }
+    val out = new java.lang.StringBuilder
+    kept.foreach(t => out.append(t).append(''))
+    out.append('F') // release sentinel: shorter versions rank between qualifiers and numbers
+    UTF8String.fromString(out.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): VersionSortKey = copy(c)
+  override def prettyName: String = "version_sort_key"
+}
+
 object DruidExpressions {
   def ipv4Parse(c: Column): Column = toCol(Ipv4Parse(toExpr(c)))
   def ipv4Stringify(c: Column): Column = toCol(Ipv4Stringify(toExpr(c)))
   def ipv4Match(addr: Column, subnet: Column): Column =
     toCol(Ipv4Match(toExpr(addr), toExpr(subnet)))
   def alphanumericSortKey(c: Column): Column = toCol(AlphanumericSortKey(toExpr(c)))
+  def versionSortKey(c: Column): Column = toCol(VersionSortKey(toExpr(c)))
+
+  /** strlen comparator key (StringComparators.java:288): length, then
+    * lexicographic — a struct compares field-wise, so plain ordering
+    * on the key matches the reference comparator. */
+  def strlenSortKey(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    struct(length(c).as("l"), c.as("v"))
+  }
 }

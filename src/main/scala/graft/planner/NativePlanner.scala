@@ -169,11 +169,15 @@ class NativePlanner(
         // ANSI cast error on malformed input).
         case "numeric" => c.try_cast("double")
         case "alphanumeric" => DruidExpressions.alphanumericSortKey(c)
+        case "strlen" => DruidExpressions.strlenSortKey(c)
+        case "version" => DruidExpressions.versionSortKey(c)
         case _ => c
       }
       def bound(v: String) = ordering match {
         case "numeric" => lit(v.toDouble)
         case "alphanumeric" => DruidExpressions.alphanumericSortKey(lit(v))
+        case "strlen" => DruidExpressions.strlenSortKey(lit(v))
+        case "version" => DruidExpressions.versionSortKey(lit(v))
         case _ => lit(v)
       }
       val c = side(dimOrExtract(d, ex))
@@ -576,6 +580,8 @@ class NativePlanner(
         val base = c.comparator match {
           case "numeric" => col(c.dimension).cast("double")
           case "alphanumeric" => DruidExpressions.alphanumericSortKey(col(c.dimension))
+          case "strlen" => DruidExpressions.strlenSortKey(col(c.dimension))
+          case "version" => DruidExpressions.versionSortKey(col(c.dimension))
           case _ => col(c.dimension)
         }
         if (c.descending) base.desc else base.asc

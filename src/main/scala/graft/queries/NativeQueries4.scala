@@ -128,5 +128,64 @@ object NativeQueries4 {
         |}""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual)
+  /** strlen comparator (StringComparators.java:288 StrlenComparator:
+    * length first, lexicographic tie-break) in a bound filter — the
+    * oracle spells out the (length, value) tuple comparison. */
+  val filterBoundStrlen: Q = q(
+    "filter_bound_strlen",
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+      |FROM nation
+      |WHERE (length(n_name) > 8 OR (length(n_name) = 8 AND n_name > 'NATION_3'))
+      |  AND (length(n_name) < 9 OR (length(n_name) = 9 AND n_name <= 'NATION_15'))
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    new NativePlanner(s, name => Tables.t(s, d, name)).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "nation",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["n_name"],
+        |  "filter": {"type": "bound", "dimension": "n_name",
+        |             "lower": "NATION_3", "lowerStrict": true,
+        |             "upper": "NATION_15", "ordering": "strlen"},
+        |  "aggregations": [{"type": "count", "name": "cnt"}],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "n_name", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
+  /** version comparator (StringComparators.java:437 VersionComparator)
+    * ordering a limitSpec over synthesized dotted versions — for pure
+    * numeric-token versions the maven ordering equals the numeric
+    * tuple ordering, which DuckDB replicates from the source ints
+    * (qualifier ranks are spec-tested in VersionSortKeySpec). */
+  val limitSpecVersion: Q = q(
+    "limitspec_version",
+    """SELECT ver, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT CAST(l_linenumber AS VARCHAR) || '.' ||
+      |             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS ver,
+      |             l_linenumber AS a, CAST(l_quantity AS BIGINT) AS b
+      |      FROM lineitem)
+      |GROUP BY ver ORDER BY min(a), min(b) LIMIT 15""".stripMargin) { (s, d) =>
+    new NativePlanner(s, name => Tables.t(s, d, name)).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "lineitem",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "virtualColumns": [
+        |    {"name": "ver",
+        |     "expression": "concat(cast(l_linenumber, 'STRING'), '.', cast(cast(l_quantity, 'LONG'), 'STRING'))"}
+        |  ],
+        |  "dimensions": ["ver"],
+        |  "aggregations": [{"type": "count", "name": "cnt"}],
+        |  "limitSpec": {"type": "default", "limit": 15,
+        |    "columns": [{"dimension": "ver", "direction": "ascending",
+        |                 "dimensionOrder": "version"}]}
+        |}""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(
+    nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
+    filterBoundStrlen, limitSpecVersion)
 }

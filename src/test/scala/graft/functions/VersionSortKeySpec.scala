@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** version comparator semantics (StringComparators.java:437 →
+  * maven DefaultArtifactVersion): qualifier ranks, numeric tokens,
+  * trailing-zero trimming. */
+class VersionSortKeySpec extends SparkSpec {
+
+  private def sortedByKey(vs: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    vs.toDF("v")
+      .orderBy(DruidExpressions.versionSortKey(col("v")))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("qualifiers rank alpha < beta < milestone < rc < snapshot < release < sp") {
+    val in = Seq("1.0", "1.0-rc1", "1.0-alpha", "1.0-sp", "1.0-SNAPSHOT",
+      "1.0-beta2", "1.0-milestone1")
+    assert(sortedByKey(scala.util.Random.shuffle(in)) == Seq(
+      "1.0-alpha", "1.0-beta2", "1.0-milestone1", "1.0-rc1", "1.0-SNAPSHOT",
+      "1.0", "1.0-sp"))
+  }
+
+  test("numeric tokens compare numerically and after qualifiers") {
+    assert(sortedByKey(Seq("1.10", "1.2", "1.0-sp", "1.1", "1")) ==
+      Seq("1", "1.0-sp", "1.1", "1.2", "1.10"))
+  }
+
+  test("trailing zeros and release tokens trim (1.0.0 == 1 == 1.ga)") {
+    import spark.implicits._
+    val keys = Seq("1.0.0", "1", "1.ga", "1.0-final")
+      .toDF("v").select(DruidExpressions.versionSortKey(col("v")).as("k"))
+      .collect().map(_.getString(0)).toSet
+    assert(keys.size == 1, keys)
+  }
+
+  test("multi-segment versions order like maven") {
+    assert(sortedByKey(Seq("2.0", "10.1", "2.0.1", "1.9.9", "2.0-rc2")) ==
+      Seq("1.9.9", "2.0-rc2", "2.0", "2.0.1", "10.1"))
+  }
+}
