@@ -51,6 +51,22 @@ case class ThetaSetOp(left: Expression, right: Expression, op: Int)
     Seq("theta_union", "theta_intersect", "theta_not")(op)
 }
 
+/** estimate-with-bounds for an HLL sketch binary (reference
+  * datasketches/hll/HllSketchToEstimateWithBoundsPostAggregator.java):
+  * [estimate, lowerBound, upperBound] at numStdDev. */
+case class HllEstimateBounds(child: Expression, numStdDevs: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val sk = org.apache.datasketches.hll.HllSketch.heapify(
+      Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(sk.getEstimate, sk.getLowerBound(numStdDevs), sk.getUpperBound(numStdDevs)))
+  }
+  override protected def withNewChildInternal(c: Expression): HllEstimateBounds = copy(child = c)
+  override def prettyName: String = "hll_sketch_estimate_with_bounds"
+}
+
 case class KllQuantile(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
@@ -129,4 +145,6 @@ object sketches {
   def tupleEstimate(c: Column): Column = toCol(TupleEstimate(toExpr(c)))
   def tupleMetricSum(bin: Column, idx: Column): Column =
     toCol(TupleMetricSum(toExpr(bin), toExpr(idx)))
+  def hllEstimateBounds(bin: Column, numStdDevs: Int): Column =
+    toCol(HllEstimateBounds(toExpr(bin), numStdDevs))
 }

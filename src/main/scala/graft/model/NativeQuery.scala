@@ -134,6 +134,13 @@ object Aggregator {
       name: String, fieldName: String, lgNomEntries: Int = 12) extends Aggregator
   final case class KllSketch(
       name: String, fieldName: String, k: Int = 200) extends Aggregator
+  /** mergeable HLL sketch column (reference datasketches/hll/
+    * HllSketchBuildAggregatorFactory + HllSketchMergeAggregatorFactory):
+    * build updates from raw values, merge unions stored sketch
+    * binaries (rollup metric columns). */
+  final case class HllSketch(
+      name: String, fieldName: String, lgK: Int = 12,
+      merge: Boolean = false) extends Aggregator
   /** fixed-buckets histogram (reference FixedBucketsHistogramAggregatorFactory):
     * outlierHandlingMode ∈ ignore | overflow | clip. */
   final case class FixedBucketsHistogram(
@@ -174,6 +181,13 @@ object PostAggregator {
       name: String, func: String, fields: Seq[PostAggregator]) extends PostAggregator
   final case class KllToQuantile(
       name: String, field: PostAggregator, fraction: Double) extends PostAggregator
+  /** HLL sketch finalizers (reference datasketches/hll/
+    * HllSketchToEstimatePostAggregator.java and
+    * HllSketchToEstimateWithBoundsPostAggregator.java). */
+  final case class HllEstimate(
+      name: String, field: PostAggregator) extends PostAggregator
+  final case class HllBounds(
+      name: String, field: PostAggregator, numStdDevs: Int) extends PostAggregator
   /** multiple quantiles → array (tDigest/momentSketch post-agg shapes,
     * served by the KLL path). */
   final case class KllToQuantiles(

@@ -377,7 +377,10 @@ object QueryJson {
       // tDigest/momentSketch quantile aggs: same contract, KLL-served
       case "tDigestSketch" | "momentSketch" =>
         Aggregator.KllSketch(nm, f, intOpt(n, "k").getOrElse(200))
-      case "HLLSketchBuild" | "HLLSketchMerge" => Aggregator.Cardinality(nm, Seq(f))
+      case "HLLSketchBuild" => Aggregator.HllSketch(
+        nm, f, intOpt(n, "lgK").getOrElse(12), merge = false)
+      case "HLLSketchMerge" => Aggregator.HllSketch(
+        nm, f, intOpt(n, "lgK").getOrElse(12), merge = true)
       // contrib extensions: time-min-max, distinctcount
       case "timeMin" => Aggregator.TimeMinMax(nm, isMax = false)
       case "timeMax" => Aggregator.TimeMinMax(nm, isMax = true)
@@ -426,11 +429,11 @@ object QueryJson {
       case "thetaSketchSetOp" => PostAggregator.ThetaSetOp(
         nm, str(n, "func").toUpperCase,
         arr(n, "fields").map(parsePostAggregator))
-      // our HLL build aggs finalize to a count already
-      case "HLLSketchEstimate" =>
-        PostAggregator.FieldAccess(nm,
-          Option(n.get("field")).map(f => str(f, "fieldName"))
-            .getOrElse(str(n, "fieldName")))
+      case "HLLSketchEstimate" => PostAggregator.HllEstimate(
+        nm, parsePostAggregator(n.get("field")))
+      case "HLLSketchEstimateWithBounds" => PostAggregator.HllBounds(
+        nm, parsePostAggregator(n.get("field")),
+        intOpt(n, "numStdDevs").getOrElse(1))
       case "quantilesDoublesSketchToQuantile" => PostAggregator.KllToQuantile(
         nm, parsePostAggregator(n.get("field")), n.get("fraction").asDouble())
       // tDigest/momentSketch extensions: same quantiles contract,

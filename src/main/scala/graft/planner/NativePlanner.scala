@@ -244,6 +244,12 @@ class NativePlanner(
     case Aggregator.KllSketch(n, f, k) =>
       graft.exprs.toCol(graft.aggs.KllDoublesAgg(
         graft.exprs.toExpr(col(f)), k).toAggregateExpression()).as(n)
+    case Aggregator.HllSketch(n, f, lgK, merge) =>
+      // mergeable HLL columns: build updates from raw values,
+      // merge unions stored sketch binaries (rollup metrics) —
+      // Spark's datasketches-backed hll_* built-ins, two-phase merge.
+      if (merge) hll_union_agg(col(f), lit(true)).as(n)
+      else hll_sketch_agg(col(f), lit(lgK)).as(n)
     case Aggregator.DistinctCount(n, f) => count_distinct(col(f)).as(n)
     case Aggregator.Grouping(n, gs) =>
       // bit i (msb-first) set when groupings(i) is NOT in the current
@@ -305,6 +311,9 @@ class NativePlanner(
       (if (pop) var_pop(when(cond, col(f))) else var_samp(when(cond, col(f)))).as(n)
     case Aggregator.Cardinality(n, fields, _) if fields.size == 1 =>
       approx_count_distinct(when(cond, col(fields.head))).as(n)
+    case Aggregator.HllSketch(n, f, lgK, merge) =>
+      if (merge) hll_union_agg(when(cond, col(f)), lit(true)).as(n)
+      else hll_sketch_agg(when(cond, col(f)), lit(lgK)).as(n)
     case Aggregator.DistinctCount(n, f) =>
       count_distinct(when(cond, col(f))).as(n)
     case other => throw new UnsupportedOperationException(
@@ -347,6 +356,10 @@ class NativePlanner(
         case o => throw new UnsupportedOperationException(s"theta set op $o")
       }
       cols.reduce(op).as(n)
+    case PostAggregator.HllEstimate(n, f) =>
+      hll_sketch_estimate(postAggToColumn(f, schema)).as(n)
+    case PostAggregator.HllBounds(n, f, k) =>
+      sketches.hllEstimateBounds(postAggToColumn(f, schema), k).as(n)
     case PostAggregator.KllToQuantile(n, f, frac) =>
       sketches.kllQuantile(postAggToColumn(f, schema), lit(frac)).as(n)
     case PostAggregator.KllToQuantiles(n, f, fracs) =>

@@ -185,7 +185,57 @@ object NativeQueries4 {
         |}""".stripMargin)
   }
 
+  /** mergeable HLL columns through the JSON path: day-level
+    * HLLSketchBuild sketches union under HLLSketchMerge (the rollup
+    * metric-column shape), finalized by HLLSketchEstimate and
+    * HLLSketchEstimateWithBounds post-aggs. Exact-regime contract:
+    * lgK=14 holds the ~150 distinct users in coupon mode, so the
+    * estimate hash-matches DuckDB's exact distinct count; the bounds
+    * post-agg is graded as the lb <= est <= ub invariant via a native
+    * expression over the [est, lb, ub] array. */
+  val nativeHllSketch: Q = q(
+    "native_hll_sketch",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |       CAST(1 AS BIGINT) AS bounds_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "scan",
+        |  "dataSource": {"type": "query", "query": {
+        |    "queryType": "groupBy",
+        |    "dataSource": {"type": "query", "query": {
+        |      "queryType": "groupBy",
+        |      "dataSource": "events",
+        |      "intervals": [],
+        |      "granularity": "day",
+        |      "dimensions": ["event_type"],
+        |      "aggregations": [
+        |        {"type": "HLLSketchBuild", "name": "hll_day",
+        |         "fieldName": "user_id", "lgK": 14}]
+        |    }},
+        |    "intervals": [],
+        |    "granularity": "all",
+        |    "dimensions": ["event_type"],
+        |    "aggregations": [
+        |      {"type": "HLLSketchMerge", "name": "hll",
+        |       "fieldName": "hll_day", "lgK": 14}],
+        |    "postAggregations": [
+        |      {"type": "HLLSketchEstimate", "name": "users",
+        |       "field": {"type": "fieldAccess", "fieldName": "hll"}},
+        |      {"type": "HLLSketchEstimateWithBounds", "name": "bounds",
+        |       "field": {"type": "fieldAccess", "fieldName": "hll"}, "numStdDevs": 2},
+        |      {"type": "expression", "name": "bounds_ok",
+        |       "expression": "cast(array_offset(bounds, 1) <= array_offset(bounds, 0) && array_offset(bounds, 0) <= array_offset(bounds, 2), 'LONG')"}
+        |    ]
+        |  }},
+        |  "intervals": [],
+        |  "columns": ["event_type", "users", "bounds_ok"]
+        |}""".stripMargin)
+      .orderBy(org.apache.spark.sql.functions.col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
-    filterBoundStrlen, limitSpecVersion)
+    filterBoundStrlen, limitSpecVersion, nativeHllSketch)
 }
