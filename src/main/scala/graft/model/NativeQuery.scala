@@ -290,8 +290,14 @@ object NativeQuery {
       filter: Option[DimFilter],
       virtualColumns: Seq[VirtualColumn]) extends NativeQuery
 
+  /** analysisTypes selection per reference SegmentMetadataQuery.java:
+    * 58-67 (default cardinality/size/interval/minmax; aggregators/
+    * rollup/timestampSpec/queryGranularity are ingest-spec metadata a
+    * plain table has none of, and are skipped). */
   final case class SegmentMetadata(
       dataSource: DataSource, intervals: Seq[QueryInterval],
       filter: Option[DimFilter],
-      virtualColumns: Seq[VirtualColumn]) extends NativeQuery
+      virtualColumns: Seq[VirtualColumn],
+      analysisTypes: Seq[String] =
+        Seq("cardinality", "size", "interval", "minmax")) extends NativeQuery
 }

@@ -82,7 +82,10 @@ object QueryJson {
       case "timeBoundary" => NativeQuery.TimeBoundary(
         ds, intervals, filter, strOpt(n, "bound"), vcols)
       case "dataSourceMetadata" => NativeQuery.DataSourceMetadata(ds, intervals, filter, vcols)
-      case "segmentMetadata" => NativeQuery.SegmentMetadata(ds, intervals, filter, vcols)
+      case "segmentMetadata" =>
+        val at = arr(n, "analysisTypes").map(_.asText().toLowerCase)
+        NativeQuery.SegmentMetadata(ds, intervals, filter, vcols,
+          if (at.isEmpty) Seq("cardinality", "size", "interval", "minmax") else at)
       case "select" => throw new UnsupportedOperationException(
         "select query was removed by the reference; use scan") // SelectQuery.java:43-49
       case t => throw new UnsupportedOperationException(s"queryType $t")

@@ -654,26 +654,55 @@ class NativePlanner(
   private def planDataSourceMetadata(q: NativeQuery.DataSourceMetadata): DataFrame =
     planDataSource(q.dataSource).agg(max(col(timeColumn)).as("maxIngestedEventTime"))
 
-  /** per-column stats (reference SegmentMetadataQuery analyses:
-    * cardinality/minmax/size). */
+  /** per-column analyses (reference SegmentMetadataQuery.java:58-67
+    * AnalysisType), selected by analysisTypes:
+    *  - cardinality: exact distinct count (the reference reports the
+    *    dictionary cardinality, which is exact) + non-null count;
+    *  - minmax: min/max as strings, for numeric + string columns
+    *    (time bounds are the interval analysis's job);
+    *  - size: encoded byte estimate — fixed width × count for
+    *    numerics/timestamps, summed octet length for strings;
+    *  - interval: [min,max] `__time` epoch millis.
+    * aggregators/rollup/timestampSpec/queryGranularity are ingest-spec
+    * metadata (segment headers) that a plain table does not carry —
+    * requesting them yields no columns rather than fabricated values. */
   private def planSegmentMetadata(q: NativeQuery.SegmentMetadata): DataFrame = {
+    import org.apache.spark.sql.types._
     val df = base(q)
+    val want = q.analysisTypes.toSet
     val stats = df.schema.fields.flatMap { f =>
-      val base = Seq(
-        approx_count_distinct(col(f.name)).as(s"${f.name}__cardinality"),
-        count(col(f.name)).as(s"${f.name}__count"))
-      // MINMAX analysis (reference SegmentMetadataQuery.AnalysisType) for
-      // orderable scalar columns
-      f.dataType match {
-        case _: org.apache.spark.sql.types.NumericType |
-             org.apache.spark.sql.types.StringType |
-             org.apache.spark.sql.types.TimestampType =>
-          base ++ Seq(
+      val card =
+        if (want("cardinality")) Seq(
+          count_distinct(col(f.name)).as(s"${f.name}__cardinality"),
+          count(col(f.name)).as(s"${f.name}__count"))
+        else Nil
+      val minmax =
+        if (want("minmax")) f.dataType match {
+          case _: NumericType | StringType => Seq(
             min(col(f.name)).cast("string").as(s"${f.name}__min"),
             max(col(f.name)).cast("string").as(s"${f.name}__max"))
-        case _ => base
-      }
+          case _ => Nil
+        } else Nil
+      val size =
+        if (want("size")) {
+          val bytes = f.dataType match {
+            case LongType | DoubleType | TimestampType | TimestampNTZType =>
+              Some(count(col(f.name)) * 8)
+            case IntegerType | FloatType | DateType => Some(count(col(f.name)) * 4)
+            case ShortType => Some(count(col(f.name)) * 2)
+            case BooleanType | ByteType => Some(count(col(f.name)) * 1)
+            case StringType => Some(coalesce(sum(octet_length(col(f.name))), lit(0L)))
+            case _ => None
+          }
+          bytes.map(b => b.cast("long").as(s"${f.name}__size")).toSeq
+        } else Nil
+      card ++ minmax ++ size
     }
-    df.agg(count(lit(1)).as("numRows"), stats.toSeq: _*)
+    val interval =
+      if (want("interval") && df.columns.contains(timeColumn)) Seq(
+        min(unix_millis(col(timeColumn))).as("interval_start"),
+        max(unix_millis(col(timeColumn))).as("interval_end"))
+      else Nil
+    df.agg(count(lit(1)).as("numRows"), (stats.toSeq ++ interval): _*)
   }
 }

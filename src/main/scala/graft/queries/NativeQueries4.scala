@@ -235,7 +235,52 @@ object NativeQueries4 {
       .orderBy(org.apache.spark.sql.functions.col("event_type"))
   }
 
+  /** segmentMetadata with the reference's default analysis set
+    * (SegmentMetadataQuery.java:58-67): exact per-column cardinality +
+    * count, minmax, encoded-size estimate, and the interval analysis
+    * ([min,max] __time millis) — every analysis replicated in SQL. */
+  val nativeSegmentMetadata: Q = q(
+    "native_segment_metadata",
+    """SELECT CAST(count(*) AS BIGINT) AS "numRows",
+      |  CAST(count(DISTINCT event_id) AS BIGINT) AS event_id__cardinality,
+      |  CAST(count(event_id) AS BIGINT) AS event_id__count,
+      |  CAST(min(event_id) AS VARCHAR) AS event_id__min,
+      |  CAST(max(event_id) AS VARCHAR) AS event_id__max,
+      |  CAST(count(event_id)*8 AS BIGINT) AS event_id__size,
+      |  CAST(count(DISTINCT ts) AS BIGINT) AS __time__cardinality,
+      |  CAST(count(ts) AS BIGINT) AS __time__count,
+      |  CAST(count(ts)*8 AS BIGINT) AS __time__size,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS user_id__cardinality,
+      |  CAST(count(user_id) AS BIGINT) AS user_id__count,
+      |  CAST(min(user_id) AS VARCHAR) AS user_id__min,
+      |  CAST(max(user_id) AS VARCHAR) AS user_id__max,
+      |  CAST(count(user_id)*8 AS BIGINT) AS user_id__size,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS event_type__cardinality,
+      |  CAST(count(event_type) AS BIGINT) AS event_type__count,
+      |  min(event_type) AS event_type__min, max(event_type) AS event_type__max,
+      |  CAST(sum(strlen(event_type)) AS BIGINT) AS event_type__size,
+      |  CAST(count(DISTINCT value) AS BIGINT) AS value__cardinality,
+      |  CAST(count(value) AS BIGINT) AS value__count,
+      |  CAST(min(value) AS VARCHAR) AS value__min,
+      |  CAST(max(value) AS VARCHAR) AS value__max,
+      |  CAST(count(value)*8 AS BIGINT) AS value__size,
+      |  CAST(count(DISTINCT props) AS BIGINT) AS props__cardinality,
+      |  CAST(count(props) AS BIGINT) AS props__count,
+      |  min(props) AS props__min, max(props) AS props__max,
+      |  CAST(sum(strlen(props)) AS BIGINT) AS props__size,
+      |  epoch_ms(min(ts)) AS interval_start, epoch_ms(max(ts)) AS interval_end
+      |FROM events""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "segmentMetadata",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "analysisTypes": ["cardinality", "minmax", "size", "interval"]
+        |}""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
-    filterBoundStrlen, limitSpecVersion, nativeHllSketch)
+    filterBoundStrlen, limitSpecVersion, nativeHllSketch,
+    nativeSegmentMetadata)
 }
