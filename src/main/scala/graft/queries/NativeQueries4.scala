@@ -279,8 +279,40 @@ object NativeQueries4 {
         |}""".stripMargin)
   }
 
+  /** SQL-null mode for empty groups (SURVEY §1.2): a filtered longSum
+    * whose predicate matches no row of a group is NULL, not 0 —
+    * matching nullable sums, not the legacy replaceWithDefault
+    * identity. Only the 'click' group gets a value here; every other
+    * group's fsum must come back null in both engines. */
+  val nativeFilteredEmptyGroup: Q = q(
+    "native_filtered_empty_group",
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CASE WHEN event_type = 'click'
+      |                     THEN CAST(floor(value) AS BIGINT) END) AS BIGINT) AS fsum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "virtualColumns": [
+        |    {"name": "fv", "expression": "cast(floor(value), 'LONG')"}],
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "filtered",
+        |     "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+        |     "aggregator": {"type": "longSum", "name": "fsum", "fieldName": "fv"}}
+        |  ],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
     filterBoundStrlen, limitSpecVersion, nativeHllSketch,
-    nativeSegmentMetadata)
+    nativeSegmentMetadata, nativeFilteredEmptyGroup)
 }

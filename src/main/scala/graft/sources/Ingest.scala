@@ -136,6 +136,13 @@ object Ingest {
           .option("sep", options.getOrElse("sep", "\t")).csv(path)
       case "parquet" => r.parquet(path)
       case "orc" => r.orc(path)
+      // reference extensions-core/avro-extensions AvroStreamInputFormat /
+      // AvroOCFInputFormat → Spark's avro FileFormat (bundled inside
+      // spark-sql here but not service-registered under the short
+      // name, hence the qualified provider; schema comes from the OCF
+      // header or options("avroSchema"))
+      case "avro" | "avro_ocf" | "avro_stream" =>
+        r.format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
       case "regex" =>
         // reference RegexInputFormat: one row per line, capture groups
         // become the columns listed in options("columns")

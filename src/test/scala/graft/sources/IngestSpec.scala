@@ -117,6 +117,18 @@ class IngestSpecSuite extends SparkSpec {
       metrics = Seq(Ingest.Metric.DoubleSum("sv", "v")),
       queryGranularity = Some("PT1H"))).collect()
     assert(rolled.length == 1 && rolled(0).getAs[Double]("sv") == 15.0)
+    // avro (reference avro-extensions): write an OCF file with Spark's
+    // bundled avro datasource, read back through readSource + rollup
+    import spark.implicits._
+    val avroDir = dir.resolve("in_avro").toString
+    Seq(("2024-01-01T00:10:00Z", 1L, 10.0), ("2024-01-01T00:50:00Z", 2L, 5.0))
+      .toDF("t", "u", "v").write.format("org.apache.spark.sql.avro.AvroFileFormat").save(avroDir)
+    val av = Ingest.readSource(spark, avroDir, "avro")
+    val avRolled = Ingest.prepare(av, Ingest.IngestSpec(
+      timeColumn = "t",
+      metrics = Seq(Ingest.Metric.DoubleSum("sv", "v")),
+      queryGranularity = Some("PT1H"))).collect()
+    assert(avRolled.length == 1 && avRolled(0).getAs[Double]("sv") == 15.0)
     intercept[UnsupportedOperationException](
       Ingest.readSource(spark, dir.toString, "protobuf"))
   }
