@@ -247,13 +247,16 @@ object NativeQuery {
         * null timestamp (reference TimeseriesQueryQueryToolChest). */
       grandTotal: Boolean = false) extends NativeQuery
 
+  /** metric == "" means dimension-ordered (DimensionTopNMetricSpec);
+    * metricOrdering then selects the string comparator. */
   final case class TopN(
       dataSource: DataSource, intervals: Seq[QueryInterval],
       granularity: Granularity, filter: Option[DimFilter],
       dimension: DimensionSpec, metric: String, metricDescending: Boolean,
       threshold: Int, aggregations: Seq[Aggregator],
       postAggregations: Seq[PostAggregator],
-      virtualColumns: Seq[VirtualColumn]) extends NativeQuery
+      virtualColumns: Seq[VirtualColumn],
+      metricOrdering: String = "lexicographic") extends NativeQuery
 
   final case class GroupBy(
       dataSource: DataSource, intervals: Seq[QueryInterval],
@@ -263,11 +266,15 @@ object NativeQuery {
       limitSpec: Option[LimitSpec], subtotalsSpec: Seq[Seq[String]],
       virtualColumns: Seq[VirtualColumn]) extends NativeQuery
 
+  /** resultFormat ∈ list | compactedList (reference ScanQuery
+    * ResultFormat; valueVector never shipped) — affects only the HTTP
+    * envelope shape, not the plan. */
   final case class Scan(
       dataSource: DataSource, intervals: Seq[QueryInterval],
       filter: Option[DimFilter], columns: Seq[String],
       order: String, limit: Option[Long], offset: Option[Long],
-      virtualColumns: Seq[VirtualColumn]) extends NativeQuery {
+      virtualColumns: Seq[VirtualColumn],
+      resultFormat: String = "list") extends NativeQuery {
     def granularity: Granularity = Granularity.All
   }
 

@@ -53,7 +53,8 @@ object QueryJson {
         metricName(n.get("metric")), metricDescending(n.get("metric")),
         n.get("threshold").asInt(),
         arr(n, "aggregations").map(parseAggregator),
-        arr(n, "postAggregations").map(parsePostAggregator), vcols)
+        arr(n, "postAggregations").map(parsePostAggregator), vcols,
+        metricOrdering(n.get("metric")))
       case "groupBy" => NativeQuery.GroupBy(
         ds, intervals, parseGranularity(n.get("granularity")), filter,
         arr(n, "dimensions").map(parseDimensionSpec),
@@ -67,7 +68,8 @@ object QueryJson {
         ds, intervals, filter,
         arr(n, "columns").map(_.asText()),
         strOpt(n, "order").getOrElse("none"),
-        longOpt(n, "limit"), longOpt(n, "offset"), vcols)
+        longOpt(n, "limit"), longOpt(n, "offset"), vcols,
+        strOpt(n, "resultFormat").getOrElse("list"))
       case "search" =>
         val q = n.get("query")
         NativeQuery.Search(
@@ -294,6 +296,15 @@ object QueryJson {
       case "dimension" | "lexicographic" => "" // dimension-ordered topN
       case t => throw new UnsupportedOperationException(s"topN metric $t")
     }
+  /** DimensionTopNMetricSpec ordering (StringComparators name). */
+  private def metricOrdering(n: JsonNode): String =
+    if (n == null || n.isTextual) "lexicographic"
+    else str(n, "type") match {
+      case "dimension" => strOpt(n, "ordering").getOrElse("lexicographic")
+      case "inverted" => metricOrdering(n.get("metric"))
+      case _ => "lexicographic"
+    }
+
   private def metricDescending(n: JsonNode): Boolean =
     if (n.isTextual) true
     else str(n, "type") match {

@@ -42,6 +42,7 @@ object Similarity {
     * the per-plane dot product is a zip_with/aggregate over the vector
     * with hash-generated ±1 weights. */
   def srpBucket(vec: Column, dim: Int, nPlanes: Int = 8, seed: Int = 42): Column = {
+    if (nPlanes == 0) return lit(0) // degenerate: one bucket ≡ exhaustive
     val bits = (0 until nPlanes).map { p =>
       // ±1 weight per (plane, dim index) from a 32-bit hash
       val weights = array((0 until dim).map { i =>

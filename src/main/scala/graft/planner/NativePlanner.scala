@@ -533,9 +533,19 @@ class NativePlanner(
     for (p <- q.postAggregations)
       out = out.withColumn(p.name, postAggToColumn(p, Some(out.schema)))
     val orderCol =
-      if (q.metric.isEmpty) // dimension-ordered
-        (if (q.metricDescending) col(q.dimension.outputName).desc
-         else col(q.dimension.outputName).asc)
+      if (q.metric.isEmpty) {
+        // dimension-ordered (DimensionTopNMetricSpec) with its string
+        // comparator (StringComparators by name)
+        val key = q.metricOrdering match {
+          case "numeric" => col(q.dimension.outputName).try_cast("double")
+          case "alphanumeric" =>
+            DruidExpressions.alphanumericSortKey(col(q.dimension.outputName))
+          case "strlen" => DruidExpressions.strlenSortKey(col(q.dimension.outputName))
+          case "version" => DruidExpressions.versionSortKey(col(q.dimension.outputName))
+          case _ => col(q.dimension.outputName)
+        }
+        if (q.metricDescending) key.desc else key.asc
+      }
       else (if (q.metricDescending) col(q.metric).desc else col(q.metric).asc)
     bucketCol(q.granularity) match {
       case Some(_) =>

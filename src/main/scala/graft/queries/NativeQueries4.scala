@@ -311,8 +311,32 @@ object NativeQueries4 {
         |}""".stripMargin)
   }
 
+  /** dimension-ordered topN with the alphanumeric comparator
+    * (DimensionTopNMetricSpec + StringComparators.ALPHANUMERIC):
+    * digit runs compare numerically, so NATION_2 ranks before
+    * NATION_10 — the oracle orders by the extracted numeric suffix. */
+  val nativeTopnDimensionOrder: Q = q(
+    "native_topn_dimension_order",
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+      |FROM nation GROUP BY 1
+      |ORDER BY CAST(regexp_extract(n_name, '([0-9]+)$', 1) AS INT), n_name
+      |LIMIT 12""".stripMargin) { (s, d) =>
+    new NativePlanner(s, name => Tables.t(s, d, name)).plan(
+      """{
+        |  "queryType": "topN",
+        |  "dataSource": "nation",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimension": "n_name",
+        |  "metric": {"type": "dimension", "ordering": "alphanumeric"},
+        |  "threshold": 12,
+        |  "aggregations": [{"type": "count", "name": "cnt"}]
+        |}""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
     filterBoundStrlen, limitSpecVersion, nativeHllSketch,
-    nativeSegmentMetadata, nativeFilteredEmptyGroup)
+    nativeSegmentMetadata, nativeFilteredEmptyGroup,
+    nativeTopnDimensionOrder)
 }

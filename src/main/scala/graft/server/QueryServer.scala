@@ -441,7 +441,10 @@ class QueryServer(
               .getBytes(StandardCharsets.UTF_8))
           }
           os.write(']')
-        case _: Scan =>
+        case sc: Scan =>
+          // resultFormat list → row objects; compactedList → value
+          // arrays in column order (reference ScanQuery ResultFormat)
+          val compact = sc.resultFormat.equalsIgnoreCase("compactedList")
           val cols = df.columns.map("\"" + _ + "\"").mkString("[", ",", "]")
           os.write(s"""[{"columns":$cols,"events":[""".getBytes(StandardCharsets.UTF_8))
           val schema = df.schema
@@ -449,7 +452,8 @@ class QueryServer(
           cappedRows(df, cap).foreach { r =>
             if (!first) os.write(',')
             first = false
-            os.write(mapper.writeValueAsBytes(rowObject(r, schema)))
+            val node = if (compact) rowArray(r, schema) else rowObject(r, schema)
+            os.write(mapper.writeValueAsBytes(node))
           }
           os.write("]}]".getBytes(StandardCharsets.UTF_8))
         case _: Search =>

@@ -154,6 +154,14 @@ object Ingest {
         spark.read.text(path).select(cols.zipWithIndex.map { case (c, i) =>
           regexp_extract(col("value"), pattern, i + 1).as(c)
         }.toSeq: _*)
+      case "protobuf" => throw new UnsupportedOperationException(
+        // reference extensions-core/protobuf-extensions: decoding maps
+        // onto from_protobuf(value, messageName, descriptorSet) over a
+        // binary column (Kafka value bytes); the spark-protobuf runtime
+        // jar is not in this container, so the path is documented
+        // rather than stubbed with a fake decode.
+        "protobuf input needs the spark-protobuf runtime on the classpath; " +
+          "decode the binary column with from_protobuf(value, messageName, descriptorSet)")
       case f => throw new UnsupportedOperationException(s"input format $f")
     }
   }

@@ -62,6 +62,13 @@ class QueryServerSpec extends SparkSpec {
           |"columns": ["dim", "m"], "limit": 1, "order": "ascending"}""".stripMargin)
       assert(c2 == 200, scan)
       assert(scan == """[{"columns":["dim","m"],"events":[{"dim":"a","m":1.0}]}]""", scan)
+      // compactedList: value arrays in column order
+      val (c3, compact) = post(port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "ds", "intervals": [],
+          |"columns": ["dim", "m"], "limit": 1, "order": "ascending",
+          |"resultFormat": "compactedList"}""".stripMargin)
+      assert(c3 == 200, compact)
+      assert(compact == """[{"columns":["dim","m"],"events":[["a",1.0]]}]""", compact)
     } finally srv.stop()
   }
 
