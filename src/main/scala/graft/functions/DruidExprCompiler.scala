@@ -47,9 +47,14 @@ object DruidExprCompiler {
 
   // ---------------- public entry points ----------------
 
-  /** compile to a value column (virtualColumns, post-aggs). */
-  def column(expr: String, schema: Option[StructType]): Column =
-    materialize(compile(parse(expr), Env(schema, Map.empty)))
+  /** compile to a value column (virtualColumns, post-aggs); the
+    * optional outputType is the virtual column's declared ValueType
+    * (reference ExpressionVirtualColumn) and forces a cast. */
+  def column(expr: String, schema: Option[StructType],
+      outputType: Option[String] = None): Column = {
+    val tc = compile(parse(expr), Env(schema, Map.empty))
+    outputType.fold(materialize(tc))(t => materialize(castTo(tc, t)))
+  }
 
   /** compile to a boolean predicate (expression filters, residual join
     * conditions): the reference's truthiness — nonzero numbers are
@@ -557,8 +562,46 @@ object DruidExprCompiler {
           materialize(r)
         })
         TC(c, outT)
+      case "cartesian_map" =>
+        // n-ary cartesian product mapped through an n-arg lambda
+        // (ApplyFunction.CartesianMapFunction) — nested transforms +
+        // flatten, no row explosion
+        require(params.size == args.size,
+          "cartesian_map lambda arity must match array count")
+        val arrs = args.indices.map(arr)
+        var outT: DT = U
+        def nest(i: Int, bound: Map[String, TC]): Column =
+          if (i == arrs.size) {
+            val r = bodyTC(bound); outT = r.t; materialize(r)
+          } else transform(arrs(i).c, x =>
+            nest(i + 1, bound + (params(i) -> TC(x, elemType(arrs(i))))))
+        var c = nest(0, Map.empty)
+        for (_ <- 1 until arrs.size) c = flatten(c)
+        TC(c, A(outT))
+      case "cartesian_fold" =>
+        // fold an n-ary cartesian product; accumulator is the last
+        // lambda param (ApplyFunction.CartesianFoldFunction). The
+        // product is materialized as structs then folded.
+        require(params.size == args.size,
+          "cartesian_fold lambda arity = arrays + accumulator")
+        val arrs = args.dropRight(1).indices.map(arr)
+        val init = arr(args.size - 1)
+        val fieldNames = params.dropRight(1)
+        def nest(i: Int, fields: Seq[(String, Column)]): Column =
+          if (i == arrs.size) struct(fields.map { case (n0, c0) => c0.as(n0) }: _*)
+          else transform(arrs(i).c, x => nest(i + 1, fields :+ (fieldNames(i), x)))
+        var tuples = nest(0, Nil)
+        for (_ <- 1 until arrs.size) tuples = flatten(tuples)
+        var outT: DT = init.t
+        val c = aggregate(tuples, materialize(init), (acc, s) => {
+          val bound = fieldNames.zipWithIndex.map { case (n0, i) =>
+            n0 -> TC(s.getField(n0), elemType(arrs(i)))
+          }.toMap + (params.last -> TC(acc, init.t))
+          val r = bodyTC(bound); outT = r.t; materialize(r)
+        })
+        TC(c, outT)
       case other => throw new ParseError(
-        s"apply function '$other' unsupported (map/filter/fold/any/all)")
+        s"apply function '$other' unsupported (map/filter/fold/any/all/cartesian_*)")
     }
   }
 }

@@ -225,7 +225,10 @@ object HavingSpec {
 
 final case class OrderByColumn(dimension: String, descending: Boolean, comparator: String)
 final case class LimitSpec(columns: Seq[OrderByColumn], limit: Option[Int], offset: Option[Int])
-final case class VirtualColumn(name: String, expression: String)
+/** expression virtual column (reference ExpressionVirtualColumn):
+  * optional outputType forces the declared ValueType. */
+final case class VirtualColumn(
+    name: String, expression: String, outputType: Option[String] = None)
 
 sealed trait NativeQuery {
   def dataSource: DataSource

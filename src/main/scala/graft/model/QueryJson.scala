@@ -36,7 +36,8 @@ object QueryJson {
     val intervals = parseIntervals(n)
     val filter = Option(n.get("filter")).filterNot(_.isNull).map(parseFilter)
     val vcols = arr(n, "virtualColumns").map(v =>
-      VirtualColumn(str(v, "name"), str(v, "expression")))
+      VirtualColumn(str(v, "name"), str(v, "expression"),
+        strOpt(v, "outputType")))
     str(n, "queryType") match {
       case "timeseries" =>
         val ctx = Option(n.get("context")).filterNot(_.isNull)

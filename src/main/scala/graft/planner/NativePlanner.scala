@@ -136,7 +136,7 @@ class NativePlanner(
     // by DruidExprCompiler into plain Column trees (stays in codegen).
     for (vc <- q.virtualColumns)
       df = df.withColumn(vc.name,
-        DruidExprCompiler.column(vc.expression, Some(df.schema)))
+        DruidExprCompiler.column(vc.expression, Some(df.schema), vc.outputType))
     q.intervals.foldLeft(Option.empty[Column]) { (acc, iv) =>
       val c = col(timeColumn) >= timestamp_millis(lit(iv.startMs)) &&
         col(timeColumn) < timestamp_millis(lit(iv.endMs))

@@ -167,11 +167,18 @@ class DruidExprLangSpec extends SparkSpec {
     assert(n == 2) // 1 and 7; -3 % 2 == -1
   }
 
+  test("cartesian_map / cartesian_fold over array products") {
+    assert(eval1("array_to_string(cartesian_map((x, y) -> x + y, ['p', 'q'], ['1', '2']), ',')")
+      == "p1,p2,q1,q2")
+    // fold the 2x2 product of [1,2]x[10,20]: sum of x*y = 3*30 = 90
+    assert(eval1("cartesian_fold((x, y, acc) -> acc + x * y, [1, 2], [10, 20], 0)") == 90L)
+  }
+
   test("hard-reject: unknown function, unknown identifier, bad syntax") {
     intercept[IllegalArgumentException](eval1("no_such_fn(1)"))
     intercept[IllegalArgumentException](eval1("no_such_column + 1"))
     intercept[IllegalArgumentException](eval1("1 +"))
-    intercept[IllegalArgumentException](eval1("cartesian_map((x, y) -> x, arr, arr)"))
+    intercept[IllegalArgumentException](eval1("not_an_apply((x, y) -> x, arr, arr)"))
   }
 
   test("render round-trips through the grammar") {
