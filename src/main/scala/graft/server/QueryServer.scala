@@ -41,6 +41,42 @@ class QueryServer(
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
+  /** per-query result cache (reference broker ResultLevelCachingQueryRunner
+    * + CacheConfig useCache/populateCache): exact-body LRU with TTL.
+    * Opt-in per query via context.useCache/populateCache — correct for
+    * immutable segments (this engine's tables are immutable parquet);
+    * callers appending data pass useCache=false like the reference's
+    * realtime segments, which are never cached. */
+  private val cacheMax = 128
+  private val cacheTtlMs = 60000L
+  private val resultCache =
+    new java.util.LinkedHashMap[String, (Long, Int, String, Array[Byte])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Int, String, Array[Byte])]): Boolean =
+        size() > cacheMax
+    }
+  /** observable for tests. */
+  @volatile var cacheHits: Long = 0L
+
+  private def contextFlag(body: String, name: String): Boolean =
+    try {
+      val n = mapper.readTree(body)
+      Option(n.get("context")).flatMap(c => Option(c.get(name)))
+        .exists(_.asBoolean(false))
+    } catch { case _: Exception => false }
+
+  private def cacheGet(key: String): Option[(Int, String, Array[Byte])] =
+    resultCache.synchronized {
+      Option(resultCache.get(key)).collect {
+        case (t, code, ct, bytes) if System.currentTimeMillis() - t < cacheTtlMs =>
+          (code, ct, bytes)
+      }
+    }
+  private def cachePut(key: String, code: Int, contentType: String, bytes: Array[Byte]): Unit =
+    resultCache.synchronized {
+      resultCache.put(key, (System.currentTimeMillis(), code, contentType, bytes))
+    }
+
   /** default HTTP result-row cap; override per query with
     * context.maxRows. */
   var defaultMaxRows: Long = 1000000L
@@ -88,6 +124,21 @@ class QueryServer(
         .map(_.elements()).map(it => Iterator.continually(it)
           .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
       val sql = substituteParameters(sql0, params)
+      // EXPLAIN PLAN FOR (reference DruidPlanner explain): returns the
+      // physical plan text in the reference's [{PLAN, RESOURCES}] shape
+      val explainRe = "(?is)^\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)$".r
+      explainRe.findFirstMatchIn(sql) match {
+        case Some(m) =>
+          val planText = graft.GraftSession.setup(spark).sql(m.group(1))
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.SimpleMode)
+          val o = mapper.createObjectNode()
+          o.put("PLAN", planText)
+          o.put("RESOURCES", "[]")
+          respond(ex, 200, "[" + mapper.writeValueAsString(o) + "]")
+          return
+        case None =>
+      }
       val format = Option(node.get("resultFormat")).filterNot(_.isNull)
         .map(_.asText().toLowerCase).getOrElse("object")
       val header = Option(node.get("header")).exists(_.asBoolean(false))
@@ -95,7 +146,7 @@ class QueryServer(
       withLimits(ex, body) { () =>
         val cap = maxRows(body)
         ensureUnderCap(df, cap)
-        writeSqlResult(ex, df, format, header, cap)
+        serveCached(ex, body)(open => writeSqlResult(open, df, format, header, cap))
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
@@ -149,7 +200,7 @@ class QueryServer(
       withLimits(ex, body) { () =>
         val cap = maxRows(body)
         ensureUnderCap(df, cap)
-        writeEnvelope(ex, q, df, cap)
+        serveCached(ex, body)(open => writeEnvelope(open, q, df, cap))
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
@@ -310,7 +361,7 @@ class QueryServer(
   // ---------------- SQL result formats (ResultFormat.java) ----------------
 
   private def writeSqlResult(
-      ex: HttpExchange, df: DataFrame, format: String,
+      open: String => OutputStream, df: DataFrame, format: String,
       header: Boolean, cap: Long): Unit = {
     val schema = df.schema
     val rows = cappedRows(df, cap)
@@ -321,7 +372,7 @@ class QueryServer(
     }
     format match {
       case "object" =>
-        val os = openStream(ex, "application/json")
+        val os = open("application/json")
         try {
           os.write('[')
           var first = true
@@ -333,7 +384,7 @@ class QueryServer(
           os.write(']')
         } finally os.close()
       case "array" =>
-        val os = openStream(ex, "application/json")
+        val os = open("application/json")
         try {
           os.write('[')
           var first = true
@@ -350,11 +401,11 @@ class QueryServer(
           os.write(']')
         } finally os.close()
       case "objectlines" =>
-        val os = openStream(ex, "text/plain")
+        val os = open("text/plain")
         try writeLines(os, r => mapper.writeValueAsString(rowObject(r, schema)), None)
         finally os.close()
       case "arraylines" =>
-        val os = openStream(ex, "text/plain")
+        val os = open("text/plain")
         try {
           val h = if (header) {
             val a = mapper.createArrayNode(); schema.fieldNames.foreach(a.add)
@@ -363,7 +414,7 @@ class QueryServer(
           writeLines(os, r => mapper.writeValueAsString(rowArray(r, schema)), h)
         } finally os.close()
       case "csv" =>
-        val os = openStream(ex, "text/csv")
+        val os = open("text/csv")
         try {
           val h = if (header) Some(schema.fieldNames.mkString(",")) else None
           writeLines(os, r => schema.fields.zipWithIndex
@@ -396,10 +447,10 @@ class QueryServer(
   }
 
   private def writeEnvelope(
-      ex: HttpExchange, q: graft.model.NativeQuery, df: DataFrame, cap: Long): Unit = {
+      open: String => OutputStream, q: graft.model.NativeQuery, df: DataFrame, cap: Long): Unit = {
     import graft.model.NativeQuery._
     def tsQuoted(ts: String) = if (ts == null) "null" else "\"" + ts + "\""
-    val os = openStream(ex, "application/json")
+    val os = open("application/json")
     try {
       q match {
         case _: Timeseries =>
@@ -479,6 +530,38 @@ class QueryServer(
           os.write(']')
       }
     } finally os.close()
+  }
+
+  /** cache-aware dispatch: useCache serves an unexpired exact-body
+    * hit; populateCache buffers the response (bounded by maxRows) and
+    * stores it; otherwise the response streams chunked as usual. */
+  private def serveCached(ex: HttpExchange, body: String)(
+      produce: (String => OutputStream) => Unit): Unit = {
+    val use = contextFlag(body, "useCache")
+    val pop = contextFlag(body, "populateCache")
+    if (use) cacheGet(body) match {
+      case Some((code, ct, bytes)) =>
+        cacheHits += 1
+        respondBytes(ex, code, ct, bytes)
+        return
+      case None =>
+    }
+    if (pop) {
+      val baos = new java.io.ByteArrayOutputStream()
+      var ctype = "application/json"
+      produce(ct => { ctype = ct; baos })
+      val bytes = baos.toByteArray
+      cachePut(body, 200, ctype, bytes)
+      respondBytes(ex, 200, ctype, bytes)
+    } else produce(ct => openStream(ex, ct))
+  }
+
+  private def respondBytes(
+      ex: HttpExchange, code: Int, contentType: String, bytes: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -182,6 +182,42 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("EXPLAIN PLAN FOR returns the plan in the [{PLAN,RESOURCES}] shape") {
+    fixture.createOrReplaceTempView("ds_exp")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/druid/v2/sql",
+        """{"query": "EXPLAIN PLAN FOR SELECT dim, sum(m) FROM ds_exp GROUP BY dim"}""")
+      assert(code == 200, body)
+      assert(body.startsWith("""[{"PLAN":"""), body.take(80))
+      assert(body.contains("RESOURCES"), body.take(200))
+      assert(body.contains("Physical Plan") || body.contains("HashAggregate"), body.take(400))
+    } finally srv.stop()
+  }
+
+  test("result cache: populateCache stores, useCache serves the hit") {
+    fixture.createOrReplaceTempView("ds_cache")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val q = """{"query": "SELECT dim, sum(m) AS s FROM ds_cache GROUP BY dim ORDER BY dim",
+                |"context": {"useCache": true, "populateCache": true}}""".stripMargin
+      val (c1, b1) = post(port, "/druid/v2/sql", q)
+      assert(c1 == 200, b1)
+      assert(srv.cacheHits == 0)
+      val (c2, b2) = post(port, "/druid/v2/sql", q)
+      assert(c2 == 200 && b2 == b1, b2)
+      assert(srv.cacheHits == 1, s"expected a cache hit, got ${srv.cacheHits}")
+      // a different body misses
+      val (c3, _) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM ds_cache",
+          |"context": {"useCache": true, "populateCache": true}}""".stripMargin)
+      assert(c3 == 200)
+      assert(srv.cacheHits == 1)
+    } finally srv.stop()
+  }
+
   test("bad query returns a JSON error, not a hang") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
