@@ -81,14 +81,32 @@ class QueryServer(
     * context.maxRows. */
   var defaultMaxRows: Long = 1000000L
 
+  /** query scheduler capacity (reference QueryScheduler +
+    * HiLoQueryLaningStrategy): a hard cap on concurrent queries, with
+    * a 'low' lane (context.lane="low" or context.priority < 0) held to
+    * maxLowPercent of the total so background traffic can't starve
+    * interactive queries. At capacity the query is REJECTED with the
+    * reference's 429 QueryCapacityExceededException shape — never
+    * queued. Set before start(). */
+  var totalSlots: Int = 16
+  var maxLowPercent: Int = 25
+  private var totalSem: java.util.concurrent.Semaphore = _
+  private var lowSem: java.util.concurrent.Semaphore = _
+
   def start(): Int = {
+    totalSem = new java.util.concurrent.Semaphore(totalSlots)
+    lowSem = new java.util.concurrent.Semaphore(
+      math.max(1, totalSlots * maxLowPercent / 100))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/druid/v2/sql", (ex: HttpExchange) => handleSql(ex))
     server.createContext("/druid/v2", (ex: HttpExchange) => handleNative(ex))
     server.createContext("/status/health", (ex: HttpExchange) => {
       respond(ex, 200, "true")
     })
-    server.setExecutor(null)
+    // pooled dispatch: concurrent queries are admission-controlled by
+    // withCapacity, not serialized by the listener thread
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     server.start()
     server.getAddress.getPort
   }
@@ -101,6 +119,8 @@ class QueryServer(
     s"Query result rows exceeded the limit of $limit rows")
 
   private def errorBody(e: Throwable): (Int, String) = e match {
+    case ce: CapacityExceeded =>
+      (429, s"""{"error":"Query capacity exceeded","errorMessage":"${ce.getMessage}","errorClass":"QueryCapacityExceededException"}""")
     case _: java.util.concurrent.TimeoutException =>
       (504, """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
     case rl: RowLimitExceeded =>
@@ -143,10 +163,12 @@ class QueryServer(
         .map(_.asText().toLowerCase).getOrElse("object")
       val header = Option(node.get("header")).exists(_.asBoolean(false))
       val df = graft.GraftSession.setup(spark).sql(sql)
-      withLimits(ex, body) { () =>
-        val cap = maxRows(body)
-        ensureUnderCap(df, cap)
-        serveCached(ex, body)(open => writeSqlResult(open, df, format, header, cap))
+      withCapacity(body) {
+        withLimits(ex, body) { () =>
+          val cap = maxRows(body)
+          ensureUnderCap(df, cap)
+          serveCached(ex, body)(open => writeSqlResult(open, df, format, header, cap))
+        }
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
@@ -197,10 +219,12 @@ class QueryServer(
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val q = graft.model.QueryJson.parse(body)
       val df = planner.plan(q)
-      withLimits(ex, body) { () =>
-        val cap = maxRows(body)
-        ensureUnderCap(df, cap)
-        serveCached(ex, body)(open => writeEnvelope(open, q, df, cap))
+      withCapacity(body) {
+        withLimits(ex, body) { () =>
+          val cap = maxRows(body)
+          ensureUnderCap(df, cap)
+          serveCached(ex, body)(open => writeEnvelope(open, q, df, cap))
+        }
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
@@ -208,6 +232,45 @@ class QueryServer(
   }
 
   // ---------------- streaming machinery ----------------
+
+  private final class CapacityExceeded(val lane: Option[String], val capacity: Int)
+    extends RuntimeException(lane match {
+      case Some(l) => s"Too many concurrent queries for lane '$l', query capacity of $capacity exceeded"
+      case None => s"Too many concurrent queries, total query capacity of $capacity exceeded"
+    })
+
+  /** lane assignment (HiLoQueryLaningStrategy.java:71-80): explicit
+    * context.lane wins; otherwise priority < 0 → low. */
+  private def laneOf(body: String): Option[String] =
+    try {
+      val ctx = Option(mapper.readTree(body).get("context")).filterNot(_.isNull)
+      val lane = ctx.flatMap(c => Option(c.get("lane"))).filterNot(_.isNull).map(_.asText())
+      lane.orElse(
+        ctx.flatMap(c => Option(c.get("priority"))).filterNot(_.isNull)
+          .map(_.asInt()).filter(_ < 0).map(_ => "low"))
+    } catch { case _: Exception => None }
+
+  /** reject-at-capacity admission (reference QueryScheduler.run):
+    * acquire a total slot, plus the lane slot for low-lane queries. */
+  private def withCapacity[A](body: String)(run: => A): A = {
+    if (!totalSem.tryAcquire()) throw new CapacityExceeded(None, totalSlots)
+    val lane = laneOf(body)
+    val laneSem = lane match {
+      case Some("low") =>
+        if (!lowSem.tryAcquire()) {
+          totalSem.release()
+          throw new CapacityExceeded(Some("low"),
+            math.max(1, totalSlots * maxLowPercent / 100))
+        }
+        Some(lowSem)
+      case _ => None
+    }
+    try run
+    finally {
+      laneSem.foreach(_.release())
+      totalSem.release()
+    }
+  }
 
   private def maxRows(body: String): Long =
     try {

@@ -218,6 +218,51 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("query capacity: at the slot limit new queries get the 429 shape") {
+    spark.udf.register("graft_cap_sleep", (x: Long) => { Thread.sleep(30); x })
+    spark.range(0, 400).createOrReplaceTempView("cap_t")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    srv.totalSlots = 1
+    val port = srv.start()
+    try {
+      val slow = """{"query": "SELECT sum(graft_cap_sleep(id)) AS s FROM cap_t"}"""
+      val bg = new Thread(() => post(port, "/druid/v2/sql", slow))
+      bg.start()
+      Thread.sleep(500) // let the slow query take the only slot
+      val (code, body) = post(port, "/druid/v2/sql", """{"query": "SELECT 1 AS one"}""")
+      assert(code == 429, s"expected 429, got $code: $body")
+      assert(body.contains("QueryCapacityExceededException"), body)
+      bg.join(30000)
+      // slot released: the same query now succeeds
+      val (ok, b2) = post(port, "/druid/v2/sql", """{"query": "SELECT 1 AS one"}""")
+      assert(ok == 200, b2)
+    } finally srv.stop()
+  }
+
+  test("low lane (priority < 0) is capped below total capacity") {
+    spark.range(0, 400).createOrReplaceTempView("cap_t2")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    srv.totalSlots = 8
+    srv.maxLowPercent = 12 // floor(8*12/100)=0 → clamped to 1 low slot
+    val port = srv.start()
+    try {
+      val slowLow = """{"query": "SELECT sum(graft_cap_sleep(id)) AS s FROM cap_t2",
+                      |"context": {"priority": -1}}""".stripMargin
+      val bg = new Thread(() => post(port, "/druid/v2/sql", slowLow))
+      bg.start()
+      Thread.sleep(500)
+      // second low-lane query is rejected...
+      val (code, body) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT 2 AS two", "context": {"lane": "low"}}""")
+      assert(code == 429, s"expected 429, got $code: $body")
+      assert(body.contains("lane"), body)
+      // ...while an interactive query still has capacity
+      val (ok, b2) = post(port, "/druid/v2/sql", """{"query": "SELECT 3 AS three"}""")
+      assert(ok == 200, b2)
+      bg.join(30000)
+    } finally srv.stop()
+  }
+
   test("bad query returns a JSON error, not a hang") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
