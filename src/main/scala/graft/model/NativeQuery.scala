@@ -87,7 +87,12 @@ sealed trait ExtractionFn
 object ExtractionFn {
   final case class Substring(index: Int, length: Option[Int]) extends ExtractionFn
   final case class RegexExtract(expr: String) extends ExtractionFn
-  final case class TimeFormat(format: String) extends ExtractionFn
+  /** reference TimeFormatExtractionFn: optional tz + granularity —
+    * the value is floored to the granularity in tz, then formatted in
+    * tz. */
+  final case class TimeFormat(
+      format: String, timeZone: Option[String] = None,
+      granularityPeriod: Option[String] = None) extends ExtractionFn
   case object Lower extends ExtractionFn
   case object Upper extends ExtractionFn
   case object Strlen extends ExtractionFn

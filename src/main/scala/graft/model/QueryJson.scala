@@ -264,7 +264,14 @@ object QueryJson {
     case "substring" => ExtractionFn.Substring(
       n.get("index").asInt(), intOpt(n, "length"))
     case "regex" => ExtractionFn.RegexExtract(str(n, "expr"))
-    case "timeFormat" => ExtractionFn.TimeFormat(strOpt(n, "format").getOrElse("yyyy-MM-dd"))
+    case "timeFormat" =>
+      val gran = Option(n.get("granularity")).filterNot(_.isNull)
+        .map(parseGranularity).collect {
+          case Granularity.Period(p, _, _) => p
+        }
+      ExtractionFn.TimeFormat(
+        strOpt(n, "format").getOrElse("yyyy-MM-dd"),
+        strOpt(n, "timeZone"), gran)
     case "lower" => ExtractionFn.Lower
     case "upper" => ExtractionFn.Upper
     case "strlen" => ExtractionFn.Strlen

@@ -414,7 +414,10 @@ class NativePlanner(
     case ExtractionFn.Substring(i, len) =>
       len.map(l => substring(c, i + 1, l)).getOrElse(substring(c, i + 1, Int.MaxValue))
     case ExtractionFn.RegexExtract(r) => regexp_extract(c, r, 1)
-    case ExtractionFn.TimeFormat(fmt) => date_format(c, fmt)
+    case ExtractionFn.TimeFormat(fmt, tz, gran) =>
+      val floored = gran.fold(c)(p => TimeFunctions.timeFloor(c, p, None, tz))
+      val local = tz.fold(floored)(z => from_utc_timestamp(floored, z))
+      date_format(local, fmt)
     case ExtractionFn.Bucket(sz, off) =>
       (floor((c.cast("double") - off) / sz) * sz + off).cast("string")
     case ExtractionFn.StringFormat(fmt) => format_string(fmt, c)

@@ -334,9 +334,34 @@ object NativeQueries4 {
         |}""".stripMargin)
   }
 
+  /** timeFormat extraction with an embedded granularity (reference
+    * TimeFormatExtractionFn): __time floors to 6-hour buckets before
+    * formatting — the classic "hour of day" dimension trick. */
+  val nativeTimeformatExtraction: Q = q(
+    "native_timeformat_extraction",
+    """SELECT strftime(to_timestamp((epoch_ms(ts) // 21600000) * 21600000 // 1000),
+      |                '%Y-%m-%d %H') AS bucket6,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": [{"type": "extraction", "dimension": "__time",
+        |    "outputName": "bucket6",
+        |    "extractionFn": {"type": "timeFormat", "format": "yyyy-MM-dd HH",
+        |      "granularity": {"type": "period", "period": "PT6H"}}}],
+        |  "aggregations": [{"type": "count", "name": "cnt"}],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "bucket6", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
     filterBoundStrlen, limitSpecVersion, nativeHllSketch,
     nativeSegmentMetadata, nativeFilteredEmptyGroup,
-    nativeTopnDimensionOrder)
+    nativeTopnDimensionOrder, nativeTimeformatExtraction)
 }

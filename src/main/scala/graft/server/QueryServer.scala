@@ -137,6 +137,7 @@ class QueryServer(
     try {
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      setQueryIdHeader(ex, body)
       val node = mapper.readTree(body)
       val sql0 = Option(node.get("query")).filterNot(_.isNull)
         .getOrElse(throw new IllegalArgumentException("missing 'query'")).asText()
@@ -217,6 +218,7 @@ class QueryServer(
     try {
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      setQueryIdHeader(ex, body)
       val q = graft.model.QueryJson.parse(body)
       val df = planner.plan(q)
       withCapacity(body) {
@@ -617,6 +619,20 @@ class QueryServer(
       cachePut(body, 200, ctype, bytes)
       respondBytes(ex, 200, ctype, bytes)
     } else produce(ct => openStream(ex, ct))
+  }
+
+  /** X-Druid-Query-Id (QueryResource.java:275): echo context.queryId
+    * (or the top-level SQL queryId field), else a generated UUID. */
+  private def setQueryIdHeader(ex: HttpExchange, body: String): Unit = {
+    val qid =
+      try {
+        val n = mapper.readTree(body)
+        Option(n.get("context")).flatMap(c => Option(c.get("queryId")))
+          .orElse(Option(n.get("queryId")))
+          .filterNot(_.isNull).map(_.asText())
+          .getOrElse(java.util.UUID.randomUUID().toString)
+      } catch { case _: Exception => java.util.UUID.randomUUID().toString }
+    ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
   }
 
   private def respondBytes(

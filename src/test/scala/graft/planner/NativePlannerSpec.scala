@@ -40,6 +40,22 @@ class NativePlannerSpec extends SparkSpec {
       (Some("abc"), 1L, 5.0), (None, 2L, 8.0)))
   }
 
+  test("timeFormat extraction honors timeZone + granularity") {
+    // 2000-01-01 00:00 UTC = 1999-12-31 19:00 America/New_York; hourly
+    // floor in that zone keeps the local hour
+    val rows = planner.plan(
+      """{"queryType": "groupBy", "dataSource": "foo",
+        |"intervals": ["2000-01-01/2000-01-02"], "granularity": "all",
+        |"dimensions": [{"type": "extraction", "dimension": "__time",
+        |  "outputName": "local_hour",
+        |  "extractionFn": {"type": "timeFormat", "format": "yyyy-MM-dd HH",
+        |    "timeZone": "America/New_York",
+        |    "granularity": {"type": "period", "period": "PT1H"}}}],
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("1999-12-31 19", 1L)))
+  }
+
   test("MVD filter matches ANY element without exploding row count") {
     val n = planner.plan(
       """{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
