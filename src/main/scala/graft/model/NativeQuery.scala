@@ -47,6 +47,10 @@ object DimFilter {
   final case class Search(
       dimension: String, value: Seq[String], caseSensitive: Boolean) extends DimFilter
   final case class ColumnComparison(dimensions: Seq[String]) extends DimFilter
+  /** reference SpatialDimFilter over "c0,c1,..."-encoded spatial dims;
+    * bounds per collections/spatial/search (euclidean, coordinate
+    * space). */
+  final case class Spatial(dimension: String, bound: SpatialBound) extends DimFilter
   /** expression string evaluated through the registered function surface. */
   final case class Expr(expression: String) extends DimFilter
   final case class And(fields: Seq[DimFilter]) extends DimFilter
@@ -54,6 +58,14 @@ object DimFilter {
   final case class Not(field: DimFilter) extends DimFilter
   case object True extends DimFilter
   case object False extends DimFilter
+}
+
+sealed trait SpatialBound
+object SpatialBound {
+  final case class Rectangular(minCoords: Seq[Double], maxCoords: Seq[Double]) extends SpatialBound
+  final case class Radius(coords: Seq[Double], radius: Double) extends SpatialBound
+  /** abscissa = x vertices, ordinate = y vertices (PolygonBound). */
+  final case class Polygon(abscissa: Seq[Double], ordinate: Seq[Double]) extends SpatialBound
 }
 
 final case class QueryInterval(startMs: Long, endMs: Long)

@@ -353,6 +353,17 @@ object QueryJson {
           boolOpt(q, "caseSensitive").getOrElse(false))
         case t => throw new UnsupportedOperationException(s"search query type $t")
       }
+    case "spatial" =>
+      val b = n.get("bound")
+      def dbls(f: String): Seq[Double] =
+        arr(b, f).map(_.asDouble())
+      val bound = str(b, "type") match {
+        case "rectangular" => SpatialBound.Rectangular(dbls("minCoords"), dbls("maxCoords"))
+        case "radius" => SpatialBound.Radius(dbls("coords"), b.get("radius").asDouble())
+        case "polygon" => SpatialBound.Polygon(dbls("abscissa"), dbls("ordinate"))
+        case t => throw new UnsupportedOperationException(s"spatial bound $t")
+      }
+      DimFilter.Spatial(str(n, "dimension"), bound)
     case "columnComparison" => DimFilter.ColumnComparison(
       arr(n, "dimensions").map(d => if (d.isTextual) d.asText() else str(d, "dimension")))
     case "expression" => DimFilter.Expr(str(n, "expression"))

@@ -196,6 +196,26 @@ class NativePlanner(
         .reduce(_ && _)
     case DimFilter.ColumnComparison(ds) =>
       ds.sliding(2).map(p => col(p(0)) === col(p(1))).reduce(_ && _)
+    case DimFilter.Spatial(d, bound) =>
+      // spatial dims are "c0,c1,..." strings (reference spatial dim
+      // encoding); bounds are EUCLIDEAN in coordinate space
+      // (RadiusBound.contains squares coordinate deltas — no
+      // geodesics; the haversine SQL fns are the geo superset)
+      val parts = split(col(d), ",")
+      def coord(i: Int) = element_at(parts, i + 1).cast("double")
+      bound match {
+        case SpatialBound.Rectangular(mins, maxs) =>
+          mins.indices.map(i =>
+            coord(i) >= mins(i) && coord(i) <= maxs(i)).reduce(_ && _)
+        case SpatialBound.Radius(center, r) =>
+          center.indices.map { i =>
+            val d0 = coord(i) - center(i)
+            d0 * d0
+          }.reduce(_ + _) <= lit(r) * lit(r)
+        case SpatialBound.Polygon(xs, ys) =>
+          call_function("spatial_polygon", coord(1), coord(0),
+            array(ys.map(lit): _*), array(xs.map(lit): _*))
+      }
     case DimFilter.Expr(e) => DruidExprCompiler.filterColumn(e, schema)
     case DimFilter.And(fs) => fs.map(filterToColumn(_, schema)).reduce(_ && _)
     case DimFilter.Or(fs) => fs.map(filterToColumn(_, schema)).reduce(_ || _)

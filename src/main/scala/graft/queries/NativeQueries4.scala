@@ -359,9 +359,47 @@ object NativeQueries4 {
         |}""".stripMargin)
   }
 
+  /** native spatial filter over a "c0,c1"-encoded point dimension
+    * (reference SpatialDimFilter + RectangularBound/RadiusBound —
+    * EUCLIDEAN in coordinate space, RadiusBound.java:90-98): graded as
+    * filtered counts so one query covers both bound types. The oracle
+    * replicates the double round-trip exactly (Java double→string→
+    * double is lossless) and squares via multiplication on both sides
+    * for bit-identical boundary behavior. */
+  val nativeSpatialFilter: Q = q(
+    "native_spatial_filter",
+    """SELECT CAST(count(CASE WHEN l_discount >= 0.02 AND l_discount <= 0.05
+      |                       AND l_tax >= 0.02 AND l_tax <= 0.05 THEN 1 END) AS BIGINT) AS in_rect,
+      |       CAST(count(CASE WHEN (l_discount - 0.05)*(l_discount - 0.05) +
+      |                            (l_tax - 0.04)*(l_tax - 0.04) <= 0.03*0.03 THEN 1 END) AS BIGINT) AS in_radius
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    new NativePlanner(s, name => Tables.t(s, d, name)).plan(
+      """{
+        |  "queryType": "timeseries",
+        |  "dataSource": "lineitem",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "virtualColumns": [
+        |    {"name": "pt",
+        |     "expression": "concat(cast(l_discount, 'STRING'), ',', cast(l_tax, 'STRING'))"}
+        |  ],
+        |  "aggregations": [
+        |    {"type": "filtered",
+        |     "filter": {"type": "spatial", "dimension": "pt",
+        |       "bound": {"type": "rectangular", "minCoords": [0.02, 0.02], "maxCoords": [0.05, 0.05]}},
+        |     "aggregator": {"type": "count", "name": "in_rect"}},
+        |    {"type": "filtered",
+        |     "filter": {"type": "spatial", "dimension": "pt",
+        |       "bound": {"type": "radius", "coords": [0.05, 0.04], "radius": 0.03}},
+        |     "aggregator": {"type": "count", "name": "in_radius"}}
+        |  ]
+        |}""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
     filterBoundStrlen, limitSpecVersion, nativeHllSketch,
     nativeSegmentMetadata, nativeFilteredEmptyGroup,
-    nativeTopnDimensionOrder, nativeTimeformatExtraction)
+    nativeTopnDimensionOrder, nativeTimeformatExtraction,
+    nativeSpatialFilter)
 }

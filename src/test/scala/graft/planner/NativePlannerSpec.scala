@@ -40,6 +40,21 @@ class NativePlannerSpec extends SparkSpec {
       (Some("abc"), 1L, 5.0), (None, 2L, 8.0)))
   }
 
+  test("spatial polygon filter via native JSON (ray casting)") {
+    import spark.implicits._
+    val pts = Seq("0.5,0.5", "2.0,2.0", "0.9,0.1").toDF("pt")
+    val p = new NativePlanner(spark, { case "pts" => pts })
+    val n = p.plan(
+      """{"queryType": "timeseries", "dataSource": "pts", "intervals": [],
+        |"granularity": "all",
+        |"filter": {"type": "spatial", "dimension": "pt",
+        |  "bound": {"type": "polygon", "abscissa": [0, 1, 1, 0],
+        |            "ordinate": [0, 0, 1, 1]}},
+        |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == 2L) // unit square holds (0.5,0.5) and (0.9,0.1), not (2,2)
+  }
+
   test("timeFormat extraction honors timeZone + granularity") {
     // 2000-01-01 00:00 UTC = 1999-12-31 19:00 America/New_York; hourly
     // floor in that zone keeps the local hour
