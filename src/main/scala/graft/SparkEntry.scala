@@ -12,7 +12,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     CoreQueries.all ++ FilterQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       ScalarQueries.all ++ MvdQueries.all ++ SketchQueries.all ++
-      PipelineQueries.all ++ PipelineQueries2.all ++
+      PipelineQueries.all ++ PipelineQueries2.all ++ PipelineQueries3.all ++
       NativeQueries.all ++ NativeQueries2.all ++ NativeQueries3.all ++
       NativeQueries4.all ++
       SupersetQueries.all ++

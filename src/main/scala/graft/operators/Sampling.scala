@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: stratified
+  * per-label keep rates and train/test/val splits.
+  *
+  * Scale + reproducibility design: the sampling decision is a pure
+  * per-row integer hash of the id (Knuth multiplicative, plain
+  * arithmetic any engine reproduces bit-for-bit) — no shuffle, no RNG
+  * state, no driver involvement; re-running over a grown corpus keeps
+  * every previous decision stable, which is what incremental training
+  * pipelines need (a row's split never flips when data is appended).
+  */
+object Sampling {
+
+  /** bucket in [0, 10000): portable integer arithmetic only — the id
+    * is folded below 2^20 first so no intermediate exceeds 2^63 in any
+    * engine's checked BIGINT math. */
+  def hashBucket(id: Column, salt: Long): Column =
+    ((id + salt) % 1000003L) * 2654435761L % 2147483647L % 10000L
+
+  /** keep rows where the id-hash falls under the label's rate.
+    * `rates` maps label → fraction; labels absent from the map use
+    * `defaultRate`. Rates are exact at 1/10000 resolution. */
+  def stratified(
+      df: DataFrame, labelCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: Long = 0L): DataFrame = {
+    val bucket = hashBucket(col(idCol), salt)
+    val threshold = rates.foldLeft(when(lit(false), 0L)) {
+      case (acc, (label, rate)) =>
+        acc.when(col(labelCol) === label, (rate * 10000).toLong)
+    }.otherwise((defaultRate * 10000).toLong)
+    df.filter(bucket < threshold)
+  }
+
+  /** add a split column ("train"/"test"/...) by cumulative hash
+    * ranges; weights need not sum to 1 (they are normalized). */
+  def split(
+      df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], salt: Long = 0L,
+      outputCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "split needs at least one (name, weight)")
+    val total = weights.map(_._2).sum
+    val bucket = hashBucket(col(idCol), salt)
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.round(f * 10000))
+    val expr0 = weights.init.zip(cuts).foldLeft(when(lit(false), "")) {
+      case (acc, ((name, _), cut)) => acc.when(bucket < cut, name)
+    }.otherwise(weights.last._1)
+    df.withColumn(outputCol, expr0)
+  }
+}

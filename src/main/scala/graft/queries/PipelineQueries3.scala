@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Round-4 pipeline additions: deterministic sampling — the
+  * train-data operations a filtering/curation pipeline runs after
+  * dedup and quality scoring. The hash is plain integer arithmetic,
+  * so DuckDB replicates every per-row decision exactly (not just
+  * aggregate counts).
+  */
+object PipelineQueries3 {
+
+  /** stratified per-language sampling: keep 50% of 'en', 20% of the
+    * rest — the class-rebalancing primitive. */
+  val samplingStratified: Q = q(
+    "sampling_stratified",
+    """WITH b AS (
+      |  SELECT lang,
+      |         ((doc_id + 7) % 1000003) * 2654435761 % 2147483647 % 10000 AS bucket
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS kept
+      |FROM b
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Sampling.stratified(
+      Tables.documents(s, d), "lang", "doc_id",
+      rates = Map("en" -> 0.5), defaultRate = 0.2, salt = 7L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** 80/10/10 train/test/val split, stable per doc_id: per-source
+    * counts by split — appending data never flips a row's split. */
+  val trainTestSplit: Q = q(
+    "train_test_split",
+    """WITH b AS (
+      |  SELECT source,
+      |         ((doc_id + 13) % 1000003) * 2654435761 % 2147483647 % 10000 AS bucket
+      |  FROM documents)
+      |SELECT source,
+      |       CASE WHEN bucket < 8000 THEN 'train'
+      |            WHEN bucket < 9000 THEN 'test'
+      |            ELSE 'val' END AS split,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Sampling.split(
+      Tables.documents(s, d), "doc_id",
+      weights = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1), salt = 13L)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val all: Seq[Q] = Seq(samplingStratified, trainTestSplit)
+}
