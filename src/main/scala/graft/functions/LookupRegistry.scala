@@ -23,6 +23,11 @@ object LookupRegistry {
 
   def get(name: String): Option[Map[String, String]] = Option(lookups.get(name))
 
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    lookups.keySet().asScala.toSeq.sorted
+  }
+
   /** LOOKUP(col, 'name'[, replaceMissingWith]) semantics. */
   def lookup(key: Column, name: String, replaceMissing: Option[String] = None): Column = {
     val m = get(name).getOrElse(

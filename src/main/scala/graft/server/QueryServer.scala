@@ -103,6 +103,11 @@ class QueryServer(
     server.createContext("/status/health", (ex: HttpExchange) => {
       respond(ex, 200, "true")
     })
+    // lookup management (reference coordinator lookup config API):
+    //   GET  /druid/coordinator/v1/lookups/config            → names
+    //   POST /druid/coordinator/v1/lookups/config/{t}/{name} → register
+    server.createContext("/druid/coordinator/v1/lookups/config",
+      (ex: HttpExchange) => handleLookups(ex))
     // pooled dispatch: concurrent queries are admission-controlled by
     // withCapacity, not serialized by the listener thread
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
@@ -112,6 +117,36 @@ class QueryServer(
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handleLookups(ex: HttpExchange): Unit =
+    try {
+      val rest = ex.getRequestURI.getPath
+        .stripPrefix("/druid/coordinator/v1/lookups/config").stripPrefix("/")
+      ex.getRequestMethod match {
+        case "GET" =>
+          val names = graft.functions.LookupRegistry.names
+          respond(ex, 200, names.map("\"" + _ + "\"").mkString("[", ",", "]"))
+        case "POST" | "PUT" =>
+          // path {tier}/{name}; body is the reference's
+          // {"lookupExtractorFactory": {"type": "map", "map": {...}}}
+          // (a bare {"map": {...}} is accepted too)
+          val name = rest.split("/").filter(_.nonEmpty).lastOption.getOrElse(
+            throw new IllegalArgumentException("lookup name missing from path"))
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val n = mapper.readTree(body)
+          val mapNode = Option(n.get("lookupExtractorFactory"))
+            .flatMap(f => Option(f.get("map")))
+            .orElse(Option(n.get("map")))
+            .getOrElse(throw new IllegalArgumentException("no map in lookup spec"))
+          val entries = scala.collection.mutable.Map.empty[String, String]
+          mapNode.properties().forEach(e => entries.put(e.getKey, e.getValue.asText()))
+          graft.functions.LookupRegistry.register(name, entries.toMap)
+          respond(ex, 202, "")
+        case _ => respond(ex, 405, """{"error":"GET/POST only"}""")
+      }
+    } catch {
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
+    }
 
   // ---------------- error shapes ----------------
 
@@ -123,6 +158,8 @@ class QueryServer(
       (429, s"""{"error":"Query capacity exceeded","errorMessage":"${ce.getMessage}","errorClass":"QueryCapacityExceededException"}""")
     case _: java.util.concurrent.TimeoutException =>
       (504, """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
+    case e if Option(e.getMessage).exists(_.toLowerCase.contains("cancelled")) =>
+      (500, """{"error":"Query cancelled","errorClass":"QueryInterruptedException"}""")
     case rl: RowLimitExceeded =>
       (400, s"""{"error":"Resource limit exceeded","errorMessage":"${rl.getMessage}","errorClass":"ResourceLimitExceededException"}""")
     case _ =>
@@ -135,9 +172,12 @@ class QueryServer(
 
   private def handleSql(ex: HttpExchange): Unit = {
     try {
+      if (ex.getRequestMethod == "DELETE") {
+        cancelById(ex, ex.getRequestURI.getPath.stripPrefix("/druid/v2/sql/")); return
+      }
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      setQueryIdHeader(ex, body)
+      val qid = setQueryIdHeader(ex, body)
       val node = mapper.readTree(body)
       val sql0 = Option(node.get("query")).filterNot(_.isNull)
         .getOrElse(throw new IllegalArgumentException("missing 'query'")).asText()
@@ -165,7 +205,7 @@ class QueryServer(
       val header = Option(node.get("header")).exists(_.asBoolean(false))
       val df = graft.GraftSession.setup(spark).sql(sql)
       withCapacity(body) {
-        withLimits(ex, body) { () =>
+        withLimits(body, qid) { () =>
           val cap = maxRows(body)
           ensureUnderCap(df, cap)
           serveCached(ex, body)(open => writeSqlResult(open, df, format, header, cap))
@@ -216,13 +256,16 @@ class QueryServer(
 
   private def handleNative(ex: HttpExchange): Unit = {
     try {
+      if (ex.getRequestMethod == "DELETE") {
+        cancelById(ex, ex.getRequestURI.getPath.stripPrefix("/druid/v2/")); return
+      }
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      setQueryIdHeader(ex, body)
+      val qid = setQueryIdHeader(ex, body)
       val q = graft.model.QueryJson.parse(body)
       val df = planner.plan(q)
       withCapacity(body) {
-        withLimits(ex, body) { () =>
+        withLimits(body, qid) { () =>
           val cap = maxRows(body)
           ensureUnderCap(df, cap)
           serveCached(ex, body)(open => writeEnvelope(open, q, df, cap))
@@ -287,25 +330,27 @@ class QueryServer(
       Option(n.get("context")).flatMap(c => Option(c.get("timeout"))).map(_.asLong())
     } catch { case _: Exception => None }
 
-  /** run the writer under context.timeout: the producing thread owns a
-    * Spark job group that is cancelled on expiry so executor work
-    * stops. If the deadline passes before the first byte, the caller's
-    * catch still gets to send a 504; mid-stream expiry closes the
-    * chunked response (the reference's streamed results have the same
+  /** run the writer in a per-query Spark job group — cancellable both
+    * by context.timeout expiry and by DELETE /druid/v2/{queryId}. If
+    * the deadline passes before the first byte, the caller's catch
+    * still sends a 504; mid-stream expiry/cancel closes the chunked
+    * response (the reference's streamed results have the same
     * property). */
-  private def withLimits(ex: HttpExchange, body: String)(write: () => Unit): Unit =
-    timeoutMs(body) match {
-      case None => write()
+  private def withLimits(body: String, qid: String)(write: () => Unit): Unit = {
+    val group = "graft-query-" + qid + "-" + java.util.UUID.randomUUID()
+    val sc = spark.sparkContext
+    running.put(qid, group)
+    def run(): Unit = {
+      sc.setJobGroup(group, s"graft query $qid", interruptOnCancel = true)
+      try write() finally sc.clearJobGroup()
+    }
+    try timeoutMs(body) match {
+      case None => run()
       case Some(ms) =>
-        val group = "graft-query-" + java.util.UUID.randomUUID()
-        val sc = spark.sparkContext
         import scala.concurrent.{Await, Future, blocking}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val fut = Future(blocking {
-          sc.setJobGroup(group, "graft query", interruptOnCancel = true)
-          try write() finally sc.clearJobGroup()
-        })
+        val fut = Future(blocking(run()))
         try Await.result(fut, Duration(ms, "ms"))
         catch {
           case e: java.util.concurrent.TimeoutException =>
@@ -323,7 +368,8 @@ class QueryServer(
             })
             throw e
         }
-    }
+    } finally running.remove(qid)
+  }
 
   /** bounded pre-flight cap check BEFORE the first response byte: a
     * limit(cap+1) count scans only until the limit is hit, so the
@@ -623,7 +669,7 @@ class QueryServer(
 
   /** X-Druid-Query-Id (QueryResource.java:275): echo context.queryId
     * (or the top-level SQL queryId field), else a generated UUID. */
-  private def setQueryIdHeader(ex: HttpExchange, body: String): Unit = {
+  private def setQueryIdHeader(ex: HttpExchange, body: String): String = {
     val qid =
       try {
         val n = mapper.readTree(body)
@@ -633,6 +679,20 @@ class QueryServer(
           .getOrElse(java.util.UUID.randomUUID().toString)
       } catch { case _: Exception => java.util.UUID.randomUUID().toString }
     ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
+    qid
+  }
+
+  /** queryId → Spark job group of the in-flight query (reference
+    * QueryScheduler's queryId→future registry, QueryResource.java:
+    * 144-168 cancelQuery). */
+  private val running = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DELETE /druid/v2/{id} (and /druid/v2/sql/{id}): cancel the job
+    * group of the matching in-flight query; 202 either way like the
+    * reference (cancellation is advisory). */
+  private def cancelById(ex: HttpExchange, id: String): Unit = {
+    Option(running.get(id)).foreach(spark.sparkContext.cancelJobGroup)
+    respond(ex, 202, "")
   }
 
   private def respondBytes(

@@ -263,6 +263,55 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("DELETE /druid/v2/sql/{queryId} cancels an in-flight query") {
+    spark.udf.register("graft_cancel_sleep", (x: Long) => { Thread.sleep(40); x })
+    spark.range(0, 5000).createOrReplaceTempView("cancel_t")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      @volatile var result: (Int, String) = (0, "")
+      val bg = new Thread(() => {
+        result = post(port, "/druid/v2/sql",
+          """{"query": "SELECT sum(graft_cancel_sleep(id)) AS s FROM cancel_t",
+            |"context": {"queryId": "kill-me"}}""".stripMargin)
+      })
+      bg.start()
+      Thread.sleep(800) // let it start running
+      val client = java.net.http.HttpClient.newHttpClient()
+      val del = java.net.http.HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2/sql/kill-me"))
+        .DELETE().build()
+      val dresp = client.send(del, java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(dresp.statusCode() == 202)
+      bg.join(30000)
+      assert(!bg.isAlive, "query did not terminate after cancellation")
+      // cancelled mid-flight: error status (500 cancelled / 400), not a 200 result
+      assert(result._1 != 200, s"expected cancellation, got: $result")
+    } finally srv.stop()
+  }
+
+  test("lookup management endpoints register and list lookups") {
+    fixture.createOrReplaceTempView("ds_lk")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (code, _) = post(port, "/druid/coordinator/v1/lookups/config/__default/srv_lk",
+        """{"lookupExtractorFactory": {"type": "map", "map": {"a": "Alpha", "b": "Beta"}}}""")
+      assert(code == 202)
+      val client = java.net.http.HttpClient.newHttpClient()
+      val get = java.net.http.HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$port/druid/coordinator/v1/lookups/config"))
+        .GET().build()
+      val gresp = client.send(get, java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(gresp.statusCode() == 200 && gresp.body().contains("srv_lk"), gresp.body())
+      // the registered lookup serves LOOKUP() in SQL immediately
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT LOOKUP(dim, 'srv_lk') AS x FROM ds_lk WHERE m = 1.0"}""")
+      assert(c2 == 200, b2)
+      assert(b2 == """[{"x":"Alpha"}]""", b2)
+    } finally srv.stop()
+  }
+
   test("bad query returns a JSON error, not a hang") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
