@@ -114,6 +114,27 @@ object Ingest {
   def ingest(input: DataFrame, spec: IngestSpec, path: String): Unit =
     write(prepare(input, spec), path)
 
+  /** bucketed write: hash-bucket rows by join/group keys so repeated
+    * joins and aggregations on those keys read co-located buckets and
+    * skip the shuffle entirely — the segment-sharding analog of the
+    * reference's hashed partitionsSpec (single_dim/hashed shard
+    * specs). Registers an external table (bucket metadata lives in
+    * the catalog); the 100 TB deployment sizes numBuckets to
+    * cluster-core multiples once and reuses it across pipelines. */
+  def writeBucketed(
+      prepared: DataFrame, path: String, tableName: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      mode: String = "overwrite"): Unit = {
+    val spark = prepared.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    prepared.write.mode(mode)
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
   /** read a previously written table; interval filters on __time prune
     * partitions via the __bucket directory column. */
   def read(spark: SparkSession, path: String): DataFrame =

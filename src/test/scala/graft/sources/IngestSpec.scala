@@ -133,6 +133,32 @@ class IngestSpecSuite extends SparkSpec {
       Ingest.readSource(spark, dir.toString, "protobuf"))
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("graft_bkt_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bkt_b").toString
+    val a = (0L until 1000L).map(i => (i % 50, i)).toDF("k", "va")
+    val b = (0L until 500L).map(i => (i % 50, i * 2)).toDF("k", "vb")
+    Ingest.writeBucketed(a, dirA, "graft_bkt_a", Seq("k"), 8)
+    Ingest.writeBucketed(b, dirB, "graft_bkt_b", Seq("k"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located buckets: the join reads both sides directly, with no
+      // shuffle exchange anywhere in the plan
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() == 10000L) // 500 rows x 20 matches per key... (1000/50=20)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("streaming ingest: rollup micro-batches append to the same layout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
