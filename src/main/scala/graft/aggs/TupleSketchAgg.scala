@@ -136,6 +136,30 @@ case class TupleEstimate(child: Expression)
 /** sum of metric column `idx` over retained entries (reference
   * ArrayOfDoublesSketchToMetricsSumEstimate post-agg, exact when the
   * sketch is in exact mode). */
+/** all per-metric sums as an array (the reference
+  * ArrayOfDoublesSketchToMetricsSumEstimate post-agg's actual return
+  * shape); the sketch binary itself carries numValues. */
+case class TupleMetricsSumAll(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(bin: Any): Any = {
+    val sk = ArrayOfDoublesSketches.wrapSketch(
+      Memory.wrap(bin.asInstanceOf[Array[Byte]]))
+    val sums = new Array[Double](sk.getNumValues)
+    val it = sk.iterator()
+    while (it.next()) {
+      val vs = it.getValues
+      var i = 0
+      while (i < sums.length) { sums(i) += vs(i); i += 1 }
+    }
+    var i = 0
+    while (i < sums.length) { sums(i) /= sk.getTheta; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sums)
+  }
+  override protected def withNewChildInternal(c: Expression): TupleMetricsSumAll = copy(child = c)
+  override def prettyName: String = "tuple_metrics_sum"
+}
+
 case class TupleMetricSum(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType

@@ -158,6 +158,12 @@ object Aggregator {
   final case class HllSketch(
       name: String, fieldName: String, lgK: Int = 12,
       merge: Boolean = false) extends Aggregator
+  /** ArrayOfDoubles tuple sketch (reference datasketches tuple
+    * extension ArrayOfDoublesSketchAggregatorFactory): distinct keys
+    * plus per-key metric-sum columns in one pass. */
+  final case class TupleSketch(
+      name: String, fieldName: String, metricColumns: Seq[String],
+      lgK: Int = 14) extends Aggregator
   /** fixed-buckets histogram (reference FixedBucketsHistogramAggregatorFactory):
     * outlierHandlingMode ∈ ignore | overflow | clip. */
   final case class FixedBucketsHistogram(
@@ -205,6 +211,12 @@ object PostAggregator {
       name: String, field: PostAggregator) extends PostAggregator
   final case class HllBounds(
       name: String, field: PostAggregator, numStdDevs: Int) extends PostAggregator
+  /** tuple-sketch finalizers (ArrayOfDoublesSketchToEstimate /
+    * ...ToMetricsSumEstimate post-aggs). */
+  final case class TupleEstimatePost(
+      name: String, field: PostAggregator) extends PostAggregator
+  final case class TupleMetricsSumPost(
+      name: String, field: PostAggregator) extends PostAggregator
   /** multiple quantiles → array (tDigest/momentSketch post-agg shapes,
     * served by the KLL path). */
   final case class KllToQuantiles(

@@ -410,6 +410,12 @@ object QueryJson {
       // tDigest/momentSketch quantile aggs: same contract, KLL-served
       case "tDigestSketch" | "momentSketch" =>
         Aggregator.KllSketch(nm, f, intOpt(n, "k").getOrElse(200))
+      case "arrayOfDoublesSketch" =>
+        val nom = Option(n.get("nominalEntries")).map(_.asLong())
+          .map(sz => math.ceil(math.log(sz.toDouble) / math.log(2)).toInt)
+          .getOrElse(14)
+        Aggregator.TupleSketch(nm, f,
+          arr(n, "metricColumns").map(_.asText()), nom)
       case "HLLSketchBuild" => Aggregator.HllSketch(
         nm, f, intOpt(n, "lgK").getOrElse(12), merge = false)
       case "HLLSketchMerge" => Aggregator.HllSketch(
@@ -462,6 +468,10 @@ object QueryJson {
       case "thetaSketchSetOp" => PostAggregator.ThetaSetOp(
         nm, str(n, "func").toUpperCase,
         arr(n, "fields").map(parsePostAggregator))
+      case "arrayOfDoublesSketchToEstimate" => PostAggregator.TupleEstimatePost(
+        nm, parsePostAggregator(n.get("field")))
+      case "arrayOfDoublesSketchToMetricsSumEstimate" =>
+        PostAggregator.TupleMetricsSumPost(nm, parsePostAggregator(n.get("field")))
       case "HLLSketchEstimate" => PostAggregator.HllEstimate(
         nm, parsePostAggregator(n.get("field")))
       case "HLLSketchEstimateWithBounds" => PostAggregator.HllBounds(

@@ -270,6 +270,11 @@ class NativePlanner(
       // Spark's datasketches-backed hll_* built-ins, two-phase merge.
       if (merge) hll_union_agg(col(f), lit(true)).as(n)
       else hll_sketch_agg(col(f), lit(lgK)).as(n)
+    case Aggregator.TupleSketch(n, f, metrics, lgK) =>
+      graft.exprs.toCol(graft.aggs.TupleSketchAgg(
+        graft.exprs.toExpr(col(f)),
+        graft.exprs.toExpr(array(metrics.map(col(_).cast("double")): _*)),
+        metrics.size, lgK).toAggregateExpression()).as(n)
     case Aggregator.DistinctCount(n, f) => count_distinct(col(f)).as(n)
     case Aggregator.Grouping(n, gs) =>
       // bit i (msb-first) set when groupings(i) is NOT in the current
@@ -376,6 +381,11 @@ class NativePlanner(
         case o => throw new UnsupportedOperationException(s"theta set op $o")
       }
       cols.reduce(op).as(n)
+    case PostAggregator.TupleEstimatePost(n, f) =>
+      sketches.tupleEstimate(postAggToColumn(f, schema)).as(n)
+    case PostAggregator.TupleMetricsSumPost(n, f) =>
+      graft.exprs.toCol(graft.aggs.TupleMetricsSumAll(
+        graft.exprs.toExpr(postAggToColumn(f, schema)))).as(n)
     case PostAggregator.HllEstimate(n, f) =>
       hll_sketch_estimate(postAggToColumn(f, schema)).as(n)
     case PostAggregator.HllBounds(n, f, k) =>

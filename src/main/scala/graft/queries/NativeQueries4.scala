@@ -396,10 +396,51 @@ object NativeQueries4 {
         |}""".stripMargin)
   }
 
+  /** ArrayOfDoubles tuple sketch through the JSON wire form
+    * (datasketches tuple extension): distinct keys + per-key metric
+    * sums in one sketch column, finalized by the estimate and
+    * metrics-sum post-aggs. Exact-regime contract (lgK=14 ≫ 150
+    * users); 2dp rounding absorbs summation-order FP noise. */
+  val nativeTupleSketch: Q = q(
+    "native_tuple_sketch",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |       round(sum(value), 2) AS vsum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "scan",
+        |  "dataSource": {"type": "query", "query": {
+        |    "queryType": "groupBy",
+        |    "dataSource": "events",
+        |    "intervals": [],
+        |    "granularity": "all",
+        |    "dimensions": ["event_type"],
+        |    "aggregations": [
+        |      {"type": "arrayOfDoublesSketch", "name": "sk",
+        |       "fieldName": "user_id", "metricColumns": ["value"],
+        |       "nominalEntries": 16384}],
+        |    "postAggregations": [
+        |      {"type": "arrayOfDoublesSketchToEstimate", "name": "users_raw",
+        |       "field": {"type": "fieldAccess", "fieldName": "sk"}},
+        |      {"type": "arrayOfDoublesSketchToMetricsSumEstimate", "name": "sums",
+        |       "field": {"type": "fieldAccess", "fieldName": "sk"}},
+        |      {"type": "expression", "name": "users",
+        |       "expression": "cast(round(users_raw), 'LONG')"},
+        |      {"type": "expression", "name": "vsum",
+        |       "expression": "round(array_offset(sums, 0), 2)"}
+        |    ]
+        |  }},
+        |  "intervals": [],
+        |  "columns": ["event_type", "users", "vsum"]
+        |}""".stripMargin)
+      .orderBy(org.apache.spark.sql.functions.col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
     filterBoundStrlen, limitSpecVersion, nativeHllSketch,
     nativeSegmentMetadata, nativeFilteredEmptyGroup,
     nativeTopnDimensionOrder, nativeTimeformatExtraction,
-    nativeSpatialFilter)
+    nativeSpatialFilter, nativeTupleSketch)
 }
