@@ -126,6 +126,105 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Distributed connected components over an undirected edge list —
+    * the dedup "cluster assignment" step: LSH candidate pairs become
+    * duplicate clusters, each cluster keeps one survivor.
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round every node takes the min label over itself and its
+    * neighbors. Each round is ONE shuffle (edge equi-join + min
+    * aggregation over (node, label) pairs — never materializes
+    * neighborhoods), and `localCheckpoint` truncates lineage so the
+    * plan stays O(1) across rounds. Convergence takes O(component
+    * diameter) rounds; near-dup clusters are shallow (stars around hub
+    * documents), so a handful of rounds suffices at corpus scale.
+    * For adversarially long path-graphs, switch the message join to the
+    * large-star/small-star pair of joins (Kiveris et al., "Connected
+    * Components in MapReduce", SOCC'14) — same primitive, O(log n)
+    * rounds; not needed for dedup-shaped graphs.
+    *
+    * `nodes` (optional, with its id column name) adds isolated nodes:
+    * they come back labeled with their own id (singleton clusters).
+    * Returns (id, cluster_id) where cluster_id = min id in the
+    * component.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: Option[(DataFrame, String)] = None,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val endpoints = sym.select(col("src").as("id"))
+    val ids = nodes
+      .map { case (df, c) => endpoints.union(df.select(col(c).as("id"))) }
+      .getOrElse(endpoints)
+      .distinct()
+    var labels = ids.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = sym
+        .join(labels.select(col("id").as("src"), col("cluster_id")), Seq("src"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      // converged when no label strictly decreased this round; limit(1)
+      // stops the scan at the first witness.
+      converged = next
+        .join(labels.select(col("id"), col("cluster_id").as("prev")), Seq("id"))
+        .filter(col("cluster_id") < col("prev"))
+        .limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Incremental (cross-snapshot) exact dedup: keep only batch rows
+    * whose normalized fingerprint is NOT already in the corpus, then
+    * exact-dedup within the batch (min id survives). The corpus side
+    * reduces to distinct fingerprints before the anti-join, so the
+    * shuffle carries (fingerprint) keys, not documents; at 100 TB the
+    * corpus fingerprint set is also the natural input to a bloom-filter
+    * prefilter (see `incrementalBloomPrefilter`) that drops the bulk of
+    * clean rows map-side before the anti-join shuffle. */
+  def incremental(
+      batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val corpusFp = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    val fresh = batch
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Bloom prefilter for incremental dedup at scale: build a bloom
+    * filter over corpus fingerprints (one pass, mergeable partials),
+    * broadcast it, and drop batch rows that *might* collide into the
+    * exact anti-join while rows the filter proves fresh skip the
+    * shuffle entirely. False positives only cost a re-check; no false
+    * negatives. Returns (definitelyFresh, needExactCheck). */
+  def incrementalBloomPrefilter(
+      batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): (DataFrame, DataFrame) = {
+    val fpCol = TextAnalysis.fingerprint(col(textCol))
+    val bloom = corpus.select(fpCol.as("__fp"))
+      .stat.bloomFilter("__fp", expectedItems, fpp)
+    val bcast = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bcast.value.mightContainString(fp))
+    val tagged = batch.withColumn("__maybe", mightContain(fpCol))
+    (tagged.filter(!col("__maybe")).drop("__maybe"),
+      tagged.filter(col("__maybe")).drop("__maybe"))
+  }
+
   /** exact n-gram Jaccard over all pairs of a (pre-filtered, small)
     * candidate set — the verification primitive; not for whole-corpus
     * use (that's what the LSH paths above are for). */

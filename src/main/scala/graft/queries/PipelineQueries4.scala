@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextExpressions
+import org.apache.spark.sql.functions._
+
+/** Round-5 pipeline operators: duplicate-cluster assignment (connected
+  * components over LSH candidate pairs), Gopher-style repetition
+  * signals, benchmark-contamination detection, incremental
+  * (cross-snapshot) dedup, and int8-quantized similarity search.
+  *
+  * Grading approach follows PipelineQueries2: portable hashes and
+  * fixed-order folds make every stage (band collisions, cluster labels,
+  * quantization codes) bit-reproducible in DuckDB, so the oracle
+  * replicates the ENTIRE pipeline — including the graph propagation,
+  * via a recursive CTE — not just summary statistics.
+  */
+object PipelineQueries4 {
+
+  /** shared SQL prefix: portable minhash band-collision candidate pairs
+    * over the whole documents table (16 slots, 4 bands × 4), edges kept
+    * at signature agreement ≥ 4 (est. Jaccard ≥ 0.25). */
+  private val minhashEdgesSql =
+    """d AS (SELECT doc_id, text FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' ||
+      |                string_split(text, ' ')[i+1] || ' ' ||
+      |                string_split(text, ' ')[i+2])) AS g
+      |  FROM d),
+      |hs AS (
+      |  SELECT doc_id, list_transform(g, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a*31 + b) % 1000000007)) AS h
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 16), i ->
+      |    list_min(list_transform(h, x -> (x*(2*i+1) + i*12345 + 7) % 2147483647))) AS s
+      |  FROM hs),
+      |banded AS (
+      |  SELECT doc_id, b.band AS band,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_slice(s, b.band*4 + 1, b.band*4 + 4)),
+      |           (a, x) -> (a*31 + x) % 1000000007) AS bucket
+      |  FROM sig, range(0, 4) b(band)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      |e0 AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.id_a
+      |  JOIN sig sb ON sb.doc_id = c.id_b
+      |  WHERE len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) >= 4)""".stripMargin
+
+  /** Duplicate-cluster assignment: LSH candidate pairs → connected
+    * components (min-label propagation; operators.Dedup
+    * .connectedComponents) → every document labeled with the min doc_id
+    * of its near-dup cluster. The oracle replicates band collisions via
+    * the portable hash AND the graph closure via a recursive CTE, so
+    * the propagation itself is hash-graded — singletons included. */
+  val dedupClusters: Q = q(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $minhashEdgesSql,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+       |          UNION ALL SELECT id_b, id_a FROM e0),
+       |cc(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM d
+       |  UNION
+       |  SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id)
+       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+       |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(TextExpressions.wordShingles(col("text"), 3)).as("g"))
+      .withColumn("h", transform(col("g"), PipelineQueries2.rollHash(_)))
+      .withColumn("s", PipelineQueries2.minhashSig(col("h"), 16))
+      .select(col("doc_id"), col("s"))
+    val banded = base.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        aggregate(slice(col("s"), b * 4 + 1, 4), lit(0L),
+          (a, x) => (a * 31 + x) % 1000000007L)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val edges = cand
+      .join(base.select(col("doc_id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .filter(size(filter(sequence(lit(1), lit(16)),
+        i => element_at(col("sa"), i) === element_at(col("sb"), i))) >= 4)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(edges, "id_a", "id_b",
+      nodes = Some((base.select(col("doc_id")), "doc_id")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 analogs on
+    * a single-line corpus): unique-word ratio, most-frequent-bigram
+    * mass fraction, and the fraction of trigram occurrences that are
+    * repeats. One explode + count per n-gram order — two narrow
+    * shuffles keyed by (doc, gram), the canonical map-side-combinable
+    * shape. */
+  val textRepetition: Q = q(
+    "text_repetition",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE doc_id < 100),
+      |uw AS (SELECT doc_id,
+      |              round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+      |                AS unique_word_ratio
+      |       FROM d),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bstat AS (SELECT doc_id,
+      |                 round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+      |          FROM bgc GROUP BY 1),
+      |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM d),
+      |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+      |tstat AS (SELECT doc_id,
+      |                 round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+      |                       / sum(c), 4) AS dup_trigram_frac
+      |          FROM tgc GROUP BY 1)
+      |SELECT uw.doc_id, unique_word_ratio, top_bigram_frac, dup_trigram_frac
+      |FROM uw JOIN bstat USING (doc_id) JOIN tstat USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val w = split(col("text"), " ")
+    val uw = docs.select(col("doc_id"),
+      round(size(array_distinct(w)).cast("double") / size(w), 4)
+        .as("unique_word_ratio"))
+    def gramStat(n: Int, out: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      out(docs
+        .select(col("doc_id"), explode(TextExpressions.wordShingles(col("text"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c")))
+    val bstat = gramStat(2, _.groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_bigram_frac")))
+    val tstat = gramStat(3, _.groupBy(col("doc_id"))
+      .agg(round(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double")
+        / sum(col("c")), 4).as("dup_trigram_frac")))
+    uw.join(bstat, Seq("doc_id")).join(tstat, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination detection: fraction of each training
+    * document's distinct trigram shingles that appear anywhere in the
+    * held-out benchmark set (doc_id < 20 stands in for the eval
+    * corpus). The benchmark shingle set is tiny and broadcast; the
+    * training side explodes shingles once — the scan never shuffles
+    * documents, only (doc, shingle) keys into the per-doc aggregate. */
+  val contaminationNgram: Q = q(
+    "contamination_ngram",
+    """WITH b AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |           range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id < 20)),
+      |t AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE doc_id >= 20 AND doc_id < 120))
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |       round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS contamination
+      |FROM t LEFT JOIN b ON t.g = b.g
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val shingles = array_distinct(TextExpressions.wordShingles(col("text"), 3))
+    val bench = docs.filter(col("doc_id") < 20)
+      .select(explode(shingles).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    val train = docs.filter(col("doc_id") >= 20 && col("doc_id") < 120)
+      .select(col("doc_id"), explode(shingles).as("g"))
+    train.join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental (cross-snapshot) dedup: the batch (doc_id ≡ 0 mod 5)
+    * keeps only rows whose normalized fingerprint is absent from the
+    * corpus (the rest of the table), then exact-dedups within itself —
+    * operators.Dedup.incremental end to end (min doc_id survives). */
+  val dedupIncremental: Q = q(
+    "dedup_incremental",
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 <> 0),
+      |batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+      |fresh AS (SELECT b.* FROM batch b LEFT JOIN corpus c ON b.f = c.f
+      |          WHERE c.f IS NULL)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, f AS fp
+      |FROM fresh GROUP BY f ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    Dedup.incremental(batch, corpus, "doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Int8-quantized top-k: L2-normalize, quantize to int8 codes with a
+    * fixed-order fold, rank by the pure-INTEGER quantized dot — no
+    * floating point in the ranking, so both engines reproduce the
+    * exact result (ties broken by id). Grades Similarity
+    * .quantizeUnitInt8 + quantizedTopK end to end. */
+  val similarityQuantized: Q = q(
+    "similarity_quantized",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |      FROM e),
+      |qz AS (SELECT vec_id,
+      |              list_transform(v, x -> CAST(floor(x / nrm * 127 + 0.5) AS BIGINT)) AS code
+      |       FROM n),
+      |q AS (SELECT vec_id AS qid, code AS qcode FROM qz
+      |      WHERE vec_id >= 40 AND vec_id < 44),
+      |scored AS (
+      |  SELECT q.qid, c.vec_id AS id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(1, 65),
+      |             i -> q.qcode[CAST(i AS INT)] * c.code[CAST(i AS INT)])),
+      |           (a, b) -> a + b) AS qdot
+      |  FROM qz c, q WHERE c.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, id, qdot,
+      |         row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, id, qdot, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.quantizedTopK(
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 44), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+      .select(col("qid"), col("id"), col("qdot"), col("rank").cast("int").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(
+    dedupClusters, textRepetition, contaminationNgram,
+    dedupIncremental, similarityQuantized)
+}

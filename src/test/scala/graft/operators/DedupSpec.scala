@@ -56,4 +56,60 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) == 0.0)
     assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
   }
+
+  test("connected components: chains merge, singletons keep their id") {
+    import spark.implicits._
+    // path 1-2-3-4 (multi-hop: 4 only reaches 1 transitively), pair 10-11,
+    // isolated node 99 from the nodes side
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("id")
+    val cc = Dedup.connectedComponents(edges, "a", "b", Some((nodes, "id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L), cc)
+  }
+
+  test("connected components converge on a long path within maxIter") {
+    import spark.implicits._
+    // 0-1-2-...-12: worst case for min-label propagation (diameter 12)
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 13 && cc.values.forall(_ == 0L), cc)
+  }
+
+  test("incremental dedup: fresh-only survives, batch-internal dups collapse") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "some corpus document that already exists in the historical snapshot")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "THE  quick brown fox jumps over the lazy dog near the river bank today"), // dup of corpus 1
+      (11L, "a genuinely new document introduced by this batch"),
+      (12L, "a genuinely NEW document introduced by this batch"), // dup of 11 within batch
+      (13L, "another brand new document")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incremental(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(11L, 13L), kept.toSeq)
+  }
+
+  test("bloom prefilter: no false negatives, fresh rows skip the join") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta"), // in corpus: MUST route to exact check
+      (11L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val (fresh, recheck) = Dedup.incrementalBloomPrefilter(
+      batch, corpus, "doc_id", "text", expectedItems = 100L, fpp = 0.01)
+    val recheckIds = recheck.select("doc_id").collect().map(_.getLong(0)).toSet
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(recheckIds.contains(10L), s"dup leaked past bloom: $recheckIds")
+    assert((freshIds ++ recheckIds) == Set(10L, 11L))
+    assert(!freshIds.contains(10L))
+  }
 }

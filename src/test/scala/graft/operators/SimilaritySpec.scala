@@ -59,6 +59,35 @@ class SimilaritySpec extends SparkSpec {
     assert(top.forall(_ % 2 == 0), top.toSeq)
   }
 
+  test("int8 quantization: codes bounded, quantized ranking tracks exact") {
+    import spark.implicits._
+    // 40 deterministic pseudo-random 8-dim vectors
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 2654435761L + i * 40503L) % 1000L) / 500.0f) - 1.0f)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val codes = corpus.select(
+      Similarity.quantizeUnitInt8(col("embedding")).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    assert(codes.forall(_.forall(c => c >= -127 && c <= 127)))
+    // unit-norm property: sum of squares of codes ≈ 127² within quantization error
+    assert(codes.forall(c => math.abs(c.map(x => x * x).sum - 127L * 127L) < 2000))
+    val q = corpus.filter($"vec_id" < 3)
+    val quant = Similarity.quantizedTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = Similarity.bruteForceTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // int8 on 8-dim unit vectors: quantized top-5 should overlap exact
+    // top-5 heavily (≥3 of 5 per query)
+    assert(quant.keySet == exact.keySet)
+    quant.foreach { case (qid, ids) =>
+      assert((ids intersect exact(qid)).size >= 3, s"q$qid: $ids vs ${exact(qid)}")
+    }
+  }
+
   test("cosine/dot/l2 expression values") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
