@@ -155,7 +155,14 @@ object Dedup {
       nodes: Option[(DataFrame, String)] = None,
       maxIter: Int = 25): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // materialize the symmetric edge list ONCE: it is re-read every
+    // propagation round (and again by each convergence check), and the
+    // upstream edge pipeline (LSH banding etc.) must not be re-executed
+    // per round. On a cluster this is the same role GraphX's edge
+    // partition caching plays; swap for a reliable checkpoint when the
+    // lineage must survive executor loss on very long runs.
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
     val endpoints = sym.select(col("src").as("id"))
     val ids = nodes
       .map { case (df, c) => endpoints.union(df.select(col(c).as("id"))) }

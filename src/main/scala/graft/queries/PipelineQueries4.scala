@@ -74,12 +74,16 @@ object PipelineQueries4 {
        |  SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id)
        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // materialized once: the interpreted portable-hash folds are the
+    // dominant cost and this plan reads `base` three times (banding +
+    // both signature rejoins)
     val base = Tables.documents(s, d)
       .select(col("doc_id"),
         array_distinct(TextExpressions.wordShingles(col("text"), 3)).as("g"))
       .withColumn("h", transform(col("g"), PipelineQueries2.rollHash(_)))
       .withColumn("s", PipelineQueries2.minhashSig(col("h"), 16))
       .select(col("doc_id"), col("s"))
+      .localCheckpoint()
     val banded = base.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         aggregate(slice(col("s"), b * 4 + 1, 4), lit(0L),
@@ -252,7 +256,23 @@ object PipelineQueries4 {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** the production murmur-fused clusters path (minhashCandidates →
+    * connectedComponents), graded rows-only: its hash family is
+    * engine-specific by design; dedup_clusters above is the
+    * oracle-checked algorithm. Summary: cluster count + docs in
+    * non-singleton clusters + max cluster size. */
+  val dedupClustersFast: Q = qNoOracle("dedup_clusters_fast") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.25)
+    Dedup.connectedComponents(edges, "id_a", "id_b")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("docs_clustered"),
+        max(col("sz")).as("max_cluster"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupClusters, textRepetition, contaminationNgram,
-    dedupIncremental, similarityQuantized)
+    dedupIncremental, similarityQuantized, dedupClustersFast)
 }

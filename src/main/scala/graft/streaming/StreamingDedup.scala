@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming deduplication for continuous ingest pipelines: the
+  * streaming sibling of `operators.Dedup` (reference analog: the Kafka
+  * indexing service's per-partition exactly-once row handling, plus
+  * what a training-data pipeline needs on top — content-level dedup of
+  * the live stream before it lands).
+  *
+  * Scale design: `dropDuplicatesWithinWatermark` keeps one state entry
+  * per distinct fingerprint seen within the watermark horizon — state
+  * is O(unique keys per horizon), evicted by the engine as the
+  * watermark advances, and sharded across executors by fingerprint
+  * hash. The fingerprint is computed map-side so the dedup state key
+  * is a fixed-width digest, never the document body.
+  *
+  * Cross-snapshot use: to also drop rows that duplicate the HISTORICAL
+  * corpus (not just the live horizon), pre-filter each micro-batch with
+  * `operators.Dedup.incrementalBloomPrefilter` against the corpus
+  * fingerprint bloom inside `foreachBatch` — the stream then only pays
+  * the exact anti-join for bloom-positive rows.
+  */
+object StreamingDedup {
+
+  /** exact content dedup on the normalized-text fingerprint: the first
+    * arrival of each fingerprint within the watermark horizon survives;
+    * later duplicates are dropped. `tsCol` must be the event-time
+    * column. */
+  def exact(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /** dedup on an arbitrary precomputed key column (e.g. a MinHash band
+    * bucket for streaming NEAR-dup suppression, or an upstream event
+    * id for at-least-once source dedup). */
+  def byKey(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

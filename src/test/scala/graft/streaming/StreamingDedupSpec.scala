@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends SparkSpec {
+
+  private def m(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+
+  test("streaming exact dedup: first arrival survives, dups within watermark drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF.toDF("id", "text", "tsMs")
+      .select(col("id"), col("text"), timestamp_millis(col("tsMs")).as("ts"))
+    val q = StreamingDedup.exact(stream, "text", "ts", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+
+    mem.addData(
+      (1L, "the quick brown fox", m("2024-01-01T00:00:00Z")),
+      (2L, "THE  quick brown fox", m("2024-01-01T00:00:10Z")), // normalized dup of 1
+      (3L, "a different document", m("2024-01-01T00:00:20Z")))
+    q.processAllAvailable()
+    mem.addData(
+      (4L, "the quick brown fox", m("2024-01-01T00:01:00Z")), // dup of 1, same horizon
+      (5L, "yet another document", m("2024-01-01T00:01:10Z")))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("sdedup_out").select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L), ids)
+  }
+
+  test("byKey dedup drops re-delivered event ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Long)]
+    val stream = mem.toDF.toDF("event_id", "v", "tsMs")
+      .select(col("event_id"), col("v"), timestamp_millis(col("tsMs")).as("ts"))
+    val q = StreamingDedup.byKey(stream, Seq("event_id"), "ts")
+      .writeStream.format("memory").queryName("sdedup_key_out")
+      .outputMode("append").start()
+    mem.addData((10L, 1.0, m("2024-01-01T00:00:00Z")),
+      (10L, 1.0, m("2024-01-01T00:00:01Z")), // redelivery
+      (11L, 2.0, m("2024-01-01T00:00:02Z")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sdedup_key_out").select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows == Seq(10L, 11L), rows)
+  }
+}
