@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics for tokenizer training and LM-based
+  * filtering — the stages between raw dedup and model training in a
+  * pretraining-data pipeline.
+  *
+  * Scale design: everything here is wordcount-shaped — one explode,
+  * one map-side-combinable groupBy on the token key, then either a
+  * tiny ranked table (vocab) that broadcasts back, or a per-doc
+  * re-aggregation. Nothing materializes the corpus on the driver.
+  */
+object TextCorpus {
+
+  /** whitespace token column (matches TextAnalysis.tokens semantics
+    * used across the pipeline operators). */
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Corpus token-frequency table: (token, cnt, rank, coverage) where
+    * rank orders by (cnt desc, token) and coverage is the cumulative
+    * corpus mass of ranks 1..rank — the tokenizer-vocabulary sizing
+    * curve ("how many types cover 95% of tokens"). The ranked window
+    * runs over the aggregated type table (|vocab| rows, not corpus
+    * rows). */
+  def vocabCoverage(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("coverage",
+        round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / sum(col("cnt")).over(), 4))
+  }
+
+  /** Per-document unigram log-probability score against the corpus's
+    * own unigram LM: avg over tokens of -ln(cnt(token)/totalTokens).
+    * Low = stereotypical text, high = rare-token-heavy — the
+    * deterministic analog of CCNet's LM-perplexity quality filter.
+    * The unigram table is broadcast; the corpus is read twice (once to
+    * build the LM, once to score) — at scale, persist the vocab or
+    * score against a previous snapshot's LM. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("token"))
+    val vocab = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    tokens.join(broadcast(vocab), Seq("token"))
+      .groupBy(col("id"))
+      .agg(round(avg(-log(col("cnt").cast("double") / total)), 4).as("logprob"))
+  }
+
+  /** GPT-style sequence packing: concatenate documents in a stable
+    * order and chop into fixed token-budget bins; a document's bin is
+    * floor(startOffset / budget) of its first token. Returns one row
+    * per doc: (id, n_tokens, bin). Deterministic and pure-integer.
+    * The global ordered cumsum is a single range-partitioned sort at
+    * scale; for petabyte runs pack per shard instead (bin ids prefixed
+    * by shard) — same downstream semantics. */
+  def packBins(df: DataFrame, idCol: String, textCol: String, budget: Int): DataFrame = {
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(idCol).as("id"), size(toks(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextCorpus
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-statistics operators (operators.TextCorpus): the
+  * tokenizer-prep and LM-filter stages of a pretraining pipeline,
+  * all wordcount-shaped and fully SQL-expressible — DuckDB replicates
+  * each end to end.
+  */
+object PipelineQueries5 {
+
+  /** tokenizer-vocabulary sizing curve: top-25 corpus tokens with
+    * cumulative coverage mass. */
+  val vocabCoverage: Q = q(
+    "vocab_coverage",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+      |ranked AS (
+      |  SELECT token, c,
+      |         row_number() OVER (ORDER BY c DESC, token ASC) AS rank,
+      |         round(CAST(sum(c) OVER (ORDER BY c DESC, token ASC
+      |                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |               / sum(c) OVER (), 4) AS coverage
+      |  FROM counts)
+      |SELECT token, CAST(c AS BIGINT) AS cnt, CAST(rank AS INT) AS rank, coverage
+      |FROM ranked WHERE rank <= 25 ORDER BY rank""".stripMargin) { (s, d) =>
+    TextCorpus.vocabCoverage(Tables.documents(s, d), "text")
+      .filter(col("rank") <= 25)
+      .select(col("token"), col("cnt"), col("rank").cast("int").as("rank"),
+        col("coverage"))
+      .orderBy(col("rank"))
+  }
+
+  /** corpus-unigram LM quality score per document (deterministic
+    * CCNet-perplexity analog): avg -ln p(token). */
+  val unigramLogProb: Q = q(
+    "text_unigram_logprob",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+      |total AS (SELECT sum(c) AS t FROM vocab)
+      |SELECT tok.doc_id,
+      |       round(avg(-ln(CAST(vocab.c AS DOUBLE) / total.t)), 4) AS logprob
+      |FROM tok JOIN vocab USING (token), total
+      |WHERE tok.doc_id < 100
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    TextCorpus.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("id") < 100)
+      .select(col("id").as("doc_id"), col("logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** GPT-style sequence packing into 512-token bins: per-bin document
+    * and token totals (pure-integer; concatenate-then-chop order is
+    * doc_id). */
+  val packSequences: Q = q(
+    "pack_sequences",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+      |                 ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS bin
+      |  FROM d)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tokens
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    TextCorpus.packBins(Tables.documents(s, d), "doc_id", "text", budget = 512)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("bin"))
+  }
+
+  val all: Seq[Q] = Seq(vocabCoverage, unigramLogProb, packSequences)
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextCorpusSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "a a a b"),
+      (2L, "a b c"),
+      (3L, "d d a")
+    ).toDF("doc_id", "text")
+  }
+
+  test("vocabCoverage ranks by count then token and accumulates mass") {
+    // counts: a=5, b=2, d=2, c=1 (total 10); ties (b,d) break lexicographically
+    val rows = TextCorpus.vocabCoverage(docs, "text")
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("a", 5L, 1, 0.5), ("b", 2L, 2, 0.7), ("d", 2L, 3, 0.9), ("c", 1L, 4, 1.0)))
+  }
+
+  test("unigramLogProb: rare-token docs score higher") {
+    val lp = TextCorpus.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1 is all high-frequency 'a'/'b'; doc 2 contains the rarest token 'c'
+    assert(lp(2L) > lp(1L), lp)
+    // exact check: doc 1 = avg(-ln(.5),-ln(.5),-ln(.5),-ln(.2))
+    val exp1 = BigDecimal(-(3 * math.log(0.5) + math.log(0.2)) / 4)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(lp(1L) - exp1) < 1e-9, s"${lp(1L)} vs $exp1")
+  }
+
+  test("packBins assigns bins by start offset of the concatenated stream") {
+    // budget 4: doc1 starts at 0 (bin 0), doc2 at 4 (bin 1), doc3 at 7 (bin 1)
+    val bins = TextCorpus.packBins(docs, "doc_id", "text", budget = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), bins)
+  }
+}
