@@ -31,7 +31,14 @@ import graft.model._
 class NativePlanner(
     spark: SparkSession,
     resolveTable: String => DataFrame,
-    timeColumn: String = "__time") {
+    timeColumn: String = "__time",
+    /** per-table ingest metadata (reference: segment metadata headers)
+      * backing segmentMetadata's aggregators/rollup/timestampSpec/
+      * queryGranularity analyses — wire to
+      * `Ingest.readSegmentMeta(spark, tablePath)` for ingested tables.
+      * Tables without metadata simply omit those analysis columns. */
+    resolveSegmentMeta: String => Option[graft.sources.Ingest.SegmentMeta] =
+      _ => None) {
 
   graft.GraftSession.setup(spark)
 
@@ -706,9 +713,11 @@ class NativePlanner(
     *  - size: encoded byte estimate — fixed width × count for
     *    numerics/timestamps, summed octet length for strings;
     *  - interval: [min,max] `__time` epoch millis.
-    * aggregators/rollup/timestampSpec/queryGranularity are ingest-spec
-    * metadata (segment headers) that a plain table does not carry —
-    * requesting them yields no columns rather than fabricated values. */
+    *  - aggregators/rollup/timestampSpec/queryGranularity: ingest-spec
+    *    metadata (reference: segment metadata headers) served from
+    *    `resolveSegmentMeta` when the datasource is an ingested table;
+    *    plain tables without metadata omit the columns rather than
+    *    fabricate values. */
   private def planSegmentMetadata(q: NativeQuery.SegmentMetadata): DataFrame = {
     import org.apache.spark.sql.types._
     val df = base(q)
@@ -746,6 +755,30 @@ class NativePlanner(
         min(unix_millis(col(timeColumn))).as("interval_start"),
         max(unix_millis(col(timeColumn))).as("interval_end"))
       else Nil
-    df.agg(count(lit(1)).as("numRows"), (stats.toSeq ++ interval): _*)
+    val segMeta = q.dataSource match {
+      case graft.model.DataSource.Table(name) => resolveSegmentMeta(name)
+      case _ => None
+    }
+    val metaCols = segMeta.toSeq.flatMap { m =>
+      val agg =
+        if (want("aggregators"))
+          // canonical "name=type(field)" list, metric order preserved —
+          // the flat-DF form of the reference's aggregators map
+          Seq(first(lit(m.aggregators.map { case (n, t, f) => s"$n=$t($f)" }
+            .mkString(";"))).as("aggregators"))
+        else Nil
+      val roll =
+        if (want("rollup")) Seq(first(lit(m.rollup)).as("rollup")) else Nil
+      val tsSpec =
+        if (want("timestampspec"))
+          Seq(first(lit(m.timeColumn)).as("timestampSpec_column")) else Nil
+      val qGran =
+        if (want("querygranularity"))
+          Seq(first(lit(m.queryGranularity.orNull)).cast("string")
+            .as("queryGranularity"))
+        else Nil
+      agg ++ roll ++ tsSpec ++ qGran
+    }
+    df.agg(count(lit(1)).as("numRows"), (stats.toSeq ++ interval ++ metaCols): _*)
   }
 }

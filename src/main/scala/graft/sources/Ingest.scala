@@ -111,8 +111,82 @@ object Ingest {
   def write(prepared: DataFrame, path: String, mode: String = "append"): Unit =
     prepared.write.mode(mode).partitionBy(BucketCol).parquet(path)
 
-  def ingest(input: DataFrame, spec: IngestSpec, path: String): Unit =
-    write(prepare(input, spec), path)
+  def ingest(input: DataFrame, spec: IngestSpec, path: String): Unit = {
+    val prepared = prepare(input, spec)
+    write(prepared, path)
+    writeSegmentMeta(prepared.sparkSession, path, spec)
+  }
+
+  /** Ingest-spec metadata carried by a written table — the analog of
+    * the reference's per-segment metadata header (aggregator
+    * factories, rollup flag, granularities, timestampSpec) that
+    * SegmentMetadataQuery's aggregators/rollup/timestampSpec analyses
+    * report. Stored as an underscore-prefixed sidecar JSON the parquet
+    * FileIndex ignores. */
+  final case class SegmentMeta(
+      timeColumn: String,
+      rollup: Boolean,
+      queryGranularity: Option[String],
+      segmentGranularity: String,
+      /** (name, aggregator type, source field) per metric. */
+      aggregators: Seq[(String, String, String)])
+
+  private val MetaFile = "_graft_segment_meta.json"
+
+  private def metricMeta(m: Metric): (String, String, String) = m match {
+    case Metric.Count(n) => (n, "count", "")
+    case Metric.LongSum(n, f) => (n, "longSum", f)
+    case Metric.DoubleSum(n, f) => (n, "doubleSum", f)
+    case Metric.Min(n, f) => (n, "min", f)
+    case Metric.Max(n, f) => (n, "max", f)
+    case Metric.ThetaSketch(n, f) => (n, "thetaSketch", f)
+    case Metric.KllSketch(n, f) => (n, "quantilesDoublesSketch", f)
+    case Metric.First(n, f) => (n, "first", f)
+    case Metric.Last(n, f) => (n, "last", f)
+  }
+
+  def writeSegmentMeta(spark: SparkSession, path: String, spec: IngestSpec): Unit = {
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val aggs = spec.metrics.map(metricMeta).map { case (n, t, f) =>
+      s"""{"name":${js(n)},"type":${js(t)},"fieldName":${js(f)}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"timeColumn":${js(spec.timeColumn)},
+         |"rollup":${spec.queryGranularity.isDefined},
+         |"queryGranularity":${spec.queryGranularity.map(js).getOrElse("null")},
+         |"segmentGranularity":${js(spec.segmentGranularity)},
+         |"aggregators":$aggs}""".stripMargin
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readSegmentMeta(spark: SparkSession, path: String): Option[SegmentMeta] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      buf.toString("UTF-8")
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    import scala.jdk.CollectionConverters._
+    Some(SegmentMeta(
+      timeColumn = node.get("timeColumn").asText(),
+      rollup = node.get("rollup").asBoolean(),
+      queryGranularity =
+        Option(node.get("queryGranularity")).filterNot(_.isNull).map(_.asText()),
+      segmentGranularity = node.get("segmentGranularity").asText(),
+      aggregators = node.get("aggregators").elements().asScala.map(a =>
+        (a.get("name").asText(), a.get("type").asText(),
+          a.get("fieldName").asText())).toSeq))
+  }
 
   /** bucketed write: hash-bucket rows by join/group keys so repeated
     * joins and aggregations on those keys read co-located buckets and

@@ -57,6 +57,10 @@ object StreamingIngest {
       path: String,
       checkpoint: String): StreamingQuery = {
     val prepared = prepareStream(stream, spec)
+    // same segment-metadata sidecar as the batch path, so
+    // segmentMetadata's aggregators/rollup analyses work on streamed
+    // tables too (spec is fixed for the life of the query)
+    Ingest.writeSegmentMeta(stream.sparkSession, path, spec.ingest)
     prepared.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(spec.trigger)

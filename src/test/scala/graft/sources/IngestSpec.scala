@@ -42,6 +42,40 @@ class IngestSpecSuite extends SparkSpec {
     assert(first.getAs[String](BucketCol) == "2024-01-01T00")
   }
 
+  test("segment metadata sidecar: write, read back, serve analyses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_segmeta").toString
+    Ingest.ingest(raw, spec, dir)
+    val meta = Ingest.readSegmentMeta(spark, dir)
+    assert(meta.isDefined)
+    assert(meta.get.rollup && meta.get.queryGranularity.contains("PT1H"))
+    assert(meta.get.timeColumn == "ts" && meta.get.segmentGranularity == "P1D")
+    assert(meta.get.aggregators.map(_._1) == Seq("cnt", "sv", "sv2", "users_sk"))
+    // the sidecar must be invisible to the parquet reader
+    assert(Ingest.read(spark, dir).columns.toSet.contains("cnt"))
+
+    // segmentMetadata analyses through the native JSON wire format
+    val p = new graft.planner.NativePlanner(
+      spark, { case "ingested" => Ingest.read(spark, dir) },
+      resolveSegmentMeta = { case "ingested" => Ingest.readSegmentMeta(spark, dir)
+                             case _ => None })
+    val row = p.plan(
+      """{"queryType":"segmentMetadata","dataSource":"ingested",
+        |"analysisTypes":["aggregators","rollup","timestampSpec","queryGranularity"]}"""
+        .stripMargin).collect()(0)
+    assert(row.getAs[Boolean]("rollup"))
+    assert(row.getAs[String]("aggregators") ==
+      "cnt=count();sv=doubleSum(v);sv2=doubleSum(v2);users_sk=thetaSketch(user)")
+    assert(row.getAs[String]("timestampSpec_column") == "ts")
+    assert(row.getAs[String]("queryGranularity") == "PT1H")
+    // a table with no sidecar omits the metadata columns (no fabrication)
+    val bare = new graft.planner.NativePlanner(
+      spark, { case "ingested" => Ingest.read(spark, dir) })
+    val cols = bare.plan(
+      """{"queryType":"segmentMetadata","dataSource":"ingested",
+        |"analysisTypes":["aggregators","rollup"]}""".stripMargin).columns.toSet
+    assert(!cols.contains("aggregators") && !cols.contains("rollup"))
+  }
+
   test("write→read roundtrip with partition pruning; sketches fold at query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     Ingest.ingest(raw, spec, dir)
