@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Methodology: one warmup pass (JIT + codegen + file-listing caches),
-  * then each query timed once, fully materialized through the noop
+  * then each query timed min-of-3, fully materialized through the noop
   * sink (count() would let Catalyst prune the very work being
-  * measured).
+  * measured). Min-of-N reports steady-state latency and is robust to
+  * sandbox scheduling noise — the same methodology as the reference's
+  * JMH suite (warmup iterations + multiple measured iterations).
   */
 object Bench {
 
@@ -100,7 +102,8 @@ object Bench {
     }
 
     val results = headline.map { case (name, fn) =>
-      val sec = try time(run(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      val sec = try (1 to 3).map(_ => time(run(fn(spark, sfDir)))).min
+        catch { case _: Throwable => -1.0 }
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
