@@ -130,18 +130,18 @@ object Dedup {
     * the dedup "cluster assignment" step: LSH candidate pairs become
     * duplicate clusters, each cluster keeps one survivor.
     *
-    * Min-label propagation: every node starts labeled with its own id;
-    * each round every node takes the min label over itself and its
-    * neighbors. Each round is ONE shuffle (edge equi-join + min
-    * aggregation over (node, label) pairs — never materializes
-    * neighborhoods), and `localCheckpoint` truncates lineage so the
-    * plan stays O(1) across rounds. Convergence takes O(component
-    * diameter) rounds; near-dup clusters are shallow (stars around hub
-    * documents), so a handful of rounds suffices at corpus scale.
-    * For adversarially long path-graphs, switch the message join to the
-    * large-star/small-star pair of joins (Kiveris et al., "Connected
-    * Components in MapReduce", SOCC'14) — same primitive, O(log n)
-    * rounds; not needed for dedup-shaped graphs.
+    * Min-label propagation with pointer jumping: every node starts
+    * labeled with its own id; each round every node takes the min
+    * label over itself and its neighbors (one shuffle: edge equi-join
+    * + min aggregation over (node, label) pairs — never materializes
+    * neighborhoods), then labels jump one level (label := label of
+    * label — well-defined because a label is always some node's id).
+    * The jump halves the remaining propagation depth every round, so
+    * convergence is O(log diameter) — the complexity class of
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SOCC'14) with a simpler join pattern —
+    * instead of O(diameter) for plain propagation. `localCheckpoint`
+    * truncates lineage so the plan stays O(1) across rounds.
     *
     * `nodes` (optional, with its id column name) adds isolated nodes:
     * they come back labeled with their own id (singleton clusters).
@@ -175,8 +175,16 @@ object Dedup {
       val msgs = sym
         .join(labels.select(col("id").as("src"), col("cluster_id")), Seq("src"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.union(msgs)
+      val prop = labels.union(msgs)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      // pointer jump: label := that label's own label. Labels are node
+      // ids and only decrease, so the inner-joined parent row always
+      // exists and the jump is monotone — path doubling.
+      val next = prop
+        .join(
+          prop.select(col("id").as("cluster_id"), col("cluster_id").as("jump")),
+          Seq("cluster_id"))
+        .select(col("id"), col("jump").as("cluster_id"))
         .localCheckpoint()
       // converged when no label strictly decreased this round; limit(1)
       // stops the scan at the first witness.

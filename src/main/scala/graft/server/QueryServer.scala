@@ -35,9 +35,15 @@ import graft.planner.NativePlanner
 class QueryServer(
     spark: SparkSession,
     resolveTable: String => DataFrame,
-    port: Int = 0) {
+    port: Int = 0,
+    /** segment-metadata resolver for ingested tables (sidecar headers);
+      * backs segmentMetadata's aggregators/rollup/timestampSpec
+      * analyses over HTTP. */
+    resolveSegmentMeta: String => Option[graft.sources.Ingest.SegmentMeta] =
+      _ => None) {
 
-  private val planner = new NativePlanner(spark, resolveTable)
+  private val planner =
+    new NativePlanner(spark, resolveTable, resolveSegmentMeta = resolveSegmentMeta)
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 

@@ -69,13 +69,15 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 99L -> 99L), cc)
   }
 
-  test("connected components converge on a long path within maxIter") {
+  test("connected components: pointer jumping converges a long path in O(log d)") {
     import spark.implicits._
-    // 0-1-2-...-12: worst case for min-label propagation (diameter 12)
-    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(edges, "a", "b")
+    // 0-1-2-...-100: diameter 100. Plain propagation needs 100 rounds;
+    // with path doubling maxIter=10 must suffice (log2(100) ≈ 6.6).
+    val edges = (0L until 100L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b", maxIter = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc.size == 13 && cc.values.forall(_ == 0L), cc)
+    assert(cc.size == 101 && cc.values.forall(_ == 0L),
+      cc.filter(_._2 != 0L).take(5))
   }
 
   test("incremental dedup: fresh-only survives, batch-internal dups collapse") {
