@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -10,11 +10,16 @@ import graft.exprs.{toCol, toExpr}
 
 /** Dense-vector primitives over array<float> embedding columns, for
   * the similarity-search operators (brute-force and LSH/IVF paths).
-  * Tight primitive loops over ArrayData — `toFloatArray` is a single
-  * primitive copy when the array is unsafe-backed, so the per-pair
-  * cost is the fused dot/norm loop itself.
+  *
+  * Fully codegen'd: `doGenCode` emits the fused scoring loop directly
+  * into the whole-stage-generated class (reading elements straight off
+  * ArrayData — no boxing, no Float[] copy), so the corpus scan ×
+  * query broadcast join stays inside one WholeStageCodegen span. The
+  * interpreted path (`nullSafeEval`) mirrors the generated loop
+  * exactly — identical FP accumulation order, so results are
+  * bit-identical between modes.
   */
-abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallback {
+abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   protected def compute(a: Array[Float], b: Array[Float]): Double
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -23,6 +28,22 @@ abstract class VectorBinaryExpression extends BinaryExpression with CodegenFallb
     require(a.length == b.length, s"vector length mismatch: ${a.length} vs ${b.length}")
     java.lang.Double.valueOf(compute(a, b))
   }
+  /** java statements computing the score from ArrayData `a`/`b` of
+    * length `n` into the double variable `result`. */
+  protected def genCompute(
+      ctx: CodegenContext, a: String, b: String, n: String, result: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector length mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |${genCompute(ctx, a, b, n, ev.value)}
+       """.stripMargin
+    })
 }
 
 case class DotProductF32(left: Expression, right: Expression)
@@ -31,6 +52,17 @@ case class DotProductF32(left: Expression, right: Expression)
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
     s
+  }
+  override protected def genCompute(
+      ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val i = ctx.freshName("i"); val s = ctx.freshName("s")
+    s"""
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+       |}
+       |$result = $s;
+     """.stripMargin
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF32 =
     copy(left = l, right = r)
@@ -47,6 +79,22 @@ case class CosineSimilarityF32(left: Expression, right: Expression)
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  override protected def genCompute(
+      ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    s"""
+       |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  final double $x = (double) $a.getFloat($i);
+       |  final double $y = (double) $b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+       |}
+       |$result = ($na == 0.0 || $nb == 0.0)
+       |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+     """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarityF32 =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_f32"
@@ -58,6 +106,18 @@ case class L2DistanceF32(left: Expression, right: Expression)
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
     math.sqrt(s)
+  }
+  override protected def genCompute(
+      ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val i = ctx.freshName("i"); val s = ctx.freshName("s"); val d = ctx.freshName("d")
+    s"""
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  final double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+       |  $s += $d * $d;
+       |}
+       |$result = java.lang.Math.sqrt($s);
+     """.stripMargin
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistanceF32 =
     copy(left = l, right = r)
