@@ -45,12 +45,38 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 8,
       seed: Int = 42): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sigs = df.select(
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes, seed)
+    minhashCandidatesFromSignatures(sigs, "id", "sig", numHashes, bands)
+  }
+
+  /** per-document minhash signature table: (id, sig array<long>). At
+    * corpus scale compute this ONCE and write it out — signatures are
+    * tiny (numHashes longs per doc), every LSH pass (different band
+    * counts, incremental batches) reuses them, and the plan below
+    * otherwise re-derives them for each of its three reads. */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      seed: Int = 42): DataFrame =
+    df.select(
       col(idCol).as("id"),
       TextExpressions.minhashSignature(
         TextExpressions.wordShingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
+
+  /** banded LSH candidate pairs over a precomputed signature table —
+    * the staged form of `minhashCandidates`. */
+  def minhashCandidatesFromSignatures(
+      sigsIn: DataFrame,
+      idCol: String,
+      sigCol: String,
+      numHashes: Int = 64,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = sigsIn.select(col(idCol).as("id"), col(sigCol).as("sig"))
     // band key = (band index, hash of that band's signature slice);
     // hashing the slice keeps the shuffle key narrow. The collision
     // join carries ONLY (band, bucket, id) — signatures rejoin once

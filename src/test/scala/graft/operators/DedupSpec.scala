@@ -35,6 +35,15 @@ class DedupSpec extends SparkSpec {
     assert(exact._3 == 1.0, s"identical docs must have est_jaccard 1.0: $exact")
   }
 
+  test("staged signatures produce identical candidates to the fused path") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val staged = Dedup.minhashCandidatesFromSignatures(sigs, "id", "sig", bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fused = Dedup.minhashCandidates(docs, "doc_id", "text", bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(staged == fused && staged.nonEmpty)
+  }
+
   test("minhashVerified attaches exact jaccard and filters") {
     val v = Dedup.minhashVerified(docs, "doc_id", "text", minJaccard = 0.5)
       .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(3))).toMap
