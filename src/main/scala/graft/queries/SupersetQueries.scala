@@ -85,6 +85,34 @@ object SupersetQueries {
       .orderBy(k)
   }
 
+  /** ipv4 expression trio (reference IPv4Address*ExprMacro): stringify
+    * → parse round-trip + CIDR match, over synthesized 32-bit
+    * addresses; DuckDB replicates with octet arithmetic. */
+  val exprIpv4: Q = q(
+    "expr_ipv4",
+    """WITH x AS (
+      |  SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS a
+      |  FROM orders WHERE o_orderkey < 200)
+      |SELECT o_orderkey,
+      |       CAST((a // 16777216) % 256 AS VARCHAR) || '.' ||
+      |       CAST((a // 65536) % 256 AS VARCHAR) || '.' ||
+      |       CAST((a // 256) % 256 AS VARCHAR) || '.' ||
+      |       CAST(a % 256 AS VARCHAR) AS ip,
+      |       CAST(a AS BIGINT) AS parsed,
+      |       (a // 2147483648) = 1 AS in_subnet
+      |FROM x ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import graft.functions.DruidExpressions
+    val k = col("o_orderkey")
+    val a = (k * lit(2654435761L)) % lit(4294967296L)
+    Tables.orders(s, d).filter(k < 200)
+      .select(
+        k,
+        DruidExpressions.ipv4Stringify(a).as("ip"),
+        DruidExpressions.ipv4Parse(DruidExpressions.ipv4Stringify(a)).as("parsed"),
+        DruidExpressions.ipv4Match(a, lit("128.0.0.0/1")).as("in_subnet"))
+      .orderBy(k)
+  }
+
   /** string-typed first/last aggregators (reference stringFirst/stringLast). */
   val aggFirstLastString: Q = q(
     "agg_first_last_string",
@@ -202,7 +230,7 @@ object SupersetQueries {
   }
 
   val all: Seq[Q] = Seq(
-    windowRunningAgg, setopIntersectExcept, exprBitwise, aggFirstLastString,
-    druidSqlDialect, druidSqlMv, topnApprox, topnApproxContract,
-    multimodalMetaStats, multimodalPipeline)
+    windowRunningAgg, setopIntersectExcept, exprBitwise, exprIpv4,
+    aggFirstLastString, druidSqlDialect, druidSqlMv, topnApprox,
+    topnApproxContract, multimodalMetaStats, multimodalPipeline)
 }
