@@ -437,10 +437,56 @@ object NativeQueries4 {
       .orderBy(org.apache.spark.sql.functions.col("event_type"))
   }
 
+  /** materialized-view selection end to end (reference
+    * extensions-contrib/materialized-view-selection): a registered
+    * rollup view covers the groupBy's dims + aggregators, the planner
+    * transparently rewrites the query to scan the view with combining
+    * aggregators, and the answer must equal the base-table aggregation
+    * (which is exactly what the oracle computes). Registered under a
+    * query-private base name so the global registry can't affect other
+    * graded entries. */
+  val nativeMatviewRewrite: Q = q(
+    "native_matview_rewrite",
+    """SELECT l_returnflag,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.model._
+    import graft.planner.{MaterializedViews => MV}
+    val li = Tables.lineitem(s, d)
+    // the rollup an ingest job would maintain: strictly finer dims than
+    // the query needs, partial aggregates as stored columns
+    val view = li.groupBy(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_linestatus"))
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("l_quantity").cast("long")).as("sum_qty"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    MV.register("li_base", MV.MatView("li_by_flag_status",
+      Set("l_returnflag", "l_linestatus"),
+      Map("sum_qty" -> Aggregator.LongSum("sum_qty", "l_quantity"),
+        "cnt" -> Aggregator.Count("cnt"))))
+    new NativePlanner(s, {
+      // the base resolver throwing proves the rewrite engaged: a
+      // covered query must never touch the base table
+      case "li_base" =>
+        throw new IllegalStateException("matview rewrite did not engage")
+      case "li_by_flag_status" => view
+    }).plan(
+      """{"queryType": "groupBy", "dataSource": "li_base", "intervals": [],
+        |"granularity": "all", "dimensions": ["l_returnflag"],
+        |"aggregations": [
+        |  {"type": "longSum", "name": "sum_qty", "fieldName": "l_quantity"},
+        |  {"type": "count", "name": "cnt"}],
+        |"limitSpec": {"type": "default", "columns": [
+        |  {"dimension": "l_returnflag", "direction": "ascending"}]}}""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
     filterBoundStrlen, limitSpecVersion, nativeHllSketch,
     nativeSegmentMetadata, nativeFilteredEmptyGroup,
     nativeTopnDimensionOrder, nativeTimeformatExtraction,
-    nativeSpatialFilter, nativeTupleSketch)
+    nativeSpatialFilter, nativeTupleSketch, nativeMatviewRewrite)
 }
