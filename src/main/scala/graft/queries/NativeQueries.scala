@@ -191,6 +191,35 @@ object NativeQueries {
       .select(col("o_orderpriority"), col("cnt"), round(col("total"), 4).as("total"))
   }
 
+  /** globalTable datasource (reference GlobalTableDataSource:
+    * broadcast-replicated right side) through the JSON wire form —
+    * the join itself must plan as a broadcast hash join. */
+  val nativeGlobalTableJoin: Q = q(
+    "native_globaltable_join",
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": {
+        |    "type": "join",
+        |    "left": "customer",
+        |    "right": {"type": "globalTable", "name": "nation"},
+        |    "rightPrefix": "r_",
+        |    "condition": "c_nationkey == \"r_n_nationkey\"",
+        |    "joinType": "INNER"
+        |  },
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["r_n_name"],
+        |  "aggregations": [{"type": "count", "name": "cnt"}],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "r_n_name", "direction": "ascending"}]}
+        |}""".stripMargin)
+      .select(col("r_n_name").as("n_name"), col("cnt"))
+  }
+
   val nativeScan: Q = q(
     "native_scan",
     """SELECT event_id, user_id, event_type, round(value, 4) AS value
@@ -266,6 +295,6 @@ object NativeQueries {
 
   val all: Seq[Q] = Seq(
     nativeTimeseries, nativeTimeseriesZerofill, nativeExtractionDim, nativeTopN,
-    nativeGroupBy, nativeGroupByJoin, nativeScan, nativeSearch, nativeTimeBoundary,
-    nativeSubquery)
+    nativeGroupBy, nativeGroupByJoin, nativeGlobalTableJoin, nativeScan,
+    nativeSearch, nativeTimeBoundary, nativeSubquery)
 }
