@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -10,23 +10,15 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.exprs.{toCol, toExpr}
 
-/** MinHash signature over a token/shingle array — the primitive behind
-  * near-duplicate detection at corpus scale. k hash functions are
-  * derived from two murmur3 evaluations via the Kirsch-Mitzenmacher
-  * construction (h_i = h1 + i·h2), so each token is hashed twice
-  * regardless of k. Output: array<int> of k signature slots.
-  *
-  * Evaluated per-row with primitive loops (no allocation besides the
-  * output); used by graft.operators.Dedup's LSH banding join.
-  */
-case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
-  extends UnaryExpression with CodegenFallback {
-  require(numHashes > 0 && numHashes <= 1024)
+/** Shared per-row kernels for the text expressions below. Both the
+  * interpreted path (`nullSafeEval`) and the generated code (static
+  * call emitted by `doGenCode`) run EXACTLY these methods, so results
+  * are identical in both modes while the surrounding operators stay
+  * inside one WholeStageCodegen span (a CodegenFallback here would
+  * split the span and materialize rows around every call). */
+object TextKernels {
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def minhashSignature(arr: ArrayData, numHashes: Int, seed: Int): ArrayData = {
     val n = arr.numElements()
     val sig = new Array[Int](numHashes)
     java.util.Arrays.fill(sig, Int.MaxValue)
@@ -51,20 +43,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
     new GenericArrayData(sig)
   }
 
-  override protected def withNewChildInternal(c: Expression): MinHashSignature =
-    copy(child = c)
-  override def prettyName: String = "minhash_signature"
-}
-
-/** 64-bit SimHash over a token array: per-bit weighted vote of token
-  * hashes. Near-duplicate distance = bit_count(a ^ b) (built-in). */
-case class SimHash64(child: Expression, seed: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash64(arr: ArrayData, seed: Int): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -90,26 +69,11 @@ case class SimHash64(child: Expression, seed: Int)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash64 =
-    copy(child = c)
-  override def prettyName: String = "simhash64"
-}
-
-/** n-word shingles of a text column in ONE pass: whitespace-tokenize
-  * and emit sliding windows joined by ' '. The equivalent built-in
-  * Column tree (transform(sequence…, i => concat_ws(element_at(split…))))
-  * re-evaluates the regex split for every element — O(words²) per
-  * document; this is O(chars). */
-case class WordShingles(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
-  require(n >= 1)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  def wordShingles(str: UTF8String, n: Int): ArrayData = {
+    val s = str.toString
     val tokens = new java.util.ArrayList[String](64)
     var i = 0
     val len = s.length
@@ -138,6 +102,75 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
+  def signatureAgreement(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toIntArray()
+    val b = r.toIntArray()
+    val n = math.min(a.length, b.length)
+    var eq = 0; var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+}
+
+/** MinHash signature over a token/shingle array — the primitive behind
+  * near-duplicate detection at corpus scale. k hash functions are
+  * derived from two murmur3 evaluations via the Kirsch-Mitzenmacher
+  * construction (h_i = h1 + i·h2), so each token is hashed twice
+  * regardless of k. Output: array<int> of k signature slots.
+  * Codegen emits a single static kernel call (TextKernels) — the
+  * expression participates in whole-stage codegen. */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
+  extends UnaryExpression {
+  require(numHashes > 0 && numHashes <= 1024)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSignature(input.asInstanceOf[ArrayData], numHashes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.minhashSignature($c, $numHashes, $seed)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash over a token array: per-bit weighted vote of token
+  * hashes. Near-duplicate distance = bit_count(a ^ b) (built-in). */
+case class SimHash64(child: Expression, seed: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(TextKernels.simhash64(input.asInstanceOf[ArrayData], seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c, $seed)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** n-word shingles of a text column in ONE pass: whitespace-tokenize
+  * and emit sliding windows joined by ' '. The equivalent built-in
+  * Column tree (transform(sequence…, i => concat_ws(element_at(split…))))
+  * re-evaluates the regex split for every element — O(words²) per
+  * document; this is O(chars). */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordShingles($c, $n)")
+
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
   override def prettyName: String = "word_shingles"
@@ -148,16 +181,16 @@ case class WordShingles(child: Expression, n: Int)
   * runs over every LSH candidate pair, where an interpreted
   * zip_with/aggregate lambda chain is ~50× slower. */
 case class SignatureAgreement(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toIntArray()
-    val b = r.asInstanceOf[ArrayData].toIntArray()
-    val n = math.min(a.length, b.length)
-    var eq = 0; var i = 0
-    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
-    java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(TextKernels.signatureAgreement(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.signatureAgreement($a, $b)")
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SignatureAgreement =
     copy(left = l, right = r)
   override def prettyName: String = "signature_agreement"
