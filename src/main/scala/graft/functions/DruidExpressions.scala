@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,36 +44,61 @@ object Ipv4 {
   }
 }
 
-case class Ipv4Parse(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Ipv4Parse(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   // returns null on malformed input even for non-null children
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any = Ipv4.parse(v.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val t = ctx.freshName("parsed")
+      s"""
+         |java.lang.Long $t = graft.functions.Ipv4.parse($c.toString());
+         |if ($t == null) { ${ev.isNull} = true; } else { ${ev.value} = $t.longValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Ipv4Parse = copy(c)
   override def prettyName: String = "ipv4_parse"
 }
 
-case class Ipv4Stringify(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Ipv4Stringify(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
     UTF8String.fromString(Ipv4.stringify(v.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Ipv4.stringify($c))")
   override protected def withNewChildInternal(c: Expression): Ipv4Stringify = copy(c)
   override def prettyName: String = "ipv4_stringify"
 }
 
 /** left: address (long or dotted string), right: CIDR subnet string. */
 case class Ipv4Match(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = BooleanType
   // returns null on malformed address/subnet even for non-null children
   override def nullable: Boolean = true
-  override def nullSafeEval(a: Any, s: Any): Any = {
+  /** boxed evaluation shared by the interpreted and generated paths
+    * (generated code autoboxes the primitive address into Object). */
+  def matchBoxed(a: Any, s: Any): java.lang.Boolean = {
     val addr: java.lang.Long = left.dataType match {
       case LongType => java.lang.Long.valueOf(a.asInstanceOf[Long])
       case IntegerType => java.lang.Long.valueOf(a.asInstanceOf[Int].toLong)
       case _ => Ipv4.parse(a.toString)
     }
     if (addr == null) null else Ipv4.matches(addr.longValue(), s.toString)
+  }
+  override def nullSafeEval(a: Any, s: Any): Any = matchBoxed(a, s)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ipv4Match", this)
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val t = ctx.freshName("matched")
+      s"""
+         |java.lang.Boolean $t = $ref.matchBoxed($a, $s);
+         |if ($t == null) { ${ev.isNull} = true; } else { ${ev.value} = $t.booleanValue(); }
+       """.stripMargin
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Ipv4Match =
     copy(left = l, right = r)
@@ -88,9 +113,14 @@ case class Ipv4Match(left: Expression, right: Expression)
   * lengths fall back to digit order). Sorting by this key distributes
   * through Spark's range-partitioned sort with no custom ordering. */
 case class AlphanumericSortKey(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any = {
+  override def nullSafeEval(v: Any): Any = keyFor(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("alnumKey", this)
+    defineCodeGen(ctx, ev, c => s"$ref.keyFor($c)")
+  }
+  def keyFor(v: UTF8String): UTF8String = {
     val s = v.toString
     val out = new java.lang.StringBuilder(s.length + 8)
     var i = 0
@@ -129,9 +159,14 @@ case class AlphanumericSortKey(child: Expression)
   * byte order. Divergence: maven's '-'-sublist subtleties (1-1 vs
   * 1.1) collapse — both separators rank equally. */
 case class VersionSortKey(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any = {
+  override def nullSafeEval(v: Any): Any = keyFor(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("versionKey", this)
+    defineCodeGen(ctx, ev, c => s"$ref.keyFor($c)")
+  }
+  def keyFor(v: UTF8String): UTF8String = {
     val s = v.toString.toLowerCase(java.util.Locale.ROOT)
     // tokenize on separators + letter/digit boundaries
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]

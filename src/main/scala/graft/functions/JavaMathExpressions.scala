@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 
@@ -8,14 +8,14 @@ import org.apache.spark.sql.types._
   * functions (core/.../math/expr/Function.java: cot, copySign,
   * getExponent, nextUp, nextAfter, remainder, scalb, ulp, and the
   * Double bit conversions). Spark has no built-ins for these; each
-  * delegates to java.lang.Math so the semantics (subnormal handling,
-  * signed zero, NaN propagation) are bit-exact with the reference's
-  * evaluator, which calls the same methods. Off the hot path by
-  * nature — scalar oddities, not aggregation kernels. Callers cast
-  * inputs to double/long at registration (DruidFunctions).
+  * generates the same java.lang.Math call the reference's evaluator
+  * makes, so the semantics (subnormal handling, signed zero, NaN
+  * propagation) are bit-exact — and fully codegen'd, the expressions
+  * stay inside whole-stage spans. Callers cast inputs to double/long
+  * at registration (DruidFunctions).
   */
 case class JavaMathUnary(child: Expression, fn: String)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = fn match {
     case "getExponent" => IntegerType
     case "doubleToLongBits" => LongType
@@ -32,21 +32,33 @@ case class JavaMathUnary(child: Expression, fn: String)
       case o => throw new UnsupportedOperationException(o)
     }
   }
+  private def javaCall(c: String): String = fn match {
+    case "cot" => s"1.0 / java.lang.Math.tan($c)"
+    case "nextUp" => s"java.lang.Math.nextUp($c)"
+    case "ulp" => s"java.lang.Math.ulp($c)"
+    case "getExponent" => s"java.lang.Math.getExponent($c)"
+    case "doubleToLongBits" => s"java.lang.Double.doubleToLongBits($c)"
+    case o => throw new UnsupportedOperationException(o)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, javaCall)
   override protected def withNewChildInternal(c: Expression): JavaMathUnary = copy(child = c)
   override def prettyName: String = fn.toLowerCase
 }
 
 case class LongBitsToDouble(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any =
     java.lang.Double.longBitsToDouble(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.longBitsToDouble($c)")
   override protected def withNewChildInternal(c: Expression): LongBitsToDouble = copy(c)
   override def prettyName: String = "bitwiseconvertlongbitstodouble"
 }
 
 case class JavaMathBinary(left: Expression, right: Expression, fn: String)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Double]
@@ -59,6 +71,15 @@ case class JavaMathBinary(left: Expression, right: Expression, fn: String)
       case o => throw new UnsupportedOperationException(o)
     }
   }
+  private def javaCall(a: String, b: String): String = fn match {
+    case "copySign" => s"java.lang.Math.copySign($a, $b)"
+    case "nextAfter" => s"java.lang.Math.nextAfter($a, $b)"
+    case "remainder" => s"java.lang.Math.IEEEremainder($a, $b)"
+    case "scalb" => s"java.lang.Math.scalb($a, (int) $b)"
+    case o => throw new UnsupportedOperationException(o)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, javaCall)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JavaMathBinary =
     copy(left = l, right = r)
   override def prettyName: String = fn.toLowerCase
