@@ -134,7 +134,9 @@ object Similarity {
     * quantization error), so it serves as the cheap first-pass scorer
     * that a small exact re-rank follows. The fold order (left fold over
     * vector positions) is fixed so the norm — and therefore every code
-    * — is bit-reproducible across engines. */
+    * — is bit-reproducible across engines. Zero vectors have no
+    * direction: their codes come back null (0/0) — filter them
+    * upstream. */
   def quantizeUnitInt8(vec: Column): Column = {
     val norm = sqrt(aggregate(
       transform(vec, x => x.cast("double") * x.cast("double")),

@@ -34,6 +34,20 @@ class TextCorpusSpec extends SparkSpec {
     assert(math.abs(lp(1L) - exp1) < 1e-9, s"${lp(1L)} vs $exp1")
   }
 
+  test("packBinsSharded packs each shard independently") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b", "s1"), (2L, "a b c", "s1"),
+      (3L, "d d a", "s2"), (4L, "x y", "s2")
+    ).toDF("doc_id", "text", "src")
+    // budget 4 within each shard: s1 -> doc1 bin0, doc2 bin1 (starts at 4);
+    // s2 restarts at offset 0 -> doc3 bin0, doc4 bin0 (starts at 3)
+    val bins = TextCorpus.packBinsSharded(docs, "doc_id", "text", "src", budget = 4)
+      .collect().map(r => r.getLong(1) -> (r.getString(0), r.getLong(3))).toMap
+    assert(bins == Map(
+      1L -> ("s1", 0L), 2L -> ("s1", 1L), 3L -> ("s2", 0L), 4L -> ("s2", 0L)), bins)
+  }
+
   test("packBins assigns bins by start offset of the concatenated stream") {
     // budget 4: doc1 starts at 0 (bin 0), doc2 at 4 (bin 1), doc3 at 7 (bin 1)
     val bins = TextCorpus.packBins(docs, "doc_id", "text", budget = 4)
