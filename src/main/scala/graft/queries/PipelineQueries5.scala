@@ -75,5 +75,57 @@ object PipelineQueries5 {
       .orderBy(col("bin"))
   }
 
-  val all: Seq[Q] = Seq(vocabCoverage, unigramLogProb, packSequences)
+  /** the whole curation pipeline composed end to end: quality-score
+    * filter (threshold 0.74 sits 5e-4 from the nearest document score,
+    * so cross-engine libm ulps cannot flip a row) → exact dedup
+    * (min-id survivor per normalized fingerprint) → deterministic
+    * 80/10/10 split → per-split doc and token counts. Grades that the
+    * operators CHAIN, not just that each works alone. */
+  val pipelineEndToEnd: Q = q(
+    "pipeline_end_to_end",
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |         1.0 / (1.0 + exp(-(-2.0 + 0.5*ln(1 + length(text))
+      |           + 4.0*(CAST(len(list_filter(string_split(text, ' '),
+      |                x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+      |                                    'that','for','on','with','as','are','was','be','this'], x)))
+      |                AS DOUBLE) / len(string_split(text, ' ')))
+      |           - 3.0*(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |                AS DOUBLE) / length(text))))) AS q
+      |  FROM documents),
+      |kept AS (SELECT doc_id, text FROM f WHERE q >= 0.74),
+      |ded AS (
+      |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      |  FROM kept
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      |sp AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN b < 8000 THEN 'train'
+      |              WHEN b < 9000 THEN 'test' ELSE 'val' END AS split
+      |  FROM (SELECT doc_id, text,
+      |               ((doc_id + 13) % 1000003) * 2654435761 % 2147483647 % 10000 AS b
+      |        FROM ded))
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.{Dedup, Sampling, TextAnalysis}
+    val docs = Tables.documents(s, d)
+    val toksOf = split(col("text"), " ")
+    val logLen = log(lit(1) + length(col("text")))
+    val swRatio = TextAnalysis.stopwordCount(toksOf).cast("double") / size(toksOf)
+    val digitRatio = TextAnalysis.digitCount(col("text")).cast("double") / length(col("text"))
+    val quality = lit(1.0) / (lit(1.0) +
+      exp(-(lit(-2.0) + lit(0.5) * logLen + lit(4.0) * swRatio - lit(3.0) * digitRatio)))
+    val kept = docs.filter(quality >= 0.74).select(col("doc_id"), col("text"))
+    val deduped = Dedup.exact(kept, "doc_id", "text")
+    Sampling.split(deduped, "doc_id",
+      weights = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1), salt = 13L)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      .orderBy(col("split"))
+  }
+
+  val all: Seq[Q] = Seq(
+    vocabCoverage, unigramLogProb, packSequences, pipelineEndToEnd)
 }
