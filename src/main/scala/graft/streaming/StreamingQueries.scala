@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Continuous forms of the engine's query shapes over a stream —
+  * the "immediately queryable realtime data" half of the reference's
+  * ingestion story (SURVEY §2.10), expressed as watermarked windowed
+  * aggregations instead of queries against an in-memory index.
+  *
+  * Semantics: append output mode — a time bucket emits exactly once,
+  * when the watermark passes its end, so downstream consumers see the
+  * same rows a batch timeseries/topN over the landed data would
+  * produce. State is one row per (bucket[, dim]) within the watermark
+  * horizon; the engine evicts closed windows.
+  */
+object StreamingQueries {
+
+  /** streaming timeseries: tumbling-granularity aggregation keyed by
+    * bucket start (emitted as `__time`, matching the batch timeseries
+    * output shape). */
+  def timeseries(
+      stream: DataFrame,
+      tsCol: String,
+      granularity: String, // window duration, e.g. "1 hour"
+      watermark: String,
+      aggs: Seq[Column]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), granularity).as("__bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__time", col("__bucket.start"))
+      .drop("__bucket")
+
+  /** streaming per-bucket dimension aggregates — the input to a topN.
+    * Ranking needs the bucket CLOSED (a later row could reorder), so
+    * the per-(bucket, dim) aggregation streams in append mode and the
+    * rank runs batch-side per micro-batch of closed buckets: pass the
+    * result to `rankClosedBuckets` inside foreachBatch (or over the
+    * landed table). */
+  def topNAggregates(
+      stream: DataFrame,
+      tsCol: String,
+      dimCol: String,
+      granularity: String,
+      watermark: String,
+      metricAgg: Column): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), granularity).as("__bucket"), col(dimCol))
+      .agg(metricAgg.as("__metric"))
+      .withColumn("__time", col("__bucket.start"))
+      .drop("__bucket")
+
+  /** batch-side rank of closed-bucket aggregates (use in foreachBatch
+    * after `topNAggregates`, or over the landed table). */
+  def rankClosedBuckets(closed: DataFrame, dimCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("__time"))
+      .orderBy(col("__metric").desc, col(dimCol).asc)
+    closed.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+  }
+}

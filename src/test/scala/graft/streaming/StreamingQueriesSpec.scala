@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamingQueriesSpec extends SparkSpec {
+
+  private def m(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+
+  test("streaming timeseries emits closed hourly buckets once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Long)]
+    val stream = mem.toDF.toDF("user_id", "v", "tsMs")
+      .select(col("user_id"), col("v"), timestamp_millis(col("tsMs")).as("ts"))
+    val q = StreamingQueries.timeseries(
+      stream, "ts", "1 hour", "10 minutes",
+      Seq(count(lit(1)).as("cnt"), sum(col("v")).as("sv")))
+      .writeStream.format("memory").queryName("sq_ts").outputMode("append").start()
+
+    mem.addData(
+      (1L, 1.0, m("2024-01-01T00:10:00Z")),
+      (2L, 2.0, m("2024-01-01T00:50:00Z")),
+      (3L, 4.0, m("2024-01-01T01:20:00Z")))
+    q.processAllAvailable()
+    // advance the watermark far past hour 0 and hour 1
+    mem.addData((4L, 8.0, m("2024-01-01T03:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sq_ts")
+      .select(col("__time").cast("long"), col("cnt"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(
+      (m("2024-01-01T00:00:00Z") / 1000, 2L, 3.0),
+      (m("2024-01-01T01:00:00Z") / 1000, 1L, 4.0)), rows)
+  }
+
+  test("streaming topN aggregates rank per closed bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long)]
+    val stream = mem.toDF.toDF("dim", "v", "tsMs")
+      .select(col("dim"), col("v"), timestamp_millis(col("tsMs")).as("ts"))
+    val q = StreamingQueries.topNAggregates(
+      stream, "ts", "dim", "1 hour", "5 minutes", sum(col("v")))
+      .writeStream.format("memory").queryName("sq_topn").outputMode("append").start()
+
+    mem.addData(
+      ("a", 1.0, m("2024-01-01T00:01:00Z")),
+      ("b", 5.0, m("2024-01-01T00:02:00Z")),
+      ("a", 3.0, m("2024-01-01T00:03:00Z")),
+      ("c", 2.0, m("2024-01-01T00:04:00Z")))
+    q.processAllAvailable()
+    mem.addData(("z", 0.0, m("2024-01-01T02:00:00Z"))) // close hour 0
+    q.processAllAvailable()
+    q.stop()
+
+    val top2 = StreamingQueries.rankClosedBuckets(
+      spark.table("sq_topn").filter(col("__time") === lit("2024-01-01 00:00:00").cast("timestamp")),
+      "dim", k = 2)
+      .select("dim", "__metric", "__rank")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq.sortBy(_._3)
+    assert(top2 == Seq(("b", 5.0, 1), ("a", 4.0, 2)), top2)
+  }
+}
