@@ -45,8 +45,11 @@ object Similarity {
     if (nPlanes == 0) return lit(0) // degenerate: one bucket ≡ exhaustive
     val bits = (0 until nPlanes).map { p =>
       // ±1 weight per (plane, dim index) from a 32-bit hash
+      // productHash is deprecated but its VALUES are load-bearing:
+      // bucket assignments must stay stable across library versions
+      // (a re-bucketed corpus would need a full re-index)
       val weights = array((0 until dim).map { i =>
-        lit(if (scala.util.hashing.MurmurHash3.productHash((seed, p, i)) > 0) 1.0f else -1.0f)
+        lit(if ((scala.util.hashing.MurmurHash3.productHash((seed, p, i)): @scala.annotation.nowarn) > 0) 1.0f else -1.0f)
       }: _*)
       val dot = aggregate(
         zip_with(vec, weights, (x, w) => x * w),

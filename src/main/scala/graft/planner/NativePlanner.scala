@@ -519,7 +519,7 @@ class NativePlanner(
             df.agg(aggs.head, aggs.tail: _*)
               .withColumn(timeColumn, lit(null).cast("timestamp")))(
             (d, p) => d.withColumn(p.name, postAggToColumn(p, Some(d.schema))))
-          ordered.unionByName(total.select(ordered.columns.map(col): _*))
+          ordered.unionByName(total.select(ordered.columns.toIndexedSeq.map(col): _*))
         }
       case None => withPost
     }
