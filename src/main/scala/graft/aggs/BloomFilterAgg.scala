@@ -5,7 +5,6 @@ import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -71,12 +70,21 @@ case class BloomFilterAgg(
   override def prettyName: String = "bloom_filter"
 }
 
-/** BLOOM_FILTER_TEST(value, serializedFilter). */
+/** BLOOM_FILTER_TEST(value, serializedFilter). Hot path: this runs as
+  * a per-row FILTER probe, so (a) it participates in whole-stage
+  * codegen and (b) the generated class caches the deserialized filter
+  * in per-task mutable state, re-wrapping only when the filter bytes
+  * change (for the common literal/broadcast filter: wrapped exactly
+  * once per task instead of once per row). */
 case class BloomFilterTest(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = BooleanType
+
+  /** wrap used by both paths (public: called from generated code). */
+  def wrapBytes(bin: Array[Byte]): BloomFilter = BloomFilter.wrap(Memory.wrap(bin))
+
   override def nullSafeEval(v: Any, bin: Any): Any = {
-    val bf = BloomFilter.wrap(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
+    val bf = wrapBytes(bin.asInstanceOf[Array[Byte]])
     val hit = left.dataType match {
       case StringType => bf.query(v.asInstanceOf[UTF8String].toString)
       case LongType => bf.query(v.asInstanceOf[Long])
@@ -88,6 +96,33 @@ case class BloomFilterTest(left: Expression, right: Expression)
     }
     java.lang.Boolean.valueOf(hit)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val bfClass = classOf[BloomFilter].getName
+    val ref = ctx.addReferenceObj("bloomTest", this)
+    val cachedFilter = ctx.addMutableState(bfClass, "bloomWrapped")
+    val cachedBytes = ctx.addMutableState("byte[]", "bloomBytes")
+    val queryCall = left.dataType match {
+      case StringType => (v: String) => s"$cachedFilter.query($v.toString())"
+      case LongType | IntegerType => (v: String) => s"$cachedFilter.query((long) $v)"
+      case DoubleType | FloatType => (v: String) => s"$cachedFilter.query((double) $v)"
+      case BinaryType => (v: String) => s"$cachedFilter.query($v)"
+      case dt => throw new UnsupportedOperationException(s"bloom test over $dt")
+    }
+    nullSafeCodeGen(ctx, ev, (v, bin) => {
+      s"""
+         |if ($bin != $cachedBytes) {
+         |  $cachedFilter = $ref.wrapBytes($bin);
+         |  $cachedBytes = $bin;
+         |}
+         |${ev.value} = ${queryCall(v)};
+       """.stripMargin
+    })
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomFilterTest =
     copy(left = l, right = r)
   override def prettyName: String = "bloom_filter_test"
