@@ -166,6 +166,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The production quantized-ANN pattern in one call: integer int8
+    * first pass takes the top kPrime candidates per query (cheap scan,
+    * no FP), then ONLY those kPrime rows re-join their float vectors
+    * for an exact cosine re-rank to top-k. The corpus is scanned once
+    * with codes; full vectors shuffle only for queries × kPrime rows.
+    * kPrime ≈ 3–4× k recovers brute-force quality at a fraction of
+    * the score cost. */
+  def quantizedRerankTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, kPrime: Int): DataFrame = {
+    require(kPrime >= k, "kPrime must be >= k")
+    val cands = quantizedTopK(queries, qidCol, qvecCol, corpus, idCol, vecCol, kPrime)
+      .select(col("qid"), col("id"))
+    val q = broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")))
+    val exact = cands
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("id"),
+        VectorExpressions.cosineF32(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: score only corpus rows sharing
     * the query's bucket. Brute-force fallback quality is recovered by
     * lowering nPlanes (bigger buckets) or multi-probing. */

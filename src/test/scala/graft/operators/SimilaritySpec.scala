@@ -88,6 +88,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized first pass + exact re-rank recovers brute-force top-k") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 2654435761L + i * 40503L) % 1000L) / 500.0f) - 1.0f)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" < 3)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val rr = sets(Similarity.quantizedRerankTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5, kPrime = 15))
+    val exact = sets(Similarity.bruteForceTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5))
+    assert(rr == exact, s"$rr vs $exact")
+  }
+
   test("cosine/dot/l2 expression values") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
