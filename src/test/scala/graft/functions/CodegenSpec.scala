@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions._
+
+/** Regression guard: the hot-path custom expressions must participate
+  * in whole-stage codegen. A fallback regression (e.g. re-adding
+  * CodegenFallback) silently splits the generated span and
+  * materializes rows around every call — this spec fails instead.
+  * Sources are `spark.range` (codegen'd scans): local Seq-based frames
+  * constant-fold through ConvertToLocalRelation and never reach the
+  * codegen stage at all. */
+class CodegenSpec extends SparkSpec {
+
+  /** expression appears inside some WholeStageCodegen subtree. */
+  private def inCodegenSpan(df: DataFrame, marker: String): Boolean =
+    df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }.exists(_.toString.contains(marker))
+
+  private def rangeDocs = spark.range(8)
+    .select(col("id"), concat(lit("tok"), col("id").cast("string"),
+      lit(" a b c d")).as("text"))
+
+  test("vector, text, sort-key, and bloom expressions stay inside codegen spans") {
+    val emb = spark.range(8)
+      .select(col("id"), array(col("id").cast("float"), lit(1.0f)).as("v"))
+    assert(inCodegenSpan(
+      emb.select(VectorExpressions.cosineF32(col("v"), col("v")).as("c"))
+        .filter(col("c") > 0),
+      "cosine_f32"))
+
+    assert(inCodegenSpan(
+      rangeDocs.select(TextExpressions.minhashSignature(
+        TextExpressions.wordShingles(col("text"), 2)).as("s")),
+      "minhash_signature"))
+
+    // projection only: an orderBy adds an exchange and AQE then hides
+    // the subtree from executedPlan until materialization
+    assert(inCodegenSpan(
+      rangeDocs.select(DruidExpressions.alphanumericSortKey(col("text")).as("k")),
+      "alphanumeric_sort_key"))
+
+    // literal (pre-built) bloom filter probed per row — the hot filter shape
+    val bf = rangeDocs.select(graft.aggs.bloom.bloomFilter(col("text")).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(inCodegenSpan(
+      rangeDocs.filter(graft.aggs.bloom.bloomFilterTest(col("text"), lit(bf))),
+      "bloom_filter_test"))
+  }
+}
