@@ -12,11 +12,21 @@ import graft.plans.NanoTimePushdown
   *    injection (the SparkSessionExtensions path).
   */
 object GraftSession {
+  /** idempotent per session: setup is called from every front door
+    * (NativePlanner, QueryServer, the driver mains), so re-entry must
+    * not re-register ~100 functions (each re-registration logs a
+    * replacement WARN and races concurrent query compilation). */
+  private val wired = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def setup(spark: SparkSession): SparkSession = {
-    functions.DruidFunctions.registerAll(spark)
-    if (!spark.experimental.extraOptimizations.contains(NanoTimePushdown))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ NanoTimePushdown
+    if (wired.add(spark)) {
+      functions.DruidFunctions.registerAll(spark)
+      if (!spark.experimental.extraOptimizations.contains(NanoTimePushdown))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ NanoTimePushdown
+    }
     spark
   }
 }
