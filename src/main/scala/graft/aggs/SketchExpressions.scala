@@ -5,34 +5,41 @@ import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.datasketches.theta.SetOperation
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 import graft.exprs.{toCol, toExpr}
 
 /** Sketch post-aggregators (reference: theta/sql SketchEstimate +
   * set-op post-aggs, quantiles DoublesSketchToQuantile) as scalar
-  * Catalyst expressions over sketch binaries. These run on aggregated
-  * (small) results, so interpreted eval is off the hot path by
-  * construction.
+  * Catalyst expressions over sketch binaries. Usually post-agg
+  * (small inputs), but they ALSO run per stored row when scanning
+  * rollup tables with sketch metric columns (per-bucket uniques
+  * without re-aggregation), so each generates a single kernel call
+  * via an expression reference — no CodegenFallback span split.
   */
 case class ThetaEstimate(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(v: Any): Any =
-    ThetaSketchAgg.wrap(v.asInstanceOf[Array[Byte]]).getEstimate
+  def estimate(bin: Array[Byte]): Double = ThetaSketchAgg.wrap(bin).getEstimate
+  override def nullSafeEval(v: Any): Any = estimate(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thetaEst", this)
+    defineCodeGen(ctx, ev, c => s"$ref.estimate($c)")
+  }
   override protected def withNewChildInternal(c: Expression): ThetaEstimate = copy(c)
   override def prettyName: String = "theta_sketch_estimate"
 }
 
 /** op: 0=union, 1=intersect, 2=aNotB (reference theta/sql set ops). */
 case class ThetaSetOp(left: Expression, right: Expression, op: Int)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = ThetaSketchAgg.wrap(a.asInstanceOf[Array[Byte]])
-    val sb = ThetaSketchAgg.wrap(b.asInstanceOf[Array[Byte]])
+  def setOp(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = ThetaSketchAgg.wrap(a)
+    val sb = ThetaSketchAgg.wrap(b)
     val out = op match {
       case 0 =>
         val u = SetOperation.builder().buildUnion()
@@ -45,6 +52,12 @@ case class ThetaSetOp(left: Expression, right: Expression, op: Int)
     }
     out.toByteArray
   }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    setOp(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thetaSetOp", this)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.setOp($a, $b)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaSetOp =
     copy(left = l, right = r)
   override def prettyName: String =
@@ -55,24 +68,34 @@ case class ThetaSetOp(left: Expression, right: Expression, op: Int)
   * datasketches/hll/HllSketchToEstimateWithBoundsPostAggregator.java):
   * [estimate, lowerBound, upperBound] at numStdDev. */
 case class HllEstimateBounds(child: Expression, numStdDevs: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val sk = org.apache.datasketches.hll.HllSketch.heapify(
-      Memory.wrap(v.asInstanceOf[Array[Byte]]))
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+  def bounds(bin: Array[Byte]): ArrayData = {
+    val sk = org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(bin))
+    ArrayData.toArrayData(
       Array(sk.getEstimate, sk.getLowerBound(numStdDevs), sk.getUpperBound(numStdDevs)))
+  }
+  override def nullSafeEval(v: Any): Any = bounds(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hllBounds", this)
+    defineCodeGen(ctx, ev, c => s"$ref.bounds($c)")
   }
   override protected def withNewChildInternal(c: Expression): HllEstimateBounds = copy(child = c)
   override def prettyName: String = "hll_sketch_estimate_with_bounds"
 }
 
 case class KllQuantile(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  def quantile(bin: Array[Byte], rank: Double): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bin))
+      .getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
   override def nullSafeEval(bin: Any, rank: Any): Any =
-    KllDoublesSketch.heapify(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
-      .getQuantile(rank.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+    quantile(bin.asInstanceOf[Array[Byte]], rank.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllQuantile", this)
+    defineCodeGen(ctx, ev, (b, r) => s"$ref.quantile($b, $r)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile =
     copy(left = l, right = r)
   override def prettyName: String = "kll_quantile"
@@ -82,16 +105,21 @@ case class KllQuantile(left: Expression, right: Expression)
   * (reference DoublesSketchToHistogram / ToCDF post-aggregators):
   * histogram = PMF mass × n per bin; CDF = cumulative ranks. */
 case class KllToHistogram(left: Expression, right: Expression, cdf: Boolean)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullSafeEval(bin: Any, splitsAny: Any): Any = {
-    val sk = KllDoublesSketch.heapify(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
-    val splits = splitsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toDoubleArray()
+  def hist(bin: Array[Byte], splitsArr: ArrayData): ArrayData = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bin))
+    val splits = splitsArr.toDoubleArray()
     val out =
       if (cdf) sk.getCDF(splits, QuantileSearchCriteria.INCLUSIVE)
       else sk.getPMF(splits, QuantileSearchCriteria.INCLUSIVE).map(_ * sk.getN)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new GenericArrayData(out)
+  }
+  override def nullSafeEval(bin: Any, splitsAny: Any): Any =
+    hist(bin.asInstanceOf[Array[Byte]], splitsAny.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllHist", this)
+    defineCodeGen(ctx, ev, (b, s) => s"$ref.hist($b, $s)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllToHistogram =
     copy(left = l, right = r)
@@ -101,14 +129,18 @@ case class KllToHistogram(left: Expression, right: Expression, cdf: Boolean)
 /** multiple quantiles at once → array<double> (reference
   * quantilesFromTDigestSketch / momentSketchSolveQuantiles shapes). */
 case class KllQuantiles(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullSafeEval(bin: Any, fracsAny: Any): Any = {
-    val sk = KllDoublesSketch.heapify(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
-    val fracs = fracsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toDoubleArray()
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      fracs.map(f => sk.getQuantile(f, QuantileSearchCriteria.INCLUSIVE)))
+  def quantiles(bin: Array[Byte], fracsArr: ArrayData): ArrayData = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bin))
+    new GenericArrayData(
+      fracsArr.toDoubleArray().map(f => sk.getQuantile(f, QuantileSearchCriteria.INCLUSIVE)))
+  }
+  override def nullSafeEval(bin: Any, fracsAny: Any): Any =
+    quantiles(bin.asInstanceOf[Array[Byte]], fracsAny.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllQuantiles", this)
+    defineCodeGen(ctx, ev, (b, f) => s"$ref.quantiles($b, $f)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantiles =
     copy(left = l, right = r)
@@ -116,11 +148,17 @@ case class KllQuantiles(left: Expression, right: Expression)
 }
 
 case class KllRank(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  def rank(bin: Array[Byte], value: Double): Double =
+    KllDoublesSketch.heapify(Memory.wrap(bin))
+      .getRank(value, QuantileSearchCriteria.INCLUSIVE)
   override def nullSafeEval(bin: Any, value: Any): Any =
-    KllDoublesSketch.heapify(Memory.wrap(bin.asInstanceOf[Array[Byte]]))
-      .getRank(value.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+    rank(bin.asInstanceOf[Array[Byte]], value.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllRank", this)
+    defineCodeGen(ctx, ev, (b, v) => s"$ref.rank($b, $v)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
     copy(left = l, right = r)
   override def prettyName: String = "kll_rank"

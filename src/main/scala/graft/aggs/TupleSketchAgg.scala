@@ -8,7 +8,7 @@ import org.apache.datasketches.tuple.arrayofdoubles.{
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -124,11 +124,15 @@ object TupleSketchAgg {
 
 /** distinct-key estimate of a tuple sketch binary. */
 case class TupleEstimate(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(v: Any): Any =
-    ArrayOfDoublesSketches.wrapSketch(
-      Memory.wrap(v.asInstanceOf[Array[Byte]])).getEstimate
+  def estimate(bin: Array[Byte]): Double =
+    ArrayOfDoublesSketches.wrapSketch(Memory.wrap(bin)).getEstimate
+  override def nullSafeEval(v: Any): Any = estimate(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tupleEst", this)
+    defineCodeGen(ctx, ev, c => s"$ref.estimate($c)")
+  }
   override protected def withNewChildInternal(c: Expression): TupleEstimate = copy(c)
   override def prettyName: String = "tuple_sketch_estimate"
 }
@@ -140,11 +144,10 @@ case class TupleEstimate(child: Expression)
   * ArrayOfDoublesSketchToMetricsSumEstimate post-agg's actual return
   * shape); the sketch binary itself carries numValues. */
 case class TupleMetricsSumAll(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullSafeEval(bin: Any): Any = {
-    val sk = ArrayOfDoublesSketches.wrapSketch(
-      Memory.wrap(bin.asInstanceOf[Array[Byte]]))
+  def sums(bin: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sk = ArrayOfDoublesSketches.wrapSketch(Memory.wrap(bin))
     val sums = new Array[Double](sk.getNumValues)
     val it = sk.iterator()
     while (it.next()) {
@@ -156,22 +159,31 @@ case class TupleMetricsSumAll(child: Expression)
     while (i < sums.length) { sums(i) /= sk.getTheta; i += 1 }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sums)
   }
+  override def nullSafeEval(bin: Any): Any = sums(bin.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tupleSums", this)
+    defineCodeGen(ctx, ev, c => s"$ref.sums($c)")
+  }
   override protected def withNewChildInternal(c: Expression): TupleMetricsSumAll = copy(child = c)
   override def prettyName: String = "tuple_metrics_sum"
 }
 
 case class TupleMetricSum(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(bin: Any, idx: Any): Any = {
-    val sk = ArrayOfDoublesSketches.wrapSketch(
-      Memory.wrap(bin.asInstanceOf[Array[Byte]]))
-    val i = idx.asInstanceOf[Int]
+  def metricSum(bin: Array[Byte], i: Int): Double = {
+    val sk = ArrayOfDoublesSketches.wrapSketch(Memory.wrap(bin))
     val it = sk.iterator()
     var s = 0.0
     while (it.next()) s += it.getValues()(i)
     // scale up by 1/theta for estimated mode (exact mode: theta = 1)
     s / sk.getTheta
+  }
+  override def nullSafeEval(bin: Any, idx: Any): Any =
+    metricSum(bin.asInstanceOf[Array[Byte]], idx.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tupleMetricSum", this)
+    defineCodeGen(ctx, ev, (b, i) => s"$ref.metricSum($b, $i)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TupleMetricSum =
     copy(left = l, right = r)
