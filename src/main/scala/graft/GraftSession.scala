@@ -20,12 +20,16 @@ object GraftSession {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  def setup(spark: SparkSession): SparkSession = {
-    if (wired.add(spark)) {
+  def setup(spark: SparkSession): SparkSession = wired.synchronized {
+    // inside the lock, and marked wired only AFTER registration
+    // succeeds: a concurrent caller must not proceed against a
+    // half-registered session, and a failed registration must retry
+    if (!wired.contains(spark)) {
       functions.DruidFunctions.registerAll(spark)
       if (!spark.experimental.extraOptimizations.contains(NanoTimePushdown))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ NanoTimePushdown
+      wired.add(spark)
     }
     spark
   }

@@ -218,11 +218,25 @@ object Dedup {
         .join(labels.select(col("id"), col("cluster_id").as("prev")), Seq("id"))
         .filter(col("cluster_id") < col("prev"))
         .limit(1).count() == 0
+      // release the superseded round's checkpointed blocks eagerly —
+      // otherwise every round's label table stays pinned in executor
+      // storage until GC-driven cleanup (O(rounds) copies at scale)
+      releaseLocalCheckpoint(labels)
       labels = next
       iter += 1
     }
+    releaseLocalCheckpoint(sym)
     labels
   }
+
+  /** explicitly free a localCheckpoint'd DataFrame's storage blocks
+    * (checkpointed RDDs have no public unpersist; GC-driven cleanup is
+    * too lazy for tight iterative loops). No-op for other plans. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Incremental (cross-snapshot) exact dedup: keep only batch rows
     * whose normalized fingerprint is NOT already in the corpus, then
@@ -260,7 +274,11 @@ object Dedup {
     val bloom = corpus.select(fpCol.as("__fp"))
       .stat.bloomFilter("__fp", expectedItems, fpp)
     val bcast = batch.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => bcast.value.mightContainString(fp))
+    // null-safe: a null fingerprint (null text) can't be in the corpus
+    // filter, so it routes to definitelyFresh — mirroring the exact
+    // anti-join, where a null key never matches
+    val mightContain =
+      udf((fp: String) => fp != null && bcast.value.mightContainString(fp))
     val tagged = batch.withColumn("__maybe", mightContain(fpCol))
     (tagged.filter(!col("__maybe")).drop("__maybe"),
       tagged.filter(col("__maybe")).drop("__maybe"))

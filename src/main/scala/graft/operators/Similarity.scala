@@ -144,7 +144,14 @@ object Similarity {
     val norm = sqrt(aggregate(
       transform(vec, x => x.cast("double") * x.cast("double")),
       lit(0.0), (a, x) => a + x))
-    transform(vec, x => floor(x.cast("double") / norm * 127.0 + 0.5).cast("long"))
+    // bind the norm through a one-element outer transform so it is
+    // evaluated ONCE per row: HOF lambdas re-evaluate their whole body
+    // per element (no CSE inside lambdas), so inlining `norm` in the
+    // inner lambda would recompute the O(d) fold d times — O(d²)
+    element_at(
+      transform(array(norm),
+        n => transform(vec, x => floor(x.cast("double") / n * 127.0 + 0.5).cast("long"))),
+      1)
   }
 
   /** Top-k by int8-quantized dot product: queries broadcast, corpus

@@ -46,7 +46,10 @@ object TextCorpus {
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("token"))
     val vocab = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    // empty corpus: sum over zero rows is null — guard the unboxing
+    // (the result frame is empty either way, total is never divided by)
+    val total = Option(vocab.agg(sum(col("cnt"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
     tokens.join(broadcast(vocab), Seq("token"))
       .groupBy(col("id"))
       .agg(round(avg(-log(col("cnt").cast("double") / total)), 4).as("logprob"))

@@ -146,16 +146,23 @@ object Ingest {
   }
 
   def writeSegmentMeta(spark: SparkSession, path: String, spec: IngestSpec): Unit = {
-    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val aggs = spec.metrics.map(metricMeta).map { case (n, t, f) =>
-      s"""{"name":${js(n)},"type":${js(t)},"fieldName":${js(f)}}"""
-    }.mkString("[", ",", "]")
-    val json =
-      s"""{"timeColumn":${js(spec.timeColumn)},
-         |"rollup":${spec.queryGranularity.isDefined},
-         |"queryGranularity":${spec.queryGranularity.map(js).getOrElse("null")},
-         |"segmentGranularity":${js(spec.segmentGranularity)},
-         |"aggregators":$aggs}""".stripMargin
+    // serialize with the same Jackson mapper the reader parses with —
+    // hand-rolled escaping would break on control characters in names
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("timeColumn", spec.timeColumn)
+    root.put("rollup", spec.queryGranularity.isDefined)
+    spec.queryGranularity match {
+      case Some(g) => root.put("queryGranularity", g)
+      case None => root.putNull("queryGranularity")
+    }
+    root.put("segmentGranularity", spec.segmentGranularity)
+    val aggs = root.putArray("aggregators")
+    spec.metrics.map(metricMeta).foreach { case (n, t, f) =>
+      val a = aggs.addObject()
+      a.put("name", n); a.put("type", t); a.put("fieldName", f)
+    }
+    val json = mapper.writeValueAsString(root)
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -274,5 +281,13 @@ object Ingest {
       if (sortDims.isEmpty) df
       else df.sortWithinPartitions((BucketCol +: sortDims).map(col): _*)
     sorted.write.mode("overwrite").partitionBy(BucketCol).parquet(outPath)
+    // the segment-metadata sidecar travels with the table: a compacted
+    // copy must keep serving the aggregators/rollup analyses
+    val src = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(src))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, src, fs, new org.apache.hadoop.fs.Path(outPath, MetaFile),
+        false, spark.sparkContext.hadoopConfiguration)
   }
 }

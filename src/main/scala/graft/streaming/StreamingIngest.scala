@@ -57,11 +57,7 @@ object StreamingIngest {
       path: String,
       checkpoint: String): StreamingQuery = {
     val prepared = prepareStream(stream, spec)
-    // same segment-metadata sidecar as the batch path, so
-    // segmentMetadata's aggregators/rollup analyses work on streamed
-    // tables too (spec is fixed for the life of the query)
-    Ingest.writeSegmentMeta(stream.sparkSession, path, spec.ingest)
-    prepared.writeStream
+    val query = prepared.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(spec.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -74,5 +70,10 @@ object StreamingIngest {
         }
       }
       .start()
+    // segment-metadata sidecar (same as the batch path) — written only
+    // after the query started successfully, so a failed start() leaves
+    // no stale spec for a table that will never receive data
+    Ingest.writeSegmentMeta(stream.sparkSession, path, spec.ingest)
+    query
   }
 }
