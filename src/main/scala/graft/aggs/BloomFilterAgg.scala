@@ -112,10 +112,17 @@ case class BloomFilterTest(left: Expression, right: Expression)
       case BinaryType => (v: String) => s"$cachedFilter.query($v)"
       case dt => throw new UnsupportedOperationException(s"bloom test over $dt")
     }
+    // Cache keyed on array identity: correct because BinaryType values
+    // reaching an expression are either stable literal objects or fresh
+    // per-row copies (UnsafeRow.getBinary copies) — never a reused
+    // mutable buffer. When identity differs, a length+content check
+    // avoids re-deserializing the filter for value-equal fresh copies.
     nullSafeCodeGen(ctx, ev, (v, bin) => {
       s"""
          |if ($bin != $cachedBytes) {
-         |  $cachedFilter = $ref.wrapBytes($bin);
+         |  if ($cachedBytes == null || !java.util.Arrays.equals($bin, $cachedBytes)) {
+         |    $cachedFilter = $ref.wrapBytes($bin);
+         |  }
          |  $cachedBytes = $bin;
          |}
          |${ev.value} = ${queryCall(v)};

@@ -226,6 +226,11 @@ object Dedup {
       iter += 1
     }
     releaseLocalCheckpoint(sym)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+          "labels would be partially propagated (split clusters). Raise maxIter — " +
+          "pointer jumping needs ~log2(diameter) rounds.")
     labels
   }
 
@@ -245,7 +250,13 @@ object Dedup {
     * shuffle carries (fingerprint) keys, not documents; at 100 TB the
     * corpus fingerprint set is also the natural input to a bloom-filter
     * prefilter (see `incrementalBloomPrefilter`) that drops the bulk of
-    * clean rows map-side before the anti-join shuffle. */
+    * clean rows map-side before the anti-join shuffle.
+    *
+    * Null-text rows fingerprint to null: they never match the corpus
+    * (SQL null inequality keeps them all through the anti-join) but DO
+    * collapse to one survivor within the batch (window partitioning
+    * groups nulls together). If null/empty documents should pass
+    * through untouched — or be dropped — filter them before calling. */
   def incremental(
       batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {

@@ -138,8 +138,8 @@ object Similarity {
     * that a small exact re-rank follows. The fold order (left fold over
     * vector positions) is fixed so the norm — and therefore every code
     * — is bit-reproducible across engines. Zero vectors have no
-    * direction: their codes come back null (0/0) — filter them
-    * upstream. */
+    * direction: they quantize to an explicit null code (ANSI-safe —
+    * no 0/0), and the ranking entry points drop null-coded rows. */
   def quantizeUnitInt8(vec: Column): Column = {
     val norm = sqrt(aggregate(
       transform(vec, x => x.cast("double") * x.cast("double")),
@@ -150,21 +150,26 @@ object Similarity {
     // inner lambda would recompute the O(d) fold d times — O(d²)
     element_at(
       transform(array(norm),
-        n => transform(vec, x => floor(x.cast("double") / n * 127.0 + 0.5).cast("long"))),
+        n => when(n === 0.0, lit(null).cast("array<bigint>"))
+          .otherwise(transform(vec, x => floor(x.cast("double") / n * 127.0 + 0.5).cast("long")))),
       1)
   }
 
   /** Top-k by int8-quantized dot product: queries broadcast, corpus
     * scanned once with a pure-integer score — no floating point in the
     * ranking, so results are exactly reproducible. Production use:
-    * take k' > k candidates here, re-rank the k' by exact cosine. */
+    * take k' > k candidates here, re-rank the k' by exact cosine.
+    * Zero/null vectors quantize to null codes and are dropped on both
+    * sides (a direction-less vector can't be ranked by dot product). */
   def quantizedTopK(
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(
-      col(qidCol).as("qid"), quantizeUnitInt8(col(qvecCol)).as("qcode")))
+      col(qidCol).as("qid"), quantizeUnitInt8(col(qvecCol)).as("qcode"))
+      .filter(col("qcode").isNotNull))
     val c = corpus.select(col(idCol).as("id"), quantizeUnitInt8(col(vecCol)).as("code"))
+      .filter(col("code").isNotNull)
     val scored = c.join(q, if (excludeSelf) col("id") =!= col("qid") else lit(true))
       .select(col("qid"), col("id"),
         aggregate(zip_with(col("qcode"), col("code"), (a, b) => a * b),
@@ -179,7 +184,9 @@ object Similarity {
     * for an exact cosine re-rank to top-k. The corpus is scanned once
     * with codes; full vectors shuffle only for queries × kPrime rows.
     * kPrime ≈ 3–4× k recovers brute-force quality at a fraction of
-    * the score cost. */
+    * the score cost. Zero/null vectors are excluded from the candidate
+    * pass (see `quantizedTopK`); filter them upstream if they should
+    * participate via some other score. */
   def quantizedRerankTopK(
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,

@@ -88,6 +88,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizedTopK drops zero vectors (null codes) from both sides") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 2654435761L + i * 40503L) % 1000L) / 500.0f) - 1.0f)
+    // corpus of 6 real vectors + 2 zero vectors; one zero-vector query
+    val corpus = ((0L until 6L).map(i => (i, vec(i))) ++
+      Seq((6L, Array.fill(8)(0.0f)), (7L, Array.fill(8)(0.0f))))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L || $"vec_id" === 6L)
+    val res = Similarity.quantizedTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // zero-vector query 6 produces no rows; zero corpus rows 6,7 never rank
+    assert(res.map(_._1).toSet == Set(0L))
+    assert(!res.map(_._2).toSet.exists(id => id == 6L || id == 7L))
+    assert(res.count(_._1 == 0L) == 5) // 6 real vectors minus self
+  }
+
   test("quantized first pass + exact re-rank recovers brute-force top-k") {
     import spark.implicits._
     def vec(seed: Long): Array[Float] =
