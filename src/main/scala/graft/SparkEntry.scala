@@ -13,7 +13,7 @@ object SparkEntry {
     CoreQueries.all ++ FilterQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       ScalarQueries.all ++ MvdQueries.all ++ SketchQueries.all ++
       PipelineQueries.all ++ PipelineQueries2.all ++ PipelineQueries3.all ++
-      PipelineQueries4.all ++ PipelineQueries5.all ++
+      PipelineQueries4.all ++ PipelineQueries5.all ++ PipelineQueries6.all ++
       NativeQueries.all ++ NativeQueries2.all ++ NativeQueries3.all ++
       NativeQueries4.all ++
       SupersetQueries.all ++

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII / secret detection and redaction for training-data curation.
+  *
+  * Every pattern is written in the common subset of Java regex (Spark)
+  * and RE2 (DuckDB, Go tooling): no backreferences, no lookaround, no
+  * possessive quantifiers, ASCII word boundaries only. That keeps the
+  * operator bit-reproducible across engines — the DuckDB oracle runs
+  * the IDENTICAL patterns — and means the same rule set can be shared
+  * with RE2-based scrubbers elsewhere in a pipeline.
+  *
+  * Scale shape: pure per-row `regexp_replace`/`regexp_extract_all`
+  * projections — no shuffle, no state, whole-stage codegen'd; at
+  * 100 TB this is a map-only pass that pipelines with the scan.
+  */
+object Privacy {
+
+  /** (name, pattern, replacement token) — applied in order. Order
+    * matters only for overlapping matches; these classes are disjoint
+    * by construction (email needs '@', ipv4 needs dots between octets,
+    * ssn/phone dash shapes differ, AWS keys are letter-prefixed). */
+  val rules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("aws_key", "\\bAKIA[0-9A-Z]{16}\\b", "[AWS_KEY]"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("phone", "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"))
+
+  /** Redact all rule matches, in rule order. */
+  def redact(text: Column): Column =
+    rules.foldLeft(text) { case (c, (_, pat, tok)) => regexp_replace(c, pat, tok) }
+
+  /** Per-class match count columns, aliased n_<rule>. */
+  def matchCounts(text: Column): Seq[Column] =
+    rules.map { case (name, pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+
+  /** True when the text contains any redactable span — the cheap
+    * pre-filter: at corpus scale most documents are clean, and a
+    * single alternation scan routes them around the 5-pass rewrite. */
+  def containsPii(text: Column): Column =
+    rules.map { case (_, pat, _) => text.rlike(pat) }.reduce(_ || _)
+}
