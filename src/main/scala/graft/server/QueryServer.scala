@@ -40,7 +40,10 @@ class QueryServer(
       * backs segmentMetadata's aggregators/rollup/timestampSpec
       * analyses over HTTP. */
     resolveSegmentMeta: String => Option[graft.sources.Ingest.SegmentMeta] =
-      _ => None) {
+      _ => None,
+    /** datasource enumeration backing sys.* / INFORMATION_SCHEMA.*
+      * metadata queries on the SQL endpoint (SystemTables). */
+    datasources: () => Seq[String] = () => Nil) {
 
   private val planner =
     new NativePlanner(spark, resolveTable, resolveSegmentMeta = resolveSegmentMeta)
@@ -119,8 +122,11 @@ class QueryServer(
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
       r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     server.start()
-    server.getAddress.getPort
+    boundPort = server.getAddress.getPort
+    boundPort
   }
+
+  private var boundPort: Int = 0
 
   def stop(): Unit = if (server != null) server.stop(0)
 
@@ -190,7 +196,9 @@ class QueryServer(
       val params = Option(node.get("parameters")).filterNot(_.isNull)
         .map(_.elements()).map(it => Iterator.continually(it)
           .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
-      val sql = substituteParameters(sql0, params)
+      val sql = SystemTables.prepare(
+        spark, substituteParameters(sql0, params),
+        datasources, resolveTable, resolveSegmentMeta, boundPort)
       // EXPLAIN PLAN FOR (reference DruidPlanner explain): returns the
       // physical plan text in the reference's [{PLAN, RESOURCES}] shape
       val explainRe = "(?is)^\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)$".r

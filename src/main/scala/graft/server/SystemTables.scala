@@ -1,0 +1,308 @@
+package graft.server
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TimeFunctions
+import graft.sources.Ingest
+
+/** SQL metadata schemas: `sys.*` and `INFORMATION_SCHEMA.*` on the
+  * /druid/v2/sql endpoint.
+  *
+  * Reference: sql/src/main/java/org/apache/druid/sql/calcite/schema/
+  * SystemSchema.java (SEGMENTS_SIGNATURE:132-151, SERVERS_SIGNATURE:
+  * 153-164, TASKS_SIGNATURE:172-188, SUPERVISOR_SIGNATURE:190) and
+  * InformationSchema.java (SCHEMATA_SIGNATURE:74-83, TABLES_SIGNATURE:
+  * 84-92, COLUMNS_SIGNATURE:93-112). The reference serves these from
+  * the coordinator's metadata store + server inventory; this engine
+  * derives them from what actually exists — the registered
+  * datasources, their schemas, their time-bucketed data, and the
+  * ingest sidecar — so a metadata row is never fabricated:
+  *
+  *  - sys.segments: one row per segment-granularity time bucket of
+  *    each datasource (granularity from the ingest sidecar, else P1D),
+  *    with exact num_rows from the data; `size` is the summed parquet
+  *    bytes when the datasource maps to files whose partition dirs
+  *    carry the bucket (ingest layout), the whole-table bytes for a
+  *    single-segment plain table, and 0 when unknown.
+  *  - sys.servers: this process (broker+historical are one here).
+  *  - sys.tasks / sys.supervisors: empty with the reference signature
+  *    — this engine delegates task orchestration to Spark, so there
+  *    are genuinely no rows.
+  *  - INFORMATION_SCHEMA: SCHEMATA/TABLES/COLUMNS over the same
+  *    datasources, with Druid SQL type names.
+  *
+  * Identifiers are rewritten (`sys.segments` → `sys_segments` temp
+  * view) and views registered on demand per query; recomputation per
+  * metadata query is one small aggregation job — metadata frequency,
+  * not query frequency.
+  */
+object SystemTables {
+
+  private val sysRe =
+    "(?i)\\bsys\\.(segments|servers|tasks|supervisors)\\b".r
+  private val infoRe =
+    "(?i)\\bINFORMATION_SCHEMA\\.(SCHEMATA|TABLES|COLUMNS)\\b".r
+
+  /** rewrite metadata-schema identifiers to temp-view names and
+    * register (recompute) exactly the views the query touches. */
+  def prepare(
+      spark: SparkSession,
+      sql: String,
+      datasources: () => Seq[String],
+      resolveTable: String => DataFrame,
+      resolveSegmentMeta: String => Option[Ingest.SegmentMeta],
+      port: Int): String = {
+    val sysRefs = sysRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+    val infoRefs = infoRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+    if (sysRefs.isEmpty && infoRefs.isEmpty) return sql
+
+    sysRefs.foreach {
+      case "segments" =>
+        segments(spark, datasources, resolveTable, resolveSegmentMeta)
+          .createOrReplaceTempView("sys_segments")
+      case "servers" =>
+        servers(spark, port).createOrReplaceTempView("sys_servers")
+      case "tasks" =>
+        emptyTasks(spark).createOrReplaceTempView("sys_tasks")
+      case "supervisors" =>
+        emptySupervisors(spark).createOrReplaceTempView("sys_supervisors")
+      case _ =>
+    }
+    infoRefs.foreach {
+      case "schemata" =>
+        schemata(spark).createOrReplaceTempView("information_schema_schemata")
+      case "tables" =>
+        tables(spark, datasources)
+          .createOrReplaceTempView("information_schema_tables")
+      case "columns" =>
+        columns(spark, datasources, resolveTable)
+          .createOrReplaceTempView("information_schema_columns")
+      case _ =>
+    }
+    val s1 = sysRe.replaceAllIn(sql, m => "sys_" + m.group(1).toLowerCase)
+    infoRe.replaceAllIn(s1, m => "information_schema_" + m.group(1).toLowerCase)
+  }
+
+  // ---------------------------------------------------------------- sys
+
+  /** SystemSchema.java SEGMENTS_SIGNATURE:132-151. */
+  def segments(
+      spark: SparkSession,
+      datasources: () => Seq[String],
+      resolveTable: String => DataFrame,
+      resolveSegmentMeta: String => Option[Ingest.SegmentMeta]): DataFrame = {
+    val perDs = datasources().flatMap { ds =>
+      val df = resolveTable(ds)
+      val meta = resolveSegmentMeta(ds)
+      val gran = meta.map(_.segmentGranularity).getOrElse("P1D")
+      val (dims, mets) = dimsAndMetrics(df, meta)
+      val hasTime = df.columns.contains(Ingest.TimeCol)
+      val bucketed =
+        if (hasTime)
+          df.groupBy(TimeFunctions.timeFloor(col(Ingest.TimeCol), gran).as("__start"))
+            .agg(count(lit(1)).as("num_rows"))
+            .select(
+              date_format(col("__start"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("start"),
+              date_format(TimeFunctions.timeShift(col("__start"), gran, 1),
+                "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("end"),
+              col("num_rows"))
+        else
+          df.agg(count(lit(1)).as("num_rows"))
+            .select(lit("-146136543-09-08T08:23:32.096Z").as("start"),
+              lit("146140482-04-24T15:36:27.903Z").as("end"), col("num_rows"))
+      val sizes = bucketSizes(spark, df)
+      val collected = bucketed.collect().sortBy(_.getString(0))
+      val rows = collected.zipWithIndex.map {
+        case (r, i) =>
+          val start = r.getString(0)
+          val size = sizes.get(bucketDirName(start))
+            .orElse(if (collected.length == 1) sizes.get("") else None)
+            .getOrElse(0L)
+          Row(s"${ds}_${start}_${r.getString(1)}_1", ds, start, r.getString(1),
+            size, "1", i.toLong, 1L, r.getLong(2), 1L, 1L, 0L, 0L,
+            """{"type":"none"}""", dims.mkString(","), mets.mkString(","), null)
+      }
+      rows.toSeq
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(perDs, 1), segmentsSchema)
+  }
+
+  private val segmentsSchema = StructType(Seq(
+    StructField("segment_id", StringType), StructField("datasource", StringType),
+    StructField("start", StringType), StructField("end", StringType),
+    StructField("size", LongType), StructField("version", StringType),
+    StructField("partition_num", LongType), StructField("num_replicas", LongType),
+    StructField("num_rows", LongType), StructField("is_published", LongType),
+    StructField("is_available", LongType), StructField("is_realtime", LongType),
+    StructField("is_overshadowed", LongType), StructField("shard_spec", StringType),
+    StructField("dimensions", StringType), StructField("metrics", StringType),
+    StructField("last_compaction_state", StringType)))
+
+  /** dims/metrics split: sidecar metric names are authoritative for an
+    * ingested table; otherwise numerics are metrics, the rest dims
+    * (reference schema discovery convention, SURVEY §1.1). */
+  private def dimsAndMetrics(
+      df: DataFrame, meta: Option[Ingest.SegmentMeta]): (Seq[String], Seq[String]) = {
+    val nonTime = df.schema.fields.filterNot(f =>
+      f.name == Ingest.TimeCol || f.name == Ingest.BucketCol)
+    meta match {
+      case Some(m) =>
+        val metricNames = m.aggregators.map(_._1).toSet
+        (nonTime.map(_.name).filterNot(metricNames).toSeq,
+          m.aggregators.map(_._1))
+      case None =>
+        val (mets, dims) = nonTime.partition(_.dataType match {
+          case _: NumericType => true
+          case _ => false
+        })
+        (dims.map(_.name).toSeq, mets.map(_.name).toSeq)
+    }
+  }
+
+  /** per-bucket parquet bytes from the datasource's file set: files
+    * under a `__bucket=X` partition dir map to X; a plain-parquet
+    * table maps everything to "" (single segment). */
+  private def bucketSizes(spark: SparkSession, df: DataFrame): Map[String, Long] = {
+    val files =
+      try df.inputFiles
+      catch { case _: Exception => Array.empty[String] }
+    if (files.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bucketRe = (java.util.regex.Pattern.quote(Ingest.BucketCol) + "=([^/]+)/").r
+    files.toSeq.groupBy(p => bucketRe.findFirstMatchIn(p).map(_.group(1)).getOrElse(""))
+      .map { case (bucket, paths) =>
+        bucket -> paths.map { p =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(conf).getFileStatus(hp).getLen
+          } catch { case _: Exception => 0L }
+        }.sum
+      }
+  }
+
+  /** the ingest layout's dir name for a segment start (Ingest.prepare
+    * formats buckets as yyyy-MM-dd'T'HH). */
+  private def bucketDirName(startIso: String): String = startIso.take(13)
+
+  /** SystemSchema.java SERVERS_SIGNATURE:153-164 — one row: this
+    * process (Spark driver = broker + historicals in one). */
+  def servers(spark: SparkSession, port: Int): DataFrame = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val mem = Runtime.getRuntime
+    val startIso = java.time.Instant.ofEpochMilli(rt.getStartTime).toString
+    val row = Row(s"localhost:$port", "localhost", port.toLong, -1L, "broker",
+      "_default_tier", mem.totalMemory - mem.freeMemory, mem.maxMemory, 1L, startIso)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1),
+      StructType(Seq(
+        StructField("server", StringType), StructField("host", StringType),
+        StructField("plaintext_port", LongType), StructField("tls_port", LongType),
+        StructField("server_type", StringType), StructField("tier", StringType),
+        StructField("curr_size", LongType), StructField("max_size", LongType),
+        StructField("is_leader", LongType), StructField("start_time", StringType))))
+  }
+
+  /** SystemSchema.java TASKS_SIGNATURE:172-188 — structurally present,
+    * genuinely empty: Spark owns task orchestration here. */
+  def emptyTasks(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("task_id", StringType), StructField("group_id", StringType),
+        StructField("type", StringType), StructField("datasource", StringType),
+        StructField("created_time", StringType),
+        StructField("queue_insertion_time", StringType),
+        StructField("status", StringType), StructField("runner_status", StringType),
+        StructField("duration", LongType), StructField("location", StringType),
+        StructField("host", StringType), StructField("plaintext_port", LongType),
+        StructField("tls_port", LongType), StructField("error_msg", StringType))))
+
+  /** SystemSchema.java SUPERVISOR_SIGNATURE:190-198. */
+  def emptySupervisors(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("supervisor_id", StringType), StructField("state", StringType),
+        StructField("detailed_state", StringType), StructField("healthy", LongType),
+        StructField("type", StringType), StructField("source", StringType),
+        StructField("suspended", LongType), StructField("spec", StringType))))
+
+  // --------------------------------------------- INFORMATION_SCHEMA
+
+  /** InformationSchema.java SCHEMATA_SIGNATURE:74-83. */
+  def schemata(spark: SparkSession): DataFrame = {
+    val rows = Seq("druid", "sys", "INFORMATION_SCHEMA").map(s =>
+      Row("druid", s, null, null, null, null, null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("CATALOG_NAME", StringType),
+        StructField("SCHEMA_NAME", StringType),
+        StructField("SCHEMA_OWNER", StringType),
+        StructField("DEFAULT_CHARACTER_SET_CATALOG", StringType),
+        StructField("DEFAULT_CHARACTER_SET_SCHEMA", StringType),
+        StructField("DEFAULT_CHARACTER_SET_NAME", StringType),
+        StructField("SQL_PATH", StringType))))
+  }
+
+  /** InformationSchema.java TABLES_SIGNATURE:84-92. */
+  def tables(spark: SparkSession, datasources: () => Seq[String]): DataFrame = {
+    val ds = datasources().map(n => Row("druid", "druid", n, "TABLE", "NO", "NO"))
+    val sys = Seq("segments", "servers", "tasks", "supervisors")
+      .map(n => Row("druid", "sys", n, "SYSTEM_TABLE", "NO", "NO"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ds ++ sys, 1),
+      StructType(Seq(
+        StructField("TABLE_CATALOG", StringType),
+        StructField("TABLE_SCHEMA", StringType),
+        StructField("TABLE_NAME", StringType),
+        StructField("TABLE_TYPE", StringType),
+        StructField("IS_JOINABLE", StringType),
+        StructField("IS_BROADCAST", StringType))))
+  }
+
+  /** InformationSchema.java COLUMNS_SIGNATURE:93-112 (core columns +
+    * JDBC_TYPE; ORDINAL_POSITION is a string there too, :436). */
+  def columns(
+      spark: SparkSession,
+      datasources: () => Seq[String],
+      resolveTable: String => DataFrame): DataFrame = {
+    val rows = datasources().flatMap { ds =>
+      resolveTable(ds).schema.fields.zipWithIndex.map { case (f, i) =>
+        val (sqlType, jdbc) = druidSqlType(f.dataType)
+        Row("druid", "druid", ds, f.name, i.toString, null,
+          if (f.nullable) "YES" else "NO", sqlType, jdbc)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("TABLE_CATALOG", StringType),
+        StructField("TABLE_SCHEMA", StringType),
+        StructField("TABLE_NAME", StringType),
+        StructField("COLUMN_NAME", StringType),
+        StructField("ORDINAL_POSITION", StringType),
+        StructField("COLUMN_DEFAULT", StringType),
+        StructField("IS_NULLABLE", StringType),
+        StructField("DATA_TYPE", StringType),
+        StructField("JDBC_TYPE", LongType))))
+  }
+
+  /** Druid SQL type name + JDBC ordinal for a Spark type (reference
+    * maps its ValueType through Calcite's SqlTypeName, :439,:448). */
+  private def druidSqlType(dt: DataType): (String, Long) = dt match {
+    case StringType => ("VARCHAR", 12L)
+    case LongType | IntegerType | ShortType | ByteType => ("BIGINT", -5L)
+    case DoubleType => ("DOUBLE", 8L)
+    case FloatType => ("FLOAT", 6L)
+    case BooleanType => ("BOOLEAN", 16L)
+    case TimestampType | TimestampNTZType => ("TIMESTAMP", 93L)
+    case DateType => ("DATE", 91L)
+    case _: ArrayType => ("ARRAY", 2003L)
+    case BinaryType => ("OTHER", 1111L)
+    case _ => ("OTHER", 1111L)
+  }
+}

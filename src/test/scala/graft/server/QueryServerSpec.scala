@@ -312,6 +312,40 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sys + INFORMATION_SCHEMA metadata tables serve over the SQL endpoint") {
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      datasources = () => Seq("ds"))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT datasource, start, num_rows, is_available, partition_num FROM sys.segments ORDER BY start"}""")
+      assert(c1 == 200, b1)
+      assert(b1 ==
+        """[{"datasource":"ds","start":"2024-01-01T00:00:00.000Z","num_rows":2,"is_available":1,"partition_num":0},""" +
+        """{"datasource":"ds","start":"2024-01-02T00:00:00.000Z","num_rows":1,"is_available":1,"partition_num":1}]""",
+        b1)
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT COLUMN_NAME, DATA_TYPE FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'ds' ORDER BY ORDINAL_POSITION"}""")
+      assert(c2 == 200, b2)
+      assert(b2 ==
+        """[{"COLUMN_NAME":"dim","DATA_TYPE":"VARCHAR"},""" +
+        """{"COLUMN_NAME":"m","DATA_TYPE":"DOUBLE"},""" +
+        """{"COLUMN_NAME":"__time","DATA_TYPE":"TIMESTAMP"}]""", b2)
+      val (c3, b3) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT server_type, is_leader, plaintext_port FROM sys.servers"}""")
+      assert(c3 == 200, b3)
+      assert(b3 == s"""[{"server_type":"broker","is_leader":1,"plaintext_port":$port}]""", b3)
+      val (c4, b4) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM sys.tasks"}""")
+      assert(c4 == 200, b4)
+      assert(b4 == """[{"n":0}]""", b4)
+      val (c5, b5) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT TABLE_SCHEMA, TABLE_NAME, TABLE_TYPE FROM INFORMATION_SCHEMA.TABLES WHERE TABLE_SCHEMA = 'druid'"}""")
+      assert(c5 == 200, b5)
+      assert(b5 == """[{"TABLE_SCHEMA":"druid","TABLE_NAME":"ds","TABLE_TYPE":"TABLE"}]""", b5)
+    } finally srv.stop()
+  }
+
   test("bad query returns a JSON error, not a hang") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
