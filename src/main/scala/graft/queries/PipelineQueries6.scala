@@ -119,5 +119,54 @@ object PipelineQueries6 {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(piiRedact, piiPrefilter, propsJson)
+  /** Product-quantization ANN in its exact regime: vectors are int8-
+    * quantized (pure-integer values), PQ codebooks are trained with
+    * kPerSpace ≥ the number of distinct subvectors — so every distinct
+    * subvector is its own codeword, Lloyd is a fixed point, and the
+    * ADC distance equals EXACT squared L2. That grades the whole PQ
+    * pipeline (codebook training → encoding → distance-table ADC scan
+    * → ranking) against DuckDB's integer L2² with zero FP ambiguity —
+    * the same full-coverage-contract trick as `similarity_ivf_contract`
+    * (nProbe=all) and `topn_approx_contract` (full fanout). */
+  val pqContract: Q = q(
+    "similarity_pq_contract",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |           WHERE vec_id < 80),
+      |n AS (SELECT vec_id, v,
+      |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |      FROM e),
+      |qz AS (SELECT vec_id,
+      |              list_transform(v, x -> CAST(floor(x / nrm * 127 + 0.5) AS BIGINT)) AS code
+      |       FROM n),
+      |q AS (SELECT vec_id AS qid, code AS qcode FROM qz WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT q.qid, c.vec_id AS id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(1, 65),
+      |             i -> (q.qcode[CAST(i AS INT)] - c.code[CAST(i AS INT)])
+      |                  * (q.qcode[CAST(i AS INT)] - c.code[CAST(i AS INT)]))),
+      |           (a, b) -> a + b) AS d2
+      |  FROM qz c, q WHERE c.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, id, d2,
+      |         row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, id ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, id, d2, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val quant = Tables.embeddings(s, d).filter(col("vec_id") < 80)
+      .select(col("vec_id"),
+        Similarity.quantizeUnitInt8(col("embedding")).as("qvec"))
+    val m = 8
+    val books = Similarity.pqCodebooks(quant, "vec_id", "qvec", m, kPerSpace = 80)
+    val codes = Similarity.pqEncode(quant, "vec_id", "qvec", books, m)
+    Similarity.pqTopK(
+      quant.filter(col("vec_id") < 4), "vec_id", "qvec", codes, books, m, k = 5)
+      .select(col("qid"), col("id"), col("d2").cast("long").as("d2"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(piiRedact, piiPrefilter, propsJson, pqContract)
 }

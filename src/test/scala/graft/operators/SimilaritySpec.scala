@@ -122,6 +122,53 @@ class SimilaritySpec extends SparkSpec {
     assert(rr == exact, s"$rr vs $exact")
   }
 
+  test("PQ: memorization regime (k >= n) reproduces exact L2 ranking") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(16)(i => (((seed * 2654435761L + i * 40503L) % 1000L) / 500.0f) - 1.0f)
+    val corpus = (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val m = 4
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m, kPerSpace = 30)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", books, m)
+    val q = corpus.filter($"vec_id" < 2)
+    val pq = Similarity.pqTopK(q, "vec_id", "embedding", codes, books, m, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong) -> r.getLong(1)).toMap
+    // exact L2 ranking via brute force on l2 distance
+    val exact = corpus.as("c").crossJoin(q.select($"vec_id".as("qid"), $"embedding".as("qv")))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        graft.functions.VectorExpressions.l2F32($"qv", $"embedding").as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d".asc, $"vec_id".asc)))
+      .filter($"rank" <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong) -> r.getLong(1)).toMap
+    assert(pq == exact, s"$pq vs $exact")
+  }
+
+  test("PQ: lossy regime (k < n) keeps high top-k overlap with exact") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(16)(i => (((seed * 2654435761L + i * 40503L) % 1000L) / 500.0f) - 1.0f)
+    val corpus = (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val m = 4
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m,
+      kPerSpace = 16, iterations = 3)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", books, m)
+    val q = corpus.filter($"vec_id" < 3)
+    def tops(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val pq = tops(Similarity.pqTopK(q, "vec_id", "embedding", codes, books, m, k = 10))
+    val exact = tops(Similarity.bruteForceTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 10))
+    assert(pq.keySet == exact.keySet)
+    // 16 codewords over 60 rows per subspace: expect >= half of top-10 recalled
+    pq.foreach { case (qid, ids) =>
+      assert((ids intersect exact(qid)).size >= 5, s"q$qid: $ids vs ${exact(qid)}")
+    }
+  }
+
   test("cosine/dot/l2 expression values") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
