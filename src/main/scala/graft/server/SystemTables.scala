@@ -41,7 +41,7 @@ import graft.sources.Ingest
 object SystemTables {
 
   private val sysRe =
-    "(?i)\\bsys\\.(segments|servers|tasks|supervisors)\\b".r
+    "(?i)\\bsys\\.(server_segments|segments|servers|tasks|supervisors)\\b".r
   private val infoRe =
     "(?i)\\bINFORMATION_SCHEMA\\.(SCHEMATA|TABLES|COLUMNS)\\b".r
 
@@ -64,6 +64,12 @@ object SystemTables {
           .createOrReplaceTempView("sys_segments")
       case "servers" =>
         servers(spark, port).createOrReplaceTempView("sys_servers")
+      case "server_segments" =>
+        // SERVER_SEGMENTS_SIGNATURE:166-171 — every segment lives on
+        // the one server here.
+        segments(spark, datasources, resolveTable, resolveSegmentMeta)
+          .select(lit(s"localhost:$port").as("server"), col("segment_id"))
+          .createOrReplaceTempView("sys_server_segments")
       case "tasks" =>
         emptyTasks(spark).createOrReplaceTempView("sys_tasks")
       case "supervisors" =>

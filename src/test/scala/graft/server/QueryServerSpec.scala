@@ -343,6 +343,10 @@ class QueryServerSpec extends SparkSpec {
         """{"query": "SELECT TABLE_SCHEMA, TABLE_NAME, TABLE_TYPE FROM INFORMATION_SCHEMA.TABLES WHERE TABLE_SCHEMA = 'druid'"}""")
       assert(c5 == 200, b5)
       assert(b5 == """[{"TABLE_SCHEMA":"druid","TABLE_NAME":"ds","TABLE_TYPE":"TABLE"}]""", b5)
+      val (c6, b6) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM sys.server_segments ss JOIN sys.servers s ON ss.server = s.server"}""")
+      assert(c6 == 200, b6)
+      assert(b6 == """[{"n":2}]""", b6)
     } finally srv.stop()
   }
 
