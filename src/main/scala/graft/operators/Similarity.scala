@@ -340,4 +340,83 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** PQ candidates + exact cosine re-rank: the ADC scan over codes
+    * nominates kPrime candidates per query, and only those rows
+    * re-join their float vectors for the exact pass — the PQ twin of
+    * `quantizedRerankTopK`. */
+  def pqRerankTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, kPerSpace: Int, k: Int, kPrime: Int,
+      iterations: Int = 3): DataFrame = {
+    require(kPrime >= k, "kPrime must be >= k")
+    val books = pqCodebooks(corpus, idCol, vecCol, m, kPerSpace, iterations)
+    val codes = pqEncode(corpus, idCol, vecCol, books, m)
+    val cands = pqTopK(queries, qidCol, qvecCol, codes, books, m, kPrime)
+      .select(col("qid"), col("id"))
+    val q = broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")))
+    val exact = cands
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("id"),
+        VectorExpressions.cosineF32(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVFADC (Jégou et al. §V): IVF cells route the search, PQ codes of
+    * the RESIDUAL (vec − cell centroid) compress the storage, and each
+    * query builds one distance table per probed cell from its own
+    * residual. d²(q,x) ≈ Σ_j ‖q_res_j − codeword_j(x)‖² — the standard
+    * billion-scale ANN layout: the corpus lives as (cell, m codes) —
+    * bytes per row — and a query touches only nProbe cells' code
+    * lists.
+    *
+    * All-cells + memorizing codebooks recovers exact ranking (spec);
+    * production tunes (nCentroids, nProbe, m, kPerSpace). */
+  def ivfPqTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, nProbe: Int,
+      m: Int, kPerSpace: Int, iterations: Int = 3,
+      excludeSelf: Boolean = true): DataFrame = {
+    val centroids = broadcast(
+      ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations))
+    val assigned = assignClusters(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
+    val resid = assigned.join(centroids, Seq("centroid_id"))
+      .select(col("id"), col("centroid_id"),
+        zip_with(col("vec"), col("centroid"),
+          (a, b) => a.cast("double") - b.cast("double")).as("rvec"))
+    val books = pqCodebooks(resid, "id", "rvec", m, kPerSpace, iterations)
+    val codes = pqEncode(resid, "id", "rvec", books, m)
+      .join(resid.select(col("id"), col("centroid_id")), Seq("id"))
+    // probe cells + per-(query, cell) residual
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val probes = q.crossJoin(centroids)
+      .select(col("qid"), col("centroid_id"),
+        zip_with(col("qvec"), col("centroid"),
+          (a, b) => a.cast("double") - b.cast("double")).as("qres"),
+        VectorExpressions.l2F32(col("qvec"), col("centroid")).as("d"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("__r") <= nProbe)
+      .select(struct(col("qid"), col("centroid_id")).as("qkey"), col("qres"))
+    val table = subvectors(probes, "qkey", "qres", m)
+      .withColumnRenamed("id", "qkey")
+      .join(broadcast(books), Seq("subspace"))
+      .select(col("qkey").getField("qid").as("qid"),
+        col("qkey").getField("centroid_id").as("centroid_id"),
+        col("subspace"), col("cid").as("code"),
+        aggregate(zip_with(col("subvec"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("pd2"))
+    val scored = codes
+      .join(broadcast(table), Seq("centroid_id", "subspace", "code"))
+      .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("pd2")).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

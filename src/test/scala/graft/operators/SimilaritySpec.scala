@@ -169,6 +169,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ re-rank recovers brute-force cosine top-k") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(16)(i => (((seed * 2654435761L + i * 40503L) % 1000L) / 500.0f) - 1.0f)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" < 2)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val rr = sets(Similarity.pqRerankTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", m = 4, kPerSpace = 40, k = 5, kPrime = 15))
+    val exact = sets(Similarity.bruteForceTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5))
+    assert(rr == exact, s"$rr vs $exact")
+  }
+
+  test("IVFADC: all-cells + memorizing codebooks == exact L2; probes subset") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(16)(i => (((seed * 2654435761L + i * 40503L) % 1000L) / 500.0f) - 1.0f)
+    val corpus = (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" < 2)
+    val full = Similarity.ivfPqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5,
+      nCentroids = 3, nProbe = 3, m = 4, kPerSpace = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val exact = corpus.crossJoin(
+      broadcast(q.select($"vec_id".as("qid"), $"embedding".as("qv"))))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        graft.functions.VectorExpressions.l2F32($"qv", $"embedding").as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d".asc, $"vec_id".asc)))
+      .filter($"rank" <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full == exact, s"$full vs $exact")
+    // nProbe < nCentroids: a legal approximate answer — k rows per
+    // query, all from probed cells, still ranked ascending
+    val probed = Similarity.ivfPqTopK(q, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5,
+      nCentroids = 3, nProbe = 1, m = 4, kPerSpace = 16)
+      .collect()
+    assert(probed.map(_.getLong(0)).toSet == Set(0L, 1L))
+    probed.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val d2s = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(d2s.sorted.sameElements(d2s))
+    }
+  }
+
   test("cosine/dot/l2 expression values") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
