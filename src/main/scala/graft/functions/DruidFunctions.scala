@@ -324,6 +324,53 @@ object DruidFunctions {
       toExpr(LookupRegistry.lookup(
         toCol(a.head), litStr(a(1)), a.lift(2).map(litStr)))
     }
+
+    // ---- nested-data (JSON) SQL family — superset: the 0.22 reference
+    // predates nested columns; modern Druid ships these names
+    // (sql/.../builtin/NestedDataOperatorConversions in later trees).
+    // Hot extraction rides Spark's codegen'd get_json_object; only the
+    // introspection helper JSON_PATHS is interpreted. ----
+    fn("json_value") { a =>
+      // optional 3rd arg = RETURNING type name (VARCHAR default)
+      val v = get_json_object(toCol(a.head), litStr(a(1)))
+      toExpr(a.lift(2).map(t => v.cast(litStr(t).toLowerCase match {
+        case "bigint" | "long" | "integer" | "int" => "long"
+        case "double" | "float" | "real" | "decimal" => "double"
+        case "boolean" => "boolean"
+        case _ => "string"
+      })).getOrElse(v))
+    }
+    fn("json_query")(a => toExpr(get_json_object(toCol(a.head), litStr(a(1)))))
+    // JSON_OBJECT(k1, v1, k2, v2, ...): literal keys, typed values.
+    fn("json_object") { a =>
+      val fields = a.grouped(2).collect {
+        case Seq(k, v) => toCol(v).as(litStr(k))
+      }.toSeq
+      toExpr(to_json(struct(fields: _*)))
+    }
+    // PARSE_JSON / TRY_PARSE_JSON: Spark ships these under the same
+    // names (variant type) — shared by name, nothing to register (a
+    // re-registration here would shadow the builtin and self-recurse).
+    // TO_JSON_STRING over COMPLEX<json> (variant) / struct / map / array
+    fn("to_json_string")(a => toExpr(to_json(toCol(a.head))))
+    fn("json_keys") { a =>
+      val doc = a.lift(1)
+        .map(p => get_json_object(toCol(a.head), litStr(p)))
+        .getOrElse(toCol(a.head))
+      toExpr(json_object_keys(doc))
+    }
+    fn("json_paths")(a => JsonPaths(a.head))
+
+    // ---- SQL aggregations the reference registers that Spark spells
+    // differently (sql/.../builtin/*SqlAggregator) ----
+    // STRING_AGG(expr, sep): Druid's concat-agg; order is
+    // per-arrival (nondeterministic across partitions) in both engines.
+    fn("string_agg") { a =>
+      toExpr(array_join(collect_list(toCol(a.head).cast("string")),
+        a.lift(1).map(litStr).getOrElse(",")))
+    }
+    // ARRAY_CONCAT_AGG(arrayExpr): concatenation of array rows.
+    fn("array_concat_agg")(a => toExpr(flatten(collect_list(toCol(a.head)))))
     acc.result()
   }
 

@@ -1,0 +1,58 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JSON_PATHS: enumerate every terminal JSONPath in a JSON document
+  * (the nested-columns introspection helper; modern reference SQL
+  * surface `sql/.../expression/builtin/NestedDataOperatorConversions`
+  * — superset here, the 0.22 reference predates nested columns).
+  *
+  * Paths use the `$.a.b[0]` form. Scalar root → `["$"]`. Malformed or
+  * null input → null. Metadata-shaped helper (schema discovery), not a
+  * hot scan-path expression, so an interpreted eval is acceptable —
+  * the hot extraction path (JSON_VALUE/JSON_QUERY) stays on Spark's
+  * codegen'd get_json_object.
+  */
+case class JsonPaths(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // malformed JSON → null even for a non-null child
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_paths"
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  override def nullSafeEval(input: Any): Any = {
+    val node =
+      try mapper.readTree(input.asInstanceOf[UTF8String].toString)
+      catch { case _: Exception => null }
+    if (node == null) null
+    else {
+      val out = Seq.newBuilder[UTF8String]
+      def walk(n: JsonNode, path: String): Unit =
+        if (n.isObject) {
+          val it = n.fields()
+          if (!it.hasNext) out += UTF8String.fromString(path)
+          while (it.hasNext) {
+            val e = it.next()
+            walk(e.getValue, s"$path.${e.getKey}")
+          }
+        } else if (n.isArray) {
+          if (n.size() == 0) out += UTF8String.fromString(path)
+          var i = 0
+          while (i < n.size()) { walk(n.get(i), s"$path[$i]"); i += 1 }
+        } else out += UTF8String.fromString(path)
+      walk(node, "$")
+      new GenericArrayData(out.result().toArray[Any]): ArrayData
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonPaths =
+    copy(child = newChild)
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: the nested-data (JSON) SQL family and the
+  * remaining Druid-named SQL aggregations (ARRAY_AGG /
+  * ARRAY_CONCAT_AGG / STRING_AGG), both proven through the registered
+  * SQL surface (spark.sql with graft.GraftSession.setup) — the same
+  * path the HTTP SQL endpoint serves.
+  *
+  * The events fixture's `props` column is flat JSON (`{"k": N}`), so
+  * the graded JSON doc is assembled from table columns with identical
+  * string concatenation in both engines, then taken apart again with
+  * each engine's own JSON operators — extraction semantics are what is
+  * graded, not string plumbing.
+  */
+object PipelineQueries7 {
+
+  /** JSON_VALUE / JSON_QUERY / JSON_KEYS / JSON_PATHS over a nested
+    * document built from events columns. JSON_PATHS's expected output
+    * is structural (fixed shape) so the oracle states it literally. */
+  val jsonFunctions: Q = q(
+    "json_functions",
+    """WITH j AS (
+      |  SELECT event_type,
+      |         '{"meta": ' || props || ', "type": "' || event_type
+      |           || '", "tags": ["a", "' || event_type || '"]}' AS doc
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(json_extract_string(doc, '$.meta.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |       min(json_extract_string(doc, '$.tags[1]')) AS tag1,
+      |       min(array_to_string(json_keys(doc), ',')) AS keys,
+      |       min('$.meta.k,$.type,$.tags[0],$.tags[1]') AS paths
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.events(s, d).createOrReplaceTempView("graft_events_json")
+    s.sql(
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       sum(JSON_VALUE(doc, '$.meta.k', 'BIGINT')) AS k_sum,
+        |       min(JSON_VALUE(doc, '$.tags[1]')) AS tag1,
+        |       min(array_join(JSON_KEYS(doc), ',')) AS keys,
+        |       min(array_join(JSON_PATHS(doc), ',')) AS paths
+        |FROM (
+        |  SELECT event_type,
+        |         concat('{"meta": ', props, ', "type": "', event_type,
+        |                '", "tags": ["a", "', event_type, '"]}') AS doc
+        |  FROM graft_events_json
+        |)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** ARRAY_AGG / ARRAY_CONCAT_AGG / STRING_AGG through the SQL
+    * surface. Concat-agg arrival order is engine-specific, so graded
+    * forms sort the aggregated collection before rendering. */
+  val sqlArrayAgg: Q = q(
+    "sql_array_agg",
+    """SELECT user_id,
+      |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      |       array_to_string(list_sort(flatten(list(string_split(event_type, 'a')))), '|') AS concat_parts,
+      |       array_to_string(list_sort(list(CAST(event_id AS VARCHAR))), ',') AS ids
+      |FROM events WHERE user_id < 6
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.events(s, d).createOrReplaceTempView("graft_events_agg")
+    s.sql(
+      """SELECT user_id,
+        |       array_join(array_sort(ARRAY_AGG(DISTINCT event_type)), ',') AS types,
+        |       array_join(array_sort(ARRAY_CONCAT_AGG(split(event_type, 'a'))), '|') AS concat_parts,
+        |       array_join(array_sort(split(STRING_AGG(CAST(event_id AS STRING), ','), ',')), ',') AS ids
+        |FROM graft_events_agg WHERE user_id < 6
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(jsonFunctions, sqlArrayAgg)
+}

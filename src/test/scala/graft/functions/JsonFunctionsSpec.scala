@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Nested-data SQL family semantics (the oracle grades extraction over
+  * events; this spec covers the construction/roundtrip/introspection
+  * corners DuckDB can't replicate 1:1). */
+class JsonFunctionsSpec extends SparkSpec {
+
+  private def sql1(q: String): Any =
+    spark.sql(s"SELECT $q AS v").collect()(0).get(0)
+
+  test("JSON_VALUE extracts scalars, RETURNING casts, missing → null") {
+    assert(sql1("""JSON_VALUE('{"a": {"b": 7}}', '$.a.b')""") == "7")
+    assert(sql1("""JSON_VALUE('{"a": {"b": 7}}', '$.a.b', 'BIGINT')""") == 7L)
+    assert(sql1("""JSON_VALUE('{"a": 1.5}', '$.a', 'DOUBLE')""") == 1.5d)
+    assert(sql1("""JSON_VALUE('{"a": 1}', '$.missing')""") == null)
+  }
+
+  test("JSON_QUERY returns JSON subtrees") {
+    assert(sql1("""JSON_QUERY('{"a":{"b":[1,2]}}', '$.a')""") == """{"b":[1,2]}""")
+    assert(sql1("""JSON_QUERY('{"a":{"b":[1,2]}}', '$.a.b')""") == "[1,2]")
+  }
+
+  test("JSON_OBJECT builds typed documents; TO_JSON_STRING serializes") {
+    assert(sql1("""JSON_OBJECT('x', 1, 'y', 'two')""") == """{"x":1,"y":"two"}""")
+    assert(sql1("""TO_JSON_STRING(named_struct('a', array(1, 2)))""") == """{"a":[1,2]}""")
+  }
+
+  test("PARSE_JSON → variant roundtrips through TO_JSON_STRING") {
+    assert(sql1("""TO_JSON_STRING(PARSE_JSON('{"k": [1, {"z": true}]}'))""")
+      == """{"k":[1,{"z":true}]}""")
+    assert(sql1("""TRY_PARSE_JSON('not json')""") == null)
+  }
+
+  test("JSON_KEYS: top-level and path-scoped") {
+    assert(sql1("""array_join(JSON_KEYS('{"b":1,"a":{"c":2}}'), ',')""") == "b,a")
+    assert(sql1("""array_join(JSON_KEYS('{"b":1,"a":{"c":2}}', '$.a'), ',')""") == "c")
+  }
+
+  test("JSON_PATHS enumerates terminal paths in document order") {
+    assert(sql1("""array_join(JSON_PATHS('{"a":{"b":1},"c":[2,{"d":3}]}'), ',')""")
+      == "$.a.b,$.c[0],$.c[1].d")
+    assert(sql1("""array_join(JSON_PATHS('{"a":{},"b":[]}'), ',')""") == "$.a,$.b")
+    assert(sql1("JSON_PATHS('5')").asInstanceOf[scala.collection.Seq[_]]
+      .toSeq == Seq("$"))
+    assert(sql1("JSON_PATHS('not json')") == null)
+  }
+
+  test("STRING_AGG / ARRAY_CONCAT_AGG aggregate shapes") {
+    val r = spark.sql(
+      """SELECT array_join(array_sort(split(STRING_AGG(s, ','), ',')), ',') AS sa,
+        |       array_join(array_sort(ARRAY_CONCAT_AGG(arr)), ',') AS ca
+        |FROM VALUES ('b', array('x','y')), ('a', array('z')) AS t(s, arr)"""
+        .stripMargin).collect()(0)
+    assert(r.getString(0) == "a,b")
+    assert(r.getString(1) == "x,y,z")
+  }
+}
