@@ -295,6 +295,44 @@ object Dedup {
       tagged.filter(col("__maybe")).drop("__maybe"))
   }
 
+  /** C4-style line-level exact dedup across the whole corpus (the
+    * "discard duplicate three-sentence spans / lines" family of
+    * cleanup passes, applied at line granularity): explode documents
+    * into lines, keep only each distinct line's FIRST global
+    * occurrence — smallest (id, lineIdx) — and reassemble each
+    * document from its surviving lines in original order.
+    *
+    * Returns (id, lines_kept, lines_total, text_kept); documents whose
+    * every line already appeared elsewhere come back with an empty
+    * text_kept rather than vanishing (callers decide the drop policy).
+    *
+    * Scale: one hash shuffle on the line value for the
+    * first-occurrence window (rows carry only (line, id, idx)), one
+    * shuffle back on id for reassembly. Reassembly ordering is done
+    * INSIDE each group (array_sort over (idx, line) structs) — no
+    * global sort, no driver involvement, AQE splits skewed hot lines.
+    */
+  def lineDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(
+      col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__idx", "__line")))
+    val w = Window.partitionBy(col("__line")).orderBy(col("__id"), col("__idx"))
+    lines.withColumn("__rn", row_number().over(w))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("lines_kept"),
+        count(lit(1)).as("lines_total"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rn") === 1, struct(col("__idx"), col("__line"))))),
+            x => x.getField("__line")),
+          sep).as("text_kept"))
+  }
+
   /** exact n-gram Jaccard over all pairs of a (pre-filtered, small)
     * candidate set — the verification primitive; not for whole-corpus
     * use (that's what the LSH paths above are for). */

@@ -22,6 +22,30 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("lineDedup: first global occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),        // beta already in doc 1
+      (3L, "alpha\nbeta"),        // nothing left
+      (4L, "gamma2\ngamma")       // gamma dup, gamma2 fresh
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq(
+      (1L, 3L, 3L, "alpha\nbeta\ngamma"),
+      (2L, 1L, 2L, "delta"),
+      (3L, 0L, 2L, ""),            // fully deduped but not dropped
+      (4L, 1L, 2L, "gamma2")))
+  }
+
+  test("lineDedup: ties within one doc keep the earliest position") {
+    import spark.implicits._
+    val df = Seq((7L, "x\ny\nx\nx")).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(df, "doc_id", "text").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((2L, 4L, "x\ny")))
+  }
+
   test("minhash LSH finds near-duplicate pairs, not unrelated ones") {
     // 16 bands × 4 rows: the high-recall operating point for the
     // ~0.7-jaccard near-dup pair in this fixture
