@@ -52,4 +52,39 @@ object Sampling {
     }.otherwise(weights.last._1)
     df.withColumn(outputCol, expr0)
   }
+
+  /** Token-budget domain mixing: down-sample each domain so its
+    * expected surviving token mass hits a target budget (the
+    * domain-reweighting step of corpus construction — fixed target
+    * mixtures à la the published LM data recipes).
+    *
+    * Rates are derived FROM THE DATA in one small per-domain agg
+    * (broadcast back), then applied with the same portable integer
+    * hash as [[stratified]]: keep-rate basis points =
+    * min(10000, budget·10000 div domainTokens) — pure BIGINT math, so
+    * any engine reproduces the exact row set. Domains under budget
+    * keep everything (rate 10000); over-budget domains keep a
+    * deterministic, append-stable subset. One agg shuffle over
+    * (domain) + a broadcast join: no full-data shuffle at any scale.
+    */
+  def tokenBudget(
+      df: DataFrame, domainCol: String, idCol: String, tokensCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      salt: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val budgetCol = budgets.foldLeft(when(lit(false), 0L)) {
+      case (acc, (dom, b)) => acc.when(col(domainCol) === dom, b)
+    }.otherwise(defaultBudget)
+    val rates = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol).cast("long")).as("__domain_tokens"))
+      .select(col(domainCol),
+        least(lit(10000L), graft.exprs.toCol(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            graft.exprs.toExpr(budgetCol * 10000L),
+            graft.exprs.toExpr(col("__domain_tokens")))))
+          .as("__rate_bp"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashBucket(col(idCol), salt) < col("__rate_bp"))
+      .drop("__rate_bp")
+  }
 }

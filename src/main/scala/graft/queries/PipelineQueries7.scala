@@ -110,5 +110,39 @@ object PipelineQueries7 {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(jsonFunctions, sqlArrayAgg, paragraphDedup)
+  /** Token-budget domain mixing (Sampling.tokenBudget): rates derived
+    * from the data (budget·10000 div domainTokens, pure BIGINT math),
+    * then the portable id-hash keep. src1 sits under budget (keeps
+    * all), src0 gets a bespoke budget, the rest share the default.
+    * sum(doc_id) pins the exact surviving row set, not just counts. */
+  val tokenBudget: Q = q(
+    "sampling_token_budget",
+    """WITH tot AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS total
+      |  FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT source,
+      |         LEAST(10000, (CASE WHEN source = 'src0' THEN 4000
+      |                            WHEN source = 'src1' THEN 100000
+      |                            ELSE 3000 END * 10000) // total) AS rate_bp
+      |  FROM tot)
+      |SELECT d.source,
+      |       CAST(count(*) AS BIGINT) AS docs_kept,
+      |       CAST(sum(d.n_chars) AS BIGINT) AS tokens_kept,
+      |       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+      |FROM documents d JOIN r ON d.source = r.source
+      |WHERE ((d.doc_id + 11) % 1000003) * 2654435761 % 2147483647 % 10000 < r.rate_bp
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.tokenBudget(
+      Tables.documents(s, d), "source", "doc_id", "n_chars",
+      budgets = Map("src0" -> 4000L, "src1" -> 100000L),
+      defaultBudget = 3000L, salt = 11L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_chars")).as("tokens_kept"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+  }
+
+  def all: Seq[Q] = Seq(jsonFunctions, sqlArrayAgg, paragraphDedup, tokenBudget)
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    (0L until 200L).map { i =>
+      (i, if (i % 2 == 0) "big" else "small", 100L)
+    }.toDF("id", "domain", "tokens")
+  }
+
+  test("tokenBudget: under-budget domain keeps every row") {
+    val kept = Sampling.tokenBudget(
+      corpus, "domain", "id", "tokens",
+      budgets = Map("small" -> 1000000L), defaultBudget = 1000L)
+    assert(kept.filter(col("domain") === "small").count() == 100L)
+  }
+
+  test("tokenBudget: over-budget domain lands near its target mass") {
+    // big: 100 rows x 100 tokens = 10000 tokens, budget 2500 -> rate 2500bp
+    val kept = Sampling.tokenBudget(
+      corpus, "domain", "id", "tokens",
+      budgets = Map("big" -> 2500L), defaultBudget = 100000000L)
+    val n = kept.filter(col("domain") === "big").count()
+    assert(n > 5 && n < 50, s"expected ~25 of 100 rows, got $n")
+  }
+
+  test("tokenBudget: decisions are append-stable when rates don't change") {
+    val first = Sampling.tokenBudget(
+      corpus, "domain", "id", "tokens",
+      budgets = Map.empty, defaultBudget = 5000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // same data again: identical row set (pure function of (id, rate))
+    val second = Sampling.tokenBudget(
+      corpus, "domain", "id", "tokens",
+      budgets = Map.empty, defaultBudget = 5000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(first == second)
+  }
+
+  test("tokenBudget plan: rate side broadcasts, data never shuffles wide") {
+    val plan = Sampling.tokenBudget(
+      corpus, "domain", "id", "tokens",
+      budgets = Map.empty, defaultBudget = 5000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
