@@ -1,0 +1,104 @@
+package graft.server
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFunctions
+import graft.sources.Ingest
+
+/** SQL-ingestion statements on the SQL endpoint — the
+  * `INSERT INTO t SELECT ... PARTITIONED BY <gran> [CLUSTERED BY ...]`
+  * / `REPLACE INTO t OVERWRITE ALL SELECT ...` surface (modern
+  * reference SQL ingestion; the 0.22 tree ingests via task specs only,
+  * so this is the forward-compatible superset of the same write path).
+  *
+  * Execution maps onto the batch ingest layout (sources.Ingest):
+  * PARTITIONED BY = segment granularity → time-bucket directory
+  * partitioning (partition pruning at query time), CLUSTERED BY =
+  * in-segment dim sort → repartition on the bucket + local sort, which
+  * yields parquet row-group zone maps (the secondary-partitioning
+  * intent). The write is a pure map + shuffle-on-bucket plan — no
+  * driver materialization, any scale.
+  */
+object IngestSql {
+
+  final case class Statement(
+      replace: Boolean,
+      table: String,
+      select: String,
+      granularity: String, // ISO period, or "all"
+      clusterBy: Seq[String])
+
+  private val head = "(?is)^\\s*(INSERT|REPLACE)\\b.*".r
+  private val full =
+    ("(?is)^\\s*(INSERT|REPLACE)\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "(OVERWRITE\\s+ALL\\s+)?(SELECT.+?)\\s+PARTITIONED\\s+BY\\s+" +
+      "([A-Za-z_]+(?:\\s+TIME)?)(?:\\s+CLUSTERED\\s+BY\\s+(.+?))?\\s*$").r
+
+  private val granularities = Map(
+    "hour" -> "PT1H", "day" -> "P1D", "week" -> "P1W",
+    "month" -> "P1M", "quarter" -> "P3M", "year" -> "P1Y",
+    "all" -> "all", "all time" -> "all")
+
+  /** Is this an ingestion statement at all? (Leading keyword only —
+    * a malformed body must then produce an ingestion error, not fall
+    * through to the query path.) */
+  def looksLikeIngest(sql: String): Boolean = head.matches(sql)
+
+  def parse(sql: String): Statement = sql match {
+    case full(verb, table, overwrite, select, gran, cluster) =>
+      val isReplace = verb.equalsIgnoreCase("replace")
+      val hasOverwrite = overwrite != null
+      if (isReplace && !hasOverwrite)
+        throw new IllegalArgumentException(
+          "REPLACE requires OVERWRITE ALL (time-sliced OVERWRITE WHERE is not supported)")
+      if (!isReplace && hasOverwrite)
+        throw new IllegalArgumentException("INSERT cannot take OVERWRITE ALL; use REPLACE")
+      val g = granularities.getOrElse(
+        gran.trim.toLowerCase.replaceAll("\\s+", " "),
+        throw new IllegalArgumentException(
+          s"unsupported PARTITIONED BY granularity '$gran' " +
+            s"(one of ${granularities.keys.toSeq.sorted.mkString(", ")})"))
+      val clusterCols = Option(cluster).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      Statement(isReplace, table, select, g, clusterCols)
+    case _ =>
+      throw new IllegalArgumentException(
+        "malformed ingestion statement: expected " +
+          "INSERT INTO <table> SELECT ... PARTITIONED BY <granularity> [CLUSTERED BY cols] " +
+          "or REPLACE INTO <table> OVERWRITE ALL SELECT ... PARTITIONED BY <granularity>")
+  }
+
+  /** Execute: run the SELECT, bucket rows by segment granularity,
+    * optionally cluster-sort, write time-partitioned parquet under
+    * `storageRoot/table`. Returns the written DataFrame's path. */
+  def run(spark: SparkSession, st: Statement, storageRoot: String): String = {
+    val df = spark.sql(st.select)
+    val bucket =
+      if (st.granularity == "all") lit("all")
+      else {
+        require(df.columns.contains(Ingest.TimeCol),
+          s"PARTITIONED BY ${st.granularity} requires a ${Ingest.TimeCol} column in the SELECT")
+        date_format(
+          TimeFunctions.timeFloor(col(Ingest.TimeCol).cast("timestamp"), st.granularity),
+          "yyyy-MM-dd'T'HH")
+      }
+    val withBucket = df.withColumn(Ingest.BucketCol, bucket)
+    val arranged =
+      if (st.clusterBy.nonEmpty)
+        withBucket.repartition(col(Ingest.BucketCol))
+          .sortWithinPartitions(st.clusterBy.map(col): _*)
+      else withBucket
+    val path = s"$storageRoot/${st.table}"
+    arranged.write
+      .mode(if (st.replace) "overwrite" else "append")
+      .partitionBy(Ingest.BucketCol)
+      .parquet(path)
+    path
+  }
+
+  /** Read an ingested table back (bucket column dropped — it is a
+    * storage detail, not part of the datasource schema). */
+  def readTable(spark: SparkSession, storageRoot: String, table: String): DataFrame =
+    spark.read.parquet(s"$storageRoot/$table").drop(Ingest.BucketCol)
+}

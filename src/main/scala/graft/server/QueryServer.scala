@@ -43,10 +43,29 @@ class QueryServer(
       _ => None,
     /** datasource enumeration backing sys.* / INFORMATION_SCHEMA.*
       * metadata queries on the SQL endpoint (SystemTables). */
-    datasources: () => Seq[String] = () => Nil) {
+    datasources: () => Seq[String] = () => Nil,
+    /** warehouse directory for SQL-ingestion statements (INSERT INTO /
+      * REPLACE INTO ... PARTITIONED BY). None = ingestion disabled,
+      * statements get a clear error (reference behavior when the
+      * ingestion engine isn't available). */
+    storageRoot: Option[String] = None) {
+
+  /** tables created by SQL ingestion this server's lifetime (name →
+    * path); resolvable as datasources alongside the caller-provided
+    * resolver. */
+  private val ingested = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def resolveWithIngested(name: String): DataFrame =
+    if (ingested.contains(name))
+      IngestSql.readTable(spark, storageRoot.get, name)
+    else resolveTable(name)
+
+  private def allDatasources(): Seq[String] =
+    (datasources() ++ ingested.keySet).distinct
 
   private val planner =
-    new NativePlanner(spark, resolveTable, resolveSegmentMeta = resolveSegmentMeta)
+    new NativePlanner(spark, resolveWithIngested,
+      resolveSegmentMeta = resolveSegmentMeta)
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
@@ -198,7 +217,25 @@ class QueryServer(
           .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
       val sql = SystemTables.prepare(
         spark, substituteParameters(sql0, params),
-        datasources, resolveTable, resolveSegmentMeta, boundPort)
+        allDatasources _, resolveWithIngested, resolveSegmentMeta, boundPort)
+      // SQL ingestion (INSERT INTO / REPLACE INTO ... PARTITIONED BY):
+      // synchronous task — respond with the reference's task envelope.
+      if (IngestSql.looksLikeIngest(sql)) {
+        if (storageRoot.isEmpty)
+          throw new IllegalArgumentException(
+            "SQL ingestion is not enabled on this server (no storageRoot)")
+        val st = IngestSql.parse(sql)
+        val path = IngestSql.run(graft.GraftSession.setup(spark), st, storageRoot.get)
+        ingested.put(st.table, path)
+        // queryable immediately by name on this SQL endpoint
+        IngestSql.readTable(spark, storageRoot.get, st.table)
+          .createOrReplaceTempView(st.table)
+        val o = mapper.createObjectNode()
+        o.put("taskId", qid)
+        o.put("state", "SUCCESS")
+        respond(ex, 200, mapper.writeValueAsString(o))
+        return
+      }
       // EXPLAIN PLAN FOR (reference DruidPlanner explain): returns the
       // physical plan text in the reference's [{PLAN, RESOURCES}] shape
       val explainRe = "(?is)^\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)$".r

@@ -350,6 +350,74 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("SQL INSERT ... PARTITIONED BY ingests; table queryable; REPLACE overwrites") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlingest").toString
+    fixture.createOrReplaceTempView("ds_ing")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO wiki_rollup SELECT __time, dim, m FROM ds_ing PARTITIONED BY DAY CLUSTERED BY dim"}""")
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"state\":\"SUCCESS\""), b1)
+      // immediately queryable through the same SQL endpoint
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT dim, sum(m) AS s FROM wiki_rollup GROUP BY dim ORDER BY dim"}""")
+      assert(c2 == 200, b2)
+      assert(b2 == """[{"dim":"a","s":4.0},{"dim":"b","s":2.0}]""", b2)
+      // INSERT appends
+      post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO wiki_rollup SELECT __time, dim, m FROM ds_ing PARTITIONED BY DAY"}""")
+      val (_, b3) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM wiki_rollup"}""")
+      assert(b3 == """[{"n":6}]""", b3)
+      // REPLACE ... OVERWRITE ALL rewrites the table
+      val (c4, b4) = post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO wiki_rollup OVERWRITE ALL SELECT __time, dim, m FROM ds_ing WHERE dim = 'a' PARTITIONED BY ALL TIME"}""")
+      assert(c4 == 200, b4)
+      val (_, b5) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM wiki_rollup"}""")
+      assert(b5 == """[{"n":2}]""", b5)
+      // ingested tables are datasources: visible to the native path too
+      val (c6, b6) = post(port, "/druid/v2",
+        """{"queryType": "timeBoundary", "dataSource": "wiki_rollup", "intervals": []}""")
+      assert(c6 == 200, b6)
+    } finally srv.stop()
+  }
+
+  test("SQL ingestion statement errors are structured, not parse noise") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlingest2").toString
+    fixture.createOrReplaceTempView("ds_ing2")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      // missing PARTITIONED BY
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO t2 SELECT __time, dim FROM ds_ing2"}""")
+      assert(c1 == 400 && b1.contains("PARTITIONED BY"), s"$c1 $b1")
+      // REPLACE without OVERWRITE ALL
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO t2 SELECT __time, dim FROM ds_ing2 PARTITIONED BY DAY"}""")
+      assert(c2 == 400 && b2.contains("OVERWRITE ALL"), s"$c2 $b2")
+      // non-ALL granularity requires __time in the SELECT
+      val (c3, b3) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO t2 SELECT dim FROM ds_ing2 PARTITIONED BY DAY"}""")
+      assert(c3 == 400 && b3.contains("__time"), s"$c3 $b3")
+    } finally srv.stop()
+  }
+
+  test("SQL ingestion without a storageRoot is a clear 400") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (c, b) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO t3 SELECT 1 AS x PARTITIONED BY ALL"}""")
+      assert(c == 400 && b.contains("not enabled"), s"$c $b")
+    } finally srv.stop()
+  }
+
   test("bad query returns a JSON error, not a hang") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
