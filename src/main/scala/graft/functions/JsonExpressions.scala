@@ -2,35 +2,22 @@ package graft.functions
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** JSON_PATHS: enumerate every terminal JSONPath in a JSON document
-  * (the nested-columns introspection helper; modern reference SQL
-  * surface `sql/.../expression/builtin/NestedDataOperatorConversions`
-  * — superset here, the 0.22 reference predates nested columns).
-  *
-  * Paths use the `$.a.b[0]` form. Scalar root → `["$"]`. Malformed or
-  * null input → null. Metadata-shaped helper (schema discovery), not a
-  * hot scan-path expression, so an interpreted eval is acceptable —
-  * the hot extraction path (JSON_VALUE/JSON_QUERY) stays on Spark's
-  * codegen'd get_json_object.
-  */
-case class JsonPaths(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** Shared kernel for [[JsonPaths]] — interpreted eval and the codegen
+  * call both run exactly this method (same pattern as TextKernels). */
+object JsonKernels {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  // malformed JSON → null even for a non-null child
-  override def nullable: Boolean = true
-  override def prettyName: String = "json_paths"
+  private val mapper = new ObjectMapper()
 
-  @transient private lazy val mapper = new ObjectMapper()
-
-  override def nullSafeEval(input: Any): Any = {
+  /** terminal JSONPaths of a document in document order; null for
+    * malformed input. */
+  def jsonPaths(doc: UTF8String): ArrayData = {
     val node =
-      try mapper.readTree(input.asInstanceOf[UTF8String].toString)
+      try mapper.readTree(doc.toString)
       catch { case _: Exception => null }
     if (node == null) null
     else {
@@ -49,9 +36,34 @@ case class JsonPaths(child: Expression)
           while (i < n.size()) { walk(n.get(i), s"$path[$i]"); i += 1 }
         } else out += UTF8String.fromString(path)
       walk(node, "$")
-      new GenericArrayData(out.result().toArray[Any]): ArrayData
+      new GenericArrayData(out.result().toArray[Any])
     }
   }
+}
+
+/** JSON_PATHS: enumerate every terminal JSONPath in a JSON document
+  * (the nested-columns introspection helper; modern reference SQL
+  * surface — superset here, the 0.22 reference predates nested
+  * columns).
+  *
+  * Paths use the `$.a.b[0]` form. Scalar root → `["$"]`. Malformed or
+  * null input → null.
+  */
+case class JsonPaths(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // malformed JSON → null even for a non-null child
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_paths"
+
+  override def nullSafeEval(input: Any): Any =
+    JsonKernels.jsonPaths(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.JsonKernels.jsonPaths($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): JsonPaths =
     copy(child = newChild)

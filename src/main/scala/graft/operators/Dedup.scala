@@ -333,6 +333,78 @@ object Dedup {
           sep).as("text_kept"))
   }
 
+  /** SemDeDup-style semantic near-dup candidates against a FIXED
+    * centroid set (Abbas et al. 2023, arXiv:2303.09540): assign each
+    * embedding to its nearest centroid (broadcast literal argmin — no
+    * shuffle), then search duplicate pairs ONLY within a cluster (one
+    * equi-join on the cluster id). The all-pairs quadratic search
+    * becomes k independent quadratic searches of n/k rows — the
+    * published trick that makes embedding dedup tractable at corpus
+    * scale.
+    *
+    * Distances/dots use a FIXED sequential double fold over vector
+    * positions, so any engine reproduces the assignment and the pair
+    * set bit-for-bit (same discipline as the SRP/quantized entries).
+    * Ties in the argmin go to the lowest centroid index.
+    *
+    * Returns (cluster, id_a, id_b, cosine) with cosine rounded to 4dp
+    * for cross-engine threshold comparison.
+    */
+  def semanticCandidates(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val dim = centroids.head.length
+    def seqDot(vec: Column, c: Seq[Double]): Column = aggregate(
+      sequence(lit(1), lit(dim)), lit(0.0),
+      (a, i) => a + element_at(vec, i.cast("int")).cast("double") *
+        element_at(typedLit(c), i.cast("int")))
+    // |v - c|^2 = |v|^2 - 2·dot + |c|^2; per-row |v|^2 is constant
+    // across centroids, so argmin over (|c|^2 - 2·dot) suffices.
+    val scores = centroids.map(c =>
+      lit(c.foldLeft(0.0)((a, x) => a + x * x)) - lit(2.0) * seqDot(col("__v"), c))
+    val cluster = scores.zipWithIndex.tail
+      .foldLeft((lit(0), scores.head)) { case ((bi, bs), (s, i)) =>
+        (when(s < bs, lit(i)).otherwise(bi), when(s < bs, s).otherwise(bs))
+      }._1
+    val assigned = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("cluster", cluster)
+    val a = assigned.select(col("cluster"), col("__id").as("id_a"), col("__v").as("va"))
+    val b = assigned.select(col("cluster"), col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(graft.functions.VectorExpressions.cosineF32(
+          col("va"), col("vb")).cast("double"), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Trained SemDeDup: k-means centroids learned from the data
+    * (Similarity.ivfCentroids — broadcast Lloyd iterations), nearest-
+    * centroid assignment, then within-cluster cosine pair search and
+    * a keep-smallest-id drop decision per duplicate group (connected
+    * components over the pair edges). Returns (id, cluster, keep). */
+  def semantic(
+      df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, iterations: Int = 3): DataFrame = {
+    val c0 = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val centroids =
+      broadcast(Similarity.ivfCentroids(df, idCol, vecCol, nClusters, iterations))
+    val assigned = Similarity.assignClusters(c0, centroids)
+    val a = assigned.select(col("centroid_id"), col("id").as("id_a"), col("vec").as("va"))
+    val b = assigned.select(col("centroid_id"), col("id").as("id_b"), col("vec").as("vb"))
+    val pairs = a.join(b, Seq("centroid_id")).filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorExpressions.cosineF32(
+        col("va"), col("vb")).cast("double") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(pairs, "id_a", "id_b") // (id, cluster_id)
+    assigned.select(col("id"), col("centroid_id").as("cluster"))
+      .join(labels, Seq("id"), "left")
+      // survivors: dup-group representative (min id) or singleton
+      .withColumn("keep", col("cluster_id").isNull || col("cluster_id") === col("id"))
+      .drop("cluster_id")
+  }
+
   /** exact n-gram Jaccard over all pairs of a (pre-filtered, small)
     * candidate set — the verification primitive; not for whole-corpus
     * use (that's what the LSH paths above are for). */

@@ -95,7 +95,7 @@ object Similarity {
   }
 
   /** nearest-centroid assignment via broadcast argmin (no shuffle). */
-  private def assignClusters(c0: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def assignClusters(c0: DataFrame, centroids: DataFrame): DataFrame =
     c0.crossJoin(broadcast(centroids))
       .select(col("id"), col("vec"), col("centroid_id"),
         VectorExpressions.l2F32(col("vec"), col("centroid")).as("d"))

@@ -144,5 +144,54 @@ object PipelineQueries7 {
       .orderBy(col("source"))
   }
 
-  def all: Seq[Q] = Seq(jsonFunctions, sqlArrayAgg, paragraphDedup, tokenBudget)
+  // SemDeDup graded contract: fixed centroids with exactly-
+  // representable (power-of-two) components, so assignment arithmetic
+  // is bit-identical in any IEEE engine; norms are exact doubles.
+  private val semCentroids: Seq[Seq[Double]] = Seq(
+    Seq.fill(64)(0.125),
+    Seq.tabulate(64)(i => if (i % 2 == 0) 0.25 else -0.25),
+    Seq.tabulate(64)(i => if (i < 32) 0.5 else -0.125))
+
+  /** Semantic (embedding-cluster) dedup candidates against fixed
+    * centroids (Dedup.semanticCandidates): nearest-centroid argmin via
+    * the same sequential double fold in both engines, pairs searched
+    * only within a cluster (equi-join on the cluster id, no crossJoin
+    * in the plan). */
+  val semanticDedup: Q = q(
+    "dedup_semantic", {
+      def centSql(c: Seq[Double]) = c.mkString("[", ", ", "]")
+      def dotSql(c: Seq[Double]) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(range(1, 65),
+           |    i -> v[CAST(i AS INT)] * (${centSql(c)})[CAST(i AS INT)])),
+           |  (a, b) -> a + b)""".stripMargin.replace("\n", " ")
+      val scores = semCentroids.map { c =>
+        val normSq = c.foldLeft(0.0)((a, x) => a + x * x)
+        s"($normSq - 2.0 * ${dotSql(c)})"
+      }
+      // same strict-<, earliest-wins fold as the operator
+      val (clusterExpr, _) = scores.zipWithIndex.tail
+        .foldLeft((s"0", scores.head)) { case ((bi, bs), (s, i)) =>
+          (s"(CASE WHEN $s < $bs THEN $i ELSE $bi END)",
+            s"(CASE WHEN $s < $bs THEN $s ELSE $bs END)")
+        }
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < 200),
+         |sc AS (SELECT vec_id, v, CAST($clusterExpr AS BIGINT) AS cluster FROM e)
+         |SELECT a.cluster AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 4) AS cosine
+         |FROM sc a JOIN sc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 4) >= 0.35
+         |ORDER BY cluster, id_a, id_b""".stripMargin
+    }) { (s, d) =>
+    graft.operators.Dedup.semanticCandidates(
+      Tables.embeddings(s, d).filter(col("vec_id") < 200),
+      "vec_id", "embedding", semCentroids, threshold = 0.35)
+      .select(col("cluster").cast("long").as("cluster"),
+        col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("cluster"), col("id_a"), col("id_b"))
+  }
+
+  def all: Seq[Q] =
+    Seq(jsonFunctions, sqlArrayAgg, paragraphDedup, tokenBudget, semanticDedup)
 }

@@ -46,6 +46,34 @@ class DedupSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((2L, 4L, "x\ny")))
   }
 
+  test("semanticCandidates: within-cluster equi-join, no cross join, dup found") {
+    import spark.implicits._
+    val base = Seq.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val near = base.updated(0, base(0) + 1e-4f)
+    val far = Seq.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("id", "vec")
+    val cents = Seq(Seq.fill(8)(0.25), Seq.tabulate(8)(i => if (i < 4) 0.5 else -0.5))
+    val out = Dedup.semanticCandidates(df, "id", "vec", cents, threshold = 0.99)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("trained semantic dedup keeps one representative per dup group") {
+    import spark.implicits._
+    val v1 = Seq.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.updated(1, v1(1) + 1e-4f)
+    val v3 = v1.updated(2, v1(2) - 1e-4f)
+    val other = Seq.tabulate(8)(i => math.cos(2 * i + 5).toFloat)
+    val df = Seq((10L, v1), (11L, v2), (12L, v3), (20L, other)).toDF("id", "vec")
+    val out = Dedup.semantic(df, "id", "vec", nClusters = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(10L) && !out(11L) && !out(12L), out.toString) // min id survives
+    assert(out(20L)) // singleton untouched
+  }
+
   test("minhash LSH finds near-duplicate pairs, not unrelated ones") {
     // 16 bands × 4 rows: the high-recall operating point for the
     // ~0.7-jaccard near-dup pair in this fixture
