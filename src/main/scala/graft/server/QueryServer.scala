@@ -136,6 +136,10 @@ class QueryServer(
     //   POST /druid/coordinator/v1/lookups/config/{t}/{name} → register
     server.createContext("/druid/coordinator/v1/lookups/config",
       (ex: HttpExchange) => handleLookups(ex))
+    // lookup introspection (reference LookupIntrospectionResource):
+    //   GET /druid/v1/lookups/introspect/{name}[/keys|/values]
+    server.createContext("/druid/v1/lookups/introspect",
+      (ex: HttpExchange) => handleLookupIntrospect(ex))
     // pooled dispatch: concurrent queries are admission-controlled by
     // withCapacity, not serialized by the listener thread
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
@@ -174,6 +178,38 @@ class QueryServer(
           graft.functions.LookupRegistry.register(name, entries.toMap)
           respond(ex, 202, "")
         case _ => respond(ex, 405, """{"error":"GET/POST only"}""")
+      }
+    } catch {
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
+    }
+
+  private def handleLookupIntrospect(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "GET") {
+        respond(ex, 405, """{"error":"GET only"}"""); return
+      }
+      val parts = ex.getRequestURI.getPath
+        .stripPrefix("/druid/v1/lookups/introspect").stripPrefix("/")
+        .split("/").filter(_.nonEmpty)
+      val name = parts.headOption.getOrElse(
+        throw new IllegalArgumentException("lookup name missing from path"))
+      graft.functions.LookupRegistry.get(name) match {
+        case None => respond(ex, 404, s"""{"error":"lookup [$name] not found"}""")
+        case Some(m) =>
+          def jstr(s: String) = mapper.writeValueAsString(s)
+          val body = parts.lift(1) match {
+            case Some("keys") =>
+              m.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+            case Some("values") =>
+              m.toSeq.sortBy(_._1).map(kv => jstr(kv._2)).mkString("[", ",", "]")
+            case Some(other) =>
+              throw new IllegalArgumentException(s"unknown introspect view '$other'")
+            case None =>
+              m.toSeq.sortBy(_._1)
+                .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+                .mkString("{", ",", "}")
+          }
+          respond(ex, 200, body)
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)

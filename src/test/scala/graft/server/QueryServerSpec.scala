@@ -309,6 +309,20 @@ class QueryServerSpec extends SparkSpec {
         """{"query": "SELECT LOOKUP(dim, 'srv_lk') AS x FROM ds_lk WHERE m = 1.0"}""")
       assert(c2 == 200, b2)
       assert(b2 == """[{"x":"Alpha"}]""", b2)
+      // introspection (reference LookupIntrospectionResource)
+      def get2(path: String) = {
+        val r = client.send(java.net.http.HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(get2("/druid/v1/lookups/introspect/srv_lk")
+        == ((200, """{"a":"Alpha","b":"Beta"}""")))
+      assert(get2("/druid/v1/lookups/introspect/srv_lk/keys")
+        == ((200, """["a","b"]""")))
+      assert(get2("/druid/v1/lookups/introspect/srv_lk/values")
+        == ((200, """["Alpha","Beta"]""")))
+      assert(get2("/druid/v1/lookups/introspect/nope")._1 == 404)
     } finally srv.stop()
   }
 
