@@ -102,6 +102,61 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** Incremental NEAR-dup dedup: batch rows that minhash-collide with
+    * the existing corpus (any shared LSH band bucket) and agree at >=
+    * `minAgreement` signature fraction are dropped; survivors are also
+    * near-deduped WITHIN the batch (keep smallest id per duplicate
+    * pair, transitively via first-match). The near-dup sibling of
+    * [[incremental]].
+    *
+    * `corpusSigs` is a precomputed (id, sig) table
+    * ([[minhashSignatures]] written once per snapshot) — the batch
+    * never scans corpus text. Shuffle profile: batch+corpus band keys
+    * (narrow (band, bucket, id) rows) for the collision join, one
+    * signature rejoin per distinct candidate pair, one window for the
+    * in-batch keep — corpus signatures shuffle once regardless of how
+    * many bands collide. */
+  def incrementalNearDup(
+      batch: DataFrame, idCol: String, textCol: String,
+      corpusSigs: DataFrame,
+      minAgreement: Double,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 8,
+      seed: Int = 42): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(sigs: DataFrame) = sigs.select(
+      col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band")
+    val bSigs = minhashSignatures(batch, idCol, textCol, shingleSize, numHashes, seed)
+    val bBand = banded(bSigs)
+    val cBand = banded(corpusSigs.select(col("id"), col("sig")))
+    // batch ↔ corpus collisions, verified on signature agreement
+    val vsCorpus = bBand.join(cBand
+        .select(col("band"), col("bucket"), col("id").as("cid")),
+        Seq("band", "bucket"))
+      .select(col("id"), col("cid")).distinct()
+      .join(bSigs.select(col("id"), col("sig").as("bsig")), Seq("id"))
+      .join(corpusSigs.select(col("id").as("cid"), col("sig").as("csig")), Seq("cid"))
+      .filter(TextExpressions.signatureAgreement(col("bsig"), col("csig"))
+        >= minAgreement)
+      .select(col("id")).distinct()
+    val fresh = batch.join(
+      vsCorpus.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    // in-batch near-dedup over the survivors: drop any row matching a
+    // smaller-id survivor
+    val freshSigs = bSigs.join(
+      fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val inBatch = minhashCandidatesFromSignatures(
+      freshSigs, "id", "sig", numHashes, bands)
+      .filter(col("est_jaccard") >= minAgreement)
+      .select(col("id_b").as(idCol)).distinct()
+    fresh.join(inBatch, Seq(idCol), "left_anti")
+  }
+
   /** MinHash candidates verified by exact shingle-set Jaccard. */
   def minhashVerified(
       df: DataFrame,

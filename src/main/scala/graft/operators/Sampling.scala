@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines: stratified
@@ -67,6 +68,25 @@ object Sampling {
     * deterministic, append-stable subset. One agg shuffle over
     * (domain) + a broadcast join: no full-data shuffle at any scale.
     */
+  /** Per-domain quality pruning: keep each domain's top `fracBp`/10000
+    * rows by score (the "filter to the best X% per source" pass of
+    * corpus curation). Exact, not approximate-quantile: one window
+    * shuffle on the domain computes rank and domain size together;
+    * keepN = size·fracBp div 10000 in pure integer math, ties broken
+    * by id — deterministic and engine-portable. */
+  def topFracPerDomain(
+      df: DataFrame, domainCol: String, scoreCol: String, idCol: String,
+      fracBp: Int): DataFrame = {
+    require(fracBp >= 0 && fracBp <= 10000, s"fracBp in [0,10000], got $fracBp")
+    val w = Window.partitionBy(col(domainCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(w))
+    ranked.filter(col("__rn") * 10000L <= col("__n") * fracBp.toLong)
+      .drop("__rn", "__n")
+  }
+
   def tokenBudget(
       df: DataFrame, domainCol: String, idCol: String, tokensCol: String,
       budgets: Map[String, Long], defaultBudget: Long,

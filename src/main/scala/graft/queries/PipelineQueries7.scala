@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Round-6 additions: the nested-data (JSON) SQL family and the
@@ -192,6 +193,124 @@ object PipelineQueries7 {
       .orderBy(col("cluster"), col("id_a"), col("id_b"))
   }
 
+  /** Per-domain quality pruning (Sampling.topFracPerDomain): exact
+    * top-30%-by-score within each source, integer keep arithmetic,
+    * ties to the lowest doc_id — the surviving rows themselves are
+    * graded. */
+  val topFrac: Q = q(
+    "sampling_top_frac",
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars
+      |FROM r WHERE rn * 10000 <= n * 3000
+      |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.topFracPerDomain(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      "source", "n_chars", "doc_id", fracBp = 3000)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Incremental NEAR-dup dedup, fully graded via the portable hash
+    * pipeline (the same discipline as dedup_minhash_lsh: the graded
+    * query proves the algorithm — batch→corpus band collisions,
+    * signature-agreement verification, anti-join, then in-batch
+    * near-dedup — while Dedup.incrementalNearDup's murmur fast path is
+    * spec'd). Agreement threshold is integer (>= 8 of 16 slots): no FP
+    * anywhere in the decision. */
+  val incrementalNearDup: Q = q(
+    "dedup_incremental_neardup",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' ||
+      |                string_split(text, ' ')[i+1] || ' ' ||
+      |                string_split(text, ' ')[i+2])) AS g
+      |  FROM d),
+      |hs AS (
+      |  SELECT doc_id, list_transform(g, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a*31 + b) % 1000000007)) AS h
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 16), i ->
+      |    list_min(list_transform(h, x -> (x*(2*i+1) + i*12345 + 7) % 2147483647))) AS s
+      |  FROM hs),
+      |banded AS (
+      |  SELECT doc_id, b.band AS band,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_slice(s, b.band*4 + 1, b.band*4 + 4)),
+      |           (a, x) -> (a*31 + x) % 1000000007) AS bucket
+      |  FROM sig, range(0, 4) b(band)),
+      |vs AS (
+      |  SELECT DISTINCT x.doc_id
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket
+      |   AND x.doc_id < 100 AND y.doc_id >= 100
+      |  JOIN sig sa ON sa.doc_id = x.doc_id
+      |  JOIN sig sb ON sb.doc_id = y.doc_id
+      |  WHERE len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) >= 8),
+      |fresh AS (
+      |  SELECT doc_id FROM d WHERE doc_id < 100
+      |    AND doc_id NOT IN (SELECT doc_id FROM vs)),
+      |inb AS (
+      |  SELECT DISTINCT y.doc_id
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      |  JOIN fresh fa ON fa.doc_id = x.doc_id
+      |  JOIN fresh fb ON fb.doc_id = y.doc_id
+      |  JOIN sig sa ON sa.doc_id = x.doc_id
+      |  JOIN sig sb ON sb.doc_id = y.doc_id
+      |  WHERE len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) >= 8)
+      |SELECT doc_id FROM fresh
+      |WHERE doc_id NOT IN (SELECT doc_id FROM inb)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import PipelineQueries2.{minhashSig, rollHash}
+    val base = Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id"),
+        array_distinct(
+          graft.functions.TextExpressions.wordShingles(col("text"), 3)).as("g"))
+      .withColumn("s", minhashSig(transform(col("g"), rollHash(_)), 16))
+      .select(col("doc_id"), col("s"))
+    val banded = base.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        aggregate(slice(col("s"), b * 4 + 1, 4), lit(0L),
+          (a, x) => (a * 31 + x) % 1000000007L)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    def agree8(sa: Column, sb: Column): Column =
+      size(filter(sequence(lit(1), lit(16)),
+        i => element_at(sa, i) === element_at(sb, i))) >= 8
+    val vsCorpus = banded.filter(col("doc_id") < 100)
+      .join(banded.filter(col("doc_id") >= 100)
+        .select(col("band"), col("bucket"), col("doc_id").as("cid")),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("cid")).distinct()
+      .join(base.select(col("doc_id"), col("s").as("sa")), Seq("doc_id"))
+      .join(base.select(col("doc_id").as("cid"), col("s").as("sb")), Seq("cid"))
+      .filter(agree8(col("sa"), col("sb")))
+      .select(col("doc_id")).distinct()
+    val fresh = base.filter(col("doc_id") < 100).select("doc_id")
+      .join(vsCorpus, Seq("doc_id"), "left_anti")
+    val inBatch = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(fresh.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(fresh.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      .join(base.select(col("doc_id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .filter(agree8(col("sa"), col("sb")))
+      .select(col("id_b").as("doc_id")).distinct()
+    fresh.join(inBatch, Seq("doc_id"), "left_anti").orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] =
-    Seq(jsonFunctions, sqlArrayAgg, paragraphDedup, tokenBudget, semanticDedup)
+    Seq(jsonFunctions, sqlArrayAgg, paragraphDedup, tokenBudget, semanticDedup,
+      topFrac, incrementalNearDup)
 }

@@ -158,6 +158,28 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(11L, 13L), kept.toSeq)
   }
 
+  test("incrementalNearDup: corpus near-matches drop, in-batch dups collapse") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 100 (one word changed) -> dropped
+      (1L, "the quick brown fox jumps over the lazy dog near the river bend today"),
+      // unrelated -> survives
+      (2L, "completely different content about spark query engines and columnar formats"),
+      // exact dup of batch doc 2 -> in-batch collapse, 2 survives
+      (3L, "completely different content about spark query engines and columnar formats")
+    ).toDF("doc_id", "text")
+    // 32 bands of 2 slots: a 0.67-agreement pair collides in some band
+    // (deterministic for the fixed seed), exact dups always collide
+    val kept = Dedup.incrementalNearDup(
+      batch, "doc_id", "text", corpusSigs, minAgreement = 0.5, bands = 32)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L))
+  }
+
   test("bloom prefilter: no false negatives, fresh rows skip the join") {
     import spark.implicits._
     val corpus = Seq(

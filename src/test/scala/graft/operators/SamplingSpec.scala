@@ -41,6 +41,22 @@ class SamplingSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("topFracPerDomain: exact keep count, score-then-id ordering") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 1.0), ("b", 6L, 2.0)
+    ).toDF("domain", "id", "score")
+    // a: 4 rows, 50% -> keep 2: scores 30,30 with tie to id 2 then 4
+    // b: 2 rows, 50% -> keep 1: id 6
+    val kept = Sampling.topFracPerDomain(df, "domain", "score", "id", 5000)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 4L, 6L))
+    // fracBp 0 keeps nothing; 10000 keeps everything
+    assert(Sampling.topFracPerDomain(df, "domain", "score", "id", 0).count() == 0)
+    assert(Sampling.topFracPerDomain(df, "domain", "score", "id", 10000).count() == 6)
+  }
+
   test("tokenBudget plan: rate side broadcasts, data never shuffles wide") {
     val plan = Sampling.tokenBudget(
       corpus, "domain", "id", "tokens",
