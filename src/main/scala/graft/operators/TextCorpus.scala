@@ -70,6 +70,32 @@ object TextCorpus {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
   }
 
+  /** Sliding-window document chunking (the RAG / embedding-prep
+    * splitter): token windows of `chunkSize` advancing by `stride`
+    * (stride < chunkSize ⇒ overlap). Returns one row per chunk:
+    * (id, chunk_idx, chunk_text, n_tokens). The final window is
+    * whatever remains (may be shorter); a doc shorter than one chunk
+    * yields exactly one chunk. Pure map + generate (explode) — no
+    * shuffle, arithmetic any engine reproduces. */
+  def chunk(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val ws = toks(col(textCol))
+    // windows: 1 + ceil(max(0, len - chunkSize) / stride), in pure
+    // integer arithmetic ((x + stride - 1) div stride)
+    val n = lit(1) +
+      floor((greatest(size(ws) - chunkSize, lit(0)) + (stride - 1)) / lit(stride))
+        .cast("int")
+    df.select(
+      col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), n - 1),
+        i => array_join(slice(ws, i * stride + 1, lit(chunkSize)), " "))))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        size(split(col("col"), " ")).cast("long").as("n_tokens"))
+  }
+
   /** Scale form of `packBins`: pack independently within each shard
     * (an unpartitioned ordered window collapses to a single partition
     * in Spark — fine for grading, wrong at 100 TB). Shards pack in

@@ -310,7 +310,27 @@ object PipelineQueries7 {
     fresh.join(inBatch, Seq("doc_id"), "left_anti").orderBy(col("doc_id"))
   }
 
+  /** Sliding-window chunking (TextCorpus.chunk): 30-token windows,
+    * stride 20 (10-token overlap); every chunk row graded. */
+  val chunking: Q = q(
+    "text_chunk_overlap",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |         array_to_string(ws[i*20+1 : i*20+30], ' ') AS chunk_text
+      |  FROM w, UNNEST(range(0,
+      |    1 + CAST(floor((greatest(len(ws) - 30, 0) + 19) / 20.0) AS BIGINT))) t(i))
+      |SELECT doc_id, chunk_idx, chunk_text,
+      |       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    graft.operators.TextCorpus.chunk(
+      Tables.documents(s, d), "doc_id", "text", chunkSize = 30, stride = 20)
+      .select(col("id").as("doc_id"), col("chunk_idx"),
+        col("chunk_text"), col("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def all: Seq[Q] =
     Seq(jsonFunctions, sqlArrayAgg, paragraphDedup, tokenBudget, semanticDedup,
-      topFrac, incrementalNearDup)
+      topFrac, incrementalNearDup, chunking)
 }

@@ -48,6 +48,22 @@ class TextCorpusSpec extends SparkSpec {
       1L -> ("s1", 0L), 2L -> ("s1", 1L), 3L -> ("s2", 0L), 4L -> ("s2", 0L)), bins)
   }
 
+  test("chunk: sliding windows with overlap, short tail, short-doc singleton") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"), // size 4, stride 2: [1..4],[3..6],[5..7]
+      (2L, "a b")                   // shorter than one chunk -> one chunk
+    ).toDF("doc_id", "text")
+    val out = TextCorpus.chunk(df, "doc_id", "text", chunkSize = 4, stride = 2)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "w1 w2 w3 w4", 4L),
+      (1L, 1L, "w3 w4 w5 w6", 4L),
+      (1L, 2L, "w5 w6 w7", 3L),
+      (2L, 0L, "a b", 2L)))
+  }
+
   test("packBins assigns bins by start offset of the concatenated stream") {
     // budget 4: doc1 starts at 0 (bin 0), doc2 at 4 (bin 1), doc3 at 7 (bin 1)
     val bins = TextCorpus.packBins(docs, "doc_id", "text", budget = 4)
