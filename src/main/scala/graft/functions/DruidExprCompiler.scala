@@ -327,6 +327,33 @@ object DruidExprCompiler {
         need(2)
         castTo(a(0), reqLitStr(raw(1), "cast type"))
 
+      // ---- nested data (modern NestedDataExpressions; superset for
+      // the 0.22 grammar, same names) ----
+      case "json_value" =>
+        need(2); TC(get_json_object(str(a(0)), reqLitStr(raw(1), "json path")), S)
+      case "json_query" =>
+        need(2); TC(get_json_object(str(a(0)), reqLitStr(raw(1), "json path")), S)
+      case "json_object" =>
+        if (raw.size % 2 != 0)
+          throw new ParseError("json_object needs key/value pairs")
+        val fields = raw.grouped(2).toSeq.map { case Seq(k, v) =>
+          materialize(compile(v, env)).as(reqLitStr(k, "json_object key"))
+        }
+        TC(to_json(struct(fields: _*)), S)
+      case "json_keys" =>
+        val doc = if (raw.size == 2)
+          get_json_object(str(a(0)), reqLitStr(raw(1), "json path"))
+        else { need(1); str(a(0)) }
+        TC(json_object_keys(doc), A(S))
+      case "json_paths" =>
+        need(1)
+        TC(graft.exprs.toCol(JsonPaths(graft.exprs.toExpr(str(a(0))))), A(S))
+      // COMPLEX<json> round-trips as its string form in this engine:
+      // parse_json/to_json_string are the identity on that form
+      // (scalars render as their JSON literal text).
+      case "to_json_string" => need(1); TC(str(a(0)), S)
+      case "parse_json" => need(1); TC(str(a(0)), S)
+
       // ---- strings (Function.java + macros) ----
       case "concat" => TC(concat(all.map(str): _*), S)
       case "format" =>

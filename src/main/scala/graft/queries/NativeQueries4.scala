@@ -483,10 +483,43 @@ object NativeQueries4 {
         |  {"dimension": "l_returnflag", "direction": "ascending"}]}}""".stripMargin)
   }
 
+  /** nested-data native expressions (modern NestedDataExpressions
+    * names, superset for the 0.22 grammar): json_value extraction in a
+    * virtualColumn dimension + json_object construction, through the
+    * JSON wire form. */
+  val nativeJsonValue: Q = q(
+    "native_json_value",
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+      |       min('{"t":"' || event_type || '"}') AS tagged
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "virtualColumns": [
+        |    {"name": "k", "expression": "cast(json_value(props, '$.k'), 'LONG')"},
+        |    {"name": "tag", "expression": "to_json_string(json_object('t', event_type))"}
+        |  ],
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [
+        |    {"type": "count", "name": "cnt"},
+        |    {"type": "longSum", "name": "k_sum", "fieldName": "k"},
+        |    {"type": "stringFirst", "name": "tagged", "fieldName": "tag"}
+        |  ],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
     filterBoundStrlen, limitSpecVersion, nativeHllSketch,
     nativeSegmentMetadata, nativeFilteredEmptyGroup,
     nativeTopnDimensionOrder, nativeTimeformatExtraction,
-    nativeSpatialFilter, nativeTupleSketch, nativeMatviewRewrite)
+    nativeSpatialFilter, nativeTupleSketch, nativeMatviewRewrite,
+    nativeJsonValue)
 }

@@ -181,6 +181,18 @@ class DruidExprLangSpec extends SparkSpec {
     intercept[IllegalArgumentException](eval1("not_an_apply((x, y) -> x, arr, arr)"))
   }
 
+  test("nested-data functions: json_value/keys/paths/object, identity roundtrip") {
+    assert(eval1("json_value('{\"a\": {\"b\": 9}}', '$.a.b')") == "9")
+    assert(eval1("cast(json_value('{\"k\": 5}', '$.k'), 'LONG')") == 5L)
+    assert(eval1("json_query('{\"a\":{\"b\":1}}', '$.a')") == """{"b":1}""")
+    assert(eval1("array_to_string(json_keys('{\"x\":1,\"y\":2}'), ',')") == "x,y")
+    assert(eval1("array_to_string(json_paths('{\"x\":{\"y\":1}}'), ',')") == "$.x.y")
+    assert(eval1("to_json_string(json_object('t', s))") == """{"t":"alpha"}""")
+    assert(eval1("parse_json('{\"a\":1}')") == """{"a":1}""")
+    // path must be a literal — dynamic paths hard-reject
+    intercept[Exception](eval1("json_value(s, s)"))
+  }
+
   test("render round-trips through the grammar") {
     import DruidExprLang._
     val exprs = Seq(
