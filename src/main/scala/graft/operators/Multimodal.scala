@@ -36,6 +36,48 @@ object Multimodal {
     (fmt, 64 + math.floorMod(h >> 8, 1920), 64 + math.floorMod(h >> 16, 1080))
   }
 
+  /** REAL container-header probe — no codec library needed: image
+    * dimensions live in the first bytes of the container. Supports
+    * PNG (IHDR), GIF87a/89a (logical screen descriptor), JPEG (walks
+    * the marker stream to the first SOF0/1/2), and BMP (BITMAPINFOHEADER).
+    * Unknown/truncated containers → null (callers route those through
+    * the quarantine path, not a guess). This replaces the stub for the
+    * metadata stage; pixel decode (resize/encode) remains stubbed —
+    * that genuinely needs a codec. */
+  private[operators] def probeImage(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (bytes == null || bytes.length < 10) None
+    // PNG: 8-byte signature, IHDR width/height at offsets 16/20
+    else if (bytes.length >= 24 &&
+      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      Some(("png", be32(16), be32(20)))
+    // GIF: "GIF87a"/"GIF89a", LE screen size at 6/8
+    else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
+      Some(("gif", le16(6), le16(8)))
+    // BMP: "BM", BITMAPINFOHEADER width/height at 18/22 (LE)
+    else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      Some(("bmp", le32(18), math.abs(le32(22))))
+    // JPEG: SOI then marker segments; SOF0/1/2 carries height/width
+    else if (u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < bytes.length) {
+        if (u8(i) != 0xff) return None
+        val marker = u8(i + 1)
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else i += 2 + be16(i + 2)
+      }
+      None
+    } else None
+  }
+
   /** ==== STUB: fake feature extractor (would be a vision encoder);
     * produces a deterministic unit-norm vector from the bytes. */
   private[operators] def featureStub(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -54,7 +96,10 @@ object Multimodal {
   }
 
   /** attach decoded metadata to a media binary column. Runs inside a
-    * partition-batched map — one task per input split, no shuffle. */
+    * partition-batched map — one task per input split, no shuffle.
+    * Recognized image containers (PNG/GIF/JPEG/BMP) get REAL header
+    * dimensions via [[probeImage]]; anything else falls back to the
+    * deterministic stub (format tagged so callers can filter). */
   def withMediaMeta(df: DataFrame, binCol: String, metaCol: String = "media_meta"): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(metaCol, mediaMetaType))
     val binIdx = df.schema.fieldIndex(binCol)
@@ -62,7 +107,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val (fmt, w, h) = decodeStub(bytes)
+        val (fmt, w, h) = probeImage(bytes).getOrElse(decodeStub(bytes))
         val n = if (bytes == null) 0L else bytes.length.toLong
         Row.fromSeq(r.toSeq :+ Row(fmt, w, h, n))
       }

@@ -20,6 +20,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == -1) // null media passes through as null
   }
 
+  test("probeImage reads REAL container headers: PNG/GIF/BMP/JPEG") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR, width 640 height 480 (big-endian at 16/20)
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, 0, 0, 1, 0xe0)
+    assert(Multimodal.probeImage(png).contains(("png", 640, 480)))
+    // GIF89a: little-endian screen size 320x200 at 6/8
+    val gif = b('G', 'I', 'F', '8', '9', 'a', 0x40, 0x01, 0xc8, 0x00)
+    assert(Multimodal.probeImage(gif).contains(("gif", 320, 200)))
+    // BMP: BITMAPINFOHEADER, LE width 100 at 18, height 50 at 22
+    val bmp = b('B', 'M') ++ new Array[Byte](16) ++
+      b(100, 0, 0, 0, 50, 0, 0, 0)
+    assert(Multimodal.probeImage(bmp).contains(("bmp", 100, 50)))
+    // JPEG: SOI, APP0 segment, then SOF0 with height 480 width 640
+    val jpeg = b(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x03)
+    assert(Multimodal.probeImage(jpeg).contains(("jpeg", 640, 480)))
+    // truncated / unknown bytes -> None (no guessing)
+    assert(Multimodal.probeImage(png.take(12)).isEmpty)
+    assert(Multimodal.probeImage("plain text goes here".getBytes).isEmpty)
+    // withMediaMeta surfaces the real dimensions for recognized formats
+    import spark.implicits._
+    val df = Seq((1L, png), (2L, "not an image padded out".getBytes)).toDF("id", "media")
+    val meta = Multimodal.withMediaMeta(df, "media")
+      .select(col("id"), col("media_meta.format"), col("media_meta.width"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(meta(1L) == (("png", 640)))
+    assert(Seq("jpeg", "png", "webp").contains(meta(2L)._1)) // stub fallback
+  }
+
   test("frame sampling yields n byte-slices covering the media") {
     val out = Multimodal.withFrameSamples(media, "media", nFrames = 4)
       .select(col("id"), size(col("media_frames")).as("n"),
