@@ -78,6 +78,54 @@ object Multimodal {
     } else None
   }
 
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** REAL audio-container probe (no codec): WAV/RIFF "fmt " chunk →
+    * (channels, sampleRate, bitsPerSample). Walks the chunk list like
+    * the JPEG marker walk; unknown/truncated → None. */
+  private[operators] def probeAudio(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (bytes == null || bytes.length < 36) None
+    else if (tag(0, "RIFF") && tag(8, "WAVE")) {
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val size = le32(i + 4)
+        if (tag(i, "fmt ") && i + 8 + 16 <= bytes.length)
+          return Some(("wav", le16(i + 10), le32(i + 12), le16(i + 22)))
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    } else None
+  }
+
+  /** attach audio metadata (real WAV header probe; non-audio bytes →
+    * null struct — callers quarantine, no guessing). */
+  def withAudioMeta(df: DataFrame, binCol: String, metaCol: String = "audio_meta"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(metaCol, audioMetaType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val meta = probeAudio(bytes) match {
+          case Some((fmt, ch, sr, bits)) => Row(fmt, ch, sr, bits, bytes.length.toLong)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
   /** ==== STUB: fake feature extractor (would be a vision encoder);
     * produces a deterministic unit-norm vector from the bytes. */
   private[operators] def featureStub(bytes: Array[Byte], dim: Int): Array[Float] = {

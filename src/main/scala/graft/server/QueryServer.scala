@@ -55,6 +55,10 @@ class QueryServer(
     * resolver. */
   private val ingested = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** completed SQL-ingestion tasks, surfaced through sys.tasks. */
+  private val taskLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[SystemTables.TaskRecord]()
+
   private def resolveWithIngested(name: String): DataFrame =
     if (ingested.contains(name))
       IngestSql.readTable(spark, storageRoot.get, name)
@@ -253,7 +257,8 @@ class QueryServer(
           .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
       val sql = SystemTables.prepare(
         spark, substituteParameters(sql0, params),
-        allDatasources _, resolveWithIngested, resolveSegmentMeta, boundPort)
+        allDatasources _, resolveWithIngested, resolveSegmentMeta, boundPort,
+        () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq })
       // SQL ingestion (INSERT INTO / REPLACE INTO ... PARTITIONED BY):
       // synchronous task — respond with the reference's task envelope.
       if (IngestSql.looksLikeIngest(sql)) {
@@ -261,8 +266,13 @@ class QueryServer(
           throw new IllegalArgumentException(
             "SQL ingestion is not enabled on this server (no storageRoot)")
         val st = IngestSql.parse(sql)
+        val t0 = System.currentTimeMillis()
         val path = IngestSql.run(graft.GraftSession.setup(spark), st, storageRoot.get)
         ingested.put(st.table, path)
+        taskLog.add(SystemTables.TaskRecord(
+          taskId = qid, taskType = "query_controller", datasource = st.table,
+          createdTimeIso = java.time.Instant.ofEpochMilli(t0).toString,
+          status = "SUCCESS", durationMs = System.currentTimeMillis() - t0))
         // queryable immediately by name on this SQL endpoint
         IngestSql.readTable(spark, storageRoot.get, st.table)
           .createOrReplaceTempView(st.table)

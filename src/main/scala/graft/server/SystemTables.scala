@@ -53,7 +53,8 @@ object SystemTables {
       datasources: () => Seq[String],
       resolveTable: String => DataFrame,
       resolveSegmentMeta: String => Option[Ingest.SegmentMeta],
-      port: Int): String = {
+      port: Int,
+      taskRecords: () => Seq[TaskRecord] = () => Nil): String = {
     val sysRefs = sysRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
     val infoRefs = infoRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
     if (sysRefs.isEmpty && infoRefs.isEmpty) return sql
@@ -71,7 +72,7 @@ object SystemTables {
           .select(lit(s"localhost:$port").as("server"), col("segment_id"))
           .createOrReplaceTempView("sys_server_segments")
       case "tasks" =>
-        emptyTasks(spark).createOrReplaceTempView("sys_tasks")
+        tasks(spark, taskRecords(), port).createOrReplaceTempView("sys_tasks")
       case "supervisors" =>
         emptySupervisors(spark).createOrReplaceTempView("sys_supervisors")
       case _ =>
@@ -211,20 +212,36 @@ object SystemTables {
         StructField("is_leader", LongType), StructField("start_time", StringType))))
   }
 
-  /** SystemSchema.java TASKS_SIGNATURE:172-188 — structurally present,
-    * genuinely empty: Spark owns task orchestration here. */
-  def emptyTasks(spark: SparkSession): DataFrame =
+  /** a completed ingestion task this server ran (SQL INSERT/REPLACE —
+    * the synchronous analog of the reference's MSQ controller task). */
+  final case class TaskRecord(
+      taskId: String, taskType: String, datasource: String,
+      createdTimeIso: String, status: String, durationMs: Long)
+
+  private val tasksSchema = StructType(Seq(
+    StructField("task_id", StringType), StructField("group_id", StringType),
+    StructField("type", StringType), StructField("datasource", StringType),
+    StructField("created_time", StringType),
+    StructField("queue_insertion_time", StringType),
+    StructField("status", StringType), StructField("runner_status", StringType),
+    StructField("duration", LongType), StructField("location", StringType),
+    StructField("host", StringType), StructField("plaintext_port", LongType),
+    StructField("tls_port", LongType), StructField("error_msg", StringType)))
+
+  /** SystemSchema.java TASKS_SIGNATURE:172-188 — populated from this
+    * server's completed SQL-ingestion runs (empty when none ran:
+    * Spark owns all other task orchestration here). */
+  def tasks(spark: SparkSession, records: Seq[TaskRecord], port: Int): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row],
-      StructType(Seq(
-        StructField("task_id", StringType), StructField("group_id", StringType),
-        StructField("type", StringType), StructField("datasource", StringType),
-        StructField("created_time", StringType),
-        StructField("queue_insertion_time", StringType),
-        StructField("status", StringType), StructField("runner_status", StringType),
-        StructField("duration", LongType), StructField("location", StringType),
-        StructField("host", StringType), StructField("plaintext_port", LongType),
-        StructField("tls_port", LongType), StructField("error_msg", StringType))))
+      spark.sparkContext.parallelize(records.map(r =>
+        Row(r.taskId, r.taskId, r.taskType, r.datasource,
+          r.createdTimeIso, r.createdTimeIso, r.status, "NONE",
+          r.durationMs, s"localhost:$port", "localhost", port.toLong,
+          -1L, null)), math.max(1, records.size.min(4))),
+      tasksSchema)
+
+  def emptyTasks(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tasksSchema)
 
   /** SystemSchema.java SUPERVISOR_SIGNATURE:190-198. */
   def emptySupervisors(spark: SparkSession): DataFrame =

@@ -52,6 +52,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Seq("jpeg", "png", "webp").contains(meta(2L)._1)) // stub fallback
   }
 
+  test("probeAudio reads REAL WAV headers; foreign bytes get a null struct") {
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    val wav = ("RIFF".getBytes.toSeq.map(_.toInt) ++ le32(36) ++
+      "WAVE".getBytes.toSeq.map(_.toInt) ++
+      "fmt ".getBytes.toSeq.map(_.toInt) ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16))
+      .map(_.toByte).toArray
+    assert(Multimodal.probeAudio(wav).contains(("wav", 2, 44100, 16)))
+    assert(Multimodal.probeAudio("definitely not RIFF data....".getBytes ++
+      new Array[Byte](16)).isEmpty)
+    import spark.implicits._
+    val df = Seq((1L, wav), (2L, new Array[Byte](40))).toDF("id", "media")
+    val out = Multimodal.withAudioMeta(df, "media")
+      .select(col("id"), col("audio_meta.sample_rate"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out(1L) == 44100 && out(2L) == -1)
+  }
+
   test("frame sampling yields n byte-slices covering the media") {
     val out = Multimodal.withFrameSamples(media, "media", nFrames = 4)
       .select(col("id"), size(col("media_frames")).as("n"),

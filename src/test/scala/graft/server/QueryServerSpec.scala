@@ -397,6 +397,13 @@ class QueryServerSpec extends SparkSpec {
       val (c6, b6) = post(port, "/druid/v2",
         """{"queryType": "timeBoundary", "dataSource": "wiki_rollup", "intervals": []}""")
       assert(c6 == 200, b6)
+      // completed ingestion runs surface as sys.tasks rows
+      val (c7, b7) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT datasource, status, type FROM sys.tasks ORDER BY created_time LIMIT 1"}""")
+      assert(c7 == 200, b7)
+      assert(b7 ==
+        """[{"datasource":"wiki_rollup","status":"SUCCESS","type":"query_controller"}]""",
+        b7)
     } finally srv.stop()
   }
 
