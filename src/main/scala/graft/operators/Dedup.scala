@@ -370,9 +370,13 @@ object Dedup {
   def lineDedup(
       df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
+    // null text → one empty line (posexplode of null would silently
+    // drop the document from the output, breaking the every-doc-
+    // returns contract)
     val lines = df.select(
       col(idCol).as("__id"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)))
         .as(Seq("__idx", "__line")))
     val w = Window.partitionBy(col("__line")).orderBy(col("__id"), col("__idx"))
     lines.withColumn("__rn", row_number().over(w))

@@ -81,7 +81,8 @@ object TextCorpus {
       df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
-    val ws = toks(col(textCol))
+    // null text → one empty chunk (not a vanished document)
+    val ws = toks(coalesce(col(textCol), lit("")))
     // windows: 1 + ceil(max(0, len - chunkSize) / stride), in pure
     // integer arithmetic ((x + stride - 1) div stride)
     val n = lit(1) +

@@ -39,6 +39,14 @@ class DedupSpec extends SparkSpec {
       (4L, 1L, 2L, "gamma2")))
   }
 
+  test("lineDedup: null-text docs stay in the output as one empty line") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2 && out(1).getLong(2) == 1L)
+  }
+
   test("lineDedup: ties within one doc keep the earliest position") {
     import spark.implicits._
     val df = Seq((7L, "x\ny\nx\nx")).toDF("doc_id", "text")
