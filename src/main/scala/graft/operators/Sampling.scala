@@ -54,6 +54,21 @@ object Sampling {
     df.withColumn(outputCol, expr0)
   }
 
+  /** Deterministic corpus shuffle: a reproducible global ordering for
+    * training-data serialization (epoch reshuffle = new salt). The
+    * sort key is the same portable integer hash as the samplers, so
+    * any engine reproduces the byte-identical order; ties (hash
+    * collisions) break on the id. At scale this is one range-
+    * partitioned sort — exactly what a deterministic shuffle must pay;
+    * trailing writers consume partitions in key order. */
+  def shuffled(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame =
+    df.orderBy(hashOrderKey(col(idCol), salt), col(idCol))
+
+  /** full-range variant of hashBucket (0..2^31): fewer ties for
+    * ordering use. Same portable arithmetic. */
+  private def hashOrderKey(id: Column, salt: Long): Column =
+    ((id + salt) % 1000003L) * 2654435761L % 2147483647L
+
   /** Token-budget domain mixing: down-sample each domain so its
     * expected surviving token mass hits a target budget (the
     * domain-reweighting step of corpus construction — fixed target

@@ -330,7 +330,28 @@ object PipelineQueries7 {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Deterministic corpus shuffle (Sampling.shuffled): the serialized
+    * training order itself is graded — position assigned by the
+    * portable hash, reproducible in any engine. */
+  val corpusShuffle: Q = q(
+    "sampling_corpus_shuffle",
+    """SELECT CAST(row_number() OVER (
+      |         ORDER BY ((doc_id + 3) % 1000003) * 2654435761 % 2147483647,
+      |                  doc_id) AS BIGINT) AS position,
+      |       doc_id
+      |FROM documents ORDER BY position""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.operators.Sampling.shuffled(
+      Tables.documents(s, d).select("doc_id"), "doc_id", salt = 3L)
+      .withColumn("position",
+        row_number().over(Window.orderBy(
+          ((col("doc_id") + 3L) % 1000003L) * 2654435761L % 2147483647L,
+          col("doc_id"))).cast("long"))
+      .select(col("position"), col("doc_id"))
+      .orderBy(col("position"))
+  }
+
   def all: Seq[Q] =
     Seq(jsonFunctions, sqlArrayAgg, paragraphDedup, tokenBudget, semanticDedup,
-      topFrac, incrementalNearDup, chunking)
+      topFrac, incrementalNearDup, chunking, corpusShuffle)
 }

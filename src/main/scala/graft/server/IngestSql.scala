@@ -27,13 +27,19 @@ object IngestSql {
       table: String,
       select: String,
       granularity: String, // ISO period, or "all"
-      clusterBy: Seq[String])
+      clusterBy: Seq[String],
+      /** REPLACE ... OVERWRITE WHERE half-open [start, end) UTC time
+        * slice; None = OVERWRITE ALL (or INSERT). */
+      overwriteWhere: Option[(java.time.Instant, java.time.Instant)] = None)
 
   private val head = "(?is)^\\s*(INSERT|REPLACE)\\b.*".r
   private val full =
     ("(?is)^\\s*(INSERT|REPLACE)\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +
-      "(OVERWRITE\\s+ALL\\s+)?(SELECT.+?)\\s+PARTITIONED\\s+BY\\s+" +
+      "(OVERWRITE\\s+ALL\\s+|OVERWRITE\\s+WHERE\\s+.+?\\s+)?(SELECT.+?)\\s+PARTITIONED\\s+BY\\s+" +
       "([A-Za-z_]+(?:\\s+TIME)?)(?:\\s+CLUSTERED\\s+BY\\s+(.+?))?\\s*$").r
+  private val whereRe =
+    ("(?is)OVERWRITE\\s+WHERE\\s+__time\\s*>=\\s*TIMESTAMP\\s*'([^']+)'\\s+" +
+      "AND\\s+__time\\s*<\\s*TIMESTAMP\\s*'([^']+)'").r
 
   private val granularities = Map(
     "hour" -> "PT1H", "day" -> "P1D", "week" -> "P1W",
@@ -51,17 +57,40 @@ object IngestSql {
       val hasOverwrite = overwrite != null
       if (isReplace && !hasOverwrite)
         throw new IllegalArgumentException(
-          "REPLACE requires OVERWRITE ALL (time-sliced OVERWRITE WHERE is not supported)")
+          "REPLACE requires OVERWRITE ALL or OVERWRITE WHERE __time >= TIMESTAMP '...' AND __time < TIMESTAMP '...'")
       if (!isReplace && hasOverwrite)
-        throw new IllegalArgumentException("INSERT cannot take OVERWRITE ALL; use REPLACE")
+        throw new IllegalArgumentException("INSERT cannot take OVERWRITE; use REPLACE")
+      val where: Option[(java.time.Instant, java.time.Instant)] =
+        if (hasOverwrite && overwrite.trim.toUpperCase.startsWith("OVERWRITE WHERE")) {
+          whereRe.findFirstMatchIn(overwrite) match {
+            case Some(m) =>
+              def inst(s: String) = java.time.LocalDateTime
+                .parse(s.replace(" ", "T"))
+                .toInstant(java.time.ZoneOffset.UTC)
+              Some((inst(m.group(1)), inst(m.group(2))))
+            case None => throw new IllegalArgumentException(
+              "OVERWRITE WHERE supports exactly: __time >= TIMESTAMP 'a' AND __time < TIMESTAMP 'b'")
+          }
+        } else None
       val g = granularities.getOrElse(
         gran.trim.toLowerCase.replaceAll("\\s+", " "),
         throw new IllegalArgumentException(
           s"unsupported PARTITIONED BY granularity '$gran' " +
             s"(one of ${granularities.keys.toSeq.sorted.mkString(", ")})"))
+      if (where.isDefined && g == "all")
+        throw new IllegalArgumentException(
+          "OVERWRITE WHERE needs a time granularity, not PARTITIONED BY ALL")
+      where.foreach { case (s, e) =>
+        if (!s.isBefore(e))
+          throw new IllegalArgumentException("OVERWRITE WHERE range is empty")
+        for (t <- Seq(s, e) if floorInstant(t, g) != t)
+          throw new IllegalArgumentException(
+            s"OVERWRITE WHERE bound $t does not align with PARTITIONED BY $g " +
+              "segment boundaries")
+      }
       val clusterCols = Option(cluster).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      Statement(isReplace, table, select, g, clusterCols)
+      Statement(isReplace, table, select, g, clusterCols, where)
     case _ =>
       throw new IllegalArgumentException(
         "malformed ingestion statement: expected " +
@@ -69,11 +98,76 @@ object IngestSql {
           "or REPLACE INTO <table> OVERWRITE ALL SELECT ... PARTITIONED BY <granularity>")
   }
 
+  /** UTC floor of an instant to a supported segment granularity. */
+  private[server] def floorInstant(
+      t: java.time.Instant, granularity: String): java.time.Instant = {
+    import java.time._
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    val z = t.atZone(ZoneOffset.UTC)
+    val f = granularity match {
+      case "PT1H" => z.truncatedTo(ChronoUnit.HOURS)
+      case "P1D" => z.truncatedTo(ChronoUnit.DAYS)
+      case "P1W" => z.truncatedTo(ChronoUnit.DAYS)
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+      case "P1M" => z.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+      case "P3M" => z.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+        .withMonth(((z.getMonthValue - 1) / 3) * 3 + 1)
+      case "P1Y" => z.truncatedTo(ChronoUnit.DAYS).withDayOfYear(1)
+      case g => throw new IllegalArgumentException(s"unsupported granularity $g")
+    }
+    f.toInstant
+  }
+
+  private def nextBucket(
+      t: java.time.Instant, granularity: String): java.time.Instant = {
+    import java.time._
+    val z = t.atZone(ZoneOffset.UTC)
+    (granularity match {
+      case "PT1H" => z.plusHours(1)
+      case "P1D" => z.plusDays(1)
+      case "P1W" => z.plusWeeks(1)
+      case "P1M" => z.plusMonths(1)
+      case "P3M" => z.plusMonths(3)
+      case "P1Y" => z.plusYears(1)
+      case g => throw new IllegalArgumentException(s"unsupported granularity $g")
+    }).toInstant
+  }
+
+  /** every bucket directory value ("yyyy-MM-dd'T'HH") in [start, end)
+    * at the statement granularity. */
+  private[server] def bucketsInRange(
+      start: java.time.Instant, end: java.time.Instant,
+      granularity: String): Seq[String] = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH").withZone(java.time.ZoneOffset.UTC)
+    Iterator.iterate(floorInstant(start, granularity))(nextBucket(_, granularity))
+      .takeWhile(_.isBefore(end)).map(fmt.format).toSeq
+  }
+
   /** Execute: run the SELECT, bucket rows by segment granularity,
     * optionally cluster-sort, write time-partitioned parquet under
-    * `storageRoot/table`. Returns the written DataFrame's path. */
+    * `storageRoot/table`. Returns the written DataFrame's path.
+    *
+    * OVERWRITE WHERE (time-sliced replace): the in-range segment
+    * directories are dropped first (a metadata operation, like the
+    * reference's segment drop at publish), then the SELECT's in-range
+    * rows append — out-of-range rows in the SELECT are rejected, the
+    * reference behavior. */
   def run(spark: SparkSession, st: Statement, storageRoot: String): String = {
-    val df = spark.sql(st.select)
+    val df0 = spark.sql(st.select)
+    val df = st.overwriteWhere match {
+      case Some((s, e)) =>
+        require(df0.columns.contains(Ingest.TimeCol),
+          s"OVERWRITE WHERE requires a ${Ingest.TimeCol} column in the SELECT")
+        val t = col(Ingest.TimeCol).cast("timestamp")
+        val outside = df0.filter(
+          t < lit(java.sql.Timestamp.from(s)) ||
+            t >= lit(java.sql.Timestamp.from(e))).limit(1).count()
+        if (outside > 0) throw new IllegalArgumentException(
+          "SELECT produced rows outside the OVERWRITE WHERE time slice")
+        df0
+      case None => df0
+    }
     val bucket =
       if (st.granularity == "all") lit("all")
       else {
@@ -90,10 +184,23 @@ object IngestSql {
           .sortWithinPartitions(st.clusterBy.map(col): _*)
       else withBucket
     val path = s"$storageRoot/${st.table}"
-    arranged.write
-      .mode(if (st.replace) "overwrite" else "append")
-      .partitionBy(Ingest.BucketCol)
-      .parquet(path)
+    st.overwriteWhere match {
+      case Some((s, e)) =>
+        // drop the in-range segment directories, then append the slice
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        for (b <- bucketsInRange(s, e, st.granularity)) {
+          val dir = new org.apache.hadoop.fs.Path(
+            s"$path/${Ingest.BucketCol}=$b")
+          if (fs.exists(dir)) fs.delete(dir, true)
+        }
+        arranged.write.mode("append").partitionBy(Ingest.BucketCol).parquet(path)
+      case None =>
+        arranged.write
+          .mode(if (st.replace) "overwrite" else "append")
+          .partitionBy(Ingest.BucketCol)
+          .parquet(path)
+    }
     path
   }
 

@@ -407,6 +407,35 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("REPLACE OVERWRITE WHERE replaces only the time slice") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlingest3").toString
+    fixture.createOrReplaceTempView("ds_ow")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO tslice SELECT __time, dim, m FROM ds_ow PARTITIONED BY DAY"}""")
+      assert(c1 == 200, b1)
+      // replace ONLY 2024-01-02 with scaled metrics
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO tslice OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02 00:00:00' AND __time < TIMESTAMP '2024-01-03 00:00:00' SELECT __time, dim, m * 10 AS m FROM ds_ow WHERE __time >= TIMESTAMP '2024-01-02' PARTITIONED BY DAY"}""")
+      assert(c2 == 200, b2)
+      val (_, b3) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(m) AS s, count(*) AS n FROM tslice"}""")
+      // day1 (1.0 + 2.0) untouched + day2 replaced (3.0*10)
+      assert(b3 == """[{"s":33.0,"n":3}]""", b3)
+      // rows outside the slice are rejected, nothing written
+      val (c4, b4) = post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO tslice OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02 00:00:00' AND __time < TIMESTAMP '2024-01-03 00:00:00' SELECT __time, dim, m FROM ds_ow PARTITIONED BY DAY"}""")
+      assert(c4 == 400 && b4.contains("outside"), s"$c4 $b4")
+      // misaligned bound vs segment granularity
+      val (c5, b5) = post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO tslice OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02 06:00:00' AND __time < TIMESTAMP '2024-01-03 00:00:00' SELECT __time, dim, m FROM ds_ow PARTITIONED BY DAY"}""")
+      assert(c5 == 400 && b5.contains("align"), s"$c5 $b5")
+    } finally srv.stop()
+  }
+
   test("SQL ingestion statement errors are structured, not parse noise") {
     val root = java.nio.file.Files.createTempDirectory("graft-sqlingest2").toString
     fixture.createOrReplaceTempView("ds_ing2")
