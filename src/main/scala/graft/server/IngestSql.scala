@@ -201,6 +201,15 @@ object IngestSql {
           .partitionBy(Ingest.BucketCol)
           .parquet(path)
     }
+    // segment-header sidecar: SQL ingestion stores raw rows (no
+    // rollup), dims = every non-time column — segmentMetadata's
+    // aggregators/rollup/timestampSpec analyses and sys.segments work
+    // on SQL-ingested tables exactly like task-spec-ingested ones.
+    Ingest.writeSegmentMeta(spark, path, Ingest.IngestSpec(
+      timeColumn = Ingest.TimeCol,
+      dimensions = df.columns.filterNot(c =>
+        c == Ingest.TimeCol || c == Ingest.BucketCol).toSeq,
+      segmentGranularity = st.granularity))
     path
   }
 

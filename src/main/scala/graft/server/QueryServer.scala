@@ -67,9 +67,15 @@ class QueryServer(
   private def allDatasources(): Seq[String] =
     (datasources() ++ ingested.keySet).distinct
 
+  private def segmentMetaWithIngested(
+      name: String): Option[graft.sources.Ingest.SegmentMeta] =
+    ingested.get(name)
+      .flatMap(p => graft.sources.Ingest.readSegmentMeta(spark, p))
+      .orElse(resolveSegmentMeta(name))
+
   private val planner =
     new NativePlanner(spark, resolveWithIngested,
-      resolveSegmentMeta = resolveSegmentMeta)
+      resolveSegmentMeta = segmentMetaWithIngested)
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
@@ -257,7 +263,7 @@ class QueryServer(
           .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
       val sql = SystemTables.prepare(
         spark, substituteParameters(sql0, params),
-        allDatasources _, resolveWithIngested, resolveSegmentMeta, boundPort,
+        allDatasources _, resolveWithIngested, segmentMetaWithIngested, boundPort,
         () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq })
       // SQL ingestion (INSERT INTO / REPLACE INTO ... PARTITIONED BY):
       // synchronous task — respond with the reference's task envelope.

@@ -404,6 +404,13 @@ class QueryServerSpec extends SparkSpec {
       assert(b7 ==
         """[{"datasource":"wiki_rollup","status":"SUCCESS","type":"query_controller"}]""",
         b7)
+      // SQL-ingested tables carry the segment-header sidecar:
+      // segmentMetadata's ingest-spec analyses answer over the wire
+      val (c8, b8) = post(port, "/druid/v2",
+        """{"queryType": "segmentMetadata", "dataSource": "wiki_rollup",
+          |"intervals": [], "analysisTypes": ["rollup", "timestampSpec"]}""".stripMargin)
+      assert(c8 == 200, b8)
+      assert(b8.contains("\"rollup\":false") && b8.contains("__time"), b8)
     } finally srv.stop()
   }
 
