@@ -135,6 +135,13 @@ class NativePlanner(
 
   // ---------------- shared pieces ----------------
 
+  /** schema tag on sketch agg columns: lets the result layer apply
+    * the reference's finalize-on-serialize semantics (estimate unless
+    * context.finalize=false) without re-parsing the query. */
+  private def sketchMeta(kind: String): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.sketch", kind).build()
+
   private def base(q: NativeQuery): DataFrame = {
     var df = planDataSource(q.dataSource)
     // virtualColumns/expression filters arrive in the reference's
@@ -267,21 +274,24 @@ class NativePlanner(
       (if (pop) var_pop(col(f)) else var_samp(col(f))).as(n)
     case Aggregator.ThetaSketch(n, f, lgK) =>
       graft.exprs.toCol(graft.aggs.ThetaSketchAgg(
-        graft.exprs.toExpr(col(f)), lgK).toAggregateExpression()).as(n)
+        graft.exprs.toExpr(col(f)), lgK).toAggregateExpression())
+        .as(n, sketchMeta("theta"))
     case Aggregator.KllSketch(n, f, k) =>
       graft.exprs.toCol(graft.aggs.KllDoublesAgg(
-        graft.exprs.toExpr(col(f)), k).toAggregateExpression()).as(n)
+        graft.exprs.toExpr(col(f)), k).toAggregateExpression())
+        .as(n, sketchMeta("kll"))
     case Aggregator.HllSketch(n, f, lgK, merge) =>
       // mergeable HLL columns: build updates from raw values,
       // merge unions stored sketch binaries (rollup metrics) —
       // Spark's datasketches-backed hll_* built-ins, two-phase merge.
-      if (merge) hll_union_agg(col(f), lit(true)).as(n)
-      else hll_sketch_agg(col(f), lit(lgK)).as(n)
+      if (merge) hll_union_agg(col(f), lit(true)).as(n, sketchMeta("hll"))
+      else hll_sketch_agg(col(f), lit(lgK)).as(n, sketchMeta("hll"))
     case Aggregator.TupleSketch(n, f, metrics, lgK) =>
       graft.exprs.toCol(graft.aggs.TupleSketchAgg(
         graft.exprs.toExpr(col(f)),
         graft.exprs.toExpr(array(metrics.map(col(_).cast("double")): _*)),
-        metrics.size, lgK).toAggregateExpression()).as(n)
+        metrics.size, lgK).toAggregateExpression())
+        .as(n, sketchMeta("tuple"))
     case Aggregator.DistinctCount(n, f) => count_distinct(col(f)).as(n)
     case Aggregator.Grouping(n, gs) =>
       // bit i (msb-first) set when groupings(i) is NOT in the current
@@ -335,10 +345,12 @@ class NativePlanner(
     // null-skipping aggregators filter by nulling non-matching inputs
     case Aggregator.ThetaSketch(n, f, lgK) =>
       graft.exprs.toCol(graft.aggs.ThetaSketchAgg(
-        graft.exprs.toExpr(when(cond, col(f))), lgK).toAggregateExpression()).as(n)
+        graft.exprs.toExpr(when(cond, col(f))), lgK).toAggregateExpression())
+        .as(n, sketchMeta("theta"))
     case Aggregator.KllSketch(n, f, k) =>
       graft.exprs.toCol(graft.aggs.KllDoublesAgg(
-        graft.exprs.toExpr(when(cond, col(f))), k).toAggregateExpression()).as(n)
+        graft.exprs.toExpr(when(cond, col(f))), k).toAggregateExpression())
+        .as(n, sketchMeta("kll"))
     case Aggregator.Variance(n, f, pop) =>
       (if (pop) var_pop(when(cond, col(f))) else var_samp(when(cond, col(f)))).as(n)
     case Aggregator.Cardinality(n, fields, _) if fields.size == 1 =>

@@ -8,6 +8,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, hll_sketch_estimate}
 import org.apache.spark.sql.types._
 
 import graft.planner.NativePlanner
@@ -366,7 +367,7 @@ class QueryServer(
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val qid = setQueryIdHeader(ex, body)
       val q = graft.model.QueryJson.parse(body)
-      val df = planner.plan(q)
+      val df = finalizeSketches(planner.plan(q), body)
       withCapacity(body) {
         withLimits(body, qid) { () =>
           val cap = maxRows(body)
@@ -377,6 +378,34 @@ class QueryServer(
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
     }
+  }
+
+  /** reference finalize-on-serialize semantics (QueryToolChest
+    * makePostComputeManipulatorFn): sketch agg columns become their
+    * estimates in results unless context.finalize=false, in which case
+    * the serialized sketch ships (base64 in JSON) for downstream
+    * merging. KLL's finalized form IS the sketch, matching the
+    * reference's quantiles sketch. */
+  private def finalizeSketches(df: DataFrame, body: String): DataFrame = {
+    val finalizeOff =
+      try {
+        val n = mapper.readTree(body)
+        Option(n.get("context")).flatMap(c => Option(c.get("finalize")))
+          .exists(x => !x.asBoolean(true))
+      } catch { case _: Exception => false }
+    if (finalizeOff || !df.schema.fields.exists(_.metadata.contains("graft.sketch")))
+      df
+    else df.select(df.schema.fields.map { f =>
+      if (f.metadata.contains("graft.sketch"))
+        (f.metadata.getString("graft.sketch") match {
+          case "theta" => graft.aggs.sketches.thetaEstimate(col(f.name))
+          case "hll" => hll_sketch_estimate(col(f.name)).cast("double")
+          case "tuple" => graft.exprs.toCol(graft.aggs.TupleEstimate(
+            graft.exprs.toExpr(col(f.name))))
+          case _ => col(f.name)
+        }).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
   }
 
   // ---------------- streaming machinery ----------------
@@ -522,6 +551,10 @@ class QueryServer(
     case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
       val arr = target.addArray()
       x.foreach(e => jsonValue(e, et, arr))
+    case (x: Array[Byte], _) =>
+      // unfinalized sketches / raw binaries ship base64 (the
+      // reference's JSON serialization for sketch objects)
+      target.add(java.util.Base64.getEncoder.encodeToString(x))
     case (x, _) => target.add(String.valueOf(x))
   }
 
@@ -539,6 +572,8 @@ class QueryServer(
     case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
       val arr = o.putArray(name)
       x.foreach(e => jsonValue(e, et, arr))
+    case (x: Array[Byte], _) =>
+      o.put(name, java.util.Base64.getEncoder.encodeToString(x))
     case (x, _) => o.put(name, String.valueOf(x))
   }
 

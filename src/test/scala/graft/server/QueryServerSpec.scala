@@ -475,6 +475,33 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sketch finalization: estimates by default, base64 blobs with finalize=false") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val q =
+        """{"queryType": "groupBy", "dataSource": "ds", "intervals": [],
+          |"granularity": "all", "dimensions": [],
+          |"aggregations": [{"type": "thetaSketch", "name": "sk", "fieldName": "dim"}]%s}"""
+          .stripMargin
+      // default: the sketch column finalizes to its (exact-regime) estimate
+      val (c1, b1) = post(port, "/druid/v2", q.format(""))
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"sk\":2.0"), b1) // dims a, b -> estimate 2.0
+      // finalize=false: the serialized sketch ships for downstream merge
+      val (c2, b2) = post(port, "/druid/v2",
+        q.format(""","context": {"finalize": false}"""))
+      assert(c2 == 200, b2)
+      val m = """"sk":"([A-Za-z0-9+/=]+)"""".r.findFirstMatchIn(b2)
+      assert(m.isDefined, b2)
+      // the blob is a real theta sketch: deserializes to the same estimate
+      val est = org.apache.datasketches.theta.Sketches.wrapSketch(
+        org.apache.datasketches.memory.Memory.wrap(
+          java.util.Base64.getDecoder.decode(m.get.group(1)))).getEstimate
+      assert(est == 2.0, est.toString)
+    } finally srv.stop()
+  }
+
   test("bad query returns a JSON error, not a hang") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
