@@ -108,6 +108,62 @@ object Multimodal {
     } else None
   }
 
+  /** REAL video-container probe (no codec): ISO-BMFF/MP4 box walk —
+    * ftyp brand check, then moov → trak → tkhd for the first track
+    * with nonzero 16.16-fixed width/height. Handles version-0/1 tkhd
+    * and 64-bit largesize boxes; malformed/foreign → None. */
+  private[operators] def probeVideo(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(k => u8(i + k) == s.charAt(k))
+    // walk boxes in [from, to); return the first matching box's
+    // (payloadStart, payloadEnd)
+    def findBox(from: Long, to: Long, name: String): Option[(Long, Long)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = be32(i.toInt)
+        val (size, hdr) =
+          if (size0 == 1L && i + 16 <= to) (be64(i.toInt + 8), 16L) else (size0, 8L)
+        if (size < hdr || i + size > to) return None
+        if (tag(i.toInt + 4, name)) return Some((i + hdr, i + size))
+        i += size
+      }
+      None
+    }
+    if (bytes == null || bytes.length < 16 || !tag(4, "ftyp")) None
+    else {
+      val end = bytes.length.toLong
+      for {
+        (moovS, moovE) <- findBox(0, end, "moov")
+        dims <- {
+          // first trak whose tkhd has nonzero dims
+          var cursor = moovS
+          var found: Option[(Int, Int)] = None
+          while (found.isEmpty && cursor < moovE) {
+            findBox(cursor, moovE, "trak") match {
+              case Some((tS, tE)) =>
+                for ((kS, kE) <- findBox(tS, tE, "tkhd")) {
+                  val version = u8(kS.toInt)
+                  val off = kS.toInt + (if (version == 1) 88 else 76)
+                  if (off + 8 <= kE) {
+                    val w = (be32(off) >> 16).toInt
+                    val h = (be32(off + 4) >> 16).toInt
+                    if (w > 0 && h > 0) found = Some((w, h))
+                  }
+                }
+                cursor = tE
+              case None => cursor = moovE
+            }
+          }
+          found
+        }
+      } yield ("mp4", dims._1, dims._2)
+    }
+  }
+
   /** attach audio metadata (real WAV header probe; non-audio bytes →
     * null struct — callers quarantine, no guessing). */
   def withAudioMeta(df: DataFrame, binCol: String, metaCol: String = "audio_meta"): DataFrame = {
@@ -155,7 +211,9 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val (fmt, w, h) = probeImage(bytes).getOrElse(decodeStub(bytes))
+        val (fmt, w, h) = probeImage(bytes)
+          .orElse(probeVideo(bytes))
+          .getOrElse(decodeStub(bytes))
         val n = if (bytes == null) 0L else bytes.length.toLong
         Row.fromSeq(r.toSeq :+ Row(fmt, w, h, n))
       }

@@ -52,6 +52,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Seq("jpeg", "png", "webp").contains(meta(2L)._1)) // stub fallback
   }
 
+  test("probeVideo walks MP4 boxes to tkhd dimensions") {
+    def be32(v: Long) = Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toInt)
+    def box(name: String, payload: Seq[Int]): Seq[Int] =
+      be32(8L + payload.size) ++ name.getBytes.toSeq.map(_.toInt) ++ payload
+    // tkhd v0: ver/flags + 72 bytes of fields/matrix, then 16.16 w/h
+    val tkhd = box("tkhd",
+      Seq(0, 0, 0, 0) ++ Seq.fill(72)(0) ++ be32(1280L << 16) ++ be32(720L << 16))
+    val mp4 = (box("ftyp", "isom".getBytes.toSeq.map(_.toInt)) ++
+      box("moov", box("trak", tkhd))).map(_.toByte).toArray
+    assert(Multimodal.probeVideo(mp4).contains(("mp4", 1280, 720)))
+    assert(Multimodal.probeVideo("8 bytes.".getBytes ++ new Array[Byte](24)).isEmpty)
+    // truncated moov: no crash, no guess
+    assert(Multimodal.probeVideo(mp4.take(30)).isEmpty)
+  }
+
   test("probeAudio reads REAL WAV headers; foreign bytes get a null struct") {
     def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
     def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
