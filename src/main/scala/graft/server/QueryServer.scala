@@ -307,12 +307,15 @@ class QueryServer(
       val format = Option(node.get("resultFormat")).filterNot(_.isNull)
         .map(_.asText().toLowerCase).getOrElse("object")
       val header = Option(node.get("header")).exists(_.asBoolean(false))
+      val typesHeader = Option(node.get("typesHeader")).exists(_.asBoolean(false))
+      val sqlTypesHeader = Option(node.get("sqlTypesHeader")).exists(_.asBoolean(false))
       val df = graft.GraftSession.setup(spark).sql(sql)
       withCapacity(body) {
         withLimits(body, qid) { () =>
           val cap = maxRows(body)
           ensureUnderCap(df, cap)
-          serveCached(ex, body)(open => writeSqlResult(open, df, format, header, cap))
+          serveCached(ex, body)(open =>
+            writeSqlResult(open, df, format, header, cap, typesHeader, sqlTypesHeader))
         }
       }
     } catch {
@@ -372,7 +375,9 @@ class QueryServer(
         withLimits(body, qid) { () =>
           val cap = maxRows(body)
           ensureUnderCap(df, cap)
-          serveCached(ex, body)(open => writeEnvelope(open, q, df, cap))
+          serveCached(ex, body)(open =>
+            writeEnvelope(open, q, df, cap,
+              tsAsLong = contextFlag(body, "serializeDateTimeAsLong")))
         }
       }
     } catch {
@@ -609,11 +614,51 @@ class QueryServer(
 
   // ---------------- SQL result formats (ResultFormat.java) ----------------
 
+  /** Druid-native / SQL type names for the header rows (reference
+    * ResultFormat typesHeader / sqlTypesHeader). */
+  private def druidTypeName(dt: DataType): (String, String) = dt match {
+    case StringType => ("STRING", "VARCHAR")
+    case LongType => ("LONG", "BIGINT")
+    case IntegerType | ShortType | ByteType => ("LONG", "INTEGER")
+    case DoubleType => ("DOUBLE", "DOUBLE")
+    case FloatType => ("FLOAT", "FLOAT")
+    case BooleanType => ("LONG", "BOOLEAN")
+    case TimestampType | TimestampNTZType => ("LONG", "TIMESTAMP")
+    case DateType => ("LONG", "DATE")
+    case ArrayType(e, _) => val (t, s) = druidTypeName(e); (s"ARRAY<$t>", s"ARRAY<$s>")
+    case BinaryType => ("COMPLEX", "OTHER")
+    case _ => ("COMPLEX", "OTHER")
+  }
+
   private def writeSqlResult(
       open: String => OutputStream, df: DataFrame, format: String,
-      header: Boolean, cap: Long): Unit = {
+      header: Boolean, cap: Long,
+      typesHeader: Boolean = false, sqlTypesHeader: Boolean = false): Unit = {
     val schema = df.schema
     val rows = cappedRows(df, cap)
+    // reference rule: the type header rows require the name header
+    if ((typesHeader || sqlTypesHeader) && !header)
+      throw new IllegalArgumentException(
+        "typesHeader/sqlTypesHeader require header: true")
+    def headerRows: Seq[ArrayNode] = {
+      val out = Seq.newBuilder[ArrayNode]
+      if (header) {
+        val names = mapper.createArrayNode()
+        schema.fieldNames.foreach(names.add)
+        out += names
+        if (typesHeader) {
+          val a = mapper.createArrayNode()
+          schema.fields.foreach(f => a.add(druidTypeName(f.dataType)._1))
+          out += a
+        }
+        if (sqlTypesHeader) {
+          val a = mapper.createArrayNode()
+          schema.fields.foreach(f => a.add(druidTypeName(f.dataType)._2))
+          out += a
+        }
+      }
+      out.result()
+    }
     def writeLines(os: OutputStream, render: Row => String, headerLine: Option[String]): Unit = {
       headerLine.foreach(h => os.write((h + "\n").getBytes(StandardCharsets.UTF_8)))
       rows.foreach(r => os.write((render(r) + "\n").getBytes(StandardCharsets.UTF_8)))
@@ -637,10 +682,10 @@ class QueryServer(
         try {
           os.write('[')
           var first = true
-          if (header) {
-            val h = mapper.createArrayNode()
-            schema.fieldNames.foreach(h.add)
-            os.write(mapper.writeValueAsBytes(h)); first = false
+          headerRows.foreach { h =>
+            if (!first) os.write(',')
+            first = false
+            os.write(mapper.writeValueAsBytes(h))
           }
           rows.foreach { r =>
             if (!first) os.write(',')
@@ -656,10 +701,10 @@ class QueryServer(
       case "arraylines" =>
         val os = open("text/plain")
         try {
-          val h = if (header) {
-            val a = mapper.createArrayNode(); schema.fieldNames.foreach(a.add)
-            Some(mapper.writeValueAsString(a))
-          } else None
+          val h = headerRows.map(mapper.writeValueAsString) match {
+            case Nil => None
+            case hs => Some(hs.mkString("\n"))
+          }
           writeLines(os, r => mapper.writeValueAsString(rowArray(r, schema)), h)
         } finally os.close()
       case "csv" =>
@@ -696,9 +741,15 @@ class QueryServer(
   }
 
   private def writeEnvelope(
-      open: String => OutputStream, q: graft.model.NativeQuery, df: DataFrame, cap: Long): Unit = {
+      open: String => OutputStream, q: graft.model.NativeQuery, df: DataFrame,
+      cap: Long, tsAsLong: Boolean = false): Unit = {
     import graft.model.NativeQuery._
-    def tsQuoted(ts: String) = if (ts == null) "null" else "\"" + ts + "\""
+    // context.serializeDateTimeAsLong: envelope timestamps as epoch
+    // millis (reference QueryContexts.isSerializeDateTimeAsLong)
+    def tsQuoted(ts: String) =
+      if (ts == null) "null"
+      else if (tsAsLong) java.time.Instant.parse(ts).toEpochMilli.toString
+      else "\"" + ts + "\""
     val os = open("application/json")
     try {
       q match {

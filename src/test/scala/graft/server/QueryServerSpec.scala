@@ -475,6 +475,33 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("typesHeader/sqlTypesHeader rows and serializeDateTimeAsLong") {
+    fixture.createOrReplaceTempView("ds_th")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT dim, m FROM ds_th WHERE m = 1.0",
+          |"resultFormat": "array", "header": true,
+          |"typesHeader": true, "sqlTypesHeader": true}""".stripMargin)
+      assert(c1 == 200, b1)
+      assert(b1 ==
+        """[["dim","m"],["STRING","DOUBLE"],["VARCHAR","DOUBLE"],["a",1.0]]""", b1)
+      // type headers without the name header are a structured error
+      val (c2, _) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT 1", "resultFormat": "array", "typesHeader": true}""")
+      assert(c2 == 400)
+      // native envelope timestamps as epoch millis
+      val (c3, b3) = post(port, "/druid/v2",
+        """{"queryType": "timeseries", "dataSource": "ds", "intervals": [],
+          |"granularity": "day",
+          |"aggregations": [{"type": "count", "name": "n"}],
+          |"context": {"serializeDateTimeAsLong": true}}""".stripMargin)
+      assert(c3 == 200, b3)
+      assert(b3.contains("""{"timestamp":1704067200000,"result""") , b3)
+    } finally srv.stop()
+  }
+
   test("sketch finalization: estimates by default, base64 blobs with finalize=false") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
