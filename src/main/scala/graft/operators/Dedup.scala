@@ -138,7 +138,11 @@ object Dedup {
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("col", "bucket")
       .withColumnRenamed("pos", "band")
+    // batch signatures are read by the band explode, the corpus
+    // verification rejoin, and the in-batch pass — materialize once
+    // (same rationale as minhashCandidates)
     val bSigs = minhashSignatures(batch, idCol, textCol, shingleSize, numHashes, seed)
+      .localCheckpoint()
     val bBand = banded(bSigs)
     val cBand = banded(corpusSigs.select(col("id"), col("sig")))
     // batch ↔ corpus collisions, verified on signature agreement
