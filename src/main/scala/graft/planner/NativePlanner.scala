@@ -171,7 +171,7 @@ class NativePlanner(
   private def dimOrExtract(d: String, ex: Option[ExtractionFn]): Column =
     ex.fold(col(d))(extractionColumn(col(d), _))
 
-  private[planner] def filterToColumn(
+  private[graft] def filterToColumn(
       f: DimFilter, schema: Option[StructType] = None): Column = f match {
     case DimFilter.Selector(d, Some(v), ex) => dimOrExtract(d, ex) === v
     case DimFilter.Selector(d, None, ex) => dimOrExtract(d, ex).isNull

@@ -151,6 +151,11 @@ class QueryServer(
     //   GET /druid/v1/lookups/introspect/{name}[/keys|/values]
     server.createContext("/druid/v1/lookups/introspect",
       (ex: HttpExchange) => handleLookupIntrospect(ex))
+    // batch ingestion task API (reference OverlordResource):
+    //   POST /druid/indexer/v1/task            → run index_parallel spec
+    //   GET  /druid/indexer/v1/task/{id}/status
+    server.createContext("/druid/indexer/v1/task",
+      (ex: HttpExchange) => handleTask(ex))
     // pooled dispatch: concurrent queries are admission-controlled by
     // withCapacity, not serialized by the listener thread
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
@@ -189,6 +194,48 @@ class QueryServer(
           graft.functions.LookupRegistry.register(name, entries.toMap)
           respond(ex, 202, "")
         case _ => respond(ex, 405, """{"error":"GET/POST only"}""")
+      }
+    } catch {
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
+    }
+
+  private def handleTask(ex: HttpExchange): Unit =
+    try {
+      val rest = ex.getRequestURI.getPath
+        .stripPrefix("/druid/indexer/v1/task").stripPrefix("/")
+      (ex.getRequestMethod, rest) match {
+        case ("POST", "") =>
+          if (storageRoot.isEmpty)
+            throw new IllegalArgumentException(
+              "task ingestion is not enabled on this server (no storageRoot)")
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val parsed = TaskSpec.parse(mapper.readTree(body))
+          val taskId = s"index_parallel_${parsed.datasource}_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val t0 = System.currentTimeMillis()
+          val path = TaskSpec.run(graft.GraftSession.setup(spark), parsed, storageRoot.get)
+          ingested.put(parsed.datasource, path)
+          // queryable immediately by name on the SQL endpoint too
+          IngestSql.readTable(spark, storageRoot.get, parsed.datasource)
+            .createOrReplaceTempView(parsed.datasource)
+          taskLog.add(SystemTables.TaskRecord(
+            taskId = taskId, taskType = "index_parallel",
+            datasource = parsed.datasource,
+            createdTimeIso = java.time.Instant.ofEpochMilli(t0).toString,
+            status = "SUCCESS", durationMs = System.currentTimeMillis() - t0))
+          respond(ex, 200, s"""{"task":"$taskId"}""")
+        case ("GET", p) if p.endsWith("/status") =>
+          val id = p.stripSuffix("/status")
+          import scala.jdk.CollectionConverters._
+          taskLog.asScala.find(_.taskId == id) match {
+            case Some(t) =>
+              respond(ex, 200,
+                s"""{"task":"$id","status":{"id":"$id","type":"${t.taskType}",""" +
+                  s""""statusCode":"${t.status}","status":"${t.status}",""" +
+                  s""""duration":${t.durationMs},"dataSource":"${t.datasource}"}}""")
+            case None => respond(ex, 404, s"""{"error":"task [$id] not found"}""")
+          }
+        case _ => respond(ex, 405, """{"error":"POST / or GET {id}/status"}""")
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)

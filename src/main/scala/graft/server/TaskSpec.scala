@@ -1,0 +1,160 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DruidExprCompiler
+import graft.sources.Ingest
+import graft.sources.Ingest.{IngestSpec, Metric}
+
+/** The reference's batch ingestion TASK API payload
+  * (indexing-service ParallelIndexSupervisorTask: `index_parallel`
+  * task spec with dataSchema / ioConfig) mapped onto the
+  * sources.Ingest write path. Transform expressions and filters are
+  * the NATIVE forms (expression grammar + DimFilter JSON), compiled
+  * through the same DruidExprCompiler / filter planner as queries.
+  */
+object TaskSpec {
+
+  final case class Parsed(
+      datasource: String,
+      inputPath: String,
+      inputFormat: String,
+      inputOptions: Map[String, String],
+      timeColumn: String,
+      timeFormat: String, // auto | iso | millis | posix
+      transforms: Seq[(String, String)], // name -> native expression
+      filterJson: Option[JsonNode],
+      spec: IngestSpec)
+
+  private def str(n: JsonNode, f: String): String =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(s"task spec missing '$f'"))
+  private def opt(n: JsonNode, f: String): Option[JsonNode] =
+    Option(n).flatMap(x => Option(x.get(f))).filterNot(_.isNull)
+
+  private def metric(m: JsonNode): Metric = {
+    val n = str(m, "name")
+    def f = str(m, "fieldName")
+    str(m, "type") match {
+      case "count" => Metric.Count(n)
+      case "longSum" => Metric.LongSum(n, f)
+      case "doubleSum" | "floatSum" => Metric.DoubleSum(n, f)
+      case "longMin" | "doubleMin" | "floatMin" => Metric.Min(n, f)
+      case "longMax" | "doubleMax" | "floatMax" => Metric.Max(n, f)
+      case "thetaSketch" => Metric.ThetaSketch(n, f)
+      case "quantilesDoublesSketch" | "KllDoublesSketch" => Metric.KllSketch(n, f)
+      case "longFirst" | "doubleFirst" | "stringFirst" => Metric.First(n, f)
+      case "longLast" | "doubleLast" | "stringLast" => Metric.Last(n, f)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported metricsSpec type '$other'")
+    }
+  }
+
+  private val granKeyword = Map(
+    "hour" -> "PT1H", "day" -> "P1D", "week" -> "P1W", "month" -> "P1M",
+    "quarter" -> "P3M", "year" -> "P1Y", "all" -> "all",
+    "minute" -> "PT1M", "fifteen_minute" -> "PT15M")
+
+  private def gran(n: JsonNode, field: String, dflt: String): String =
+    opt(n, field).map(_.asText()).map { g =>
+      granKeyword.getOrElse(g.toLowerCase, g) // keyword or ISO period
+    }.getOrElse(dflt)
+
+  def parse(root: JsonNode): Parsed = {
+    val tpe = str(root, "type")
+    if (tpe != "index_parallel" && tpe != "index")
+      throw new IllegalArgumentException(
+        s"unsupported task type '$tpe' (index / index_parallel)")
+    val spec = opt(root, "spec").getOrElse(
+      throw new IllegalArgumentException("task spec missing 'spec'"))
+    val ds = opt(spec, "dataSchema").getOrElse(
+      throw new IllegalArgumentException("task spec missing 'dataSchema'"))
+    val io = opt(spec, "ioConfig").getOrElse(
+      throw new IllegalArgumentException("task spec missing 'ioConfig'"))
+
+    val datasource = str(ds, "dataSource")
+    val tsSpec = opt(ds, "timestampSpec").getOrElse(
+      throw new IllegalArgumentException("dataSchema missing 'timestampSpec'"))
+    val timeCol = str(tsSpec, "column")
+    val timeFormat = opt(tsSpec, "format").map(_.asText()).getOrElse("auto")
+
+    val dims = opt(ds, "dimensionsSpec").flatMap(d => opt(d, "dimensions"))
+      .map(_.elements()).map(it => Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next()).map {
+          case s if s.isTextual => s.asText()
+          case o => str(o, "name")
+        }.toSeq).getOrElse(Nil)
+
+    val metrics = opt(ds, "metricsSpec")
+      .map(_.elements()).map(it => Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next()).map(metric).toSeq).getOrElse(Nil)
+
+    val gs = opt(ds, "granularitySpec")
+    val segGran = gs.map(g => gran(g, "segmentGranularity", "P1D")).getOrElse("P1D")
+    val rollup = gs.flatMap(g => opt(g, "rollup")).forall(_.asBoolean(true))
+    val queryGran = if (rollup && metrics.nonEmpty)
+      gs.map(g => gran(g, "queryGranularity", "PT1H")) else None
+
+    val transformSpec = opt(ds, "transformSpec")
+    val transforms = transformSpec.flatMap(t => opt(t, "transforms"))
+      .map(_.elements()).map(it => Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next())
+        .map(t => str(t, "name") -> str(t, "expression")).toSeq).getOrElse(Nil)
+    val filterJson = transformSpec.flatMap(t => opt(t, "filter"))
+
+    val inputSource = opt(io, "inputSource").getOrElse(
+      throw new IllegalArgumentException("ioConfig missing 'inputSource'"))
+    val srcType = str(inputSource, "type")
+    if (srcType != "local")
+      throw new IllegalArgumentException(
+        s"unsupported inputSource type '$srcType' in this environment " +
+          "(http/cloud sources need egress; see COVERAGE.md)")
+    val baseDir = str(inputSource, "baseDir")
+    val filter = opt(inputSource, "filter").map(_.asText()).getOrElse("*")
+    val fmtNode = opt(io, "inputFormat")
+    val format = fmtNode.map(f => str(f, "type")).getOrElse("json")
+    val options = fmtNode.map { f =>
+      val b = Map.newBuilder[String, String]
+      f.properties().forEach { e =>
+        if (e.getKey != "type" && e.getValue.isValueNode)
+          b += (e.getKey -> e.getValue.asText())
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+
+    Parsed(datasource, s"$baseDir/$filter", format, options,
+      timeCol, timeFormat, transforms, filterJson,
+      IngestSpec(
+        timeColumn = timeCol,
+        dimensions = dims,
+        metrics = metrics,
+        queryGranularity = queryGran,
+        segmentGranularity = segGran))
+  }
+
+  /** execute a parsed task: read, native-transform/filter, rollup,
+    * time-partitioned write + segment-meta sidecar. */
+  def run(spark: SparkSession, p: Parsed, storageRoot: String): String = {
+    var df: DataFrame = Ingest.readSource(spark, p.inputPath, p.inputFormat, p.inputOptions)
+    // timestampSpec.format: millis/posix need an explicit conversion
+    // (a bare cast of a long to timestamp reads SECONDS in Spark)
+    df = p.timeFormat match {
+      case "millis" => df.withColumn(p.timeColumn, timestamp_millis(col(p.timeColumn).cast("long")))
+      case "posix" => df.withColumn(p.timeColumn, timestamp_seconds(col(p.timeColumn).cast("long")))
+      case _ => df.withColumn(p.timeColumn, col(p.timeColumn).cast("timestamp"))
+    }
+    // native-grammar transforms + native filter, same compilers as queries
+    for ((name, e) <- p.transforms)
+      df = df.withColumn(name, DruidExprCompiler.column(e, Some(df.schema)))
+    p.filterJson.foreach { fj =>
+      val planner = new graft.planner.NativePlanner(spark, _ => df)
+      df = df.filter(planner.filterToColumn(
+        graft.model.QueryJson.parseFilter(fj), Some(df.schema)))
+    }
+    val path = s"$storageRoot/${p.datasource}"
+    Ingest.ingest(df, p.spec, path)
+    path
+  }
+}

@@ -443,6 +443,66 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("task API: index_parallel spec ingests with rollup and native transforms") {
+    val root = java.nio.file.Files.createTempDirectory("graft-task").toString
+    val input = java.nio.file.Files.createTempDirectory("graft-task-in").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$input/data.json"),
+      """{"t": 1704100000000, "etype": "click", "v": 2.0}
+        |{"t": 1704100100000, "etype": "click", "v": 3.0}
+        |{"t": 1704190000000, "etype": "view", "v": 5.0}
+        |{"t": 1704190000000, "etype": "skipme", "v": 100.0}
+        |""".stripMargin)
+    val srv = new QueryServer(spark, Map.empty[String, org.apache.spark.sql.DataFrame],
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/indexer/v1/task",
+        s"""{
+          |"type": "index_parallel",
+          |"spec": {
+          |  "dataSchema": {
+          |    "dataSource": "wiki_task",
+          |    "timestampSpec": {"column": "t", "format": "millis"},
+          |    "dimensionsSpec": {"dimensions": ["etype_up"]},
+          |    "metricsSpec": [
+          |      {"type": "count", "name": "cnt"},
+          |      {"type": "doubleSum", "name": "sv", "fieldName": "v"}],
+          |    "granularitySpec": {"segmentGranularity": "DAY",
+          |                        "queryGranularity": "HOUR", "rollup": true},
+          |    "transformSpec": {
+          |      "transforms": [{"type": "expression", "name": "etype_up",
+          |                      "expression": "upper(etype)"}],
+          |      "filter": {"type": "not", "field":
+          |        {"type": "selector", "dimension": "etype", "value": "skipme"}}}
+          |  },
+          |  "ioConfig": {"type": "index_parallel",
+          |    "inputSource": {"type": "local", "baseDir": "$input", "filter": "*.json"},
+          |    "inputFormat": {"type": "json"}}
+          |}}""".stripMargin)
+      assert(c1 == 200, b1)
+      val taskId = """"task":"([^"]+)"""".r.findFirstMatchIn(b1).get.group(1)
+      // status endpoint
+      val client = java.net.http.HttpClient.newHttpClient()
+      val sresp = client.send(java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/indexer/v1/task/$taskId/status"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(sresp.statusCode() == 200 && sresp.body().contains("\"SUCCESS\""), sresp.body())
+      // ingested datasource queryable: rollup applied, filter dropped 'skipme',
+      // transform produced the dimension
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT etype_up, sum(cnt) AS n, sum(sv) AS sv FROM wiki_task GROUP BY etype_up ORDER BY etype_up"}""")
+      assert(c2 == 200, b2)
+      assert(b2 == """[{"etype_up":"CLICK","n":2,"sv":5.0},{"etype_up":"VIEW","n":1,"sv":5.0}]""", b2)
+      // segment sidecar written: aggregators analysis over the native endpoint
+      val (c3, b3) = post(port, "/druid/v2",
+        """{"queryType": "segmentMetadata", "dataSource": "wiki_task",
+          |"intervals": [], "analysisTypes": ["aggregators", "rollup"]}""".stripMargin)
+      assert(c3 == 200, b3)
+      assert(b3.contains("\"rollup\":true") && b3.contains("doubleSum"), b3)
+    } finally srv.stop()
+  }
+
   test("SQL ingestion statement errors are structured, not parse noise") {
     val root = java.nio.file.Files.createTempDirectory("graft-sqlingest2").toString
     fixture.createOrReplaceTempView("ds_ing2")
