@@ -209,18 +209,44 @@ class QueryServer(
             throw new IllegalArgumentException(
               "task ingestion is not enabled on this server (no storageRoot)")
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-          val parsed = TaskSpec.parse(mapper.readTree(body))
-          val taskId = s"index_parallel_${parsed.datasource}_" +
-            java.util.UUID.randomUUID().toString.take(8)
+          val node = mapper.readTree(body)
           val t0 = System.currentTimeMillis()
-          val path = TaskSpec.run(graft.GraftSession.setup(spark), parsed, storageRoot.get)
-          ingested.put(parsed.datasource, path)
-          // queryable immediately by name on the SQL endpoint too
-          IngestSql.readTable(spark, storageRoot.get, parsed.datasource)
-            .createOrReplaceTempView(parsed.datasource)
+          val (taskType, datasource) =
+            if (Option(node.get("type")).exists(_.asText() == "compact")) {
+              // compaction task (reference CompactionTask): rewrite an
+              // ingested table's segments, optionally dim-sorted for
+              // row-group zone maps; sidecar travels with the copy.
+              val ds = Option(node.get("dataSource")).filterNot(_.isNull)
+                .map(_.asText()).getOrElse(
+                  throw new IllegalArgumentException("compact task missing 'dataSource'"))
+              val path = ingested.getOrElse(ds,
+                throw new IllegalArgumentException(
+                  s"unknown datasource [$ds] (only server-ingested tables compact here)"))
+              val sortDims = Option(node.get("dimensionsSpec"))
+                .flatMap(d => Option(d.get("dimensions"))).map(_.elements())
+                .map(it => Iterator.continually(it).takeWhile(_.hasNext)
+                  .map(_.next().asText()).toSeq).getOrElse(Nil)
+              val tmp = path + "_compacting"
+              graft.sources.Ingest.compact(spark, path, tmp, sortDims)
+              val fs = new org.apache.hadoop.fs.Path(path)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              fs.delete(new org.apache.hadoop.fs.Path(path), true)
+              fs.rename(new org.apache.hadoop.fs.Path(tmp),
+                new org.apache.hadoop.fs.Path(path))
+              ("compact", ds)
+            } else {
+              val parsed = TaskSpec.parse(node)
+              val path = TaskSpec.run(graft.GraftSession.setup(spark), parsed, storageRoot.get)
+              ingested.put(parsed.datasource, path)
+              ("index_parallel", parsed.datasource)
+            }
+          // (re-)register: queryable immediately by name on the SQL endpoint
+          IngestSql.readTable(spark, storageRoot.get, datasource)
+            .createOrReplaceTempView(datasource)
+          val taskId = s"${taskType}_${datasource}_" +
+            java.util.UUID.randomUUID().toString.take(8)
           taskLog.add(SystemTables.TaskRecord(
-            taskId = taskId, taskType = "index_parallel",
-            datasource = parsed.datasource,
+            taskId = taskId, taskType = taskType, datasource = datasource,
             createdTimeIso = java.time.Instant.ofEpochMilli(t0).toString,
             status = "SUCCESS", durationMs = System.currentTimeMillis() - t0))
           respond(ex, 200, s"""{"task":"$taskId"}""")

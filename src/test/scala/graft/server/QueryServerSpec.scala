@@ -500,6 +500,18 @@ class QueryServerSpec extends SparkSpec {
           |"intervals": [], "analysisTypes": ["aggregators", "rollup"]}""".stripMargin)
       assert(c3 == 200, b3)
       assert(b3.contains("\"rollup\":true") && b3.contains("doubleSum"), b3)
+      // compaction task: dim-sorted rewrite, data + sidecar intact
+      val (c4, b4) = post(port, "/druid/indexer/v1/task",
+        """{"type": "compact", "dataSource": "wiki_task",
+          |"dimensionsSpec": {"dimensions": ["etype_up"]}}""".stripMargin)
+      assert(c4 == 200, b4)
+      val (_, b5) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(cnt) AS n FROM wiki_task"}""")
+      assert(b5 == """[{"n":3}]""", b5)
+      val (_, b6) = post(port, "/druid/v2",
+        """{"queryType": "segmentMetadata", "dataSource": "wiki_task",
+          |"intervals": [], "analysisTypes": ["rollup"]}""".stripMargin)
+      assert(b6.contains("\"rollup\":true"), b6)
     } finally srv.stop()
   }
 
