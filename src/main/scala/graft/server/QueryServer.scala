@@ -156,6 +156,32 @@ class QueryServer(
     //   GET  /druid/indexer/v1/task/{id}/status
     server.createContext("/druid/indexer/v1/task",
       (ex: HttpExchange) => handleTask(ex))
+    // GET /druid/indexer/v1/tasks — completed-task list (OverlordResource)
+    server.createContext("/druid/indexer/v1/tasks", (ex: HttpExchange) =>
+      try {
+        if (ex.getRequestMethod != "GET") respond(ex, 405, """{"error":"GET only"}""")
+        else {
+          import scala.jdk.CollectionConverters._
+          val arr = mapper.createArrayNode()
+          taskLog.asScala.foreach { t =>
+            val o = arr.addObject()
+            o.put("id", t.taskId); o.put("type", t.taskType)
+            o.put("dataSource", t.datasource); o.put("createdTime", t.createdTimeIso)
+            o.put("statusCode", t.status); o.put("duration", t.durationMs)
+          }
+          respond(ex, 200, mapper.writeValueAsString(arr))
+        }
+      } catch { case e: Exception => val (c, b) = errorBody(e); respond(ex, c, b) })
+    // GET /druid/coordinator/v1/datasources — datasource names
+    server.createContext("/druid/coordinator/v1/datasources", (ex: HttpExchange) =>
+      try {
+        if (ex.getRequestMethod != "GET") respond(ex, 405, """{"error":"GET only"}""")
+        else {
+          val arr = mapper.createArrayNode()
+          allDatasources().sorted.foreach(arr.add)
+          respond(ex, 200, mapper.writeValueAsString(arr))
+        }
+      } catch { case e: Exception => val (c, b) = errorBody(e); respond(ex, c, b) })
     // pooled dispatch: concurrent queries are admission-controlled by
     // withCapacity, not serialized by the listener thread
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(

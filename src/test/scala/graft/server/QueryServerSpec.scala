@@ -512,6 +512,17 @@ class QueryServerSpec extends SparkSpec {
         """{"queryType": "segmentMetadata", "dataSource": "wiki_task",
           |"intervals": [], "analysisTypes": ["rollup"]}""".stripMargin)
       assert(b6.contains("\"rollup\":true"), b6)
+      // list endpoints: tasks + datasources
+      def get(path: String) = {
+        val r = client.send(java.net.http.HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val (tc, tb) = get("/druid/indexer/v1/tasks")
+      assert(tc == 200 && tb.contains("index_parallel") && tb.contains("compact"), tb)
+      val (dc, db) = get("/druid/coordinator/v1/datasources")
+      assert(dc == 200 && db == """["wiki_task"]""", db)
     } finally srv.stop()
   }
 
