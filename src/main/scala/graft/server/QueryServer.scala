@@ -156,6 +156,13 @@ class QueryServer(
     //   GET  /druid/indexer/v1/task/{id}/status
     server.createContext("/druid/indexer/v1/task",
       (ex: HttpExchange) => handleTask(ex))
+    // streaming ingestion supervisors (reference SupervisorResource):
+    //   POST /druid/indexer/v1/supervisor                → create/replace
+    //   GET  /druid/indexer/v1/supervisor                → ids
+    //   GET  /druid/indexer/v1/supervisor/{id}/status
+    //   POST /druid/indexer/v1/supervisor/{id}/terminate
+    server.createContext("/druid/indexer/v1/supervisor",
+      (ex: HttpExchange) => handleSupervisor(ex))
     // GET /druid/indexer/v1/tasks — completed-task list (OverlordResource)
     server.createContext("/druid/indexer/v1/tasks", (ex: HttpExchange) =>
       try {
@@ -293,6 +300,142 @@ class QueryServer(
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
     }
 
+  /** live streaming supervisors: datasource → (query, spec json). */
+  private val supervisors = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.streaming.StreamingQuery, String)]
+
+  /** test hook: the live query behind a supervisor (processAllAvailable
+    * in specs — deterministic, no polling). */
+  private[server] def supervisorQuery(
+      id: String): Option[org.apache.spark.sql.streaming.StreamingQuery] =
+    supervisors.get(id).map(_._1)
+
+  private def supervisorRecords(): Seq[SystemTables.SupervisorRecord] =
+    supervisors.map { case (id, (q, spec)) =>
+      SystemTables.SupervisorRecord(
+        id, if (q.isActive) "RUNNING" else "STOPPED", q.isActive,
+        source = id, spec = spec)
+    }.toSeq
+
+  /** The reference's streaming supervisor, mapped honestly onto what
+    * this environment can stream: a watched-directory file source
+    * (Structured Streaming) with the SAME dataSchema as the task API.
+    * Kafka/Kinesis specs are rejected with a pointer (no stream
+    * connector jars in this container; the Spark mapping is
+    * readStream.format("kafka") with identical downstream plumbing). */
+  private def handleSupervisor(ex: HttpExchange): Unit =
+    try {
+      val rest = ex.getRequestURI.getPath
+        .stripPrefix("/druid/indexer/v1/supervisor").stripPrefix("/")
+      (ex.getRequestMethod, rest) match {
+        case ("POST", "") =>
+          if (storageRoot.isEmpty)
+            throw new IllegalArgumentException(
+              "streaming ingestion is not enabled on this server (no storageRoot)")
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val node = mapper.readTree(body)
+          val declaredType = Option(node.get("type")).map(_.asText()).getOrElse("file")
+          if (declaredType == "kafka" || declaredType == "kinesis")
+            throw new IllegalArgumentException(
+              s"'$declaredType' supervisors need the stream connector jars " +
+                "(spark-sql-kafka); this environment supports 'file' " +
+                "(watched-directory) supervisors with the same dataSchema")
+          val parsed = TaskSpec.parse(
+            mapper.createObjectNode()
+              .put("type", "index_parallel")
+              .set[com.fasterxml.jackson.databind.node.ObjectNode](
+                "spec", node.get("spec")))
+          // terminate an existing supervisor for the datasource (replace)
+          supervisors.remove(parsed.datasource).foreach(_._1.stop())
+          val q = startFileSupervisor(parsed)
+          supervisors.put(parsed.datasource, (q, body))
+          respond(ex, 200, s"""{"id":"${parsed.datasource}"}""")
+        case ("GET", "") =>
+          val arr = mapper.createArrayNode()
+          supervisors.keys.toSeq.sorted.foreach(arr.add)
+          respond(ex, 200, mapper.writeValueAsString(arr))
+        case ("GET", p) if p.endsWith("/status") =>
+          val id = p.stripSuffix("/status")
+          supervisors.get(id) match {
+            case Some((q, _)) =>
+              val state = if (q.isActive) "RUNNING" else "STOPPED"
+              respond(ex, 200,
+                s"""{"id":"$id","payload":{"dataSource":"$id","state":"$state","healthy":${q.isActive}}}""")
+            case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
+          }
+        case ("POST", p) if p.endsWith("/terminate") =>
+          val id = p.stripSuffix("/terminate")
+          supervisors.remove(id) match {
+            case Some((q, _)) => q.stop(); respond(ex, 200, s"""{"id":"$id"}""")
+            case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
+          }
+        case _ => respond(ex, 405, """{"error":"unsupported supervisor call"}""")
+      }
+    } catch {
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
+    }
+
+  /** start a watched-directory Structured Streaming ingest for a
+    * parsed dataSchema: schema inferred from the seed files already in
+    * the directory (file streams need a fixed schema), native
+    * transforms/filter applied, rollup + time-partitioned append via
+    * the shared streaming path. */
+  private def startFileSupervisor(
+      p: TaskSpec.Parsed): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.Ingest
+    val s = graft.GraftSession.setup(spark)
+    // inputPath = baseDir/filter; the file stream watches baseDir
+    val dir = p.inputPath.substring(0, p.inputPath.lastIndexOf('/'))
+    val schema = Ingest.readSource(s, p.inputPath, p.inputFormat, p.inputOptions).schema
+    val reader = s.readStream.schema(schema).options(p.inputOptions)
+    var stream = p.inputFormat.toLowerCase match {
+      case "json" => reader.json(dir)
+      case "csv" => reader.option("header", p.inputOptions.getOrElse("header", "true")).csv(dir)
+      case "parquet" => reader.parquet(dir)
+      case "orc" => reader.orc(dir)
+      case other => throw new IllegalArgumentException(
+        s"unsupported streaming inputFormat '$other' (json/csv/parquet/orc)")
+    }
+    stream = p.timeFormat match {
+      case "millis" => stream.withColumn(p.timeColumn,
+        org.apache.spark.sql.functions.timestamp_millis(col(p.timeColumn).cast("long")))
+      case "posix" => stream.withColumn(p.timeColumn,
+        org.apache.spark.sql.functions.timestamp_seconds(col(p.timeColumn).cast("long")))
+      case _ => stream.withColumn(p.timeColumn, col(p.timeColumn).cast("timestamp"))
+    }
+    for ((name, e) <- p.transforms)
+      stream = stream.withColumn(name,
+        graft.functions.DruidExprCompiler.column(e, Some(stream.schema)))
+    p.filterJson.foreach { fj =>
+      stream = stream.filter(planner.filterToColumn(
+        graft.model.QueryJson.parseFilter(fj), Some(stream.schema)))
+    }
+    val path = s"${storageRoot.get}/${p.datasource}"
+    val checkpoint = s"${storageRoot.get}/_checkpoints/${p.datasource}"
+    val q = graft.streaming.StreamingIngest.start(
+      stream,
+      graft.streaming.StreamingIngest.StreamSpec(
+        ingest = p.spec,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")),
+      path, checkpoint)
+    // resolvable once the first micro-batch lands (refreshIngestedViews
+    // re-registers per SQL request — a path-based view caches its file
+    // listing, so streaming tables need the refresh anyway)
+    ingested.put(p.datasource, path)
+    q
+  }
+
+  /** (re-)register SQL temp views for server-ingested tables: a
+    * path-based DataFrame caches its file listing at creation, so
+    * streaming-appended tables must re-list per request; tables whose
+    * first micro-batch hasn't landed yet are skipped, not errors. */
+  private def refreshIngestedViews(): Unit =
+    ingested.foreach { case (name, _) =>
+      try IngestSql.readTable(spark, storageRoot.get, name)
+        .createOrReplaceTempView(name)
+      catch { case _: Exception => }
+    }
+
   private def handleLookupIntrospect(ex: HttpExchange): Unit =
     try {
       if (ex.getRequestMethod != "GET") {
@@ -361,10 +504,12 @@ class QueryServer(
       val params = Option(node.get("parameters")).filterNot(_.isNull)
         .map(_.elements()).map(it => Iterator.continually(it)
           .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
+      refreshIngestedViews()
       val sql = SystemTables.prepare(
         spark, substituteParameters(sql0, params),
         allDatasources _, resolveWithIngested, segmentMetaWithIngested, boundPort,
-        () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq })
+        () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq },
+        supervisorRecords _)
       // SQL ingestion (INSERT INTO / REPLACE INTO ... PARTITIONED BY):
       // synchronous task — respond with the reference's task envelope.
       if (IngestSql.looksLikeIngest(sql)) {

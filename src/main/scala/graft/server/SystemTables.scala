@@ -54,7 +54,8 @@ object SystemTables {
       resolveTable: String => DataFrame,
       resolveSegmentMeta: String => Option[Ingest.SegmentMeta],
       port: Int,
-      taskRecords: () => Seq[TaskRecord] = () => Nil): String = {
+      taskRecords: () => Seq[TaskRecord] = () => Nil,
+      supervisorRecords: () => Seq[SupervisorRecord] = () => Nil): String = {
     val sysRefs = sysRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
     val infoRefs = infoRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
     if (sysRefs.isEmpty && infoRefs.isEmpty) return sql
@@ -74,7 +75,8 @@ object SystemTables {
       case "tasks" =>
         tasks(spark, taskRecords(), port).createOrReplaceTempView("sys_tasks")
       case "supervisors" =>
-        emptySupervisors(spark).createOrReplaceTempView("sys_supervisors")
+        supervisors(spark, supervisorRecords())
+          .createOrReplaceTempView("sys_supervisors")
       case _ =>
     }
     infoRefs.foreach {
@@ -243,15 +245,29 @@ object SystemTables {
   def emptyTasks(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tasksSchema)
 
-  /** SystemSchema.java SUPERVISOR_SIGNATURE:190-198. */
+  /** a live streaming-ingest supervisor on this server. */
+  final case class SupervisorRecord(
+      id: String, state: String, healthy: Boolean, source: String, spec: String)
+
+  private val supervisorsSchema = StructType(Seq(
+    StructField("supervisor_id", StringType), StructField("state", StringType),
+    StructField("detailed_state", StringType), StructField("healthy", LongType),
+    StructField("type", StringType), StructField("source", StringType),
+    StructField("suspended", LongType), StructField("spec", StringType)))
+
+  /** SystemSchema.java SUPERVISOR_SIGNATURE:190-198 — populated from
+    * this server's live streaming supervisors. */
+  def supervisors(spark: SparkSession, records: Seq[SupervisorRecord]): DataFrame =
+    if (records.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], supervisorsSchema)
+    else spark.createDataFrame(
+      spark.sparkContext.parallelize(records.map(r =>
+        Row(r.id, r.state, r.state, if (r.healthy) 1L else 0L,
+          "file", r.source, 0L, r.spec)), math.max(1, records.size.min(4))),
+      supervisorsSchema)
+
   def emptySupervisors(spark: SparkSession): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row],
-      StructType(Seq(
-        StructField("supervisor_id", StringType), StructField("state", StringType),
-        StructField("detailed_state", StringType), StructField("healthy", LongType),
-        StructField("type", StringType), StructField("source", StringType),
-        StructField("suspended", LongType), StructField("spec", StringType))))
+    supervisors(spark, Nil)
 
   // --------------------------------------------- INFORMATION_SCHEMA
 

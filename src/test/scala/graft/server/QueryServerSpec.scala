@@ -526,6 +526,66 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("supervisor API: watched-directory streaming ingest, lifecycle, sys.supervisors") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sup").toString
+    val input = java.nio.file.Files.createTempDirectory("graft-sup-in").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$input/seed.json"),
+      """{"t": 1704100000000, "etype": "click", "v": 2.0}
+        |{"t": 1704190000000, "etype": "view", "v": 5.0}
+        |""".stripMargin)
+    val srv = new QueryServer(spark, Map.empty[String, org.apache.spark.sql.DataFrame],
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val spec =
+        s"""{
+          |"type": "file",
+          |"spec": {
+          |  "dataSchema": {
+          |    "dataSource": "wiki_stream",
+          |    "timestampSpec": {"column": "t", "format": "millis"},
+          |    "dimensionsSpec": {"dimensions": ["etype"]},
+          |    "granularitySpec": {"segmentGranularity": "DAY", "rollup": false}
+          |  },
+          |  "ioConfig": {"type": "index_parallel",
+          |    "inputSource": {"type": "local", "baseDir": "$input", "filter": "*.json"},
+          |    "inputFormat": {"type": "json"}}
+          |}}""".stripMargin
+      val (c1, b1) = post(port, "/druid/indexer/v1/supervisor", spec)
+      assert(c1 == 200 && b1 == """{"id":"wiki_stream"}""", s"$c1 $b1")
+      srv.supervisorQuery("wiki_stream").get.processAllAvailable()
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM wiki_stream"}""")
+      assert(c2 == 200 && b2 == """[{"n":2}]""", s"$c2 $b2")
+      // a newly dropped file streams in
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$input/more.json"),
+        """{"t": 1704200000000, "etype": "click", "v": 1.0}""" + "\n")
+      srv.supervisorQuery("wiki_stream").get.processAllAvailable()
+      val (_, b3) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM wiki_stream"}""")
+      assert(b3 == """[{"n":3}]""", b3)
+      // sys.supervisors + status
+      val (_, b4) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT supervisor_id, state, healthy FROM sys.supervisors"}""")
+      assert(b4 == """[{"supervisor_id":"wiki_stream","state":"RUNNING","healthy":1}]""", b4)
+      val client = java.net.http.HttpClient.newHttpClient()
+      val st = client.send(java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/indexer/v1/supervisor/wiki_stream/status"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(st.statusCode() == 200 && st.body().contains("RUNNING"), st.body())
+      // kafka specs point at the missing connector rather than faking
+      val (c5, b5) = post(port, "/druid/indexer/v1/supervisor",
+        """{"type": "kafka", "spec": {}}""")
+      assert(c5 == 400 && b5.contains("connector"), s"$c5 $b5")
+      // terminate stops the query and unlists it
+      val (c6, _) = post(port, "/druid/indexer/v1/supervisor/wiki_stream/terminate", "")
+      assert(c6 == 200)
+      assert(srv.supervisorQuery("wiki_stream").isEmpty)
+    } finally srv.stop()
+  }
+
   test("SQL ingestion statement errors are structured, not parse noise") {
     val root = java.nio.file.Files.createTempDirectory("graft-sqlingest2").toString
     fixture.createOrReplaceTempView("ds_ing2")
