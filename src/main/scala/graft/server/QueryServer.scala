@@ -245,7 +245,34 @@ class QueryServer(
           val node = mapper.readTree(body)
           val t0 = System.currentTimeMillis()
           val (taskType, datasource) =
-            if (Option(node.get("type")).exists(_.asText() == "compact")) {
+            if (Option(node.get("type")).exists(_.asText() == "kill")) {
+              // kill task (reference KillUnusedSegmentsTask): drop the
+              // segment directories inside the interval — the
+              // data-lifecycle delete, a pure metadata/FS operation.
+              val ds = Option(node.get("dataSource")).filterNot(_.isNull)
+                .map(_.asText()).getOrElse(
+                  throw new IllegalArgumentException("kill task missing 'dataSource'"))
+              val path = ingested.getOrElse(ds,
+                throw new IllegalArgumentException(
+                  s"unknown datasource [$ds] (only server-ingested tables kill here)"))
+              val interval = Option(node.get("interval")).filterNot(_.isNull)
+                .map(_.asText()).getOrElse(
+                  throw new IllegalArgumentException("kill task missing 'interval'"))
+              val Array(a, b) = interval.split("/", 2)
+              def inst(s: String) = java.time.Instant.parse(
+                if (s.endsWith("Z") || s.contains("+")) s else s + "Z")
+              val (start, end) = (inst(a), inst(b))
+              val meta = graft.sources.Ingest.readSegmentMeta(spark, path)
+              val g = meta.map(_.segmentGranularity).getOrElse("P1D")
+              val fs = new org.apache.hadoop.fs.Path(path)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              for (bkt <- IngestSql.bucketsInRange(start, end, g)) {
+                val dir = new org.apache.hadoop.fs.Path(
+                  s"$path/${graft.sources.Ingest.BucketCol}=$bkt")
+                if (fs.exists(dir)) fs.delete(dir, true)
+              }
+              ("kill", ds)
+            } else if (Option(node.get("type")).exists(_.asText() == "compact")) {
               // compaction task (reference CompactionTask): rewrite an
               // ingested table's segments, optionally dim-sorted for
               // row-group zone maps; sidecar travels with the copy.

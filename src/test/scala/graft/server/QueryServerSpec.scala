@@ -512,6 +512,14 @@ class QueryServerSpec extends SparkSpec {
         """{"queryType": "segmentMetadata", "dataSource": "wiki_task",
           |"intervals": [], "analysisTypes": ["rollup"]}""".stripMargin)
       assert(b6.contains("\"rollup\":true"), b6)
+      // kill task drops the first day's segment directory
+      val (ck, bk) = post(port, "/druid/indexer/v1/task",
+        """{"type": "kill", "dataSource": "wiki_task",
+          |"interval": "2024-01-01T00:00:00/2024-01-02T00:00:00"}""".stripMargin)
+      assert(ck == 200, bk)
+      val (_, bkq) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(cnt) AS n FROM wiki_task"}""")
+      assert(bkq == """[{"n":1}]""", bkq) // only the 2024-01-02 'view' row survives
       // list endpoints: tasks + datasources
       def get(path: String) = {
         val r = client.send(java.net.http.HttpRequest.newBuilder(
