@@ -319,6 +319,9 @@ object DruidFunctions {
       a.lift(2).map(x => x.eval(null).toString.toDouble).getOrElse(0.01)))
     fn("bloom_filter_test")(a => graft.aggs.BloomFilterTest(a.head, a(1)))
 
+    // ---- media metadata probe (real container-header parse) ----
+    fn("image_meta")(a => graft.operators.Multimodal.ImageMeta(a.head))
+
     // ---- registered lookups (reference LookupExprMacro / LOOKUP) ----
     fn("lookup") { a =>
       toExpr(LookupRegistry.lookup(

@@ -182,6 +182,43 @@ object Multimodal {
     }(enc)
   }
 
+  /** Column-level image probe: `image_meta(binary)` →
+    * struct<format,width,height> via [[probeImage]], null for
+    * unrecognized bytes. Registered SQL name: IMAGE_META. */
+  case class ImageMeta(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: org.apache.spark.sql.types.DataType = mediaProbeType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_meta"
+    override def nullSafeEval(v: Any): Any =
+      ImageMeta.probe(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.operators.Multimodal.imageMetaProbe($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): ImageMeta = copy(c)
+  }
+  object ImageMeta {
+    def probe(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+      probeImage(bytes) match {
+        case Some((fmt, w, h)) =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(fmt), w, h)
+        case None => null
+      }
+  }
+  /** shared interpreted/codegen kernel for [[ImageMeta]]. */
+  def imageMetaProbe(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    ImageMeta.probe(bytes)
+
+  val mediaProbeType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
   /** ==== STUB: fake feature extractor (would be a vision encoder);
     * produces a deterministic unit-norm vector from the bytes. */
   private[operators] def featureStub(bytes: Array[Byte], dim: Int): Array[Float] = {

@@ -351,7 +351,37 @@ object PipelineQueries7 {
       .orderBy(col("position"))
   }
 
+  /** The REAL image-header probe graded end to end: both engines
+    * assemble a PNG header byte-for-byte from doc-derived dimensions
+    * (hex → binary); Spark must PARSE the dimensions back out of the
+    * bytes with IMAGE_META, the oracle states the arithmetic it
+    * embedded. A parser bug (endianness, offsets, signature) breaks
+    * the hash match. */
+  val imageMeta: Q = q(
+    "media_image_meta",
+    """SELECT doc_id,
+      |       'png' AS fmt,
+      |       CAST(doc_id % 1000 + 1 AS BIGINT) AS w,
+      |       CAST(doc_id % 600 + 1 AS BIGINT) AS h
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    val hexDims = (v: Column) => lpad(lower(hex(v.cast("int"))), 8, "0")
+    val pngHex = concat(
+      lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
+      hexDims(col("doc_id") % 1000 + 1),
+      hexDims(col("doc_id") % 600 + 1))
+    Tables.documents(s, d)
+      .select(col("doc_id"), unhex(pngHex).as("media"))
+      .createOrReplaceTempView("graft_media_probe")
+    s.sql(
+      """SELECT doc_id,
+        |       IMAGE_META(media).format AS fmt,
+        |       CAST(IMAGE_META(media).width AS BIGINT) AS w,
+        |       CAST(IMAGE_META(media).height AS BIGINT) AS h
+        |FROM graft_media_probe ORDER BY doc_id""".stripMargin)
+  }
+
   def all: Seq[Q] =
     Seq(jsonFunctions, sqlArrayAgg, paragraphDedup, tokenBudget, semanticDedup,
-      topFrac, incrementalNearDup, chunking, corpusShuffle)
+      topFrac, incrementalNearDup, chunking, corpusShuffle, imageMeta)
 }
