@@ -27,6 +27,21 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** exact dedup keeping the BEST row per fingerprint instead of the
+    * smallest id — the curation-quality keep policy (e.g. keep the
+    * longest / highest-quality duplicate); ties break on id so the
+    * choice is deterministic. Same single-window plan as [[exact]]. */
+  def exactKeepBy(
+      df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** MinHash + LSH near-duplicate candidate pairs.
     *
     * shingle→minhash→band→bucket-join: each doc gets a k-slot minhash

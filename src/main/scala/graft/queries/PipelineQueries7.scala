@@ -381,7 +381,40 @@ object PipelineQueries7 {
         |FROM graft_media_probe ORDER BY doc_id""".stripMargin)
   }
 
+  /** Quality-keep dedup policy (Dedup.exactKeepBy): duplicates are
+    * constructed (case/extra-whitespace variants share the normalized
+    * fingerprint), and the HIGHEST-scoring variant must win — the
+    * opposite of the min-id policy dedup_exact_keep grades. */
+  val exactKeepBy: Q = q(
+    "dedup_keep_best",
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL
+      |  SELECT doc_id + 10000, replace(upper(text), ' ', '  ')
+      |  FROM documents WHERE doc_id < 60),
+      |r AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |         row_number() OVER (
+      |           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |           ORDER BY length(text) DESC, doc_id) AS rn
+      |  FROM u)
+      |SELECT doc_id, fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val variants = base.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      regexp_replace(upper(col("text")), " ", "  ").as("text"))
+    graft.operators.Dedup.exactKeepBy(
+      base.unionByName(variants).withColumn("score", length(col("text"))),
+      "doc_id", "text", "score")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] =
     Seq(jsonFunctions, sqlArrayAgg, paragraphDedup, tokenBudget, semanticDedup,
-      topFrac, incrementalNearDup, chunking, corpusShuffle, imageMeta)
+      topFrac, incrementalNearDup, chunking, corpusShuffle, imageMeta,
+      exactKeepBy)
 }
