@@ -339,4 +339,19 @@ object NativeQuery {
       virtualColumns: Seq[VirtualColumn],
       analysisTypes: Seq[String] =
         Seq("cardinality", "size", "interval", "minmax")) extends NativeQuery
+
+  /** the same query restricted to different intervals — the
+    * per-segment re-scope used by context.bySegment (reference
+    * BySegmentQueryRunner runs the unmodified query against one
+    * segment at a time; here a segment IS a time slice). */
+  def withIntervals(q: NativeQuery, ivs: Seq[QueryInterval]): NativeQuery = q match {
+    case x: Timeseries => x.copy(intervals = ivs)
+    case x: TopN => x.copy(intervals = ivs)
+    case x: GroupBy => x.copy(intervals = ivs)
+    case x: Scan => x.copy(intervals = ivs)
+    case x: Search => x.copy(intervals = ivs)
+    case x: TimeBoundary => x.copy(intervals = ivs)
+    case x: DataSourceMetadata => x.copy(intervals = ivs)
+    case x: SegmentMetadata => x.copy(intervals = ivs)
+  }
 }

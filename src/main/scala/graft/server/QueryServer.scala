@@ -641,19 +641,117 @@ class QueryServer(
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val qid = setQueryIdHeader(ex, body)
       val q = graft.model.QueryJson.parse(body)
-      val df = finalizeSketches(planner.plan(q), body)
       withCapacity(body) {
         withLimits(body, qid) { () =>
           val cap = maxRows(body)
-          ensureUnderCap(df, cap)
-          serveCached(ex, body)(open =>
-            writeEnvelope(open, q, df, cap,
-              tsAsLong = contextFlag(body, "serializeDateTimeAsLong")))
+          val tsAsLong = contextFlag(body, "serializeDateTimeAsLong")
+          if (contextFlag(body, "bySegment"))
+            serveCached(ex, body)(open => writeBySegment(open, body, q, cap, tsAsLong))
+          else {
+            val df = finalizeSketches(planner.plan(q), body)
+            ensureUnderCap(df, cap)
+            serveCached(ex, body)(open => writeEnvelope(open, q, df, cap, tsAsLong))
+          }
         }
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
     }
+  }
+
+  // reference Intervals.ETERNITY bounds, as sys.segments reports them
+  private val EternityStart = "-146136543-09-08T08:23:32.096Z"
+  private val EternityEnd = "146140482-04-24T15:36:27.903Z"
+
+  /** context.bySegment=true (reference BySegmentQueryRunner +
+    * BySegmentResultValueClass): results come back one envelope per
+    * SEGMENT, unmerged — each segment's ordinary result rows wrapped
+    * as {"timestamp": segmentStart, "result": {"results": [...],
+    * "segment": id, "interval": "s/e"}}. A segment here is a
+    * segment-granularity time slice of the backing table (sidecar
+    * granularity for ingested tables, else P1D) — the same identity
+    * sys.segments reports. Time-less tables are one eternity
+    * pseudo-segment. The query is re-planned per segment with its
+    * intervals clipped to the slice, so execution is genuinely
+    * per-segment (partition-pruned scans), not a post-hoc regrouping
+    * of the merged result. */
+  private def writeBySegment(
+      open: String => OutputStream, body: String, q: graft.model.NativeQuery,
+      cap: Long, tsAsLong: Boolean): Unit = {
+    import graft.model.{DataSource, NativeQuery, QueryInterval}
+    import org.apache.spark.sql.functions.{lit, timestamp_millis, unix_millis}
+    def leftmostTable(ds: DataSource): Option[String] = ds match {
+      case DataSource.Table(n) => Some(n)
+      case DataSource.GlobalTable(n) => Some(n)
+      case j: DataSource.Join => leftmostTable(j.left)
+      case DataSource.SubQuery(sq) => leftmostTable(sq.dataSource)
+      case DataSource.Union(ss) => ss.iterator.flatMap(leftmostTable(_)).nextOption()
+      case _ => None
+    }
+    val dsName = leftmostTable(q.dataSource).getOrElse(throw new IllegalArgumentException(
+      "bySegment requires a table-backed datasource"))
+    val base = resolveWithIngested(dsName)
+    val timeCol = graft.sources.Ingest.TimeCol
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(java.time.ZoneOffset.UTC)
+    // the table's segment slices intersecting the query intervals: one
+    // small distinct-floor job over the (interval-pruned) time column
+    val segs: Seq[(Option[Long], Option[Long])] =
+      if (!base.columns.contains(timeCol)) Seq((None, None))
+      else {
+        val gran = segmentMetaWithIngested(dsName)
+          .map(_.segmentGranularity).getOrElse("P1D")
+        val scoped = q.intervals.map(iv =>
+            col(timeCol) >= timestamp_millis(lit(iv.startMs)) &&
+              col(timeCol) < timestamp_millis(lit(iv.endMs)))
+          .reduceOption(_ || _).map(base.filter).getOrElse(base)
+        scoped
+          .select(graft.functions.TimeFunctions.timeFloor(col(timeCol), gran).as("s"))
+          .distinct()
+          .select(unix_millis(col("s")).as("s"),
+            unix_millis(graft.functions.TimeFunctions.timeShift(col("s"), gran, 1)).as("e"))
+          .orderBy("s").collect().toSeq
+          .map(r => (Some(r.getLong(0)), Some(r.getLong(1))))
+      }
+    val os = open("application/json")
+    try {
+      os.write('[')
+      var first = true
+      segs.foreach { case (startMs, endMs) =>
+        val clipped = (startMs, endMs) match {
+          case (Some(s), Some(e)) =>
+            if (q.intervals.isEmpty) Seq(QueryInterval(s, e))
+            else q.intervals.flatMap { iv =>
+              val cs = math.max(iv.startMs, s); val ce = math.min(iv.endMs, e)
+              if (cs < ce) Some(QueryInterval(cs, ce)) else None
+            }
+          case _ => q.intervals
+        }
+        if (clipped.nonEmpty || q.intervals.isEmpty) {
+          val qSeg = NativeQuery.withIntervals(q, clipped)
+          val dfSeg = finalizeSketches(planner.plan(qSeg), body)
+          ensureUnderCap(dfSeg, cap)
+          val buf = new java.io.ByteArrayOutputStream()
+          writeEnvelope(_ => buf, qSeg, dfSeg, cap, tsAsLong)
+          val startIso = startMs.map(ms => iso.format(java.time.Instant.ofEpochMilli(ms)))
+            .getOrElse(EternityStart)
+          val endIso = endMs.map(ms => iso.format(java.time.Instant.ofEpochMilli(ms)))
+            .getOrElse(EternityEnd)
+          val ts = startMs match {
+            case Some(ms) => if (tsAsLong) ms.toString else "\"" + startIso + "\""
+            case None => "null"
+          }
+          if (!first) os.write(',')
+          first = false
+          os.write(s"""{"timestamp":$ts,"result":{"results":"""
+            .getBytes(StandardCharsets.UTF_8))
+          buf.writeTo(os)
+          os.write(s""","segment":"${dsName}_${startIso}_${endIso}_1","interval":"$startIso/$endIso"}}"""
+            .getBytes(StandardCharsets.UTF_8))
+        }
+      }
+      os.write(']')
+    } finally os.close()
   }
 
   /** reference finalize-on-serialize semantics (QueryToolChest

@@ -680,6 +680,57 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("context.bySegment wraps unmerged per-segment results") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      // granularity=all over two P1D segments: bySegment must return
+      // TWO envelopes with per-segment (unmerged) aggregates
+      val (code, body) = post(port, "/druid/v2",
+        """{"queryType": "timeseries", "dataSource": "ds", "intervals": [],
+          |"granularity": "all",
+          |"aggregations": [{"type": "count", "name": "cnt"}],
+          |"context": {"bySegment": true, "skipEmptyBuckets": true}}""".stripMargin)
+      assert(code == 200, body)
+      assert(body ==
+        """[{"timestamp":"2024-01-01T00:00:00.000Z","result":{"results":""" +
+        """[{"timestamp":null,"result":{"cnt":2}}],""" +
+        """"segment":"ds_2024-01-01T00:00:00.000Z_2024-01-02T00:00:00.000Z_1",""" +
+        """"interval":"2024-01-01T00:00:00.000Z/2024-01-02T00:00:00.000Z"}},""" +
+        """{"timestamp":"2024-01-02T00:00:00.000Z","result":{"results":""" +
+        """[{"timestamp":null,"result":{"cnt":1}}],""" +
+        """"segment":"ds_2024-01-02T00:00:00.000Z_2024-01-03T00:00:00.000Z_1",""" +
+        """"interval":"2024-01-02T00:00:00.000Z/2024-01-03T00:00:00.000Z"}}]""", body)
+      // groupBy rides the same wrapper with its v1 rows inside
+      val (c2, b2) = post(port, "/druid/v2",
+        """{"queryType": "groupBy", "dataSource": "ds", "intervals": [],
+          |"granularity": "all", "dimensions": ["dim"],
+          |"aggregations": [{"type": "doubleSum", "name": "sm", "fieldName": "m"}],
+          |"context": {"bySegment": true}}""".stripMargin)
+      assert(c2 == 200, b2)
+      assert(b2.contains(
+        """"results":[{"version":"v1","timestamp":null,"event":{"dim":"a","sm":1.0}},""" +
+        """{"version":"v1","timestamp":null,"event":{"dim":"b","sm":2.0}}]"""), b2)
+      assert(b2.contains("""{"dim":"a","sm":3.0}"""), b2)
+      // a query interval clipping to ONE segment returns one envelope
+      val (c3, b3) = post(port, "/druid/v2",
+        """{"queryType": "timeseries", "dataSource": "ds",
+          |"intervals": ["2024-01-02T00:00:00.000Z/2024-01-03T00:00:00.000Z"],
+          |"granularity": "all",
+          |"aggregations": [{"type": "count", "name": "cnt"}],
+          |"context": {"bySegment": true, "skipEmptyBuckets": true}}""".stripMargin)
+      assert(c3 == 200, b3)
+      assert(b3.contains("ds_2024-01-02") && !b3.contains("ds_2024-01-01"), b3)
+      // non-table datasources can't resolve a segment identity
+      val (c4, b4) = post(port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": {"type": "inline",
+          |"columnNames": ["x"], "rows": [[1]]}, "intervals": [],
+          |"columns": ["x"], "context": {"bySegment": true}}""".stripMargin)
+      assert(c4 == 400, b4)
+      assert(b4.contains("bySegment"), b4)
+    } finally srv.stop()
+  }
+
   test("bad query returns a JSON error, not a hang") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
