@@ -180,6 +180,16 @@ object DruidFunctions {
     fn("ipv4_stringify")(a => Ipv4Stringify(a.head))
     fn("ipv4_match")(a => Ipv4Match(a.head, a(1)))
 
+    // ---- URL parsing / canonicalization (pipeline superset; the
+    // reference has no URL functions — crawl curation needs them) ----
+    fn("url_scheme")(a => toExpr(UrlFunctions.urlScheme(toCol(a.head))))
+    fn("url_host")(a => toExpr(UrlFunctions.urlHost(toCol(a.head))))
+    fn("url_port")(a => toExpr(UrlFunctions.urlPort(toCol(a.head))))
+    fn("url_path")(a => toExpr(UrlFunctions.urlPath(toCol(a.head))))
+    fn("url_query")(a => toExpr(UrlFunctions.urlQuery(toCol(a.head))))
+    fn("url_domain")(a => toExpr(UrlFunctions.urlDomain(toCol(a.head))))
+    fn("url_normalize")(a => toExpr(UrlFunctions.normalizeUrl(toCol(a.head))))
+
     // ---- text / vector primitives ----
     fn("minhash_signature") { a =>
       MinHashSignature(a.head,

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.Tables
+
+/** Round-7 curation additions: URL canonicalization for web-corpus
+  * bookkeeping (functions.UrlFunctions through the registered SQL
+  * surface).
+  *
+  * The documents fixture has no URL column, so the graded URLs are
+  * assembled from table columns with IDENTICAL string concatenation in
+  * both engines (the established fixture pattern) — mixed-case hosts,
+  * userinfo, default and explicit ports, tracking params, fragments
+  * and non-URL rows all appear in the constructed set, and the
+  * parsing/normalization semantics are what the oracle grades.
+  */
+object PipelineQueries8 {
+
+  /** the constructed URL corpus, same text in both dialects:
+    * - doc_id % 11 == 0 → not a URL at all (must pass through
+    *   normalization unchanged)
+    * - doc_id % 3 picks the port shape: 443 (default, stripped),
+    *   8443 (kept), none
+    * - query mixes tracking params (dropped) with real ones (kept)
+    * - '#sec...' fragment always dropped */
+  private val urlExpr =
+    """CASE WHEN doc_id % 11 = 0 THEN 'plain text ' || doc_id
+      |ELSE 'HTTPS://user:pw@WWW.' || source || '-' || (doc_id % 7) || '.Example.COM' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ':443'
+      |       WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END ||
+      |  '/Docs/' || (doc_id % 13) || '/view' ||
+      |  '?id=' || doc_id || '&utm_source=feed&ref=r' || (doc_id % 5) ||
+      |  '&gclid=x' || doc_id || '#sec' || doc_id
+      |END""".stripMargin
+
+  val urlNormalize: Q = q(
+    "url_normalize",
+    s"""WITH t AS (
+       |  SELECT doc_id, $urlExpr AS url FROM documents WHERE doc_id < 300
+       |), p AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS auth,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+       |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+       |  FROM t
+       |), h AS (
+       |  SELECT *,
+       |    lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+       |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port
+       |  FROM p
+       |), s AS (
+       |  SELECT *, CASE WHEN query = '' THEN '' ELSE array_to_string(
+       |    list_filter(string_split(query, '&'),
+       |      x -> NOT regexp_matches(x,
+       |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)=')),
+       |    '&') END AS q2
+       |  FROM h
+       |)
+       |SELECT doc_id, scheme, host,
+       |  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
+       |       ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain,
+       |  path,
+       |  CASE WHEN scheme = '' THEN url ELSE
+       |    scheme || '://' || regexp_replace(host, '^www\\.', '') ||
+       |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |              OR (scheme = 'https' AND port = '443')
+       |         THEN '' ELSE ':' || port END ||
+       |    path || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+       |  END AS url_norm
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents_url")
+    s.sql(
+      s"""SELECT doc_id, url_scheme(url) AS scheme, url_host(url) AS host,
+         |  url_domain(url) AS domain, url_path(url) AS path,
+         |  url_normalize(url) AS url_norm
+         |FROM (SELECT doc_id, $urlExpr AS url
+         |      FROM graft_documents_url WHERE doc_id < 300)
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(urlNormalize)
+}

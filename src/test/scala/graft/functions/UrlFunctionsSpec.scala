@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlFunctionsSpec extends SparkSpec {
+
+  private def one(url: String): Map[String, String] = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(
+      UrlFunctions.urlScheme(col("u")).as("scheme"),
+      UrlFunctions.urlHost(col("u")).as("host"),
+      UrlFunctions.urlPort(col("u")).as("port"),
+      UrlFunctions.urlPath(col("u")).as("path"),
+      UrlFunctions.urlQuery(col("u")).as("query"),
+      UrlFunctions.urlDomain(col("u")).as("domain"),
+      UrlFunctions.normalizeUrl(col("u")).as("norm"))
+      .collect().head.getValuesMap[String](Seq(
+        "scheme", "host", "port", "path", "query", "domain", "norm"))
+  }
+
+  test("parses scheme/host/port/path/query, strips userinfo") {
+    val m = one("HTTPS://bob:pw@WWW.News.Example.COM:8443/A/b?x=1&y=2#frag")
+    assert(m("scheme") == "https")
+    assert(m("host") == "www.news.example.com")
+    assert(m("port") == "8443")
+    assert(m("path") == "/A/b")
+    assert(m("query") == "x=1&y=2")
+    assert(m("domain") == "example.com")
+    assert(m("norm") == "https://news.example.com:8443/A/b?x=1&y=2")
+  }
+
+  test("default ports and tracking params are stripped, real params kept in order") {
+    assert(one("https://a.com:443/p?utm_source=x&id=7&fbclid=z&ref=k")("norm")
+      == "https://a.com/p?id=7&ref=k")
+    assert(one("http://a.com:80/")("norm") == "http://a.com/")
+    assert(one("http://a.com:8080/")("norm") == "http://a.com:8080/")
+    // all params tracking → no dangling '?'
+    assert(one("https://a.com/p?utm_source=x&gclid=1")("norm") == "https://a.com/p")
+  }
+
+  test("hostname-only domains, bare hosts, and non-URLs") {
+    assert(one("https://localhost/x")("domain") == "localhost")
+    assert(one("https://example.com")("norm") == "https://example.com")
+    val m = one("not a url at all")
+    assert(m("scheme") == "" && m("host") == "")
+    assert(m("norm") == "not a url at all")
+  }
+}
