@@ -305,6 +305,9 @@ object DruidExprCompiler {
       case "tanh" => dbl1(tanh)
       case "todegrees" => dbl1(degrees)
       case "toradians" => dbl1(radians)
+      case "ulp" =>
+        need(1)
+        TC(graft.exprs.toCol(JavaMathUnary(graft.exprs.toExpr(d(0)), "ulp")), D)
       case "pi" => TC(lit(math.Pi), D)
 
       // ---- conditionals / null (Function.java) ----

@@ -58,6 +58,16 @@ object DruidFunctions {
         args.lift(2).map(litStr)))
     }
     fn("millis_to_timestamp")(a => toExpr(timestamp_millis(toCol(a.head))))
+    // modern-tree SQL surface (the 0.22 reference predates it):
+    // TIME_IN_INTERVAL(ts, 'start/end') — literal ISO interval, the
+    // same start/end, start/period, period/end forms as query
+    // "intervals"; membership is [start, end).
+    fn("time_in_interval") { a =>
+      val iv = graft.model.QueryJson.parseInterval(litStr(a(1)))
+      val ts = toCol(a.head)
+      toExpr(ts >= timestamp_millis(lit(iv.startMs)) &&
+        ts < timestamp_millis(lit(iv.endMs)))
+    }
     fn("timestamp_to_millis")(a => toExpr(unix_millis(toCol(a.head))))
     fn("time_parse") { args =>
       val c = toCol(args.head)

@@ -79,5 +79,30 @@ object PipelineQueries8 {
          |ORDER BY doc_id""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(urlNormalize)
+  /** TIME_IN_INTERVAL — literal-interval membership, [start, end);
+    * graded in both the instant/instant and start/period forms. */
+  val timeInInterval: Q = q(
+    "sql_time_in_interval",
+    """SELECT event_type,
+      |  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |                 AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+      |  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |                 AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_period,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.events(s, d).createOrReplaceTempView("graft_events_tii")
+    s.sql(
+      """SELECT event_type,
+        |  sum(CASE WHEN TIME_IN_INTERVAL(ts, '2024-01-10/2024-01-20')
+        |      THEN 1 ELSE 0 END) AS n_mid,
+        |  sum(CASE WHEN TIME_IN_INTERVAL(ts, '2024-01-05/P1W')
+        |      THEN 1 ELSE 0 END) AS n_period,
+        |  count(*) AS n
+        |FROM graft_events_tii GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(urlNormalize, timeInInterval)
 }

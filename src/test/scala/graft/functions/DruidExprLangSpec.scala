@@ -33,6 +33,12 @@ class DruidExprLangSpec extends SparkSpec {
     assert(eval1("2.0 ^ 10") == 1024.0)
   }
 
+  test("ulp matches java.lang.Math.ulp bit-for-bit") {
+    assert(eval1("ulp(1.0)") == Math.ulp(1.0))
+    assert(eval1("ulp(0.0)") == Math.ulp(0.0)) // subnormal minimum
+    assert(eval1("ulp(1e300)") == Math.ulp(1e300))
+  }
+
   test("long/long truncates; double division is IEEE") {
     assert(eval1("7 / 2") == 3L)
     assert(eval1("-7 / 2") == -3L) // truncation toward zero, not floor
