@@ -138,6 +138,11 @@ class QueryServer(
       math.max(1, totalSlots * maxLowPercent / 100))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/druid/v2/sql", (ex: HttpExchange) => handleSql(ex))
+    // broker datasource introspection (reference ClientInfoResource,
+    // @Path("/druid/v2/datasources")): names, and the dimension/metric
+    // split (sidecar metric names authoritative for ingested tables)
+    server.createContext("/druid/v2/datasources",
+      (ex: HttpExchange) => handleDatasourceInfo(ex))
     server.createContext("/druid/v2", (ex: HttpExchange) => handleNative(ex))
     server.createContext("/status/health", (ex: HttpExchange) => {
       respond(ex, 200, "true")
@@ -653,6 +658,41 @@ class QueryServer(
             serveCached(ex, body)(open => writeEnvelope(open, q, df, cap, tsAsLong))
           }
         }
+      }
+    } catch {
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
+    }
+  }
+
+  /** GET /druid/v2/datasources[/{ds}[/dimensions|/metrics]] —
+    * reference ClientInfoResource: datasource names, and the
+    * dimensions/metrics split for one datasource. Unknown names answer
+    * with empty structures, like the reference (it reports what the
+    * timeline holds, and holds nothing for them). */
+  private def handleDatasourceInfo(ex: HttpExchange): Unit = {
+    try {
+      if (ex.getRequestMethod != "GET") {
+        respond(ex, 405, """{"error":"GET only"}"""); return
+      }
+      def jarr(xs: Seq[String]): String =
+        xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+      val path = ex.getRequestURI.getPath
+        .stripPrefix("/druid/v2/datasources").stripPrefix("/")
+      if (path.isEmpty) { respond(ex, 200, jarr(allDatasources())); return }
+      val parts = path.split("/", 2)
+      val ds = parts(0)
+      val (dims, mets) =
+        try SystemTables.dimsAndMetrics(
+          resolveWithIngested(ds), segmentMetaWithIngested(ds))
+        catch { case _: Exception => (Nil, Nil) }
+      parts.lift(1) match {
+        case None =>
+          respond(ex, 200,
+            s"""{"dimensions":${jarr(dims)},"metrics":${jarr(mets)}}""")
+        case Some("dimensions") => respond(ex, 200, jarr(dims))
+        case Some("metrics") => respond(ex, 200, jarr(mets))
+        case Some(other) =>
+          respond(ex, 404, s"""{"error":"unknown introspection path: $other"}""")
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)

@@ -153,7 +153,7 @@ object SystemTables {
   /** dims/metrics split: sidecar metric names are authoritative for an
     * ingested table; otherwise numerics are metrics, the rest dims
     * (reference schema discovery convention, SURVEY §1.1). */
-  private def dimsAndMetrics(
+  def dimsAndMetrics(
       df: DataFrame, meta: Option[Ingest.SegmentMeta]): (Seq[String], Seq[String]) = {
     val nonTime = df.schema.fields.filterNot(f =>
       f.name == Ingest.TimeCol || f.name == Ingest.BucketCol)

@@ -680,6 +680,35 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("broker datasource introspection: names, dimensions, metrics") {
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      datasources = () => Seq("ds"))
+    val port = srv.start()
+    val client = HttpClient.newHttpClient()
+    def get(path: String) = {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      assert(get("/druid/v2/datasources") == (200, """["ds"]"""))
+      // schema-discovery split: numerics are metrics, the rest dims
+      assert(get("/druid/v2/datasources/ds") ==
+        (200, """{"dimensions":["dim"],"metrics":["m"]}"""))
+      assert(get("/druid/v2/datasources/ds/dimensions") == (200, """["dim"]"""))
+      assert(get("/druid/v2/datasources/ds/metrics") == (200, """["m"]"""))
+      // unknown datasource answers empty, like the reference
+      assert(get("/druid/v2/datasources/nope") ==
+        (200, """{"dimensions":[],"metrics":[]}"""))
+      // POST /druid/v2 (the query endpoint) must still route past the
+      // introspection context
+      val (qc, _) = post(port, "/druid/v2",
+        """{"queryType": "timeBoundary", "dataSource": "ds", "intervals": []}""")
+      assert(qc == 200)
+    } finally srv.stop()
+  }
+
   test("context.bySegment wraps unmerged per-segment results") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
