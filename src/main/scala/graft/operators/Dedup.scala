@@ -418,6 +418,57 @@ object Dedup {
           sep).as("text_kept"))
   }
 
+  /** Per-domain boilerplate line removal (the RefinedWeb/CCNet-family
+    * curation step): a line occurring in MORE than `maxDocBp` basis
+    * points (1bp = 0.01%) of a domain's documents is boilerplate —
+    * navigation, cookie banners, footers — and is stripped from every
+    * document of that domain. Thresholding is pure integer arithmetic
+    * (docFreq · 10000 > maxDocBp · domainDocs), so any engine takes
+    * the identical keep decision. `minDocs` exempts tiny domains,
+    * where doc-frequency is meaningless.
+    *
+    * Scale shape: one narrow agg shuffle on (domain, line) for doc
+    * frequencies + one reassembly shuffle on id. The boilerplate set
+    * itself (lines ABOVE the frequency threshold) is small by
+    * construction — high-doc-frequency lines are few — so it comes
+    * back to the line stream as a broadcast anti-join, never a wide
+    * join. Domain sizes ride the same broadcast. Every input document
+    * returns (all-boilerplate docs with empty text), per the lineDedup
+    * contract.
+    */
+  def boilerplateStrip(
+      df: DataFrame, idCol: String, domainCol: String, textCol: String,
+      maxDocBp: Long, minDocs: Long = 2L, sep: String = "\n"): DataFrame = {
+    val lines = df.select(
+      col(idCol).as("__id"), col(domainCol).as("__domain"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__idx", "__line")))
+    val domainDocs = df.groupBy(col(domainCol).as("__domain"))
+      .agg(count(lit(1)).as("__n_docs"))
+    // distinct (domain, line, id) first: a line repeated inside ONE
+    // document counts once toward its doc frequency
+    val freq = lines.select("__domain", "__line", "__id").distinct()
+      .groupBy("__domain", "__line").agg(count(lit(1)).as("__doc_freq"))
+    val bp = freq.join(broadcast(domainDocs), Seq("__domain"))
+      .filter(col("__n_docs") >= minDocs &&
+        col("__doc_freq") * 10000L > lit(maxDocBp) * col("__n_docs"))
+      .select("__domain", "__line")
+    lines.join(broadcast(bp).withColumn("__bp", lit(1)),
+        Seq("__domain", "__line"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        first(col("__domain")).as(domainCol),
+        sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("lines_kept"),
+        count(lit(1)).as("lines_total"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__bp").isNull, struct(col("__idx"), col("__line"))))),
+            x => x.getField("__line")),
+          sep).as("text_clean"))
+  }
+
   /** SemDeDup-style semantic near-dup candidates against a FIXED
     * centroid set (Abbas et al. 2023, arXiv:2303.09540): assign each
     * embedding to its nearest centroid (broadcast literal argmin — no

@@ -104,5 +104,55 @@ object PipelineQueries8 {
         |FROM graft_events_tii GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(urlNormalize, timeInInterval)
+  /** Per-domain boilerplate stripping (Dedup.boilerplateStrip). The
+    * fixture corpus has no real boilerplate, so each document gets a
+    * shared nav header, a per-source cookie banner and a per-source
+    * copyright footer injected with IDENTICAL concatenation in both
+    * engines (body shaped into 4-word lines exactly like
+    * dedup_lines_c4); the strip must remove exactly the injected lines
+    * (doc-frequency 100% ≫ the 50% threshold) and keep every natural
+    * line (measured max natural doc-frequency ≤ 12% across scale
+    * factors — integer thresholding, no FP at the decision boundary). */
+  val boilerplateStripQ: Q = q(
+    "text_boilerplate_strip",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |    'Home | About | Contact' || chr(10) || 'Cookie notice ' || source || chr(10) ||
+      |    array_to_string(list_transform(range(1, CAST(ceil(len(ws)/4.0) AS BIGINT) + 1),
+      |      i -> array_to_string(ws[(i-1)*4+1 : i*4], ' ')), chr(10)) ||
+      |    chr(10) || 'Copyright ' || source AS full_text
+      |  FROM w),
+      |sp AS (SELECT doc_id, source, string_split(full_text, chr(10)) AS ls FROM c),
+      |l AS (
+      |  SELECT doc_id, source, CAST(i AS BIGINT) AS line_idx, ls[i] AS line
+      |  FROM sp, UNNEST(range(1, len(ls) + 1)) AS t(i)),
+      |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents GROUP BY source),
+      |f AS (SELECT source, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      |      FROM l GROUP BY source, line),
+      |bp AS (SELECT f.source, f.line FROM f JOIN nd ON f.source = nd.source
+      |       WHERE nd.n_docs >= 2 AND f.doc_freq * 10000 > 5000 * nd.n_docs)
+      |SELECT l.doc_id, min(l.source) AS source,
+      |  CAST(count(*) FILTER (WHERE bp.line IS NULL) AS BIGINT) AS lines_kept,
+      |  CAST(count(*) AS BIGINT) AS lines_total,
+      |  coalesce(string_agg(l.line, chr(10) ORDER BY l.line_idx)
+      |           FILTER (WHERE bp.line IS NULL), '') AS text_clean
+      |FROM l LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+      |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val ws = split(col("text"), " ")
+    val body = array_join(
+      transform(sequence(lit(0), ((size(ws) + 3) / lit(4)).cast("int") - 1),
+        i => array_join(slice(ws, i * 4 + 1, lit(4)), " ")), "\n")
+    val lined = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      concat(lit("Home | About | Contact\nCookie notice "), col("source"),
+        lit("\n"), body, lit("\nCopyright "), col("source")).as("lined_text"))
+    graft.operators.Dedup.boilerplateStrip(
+      lined, "doc_id", "source", "lined_text", maxDocBp = 5000L)
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ)
 }

@@ -188,6 +188,37 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L))
   }
 
+  test("boilerplateStrip: frequent lines drop per domain, tiny domains exempt") {
+    import spark.implicits._
+    val docs = Seq(
+      // domain A (4 docs): "nav" in all 4 (100%), "rare" in 1 (25%)
+      (1L, "a", "nav\nbody one\nrare"),
+      (2L, "a", "nav\nbody two"),
+      (3L, "a", "nav\nbody three"),
+      (4L, "a", "nav"), // all-boilerplate doc → empty text, still returned
+      // domain B (1 doc): below minDocs → nothing stripped
+      (9L, "b", "nav\nsolo body")
+    ).toDF("id", "dom", "text")
+    val out = Dedup.boilerplateStrip(docs, "id", "dom", "text",
+      maxDocBp = 5000L, minDocs = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((2L, 3L, "body one\nrare"))) // nav stripped, 25% line kept
+    assert(out(2L) == ((1L, 2L, "body two")))
+    assert(out(4L) == ((0L, 1L, ""))) // survives as an empty doc
+    assert(out(9L) == ((2L, 2L, "nav\nsolo body"))) // tiny domain untouched
+    // repeated line inside ONE doc counts once toward doc frequency:
+    // "x" is in 2 of 4 docs (50% = not > 5000bp) even though doc 1 has it twice
+    val docs2 = Seq(
+      (1L, "a", "x\nx\nbody"), (2L, "a", "x\nother"),
+      (3L, "a", "p"), (4L, "a", "q")
+    ).toDF("id", "dom", "text")
+    val out2 = Dedup.boilerplateStrip(docs2, "id", "dom", "text",
+      maxDocBp = 5000L, minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out2(1L) == "x\nx\nbody")
+  }
+
   test("bloom prefilter: no false negatives, fresh rows skip the join") {
     import spark.implicits._
     val corpus = Seq(
