@@ -201,6 +201,9 @@ object DruidFunctions {
     fn("url_normalize")(a => toExpr(UrlFunctions.normalizeUrl(toCol(a.head))))
 
     // ---- text / vector primitives ----
+    fn("nfc_normalize")(a => graft.functions.NfcNormalize(a.head))
+    fn("normalize_text")(a =>
+      toExpr(graft.operators.TextAnalysis.normalizeText(toCol(a.head))))
     fn("minhash_signature") { a =>
       MinHashSignature(a.head,
         a.lift(1).map(litInt).getOrElse(64), a.lift(2).map(litInt).getOrElse(42))

@@ -18,6 +18,19 @@ import graft.exprs.{toCol, toExpr}
   * split the span and materialize rows around every call). */
 object TextKernels {
 
+  /** Unicode NFC (canonical composition) via java.text.Normalizer —
+    * combining sequences collapse to their precomposed forms, so
+    * byte-level dedup/fingerprinting sees one representation per
+    * grapheme. Shared by the interpreted and generated paths. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: pure-ASCII (the overwhelming majority of web text)
+    // is always NFC; skip the Normalizer walk
+    if (s.numBytes == str.length) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def minhashSignature(arr: ArrayData, numHashes: Int, seed: Int): ArrayData = {
     val n = arr.numElements()
     val sig = new Array[Int](numHashes)
@@ -176,6 +189,21 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Unicode NFC normalization (canonical composition). Spark has no
+  * built-in normalizer; corpus pipelines need one so that visually
+  * identical text (e + combining acute vs precomposed é) hashes,
+  * dedups and tokenizes identically. Codegen'd via the shared kernel. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** fraction of equal slots between two equal-length int arrays — the
   * minhash Jaccard estimator. A primitive loop: the pair-scoring stage
   * runs over every LSH candidate pair, where an interpreted
@@ -206,4 +234,6 @@ object TextExpressions {
     toCol(MinHashSignature(toExpr(tokens), numHashes, seed))
   def simhash64(tokens: Column, seed: Int = 42): Column =
     toCol(SimHash64(toExpr(tokens), seed))
+  def nfcNormalize(text: Column): Column =
+    toCol(NfcNormalize(toExpr(text)))
 }

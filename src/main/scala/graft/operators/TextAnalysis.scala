@@ -37,6 +37,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** control chars (keeping \t \n \r), the zero-width family and the
+    * BOM — the bytes encoding glitches leave behind. Written with
+    * \x{...} escapes, the class syntax Java regex and RE2 share. */
+  val junkCharPattern: String =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  /** Canonical text cleanup — the first pass of every corpus pipeline,
+    * run BEFORE fingerprinting/dedup so byte-identical content has one
+    * representation: Unicode NFC composition (custom codegen'd
+    * expression; Spark has no built-in), junk-char strip, whitespace
+    * collapse, trim. Map-only; fuses into the document scan. \s
+    * equivalence across engines holds because \x0B (the one char Java
+    * counts as \s and RE2 doesn't) is stripped first. */
+  def normalizeText(text: Column): Column = {
+    val nfc = graft.functions.TextExpressions.nfcNormalize(text)
+    trim(regexp_replace(regexp_replace(nfc, junkCharPattern, ""), "\\s+", " "))
+  }
+
   /** simple quality signals: (n_chars, n_tokens, avg_token_len,
     * punct_count, digit_count, stopword_count). */
   def nChars(text: Column): Column = length(text)

@@ -154,5 +154,28 @@ object PipelineQueries8 {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ)
+  /** Canonical text cleanup (TextAnalysis.normalizeText): NFC
+    * composition + junk-char strip + whitespace collapse + trim. Each
+    * document gets a combining-acute 'cafe'+U+0301, a zero-width
+    * space, a BEL and a BOM appended (chr() construction in DuckDB,
+    * the same code points as Scala literals on the Spark side); the
+    * cleaned text and its code-point length are graded per row. */
+  val textNormalize: Q = q(
+    "text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(
+      |    nfc_normalize(text || '  cafe' || chr(769) || ' ' || chr(8203)
+      |                  || 'x' || chr(7) || chr(65279)),
+      |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}\x{200B}-\x{200D}\x{FEFF}]',
+      |    '', 'g'), '\s+', ' ', 'g')) AS clean
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val dirty = concat(col("text"), lit("  cafe\u0301 \u200Bx\u0007\uFEFF"))
+    Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.normalizeText(dirty).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ, textNormalize)
 }

@@ -43,6 +43,10 @@ class CodegenSpec extends SparkSpec {
       rangeDocs.select(DruidExpressions.alphanumericSortKey(col("text")).as("k")),
       "alphanumeric_sort_key"))
 
+    assert(inCodegenSpan(
+      rangeDocs.select(TextExpressions.nfcNormalize(col("text")).as("n")),
+      "nfc_normalize"))
+
     // literal (pre-built) bloom filter probed per row — the hot filter shape
     val bf = rangeDocs.select(graft.aggs.bloom.bloomFilter(col("text")).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
