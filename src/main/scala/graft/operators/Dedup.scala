@@ -395,7 +395,22 @@ object Dedup {
     */
   def lineDedup(
       df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n"): DataFrame =
+    lineDedupScoped(df, idCol, textCol, sep, inDocOnly = false)
+
+  /** In-document variant: a line is dropped only when it repeats
+    * WITHIN the same document (the Gopher-family in-doc repetition
+    * cleanup) — cross-document repeats are untouched. Same output
+    * contract as [[lineDedup]]; the window key gains the doc id, so
+    * the shuffle is (line, id) instead of (line). */
+  def lineDedupInDoc(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame =
+    lineDedupScoped(df, idCol, textCol, sep, inDocOnly = true)
+
+  private def lineDedupScoped(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String, inDocOnly: Boolean): DataFrame = {
     // null text → one empty line (posexplode of null would silently
     // drop the document from the output, breaking the every-doc-
     // returns contract)
@@ -404,7 +419,10 @@ object Dedup {
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep)))
         .as(Seq("__idx", "__line")))
-    val w = Window.partitionBy(col("__line")).orderBy(col("__id"), col("__idx"))
+    val w =
+      (if (inDocOnly) Window.partitionBy(col("__line"), col("__id"))
+       else Window.partitionBy(col("__line")))
+        .orderBy(col("__id"), col("__idx"))
     lines.withColumn("__rn", row_number().over(w))
       .groupBy(col("__id").as(idCol))
       .agg(

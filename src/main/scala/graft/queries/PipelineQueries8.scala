@@ -177,5 +177,47 @@ object PipelineQueries8 {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ, textNormalize)
+  /** In-document line dedup (Dedup.lineDedupInDoc): each doc's FIRST
+    * 4-word line is re-appended at the end, so every document carries
+    * exactly one in-doc repeat; the operator must drop the appended
+    * copy and nothing else — cross-document repeats (which C4-style
+    * global dedup would remove) must survive here. */
+  val lineDedupInDocQ: Q = q(
+    "dedup_lines_indoc",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range(1, CAST(ceil(len(ws)/4.0) AS BIGINT) + 1),
+      |      i -> array_to_string(ws[(i-1)*4+1 : i*4], ' ')), chr(10)) ||
+      |    chr(10) || array_to_string(ws[1:4], ' ') AS full_text
+      |  FROM w),
+      |sp AS (SELECT doc_id, string_split(full_text, chr(10)) AS ls FROM c),
+      |l AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS line_idx, ls[i] AS line
+      |  FROM sp, UNNEST(range(1, len(ls) + 1)) AS t(i)),
+      |r AS (
+      |  SELECT doc_id, line_idx, line,
+      |         row_number() OVER (PARTITION BY doc_id, line
+      |                            ORDER BY line_idx) AS rn
+      |  FROM l)
+      |SELECT doc_id,
+      |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS lines_kept,
+      |       CAST(count(*) AS BIGINT) AS lines_total,
+      |       coalesce(string_agg(line, chr(10) ORDER BY line_idx)
+      |                FILTER (WHERE rn = 1), '') AS text_kept
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val ws = split(col("text"), " ")
+    val body = array_join(
+      transform(sequence(lit(0), ((size(ws) + 3) / lit(4)).cast("int") - 1),
+        i => array_join(slice(ws, i * 4 + 1, lit(4)), " ")), "\n")
+    val lined = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(body, lit("\n"), array_join(slice(ws, 1, 4), " ")).as("lined_text"))
+    graft.operators.Dedup.lineDedupInDoc(lined, "doc_id", "lined_text")
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ,
+    textNormalize, lineDedupInDocQ)
 }

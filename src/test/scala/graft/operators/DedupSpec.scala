@@ -188,6 +188,22 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L))
   }
 
+  test("lineDedupInDoc: in-doc repeats drop, cross-doc repeats survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared\nbody\nshared"), // in-doc repeat of "shared" → drop 2nd
+      (2L, "shared\nother")         // cross-doc repeat only → untouched
+    ).toDF("id", "text")
+    val out = Dedup.lineDedupInDoc(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "shared\nbody")
+    assert(out(2L) == "shared\nother")
+    // the global variant would also drop doc 2's "shared"
+    val g = Dedup.lineDedup(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(g(2L) == "other")
+  }
+
   test("boilerplateStrip: frequent lines drop per domain, tiny domains exempt") {
     import spark.implicits._
     val docs = Seq(
