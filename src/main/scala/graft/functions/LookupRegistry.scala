@@ -35,4 +35,76 @@ object LookupRegistry {
     val mapped = element_at(typedLit(m), key)
     replaceMissing.map(r => coalesce(mapped, lit(r))).getOrElse(mapped)
   }
+
+  // ---- URI-backed polling lookups (reference lookups-cached-global
+  // extension: UriExtractionNamespace + its namespaceParseSpec). The
+  // sandbox has no egress, so `file:` URIs are the honest transport;
+  // any URI java.nio can open works the same way. The file is
+  // (re)parsed on the driver — reference lookup tables are explicitly
+  // small — and each poll swaps the registered map atomically, so
+  // queries planned after a poll see the new version (the reference's
+  // cache-swap semantics). ----
+
+  private val pollers =
+    new ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+  private lazy val scheduler =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lookup-poller"); t.setDaemon(true); t
+    })
+
+  /** parse csv/tsv (named columns, no header row) or simpleJson (one
+    * flat JSON object per line) into the lookup map. Later duplicate
+    * keys win, matching last-write file semantics. */
+  private[functions] def parseUri(
+      uri: String, format: String, columns: Seq[String],
+      keyColumn: String, valueColumn: String): Map[String, String] = {
+    val path = java.nio.file.Paths.get(java.net.URI.create(uri))
+    val lines = java.nio.file.Files.readAllLines(path)
+    import scala.jdk.CollectionConverters._
+    val entries = format match {
+      case "csv" | "tsv" =>
+        val sep = if (format == "csv") ',' else '\t'
+        val ki = columns.indexOf(keyColumn)
+        val vi = columns.indexOf(valueColumn)
+        require(ki >= 0 && vi >= 0,
+          s"keyColumn/valueColumn must appear in columns: $columns")
+        lines.asScala.filter(_.nonEmpty).map { l =>
+          val parts = l.split(sep)
+          (parts(ki), parts(vi))
+        }
+      case "simpleJson" =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        lines.asScala.filter(_.nonEmpty).map { l =>
+          val n = om.readTree(l)
+          (n.get(keyColumn).asText(), n.get(valueColumn).asText())
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported lookup format: $other (csv, tsv, simpleJson)")
+    }
+    entries.toMap
+  }
+
+  /** register a URI-backed lookup; pollPeriodMs > 0 re-reads the URI
+    * on that period (reference pollPeriod; 0 = load once). The initial
+    * load is synchronous and throws on a bad URI/spec — matching the
+    * reference's fail-fast first load — while subsequent poll failures
+    * keep the last good version. */
+  def registerUri(
+      name: String, uri: String, format: String, columns: Seq[String],
+      keyColumn: String, valueColumn: String, pollPeriodMs: Long = 0L): Unit = {
+    def load(): Unit =
+      register(name, parseUri(uri, format, columns, keyColumn, valueColumn))
+    load()
+    Option(pollers.remove(name)).foreach(_.cancel(false))
+    if (pollPeriodMs > 0)
+      pollers.put(name, scheduler.scheduleAtFixedRate(
+        () => try load() catch { case _: Exception => () },
+        pollPeriodMs, pollPeriodMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+  }
+
+  /** drop a lookup and stop its poller (reference DELETE semantics). */
+  def deregister(name: String): Unit = {
+    Option(pollers.remove(name)).foreach(_.cancel(false))
+    lookups.remove(name)
+  }
 }

@@ -218,20 +218,48 @@ class QueryServer(
         case "POST" | "PUT" =>
           // path {tier}/{name}; body is the reference's
           // {"lookupExtractorFactory": {"type": "map", "map": {...}}}
-          // (a bare {"map": {...}} is accepted too)
+          // (a bare {"map": {...}} is accepted too), or the
+          // lookups-cached-global form: {"type": "cachedNamespace",
+          // "extractionNamespace": {"type": "uri", "uri": ...,
+          // "namespaceParseSpec": {...}, "pollPeriod": "PT..."}}
           val name = rest.split("/").filter(_.nonEmpty).lastOption.getOrElse(
             throw new IllegalArgumentException("lookup name missing from path"))
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val n = mapper.readTree(body)
-          val mapNode = Option(n.get("lookupExtractorFactory"))
-            .flatMap(f => Option(f.get("map")))
-            .orElse(Option(n.get("map")))
-            .getOrElse(throw new IllegalArgumentException("no map in lookup spec"))
-          val entries = scala.collection.mutable.Map.empty[String, String]
-          mapNode.properties().forEach(e => entries.put(e.getKey, e.getValue.asText()))
-          graft.functions.LookupRegistry.register(name, entries.toMap)
+          val factory = Option(n.get("lookupExtractorFactory")).getOrElse(n)
+          Option(factory.get("extractionNamespace")) match {
+            case Some(ns) =>
+              val uri = Option(ns.get("uri")).map(_.asText()).getOrElse(
+                throw new IllegalArgumentException("uri namespace needs a uri"))
+              val spec = Option(ns.get("namespaceParseSpec")).getOrElse(
+                throw new IllegalArgumentException("uri namespace needs a namespaceParseSpec"))
+              val format = Option(spec.get("format")).map(_.asText()).getOrElse("csv")
+              val columns = Option(spec.get("columns")).map { c =>
+                val b = Seq.newBuilder[String]; c.forEach(x => b += x.asText()); b.result()
+              }.getOrElse(Nil)
+              val keyCol = Option(spec.get("keyColumn")).map(_.asText())
+                .getOrElse(columns.headOption.getOrElse("key"))
+              val valCol = Option(spec.get("valueColumn")).map(_.asText())
+                .getOrElse(columns.lift(1).getOrElse("value"))
+              val pollMs = Option(ns.get("pollPeriod")).map(_.asText())
+                .filter(_.nonEmpty)
+                .map(p => java.time.Duration.parse(p).toMillis).getOrElse(0L)
+              graft.functions.LookupRegistry.registerUri(
+                name, uri, format, columns, keyCol, valCol, pollMs)
+            case None =>
+              val mapNode = Option(factory.get("map"))
+                .getOrElse(throw new IllegalArgumentException("no map in lookup spec"))
+              val entries = scala.collection.mutable.Map.empty[String, String]
+              mapNode.properties().forEach(e => entries.put(e.getKey, e.getValue.asText()))
+              graft.functions.LookupRegistry.register(name, entries.toMap)
+          }
           respond(ex, 202, "")
-        case _ => respond(ex, 405, """{"error":"GET/POST only"}""")
+        case "DELETE" =>
+          val name = rest.split("/").filter(_.nonEmpty).lastOption.getOrElse(
+            throw new IllegalArgumentException("lookup name missing from path"))
+          graft.functions.LookupRegistry.deregister(name)
+          respond(ex, 202, "")
+        case _ => respond(ex, 405, """{"error":"GET/POST/DELETE only"}""")
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)

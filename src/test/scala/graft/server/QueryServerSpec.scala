@@ -680,6 +680,52 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("URI-backed polling lookup: file load, poll refresh, DELETE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk")
+    val f = dir.resolve("nations.csv")
+    java.nio.file.Files.writeString(f, "1,one\n2,two\n")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      // reference lookups-cached-global wire form over a file: URI
+      val (code, _) = post(port,
+        "/druid/coordinator/v1/lookups/config/__default/uri_lk",
+        s"""{"lookupExtractorFactory": {"type": "cachedNamespace",
+           |  "extractionNamespace": {"type": "uri", "uri": "${f.toUri}",
+           |    "namespaceParseSpec": {"format": "csv",
+           |      "columns": ["k", "v"], "keyColumn": "k", "valueColumn": "v"},
+           |    "pollPeriod": "PT0.2S"}}}""".stripMargin)
+      assert(code == 202)
+      assert(graft.functions.LookupRegistry.get("uri_lk")
+        .contains(Map("1" -> "one", "2" -> "two")))
+      // the poller picks up a rewritten file
+      java.nio.file.Files.writeString(f, "1,uno\n3,tres\n")
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < deadline &&
+        !graft.functions.LookupRegistry.get("uri_lk").exists(_.get("1").contains("uno")))
+        Thread.sleep(50)
+      assert(graft.functions.LookupRegistry.get("uri_lk")
+        .contains(Map("1" -> "uno", "3" -> "tres")))
+      // DELETE stops the poller and drops the lookup
+      val client = HttpClient.newHttpClient()
+      val del = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/druid/coordinator/v1/lookups/config/__default/uri_lk"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 202)
+      assert(graft.functions.LookupRegistry.get("uri_lk").isEmpty)
+      // simpleJson parse form (registry-level)
+      val j = dir.resolve("m.json")
+      java.nio.file.Files.writeString(j,
+        """{"key": "x", "value": "ex"}
+          |{"key": "y", "value": "why"}""".stripMargin)
+      graft.functions.LookupRegistry.registerUri(
+        "json_lk", j.toUri.toString, "simpleJson", Nil, "key", "value")
+      assert(graft.functions.LookupRegistry.get("json_lk")
+        .contains(Map("x" -> "ex", "y" -> "why")))
+      graft.functions.LookupRegistry.deregister("json_lk")
+    } finally srv.stop()
+  }
+
   test("broker datasource introspection: names, dimensions, metrics") {
     val srv = new QueryServer(spark, { case "ds" => fixture },
       datasources = () => Seq("ds"))
