@@ -719,6 +719,34 @@ class QueryServer(
             s"""{"dimensions":${jarr(dims)},"metrics":${jarr(mets)}}""")
         case Some("dimensions") => respond(ex, 200, jarr(dims))
         case Some("metrics") => respond(ex, 200, jarr(mets))
+        case Some("candidates") =>
+          // reference getQueryTargets → LocatedSegmentDescriptor list:
+          // the segment slices a query over ?intervals= would touch,
+          // located on this process (broker+historical in one)
+          val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val ivParam = query.split("&").collectFirst {
+            case kv if kv.startsWith("intervals=") =>
+              java.net.URLDecoder.decode(
+                kv.stripPrefix("intervals="), StandardCharsets.UTF_8)
+          }.getOrElse(throw new IllegalArgumentException(
+            "candidates requires ?intervals=start/end[,start/end...]"))
+          val ivs = ivParam.split(",").toSeq.map(s =>
+            graft.model.QueryJson.parseInterval(s.trim))
+          val iso = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+            .withZone(java.time.ZoneOffset.UTC)
+          val loc = s"""{"name":"localhost:$boundPort","host":"localhost:$boundPort","maxSize":0,"type":"historical","tier":"_default_tier","priority":0}"""
+          // unknown datasource → no candidates, like the reference
+          val slices =
+            try segmentSlices(ds, ivs) catch { case _: Exception => Nil }
+          val body = slices.map { case (s, e) =>
+            val si = s.map(ms => iso.format(java.time.Instant.ofEpochMilli(ms)))
+              .getOrElse(EternityStart)
+            val ei = e.map(ms => iso.format(java.time.Instant.ofEpochMilli(ms)))
+              .getOrElse(EternityEnd)
+            s"""{"interval":"$si/$ei","version":"1","partitionNumber":0,"size":0,"locations":[$loc]}"""
+          }.mkString("[", ",", "]")
+          respond(ex, 200, body)
         case Some(other) =>
           respond(ex, 404, s"""{"error":"unknown introspection path: $other"}""")
       }
@@ -730,6 +758,36 @@ class QueryServer(
   // reference Intervals.ETERNITY bounds, as sys.segments reports them
   private val EternityStart = "-146136543-09-08T08:23:32.096Z"
   private val EternityEnd = "146140482-04-24T15:36:27.903Z"
+
+  /** the table's segment-granularity time slices intersecting the
+    * given intervals (sidecar granularity for ingested tables, else
+    * P1D) — one small distinct-floor job over the (interval-pruned)
+    * time column. (None, None) = the eternity pseudo-segment of a
+    * time-less table. Shared by bySegment execution and the
+    * /candidates endpoint. */
+  private def segmentSlices(
+      dsName: String,
+      intervals: Seq[graft.model.QueryInterval]): Seq[(Option[Long], Option[Long])] = {
+    import org.apache.spark.sql.functions.{lit, timestamp_millis, unix_millis}
+    val base = resolveWithIngested(dsName)
+    val timeCol = graft.sources.Ingest.TimeCol
+    if (!base.columns.contains(timeCol)) Seq((None, None))
+    else {
+      val gran = segmentMetaWithIngested(dsName)
+        .map(_.segmentGranularity).getOrElse("P1D")
+      val scoped = intervals.map(iv =>
+          col(timeCol) >= timestamp_millis(lit(iv.startMs)) &&
+            col(timeCol) < timestamp_millis(lit(iv.endMs)))
+        .reduceOption(_ || _).map(base.filter).getOrElse(base)
+      scoped
+        .select(graft.functions.TimeFunctions.timeFloor(col(timeCol), gran).as("s"))
+        .distinct()
+        .select(unix_millis(col("s")).as("s"),
+          unix_millis(graft.functions.TimeFunctions.timeShift(col("s"), gran, 1)).as("e"))
+        .orderBy("s").collect().toSeq
+        .map(r => (Some(r.getLong(0)), Some(r.getLong(1))))
+    }
+  }
 
   /** context.bySegment=true (reference BySegmentQueryRunner +
     * BySegmentResultValueClass): results come back one envelope per
@@ -747,7 +805,6 @@ class QueryServer(
       open: String => OutputStream, body: String, q: graft.model.NativeQuery,
       cap: Long, tsAsLong: Boolean): Unit = {
     import graft.model.{DataSource, NativeQuery, QueryInterval}
-    import org.apache.spark.sql.functions.{lit, timestamp_millis, unix_millis}
     def leftmostTable(ds: DataSource): Option[String] = ds match {
       case DataSource.Table(n) => Some(n)
       case DataSource.GlobalTable(n) => Some(n)
@@ -758,29 +815,9 @@ class QueryServer(
     }
     val dsName = leftmostTable(q.dataSource).getOrElse(throw new IllegalArgumentException(
       "bySegment requires a table-backed datasource"))
-    val base = resolveWithIngested(dsName)
-    val timeCol = graft.sources.Ingest.TimeCol
     val iso = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(java.time.ZoneOffset.UTC)
-    // the table's segment slices intersecting the query intervals: one
-    // small distinct-floor job over the (interval-pruned) time column
-    val segs: Seq[(Option[Long], Option[Long])] =
-      if (!base.columns.contains(timeCol)) Seq((None, None))
-      else {
-        val gran = segmentMetaWithIngested(dsName)
-          .map(_.segmentGranularity).getOrElse("P1D")
-        val scoped = q.intervals.map(iv =>
-            col(timeCol) >= timestamp_millis(lit(iv.startMs)) &&
-              col(timeCol) < timestamp_millis(lit(iv.endMs)))
-          .reduceOption(_ || _).map(base.filter).getOrElse(base)
-        scoped
-          .select(graft.functions.TimeFunctions.timeFloor(col(timeCol), gran).as("s"))
-          .distinct()
-          .select(unix_millis(col("s")).as("s"),
-            unix_millis(graft.functions.TimeFunctions.timeShift(col("s"), gran, 1)).as("e"))
-          .orderBy("s").collect().toSeq
-          .map(r => (Some(r.getLong(0)), Some(r.getLong(1))))
-      }
+    val segs = segmentSlices(dsName, q.intervals)
     val os = open("application/json")
     try {
       os.write('[')

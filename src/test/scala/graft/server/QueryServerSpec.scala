@@ -747,6 +747,19 @@ class QueryServerSpec extends SparkSpec {
       // unknown datasource answers empty, like the reference
       assert(get("/druid/v2/datasources/nope") ==
         (200, """{"dimensions":[],"metrics":[]}"""))
+      // candidates: the P1D segment slices a query would touch,
+      // located on this process (LocatedSegmentDescriptor shape)
+      val (cc, cb) = get("/druid/v2/datasources/ds/candidates?intervals=" +
+        java.net.URLEncoder.encode(
+          "2024-01-01/2024-01-02", java.nio.charset.StandardCharsets.UTF_8))
+      assert(cc == 200, cb)
+      assert(cb.contains(
+        """"interval":"2024-01-01T00:00:00.000Z/2024-01-02T00:00:00.000Z""""), cb)
+      assert(!cb.contains("2024-01-02T00:00:00.000Z/2024-01-03"), cb)
+      assert(cb.contains(""""locations":[{"name":"localhost:""") &&
+        cb.contains(""""tier":"_default_tier""""), cb)
+      assert(get("/druid/v2/datasources/nope/candidates?intervals=2024-01-01%2F2024-01-02")
+        == (200, "[]"))
       // POST /druid/v2 (the query endpoint) must still route past the
       // introspection context
       val (qc, _) = post(port, "/druid/v2",
