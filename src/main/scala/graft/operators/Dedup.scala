@@ -436,6 +436,58 @@ object Dedup {
           sep).as("text_kept"))
   }
 
+  /** Integer-quantized TF-IDF term weights: tf · ⌊ln(N/df)·quant⌋ per
+    * (doc, token). Quantizing the IDF to integer milli-units makes
+    * every downstream dot product and norm EXACT integer arithmetic —
+    * the one FP step (a final sqrt+divide over exact integers) is a
+    * single correctly-rounded operation, so cosine scores are
+    * bit-reproducible across engines and runs regardless of sum order
+    * (plain double sums would depend on shuffle arrival order). Two
+    * narrow aggs: (doc, token) counts, then token doc-frequencies. */
+  def tfidfWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      quantMilli: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val nDocs = df.count()
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("token"))
+      .select(col("id"), col("token"),
+        (col("tf") * floor(log(lit(nDocs.toDouble) / col("df")) * lit(quantMilli))
+          .cast("long")).as("w"))
+  }
+
+  /** TF-IDF cosine over candidate pairs — the IR-weighted alternative
+    * to Jaccard for LSH-candidate verification (stopword-ish shared
+    * tokens carry ~zero weight, so near-dup scores track meaningful
+    * overlap). candidates: (id_a, id_b). The weight table joins into
+    * the pair set token-by-token (sparse dot), so cost is
+    * |candidates| · common-token counts, not corpus². Scores in [0,1],
+    * rounded to 4dp; pairs with no common token (or a zero-norm side)
+    * score 0.0. */
+  def tfidfCosinePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, quantMilli: Int = 1000): DataFrame = {
+    val w = tfidfWeights(df, idCol, textCol, quantMilli)
+    val norms = w.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = candidates
+      .join(w.select(col("id").as("id_a"), col("token"), col("w").as("wa")), Seq("id_a"))
+      .join(w.select(col("id").as("id_b"), col("token"), col("w").as("wb")),
+        Seq("id_b", "token"))
+      .groupBy("id_a", "id_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    candidates
+      .join(dots, Seq("id_a", "id_b"), "left")
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(
+          when(col("na") === 0 || col("nb") === 0 || col("dot").isNull, 0.0)
+            .otherwise(col("dot").cast("double") /
+              sqrt(col("na").cast("double") * col("nb").cast("double"))),
+          4).as("cosine"))
+  }
+
   /** Per-domain boilerplate line removal (the RefinedWeb/CCNet-family
     * curation step): a line occurring in MORE than `maxDocBp` basis
     * points (1bp = 0.01%) of a domain's documents is boilerplate —

@@ -218,6 +218,54 @@ object PipelineQueries8 {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF cosine pair scoring (Dedup.tfidfCosinePairs). IDF comes
+    * from the FULL corpus; pairs range over the doc_id < 12 universe
+    * (the same small-candidate-set convention as ngram_jaccard_pairs).
+    * All dot/norm arithmetic is exact integer (milli-quantized IDF);
+    * ln is the single libm call both engines share (proven portable
+    * by text_unigram_logprob). */
+  val tfidfPairs: Q = q(
+    "tfidf_cosine_pairs",
+    """WITH tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, token),
+      |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      |w AS (
+      |  SELECT tf.doc_id, tf.token,
+      |         tf.tf * CAST(floor(ln((SELECT CAST(count(*) AS DOUBLE)
+      |                                FROM documents) / dfq.df) * 1000) AS BIGINT) AS w
+      |  FROM tf JOIN dfq USING (token)),
+      |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      |  WHERE a.doc_id < 12 AND b.doc_id < 12),
+      |dots AS (
+      |  SELECT c.id_a, c.id_b, CAST(sum(wa.w * wb.w) AS BIGINT) AS dot
+      |  FROM cand c
+      |  JOIN w wa ON wa.doc_id = c.id_a
+      |  JOIN w wb ON wb.doc_id = c.id_b AND wb.token = wa.token
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT c.id_a, c.id_b,
+      |  round(CASE WHEN na.n2 = 0 OR nb.n2 = 0 OR dots.dot IS NULL THEN 0.0
+      |        ELSE CAST(dots.dot AS DOUBLE) /
+      |             sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) END, 4) AS cosine
+      |FROM cand c
+      |LEFT JOIN dots ON dots.id_a = c.id_a AND dots.id_b = c.id_b
+      |JOIN norms na ON na.doc_id = c.id_a
+      |JOIN norms nb ON nb.doc_id = c.id_b
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, d)
+    val sub = docs.filter(col("doc_id") < 12).select(col("doc_id"))
+    val cand = sub.select(col("doc_id").as("id_a"))
+      .join(sub.select(col("doc_id").as("id_b")), col("id_a") < col("id_b"))
+    graft.operators.Dedup.tfidfCosinePairs(docs, "doc_id", "text", cand)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ,
-    textNormalize, lineDedupInDocQ)
+    textNormalize, lineDedupInDocQ, tfidfPairs)
 }

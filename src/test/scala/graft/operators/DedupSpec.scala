@@ -188,6 +188,22 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L))
   }
 
+  test("tfidfCosinePairs: identical docs 1.0, stopword-only overlap ~0, disjoint 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the apple pie recipe"),
+      (2L, "the apple pie recipe"),   // identical to 1 → cosine 1.0
+      (3L, "the stock market crash"), // shares only "the" (df=4 of 4, idf 0)
+      (4L, "the zebra quagga okapi")  // only "the" shared, like doc 3
+    ).toDF("id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.tfidfCosinePairs(docs, "id", "text", cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == 0.0) // "the" appears in every doc → weight 0
+    assert(out((1L, 4L)) == 0.0) // same: the universal token carries nothing
+  }
+
   test("lineDedupInDoc: in-doc repeats drop, cross-doc repeats survive") {
     import spark.implicits._
     val docs = Seq(
