@@ -97,6 +97,29 @@ object TextCorpus {
         size(split(col("col"), " ")).cast("long").as("n_tokens"))
   }
 
+  /** Truncate to the first maxTokens whitespace tokens — the
+    * max-sequence-length trim run before tokenizer/packing stages.
+    * Shorter docs pass through byte-identical (no split/rejoin
+    * round-trip artifacts). Map-only. */
+  def truncateTokens(text: Column, maxTokens: Int): Column = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val ws = toks(text)
+    when(size(ws) <= maxTokens, text)
+      .otherwise(array_join(slice(ws, 1, maxTokens), " "))
+  }
+
+  /** Head+tail truncation (the long-document classification recipe:
+    * keep the opening AND the closing tokens, drop the middle). Docs
+    * within budget pass through unchanged. */
+  def headTailTokens(text: Column, head: Int, tail: Int): Column = {
+    require(head > 0 && tail > 0, "head and tail must be positive")
+    val ws = toks(text)
+    when(size(ws) <= head + tail, text)
+      .otherwise(concat(
+        array_join(slice(ws, 1, head), " "), lit(" "),
+        array_join(slice(ws, -tail, tail), " ")))
+  }
+
   /** Scale form of `packBins`: pack independently within each shard
     * (an unpartitioned ordered window collapses to a single partition
     * in Spark — fine for grading, wrong at 100 TB). Shards pack in

@@ -266,6 +266,32 @@ object PipelineQueries8 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Sequence-length truncation (TextCorpus.truncateTokens /
+    * headTailTokens). The fixture's docs run 10–99 tokens, so a
+    * 32-token cap and a 12+4 head+tail budget both bite on most rows
+    * while short docs exercise the pass-through branch. */
+  val truncate: Q = q(
+    "text_truncate",
+    """SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_tokens,
+      |  CASE WHEN len(ws) <= 32 THEN text
+      |       ELSE array_to_string(ws[1:32], ' ') END AS trunc,
+      |  CASE WHEN len(ws) <= 16 THEN text
+      |       ELSE array_to_string(ws[1:12], ' ') || ' ' ||
+      |            array_to_string(ws[len(ws)-3:len(ws)], ' ') END AS head_tail
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |      FROM documents WHERE doc_id < 300)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val tc = graft.operators.TextCorpus
+    Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        tc.truncateTokens(col("text"), 32).as("trunc"),
+        tc.headTailTokens(col("text"), 12, 4).as("head_tail"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ,
-    textNormalize, lineDedupInDocQ, tfidfPairs)
+    textNormalize, lineDedupInDocQ, tfidfPairs, truncate)
 }
