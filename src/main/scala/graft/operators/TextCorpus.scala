@@ -97,6 +97,33 @@ object TextCorpus {
         size(split(col("col"), " ")).cast("long").as("n_tokens"))
   }
 
+  /** Per-document token Shannon entropy in integer milli-nats —
+    * the "is this text degenerate?" quality signal (spam keyword
+    * stuffing and template loops score low; natural prose high).
+    * H = ln T − (Σ c·ln c)/T over per-token counts c, with each ln
+    * quantized to ⌊ln·1000⌋ BEFORE the sum, so the aggregation is
+    * EXACT integer arithmetic — reduction order (and therefore
+    * shuffle arrival order) cannot change the result, and any engine
+    * reproduces it bit-for-bit. Quantization error ≤ 1 milli-nat —
+    * irrelevant for a quality gate. Two narrow aggs, map-side
+    * combinable. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df.select(col(idCol).as("id"),
+      explode(toks(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("c"))
+    val lnMilli = floor(log(col("c").cast("double")) * 1000).cast("long")
+    counts.groupBy("id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * lnMilli).as("__s"))
+      .select(col("id"), col("n_tokens"), col("n_distinct"),
+        (floor(log(col("n_tokens").cast("double")) * 1000).cast("long") -
+          graft.exprs.toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            graft.exprs.toExpr(col("__s")),
+            graft.exprs.toExpr(col("n_tokens")))).cast("long"))
+          .as("entropy_milli"))
+  }
+
   /** Truncate to the first maxTokens whitespace tokens — the
     * max-sequence-length trim run before tokenizer/packing stages.
     * Shorter docs pass through byte-identical (no split/rejoin

@@ -292,6 +292,32 @@ object PipelineQueries8 {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-entropy quality signal (TextCorpus.tokenEntropy): every ln
+    * quantized to integer milli-nats BEFORE aggregation, so sums and
+    * the final truncating division are exact integers — reduction
+    * order cannot move the result. */
+  val entropy: Q = q(
+    "text_token_entropy",
+    """WITH c AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |        FROM documents WHERE doc_id < 300)
+      |  GROUP BY doc_id, token)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000) AS BIGINT)
+      |    - (CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT)) AS BIGINT)
+      |       // CAST(sum(c) AS BIGINT)) AS entropy_milli
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions.col
+    graft.operators.TextCorpus.tokenEntropy(
+      Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ,
-    textNormalize, lineDedupInDocQ, tfidfPairs, truncate)
+    textNormalize, lineDedupInDocQ, tfidfPairs, truncate, entropy)
 }

@@ -14,6 +14,22 @@ class TextCorpusSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("tokenEntropy: uniform text scores high, degenerate low, exact integers") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d"),         // uniform over 4 → H = ln 4 ≈ 1386 milli-nats
+      (2L, "a a a a"),         // single repeated token → H = 0
+      (3L, "a a b b c c d d")  // uniform over 4 again, doubled counts
+    ).toDF("doc_id", "text")
+    val out = TextCorpus.tokenEntropy(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 4L, 1386L))) // floor(ln(4)*1000), all c=1 terms 0
+    assert(out(2L) == ((4L, 1L, 693L - 693L))) // ln4 - (4*ln... exact: 1386 - 4*693/4
+    assert(out(2L)._3 == 0L)
+    // doubled uniform: ln 8 − (8·⌊ln2·1000⌋)/8 = 2079 − 693 = ln 4 again
+    assert(out(3L) == ((8L, 4L, 1386L)))
+  }
+
   test("vocabCoverage ranks by count then token and accumulates mass") {
     // counts: a=5, b=2, d=2, c=1 (total 10); ties (b,d) break lexicographically
     val rows = TextCorpus.vocabCoverage(docs, "text")
