@@ -147,6 +147,18 @@ class QueryServer(
     server.createContext("/status/health", (ex: HttpExchange) => {
       respond(ex, 200, "true")
     })
+    // reference StatusResource: version + modules + JVM memory
+    server.createContext("/status", (ex: HttpExchange) => {
+      if (ex.getRequestURI.getPath != "/status")
+        respond(ex, 404, """{"error":"not found"}""")
+      else {
+        val rt = Runtime.getRuntime
+        respond(ex, 200,
+          s"""{"version":"0.22.0-graft","modules":[],"memory":{""" +
+            s""""maxMemory":${rt.maxMemory},"totalMemory":${rt.totalMemory},""" +
+            s""""freeMemory":${rt.freeMemory},"usedMemory":${rt.totalMemory - rt.freeMemory}}}""")
+      }
+    })
     // lookup management (reference coordinator lookup config API):
     //   GET  /druid/coordinator/v1/lookups/config            → names
     //   POST /druid/coordinator/v1/lookups/config/{t}/{name} → register

@@ -765,6 +765,11 @@ class QueryServerSpec extends SparkSpec {
       val (qc, _) = post(port, "/druid/v2",
         """{"queryType": "timeBoundary", "dataSource": "ds", "intervals": []}""")
       assert(qc == 200)
+      // /status (reference StatusResource) beside /status/health
+      val (sc, sb) = get("/status")
+      assert(sc == 200 && sb.contains("\"version\"") &&
+        sb.contains("\"usedMemory\""), sb)
+      assert(get("/status/health") == (200, "true"))
     } finally srv.stop()
   }
 
