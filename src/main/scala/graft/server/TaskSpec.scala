@@ -107,12 +107,26 @@ object TaskSpec {
     val inputSource = opt(io, "inputSource").getOrElse(
       throw new IllegalArgumentException("ioConfig missing 'inputSource'"))
     val srcType = str(inputSource, "type")
-    if (srcType != "local")
-      throw new IllegalArgumentException(
-        s"unsupported inputSource type '$srcType' in this environment " +
-          "(http/cloud sources need egress; see COVERAGE.md)")
-    val baseDir = str(inputSource, "baseDir")
-    val filter = opt(inputSource, "filter").map(_.asText()).getOrElse("*")
+    val path = srcType match {
+      case "local" =>
+        val baseDir = str(inputSource, "baseDir")
+        val filter = opt(inputSource, "filter").map(_.asText()).getOrElse("*")
+        s"$baseDir/$filter"
+      case "inline" =>
+        // reference InlineInputSource: the rows travel IN the spec
+        // (`data` — newline-delimited records of the inputFormat).
+        // Spill to a task-scoped temp file so the normal reader path
+        // (format + options) applies unchanged.
+        val data = str(inputSource, "data")
+        val f = java.nio.file.Files.createTempFile("graft_inline_", ".dat")
+        java.nio.file.Files.writeString(f, data)
+        f.toFile.deleteOnExit()
+        f.toString
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported inputSource type '$other' in this environment " +
+            "(http/cloud sources need egress; see COVERAGE.md)")
+    }
     val fmtNode = opt(io, "inputFormat")
     val format = fmtNode.map(f => str(f, "type")).getOrElse("json")
     val options = fmtNode.map { f =>
@@ -124,7 +138,7 @@ object TaskSpec {
       b.result()
     }.getOrElse(Map.empty)
 
-    Parsed(datasource, s"$baseDir/$filter", format, options,
+    Parsed(datasource, path, format, options,
       timeCol, timeFormat, transforms, filterJson,
       IngestSpec(
         timeColumn = timeCol,

@@ -443,6 +443,37 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("task API: inline inputSource ingests rows carried in the spec") {
+    val root = java.nio.file.Files.createTempDirectory("graft-inline").toString
+    val srv = new QueryServer(spark, Map.empty[String, org.apache.spark.sql.DataFrame],
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/indexer/v1/task",
+        """{
+          |"type": "index_parallel",
+          |"spec": {
+          |  "dataSchema": {
+          |    "dataSource": "inline_ds",
+          |    "timestampSpec": {"column": "t", "format": "millis"},
+          |    "dimensionsSpec": {"dimensions": ["k"]},
+          |    "metricsSpec": [{"type": "longSum", "name": "sv", "fieldName": "v"}],
+          |    "granularitySpec": {"segmentGranularity": "DAY",
+          |                        "queryGranularity": "DAY", "rollup": true}
+          |  },
+          |  "ioConfig": {"type": "index_parallel",
+          |    "inputSource": {"type": "inline",
+          |      "data": "{\"t\": 1704100000000, \"k\": \"a\", \"v\": 2}\n{\"t\": 1704100100000, \"k\": \"a\", \"v\": 3}"},
+          |    "inputFormat": {"type": "json"}}
+          |}}""".stripMargin)
+      assert(c1 == 200, b1)
+      val (qc, qb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT k, sum(sv) AS s FROM inline_ds GROUP BY k"}""")
+      assert(qc == 200, qb)
+      assert(qb == """[{"k":"a","s":5}]""", qb)
+    } finally srv.stop()
+  }
+
   test("task API: index_parallel spec ingests with rollup and native transforms") {
     val root = java.nio.file.Files.createTempDirectory("graft-task").toString
     val input = java.nio.file.Files.createTempDirectory("graft-task-in").toString
