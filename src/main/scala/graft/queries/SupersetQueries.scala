@@ -212,21 +212,95 @@ object SupersetQueries {
         min(col("media_meta.n_bytes")).as("min_bytes"))
   }
 
-  /** multimodal pipeline (decode stubbed, plumbing real): binary media
-    * column → metadata → embedding → size-aware repartition → stats.
-    * Rows-only: the stub decode is engine-specific. */
-  val multimodalPipeline: Q = qNoOracle("multimodal_pipeline") { (s, d) =>
+  /** Multimodal pipeline, REAL and hash-graded end to end: each doc
+    * synthesizes a small 24-bit BMP whose pixels are a stated function
+    * of (doc_id, x, y); Spark must DECODE it with javax.imageio,
+    * nearest-neighbor-resize the raster to 4x3, and extract pixel-stat
+    * features — the oracle states every expected value analytically
+    * from the embedded arithmetic (all integers, so bit-exact). A
+    * decode bug (BGR order, bottom-up rows, 4-byte row padding), a
+    * resize bug (source indexing), or a feature bug breaks the hash. */
+  val multimodalPipeline: Q = q(
+    "multimodal_pipeline",
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 5 + 3 AS w, doc_id % 4 + 2 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |         flatten(list_transform(range(0, h), y ->
+      |           list_transform(range(0, w), x ->
+      |             [(doc_id + 7*x + 13*y) % 256,
+      |              (doc_id*3 + 5*x + 11*y) % 256,
+      |              (doc_id*5 + 3*x + 17*y) % 256]))) AS pxs
+      |  FROM dims),
+      |rz AS (
+      |  SELECT doc_id,
+      |         flatten(list_transform(range(0, 3), y2 ->
+      |           list_transform(range(0, 4), x2 ->
+      |             ((doc_id + 7*((x2*w)//4) + 13*((y2*h)//3)) % 256) * 65536
+      |             + ((doc_id*3 + 5*((x2*w)//4) + 11*((y2*h)//3)) % 256) * 256
+      |             + ((doc_id*5 + 3*((x2*w)//4) + 17*((y2*h)//3)) % 256)))) AS rp
+      |  FROM dims)
+      |SELECT d.doc_id,
+      |       'bmp' AS fmt,
+      |       CAST(d.w AS BIGINT) AS w,
+      |       CAST(d.h AS BIGINT) AS h,
+      |       CAST(54 + (d.w*3 + (4 - (d.w*3) % 4) % 4) * d.h AS BIGINT) AS n_bytes,
+      |       CAST(list_sum(list_transform(range(1, 13), i ->
+      |         rz.rp[i] * i)) AS BIGINT) AS checksum,
+      |       CAST(list_sum(list_transform(px.pxs, p -> p[1])) % 1048573 AS BIGINT) AS sum_r,
+      |       CAST(list_sum(list_transform(px.pxs, p ->
+      |         (p[1]+p[2]+p[3])//3)) % 1048573 AS BIGINT) AS sum_gray,
+      |       CAST(list_min(list_transform(px.pxs, p ->
+      |         (p[1]+p[2]+p[3])//3)) AS BIGINT) AS min_gray,
+      |       CAST(list_max(list_transform(px.pxs, p ->
+      |         (p[1]+p[2]+p[3])//3)) AS BIGINT) AS max_gray
+      |FROM dims d JOIN px ON d.doc_id = px.doc_id
+      |JOIN rz ON d.doc_id = rz.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.Column
+    val doc = col("doc_id")
+    def b2(v: Column) = lpad(lower(hex(pmod(v, lit(256L)))), 2, "0")
+    def le32h(v: Column) = concat(b2(v), b2(shiftright(v, 8)),
+      b2(shiftright(v, 16)), b2(shiftright(v, 24)))
+    val wC = doc % 5 + 3
+    val hC = doc % 4 + 2
+    val pad = (lit(4L) - (wC * 3) % 4) % 4
+    val imgSize = (wC * 3 + pad) * hC
+    // BITMAPFILEHEADER + BITMAPINFOHEADER (24bpp BI_RGB, bottom-up)
+    val header = concat(
+      lit("424d"), le32h(imgSize + 54), lit("0000000036000000"),
+      lit("28000000"), le32h(wC), le32h(hC), lit("01001800"),
+      lit("00000000"), le32h(imgSize),
+      lit("00000000000000000000000000000000"))
+    val pix = array_join(
+      transform(sequence(hC - 1, lit(0L), lit(-1L)), y =>
+        concat(
+          array_join(transform(sequence(lit(0L), wC - 1), x => concat(
+            b2(doc * 5 + x * 3 + y * 17), // stored B,G,R per pixel
+            b2(doc * 3 + x * 5 + y * 11),
+            b2(doc + x * 7 + y * 13))), ""),
+          lit("000000").substr(lit(1), (pad * 2).cast("int")))), "")
     val media = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-    val decoded = Multimodal.withMediaEmbedding(
-      Multimodal.withMediaMeta(
-        Multimodal.repartitionBySize(media, "media", 8), "media"), "media")
-    decoded.groupBy(col("media_meta.format").as("format"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(col("media_meta.n_bytes")).as("total_bytes"),
-        round(avg(element_at(col("media_embedding"), 1)), 6).as("avg_dim0"))
-      .orderBy(col("format"))
+      .select(doc, unhex(concat(header, pix)).as("media"))
+    val staged = Multimodal.withMediaEmbedding(
+      Multimodal.withDecodedResize(
+        Multimodal.withMediaMeta(
+          Multimodal.repartitionBySize(media, "media", 8), "media"),
+        "media", 4, 3),
+      "media", dim = 16)
+    staged.select(
+      col("doc_id"),
+      col("media_meta.format").as("fmt"),
+      col("media_meta.width").cast("long").as("w"),
+      col("media_meta.height").cast("long").as("h"),
+      col("media_meta.n_bytes").as("n_bytes"),
+      col("resize_meta.checksum").as("checksum"),
+      element_at(col("media_embedding"), 4).cast("long").as("sum_r"),
+      element_at(col("media_embedding"), 7).cast("long").as("sum_gray"),
+      element_at(col("media_embedding"), 8).cast("long").as("min_gray"),
+      element_at(col("media_embedding"), 9).cast("long").as("max_gray"))
+      .orderBy(col("doc_id"))
   }
 
   val all: Seq[Q] = Seq(

@@ -98,6 +98,22 @@ object IngestSql {
           "or REPLACE INTO <table> OVERWRITE ALL SELECT ... PARTITIONED BY <granularity>")
   }
 
+  /** Written __bucket values render via date_format in the SESSION
+    * timezone, while kill / OVERWRITE WHERE derive directory names in
+    * UTC (floorInstant/bucketsInRange). A non-UTC session would write
+    * one set of names and delete another — silently leaving stale rows
+    * beside the new slice. Refuse such sessions up front. */
+  private[server] def requireUtcSession(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val rules = java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getRules
+    require(
+      rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+      s"segment-managed ingestion requires spark.sql.session.timeZone=UTC " +
+        s"(got '$tz'): __bucket directory names are UTC-based and a non-UTC " +
+        "session would corrupt kill/REPLACE OVERWRITE WHERE slices")
+  }
+
   /** UTC floor of an instant to a supported segment granularity. */
   private[server] def floorInstant(
       t: java.time.Instant, granularity: String): java.time.Instant = {
@@ -154,6 +170,7 @@ object IngestSql {
     * rows append — out-of-range rows in the SELECT are rejected, the
     * reference behavior. */
   def run(spark: SparkSession, st: Statement, storageRoot: String): String = {
+    requireUtcSession(spark)
     val df0 = spark.sql(st.select)
     val df = st.overwriteWhere match {
       case Some((s, e)) =>

@@ -74,6 +74,11 @@ class QueryServer(
       .flatMap(p => graft.sources.Ingest.readSegmentMeta(spark, p))
       .orElse(resolveSegmentMeta(name))
 
+  // Fail fast: segment management (kill / REPLACE OVERWRITE WHERE) is
+  // enabled iff storageRoot is set, and its UTC bucket-directory naming
+  // requires a UTC session (see IngestSql.requireUtcSession).
+  storageRoot.foreach(_ => IngestSql.requireUtcSession(spark))
+
   private val planner =
     new NativePlanner(spark, resolveWithIngested,
       resolveSegmentMeta = segmentMetaWithIngested)
@@ -345,9 +350,25 @@ class QueryServer(
               ingested.put(parsed.datasource, path)
               ("index_parallel", parsed.datasource)
             }
-          // (re-)register: queryable immediately by name on the SQL endpoint
-          IngestSql.readTable(spark, storageRoot.get, datasource)
-            .createOrReplaceTempView(datasource)
+          // (re-)register: queryable immediately by name on the SQL
+          // endpoint. A kill that removed EVERY segment directory leaves
+          // nothing to read (schema inference would fail) — deregister
+          // the datasource instead of failing the successful kill.
+          val tablePath = s"${storageRoot.get}/$datasource"
+          val tableFs = new org.apache.hadoop.fs.Path(tablePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasSegments =
+            tableFs.exists(new org.apache.hadoop.fs.Path(tablePath)) &&
+              tableFs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
+                .exists(_.getPath.getName.startsWith(
+                  graft.sources.Ingest.BucketCol + "="))
+          if (hasSegments)
+            IngestSql.readTable(spark, storageRoot.get, datasource)
+              .createOrReplaceTempView(datasource)
+          else {
+            spark.catalog.dropTempView(datasource)
+            ingested.remove(datasource)
+          }
           val taskId = s"${taskType}_${datasource}_" +
             java.util.UUID.randomUUID().toString.take(8)
           taskLog.add(SystemTables.TaskRecord(
@@ -714,8 +735,10 @@ class QueryServer(
       if (ex.getRequestMethod != "GET") {
         respond(ex, 405, """{"error":"GET only"}"""); return
       }
+      // mapper-quoted elements: names containing quotes/backslashes
+      // must still yield valid JSON
       def jarr(xs: Seq[String]): String =
-        xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+        xs.map(mapper.writeValueAsString).mkString("[", ",", "]")
       val path = ex.getRequestURI.getPath
         .stripPrefix("/druid/v2/datasources").stripPrefix("/")
       if (path.isEmpty) { respond(ex, 200, jarr(allDatasources())); return }
@@ -863,7 +886,9 @@ class QueryServer(
           os.write(s"""{"timestamp":$ts,"result":{"results":"""
             .getBytes(StandardCharsets.UTF_8))
           buf.writeTo(os)
-          os.write(s""","segment":"${dsName}_${startIso}_${endIso}_1","interval":"$startIso/$endIso"}}"""
+          val segId =
+            mapper.writeValueAsString(s"${dsName}_${startIso}_${endIso}_1")
+          os.write(s""","segment":$segId,"interval":"$startIso/$endIso"}}"""
             .getBytes(StandardCharsets.UTF_8))
         }
       }

@@ -54,7 +54,7 @@ object TaskSpec {
 
   private val granKeyword = Map(
     "hour" -> "PT1H", "day" -> "P1D", "week" -> "P1W", "month" -> "P1M",
-    "quarter" -> "P3M", "year" -> "P1Y", "all" -> "all",
+    "quarter" -> "P3M", "year" -> "P1Y", "all" -> "all", "none" -> "none",
     "minute" -> "PT1M", "fifteen_minute" -> "PT15M")
 
   private def gran(n: JsonNode, field: String, dflt: String): String =
@@ -94,8 +94,12 @@ object TaskSpec {
     val gs = opt(ds, "granularitySpec")
     val segGran = gs.map(g => gran(g, "segmentGranularity", "P1D")).getOrElse("P1D")
     val rollup = gs.flatMap(g => opt(g, "rollup")).forall(_.asBoolean(true))
+    // Reference default is Granularities.NONE (BaseGranularitySpec.
+    // DEFAULT_QUERY_GRANULARITY): rollup groups on the EXACT __time value,
+    // no truncation, unless the spec names a queryGranularity explicitly.
     val queryGran = if (rollup && metrics.nonEmpty)
-      gs.map(g => gran(g, "queryGranularity", "PT1H")) else None
+      Some(gs.map(g => gran(g, "queryGranularity", "none")).getOrElse("none"))
+    else None
 
     val transformSpec = opt(ds, "transformSpec")
     val transforms = transformSpec.flatMap(t => opt(t, "transforms"))

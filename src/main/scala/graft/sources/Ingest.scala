@@ -83,7 +83,12 @@ object Ingest {
     val withRollup = spec.queryGranularity match {
       case Some(g) =>
         val dims = spec.dimensions.map(col)
-        val keys = TimeFunctions.timeFloor(col(TimeCol), g).as(TimeCol) +: dims
+        // "none" = reference Granularities.NONE: roll up on the exact
+        // timestamp (no truncation); any other value time-floors first.
+        val tkey =
+          if (g.equalsIgnoreCase("none")) col(TimeCol)
+          else TimeFunctions.timeFloor(col(TimeCol), g)
+        val keys = tkey.as(TimeCol) +: dims
         val aggs = spec.metrics.map(metricCol)
         df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
       case None =>

@@ -86,6 +86,68 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == 44100 && out(2L) == -1)
   }
 
+  // a real 2x2 24bpp BMP: pixels (x,y)→(r,g,b) = (10x+y, 20x, 30y)
+  private def tinyBmp: Array[Byte] = {
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    val rows = for (y <- Seq(1, 0)) // bottom-up storage, 2 pad bytes per row
+      yield (for (x <- Seq(0, 1))
+        yield Seq(30 * y, 20 * x, 10 * x + y)).flatten ++ Seq(0, 0) // B,G,R
+    val pix = rows.flatten
+    val hdr = Seq('B'.toInt, 'M'.toInt) ++ le32(54 + pix.size) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(pix.size) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    (hdr ++ pix).map(_.toByte).toArray
+  }
+
+  test("REAL decode via javax.imageio: BMP pixels come back exactly") {
+    val img = Multimodal.decodeImage(tinyBmp).get
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    def rgb(x: Int, y: Int) = img.getRGB(x, y) & 0xffffff
+    assert(rgb(0, 0) == (0 << 16 | 0 << 8 | 0))
+    assert(rgb(1, 0) == (10 << 16 | 20 << 8 | 0))
+    assert(rgb(0, 1) == (1 << 16 | 0 << 8 | 30))
+    assert(rgb(1, 1) == (11 << 16 | 20 << 8 | 30))
+    // non-image bytes refuse to decode
+    assert(Multimodal.decodeImage("not an image at all........".getBytes).isEmpty)
+  }
+
+  test("nearest-neighbor resize + checksum are deterministic functions of pixels") {
+    val img = Multimodal.decodeImage(tinyBmp).get
+    val up = Multimodal.resizeNearest(img, 4, 4) // each src pixel → 2x2 block
+    assert(up.getWidth == 4 && up.getHeight == 4)
+    assert((up.getRGB(0, 0) & 0xffffff) == (img.getRGB(0, 0) & 0xffffff))
+    assert((up.getRGB(3, 3) & 0xffffff) == (img.getRGB(1, 1) & 0xffffff))
+    // identity resize preserves the checksum
+    val same = Multimodal.resizeNearest(img, 2, 2)
+    assert(Multimodal.pixelChecksum(same) == Multimodal.pixelChecksum(img))
+    // PNG re-encode round-trips the raster exactly (PNG is lossless)
+    val rt = Multimodal.decodeImage(Multimodal.encodePng(up)).get
+    assert(Multimodal.pixelChecksum(rt) == Multimodal.pixelChecksum(up))
+  }
+
+  test("pixel-stat features are integer-valued and match hand counts") {
+    val img = Multimodal.decodeImage(tinyBmp).get
+    val f = Multimodal.featureReal(img, 16)
+    assert(f(0) == 2f && f(1) == 2f && f(2) == 4f) // w, h, n
+    assert(f(3) == (0 + 10 + 1 + 11)) // sumR
+    assert(f(4) == (0 + 20 + 0 + 20)) // sumG
+    assert(f(5) == (0 + 0 + 30 + 30)) // sumB
+    val grays = Seq((0, 0, 0), (10, 20, 0), (1, 0, 30), (11, 20, 30))
+      .map { case (r, g, b) => (r + g + b) / 3 }
+    assert(f(6) == grays.sum && f(7) == grays.min && f(8) == grays.max)
+  }
+
+  test("withDecodedResize quarantines undecodable media with null receipt") {
+    import spark.implicits._
+    val df = Seq((1L, tinyBmp), (2L, "junk bytes not an image".getBytes))
+      .toDF("id", "media")
+    val out = Multimodal.withDecodedResize(df, "media", 4, 3)
+      .select(col("id"), col("resize_meta.checksum"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined && out(2L).isEmpty)
+  }
+
   test("frame sampling yields n byte-slices covering the media") {
     val out = Multimodal.withFrameSamples(media, "media", nFrames = 4)
       .select(col("id"), size(col("media_frames")).as("n"),
