@@ -1,0 +1,630 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** The Avatica JSON-RPC endpoint — how every JDBC/BI client connects
+  * to the reference (sql/src/main/java/org/apache/druid/sql/avatica/
+  * DruidAvaticaJsonHandler.java mounted at /druid/v2/sql/avatica/,
+  * with DruidMeta.java holding connection/statement state and
+  * DruidStatement.java framing results). This is a protocol shim over
+  * the same SQL lifecycle the /druid/v2/sql endpoint runs: the
+  * Avatica thin client (or any BI tool speaking Avatica JSON) POSTs
+  * {"request": "..."} envelopes and drives
+  * openConnection → createStatement → prepareAndExecute → fetch* →
+  * closeStatement → closeConnection.
+  *
+  * Limits mirror AvaticaServerConfig.java defaults: 25 connections,
+  * 4 statements per connection, 5000 max rows per frame, PT5M idle
+  * timeout. Result sets buffer driver-side (JDBC result sets are
+  * interactive-sized; the HTTP row cap applies) and frames slice the
+  * buffer so fetch/syncResults can replay any offset.
+  */
+class AvaticaEndpoint(
+    runSql: String => DataFrame,
+    datasources: () => Seq[String],
+    resolveTable: String => DataFrame,
+    serverAddress: () => String,
+    maxBufferedRows: Long = 1000000L) {
+
+  val maxConnections = 25
+  val maxStatementsPerConnection = 4
+  val maxRowsPerFrame = 5000
+  val connectionIdleTimeoutMs: Long = 5 * 60 * 1000L
+
+  private val mapper = new ObjectMapper()
+
+  private final class Statement(val id: Int) {
+    // signature + rendered rows, set by prepareAndExecute/execute
+    var signature: Option[ObjectNode] = None
+    var sql: Option[String] = None // set by prepare, consumed by execute
+    var rows: IndexedSeq[ArrayNode] = Vector.empty
+    var executed = false
+  }
+
+  private final class Connection(val id: String) {
+    val statements = scala.collection.concurrent.TrieMap.empty[Int, Statement]
+    val nextStatementId = new AtomicInteger(0)
+    @volatile var lastUsed: Long = System.currentTimeMillis()
+  }
+
+  private val connections =
+    scala.collection.concurrent.TrieMap.empty[String, Connection]
+
+  // ---------------- protocol plumbing ----------------
+
+  private def rpcMetadata: ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("response", "rpcMetadata")
+    o.put("serverAddress", serverAddress())
+    o
+  }
+
+  private def errorResponse(msg: String, code: Int = -1): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("response", "error")
+    val exs = o.putArray("exceptions")
+    exs.add(msg)
+    o.put("errorMessage", msg)
+    o.put("errorCode", code)
+    o.put("sqlState", "00000")
+    o.put("severity", "UNKNOWN")
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  private def str(n: JsonNode, f: String): String =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(s"avatica request missing '$f'"))
+
+  private def connection(n: JsonNode): Connection = {
+    val cid = str(n, "connectionId")
+    connections.getOrElse(cid,
+      throw new IllegalArgumentException(s"no such connection [$cid]"))
+  }
+
+  private def statement(n: JsonNode): (Connection, Statement) = {
+    val conn = connection(n)
+    val sid = Option(n.get("statementId")).map(_.asInt()).getOrElse(
+      throw new IllegalArgumentException("avatica request missing 'statementId'"))
+    val st = conn.statements.getOrElse(sid,
+      throw new IllegalArgumentException(s"no such statement [$sid]"))
+    (conn, st)
+  }
+
+  private def evictIdle(): Unit = {
+    val cutoff = System.currentTimeMillis() - connectionIdleTimeoutMs
+    connections.filterInPlace((_, c) => c.lastUsed >= cutoff)
+  }
+
+  /** entry point: one JSON-RPC envelope in, one out. */
+  def handle(body: String): String = {
+    val out =
+      try {
+        evictIdle()
+        val n = mapper.readTree(body)
+        val req = str(n, "request")
+        req match {
+          case "openConnection" => openConnection(n)
+          case "closeConnection" => closeConnection(n)
+          case "connectionSync" => connectionSync(n)
+          case "createStatement" => createStatement(n)
+          case "closeStatement" => closeStatement(n)
+          case "prepareAndExecute" => prepareAndExecute(n)
+          case "prepare" => prepare(n)
+          case "execute" => execute(n)
+          case "fetch" => fetch(n)
+          case "syncResults" => syncResults(n)
+          case "databaseProperty" => databaseProperty(n)
+          case "getCatalogs" => getCatalogs(n)
+          case "getSchemas" => getSchemas(n)
+          case "getTables" => getTables(n)
+          case "getColumns" => getColumns(n)
+          case "getTableTypes" => getTableTypes(n)
+          case other => errorResponse(s"unsupported avatica request [$other]")
+        }
+      } catch {
+        case e: Exception =>
+          errorResponse(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    mapper.writeValueAsString(out)
+  }
+
+  // ---------------- connection / statement lifecycle ----------------
+
+  private def openConnection(n: JsonNode): ObjectNode = {
+    val cid = str(n, "connectionId")
+    if (connections.size >= maxConnections)
+      throw new IllegalStateException(
+        s"too many connections: $maxConnections open")
+    connections.putIfAbsent(cid, new Connection(cid))
+    val o = mapper.createObjectNode()
+    o.put("response", "openConnection")
+    o.put("connectionId", cid)
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  private def closeConnection(n: JsonNode): ObjectNode = {
+    connections.remove(str(n, "connectionId"))
+    val o = mapper.createObjectNode()
+    o.put("response", "closeConnection")
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  private def connectionSync(n: JsonNode): ObjectNode = {
+    val conn = connection(n)
+    conn.lastUsed = System.currentTimeMillis()
+    val o = mapper.createObjectNode()
+    o.put("response", "connectionSync")
+    val props = o.putObject("connProps")
+    props.put("connProps", "connPropsImpl")
+    props.put("autoCommit", true)
+    props.put("readOnly", true)
+    props.put("transactionIsolation", 0)
+    props.putNull("catalog")
+    props.putNull("schema")
+    props.put("dirty", false)
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  private def createStatement(n: JsonNode): ObjectNode = {
+    val conn = connection(n)
+    conn.lastUsed = System.currentTimeMillis()
+    if (conn.statements.size >= maxStatementsPerConnection)
+      throw new IllegalStateException(
+        s"too many open statements: $maxStatementsPerConnection")
+    val st = new Statement(conn.nextStatementId.getAndIncrement())
+    conn.statements.put(st.id, st)
+    val o = mapper.createObjectNode()
+    o.put("response", "createStatement")
+    o.put("connectionId", conn.id)
+    o.put("statementId", st.id)
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  private def closeStatement(n: JsonNode): ObjectNode = {
+    val conn = connection(n)
+    Option(n.get("statementId")).foreach(sid => conn.statements.remove(sid.asInt()))
+    val o = mapper.createObjectNode()
+    o.put("response", "closeStatement")
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  // ---------------- execution ----------------
+
+  private def runInto(st: Statement, sql: String, maxRowCount: Long): Unit = {
+    if (IngestSql.looksLikeIngest(sql))
+      throw new IllegalArgumentException(
+        "INSERT/REPLACE are not supported over JDBC; use the HTTP SQL API")
+    val df = runSql(sql)
+    val cap =
+      if (maxRowCount >= 0) math.min(maxRowCount, maxBufferedRows)
+      else maxBufferedRows
+    val schema = df.schema
+    val collected = df.limit(
+      math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
+    if (collected.length > cap)
+      throw new IllegalStateException(
+        s"JDBC result exceeds $cap rows; add a LIMIT or raise maxRowCount")
+    st.signature = Some(signatureFor(schema, sql))
+    st.rows = collected.iterator.map { r =>
+      val arr = mapper.createArrayNode()
+      schema.fields.indices.foreach { i =>
+        renderValue(arr, schema.fields(i).dataType,
+          if (r.isNullAt(i)) null else r.get(i))
+      }
+      arr
+    }.toVector
+    st.executed = true
+  }
+
+  private def frame(st: Statement, offset: Long, limit: Int): ObjectNode = {
+    val f = mapper.createObjectNode()
+    f.put("offset", offset)
+    val end = math.min(st.rows.length.toLong, offset + math.max(0, limit))
+    f.put("done", end >= st.rows.length)
+    val rows = f.putArray("rows")
+    var i = offset
+    while (i < end) { rows.add(st.rows(i.toInt)); i += 1 }
+    f
+  }
+
+  private def resultSet(conn: Connection, st: Statement, firstFrameLimit: Int): ObjectNode = {
+    val rs = mapper.createObjectNode()
+    rs.put("response", "resultSet")
+    rs.put("connectionId", conn.id)
+    rs.put("statementId", st.id)
+    rs.put("ownStatement", true)
+    rs.set("signature", st.signature.get)
+    rs.set("firstFrame", frame(st, 0L, firstFrameLimit))
+    rs.put("updateCount", -1L)
+    rs.set("rpcMetadata", rpcMetadata)
+    rs
+  }
+
+  private def executeResults(conn: Connection, st: Statement, firstFrameLimit: Int): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("response", "executeResults")
+    o.put("missingStatement", false)
+    o.set("rpcMetadata", rpcMetadata)
+    val results = o.putArray("results")
+    results.add(resultSet(conn, st, firstFrameLimit))
+    o
+  }
+
+  private def firstFrameLimit(n: JsonNode): Int = {
+    val req = Option(n.get("maxRowsInFirstFrame")).map(_.asInt())
+      .orElse(Option(n.get("firstFrameMaxSize")).map(_.asInt()))
+      .getOrElse(-1)
+    if (req < 0) maxRowsPerFrame else math.min(req, maxRowsPerFrame)
+  }
+
+  private def prepareAndExecute(n: JsonNode): ObjectNode = {
+    val (conn, st) = statement(n)
+    conn.lastUsed = System.currentTimeMillis()
+    val maxRowCount = Option(n.get("maxRowCount")).map(_.asLong()).getOrElse(-1L)
+    runInto(st, str(n, "sql"), maxRowCount)
+    executeResults(conn, st, firstFrameLimit(n))
+  }
+
+  private def prepare(n: JsonNode): ObjectNode = {
+    val conn = connection(n)
+    conn.lastUsed = System.currentTimeMillis()
+    if (conn.statements.size >= maxStatementsPerConnection)
+      throw new IllegalStateException(
+        s"too many open statements: $maxStatementsPerConnection")
+    val st = new Statement(conn.nextStatementId.getAndIncrement())
+    val sql = str(n, "sql")
+    st.sql = Some(sql)
+    // a prepared-but-unexecuted statement reports the result schema;
+    // plan it lazily (schema-only, no job) through the same lifecycle,
+    // with positional '?' parameters standing in as NULL for analysis
+    val forSchema = {
+      val out = new StringBuilder
+      var inString = false
+      sql.foreach { c =>
+        if (c == '\'') { inString = !inString; out += c }
+        else if (c == '?' && !inString) out ++= "NULL"
+        else out += c
+      }
+      out.toString
+    }
+    st.signature = Some(signatureFor(runSql(forSchema).schema, sql))
+    conn.statements.put(st.id, st)
+    val o = mapper.createObjectNode()
+    o.put("response", "prepare")
+    val h = o.putObject("statement")
+    h.put("connectionId", conn.id)
+    h.put("id", st.id)
+    h.set("signature", st.signature.get)
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  private def renderTypedValue(v: JsonNode): String = {
+    val t = Option(v.get("type")).map(_.asText().toUpperCase).getOrElse("STRING")
+    val value = v.get("value")
+    if (value == null || value.isNull) "NULL"
+    else t match {
+      case "BYTE" | "SHORT" | "INTEGER" | "LONG" | "PRIMITIVE_BYTE" |
+          "PRIMITIVE_SHORT" | "PRIMITIVE_INT" | "PRIMITIVE_LONG" | "NUMBER" =>
+        value.asLong().toString
+      case "FLOAT" | "DOUBLE" | "PRIMITIVE_FLOAT" | "PRIMITIVE_DOUBLE" =>
+        value.asDouble().toString
+      case "BOOLEAN" | "PRIMITIVE_BOOLEAN" => value.asBoolean().toString
+      case _ => s"'${value.asText().replace("'", "''")}'"
+    }
+  }
+
+  private def execute(n: JsonNode): ObjectNode = {
+    val h = Option(n.get("statementHandle")).getOrElse(
+      throw new IllegalArgumentException("execute missing 'statementHandle'"))
+    val cid = str(h, "connectionId")
+    val conn = connections.getOrElse(cid,
+      throw new IllegalArgumentException(s"no such connection [$cid]"))
+    conn.lastUsed = System.currentTimeMillis()
+    val sid = Option(h.get("id")).map(_.asInt()).getOrElse(
+      throw new IllegalArgumentException("statementHandle missing 'id'"))
+    val st = conn.statements.getOrElse(sid,
+      throw new IllegalArgumentException(s"no such statement [$sid]"))
+    val sql0 = st.sql.getOrElse(
+      throw new IllegalArgumentException(s"statement [$sid] was not prepared"))
+    // positional '?' substitution, same literal-inlining as the HTTP
+    // SQL endpoint (reference SqlQuery dynamic parameters)
+    val params = Option(n.get("parameterValues")).filterNot(_.isNull)
+      .map(_.elements()).map(it => Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
+    val out = new StringBuilder
+    var inString = false
+    var pi = 0
+    sql0.foreach { c =>
+      if (c == '\'') { inString = !inString; out += c }
+      else if (c == '?' && !inString && pi < params.size) {
+        out ++= renderTypedValue(params(pi)); pi += 1
+      } else out += c
+    }
+    val maxRowCount = Option(n.get("maxRowCount")).map(_.asLong()).getOrElse(-1L)
+    runInto(st, out.toString, maxRowCount)
+    executeResults(conn, st, firstFrameLimit(n))
+  }
+
+  private def fetch(n: JsonNode): ObjectNode = {
+    val (conn, st) = statement(n)
+    conn.lastUsed = System.currentTimeMillis()
+    if (!st.executed)
+      throw new IllegalArgumentException(s"statement [${st.id}] has no results")
+    val offset = Option(n.get("offset")).map(_.asLong()).getOrElse(0L)
+    val limit = Option(n.get("fetchMaxRowCount")).map(_.asInt())
+      .orElse(Option(n.get("fetchMaxSize")).map(_.asInt())).getOrElse(-1)
+    val o = mapper.createObjectNode()
+    o.put("response", "fetch")
+    o.set("frame", frame(st, offset,
+      if (limit < 0) maxRowsPerFrame else math.min(limit, maxRowsPerFrame)))
+    o.put("missingStatement", false)
+    o.put("missingResults", false)
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  private def syncResults(n: JsonNode): ObjectNode = {
+    val (conn, st) = statement(n)
+    conn.lastUsed = System.currentTimeMillis()
+    val offset = Option(n.get("offset")).map(_.asLong()).getOrElse(0L)
+    val o = mapper.createObjectNode()
+    o.put("response", "syncResults")
+    o.put("moreResults", st.executed && offset < st.rows.length)
+    o.put("missingStatement", !st.executed)
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  // ---------------- type mapping / value rendering ----------------
+
+  /** Spark type → (JDBC type id, SQL type name, Avatica rep, Java class),
+    * mirroring DruidStatement.createColumnMetaData's Calcite mapping. */
+  private def jdbcType(dt: DataType): (Int, String, String, String) = dt match {
+    case StringType => (java.sql.Types.VARCHAR, "VARCHAR", "STRING", "java.lang.String")
+    case BooleanType => (java.sql.Types.BOOLEAN, "BOOLEAN", "PRIMITIVE_BOOLEAN", "java.lang.Boolean")
+    case ByteType => (java.sql.Types.TINYINT, "TINYINT", "PRIMITIVE_BYTE", "java.lang.Byte")
+    case ShortType => (java.sql.Types.SMALLINT, "SMALLINT", "PRIMITIVE_SHORT", "java.lang.Short")
+    case IntegerType => (java.sql.Types.INTEGER, "INTEGER", "PRIMITIVE_INT", "java.lang.Integer")
+    case LongType => (java.sql.Types.BIGINT, "BIGINT", "PRIMITIVE_LONG", "java.lang.Long")
+    case FloatType => (java.sql.Types.FLOAT, "FLOAT", "PRIMITIVE_FLOAT", "java.lang.Float")
+    case DoubleType => (java.sql.Types.DOUBLE, "DOUBLE", "PRIMITIVE_DOUBLE", "java.lang.Double")
+    case _: DecimalType => (java.sql.Types.DECIMAL, "DECIMAL", "NUMBER", "java.math.BigDecimal")
+    case TimestampType | TimestampNTZType =>
+      (java.sql.Types.TIMESTAMP, "TIMESTAMP", "JAVA_SQL_TIMESTAMP", "java.sql.Timestamp")
+    case DateType => (java.sql.Types.DATE, "DATE", "JAVA_SQL_DATE", "java.sql.Date")
+    case BinaryType => (java.sql.Types.BINARY, "BINARY", "BYTE_STRING", "[B")
+    case _: ArrayType => (java.sql.Types.ARRAY, "ARRAY", "ARRAY", "java.util.List")
+    case _ => (java.sql.Types.OTHER, "OTHER", "OBJECT", "java.lang.Object")
+  }
+
+  private def columnMeta(ordinal: Int, f: StructField): ObjectNode = {
+    val (id, name, rep, clazz) = jdbcType(f.dataType)
+    val c = mapper.createObjectNode()
+    c.put("ordinal", ordinal)
+    c.put("autoIncrement", false)
+    c.put("caseSensitive", f.dataType == StringType)
+    c.put("searchable", false)
+    c.put("currency", false)
+    c.put("nullable", if (f.nullable) 1 else 0)
+    c.put("signed", id != java.sql.Types.VARCHAR)
+    c.put("displaySize", -1)
+    c.put("label", f.name)
+    c.put("columnName", f.name)
+    c.putNull("schemaName")
+    c.put("precision", 0)
+    c.put("scale", 0)
+    c.putNull("tableName")
+    c.putNull("catalogName")
+    val t = c.putObject("type")
+    f.dataType match {
+      case ArrayType(et, _) =>
+        val (eid, ename, erep, _) = jdbcType(et)
+        t.put("type", "array")
+        t.put("id", id)
+        t.put("name", name)
+        t.put("rep", rep)
+        val comp = t.putObject("component")
+        comp.put("type", "scalar")
+        comp.put("id", eid)
+        comp.put("name", ename)
+        comp.put("rep", erep)
+      case _ =>
+        t.put("type", "scalar")
+        t.put("id", id)
+        t.put("name", name)
+        t.put("rep", rep)
+    }
+    c.put("readOnly", true)
+    c.put("writable", false)
+    c.put("definitelyWritable", false)
+    c.put("columnClassName", clazz)
+    c
+  }
+
+  private def signatureFor(schema: StructType, sql: String): ObjectNode = {
+    val sig = mapper.createObjectNode()
+    val cols = sig.putArray("columns")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      cols.add(columnMeta(i, f))
+    }
+    sig.put("sql", sql)
+    sig.putArray("parameters")
+    val cf = sig.putObject("cursorFactory")
+    cf.put("style", "LIST")
+    cf.putNull("clazz")
+    cf.putNull("fieldNames")
+    sig.put("statementType", "SELECT")
+    sig
+  }
+
+  /** JDBC wire values: timestamps as epoch millis, dates as epoch
+    * days, binary as base64 — the Avatica JSON representations the
+    * thin client decodes for each rep above. */
+  private def renderValue(into: ArrayNode, dt: DataType, v: Any): Unit =
+    if (v == null) into.addNull()
+    else (dt, v) match {
+      case (TimestampType | TimestampNTZType, ts) => ts match {
+        case t: java.sql.Timestamp => into.add(t.getTime)
+        case t: java.time.Instant => into.add(t.toEpochMilli)
+        case t: java.time.LocalDateTime =>
+          into.add(t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+        case other => into.add(other.toString)
+      }
+      case (DateType, d) => d match {
+        case x: java.sql.Date => into.add((x.getTime / 86400000L).toInt)
+        case x: java.time.LocalDate => into.add(x.toEpochDay.toInt)
+        case other => into.add(other.toString)
+      }
+      case (BinaryType, b: Array[Byte]) =>
+        into.add(java.util.Base64.getEncoder.encodeToString(b))
+      case (ArrayType(et, _), xs: scala.collection.Seq[_]) =>
+        val sub = into.addArray()
+        xs.foreach(x => renderValue(sub, et, x))
+      case (_, x: Boolean) => into.add(x)
+      case (_, x: Byte) => into.add(x.toInt)
+      case (_, x: Short) => into.add(x.toInt)
+      case (_, x: Int) => into.add(x)
+      case (_, x: Long) => into.add(x)
+      case (_, x: Float) => into.add(x)
+      case (_, x: Double) => into.add(x)
+      case (_, x: java.math.BigDecimal) => into.add(x)
+      case (_, x: BigDecimal) => into.add(x.bigDecimal)
+      case (_, x) => into.add(x.toString)
+    }
+
+  // ---------------- metadata requests ----------------
+
+  /** an executed pseudo-statement holding metadata rows (catalog /
+    * schema / table / column listings answer as ordinary result sets
+    * on an implicit statement, like Avatica's MetaResultSet). */
+  private def metaResultSet(
+      n: JsonNode, fields: Seq[(String, DataType)],
+      rows: Seq[Seq[Any]]): ObjectNode = {
+    val conn = connection(n)
+    conn.lastUsed = System.currentTimeMillis()
+    val st = new Statement(conn.nextStatementId.getAndIncrement())
+    val schema = StructType(fields.map { case (name, dt) =>
+      StructField(name, dt, nullable = true) })
+    st.signature = Some(signatureFor(schema, ""))
+    st.rows = rows.iterator.map { r =>
+      val arr = mapper.createArrayNode()
+      fields.indices.foreach(i => renderValue(arr, fields(i)._2, r(i)))
+      arr
+    }.toVector
+    st.executed = true
+    conn.statements.put(st.id, st)
+    resultSet(conn, st, maxRowsPerFrame)
+  }
+
+  private def likeToRegex(pattern: Option[String]): String => Boolean =
+    pattern.filter(_.nonEmpty) match {
+      case None => _ => true
+      case Some(p) =>
+        val rx = java.util.regex.Pattern.compile(
+          p.flatMap {
+            case '%' => ".*"
+            case '_' => "."
+            case c if "\\.[]{}()*+-?^$|".indexOf(c) >= 0 => "\\" + c
+            case c => c.toString
+          })
+        s => rx.matcher(s).matches()
+    }
+
+  private def patternOf(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+
+  private def getCatalogs(n: JsonNode): ObjectNode =
+    metaResultSet(n, Seq("TABLE_CAT" -> StringType), Seq(Seq("druid")))
+
+  private def getSchemas(n: JsonNode): ObjectNode = {
+    val want = likeToRegex(patternOf(n, "schemaPattern"))
+    metaResultSet(n,
+      Seq("TABLE_SCHEM" -> StringType, "TABLE_CATALOG" -> StringType),
+      Seq("INFORMATION_SCHEMA", "druid", "sys").filter(want).map(s => Seq(s, "druid")))
+  }
+
+  private def getTables(n: JsonNode): ObjectNode = {
+    val wantSchema = likeToRegex(patternOf(n, "schemaPattern"))
+    val wantTable = likeToRegex(patternOf(n, "tableNamePattern"))
+    val rows = datasources().sorted.filter(wantTable)
+      .filter(_ => wantSchema("druid"))
+      .map(t => Seq[Any]("druid", "druid", t, "TABLE", null, null, null, null, null, null))
+    metaResultSet(n,
+      Seq("TABLE_CAT" -> StringType, "TABLE_SCHEM" -> StringType,
+        "TABLE_NAME" -> StringType, "TABLE_TYPE" -> StringType,
+        "REMARKS" -> StringType, "TYPE_CAT" -> StringType,
+        "TYPE_SCHEM" -> StringType, "TYPE_NAME" -> StringType,
+        "SELF_REFERENCING_COL_NAME" -> StringType, "REF_GENERATION" -> StringType),
+      rows)
+  }
+
+  private def getColumns(n: JsonNode): ObjectNode = {
+    val wantTable = likeToRegex(patternOf(n, "tableNamePattern"))
+    val wantColumn = likeToRegex(patternOf(n, "columnNamePattern"))
+    val rows = datasources().sorted.filter(wantTable).flatMap { t =>
+      val schema =
+        try resolveTable(t).schema
+        catch { case _: Exception => StructType(Nil) }
+      schema.fields.zipWithIndex.collect {
+        case (f, i) if wantColumn(f.name) =>
+          val (id, name, _, _) = jdbcType(f.dataType)
+          Seq[Any]("druid", "druid", t, f.name, id, name, -1, null, null,
+            10, if (f.nullable) 1 else 0, null, null, null, null, -1,
+            i + 1, if (f.nullable) "YES" else "NO")
+      }
+    }
+    metaResultSet(n,
+      Seq("TABLE_CAT" -> StringType, "TABLE_SCHEM" -> StringType,
+        "TABLE_NAME" -> StringType, "COLUMN_NAME" -> StringType,
+        "DATA_TYPE" -> IntegerType, "TYPE_NAME" -> StringType,
+        "COLUMN_SIZE" -> IntegerType, "BUFFER_LENGTH" -> StringType,
+        "DECIMAL_DIGITS" -> IntegerType, "NUM_PREC_RADIX" -> IntegerType,
+        "NULLABLE" -> IntegerType, "REMARKS" -> StringType,
+        "COLUMN_DEF" -> StringType, "SQL_DATA_TYPE" -> IntegerType,
+        "SQL_DATETIME_SUB" -> IntegerType, "CHAR_OCTET_LENGTH" -> IntegerType,
+        "ORDINAL_POSITION" -> IntegerType, "IS_NULLABLE" -> StringType),
+      rows)
+  }
+
+  private def getTableTypes(n: JsonNode): ObjectNode =
+    metaResultSet(n, Seq("TABLE_TYPE" -> StringType), Seq(Seq("TABLE")))
+
+  private def databaseProperty(n: JsonNode): ObjectNode = {
+    connection(n).lastUsed = System.currentTimeMillis()
+    val o = mapper.createObjectNode()
+    o.put("response", "databaseProperty")
+    val m = o.putObject("map")
+    m.put("GET_DATABASE_PRODUCT_NAME", "Apache Druid (graft)")
+    m.put("GET_DATABASE_PRODUCT_VERSION", "0.22.0-graft")
+    m.put("GET_DRIVER_NAME", "graft-avatica")
+    m.put("GET_DRIVER_VERSION", "1.0")
+    m.put("GET_DATABASE_MAJOR_VERSION", 0)
+    m.put("GET_DATABASE_MINOR_VERSION", 22)
+    m.put("GET_DRIVER_MAJOR_VERSION", 1)
+    m.put("GET_DRIVER_MINOR_VERSION", 0)
+    m.put("GET_DEFAULT_TRANSACTION_ISOLATION", 0)
+    m.put("GET_S_Q_L_KEYWORDS", "")
+    m.put("GET_STRING_FUNCTIONS", "")
+    m.put("GET_NUMERIC_FUNCTIONS", "")
+    m.put("GET_SYSTEM_FUNCTIONS", "")
+    m.put("GET_TIME_DATE_FUNCTIONS", "")
+    o.set("rpcMetadata", rpcMetadata)
+    o
+  }
+
+  // test hook
+  private[server] def openConnectionCount: Int = connections.size
+}

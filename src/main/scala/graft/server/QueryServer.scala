@@ -143,6 +143,12 @@ class QueryServer(
       math.max(1, totalSlots * maxLowPercent / 100))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/druid/v2/sql", (ex: HttpExchange) => handleSql(ex))
+    // Avatica JSON-RPC (reference DruidAvaticaJsonHandler at
+    // /druid/v2/sql/avatica/): the JDBC/BI protocol over the same SQL
+    // lifecycle. Longest-prefix context routing sends avatica traffic
+    // here, everything else stays on handleSql above.
+    server.createContext("/druid/v2/sql/avatica",
+      (ex: HttpExchange) => handleAvatica(ex))
     // broker datasource introspection (reference ClientInfoResource,
     // @Path("/druid/v2/datasources")): names, and the dimension/metric
     // split (sidecar metric names authoritative for ingested tables)
@@ -221,6 +227,36 @@ class QueryServer(
   }
 
   private var boundPort: Int = 0
+
+  /** one SQL statement through the full endpoint lifecycle (ingested
+    * views refreshed, sys/INFORMATION_SCHEMA rewrites applied) —
+    * shared by the HTTP and Avatica surfaces. */
+  private def planSql(sql0: String): DataFrame = {
+    refreshIngestedViews()
+    val sql = SystemTables.prepare(
+      spark, sql0,
+      allDatasources _, resolveWithIngested, segmentMetaWithIngested, boundPort,
+      () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq },
+      supervisorRecords _)
+    graft.GraftSession.setup(spark).sql(sql)
+  }
+
+  private lazy val avatica = new AvaticaEndpoint(
+    runSql = planSql,
+    datasources = allDatasources _,
+    resolveTable = resolveWithIngested,
+    serverAddress = () => s"localhost:$boundPort")
+
+  private def handleAvatica(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, """{"error":"POST only"}"""); return
+      }
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      respond(ex, 200, avatica.handle(body))
+    } catch {
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
+    }
 
   def stop(): Unit = if (server != null) server.stop(0)
 

@@ -1,0 +1,183 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Drives the Avatica JSON-RPC lifecycle end to end over HTTP — the
+  * same request sequence the Avatica thin client (and so every JDBC
+  * tool) issues against the reference's /druid/v2/sql/avatica/. */
+class AvaticaSpec extends SparkSpec {
+
+  private lazy val fixture = {
+    import spark.implicits._
+    Seq(
+      ("2024-01-01 01:00:00", "a", 1.0),
+      ("2024-01-01 02:00:00", "b", 2.0),
+      ("2024-01-02 01:00:00", "a", 3.0)
+    ).toDF("t", "dim", "m")
+      .withColumn("__time", col("t").cast("timestamp")).drop("t")
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private def rpc(port: Int, body: String): JsonNode = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port/druid/v2/sql/avatica/"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200, resp.body())
+    mapper.readTree(resp.body())
+  }
+
+  test("connection/statement lifecycle with framed fetch") {
+    fixture.createOrReplaceTempView("ds")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      datasources = () => Seq("ds"))
+    val port = srv.start()
+    try {
+      val open = rpc(port, """{"request":"openConnection","connectionId":"c1"}""")
+      assert(open.get("response").asText() == "openConnection")
+      assert(open.get("rpcMetadata").get("serverAddress").asText()
+        == s"localhost:$port")
+
+      val props = rpc(port, """{"request":"databaseProperty","connectionId":"c1"}""")
+      assert(props.get("map").get("GET_DATABASE_PRODUCT_NAME").asText()
+        .contains("Druid"))
+
+      val create = rpc(port, """{"request":"createStatement","connectionId":"c1"}""")
+      val sid = create.get("statementId").asInt()
+
+      // one-row first frame forces a protocol-level fetch for the rest
+      val exec = rpc(port,
+        s"""{"request":"prepareAndExecute","connectionId":"c1",
+           |"statementId":$sid,
+           |"sql":"SELECT dim, sum(m) AS sm FROM ds GROUP BY dim ORDER BY dim",
+           |"maxRowCount":-1,"maxRowsInFirstFrame":1}""".stripMargin)
+      assert(exec.get("response").asText() == "executeResults")
+      val rs = exec.get("results").get(0)
+      assert(rs.get("response").asText() == "resultSet")
+      assert(rs.get("updateCount").asLong() == -1L)
+      val cols = rs.get("signature").get("columns")
+      assert(cols.get(0).get("columnName").asText() == "dim")
+      assert(cols.get(0).get("type").get("id").asInt() == java.sql.Types.VARCHAR)
+      assert(cols.get(1).get("columnName").asText() == "sm")
+      assert(cols.get(1).get("type").get("id").asInt() == java.sql.Types.DOUBLE)
+      assert(rs.get("signature").get("cursorFactory").get("style").asText() == "LIST")
+      val f0 = rs.get("firstFrame")
+      assert(f0.get("offset").asLong() == 0L && !f0.get("done").asBoolean())
+      assert(f0.get("rows").size() == 1)
+      assert(f0.get("rows").get(0).get(0).asText() == "a")
+      assert(f0.get("rows").get(0).get(1).asDouble() == 4.0)
+
+      val fetch = rpc(port,
+        s"""{"request":"fetch","connectionId":"c1","statementId":$sid,
+           |"offset":1,"fetchMaxRowCount":100}""".stripMargin)
+      val f1 = fetch.get("frame")
+      assert(f1.get("offset").asLong() == 1L && f1.get("done").asBoolean())
+      assert(f1.get("rows").size() == 1)
+      assert(f1.get("rows").get(0).get(0).asText() == "b")
+
+      // timestamps travel as epoch millis (JAVA_SQL_TIMESTAMP rep)
+      val ts = rpc(port,
+        s"""{"request":"prepareAndExecute","connectionId":"c1",
+           |"statementId":$sid,
+           |"sql":"SELECT __time FROM ds ORDER BY __time LIMIT 1",
+           |"maxRowCount":-1,"maxRowsInFirstFrame":-1}""".stripMargin)
+      val tsRs = ts.get("results").get(0)
+      assert(tsRs.get("signature").get("columns").get(0)
+        .get("type").get("id").asInt() == java.sql.Types.TIMESTAMP)
+      assert(tsRs.get("firstFrame").get("rows").get(0).get(0).asLong()
+        == 1704070800000L) // 2024-01-01T01:00:00Z
+
+      rpc(port, s"""{"request":"closeStatement","connectionId":"c1","statementId":$sid}""")
+      val close = rpc(port, """{"request":"closeConnection","connectionId":"c1"}""")
+      assert(close.get("response").asText() == "closeConnection")
+    } finally srv.stop()
+  }
+
+  test("prepare + execute binds positional parameters") {
+    fixture.createOrReplaceTempView("ds")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      rpc(port, """{"request":"openConnection","connectionId":"c2"}""")
+      val prep = rpc(port,
+        """{"request":"prepare","connectionId":"c2",
+          |"sql":"SELECT dim FROM ds WHERE m > ? ORDER BY dim","maxRowCount":-1}"""
+          .stripMargin)
+      assert(prep.get("response").asText() == "prepare")
+      val stId = prep.get("statement").get("id").asInt()
+      assert(prep.get("statement").get("signature").get("columns").size() == 1)
+      val exec = rpc(port,
+        s"""{"request":"execute",
+           |"statementHandle":{"connectionId":"c2","id":$stId},
+           |"parameterValues":[{"type":"DOUBLE","value":2.5}],
+           |"maxRowCount":-1}""".stripMargin)
+      val rows = exec.get("results").get(0).get("firstFrame").get("rows")
+      assert(rows.size() == 1 && rows.get(0).get(0).asText() == "a") // only m=3.0
+      rpc(port, """{"request":"closeConnection","connectionId":"c2"}""")
+    } finally srv.stop()
+  }
+
+  test("catalog metadata: getTables/getColumns/getSchemas answer result sets") {
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      datasources = () => Seq("ds"))
+    val port = srv.start()
+    try {
+      rpc(port, """{"request":"openConnection","connectionId":"c3"}""")
+      val tables = rpc(port,
+        """{"request":"getTables","connectionId":"c3","catalog":null,
+          |"schemaPattern":"druid","tableNamePattern":"%"}""".stripMargin)
+      val tRows = tables.get("firstFrame").get("rows")
+      assert(tRows.size() == 1)
+      assert(tRows.get(0).get(2).asText() == "ds") // TABLE_NAME
+      assert(tRows.get(0).get(3).asText() == "TABLE")
+
+      val columns = rpc(port,
+        """{"request":"getColumns","connectionId":"c3",
+          |"tableNamePattern":"ds","columnNamePattern":"%"}""".stripMargin)
+      val cRows = columns.get("firstFrame").get("rows")
+      val byName = (0 until cRows.size()).map(i =>
+        cRows.get(i).get(3).asText() -> cRows.get(i).get(4).asInt()).toMap
+      assert(byName("dim") == java.sql.Types.VARCHAR)
+      assert(byName("m") == java.sql.Types.DOUBLE)
+      assert(byName("__time") == java.sql.Types.TIMESTAMP)
+
+      val schemas = rpc(port, """{"request":"getSchemas","connectionId":"c3"}""")
+      val sNames = (0 until schemas.get("firstFrame").get("rows").size())
+        .map(i => schemas.get("firstFrame").get("rows").get(i).get(0).asText())
+      assert(sNames.contains("druid") && sNames.contains("INFORMATION_SCHEMA"))
+      rpc(port, """{"request":"closeConnection","connectionId":"c3"}""")
+    } finally srv.stop()
+  }
+
+  test("protocol errors use the avatica error envelope") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val noConn = rpc(port,
+        """{"request":"createStatement","connectionId":"ghost"}""")
+      assert(noConn.get("response").asText() == "error")
+      assert(noConn.get("errorMessage").asText().contains("ghost"))
+
+      rpc(port, """{"request":"openConnection","connectionId":"c4"}""")
+      val badSql = rpc(port, """{"request":"openConnection","connectionId":"c4b"}""")
+      assert(badSql.get("response").asText() == "openConnection")
+      val ingest = rpc(port,
+        """{"request":"createStatement","connectionId":"c4"}""")
+      val sid = ingest.get("statementId").asInt()
+      val rejected = rpc(port,
+        s"""{"request":"prepareAndExecute","connectionId":"c4",
+           |"statementId":$sid,
+           |"sql":"INSERT INTO x SELECT 1 PARTITIONED BY ALL",
+           |"maxRowCount":-1}""".stripMargin)
+      assert(rejected.get("response").asText() == "error")
+      assert(rejected.get("errorMessage").asText().contains("JDBC"))
+    } finally srv.stop()
+  }
+}
