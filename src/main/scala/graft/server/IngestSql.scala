@@ -134,6 +134,12 @@ object IngestSql {
     f.toInstant
   }
 
+  /** the next segment boundary after the bucket starting at `t`
+    * (shared with segment-slice derivation from the directory layout). */
+  private[server] def nextBucketInstant(
+      t: java.time.Instant, granularity: String): java.time.Instant =
+    nextBucket(t, granularity)
+
   private def nextBucket(
       t: java.time.Instant, granularity: String): java.time.Instant = {
     import java.time._

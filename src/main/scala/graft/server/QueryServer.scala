@@ -743,6 +743,7 @@ class QueryServer(
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val qid = setQueryIdHeader(ex, body)
       val q = graft.model.QueryJson.parse(body)
+      setResponseContextHeader(ex, body, q)
       withCapacity(body) {
         withLimits(body, qid) { () =>
           val cap = maxRows(body)
@@ -780,7 +781,9 @@ class QueryServer(
       if (path.isEmpty) { respond(ex, 200, jarr(allDatasources())); return }
       val parts = path.split("/", 2)
       val ds = parts(0)
-      val (dims, mets) =
+      // lazy: the candidates branch must stay a pure metadata listing
+      // (no parquet schema inference job for the dims/metrics split)
+      lazy val (dims, mets) =
         try SystemTables.dimsAndMetrics(
           resolveWithIngested(ds), segmentMetaWithIngested(ds))
         catch { case _: Exception => (Nil, Nil) }
@@ -832,11 +835,51 @@ class QueryServer(
 
   /** the table's segment-granularity time slices intersecting the
     * given intervals (sidecar granularity for ingested tables, else
-    * P1D) — one small distinct-floor job over the (interval-pruned)
-    * time column. (None, None) = the eternity pseudo-segment of a
-    * time-less table. Shared by bySegment execution and the
-    * /candidates endpoint. */
+    * P1D). (None, None) = the eternity pseudo-segment of a time-less
+    * table. Shared by bySegment execution, the /candidates endpoint,
+    * and uncovered-interval reporting.
+    *
+    * Ingested tables derive slices from the time-bucket DIRECTORY
+    * LAYOUT — a filesystem metadata listing, no scan (the layout is
+    * the segment list, like the reference's timeline). Caller-resolved
+    * tables have no layout, so they fall back to one small
+    * distinct-floor job over the interval-pruned time column. */
   private def segmentSlices(
+      dsName: String,
+      intervals: Seq[graft.model.QueryInterval]): Seq[(Option[Long], Option[Long])] =
+    ingested.get(dsName).flatMap(slicesFromLayout(_, dsName, intervals))
+      .getOrElse(slicesFromScan(dsName, intervals))
+
+  private def slicesFromLayout(
+      path: String, dsName: String,
+      intervals: Seq[graft.model.QueryInterval]): Option[Seq[(Option[Long], Option[Long])]] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prefix = graft.sources.Ingest.BucketCol + "="
+      val buckets = fs.listStatus(p).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      if (buckets.contains("all")) Some(Seq((None, None)))
+      else {
+        val gran = segmentMetaWithIngested(dsName)
+          .map(_.segmentGranularity).getOrElse("P1D")
+        // bucket dirs carry the write-side "yyyy-MM-dd'T'HH" rendering
+        val slices = buckets.map { b =>
+          val start = java.time.LocalDateTime
+            .parse(b + ":00", java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm"))
+            .toInstant(java.time.ZoneOffset.UTC)
+          (start.toEpochMilli,
+            IngestSql.nextBucketInstant(start, gran).toEpochMilli)
+        }.filter { case (s, e) =>
+          intervals.isEmpty || intervals.exists(iv => s < iv.endMs && e > iv.startMs)
+        }.sorted
+        Some(slices.map { case (s, e) => (Some(s), Some(e)) })
+      }
+    } catch { case _: Exception => None }
+
+  private def slicesFromScan(
       dsName: String,
       intervals: Seq[graft.model.QueryInterval]): Seq[(Option[Long], Option[Long])] = {
     import org.apache.spark.sql.functions.{lit, timestamp_millis, unix_millis}
@@ -872,11 +915,78 @@ class QueryServer(
     * intervals clipped to the slice, so execution is genuinely
     * per-segment (partition-pruned scans), not a post-hoc regrouping
     * of the merged result. */
-  private def writeBySegment(
-      open: String => OutputStream, body: String, q: graft.model.NativeQuery,
-      cap: Long, tsAsLong: Boolean): Unit = {
-    import graft.model.{DataSource, NativeQuery, QueryInterval}
-    def leftmostTable(ds: DataSource): Option[String] = ds match {
+  /** X-Druid-Response-Context (reference QueryResource.
+    * HEADER_RESPONSE_CONTEXT): the serialized per-query response
+    * context. `uncoveredIntervals`/`uncoveredIntervalsOverflowed`
+    * follow CachingClusteredClient.computeUncoveredIntervals — when the
+    * query context sets uncoveredIntervalsLimit > 0, report up to that
+    * many gaps between the query's intervals and the segment timeline
+    * (for ingested tables: the partition directory layout — a metadata
+    * listing, no scan). `timeoutAt` mirrors ResponseContext.Key
+    * .TIMEOUT_AT when context.timeout is set. */
+  private def setResponseContextHeader(
+      ex: HttpExchange, body: String, q: graft.model.NativeQuery): Unit = {
+    val ctx = mapper.createObjectNode()
+    try {
+      val limit = try {
+        val n = mapper.readTree(body)
+        Option(n.get("context")).flatMap(c => Option(c.get("uncoveredIntervalsLimit")))
+          .map(_.asInt(0)).getOrElse(0)
+      } catch { case _: Exception => 0 }
+      if (limit > 0 && q.intervals.nonEmpty) {
+        leftmostTable(q.dataSource).foreach { ds =>
+          val covered = segmentSlices(ds, q.intervals).collect {
+            case (Some(s), Some(e)) => (s, e)
+          }.sorted
+          val timeless = covered.isEmpty &&
+            segmentSlices(ds, q.intervals).contains((None, None))
+          if (!timeless) {
+            val iso = java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+              .withZone(java.time.ZoneOffset.UTC)
+            val gaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var overflowed = false
+            q.intervals.foreach { iv =>
+              var cursor = iv.startMs
+              covered.filter(c => c._2 > iv.startMs && c._1 < iv.endMs)
+                .foreach { case (s, e) =>
+                  if (!overflowed && cursor < s) {
+                    if (gaps.size < limit) gaps += ((cursor, math.min(s, iv.endMs)))
+                    else overflowed = true
+                  }
+                  cursor = math.max(cursor, e)
+                }
+              if (!overflowed && cursor < iv.endMs) {
+                if (gaps.size < limit) gaps += ((cursor, iv.endMs))
+                else overflowed = true
+              }
+            }
+            if (gaps.nonEmpty) {
+              val arr = ctx.putArray("uncoveredIntervals")
+              gaps.foreach { case (s, e) =>
+                arr.add(s"${iso.format(java.time.Instant.ofEpochMilli(s))}/" +
+                  iso.format(java.time.Instant.ofEpochMilli(e)))
+              }
+              ctx.put("uncoveredIntervalsOverflowed", overflowed)
+            }
+          }
+        }
+      }
+      val timeoutMs = try {
+        val n = mapper.readTree(body)
+        Option(n.get("context")).flatMap(c => Option(c.get("timeout")))
+          .map(_.asLong(0L)).getOrElse(0L)
+      } catch { case _: Exception => 0L }
+      if (timeoutMs > 0)
+        ctx.put("timeoutAt", System.currentTimeMillis() + timeoutMs)
+    } catch { case _: Exception => /* header is best-effort, never fatal */ }
+    ex.getResponseHeaders.set(
+      "X-Druid-Response-Context", mapper.writeValueAsString(ctx))
+  }
+
+  private def leftmostTable(ds: graft.model.DataSource): Option[String] = {
+    import graft.model.DataSource
+    ds match {
       case DataSource.Table(n) => Some(n)
       case DataSource.GlobalTable(n) => Some(n)
       case j: DataSource.Join => leftmostTable(j.left)
@@ -884,6 +994,12 @@ class QueryServer(
       case DataSource.Union(ss) => ss.iterator.flatMap(leftmostTable(_)).nextOption()
       case _ => None
     }
+  }
+
+  private def writeBySegment(
+      open: String => OutputStream, body: String, q: graft.model.NativeQuery,
+      cap: Long, tsAsLong: Boolean): Unit = {
+    import graft.model.{NativeQuery, QueryInterval}
     val dsName = leftmostTable(q.dataSource).getOrElse(throw new IllegalArgumentException(
       "bySegment requires a table-backed datasource"))
     val iso = java.time.format.DateTimeFormatter

@@ -364,6 +364,72 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("X-Druid-Response-Context reports uncovered intervals and timeout state") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/v2"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"queryType": "timeseries", "dataSource": "ds",
+            |"intervals": ["2024-01-01/2024-01-05"], "granularity": "day",
+            |"aggregations": [{"type": "count", "name": "cnt"}],
+            |"context": {"uncoveredIntervalsLimit": 10, "timeout": 60000,
+            |            "skipEmptyBuckets": true}}""".stripMargin)).build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val hdr = resp.headers().firstValue("X-Druid-Response-Context")
+      assert(hdr.isPresent, "missing X-Druid-Response-Context header")
+      val ctx = new com.fasterxml.jackson.databind.ObjectMapper().readTree(hdr.get())
+      // data covers Jan 1 + Jan 2 (P1D slices); Jan 3 → Jan 5 is the gap
+      assert(ctx.get("uncoveredIntervals").size() == 1, hdr.get())
+      assert(ctx.get("uncoveredIntervals").get(0).asText()
+        == "2024-01-03T00:00:00.000Z/2024-01-05T00:00:00.000Z", hdr.get())
+      assert(!ctx.get("uncoveredIntervalsOverflowed").asBoolean())
+      assert(ctx.get("timeoutAt").asLong() > System.currentTimeMillis() - 1000)
+    } finally srv.stop()
+  }
+
+  test("segment slices for ingested tables come from the directory layout, no scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    fixture.createOrReplaceTempView("ds_layout")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO laytab SELECT __time, dim, m FROM ds_layout PARTITIONED BY DAY"}""")
+      assert(c1 == 200, b1)
+      // count Spark jobs launched while answering /candidates — the
+      // layout path must be a filesystem listing, not a distinct-scan
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/druid/v2/datasources/laytab/candidates" +
+              "?intervals=2024-01-01%2F2024-01-03")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, resp.body())
+        assert(resp.body().contains("2024-01-01T00:00:00.000Z/2024-01-02T00:00:00.000Z"),
+          resp.body())
+        assert(resp.body().contains("2024-01-02T00:00:00.000Z/2024-01-03T00:00:00.000Z"),
+          resp.body())
+        // give the listener bus a beat, then assert nothing ran
+        Thread.sleep(500)
+        assert(jobs.get() == 0, s"candidates launched ${jobs.get()} Spark job(s)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally srv.stop()
+  }
+
   test("SQL INSERT ... PARTITIONED BY ingests; table queryable; REPLACE overwrites") {
     val root = java.nio.file.Files.createTempDirectory("graft-sqlingest").toString
     fixture.createOrReplaceTempView("ds_ing")
