@@ -446,16 +446,26 @@ object Dedup {
     * narrow aggs: (doc, token) counts, then token doc-frequencies. */
   def tfidfWeights(
       df: DataFrame, idCol: String, textCol: String,
-      quantMilli: Int = 1000): DataFrame = {
+      quantMilli: Int = 1000,
+      /** corpus size for the IDF; None computes it INSIDE the plan (a
+        * broadcast one-row count), keeping composition lazy — no job
+        * fires until the caller acts on the result. */
+      nDocs: Option[Long] = None): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("token"))
     val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-    val nDocs = df.count()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(dfreq, Seq("token"))
-      .select(col("id"), col("token"),
-        (col("tf") * floor(log(lit(nDocs.toDouble) / col("df")) * lit(quantMilli))
-          .cast("long")).as("w"))
+    val joined = tf.join(dfreq, Seq("token"))
+    val (withN, nCol) = nDocs match {
+      case Some(n) => (joined, lit(n.toDouble))
+      case None =>
+        (joined.crossJoin(broadcast(
+          df.agg(count(lit(1)).cast("double").as("__ndocs")))),
+          col("__ndocs"))
+    }
+    withN.select(col("id"), col("token"),
+      (col("tf") * floor(log(nCol / col("df")) * lit(quantMilli))
+        .cast("long")).as("w"))
   }
 
   /** TF-IDF cosine over candidate pairs — the IR-weighted alternative

@@ -204,6 +204,30 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 4L)) == 0.0) // same: the universal token carries nothing
   }
 
+  test("tfidfWeights composes lazily: no Spark job until an action runs") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val w = Dedup.tfidfWeights(docs, "id", "text") // plan only
+      Thread.sleep(300)
+      assert(jobs.get() == 0, s"composition launched ${jobs.get()} job(s)")
+      // caller-supplied corpus size skips even the in-plan count
+      val w2 = Dedup.tfidfWeights(docs, "id", "text", nDocs = Some(2L))
+      assert(w.columns.toSeq == w2.columns.toSeq)
+      // and both agree when finally executed
+      val a = w.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val b = w2.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(a == b)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("lineDedupInDoc: in-doc repeats drop, cross-doc repeats survive") {
     import spark.implicits._
     val docs = Seq(
