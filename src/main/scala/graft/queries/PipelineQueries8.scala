@@ -318,6 +318,50 @@ object PipelineQueries8 {
       .orderBy(col("doc_id"))
   }
 
+  /** ANN recall@10 vs brute force, graded: the quality/cost dial the
+    * exact-regime contracts (`similarity_ivf_contract`,
+    * `similarity_pq_contract`) deliberately do not measure. IVF probes
+    * 5 of 8 cells and PQ-rerank nominates 100 ADC candidates — both
+    * genuinely approximate — and each query's hit count against the
+    * exact top-10 must clear a floor with wide margin (measured: IVF
+    * 7-10, PQ 6-10 at sf0.01 AND sf0.1 on these near-random synthetic
+    * embeddings; floor set at 4). Hit counts are integers, so
+    * the pass/fail verdict is portable; a quality regression in
+    * clustering, coarse routing, or ADC ranking drops hits below the
+    * floor and breaks the hash. */
+  val similarityRecall: Q = q(
+    "similarity_recall",
+    """SELECT CAST(vec_id AS BIGINT) AS qid, 10 AS k,
+      |       true AS ivf_ok, true AS pq_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 10)
+      .select(col("qid"), col("id"))
+    val ivf = Similarity.ivfTopK(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      k = 10, nCentroids = 8, nProbe = 5)
+      .select(col("qid"), col("id"))
+    val pq = Similarity.pqRerankTopK(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+      m = 8, kPerSpace = 16, k = 10, kPrime = 100)
+      .select(col("qid"), col("id"))
+    def hits(approx: org.apache.spark.sql.DataFrame, name: String) =
+      bf.join(approx, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as(name))
+    queries.select(col("vec_id").as("qid"))
+      .join(hits(ivf, "ivf_hits"), Seq("qid"), "left")
+      .join(hits(pq, "pq_hits"), Seq("qid"), "left")
+      .select(col("qid"), lit(10).as("k"),
+        (coalesce(col("ivf_hits"), lit(0L)) >= 4).as("ivf_ok"),
+        (coalesce(col("pq_hits"), lit(0L)) >= 4).as("pq_ok"))
+      .orderBy(col("qid"))
+  }
+
   def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ,
-    textNormalize, lineDedupInDocQ, tfidfPairs, truncate, entropy)
+    textNormalize, lineDedupInDocQ, tfidfPairs, truncate, entropy,
+    similarityRecall)
 }

@@ -170,11 +170,26 @@ object SupersetQueries {
   }
 
   /** approximate topN (reference default mode): per-partition top K·f,
-    * merge, re-rank. Graded rows-only — approximation is
-    * engine-specific by design. */
-  val topnApprox: Q = qNoOracle("topn_approx") { (s, d) =>
-    TopN.approxTopK(
+    * merge, re-rank. Graded as a BOUNDED-ERROR contract: the exact
+    * top-5 (stated by the oracle) semi-joins against this engine's
+    * approx top-10 — if the production fanout=4 path ever drops a true
+    * top-5 key, a row disappears and the hash breaks. This grades the
+    * approximation's error bound without demanding an engine-specific
+    * tail order. */
+  val topnApprox: Q = q(
+    "topn_approx",
+    """SELECT user_id AS dim, round(sum(value), 2) AS value
+      |FROM events GROUP BY user_id
+      |ORDER BY sum(value) DESC, user_id ASC LIMIT 5""".stripMargin) { (s, d) =>
+    val approx10 = TopN.approxTopK(
       Tables.events(s, d), col("user_id"), sum, col("value"), k = 10)
+      .select(col("dim"))
+    val exact5 = Tables.events(s, d).groupBy(col("user_id").as("dim"))
+      .agg(sum(col("value")).as("raw"))
+      .orderBy(col("raw").desc, col("dim").asc).limit(5)
+    exact5.join(approx10, Seq("dim"), "left_semi")
+      .orderBy(col("raw").desc, col("dim").asc)
+      .select(col("dim"), round(col("raw"), 2).as("value"))
   }
 
   /** approx-topN coverage contract: when k·fanout covers every key,

@@ -260,59 +260,109 @@ class QueryServer(
 
   def stop(): Unit = if (server != null) server.stop(0)
 
+  /** per-tier lookup specs (reference LookupCoordinatorResource): tier
+    * → name → the spec JSON as posted. Lookup FUNCTIONS are global in
+    * this single-process deployment (a name registered on any tier
+    * serves LOOKUP()), but the config surface round-trips tiers
+    * faithfully: list tiers, list per-tier names, fetch a stored spec,
+    * delete per-tier. `__default` is the reference's default tier. */
+  private val lookupTiers = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.concurrent.TrieMap[String, String]]
+
+  private def registerLookup(name: String, factory: JsonNode): Unit =
+    Option(factory.get("extractionNamespace")) match {
+      case Some(ns) =>
+        val uri = Option(ns.get("uri")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("uri namespace needs a uri"))
+        val spec = Option(ns.get("namespaceParseSpec")).getOrElse(
+          throw new IllegalArgumentException("uri namespace needs a namespaceParseSpec"))
+        val format = Option(spec.get("format")).map(_.asText()).getOrElse("csv")
+        val columns = Option(spec.get("columns")).map { c =>
+          val b = Seq.newBuilder[String]; c.forEach(x => b += x.asText()); b.result()
+        }.getOrElse(Nil)
+        val keyCol = Option(spec.get("keyColumn")).map(_.asText())
+          .getOrElse(columns.headOption.getOrElse("key"))
+        val valCol = Option(spec.get("valueColumn")).map(_.asText())
+          .getOrElse(columns.lift(1).getOrElse("value"))
+        val pollMs = Option(ns.get("pollPeriod")).map(_.asText())
+          .filter(_.nonEmpty)
+          .map(p => java.time.Duration.parse(p).toMillis).getOrElse(0L)
+        graft.functions.LookupRegistry.registerUri(
+          name, uri, format, columns, keyCol, valCol, pollMs)
+      case None =>
+        val mapNode = Option(factory.get("map"))
+          .getOrElse(throw new IllegalArgumentException("no map in lookup spec"))
+        val entries = scala.collection.mutable.Map.empty[String, String]
+        mapNode.properties().forEach(e => entries.put(e.getKey, e.getValue.asText()))
+        graft.functions.LookupRegistry.register(name, entries.toMap)
+    }
+
   private def handleLookups(ex: HttpExchange): Unit =
     try {
       val rest = ex.getRequestURI.getPath
         .stripPrefix("/druid/coordinator/v1/lookups/config").stripPrefix("/")
-      ex.getRequestMethod match {
-        case "GET" =>
-          val names = graft.functions.LookupRegistry.names
-          respond(ex, 200, names.map("\"" + _ + "\"").mkString("[", ",", "]"))
-        case "POST" | "PUT" =>
-          // path {tier}/{name}; body is the reference's
-          // {"lookupExtractorFactory": {"type": "map", "map": {...}}}
-          // (a bare {"map": {...}} is accepted too), or the
-          // lookups-cached-global form: {"type": "cachedNamespace",
-          // "extractionNamespace": {"type": "uri", "uri": ...,
-          // "namespaceParseSpec": {...}, "pollPeriod": "PT..."}}
-          val name = rest.split("/").filter(_.nonEmpty).lastOption.getOrElse(
-            throw new IllegalArgumentException("lookup name missing from path"))
+      val parts = rest.split("/").filter(_.nonEmpty).toSeq
+      def jarr(xs: Seq[String]) =
+        xs.sorted.map(mapper.writeValueAsString).mkString("[", ",", "]")
+      (ex.getRequestMethod, parts) match {
+        case ("GET", Seq()) =>
+          // reference getTiers: the tier names holding lookups
+          // (__default always exists, like the default-tier bootstrap)
+          respond(ex, 200, jarr((lookupTiers.keySet + "__default").toSeq))
+        case ("GET", Seq(tier)) =>
+          lookupTiers.get(tier) match {
+            case Some(m) => respond(ex, 200, jarr(m.keySet.toSeq))
+            case None if tier == "__default" => respond(ex, 200, "[]")
+            case None => respond(ex, 404, s"""{"error":"no such tier [$tier]"}""")
+          }
+        case ("GET", Seq(tier, name)) =>
+          lookupTiers.get(tier).flatMap(_.get(name)) match {
+            case Some(spec) => respond(ex, 200, spec)
+            case None =>
+              respond(ex, 404, s"""{"error":"no lookup [$name] in tier [$tier]"}""")
+          }
+        case ("POST" | "PUT", Seq(tier, name)) =>
+          // body is the reference's {"lookupExtractorFactory": {"type":
+          // "map", "map": {...}}} (a bare {"map": {...}} is accepted
+          // too), or the lookups-cached-global form: {"type":
+          // "cachedNamespace", "extractionNamespace": {"type": "uri",
+          // "uri": ..., "namespaceParseSpec": {...}, "pollPeriod": ...}}
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val n = mapper.readTree(body)
-          val factory = Option(n.get("lookupExtractorFactory")).getOrElse(n)
-          Option(factory.get("extractionNamespace")) match {
-            case Some(ns) =>
-              val uri = Option(ns.get("uri")).map(_.asText()).getOrElse(
-                throw new IllegalArgumentException("uri namespace needs a uri"))
-              val spec = Option(ns.get("namespaceParseSpec")).getOrElse(
-                throw new IllegalArgumentException("uri namespace needs a namespaceParseSpec"))
-              val format = Option(spec.get("format")).map(_.asText()).getOrElse("csv")
-              val columns = Option(spec.get("columns")).map { c =>
-                val b = Seq.newBuilder[String]; c.forEach(x => b += x.asText()); b.result()
-              }.getOrElse(Nil)
-              val keyCol = Option(spec.get("keyColumn")).map(_.asText())
-                .getOrElse(columns.headOption.getOrElse("key"))
-              val valCol = Option(spec.get("valueColumn")).map(_.asText())
-                .getOrElse(columns.lift(1).getOrElse("value"))
-              val pollMs = Option(ns.get("pollPeriod")).map(_.asText())
-                .filter(_.nonEmpty)
-                .map(p => java.time.Duration.parse(p).toMillis).getOrElse(0L)
-              graft.functions.LookupRegistry.registerUri(
-                name, uri, format, columns, keyCol, valCol, pollMs)
-            case None =>
-              val mapNode = Option(factory.get("map"))
-                .getOrElse(throw new IllegalArgumentException("no map in lookup spec"))
-              val entries = scala.collection.mutable.Map.empty[String, String]
-              mapNode.properties().forEach(e => entries.put(e.getKey, e.getValue.asText()))
-              graft.functions.LookupRegistry.register(name, entries.toMap)
+          registerLookup(name, Option(n.get("lookupExtractorFactory")).getOrElse(n))
+          lookupTiers.getOrElseUpdate(tier,
+            scala.collection.concurrent.TrieMap.empty).put(name, body)
+          respond(ex, 202, "")
+        case ("POST" | "PUT", Seq()) =>
+          // reference updateAllLookups: {tier: {name: spec, ...}, ...}
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val n = mapper.readTree(body)
+          n.properties().forEach { tierEntry =>
+            tierEntry.getValue.properties().forEach { nameEntry =>
+              registerLookup(nameEntry.getKey,
+                Option(nameEntry.getValue.get("lookupExtractorFactory"))
+                  .getOrElse(nameEntry.getValue))
+              lookupTiers.getOrElseUpdate(tierEntry.getKey,
+                scala.collection.concurrent.TrieMap.empty)
+                .put(nameEntry.getKey, mapper.writeValueAsString(nameEntry.getValue))
+            }
           }
           respond(ex, 202, "")
-        case "DELETE" =>
-          val name = rest.split("/").filter(_.nonEmpty).lastOption.getOrElse(
-            throw new IllegalArgumentException("lookup name missing from path"))
-          graft.functions.LookupRegistry.deregister(name)
+        case ("DELETE", Seq(tier, name)) =>
+          lookupTiers.get(tier).foreach(_.remove(name))
+          // the function deregisters only when NO tier still holds it
+          if (!lookupTiers.values.exists(_.contains(name)))
+            graft.functions.LookupRegistry.deregister(name)
           respond(ex, 202, "")
-        case _ => respond(ex, 405, """{"error":"GET/POST/DELETE only"}""")
+        case ("DELETE", Seq(tier)) =>
+          lookupTiers.remove(tier).foreach(_.keySet.foreach { name =>
+            if (!lookupTiers.values.exists(_.contains(name)))
+              graft.functions.LookupRegistry.deregister(name)
+          })
+          respond(ex, 202, "")
+        case _ =>
+          respond(ex, 405,
+            """{"error":"GET /config | GET/DELETE /config/{tier} | GET/POST/DELETE /config/{tier}/{name}"}""")
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)

@@ -299,11 +299,18 @@ class QueryServerSpec extends SparkSpec {
         """{"lookupExtractorFactory": {"type": "map", "map": {"a": "Alpha", "b": "Beta"}}}""")
       assert(code == 202)
       val client = java.net.http.HttpClient.newHttpClient()
-      val get = java.net.http.HttpRequest
-        .newBuilder(URI.create(s"http://127.0.0.1:$port/druid/coordinator/v1/lookups/config"))
-        .GET().build()
-      val gresp = client.send(get, java.net.http.HttpResponse.BodyHandlers.ofString())
-      assert(gresp.statusCode() == 200 && gresp.body().contains("srv_lk"), gresp.body())
+      def getB(path: String) = {
+        val r = client.send(java.net.http.HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // reference LookupCoordinatorResource: /config lists TIERS,
+      // /config/{tier} lists that tier's lookup names
+      val (gc, gb) = getB("/druid/coordinator/v1/lookups/config")
+      assert(gc == 200 && gb.contains("__default"), gb)
+      val (tc, tb) = getB("/druid/coordinator/v1/lookups/config/__default")
+      assert(tc == 200 && tb.contains("srv_lk"), tb)
       // the registered lookup serves LOOKUP() in SQL immediately
       val (c2, b2) = post(port, "/druid/v2/sql",
         """{"query": "SELECT LOOKUP(dim, 'srv_lk') AS x FROM ds_lk WHERE m = 1.0"}""")
@@ -323,6 +330,46 @@ class QueryServerSpec extends SparkSpec {
       assert(get2("/druid/v1/lookups/introspect/srv_lk/values")
         == ((200, """["Alpha","Beta"]""")))
       assert(get2("/druid/v1/lookups/introspect/nope")._1 == 404)
+    } finally srv.stop()
+  }
+
+  test("lookup tiers round-trip: per-tier create/list/fetch/delete + shared names") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def getB(path: String) = {
+        val r = client.send(java.net.http.HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def del(path: String) = client.send(java.net.http.HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$port$path")).DELETE().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      val spec = """{"lookupExtractorFactory": {"type": "map", "map": {"k": "V"}}}"""
+      assert(post(port, "/druid/coordinator/v1/lookups/config/__default/tiered_lk", spec)._1 == 202)
+      assert(post(port, "/druid/coordinator/v1/lookups/config/hot/tiered_lk", spec)._1 == 202)
+      assert(post(port, "/druid/coordinator/v1/lookups/config/hot/hot_only", spec)._1 == 202)
+      // tier list includes both; per-tier listings differ
+      val (_, tiers) = getB("/druid/coordinator/v1/lookups/config")
+      assert(tiers.contains("__default") && tiers.contains("hot"), tiers)
+      assert(getB("/druid/coordinator/v1/lookups/config/hot")._2
+        .contains("hot_only"))
+      assert(!getB("/druid/coordinator/v1/lookups/config/__default")._2
+        .contains("hot_only"))
+      // stored spec round-trips verbatim
+      assert(getB("/druid/coordinator/v1/lookups/config/hot/tiered_lk")._2 == spec)
+      assert(getB("/druid/coordinator/v1/lookups/config/nope/x")._1 == 404)
+      // deleting from ONE tier keeps the shared name serving (still in
+      // the other tier); deleting the last reference deregisters it
+      assert(del("/druid/coordinator/v1/lookups/config/hot/tiered_lk") == 202)
+      assert(graft.functions.LookupRegistry.names.contains("tiered_lk"))
+      assert(del("/druid/coordinator/v1/lookups/config/__default/tiered_lk") == 202)
+      assert(!graft.functions.LookupRegistry.names.contains("tiered_lk"))
+      // whole-tier delete drops its remaining names
+      assert(del("/druid/coordinator/v1/lookups/config/hot") == 202)
+      assert(!graft.functions.LookupRegistry.names.contains("hot_only"))
     } finally srv.stop()
   }
 
@@ -537,6 +584,14 @@ class QueryServerSpec extends SparkSpec {
         """{"query": "SELECT k, sum(sv) AS s FROM inline_ds GROUP BY k"}""")
       assert(qc == 200, qb)
       assert(qb == """[{"k":"a","s":5}]""", qb)
+      // the submitted task surfaces as a live sys.tasks row
+      // (reference OverlordResource → SystemSchema TASKS_SIGNATURE)
+      val (tc, tb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT datasource, status, type FROM sys.tasks WHERE type = 'index_parallel'"}""")
+      assert(tc == 200, tb)
+      assert(tb ==
+        """[{"datasource":"inline_ds","status":"SUCCESS","type":"index_parallel"}]""",
+        tb)
     } finally srv.stop()
   }
 
