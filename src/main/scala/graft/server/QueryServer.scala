@@ -60,10 +60,134 @@ class QueryServer(
   private val taskLog =
     new java.util.concurrent.ConcurrentLinkedQueue[SystemTables.TaskRecord]()
 
+  /** retention rules (reference coordinator /rules API + RunRules
+    * duty): datasource → posted rules JSON. `_default` is the cluster
+    * default chain, bootstrapped to loadForever like the reference. */
+  private val retentionRules =
+    scala.collection.concurrent.TrieMap[String, String](
+      "_default" -> """[{"type":"loadForever"}]""")
+
+  /** segments marked unused (markUnused API): datasource → __bucket
+    * directory values excluded from the queryable set. */
+  private val unusedBuckets =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
   private def resolveWithIngested(name: String): DataFrame =
-    if (ingested.contains(name))
-      IngestSql.readTable(spark, storageRoot.get, name)
+    if (ingested.contains(name)) readActive(name)
     else resolveTable(name)
+
+  /** an ingested table restricted to its ACTIVE segments: buckets
+    * marked unused and buckets a drop rule retires are excluded. The
+    * exclusion is a partition-column filter (__bucket is the partition
+    * key), so Spark prunes the dropped directories at planning time —
+    * retention costs zero I/O, like the reference unloading segments
+    * from historicals. */
+  private def readActive(name: String): DataFrame = {
+    val path = ingested(name)
+    val raw = spark.read.parquet(path)
+    if (!raw.columns.contains(graft.sources.Ingest.BucketCol))
+      return raw
+    val excluded = unusedBuckets.getOrElse(name, Set.empty) ++
+      bucketsDroppedByRules(name, path)
+    val scoped =
+      if (excluded.isEmpty) raw
+      else raw.filter(!col(graft.sources.Ingest.BucketCol)
+        .isin(excluded.toSeq: _*))
+    scoped.drop(graft.sources.Ingest.BucketCol)
+  }
+
+  private def listBuckets(path: String): Seq[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prefix = graft.sources.Ingest.BucketCol + "="
+      fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+    } catch { case _: Exception => Nil }
+
+  /** first-matching-rule evaluation (reference Rule.appliesTo +
+    * RunRules): walk the datasource's rules then the `_default` chain;
+    * the first rule covering the segment's interval decides. Returns
+    * the buckets retired by a drop decision. */
+  private def bucketsDroppedByRules(name: String, path: String): Set[String] = {
+    val chain = retentionRules.get(name).toSeq ++ retentionRules.get("_default")
+    if (chain.isEmpty) return Set.empty
+    val rules = chain.flatMap { json =>
+      try {
+        val n = mapper.readTree(json)
+        val b = Seq.newBuilder[JsonNode]; n.forEach(b += _); b.result()
+      } catch { case _: Exception => Nil }
+    }
+    if (!rules.exists(r =>
+        Option(r.get("type")).exists(_.asText().startsWith("drop"))))
+      return Set.empty // all-load chains can't retire anything
+    val gran = segmentMetaWithIngested(name)
+      .map(_.segmentGranularity).getOrElse("P1D")
+    val now = System.currentTimeMillis()
+    listBuckets(path).filter { b =>
+      if (b == "all") false
+      else {
+        val segStart = java.time.LocalDateTime
+          .parse(b + ":00", java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm"))
+          .toInstant(java.time.ZoneOffset.UTC)
+        val s = segStart.toEpochMilli
+        val e = IngestSql.nextBucketInstant(segStart, gran).toEpochMilli
+        rules.iterator.flatMap(r => ruleDecision(r, s, e, now)).nextOption()
+          .contains(false) // Some(false) = first matching rule says drop
+      }
+    }.toSet
+  }
+
+  /** Some(true)=load, Some(false)=drop, None=rule doesn't apply.
+    * Interval rules contain the segment (IntervalLoadRule.appliesTo);
+    * period rules overlap [now-period, now] (+future = unbounded end,
+    * PeriodLoadRule default true); dropBeforeByPeriod retires segments
+    * wholly before now-period. */
+  private def ruleDecision(
+      r: JsonNode, segStart: Long, segEnd: Long, now: Long): Option[Boolean] = {
+    def period: Long = {
+      val p = Option(r.get("period")).map(_.asText()).getOrElse("P0D")
+      // ISO period: date part via LocalDateTime arithmetic (UTC)
+      val nowI = java.time.Instant.ofEpochMilli(now)
+      val thn = nowI.atZone(java.time.ZoneOffset.UTC)
+        .minus(java.time.Period.parse(
+          if (p.contains("T")) p.substring(0, p.indexOf('T')) else p))
+        .minus(if (p.contains("T"))
+          java.time.Duration.parse("P" + p.substring(p.indexOf('T')))
+        else java.time.Duration.ZERO)
+      thn.toInstant.toEpochMilli
+    }
+    def interval: (Long, Long) = {
+      val iv = graft.model.QueryJson.parseInterval(
+        Option(r.get("interval")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("interval rule needs 'interval'")))
+      (iv.startMs, iv.endMs)
+    }
+    def includeFuture =
+      Option(r.get("includeFuture")).forall(_.asBoolean(true))
+    Option(r.get("type")).map(_.asText()).flatMap {
+      case "loadForever" => Some(true)
+      case "dropForever" => Some(false)
+      case "loadByInterval" =>
+        val (a, b) = interval
+        if (a <= segStart && segEnd <= b) Some(true) else None
+      case "dropByInterval" =>
+        val (a, b) = interval
+        if (a <= segStart && segEnd <= b) Some(false) else None
+      case "loadByPeriod" =>
+        val from = period
+        val to = if (includeFuture) Long.MaxValue else now
+        if (segEnd > from && segStart < to) Some(true) else None
+      case "dropByPeriod" =>
+        val from = period
+        val to = if (includeFuture) Long.MaxValue else now
+        if (segEnd > from && segStart < to) Some(false) else None
+      case "dropBeforeByPeriod" =>
+        if (segEnd <= period) Some(false) else None
+      case _ => None
+    }
+  }
 
   private def allDatasources(): Seq[String] =
     (datasources() ++ ingested.keySet).distinct
@@ -207,16 +331,13 @@ class QueryServer(
           respond(ex, 200, mapper.writeValueAsString(arr))
         }
       } catch { case e: Exception => val (c, b) = errorBody(e); respond(ex, c, b) })
-    // GET /druid/coordinator/v1/datasources — datasource names
-    server.createContext("/druid/coordinator/v1/datasources", (ex: HttpExchange) =>
-      try {
-        if (ex.getRequestMethod != "GET") respond(ex, 405, """{"error":"GET only"}""")
-        else {
-          val arr = mapper.createArrayNode()
-          allDatasources().sorted.foreach(arr.add)
-          respond(ex, 200, mapper.writeValueAsString(arr))
-        }
-      } catch { case e: Exception => val (c, b) = errorBody(e); respond(ex, c, b) })
+    // /druid/coordinator/v1/datasources: GET names;
+    // POST {ds}/markUnused | {ds}/markUsed (segment lifecycle)
+    server.createContext("/druid/coordinator/v1/datasources",
+      (ex: HttpExchange) => handleCoordinatorDatasources(ex))
+    // retention rules (reference /druid/coordinator/v1/rules)
+    server.createContext("/druid/coordinator/v1/rules",
+      (ex: HttpExchange) => handleRules(ex))
     // pooled dispatch: concurrent queries are admission-controlled by
     // withCapacity, not serialized by the listener thread
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
@@ -449,8 +570,7 @@ class QueryServer(
                 .exists(_.getPath.getName.startsWith(
                   graft.sources.Ingest.BucketCol + "="))
           if (hasSegments)
-            IngestSql.readTable(spark, storageRoot.get, datasource)
-              .createOrReplaceTempView(datasource)
+            readActive(datasource).createOrReplaceTempView(datasource)
           else {
             spark.catalog.dropTempView(datasource)
             ingested.remove(datasource)
@@ -610,9 +730,122 @@ class QueryServer(
     * first micro-batch hasn't landed yet are skipped, not errors. */
   private def refreshIngestedViews(): Unit =
     ingested.foreach { case (name, _) =>
-      try IngestSql.readTable(spark, storageRoot.get, name)
-        .createOrReplaceTempView(name)
+      try readActive(name).createOrReplaceTempView(name)
       catch { case _: Exception => }
+    }
+
+  /** reference RulesResource: GET /rules (all), GET/POST /rules/{ds}
+    * (per-datasource; `_default` = the cluster default chain). Rules
+    * take effect at the next query — the drop evaluation runs at
+    * table-resolution time against the segment directory layout. */
+  private def handleRules(ex: HttpExchange): Unit =
+    try {
+      val rest = ex.getRequestURI.getPath
+        .stripPrefix("/druid/coordinator/v1/rules").stripPrefix("/")
+      (ex.getRequestMethod, rest) match {
+        case ("GET", "") =>
+          val o = mapper.createObjectNode()
+          retentionRules.toSeq.sortBy(_._1).foreach { case (ds, json) =>
+            o.set[ObjectNode](ds, mapper.readTree(json))
+          }
+          respond(ex, 200, mapper.writeValueAsString(o))
+        case ("GET", ds) =>
+          respond(ex, 200, retentionRules.getOrElse(ds, "[]"))
+        case ("POST" | "PUT", ds) if ds.nonEmpty =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val n = mapper.readTree(body)
+          require(n.isArray, "rules payload must be a JSON array of rules")
+          n.forEach { r =>
+            val t = Option(r.get("type")).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException("rule missing 'type'"))
+            require(Set("loadForever", "dropForever", "loadByInterval",
+              "dropByInterval", "loadByPeriod", "dropByPeriod",
+              "dropBeforeByPeriod", "broadcastForever").contains(t),
+              s"unsupported rule type [$t]")
+          }
+          retentionRules.put(ds, mapper.writeValueAsString(n))
+          respond(ex, 200, "")
+        case _ => respond(ex, 405, """{"error":"GET /rules | GET/POST /rules/{ds}"}""")
+      }
+    } catch {
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
+    }
+
+  /** reference DataSourcesResource: GET the datasource list; POST
+    * {ds}/markUnused and {ds}/markUsed flip segment availability by
+    * interval or by segment id — marked segments leave (rejoin) the
+    * queryable set immediately, and the body answers with the
+    * reference's {"numChangedSegments": n}. */
+  private def handleCoordinatorDatasources(ex: HttpExchange): Unit =
+    try {
+      val rest = ex.getRequestURI.getPath
+        .stripPrefix("/druid/coordinator/v1/datasources").stripPrefix("/")
+      val parts = rest.split("/").filter(_.nonEmpty).toSeq
+      (ex.getRequestMethod, parts) match {
+        case ("GET", Seq()) =>
+          val arr = mapper.createArrayNode()
+          allDatasources().sorted.foreach(arr.add)
+          respond(ex, 200, mapper.writeValueAsString(arr))
+        case ("POST", Seq(ds, action))
+            if action == "markUnused" || action == "markUsed" =>
+          val path = ingested.getOrElse(ds,
+            throw new IllegalArgumentException(
+              s"unknown datasource [$ds] (segment lifecycle applies to " +
+                "server-ingested tables)"))
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val n = if (body.trim.isEmpty) mapper.createObjectNode()
+            else mapper.readTree(body)
+          val gran = segmentMetaWithIngested(ds)
+            .map(_.segmentGranularity).getOrElse("P1D")
+          val targeted: Set[String] =
+            Option(n.get("interval")).filterNot(_.isNull).map(_.asText()) match {
+              case Some(ivText) =>
+                val iv = graft.model.QueryJson.parseInterval(ivText)
+                listBuckets(path).filter { b =>
+                  b != "all" && {
+                    val st = java.time.LocalDateTime
+                      .parse(b + ":00", java.time.format.DateTimeFormatter
+                        .ofPattern("yyyy-MM-dd'T'HH:mm"))
+                      .toInstant(java.time.ZoneOffset.UTC)
+                    val s = st.toEpochMilli
+                    val e = IngestSql.nextBucketInstant(st, gran).toEpochMilli
+                    s < iv.endMs && e > iv.startMs
+                  }
+                }.toSet
+              case None =>
+                // {"segmentIds": ["ds_startIso_endIso_1", ...]}
+                val ids = Option(n.get("segmentIds")).filterNot(_.isNull)
+                  .map { a =>
+                    val b = Seq.newBuilder[String]
+                    a.forEach(x => b += x.asText()); b.result()
+                  }.getOrElse(throw new IllegalArgumentException(
+                    s"$action needs 'interval' or 'segmentIds'"))
+                ids.flatMap { id =>
+                  // start ISO instant → bucket directory name
+                  id.stripPrefix(ds + "_").split("_").headOption.flatMap { iso =>
+                    try Some(java.time.format.DateTimeFormatter
+                      .ofPattern("yyyy-MM-dd'T'HH")
+                      .withZone(java.time.ZoneOffset.UTC)
+                      .format(java.time.Instant.parse(iso)))
+                    catch { case _: Exception => None }
+                  }
+                }.toSet
+            }
+          val before = unusedBuckets.getOrElse(ds, Set.empty)
+          val after =
+            if (action == "markUnused") before ++ targeted
+            else before -- targeted
+          unusedBuckets.put(ds, after)
+          val changed =
+            if (action == "markUnused") (after -- before).size
+            else (before -- after).size
+          respond(ex, 200, s"""{"numChangedSegments":$changed}""")
+        case _ =>
+          respond(ex, 405,
+            """{"error":"GET / | POST {ds}/markUnused | POST {ds}/markUsed"}""")
+      }
+    } catch {
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
     }
 
   private def handleLookupIntrospect(ex: HttpExchange): Unit =

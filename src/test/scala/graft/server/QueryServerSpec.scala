@@ -477,6 +477,64 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("retention rules + markUnused retire segments from the queryable set") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retention").toString
+    fixture.createOrReplaceTempView("ds_ret")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO rettab SELECT __time, dim, m FROM ds_ret PARTITIONED BY DAY"}""")
+      assert(c1 == 200, b1)
+      def countRows(): String =
+        post(port, "/druid/v2/sql",
+          """{"query": "SELECT count(*) AS n FROM rettab"}""")._2
+      assert(countRows() == """[{"n":3}]""")
+      // markUnused by interval: the 2024-01-02 segment leaves the set
+      val (mc, mb) = post(port,
+        "/druid/coordinator/v1/datasources/rettab/markUnused",
+        """{"interval": "2024-01-02/2024-01-03"}""")
+      assert(mc == 200 && mb == """{"numChangedSegments":1}""", mb)
+      assert(countRows() == """[{"n":2}]""")
+      // markUsed by segment id brings it back
+      val segId = "rettab_2024-01-02T00:00:00.000Z_2024-01-03T00:00:00.000Z_1"
+      val (uc, ub) = post(port,
+        "/druid/coordinator/v1/datasources/rettab/markUsed",
+        s"""{"segmentIds": ["$segId"]}""")
+      assert(uc == 200 && ub == """{"numChangedSegments":1}""", ub)
+      assert(countRows() == """[{"n":3}]""")
+      // a dropByInterval rule retires 2024-01-01 at the next query
+      val (rc, _) = post(port, "/druid/coordinator/v1/rules/rettab",
+        """[{"type": "dropByInterval", "interval": "2024-01-01/2024-01-02"},
+          |{"type": "loadForever"}]""".stripMargin)
+      assert(rc == 200)
+      assert(countRows() == """[{"n":1}]""")
+      // rules listing carries both the datasource chain and _default
+      val client = java.net.http.HttpClient.newHttpClient()
+      val rl = client.send(java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/coordinator/v1/rules"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(rl.body().contains("dropByInterval") &&
+        rl.body().contains("_default"), rl.body())
+      // dropping the rule restores the segment; a dropBeforeByPeriod
+      // with a huge lookback retires nothing
+      post(port, "/druid/coordinator/v1/rules/rettab",
+        """[{"type": "dropBeforeByPeriod", "period": "P100Y"},
+          |{"type": "loadForever"}]""".stripMargin)
+      assert(countRows() == """[{"n":3}]""")
+      // native path honors retention too
+      post(port, "/druid/coordinator/v1/rules/rettab",
+        """[{"type": "dropByInterval", "interval": "2024-01-01/2024-01-02"}]""")
+      val (nc, nb) = post(port, "/druid/v2",
+        """{"queryType": "timeseries", "dataSource": "rettab", "intervals": [],
+          |"granularity": "all",
+          |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin)
+      assert(nc == 200, nb)
+      assert(nb.contains("\"cnt\":1"), nb)
+    } finally srv.stop()
+  }
+
   test("SQL INSERT ... PARTITIONED BY ingests; table queryable; REPLACE overwrites") {
     val root = java.nio.file.Files.createTempDirectory("graft-sqlingest").toString
     fixture.createOrReplaceTempView("ds_ing")
