@@ -129,6 +129,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Persist a trained IVF index as a queryable parquet layout:
+    * `centroids/` holds (centroid_id, centroid) and `cells/` holds
+    * (id, vec) PARTITIONED BY centroid_id — the on-disk twin of an
+    * inverted-file index. At corpus scale the expensive pass (k-means
+    * + assignment) runs ONCE here; every later query routes to nProbe
+    * cell directories and never rescans the corpus. */
+  def saveIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nCentroids: Int, iterations: Int = 3): Unit = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val loaded = corpus.sparkSession.read.parquet(s"$dir/centroids")
+    assignClusters(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), loaded)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/cells")
+  }
+
+  /** Query a persisted IVF index: centroids broadcast for routing, and
+    * the probed cell ids COLLECT to literals (bounded: |queries| ×
+    * nProbe — the broker-side segment-routing decision) so the cells
+    * scan statically prunes to the probed partition directories. */
+  def loadIvfTopK(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        VectorExpressions.l2F32(col("qvec"), col("centroid")).as("d"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d").asc, col("centroid_id").asc)))
+      .filter(col("__r") <= nProbe)
+      .select(col("qid"), col("qvec"), col("centroid_id"))
+    val cellIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$dir/cells")
+      .where(col("centroid_id").isin(cellIds: _*))
+    val scored = cells.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        VectorExpressions.cosineF32(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Int8 scalar quantization of an embedding: L2-normalize, then
     * code_i = floor(u_i * 127 + 0.5) ∈ [-127, 127]. The codes column
     * is the memory/scan-side win at corpus scale: 4× smaller than

@@ -338,6 +338,23 @@ class QueryServer(
     // retention rules (reference /druid/coordinator/v1/rules)
     server.createContext("/druid/coordinator/v1/rules",
       (ex: HttpExchange) => handleRules(ex))
+    // readiness / load status (reference BrokerResource,
+    // HistoricalResource, CoordinatorResource.getLoadStatus): this
+    // process is broker+historical+coordinator in one, and its tables
+    // are immutable parquet — always fully loaded once started.
+    server.createContext("/druid/broker/v1/loadstatus", (ex: HttpExchange) =>
+      respond(ex, 200, """{"inventoryInitialized":true}"""))
+    server.createContext("/druid/broker/v1/readiness", (ex: HttpExchange) =>
+      respondNoBody(ex, 200))
+    server.createContext("/druid/historical/v1/loadstatus", (ex: HttpExchange) =>
+      respond(ex, 200, """{"cacheInitialized":true}"""))
+    server.createContext("/druid/historical/v1/readiness", (ex: HttpExchange) =>
+      respondNoBody(ex, 200))
+    server.createContext("/druid/coordinator/v1/loadstatus", (ex: HttpExchange) => {
+      val o = mapper.createObjectNode()
+      allDatasources().sorted.foreach(o.put(_, 100.0))
+      respond(ex, 200, mapper.writeValueAsString(o))
+    })
     // pooled dispatch: concurrent queries are admission-controlled by
     // withCapacity, not serialized by the listener thread
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
@@ -1843,6 +1860,11 @@ class QueryServer(
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def respondNoBody(ex: HttpExchange, code: Int): Unit = {
+    ex.sendResponseHeaders(code, -1)
     ex.close()
   }
 }

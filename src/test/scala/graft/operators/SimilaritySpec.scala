@@ -59,6 +59,42 @@ class SimilaritySpec extends SparkSpec {
     assert(top.forall(_ % 2 == 0), top.toSeq)
   }
 
+  test("persisted IVF index: save → load reproduces the in-memory path and prunes cells") {
+    import spark.implicits._
+    val pts = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      val jit = (i / 2) * 0.004f
+      (i.toLong, Array(base(0) + jit, base(1) - jit))
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    Similarity.saveIvfIndex(corpus, "vec_id", "embedding", dir, nCentroids = 2, iterations = 4)
+    // the cells layout is partitioned by cell — the probe's pruning key
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("centroid_id="))
+    assert(cellDirs.length == 2, cellDirs.toSeq)
+    val queries = corpus.filter($"vec_id" === 0L)
+    // all-cells probe == brute force ranking
+    val loadedAll = Similarity.loadIvfTopK(
+      spark, dir, queries, "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    val bf = Similarity.bruteForceTopK(
+      queries, "vec_id", "embedding", corpus, "vec_id", "embedding", k = 3)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(loadedAll == bf, s"$loadedAll vs $bf")
+    // single-cell probe stays within the query's cluster (even ids)
+    val loaded1 = Similarity.loadIvfTopK(
+      spark, dir, queries, "vec_id", "embedding", k = 3, nProbe = 1)
+      .collect().map(_.getLong(1))
+    assert(loaded1.length == 3 && loaded1.forall(_ % 2 == 0), loaded1.toSeq)
+    // and the pruned scan reads just the probed partition: plan shows
+    // a partition filter on centroid_id
+    val plan = Similarity.loadIvfTopK(
+      spark, dir, queries, "vec_id", "embedding", k = 3, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("centroid_id"), plan.take(2000))
+  }
+
   test("int8 quantization: codes bounded, quantized ranking tracks exact") {
     import spark.implicits._
     // 40 deterministic pseudo-random 8-dim vectors
