@@ -156,6 +156,45 @@ class AvaticaSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("statement limit enforced per connection (AvaticaServerConfig default 4)") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      rpc(port, """{"request":"openConnection","connectionId":"c5"}""")
+      (1 to 4).foreach { _ =>
+        assert(rpc(port,
+          """{"request":"createStatement","connectionId":"c5"}""")
+          .get("response").asText() == "createStatement")
+      }
+      val fifth = rpc(port, """{"request":"createStatement","connectionId":"c5"}""")
+      assert(fifth.get("response").asText() == "error")
+      assert(fifth.get("errorMessage").asText().contains("too many"))
+      rpc(port, """{"request":"closeConnection","connectionId":"c5"}""")
+    } finally srv.stop()
+  }
+
+  test("readiness and loadstatus probes answer") {
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      datasources = () => Seq("ds"))
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String) = {
+        val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(get("/druid/broker/v1/readiness")._1 == 200)
+      assert(get("/druid/historical/v1/readiness")._1 == 200)
+      assert(get("/druid/broker/v1/loadstatus")._2
+        == """{"inventoryInitialized":true}""")
+      assert(get("/druid/historical/v1/loadstatus")._2
+        == """{"cacheInitialized":true}""")
+      assert(get("/druid/coordinator/v1/loadstatus")._2 == """{"ds":100.0}""")
+    } finally srv.stop()
+  }
+
   test("protocol errors use the avatica error envelope") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
