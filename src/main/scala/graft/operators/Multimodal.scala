@@ -227,6 +227,90 @@ object Multimodal {
     }
   }
 
+  /** REAL PCM decode of a WAV container — no codec library needed:
+    * PCM samples are raw little-endian integers following the data
+    * chunk header. Supports 16-bit (signed LE) and 8-bit (unsigned,
+    * recentred to signed) PCM, channels interleaved. None for
+    * non-PCM/foreign/truncated bytes. */
+  private[operators] def decodeWavPcm(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (bytes == null || bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE"))
+      return None
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ") && i + 8 + 16 <= bytes.length) {
+        if (le16(i + 8) != 1) return None // PCM only
+        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))
+      } else if (tag(i, "data")) {
+        val (ch, sr, bits) = fmt.getOrElse(return None)
+        val end = math.min(bytes.length, i + 8 + size)
+        val out =
+          if (bits == 16) {
+            val n = (end - (i + 8)) / 2
+            Array.tabulate(n) { k =>
+              val v = le16(i + 8 + 2 * k)
+              if (v >= 0x8000) v - 0x10000 else v // sign-extend
+            }
+          } else if (bits == 8) {
+            val n = end - (i + 8)
+            Array.tabulate(n)(k => u8(i + 8 + k) - 128)
+          } else return None
+        return Some((ch, sr, bits, out))
+      }
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  val audioStatsType: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("peak", IntegerType),
+    StructField("sum_sq", LongType),
+    StructField("zero_crossings", LongType)))
+
+  /** REAL audio feature extraction over decoded PCM: sample count,
+    * peak |amplitude|, energy (sum of squares), and strict
+    * zero-crossing count (s[i-1]·s[i] < 0 over the interleaved
+    * stream). All integers — bit-exact in any engine. Non-PCM media →
+    * null struct (quarantine, no guessing). */
+  def withAudioFeatures(
+      df: DataFrame, binCol: String, outCol: String = "audio_stats"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, audioStatsType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val stats = decodeWavPcm(bytes) match {
+          case Some((_, _, _, s)) =>
+            var peak = 0
+            var sumSq = 0L
+            var zc = 0L
+            var i = 0
+            while (i < s.length) {
+              val v = s(i)
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v.toLong * v
+              if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+              i += 1
+            }
+            Row(s.length.toLong, peak, sumSq, zc)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
+  }
+
   /** attach audio metadata (real WAV header probe; non-audio bytes →
     * null struct — callers quarantine, no guessing). */
   def withAudioMeta(df: DataFrame, binCol: String, metaCol: String = "audio_meta"): DataFrame = {

@@ -361,7 +361,63 @@ object PipelineQueries8 {
       .orderBy(col("qid"))
   }
 
+  /** REAL PCM audio decode graded end to end (the audio twin of
+    * `multimodal_pipeline`'s BMP trick): each doc synthesizes a mono
+    * 16-bit 8 kHz WAV whose samples are a stated integer function of
+    * (doc_id, i); Spark must parse the RIFF chunks and decode the raw
+    * little-endian PCM, then extract integer features (count, peak,
+    * energy, zero crossings) — the oracle states every value
+    * analytically. A chunk-walk bug, sign-extension bug, or
+    * interleaving bug breaks the hash. */
+  val multimodalAudioStats: Q = q(
+    "multimodal_audio_stats",
+    """WITH s AS (
+      |  SELECT doc_id, doc_id % 50 + 20 AS n,
+      |         list_transform(range(0, doc_id % 50 + 20),
+      |           i -> (doc_id * 31 + i * 7919) % 4001 - 2000) AS smp
+      |  FROM documents WHERE doc_id < 400)
+      |SELECT doc_id,
+      |       CAST(n AS BIGINT) AS n_samples,
+      |       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak,
+      |       CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq,
+      |       CAST(coalesce(list_sum(list_transform(range(1, n),
+      |         i -> CASE WHEN smp[i] * smp[i+1] < 0 THEN 1 ELSE 0 END)), 0)
+      |         AS BIGINT) AS zero_crossings
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val doc = col("doc_id")
+    def b2(v: Column) = lpad(lower(hex(pmod(v, lit(256L)))), 2, "0")
+    def le16h(v: Column) = concat(b2(v), b2(shiftright(v, 8)))
+    def le32h(v: Column) = concat(b2(v), b2(shiftright(v, 8)),
+      b2(shiftright(v, 16)), b2(shiftright(v, 24)))
+    val n = doc % 50 + 20
+    val dataSize = n * 2 // mono 16-bit
+    // RIFF/WAVE + fmt (PCM, 1ch, 8 kHz, 16-bit) + data header
+    val header = concat(
+      lit("52494646"), le32h(dataSize + 36), lit("57415645"),
+      lit("666d7420" + "10000000" + "0100" + "0100" +
+        "401f0000" + "803e0000" + "0200" + "1000"),
+      lit("64617461"), le32h(dataSize))
+    // samples as signed LE16 two's complement (pmod recentres negatives)
+    val samples = array_join(
+      transform(sequence(lit(0L), n - 1), i =>
+        le16h(pmod((doc * 31 + i * 7919) % 4001 - 2000, lit(65536L)))), "")
+    val media = Tables.documents(s, d).filter(doc < 400)
+      .select(doc, unhex(concat(header, samples)).as("media"))
+    Multimodal.withAudioFeatures(
+      Multimodal.withAudioMeta(media, "media"), "media")
+      .filter(col("audio_meta.sample_rate") === 8000) // header probe agrees
+      .select(col("doc_id"),
+        col("audio_stats.n_samples").as("n_samples"),
+        col("audio_stats.peak").as("peak"),
+        col("audio_stats.sum_sq").as("sum_sq"),
+        col("audio_stats.zero_crossings").as("zero_crossings"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ,
     textNormalize, lineDedupInDocQ, tfidfPairs, truncate, entropy,
-    similarityRecall)
+    similarityRecall, multimodalAudioStats)
 }

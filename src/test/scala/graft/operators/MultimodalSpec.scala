@@ -148,6 +148,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).isDefined && out(2L).isEmpty)
   }
 
+  // mono 16-bit PCM WAV with known samples (includes negatives)
+  private def tinyWav(samples: Seq[Int]): Array[Byte] = {
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    val data = samples.flatMap(s => le16(s & 0xffff))
+    (("RIFF".getBytes.toSeq.map(_.toInt) ++ le32(36 + data.size) ++
+      "WAVE".getBytes.toSeq.map(_.toInt) ++
+      "fmt ".getBytes.toSeq.map(_.toInt) ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes.toSeq.map(_.toInt) ++ le32(data.size)) ++ data)
+      .map(_.toByte).toArray
+  }
+
+  test("REAL PCM decode: 16-bit signed samples come back exactly") {
+    val samples = Seq(0, 1000, -1000, 32767, -32768, 5)
+    val Some((ch, sr, bits, decoded)) = Multimodal.decodeWavPcm(tinyWav(samples))
+    assert(ch == 1 && sr == 8000 && bits == 16)
+    assert(decoded.toSeq == samples)
+    assert(Multimodal.decodeWavPcm("not audio at all, truly not....................".getBytes).isEmpty)
+  }
+
+  test("audio features: peak/energy/zero-crossings from decoded PCM") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, tinyWav(Seq(100, -200, 300, -400))), // 3 strict crossings
+      (2L, "junk".getBytes ++ new Array[Byte](60))
+    ).toDF("id", "media")
+    val out = Multimodal.withAudioFeatures(df, "media")
+      .select(col("id"), col("audio_stats.n_samples"), col("audio_stats.peak"),
+        col("audio_stats.sum_sq"), col("audio_stats.zero_crossings"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))))).toMap
+    assert(out(1L).contains((4L, 400,
+      100L * 100 + 200L * 200 + 300L * 300 + 400L * 400, 3L)))
+    assert(out(2L).isEmpty) // non-PCM media quarantines as null
+  }
+
   test("frame sampling yields n byte-slices covering the media") {
     val out = Multimodal.withFrameSamples(media, "media", nFrames = 4)
       .select(col("id"), size(col("media_frames")).as("n"),
