@@ -522,8 +522,39 @@ object Multimodal {
     }(enc)
   }
 
-  /** ==== STUB: frame sampling (would decode video and grab every
-    * n-th frame) — deterministic byte-slices standing in for frames. */
+  /** REAL multi-frame decode via the ImageIO reader sequence —
+    * animated GIFs come back frame by frame (the JDK GIF reader
+    * exposes getNumImages/read(i)). Single-frame stills yield one
+    * frame; undecodable media → None. */
+  private[operators] def decodeFrames(
+      bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    if (bytes == null || bytes.length < 8) None
+    else
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val rs = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!rs.hasNext) return None
+          val r = rs.next()
+          r.setInput(iis)
+          val n =
+            try math.max(r.getNumImages(true), 1)
+            catch { case _: Exception => 1 }
+          val frames = (0 until n).flatMap { i =>
+            try Option(r.read(i)) catch { case _: Exception => None }
+          }
+          r.dispose()
+          if (frames.isEmpty) None else Some(frames)
+        } finally iis.close()
+      } catch { case _: Exception => None }
+
+  /** frame sampling: REAL for ImageIO-decodable media — up to nFrames
+    * frames sampled evenly from the decoded sequence (animated GIF
+    * frames; stills yield their single frame), each re-encoded as
+    * lossless PNG. H.264/MP4 has no JDK decoder, so non-decodable
+    * media falls back to deterministic byte-slices (honest stand-in,
+    * same schema/batch shape). */
   def withFrameSamples(
       df: DataFrame, binCol: String, nFrames: Int,
       outCol: String = "media_frames"): DataFrame = {
@@ -534,16 +565,22 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val frames: Seq[Array[Byte]] =
-          if (bytes == null || bytes.isEmpty) Seq.empty
-          else {
-            val stride = math.max(1, bytes.length / nFrames)
-            (0 until math.min(nFrames, bytes.length)).map { i =>
-              val from = i * stride
-              java.util.Arrays.copyOfRange(bytes, from,
-                math.min(from + stride, bytes.length))
+        val frames: Seq[Array[Byte]] = decodeFrames(bytes) match {
+          case Some(decoded) =>
+            val take = math.min(nFrames, decoded.length)
+            // even sampling across the sequence (every n/take-th frame)
+            (0 until take).map(i => encodePng(decoded(i * decoded.length / take)))
+          case None =>
+            if (bytes == null || bytes.isEmpty) Seq.empty
+            else {
+              val stride = math.max(1, bytes.length / nFrames)
+              (0 until math.min(nFrames, bytes.length)).map { i =>
+                val from = i * stride
+                java.util.Arrays.copyOfRange(bytes, from,
+                  math.min(from + stride, bytes.length))
+              }
             }
-          }
+        }
         Row.fromSeq(r.toSeq :+ frames)
       }
     }(enc)
