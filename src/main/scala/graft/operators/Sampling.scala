@@ -102,6 +102,37 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Domain-mixture planning — the "data mixture" step of corpus
+    * assembly: given RELATIVE target weights per domain (milli-units),
+    * find the largest corpus achievable WITHOUT upsampling any domain
+    * (the binding domain is the one whose available tokens fall
+    * shortest of its weight) and each domain's keep-token count +
+    * acceptance rate realizing it. Downsample-only mixing is the
+    * standard corpus recipe; integer arithmetic end to end (truncating
+    * div), so the plan is bit-identical in any engine. One narrow agg
+    * + a broadcast one-row min — no wide shuffle at any corpus size. */
+  def mixtureWeights(
+      df: DataFrame, domainCol: String, tokensCol: String,
+      targetMilli: Column): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def idiv(a: Column, b: Column): Column = graft.exprs.toCol(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        graft.exprs.toExpr(a), graft.exprs.toExpr(b)))
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+      .withColumn("target_milli", targetMilli.cast("long"))
+    // if this domain binds, the whole mix can total n·1000/target
+    val capped = perDomain.withColumn(
+      "__cap", idiv(col("n_tokens") * 1000L, col("target_milli")))
+    val total = capped.agg(min(col("__cap")).as("__total"))
+    capped.crossJoin(broadcast(total))
+      .select(col(domainCol), col("n_tokens"), col("target_milli"),
+        idiv(col("target_milli") * col("__total"), lit(1000L)).as("keep_tokens"),
+        least(lit(10000L),
+          idiv(idiv(col("target_milli") * col("__total"), lit(1000L)) * 10000L,
+            col("n_tokens"))).as("rate_bp"))
+  }
+
   def tokenBudget(
       df: DataFrame, domainCol: String, idCol: String, tokensCol: String,
       budgets: Map[String, Long], defaultBudget: Long,

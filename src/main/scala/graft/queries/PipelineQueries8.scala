@@ -417,7 +417,34 @@ object PipelineQueries8 {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-mixture planning graded: per-source whitespace-token
+    * counts + index-derived target weights → the downsample-only
+    * mixture (binding domain, keep tokens, acceptance bp), all
+    * truncating integer division — identical plans in both engines. */
+  val mixtureWeights: Q = q(
+    "sampling_mixture_weights",
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |         20 + (CAST(substr(source, 4) AS BIGINT) % 5) * 10 AS target_milli
+      |  FROM documents GROUP BY source),
+      |c AS (SELECT *, n_tokens * 1000 // target_milli AS cap FROM t),
+      |m AS (SELECT min(cap) AS total FROM c)
+      |SELECT source, n_tokens, CAST(target_milli AS BIGINT) AS target_milli,
+      |       CAST(target_milli * total // 1000 AS BIGINT) AS keep_tokens,
+      |       CAST(least(10000, (target_milli * total // 1000) * 10000 // n_tokens)
+      |         AS BIGINT) AS rate_bp
+      |FROM c, m ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(s, d).select(
+      col("source"), size(split(col("text"), " ")).as("toks"))
+    graft.operators.Sampling.mixtureWeights(
+      toks, "source", "toks",
+      lit(20L) + (substring(col("source"), 4, 10).cast("long") % 5L) * 10L)
+      .orderBy(col("source"))
+  }
+
   def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ,
     textNormalize, lineDedupInDocQ, tfidfPairs, truncate, entropy,
-    similarityRecall, multimodalAudioStats)
+    similarityRecall, multimodalAudioStats, mixtureWeights)
 }

@@ -64,4 +64,19 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("mixtureWeights: binding domain keeps 100%, others downsample to ratio") {
+    import spark.implicits._
+    // web has 9000 tokens, books 500; equal targets (500/500 milli):
+    // books binds → total = 500*1000/500 = 1000; each keeps 500 tokens
+    val corpus = (Seq.fill(9)(("web", 1000L)) :+ ("books", 500L))
+      .zipWithIndex.map { case ((d, t), i) => (i.toLong, d, t) }
+      .toDF("id", "domain", "tokens")
+    val out = Sampling.mixtureWeights(
+      corpus, "domain", "tokens", org.apache.spark.sql.functions.lit(500L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(out("books") == ((500L, 500L, 10000L))) // binds: keep all
+    assert(out("web") == ((9000L, 500L, 555L))) // 500/9000 → 555 bp
+  }
 }
