@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ASOF (as-of) join: for every left row, the single latest right row
+  * with rightTs <= leftTs on the join key — the point-in-time lookup
+  * of a slowly-changing reference series at event time (prices at
+  * trade time, config at request time, sensor state at reading time).
+  *
+  * Spark has no native ASOF join, and the naive formulation
+  * (`l JOIN r ON key AND r.ts <= l.ts` + max-per-row) is a range join
+  * that multiplies rows before pruning — quadratic per key, a
+  * scale-killer. This is the union+window formulation instead: tag
+  * both sides, sort each key's merged timeline once with
+  * right-before-left at timestamp ties (`<=` semantics), and carry the
+  * latest right payload forward. ONE shuffle on the key, zero row
+  * multiplication, any scale; skewed keys ride AQE like any window.
+  */
+object AsofJoin {
+
+  /** @param valueCols right-side payload columns to carry (names must
+    *                  not collide with left columns)
+    * @param toleranceMs match only when leftTs - rightTs <= tolerance
+    *                    (None = unbounded lookback)
+    * @return left rows + valueCols + `asof_ts` (the matched right
+    *         timestamp; all null when no right row qualifies) */
+  def asof(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      valueCols: Seq[String], toleranceMs: Option[Long] = None): DataFrame = {
+    require(valueCols.nonEmpty, "asof join needs at least one value column")
+    val collisions = valueCols.toSet intersect left.columns.toSet
+    require(collisions.isEmpty, s"value columns collide with left: $collisions")
+
+    // the right payload travels as ONE struct so the window picks the
+    // whole latest right ROW (null payload fields stay with their row,
+    // never spliced from an older one)
+    val payload = struct(
+      (col(leftTs).as("__rts") +: valueCols.map(col)): _*)
+    val rightTagged = right.select(
+      (col(rightKey).as(leftKey) +: col(rightTs).as(leftTs) +:
+        lit(0).as("__tag") +: payload.as("__p") +:
+        left.columns.filterNot(c => c == leftKey || c == leftTs)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val leftTagged = left.select(
+      (col(leftKey) +: col(leftTs) +: lit(1).as("__tag") +:
+        lit(null).cast(rightTagged.schema("__p").dataType).as("__p") +:
+        left.columns.filterNot(c => c == leftKey || c == leftTs).map(col)): _*)
+
+    val w = Window.partitionBy(col(leftKey))
+      .orderBy(col(leftTs).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rightTagged.unionByName(leftTagged)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+
+    val withinTol: Column = toleranceMs match {
+      case Some(tol) =>
+        unix_millis(col(leftTs)) - unix_millis(col("__m.__rts")) <= tol
+      case None => lit(true)
+    }
+    val keep = col("__m").isNotNull && withinTol
+    matched.select(
+      (left.columns.map(col) ++
+        valueCols.map(v => when(keep, col(s"__m.$v")).as(v)) :+
+        when(keep, col("__m.__rts")).as("asof_ts")): _*)
+  }
+}

@@ -156,7 +156,35 @@ object JoinQueries {
       round(max("total_spent"), 4).as("max_spent"))
   }
 
+  /** ASOF join (operators.AsofJoin): every 10th event is a sparse
+    * reference series per user; each remaining event must pick up the
+    * LATEST reference value at-or-before its own timestamp. Graded
+    * against DuckDB's native ASOF LEFT JOIN — the union+window
+    * formulation must agree row for row, including the never-matched
+    * prefix (nulls) and `<=` tie semantics. */
+  val joinAsof: Q = q(
+    "join_asof",
+    """WITH r AS (SELECT user_id, ts, round(value, 4) AS ref_value
+      |           FROM events WHERE event_id % 10 = 0),
+      |     l AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_id % 10 <> 0 AND user_id < 20)
+      |SELECT l.event_id, l.user_id, r.ref_value,
+      |       CAST(epoch_ms(r.ts) AS BIGINT) AS ref_ts_ms
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+      |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val right = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), round(col("value"), 4).as("ref_value"))
+    val left = ev.filter(col("event_id") % 10 =!= 0 && col("user_id") < 20)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsofJoin.asof(
+      left, "user_id", "ts", right, "user_id", "ts", Seq("ref_value"))
+      .select(col("event_id"), col("user_id"), col("ref_value"),
+        unix_millis(col("asof_ts")).as("ref_ts_ms"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(
     joinBroadcastInner, joinLeftResidual, joinSemi, joinAnti, lookupNationName,
-    unionAll, inlineJoin, subqueryNested)
+    unionAll, inlineJoin, subqueryNested, joinAsof)
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val left = {
+    import spark.implicits._
+    Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")), // before any right row
+      (2L, "k1", ts("2024-01-01 12:00:00")), // exactly at a right ts (tie)
+      (3L, "k1", ts("2024-01-01 15:00:00")), // between right rows
+      (4L, "k2", ts("2024-01-01 12:00:00")), // other key
+      (5L, "k3", ts("2024-01-01 12:00:00"))  // key with no right rows
+    ).toDF("id", "k", "t")
+  }
+
+  private lazy val right = {
+    import spark.implicits._
+    Seq(
+      ("k1", ts("2024-01-01 12:00:00"), 100.0),
+      ("k1", ts("2024-01-01 14:00:00"), 200.0),
+      ("k2", ts("2024-01-01 11:00:00"), 300.0)
+    ).toDF("rk", "rt", "price")
+  }
+
+  test("asof: latest right row at-or-before each left ts; <= tie matches") {
+    val out = AsofJoin.asof(left, "k", "t", right, "rk", "rt", Seq("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L).isEmpty) // nothing at-or-before 10:00
+    assert(out(2L).contains(100.0)) // tie at 12:00 matches (<= semantics)
+    assert(out(3L).contains(200.0)) // 14:00 row supersedes 12:00
+    assert(out(4L).contains(300.0))
+    assert(out(5L).isEmpty) // no right rows for k3
+  }
+
+  test("asof: tolerance bounds the lookback; matched ts is surfaced") {
+    val out = AsofJoin.asof(left, "k", "t", right, "rk", "rt",
+      Seq("price"), toleranceMs = Some(60 * 60 * 1000L)) // 1 hour
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getDouble(3), r.getTimestamp(4))))).toMap
+    assert(out(2L).exists(_._1 == 100.0)) // 0 ms back: within tolerance
+    assert(out(3L).exists(v => v._1 == 200.0 &&
+      v._2 == ts("2024-01-01 14:00:00"))) // 1 h back: boundary inclusive
+    assert(out(4L).exists(_._1 == 300.0)) // exactly 1 h back: <= inclusive
+    // a tight tolerance drops the stale match instead
+    val tight = AsofJoin.asof(left, "k", "t", right, "rk", "rt",
+      Seq("price"), toleranceMs = Some(30 * 60 * 1000L)) // 30 min
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(tight(3L)) // 14:00 → 15:00 is 1 h: outside 30 min
+    assert(!tight(2L)) // tie at 12:00 stays
+  }
+
+  test("asof plan: one shuffle on the key, no row-multiplying join") {
+    val plan = AsofJoin.asof(left, "k", "t", right, "rk", "rt", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("Window"), plan.take(1500))
+  }
+}
