@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range-overlap) join: pair point rows with the intervals
+  * containing them — "which maintenance window / session / promotion
+  * covers this event". Spark's only native plan for `s <= t AND t < e`
+  * is a broadcast-nested-loop or cartesian filter — row multiplication
+  * that dies at scale.
+  *
+  * This is the bucketized formulation: both sides map onto a fixed
+  * grid of `bucketMs`-wide time cells — a point lands in exactly one
+  * cell, an interval explodes once per cell it touches — and the join
+  * runs as an ordinary hash equi-join on (keys..., cell) with the
+  * exact containment predicate as a residual filter. Shuffle volume is
+  * |points| + |intervals|·(avg span / bucketMs): choose bucketMs near
+  * the typical interval length and the fan-out is O(1) per interval.
+  * A (point, interval) pair can only meet in the point's single cell,
+  * so no dedup pass is needed.
+  */
+object IntervalJoin {
+
+  /** @param points    rows with a millis-epoch LongType column `pTs`
+    * @param intervals rows with millis-epoch [ivStart, ivEnd) columns
+    * @param keys      equi-join key columns present on BOTH sides
+    * @param bucketMs  grid width; intervals explode once per covered cell
+    * @return one row per (point, containing interval): all point
+    *         columns + the interval's id column */
+  def pointInInterval(
+      points: DataFrame, pTs: String,
+      intervals: DataFrame, ivId: String, ivStart: String, ivEnd: String,
+      bucketMs: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val cells = intervals
+      .filter(col(ivEnd) > col(ivStart)) // empty intervals match nothing
+      .select(
+        (col(ivId) +: col(ivStart) +: col(ivEnd) +: keys.map(col)): _*)
+      .withColumn("__cell", explode(sequence(
+        graft.exprs.toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          graft.exprs.toExpr(col(ivStart)), graft.exprs.toExpr(lit(bucketMs)))),
+        graft.exprs.toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          graft.exprs.toExpr(col(ivEnd) - 1), graft.exprs.toExpr(lit(bucketMs)))))))
+    val cellCol = graft.exprs.toCol(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        graft.exprs.toExpr(col(pTs)), graft.exprs.toExpr(lit(bucketMs))))
+    points.withColumn("__cell", cellCol)
+      .join(cells, keys :+ "__cell")
+      .filter(col(ivStart) <= col(pTs) && col(pTs) < col(ivEnd))
+      .drop("__cell", ivStart, ivEnd)
+  }
+}

@@ -184,7 +184,47 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Interval-overlap join (operators.IntervalJoin): every 20th event
+    * opens a per-user window [ts, ts + 1h + value-derived ms); each
+    * remaining event counts the windows containing it. The bucketized
+    * plan must agree with DuckDB's plain range join row for row —
+    * including the unmatched majority (left-join nulls). */
+  val joinInterval: Q = q(
+    "join_interval",
+    """WITH r AS (SELECT event_id AS iv_id, user_id, epoch_ms(ts) AS s,
+      |                  epoch_ms(ts) + (CAST(floor(value*1000) AS BIGINT)
+      |                    % 72000000 + 3600000) AS e
+      |           FROM events WHERE event_id % 20 = 0),
+      |     l AS (SELECT event_id AS l_id, user_id, epoch_ms(ts) AS t
+      |           FROM events WHERE event_id % 20 <> 0 AND user_id < 30)
+      |SELECT l.l_id, CAST(count(r.iv_id) AS BIGINT) AS n_iv,
+      |       CAST(coalesce(min(r.iv_id), -1) AS BIGINT) AS first_iv
+      |FROM l LEFT JOIN r
+      |  ON l.user_id = r.user_id AND r.s <= l.t AND l.t < r.e
+      |GROUP BY l.l_id ORDER BY l.l_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val intervals = ev.filter(col("event_id") % 20 === 0)
+      .select(col("event_id").as("iv_id"), col("user_id"),
+        unix_millis(col("ts")).as("s"),
+        (unix_millis(col("ts")) +
+          floor(col("value") * 1000).cast("long") % 72000000L + 3600000L).as("e"))
+    val points = ev.filter(col("event_id") % 20 =!= 0 && col("user_id") < 30)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        unix_millis(col("ts")).as("t"))
+    val pairs = graft.operators.IntervalJoin.pointInInterval(
+      points, "t", intervals, "iv_id", "s", "e",
+      bucketMs = 3600000L, keys = Seq("user_id"))
+    points.join(
+        pairs.groupBy(col("l_id")).agg(
+          count(col("iv_id")).as("n_iv"), min(col("iv_id")).as("first_iv")),
+        Seq("l_id"), "left")
+      .select(col("l_id"),
+        coalesce(col("n_iv"), lit(0L)).as("n_iv"),
+        coalesce(col("first_iv"), lit(-1L)).as("first_iv"))
+      .orderBy(col("l_id"))
+  }
+
   val all: Seq[Q] = Seq(
     joinBroadcastInner, joinLeftResidual, joinSemi, joinAnti, lookupNationName,
-    unionAll, inlineJoin, subqueryNested, joinAsof)
+    unionAll, inlineJoin, subqueryNested, joinAsof, joinInterval)
 }

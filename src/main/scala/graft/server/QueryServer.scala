@@ -370,7 +370,7 @@ class QueryServer(
     * views refreshed, sys/INFORMATION_SCHEMA rewrites applied) —
     * shared by the HTTP and Avatica surfaces. */
   private def planSql(sql0: String): DataFrame = {
-    refreshIngestedViews()
+    refreshIngestedViews(sql0)
     val sql = SystemTables.prepare(
       spark, sql0,
       allDatasources _, resolveWithIngested, segmentMetaWithIngested, boundPort,
@@ -744,11 +744,15 @@ class QueryServer(
   /** (re-)register SQL temp views for server-ingested tables: a
     * path-based DataFrame caches its file listing at creation, so
     * streaming-appended tables must re-list per request; tables whose
-    * first micro-batch hasn't landed yet are skipped, not errors. */
-  private def refreshIngestedViews(): Unit =
+    * first micro-batch hasn't landed yet are skipped, not errors.
+    * Pass the statement to refresh ONLY the tables it references — at
+    * a 100-table deployment a per-query refresh of every table is N
+    * parquet schema listings per request for nothing. */
+  private def refreshIngestedViews(sql: String = ""): Unit =
     ingested.foreach { case (name, _) =>
-      try readActive(name).createOrReplaceTempView(name)
-      catch { case _: Exception => }
+      if (sql.isEmpty || sql.contains(name))
+        try readActive(name).createOrReplaceTempView(name)
+        catch { case _: Exception => }
     }
 
   /** reference RulesResource: GET /rules (all), GET/POST /rules/{ds}
@@ -933,7 +937,7 @@ class QueryServer(
       val params = Option(node.get("parameters")).filterNot(_.isNull)
         .map(_.elements()).map(it => Iterator.continually(it)
           .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
-      refreshIngestedViews()
+      refreshIngestedViews(sql0)
       val sql = SystemTables.prepare(
         spark, substituteParameters(sql0, params),
         allDatasources _, resolveWithIngested, segmentMetaWithIngested, boundPort,

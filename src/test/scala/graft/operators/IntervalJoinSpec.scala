@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IntervalJoinSpec extends SparkSpec {
+
+  private lazy val points = {
+    import spark.implicits._
+    Seq(
+      (1L, "u1", 1000L),  // inside iv 10 only
+      (2L, "u1", 5000L),  // inside ivs 10 and 11 (overlapping)
+      (3L, "u1", 9999L),  // iv 11 end is exclusive at 10000: inside
+      (4L, "u1", 10000L), // exactly at end → outside
+      (5L, "u2", 5000L),  // same time, other key → iv 12 only
+      (6L, "u1", 50000L)  // no interval
+    ).toDF("id", "k", "t")
+  }
+
+  private lazy val intervals = {
+    import spark.implicits._
+    Seq(
+      (10L, "u1", 500L, 6000L),
+      (11L, "u1", 4000L, 10000L),
+      (12L, "u2", 0L, 8000L),
+      (13L, "u1", 7000L, 7000L) // empty: matches nothing
+    ).toDF("iv", "k", "s", "e")
+  }
+
+  test("pointInInterval: exact containment, overlaps, exclusive end, empty ivs") {
+    // tiny buckets force multi-cell explosion; results must not dup
+    val out = IntervalJoin.pointInInterval(
+      points, "t", intervals, "iv", "s", "e", bucketMs = 1000L, keys = Seq("k"))
+      .groupBy("id").agg(sort_array(collect_list(col("iv"))).as("ivs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(10L))
+    assert(out(2L) == Seq(10L, 11L)) // overlap region: both, each once
+    assert(out(3L) == Seq(11L)) // end-1: still inside
+    assert(!out.contains(4L)) // end is exclusive
+    assert(out(5L) == Seq(12L)) // key isolation
+    assert(!out.contains(6L))
+  }
+
+  test("plan: hash equi-join on (key, cell), no nested-loop/cartesian") {
+    val plan = IntervalJoin.pointInInterval(
+      points, "t", intervals, "iv", "s", "e", bucketMs = 1000L, keys = Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+}
