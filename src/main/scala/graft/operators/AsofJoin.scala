@@ -33,6 +33,10 @@ object AsofJoin {
     require(valueCols.nonEmpty, "asof join needs at least one value column")
     val collisions = valueCols.toSet intersect left.columns.toSet
     require(collisions.isEmpty, s"value columns collide with left: $collisions")
+    val reserved = left.columns.filter(c =>
+      c == "__tag" || c == "__p" || c == "__m" || c == "asof_ts")
+    require(reserved.isEmpty,
+      s"left columns collide with asof internals: ${reserved.toSeq}")
 
     // the right payload travels as ONE struct so the window picks the
     // whole latest right ROW (null payload fields stay with their row,

@@ -32,6 +32,8 @@ object IntervalJoin {
       intervals: DataFrame, ivId: String, ivStart: String, ivEnd: String,
       bucketMs: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
+    require(!points.columns.contains("__cell"),
+      "points must not carry a __cell column")
     val cells = intervals
       .filter(col(ivEnd) > col(ivStart)) // empty intervals match nothing
       .select(

@@ -228,7 +228,8 @@ class AvaticaEndpoint(
     st.executed = true
   }
 
-  private def frame(st: Statement, offset: Long, limit: Int): ObjectNode = {
+  private def frame(st: Statement, offset0: Long, limit: Int): ObjectNode = {
+    val offset = math.max(0L, offset0)
     val f = mapper.createObjectNode()
     f.put("offset", offset)
     val end = math.min(st.rows.length.toLong, offset + math.max(0, limit))

@@ -148,15 +148,20 @@ class QueryServer(
       r: JsonNode, segStart: Long, segEnd: Long, now: Long): Option[Boolean] = {
     def period: Long = {
       val p = Option(r.get("period")).map(_.asText()).getOrElse("P0D")
-      // ISO period: date part via LocalDateTime arithmetic (UTC)
+      // ISO period split: calendar part via Period, time part via
+      // Duration ("PT1H" has an empty date part — Period.ZERO, not
+      // Period.parse("P") which is invalid)
+      val (datePart, timePart) = p.indexOf('T') match {
+        case -1 => (p, None)
+        case idx => (p.substring(0, idx), Some("P" + p.substring(idx)))
+      }
       val nowI = java.time.Instant.ofEpochMilli(now)
-      val thn = nowI.atZone(java.time.ZoneOffset.UTC)
-        .minus(java.time.Period.parse(
-          if (p.contains("T")) p.substring(0, p.indexOf('T')) else p))
-        .minus(if (p.contains("T"))
-          java.time.Duration.parse("P" + p.substring(p.indexOf('T')))
-        else java.time.Duration.ZERO)
-      thn.toInstant.toEpochMilli
+      nowI.atZone(java.time.ZoneOffset.UTC)
+        .minus(if (datePart == "P") java.time.Period.ZERO
+               else java.time.Period.parse(datePart))
+        .minus(timePart.map(java.time.Duration.parse)
+          .getOrElse(java.time.Duration.ZERO))
+        .toInstant.toEpochMilli
     }
     def interval: (Long, Long) = {
       val iv = graft.model.QueryJson.parseInterval(

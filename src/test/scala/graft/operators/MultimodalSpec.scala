@@ -167,6 +167,12 @@ class MultimodalSpec extends SparkSpec {
     assert(ch == 1 && sr == 8000 && bits == 16)
     assert(decoded.toSeq == samples)
     assert(Multimodal.decodeWavPcm("not audio at all, truly not....................".getBytes).isEmpty)
+    // a hostile negative chunk size must terminate (not loop forever)
+    val evil = tinyWav(Seq(1, 2, 3))
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // fmt size = -1
+    assert(Multimodal.decodeWavPcm(evil).isEmpty)
+    assert(Multimodal.probeAudio(evil).isEmpty)
   }
 
   test("audio features: peak/energy/zero-crossings from decoded PCM") {

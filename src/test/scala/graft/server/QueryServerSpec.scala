@@ -523,6 +523,12 @@ class QueryServerSpec extends SparkSpec {
         """[{"type": "dropBeforeByPeriod", "period": "P100Y"},
           |{"type": "loadForever"}]""".stripMargin)
       assert(countRows() == """[{"n":3}]""")
+      // time-only ISO periods ("PT1H") parse: all 2024 segments are
+      // far before now-1h → dropBeforeByPeriod retires everything
+      post(port, "/druid/coordinator/v1/rules/rettab",
+        """[{"type": "dropBeforeByPeriod", "period": "PT1H"},
+          |{"type": "loadForever"}]""".stripMargin)
+      assert(countRows() == """[{"n":0}]""")
       // native path honors retention too
       post(port, "/druid/coordinator/v1/rules/rettab",
         """[{"type": "dropByInterval", "interval": "2024-01-01/2024-01-02"}]""")
