@@ -1053,6 +1053,18 @@ class QueryServer(
       val qid = setQueryIdHeader(ex, body)
       val q = graft.model.QueryJson.parse(body)
       setResponseContextHeader(ex, body, q)
+      // ETag / If-None-Match (reference QueryResource.HEADER_ETAG +
+      // HEADER_IF_NONE_MATCH; the broker's etag covers the query and
+      // its segment set): for ingested tables the tag hashes the query
+      // body + the segment directory listing (names + mtimes) +
+      // retention state — any ingest/kill/rule change invalidates it.
+      val etag = computeEtag(body, q)
+      etag.foreach(e => ex.getResponseHeaders.set("ETag", e))
+      if (etag.isDefined && Option(
+          ex.getRequestHeaders.getFirst("If-None-Match")) == etag) {
+        respondNoBody(ex, 304)
+        return
+      }
       withCapacity(body) {
         withLimits(body, qid) { () =>
           val cap = maxRows(body)
@@ -1292,6 +1304,30 @@ class QueryServer(
     ex.getResponseHeaders.set(
       "X-Druid-Response-Context", mapper.writeValueAsString(ctx))
   }
+
+  /** strong ETag for a native query over an ingested table: SHA-1 of
+    * (body, segment directory names + mtimes, unused set, rule
+    * chains). Caller-resolved tables have no content identity → no
+    * tag (reference behavior: no etag without a segment timeline). */
+  private def computeEtag(
+      body: String, q: graft.model.NativeQuery): Option[String] =
+    leftmostTable(q.dataSource).filter(ingested.contains).flatMap { ds =>
+      try {
+        val path = ingested(ds)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val listing = fs.listStatus(p).toSeq
+          .map(st => st.getPath.getName + ":" + st.getModificationTime)
+          .sorted.mkString(",")
+        val state = unusedBuckets.getOrElse(ds, Set.empty).toSeq.sorted
+          .mkString(",") + "|" + retentionRules.getOrElse(ds, "") + "|" +
+          retentionRules.getOrElse("_default", "")
+        val md = java.security.MessageDigest.getInstance("SHA-1")
+        md.update((body + "|" + listing + "|" + state)
+          .getBytes(StandardCharsets.UTF_8))
+        Some("\"" + md.digest().map("%02x".format(_)).mkString + "\"")
+      } catch { case _: Exception => None }
+    }
 
   private def leftmostTable(ds: graft.model.DataSource): Option[String] = {
     import graft.model.DataSource

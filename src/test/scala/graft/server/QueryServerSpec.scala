@@ -477,6 +477,44 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("ETag + If-None-Match: stable across repeats, 304 on match, changes on ingest") {
+    val root = java.nio.file.Files.createTempDirectory("graft-etag").toString
+    fixture.createOrReplaceTempView("ds_etag")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO etag_tab SELECT __time, dim, m FROM ds_etag PARTITIONED BY DAY"}""")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val q = """{"queryType": "timeseries", "dataSource": "etag_tab",
+                |"intervals": [], "granularity": "all",
+                |"aggregations": [{"type": "count", "name": "cnt"}]}""".stripMargin
+      def query(inm: Option[String]) = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/druid/v2"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(q))
+        inm.foreach(b.header("If-None-Match", _))
+        client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val r1 = query(None)
+      assert(r1.statusCode() == 200, r1.body())
+      val tag = r1.headers().firstValue("ETag")
+      assert(tag.isPresent && tag.get().startsWith("\""))
+      // same query, same segments → same tag, and If-None-Match → 304
+      assert(query(None).headers().firstValue("ETag").get() == tag.get())
+      val r304 = query(Some(tag.get()))
+      assert(r304.statusCode() == 304, r304.body())
+      assert(r304.body().isEmpty)
+      // appending data changes the tag; the stale tag gets a full 200
+      post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO etag_tab SELECT __time, dim, m FROM ds_etag PARTITIONED BY DAY"}""")
+      val r2 = query(Some(tag.get()))
+      assert(r2.statusCode() == 200)
+      assert(r2.headers().firstValue("ETag").get() != tag.get())
+    } finally srv.stop()
+  }
+
   test("retention rules + markUnused retire segments from the queryable set") {
     val root = java.nio.file.Files.createTempDirectory("graft-retention").toString
     fixture.createOrReplaceTempView("ds_ret")
