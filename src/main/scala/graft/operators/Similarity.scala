@@ -360,6 +360,33 @@ object Similarity {
     assignPq(subvectors(corpus, idCol, vecCol, m), books)
       .select(col("id"), col("subspace"), col("cid").as("code"))
 
+  /** Persist a trained PQ index: `books/` (subspace, cid, centroid)
+    * and `codes/` (id, subspace, code) — the codes table is the
+    * billion-scale on-disk layout: the corpus lives as m small
+    * integers per row (bytes, not float vectors), and every later
+    * search is an ADC scan over codes joined with the broadcast
+    * distance table. Train + encode ONCE; full vectors never touch a
+    * search again (unless a re-rank stage re-joins them explicitly). */
+  def savePqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      m: Int, kPerSpace: Int, iterations: Int = 3): Unit = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, kPerSpace, iterations)
+    books.write.mode("overwrite").parquet(s"$dir/books")
+    val loaded = corpus.sparkSession.read.parquet(s"$dir/books")
+    pqEncode(corpus, idCol, vecCol, loaded, m)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** ADC search over a persisted PQ index — the scan side reads ONLY
+    * the codes parquet (m integers per corpus row). */
+  def loadPqTopK(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      m: Int, k: Int): DataFrame =
+    pqTopK(queries, qidCol, qvecCol,
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/books"), m, k)
+
   /** ADC (asymmetric distance computation) top-k: each query
     * precomputes its m×kPerSpace distance table against the codebooks
     * (broadcast — queries × codebooks is tiny), the encoded corpus

@@ -95,6 +95,32 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("centroid_id"), plan.take(2000))
   }
 
+  test("persisted PQ index: memorization regime reproduces exact ranking from codes") {
+    import spark.implicits._
+    val pts = (0 until 12).map(i =>
+      (i.toLong, Array(i.toFloat, (i % 3).toFloat, (11 - i).toFloat, 1.0f)))
+    val corpus = pts.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    // kPerSpace >= distinct subvectors → ADC distance is exact L2²
+    Similarity.savePqIndex(corpus, "vec_id", "embedding", dir,
+      m = 2, kPerSpace = 16, iterations = 2)
+    val queries = corpus.filter($"vec_id" === 0L)
+    val fromIndex = Similarity.loadPqTopK(
+      spark, dir, queries, "vec_id", "embedding", m = 2, k = 3)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    // exact L2 ranking (not cosine): compute directly
+    val base = pts.head._2
+    val exact = pts.tail.map { case (id, v) =>
+      id -> v.zip(base).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    }.sortBy { case (id, d) => (d, id) }.take(3).map(_._1).toSeq
+    assert(fromIndex == exact, s"$fromIndex vs $exact")
+    // the search-side scan reads the codes parquet, not embeddings
+    val plan = Similarity.loadPqTopK(
+      spark, dir, queries, "vec_id", "embedding", m = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("codes"), plan.take(1500))
+  }
+
   test("int8 quantization: codes bounded, quantized ranking tracks exact") {
     import spark.implicits._
     // 40 deterministic pseudo-random 8-dim vectors
