@@ -287,9 +287,16 @@ class QueryServer(
     server.createContext("/status/health", (ex: HttpExchange) => {
       respond(ex, 200, "true")
     })
-    // reference StatusResource: version + modules + JVM memory
+    // reference StatusResource: version + modules + JVM memory;
+    // /status/properties dumps the effective runtime configuration
     server.createContext("/status", (ex: HttpExchange) => {
-      if (ex.getRequestURI.getPath != "/status")
+      if (ex.getRequestURI.getPath == "/status/properties") {
+        val o = mapper.createObjectNode()
+        spark.conf.getAll.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          o.put(k, v)
+        }
+        respond(ex, 200, mapper.writeValueAsString(o))
+      } else if (ex.getRequestURI.getPath != "/status")
         respond(ex, 404, """{"error":"not found"}""")
       else {
         val rt = Runtime.getRuntime
@@ -807,10 +814,55 @@ class QueryServer(
       val rest = ex.getRequestURI.getPath
         .stripPrefix("/druid/coordinator/v1/datasources").stripPrefix("/")
       val parts = rest.split("/").filter(_.nonEmpty).toSeq
+      val iso = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .withZone(java.time.ZoneOffset.UTC)
+      def sliceIso(s: Option[Long], e: Option[Long]): (String, String) = (
+        s.map(ms => iso.format(java.time.Instant.ofEpochMilli(ms)))
+          .getOrElse(EternityStart),
+        e.map(ms => iso.format(java.time.Instant.ofEpochMilli(ms)))
+          .getOrElse(EternityEnd))
       (ex.getRequestMethod, parts) match {
         case ("GET", Seq()) =>
           val arr = mapper.createArrayNode()
           allDatasources().sorted.foreach(arr.add)
+          respond(ex, 200, mapper.writeValueAsString(arr))
+        case ("GET", Seq(ds)) =>
+          // reference DataSourcesResource getDataSource: name +
+          // segment summary (count, bytes, served time range)
+          if (!allDatasources().contains(ds)) {
+            respond(ex, 404, s"""{"error":"no such datasource [$ds]"}"""); return
+          }
+          val slices = try segmentSlices(ds, Nil) catch { case _: Exception => Nil }
+          val size = ingested.get(ds).flatMap { path =>
+            try Some(new org.apache.hadoop.fs.Path(path)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength)
+            catch { case _: Exception => None }
+          }.getOrElse(0L)
+          val o = mapper.createObjectNode()
+          o.put("name", ds)
+          o.putObject("properties")
+          val seg = o.putObject("segments")
+          seg.put("count", slices.size)
+          seg.put("size", size)
+          if (slices.nonEmpty) {
+            val (minT, _) = sliceIso(slices.head._1, slices.head._2)
+            val (_, maxT) = sliceIso(slices.last._1, slices.last._2)
+            seg.put("minTime", minT)
+            seg.put("maxTime", maxT)
+          }
+          respond(ex, 200, mapper.writeValueAsString(o))
+        case ("GET", Seq(ds, "intervals")) =>
+          // reference getIntervalsWithServedSegmentsOrAllServedSegmentsPerIntervals
+          if (!allDatasources().contains(ds)) {
+            respond(ex, 404, s"""{"error":"no such datasource [$ds]"}"""); return
+          }
+          val slices = try segmentSlices(ds, Nil) catch { case _: Exception => Nil }
+          val arr = mapper.createArrayNode()
+          slices.reverse.foreach { case (s, e) =>
+            val (si, ei) = sliceIso(s, e); arr.add(s"$si/$ei")
+          }
           respond(ex, 200, mapper.writeValueAsString(arr))
         case ("POST", Seq(ds, action))
             if action == "markUnused" || action == "markUsed" =>

@@ -477,6 +477,42 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("coordinator datasource detail + intervals + status properties") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsdetail").toString
+    fixture.createOrReplaceTempView("ds_det")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO dettab SELECT __time, dim, m FROM ds_det PARTITIONED BY DAY"}""")
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String) = {
+        val r = client.send(java.net.http.HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val (dc, db) = get("/druid/coordinator/v1/datasources/dettab")
+      assert(dc == 200, db)
+      val dn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(db)
+      assert(dn.get("name").asText() == "dettab")
+      assert(dn.get("segments").get("count").asInt() == 2) // two days
+      assert(dn.get("segments").get("size").asLong() > 0L)
+      assert(dn.get("segments").get("minTime").asText()
+        == "2024-01-01T00:00:00.000Z")
+      assert(dn.get("segments").get("maxTime").asText()
+        == "2024-01-03T00:00:00.000Z")
+      val (ic, ib) = get("/druid/coordinator/v1/datasources/dettab/intervals")
+      assert(ic == 200 && ib ==
+        """["2024-01-02T00:00:00.000Z/2024-01-03T00:00:00.000Z","2024-01-01T00:00:00.000Z/2024-01-02T00:00:00.000Z"]""",
+        ib)
+      assert(get("/druid/coordinator/v1/datasources/nope")._1 == 404)
+      val (pc, pb) = get("/status/properties")
+      assert(pc == 200 && pb.contains("spark.sql.session.timeZone"), pb.take(300))
+    } finally srv.stop()
+  }
+
   test("ETag + If-None-Match: stable across repeats, 304 on match, changes on ingest") {
     val root = java.nio.file.Files.createTempDirectory("graft-etag").toString
     fixture.createOrReplaceTempView("ds_etag")
