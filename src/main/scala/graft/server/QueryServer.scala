@@ -530,6 +530,22 @@ class QueryServer(
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val node = mapper.readTree(body)
           val t0 = System.currentTimeMillis()
+          // row accounting for the /reports endpoint: parquet counts
+          // are footer-metadata reads (no data scan), so before/after
+          // deltas are cheap even on large tables
+          def tableRows(ds: String): Long =
+            ingested.get(ds).flatMap { path =>
+              try Some(spark.read.parquet(path).count())
+              catch { case _: Exception => None }
+            }.getOrElse(0L)
+          val preDs = Option(node.get("type")).map(_.asText()) match {
+            case Some("kill") | Some("compact") =>
+              Option(node.get("dataSource")).filterNot(_.isNull).map(_.asText())
+            case _ =>
+              Option(node.get("spec")).flatMap(s => Option(s.get("dataSchema")))
+                .flatMap(d => Option(d.get("dataSource"))).map(_.asText())
+          }
+          val preRows = preDs.map(tableRows).getOrElse(0L)
           val (taskType, datasource) =
             if (Option(node.get("type")).exists(_.asText() == "kill")) {
               // kill task (reference KillUnusedSegmentsTask): drop the
@@ -606,11 +622,36 @@ class QueryServer(
           }
           val taskId = s"${taskType}_${datasource}_" +
             java.util.UUID.randomUUID().toString.take(8)
+          val postRows = tableRows(datasource)
+          val rowsProcessed = taskType match {
+            case "kill" => math.max(0L, preRows - postRows) // rows removed
+            case "compact" => postRows // rows rewritten
+            case _ => math.max(0L, postRows - preRows) // rows added
+          }
           taskLog.add(SystemTables.TaskRecord(
             taskId = taskId, taskType = taskType, datasource = datasource,
             createdTimeIso = java.time.Instant.ofEpochMilli(t0).toString,
-            status = "SUCCESS", durationMs = System.currentTimeMillis() - t0))
+            status = "SUCCESS", durationMs = System.currentTimeMillis() - t0,
+            rowsProcessed = rowsProcessed))
           respond(ex, 200, s"""{"task":"$taskId"}""")
+        case ("GET", p) if p.endsWith("/reports") =>
+          // reference TaskReportFileWriter → ingestionStatsAndErrors
+          // report (monitoring polls this). `processed` counts rows the
+          // task ADDED to / REMOVED from the datasource (stored rows,
+          // i.e. post-rollup for rollup ingestion).
+          val id = p.stripSuffix("/reports")
+          import scala.jdk.CollectionConverters._
+          taskLog.asScala.find(_.taskId == id) match {
+            case Some(t) =>
+              val processed = math.max(0L, t.rowsProcessed)
+              respond(ex, 200,
+                s"""{"ingestionStatsAndErrors":{"type":"ingestionStatsAndErrors","taskId":"$id",""" +
+                  s""""payload":{"ingestionState":"COMPLETED","unparseableEvents":{},""" +
+                  s""""rowStats":{"buildSegments":{"processed":$processed,""" +
+                  s""""processedWithError":0,"thrownAway":0,"unparseable":0}},""" +
+                  s""""errorMsg":null,"segmentAvailabilityConfirmed":false}}}""")
+            case None => respond(ex, 404, s"""{"error":"task [$id] not found"}""")
+          }
         case ("GET", p) if p.endsWith("/status") =>
           val id = p.stripSuffix("/status")
           import scala.jdk.CollectionConverters._

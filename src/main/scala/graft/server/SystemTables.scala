@@ -218,7 +218,11 @@ object SystemTables {
     * the synchronous analog of the reference's MSQ controller task). */
   final case class TaskRecord(
       taskId: String, taskType: String, datasource: String,
-      createdTimeIso: String, status: String, durationMs: Long)
+      createdTimeIso: String, status: String, durationMs: Long,
+      /** rows added (ingest/compact) or removed (kill) by the task;
+        * -1 = not measured. Feeds the task /reports endpoint; not a
+        * sys.tasks column (the reference schema has none). */
+      rowsProcessed: Long = -1L)
 
   private val tasksSchema = StructType(Seq(
     StructField("task_id", StringType), StructField("group_id", StringType),

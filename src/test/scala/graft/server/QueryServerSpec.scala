@@ -730,6 +730,16 @@ class QueryServerSpec extends SparkSpec {
       assert(tb ==
         """[{"datasource":"inline_ds","status":"SUCCESS","type":"index_parallel"}]""",
         tb)
+      // and its ingestion report counts the stored rows it added
+      // (2 inline records roll up to 1 row at DAY granularity)
+      val taskId = """"task":"([^"]+)"""".r.findFirstMatchIn(b1).get.group(1)
+      val client = java.net.http.HttpClient.newHttpClient()
+      val rep = client.send(java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/indexer/v1/task/$taskId/reports"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(rep.statusCode() == 200, rep.body())
+      assert(rep.body().contains("\"processed\":1"), rep.body())
+      assert(rep.body().contains("ingestionStatsAndErrors"), rep.body())
     } finally srv.stop()
   }
 
