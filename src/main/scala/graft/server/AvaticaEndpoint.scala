@@ -510,7 +510,11 @@ class AvaticaEndpoint(
 
   /** an executed pseudo-statement holding metadata rows (catalog /
     * schema / table / column listings answer as ordinary result sets
-    * on an implicit statement, like Avatica's MetaResultSet). */
+    * on an implicit statement, like Avatica's MetaResultSet). The
+    * statement registers for later fetches ONLY when the listing
+    * overflows the first frame — otherwise the single done frame
+    * carries everything and nothing lingers (metadata calls must not
+    * consume the per-connection statement budget). */
   private def metaResultSet(
       n: JsonNode, fields: Seq[(String, DataType)],
       rows: Seq[Seq[Any]]): ObjectNode = {
@@ -526,7 +530,7 @@ class AvaticaEndpoint(
       arr
     }.toVector
     st.executed = true
-    conn.statements.put(st.id, st)
+    if (st.rows.length > maxRowsPerFrame) conn.statements.put(st.id, st)
     resultSet(conn, st, maxRowsPerFrame)
   }
 

@@ -173,6 +173,7 @@ class QueryServer(
       Option(r.get("includeFuture")).forall(_.asBoolean(true))
     Option(r.get("type")).map(_.asText()).flatMap {
       case "loadForever" => Some(true)
+      case "broadcastForever" => Some(true) // load-on-all in one process = load
       case "dropForever" => Some(false)
       case "loadByInterval" =>
         val (a, b) = interval
@@ -1342,18 +1343,18 @@ class QueryServer(
       ex: HttpExchange, body: String, q: graft.model.NativeQuery): Unit = {
     val ctx = mapper.createObjectNode()
     try {
-      val limit = try {
-        val n = mapper.readTree(body)
-        Option(n.get("context")).flatMap(c => Option(c.get("uncoveredIntervalsLimit")))
-          .map(_.asInt(0)).getOrElse(0)
-      } catch { case _: Exception => 0 }
+      val reqCtx = try {
+        Option(mapper.readTree(body).get("context")).filterNot(_.isNull)
+      } catch { case _: Exception => None }
+      val limit = reqCtx.flatMap(c => Option(c.get("uncoveredIntervalsLimit")))
+        .map(_.asInt(0)).getOrElse(0)
       if (limit > 0 && q.intervals.nonEmpty) {
         leftmostTable(q.dataSource).foreach { ds =>
-          val covered = segmentSlices(ds, q.intervals).collect {
+          val slices = segmentSlices(ds, q.intervals)
+          val covered = slices.collect {
             case (Some(s), Some(e)) => (s, e)
           }.sorted
-          val timeless = covered.isEmpty &&
-            segmentSlices(ds, q.intervals).contains((None, None))
+          val timeless = covered.isEmpty && slices.contains((None, None))
           if (!timeless) {
             val iso = java.time.format.DateTimeFormatter
               .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
@@ -1386,11 +1387,8 @@ class QueryServer(
           }
         }
       }
-      val timeoutMs = try {
-        val n = mapper.readTree(body)
-        Option(n.get("context")).flatMap(c => Option(c.get("timeout")))
-          .map(_.asLong(0L)).getOrElse(0L)
-      } catch { case _: Exception => 0L }
+      val timeoutMs = reqCtx.flatMap(c => Option(c.get("timeout")))
+        .map(_.asLong(0L)).getOrElse(0L)
       if (timeoutMs > 0)
         ctx.put("timeoutAt", System.currentTimeMillis() + timeoutMs)
     } catch { case _: Exception => /* header is best-effort, never fatal */ }
