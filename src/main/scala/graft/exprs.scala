@@ -8,4 +8,10 @@ import org.apache.spark.sql.graftbridge.Bridge
 object exprs {
   def toCol(e: Expression): Column = Bridge.toCol(e)
   def toExpr(c: Column): Expression = Bridge.toExpr(c)
+
+  /** TRUNCATING integer division (SQL `div`, DuckDB `//`) — the one
+    * place its semantics (truncation toward zero, not floor) live. */
+  def idiv(a: Column, b: Column): Column = toCol(
+    org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      toExpr(a), toExpr(b)))
 }

@@ -40,9 +40,11 @@ object AsofJoin {
 
     // the right payload travels as ONE struct so the window picks the
     // whole latest right ROW (null payload fields stay with their row,
-    // never spliced from an older one)
+    // never spliced from an older one). Built from RIGHT's own columns
+    // — referencing the aliased leftTs here would resolve against an
+    // unrelated right column of the same name.
     val payload = struct(
-      (col(leftTs).as("__rts") +: valueCols.map(col)): _*)
+      (col(rightTs).as("__rts") +: valueCols.map(col)): _*)
     val rightTagged = right.select(
       (col(rightKey).as(leftKey) +: col(rightTs).as(leftTs) +:
         lit(0).as("__tag") +: payload.as("__p") +:

@@ -39,14 +39,9 @@ object IntervalJoin {
       .select(
         (col(ivId) +: col(ivStart) +: col(ivEnd) +: keys.map(col)): _*)
       .withColumn("__cell", explode(sequence(
-        graft.exprs.toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          graft.exprs.toExpr(col(ivStart)), graft.exprs.toExpr(lit(bucketMs)))),
-        graft.exprs.toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          graft.exprs.toExpr(col(ivEnd) - 1), graft.exprs.toExpr(lit(bucketMs)))))))
-    val cellCol = graft.exprs.toCol(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        graft.exprs.toExpr(col(pTs)), graft.exprs.toExpr(lit(bucketMs))))
-    points.withColumn("__cell", cellCol)
+        graft.exprs.idiv(col(ivStart), lit(bucketMs)),
+        graft.exprs.idiv(col(ivEnd) - 1, lit(bucketMs)))))
+    points.withColumn("__cell", graft.exprs.idiv(col(pTs), lit(bucketMs)))
       .join(cells, keys :+ "__cell")
       .filter(col(ivStart) <= col(pTs) && col(pTs) < col(ivEnd))
       .drop("__cell", ivStart, ivEnd)

@@ -163,7 +163,8 @@ object Multimodal {
       var i = 12
       while (i + 8 <= bytes.length) {
         val size = le32(i + 4)
-        if (size < 0) return None // overflowed/hostile size: stop
+        // hostile sizes: negative, or large enough to overflow i+8+size
+        if (size < 0 || size > bytes.length) return None
         if (tag(i, "fmt ") && i + 8 + 16 <= bytes.length)
           return Some(("wav", le16(i + 10), le32(i + 12), le16(i + 22)))
         i += 8 + size + (size & 1) // chunks are word-aligned
@@ -247,7 +248,8 @@ object Multimodal {
     var i = 12
     while (i + 8 <= bytes.length) {
       val size = le32(i + 4)
-      if (size < 0) return None // overflowed/hostile size: stop, don't loop
+      // hostile sizes: negative, or large enough to overflow i+8+size
+      if (size < 0 || size > bytes.length) return None
       if (tag(i, "fmt ") && i + 8 + 16 <= bytes.length) {
         if (le16(i + 8) != 1) return None // PCM only
         fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22)))

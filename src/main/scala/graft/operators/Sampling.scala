@@ -115,9 +115,7 @@ object Sampling {
       df: DataFrame, domainCol: String, tokensCol: String,
       targetMilli: Column): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    def idiv(a: Column, b: Column): Column = graft.exprs.toCol(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        graft.exprs.toExpr(a), graft.exprs.toExpr(b)))
+    import graft.exprs.idiv
     val perDomain = df.groupBy(col(domainCol))
       .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
       .withColumn("target_milli", targetMilli.cast("long"))
@@ -144,10 +142,8 @@ object Sampling {
     val rates = df.groupBy(col(domainCol))
       .agg(sum(col(tokensCol).cast("long")).as("__domain_tokens"))
       .select(col(domainCol),
-        least(lit(10000L), graft.exprs.toCol(
-          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-            graft.exprs.toExpr(budgetCol * 10000L),
-            graft.exprs.toExpr(col("__domain_tokens")))))
+        least(lit(10000L),
+          graft.exprs.idiv(budgetCol * 10000L, col("__domain_tokens")))
           .as("__rate_bp"))
     df.join(broadcast(rates), Seq(domainCol))
       .filter(hashBucket(col(idCol), salt) < col("__rate_bp"))

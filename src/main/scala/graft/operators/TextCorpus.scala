@@ -118,9 +118,7 @@ object TextCorpus {
         sum(col("c") * lnMilli).as("__s"))
       .select(col("id"), col("n_tokens"), col("n_distinct"),
         (floor(log(col("n_tokens").cast("double")) * 1000).cast("long") -
-          graft.exprs.toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-            graft.exprs.toExpr(col("__s")),
-            graft.exprs.toExpr(col("n_tokens")))).cast("long"))
+          graft.exprs.idiv(col("__s"), col("n_tokens")).cast("long"))
           .as("entropy_milli"))
   }
 

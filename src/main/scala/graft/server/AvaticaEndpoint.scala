@@ -207,17 +207,23 @@ class AvaticaEndpoint(
       throw new IllegalArgumentException(
         "INSERT/REPLACE are not supported over JDBC; use the HTTP SQL API")
     val df = runSql(sql)
+    // JDBC setMaxRows semantics: a client-requested maxRowCount
+    // TRUNCATES silently. Only the server-side buffer guard errors.
     val cap =
       if (maxRowCount >= 0) math.min(maxRowCount, maxBufferedRows)
       else maxBufferedRows
     val schema = df.schema
     val collected = df.limit(
       math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
-    if (collected.length > cap)
-      throw new IllegalStateException(
-        s"JDBC result exceeds $cap rows; add a LIMIT or raise maxRowCount")
+    val bounded =
+      if (collected.length > cap) {
+        if (maxRowCount < 0 || maxRowCount > maxBufferedRows)
+          throw new IllegalStateException(
+            s"JDBC result exceeds the $maxBufferedRows-row buffer; add a LIMIT")
+        collected.take(cap.toInt) // client's own setMaxRows: truncate
+      } else collected
     st.signature = Some(signatureFor(schema, sql))
-    st.rows = collected.iterator.map { r =>
+    st.rows = bounded.iterator.map { r =>
       val arr = mapper.createArrayNode()
       schema.fields.indices.foreach { i =>
         renderValue(arr, schema.fields(i).dataType,
@@ -275,6 +281,9 @@ class AvaticaEndpoint(
     conn.lastUsed = System.currentTimeMillis()
     val maxRowCount = Option(n.get("maxRowCount")).map(_.asLong()).getOrElse(-1L)
     runInto(st, str(n, "sql"), maxRowCount)
+    // re-stamp AFTER execution: a long-running query must not make the
+    // connection look idle to concurrent evictIdle passes
+    conn.lastUsed = System.currentTimeMillis()
     executeResults(conn, st, firstFrameLimit(n))
   }
 
@@ -323,6 +332,11 @@ class AvaticaEndpoint(
       case "FLOAT" | "DOUBLE" | "PRIMITIVE_FLOAT" | "PRIMITIVE_DOUBLE" =>
         value.asDouble().toString
       case "BOOLEAN" | "PRIMITIVE_BOOLEAN" => value.asBoolean().toString
+      // JDBC setTimestamp/setDate ship epoch millis / epoch days
+      case "JAVA_SQL_TIMESTAMP" | "JAVA_UTIL_DATE" =>
+        s"timestamp_millis(${value.asLong()})"
+      case "JAVA_SQL_DATE" =>
+        s"date_from_unix_date(${value.asInt()})"
       case _ => s"'${value.asText().replace("'", "''")}'"
     }
   }
@@ -356,6 +370,7 @@ class AvaticaEndpoint(
     }
     val maxRowCount = Option(n.get("maxRowCount")).map(_.asLong()).getOrElse(-1L)
     runInto(st, out.toString, maxRowCount)
+    conn.lastUsed = System.currentTimeMillis()
     executeResults(conn, st, firstFrameLimit(n))
   }
 

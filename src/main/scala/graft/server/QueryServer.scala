@@ -802,12 +802,14 @@ class QueryServer(
     * Pass the statement to refresh ONLY the tables it references — at
     * a 100-table deployment a per-query refresh of every table is N
     * parquet schema listings per request for nothing. */
-  private def refreshIngestedViews(sql: String = ""): Unit =
+  private def refreshIngestedViews(sql: String = ""): Unit = {
+    val lower = sql.toLowerCase // Spark table resolution is case-insensitive
     ingested.foreach { case (name, _) =>
-      if (sql.isEmpty || sql.contains(name))
+      if (sql.isEmpty || lower.contains(name.toLowerCase))
         try readActive(name).createOrReplaceTempView(name)
         catch { case _: Exception => }
     }
+  }
 
   /** reference RulesResource: GET /rules (all), GET/POST /rules/{ds}
     * (per-datasource; `_default` = the cluster default chain). Rules
@@ -921,6 +923,9 @@ class QueryServer(
             Option(n.get("interval")).filterNot(_.isNull).map(_.asText()) match {
               case Some(ivText) =>
                 val iv = graft.model.QueryJson.parseInterval(ivText)
+                // reference SqlSegmentsMetadataManager semantics: only
+                // segments FULLY CONTAINED in the interval flip — a
+                // sub-segment interval must not retire data outside it
                 listBuckets(path).filter { b =>
                   b != "all" && {
                     val st = java.time.LocalDateTime
@@ -929,7 +934,7 @@ class QueryServer(
                       .toInstant(java.time.ZoneOffset.UTC)
                     val s = st.toEpochMilli
                     val e = IngestSql.nextBucketInstant(st, gran).toEpochMilli
-                    s < iv.endMs && e > iv.startMs
+                    s >= iv.startMs && e <= iv.endMs
                   }
                 }.toSet
               case None =>
@@ -1272,9 +1277,16 @@ class QueryServer(
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prefix = graft.sources.Ingest.BucketCol + "="
+      // the timeline only lists ACTIVE segments: buckets marked unused
+      // or retired by a drop rule are invisible here too, matching
+      // what readActive serves (candidates/bySegment/uncovered all
+      // agree with the queryable set)
+      val excluded = unusedBuckets.getOrElse(dsName, Set.empty) ++
+        bucketsDroppedByRules(dsName, path)
       val buckets = fs.listStatus(p).toSeq
         .filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+        .filterNot(excluded)
       if (buckets.contains("all")) Some(Seq((None, None)))
       else {
         val gran = segmentMetaWithIngested(dsName)
@@ -1396,29 +1408,54 @@ class QueryServer(
       "X-Druid-Response-Context", mapper.writeValueAsString(ctx))
   }
 
-  /** strong ETag for a native query over an ingested table: SHA-1 of
-    * (body, segment directory names + mtimes, unused set, rule
-    * chains). Caller-resolved tables have no content identity → no
-    * tag (reference behavior: no etag without a segment timeline). */
+  /** every named table (and whether the tree holds a lookup
+    * datasource, whose registry content the tag cannot see). */
+  private def namedTables(
+      ds: graft.model.DataSource): (Seq[String], Boolean) = {
+    import graft.model.DataSource
+    ds match {
+      case DataSource.Table(n) => (Seq(n), false)
+      case DataSource.GlobalTable(n) => (Seq(n), false)
+      case j: DataSource.Join =>
+        val (lt, ll) = namedTables(j.left); val (rt, rl) = namedTables(j.right)
+        (lt ++ rt, ll || rl)
+      case DataSource.SubQuery(sq) => namedTables(sq.dataSource)
+      case DataSource.Union(ss) =>
+        val parts = ss.map(namedTables)
+        (parts.flatMap(_._1), parts.exists(_._2))
+      case _: DataSource.Lookup => (Nil, true)
+      case _ => (Nil, false)
+    }
+  }
+
+  /** strong ETag for a native query: SHA-1 of (body, EVERY referenced
+    * table's segment directory names + mtimes, unused sets, rule
+    * chains). Emitted only when every named table in the datasource
+    * tree is server-ingested and no lookup datasource is involved —
+    * anything without a content identity must not 304 (reference
+    * behavior: no etag without a segment timeline). */
   private def computeEtag(
-      body: String, q: graft.model.NativeQuery): Option[String] =
-    leftmostTable(q.dataSource).filter(ingested.contains).flatMap { ds =>
+      body: String, q: graft.model.NativeQuery): Option[String] = {
+    val (tables, hasLookup) = namedTables(q.dataSource)
+    if (hasLookup || tables.isEmpty || !tables.forall(ingested.contains)) None
+    else
       try {
-        val path = ingested(ds)
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val listing = fs.listStatus(p).toSeq
-          .map(st => st.getPath.getName + ":" + st.getModificationTime)
-          .sorted.mkString(",")
-        val state = unusedBuckets.getOrElse(ds, Set.empty).toSeq.sorted
-          .mkString(",") + "|" + retentionRules.getOrElse(ds, "") + "|" +
-          retentionRules.getOrElse("_default", "")
         val md = java.security.MessageDigest.getInstance("SHA-1")
-        md.update((body + "|" + listing + "|" + state)
-          .getBytes(StandardCharsets.UTF_8))
+        md.update(body.getBytes(StandardCharsets.UTF_8))
+        tables.distinct.sorted.foreach { ds =>
+          val p = new org.apache.hadoop.fs.Path(ingested(ds))
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val listing = fs.listStatus(p).toSeq
+            .map(st => st.getPath.getName + ":" + st.getModificationTime)
+            .sorted.mkString(",")
+          val state = unusedBuckets.getOrElse(ds, Set.empty).toSeq.sorted
+            .mkString(",") + "|" + retentionRules.getOrElse(ds, "") + "|" +
+            retentionRules.getOrElse("_default", "")
+          md.update(s"|$ds|$listing|$state".getBytes(StandardCharsets.UTF_8))
+        }
         Some("\"" + md.digest().map("%02x".format(_)).mkString + "\"")
       } catch { case _: Exception => None }
-    }
+  }
 
   private def leftmostTable(ds: graft.model.DataSource): Option[String] = {
     import graft.model.DataSource

@@ -55,6 +55,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(!tight(2L)) // tie at 12:00 stays
   }
 
+  test("right side carrying a column named like leftTs does not misbind __rts") {
+    import spark.implicits._
+    // right has its own unrelated "t" column (the left ts name) — the
+    // matched timestamp must come from rt, never from right.t
+    val rightDecoy = Seq(
+      ("k1", ts("2024-01-01 12:00:00"), 100.0, ts("1999-01-01 00:00:00"))
+    ).toDF("rk", "rt", "price", "t")
+    val out = AsofJoin.asof(
+      left.filter(col("id") === 3L), "k", "t",
+      rightDecoy, "rk", "rt", Seq("price"))
+      .select(col("id"), col("asof_ts")).collect()
+    assert(out.length == 1)
+    assert(out(0).getTimestamp(1) == ts("2024-01-01 12:00:00"), out(0))
+  }
+
   test("asof plan: one shuffle on the key, no row-multiplying join") {
     val plan = AsofJoin.asof(left, "k", "t", right, "rk", "rt", Seq("price"))
       .queryExecution.executedPlan.toString

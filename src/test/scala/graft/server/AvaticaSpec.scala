@@ -156,6 +156,39 @@ class AvaticaSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("maxRowCount truncates like JDBC setMaxRows; timestamp parameters bind") {
+    fixture.createOrReplaceTempView("ds")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      rpc(port, """{"request":"openConnection","connectionId":"c6"}""")
+      val sid = rpc(port, """{"request":"createStatement","connectionId":"c6"}""")
+        .get("statementId").asInt()
+      // 3 rows in ds; maxRowCount=2 must truncate silently, not error
+      val exec = rpc(port,
+        s"""{"request":"prepareAndExecute","connectionId":"c6",
+           |"statementId":$sid,"sql":"SELECT dim FROM ds ORDER BY __time",
+           |"maxRowCount":2,"maxRowsInFirstFrame":-1}""".stripMargin)
+      assert(exec.get("response").asText() == "executeResults", exec.toString)
+      val frame = exec.get("results").get(0).get("firstFrame")
+      assert(frame.get("rows").size() == 2 && frame.get("done").asBoolean())
+      // JAVA_SQL_TIMESTAMP parameter (JDBC setTimestamp sends epoch ms)
+      val prep = rpc(port,
+        """{"request":"prepare","connectionId":"c6",
+          |"sql":"SELECT dim FROM ds WHERE __time > ? ORDER BY dim",
+          |"maxRowCount":-1}""".stripMargin)
+      val pid = prep.get("statement").get("id").asInt()
+      val bound = rpc(port,
+        s"""{"request":"execute",
+           |"statementHandle":{"connectionId":"c6","id":$pid},
+           |"parameterValues":[{"type":"JAVA_SQL_TIMESTAMP","value":1704074400000}],
+           |"maxRowCount":-1}""".stripMargin) // 2024-01-01T02:00:00Z
+      val rows = bound.get("results").get(0).get("firstFrame").get("rows")
+      assert(rows.size() == 1 && rows.get(0).get(0).asText() == "a", bound.toString)
+      rpc(port, """{"request":"closeConnection","connectionId":"c6"}""")
+    } finally srv.stop()
+  }
+
   test("statement limit enforced per connection (AvaticaServerConfig default 4)") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
