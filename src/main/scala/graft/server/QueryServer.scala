@@ -674,16 +674,27 @@ class QueryServer(
   private val supervisors = scala.collection.concurrent.TrieMap
     .empty[String, (org.apache.spark.sql.streaming.StreamingQuery, String)]
 
+  /** supervisors suspended via POST /{id}/suspend: stream stopped,
+    * spec retained for /resume (reference SupervisorResource). */
+  private val suspendedSupervisors =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** test hook: the live query behind a supervisor (processAllAvailable
     * in specs — deterministic, no polling). */
   private[server] def supervisorQuery(
       id: String): Option[org.apache.spark.sql.streaming.StreamingQuery] =
     supervisors.get(id).map(_._1)
 
+  private def supervisorState(
+      id: String, q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    if (suspendedSupervisors.contains(id)) "SUSPENDED"
+    else if (q.isActive) "RUNNING"
+    else "STOPPED"
+
   private def supervisorRecords(): Seq[SystemTables.SupervisorRecord] =
     supervisors.map { case (id, (q, spec)) =>
       SystemTables.SupervisorRecord(
-        id, if (q.isActive) "RUNNING" else "STOPPED", q.isActive,
+        id, supervisorState(id, q), q.isActive,
         source = id, spec = spec)
     }.toSeq
 
@@ -728,15 +739,50 @@ class QueryServer(
           val id = p.stripSuffix("/status")
           supervisors.get(id) match {
             case Some((q, _)) =>
-              val state = if (q.isActive) "RUNNING" else "STOPPED"
+              val state = supervisorState(id, q)
               respond(ex, 200,
                 s"""{"id":"$id","payload":{"dataSource":"$id","state":"$state","healthy":${q.isActive}}}""")
             case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
           }
         case ("POST", p) if p.endsWith("/terminate") =>
           val id = p.stripSuffix("/terminate")
+          suspendedSupervisors.remove(id)
           supervisors.remove(id) match {
             case Some((q, _)) => q.stop(); respond(ex, 200, s"""{"id":"$id"}""")
+            case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
+          }
+        case ("POST", p) if p.endsWith("/suspend") =>
+          // reference SupervisorResource.specSuspend: stop consuming,
+          // keep the spec; sys.supervisors reports SUSPENDED
+          val id = p.stripSuffix("/suspend")
+          supervisors.get(id) match {
+            case Some((q, _)) =>
+              q.stop()
+              suspendedSupervisors.add(id)
+              respond(ex, 200, s"""{"id":"$id"}""")
+            case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
+          }
+        case ("POST", p) if p.endsWith("/resume") =>
+          val id = p.stripSuffix("/resume")
+          supervisors.get(id) match {
+            case Some((_, spec)) if suspendedSupervisors.contains(id) =>
+              val parsed = TaskSpec.parse(
+                mapper.createObjectNode()
+                  .put("type", "index_parallel")
+                  .set[com.fasterxml.jackson.databind.node.ObjectNode](
+                    "spec", mapper.readTree(spec).get("spec")))
+              val q = startFileSupervisor(parsed)
+              supervisors.put(id, (q, spec))
+              suspendedSupervisors.remove(id)
+              respond(ex, 200, s"""{"id":"$id"}""")
+            case Some(_) =>
+              respond(ex, 400, s"""{"error":"supervisor [$id] is not suspended"}""")
+            case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
+          }
+        case ("GET", id) if id.nonEmpty && !id.contains("/") =>
+          // reference specGet: the supervisor spec as submitted
+          supervisors.get(id) match {
+            case Some((_, spec)) => respond(ex, 200, spec)
             case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
           }
         case _ => respond(ex, 405, """{"error":"unsupported supervisor call"}""")

@@ -887,6 +887,28 @@ class QueryServerSpec extends SparkSpec {
       val (c5, b5) = post(port, "/druid/indexer/v1/supervisor",
         """{"type": "kafka", "spec": {}}""")
       assert(c5 == 400 && b5.contains("connector"), s"$c5 $b5")
+      // GET {id} returns the spec as submitted
+      val sp = client.send(java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/indexer/v1/supervisor/wiki_stream"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(sp.statusCode() == 200 && sp.body() == spec, sp.body().take(200))
+      // suspend stops consumption but keeps the spec; resume restarts
+      val (sc, _) = post(port, "/druid/indexer/v1/supervisor/wiki_stream/suspend", "")
+      assert(sc == 200)
+      val st2 = client.send(java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/indexer/v1/supervisor/wiki_stream/status"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(st2.body().contains("SUSPENDED"), st2.body())
+      val (rc, _) = post(port, "/druid/indexer/v1/supervisor/wiki_stream/resume", "")
+      assert(rc == 200)
+      // stream consumes again after resume
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$input/resumed.json"),
+        """{"t": 1704300000000, "etype": "click", "v": 2.0}""" + "\n")
+      srv.supervisorQuery("wiki_stream").get.processAllAvailable()
+      val (_, b7) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM wiki_stream"}""")
+      assert(b7 == """[{"n":4}]""", b7)
       // terminate stops the query and unlists it
       val (c6, _) = post(port, "/druid/indexer/v1/supervisor/wiki_stream/terminate", "")
       assert(c6 == 200)
