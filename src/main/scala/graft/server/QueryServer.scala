@@ -232,6 +232,21 @@ class QueryServer(
   /** observable for tests. */
   @volatile var cacheHits: Long = 0L
 
+  /** per-query-type metrics (reference DefaultQueryMetrics emitting
+    * query/time + query/count through the emitter): counts, total and
+    * max wall ms, failures — served at GET /status/metrics. */
+  private val queryMetrics = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Long, Long, Long)] // count, totalMs, maxMs, failures
+
+  private def recordMetric(
+      queryType: String, ms: Long, failed: Boolean): Unit = {
+    val _ = queryMetrics.updateWith(queryType) {
+      case Some((c, t, mx, f)) =>
+        Some((c + 1, t + ms, math.max(mx, ms), f + (if (failed) 1 else 0)))
+      case None => Some((1L, ms, ms, if (failed) 1L else 0L))
+    }
+  }
+
   private def contextFlag(body: String, name: String): Boolean =
     try {
       val n = mapper.readTree(body)
@@ -291,7 +306,21 @@ class QueryServer(
     // reference StatusResource: version + modules + JVM memory;
     // /status/properties dumps the effective runtime configuration
     server.createContext("/status", (ex: HttpExchange) => {
-      if (ex.getRequestURI.getPath == "/status/properties") {
+      if (ex.getRequestURI.getPath == "/status/metrics") {
+        // per-query-type counters (reference query/time + query/count
+        // metrics, pull-form): count, total/avg/max wall ms, failures
+        val o = mapper.createObjectNode()
+        queryMetrics.toSeq.sortBy(_._1).foreach {
+          case (t, (c, total, mx, f)) =>
+            val m = o.putObject(t)
+            m.put("count", c)
+            m.put("totalTimeMs", total)
+            m.put("avgTimeMs", if (c == 0) 0L else total / c)
+            m.put("maxTimeMs", mx)
+            m.put("failed", f)
+        }
+        respond(ex, 200, mapper.writeValueAsString(o))
+      } else if (ex.getRequestURI.getPath == "/status/properties") {
         val o = mapper.createObjectNode()
         spark.conf.getAll.toSeq.sortBy(_._1).foreach { case (k, v) =>
           o.put(k, v)
@@ -1074,6 +1103,9 @@ class QueryServer(
   // ---------------- SQL endpoint ----------------
 
   private def handleSql(ex: HttpExchange): Unit = {
+    var counted = false
+    var failed = false
+    val t0 = System.currentTimeMillis()
     try {
       if (ex.getRequestMethod == "DELETE") {
         cancelById(ex, ex.getRequestURI.getPath.stripPrefix("/druid/v2/sql/")); return
@@ -1084,6 +1116,7 @@ class QueryServer(
       val node = mapper.readTree(body)
       val sql0 = Option(node.get("query")).filterNot(_.isNull)
         .getOrElse(throw new IllegalArgumentException("missing 'query'")).asText()
+      counted = true
       val params = Option(node.get("parameters")).filterNot(_.isNull)
         .map(_.elements()).map(it => Iterator.continually(it)
           .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
@@ -1146,8 +1179,11 @@ class QueryServer(
         }
       }
     } catch {
-      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
-    }
+      case e: Exception =>
+        failed = true
+        val (code, b) = errorBody(e); respond(ex, code, b)
+    } finally if (counted)
+      recordMetric("sql", System.currentTimeMillis() - t0, failed)
   }
 
   /** dynamic parameter substitution (reference SqlQuery.java:55 —
@@ -1189,6 +1225,9 @@ class QueryServer(
   // ---------------- native endpoint ----------------
 
   private def handleNative(ex: HttpExchange): Unit = {
+    var metricType: Option[String] = None
+    var failed = false
+    val t0 = System.currentTimeMillis()
     try {
       if (ex.getRequestMethod == "DELETE") {
         cancelById(ex, ex.getRequestURI.getPath.stripPrefix("/druid/v2/")); return
@@ -1196,6 +1235,9 @@ class QueryServer(
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val qid = setQueryIdHeader(ex, body)
+      metricType =
+        try Option(mapper.readTree(body).get("queryType")).map(_.asText())
+        catch { case _: Exception => None }
       val q = graft.model.QueryJson.parse(body)
       setResponseContextHeader(ex, body, q)
       // ETag / If-None-Match (reference QueryResource.HEADER_ETAG +
@@ -1224,8 +1266,11 @@ class QueryServer(
         }
       }
     } catch {
-      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
-    }
+      case e: Exception =>
+        failed = true
+        val (code, b) = errorBody(e); respond(ex, code, b)
+    } finally metricType.foreach(t =>
+      recordMetric(t, System.currentTimeMillis() - t0, failed))
   }
 
   /** GET /druid/v2/datasources[/{ds}[/dimensions|/metrics]] —

@@ -206,6 +206,30 @@ class AvaticaSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("query metrics accumulate per type at /status/metrics") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      post("/druid/v2", """{"queryType": "timeBoundary", "dataSource": "ds", "intervals": []}""")
+      post("/druid/v2", """{"queryType": "timeBoundary", "dataSource": "ds", "intervals": []}""")
+      post("/druid/v2", """{"queryType": "timeseries", "dataSource": "nope",
+        |"intervals": [], "granularity": "all",
+        |"aggregations": [{"type": "count", "name": "c"}]}""".stripMargin) // fails
+      val m = mapper.readTree(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/status/metrics"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString()).body())
+      assert(m.get("timeBoundary").get("count").asLong() == 2L, m.toString)
+      assert(m.get("timeBoundary").get("failed").asLong() == 0L)
+      assert(m.get("timeseries").get("failed").asLong() == 1L, m.toString)
+      assert(m.get("timeBoundary").get("maxTimeMs").asLong() >= 0L)
+    } finally srv.stop()
+  }
+
   test("readiness and loadstatus probes answer") {
     val srv = new QueryServer(spark, { case "ds" => fixture },
       datasources = () => Seq("ds"))
