@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream joins — the streaming enrich step
+  * (click ↔ impression attribution, request ↔ response pairing) that
+  * batch joins can't express without re-reading history.
+  *
+  * Structured Streaming's state-bounded join needs BOTH watermarks and
+  * a time-bound join condition: together they let the engine expire
+  * buffered rows once the other side can no longer produce a match —
+  * state stays proportional to (rate × skew window), not to stream
+  * lifetime. Without the time bound, join state grows forever; these
+  * entry points make the bound mandatory.
+  */
+object StreamJoin {
+
+  /** Inner-join two streams on equal keys with bounded event-time
+    * skew: right.ts ∈ [left.ts - maxSkew, left.ts + maxSkew]. Column
+    * names must be disjoint across the sides (rename before calling).
+    *
+    * @param maxSkew   SQL interval literal body, e.g. "10 minutes"
+    * @param watermark lateness bound applied to BOTH sides */
+  def joinWithinSkew(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      maxSkew: String, watermark: String): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"stream-stream join requires disjoint column names; shared: $overlap")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxSkew") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxSkew"))
+  }
+
+  /** Attribution form: each right event (click) joins left events
+    * (impressions) that happened AT OR BEFORE it within the lookback —
+    * the one-sided variant whose state the engine can expire fastest. */
+  def attribute(
+      impressions: DataFrame, impKey: String, impTs: String,
+      conversions: DataFrame, convKey: String, convTs: String,
+      lookback: String, watermark: String): DataFrame = {
+    val overlap = impressions.columns.toSet intersect conversions.columns.toSet
+    require(overlap.isEmpty,
+      s"stream-stream join requires disjoint column names; shared: $overlap")
+    val i = impressions.withWatermark(impTs, watermark)
+    val c = conversions.withWatermark(convTs, watermark)
+    i.join(c,
+      col(impKey) === col(convKey) &&
+        col(convTs) >= col(impTs) &&
+        col(convTs) <= col(impTs) + expr(s"INTERVAL $lookback"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamJoinSpec extends SparkSpec {
+
+  private def m(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+
+  test("attribution join pairs conversions with in-lookback impressions only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, Long)] // (user, tsMs)
+    val convs = MemoryStream[(Long, Long, Double)] // (user, tsMs, amount)
+    val i = imps.toDF.toDF("i_user", "i_tsMs")
+      .select(col("i_user"), timestamp_millis(col("i_tsMs")).as("i_ts"))
+    val c = convs.toDF.toDF("c_user", "c_tsMs", "amount")
+      .select(col("c_user"), timestamp_millis(col("c_tsMs")).as("c_ts"),
+        col("amount"))
+    val q = StreamJoin.attribute(
+      i, "i_user", "i_ts", c, "c_user", "c_ts",
+      lookback = "10 minutes", watermark = "1 minute")
+      .select(col("i_user"), col("amount"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+
+    imps.addData(
+      (1L, m("2024-01-01T00:00:00Z")),
+      (2L, m("2024-01-01T00:00:00Z")))
+    convs.addData(
+      (1L, m("2024-01-01T00:05:00Z"), 9.99), // 5 min after impression: attributed
+      (2L, m("2024-01-01T00:20:00Z"), 5.00), // 20 min after: outside lookback
+      (3L, m("2024-01-01T00:05:00Z"), 1.00)) // no impression at all
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attr_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == Set((1L, 9.99)), rows)
+  }
+
+  test("two-sided skew join matches within the window in either direction") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a = MemoryStream[(Long, Long)]
+    val b = MemoryStream[(Long, Long)]
+    val l = a.toDF.toDF("a_id", "a_tsMs")
+      .select(col("a_id"), timestamp_millis(col("a_tsMs")).as("a_ts"))
+    val r = b.toDF.toDF("b_id", "b_tsMs")
+      .select(col("b_id"), timestamp_millis(col("b_tsMs")).as("b_ts"))
+    val q = StreamJoin.joinWithinSkew(
+      l, "a_id", "a_ts", r, "b_id", "b_ts",
+      maxSkew = "2 minutes", watermark = "1 minute")
+      .select(col("a_id"), col("b_ts"))
+      .writeStream.format("memory").queryName("skew_out")
+      .outputMode("append").start()
+    a.addData((7L, m("2024-01-01T00:10:00Z")))
+    b.addData(
+      (7L, m("2024-01-01T00:09:00Z")), // 1 min before: in window
+      (7L, m("2024-01-01T00:11:30Z")), // 1.5 min after: in window
+      (7L, m("2024-01-01T00:14:00Z"))) // 4 min after: out
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("skew_out").count() == 2)
+  }
+
+  test("shared column names are rejected up front") {
+    import spark.implicits._
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ts")
+    intercept[IllegalArgumentException] {
+      StreamJoin.joinWithinSkew(df, "k", "ts", df, "k", "ts", "1 minute", "1 minute")
+    }
+  }
+}
