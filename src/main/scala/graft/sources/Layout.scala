@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout (the Spark answer to the reference's
+  * bitmap-index pre-filtering, SURVEY §2.2): a Z-order (Morton) sort
+  * interleaves the bit patterns of per-column bucket ranks so rows
+  * close in EVERY keyed dimension land in the same parquet row groups
+  * — min/max zone maps then skip row groups for filters on ANY of the
+  * keyed columns, not just the leading sort key.
+  *
+  * Scale shape: per-column bucket boundaries come from
+  * `approxQuantile` (a distributed sketch, driver gets ~256 numbers);
+  * bucket assignment + bit interleave are pure codegen'd column
+  * expressions; the final `repartitionByRange(zvalue)` is the one
+  * shuffle — identical cost to any global sort-on-write.
+  */
+object Layout {
+
+  /** bit-interleave 2-4 bucket-rank columns (each in [0, 2^bits)) into
+    * one Morton value. Pure integer column arithmetic — codegen'd. */
+  def interleaveBits(cols: Seq[Column], bits: Int = 8): Column = {
+    require(cols.size >= 2 && cols.size <= 4, "interleave 2-4 columns")
+    require(bits >= 1 && bits <= 16, "1-16 bits per column")
+    val n = cols.size
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, i)) =>
+      (0 until bits).foldLeft(acc) { (a, b) =>
+        a.bitwiseOR(
+          shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+            b * n + i))
+      }
+    }
+  }
+
+  /** numeric column → bucket rank in [0, nBuckets) via approx-quantile
+    * boundaries (computed once, broadcast as a literal CASE chain). */
+  private def bucketExpr(
+      df: DataFrame, colName: String, nBuckets: Int): Column = {
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = df.stat
+      .approxQuantile(colName, probes, 0.01).distinct.sorted
+    bounds.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (b, i)) => acc.when(col(colName) <= b, i)
+    }.otherwise(bounds.length).cast("long")
+  }
+
+  /** Z-order a frame by 2-4 numeric columns: bucket each with
+    * approx-quantiles, interleave, range-partition + locally sort on
+    * the Morton value. Follow with `.write.parquet(...)` (or hand to
+    * Ingest.write) — every row group then carries tight min/max on all
+    * keyed columns. */
+  def zorder(
+      df: DataFrame, zCols: Seq[String], bits: Int = 8,
+      targetPartitions: Int = 0): DataFrame = {
+    val buckets = zCols.map(c => bucketExpr(df, c, 1 << bits))
+    val z = df.withColumn("__z", interleaveBits(buckets, bits))
+    val parts =
+      if (targetPartitions > 0) targetPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    z.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  test("interleaveBits produces the Morton order for 2 dims") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (3L, 3L))
+      .toDF("x", "y")
+    val z = df.select(col("x"), col("y"),
+      Layout.interleaveBits(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // standard Morton codes: z = interleave(x lowest bit first, then y)
+    assert(z((0L, 0L)) == 0L)
+    assert(z((1L, 0L)) == 1L)
+    assert(z((0L, 1L)) == 2L)
+    assert(z((1L, 1L)) == 3L)
+    assert(z((2L, 0L)) == 4L)
+    assert(z((3L, 3L)) == 15L)
+  }
+
+  test("zorder write clusters both dimensions into row-group-skippable files") {
+    import spark.implicits._
+    // a grid where neither column alone clusters the other
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, x * 64L + y)).toDF("x", "y", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.zorder(grid, Seq("x", "y"), bits = 6, targetPartitions = 8)
+      .write.mode("overwrite").parquet(dir)
+    // every partition file must span a BOUNDED sub-range of BOTH
+    // dimensions (plain x-sort would leave y spanning 0..63 everywhere)
+    val spans = spark.read.parquet(dir)
+      .withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.length >= 4, spans.toSeq)
+    val worstY = spans.map(_._2).max
+    val worstX = spans.map(_._1).max
+    assert(worstX < 64 && worstY < 64,
+      s"every file must bound both dims: x≤$worstX y≤$worstY")
+    // data round-trips intact
+    assert(spark.read.parquet(dir).count() == 64L * 64L)
+    assert(spark.read.parquet(dir).agg(sum("payload")).head.getLong(0)
+      == (0L until 4096L).sum)
+  }
+}
