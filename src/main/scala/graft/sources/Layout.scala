@@ -23,6 +23,9 @@ object Layout {
   def interleaveBits(cols: Seq[Column], bits: Int = 8): Column = {
     require(cols.size >= 2 && cols.size <= 4, "interleave 2-4 columns")
     require(bits >= 1 && bits <= 16, "1-16 bits per column")
+    require(bits * cols.size <= 63,
+      s"${cols.size} cols x $bits bits would reach the sign bit and " +
+        "break Morton ordering")
     val n = cols.size
     cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, i)) =>
       (0 until bits).foldLeft(acc) { (a, b) =>
