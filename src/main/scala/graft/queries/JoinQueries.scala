@@ -224,7 +224,37 @@ object JoinQueries {
       .orderBy(col("l_id"))
   }
 
+  /** ASOF with a bounded lookback (AsofJoin toleranceMs): matches
+    * older than 2 hours are discarded — DuckDB states the same rule as
+    * a CASE over the native ASOF match's age. Grades the tolerance
+    * path cross-engine (the spec covers it unit-level only). */
+  val joinAsofTolerance: Q = q(
+    "join_asof_tolerance",
+    """WITH r AS (SELECT user_id, ts, round(value, 4) AS ref_value
+      |           FROM events WHERE event_id % 10 = 0),
+      |     l AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_id % 10 <> 0 AND user_id < 20),
+      |m AS (SELECT l.event_id, l.user_id, r.ref_value,
+      |             epoch_ms(l.ts) - epoch_ms(r.ts) AS age_ms
+      |      FROM l ASOF LEFT JOIN r
+      |        ON l.user_id = r.user_id AND r.ts <= l.ts)
+      |SELECT event_id, user_id,
+      |       CASE WHEN age_ms <= 7200000 THEN ref_value END AS ref_value
+      |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val right = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), round(col("value"), 4).as("ref_value"))
+    val left = ev.filter(col("event_id") % 10 =!= 0 && col("user_id") < 20)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsofJoin.asof(
+      left, "user_id", "ts", right, "user_id", "ts",
+      Seq("ref_value"), toleranceMs = Some(7200000L)) // 2 h lookback
+      .select(col("event_id"), col("user_id"), col("ref_value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(
     joinBroadcastInner, joinLeftResidual, joinSemi, joinAnti, lookupNationName,
-    unionAll, inlineJoin, subqueryNested, joinAsof, joinInterval)
+    unionAll, inlineJoin, subqueryNested, joinAsof, joinInterval,
+    joinAsofTolerance)
 }

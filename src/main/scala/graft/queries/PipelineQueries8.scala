@@ -444,7 +444,36 @@ object PipelineQueries8 {
       .orderBy(col("source"))
   }
 
+  /** Z-order (Morton) interleave graded cross-engine: the layout
+    * key's bit arithmetic (sources.Layout.interleaveBits) against
+    * DuckDB computing the same interleave with its own bit operators.
+    * An off-by-one in bit position or operand order breaks the hash. */
+  val mortonCode: Q = q(
+    "layout_morton",
+    """SELECT doc_id,
+      |       CAST(doc_id % 256 AS BIGINT) AS x,
+      |       CAST((doc_id * 7) % 256 AS BIGINT) AS y,
+      |       CAST((
+      |         (((doc_id % 256 >> 0) & 1) << 0) | ((((doc_id*7) % 256 >> 0) & 1) << 1) |
+      |         (((doc_id % 256 >> 1) & 1) << 2) | ((((doc_id*7) % 256 >> 1) & 1) << 3) |
+      |         (((doc_id % 256 >> 2) & 1) << 4) | ((((doc_id*7) % 256 >> 2) & 1) << 5) |
+      |         (((doc_id % 256 >> 3) & 1) << 6) | ((((doc_id*7) % 256 >> 3) & 1) << 7) |
+      |         (((doc_id % 256 >> 4) & 1) << 8) | ((((doc_id*7) % 256 >> 4) & 1) << 9) |
+      |         (((doc_id % 256 >> 5) & 1) << 10) | ((((doc_id*7) % 256 >> 5) & 1) << 11) |
+      |         (((doc_id % 256 >> 6) & 1) << 12) | ((((doc_id*7) % 256 >> 6) & 1) << 13) |
+      |         (((doc_id % 256 >> 7) & 1) << 14) | ((((doc_id*7) % 256 >> 7) & 1) << 15)
+      |       ) AS BIGINT) AS z
+      |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val x = (col("doc_id") % 256).cast("long")
+    val y = ((col("doc_id") * 7) % 256).cast("long")
+    Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id"), x.as("x"), y.as("y"),
+        graft.sources.Layout.interleaveBits(Seq(x, y), bits = 8).as("z"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ,
     textNormalize, lineDedupInDocQ, tfidfPairs, truncate, entropy,
-    similarityRecall, multimodalAudioStats, mixtureWeights)
+    similarityRecall, multimodalAudioStats, mixtureWeights, mortonCode)
 }
