@@ -129,6 +129,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Sign-random-projection dimensionality reduction (Achlioptas-style
+    * ±1 projection): out[j] = Σ_i sign(i,j)·vec[i], with signs derived
+    * deterministically from an integer hash of (i, j, seed) — no
+    * stored projection matrix, any engine reproduces it. Distances are
+    * preserved in expectation (JL lemma); the fold over i is
+    * SEQUENTIAL, so the double sums are bit-reproducible cross-engine
+    * (the portable-fold oracle recipe). Pure Column tree — codegen'd,
+    * no UDF. */
+  def randomProjection(
+      vec: Column, dim: Int, outDim: Int, seed: Long = 42L): Column =
+    transform(sequence(lit(0L), lit(outDim - 1L)), j =>
+      aggregate(sequence(lit(0L), lit(dim - 1L)), lit(0.0), (acc, i) =>
+        acc + element_at(vec, (i + 1).cast("int")).cast("double") *
+          when(pmod((i * 2654435761L + j * 40503L + lit(seed)) %
+            2147483647L, lit(2L)) === 0, 1.0).otherwise(-1.0)))
+
   /** Persist a trained IVF index as a queryable parquet layout:
     * `centroids/` holds (centroid_id, centroid) and `cells/` holds
     * (id, vec) PARTITIONED BY centroid_id — the on-disk twin of an

@@ -473,7 +473,36 @@ object PipelineQueries8 {
       .orderBy(col("doc_id"))
   }
 
+  /** Sign-random-projection dim reduction graded: 64-dim embeddings →
+    * 8 dims with hash-derived ±1 signs; the SEQUENTIAL fold makes the
+    * double sums bit-identical cross-engine (rounded to 4dp for the
+    * hash). A sign-formula or fold-order deviation breaks the match. */
+  val randomProjection: Q = q(
+    "embedding_random_projection",
+    """WITH p AS (
+      |  SELECT vec_id, j,
+      |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(0, 64), i ->
+      |             CAST(embedding[i+1] AS DOUBLE) *
+      |             CASE WHEN ((i * 2654435761 + j * 40503 + 42) % 2147483647) % 2 = 0
+      |                  THEN 1.0 ELSE -1.0 END)),
+      |           (a, b) -> a + b), 4) AS v
+      |  FROM embeddings, UNNEST(range(0, 8)) AS t(j)
+      |  WHERE vec_id < 50)
+      |SELECT vec_id, CAST(j AS BIGINT) AS dim, v
+      |FROM p ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    Tables.embeddings(s, d).filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        posexplode(Similarity.randomProjection(col("embedding"), 64, 8)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        round(col("col"), 4).as("v"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   def all: Seq[Q] = Seq(urlNormalize, timeInInterval, boilerplateStripQ,
     textNormalize, lineDedupInDocQ, tfidfPairs, truncate, entropy,
-    similarityRecall, multimodalAudioStats, mixtureWeights, mortonCode)
+    similarityRecall, multimodalAudioStats, mixtureWeights, mortonCode,
+    randomProjection)
 }
