@@ -83,6 +83,48 @@ object TextAnalysis {
   def langIdScore(toks: Column, stopwords: Seq[String]): Column =
     stopwordCount(toks, stopwords).cast("double") / size(toks)
 
+  /** Gopher-style document filter rules (Rae et al. 2021, "Scaling
+    * Language Models", Table A1), restated in PURE INTEGER math so the
+    * keep/drop decision at the boundary is exact on every engine:
+    *
+    *  - bit 0  word count within [minWords, maxWords]
+    *  - bit 1  mean word length within [3, 10]  (3·n ≤ Σlen ≤ 10·n)
+    *  - bit 2  symbol-to-word ratio < 0.1       (10·(#'#' + #'...') < n)
+    *  - bit 3  ≥ 80% of words contain an alphabetic char (bp math)
+    *  - bit 4  at least minStopwords stopword hits
+    *
+    * (The reference rule set also bounds bullet-/ellipsis-LINE ratios;
+    * those need line structure the fixture corpus doesn't have and are
+    * a trivial extension of the same shape.) Every rule is a map-side
+    * codegen'd expression over the token array — one pass over the
+    * document scan, no shuffle, so the filter runs at full scan
+    * throughput on a 100 TB corpus. */
+  def gopherRules(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minStopwords: Int = 2): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val ellipses =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    Seq(
+      "r_word_count" -> (n >= minWords && n <= maxWords),
+      "r_mean_word_len" -> (sumLen >= n * 3L && sumLen <= n * 10L),
+      "r_symbol_ratio" -> ((hashes + ellipses) * 10L < n),
+      "r_alpha_words" -> (nAlpha * 10000L >= n * 8000L),
+      "r_stopwords" -> (stopwordCount(toks).cast("long") >= minStopwords)
+    ).map { case (name, c) => name -> when(c, 1L).otherwise(0L) }
+  }
+
+  /** rule flags packed little-endian into one long + the all-pass keep
+    * decision — the columns a curation pipeline persists per document. */
+  def gopherMask(flags: Seq[Column]): Column =
+    flags.zipWithIndex.map { case (f, i) => f * (1L << i) }.reduce(_ + _)
+
   /** composite quality score in [0,1]: length sweet-spot × word-shape ×
     * stopword presence — the usual pre-training heuristic shape. */
   def qualityScore(text: Column): Column = {

