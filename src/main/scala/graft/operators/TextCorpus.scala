@@ -55,6 +55,36 @@ object TextCorpus {
       .agg(round(avg(-log(col("cnt").cast("double") / total)), 4).as("logprob"))
   }
 
+  /** Per-document bigram negative log-likelihood under the corpus's
+    * own bigram LM: avg over bigram positions of
+    * -ln( c(w1 w2) / c(w1 ·) ) — the conditional-probability sharpening
+    * of [[unigramLogProb]] and the closest deterministic analog of the
+    * CCNet/KenLM perplexity filter (low = stereotypical word order,
+    * high = unusual transitions). Observed bigrams always have c ≥ 1,
+    * so no smoothing is needed to score the training corpus itself.
+    *
+    * Scale shape: the bigram count table is NOT broadcast — it grows
+    * with corpus size — so both lookups are shuffle hash joins keyed on
+    * the bigram / prefix string. One explode pass, two groupBys, two
+    * joins that AQE plans as broadcast only when the vocab really is
+    * small. At 100 TB, persist the LM tables once and score many
+    * snapshots against them. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.select(
+      col(idCol).as("id"),
+      explode(TextAnalysis.wordShingles(toks(col(textCol)), 2)).as("g"))
+    val bigramCnt = grams.groupBy(col("g")).agg(count(lit(1)).as("cg"))
+    val prefixCnt = grams
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("cw"))
+    grams
+      .join(bigramCnt, Seq("g"))
+      .join(prefixCnt, substring_index(col("g"), " ", 1) === col("w1"))
+      .groupBy(col("id"))
+      .agg(round(avg(-log(col("cg").cast("double") / col("cw"))), 4)
+        .as("nll_bigram"))
+  }
+
   /** GPT-style sequence packing: concatenate documents in a stable
     * order and chop into fixed token-budget bins; a document's bin is
     * floor(startOffset / budget) of its first token. Returns one row

@@ -63,5 +63,27 @@ object PipelineQueries9 {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(gopherRules)
+  /** corpus bigram-LM scoring (TextCorpus.bigramLogProb): per-doc avg
+    * -ln p(w2|w1). Margin to the round(4) boundary measured at 1.9e-7
+    * in value terms at sf0.1 vs ~1e-12 worst-case FP reorder noise. */
+  val bigramNll: Q = q(
+    "text_bigram_perplexity",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |         i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+      |cg AS (SELECT g, count(*) AS c FROM bg GROUP BY 1),
+      |cp AS (SELECT string_split(g, ' ')[1] AS w1, sum(c) AS cw FROM cg GROUP BY 1)
+      |SELECT bg.doc_id,
+      |       round(avg(-ln(CAST(cg.c AS DOUBLE) / cp.cw)), 4) AS nll_bigram
+      |FROM bg JOIN cg USING (g)
+      |        JOIN cp ON string_split(bg.g, ' ')[1] = cp.w1
+      |WHERE bg.doc_id < 100
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.operators.TextCorpus.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("id") < 100)
+      .select(col("id").as("doc_id"), col("nll_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(gopherRules, bigramNll)
 }

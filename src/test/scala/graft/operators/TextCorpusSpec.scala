@@ -50,6 +50,21 @@ class TextCorpusSpec extends SparkSpec {
     assert(math.abs(lp(1L) - exp1) < 1e-9, s"${lp(1L)} vs $exp1")
   }
 
+  test("bigramLogProb: conditional probs hand-check") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val lp = TextCorpus.bigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bigrams: doc1 = (a b)x2, (b a); doc2 = (a c). prefix counts: a→3, b→1.
+    // doc1 = avg(-ln(2/3), -ln(1/1), -ln(2/3)); doc2 = -ln(1/3)
+    val exp1 = BigDecimal(2 * math.log(1.5) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(math.log(3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(lp(1L) - exp1) < 1e-9, lp)
+    assert(math.abs(lp(2L) - exp2) < 1e-9, lp)
+  }
+
   test("packBinsSharded packs each shard independently") {
     import spark.implicits._
     val docs = Seq(
