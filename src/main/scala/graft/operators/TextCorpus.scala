@@ -85,6 +85,41 @@ object TextCorpus {
         .as("nll_bigram"))
   }
 
+  /** Cross-document n-gram doc-frequency coverage — the memorization /
+    * near-duplication signal: for each document, how many of its
+    * n-gram positions carry a gram that also occurs in ≥ minDf-1 OTHER
+    * documents (df counts DISTINCT docs, so in-doc repetition doesn't
+    * inflate it). Returns (id, n_grams, n_shared, max_df, bp_shared)
+    * with bp_shared = ⌊10000·n_shared/n_grams⌋ — pure integers, so the
+    * keep/flag decision is engine-exact.
+    *
+    * Scale shape: one explode pass, a (gram → distinct-doc count)
+    * aggregation, and a shuffle hash join back on the gram key — the
+    * df table scales with corpus size, so it is never broadcast. At
+    * 100 TB, key grams by xxhash64 instead of the string (the string
+    * keys here keep the cross-engine oracle portable) and persist the
+    * df table for reuse across curation runs. */
+  def ngramDocFrequency(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDf: Int = 2): DataFrame = {
+    val grams = df.select(
+      col(idCol).as("id"),
+      explode(TextAnalysis.wordShingles(toks(col(textCol)), n)).as("g"))
+    val dfCnt = grams.groupBy(col("g"))
+      .agg(countDistinct(col("id")).as("df"))
+    grams.join(dfCnt, Seq("g"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_shared"),
+        max(col("df")).as("max_df"))
+      .withColumn("bp_shared",
+        graft.exprs.idiv(col("n_shared") * 10000L, col("n_grams")))
+  }
+
   /** GPT-style sequence packing: concatenate documents in a stable
     * order and chop into fixed token-budget bins; a document's bin is
     * floor(startOffset / budget) of its first token. Returns one row

@@ -85,5 +85,30 @@ object PipelineQueries9 {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(gopherRules, bigramNll)
+  /** cross-doc 5-gram doc-frequency coverage
+    * (TextCorpus.ngramDocFrequency) — the memorization signal, all
+    * integers. */
+  val ngramDf: Q = q(
+    "ngram_doc_frequency",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+      |        i -> array_to_string(w[i:i+4], ' '))) AS g
+      |      FROM d WHERE len(w) >= 5),
+      |df AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM g GROUP BY 1),
+      |cov AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |         max(df) AS max_df
+      |  FROM g JOIN df USING (g) GROUP BY 1)
+      |SELECT doc_id, n_grams, n_shared, max_df,
+      |       n_shared * 10000 // n_grams AS bp_shared
+      |FROM cov ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TextCorpus
+      .ngramDocFrequency(Tables.documents(s, d), "doc_id", "text", n = 5, minDf = 2)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+        col("max_df"), col("bp_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(gopherRules, bigramNll, ngramDf)
 }

@@ -65,6 +65,20 @@ class TextCorpusSpec extends SparkSpec {
     assert(math.abs(lp(2L) - exp2) < 1e-9, lp)
   }
 
+  test("ngramDocFrequency: cross-doc shared grams, in-doc repeats ignored") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y x y x y x y")
+    ).toDF("doc_id", "text")
+    val rows = TextCorpus.ngramDocFrequency(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // "a b c d e" is in docs 1+2 (df=2); doc 3 repeats its own grams only
+    assert(rows(1L) == ((2L, 1L, 2L, 5000L)), rows)
+    assert(rows(2L) == ((2L, 1L, 2L, 5000L)), rows)
+    assert(rows(3L)._2 == 0L && rows(3L)._4 == 0L, rows)
+  }
+
   test("packBinsSharded packs each shard independently") {
     import spark.implicits._
     val docs = Seq(
