@@ -110,5 +110,29 @@ object PipelineQueries9 {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(gopherRules, bigramNll, ngramDf)
+  /** training-export shard manifest (sources.Export): deterministic
+    * token-budget sharding — doc/token totals + contiguous id range
+    * per shard, pure integers. */
+  val exportManifest: Q = q(
+    "export_shard_manifest",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+      |                 ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048) AS BIGINT)
+      |           AS shard
+      |  FROM d)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |       min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.sources.Export
+      .manifest(graft.sources.Export.shardByTokenBudget(
+        Tables.documents(s, d), "doc_id", "text", 2048L))
+      .orderBy(col("shard"))
+  }
+
+  def all: Seq[Q] = Seq(gopherRules, bigramNll, ngramDf, exportManifest)
 }

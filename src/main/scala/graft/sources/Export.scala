@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set export: deterministic token-budget sharding of a
+  * curated corpus into JSONL shard directories plus a manifest — the
+  * last mile between a curation pipeline and a trainer's data loader.
+  *
+  * Shard assignment is the [[graft.operators.TextCorpus.packBins]]
+  * cumulative rule at shard granularity: documents in stable id order,
+  * a document starts a new shard when the running token total crosses
+  * the budget, documents never split. Pure integers, so the shard map
+  * is reproducible run-over-run (what a resumable training job needs).
+  *
+  * Scale shape: the global ordered cumsum is one range-partitioned
+  * sort. At 100 TB, shard the cumsum per hash-prefix first (as
+  * packBinsSharded does) so no single ordering task sees the whole
+  * corpus; the manifest then keys by (prefix, shard).
+  */
+object Export {
+
+  /** assign each document a shard id: (id, n_tokens, shard). */
+  def shardByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(
+        col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budgetTokens))
+  }
+
+  /** manifest of a shard assignment: one row per shard with doc/token
+    * totals and the id range the shard covers (contiguous by
+    * construction). */
+  def manifest(sharded: DataFrame): DataFrame =
+    sharded.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min(col("id")).as("first_id"),
+        max(col("id")).as("last_id"))
+
+  /** write the corpus as JSONL under path/shard=N/part-*.txt (one JSON
+    * object per line, one directory per shard — the layout data
+    * loaders stream), and return the manifest. Each shard is coalesced
+    * through the partitionBy writer; row order inside a shard follows
+    * the sort. */
+  def writeJsonl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      path: String): DataFrame = {
+    val sharded = shardByTokenBudget(df, idCol, textCol, budgetTokens)
+    val payload = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(sharded.select(col("id"), col("shard")), Seq("id"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .select(to_json(struct(col("id"), col("text"))).as("value"), col("shard"))
+    payload.write.partitionBy("shard").mode("overwrite").text(path)
+    manifest(sharded)
+  }
+}

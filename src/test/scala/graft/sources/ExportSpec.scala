@@ -1,0 +1,42 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "a b c d"),        // 4 tokens
+    (2L, "e f g"),          // 3
+    (3L, "h i j k l"),      // 5
+    (4L, "m n"),            // 2
+    (5L, "o p q r s t")     // 6
+  ).toDF("doc_id", "text")
+
+  test("shardByTokenBudget: docs never split, shard = floor(start/budget)") {
+    val rows = Export.shardByTokenBudget(corpus, "doc_id", "text", 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // starts: 0,4,7,12,14 → shards 0,0,1,2,2
+    assert(rows.toSeq == Seq((1L, 4L, 0L), (2L, 3L, 0L), (3L, 5L, 1L),
+      (4L, 2L, 2L), (5L, 6L, 2L)))
+  }
+
+  test("writeJsonl: shard directories round-trip and manifest agrees") {
+    val dir = Files.createTempDirectory("graft-export").toString
+    val mf = Export.writeJsonl(corpus, "doc_id", "text", 6L, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(mf.toSeq == Seq(
+      (0L, 2L, 7L, 1L, 2L), (1L, 1L, 5L, 3L, 3L), (2L, 2L, 8L, 4L, 5L)))
+
+    // the written layout is one directory per shard of JSONL lines
+    val back = spark.read.schema("id LONG, text STRING")
+      .json(s"$dir/shard=0", s"$dir/shard=1", s"$dir/shard=2")
+    assert(back.count() == 5L)
+    val shard0 = spark.read.json(s"$dir/shard=0")
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(shard0 == Seq(1L, 2L))
+  }
+}
