@@ -120,6 +120,50 @@ object TextCorpus {
         graft.exprs.idiv(col("n_shared") * 10000L, col("n_grams")))
   }
 
+  /** Exact-substring deduplication (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" operator, restated
+    * span-wise): any L-token span that appears verbatim in more than
+    * one document is removed from every document EXCEPT its canonical
+    * owner (the lowest doc id containing it) — first occurrence
+    * survives, later copies lose the covered tokens. Returns
+    * (id, n_tokens, n_removed, text_kept) where text_kept is the
+    * document with covered token positions dropped (pure integer
+    * position logic, so the result is engine-exact).
+    *
+    * Scale shape: posexplode of L-gram spans, one (gram → df, owner)
+    * aggregation, a shuffle hash join back on the gram string, and an
+    * interval-union per doc via distinct covered positions. The gram
+    * table scales with the corpus — never broadcast. At 100 TB key
+    * grams by xxhash64 (strings here keep the DuckDB oracle portable)
+    * and replace collect_set with a sorted run-length merge if single
+    * documents are huge. */
+  def stripDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int = 10): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toks(col(textCol)).as("w"))
+    val grams = base.select(
+      col("id"),
+      posexplode(TextAnalysis.wordShingles(col("w"), spanLen)).as(Seq("pos", "g")))
+    val owners = grams.groupBy(col("g"))
+      .agg(countDistinct(col("id")).as("df"), min(col("id")).as("owner"))
+    val covered = grams.join(owners, Seq("g"))
+      .filter(col("df") >= 2 && col("id") =!= col("owner"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("p"))
+      .groupBy(col("id"))
+      .agg(collect_set(col("p")).as("cov"))
+    base.join(covered, Seq("id"), "left")
+      .select(
+        col("id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("w"), (_, i) => !array_contains(coalesce(col("cov"),
+            array().cast("array<int>")), i))).as("text_kept"))
+  }
+
   /** GPT-style sequence packing: concatenate documents in a stable
     * order and chop into fixed token-budget bins; a document's bin is
     * floor(startOffset / budget) of its first token. Returns one row

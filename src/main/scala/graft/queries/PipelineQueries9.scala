@@ -134,5 +134,36 @@ object PipelineQueries9 {
       .orderBy(col("shard"))
   }
 
-  def all: Seq[Q] = Seq(gopherRules, bigramNll, ngramDf, exportManifest)
+  /** exact-substring dedup (TextCorpus.stripDuplicateSpans): verbatim
+    * 10-token spans shared across docs are stripped everywhere except
+    * the lowest-id owner; grades the reconstructed text byte-for-byte. */
+  val exactSubstring: Q = q(
+    "dedup_exact_substring",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |gi AS (SELECT doc_id, unnest(range(1, len(w) - 8)) AS i, w
+      |       FROM d WHERE len(w) >= 10),
+      |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+9], ' ') AS g
+      |      FROM gi),
+      |ow AS (SELECT g, count(DISTINCT doc_id) AS df, min(doc_id) AS own_id
+      |       FROM g GROUP BY 1),
+      |sh AS (SELECT g.doc_id, g.pos FROM g JOIN ow USING (g)
+      |       WHERE df >= 2 AND g.doc_id != own_id),
+      |cov AS (SELECT doc_id, list(DISTINCT p) AS cov
+      |        FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS p FROM sh)
+      |        GROUP BY 1)
+      |SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed,
+      |       coalesce(array_to_string(
+      |         list_filter(w, (x, i) -> NOT list_contains(coalesce(cov, []), i - 1)),
+      |         ' '), '') AS text_kept
+      |FROM d LEFT JOIN cov USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TextCorpus
+      .stripDuplicateSpans(Tables.documents(s, d), "doc_id", "text", spanLen = 10)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        col("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] = Seq(gopherRules, bigramNll, ngramDf, exportManifest, exactSubstring)
 }

@@ -79,6 +79,22 @@ class TextCorpusSpec extends SparkSpec {
     assert(rows(3L)._2 == 0L && rows(3L)._4 == 0L, rows)
   }
 
+  test("stripDuplicateSpans: owner keeps, later copies lose the span") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$span tail one"),
+      (2L, s"head $span"),
+      (3L, "an unrelated doc of ten distinct tokens right here now ok")
+    ).toDF("doc_id", "text")
+    val rows = TextCorpus.stripDuplicateSpans(corpus, "doc_id", "text", spanLen = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(rows(1L) == ((12L, 0L, s"$span tail one")))      // owner untouched
+    assert(rows(2L) == ((11L, 10L, "head")))                // span stripped
+    assert(rows(3L)._2 == 0L)                               // unique doc untouched
+  }
+
   test("packBinsSharded packs each shard independently") {
     import spark.implicits._
     val docs = Seq(
