@@ -18,7 +18,14 @@ object TextAnalysis {
     regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+"), lit(0))
 
   /** n-word shingles from a token array (input to minhash). Requires
-    * size(tokens) >= n; callers guard or get an empty array. */
+    * size(tokens) >= n; callers guard or get an empty array.
+    *
+    * PERFORMANCE: pass a MATERIALIZED array column (project the split
+    * into a named column first). Passing `split(...)` inline
+    * re-evaluates the split for every element_at inside the lambda —
+    * codegen does not share subexpressions across higher-order-function
+    * boundaries, a measured 15× slowdown. For raw text prefer the
+    * single-pass codegen kernel [[graft.functions.TextExpressions.wordShingles]]. */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(

@@ -72,7 +72,7 @@ object TextCorpus {
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val grams = df.select(
       col(idCol).as("id"),
-      explode(TextAnalysis.wordShingles(toks(col(textCol)), 2)).as("g"))
+      explode(graft.functions.TextExpressions.wordShingles(col(textCol), 2)).as("g"))
     val bigramCnt = grams.groupBy(col("g")).agg(count(lit(1)).as("cg"))
     val prefixCnt = grams
       .groupBy(substring_index(col("g"), " ", 1).as("w1"))
@@ -107,7 +107,7 @@ object TextCorpus {
       minDf: Int = 2): DataFrame = {
     val grams = df.select(
       col(idCol).as("id"),
-      explode(TextAnalysis.wordShingles(toks(col(textCol)), n)).as("g"))
+      explode(graft.functions.TextExpressions.wordShingles(col(textCol), n)).as("g"))
     val dfCnt = grams.groupBy(col("g"))
       .agg(countDistinct(col("id")).as("df"))
     grams.join(dfCnt, Seq("g"))
