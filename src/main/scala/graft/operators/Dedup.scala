@@ -270,35 +270,42 @@ object Dedup {
     // lineage must survive executor loss on very long runs.
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    val endpoints = sym.select(col("src").as("id"))
-    val ids = nodes
-      .map { case (df, c) => endpoints.union(df.select(col(c).as("id"))) }
-      .getOrElse(endpoints)
-      .distinct()
-    var labels = ids.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    // Propagate ONLY over edge endpoints. In a dedup graph the corpus
+    // dwarfs the near-duplicate set, so isolated nodes (no edges)
+    // would otherwise ride every round's shuffles just to keep their
+    // own id — at 100 TB that's billions of rows per round for
+    // nothing. They are appended as singleton clusters at the end.
+    // checkpointed itself: the singleton append below reads it AFTER
+    // sym's blocks are released, so it must not re-trace sym's lineage
+    val endpoints = sym.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = endpoints.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val msgs = sym
         .join(labels.select(col("id").as("src"), col("cluster_id")), Seq("src"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val prop = labels.union(msgs)
+      val prop = labels.select(col("id"), col("cluster_id"))
+        .union(msgs)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
       // pointer jump: label := that label's own label. Labels are node
       // ids and only decrease, so the inner-joined parent row always
-      // exists and the jump is monotone — path doubling.
+      // exists and the jump is monotone — path doubling. The old label
+      // rides along so the convergence check below needs no extra join
+      // job: it is a limit-1 scan over this round's checkpointed rows.
       val next = prop
         .join(
           prop.select(col("id").as("cluster_id"), col("cluster_id").as("jump")),
           Seq("cluster_id"))
         .select(col("id"), col("jump").as("cluster_id"))
+        .join(labels.select(col("id"), col("cluster_id").as("__prev")), Seq("id"))
+        .select(col("id"), col("cluster_id"),
+          (col("cluster_id") < col("__prev")).as("__changed"))
         .localCheckpoint()
       // converged when no label strictly decreased this round; limit(1)
       // stops the scan at the first witness.
-      converged = next
-        .join(labels.select(col("id"), col("cluster_id").as("prev")), Seq("id"))
-        .filter(col("cluster_id") < col("prev"))
-        .limit(1).count() == 0
+      converged = next.filter(col("__changed")).limit(1).count() == 0
       // release the superseded round's checkpointed blocks eagerly —
       // otherwise every round's label table stays pinned in executor
       // storage until GC-driven cleanup (O(rounds) copies at scale)
@@ -312,7 +319,15 @@ object Dedup {
         s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
           "labels would be partially propagated (split clusters). Raise maxIter — " +
           "pointer jumping needs ~log2(diameter) rounds.")
-    labels
+    val connected = labels.select(col("id"), col("cluster_id"))
+    nodes match {
+      case Some((df, c)) =>
+        val isolated = df.select(col(c).as("id")).distinct()
+          .join(endpoints, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster_id"))
+        connected.union(isolated)
+      case None => connected
+    }
   }
 
   /** explicitly free a localCheckpoint'd DataFrame's storage blocks
