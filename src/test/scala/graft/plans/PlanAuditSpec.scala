@@ -1,0 +1,52 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Fleet-wide physical-plan audit: every graded query's compiled plan
+  * must be free of the two shapes that do not survive a 100× scale-up
+  * — CartesianProduct and BroadcastNestedLoopJoin. Plans are compiled
+  * (not executed) against the sf0.001 fixtures, so this is a cheap
+  * regression net over the whole registry: a refactor that silently
+  * turns an equi-join into a nested loop fails here, not on the
+  * cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** ops whose SEMANTICS are a bounded cross pairing — the nested-loop
+    * side is constant-sized by construction, so the shape stays linear
+    * in the corpus at any scale:
+    *  - similarity_*: a fixed handful of query vectors (or k centroids)
+    *    broadcast against the corpus — brute-force/ANN scoring is
+    *    definitionally query-set × corpus;
+    *  - sampling_mixture_weights, sketch_bloom_probe,
+    *    tfidf_cosine_pairs: a ONE-ROW global aggregate (min weight /
+    *    built bloom filter / corpus N) broadcast-crossed into the scan;
+    *  - ngram_jaccard_pairs: all-pairs verification over a literal
+    *    doc_id < 12 slice (the LSH-verification primitive, bounded by
+    *    the candidate set in production). */
+  private val allowed: Set[String] = Set(
+    "similarity_brute_force", "similarity_ivf_contract", "similarity_recall",
+    "similarity_quantized", "similarity_srp_contract",
+    "sampling_mixture_weights", "sketch_bloom_probe", "tfidf_cosine_pairs",
+    "ngram_jaccard_pairs")
+
+  test("no graded plan contains a cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowed(name) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch {
+            case e: Throwable =>
+              fail(s"$name failed to plan at $sfDir: ${e.getMessage}")
+          }
+        if (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")) Some(name)
+        else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"queries with scale-hostile join shapes: ${offenders.mkString(", ")}")
+  }
+}
