@@ -62,6 +62,46 @@ object TextAnalysis {
     trim(regexp_replace(regexp_replace(nfc, junkCharPattern, ""), "\\s+", " "))
   }
 
+  /** The classic mojibake table: what common non-ASCII characters look
+    * like after their UTF-8 bytes are misread as cp1252/Latin-1 (the
+    * ftfy "double-encoding" family). Each entry is (garbled, intended);
+    * entries are prefix-free so the chained replace below is
+    * order-independent. */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“", "â€“" -> "–", "â€”" -> "—",
+    "â€¦" -> "…", "â‚¬" -> "€",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã " -> "à", "Ã§" -> "ç",
+    "Ã±" -> "ñ", "Ã¶" -> "ö", "Ã¼" -> "ü", "Ã¤" -> "ä", "Ã³" -> "ó",
+    "ÃŸ" -> "ß", "Â°" -> "°", "Â·" -> "·")
+
+  /** repair UTF-8-misdecoded-as-cp1252 text by folding the garbled
+    * sequences back to the intended characters — a chained (codegen'd)
+    * replace, one pass over the scan, no shuffle. */
+  def repairMojibake(text: Column): Column =
+    mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** the inverse fold (intended → garbled), i.e. simulate re-encoding
+    * the UTF-8 bytes through a cp1252 decode. Test scaffolding for
+    * [[repairMojibake]]: corrupt-then-repair is the identity on text
+    * whose non-ASCII chars all come from the table.
+    *
+    * Fold order matters here (unlike repair): a char must be corrupted
+    * BEFORE any entry whose garbled form contains it, else the freshly
+    * introduced copy gets re-corrupted. "€" appears inside every â€x
+    * garble, so it goes first; "“" (inside â€“'s garble) already
+    * precedes "–" in the table. */
+  val corruptOrder: Seq[(String, String)] = {
+    val (euro, rest) = mojibakeTable.partition(_._2 == "€")
+    euro ++ rest
+  }
+
+  def corruptMojibake(text: Column): Column =
+    corruptOrder.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(good), lit(bad))
+    }
+
   /** simple quality signals: (n_chars, n_tokens, avg_token_len,
     * punct_count, digit_count, stopword_count). */
   def nChars(text: Column): Column = length(text)

@@ -165,5 +165,59 @@ object PipelineQueries9 {
       .orderBy(col("doc_id"))
   }
 
-  def all: Seq[Q] = Seq(gopherRules, bigramNll, ngramDf, exportManifest, exactSubstring)
+  /** encoding-glitch repair (TextAnalysis.repairMojibake): fold the
+    * classic UTF-8-misread-as-cp1252 sequences back to the intended
+    * characters. The fixture text is ASCII, so the query synthesizes
+    * the workload deterministically: enrich (ASCII letter → accented
+    * char), corrupt (the cp1252 garble, inverse table), repair — then
+    * grades the repaired text byte-for-byte plus a roundtrip flag and
+    * the chars-fixed count. Both the Spark chain and the oracle SQL
+    * are generated from the SAME mojibakeTable, in the same fold
+    * order, so the two engines cannot drift. Plan shape: one
+    * codegen'd projection fused into the scan — no shuffle, no UDF. */
+  val mojibakeRepair: Q = {
+    val enrich: Seq[(String, String)] = Seq(
+      "t" -> "’", "h" -> "‘", "q" -> "“", "w" -> "–", "m" -> "—",
+      "d" -> "…", "b" -> "€", "e" -> "é", "p" -> "è", "y" -> "ê",
+      "a" -> "à", "c" -> "ç", "n" -> "ñ", "o" -> "ö", "u" -> "ü",
+      "v" -> "ä", "x" -> "ó", "s" -> "ß", "g" -> "°", "k" -> "·")
+    def lit1(s: String) = s"'${s.replace("'", "''")}'"
+    def chainSql(inner: String, pairs: Seq[(String, String)]): String =
+      pairs.foldLeft(inner) { case (e, (from, to)) =>
+        s"replace($e, ${lit1(from)}, ${lit1(to)})"
+      }
+    q(
+      "text_repair_mojibake",
+      s"""WITH e AS (SELECT doc_id, ${chainSql("text", enrich)} AS enriched
+         |           FROM documents),
+         |g AS (SELECT doc_id, enriched,
+         |        ${chainSql("enriched", TextAnalysis.corruptOrder.map(_.swap))}
+         |          AS garbled FROM e),
+         |r AS (SELECT doc_id, enriched, garbled,
+         |        ${chainSql("garbled", TextAnalysis.mojibakeTable)} AS repaired
+         |      FROM g)
+         |SELECT doc_id,
+         |  CAST(length(garbled) - length(repaired) AS BIGINT) AS n_fixed,
+         |  CAST(CASE WHEN repaired = enriched THEN 1 ELSE 0 END AS BIGINT)
+         |    AS roundtrip_ok,
+         |  repaired AS text_repaired
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val enriched = enrich.foldLeft(col("text")) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), enriched.as("enriched"))
+        .withColumn("garbled", TextAnalysis.corruptMojibake(col("enriched")))
+        .withColumn("repaired", TextAnalysis.repairMojibake(col("garbled")))
+        .select(col("doc_id"),
+          (length(col("garbled")) - length(col("repaired"))).cast("long")
+            .as("n_fixed"),
+          (col("repaired") === col("enriched")).cast("long").as("roundtrip_ok"),
+          col("repaired").as("text_repaired"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  def all: Seq[Q] =
+    Seq(gopherRules, bigramNll, ngramDf, exportManifest, exactSubstring, mojibakeRepair)
 }

@@ -53,4 +53,32 @@ class TextQualitySpec extends SparkSpec {
     val v = spark.range(1).select(mask.as("m")).head().getLong(0)
     assert(v == 5L)
   }
+
+  test("repairMojibake fixes the classic double-encoding sequences") {
+    val garbled = "donâ€™t â€” the cafÃ© menÃ¼ is 5â‚¬ Â· voilÃ "
+    val fixed = Seq(garbled).toDF("text")
+      .select(TextAnalysis.repairMojibake(col("text"))).head().getString(0)
+    assert(fixed == "don’t — the café menü is 5€ · voilà")
+  }
+
+  test("repairMojibake leaves clean text untouched") {
+    val clean = "already fine: café, naïve, 100% ascii-ish"
+    val out = Seq(clean).toDF("text")
+      .select(TextAnalysis.repairMojibake(col("text"))).head().getString(0)
+    assert(out == clean)
+  }
+
+  test("corruptMojibake matches a real utf8-as-cp1252 misdecode and roundtrips") {
+    // every non-ASCII char here is in the curated table
+    val intended = "l’été à l’ökonomie — ça va… 3€ señor"
+    // ground truth: decode the actual UTF-8 bytes as cp1252
+    val cp1252 = new String(intended.getBytes("UTF-8"), "windows-1252")
+    val row = Seq(intended).toDF("text")
+      .select(
+        TextAnalysis.corruptMojibake(col("text")).as("g"),
+        TextAnalysis.repairMojibake(TextAnalysis.corruptMojibake(col("text"))).as("r"))
+      .head()
+    assert(row.getString(0) == cp1252)
+    assert(row.getString(1) == intended)
+  }
 }
