@@ -64,9 +64,16 @@ object TextAnalysis {
 
   /** The classic mojibake table: what common non-ASCII characters look
     * like after their UTF-8 bytes are misread as cp1252/Latin-1 (the
-    * ftfy "double-encoding" family). Each entry is (garbled, intended);
-    * entries are prefix-free so the chained replace below is
-    * order-independent. */
+    * ftfy "double-encoding" family). Each entry is (garbled, intended).
+    *
+    * TABLE ORDER IS PART OF THE CONTRACT. The patterns never overlap
+    * in singly-garbled text (no entry is a prefix or substring of
+    * another), but on DOUBLY-garbled text a replacement's output can
+    * complete a later entry's pattern (e.g. "â" + garbled-€ + "™":
+    * repairing â‚¬ first yields â€™, which table order then leaves
+    * alone but a reordered fold would collapse to ’). Oracles are
+    * generated from this same Seq, so reordering or extending it
+    * changes engine output in lockstep — but changes history. */
   val mojibakeTable: Seq[(String, String)] = Seq(
     "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“", "â€“" -> "–", "â€”" -> "—",
     "â€¦" -> "…", "â‚¬" -> "€",

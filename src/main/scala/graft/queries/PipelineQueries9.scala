@@ -20,7 +20,8 @@ object PipelineQueries9 {
     * boundary decision is engine-exact. */
   val gopherRules: Q = q(
     "quality_gopher_rules",
-    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH d AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws
+       |           FROM documents),
        |m AS (
        |  SELECT doc_id,
        |    CAST(len(ws) AS BIGINT) AS n,

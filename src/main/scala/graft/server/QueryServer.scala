@@ -238,6 +238,10 @@ class QueryServer(
   private val queryMetrics = scala.collection.concurrent.TrieMap
     .empty[String, (Long, Long, Long, Long)] // count, totalMs, maxMs, failures
 
+  private val knownNativeQueryTypes = Set(
+    "timeseries", "topN", "groupBy", "scan", "search", "timeBoundary",
+    "dataSourceMetadata", "segmentMetadata", "select")
+
   private def recordMetric(
       queryType: String, ms: Long, failed: Boolean): Unit = {
     val _ = queryMetrics.updateWith(queryType) {
@@ -755,7 +759,11 @@ class QueryServer(
               .put("type", "index_parallel")
               .set[com.fasterxml.jackson.databind.node.ObjectNode](
                 "spec", node.get("spec")))
-          // terminate an existing supervisor for the datasource (replace)
+          // terminate an existing supervisor for the datasource (replace);
+          // a replace also clears any suspension — the new supervisor is
+          // running, and a stale flag would let /resume start a second
+          // concurrent query over the same source and checkpoint
+          suspendedSupervisors.remove(parsed.datasource)
           supervisors.remove(parsed.datasource).foreach(_._1.stop())
           val q = startFileSupervisor(parsed)
           supervisors.put(parsed.datasource, (q, body))
@@ -1269,8 +1277,12 @@ class QueryServer(
       case e: Exception =>
         failed = true
         val (code, b) = errorBody(e); respond(ex, code, b)
-    } finally metricType.foreach(t =>
-      recordMetric(t, System.currentTimeMillis() - t0, failed))
+    } finally metricType.foreach { t =>
+      // key only on the parser's fixed set — raw client strings would
+      // grow the metrics map without bound under malformed traffic
+      val key = if (knownNativeQueryTypes(t)) t else "unknown"
+      recordMetric(key, System.currentTimeMillis() - t0, failed)
+    }
   }
 
   /** GET /druid/v2/datasources[/{ds}[/dimensions|/metrics]] —

@@ -49,9 +49,13 @@ object Export {
 
   /** write the corpus as JSONL under path/shard=N/part-*.txt (one JSON
     * object per line, one directory per shard — the layout data
-    * loaders stream), and return the manifest. Each shard is coalesced
-    * through the partitionBy writer; row order inside a shard follows
-    * the sort. */
+    * loaders stream), and return the manifest. Rows are repartitioned
+    * on shard before the sorted write, so every shard directory is ONE
+    * part file in id order — deterministic run-over-run, which is the
+    * point of the budgeted sharding. The text column joins back on id
+    * (broadcast-friendly narrow shard map) rather than riding through
+    * shardByTokenBudget's global ordered cumsum, which would funnel
+    * the full text payload into a single ordering task. */
   def writeJsonl(
       df: DataFrame,
       idCol: String,
@@ -61,6 +65,7 @@ object Export {
     val sharded = shardByTokenBudget(df, idCol, textCol, budgetTokens)
     val payload = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(sharded.select(col("id"), col("shard")), Seq("id"))
+      .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
       .select(to_json(struct(col("id"), col("text"))).as("value"), col("shard"))
     payload.write.partitionBy("shard").mode("overwrite").text(path)

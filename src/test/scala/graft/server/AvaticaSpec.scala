@@ -227,6 +227,17 @@ class AvaticaSpec extends SparkSpec {
       assert(m.get("timeBoundary").get("failed").asLong() == 0L)
       assert(m.get("timeseries").get("failed").asLong() == 1L, m.toString)
       assert(m.get("timeBoundary").get("maxTimeMs").asLong() >= 0L)
+      // client-supplied bogus queryTypes must NOT mint new metric keys
+      // (unbounded map growth under malformed traffic) — they pool
+      // under "unknown"
+      post("/druid/v2", """{"queryType": "fuzz-123", "dataSource": "ds"}""")
+      post("/druid/v2", """{"queryType": "fuzz-456", "dataSource": "ds"}""")
+      val m2 = mapper.readTree(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/status/metrics"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString()).body())
+      assert(m2.get("fuzz-123") == null, m2.toString)
+      assert(m2.get("unknown").get("count").asLong() == 2L, m2.toString)
+      assert(m2.get("unknown").get("failed").asLong() == 2L, m2.toString)
     } finally srv.stop()
   }
 

@@ -909,6 +909,19 @@ class QueryServerSpec extends SparkSpec {
       val (_, b7) = post(port, "/druid/v2/sql",
         """{"query": "SELECT count(*) AS n FROM wiki_stream"}""")
       assert(b7 == """[{"n":4}]""", b7)
+      // replacing a SUSPENDED supervisor clears the suspension: the new
+      // supervisor is running, and resume must refuse (a stale flag
+      // would let resume start a second query on the same checkpoint)
+      val (sc2, _) = post(port, "/druid/indexer/v1/supervisor/wiki_stream/suspend", "")
+      assert(sc2 == 200)
+      val (cr, br) = post(port, "/druid/indexer/v1/supervisor", spec)
+      assert(cr == 200, s"$cr $br")
+      val st3 = client.send(java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/indexer/v1/supervisor/wiki_stream/status"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(st3.body().contains("RUNNING"), st3.body())
+      val (rc2, rb2) = post(port, "/druid/indexer/v1/supervisor/wiki_stream/resume", "")
+      assert(rc2 == 400 && rb2.contains("not suspended"), s"$rc2 $rb2")
       // terminate stops the query and unlists it
       val (c6, _) = post(port, "/druid/indexer/v1/supervisor/wiki_stream/terminate", "")
       assert(c6 == 200)

@@ -39,4 +39,29 @@ class ExportSpec extends SparkSpec {
       .select(col("id")).as[Long].collect().sorted.toSeq
     assert(shard0 == Seq(1L, 2L))
   }
+
+  test("writeJsonl: each shard is ONE part file in id order, even when " +
+      "the corpus spans many partitions") {
+    // 40 partitions with ids scattered across them — without the
+    // repartition-on-shard, every shard directory would hold one part
+    // file per hash partition with nondeterministic cross-file order
+    val big = spark.range(0, 200).repartition(40)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("w"), col("id").cast("string"), lit("x y z")).as("text"))
+    val dir = Files.createTempDirectory("graft-export-big").toString
+    Export.writeJsonl(big, "doc_id", "text", 50L, dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1, s"${sd.getName}: ${parts.length} part files")
+      // rows inside the single file are in ascending id order
+      val ids = scala.io.Source.fromFile(parts.head).getLines()
+        .map(l => mapper.readTree(l).get("id").asLong()).toSeq
+      assert(ids == ids.sorted, s"${sd.getName} not in id order")
+    }
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
