@@ -147,9 +147,8 @@ object TextAnalysis {
     *  - bit 3  ≥ 80% of words contain an alphabetic char (bp math)
     *  - bit 4  at least minStopwords stopword hits
     *
-    * (The reference rule set also bounds bullet-/ellipsis-LINE ratios;
-    * those need line structure the fixture corpus doesn't have and are
-    * a trivial extension of the same shape.) Every rule is a map-side
+    * (The rule set's bullet-/ellipsis-LINE ratio bounds live in
+    * [[gopherLineRules]] — they need line structure.) Every rule is a map-side
     * codegen'd expression over the token array — one pass over the
     * document scan, no shuffle, so the filter runs at full scan
     * throughput on a 100 TB corpus. */
@@ -171,6 +170,30 @@ object TextAnalysis {
       "r_symbol_ratio" -> ((hashes + ellipses) * 10L < n),
       "r_alpha_words" -> (nAlpha * 10000L >= n * 8000L),
       "r_stopwords" -> (stopwordCount(toks).cast("long") >= minStopwords)
+    ).map { case (name, c) => name -> when(c, 1L).otherwise(0L) }
+  }
+
+  /** Gopher's line-structure rules (Rae et al. 2021, Table A1), the
+    * complement of [[gopherRules]]: drop documents where more than 90%
+    * of lines start with a bullet, or more than 30% end with an
+    * ellipsis. Integer cross-multiplied bounds, map-only over the
+    * line array — same scan-speed shape as the word rules. */
+  def gopherLineStats(text: Column): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
+    val bullets = Seq("- ", "* ", "• ")
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_bullet_lines" -> size(filter(lines, l =>
+        bullets.map(b => ltrim(l).startsWith(b)).reduce(_ || _))).cast("long"),
+      "n_ellipsis_lines" ->
+        size(filter(lines, l => rtrim(l).endsWith("..."))).cast("long"))
+  }
+
+  def gopherLineRules(text: Column): Seq[(String, Column)] = {
+    val Seq((_, n), (_, nBullet), (_, nEllipsis)) = gopherLineStats(text)
+    Seq(
+      "r_bullet_lines" -> (nBullet * 10L <= n * 9L),
+      "r_ellipsis_lines" -> (nEllipsis * 10L <= n * 3L)
     ).map { case (name, c) => name -> when(c, 1L).otherwise(0L) }
   }
 

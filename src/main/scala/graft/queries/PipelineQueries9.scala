@@ -219,6 +219,62 @@ object PipelineQueries9 {
     }
   }
 
+  /** Gopher's LINE-structure rules (bullet-line / ellipsis-line ratio
+    * bounds — the half of Table A1 that gopherRules leaves to line
+    * structure). The fixture text has no newlines, so the query
+    * constructs them deterministically: 8-token lines, a "- " bullet
+    * prefix on lines where (doc_id+i)%4=0 (every line when doc_id%5=0,
+    * so those docs FAIL the 90% bound), a "..." suffix where
+    * (doc_id+i)%10=0 (every other line when doc_id%7=0 → fails the 30%
+    * bound). Spark must build the lines, DETECT the markers, count and
+    * apply the integer bounds; the oracle never builds a line — it
+    * states every count analytically from the construction arithmetic,
+    * so prefix/suffix detection bugs break the hash. Map-only,
+    * fuses into the scan. */
+  val gopherLines: Q = q(
+    "quality_gopher_line_rules",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |k AS (SELECT doc_id, (len(w) + 7) // 8 AS n FROM d),
+      |c AS (SELECT doc_id, n,
+      |        len(list_filter(range(0, n), i ->
+      |          doc_id % 5 = 0 OR (doc_id + i) % 4 = 0)) AS nb,
+      |        len(list_filter(range(0, n), i ->
+      |          (doc_id % 7 = 0 AND (doc_id + i) % 2 = 0)
+      |          OR (doc_id + i) % 10 = 0)) AS ne
+      |      FROM k)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_lines,
+      |  CAST(nb AS BIGINT) AS n_bullet_lines,
+      |  CAST(ne AS BIGINT) AS n_ellipsis_lines,
+      |  CAST(CASE WHEN nb * 10 <= n * 9 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS r_bullet_lines,
+      |  CAST(CASE WHEN ne * 10 <= n * 3 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS r_ellipsis_lines,
+      |  CAST(CASE WHEN nb * 10 <= n * 9 AND ne * 10 <= n * 3 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS keep
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val did = col("doc_id")
+    val toks = split(col("text"), " ")
+    val k = floor((size(toks) + 7) / lit(8)).cast("int")
+    val linesRaw = transform(sequence(lit(0), k - 1),
+      i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))
+    val decorated = transform(linesRaw, (l, i) => {
+      val withBullet = when(did % 5 === 0 || (did + i) % 4 === 0,
+        concat(lit("- "), l)).otherwise(l)
+      when((did % 7 === 0 && (did + i) % 2 === 0) || (did + i) % 10 === 0,
+        concat(withBullet, lit("..."))).otherwise(withBullet)
+    })
+    val stats = TextAnalysis.gopherLineStats(col("text_lines"))
+    val flags = TextAnalysis.gopherLineRules(col("text_lines"))
+    val keep = flags.map(_._2).reduce(_ * _).as("keep")
+    Tables.documents(s, d)
+      .select(did, array_join(decorated, "\n").as("text_lines"))
+      .select(did +: (stats.map { case (n, c) => c.as(n) } ++
+        flags.map { case (n, c) => c.as(n) } :+ keep): _*)
+      .orderBy(did)
+  }
+
   def all: Seq[Q] =
-    Seq(gopherRules, bigramNll, ngramDf, exportManifest, exactSubstring, mojibakeRepair)
+    Seq(gopherRules, bigramNll, ngramDf, exportManifest, exactSubstring,
+      mojibakeRepair, gopherLines)
 }

@@ -54,6 +54,40 @@ class TextQualitySpec extends SparkSpec {
     assert(v == 5L)
   }
 
+  private def lineRules(text: String) = {
+    val cols = TextAnalysis.gopherLineStats(col("text")) ++
+      TextAnalysis.gopherLineRules(col("text"))
+    val row = Seq(text).toDF("text")
+      .select(cols.map { case (n, c) => c.as(n) }: _*).head()
+    (0 until 5).map(row.getLong)
+  }
+
+  test("gopherLineRules: mostly-bullet doc fails the 90% bound") {
+    // 10 lines, 10 bullets (mixed markers) → 100% > 90%
+    val doc = (1 to 9).map(i => s"- item $i").mkString("\n") + "\n* last"
+    val Seq(n, nb, _, rb, _) = lineRules(doc)
+    assert(n == 10L && nb == 10L && rb == 0L)
+  }
+
+  test("gopherLineRules: exactly 90% bullets passes (inclusive bound)") {
+    val doc = ((1 to 9).map(i => s"• item $i") :+ "plain closing line").mkString("\n")
+    val Seq(n, nb, _, rb, _) = lineRules(doc)
+    assert(n == 10L && nb == 9L && rb == 1L)
+  }
+
+  test("gopherLineRules: ellipsis-heavy doc fails the 30% bound") {
+    val doc = "first line...\nsecond line ...\nthird\nfourth line...\nfifth"
+    val Seq(n, _, ne, _, re) = lineRules(doc)
+    // trailing-space ellipsis counts via rtrim; 3 of 5 = 60% > 30%
+    assert(n == 5L && ne == 3L && re == 0L)
+  }
+
+  test("gopherLineRules: indented bullets count, mid-line dots do not") {
+    val doc = "  - indented bullet\nwait... not an ellipsis line\nplain"
+    val Seq(n, nb, ne, _, _) = lineRules(doc)
+    assert(n == 3L && nb == 1L && ne == 0L)
+  }
+
   test("repairMojibake fixes the classic double-encoding sequences") {
     val garbled = "donâ€™t â€” the cafÃ© menÃ¼ is 5â‚¬ Â· voilÃ "
     val fixed = Seq(garbled).toDF("text")
