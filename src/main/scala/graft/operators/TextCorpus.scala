@@ -269,4 +269,63 @@ object TextCorpus {
       .withColumn("local_bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
   }
+
+  /** Per-n repetition-rule thresholds (percent of document chars),
+    * Rae et al. 2021 Table A1: the most-frequent n-gram may cover at
+    * most 20/18/16% of chars for n=2/3/4; duplicated n-grams at most
+    * 15..10% for n=5..10. */
+  val repetitionThresholdPct: Map[Int, Int] =
+    Map(2 -> 20, 3 -> 18, 4 -> 16, 5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12,
+      9 -> 11, 10 -> 10)
+
+  /** Gopher repetition rules (Rae et al. 2021, Table A1 §repetition) —
+    * the in-document half of the filter set that [[TextAnalysis
+    * .gopherRules]] leaves out. Long format, one row per (doc, n) for
+    * n = 2..10:
+    *   - n ≤ 4: `gram_chars` = chars covered by the MOST FREQUENT
+    *     n-gram (count × gram length; among equally-frequent grams the
+    *     longest wins — the tie-break is packed into one integer
+    *     `max(count*1e6 + len)`, so the choice is engine-exact);
+    *   - n ≥ 5: `gram_chars` = chars covered by all occurrences of
+    *     DUPLICATED n-grams (Σ count×len over grams with count ≥ 2 —
+    *     the standard non-overlap-masked simplification).
+    * `pass` is the integer cross-multiplied bound
+    * `gram_chars*100 <= pct(n)*total_chars`; `keep` is the per-doc AND
+    * of all nine rules. All nine shingle orders are built by the
+    * single-pass codegen kernel and exploded ONCE — one shuffle keyed
+    * by (doc, n, gram) with map-side combine, then a tiny per-(doc,n)
+    * re-aggregation: the canonical wordcount shape that survives
+    * 100 TB. No floating point anywhere. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextExpressions
+    val id = col(idCol)
+    val grams = flatten(array((2 to 10).map { n =>
+      transform(TextExpressions.wordShingles(col(textCol), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }: _*))
+    val thr = repetitionThresholdPct.toSeq.sortBy(_._1)
+      .foldLeft(lit(0)) { case (acc, (n, pct)) =>
+        when(col("n") === n, pct).otherwise(acc) }
+    val perN = df
+      .select(id, length(col(textCol)).cast("long").as("total_chars"),
+        explode(grams).as("x"))
+      .select(id, col("total_chars"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(id, col("total_chars"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(id, col("total_chars"), col("n"))
+      .agg(
+        max(col("c") * lit(1000000L) + length(col("g"))).as("enc"),
+        coalesce(sum(when(col("c") >= 2, col("c") * length(col("g")))),
+          lit(0L)).as("dupc"))
+    val gramChars = when(col("n") <= 4,
+      graft.exprs.idiv(col("enc"), lit(1000000L)) * (col("enc") % 1000000L))
+      .otherwise(col("dupc"))
+    val withPass = perN
+      .select(id, col("n").cast("long").as("n"),
+        gramChars.cast("long").as("gram_chars"), col("total_chars"),
+        when(gramChars * 100L <= thr.cast("long") * col("total_chars"), 1L)
+          .otherwise(0L).as("pass"))
+    withPass.withColumn("keep",
+      min(col("pass")).over(Window.partitionBy(id)))
+  }
 }

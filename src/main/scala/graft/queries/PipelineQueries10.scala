@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextCorpus
+
+/** Round-7 curation additions, part 3: the in-document repetition half
+  * of the Gopher rule set — the last Table A1 rules not yet graded.
+  */
+object PipelineQueries10 {
+
+  /** Gopher repetition rules, long format: one row per (doc, n) for
+    * n = 2..10 with the covered-char count, the document char total,
+    * the integer cross-multiplied rule decision, and the per-doc AND
+    * of all nine rules.
+    *
+    * The natural fixture docs are too short to contain duplicated
+    * ≥5-grams, which would leave the dup-char branch ungraded — so
+    * every third doc gets its first 12 words appended twice (built
+    * identically on both sides), planting duplicated 5..12-grams that
+    * the kernel must count. Spark builds all nine shingle orders with
+    * the single-pass codegen kernel and explodes once; the oracle
+    * restates the same counts from first principles over string_split
+    * — gram construction, counting, the packed-integer tie-break and
+    * the bound are all checked bit-for-bit. */
+  val repetitionRules: Q = q(
+    "quality_repetition_rules",
+    """WITH d0 AS (SELECT doc_id,
+      |              CASE WHEN doc_id % 3 = 0 THEN
+      |                text || ' ' ||
+      |                array_to_string(string_split(text, ' ')[1:12], ' ') || ' ' ||
+      |                array_to_string(string_split(text, ' ')[1:12], ' ')
+      |              ELSE text END AS text
+      |            FROM documents),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |             len(text) AS tc FROM d0),
+      |g AS (SELECT doc_id, tc, n,
+      |        unnest(list_transform(range(1, len(w) - n + 2),
+      |          i -> array_to_string(w[i:i+n-1], ' '))) AS g
+      |      FROM d, (SELECT unnest(range(2, 11)) AS n) ns
+      |      WHERE len(w) >= n),
+      |c AS (SELECT doc_id, tc, n, g, count(*) AS c FROM g GROUP BY ALL),
+      |s AS (SELECT doc_id, tc, n,
+      |        max(c * 1000000 + len(g)) AS enc,
+      |        coalesce(sum(CASE WHEN c >= 2 THEN c * len(g) END), 0) AS dupc
+      |      FROM c GROUP BY ALL),
+      |r AS (SELECT doc_id, n,
+      |        CASE WHEN n <= 4 THEN (enc // 1000000) * (enc % 1000000)
+      |             ELSE dupc END AS gram_chars,
+      |        tc AS total_chars,
+      |        CASE n WHEN 2 THEN 20 WHEN 3 THEN 18 WHEN 4 THEN 16
+      |               WHEN 5 THEN 15 WHEN 6 THEN 14 WHEN 7 THEN 13
+      |               WHEN 8 THEN 12 WHEN 9 THEN 11 ELSE 10 END AS thr
+      |      FROM s)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n,
+      |  CAST(gram_chars AS BIGINT) AS gram_chars,
+      |  CAST(total_chars AS BIGINT) AS total_chars,
+      |  CAST(CASE WHEN gram_chars * 100 <= thr * total_chars
+      |            THEN 1 ELSE 0 END AS BIGINT) AS pass,
+      |  CAST(min(CASE WHEN gram_chars * 100 <= thr * total_chars
+      |                THEN 1 ELSE 0 END)
+      |       OVER (PARTITION BY doc_id) AS BIGINT) AS keep
+      |FROM r ORDER BY doc_id, n""".stripMargin) { (s, d) =>
+    val w = split(col("text"), " ")
+    val rep = array_join(slice(w, 1, 12), " ")
+    val augmented = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat_ws(" ", col("text"), rep, rep)).otherwise(col("text"))
+        .as("text"))
+    TextCorpus.repetitionStats(augmented, "doc_id", "text")
+      .orderBy(col("doc_id"), col("n"))
+  }
+
+  def all: Seq[Q] = Seq(repetitionRules)
+}

@@ -131,4 +131,49 @@ class TextCorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(bins == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), bins)
   }
+
+  private def repStats(text: String) = {
+    import spark.implicits._
+    TextCorpus.repetitionStats(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("repetitionStats: alternating bigram repetition fails the 20% bound") {
+    // "x y x y x y": top bigram "x y"×3, len 3 → 9 chars of 11 > 20%
+    val m = repStats("x y x y x y")
+    assert(m.keySet == (2 to 6).map(_.toLong).toSet) // only 6 words
+    assert(m(2L) == ((9L, 0L, 0L)))
+    // n=4: "x y x y"×2 (len 7) → 14 chars; 16% bound fails too
+    assert(m(4L) == ((14L, 0L, 0L)))
+    // n=5: both 5-grams unique → dup chars 0, rule passes (keep still 0)
+    assert(m(5L) == ((0L, 1L, 0L)))
+  }
+
+  test("repetitionStats: non-repetitive doc passes all rules") {
+    // 26 distinct words (51 chars): even a unique n-gram covers a
+    // fraction; it must stay under every bound only on a long-enough doc
+    val m = repStats(('a' to 'z').mkString(" "))
+    assert(m.keySet == (2 to 10).map(_.toLong).toSet)
+    assert(m.values.forall { case (_, p, k) => p == 1L && k == 1L })
+    assert(m(2L)._1 == 3L) // every bigram unique: 1 occurrence × "a b".length
+  }
+
+  test("repetitionStats: equally-frequent top grams break ties to the longest") {
+    // "aa bb"×2 and "cc d"×2 both top bigrams; longest (len 5) wins → 10
+    val m = repStats("aa bb aa bb cc d cc d")
+    assert(m(2L)._1 == 10L)
+  }
+
+  test("repetitionStats: duplicated long n-grams accumulate count×len chars") {
+    // "p q r s t u" twice: every 5-gram of the repeated span occurs 2×
+    val m = repStats("p q r s t u p q r s t u")
+    // n=6 duplicated grams: "p q r s t u" (×2, len 11) plus the 5 wrap
+    // grams are unique → dupc = 2*11 = 22
+    assert(m(6L)._1 == 22L)
+    // n=5: "p q r s t"×2 and "q r s t u"×2, len 9 each → 2*9 + 2*9 = 36
+    assert(m(5L)._1 == 36L)
+  }
 }
