@@ -328,4 +328,121 @@ object TextCorpus {
     withPass.withColumn("keep",
       min(col("pass")).over(Window.partitionBy(id)))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document against the corpus LM ([[bigramLogProb]]), then split the
+    * population into head / middle / tail terciles of the score
+    * distribution — head (bucket 0) is the most-stereotypical third a
+    * curation pass keeps outright, tail (2) the third it drops or
+    * down-samples.
+    *
+    * Scale shape: cutoffs are NOT found by sorting the corpus. The
+    * score is quantized to an integer (round(nll·10⁴) — already
+    * engine-exact at that precision), a value histogram is aggregated
+    * (|distinct quantized scores| rows, thousands at most), the
+    * cumulative rank runs over that tiny table, and the per-value
+    * bucket broadcasts back — one wordcount-shaped pass, no global
+    * sort of documents. Every doc sharing a quantized score lands in
+    * the same bucket, so the decision is deterministic cross-engine. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = bigramLogProb(df, idCol, textCol)
+      .select(col("id"), col("nll_bigram"),
+        round(col("nll_bigram") * 10000).cast("long").as("nllm"))
+    val hist = scored.groupBy(col("nllm")).agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.orderBy(col("nllm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    val cuts = hist
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("nllm"),
+        when(col("cum") * 3 <= col("n"), 0L)
+          .when(col("cum") * 3 <= col("n") * 2, 1L)
+          .otherwise(2L).as("bucket"))
+    scored.join(broadcast(cuts), Seq("nllm"))
+      .select(col("id"), col("nll_bigram"), col("bucket"))
+  }
+
+  /** Portable per-string rolling hash (31-polynomial mod 1e9+7) —
+    * char-exact twin of DuckDB's
+    * `list_reduce(list_prepend(0, list_transform(regexp_extract_all(s,
+    * '.'), ascii)), (a,c) -> (a*31+c) % 1000000007)`. */
+  private def rollHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (a, c) => (a * 31 + ascii(c)) % 1000000007L)
+
+  /** fastText-style linear text classifier over HASHED bag-of-words
+    * features (Joulin et al. 2016): each token hashes into one of
+    * `dim` feature slots, the document score is the sum of the slot
+    * weights over all token occurrences, and the label is the score's
+    * sign. Weights here are derived from the slot id by the pipeline's
+    * portable integer hash (a stand-in a trained model replaces with a
+    * broadcast weight table — the PLAN is identical: a map-only
+    * scan, no shuffle, no model object on the driver), so score,
+    * margin and label are engine-exact integers.
+    *
+    * This is the shape of every "model-based quality filter" stage
+    * (GPT-3/LLaMA-style classifier curation) at 100 TB: per-row
+    * arithmetic fused into the scan, whole-stage codegen, embarrassing
+    * parallelism. */
+  def hashedLinearScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 1024,
+      salt: Long = 7L): DataFrame = {
+    def weight(t: Column): Column =
+      (rollHash(t) % dim + salt) * 2654435761L % 2147483647L % 2001L - 1000L
+    df.select(col(idCol).as("id"), toks(col(textCol)).as("ws"))
+      .select(col("id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        aggregate(col("ws"), lit(0L), (a, t) => a + weight(t)).as("score"))
+      .withColumn("label", (col("score") >= 0).cast("long"))
+  }
+
+  /** BM25 keyword retrieval (Robertson & Zaragoza 2009, the Lucene
+    * `(idf·tf·(k1+1)) / (tf + k1·(1-b+b·dl/avgdl))` form with the
+    * +1-smoothed idf): score every document against a query term set
+    * and return the top `k`.
+    *
+    * Scale shape: tokens are filtered to the query set BEFORE the
+    * explode (map-side — the posting list never contains non-query
+    * terms), per-(doc,term) tf is one map-side-combinable groupBy, the
+    * |terms|-row df table attaches via a broadcast hash join, the
+    * 1-row corpus stats constant-fold into a bounded broadcast cross
+    * (one row × |terms| rows — linear at any corpus size), and the
+    * top-k is a TakeOrderedAndProject — no global sort. The
+    * score is rounded to 4 dp and ties order by id, so the returned
+    * set is deterministic. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.25,
+      b: Double = 0.75): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), toks(col(textCol)).as("ws"))
+      .select(col("id"), size(col("ws")).cast("long").as("dl"), col("ws"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("__k", lit(1))
+    val hits = docs
+      .select(col("id"), col("dl"),
+        explode(filter(col("ws"), t => t.isin(terms: _*))).as("t"))
+      .groupBy(col("id"), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfT = hits.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(stats), Seq("__k"))
+      .select(col("t"), col("df"), col("n_docs"), col("sum_dl"))
+    hits.join(broadcast(dfT), Seq("t"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -71,5 +71,98 @@ object PipelineQueries10 {
       .orderBy(col("doc_id"), col("n"))
   }
 
-  def all: Seq[Q] = Seq(repetitionRules)
+  /** CCNet-style head/middle/tail perplexity terciles over the corpus
+    * bigram-LM score. The cutoffs come from a quantized-score
+    * histogram (never a corpus sort); every doc sharing a quantized
+    * score shares a bucket, so the split is engine-exact given the
+    * already-graded 4-dp score. */
+  val perplexityBuckets: Q = q(
+    "quality_perplexity_buckets",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |         i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+      |cg AS (SELECT g, count(*) AS c FROM bg GROUP BY 1),
+      |cp AS (SELECT string_split(g, ' ')[1] AS w1, sum(c) AS cw FROM cg GROUP BY 1),
+      |s AS (SELECT bg.doc_id,
+      |        round(avg(-ln(CAST(cg.c AS DOUBLE) / cp.cw)), 4) AS nll_bigram
+      |      FROM bg JOIN cg USING (g)
+      |              JOIN cp ON string_split(bg.g, ' ')[1] = cp.w1
+      |      GROUP BY 1),
+      |si AS (SELECT doc_id, nll_bigram,
+      |         CAST(round(nll_bigram * 10000) AS BIGINT) AS nllm FROM s),
+      |h AS (SELECT nllm, count(*) AS cnt FROM si GROUP BY 1),
+      |c AS (SELECT nllm,
+      |        sum(cnt) OVER (ORDER BY nllm
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER () AS n
+      |      FROM h),
+      |b AS (SELECT nllm,
+      |        CASE WHEN cum * 3 <= n THEN 0
+      |             WHEN cum * 3 <= 2 * n THEN 1 ELSE 2 END AS bucket FROM c)
+      |SELECT si.doc_id, si.nll_bigram, CAST(b.bucket AS BIGINT) AS bucket
+      |FROM si JOIN b USING (nllm) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextCorpus.perplexityBuckets(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("nll_bigram"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** fastText-style hashed linear classifier: token → 1024-slot
+    * feature hash → integer slot weight, document score = Σ weights,
+    * label = sign. Score, margin and label are pure integers — the
+    * model-based-quality-filter plan shape graded end to end. */
+  val linearClassifier: Q = q(
+    "quality_linear_classifier",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |        CAST(list_sum(list_transform(ws, t ->
+      |          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(regexp_extract_all(t, '.'),
+      |               c -> CAST(ascii(c) AS BIGINT))),
+      |             (a, c) -> (a * 31 + c) % 1000000007)
+      |           % 1024 + 7) * 2654435761 % 2147483647 % 2001 - 1000))
+      |          AS BIGINT) AS score
+      |      FROM d)
+      |SELECT doc_id, n_tokens, score,
+      |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextCorpus.hashedLinearScore(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("score"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 top-15 for a fixed query term set (k1=1.25, b=0.75, Lucene
+    * +1-smoothed idf). Both engines compute the identical expression
+    * tree over identical integer (tf, df, dl, N, Σdl) inputs; the
+    * score is rounded to 4 dp and ties order by doc_id, so the top-k
+    * set and order are deterministic. */
+  val bm25: Q = q(
+    "search_bm25",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |docs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
+      |hits AS (SELECT doc_id, dl,
+      |           unnest(list_filter(ws, t -> t IN
+      |             ('hash', 'join', 'merge', 'vector', 'window'))) AS t
+      |         FROM docs),
+      |tfs AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+      |        FROM hits GROUP BY ALL),
+      |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY 1),
+      |sc AS (SELECT tfs.doc_id, tfs.dl,
+      |         CAST(count(*) AS BIGINT) AS n_terms,
+      |         round(sum(
+      |           ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+      |             * (tfs.tf * 2.25)
+      |             / (tfs.tf + 1.25 * (0.25 + 0.75 * tfs.dl /
+      |                 (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))), 4) AS score
+      |       FROM tfs JOIN dft USING (t) CROSS JOIN stats s
+      |       GROUP BY tfs.doc_id, tfs.dl)
+      |SELECT doc_id, dl, n_terms, score
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
+    TextCorpus.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("hash", "join", "merge", "vector", "window"), k = 15)
+      .select(col("id").as("doc_id"), col("dl"), col("n_terms"), col("score"))
+  }
+
+  def all: Seq[Q] = Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25)
 }

@@ -167,6 +167,89 @@ class TextCorpusSpec extends SparkSpec {
     assert(m(2L)._1 == 10L)
   }
 
+  test("perplexityBuckets: terciles follow score order; ties share a bucket") {
+    import spark.implicits._
+    // 6 docs in three score classes: "a b" transitions are corpus-
+    // dominant (low nll), "c d" mid, "e f" only once each (high nll)
+    val fixture = Seq(
+      (1L, "a b a b a b a b"), (2L, "a b a b a b a b"),
+      (3L, "a b c d a b c d"), (4L, "a b c d a b c d"),
+      (5L, "e f a b e f a b"), (6L, "e f a b e f a b")
+    ).toDF("doc_id", "text")
+    val out = TextCorpus.perplexityBuckets(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // identical docs share score and bucket
+    assert(out(1L) == out(2L) && out(3L) == out(4L) && out(5L) == out(6L))
+    // bucket order tracks score order and covers 0/1/2 (2 docs each)
+    val byScore = out.values.toSeq.sortBy(_._1).map(_._2)
+    assert(byScore == Seq(0L, 0L, 1L, 1L, 2L, 2L), out.toString)
+  }
+
+  test("perplexityBuckets: a dominant tied class spills its whole tier") {
+    import spark.implicits._
+    // 4 of 6 docs tie at the LOW score: cum(low)=4 > n/3 and > 2n/3
+    // fails only the first test → the whole class lands in bucket 1,
+    // never split across buckets
+    val fixture = Seq(
+      (1L, "a b a b a b"), (2L, "a b a b a b"),
+      (3L, "a b a b a b"), (4L, "a b a b a b"),
+      (5L, "c d a b c d"), (6L, "c d a b c d")
+    ).toDF("doc_id", "text")
+    val out = TextCorpus.perplexityBuckets(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(out).distinct == Seq(1L))
+    assert(out(5L) == 2L && out(6L) == 2L)
+  }
+
+  test("hashedLinearScore: score is the exact sum of per-token slot weights") {
+    import spark.implicits._
+    def roll(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def weight(t: String): Long =
+      (roll(t) % 1024 + 7) * 2654435761L % 2147483647L % 2001L - 1000L
+    val fixture = Seq((1L, "hash join hash"), (2L, "scan")).toDF("doc_id", "text")
+    val out = TextCorpus.hashedLinearScore(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val s1 = 2 * weight("hash") + weight("join")
+    assert(out(1L) == ((3L, s1, if (s1 >= 0) 1L else 0L)))
+    assert(out(2L) == ((1L, weight("scan"), if (weight("scan") >= 0) 1L else 0L)))
+  }
+
+  test("bm25TopK: higher tf wins at equal dl, shorter doc wins at equal tf") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "q q q x"),          // tf=3, dl=4
+      (2L, "q x y z"),          // tf=1, dl=4
+      (3L, "q x"),              // tf=1, dl=2 (shorter → beats doc 2)
+      (4L, "x y z w")           // no hit → absent
+    ).toDF("doc_id", "text")
+    val rows = TextCorpus.bm25TopK(fixture, "doc_id", "text", Seq("q"), k = 10)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+    // doc 1 score by hand: N=4, df=3, idf=ln((4-3+.5)/(3+.5)+1),
+    // avgdl=14/4, denom = 3 + 1.25*(.25+.75*4/avgdl)
+    val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    val exp = idf * (3 * 2.25) / (3 + 1.25 * (0.25 + 0.75 * 4 / (14.0 / 4)))
+    assert(math.abs(rows(0).getDouble(3) - exp) < 6e-5, rows(0).toString)
+    assert(rows.forall(_.getLong(2) == 1L)) // n_terms
+  }
+
+  test("bm25TopK: multi-term scores add and limit truncates deterministically") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "q r x"), (2L, "q x y"), (3L, "r x y"), (4L, "x y z")
+    ).toDF("doc_id", "text")
+    val rows = TextCorpus.bm25TopK(fixture, "doc_id", "text", Seq("q", "r"), k = 2)
+      .collect()
+    // doc 1 hits both terms (n_terms=2) and must rank first; docs 2/3
+    // tie on score (symmetric) → doc_id breaks the tie, limit keeps 2
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(2) == 2L)
+    assert(rows(1).getLong(0) == 2L)
+  }
+
   test("repetitionStats: duplicated long n-grams accumulate count×len chars") {
     // "p q r s t u" twice: every 5-gram of the repeated span occurs 2×
     val m = repStats("p q r s t u p q r s t u")

@@ -21,8 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     *    broadcast against the corpus — brute-force/ANN scoring is
     *    definitionally query-set × corpus;
     *  - sampling_mixture_weights, sketch_bloom_probe,
-    *    tfidf_cosine_pairs: a ONE-ROW global aggregate (min weight /
-    *    built bloom filter / corpus N) broadcast-crossed into the scan;
+    *    tfidf_cosine_pairs, search_bm25: a ONE-ROW global aggregate
+    *    (min weight / built bloom filter / corpus N / corpus (N, Σdl))
+    *    broadcast-crossed into the scan;
     *  - ngram_jaccard_pairs: all-pairs verification over a literal
     *    doc_id < 12 slice (the LSH-verification primitive, bounded by
     *    the candidate set in production). */
@@ -30,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_brute_force", "similarity_ivf_contract", "similarity_recall",
     "similarity_quantized", "similarity_srp_contract",
     "sampling_mixture_weights", "sketch_bloom_probe", "tfidf_cosine_pairs",
-    "ngram_jaccard_pairs")
+    "search_bm25", "ngram_jaccard_pairs")
 
   test("no graded plan contains a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
