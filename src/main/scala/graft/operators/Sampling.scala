@@ -149,4 +149,60 @@ object Sampling {
       .filter(hashBucket(col(idCol), salt) < col("__rate_bp"))
       .drop("__rate_bp")
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score every raw document by the log importance weight
+    * Σ_features ln(p_target(f) / p_raw(f)) under hashed-bigram bag
+    * models of a target subcorpus vs the raw pool (Laplace-smoothed),
+    * then select the top `selectNumer/selectDenom` fraction by weight.
+    * This is the standard "make the web corpus look like Wikipedia"
+    * selection stage.
+    *
+    * Scale shape: one explode over word bigrams hashed into `dim`
+    * slots; BOTH distributions aggregate in a single
+    * map-side-combinable pass (cr = slot count, ct = conditional slot
+    * count); the ≤`dim`-row model table carries its own totals by a
+    * window over itself (no second scan, no driver collect) and
+    * broadcasts back; selection reuses the quantized-weight histogram
+    * trick (no corpus sort — every doc sharing a 4-dp weight shares
+    * the decision). The deterministic top-fraction stands in for the
+    * paper's Gumbel resampling: reproducible and rank-equivalent in
+    * expectation.
+    *
+    * `dim` caveat: the 31-polynomial rolling hash has 31² ≡ 1 mod any
+    * divisor of 960, so e.g. dim=64 maps every reversed word pair
+    * ("a b" / "b a") to the SAME slot — word order vanishes from the
+    * features. The 1024 default does not divide 960 and keeps order
+    * sensitivity. */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int = 1024,
+      selectNumer: Int = 1, selectDenom: Int = 5): DataFrame = {
+    val feats = df.select(col(idCol).as("id"), isTarget.cast("long").as("tgt"),
+        explode(graft.functions.TextExpressions.wordShingles(col(textCol), 2))
+          .as("g"))
+      .select(col("id"), col("tgt"), (TextCorpus.rollHash(col("g")) % dim).as("f"))
+    val wAll = Window.partitionBy(lit(1))
+    val lm = feats.groupBy(col("f"))
+      .agg(count(lit(1)).as("cr"), sum(col("tgt")).as("ct"))
+      .withColumn("tr", sum(col("cr")).over(wAll))
+      .withColumn("tt", sum(col("ct")).over(wAll))
+      .select(col("f"),
+        log(((col("ct") + 1).cast("double") / (col("tt") + dim)) /
+            ((col("cr") + 1).cast("double") / (col("tr") + dim))).as("lw"))
+    val scored = feats.join(broadcast(lm), Seq("f"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), round(sum(col("lw")), 4).as("weight"))
+      .withColumn("wm", round(col("weight") * 10000).cast("long"))
+    val wDesc = Window.orderBy(col("wm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = scored.groupBy(col("wm")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wDesc))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("wm"),
+        when(col("cum") * selectDenom <= col("n") * selectNumer, 1L)
+          .otherwise(0L).as("selected"))
+    scored.join(broadcast(cuts), Seq("wm"))
+      .select(col("id"), col("n_feats"), col("weight"), col("selected"))
+  }
 }

@@ -367,7 +367,7 @@ object TextCorpus {
     * char-exact twin of DuckDB's
     * `list_reduce(list_prepend(0, list_transform(regexp_extract_all(s,
     * '.'), ascii)), (a,c) -> (a*31+c) % 1000000007)`. */
-  private def rollHash(s: Column): Column =
+  private[operators] def rollHash(s: Column): Column =
     aggregate(split(s, ""), lit(0L), (a, c) => (a * 31 + ascii(c)) % 1000000007L)
 
   /** fastText-style linear text classifier over HASHED bag-of-words

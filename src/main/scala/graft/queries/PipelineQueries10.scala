@@ -164,5 +164,55 @@ object PipelineQueries10 {
       .select(col("id").as("doc_id"), col("dl"), col("n_terms"), col("score"))
   }
 
-  def all: Seq[Q] = Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25)
+  /** DSIR importance weights: hashed-bigram LM log-ratio of a target
+    * subcorpus (doc_id ≡ 0 mod 7 — deterministic stand-in for "the
+    * Wikipedia-like slice") against the raw pool, Laplace-smoothed,
+    * with the top-1/5 selection flag from the quantized-weight
+    * histogram. Counts, totals, hashing and the selection decision are
+    * all integers; only the per-feature ln is FP (rounded 4 dp, margin
+    * measured). */
+  val dsir: Q = q(
+    "sampling_dsir_weights",
+    """WITH d AS (SELECT doc_id,
+      |             CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS tgt,
+      |             string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, tgt, unnest(list_transform(range(1, len(w)),
+      |         i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+      |ft AS (SELECT doc_id, tgt,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(regexp_extract_all(g, '.'),
+      |             c -> CAST(ascii(c) AS BIGINT))),
+      |           (a, c) -> (a * 31 + c) % 1000000007) % 1024 AS f
+      |       FROM bg),
+      |tab AS (SELECT f, CAST(count(*) AS BIGINT) AS cr,
+      |          CAST(sum(tgt) AS BIGINT) AS ct FROM ft GROUP BY 1),
+      |lm AS (SELECT f,
+      |         ln((CAST(ct + 1 AS DOUBLE) / (sum(ct) OVER () + 1024)) /
+      |            (CAST(cr + 1 AS DOUBLE) / (sum(cr) OVER () + 1024))) AS lw
+      |       FROM tab),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |         round(sum(lw), 4) AS weight
+      |       FROM ft JOIN lm USING (f) GROUP BY 1),
+      |si AS (SELECT doc_id, n_feats, weight,
+      |         CAST(round(weight * 10000) AS BIGINT) AS wm FROM sc),
+      |h AS (SELECT wm, count(*) AS cnt FROM si GROUP BY 1),
+      |c AS (SELECT wm,
+      |        sum(cnt) OVER (ORDER BY wm DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER () AS n FROM h),
+      |sel AS (SELECT wm, CASE WHEN cum * 5 <= n * 1 THEN 1 ELSE 0 END
+      |          AS selected FROM c)
+      |SELECT si.doc_id, si.n_feats, si.weight,
+      |  CAST(sel.selected AS BIGINT) AS selected
+      |FROM si JOIN sel USING (wm) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Sampling
+    Sampling.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("doc_id") % 7 === 0)
+      .select(col("id").as("doc_id"), col("n_feats"), col("weight"),
+        col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[Q] =
+    Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir)
 }

@@ -79,4 +79,34 @@ class SamplingSpec extends SparkSpec {
     assert(out("books") == ((500L, 500L, 10000L))) // binds: keep all
     assert(out("web") == ((9000L, 500L, 555L))) // 500/9000 → 555 bp
   }
+
+  test("dsirWeights: target-like docs score higher and win selection") {
+    import spark.implicits._
+    // targets speak "a b"; raw pool speaks "x y"; doc 30 mixes.
+    // 10 docs, top-1/5 → the 2 highest-weight docs get selected=1.
+    val target = (0L to 2L).map(i => (i * 10, "a b a b a b"))
+    val raw = (3L to 8L).map(i => (i * 10 + 1, "x y x y x y"))
+    val corpus = (target ++ raw :+ ((301L, "a b x y a b")))
+      .toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(corpus, "doc_id", "text",
+        isTarget = col("doc_id") % 10 === 0, dim = 64,
+        selectNumer = 1, selectDenom = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out.size == 10)
+    // pure-target docs share the corpus-max weight; pure-raw the min
+    val wTgt = out(0L)._2
+    assert(Seq(10L, 20L).forall(out(_)._2 == wTgt))
+    assert(out(301L)._2 < wTgt && out(301L)._2 > out(31L)._2)
+    // 3 docs tie at the top → tied class EXCEEDS the 1/5 quota (2 of
+    // 10): histogram selection refuses to split the tie → none pass
+    assert(out.values.forall(_._3 == 0L))
+    // widen the quota to 1/2: the 3 target docs + the mixed doc (4 ≤ 5)
+    val sel = Sampling.dsirWeights(corpus, "doc_id", "text",
+        isTarget = col("doc_id") % 10 === 0, dim = 64,
+        selectNumer = 1, selectDenom = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(sel.count(_._2 == 1L) == 4)
+    assert(Seq(0L, 10L, 20L, 301L).forall(sel(_) == 1L))
+  }
 }
