@@ -57,6 +57,22 @@ object UrlFunctions {
     when(last2 === "", h).otherwise(last2)
   }
 
+  /** eTLD+1 with a caller-supplied multi-label public-suffix set: when
+    * the last two host labels are a listed suffix (e.g. "co.uk"), the
+    * registrable domain is the last THREE labels, otherwise the last
+    * two (the [[urlDomain]] heuristic). This is the key a blocklist /
+    * per-site policy join uses — normalize to eTLD+1 FIRST, then
+    * equi-join the (broadcast) list; never suffix-scan hosts against
+    * the list row by row. */
+  def registrableDomain(host: Column, multiLabelSuffixes: Seq[String]): Column = {
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val isMulti = multiLabelSuffixes.map(s => last2 === s)
+      .foldLeft(lit(false))(_ || _)
+    when(isMulti && last3 =!= "", last3)
+      .otherwise(when(last2 === "", host).otherwise(last2))
+  }
+
   /** query params matching these are tracking noise, dropped by
     * [[normalizeUrl]] (the shared list used by crawl canonicalizers). */
   val trackingParamPattern: String =

@@ -197,6 +197,38 @@ object TextAnalysis {
     ).map { case (name, c) => name -> when(c, 1L).otherwise(0L) }
   }
 
+  /** C4 / FineWeb heuristic document stats (Raffel et al. 2020 §2.2;
+    * Penedo et al. 2024): line counts, terminal-punctuation line
+    * count, and the three doc-level marker flags (curly brace, "lorem
+    * ipsum", cookie/javascript/privacy-policy boilerplate). All string
+    * probes fuse into the scan — map-only at any corpus size. */
+  def c4Stats(text: Column): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_terminal" -> size(filter(lines, l =>
+        Seq(".", "!", "?", "\"").map(p => l.endsWith(p)).reduce(_ || _)))
+        .cast("long"),
+      "f_curly" -> text.contains("{").cast("long"),
+      "f_lorem" -> text.contains("lorem ipsum").cast("long"),
+      "f_policy" -> (text.contains("cookie") || text.contains("javascript") ||
+        text.contains("privacy policy")).cast("long"))
+  }
+
+  /** C4/FineWeb keep rules over [[c4Stats]]: ≥2/3 of lines end in
+    * terminal punctuation (integer cross-multiplied), ≥3 lines, and
+    * none of the three marker flags. */
+  def c4Rules(text: Column): Seq[(String, Column)] = {
+    val Seq((_, n), (_, nt), (_, fc), (_, fl), (_, fp)) = c4Stats(text)
+    Seq(
+      "r_terminal" -> (nt * 3L >= n * 2L),
+      "r_min_lines" -> (n >= 3L),
+      "r_no_braces" -> (fc === 0L),
+      "r_no_lorem" -> (fl === 0L),
+      "r_no_policy" -> (fp === 0L)
+    ).map { case (nm, c) => nm -> when(c, 1L).otherwise(0L) }
+  }
+
   /** rule flags packed little-endian into one long + the all-pass keep
     * decision — the columns a curation pipeline persists per document. */
   def gopherMask(flags: Seq[Column]): Column =

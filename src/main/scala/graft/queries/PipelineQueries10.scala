@@ -213,6 +213,117 @@ object PipelineQueries10 {
       .orderBy(col("doc_id"))
   }
 
+  /** C4/FineWeb heuristic rules. Lines and marker text are synthesized
+    * deterministically from doc_id arithmetic (8-word lines; a line
+    * ends with '.' unless (doc_id+i) % 3 == 0; lorem/curly/cookie
+    * marker lines appended for doc_id % 4/5/3 == 0). Spark must
+    * ASSEMBLE and then DETECT — line split, terminal-punct probe,
+    * substring flags; the oracle never parses a line, it states every
+    * count analytically from the construction, so a detection bug
+    * breaks the hash. */
+  val c4: Q = q(
+    "quality_c4_rules",
+    """WITH d AS (SELECT doc_id,
+      |             (len(string_split(text, ' ')) + 7) // 8 AS k FROM documents),
+      |c AS (SELECT doc_id, k,
+      |        len(list_filter(range(0, k), i -> (doc_id + i) % 3 != 0))
+      |          AS term_numbered,
+      |        CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS fc,
+      |        CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS fl,
+      |        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS fp
+      |      FROM d),
+      |m AS (SELECT doc_id, k + fc + fl + fp AS n_lines,
+      |        term_numbered + fp AS n_terminal, fc, fl, fp FROM c)
+      |SELECT doc_id,
+      |  CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(n_terminal AS BIGINT) AS n_terminal,
+      |  CAST(fc AS BIGINT) AS f_curly,
+      |  CAST(fl AS BIGINT) AS f_lorem,
+      |  CAST(fp AS BIGINT) AS f_policy,
+      |  CAST(CASE WHEN n_terminal * 3 >= n_lines * 2 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS r_terminal,
+      |  CAST(CASE WHEN n_lines >= 3 THEN 1 ELSE 0 END AS BIGINT) AS r_min_lines,
+      |  CAST(1 - fc AS BIGINT) AS r_no_braces,
+      |  CAST(1 - fl AS BIGINT) AS r_no_lorem,
+      |  CAST(1 - fp AS BIGINT) AS r_no_policy,
+      |  CAST(CASE WHEN n_terminal * 3 >= n_lines * 2 AND n_lines >= 3
+      |            AND fc = 0 AND fl = 0 AND fp = 0 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextAnalysis
+    val did = col("doc_id")
+    val toks = split(col("text"), " ")
+    val k = floor((size(toks) + 7) / lit(8)).cast("int")
+    val numbered = transform(sequence(lit(0), k - 1), i =>
+      concat(concat_ws(" ", slice(toks, i * 8 + 1, lit(8))),
+        when((did + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+    val assembled = concat(
+      array_join(numbered, "\n"),
+      when(did % 4 === 0, lit("\nlorem ipsum dolor sit")).otherwise(lit("")),
+      when(did % 5 === 0, lit("\nfunction() { return 0; }")).otherwise(lit("")),
+      when(did % 3 === 0, lit("\nwe use cookie tracking.")).otherwise(lit("")))
+    val base = Tables.documents(s, d).select(did, assembled.as("text_c4"))
+    val stats = TextAnalysis.c4Stats(col("text_c4"))
+    val flags = TextAnalysis.c4Rules(col("text_c4"))
+    val keep = flags.map(_._2).reduce(_ * _).as("keep")
+    base.select(did +: (stats.map { case (n, c) => c.as(n) } ++
+        flags.map { case (n, c) => c.as(n) } :+ keep): _*)
+      .orderBy(did)
+  }
+
+  /** UT1-style domain blocklist: hosts normalize to eTLD+1 (with a
+    * co.uk-style multi-label suffix set) and the blocked decision is a
+    * broadcast equi-join on the registrable domain — the 100 TB shape
+    * for a 500k-entry blocklist (never a per-row suffix scan of the
+    * list). Hosts are synthesized from table columns; the oracle
+    * states the extracted domain and the block decision analytically,
+    * so the extraction regex and the join path are what's graded. */
+  val urlBlocklist: Q = q(
+    "url_blocklist_filter",
+    """WITH h AS (SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'www.' || source || '.bad-ads.com'
+      |      WHEN 1 THEN 'sub.tracker' || (doc_id % 3) || '.co.uk'
+      |      WHEN 2 THEN source || '.example.org'
+      |      WHEN 3 THEN 'deep.a.b.tracker0.co.uk'
+      |      ELSE 'ok' || (doc_id % 7) || '.example.net'
+      |    END AS host FROM documents)
+      |SELECT doc_id, host,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'bad-ads.com'
+      |    WHEN 1 THEN 'tracker' || (doc_id % 3) || '.co.uk'
+      |    WHEN 2 THEN 'example.org'
+      |    WHEN 3 THEN 'tracker0.co.uk'
+      |    ELSE 'example.net'
+      |  END AS registrable_domain,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1
+      |            WHEN doc_id % 5 = 1 AND doc_id % 3 < 2 THEN 1
+      |            WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.functions.UrlFunctions
+    val did = col("doc_id")
+    val host = when(did % 5 === 0,
+        concat(lit("www."), col("source"), lit(".bad-ads.com")))
+      .when(did % 5 === 1,
+        concat(lit("sub.tracker"), (did % 3).cast("string"), lit(".co.uk")))
+      .when(did % 5 === 2, concat(col("source"), lit(".example.org")))
+      .when(did % 5 === 3, lit("deep.a.b.tracker0.co.uk"))
+      .otherwise(concat(lit("ok"), (did % 7).cast("string"), lit(".example.net")))
+    val blocklist = Seq("bad-ads.com", "tracker0.co.uk", "tracker1.co.uk")
+      .toDF("registrable_domain").withColumn("__b", lit(1L))
+    Tables.documents(s, d)
+      .select(did, host.as("host"))
+      .withColumn("registrable_domain",
+        UrlFunctions.registrableDomain(col("host"),
+          Seq("co.uk", "com.au", "co.jp")))
+      .join(broadcast(blocklist), Seq("registrable_domain"), "left")
+      .select(did, col("host"), col("registrable_domain"),
+        coalesce(col("__b"), lit(0L)).as("blocked"))
+      .orderBy(did)
+  }
+
   def all: Seq[Q] =
-    Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir)
+    Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir,
+      c4, urlBlocklist)
 }

@@ -46,4 +46,23 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(m("scheme") == "" && m("host") == "")
     assert(m("norm") == "not a url at all")
   }
+
+  test("registrableDomain: multi-label suffixes take three labels, else two") {
+    import spark.implicits._
+    val suffixes = Seq("co.uk", "com.au")
+    val out = Seq(
+      "www.example.com",      // plain → last 2
+      "a.b.news.co.uk",       // listed suffix → last 3
+      "news.co.uk",           // already eTLD+1 under listed suffix
+      "co.uk",                // bare suffix: no third label → stays
+      "example.com.au",       // other listed suffix
+      "localhost",            // single label → itself
+      "x.example.org")
+      .toDF("h")
+      .select(graft.functions.UrlFunctions
+        .registrableDomain(org.apache.spark.sql.functions.col("h"), suffixes))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("example.com", "news.co.uk", "news.co.uk", "co.uk",
+      "example.com.au", "localhost", "example.org"))
+  }
 }

@@ -102,6 +102,36 @@ class TextQualitySpec extends SparkSpec {
     assert(out == clean)
   }
 
+  test("c4Stats/c4Rules: terminal-punct ratio, markers, and keep") {
+    import spark.implicits._
+    def run(text: String): Map[String, Long] = {
+      val stats = TextAnalysis.c4Stats(col("text"))
+      val flags = TextAnalysis.c4Rules(col("text"))
+      val row = Seq(text).toDF("text")
+        .select((stats ++ flags).map { case (n, c) => c.as(n) }: _*).head()
+      (stats ++ flags).map(_._1).zipWithIndex
+        .map { case (n, i) => n -> row.getLong(i) }.toMap
+    }
+    val good = run("First sentence.\nSecond one!\nA third \"quoted\"\nFourth.")
+    assert(good("n_lines") == 4L && good("n_terminal") == 4L)
+    assert(Seq("r_terminal", "r_min_lines", "r_no_braces", "r_no_lorem",
+      "r_no_policy").forall(good(_) == 1L))
+
+    val code = run("var x = {\nreturn x.\nok.")
+    assert(code("f_curly") == 1L && code("r_no_braces") == 0L)
+
+    val filler = run("a.\nb.\nLorem ipsum? no: lowercase lorem ipsum dolor.")
+    assert(filler("f_lorem") == 1L)
+
+    val policy = run("we value your privacy policy.\nplease accept.\nok.")
+    assert(policy("f_policy") == 1L && policy("r_no_policy") == 0L)
+
+    // 2 of 4 terminal < 2/3 → r_terminal fails; < 3 lines fails min
+    val ratio = run("ends.\nno punct\nalso none\nfine.")
+    assert(ratio("n_terminal") == 2L && ratio("r_terminal") == 0L)
+    assert(run("one.\ntwo.")("r_min_lines") == 0L)
+  }
+
   test("corruptMojibake matches a real utf8-as-cp1252 misdecode and roundtrips") {
     // every non-ASCII char here is in the curated table
     val intended = "l’été à l’ökonomie — ça va… 3€ señor"
