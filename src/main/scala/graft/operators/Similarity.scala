@@ -508,4 +508,30 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Hard-negative mining for contrastive training (DPR / SimCSE
+    * recipe): for each query vector, the top-k most-similar corpus
+    * vectors whose label DIFFERS from the query's — the confusable
+    * negatives a trainer wants in-batch. Same scale shape as
+    * [[bruteForceTopK]] (bounded query set broadcast against the
+    * corpus scan, per-query top-k window); the label inequality rides
+    * the join condition, so excluded rows never reach the scorer. The
+    * cosine is rounded to 4 dp and ties break on id, so ranking is
+    * engine-exact. */
+  def hardNegatives(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val q = broadcast(emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel")))
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(labelCol).as("lab"))
+      .join(q, col("id") =!= col("qid") && col("lab") =!= col("qlabel"))
+      .select(col("qid"), col("id"), col("lab"),
+        round(VectorExpressions.cosineF32(col("qvec"), col("vec")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -323,7 +323,38 @@ object PipelineQueries10 {
       .orderBy(did)
   }
 
+  /** Hard-negative mining: top-5 nearest other-label vectors per
+    * query (queries = vec_id < 5). The label inequality must ride the
+    * join — a same-label neighbor leaking into any top-5 breaks the
+    * hash. */
+  val hardNegatives: Q = q(
+    "similarity_hard_negatives",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id AS id, CAST(e.label AS BIGINT) AS lab,
+      |         round(CAST(list_cosine_similarity(
+      |           CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |           AS DOUBLE), 4) AS cosine
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> q.qid AND e.label <> q.qlabel),
+      |ranked AS (
+      |  SELECT qid, id, lab, cosine,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY cosine DESC, id ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, id, lab, cosine, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    Similarity.hardNegatives(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label",
+        queryPred = col("vec_id") < 5, k = 5)
+      .select(col("qid"), col("id"), col("lab").cast("long").as("lab"),
+        col("cosine"), col("rank").cast("int").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def all: Seq[Q] =
     Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir,
-      c4, urlBlocklist)
+      c4, urlBlocklist, hardNegatives)
 }

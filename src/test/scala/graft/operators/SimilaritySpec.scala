@@ -292,4 +292,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
     assert(math.abs(r.getDouble(2) - math.sqrt(2)) < 1e-12)
   }
+
+  test("hardNegatives excludes same-label vectors even when they are nearest") {
+    import spark.implicits._
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 7),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f), 7),  // nearest, SAME label
+      (2L, Array(0.9f, 0.3f, 0.0f, 0.0f), 8),   // nearest other-label
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 8),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.hardNegatives(labeled, "vec_id", "embedding",
+        "label", queryPred = col("vec_id") === 0, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L))
+    assert(!rows.map(_.getLong(1)).contains(1L))
+    assert(rows.map(_.getInt(2)).toSeq == Seq(8, 8, 9))
+  }
 }

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
   private val allowed: Set[String] = Set(
     "similarity_brute_force", "similarity_ivf_contract", "similarity_recall",
     "similarity_quantized", "similarity_srp_contract",
+    "similarity_hard_negatives",
     "sampling_mixture_weights", "sketch_bloom_probe", "tfidf_cosine_pairs",
     "search_bm25", "ngram_jaccard_pairs")
 
