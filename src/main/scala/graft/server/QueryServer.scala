@@ -22,6 +22,9 @@ import graft.planner.NativePlanner
   *                         "header"} (reference SqlQuery.java:55,
   *                         ResultFormat.java) → object / array / csv /
   *                         objectLines / arrayLines
+  *   POST /druid/v2/sql/statements[/{id}[/results]] — async statement
+  *                         lifecycle (reference SqlStatementResource):
+  *                         submit / poll / page results / DELETE cancel
   *   GET  /status/health — liveness
   *
   * Scale posture: results are STREAMED — rows flow from
@@ -292,6 +295,15 @@ class QueryServer(
       math.max(1, totalSlots * maxLowPercent / 100))
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/druid/v2/sql", (ex: HttpExchange) => handleSql(ex))
+    // async SQL statements (reference SqlStatementResource at
+    // /druid/v2/sql/statements/): submit → poll → page results. The
+    // MSQ-task surface re-expressed over the same SQL lifecycle; a
+    // bounded daemon pool runs the statement off the HTTP thread.
+    stmtExec = java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+      val t = new Thread(r, "graft-sql-statement"); t.setDaemon(true); t
+    })
+    server.createContext("/druid/v2/sql/statements",
+      (ex: HttpExchange) => handleStatements(ex))
     // Avatica JSON-RPC (reference DruidAvaticaJsonHandler at
     // /druid/v2/sql/avatica/): the JDBC/BI protocol over the same SQL
     // lifecycle. Longest-prefix context routing sends avatica traffic
@@ -442,7 +454,10 @@ class QueryServer(
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
     }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (stmtExec != null) stmtExec.shutdownNow()
+    if (server != null) server.stop(0)
+  }
 
   /** per-tier lookup specs (reference LookupCoordinatorResource): tier
     * → name → the spec JSON as posted. Lookup FUNCTIONS are global in
@@ -1192,6 +1207,195 @@ class QueryServer(
         val (code, b) = errorBody(e); respond(ex, code, b)
     } finally if (counted)
       recordMetric("sql", System.currentTimeMillis() - t0, failed)
+  }
+
+  // ---------------- async SQL statements ----------------
+  // reference SqlStatementResource (@Path("/druid/v2/sql/statements/")):
+  // the MSQ async-statement lifecycle — POST submits and returns an
+  // ACCEPTED envelope, GET /{id} polls state, GET /{id}/results pages
+  // rows, DELETE /{id} cancels. Here the "task engine" is a bounded
+  // daemon pool over the same prepared-SQL path as the sync endpoint;
+  // results are retained in memory in pageSize chunks for the
+  // statement's lifetime (the reference parks them in deep storage —
+  // same contract, different durability).
+
+  private final class StmtRecord(
+      val queryId: String, val createdAt: String, val group: String) {
+    @volatile var state: String = "ACCEPTED"
+    @volatile var errorMessage: String = null
+    @volatile var schema: Seq[(String, String, String)] = Nil
+    @volatile var rows: Vector[String] = null
+    @volatile var durationMs: Long = 0L
+    @volatile var dataSource: String = null
+  }
+
+  private val statements =
+    new java.util.concurrent.ConcurrentHashMap[String, StmtRecord]()
+  private val stmtPageSize = 1000
+  private var stmtExec: java.util.concurrent.ExecutorService = _
+
+  private def stmtEnvelope(r: StmtRecord): String = {
+    val o = mapper.createObjectNode()
+    o.put("queryId", r.queryId)
+    o.put("state", r.state)
+    o.put("createdAt", r.createdAt)
+    if (r.schema.nonEmpty) {
+      val a = o.putArray("schema")
+      r.schema.foreach { case (name, druidType, sqlType) =>
+        val f = a.addObject()
+        f.put("name", name); f.put("type", sqlType); f.put("nativeType", druidType)
+      }
+    }
+    if (r.state == "SUCCESS") {
+      o.put("durationMs", r.durationMs)
+      val res = o.putObject("result")
+      val all = if (r.rows == null) Vector.empty[String] else r.rows
+      res.put("numTotalRows", all.size.toLong)
+      res.put("totalSizeInBytes", all.iterator.map(_.length.toLong + 1L).sum)
+      if (r.dataSource != null) res.put("dataSource", r.dataSource)
+      val pages = res.putArray("pages")
+      all.grouped(stmtPageSize).zipWithIndex.foreach { case (pg, i) =>
+        val p = pages.addObject()
+        p.put("id", i.toLong)
+        p.put("numRows", pg.size.toLong)
+        p.put("sizeInBytes", pg.iterator.map(_.length.toLong + 1L).sum)
+      }
+    }
+    if (r.state == "FAILED" && r.errorMessage != null) {
+      val e = o.putObject("errorDetails")
+      e.put("error", "druidException")
+      e.put("errorMessage", r.errorMessage)
+    }
+    mapper.writeValueAsString(o)
+  }
+
+  private def handleStatements(ex: HttpExchange): Unit = {
+    try {
+      val parts = ex.getRequestURI.getPath
+        .stripPrefix("/druid/v2/sql/statements").stripPrefix("/")
+        .split("/").filter(_.nonEmpty).toSeq
+      (ex.getRequestMethod, parts) match {
+        case ("POST", Seq()) => stmtSubmit(ex)
+        case ("GET", Seq(id)) =>
+          statements.get(id) match {
+            case null => respond(ex, 404, """{"error":"no such statement"}""")
+            case r => respond(ex, 200, stmtEnvelope(r))
+          }
+        case ("GET", Seq(id, "results")) => stmtResults(ex, id)
+        case ("DELETE", Seq(id)) =>
+          statements.get(id) match {
+            case null => respond(ex, 404, """{"error":"no such statement"}""")
+            case r =>
+              if (r.state == "ACCEPTED" || r.state == "RUNNING") {
+                r.state = "CANCELED"
+                spark.sparkContext.cancelJobGroup(r.group)
+                respondNoBody(ex, 202)
+              } else respond(ex, 400,
+                s"""{"error":"statement is already ${r.state}"}""")
+          }
+        case _ => respond(ex, 405, """{"error":"unsupported"}""")
+      }
+    } catch {
+      case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
+    }
+  }
+
+  private def stmtSubmit(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val qid = setQueryIdHeader(ex, body)
+    val node = mapper.readTree(body)
+    val sql0 = Option(node.get("query")).filterNot(_.isNull)
+      .getOrElse(throw new IllegalArgumentException("missing 'query'")).asText()
+    val params = Option(node.get("parameters")).filterNot(_.isNull)
+      .map(_.elements()).map(it => Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
+    val rec = new StmtRecord(qid, java.time.Instant.now().toString,
+      "graft-stmt-" + qid + "-" + java.util.UUID.randomUUID())
+    if (statements.putIfAbsent(qid, rec) != null)
+      throw new IllegalArgumentException(s"query id $qid already submitted")
+    val cap = maxRows(body)
+    stmtExec.submit(new Runnable {
+      def run(): Unit = {
+        val t0 = System.currentTimeMillis()
+        var failed = false
+        try {
+          if (rec.state == "CANCELED") return
+          rec.state = "RUNNING"
+          refreshIngestedViews(sql0)
+          val sql = SystemTables.prepare(
+            spark, substituteParameters(sql0, params),
+            allDatasources _, resolveWithIngested, segmentMetaWithIngested,
+            boundPort,
+            () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq },
+            supervisorRecords _)
+          val sc = spark.sparkContext
+          sc.setJobGroup(rec.group, s"graft statement $qid", interruptOnCancel = true)
+          try {
+            if (IngestSql.looksLikeIngest(sql)) {
+              if (storageRoot.isEmpty)
+                throw new IllegalArgumentException(
+                  "SQL ingestion is not enabled on this server (no storageRoot)")
+              val st = IngestSql.parse(sql)
+              val path = IngestSql.run(
+                graft.GraftSession.setup(spark), st, storageRoot.get)
+              ingested.put(st.table, path)
+              taskLog.add(SystemTables.TaskRecord(
+                taskId = qid, taskType = "query_controller", datasource = st.table,
+                createdTimeIso = rec.createdAt,
+                status = "SUCCESS", durationMs = System.currentTimeMillis() - t0))
+              IngestSql.readTable(spark, storageRoot.get, st.table)
+                .createOrReplaceTempView(st.table)
+              rec.dataSource = st.table
+              rec.rows = Vector.empty
+            } else {
+              val df = graft.GraftSession.setup(spark).sql(sql)
+              ensureUnderCap(df, cap)
+              val schema = df.schema
+              rec.schema = schema.fields.toSeq.map { f =>
+                val (dt, st) = druidTypeName(f.dataType); (f.name, dt, st)
+              }
+              rec.rows = cappedRows(df, cap)
+                .map(r => mapper.writeValueAsString(rowObject(r, schema))).toVector
+            }
+            rec.durationMs = System.currentTimeMillis() - t0
+            if (rec.state != "CANCELED") rec.state = "SUCCESS"
+          } finally sc.clearJobGroup()
+        } catch {
+          case e: Throwable =>
+            failed = true
+            if (rec.state != "CANCELED") {
+              rec.errorMessage = String.valueOf(e.getMessage)
+              rec.state = "FAILED"
+            }
+        } finally recordMetric("sql_statement", System.currentTimeMillis() - t0, failed)
+      }
+    })
+    respond(ex, 200, stmtEnvelope(rec))
+  }
+
+  private def stmtResults(ex: HttpExchange, id: String): Unit = {
+    val rec = statements.get(id)
+    if (rec == null) { respond(ex, 404, """{"error":"no such statement"}"""); return }
+    if (rec.state != "SUCCESS") {
+      respond(ex, 400,
+        s"""{"error":"results not available: statement is ${rec.state}"}""")
+      return
+    }
+    val all = if (rec.rows == null) Vector.empty[String] else rec.rows
+    val page = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+      .collectFirst { case Array("page", v) =>
+        scala.util.Try(v.toLong).getOrElse(-1L) }
+    val slice = page match {
+      case None => all
+      case Some(p) =>
+        val npages = math.max(1, (all.size + stmtPageSize - 1) / stmtPageSize)
+        if (p < 0 || p >= npages) {
+          respond(ex, 400, s"""{"error":"invalid page $p"}"""); return
+        }
+        all.slice((p * stmtPageSize).toInt, ((p + 1) * stmtPageSize).toInt)
+    }
+    respond(ex, 200, slice.mkString("[", ",", "]"))
   }
 
   /** dynamic parameter substitution (reference SqlQuery.java:55 —

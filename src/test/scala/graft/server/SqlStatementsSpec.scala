@@ -1,0 +1,104 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Async SQL statements endpoint (reference SqlStatementResource):
+  * submit → poll → paged results → cancel/error semantics. */
+class SqlStatementsSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private def req(
+      port: Int, method: String, path: String,
+      body: String = ""): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    val built = (method match {
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+      case "DELETE" => b.DELETE()
+      case _ => b.GET()
+    }).build()
+    val resp = client.send(built, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def awaitState(port: Int, id: String, want: String): JsonNode = {
+    val deadline = System.currentTimeMillis() + 30000
+    var node = mapper.readTree(
+      req(port, "GET", s"/druid/v2/sql/statements/$id")._2)
+    while (node.get("state").asText() != want &&
+        System.currentTimeMillis() < deadline) {
+      val s = node.get("state").asText()
+      assert(s == "ACCEPTED" || s == "RUNNING" || s == want, node.toString)
+      Thread.sleep(100)
+      node = mapper.readTree(
+        req(port, "GET", s"/druid/v2/sql/statements/$id")._2)
+    }
+    assert(node.get("state").asText() == want, node.toString)
+    node
+  }
+
+  test("submit → poll → schema + page manifest → paged results") {
+    spark.range(0, 1500).select(col("id"), (col("id") % 7).as("m"))
+      .createOrReplaceTempView("stmt_big")
+    val srv = new QueryServer(spark, _ => spark.emptyDataFrame,
+      datasources = () => Seq("stmt_big"))
+    val port = srv.start()
+    try {
+      val (code, body) = req(port, "POST", "/druid/v2/sql/statements",
+        """{"query":"SELECT id, m FROM stmt_big ORDER BY id",
+          |"context":{"queryId":"stq1"}}""".stripMargin)
+      assert(code == 200, body)
+      assert(mapper.readTree(body).get("queryId").asText() == "stq1")
+
+      val fin = awaitState(port, "stq1", "SUCCESS")
+      val schema = fin.get("schema")
+      assert(schema.size() == 2, fin.toString)
+      assert(schema.get(0).get("name").asText() == "id")
+      assert(schema.get(0).get("type").asText() == "BIGINT")
+      assert(schema.get(0).get("nativeType").asText() == "LONG")
+      val res = fin.get("result")
+      assert(res.get("numTotalRows").asLong() == 1500L)
+      assert(res.get("pages").size() == 2)
+      assert(res.get("pages").get(0).get("numRows").asLong() == 1000L)
+      assert(res.get("pages").get(1).get("numRows").asLong() == 500L)
+
+      val all = mapper.readTree(
+        req(port, "GET", "/druid/v2/sql/statements/stq1/results")._2)
+      assert(all.size() == 1500)
+      assert(all.get(0).get("id").asLong() == 0L)
+      val p1 = mapper.readTree(
+        req(port, "GET", "/druid/v2/sql/statements/stq1/results?page=1")._2)
+      assert(p1.size() == 500 && p1.get(0).get("id").asLong() == 1000L)
+
+      assert(req(port, "GET",
+        "/druid/v2/sql/statements/stq1/results?page=2")._1 == 400)
+      // DELETE after completion: terminal statements can't be canceled
+      assert(req(port, "DELETE", "/druid/v2/sql/statements/stq1")._1 == 400)
+      assert(req(port, "GET", "/druid/v2/sql/statements/nope")._1 == 404)
+    } finally srv.stop()
+  }
+
+  test("failures surface as FAILED with errorDetails; results stay gated") {
+    val srv = new QueryServer(spark, _ => spark.emptyDataFrame)
+    val port = srv.start()
+    try {
+      val (code, body) = req(port, "POST", "/druid/v2/sql/statements",
+        """{"query":"SELECT * FROM definitely_missing_table",
+          |"context":{"queryId":"stq2"}}""".stripMargin)
+      assert(code == 200, body)
+      val fin = awaitState(port, "stq2", "FAILED")
+      assert(fin.get("errorDetails").get("errorMessage").asText().nonEmpty)
+      assert(req(port, "GET",
+        "/druid/v2/sql/statements/stq2/results")._1 == 400)
+      // duplicate queryId is rejected at submit
+      assert(req(port, "POST", "/druid/v2/sql/statements",
+        """{"query":"SELECT 1","context":{"queryId":"stq2"}}""")._1 == 400)
+    } finally srv.stop()
+  }
+}
