@@ -197,6 +197,42 @@ object TextAnalysis {
     ).map { case (name, c) => name -> when(c, 1L).otherwise(0L) }
   }
 
+  /** Gopher duplicate-line stats (Rae et al. 2021 Table A1, the
+    * dup_line_frac / dup_line_char_frac pair): duplicates = line
+    * occurrences BEYOND the first of each distinct content. Computed
+    * per row with higher-order functions (an element is a duplicate
+    * iff an equal element precedes it) — no shuffle, O(lines²) per doc
+    * with a small bounded line count, fuses into the scan. */
+  def dupLineStats(text: Column): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
+    val dupLens = transform(lines, (l, i) =>
+      when(size(filter(slice(lines, lit(1), i), x => x === l)) > 0,
+        length(l) + 1).otherwise(0))
+    // dupLens entries are length+1 so a duplicated EMPTY line still
+    // counts one line; chars subtract the +1 back out
+    val nDup = aggregate(dupLens, lit(0L),
+      (a, x) => a + when(x > 0, 1L).otherwise(0L))
+    val charsDup = aggregate(dupLens, lit(0L),
+      (a, x) => a + when(x > 0, (x - 1).cast("long")).otherwise(0L))
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "chars_total" -> aggregate(lines, lit(0L),
+        (a, l) => a + length(l).cast("long")),
+      "n_dup_lines" -> nDup,
+      "chars_dup_lines" -> charsDup)
+  }
+
+  /** Gopher bounds over [[dupLineStats]]: duplicate lines ≤ 30% of
+    * lines, duplicate-line chars ≤ 20% of line chars — integer
+    * cross-multiplied. */
+  def dupLineRules(text: Column): Seq[(String, Column)] = {
+    val Seq((_, n), (_, chars), (_, nDup), (_, charsDup)) = dupLineStats(text)
+    Seq(
+      "r_dup_lines" -> (nDup * 10L <= n * 3L),
+      "r_dup_chars" -> (charsDup * 10L <= chars * 2L)
+    ).map { case (nm, c) => nm -> when(c, 1L).otherwise(0L) }
+  }
+
   /** C4 / FineWeb heuristic document stats (Raffel et al. 2020 §2.2;
     * Penedo et al. 2024): line counts, terminal-punctuation line
     * count, and the three doc-level marker flags (curly brace, "lorem

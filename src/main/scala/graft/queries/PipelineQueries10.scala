@@ -354,7 +354,61 @@ object PipelineQueries10 {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Gopher duplicate-line fraction rules. Docs are recut into 8-word
+    * lines; every doc with doc_id % 3 == 0 has its FIRST line repeated
+    * at each odd line index (identical construction both engines), so
+    * the duplicate-line and duplicate-char fractions have real mass.
+    * Spark must DETECT duplicates from the assembled text (per-row
+    * earlier-equal-element scan); the oracle counts them from its own
+    * assembly via unnest+group — duplicates are occurrences beyond the
+    * first of each distinct content, so natural window collisions in
+    * non-repetitive docs are counted identically by construction. */
+  val dupLines: Q = q(
+    "quality_dup_line_rules",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |k AS (SELECT doc_id, w, (len(w) + 7) // 8 AS L FROM d),
+      |ln AS (SELECT doc_id,
+      |         list_transform(range(0, L), i ->
+      |           CASE WHEN doc_id % 3 = 0 AND i % 2 = 1
+      |                THEN array_to_string(w[1:8], ' ')
+      |                ELSE array_to_string(w[i*8+1:i*8+8], ' ') END) AS lines
+      |       FROM k),
+      |g AS (SELECT doc_id, unnest(lines) AS l FROM ln),
+      |c AS (SELECT doc_id, l, count(*) AS cnt, len(l) AS ll
+      |      FROM g GROUP BY doc_id, l),
+      |m AS (SELECT doc_id,
+      |        CAST(sum(cnt) AS BIGINT) AS n_lines,
+      |        CAST(sum(cnt * ll) AS BIGINT) AS chars_total,
+      |        CAST(sum(cnt - 1) AS BIGINT) AS n_dup_lines,
+      |        CAST(sum((cnt - 1) * ll) AS BIGINT) AS chars_dup_lines
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_lines, chars_total, n_dup_lines, chars_dup_lines,
+      |  CAST(CASE WHEN n_dup_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS r_dup_lines,
+      |  CAST(CASE WHEN chars_dup_lines * 10 <= chars_total * 2 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS r_dup_chars,
+      |  CAST(CASE WHEN n_dup_lines * 10 <= n_lines * 3
+      |            AND chars_dup_lines * 10 <= chars_total * 2
+      |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextAnalysis
+    val did = col("doc_id")
+    val ws = split(col("text"), " ")
+    val L = floor((size(ws) + 7) / lit(8)).cast("int")
+    val lines = transform(sequence(lit(0), L - 1), i =>
+      when(did % 3 === 0 && i % 2 === 1, concat_ws(" ", slice(ws, 1, 8)))
+        .otherwise(concat_ws(" ", slice(ws, i * 8 + 1, lit(8)))))
+    val base = Tables.documents(s, d)
+      .select(did, array_join(lines, "\n").as("text_lines"))
+    val stats = TextAnalysis.dupLineStats(col("text_lines"))
+    val flags = TextAnalysis.dupLineRules(col("text_lines"))
+    val keep = flags.map(_._2).reduce(_ * _).as("keep")
+    base.select(did +: (stats.map { case (n, c) => c.as(n) } ++
+        flags.map { case (n, c) => c.as(n) } :+ keep): _*)
+      .orderBy(did)
+  }
+
   def all: Seq[Q] =
     Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir,
-      c4, urlBlocklist, hardNegatives)
+      c4, urlBlocklist, hardNegatives, dupLines)
 }

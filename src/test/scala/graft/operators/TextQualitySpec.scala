@@ -102,6 +102,32 @@ class TextQualitySpec extends SparkSpec {
     assert(out == clean)
   }
 
+  test("dupLineStats: occurrences beyond the first count as duplicates") {
+    import spark.implicits._
+    def run(text: String): Map[String, Long] = {
+      val stats = TextAnalysis.dupLineStats(col("text"))
+      val flags = TextAnalysis.dupLineRules(col("text"))
+      val row = Seq(text).toDF("text")
+        .select((stats ++ flags).map { case (n, c) => c.as(n) }: _*).head()
+      (stats ++ flags).map(_._1).zipWithIndex
+        .map { case (n, i) => n -> row.getLong(i) }.toMap
+    }
+    // "aa" ×3 and "b" ×2 → 3 duplicate lines (2 aa + 1 b), 5 dup chars
+    val m = run("aa\nb\naa\naa\nb")
+    assert(m("n_lines") == 5L && m("chars_total") == 8L)
+    assert(m("n_dup_lines") == 3L && m("chars_dup_lines") == 5L)
+    assert(m("r_dup_lines") == 0L) // 3*10 > 5*3
+    assert(m("r_dup_chars") == 0L) // 5*10 > 8*2
+    // all-distinct doc passes both
+    val ok = run("one\ntwo\nthree\nfour")
+    assert(ok("n_dup_lines") == 0L && ok("r_dup_lines") == 1L &&
+      ok("r_dup_chars") == 1L)
+    // duplicated EMPTY lines still count as duplicate lines, zero chars
+    val empt = run("a\n\nb\n\nc\n")
+    assert(empt("n_lines") == 6L)
+    assert(empt("n_dup_lines") == 2L && empt("chars_dup_lines") == 0L)
+  }
+
   test("c4Stats/c4Rules: terminal-punct ratio, markers, and keep") {
     import spark.implicits._
     def run(text: String): Map[String, Long] = {
