@@ -65,12 +65,24 @@ object UrlFunctions {
     * equi-join the (broadcast) list; never suffix-scan hosts against
     * the list row by row. */
   def registrableDomain(host: Column, multiLabelSuffixes: Seq[String]): Column = {
-    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    val isMulti = multiLabelSuffixes.map(s => last2 === s)
-      .foldLeft(lit(false))(_ || _)
-    when(isMulti && last3 =!= "", last3)
-      .otherwise(when(last2 === "", host).otherwise(last2))
+    require(multiLabelSuffixes.forall(_.contains(".")),
+      "public-suffix entries must have at least two labels")
+    val h = lower(host)
+    val last2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    // longest suffix wins (a host under "pvt.k12.ma.us" must not stop
+    // at a shorter entry); match is case-insensitive and generic over
+    // the suffix's label count: registrable = one label + the suffix
+    val bySuffix = multiLabelSuffixes.distinct
+      .sortBy(s => -s.count(_ == '.'))
+      .map { s =>
+        val sl = s.toLowerCase
+        val ext = regexp_extract(h,
+          "([^.]+\\." + java.util.regex.Pattern.quote(sl) + ")$", 1)
+        (h === sl || h.endsWith("." + sl)) -> when(ext =!= "", ext).otherwise(h)
+      }
+    bySuffix.foldRight(when(last2 === "", h).otherwise(last2)) {
+      case ((cond, value), acc) => when(cond, value).otherwise(acc)
+    }
   }
 
   /** query params matching these are tracking noise, dropped by

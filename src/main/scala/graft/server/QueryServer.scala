@@ -302,6 +302,10 @@ class QueryServer(
     stmtExec = java.util.concurrent.Executors.newFixedThreadPool(2, r => {
       val t = new Thread(r, "graft-sql-statement"); t.setDaemon(true); t
     })
+    stmtWatchdog =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-stmt-watchdog"); t.setDaemon(true); t
+      })
     server.createContext("/druid/v2/sql/statements",
       (ex: HttpExchange) => handleStatements(ex))
     // Avatica JSON-RPC (reference DruidAvaticaJsonHandler at
@@ -456,6 +460,7 @@ class QueryServer(
 
   def stop(): Unit = {
     if (stmtExec != null) stmtExec.shutdownNow()
+    if (stmtWatchdog != null) stmtWatchdog.shutdownNow()
     if (server != null) server.stop(0)
   }
 
@@ -1220,24 +1225,48 @@ class QueryServer(
   // same contract, different durability).
 
   private final class StmtRecord(
-      val queryId: String, val createdAt: String, val group: String) {
-    @volatile var state: String = "ACCEPTED"
+      val queryId: String, val createdAt: String, val group: String,
+      val seq: Long) {
+    /** transitions are guarded by `synchronized` on this record so a
+      * DELETE-issued CANCELED is never stomped by the worker. */
+    var state: String = "ACCEPTED"
+    @volatile var timedOut = false
     @volatile var errorMessage: String = null
     @volatile var schema: Seq[(String, String, String)] = Nil
-    @volatile var rows: Vector[String] = null
+    /** UTF-8-encoded JSON objects, one per row — byte sizes in the
+      * page manifest are true payload sizes, and results stream
+      * without re-encoding. */
+    @volatile var rows: Vector[Array[Byte]] = null
     @volatile var durationMs: Long = 0L
     @volatile var dataSource: String = null
+    def currentState: String = synchronized(state)
+    def isTerminal: Boolean = synchronized(
+      state == "SUCCESS" || state == "FAILED" || state == "CANCELED")
   }
 
   private val statements =
     new java.util.concurrent.ConcurrentHashMap[String, StmtRecord]()
+  private val stmtSeq = new java.util.concurrent.atomic.AtomicLong()
   private val stmtPageSize = 1000
+  /** terminal records retained (newest first) before eviction — bounds
+    * driver heap across a long-lived server; DELETE frees one eagerly. */
+  private val stmtMaxRetained = 200
   private var stmtExec: java.util.concurrent.ExecutorService = _
+  private var stmtWatchdog: java.util.concurrent.ScheduledExecutorService = _
+
+  private def evictStatements(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val terminal = statements.values.asScala.filter(_.isTerminal).toSeq
+      .sortBy(-_.seq)
+    terminal.drop(stmtMaxRetained)
+      .foreach(r => statements.remove(r.queryId, r))
+  }
 
   private def stmtEnvelope(r: StmtRecord): String = {
+    val st = r.currentState
     val o = mapper.createObjectNode()
     o.put("queryId", r.queryId)
-    o.put("state", r.state)
+    o.put("state", st)
     o.put("createdAt", r.createdAt)
     if (r.schema.nonEmpty) {
       val a = o.putArray("schema")
@@ -1246,10 +1275,10 @@ class QueryServer(
         f.put("name", name); f.put("type", sqlType); f.put("nativeType", druidType)
       }
     }
-    if (r.state == "SUCCESS") {
+    if (st == "SUCCESS") {
       o.put("durationMs", r.durationMs)
       val res = o.putObject("result")
-      val all = if (r.rows == null) Vector.empty[String] else r.rows
+      val all = if (r.rows == null) Vector.empty[Array[Byte]] else r.rows
       res.put("numTotalRows", all.size.toLong)
       res.put("totalSizeInBytes", all.iterator.map(_.length.toLong + 1L).sum)
       if (r.dataSource != null) res.put("dataSource", r.dataSource)
@@ -1261,7 +1290,7 @@ class QueryServer(
         p.put("sizeInBytes", pg.iterator.map(_.length.toLong + 1L).sum)
       }
     }
-    if (r.state == "FAILED" && r.errorMessage != null) {
+    if (st == "FAILED" && r.errorMessage != null) {
       val e = o.putObject("errorDetails")
       e.put("error", "druidException")
       e.put("errorMessage", r.errorMessage)
@@ -1286,12 +1315,20 @@ class QueryServer(
           statements.get(id) match {
             case null => respond(ex, 404, """{"error":"no such statement"}""")
             case r =>
-              if (r.state == "ACCEPTED" || r.state == "RUNNING") {
-                r.state = "CANCELED"
+              val canceled = r.synchronized {
+                if (r.state == "ACCEPTED" || r.state == "RUNNING") {
+                  r.state = "CANCELED"; true
+                } else false
+              }
+              if (canceled) {
                 spark.sparkContext.cancelJobGroup(r.group)
                 respondNoBody(ex, 202)
-              } else respond(ex, 400,
-                s"""{"error":"statement is already ${r.state}"}""")
+              } else {
+                // terminal: DELETE releases the record (and its rows)
+                // and frees the queryId for reuse
+                statements.remove(id, r)
+                respondNoBody(ex, 200)
+              }
           }
         case _ => respond(ex, 405, """{"error":"unsupported"}""")
       }
@@ -1310,17 +1347,34 @@ class QueryServer(
       .map(_.elements()).map(it => Iterator.continually(it)
         .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
     val rec = new StmtRecord(qid, java.time.Instant.now().toString,
-      "graft-stmt-" + qid + "-" + java.util.UUID.randomUUID())
+      "graft-stmt-" + qid + "-" + java.util.UUID.randomUUID(),
+      stmtSeq.incrementAndGet())
     if (statements.putIfAbsent(qid, rec) != null)
       throw new IllegalArgumentException(s"query id $qid already submitted")
     val cap = maxRows(body)
+    val timeout = timeoutMs(body)
     stmtExec.submit(new Runnable {
       def run(): Unit = {
         val t0 = System.currentTimeMillis()
         var failed = false
+        val deadline = timeout.map(t0 + _)
+        // a canceled or timed-out statement must stop BETWEEN Spark
+        // jobs too — cancelJobGroup only kills jobs already submitted
+        def checkAlive(): Unit = {
+          if (rec.currentState == "CANCELED")
+            throw new InterruptedException("statement canceled")
+          if (deadline.exists(System.currentTimeMillis() > _)) {
+            rec.timedOut = true
+            throw new java.util.concurrent.TimeoutException(
+              s"query timed out after ${timeout.get} ms")
+          }
+        }
         try {
-          if (rec.state == "CANCELED") return
-          rec.state = "RUNNING"
+          val proceed = rec.synchronized {
+            if (rec.state == "CANCELED") false
+            else { rec.state = "RUNNING"; true }
+          }
+          if (!proceed) return
           refreshIngestedViews(sql0)
           val sql = SystemTables.prepare(
             spark, substituteParameters(sql0, params),
@@ -1330,7 +1384,18 @@ class QueryServer(
             supervisorRecords _)
           val sc = spark.sparkContext
           sc.setJobGroup(rec.group, s"graft statement $qid", interruptOnCancel = true)
+          // watchdog: past the deadline, keep cancelling the group so
+          // in-flight executor work actually stops (sync-path parity)
+          val watchdog = deadline.map(d => stmtWatchdog.scheduleAtFixedRate(
+            () => if (!rec.isTerminal &&
+                System.currentTimeMillis() > d) {
+              rec.timedOut = true
+              sc.cancelJobGroup(rec.group)
+            },
+            math.max(1, d - System.currentTimeMillis()), 250,
+            java.util.concurrent.TimeUnit.MILLISECONDS))
           try {
+            checkAlive()
             if (IngestSql.looksLikeIngest(sql)) {
               if (storageRoot.isEmpty)
                 throw new IllegalArgumentException(
@@ -1350,24 +1415,38 @@ class QueryServer(
             } else {
               val df = graft.GraftSession.setup(spark).sql(sql)
               ensureUnderCap(df, cap)
+              checkAlive()
               val schema = df.schema
               rec.schema = schema.fields.toSeq.map { f =>
                 val (dt, st) = druidTypeName(f.dataType); (f.name, dt, st)
               }
               rec.rows = cappedRows(df, cap)
-                .map(r => mapper.writeValueAsString(rowObject(r, schema))).toVector
+                .map(r => mapper.writeValueAsBytes(rowObject(r, schema))).toVector
+              checkAlive()
             }
             rec.durationMs = System.currentTimeMillis() - t0
-            if (rec.state != "CANCELED") rec.state = "SUCCESS"
-          } finally sc.clearJobGroup()
+            rec.synchronized {
+              if (rec.state != "CANCELED") rec.state = "SUCCESS"
+            }
+          } finally {
+            watchdog.foreach(_.cancel(false))
+            sc.clearJobGroup()
+          }
         } catch {
           case e: Throwable =>
             failed = true
-            if (rec.state != "CANCELED") {
-              rec.errorMessage = String.valueOf(e.getMessage)
-              rec.state = "FAILED"
+            rec.synchronized {
+              if (rec.state != "CANCELED") {
+                rec.errorMessage =
+                  if (rec.timedOut) s"query timed out after ${timeout.getOrElse(0L)} ms"
+                  else Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                rec.state = "FAILED"
+              }
             }
-        } finally recordMetric("sql_statement", System.currentTimeMillis() - t0, failed)
+        } finally {
+          evictStatements()
+          recordMetric("sql_statement", System.currentTimeMillis() - t0, failed)
+        }
       }
     })
     respond(ex, 200, stmtEnvelope(rec))
@@ -1376,12 +1455,13 @@ class QueryServer(
   private def stmtResults(ex: HttpExchange, id: String): Unit = {
     val rec = statements.get(id)
     if (rec == null) { respond(ex, 404, """{"error":"no such statement"}"""); return }
-    if (rec.state != "SUCCESS") {
+    val st = rec.currentState
+    if (st != "SUCCESS") {
       respond(ex, 400,
-        s"""{"error":"results not available: statement is ${rec.state}"}""")
+        s"""{"error":"results not available: statement is $st"}""")
       return
     }
-    val all = if (rec.rows == null) Vector.empty[String] else rec.rows
+    val all = if (rec.rows == null) Vector.empty[Array[Byte]] else rec.rows
     val page = Option(ex.getRequestURI.getQuery).getOrElse("")
       .split("&").filter(_.nonEmpty).map(_.split("=", 2))
       .collectFirst { case Array("page", v) =>
@@ -1395,7 +1475,18 @@ class QueryServer(
         }
         all.slice((p * stmtPageSize).toInt, ((p + 1) * stmtPageSize).toInt)
     }
-    respond(ex, 200, slice.mkString("[", ",", "]"))
+    // stream the stored row bytes — no single-String materialization
+    val os = openStream(ex, "application/json")
+    try {
+      os.write('[')
+      var first = true
+      slice.foreach { r =>
+        if (!first) os.write(',')
+        first = false
+        os.write(r)
+      }
+      os.write(']')
+    } finally os.close()
   }
 
   /** dynamic parameter substitution (reference SqlQuery.java:55 —

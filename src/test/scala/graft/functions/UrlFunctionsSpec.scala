@@ -47,22 +47,25 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(m("norm") == "not a url at all")
   }
 
-  test("registrableDomain: multi-label suffixes take three labels, else two") {
+  test("registrableDomain: multi-label suffixes take suffix+1, else two") {
     import spark.implicits._
-    val suffixes = Seq("co.uk", "com.au")
+    val suffixes = Seq("co.uk", "com.au", "pvt.k12.ma.us")
     val out = Seq(
       "www.example.com",      // plain → last 2
-      "a.b.news.co.uk",       // listed suffix → last 3
+      "a.b.news.co.uk",       // listed suffix → suffix + 1 label
       "news.co.uk",           // already eTLD+1 under listed suffix
-      "co.uk",                // bare suffix: no third label → stays
+      "co.uk",                // bare suffix: no extra label → stays
       "example.com.au",       // other listed suffix
       "localhost",            // single label → itself
-      "x.example.org")
+      "x.example.org",
+      "www.school.pvt.k12.ma.us", // 4-label suffix → suffix + 1
+      "WWW.News.CO.UK")       // case-insensitive suffix match
       .toDF("h")
       .select(graft.functions.UrlFunctions
         .registrableDomain(org.apache.spark.sql.functions.col("h"), suffixes))
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("example.com", "news.co.uk", "news.co.uk", "co.uk",
-      "example.com.au", "localhost", "example.org"))
+      "example.com.au", "localhost", "example.org",
+      "school.pvt.k12.ma.us", "news.co.uk"))
   }
 }

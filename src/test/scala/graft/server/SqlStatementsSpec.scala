@@ -78,8 +78,10 @@ class SqlStatementsSpec extends SparkSpec {
 
       assert(req(port, "GET",
         "/druid/v2/sql/statements/stq1/results?page=2")._1 == 400)
-      // DELETE after completion: terminal statements can't be canceled
-      assert(req(port, "DELETE", "/druid/v2/sql/statements/stq1")._1 == 400)
+      // DELETE after completion releases the record and its rows; the
+      // queryId becomes unknown (and reusable)
+      assert(req(port, "DELETE", "/druid/v2/sql/statements/stq1")._1 == 200)
+      assert(req(port, "GET", "/druid/v2/sql/statements/stq1")._1 == 404)
       assert(req(port, "GET", "/druid/v2/sql/statements/nope")._1 == 404)
     } finally srv.stop()
   }
@@ -99,6 +101,23 @@ class SqlStatementsSpec extends SparkSpec {
       // duplicate queryId is rejected at submit
       assert(req(port, "POST", "/druid/v2/sql/statements",
         """{"query":"SELECT 1","context":{"queryId":"stq2"}}""")._1 == 400)
+      // message-less exceptions fall back to the class name, never "null"
+      assert(fin.get("errorDetails").get("errorMessage").asText() != "null")
+    } finally srv.stop()
+  }
+
+  test("context.timeout cancels a statement and reports FAILED timeout") {
+    val srv = new QueryServer(spark, _ => spark.emptyDataFrame)
+    val port = srv.start()
+    try {
+      // a cross-joined range big enough to outlive a 300 ms deadline
+      val (code, body) = req(port, "POST", "/druid/v2/sql/statements",
+        """{"query":"SELECT count(*) AS c FROM (SELECT r1.id FROM range(100000) r1, range(100000) r2)",
+          |"context":{"queryId":"stq3","timeout":300}}""".stripMargin)
+      assert(code == 200, body)
+      val fin = awaitState(port, "stq3", "FAILED")
+      assert(fin.get("errorDetails").get("errorMessage").asText()
+        .contains("timed out"), fin.toString)
     } finally srv.stop()
   }
 }
