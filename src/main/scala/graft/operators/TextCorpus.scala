@@ -363,6 +363,37 @@ object TextCorpus {
       .select(col("id"), col("nll_bigram"), col("bucket"))
   }
 
+  /** Per-group [[perplexityBuckets]] — CCNet proper buckets WITHIN each
+    * language (a doc competes only against its own language's score
+    * distribution, so a hard language never lands wholly in the tail).
+    * Same scale shape with the histogram keyed (group, quantized
+    * score): the cumulative window partitions by group over the tiny
+    * distinct-value table, and the per-(group, value) bucket broadcasts
+    * back. The LM itself stays corpus-wide (callers wanting per-lang
+    * LMs score per-partition upstream). */
+  def perplexityBucketsBy(
+      df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val scored = df.select(col(idCol).as("__id"), col(groupCol).as("grp"))
+      .join(bigramLogProb(df, idCol, textCol), col("__id") === col("id"))
+      .select(col("id"), col("grp"), col("nll_bigram"),
+        round(col("nll_bigram") * 10000).cast("long").as("nllm"))
+    val hist = scored.groupBy(col("grp"), col("nllm"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("nllm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val cuts = hist
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("grp"), col("nllm"),
+        when(col("cum") * 3 <= col("n"), 0L)
+          .when(col("cum") * 3 <= col("n") * 2, 1L)
+          .otherwise(2L).as("bucket"))
+    scored.join(broadcast(cuts), Seq("grp", "nllm"))
+      .select(col("id"), col("grp"), col("nll_bigram"), col("bucket"))
+  }
+
   /** Portable per-string rolling hash (31-polynomial mod 1e9+7) —
     * char-exact twin of DuckDB's
     * `list_reduce(list_prepend(0, list_transform(regexp_extract_all(s,

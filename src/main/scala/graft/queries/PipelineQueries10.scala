@@ -408,7 +408,47 @@ object PipelineQueries10 {
       .orderBy(did)
   }
 
+  /** CCNet buckets per LANGUAGE: a doc competes only against its own
+    * language's score distribution (the real CCNet contract). Cutoffs
+    * from the (lang, quantized-score) histogram with a per-lang
+    * cumulative window — engine-exact integer decisions. */
+  val perplexityBucketsLang: Q = q(
+    "quality_perplexity_buckets_lang",
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |           FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |         i -> w[i] || ' ' || w[i+1])) AS g FROM d),
+      |cg AS (SELECT g, count(*) AS c FROM bg GROUP BY 1),
+      |cp AS (SELECT string_split(g, ' ')[1] AS w1, sum(c) AS cw FROM cg GROUP BY 1),
+      |s AS (SELECT bg.doc_id,
+      |        round(avg(-ln(CAST(cg.c AS DOUBLE) / cp.cw)), 4) AS nll_bigram
+      |      FROM bg JOIN cg USING (g)
+      |              JOIN cp ON string_split(bg.g, ' ')[1] = cp.w1
+      |      GROUP BY 1),
+      |si AS (SELECT s.doc_id, d.lang, s.nll_bigram,
+      |         CAST(round(s.nll_bigram * 10000) AS BIGINT) AS nllm
+      |       FROM s JOIN d ON s.doc_id = d.doc_id),
+      |h AS (SELECT lang, nllm, count(*) AS cnt FROM si GROUP BY 1, 2),
+      |c AS (SELECT lang, nllm,
+      |        sum(cnt) OVER (PARTITION BY lang ORDER BY nllm
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER (PARTITION BY lang) AS n
+      |      FROM h),
+      |b AS (SELECT lang, nllm,
+      |        CASE WHEN cum * 3 <= n THEN 0
+      |             WHEN cum * 3 <= 2 * n THEN 1 ELSE 2 END AS bucket FROM c)
+      |SELECT si.doc_id, si.lang, si.nll_bigram,
+      |  CAST(b.bucket AS BIGINT) AS bucket
+      |FROM si JOIN b ON si.lang = b.lang AND si.nllm = b.nllm
+      |ORDER BY si.doc_id""".stripMargin) { (s, d) =>
+    TextCorpus.perplexityBucketsBy(Tables.documents(s, d),
+        "doc_id", "text", "lang")
+      .select(col("id").as("doc_id"), col("grp").as("lang"),
+        col("nll_bigram"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[Q] =
     Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir,
-      c4, urlBlocklist, hardNegatives, dupLines)
+      c4, urlBlocklist, hardNegatives, dupLines, perplexityBucketsLang)
 }

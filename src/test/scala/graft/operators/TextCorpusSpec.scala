@@ -202,6 +202,27 @@ class TextCorpusSpec extends SparkSpec {
     assert(out(5L) == 2L && out(6L) == 2L)
   }
 
+  test("perplexityBucketsBy: docs compete only within their own group") {
+    import spark.implicits._
+    // globally, every "en" doc scores below every "xx" doc; per-group
+    // bucketing must still spread 0/1/2 WITHIN each group
+    val fixture = Seq(
+      (1L, "en", "a b a b a b a b"), (2L, "en", "a b c d a b c d"),
+      (3L, "en", "e f a b e f a b"),
+      (11L, "xx", "p q p q p q p q"), (12L, "xx", "p q r s p q r s"),
+      (13L, "xx", "t u p q t u p q")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextCorpus.perplexityBucketsBy(fixture, "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out.size == 6)
+    val en = out.filter(_._2._1 == "en").values.toSeq.sortBy(_._2).map(_._3)
+    val xx = out.filter(_._2._1 == "xx").values.toSeq.sortBy(_._2).map(_._3)
+    assert(en == Seq(0L, 1L, 2L), out.toString)
+    assert(xx == Seq(0L, 1L, 2L), out.toString)
+  }
+
   test("hashedLinearScore: score is the exact sum of per-token slot weights") {
     import spark.implicits._
     def roll(s: String): Long =

@@ -65,4 +65,31 @@ class StreamingQueriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq.sortBy(_._3)
     assert(top2 == Seq(("b", 5.0, 1), ("a", 4.0, 2)), top2)
   }
+
+  test("map-only quality rules run unchanged inside a stream") {
+    // c4Rules + dupLineRules are stateless per-row Column trees, so
+    // they apply to readStream exactly as to batch — the streaming
+    // half of the curation pipeline needs no operator rewrite
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val flags = TextAnalysis.c4Rules(col("text")) ++
+      TextAnalysis.dupLineRules(col("text"))
+    val q = mem.toDF.toDF("doc_id", "text")
+      .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+      .writeStream.format("memory").queryName("sq_quality")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "First sentence.\nSecond one!\nThird ok.\nFourth."),
+      (2L, "var x = {\nsame line.\nsame line.\nsame line.\nsame line."))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sq_quality")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(6))).toMap // r_no_braces, r_dup_lines
+    assert(rows(1L) == ((1L, 1L)), rows)
+    assert(rows(2L) == ((0L, 0L)), rows)
+  }
 }
