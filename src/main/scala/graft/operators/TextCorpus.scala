@@ -430,6 +430,40 @@ object TextCorpus {
       .withColumn("label", (col("score") >= 0).cast("long"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS scheme): hash every k-word shingle, slide a
+    * window of `w` consecutive hashes, and select each window's
+    * minimum (ties to the RIGHTMOST, the paper's rule), deduplicating
+    * repeats. Guarantees any shared run of ≥ w+k-1 words between two
+    * documents shares at least one fingerprint — the density/recall
+    * contract plain every-nth sampling lacks.
+    *
+    * Long output: (id, pos, fp) — gram position and hash. Map-only:
+    * the whole selection is a per-row Column tree (O(grams·w) with
+    * small w) followed by one explode+distinct; nothing shuffles until
+    * the fingerprint join a caller builds on top. The rightmost-min is
+    * found portably as `w - position(min in reversed window)` — no
+    * argmin fold, identical in DuckDB. */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import graft.functions.TextExpressions
+    val hs = transform(TextExpressions.wordShingles(col(textCol), k),
+      g => rollHash(g))
+    val selected = df
+      .select(col(idCol).as("id"), hs.as("hs"))
+      .filter(size(col("hs")) >= w)
+      .select(col("id"), col("hs"),
+        explode(transform(sequence(lit(0), size(col("hs")) - w), j => {
+          val win = slice(col("hs"), j + 1, lit(w))
+          val minv = array_min(win)
+          j + lit(w) - array_position(reverse(win), minv)
+        })).as("pos"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        element_at(col("hs"), (col("pos") + 1).cast("int")).as("fp"))
+    selected.distinct()
+  }
+
   /** BM25 keyword retrieval (Robertson & Zaragoza 2009, the Lucene
     * `(idf·tf·(k1+1)) / (tf + k1·(1-b+b·dl/avgdl))` form with the
     * +1-smoothed idf): score every document against a query term set

@@ -448,7 +448,41 @@ object PipelineQueries10 {
       .orderBy(col("doc_id"))
   }
 
+  /** MOSS winnowing fingerprints (k=3-word shingles, window w=4,
+    * rightmost-min tie rule): the guarantee-carrying local fingerprint
+    * scheme. Both engines restate shingling, hashing, window argmin
+    * (as position-of-min-in-reversed-window — no fold) and the
+    * distinct pass; any drift in the tie rule or window arithmetic
+    * breaks the hash. */
+  val winnow: Q = q(
+    "text_winnow_fingerprints",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+      |        i -> array_to_string(ws[i:i+2], ' ')) AS grams
+      |      FROM d WHERE len(ws) >= 3),
+      |h AS (SELECT doc_id, list_transform(grams, s ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(regexp_extract_all(s, '.'),
+      |            c -> CAST(ascii(c) AS BIGINT))),
+      |          (a, c) -> (a * 31 + c) % 1000000007)) AS hs
+      |      FROM g),
+      |sel AS (SELECT doc_id, hs,
+      |          unnest(list_transform(range(0, len(hs) - 3), j ->
+      |            j + 4 - list_position(list_reverse(hs[j+1:j+4]),
+      |                                  list_min(hs[j+1:j+4])))) AS pos
+      |        FROM h WHERE len(hs) >= 4),
+      |f AS (SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        hs[CAST(pos + 1 AS INT)] AS fp FROM sel)
+      |SELECT doc_id, pos, fp FROM f ORDER BY doc_id, pos""".stripMargin) {
+    (s, d) =>
+      TextCorpus.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = 3, w = 4)
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy(col("doc_id"), col("pos"))
+  }
+
   def all: Seq[Q] =
     Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir,
-      c4, urlBlocklist, hardNegatives, dupLines, perplexityBucketsLang)
+      c4, urlBlocklist, hardNegatives, dupLines, perplexityBucketsLang,
+      winnow)
 }

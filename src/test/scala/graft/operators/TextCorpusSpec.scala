@@ -271,6 +271,36 @@ class TextCorpusSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 2L)
   }
 
+  test("winnowFingerprints: rightmost-min ties, dedup, shared-run guarantee") {
+    import spark.implicits._
+    def roll(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    // identical shingles everywhere → every hash ties → each window
+    // selects its RIGHTMOST position; dedup leaves one per window end
+    val rows = TextCorpus.winnowFingerprints(
+        Seq((1L, "z z z z z z z z")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, w = 4)
+      .orderBy(col("pos")).collect()
+    // 6 grams, windows j=0,1,2 select pos 3,4,5
+    assert(rows.map(_.getLong(1)).toSeq == Seq(3L, 4L, 5L))
+    assert(rows.forall(_.getLong(2) == roll("z z z")))
+
+    // two docs sharing a run of ≥ w+k-1 = 6 words must share ≥1 fp
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val two = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared five six seven")).toDF("doc_id", "text")
+    val fps = TextCorpus.winnowFingerprints(two, "doc_id", "text", k = 3, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty, fps.toString)
+
+    // docs with fewer than w+k-1 grams' worth of words yield nothing
+    assert(TextCorpus.winnowFingerprints(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, w = 4).count() == 0L)
+  }
+
   test("repetitionStats: duplicated long n-grams accumulate count×len chars") {
     // "p q r s t u" twice: every 5-gram of the repeated span occurs 2×
     val m = repStats("p q r s t u p q r s t u")
