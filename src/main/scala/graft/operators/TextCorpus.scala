@@ -464,6 +464,34 @@ object TextCorpus {
     selected.distinct()
   }
 
+  /** Winnowing candidate pairs: documents sharing ≥ `minShared`
+    * selected fingerprints ([[winnowFingerprints]]) — the MOSS
+    * match-detection join. Scale shape: the (id, fp) posting list
+    * self-joins on the fp KEY only after hot fingerprints (document
+    * frequency > `maxFpDf` — boilerplate shingles every doc contains)
+    * are dropped by a df-table join, the same stop-key guard the LSH
+    * band join uses; pair volume is then Σ df² over a capped df. */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4,
+      maxFpDf: Int = 20, minShared: Int = 3): DataFrame = {
+    // the same fingerprint VALUE can be selected at several positions
+    // of one document — the posting list is the distinct (id, fp) SET,
+    // or shared counts and df both overcount
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val kept = fps.join(dfc.filter(col("__df") <= maxFpDf), Seq("fp"))
+      .select(col("fp"), col("id"))
+    val a = kept.select(col("fp"), col("id").as("id_a"))
+    val b = kept.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** BM25 keyword retrieval (Robertson & Zaragoza 2009, the Lucene
     * `(idf·tf·(k1+1)) / (tf + k1·(1-b+b·dl/avgdl))` form with the
     * +1-smoothed idf): score every document against a query term set

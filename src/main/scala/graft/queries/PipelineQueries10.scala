@@ -481,8 +481,44 @@ object PipelineQueries10 {
         .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** Winnowing match pairs: ≥3 shared fingerprints after dropping
+    * fingerprints with document frequency > 20 (the hot-shingle
+    * guard). Grades the posting-list self-join machinery end to end on
+    * top of the fingerprint selection. */
+  val winnowPairs: Q = q(
+    "dedup_winnow_pairs",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+      |        i -> array_to_string(ws[i:i+2], ' ')) AS grams
+      |      FROM d WHERE len(ws) >= 3),
+      |h AS (SELECT doc_id, list_transform(grams, s ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(regexp_extract_all(s, '.'),
+      |            c -> CAST(ascii(c) AS BIGINT))),
+      |          (a, c) -> (a * 31 + c) % 1000000007)) AS hs
+      |      FROM g),
+      |sel AS (SELECT doc_id, hs,
+      |          unnest(list_transform(range(0, len(hs) - 3), j ->
+      |            j + 4 - list_position(list_reverse(hs[j+1:j+4]),
+      |                                  list_min(hs[j+1:j+4])))) AS pos
+      |        FROM h WHERE len(hs) >= 4),
+      |f AS (SELECT DISTINCT doc_id, hs[CAST(pos + 1 AS INT)] AS fp FROM sel),
+      |dfc AS (SELECT fp, count(*) AS c FROM f GROUP BY 1),
+      |ff AS (SELECT f.doc_id, f.fp FROM f JOIN dfc ON f.fp = dfc.fp
+      |       WHERE dfc.c <= 20),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        CAST(count(*) AS BIGINT) AS shared
+      |      FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared FROM p WHERE shared >= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    TextCorpus.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, w = 4, maxFpDf = 20, minShared = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def all: Seq[Q] =
     Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir,
       c4, urlBlocklist, hardNegatives, dupLines, perplexityBucketsLang,
-      winnow)
+      winnow, winnowPairs)
 }

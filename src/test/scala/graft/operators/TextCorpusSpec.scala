@@ -301,6 +301,30 @@ class TextCorpusSpec extends SparkSpec {
       "doc_id", "text", k = 3, w = 4).count() == 0L)
   }
 
+  test("winnowPairs: shared-set counting, hot-fp guard, pair ordering") {
+    import spark.implicits._
+    // docs 1 and 2 share a long run (many shared fps); doc 3 disjoint.
+    // doc 1 repeats its own run — repeated in-doc fps must NOT inflate
+    // the pair's shared count (posting list is a SET per doc)
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"$run one two $run"),
+      (2L, s"$run nine ten"),
+      (3L, "k l m n o p q r s t u v")).toDF("doc_id", "text")
+    val pairs = TextCorpus.winnowPairs(corpus, "doc_id", "text",
+        k = 3, w = 4, maxFpDf = 20, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), pairs.toString)
+    // shared can never exceed either doc's distinct-fp count
+    val fpCounts = TextCorpus.winnowFingerprints(corpus, "doc_id", "text", 3, 4)
+      .select(col("id"), col("fp")).distinct()
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs((1L, 2L)) <= math.min(fpCounts(1L), fpCounts(2L)))
+    // a df cap of 1 kills every fp the two docs share → no pairs
+    assert(TextCorpus.winnowPairs(corpus, "doc_id", "text",
+      k = 3, w = 4, maxFpDf = 1, minShared = 1).count() == 0L)
+  }
+
   test("repetitionStats: duplicated long n-grams accumulate count×len chars") {
     // "p q r s t u" twice: every 5-gram of the repeated span occurs 2×
     val m = repStats("p q r s t u p q r s t u")
