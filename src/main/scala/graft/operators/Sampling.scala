@@ -150,6 +150,45 @@ object Sampling {
       .drop("__rate_bp")
   }
 
+  /** Temperature-flattened language mixture (the mBERT / XLM-R
+    * exponential-smoothing recipe): sampling weight ∝ p_ℓ^α where p_ℓ
+    * is the language's corpus share, α < 1 boosting low-resource
+    * languages. α is taken in QUARTERS (α = alphaQuarters/4) so the
+    * power is a composition of exact IEEE operations — x^(q/4) =
+    * sqrt(sqrt(x^q)) with x^q a one/two-multiply chain — and both
+    * engines produce bit-identical weights with no rounding margin to
+    * reason about. Weights then quantize to integers (round(w·10⁴))
+    * and every downstream ratio is integer arithmetic: rate_bp =
+    * ⌊wm·10⁴/Σwm⌋, expected kept tokens = ⌊total·wm/Σwm⌋.
+    *
+    * One narrow groupBy(lang) agg + a window over the ≤|langs|-row
+    * table — no wide shuffle at any corpus size. */
+  def temperatureMixture(
+      df: DataFrame, langCol: String, tokensCol: String,
+      alphaQuarters: Int = 1): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 3,
+      "alphaQuarters must be 1..3 (α = 0.25, 0.5, 0.75)")
+    import graft.exprs.idiv
+    val perLang = df.groupBy(col(langCol))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+    val wAll = Window.partitionBy(lit(1))
+    val p = col("n_tokens").cast("double") / col("total_tokens")
+    val pq = alphaQuarters match {
+      case 1 => p
+      case 2 => p * p
+      case 3 => p * p * p
+    }
+    perLang
+      .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+      .withColumn("wm", round(sqrt(sqrt(pq)) * 10000).cast("long"))
+      .withColumn("sum_wm", sum(col("wm")).over(wAll))
+      .select(col(langCol), col("n_tokens"),
+        col("wm"),
+        idiv(col("wm") * 10000L, col("sum_wm")).as("rate_bp"),
+        idiv(col("total_tokens") * col("wm"), col("sum_wm"))
+          .as("target_tokens"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
     * score every raw document by the log importance weight
     * Σ_features ln(p_target(f) / p_raw(f)) under hashed-bigram bag

@@ -517,8 +517,39 @@ object PipelineQueries10 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Temperature-flattened language mixture (α = 0.25 — in quarters so
+    * p^α is exact IEEE sqrt∘sqrt, bit-identical cross-engine with no
+    * rounding margin): per-language weight, basis-point rate and
+    * integer token target. */
+  val temperatureMixture: Q = q(
+    "sampling_temperature_mixture",
+    """WITH t AS (SELECT lang,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |               AS n_tokens
+      |           FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n_tokens,
+      |        sum(n_tokens) OVER () AS total_tokens,
+      |        CAST(round(sqrt(sqrt(
+      |          CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ())) * 10000)
+      |          AS BIGINT) AS wm
+      |      FROM t),
+      |s AS (SELECT lang, n_tokens, total_tokens, wm,
+      |        sum(wm) OVER () AS sum_wm FROM w)
+      |SELECT lang, n_tokens, wm,
+      |  CAST(wm * 10000 // sum_wm AS BIGINT) AS rate_bp,
+      |  CAST(CAST(total_tokens AS BIGINT) * wm // sum_wm AS BIGINT)
+      |    AS target_tokens
+      |FROM s ORDER BY lang""".stripMargin) { (s, d) =>
+    import graft.operators.Sampling
+    Sampling.temperatureMixture(
+        Tables.documents(s, d)
+          .select(col("lang"), size(split(col("text"), " ")).as("tok")),
+        "lang", "tok", alphaQuarters = 1)
+      .orderBy(col("lang"))
+  }
+
   def all: Seq[Q] =
     Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir,
       c4, urlBlocklist, hardNegatives, dupLines, perplexityBucketsLang,
-      winnow, winnowPairs)
+      winnow, winnowPairs, temperatureMixture)
 }

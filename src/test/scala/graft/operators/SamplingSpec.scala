@@ -80,6 +80,29 @@ class SamplingSpec extends SparkSpec {
     assert(out("web") == ((9000L, 500L, 555L))) // 500/9000 → 555 bp
   }
 
+  test("temperatureMixture: α=1/4 flattens shares toward low-resource langs") {
+    import spark.implicits._
+    // en 810000 tokens, yo 10000 → p = 81/82, 1/82; α=0.25 lifts yo
+    val corpus = Seq(("en", 810000L), ("yo", 10000L))
+      .toDF("lang", "tok")
+    val out = Sampling.temperatureMixture(corpus, "lang", "tok",
+        alphaQuarters = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val wEn = math.round(math.sqrt(math.sqrt(810000.0 / 820000)) * 10000)
+    val wYo = math.round(math.sqrt(math.sqrt(10000.0 / 820000)) * 10000)
+    assert(out("en") == ((810000L, wEn, wEn * 10000 / (wEn + wYo),
+      820000L * wEn / (wEn + wYo))))
+    assert(out("yo")._2 == wYo)
+    // flattening: yo's sampled share must exceed its raw 122 bp share
+    assert(out("yo")._3 > 1219L, out.toString)
+    // α=0.5 flattens less than α=0.25
+    val half = Sampling.temperatureMixture(corpus, "lang", "tok",
+        alphaQuarters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(half("yo") < out("yo")._3, s"$half vs $out")
+  }
+
   test("dsirWeights: target-like docs score higher and win selection") {
     import spark.implicits._
     // targets speak "a b"; raw pool speaks "x y"; doc 30 mixes.
