@@ -517,14 +517,22 @@ object TextCorpus {
     val docs = df.select(col(idCol).as("id"), toks(col(textCol)).as("ws"))
       .select(col("id"), size(col("ws")).cast("long").as("dl"), col("ws"))
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .withColumn("__k", lit(1))
     val hits = docs
       .select(col("id"), col("dl"),
         explode(filter(col("ws"), t => t.isin(terms: _*))).as("t"))
       .groupBy(col("id"), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    bm25Rank(hits, stats, k, k1, b)
+  }
+
+  /** shared BM25 ranking tail over a (id, dl, t, tf) hit table and a
+    * 1-row (n_docs, sum_dl) corpus-stats frame — the direct and the
+    * persisted-index paths produce identical results through here. */
+  private def bm25Rank(
+      hits: DataFrame, stats: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val dfT = hits.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .withColumn("__k", lit(1))
-      .join(broadcast(stats), Seq("__k"))
+      .join(broadcast(stats.withColumn("__k", lit(1))), Seq("__k"))
       .select(col("t"), col("df"), col("n_docs"), col("sum_dl"))
     hits.join(broadcast(dfT), Seq("t"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
@@ -537,5 +545,45 @@ object TextCorpus {
       .agg(count(lit(1)).as("n_terms"), round(sum(col("contrib")), 4).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
+  }
+
+  /** portable Scala twin of [[rollHash]] for driver-side bucket
+    * literals (index pruning). */
+  private[operators] def rollHashScala(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+
+  /** Persist a BM25 inverted index: a postings table (t, id, dl, tf)
+    * partitioned by a `nBuckets`-way portable term-hash bucket, plus
+    * the 1-row corpus stats. At query time only the buckets of the
+    * query's terms are READ — static partition pruning turns a
+    * corpus-sized scan into |terms| directory reads, the persisted
+    * analog of the IVF probed-cells layout. */
+  def saveBm25Index(
+      df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 16): Unit = {
+    val docs = df.select(col(idCol).as("id"), toks(col(textCol)).as("ws"))
+      .select(col("id"), size(col("ws")).cast("long").as("dl"), col("ws"))
+    docs.select(col("id"), col("dl"), explode(col("ws")).as("t"))
+      .groupBy(col("t"), col("id"), col("dl")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(rollHash(col("t")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(path + "/postings")
+    docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** Top-k BM25 against a [[saveBm25Index]] layout. Bucket literals
+    * are computed driver-side from the query terms, so the scan plan
+    * carries static PartitionFilters (only those directories open). */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.25, b: Double = 0.75,
+      nBuckets: Int = 16): DataFrame = {
+    val buckets = terms.map(t => rollHashScala(t) % nBuckets).distinct
+    val hits = spark.read.parquet(path + "/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("t").isin(terms: _*))
+      .select(col("id"), col("dl"), col("t"), col("tf"))
+    bm25Rank(hits, spark.read.parquet(path + "/stats"), k, k1, b)
   }
 }

@@ -325,6 +325,27 @@ class TextCorpusSpec extends SparkSpec {
       k = 3, w = 4, maxFpDf = 1, minShared = 1).count() == 0L)
   }
 
+  test("bm25 index: persisted path matches direct path and prunes partitions") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "q q q x"), (2L, "q x y z"), (3L, "q x"), (4L, "x y z w"),
+      (5L, "r s t q"), (6L, "w w q r")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    TextCorpus.saveBm25Index(corpus, "doc_id", "text", dir, nBuckets = 16)
+    val terms = Seq("q", "r")
+    val direct = TextCorpus.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    val indexed = TextCorpus.bm25TopKIndexed(spark, dir, terms, k = 10)
+    val viaIndex = indexed
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaIndex == direct, s"$viaIndex vs $direct")
+    // static pruning: the postings scan must carry partition filters
+    // on the term-hash bucket (only the query terms' buckets open)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(2000))
+  }
+
   test("repetitionStats: duplicated long n-grams accumulate count×len chars") {
     // "p q r s t u" twice: every 5-gram of the repeated span occurs 2×
     val m = repStats("p q r s t u p q r s t u")
