@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeExpressions
+
+/** BPE tokenizer training and application over a text corpus
+  * (Sennrich et al. 2016, arXiv:1508.07909).
+  *
+  * Scale shape: training never iterates over the corpus. One
+  * distributed word-count pass reduces 100 TB of text to a
+  * vocabulary-sized (word, count) table — Zipf guarantees it is tiny
+  * relative to the corpus — and the merge-learning loop runs on that
+  * weighted vocabulary alone (exactly the reference formulation:
+  * learn_bpe operates on a word-frequency dict). Application is the
+  * codegen'd [[graft.functions.BpeTokenize]] expression: map-only,
+  * no shuffle, memoized per word.
+  */
+object Tokenize {
+
+  /** Adjacent-character pair counts over the corpus, weighted by word
+    * occurrences — the statistic the FIRST BPE learning iteration
+    * maximizes. Distributed wordcount shape: one shuffle with
+    * map-side combine on a key space bounded by alphabet², not by
+    * corpus size. Output: (a, b, cnt). */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame =
+    df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      // pair at i = chars [i, i+1] of the word, 1-based substr
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("p"))
+      .groupBy(substring(col("p"), 1, 1).as("a"), substring(col("p"), 2, 1).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Learn `numMerges` BPE merges from the corpus: one distributed
+    * word-count aggregation, then the standard greedy loop on the
+    * collected (word, count) vocabulary. `maxVocab` guards the
+    * collect — a corpus whose distinct-word count exceeds it fails
+    * loudly instead of silently OOMing the driver. Ties on pair count
+    * break deterministically to the lexicographically smallest pair.
+    * Learning stops early when the best pair's weighted count falls
+    * below `minCount`. */
+  def learnBpe(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = 1 << 20,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    val counted = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(counted.length <= maxVocab,
+      s"distinct-word vocabulary exceeds maxVocab=$maxVocab; " +
+        "raise the guard or pre-truncate the corpus")
+    learnFromWordCounts(
+      counted.map(r => (r.getString(0), r.getLong(1))), numMerges, minCount)
+  }
+
+  /** The driver-side loop, exposed for testing: Sennrich learn_bpe
+    * over an explicit weighted vocabulary. */
+  def learnFromWordCounts(
+      vocab: Array[(String, Long)],
+      numMerges: Int,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    // each word as a mutable token sequence + its weight
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val key = (toks(i), toks(i + 1))
+          val prev = counts.get(key)
+          counts.put(key, (if (prev == null) 0L else prev.longValue) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: (String, String) = null
+        var bestC = Long.MinValue
+        counts.forEach { (p, c) =>
+          val better = c > bestC || (c == bestC &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))
+          if (better) { best = p; bestC = c }
+        }
+        if (bestC < minCount) done = true
+        else {
+          merges += best
+          val ab = best._1 + best._2
+          words = words.map { case (toks, c) =>
+            if (toks.length < 2) (toks, c)
+            else {
+              val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+              var i = 0
+              while (i < toks.length) {
+                if (i < toks.length - 1 && toks(i) == best._1 && toks(i + 1) == best._2) {
+                  out += ab; i += 2
+                } else { out += toks(i); i += 1 }
+              }
+              (out.toArray, c)
+            }
+          }
+          k += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply a merge table: adds `outCol` = array<array<string>> of
+    * per-word BPE tokens (map-only, codegen'd, word-memoized). */
+  def withBpeTokens(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      outCol: String = "bpe_tokens"): DataFrame =
+    df.withColumn(outCol, BpeExpressions.bpeTokenize(col(textCol), merges))
+}

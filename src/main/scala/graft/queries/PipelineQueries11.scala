@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.BpeExpressions
+import graft.operators.Tokenize
+
+/** Round-7 curation additions, part 4: real BPE tokenization —
+  * merge-table application (the per-token step every LM pipeline runs
+  * over its whole corpus) and the learning statistic (weighted
+  * adjacent-pair counts).
+  *
+  * Oracle strategy for application: the graded merge table
+  * th < er < in < sc has pairwise-DISJOINT letter sets with a ≠ b
+  * inside each rule, which makes real BPE analytically predictable:
+  * no rule's digram can overlap another's in the original word (they
+  * would have to share a letter), merged 2-char tokens never feed a
+  * later rule (all rule operands are single chars), and for a ≠ b the
+  * digram's occurrences cannot self-overlap — so the final token
+  * sequence is exactly the word with each rule digram's left-to-right
+  * non-overlapping occurrences fused. DuckDB states that closed form
+  * via nested `replace(w, 'ab', '{ab}')` marking (non-overlapping,
+  * left-to-right — the same occurrence set) + a one-char-or-group
+  * regex walk; the Spark side runs the REAL greedy rank loop
+  * ([[graft.functions.BpeTable]]), so the oracle checks the
+  * algorithm's output, not a re-implementation of the oracle trick.
+  * The chaining/rank-priority behavior the closed form cannot reach
+  * is spec-tested (TokenizeSpec) with merge tables that DO chain.
+  */
+object PipelineQueries11 {
+
+  private val GradedMerges: Seq[(String, String)] =
+    Seq("t" -> "h", "e" -> "r", "i" -> "n", "s" -> "c")
+
+  private def toks: Column =
+    BpeExpressions.bpeTokenize(col("text"), GradedMerges)
+
+  /** Full per-word BPE token sequences plus token/merge counts.
+    * `toks` appears once per output column — CollapseProject inlines
+    * the expression, but the per-word memo cache makes the repeated
+    * merge loops hash lookups; pipelines that carry tokens forward
+    * use Tokenize.withBpeTokens once instead. */
+  val bpeApply: Q = q(
+    "tokenize_bpe",
+    """WITH w AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+      |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |m AS (SELECT doc_id, wi,
+      |        replace(replace(replace(replace(w,
+      |          'th','{th}'), 'er','{er}'), 'in','{in}'), 'sc','{sc}') AS mk
+      |      FROM w),
+      |t AS (SELECT doc_id, wi, regexp_extract_all(mk, '\{[^}]*\}|.') AS ts FROM m),
+      |p AS (SELECT doc_id, wi,
+      |        array_to_string(list_transform(ts, x -> trim(x, '{}')), '|') AS wt,
+      |        len(ts) AS nt,
+      |        len(list_filter(ts, x -> x = '{th}')) AS cth,
+      |        len(list_filter(ts, x -> x = '{er}')) AS cer,
+      |        len(list_filter(ts, x -> x = '{in}')) AS cin,
+      |        len(list_filter(ts, x -> x = '{sc}')) AS csc
+      |      FROM t)
+      |SELECT doc_id,
+      |  string_agg(wt, ' ' ORDER BY wi) AS bpe_text,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(sum(cth) AS BIGINT) AS n_merge_th,
+      |  CAST(sum(cer) AS BIGINT) AS n_merge_er,
+      |  CAST(sum(cin) AS BIGINT) AS n_merge_in,
+      |  CAST(sum(csc) AS BIGINT) AS n_merge_sc
+      |FROM p GROUP BY doc_id""".stripMargin) { (s, d) =>
+    def merged(name: String): Column =
+      size(filter(flatten(toks), t => t === name)).cast("long").as(s"n_merge_$name")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_join(transform(toks, ws => array_join(ws, "|")), " ").as("bpe_text"),
+      size(flatten(toks)).cast("long").as("n_tokens"),
+      merged("th"), merged("er"), merged("in"), merged("sc"))
+  }
+
+  /** Token-id encoding over the BPE stream — the shape sequence
+    * packing consumes. Vocabulary: letters a..z at 1..26, merged
+    * tokens at 101 + rank. Both the full id sequence (csv, word
+    * boundaries dropped by flatten on BOTH sides) and its sum are
+    * graded. */
+  val bpeIds: Q = q(
+    "tokenize_bpe_ids",
+    """WITH w AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+      |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |m AS (SELECT doc_id, wi,
+      |        replace(replace(replace(replace(w,
+      |          'th','{th}'), 'er','{er}'), 'in','{in}'), 'sc','{sc}') AS mk
+      |      FROM w),
+      |t AS (SELECT doc_id, wi, regexp_extract_all(mk, '\{[^}]*\}|.') AS ts FROM m),
+      |i AS (SELECT doc_id, wi, ti,
+      |        CASE tok WHEN '{th}' THEN 101 WHEN '{er}' THEN 102
+      |                 WHEN '{in}' THEN 103 WHEN '{sc}' THEN 104
+      |                 ELSE ascii(tok) - 96 END AS id
+      |      FROM (SELECT doc_id, wi, generate_subscripts(ts, 1) AS ti,
+      |              unnest(ts) AS tok FROM t))
+      |SELECT doc_id,
+      |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY wi, ti) AS ids_csv,
+      |  CAST(sum(id) AS BIGINT) AS sum_ids,
+      |  CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM i GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val flat = flatten(toks)
+    val ids = transform(flat, t =>
+      when(t === "th", 101).when(t === "er", 102)
+        .when(t === "in", 103).when(t === "sc", 104)
+        .otherwise(ascii(t) - 96))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_join(transform(ids, _.cast("string")), ",").as("ids_csv"),
+      aggregate(ids, lit(0L), (a, x) => a + x).as("sum_ids"),
+      size(flat).cast("long").as("n_tokens"))
+  }
+
+  /** The first BPE learning iteration's statistic: adjacent-char pair
+    * counts weighted by word occurrences, plus the deterministic
+    * winner flag (max count, ties to the lexicographically smallest
+    * pair). The pair table is bounded by alphabet², so the two
+    * single-partition window passes that derive the winner are over a
+    * constant-size table regardless of corpus scale. */
+  val bpePairs: Q = q(
+    "tokenize_bpe_pairs",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS p
+      |      FROM w WHERE len(w) >= 2),
+      |c AS (SELECT p[1:1] AS a, p[2:2] AS b, count(*) AS cnt FROM p GROUP BY 1, 2),
+      |x AS (SELECT a, b, cnt, max(cnt) OVER () AS mx FROM c),
+      |y AS (SELECT a, b, cnt, mx,
+      |        min(CASE WHEN cnt = mx THEN a || ' ' || b END) OVER () AS wk
+      |      FROM x)
+      |SELECT a, b, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(CASE WHEN cnt = mx AND a || ' ' || b = wk THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_top
+      |FROM y""".stripMargin) { (s, d) =>
+    val everything = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tokenize.bpePairCounts(Tables.documents(s, d), "text")
+      .withColumn("mx", max("cnt").over(everything))
+      .withColumn("wk", min(when(col("cnt") === col("mx"),
+        concat_ws(" ", col("a"), col("b")))).over(everything))
+      .select(col("a"), col("b"), col("cnt"),
+        when(col("cnt") === col("mx") &&
+          concat_ws(" ", col("a"), col("b")) === col("wk"), 1L)
+          .otherwise(0L).as("is_top"))
+  }
+
+  val all: Seq[Q] = Seq(bpeApply, bpeIds, bpePairs)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{BpeExpressions, BpeTable}
+
+class TokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def enc(merges: Seq[(String, String)], w: String): Seq[String] =
+    new BpeTable(merges.toArray).encode(w).toSeq
+
+  test("bpe: single merge fuses all non-overlapping occurrences left to right") {
+    assert(enc(Seq("e" -> "r"), "terer") == Seq("t", "er", "er"))
+    assert(enc(Seq("a" -> "b"), "aab") == Seq("a", "ab"))
+    assert(enc(Seq("a" -> "a"), "aaa") == Seq("aa", "a")) // self-pair: leftmost first
+  }
+
+  test("bpe: chaining merges build multi-char tokens") {
+    // th then th+e: 'the' collapses to one token
+    val merges = Seq("t" -> "h", "th" -> "e")
+    assert(enc(merges, "the") == Seq("the"))
+    assert(enc(merges, "thethe") == Seq("the", "the"))
+    // the chain stops where the second rule has no match
+    assert(enc(merges, "thr") == Seq("th", "r"))
+  }
+
+  test("bpe: rank priority beats text order") {
+    // er (rank 0) applies before re (rank 1) even though 're' occurs first
+    val merges = Seq("e" -> "r", "r" -> "e")
+    assert(enc(merges, "rere") == Seq("r", "er", "e"))
+    // reversed ranks give the reversed outcome
+    val merges2 = Seq("r" -> "e", "e" -> "r")
+    assert(enc(merges2, "rere") == Seq("re", "re"))
+  }
+
+  test("bpe: unmergeable and empty words") {
+    assert(enc(Seq("x" -> "y"), "abc") == Seq("a", "b", "c"))
+    assert(enc(Seq("x" -> "y"), "") == Seq())
+    assert(enc(Seq("x" -> "y"), "x") == Seq("x"))
+  }
+
+  test("bpe expression: per-word arrays through the column path") {
+    val df = Seq((1L, "the merge er"), (2L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+      BpeExpressions.bpeTokenize(col("text"), Seq("t" -> "h", "e" -> "r")).as("t"))
+      .as[(Long, Seq[Seq[String]])].collect().toMap
+    assert(out(1L) == Seq(Seq("th", "e"), Seq("m", "er", "g", "e"), Seq("er")))
+    assert(out(2L) == Seq(Seq())) // empty text = one empty word, like split
+  }
+
+  test("bpe expression survives codegen and interpreted paths identically") {
+    val df = Seq.tabulate(64)(i => (i.toLong, s"the stream $i merge")).toDF("id", "text")
+    val c = BpeExpressions.bpeTokenize(col("text"), Seq("t" -> "h", "th" -> "e"))
+    val a = df.select(col("id"), c.as("t")).orderBy("id").collect()
+    val b = df.withColumn("t", c).select("id", "t").orderBy("id").collect()
+    assert(a.map(_.toSeq.toString).toSeq == b.map(_.toSeq.toString).toSeq)
+    assert(a(0).getAs[scala.collection.Seq[scala.collection.Seq[String]]](1)
+      .head == Seq("the"))
+  }
+
+  test("learnFromWordCounts reproduces the Sennrich example shape") {
+    // classic toy: low/lower/newest/widest with counts
+    val vocab = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Tokenize.learnFromWordCounts(vocab, 4, minCount = 2L)
+    // 'es' wins first (9), then 'est' (9), then 'lo' (7), then 'low' (7)
+    assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w"))
+    // applying the learned merges tokenizes the training words compactly
+    assert(enc(merges, "newest") == Seq("n", "e", "w", "est"))
+    assert(enc(merges, "lowest") == Seq("low", "est"))
+  }
+
+  test("learnFromWordCounts ties break to the lexicographically smallest pair") {
+    val merges = Tokenize.learnFromWordCounts(Array(("ba", 3L), ("cd", 3L)), 1)
+    assert(merges == Seq("b" -> "a")) // (b,a) < (c,d); both count 3
+  }
+
+  test("learnFromWordCounts stops below minCount") {
+    val merges = Tokenize.learnFromWordCounts(Array(("ab", 1L), ("cd", 1L)), 5, minCount = 2L)
+    assert(merges.isEmpty)
+  }
+
+  test("learnBpe end-to-end over a DataFrame matches the local loop") {
+    val df = Seq("low low low lower newest newest", "newest widest newest lower")
+      .toDF("text")
+    val m1 = Tokenize.learnBpe(df, "text", 3)
+    val counts = df.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect()
+    val m2 = Tokenize.learnFromWordCounts(counts, 3)
+    assert(m1 == m2 && m1.nonEmpty)
+  }
+
+  test("bpePairCounts is the weighted adjacent-pair statistic") {
+    val df = Seq("ab ab cd", "abc").toDF("text")
+    val m = Tokenize.bpePairCounts(df, "text")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(m(("a", "b")) == 3L) // ab, ab, abc
+    assert(m(("c", "d")) == 1L)
+    assert(m(("b", "c")) == 1L)
+    assert(m.size == 3)
+  }
+
+  test("learnBpe maxVocab guard throws on oversized vocabularies") {
+    val df = Seq("a b c d e f").toDF("text")
+    intercept[IllegalArgumentException] {
+      Tokenize.learnBpe(df, "text", 1, maxVocab = 3)
+    }
+  }
+}
