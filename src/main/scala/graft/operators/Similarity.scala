@@ -534,4 +534,49 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** One EXACT spherical-k-means Lloyd iteration over integer-quantized
+    * vectors: embeddings and centroids quantize to `floor(x·scale+0.5)`
+    * BIGINT codes, assignment is argmax of the pure-integer dot
+    * product (ties to the smallest centroid id), and the update
+    * returns per-cluster member counts plus per-dimension CODE SUMS —
+    * integers, so the whole iteration is bit-reproducible across
+    * engines and partitionings (float Lloyd is `ivfCentroids`; this is
+    * the auditable twin for curation pipelines that must replay
+    * deterministically). The consumer derives the new centroid as
+    * sum/n — kept out of this operator so no FP division happens
+    * inside the exact path.
+    *
+    * Scale shape: centroids are a broadcast k-row table (the crossJoin
+    * is a bounded broadcast argmax, same as `assignClusters`); the
+    * corpus is scanned once, the assignment window shuffles by vector
+    * id, and the update is a (k × dim)-key aggregation with map-side
+    * combine. */
+  def kmeansUpdateQuantized(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      scale: Int = 10000): DataFrame = {
+    def quant(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * scale + 0.5).cast("long"))
+    val codes = df.select(col(idCol).as("id"), quant(col(vecCol)).as("code"))
+    val cents = broadcast(centroids.select(
+      col(cidCol).as("centroid_id"), quant(col(cvecCol)).as("ccode")))
+    val assigned = codes.crossJoin(cents)
+      .select(col("id"), col("code"), col("centroid_id"),
+        aggregate(zip_with(col("code"), col("ccode"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).as("qdot"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("qdot").desc, col("centroid_id").asc)))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("centroid_id"), posexplode(col("code")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("col")).as("s"))
+      .groupBy(col("centroid_id"))
+      .agg(max(col("n")).as("n_members"),
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("s")))),
+          e => e.getField("s")).as("sum_code"))
+  }
 }

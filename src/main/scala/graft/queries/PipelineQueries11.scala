@@ -145,5 +145,45 @@ object PipelineQueries11 {
           .otherwise(0L).as("is_top"))
   }
 
-  val all: Seq[Q] = Seq(bpeApply, bpeIds, bpePairs)
+  /** One exact Lloyd iteration (Similarity.kmeansUpdateQuantized):
+    * seed centroids = vectors 0..3, assignment by integer quantized
+    * dot argmax, update graded as per-cluster member counts + the
+    * 64 per-dimension BIGINT code sums (csv). No floating point
+    * crosses the engine boundary. */
+  val kmeansUpdate: Q = q(
+    "cluster_kmeans_update",
+    """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |             x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS code
+      |           FROM embeddings),
+      |c AS (SELECT vec_id AS cid, code AS ccode FROM e WHERE vec_id < 4),
+      |scored AS (SELECT e.vec_id AS id, c.cid,
+      |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(range(1, len(e.code) + 1),
+      |                 i -> e.code[CAST(i AS INT)] * c.ccode[CAST(i AS INT)])),
+      |               (a, b) -> a + b) AS qdot
+      |           FROM e, c),
+      |m AS (SELECT id, cid FROM (
+      |        SELECT id, cid,
+      |          row_number() OVER (PARTITION BY id ORDER BY qdot DESC, cid ASC) AS rn
+      |        FROM scored) WHERE rn = 1),
+      |x AS (SELECT m.cid AS centroid_id, generate_subscripts(e.code, 1) AS pos,
+      |        unnest(e.code) AS v
+      |      FROM m JOIN e ON m.id = e.vec_id),
+      |s AS (SELECT centroid_id, pos, sum(v) AS sv FROM x GROUP BY 1, 2),
+      |g AS (SELECT centroid_id,
+      |        string_agg(CAST(sv AS VARCHAR), ',' ORDER BY pos) AS sum_csv
+      |      FROM s GROUP BY 1),
+      |n AS (SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_members
+      |      FROM m GROUP BY 1)
+      |SELECT g.centroid_id, n.n_members, g.sum_csv
+      |FROM g JOIN n USING (centroid_id)""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    graft.operators.Similarity.kmeansUpdateQuantized(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+      .select(col("centroid_id"), col("n_members").cast("long").as("n_members"),
+        array_join(transform(col("sum_code"), _.cast("string")), ",").as("sum_csv"))
+  }
+
+  val all: Seq[Q] = Seq(bpeApply, bpeIds, bpePairs, kmeansUpdate)
 }

@@ -309,4 +309,36 @@ class SimilaritySpec extends SparkSpec {
     assert(!rows.map(_.getLong(1)).contains(1L))
     assert(rows.map(_.getInt(2)).toSeq == Seq(8, 8, 9))
   }
+
+  test("kmeansUpdateQuantized: exact integer assignment and code sums") {
+    // centroids 0 (x-axis) and 2 (y-axis); members assign by max dot
+    val cents = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
+    val out = Similarity.kmeansUpdateQuantized(
+      vecs, "vec_id", "embedding", cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    // vec 3 = (.7,.7): dot c0 = 7000*10000 = dot c2 — exact TIE,
+    // breaks to the smaller centroid id 0. vec 4 = (-1,0): dot c0 is
+    // negative, dot c2 = 0 wins. So c0 <- {0,1,3}, c2 <- {2,4}.
+    assert(out(0L)._1 == 3L)
+    assert(out(2L)._1 == 2L)
+    // centroid 0 sums: codes of vecs 0,1,3 per dim
+    assert(out(0L)._2.head == 10000L + 9900L + 7000L)
+    assert(out(0L)._2(1) == 0L + 1000L + 7000L)
+    assert(out(2L)._2 == Seq(-10000L, 10000L, 0L, 0L))
+    // member counts cover the corpus exactly once
+    assert(out.values.map(_._1).sum == 5L)
+  }
+
+  test("kmeansUpdateQuantized negative-value rounding is floor(x*s+0.5)") {
+    import spark.implicits._
+    val v = Seq((0L, Array(-0.00005f, 1.0f))).toDF("vec_id", "embedding")
+    val c = Seq((9L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val row = Similarity.kmeansUpdateQuantized(v, "vec_id", "embedding",
+      c, "vec_id", "embedding").collect().head
+    // -0.00005f widens to a double slightly below -0.5e-4? either way
+    // the op must agree with floor(x*10000+0.5) bit-for-bit
+    val q = math.floor((-0.00005f).toDouble * 10000 + 0.5).toLong
+    assert(row.getSeq[Long](2).toSeq == Seq(q, 10000L))
+  }
 }
