@@ -171,10 +171,23 @@ object TextCorpus {
     * The global ordered cumsum is a single range-partitioned sort at
     * scale; for petabyte runs pack per shard instead (bin ids prefixed
     * by shard) — same downstream semantics. */
-  def packBins(df: DataFrame, idCol: String, textCol: String, budget: Int): DataFrame = {
+  def packBins(df: DataFrame, idCol: String, textCol: String, budget: Int): DataFrame =
+    packBinsByCount(
+      df.select(col(idCol).as("id"),
+        size(toks(col(textCol))).cast("long").as("n_tokens")),
+      "id", "n_tokens", budget)
+
+  /** Token-budget packing over an EXPLICIT per-doc count column — the
+    * general form of [[packBins]] for pipelines that pack by real
+    * tokenizer output (e.g. BPE token counts from
+    * [[graft.operators.Tokenize]]) rather than whitespace word counts.
+    * Single global cumulative window — the per-shard scale path is
+    * [[packBinsSharded]]. */
+  def packBinsByCount(
+      df: DataFrame, idCol: String, countCol: String, budget: Int): DataFrame = {
     val w = Window.orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.select(col(idCol).as("id"), size(toks(col(textCol))).cast("long").as("n_tokens"))
+    df.select(col(idCol).as("id"), col(countCol).cast("long").as("n_tokens"))
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
   }

@@ -185,5 +185,36 @@ object PipelineQueries11 {
         array_join(transform(col("sum_code"), _.cast("string")), ",").as("sum_csv"))
   }
 
-  val all: Seq[Q] = Seq(bpeApply, bpeIds, bpePairs, kmeansUpdate)
+  /** Tokenizer → packer composition: per-doc REAL BPE token counts
+    * feed token-budget sequence packing (TextCorpus.packBinsByCount) —
+    * the shape an LM data pipeline actually ships (pack by tokenizer
+    * output, not whitespace words). Grades that the two operators
+    * CHAIN with the same counts the tokenize_bpe entry verifies. */
+  val tokenizePack: Q = q(
+    "pipeline_tokenize_pack",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |m AS (SELECT doc_id,
+      |        replace(replace(replace(replace(w,
+      |          'th','{th}'), 'er','{er}'), 'in','{in}'), 'sc','{sc}') AS mk
+      |      FROM w),
+      |nt AS (SELECT doc_id,
+      |         sum(len(regexp_extract_all(mk, '\{[^}]*\}|.'))) AS n
+      |       FROM m GROUP BY doc_id),
+      |o AS (SELECT doc_id, n,
+      |        CAST(floor((sum(n) OVER (ORDER BY doc_id
+      |            ROWS UNBOUNDED PRECEDING) - n) / 512) AS BIGINT) AS bin
+      |      FROM nt)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS tokens
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.TextCorpus
+    val withN = Tables.documents(s, d).select(
+      col("doc_id"), size(flatten(toks)).cast("long").as("n_bpe"))
+    TextCorpus.packBinsByCount(withN, "doc_id", "n_bpe", budget = 512)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("bin"))
+  }
+
+  val all: Seq[Q] = Seq(bpeApply, bpeIds, bpePairs, kmeansUpdate, tokenizePack)
 }
