@@ -216,5 +216,73 @@ object PipelineQueries11 {
       .orderBy(col("bin"))
   }
 
-  val all: Seq[Q] = Seq(bpeApply, bpeIds, bpePairs, kmeansUpdate, tokenizePack)
+  /** The REAL WAV/PCM decode graded end to end (the audio twin of
+    * media_image_meta): Spark assembles a complete 16-bit mono PCM
+    * WAV container byte-for-byte from doc-derived samples (hex →
+    * binary), then must walk the RIFF chunk list, parse the fmt
+    * header, sign-extend the little-endian samples and compute the
+    * integer features (Multimodal.withAudioMeta/withAudioFeatures);
+    * the oracle restates the sample formula analytically and never
+    * touches bytes. An endianness, chunk-walk, or sign-extension bug
+    * breaks the hash match. */
+  val audioPcm: Q = q(
+    "media_audio_pcm",
+    """WITH d AS (SELECT doc_id, doc_id % 5 + 3 AS n FROM documents),
+      |s AS (SELECT doc_id, n,
+      |        list_transform(range(0, n),
+      |          k -> ((doc_id * 7 + k * 13) % 200 - 100) * 50) AS sm
+      |      FROM d)
+      |SELECT doc_id,
+      |  'wav' AS fmt,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(16 AS INTEGER) AS bits,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_max(list_transform(sm, x -> abs(x))) AS INTEGER) AS peak,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(sm, x -> CAST(x AS BIGINT) * x)), (a, b) -> a + b)
+      |    AS BIGINT) AS sum_sq,
+      |  CAST(len(list_filter(range(1, n),
+      |    i -> sm[CAST(i AS INT)] * sm[CAST(i + 1 AS INT)] < 0)) AS BIGINT)
+      |    AS zero_crossings
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    def byteHex(c: Column): Column = lpad(lower(hex(c.cast("long"))), 2, "0")
+    def le16hex(v: Column): Column = {
+      val u = pmod(v.cast("long"), lit(65536L))
+      concat(byteHex(u % 256), byteHex(floor(u / 256.0).cast("long")))
+    }
+    def le32hex(v: Column): Column = {
+      val u = v.cast("long")
+      concat(byteHex(u % 256), byteHex(floor(u / 256.0).cast("long") % 256),
+        byteHex(floor(u / 65536.0).cast("long") % 256),
+        byteHex(floor(u / 16777216.0).cast("long") % 256))
+    }
+    // WAVE + "fmt " chunk (PCM, mono, 8 kHz, 16-bit) + "data" tag
+    val staticMid = "57415645" + "666d7420" + "10000000" + "0100" + "0100" +
+      "401f0000" + "803e0000" + "0200" + "1000" + "64617461"
+    val n = col("doc_id") % 5 + 3
+    val sampleHex = array_join(transform(sequence(lit(0L), n - 1),
+      k => le16hex(((col("doc_id") * 7 + k * 13) % 200 - 100) * 50)), "")
+    val wavHex = concat(
+      lit("52494646"), le32hex(n * 2 + 36), lit(staticMid),
+      le32hex(n * 2), sampleHex)
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), unhex(wavHex).as("media"))
+    Multimodal.withAudioFeatures(
+      Multimodal.withAudioMeta(media, "media"), "media")
+      .select(col("doc_id"),
+        col("audio_meta.format").as("fmt"),
+        col("audio_meta.channels").as("channels"),
+        col("audio_meta.sample_rate").as("sample_rate"),
+        col("audio_meta.bits_per_sample").as("bits"),
+        col("audio_stats.n_samples").as("n_samples"),
+        col("audio_stats.peak").as("peak"),
+        col("audio_stats.sum_sq").as("sum_sq"),
+        col("audio_stats.zero_crossings").as("zero_crossings"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] =
+    Seq(bpeApply, bpeIds, bpePairs, kmeansUpdate, tokenizePack, audioPcm)
 }
