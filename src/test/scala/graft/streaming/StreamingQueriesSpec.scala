@@ -92,4 +92,28 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(rows(1L) == ((1L, 1L)), rows)
     assert(rows(2L) == ((0L, 0L)), rows)
   }
+
+  test("BPE tokenization runs unchanged inside a stream") {
+    // BpeTokenize is a stateless per-row expression (the merge table
+    // rides inside the plan), so streaming ingest can tokenize with
+    // the exact batch semantics — no operator rewrite, no state store
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.BpeExpressions
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val toks = BpeExpressions.bpeTokenize(col("text"), Seq("t" -> "h", "th" -> "e"))
+    val q = mem.toDF.toDF("doc_id", "text")
+      .select(col("doc_id"), flatten(toks).as("toks"),
+        size(flatten(toks)).cast("long").as("n"))
+      .writeStream.format("memory").queryName("sq_bpe")
+      .outputMode("append").start()
+    mem.addData((1L, "the thr"), (2L, "ee"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sq_bpe").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1).toList, r.getLong(2))).toMap
+    assert(rows(1L) == ((List("the", "th", "r"), 3L)), rows)
+    assert(rows(2L) == ((List("e", "e"), 2L)), rows)
+  }
 }
