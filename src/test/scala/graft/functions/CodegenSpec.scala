@@ -53,5 +53,11 @@ class CodegenSpec extends SparkSpec {
     assert(inCodegenSpan(
       rangeDocs.filter(graft.aggs.bloom.bloomFilterTest(col("text"), lit(bf))),
       "bloom_filter_test"))
+
+    // the merge table rides into generated code via addReferenceObj
+    assert(inCodegenSpan(
+      rangeDocs.select(BpeExpressions.bpeTokenize(
+        col("text"), Seq("t" -> "o", "a" -> "b")).as("t")),
+      "bpe_tokenize"))
   }
 }

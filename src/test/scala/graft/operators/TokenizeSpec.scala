@@ -101,6 +101,16 @@ class TokenizeSpec extends SparkSpec {
     assert(m.size == 3)
   }
 
+  test("detokenize round-trip: token concatenation restores every word") {
+    // property over random-ish words and a chaining merge table
+    val merges = Seq("t" -> "h", "th" -> "e", "e" -> "r", "a" -> "n", "an" -> "d")
+    val words = Seq("the", "weather", "and", "thread", "banana", "errand",
+      "xyzzy", "a", "", "ttthhh")
+    words.foreach { w =>
+      assert(enc(merges, w).mkString == w, s"round-trip failed for '$w'")
+    }
+  }
+
   test("learnBpe maxVocab guard throws on oversized vocabularies") {
     val df = Seq("a b c d e f").toDF("text")
     intercept[IllegalArgumentException] {
