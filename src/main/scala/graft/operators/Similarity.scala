@@ -547,30 +547,44 @@ object Similarity {
     * sum/n — kept out of this operator so no FP division happens
     * inside the exact path.
     *
-    * Scale shape: centroids are a broadcast k-row table (the crossJoin
-    * is a bounded broadcast argmax, same as `assignClusters`); the
-    * corpus is scanned once, the assignment window shuffles by vector
-    * id, and the update is a (k × dim)-key aggregation with map-side
-    * combine. */
+    * Scale shape: the centroid set is bounded (k ≤ 1024), so it is
+    * collected and embedded in the plan as literals — assignment is a
+    * single MAP-ONLY projection (k fused integer dots + an
+    * `array_max` argmax over (dot, -index) structs), no join and no
+    * per-vector shuffle at all. The only shuffles are the (k × dim)-
+    * and k-key aggregations with map-side combine: one corpus scan
+    * end to end. */
   def kmeansUpdateQuantized(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       scale: Int = 10000): DataFrame = {
     def quant(c: Column): Column =
       transform(c, x => floor(x.cast("double") * scale + 0.5).cast("long"))
-    val codes = df.select(col(idCol).as("id"), quant(col(vecCol)).as("code"))
-    val cents = broadcast(centroids.select(
-      col(cidCol).as("centroid_id"), quant(col(cvecCol)).as("ccode")))
-    val assigned = codes.crossJoin(cents)
-      .select(col("id"), col("code"), col("centroid_id"),
-        aggregate(zip_with(col("code"), col("ccode"), (a, b) => a * b),
-          lit(0L), (a, x) => a + x).as("qdot"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("qdot").desc, col("centroid_id").asc)))
-      .filter(col("rn") === 1)
-    assigned
-      .select(col("centroid_id"), posexplode(col("code")))
+    val cents = centroids
+      .select(col(cidCol).cast("long").as("cid"), quant(col(cvecCol)).as("ccode"))
+      .orderBy(col("cid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    require(cents.nonEmpty && cents.length <= 1024,
+      s"centroid set must have 1..1024 rows, got ${cents.length}")
+    // quantize ONCE per row (the alias is non-cheap, so CollapseProject
+    // keeps it shared across the k dot products below)
+    val codes = df.select(quant(col(vecCol)).as("code"))
+    val dots = cents.zipWithIndex.map { case ((_, cc), j) =>
+      struct(
+        aggregate(zip_with(col("code"), typedLit(cc), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).as("d"),
+        lit(-j).as("nj"))
+    }
+    // argmax by (dot, -index): ties take the smaller index, i.e. the
+    // smaller centroid id (cents is sorted by id). The position-based
+    // cast re-names the struct fields (struct() drops aliases inside
+    // array()).
+    val bestJ = (-array_max(array(dots: _*))
+      .cast("struct<d:bigint,nj:int>").getField("nj")).cast("int")
+    val cidOf = element_at(typedLit(cents.map(_._1).toSeq), bestJ + 1)
+    codes
+      .select(cidOf.as("centroid_id"), posexplode(col("code")))
       .groupBy(col("centroid_id"), col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("col")).as("s"))
       .groupBy(col("centroid_id"))

@@ -26,14 +26,11 @@ class PlanAuditSpec extends SparkSpec {
     *    broadcast-crossed into the scan;
     *  - ngram_jaccard_pairs: all-pairs verification over a literal
     *    doc_id < 12 slice (the LSH-verification primitive, bounded by
-    *    the candidate set in production);
-    *  - cluster_kmeans_update: the k-row centroid table broadcast
-    *    against the corpus — the same bounded argmax cross as the
-    *    similarity entries. */
+    *    the candidate set in production). */
   private val allowed: Set[String] = Set(
     "similarity_brute_force", "similarity_ivf_contract", "similarity_recall",
     "similarity_quantized", "similarity_srp_contract",
-    "similarity_hard_negatives", "cluster_kmeans_update",
+    "similarity_hard_negatives",
     "sampling_mixture_weights", "sketch_bloom_probe", "tfidf_cosine_pairs",
     "search_bm25", "ngram_jaccard_pairs")
 
