@@ -593,4 +593,43 @@ object Similarity {
           sort_array(collect_list(struct(col("pos"), col("s")))),
           e => e.getField("s")).as("sum_code"))
   }
+
+  /** Full spherical k-means built on the exact update: seed with the
+    * first k vectors in id order, then per iteration run
+    * [[kmeansUpdateQuantized]] (one corpus scan, map-only assignment)
+    * and derive next-round centroids driver-side as
+    * sum_code/(n·scale) — the only FP step, applied to k tiny rows.
+    * Returns (centroid_id, centroid array<double>, n_members) after
+    * the last iteration. Empty clusters drop (standard Lloyd
+    * degeneracy; k may shrink). Per-cluster sizes are exact at every
+    * round, so reruns on any partitioning reproduce the same
+    * trajectory bit-for-bit. */
+  def kmeansQuantized(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Int = 10000): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Double], Long)] = df
+      .orderBy(col(idCol)).limit(k).select(col(vecCol))
+      .collect().zipWithIndex
+      .map { case (r, j) =>
+        (j.toLong, r.getSeq[Number](0).map(_.doubleValue()).toSeq, 0L)
+      }.toSeq
+    var i = 0
+    while (i < iters) {
+      val centDf = cents.map(c => (c._1, c._2)).toDF("cid", "cvec")
+      cents = kmeansUpdateQuantized(
+        df, idCol, vecCol, centDf, "cid", "cvec", scale)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          (r.getLong(0),
+            r.getSeq[Long](2).map(s => s.toDouble / (n * scale.toDouble)).toSeq,
+            n)
+        }.sortBy(_._1).toSeq
+      i += 1
+    }
+    cents.toDF("centroid_id", "centroid", "n_members")
+  }
 }

@@ -283,6 +283,53 @@ object PipelineQueries11 {
       .orderBy(col("doc_id"))
   }
 
+  /** One-row corpus datacard — the summary table a dataset release
+    * ships. Everything folds into a SINGLE Aggregate (count-distinct
+    * included), so the plan is one scan + one combiner, no joins. */
+  val datacard: Q = q(
+    "corpus_datacard",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |    AS BIGINT) AS n_unique_fp,
+      |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_doc_tokens,
+      |  CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_doc_tokens
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.operators.TextAnalysis
+    val nToks = size(split(col("text"), " ")).cast("long")
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(nToks).as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique_fp"),
+      max(nToks).as("max_doc_tokens"),
+      min(nToks).as("min_doc_tokens"))
+  }
+
+  /** The full learned-tokenizer pipeline as a rows-only contract
+    * (learning is deterministic but its merge table is data-dependent,
+    * so no closed-form oracle exists — the exact twins are
+    * tokenize_bpe/tokenize_bpe_ids for application and
+    * tokenize_bpe_pairs for the learning statistic): learn 8 merges
+    * from the corpus, apply them, report compression. */
+  val bpeLearned: Q = qNoOracle("tokenize_bpe_learned") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val merges = Tokenize.learnBpe(docs, "text", numMerges = 8)
+    val toksL = BpeExpressions.bpeTokenize(col("text"), merges)
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(flatten(toksL))).cast("long").as("n_bpe_tokens"),
+      sum(length(regexp_replace(col("text"), " ", ""))).cast("long")
+        .as("n_chars"),
+      max(lit(merges.map { case (a, b) => s"$a+$b" }.mkString(" "))).as("merges"))
+  }
+
   val all: Seq[Q] =
-    Seq(bpeApply, bpeIds, bpePairs, kmeansUpdate, tokenizePack, audioPcm)
+    Seq(bpeApply, bpeIds, bpePairs, kmeansUpdate, tokenizePack, audioPcm,
+      datacard, bpeLearned)
 }

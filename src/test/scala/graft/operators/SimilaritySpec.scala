@@ -330,6 +330,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.map(_._1).sum == 5L)
   }
 
+  test("kmeansQuantized converges to the two obvious cluster means") {
+    import spark.implicits._
+    // two tight groups around the x and y axes; seeds (first 2 by id)
+    // both start in the x group, iteration must separate them
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansQuantized(pts, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(_._3).sum == 6L)
+    assert(out.length == 2)
+    // one centroid x-heavy, one y-heavy, each over its 3 members
+    val byX = out.sortBy(-_._2.head)
+    assert(byX(0)._2.head > 0.9 && byX(0)._2(1) < 0.1)
+    assert(byX(1)._2.head < 0.1 && byX(1)._2(1) > 0.9)
+    assert(out.forall(_._3 == 3L))
+  }
+
   test("kmeansUpdateQuantized negative-value rounding is floor(x*s+0.5)") {
     import spark.implicits._
     val v = Seq((0L, Array(-0.00005f, 1.0f))).toDF("vec_id", "embedding")
