@@ -92,10 +92,16 @@ object Bench {
     // execution, not Catalyst planning + codegen compilation — the same
     // methodology as the reference's JMH suite (warmup iterations
     // before measurement).
+    // per-table try/catch: one unreadable table must not zero the whole
+    // round's bench signal (the timed loop below already guards per-query)
     Tables.all.foreach { t =>
-      val df = if (t == "events") Tables.events(spark, sfDir)
-        else Tables.t(spark, sfDir, t)
-      run(df.agg(count(lit(1))))
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+          else Tables.t(spark, sfDir, t)
+        run(df.agg(count(lit(1))))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
+      }
     }
     headline.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }

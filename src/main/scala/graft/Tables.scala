@@ -28,15 +28,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects by default. Read it as raw nanos (legacy conf) and
-    * convert to TimestampType via exact integer division — the
-    * conversion stays inside whole-stage codegen. */
+  /** `events.ts` has shipped in two encodings: parquet TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader surfaces only as raw int64 nanos
+    * under the legacy conf) and native timestamp[us]. Branch on the
+    * schema actually present in the footer so either works: LongType →
+    * exact nanos→micros division inside whole-stage codegen; a native
+    * timestamp (incl. TIMESTAMP_NTZ — the files carry no tz, and both
+    * mains pin the session to UTC so wall-clock == instant) → cast to
+    * the session TimestampType, no arithmetic. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // harmless for native-timestamp files, required to read nanos ones
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
