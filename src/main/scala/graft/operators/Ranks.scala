@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed total-order prefix aggregates (global row_number and
+  * running sum) WITHOUT a single-reducer `Window.orderBy`.
+  *
+  * A global ordered window moves the whole input through one reducer —
+  * fine on a 60k-row test table, fatal on a billions-of-rows type
+  * table or corpus. This helper uses the same two-job recompute
+  * pattern as Spark's own `RDD.zipWithIndex`: range-partition in the
+  * sort order, run one bounded job collecting a single (rows, mass)
+  * pair per partition, then add those prefix offsets to
+  * partition-local window results. Each window below is partitioned,
+  * so the sort parallelism equals `partitions` at any input size.
+  *
+  * Determinism caveat (same as zipWithIndex): the ranged frame is
+  * computed twice (offsets job + result job), so the input must be
+  * deterministic — true for every parquet-derived frame here.
+  */
+object Ranks {
+
+  /** Adds a global 1-based `rankName` (long) in `sort` order and, when
+    * `value` is given, an inclusive running sum `cumName` (long) of it
+    * over the same order. */
+  def orderedPrefix(
+      df: DataFrame,
+      sort: Seq[Column],
+      value: Option[Column] = None,
+      rankName: String = "__rank",
+      cumName: String = "__cum",
+      partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withV = df.withColumn("__pv", value.getOrElse(lit(0L)).cast("long"))
+    val ranged = withV.repartitionByRange(partitions, sort: _*)
+      .withColumn("__pid", spark_partition_id())
+    // bounded driver collect: exactly one row per range partition
+    val parts = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("rows"), sum(col("__pv")).as("mass"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // exclusive prefix offsets per partition id
+    val offsets = parts
+      .scanLeft((0L, 0L)) { case ((rAcc, mAcc), (_, rows, mass)) =>
+        (rAcc + rows, mAcc + mass) }
+      .zip(parts).map { case ((rOff, mOff), (pid, _, _)) => (pid, rOff, mOff) }
+      .toSeq.toDF("__pid", "__row_off", "__mass_off")
+    val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
+    val ranked = ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankName, row_number().over(w).cast("long") + col("__row_off"))
+    val out =
+      if (value.isDefined) ranked.withColumn(cumName,
+        sum(col("__pv")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          + col("__mass_off"))
+      else ranked
+    out.drop("__pid", "__pv", "__row_off", "__mass_off")
+  }
+}

@@ -22,18 +22,30 @@ object TextCorpus {
   /** Corpus token-frequency table: (token, cnt, rank, coverage) where
     * rank orders by (cnt desc, token) and coverage is the cumulative
     * corpus mass of ranks 1..rank — the tokenizer-vocabulary sizing
-    * curve ("how many types cover 95% of tokens"). The ranked window
-    * runs over the aggregated type table (|vocab| rows, not corpus
-    * rows). */
-  def vocabCoverage(df: DataFrame, textCol: String): DataFrame = {
+    * curve ("how many types cover 95% of tokens").
+    *
+    * Scale shape: at web scale the type table is itself billions of
+    * rows, so a global `Window.orderBy` (single-reducer sort) is not
+    * acceptable. Instead, zipWithIndex-style two-pass prefix sums:
+    * range-partition the type table in rank order, collect ONE
+    * (rows, mass) pair per partition (bounded: `rankPartitions` rows),
+    * and add those prefix offsets to partition-local window results.
+    * Every Window below is partitioned; Spark's own RDD.zipWithIndex
+    * uses the same two-job recompute pattern over deterministic input. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      rankPartitions: Int = 32): DataFrame = {
     val counts = df.select(explode(toks(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("token").asc)
-    counts
-      .withColumn("rank", row_number().over(w))
+    // empty corpus: total never divides anything (result frame empty)
+    val total = Option(counts.agg(sum(col("cnt"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
+    Ranks.orderedPrefix(counts,
+        Seq(col("cnt").desc, col("token").asc), Some(col("cnt")),
+        rankName = "rank", cumName = "__cum", partitions = rankPartitions)
+      .withColumn("rank", col("rank").cast("int"))
       .withColumn("coverage",
-        round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .cast("double") / sum(col("cnt")).over(), 4))
+        round(col("__cum").cast("double") / lit(total), 4))
+      .drop("__cum")
   }
 
   /** Per-document unigram log-probability score against the corpus's
@@ -181,16 +193,16 @@ object TextCorpus {
     * general form of [[packBins]] for pipelines that pack by real
     * tokenizer output (e.g. BPE token counts from
     * [[graft.operators.Tokenize]]) rather than whitespace word counts.
-    * Single global cumulative window — the per-shard scale path is
-    * [[packBinsSharded]]. */
+    * The global ordered cumsum runs through [[Ranks.orderedPrefix]]
+    * (range-partitioned two-pass, no single-reducer window); the
+    * per-shard variant is [[packBinsSharded]]. */
   def packBinsByCount(
-      df: DataFrame, idCol: String, countCol: String, budget: Int): DataFrame = {
-    val w = Window.orderBy(col("id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.select(col(idCol).as("id"), col(countCol).cast("long").as("n_tokens"))
-      .withColumn("bin",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
-  }
+      df: DataFrame, idCol: String, countCol: String, budget: Int): DataFrame =
+    Ranks.orderedPrefix(
+        df.select(col(idCol).as("id"), col(countCol).cast("long").as("n_tokens")),
+        Seq(col("id").asc), Some(col("n_tokens")), cumName = "__cum")
+      .withColumn("bin", floor((col("__cum") - col("n_tokens")) / budget))
+      .drop("__rank", "__cum")
 
   /** Sliding-window document chunking (the RAG / embedding-prep
     * splitter): token windows of `chunkSize` advancing by `stride`

@@ -340,13 +340,14 @@ object PipelineQueries7 {
       |                  doc_id) AS BIGINT) AS position,
       |       doc_id
       |FROM documents ORDER BY position""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    graft.operators.Sampling.shuffled(
-      Tables.documents(s, d).select("doc_id"), "doc_id", salt = 3L)
-      .withColumn("position",
-        row_number().over(Window.orderBy(
-          ((col("doc_id") + 3L) % 1000003L) * 2654435761L % 2147483647L,
-          col("doc_id"))).cast("long"))
+    // position via the two-pass distributed rank (Ranks.orderedPrefix)
+    // — a global row_number window would single-reduce the corpus
+    graft.operators.Ranks.orderedPrefix(
+        graft.operators.Sampling.shuffled(
+          Tables.documents(s, d).select("doc_id"), "doc_id", salt = 3L),
+        Seq(((col("doc_id") + 3L) % 1000003L) * 2654435761L % 2147483647L,
+          col("doc_id").asc),
+        rankName = "position")
       .select(col("position"), col("doc_id"))
       .orderBy(col("position"))
   }

@@ -21,20 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Export {
 
-  /** assign each document a shard id: (id, n_tokens, shard). */
+  /** assign each document a shard id: (id, n_tokens, shard). The
+    * global ordered cumsum runs through
+    * [[graft.operators.Ranks.orderedPrefix]] (range-partitioned
+    * two-pass), not a single-reducer window. */
   def shardByTokenBudget(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      budgetTokens: Long): DataFrame = {
-    val w = Window.orderBy(col("id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.select(
-        col(idCol).as("id"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .withColumn("shard",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budgetTokens))
-  }
+      budgetTokens: Long): DataFrame =
+    graft.operators.Ranks.orderedPrefix(
+        df.select(
+          col(idCol).as("id"),
+          size(split(col(textCol), " ")).cast("long").as("n_tokens")),
+        Seq(col("id").asc), Some(col("n_tokens")), cumName = "__cum")
+      .withColumn("shard", floor((col("__cum") - col("n_tokens")) / budgetTokens))
+      .drop("__rank", "__cum")
 
   /** manifest of a shard assignment: one row per shard with doc/token
     * totals and the id range the shard covers (contiguous by

@@ -34,6 +34,46 @@ class PlanAuditSpec extends SparkSpec {
     "sampling_mixture_weights", "sketch_bloom_probe", "tfidf_cosine_pairs",
     "search_bm25", "ngram_jaccard_pairs")
 
+  /** sites where an UNPARTITIONED Window is justified because its
+    * input is provably bounded (a prior aggregation whose row count is
+    * capped by group-key cardinality, not corpus size), so one reducer
+    * is fine at any scale. Everything else must partition its windows
+    * (corpus-sized rank/cumsum goes through Ranks.orderedPrefix):
+    *  - native_moving_average: trailing window over the DAY-bucketed
+    *    timeseries aggregate (rows = time buckets);
+    *  - quality_perplexity_buckets: cumulative rank over the quantized
+    *    NLL histogram (rows = distinct 4-dp scores, thousands max);
+    *  - sampling_dsir_weights: same quantized-weight histogram trick,
+    *    plus totals over the ≤dim-row hashed-feature model;
+    *  - sampling_temperature_mixture: totals over the per-language
+    *    table (rows = #languages);
+    *  - similarity_ivf_contract / similarity_recall: centroid-id
+    *    assignment orders the k sampled centroids (rows = k ≤ 1024);
+    *  - tokenize_bpe_pairs: winner-pair flag over the adjacent-pair
+    *    count table (rows ≤ alphabet²). */
+  private val tinyWindowAllowed: Set[String] = Set(
+    "native_moving_average", "quality_perplexity_buckets",
+    "sampling_dsir_weights", "sampling_temperature_mixture",
+    "similarity_ivf_contract", "similarity_recall", "tokenize_bpe_pairs")
+
+  test("no graded plan contains an unpartitioned window over corpus-sized input") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !tinyWindowAllowed(name) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.sparkPlan
+          catch {
+            case e: Throwable =>
+              fail(s"$name failed to plan at $sfDir: ${e.getMessage}")
+          }
+        val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        if (bad.nonEmpty) Some(name) else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"queries with single-reducer global windows: ${offenders.mkString(", ")}")
+  }
+
   test("no graded plan contains a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allowed(name) =>
