@@ -53,6 +53,14 @@ object Verify {
     val failedJson =
       failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    // mechanical registry inventory (always the FULL registry, even
+    // under a name filter): round-over-round absent-entry math should
+    // be checkable from this file, not hand-counted
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val registryJson = s"""{"count": ${names.size}, "with_oracle": ${
+      names.count(SparkEntry.oracleSql.contains)}, "names": [${
+      names.map(q).mkString(",")}]}"""
+    Files.writeString(Paths.get(s"$outDir/_registry.json"), registryJson)
     spark.stop()
   }
 }

@@ -311,13 +311,21 @@ object PipelineQueries11 {
       min(nToks).as("min_doc_tokens"))
   }
 
-  /** The full learned-tokenizer pipeline as a rows-only contract
-    * (learning is deterministic but its merge table is data-dependent,
-    * so no closed-form oracle exists — the exact twins are
-    * tokenize_bpe/tokenize_bpe_ids for application and
-    * tokenize_bpe_pairs for the learning statistic): learn 8 merges
-    * from the corpus, apply them, report compression. */
-  val bpeLearned: Q = qNoOracle("tokenize_bpe_learned") { (s, d) =>
+  /** The full learned-tokenizer pipeline, hash-graded: learn 8 merges
+    * from the corpus, apply them, report compression + the ordered
+    * merge list. Learning is deterministic (ties break to the
+    * lexicographically smallest pair, minCount=2 early stop), so the
+    * DuckDB oracle recomputes the SAME greedy loop independently —
+    * the 8 iterations are UNROLLED as chained CTEs. Token sequences
+    * travel as chr(1)-wrapped strings (each token as ␁tok␁, so a word
+    * is ␁a␁␁b␁…); merge application is then a plain `replace` of
+    * ␁a␁␁b␁ with ␁ab␁, whose left-to-right non-overlapping semantics
+    * exactly match the learner's merge walk. The Spark side applies
+    * the learned table with the REAL greedy rank-loop expression, so a
+    * hash match proves rank-loop application ≡ sequential merge
+    * application on the learned table — the classic Sennrich
+    * equivalence — as well as the learned merges themselves. */
+  val bpeLearned: Q = q("tokenize_bpe_learned", bpeLearnedOracle(8)) { (s, d) =>
     val docs = Tables.documents(s, d)
     val merges = Tokenize.learnBpe(docs, "text", numMerges = 8)
     val toksL = BpeExpressions.bpeTokenize(col("text"), merges)
@@ -327,6 +335,48 @@ object PipelineQueries11 {
       sum(length(regexp_replace(col("text"), " ", ""))).cast("long")
         .as("n_chars"),
       max(lit(merges.map { case (a, b) => s"$a+$b" }.mkString(" "))).as("merges"))
+  }
+
+  /** Unrolled-iteration DuckDB twin of [[Tokenize.learnBpe]] (k merges,
+    * minCount=2): s0 holds the weighted word vocab as wrapped token
+    * strings; each iteration counts adjacent pairs (pK), picks the
+    * winner (wK — NULL when nothing reaches minCount, and once NULL
+    * the state is a fixpoint so later iterations stay NULL, matching
+    * the learner's early stop), and rewrites the state (sK). */
+  private def bpeLearnedOracle(numMerges: Int): String = {
+    val S = "chr(1)"
+    val sb = new StringBuilder
+    // AS MATERIALIZED: each sK is referenced twice (pK+1 and sK+1), so
+    // inlining would re-evaluate the whole chain 2^k times
+    sb ++= s"""WITH s0 AS MATERIALIZED (
+      |  SELECT $S || array_to_string(string_split(w, ''), $S || $S) || $S AS s, cnt
+      |  FROM (SELECT w, count(*) AS cnt
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |        WHERE len(w) > 0 GROUP BY 1))""".stripMargin
+    for (k <- 1 to numMerges) {
+      val prev = s"s${k - 1}"
+      sb ++= s""",
+        |p$k AS (SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
+        |  FROM (SELECT unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i+1]])) AS pr, cnt
+        |        FROM (SELECT list_filter(string_split(s, $S), x -> x <> '') AS tk, cnt FROM $prev))
+        |  GROUP BY 1, 2),
+        |w$k AS MATERIALIZED (SELECT first([a, b] ORDER BY c DESC, a ASC, b ASC) AS win FROM p$k WHERE c >= 2),
+        |s$k AS MATERIALIZED (SELECT CASE WHEN (SELECT win FROM w$k) IS NULL THEN s
+        |    ELSE replace(s,
+        |      $S || (SELECT win[1] FROM w$k) || $S || $S || (SELECT win[2] FROM w$k) || $S,
+        |      $S || (SELECT win[1] || win[2] FROM w$k) || $S) END AS s, cnt
+        |  FROM $prev)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      |  (SELECT CAST(sum(cnt * len(list_filter(string_split(s, $S), x -> x <> ''))) AS BIGINT)
+      |   FROM s$numMerges) AS n_bpe_tokens,
+      |  (SELECT CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) FROM documents) AS n_chars,
+      |  array_to_string(list_filter([${
+        (1 to numMerges).map(k => s"(SELECT win[1] || '+' || win[2] FROM w$k)").mkString(", ")
+      }], x -> x IS NOT NULL), ' ') AS merges""".stripMargin
+    sb.toString
   }
 
   val all: Seq[Q] =

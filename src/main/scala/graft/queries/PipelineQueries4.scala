@@ -257,11 +257,31 @@ object PipelineQueries4 {
   }
 
   /** the production murmur-fused clusters path (minhashCandidates →
-    * connectedComponents), graded rows-only: its hash family is
-    * engine-specific by design; dedup_clusters above is the
-    * oracle-checked algorithm. Summary: cluster count + docs in
-    * non-singleton clusters + max cluster size. */
-  val dedupClustersFast: Q = qNoOracle("dedup_clusters_fast") { (s, d) =>
+    * connectedComponents), now hash-graded end to end: candidate pairs
+    * via PipelineQueries2.sparkMinhashPairsSql (exact Spark-murmur
+    * replication), edges at est_jaccard ≥ 0.25 (an exact 1/64-multiple
+    * compare), closure via the same recursive-CTE min-label
+    * propagation as dedup_clusters — over edge ENDPOINTS only,
+    * matching connectedComponents' singleton-free propagation set.
+    * Summary: cluster count + docs in non-singleton clusters + max
+    * cluster size. */
+  val dedupClustersFast: Q = q(
+    "dedup_clusters_fast",
+    s"""WITH RECURSIVE ${PipelineQueries2.sparkMinhashPairsSql},
+       |e0 AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.25),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+       |          UNION ALL SELECT id_b, id_a FROM e0),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |cc(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id),
+       |lab AS (SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(sz) AS BIGINT) AS docs_clustered,
+       |       CAST(max(sz) AS BIGINT) AS max_cluster
+       |FROM sz""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val edges = Dedup.minhashCandidates(docs, "doc_id", "text")
       .filter(col("est_jaccard") >= 0.25)

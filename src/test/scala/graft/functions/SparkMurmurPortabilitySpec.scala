@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the contract behind the dedup_minhash_fast /
+  * dedup_clusters_fast DuckDB oracles: Spark's
+  * Murmur3_x86_32.hashUnsafeBytes (the hash family inside
+  * TextKernels.minhashSignature) is reproducible with pure modular
+  * arithmetic over the UTF-8 bytes — mul/rot/xor in the unsigned-32
+  * domain, per-byte sign-extended tail rounds, fmix finalizer. The
+  * reference below is the SAME arithmetic the generated oracle SQL
+  * states with HUGEINT mod-2^32 operations, so this spec failing
+  * means those oracles are wrong too.
+  */
+class SparkMurmurPortabilitySpec extends AnyFunSuite {
+
+  private val M32 = 0xffffffffL
+  private def mul32(a: Long, b: Long): Long = (a * b) & M32
+  private def rotl(x: Long, r: Int): Long = ((x << r) | (x >>> (32 - r))) & M32
+  private def mixK1(k: Long): Long = mul32(rotl(mul32(k, 0xcc9e2d51L), 15), 0x1b873593L)
+  private def mixH1(h: Long, k1: Long): Long = ((rotl(h ^ k1, 13) * 5) + 0xe6546b64L) & M32
+  private def fmix(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 16; h = mul32(h, 0x85ebca6bL)
+    h ^= h >>> 13; h = mul32(h, 0xc2b2ae35L)
+    h ^ (h >>> 16)
+  }
+
+  /** unsigned-32 result of Spark's hashUnsafeBytes over `bytes`. */
+  private def ref(bytes: Array[Byte], seed: Long): Long = {
+    var h = seed & M32
+    val n = bytes.length
+    var i = 0
+    while (i + 4 <= n) {
+      // little-endian word
+      val k = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      h = mixH1(h, mixK1(k))
+      i += 4
+    }
+    while (i < n) {
+      // Spark's tail: each remaining SIGN-EXTENDED byte gets a full round
+      h = mixH1(h, mixK1(bytes(i).toLong & M32))
+      i += 1
+    }
+    fmix(h ^ n)
+  }
+
+  private def spark(s: String, seed: Int): Long = {
+    val u = UTF8String.fromString(s)
+    Murmur3_x86_32.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes(), seed).toLong & M32
+  }
+
+  test("modular-arithmetic reference == Spark Murmur3_x86_32 (both minhash seeds)") {
+    val cases = Seq("", "a", "ab", "abc", "abcd", "hello world",
+      "the quick brown fox", "héllo ünïcode", "日本語テキスト", "a b c d e",
+      "tail")
+    val rnd = new scala.util.Random(7)
+    val fuzz = Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString +
+      (if (rnd.nextBoolean()) "é" else ""))
+    for (s <- cases ++ fuzz; seed <- Seq(42, 42 ^ 0x5bd1e995)) {
+      assert(ref(s.getBytes(UTF_8), seed.toLong) == spark(s, seed),
+        s"mismatch for ${s.take(20)} seed=$seed")
+    }
+  }
+
+  /** fold semantics of Spark's hash(array<int>, int): h starts at 42,
+    * each array element then the trailing int applies
+    * Murmur3_x86_32.hashInt(elem, h) = fmix(mixH1(h, mixK1(elem)) ^ 4).
+    * This is the LSH bucket key in Dedup.minhashCandidates — the
+    * oracle must collide exactly like it. */
+  private def hashIntRef(x: Long, seed: Long): Long =
+    fmix(mixH1(seed, mixK1(x)) ^ 4L)
+
+  test("bucket fold formula matches Spark Murmur3_x86_32.hashInt chain") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 100) {
+      val arr = Array.fill(8)(rnd.nextInt(Int.MaxValue))
+      val band = rnd.nextInt(8)
+      val exp = {
+        var h = 42
+        arr.foreach { e => h = Murmur3_x86_32.hashInt(e, h) }
+        Murmur3_x86_32.hashInt(band, h).toLong & M32
+      }
+      var h = 42L
+      arr.foreach { e => h = hashIntRef(e.toLong, h) }
+      assert(hashIntRef(band.toLong, h) == exp)
+    }
+  }
+
+  test("minhash slot formula matches TextKernels.minhashSignature") {
+    val shingles = Seq("a b c", "b c d", "c d é")
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      shingles.map(UTF8String.fromString).toArray[Any])
+    val sig = TextKernels.minhashSignature(arr, 64, 42)
+    for (j <- 0 until 64) {
+      val exp = shingles.map { s =>
+        val h1 = ref(s.getBytes(UTF_8), 42L)
+        val h2 = ref(s.getBytes(UTF_8), (42 ^ 0x5bd1e995).toLong)
+        ((h1 + j * h2) % 4294967296L) % 2147483648L
+      }.min
+      assert(sig.getInt(j).toLong == exp, s"slot $j")
+    }
+  }
+}
