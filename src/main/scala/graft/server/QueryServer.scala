@@ -1542,7 +1542,7 @@ class QueryServer(
         try Option(mapper.readTree(body).get("queryType")).map(_.asText())
         catch { case _: Exception => None }
       val q = graft.model.QueryJson.parse(body)
-      setResponseContextHeader(ex, body, q)
+      setResponseContextHeader(ex, body, q, qid)
       // ETag / If-None-Match (reference QueryResource.HEADER_ETAG +
       // HEADER_IF_NONE_MATCH; the broker's etag covers the query and
       // its segment set): for ingested tables the tag hashes the query
@@ -1747,11 +1747,26 @@ class QueryServer(
     * query context sets uncoveredIntervalsLimit > 0, report up to that
     * many gaps between the query's intervals and the segment timeline
     * (for ingested tables: the partition directory layout — a metadata
-    * listing, no scan). `timeoutAt` mirrors ResponseContext.Key
-    * .TIMEOUT_AT when context.timeout is set. */
+    * listing, no scan). `timeoutAt`/`queryFailTime` mirror
+    * ResponseContext.Key.TIMEOUT_AT / QUERY_FAIL_DEADLINE_MILLIS when
+    * context.timeout is set (both the initialized now+timeout value —
+    * the header precedes streaming, same as the broker's first write).
+    * `remainingResponsesFromQueryServers` maps the query id to the
+    * number of per-segment responses outstanding at header time
+    * (CachingClusteredClient initializes it to the contacted server
+    * count): the segment-slice count when the timeline was consulted,
+    * else 1 (one direct response — this process). The serialized
+    * context truncates to the reference's 7 KiB header budget via
+    * [[serializeResponseContext]]. `count`/`cpuConsumed` are populated
+    * by per-runner engines the reference only wires under specific
+    * runners (ScanQueryEngine row counter, CPUTimeMetricQueryRunner)
+    * and stream AFTER the header; a single-process engine has no later
+    * trailer to carry them, so they are deliberately absent. */
   private def setResponseContextHeader(
-      ex: HttpExchange, body: String, q: graft.model.NativeQuery): Unit = {
+      ex: HttpExchange, body: String, q: graft.model.NativeQuery,
+      qid: String): Unit = {
     val ctx = mapper.createObjectNode()
+    var sliceCount: Option[Int] = None
     try {
       val reqCtx = try {
         Option(mapper.readTree(body).get("context")).filterNot(_.isNull)
@@ -1761,6 +1776,7 @@ class QueryServer(
       if (limit > 0 && q.intervals.nonEmpty) {
         leftmostTable(q.dataSource).foreach { ds =>
           val slices = segmentSlices(ds, q.intervals)
+          sliceCount = Some(slices.size)
           val covered = slices.collect {
             case (Some(s), Some(e)) => (s, e)
           }.sorted
@@ -1799,11 +1815,52 @@ class QueryServer(
       }
       val timeoutMs = reqCtx.flatMap(c => Option(c.get("timeout")))
         .map(_.asLong(0L)).getOrElse(0L)
-      if (timeoutMs > 0)
-        ctx.put("timeoutAt", System.currentTimeMillis() + timeoutMs)
+      if (timeoutMs > 0) {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        ctx.put("timeoutAt", deadline)
+        ctx.put("queryFailTime", deadline)
+      }
+      ctx.putObject("remainingResponsesFromQueryServers")
+        .put(qid, sliceCount.getOrElse(1))
     } catch { case _: Exception => /* header is best-effort, never fatal */ }
     ex.getResponseHeaders.set(
-      "X-Druid-Response-Context", mapper.writeValueAsString(ctx))
+      "X-Druid-Response-Context", serializeResponseContext(ctx))
+  }
+
+  /** ResponseContext.serializeWith: if the serialized context exceeds
+    * the header budget (reference default 7 KiB), set `truncated`,
+    * then — biggest serialized value first — halve array fields until
+    * they fit (dropping ones that empty out) and remove scalar fields
+    * outright, exactly the reference's equal-priority policy. */
+  private def serializeResponseContext(
+      ctx: com.fasterxml.jackson.databind.node.ObjectNode,
+      maxChars: Int = 7 * 1024): String = {
+    var out = mapper.writeValueAsString(ctx)
+    if (out.length <= maxChars) return out
+    ctx.put("truncated", true)
+    val names = {
+      val it = ctx.fields()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue.toString.length)) }
+      buf.sortBy(-_._2).map(_._1).filterNot(_ == "truncated")
+    }
+    out = mapper.writeValueAsString(ctx)
+    val iter = names.iterator
+    while (out.length > maxChars && iter.hasNext) {
+      val name = iter.next()
+      ctx.get(name) match {
+        case arr: com.fasterxml.jackson.databind.node.ArrayNode =>
+          while (arr.size > 0 && mapper.writeValueAsString(ctx).length > maxChars) {
+            var i = arr.size - 1
+            val until = arr.size / 2
+            while (i >= until) { arr.remove(i); i -= 1 }
+          }
+          if (arr.size == 0) ctx.remove(name)
+        case _ => ctx.remove(name)
+      }
+      out = mapper.writeValueAsString(ctx)
+    }
+    out
   }
 
   /** every named table (and whether the tree holds a lookup

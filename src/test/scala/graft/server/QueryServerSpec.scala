@@ -436,6 +436,47 @@ class QueryServerSpec extends SparkSpec {
         == "2024-01-03T00:00:00.000Z/2024-01-05T00:00:00.000Z", hdr.get())
       assert(!ctx.get("uncoveredIntervalsOverflowed").asBoolean())
       assert(ctx.get("timeoutAt").asLong() > System.currentTimeMillis() - 1000)
+      // full reference key set on a partially-covered interval query:
+      // queryFailTime mirrors the initialized deadline, and the
+      // remaining-responses map keys the query id to the number of
+      // per-segment responses outstanding at header time (2 P1D slices)
+      assert(ctx.get("queryFailTime").asLong() == ctx.get("timeoutAt").asLong())
+      val rem = ctx.get("remainingResponsesFromQueryServers")
+      assert(rem != null && rem.isObject && rem.size() == 1, hdr.get())
+      assert(rem.elements().next().asInt() == 2, hdr.get())
+    } finally srv.stop()
+  }
+
+  test("X-Druid-Response-Context truncates to the 7 KiB header budget") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      // 200 disjoint uncovered month-long intervals in 2030 → the full
+      // gap list serializes past 7168 chars; the reference policy kicks
+      // in: truncated=true and the biggest array halves until it fits
+      val ivs = (0 until 200).map { i =>
+        val y = 2030 + i / 12
+        val m = i % 12 + 1
+        f""""$y-$m%02d-01/$y-$m%02d-15""""
+      }.mkString(",")
+      val req = java.net.http.HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/v2"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          s"""{"queryType": "timeseries", "dataSource": "ds",
+             |"intervals": [$ivs], "granularity": "all",
+             |"aggregations": [{"type": "count", "name": "cnt"}],
+             |"context": {"uncoveredIntervalsLimit": 500,
+             |            "skipEmptyBuckets": true}}""".stripMargin)).build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val hdr = resp.headers().firstValue("X-Druid-Response-Context").get()
+      assert(hdr.length <= 7 * 1024, s"len=${hdr.length}")
+      val ctx = new com.fasterxml.jackson.databind.ObjectMapper().readTree(hdr)
+      assert(ctx.get("truncated").asBoolean(), hdr.take(300))
+      val gaps = ctx.get("uncoveredIntervals")
+      assert(gaps != null && gaps.size() > 0 && gaps.size() < 200, hdr.take(300))
     } finally srv.stop()
   }
 
