@@ -143,10 +143,18 @@ class QueryServer(
   }
 
   /** Some(true)=load, Some(false)=drop, None=rule doesn't apply.
-    * Interval rules contain the segment (IntervalLoadRule.appliesTo);
-    * period rules overlap [now-period, now] (+future = unbounded end,
-    * PeriodLoadRule default true); dropBeforeByPeriod retires segments
-    * wholly before now-period. */
+    * Exact reference applicability (coordinator/rules package):
+    *  - loadByInterval / broadcastByInterval OVERLAP the segment
+    *    (Rules.eligibleForLoad(src, target) = overlaps) while
+    *    dropByInterval must CONTAIN it (IntervalDropRule);
+    *  - loadByPeriod / broadcastByPeriod: includeFuture (default true)
+    *    → applies iff now-period < segEnd, else overlap with
+    *    [now-period, now] (Rules.eligibleForLoad);
+    *  - dropByPeriod: includeFuture → now-period <= segStart, else
+    *    [now-period, now] CONTAINS the segment (PeriodDropRule);
+    *  - dropBeforeByPeriod retires segments wholly before now-period;
+    *  - broadcast* rules are load decisions here — broadcast-to-all
+    *    in a single process is just load. */
   private def ruleDecision(
       r: JsonNode, segStart: Long, segEnd: Long, now: Long): Option[Boolean] = {
     def period: Long = {
@@ -174,24 +182,29 @@ class QueryServer(
     }
     def includeFuture =
       Option(r.get("includeFuture")).forall(_.asBoolean(true))
+    def periodLoadApplies: Boolean = {
+      val from = period
+      if (includeFuture) from < segEnd
+      else from < segEnd && segStart < now // overlap with [now-period, now]
+    }
     Option(r.get("type")).map(_.asText()).flatMap {
       case "loadForever" => Some(true)
       case "broadcastForever" => Some(true) // load-on-all in one process = load
       case "dropForever" => Some(false)
-      case "loadByInterval" =>
+      case "loadByInterval" | "broadcastByInterval" =>
         val (a, b) = interval
-        if (a <= segStart && segEnd <= b) Some(true) else None
+        if (a < segEnd && segStart < b) Some(true) else None // overlap
       case "dropByInterval" =>
         val (a, b) = interval
-        if (a <= segStart && segEnd <= b) Some(false) else None
-      case "loadByPeriod" =>
-        val from = period
-        val to = if (includeFuture) Long.MaxValue else now
-        if (segEnd > from && segStart < to) Some(true) else None
+        if (a <= segStart && segEnd <= b) Some(false) else None // contains
+      case "loadByPeriod" | "broadcastByPeriod" =>
+        if (periodLoadApplies) Some(true) else None
       case "dropByPeriod" =>
         val from = period
-        val to = if (includeFuture) Long.MaxValue else now
-        if (segEnd > from && segStart < to) Some(false) else None
+        val applies =
+          if (includeFuture) from <= segStart
+          else from <= segStart && segEnd <= now // contains
+        if (applies) Some(false) else None
       case "dropBeforeByPeriod" =>
         if (segEnd <= period) Some(false) else None
       case _ => None
@@ -940,8 +953,23 @@ class QueryServer(
               throw new IllegalArgumentException("rule missing 'type'"))
             require(Set("loadForever", "dropForever", "loadByInterval",
               "dropByInterval", "loadByPeriod", "dropByPeriod",
-              "dropBeforeByPeriod", "broadcastForever").contains(t),
+              "dropBeforeByPeriod", "broadcastForever",
+              "broadcastByPeriod", "broadcastByInterval").contains(t),
               s"unsupported rule type [$t]")
+            // LoadRule.validateTieredReplicants: when present, the map
+            // must be non-empty with non-null tiers and non-negative
+            // integer counts
+            Option(r.get("tieredReplicants")).filterNot(_.isNull).foreach { tr =>
+              require(t.startsWith("load"),
+                s"tieredReplicants not allowed on rule type [$t]")
+              require(tr.isObject && tr.size() > 0,
+                "Must specify at least one tier in tieredReplicants")
+              tr.fields().forEachRemaining { e =>
+                require(e.getValue.isIntegralNumber && e.getValue.asInt() >= 0,
+                  s"Replicant value [${e.getValue}] for tier [${e.getKey}] " +
+                    "must be a non-negative integer")
+              }
+            }
           }
           retentionRules.put(ds, mapper.writeValueAsString(n))
           respond(ex, 200, "")

@@ -656,6 +656,67 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("rule applicability matches the reference: overlap loads, containment drops") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rules2").toString
+    fixture.createOrReplaceTempView("ds_rules2")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO ruletab SELECT __time, dim, m FROM ds_rules2 PARTITIONED BY DAY"}""")
+      assert(c1 == 200, b1)
+      def countRows(): String =
+        post(port, "/druid/v2/sql",
+          """{"query": "SELECT count(*) AS n FROM ruletab"}""")._2
+      def rules(json: String): Int =
+        post(port, "/druid/coordinator/v1/rules/ruletab", json)._1
+      // IntervalLoadRule applies on OVERLAP (Rules.eligibleForLoad):
+      // a half-day slice of the 01-01 segment still shields it from
+      // the trailing dropForever; 01-02 falls through and drops
+      assert(rules(
+        """[{"type": "loadByInterval", "interval": "2024-01-01T06:00:00/2024-01-01T12:00:00"},
+          |{"type": "dropForever"}]""".stripMargin) == 200)
+      assert(countRows() == """[{"n":2}]""")
+      // IntervalDropRule requires CONTAINMENT: the same partial slice
+      // does not retire the segment
+      assert(rules(
+        """[{"type": "dropByInterval", "interval": "2024-01-01T06:00:00/2024-01-02T00:00:00"},
+          |{"type": "loadForever"}]""".stripMargin) == 200)
+      assert(countRows() == """[{"n":3}]""")
+      // broadcast rules are load decisions (broadcast-to-all in one
+      // process = load): both segments shielded from dropForever
+      assert(rules(
+        """[{"type": "broadcastByPeriod", "period": "P100Y"},
+          |{"type": "dropForever"}]""".stripMargin) == 200)
+      assert(countRows() == """[{"n":3}]""")
+      assert(rules(
+        """[{"type": "broadcastByInterval", "interval": "2024-01-01/2024-01-03"},
+          |{"type": "dropForever"}]""".stripMargin) == 200)
+      assert(countRows() == """[{"n":3}]""")
+      // PeriodDropRule with includeFuture (default) is start-bounded:
+      // now-P100Y <= segStart drops everything
+      assert(rules("""[{"type": "dropByPeriod", "period": "P100Y"}]""") == 200)
+      assert(countRows() == """[{"n":0}]""")
+      // a tight period (now-PT1H > segStart) does not apply; the
+      // trailing loadForever keeps the data
+      assert(rules(
+        """[{"type": "dropByPeriod", "period": "PT1H"},
+          |{"type": "loadForever"}]""".stripMargin) == 200)
+      assert(countRows() == """[{"n":3}]""")
+      // tieredReplicants: valid on load rules, rejected when negative
+      // or attached to a drop rule (LoadRule.validateTieredReplicants)
+      assert(rules(
+        """[{"type": "loadForever", "tieredReplicants": {"_default_tier": 2, "hot": 1}}]""") == 200)
+      assert(rules(
+        """[{"type": "loadForever", "tieredReplicants": {"_default_tier": -1}}]""") != 200)
+      assert(rules(
+        """[{"type": "loadForever", "tieredReplicants": {}}]""") != 200)
+      assert(rules(
+        """[{"type": "dropForever", "tieredReplicants": {"_default_tier": 2}}]""") != 200)
+    } finally srv.stop()
+  }
+
   test("SQL INSERT ... PARTITIONED BY ingests; table queryable; REPLACE overwrites") {
     val root = java.nio.file.Files.createTempDirectory("graft-sqlingest").toString
     fixture.createOrReplaceTempView("ds_ing")
