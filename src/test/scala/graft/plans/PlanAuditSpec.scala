@@ -66,7 +66,11 @@ class PlanAuditSpec extends SparkSpec {
             case e: Throwable =>
               fail(s"$name failed to plan at $sfDir: ${e.getMessage}")
           }
-        val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        // an all-literal partitionSpec (e.g. partitionBy(lit(1))) is
+        // just as single-reducer as an empty one
+        val bad = plan.collect {
+          case w: WindowExec if w.partitionSpec.forall(_.foldable) => w
+        }
         if (bad.nonEmpty) Some(name) else None
       case _ => None
     }
