@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-Scala protobuf wire-format field extraction (no protobuf
+  * runtime jar required — the container has none, and the wire format
+  * is a public, stable spec). Mirrors the reference's
+  * extensions-core/protobuf-extensions ProtobufReader semantics for
+  * FLAT messages: scalar fields addressed by field number, proto3
+  * last-occurrence-wins for non-repeated scalars, unknown fields and
+  * unknown wire types skipped.
+  *
+  * Wire format: each field = tag varint ((fieldNumber << 3) | wireType)
+  * then a payload — wireType 0: varint; 1: 8-byte little-endian;
+  * 2: length-delimited (len varint + bytes); 5: 4-byte little-endian.
+  * Malformed/truncated input yields null, never throws: an ingest
+  * pipeline must quarantine bad rows, not die
+  * (reference ProtobufReader wraps parse errors as ParseException).
+  */
+object ProtobufKernels {
+
+  /** decoded scalar or null; `want` is the expected wire type. Returns
+    * the LAST matching occurrence (proto3 scalar semantics). */
+  private def scan(bytes: Array[Byte], fieldNum: Int, want: Int): AnyRef = {
+    if (bytes == null) return null
+    var pos = 0
+    val n = bytes.length
+    var found: AnyRef = null
+    def readVarint(): Long = {
+      var shift = 0
+      var v = 0L
+      var more = true
+      while (more) {
+        if (pos >= n || shift > 63) { pos = Int.MaxValue; more = false }
+        else {
+          val b = bytes(pos)
+          pos += 1
+          v |= (b & 0x7fL) << shift
+          shift += 7
+          more = (b & 0x80) != 0
+        }
+      }
+      v
+    }
+    while (pos < n) {
+      val tag = readVarint()
+      if (pos > n) return found
+      val num = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      wt match {
+        case 0 =>
+          val v = readVarint()
+          if (pos <= n && num == fieldNum && want == 0)
+            found = java.lang.Long.valueOf(v)
+        case 1 =>
+          if (pos + 8 > n) return found
+          if (num == fieldNum && want == 1) {
+            var v = 0L
+            var i = 7
+            while (i >= 0) { v = (v << 8) | (bytes(pos + i) & 0xffL); i -= 1 }
+            found = java.lang.Long.valueOf(v)
+          }
+          pos += 8
+        case 2 =>
+          val len = readVarint()
+          if (pos > n || len < 0 || pos + len > n) return found
+          if (num == fieldNum && want == 2)
+            found = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)
+          pos += len.toInt
+        case 5 =>
+          if (pos + 4 > n) return found
+          if (num == fieldNum && want == 5) {
+            var v = 0L
+            var i = 3
+            while (i >= 0) { v = (v << 8) | (bytes(pos + i) & 0xffL); i -= 1 }
+            found = java.lang.Long.valueOf(v)
+          }
+          pos += 4
+        case _ => return found // groups (3/4) unsupported: stop scanning
+      }
+    }
+    found
+  }
+
+  /** varint field as long (int32/int64/uint/bool/enum). */
+  def pbVarint(bytes: Array[Byte], fieldNum: Int): java.lang.Long =
+    scan(bytes, fieldNum, 0).asInstanceOf[java.lang.Long]
+
+  /** zigzag-encoded varint field (sint32/sint64). */
+  def pbSint(bytes: Array[Byte], fieldNum: Int): java.lang.Long = {
+    val v = pbVarint(bytes, fieldNum)
+    if (v == null) null
+    else java.lang.Long.valueOf((v.longValue >>> 1) ^ -(v.longValue & 1L))
+  }
+
+  /** fixed64 field reinterpreted as double. */
+  def pbDouble(bytes: Array[Byte], fieldNum: Int): java.lang.Double = {
+    val v = scan(bytes, fieldNum, 1).asInstanceOf[java.lang.Long]
+    if (v == null) null
+    else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(v.longValue))
+  }
+
+  /** fixed32 field reinterpreted as float. */
+  def pbFloat(bytes: Array[Byte], fieldNum: Int): java.lang.Float = {
+    val v = scan(bytes, fieldNum, 5).asInstanceOf[java.lang.Long]
+    if (v == null) null
+    else java.lang.Float.valueOf(java.lang.Float.intBitsToFloat(v.intValue))
+  }
+
+  /** length-delimited field as UTF-8 string. */
+  def pbString(bytes: Array[Byte], fieldNum: Int): UTF8String = {
+    val v = scan(bytes, fieldNum, 2).asInstanceOf[Array[Byte]]
+    if (v == null) null else UTF8String.fromBytes(v)
+  }
+
+  /** length-delimited field raw (bytes / embedded message — feed the
+    * result back through pb* for one level of nesting per call). */
+  def pbBytes(bytes: Array[Byte], fieldNum: Int): Array[Byte] =
+    scan(bytes, fieldNum, 2).asInstanceOf[Array[Byte]]
+}
+
+/** codegen'd wire-field extraction: one static kernel call per value,
+  * inside whole-stage codegen like the text kernels. */
+case class PbField(child: Expression, fieldNum: Int, kind: String)
+  extends UnaryExpression {
+  require(PbField.kinds.contains(kind), s"unknown protobuf field kind [$kind]")
+
+  override def dataType: DataType = kind match {
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "string" => StringType
+    case "bytes" | "message" => BinaryType
+    case _ => LongType
+  }
+  override def nullable: Boolean = true
+
+  private def kernel: String = kind match {
+    case "sint" => "pbSint"
+    case "double" => "pbDouble"
+    case "float" => "pbFloat"
+    case "string" => "pbString"
+    case "bytes" | "message" => "pbBytes"
+    case _ => "pbVarint"
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    kind match {
+      case "sint" => ProtobufKernels.pbSint(b, fieldNum)
+      case "double" => ProtobufKernels.pbDouble(b, fieldNum)
+      case "float" => ProtobufKernels.pbFloat(b, fieldNum)
+      case "string" => ProtobufKernels.pbString(b, fieldNum)
+      case "bytes" | "message" => ProtobufKernels.pbBytes(b, fieldNum)
+      case _ => ProtobufKernels.pbVarint(b, fieldNum)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |Object pbv = graft.functions.ProtobufKernels.$kernel($c, $fieldNum);
+      |if (pbv == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ($javaType) ${unbox("pbv")}; }
+      |""".stripMargin)
+  }
+
+  private def unbox(v: String): String = dataType match {
+    case LongType => s"((java.lang.Long) $v).longValue()"
+    case DoubleType => s"((java.lang.Double) $v).doubleValue()"
+    case FloatType => s"((java.lang.Float) $v).floatValue()"
+    case _ => v
+  }
+
+  override protected def withNewChildInternal(c: Expression): PbField =
+    copy(child = c)
+  override def prettyName: String = s"pb_$kind"
+}
+
+object PbField {
+  val kinds: Set[String] =
+    Set("varint", "sint", "double", "float", "string", "bytes", "message")
+}
+
+object ProtobufExpressions {
+  import graft.exprs.{toCol, toExpr}
+  def pbField(bytes: Column, fieldNum: Int, kind: String): Column =
+    toCol(PbField(toExpr(bytes), fieldNum, kind))
+}

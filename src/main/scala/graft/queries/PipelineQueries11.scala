@@ -379,7 +379,41 @@ object PipelineQueries11 {
     sb.toString
   }
 
+  /** Protobuf wire-format ingest graded end to end: Spark assembles a
+    * real protobuf message PER DOCUMENT byte-for-byte in SQL (tag
+    * bytes, one/two-byte varints, zigzag sint, length-delimited UTF-8)
+    * and must decode its own bytes back through the pure-Scala wire
+    * kernel (functions.ProtobufKernels — the no-jar stand-in for
+    * reference extensions-core/protobuf-extensions). The oracle states
+    * the values the encoder embedded; any decoder bug (varint
+    * continuation bits, zigzag, tag layout, length handling) breaks
+    * the identity and the hash. */
+  val ingestProtobuf: Q = q(
+    "ingest_protobuf",
+    """SELECT doc_id, CAST(doc_id % 300 AS BIGINT) AS v,
+      |       lang AS lang_rt,
+      |       CAST(50 - doc_id % 100 AS BIGINT) AS sv
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.ProtobufExpressions.pbField
+    def vint(c: Column): Column = when(c < 128, lpad(hex(c), 2, "0"))
+      .otherwise(concat(lpad(hex(c % 128 + 128), 2, "0"), lpad(hex(c / 128), 2, "0")))
+    val v1 = col("doc_id") % 300
+    val sv = lit(50) - col("doc_id") % 100
+    val zz = when(sv >= 0, sv * 2).otherwise(-sv * 2 - 1)
+    val wire = unhex(concat(
+      lit("08"), vint(v1), // field 1 varint
+      lit("12"), lpad(hex(length(col("lang"))), 2, "0"), hex(col("lang")), // field 2 string
+      lit("18"), vint(zz))) // field 3 zigzag sint
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), wire.as("m"))
+      .select(col("doc_id"),
+        pbField(col("m"), 1, "varint").as("v"),
+        pbField(col("m"), 2, "string").as("lang_rt"),
+        pbField(col("m"), 3, "sint").as("sv"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(bpeApply, bpeIds, bpePairs, kmeansUpdate, tokenizePack, audioPcm,
-      datacard, bpeLearned)
+      datacard, bpeLearned, ingestProtobuf)
 }

@@ -261,16 +261,41 @@ object Ingest {
         spark.read.text(path).select(cols.zipWithIndex.map { case (c, i) =>
           regexp_extract(col("value"), pattern, i + 1).as(c)
         }.toSeq: _*)
-      case "protobuf" => throw new UnsupportedOperationException(
-        // reference extensions-core/protobuf-extensions: decoding maps
-        // onto from_protobuf(value, messageName, descriptorSet) over a
-        // binary column (Kafka value bytes); the spark-protobuf runtime
-        // jar is not in this container, so the path is documented
-        // rather than stubbed with a fake decode.
-        "protobuf input needs the spark-protobuf runtime on the classpath; " +
-          "decode the binary column with from_protobuf(value, messageName, descriptorSet)")
+      case "protobuf" =>
+        // reference extensions-core/protobuf-extensions
+        // (ProtobufInputFormat + FileBasedProtobufBytesDecoder): one
+        // message per record. File-based twin: one message per file
+        // (binaryFile source), fields declared flat as
+        // options("fields") = "num:name:kind,..." with kind ∈
+        // PbField.kinds — decoded by the pure-Scala wire-format
+        // kernel (no protobuf runtime jar needed).
+        val fields = options.getOrElse("fields",
+          throw new IllegalArgumentException(
+            "protobuf format needs options(fields) = \"num:name:kind,...\""))
+        decodeProtobuf(
+          spark.read.format("binaryFile").load(path).select(col("content")),
+          "content", fields).drop("content")
       case f => throw new UnsupportedOperationException(s"input format $f")
     }
+  }
+
+  /** decode flat protobuf messages held in `binaryCol`: `fieldsSpec`
+    * is "num:name:kind,..." (kind ∈ varint|sint|double|float|string|
+    * bytes|message). Each extraction is a codegen'd wire-format scan
+    * (functions.ProtobufKernels) — no shuffle, no UDF, malformed rows
+    * decode to nulls for downstream quarantine. */
+  def decodeProtobuf(
+      df: DataFrame, binaryCol: String, fieldsSpec: String): DataFrame = {
+    val decoded = fieldsSpec.split(",").map(_.trim).filter(_.nonEmpty).map { f =>
+      f.split(":") match {
+        case Array(num, name, kind) =>
+          graft.functions.ProtobufExpressions
+            .pbField(col(binaryCol), num.trim.toInt, kind.trim).as(name.trim)
+        case _ => throw new IllegalArgumentException(
+          s"bad protobuf field spec [$f]; want num:name:kind")
+      }
+    }
+    df.select(col("*") +: decoded.toSeq: _*)
   }
 
   /** compaction: rewrite small files per partition (the reference's
