@@ -163,7 +163,9 @@ class IngestSpecSuite extends SparkSpec {
       metrics = Seq(Ingest.Metric.DoubleSum("sv", "v")),
       queryGranularity = Some("PT1H"))).collect()
     assert(avRolled.length == 1 && avRolled(0).getAs[Double]("sv") == 15.0)
-    intercept[UnsupportedOperationException](
+    // protobuf is now a real decode path (ProtobufSpec) — but a
+    // missing fields spec must fail actionably, not silently
+    intercept[IllegalArgumentException](
       Ingest.readSource(spark, dir.toString, "protobuf"))
   }
 
