@@ -632,4 +632,54 @@ object Similarity {
     }
     cents.toDF("centroid_id", "centroid", "n_members")
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009) of the BM25 lexical top-`poolK` and the dense cosine
+    * top-`poolK` for one query — the standard first-stage retrieval
+    * combiner in RAG / training-data curation stacks. The fusion score
+    * stays in pure integer fixed point: 10^12 div (rrfK + rank),
+    * summed over the lists a doc appears in, so cross-engine ordering
+    * and ties (by id) are exact — no FP sum of 1/(k+r) terms to drift.
+    *
+    * Scale shape: both lists are bounded top-k before fusion (BM25 via
+    * the sort-limit path, dense via a ONE-ROW broadcast query vector
+    * crossed into the corpus scan — the allowlisted bounded-pairing
+    * pattern); the rank windows and the full-outer fuse join run over
+    * ≤poolK-row frames. */
+  def hybridRrfTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      terms: Seq[String], queryVecId: Long,
+      k: Int = 10, poolK: Int = 20, rrfK: Int = 60): DataFrame = {
+    import graft.exprs.idiv
+    val fp = lit(1000000000000L)
+    val lex = TextCorpus.bm25TopK(docs, idCol, textCol, terms, poolK)
+      .select(col("id"), col("score"))
+    val wL = Window.orderBy(col("score").desc, col("id").asc)
+    val lexRanked = lex
+      .withColumn("lex_rank", row_number().over(wL).cast("long"))
+      .select(col("id"), col("lex_rank"))
+    // dense list: rank on the ROUNDED cosine (the cross-engine-stable
+    // ordering the similarity contracts established), ties by id
+    val qvec = broadcast(
+      emb.filter(col(embIdCol) === queryVecId)
+        .select(col(vecCol).as("qvec")))
+    val denseScored = emb.filter(col(embIdCol) =!= queryVecId)
+      .select(col(embIdCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(qvec)
+      .select(col("id"),
+        round(VectorExpressions.cosineF32(col("qvec"), col("vec")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc).limit(poolK)
+    val wD = Window.orderBy(col("cos").desc, col("id").asc)
+    val denseRanked = denseScored
+      .withColumn("dense_rank", row_number().over(wD).cast("long"))
+      .select(col("id"), col("dense_rank"))
+    lexRanked.join(denseRanked, Seq("id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(idiv(fp, col("lex_rank") + rrfK), lit(0L)) +
+          coalesce(idiv(fp, col("dense_rank") + rrfK), lit(0L)))
+      .orderBy(col("rrf_fp").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("lex_rank"), col("dense_rank"), col("rrf_fp"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.TextCorpus
+import graft.operators.{Similarity, TextCorpus}
 
 /** Round-7 curation additions, part 3: the in-document repetition half
   * of the Gopher rule set — the last Table A1 rules not yet graded.
@@ -162,6 +162,61 @@ object PipelineQueries10 {
     TextCorpus.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("hash", "join", "merge", "vector", "window"), k = 15)
       .select(col("id").as("doc_id"), col("dl"), col("n_terms"), col("score"))
+  }
+
+  /** Hybrid retrieval: RRF fusion of the BM25 lexical top-20 and the
+    * dense cosine top-20 (query = embedding 3, id spaces aligned:
+    * vec i ↔ doc i). The fusion score is pure integer fixed point
+    * (10^12 div (60 + rank)), so both engines order identically; list
+    * membership asymmetry surfaces as NULL ranks on the full-outer
+    * fuse — graded too. */
+  val hybridRrf: Q = q(
+    "search_hybrid_rrf",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |docs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
+      |hits AS (SELECT doc_id, dl,
+      |           unnest(list_filter(ws, t -> t IN
+      |             ('hash', 'join', 'merge', 'vector', 'window'))) AS t
+      |         FROM docs),
+      |tfs AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+      |        FROM hits GROUP BY ALL),
+      |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY 1),
+      |sc AS (SELECT tfs.doc_id,
+      |         round(sum(
+      |           ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+      |             * (tfs.tf * 2.25)
+      |             / (tfs.tf + 1.25 * (0.25 + 0.75 * tfs.dl /
+      |                 (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))), 4) AS score
+      |       FROM tfs JOIN dft USING (t) CROSS JOIN stats s
+      |       GROUP BY tfs.doc_id, tfs.dl),
+      |lexr AS (SELECT doc_id AS id,
+      |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+      |             AS lex_rank
+      |         FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+      |den AS (SELECT e.vec_id AS id,
+      |          round(CAST(list_cosine_similarity(
+      |            CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos
+      |        FROM embeddings e,
+      |             (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3) q
+      |        WHERE e.vec_id <> 3 ORDER BY cos DESC, id LIMIT 20),
+      |denr AS (SELECT id,
+      |           CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT)
+      |             AS dense_rank
+      |         FROM den),
+      |fused AS (SELECT coalesce(lexr.id, denr.id) AS id, lex_rank, dense_rank,
+      |            coalesce(1000000000000 // (lex_rank + 60), 0)
+      |              + coalesce(1000000000000 // (dense_rank + 60), 0) AS rrf_fp
+      |          FROM lexr FULL JOIN denr ON lexr.id = denr.id)
+      |SELECT id, lex_rank, dense_rank, CAST(rrf_fp AS BIGINT) AS rrf_fp
+      |FROM fused ORDER BY rrf_fp DESC, id LIMIT 10""".stripMargin) { (s, d) =>
+    Similarity.hybridRrfTopK(
+      Tables.documents(s, d), "doc_id", "text",
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      terms = Seq("hash", "join", "merge", "vector", "window"),
+      queryVecId = 3L, k = 10, poolK = 20, rrfK = 60)
+      .orderBy(col("rrf_fp").desc, col("id"))
   }
 
   /** DSIR importance weights: hashed-bigram LM log-ratio of a target
@@ -551,5 +606,5 @@ object PipelineQueries10 {
   def all: Seq[Q] =
     Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir,
       c4, urlBlocklist, hardNegatives, dupLines, perplexityBucketsLang,
-      winnow, winnowPairs, temperatureMixture)
+      winnow, winnowPairs, temperatureMixture, hybridRrf)
 }

@@ -32,7 +32,10 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_quantized", "similarity_srp_contract",
     "similarity_hard_negatives",
     "sampling_mixture_weights", "sketch_bloom_probe", "tfidf_cosine_pairs",
-    "search_bm25", "ngram_jaccard_pairs")
+    "search_bm25", "ngram_jaccard_pairs",
+    // ONE-ROW broadcast query vector crossed into the corpus scan
+    // (the dense half of RRF fusion) — same bounded pattern
+    "search_hybrid_rrf")
 
   /** sites where an UNPARTITIONED Window is justified because its
     * input is provably bounded (a prior aggregation whose row count is
@@ -50,11 +53,14 @@ class PlanAuditSpec extends SparkSpec {
     *  - similarity_ivf_contract / similarity_recall: centroid-id
     *    assignment orders the k sampled centroids (rows = k ≤ 1024);
     *  - tokenize_bpe_pairs: winner-pair flag over the adjacent-pair
-    *    count table (rows ≤ alphabet²). */
+    *    count table (rows ≤ alphabet²);
+    *  - search_hybrid_rrf: rank assignment over the two post-limit
+    *    top-poolK lists (≤ 20 rows each by construction). */
   private val tinyWindowAllowed: Set[String] = Set(
     "native_moving_average", "quality_perplexity_buckets",
     "sampling_dsir_weights", "sampling_temperature_mixture",
-    "similarity_ivf_contract", "similarity_recall", "tokenize_bpe_pairs")
+    "similarity_ivf_contract", "similarity_recall", "tokenize_bpe_pairs",
+    "search_hybrid_rrf")
 
   test("no graded plan contains an unpartitioned window over corpus-sized input") {
     import org.apache.spark.sql.execution.window.WindowExec
