@@ -121,6 +121,62 @@ object ProtobufKernels {
     * result back through pb* for one level of nesting per call). */
   def pbBytes(bytes: Array[Byte], fieldNum: Int): Array[Byte] =
     scan(bytes, fieldNum, 2).asInstanceOf[Array[Byte]]
+
+  /** repeated varint field as array<long>, in wire order. Accepts both
+    * encodings a proto3 parser must take: packed (length-delimited
+    * runs of varints — possibly several, concatenated) and unpacked
+    * (repeated wire-type-0 occurrences). Absent → empty array;
+    * malformed → null. */
+  def pbRepeatedVarints(
+      bytes: Array[Byte], fieldNum: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (bytes == null) return null
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var pos = 0
+    val n = bytes.length
+    var bad = false
+    def readVarint(limit: Int): Long = {
+      var shift = 0
+      var v = 0L
+      var more = true
+      while (more) {
+        if (pos >= limit || shift > 63) { bad = true; more = false }
+        else {
+          val b = bytes(pos)
+          pos += 1
+          v |= (b & 0x7fL) << shift
+          shift += 7
+          more = (b & 0x80) != 0
+        }
+      }
+      v
+    }
+    while (pos < n && !bad) {
+      val tag = readVarint(n)
+      if (!bad) {
+        val num = (tag >>> 3).toInt
+        val wt = (tag & 7).toInt
+        wt match {
+          case 0 =>
+            val v = readVarint(n)
+            if (!bad && num == fieldNum) out += java.lang.Long.valueOf(v)
+          case 1 =>
+            if (pos + 8 > n) bad = true else pos += 8
+          case 2 =>
+            val len = readVarint(n)
+            if (bad || len < 0 || pos + len > n) bad = true
+            else if (num == fieldNum) {
+              val end = pos + len.toInt
+              while (pos < end && !bad) out += java.lang.Long.valueOf(readVarint(end))
+            } else pos += len.toInt
+          case 5 =>
+            if (pos + 4 > n) bad = true else pos += 4
+          case _ => bad = true
+        }
+      }
+    }
+    if (bad) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** codegen'd wire-field extraction: one static kernel call per value,
@@ -134,6 +190,7 @@ case class PbField(child: Expression, fieldNum: Int, kind: String)
     case "float" => FloatType
     case "string" => StringType
     case "bytes" | "message" => BinaryType
+    case "packed" => ArrayType(LongType, containsNull = false)
     case _ => LongType
   }
   override def nullable: Boolean = true
@@ -144,6 +201,7 @@ case class PbField(child: Expression, fieldNum: Int, kind: String)
     case "float" => "pbFloat"
     case "string" => "pbString"
     case "bytes" | "message" => "pbBytes"
+    case "packed" => "pbRepeatedVarints"
     case _ => "pbVarint"
   }
 
@@ -155,6 +213,7 @@ case class PbField(child: Expression, fieldNum: Int, kind: String)
       case "float" => ProtobufKernels.pbFloat(b, fieldNum)
       case "string" => ProtobufKernels.pbString(b, fieldNum)
       case "bytes" | "message" => ProtobufKernels.pbBytes(b, fieldNum)
+      case "packed" => ProtobufKernels.pbRepeatedVarints(b, fieldNum)
       case _ => ProtobufKernels.pbVarint(b, fieldNum)
     }
   }
@@ -183,7 +242,8 @@ case class PbField(child: Expression, fieldNum: Int, kind: String)
 
 object PbField {
   val kinds: Set[String] =
-    Set("varint", "sint", "double", "float", "string", "bytes", "message")
+    Set("varint", "sint", "double", "float", "string", "bytes", "message",
+      "packed")
 }
 
 object ProtobufExpressions {

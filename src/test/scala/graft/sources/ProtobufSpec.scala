@@ -98,6 +98,47 @@ class ProtobufSpec extends SparkSpec {
     assert(r.getLong(0) == 150L && r.getString(1) == "hi")
   }
 
+  test("packed repeated varints: packed runs, unpacked, and mixed encodings") {
+    // field 4 packed (tag 0x22): [3, 270], then field 4 unpacked
+    // varint (tag 0x20) = 7, then another packed run [1] — a proto3
+    // parser must accept all three and keep wire order
+    val b = msg(0x22, 0x03, 0x03, 0x8e, 0x02, 0x20, 0x07, 0x22, 0x01, 0x01)
+    val r = df(b).select(pbField(col("m"), 4, "packed").as("xs")).head()
+    assert(r.getSeq[Long](0) == Seq(3L, 270L, 7L, 1L))
+    // absent repeated field decodes to an empty array, not null
+    val e = df(msg(0x08, 0x01)).select(pbField(col("m"), 4, "packed")).head()
+    assert(e.getSeq[Long](0).isEmpty)
+    // truncated packed run → null
+    val t = df(msg(0x22, 0x03, 0x03)).select(pbField(col("m"), 4, "packed")).head()
+    assert(t.isNullAt(0))
+  }
+
+  test("protobuf decode runs unchanged inside a stream (Kafka-value shape)") {
+    // PbField is a stateless per-row expression, so the reference's
+    // Kafka protobuf path (one message per record value) maps onto
+    // readStream with identical batch semantics — no state store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Tuple1[Array[Byte]]]
+    val q = mem.toDF.toDF("value")
+      .select(
+        pbField(col("value"), 1, "varint").as("id"),
+        pbField(col("value"), 2, "string").as("name"),
+        pbField(col("value"), 4, "packed").as("token_ids"))
+      .writeStream.format("memory").queryName("sq_pb")
+      .outputMode("append").start()
+    mem.addData(
+      Tuple1(msg(0x08, 0x05, 0x12, 0x02, 'h', 'i', 0x22, 0x02, 0x03, 0x04)),
+      Tuple1(msg(0x08, 0x96, 0x01, 0x12, 0x01, 'x')))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sq_pb").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[Long](2).toList))).toMap
+    assert(rows(5L) == (("hi", List(3L, 4L))), rows)
+    assert(rows(150L) == (("x", Nil)), rows)
+  }
+
   test("interpreted and codegen'd paths agree") {
     val b = msg(0x08, 0x96, 0x01, 0x12, 0x03, 'a', 'b', 'c')
     val base = df(b)
