@@ -244,4 +244,40 @@ object Sampling {
     scored.join(broadcast(cuts), Seq("wm"))
       .select(col("id"), col("n_feats"), col("weight"), col("selected"))
   }
+
+  /** Epoch-based mixture upsampling: replicate each domain's documents
+    * `numer/denom` times — the "en × 2.5 epochs, code × 0.3 epochs"
+    * knob every pretraining mixture spec exposes. Integer-exact and
+    * deterministic: every doc gets `numer div denom` full copies, and
+    * the fractional remainder selects docs by a portable id hash
+    * (`(id+7)·2654435761 mod 2147483647 mod denom < numer mod denom`),
+    * so exactly ⌊n·frac⌋±1 docs gain the extra copy and the same docs
+    * do so in any engine. Domains absent from `epochs` pass through at
+    * one copy. Output: input columns + `copy` (1-based).
+    *
+    * Scale shape: a broadcast join against the ≤|domains|-row epoch
+    * table and one generator explode — no shuffle of the corpus, and
+    * the blow-up factor is explicit in the plan (sequence length),
+    * not hidden in a driver loop. */
+  def upsampleEpochs(
+      df: DataFrame, idCol: String, domainCol: String,
+      epochs: Seq[(String, Int, Int)]): DataFrame = {
+    require(epochs.forall { case (_, n, d) => n >= 0 && d > 0 },
+      "epochs must be numer >= 0 / denom > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tbl = epochs.toDF("__dom", "__num", "__den")
+    val joined = df
+      .join(broadcast(tbl), col(domainCol) === col("__dom"), "left")
+      .withColumn("__num", coalesce(col("__num"), lit(1)))
+      .withColumn("__den", coalesce(col("__den"), lit(1)))
+    val hash = (col(idCol).cast("long") + 7L) * 2654435761L % 2147483647L
+    val copies = graft.exprs.idiv(col("__num").cast("long"), col("__den").cast("long")) +
+      when(hash % col("__den") < col("__num") % col("__den"), 1L).otherwise(0L)
+    joined
+      .withColumn("copy",
+        explode(when(copies >= 1, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<long>"))))
+      .drop("__dom", "__num", "__den")
+  }
 }

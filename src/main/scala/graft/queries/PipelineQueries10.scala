@@ -603,8 +603,35 @@ object PipelineQueries10 {
       .orderBy(col("lang"))
   }
 
+  /** Epoch-based mixture upsampling graded end to end: en × 2.5
+    * epochs, de × 1/3, zh × 0 (dropped), es/fr default 1. Copies and
+    * the fractional-remainder selection are pure integer arithmetic on
+    * a portable id hash, so both engines emit the identical replicated
+    * row set. */
+  val upsampleEpochs: Q = q(
+    "sampling_upsample_epochs",
+    """WITH w(lang, num, den) AS (VALUES ('en', 5, 2), ('de', 1, 3), ('zh', 0, 1)),
+      |d AS (SELECT doc_id, documents.lang,
+      |        coalesce(num, 1) AS num, coalesce(den, 1) AS den
+      |      FROM documents LEFT JOIN w USING (lang)),
+      |c AS (SELECT doc_id, lang,
+      |        num // den + CASE WHEN (doc_id + 7) * 2654435761 % 2147483647 % den
+      |                              < num % den
+      |                          THEN 1 ELSE 0 END AS copies
+      |      FROM d)
+      |SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+      |FROM c ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+    import graft.operators.Sampling
+    Sampling.upsampleEpochs(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        Seq(("en", 5, 2), ("de", 1, 3), ("zh", 0, 1)))
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
   def all: Seq[Q] =
     Seq(repetitionRules, perplexityBuckets, linearClassifier, bm25, dsir,
       c4, urlBlocklist, hardNegatives, dupLines, perplexityBucketsLang,
-      winnow, winnowPairs, temperatureMixture, hybridRrf)
+      winnow, winnowPairs, temperatureMixture, hybridRrf, upsampleEpochs)
 }
