@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein ≤ k) joins via deletion-neighborhood
+  * blocking — the SymSpell signature scheme (Garbe 2012, public
+  * domain algorithm; also the candidate-generation step of
+  * Norvig-style spell correction) distributed as a plain equi-join.
+  *
+  * Property used: if levenshtein(a, b) ≤ k then deleting ≤ k chars
+  * from each can reach a common string, so the deletion
+  * neighborhoods Dₖ(a) and Dₖ(b) intersect. Generating Dₖ per
+  * string (|s|+1 signatures for k=1, O(|s|²/2) for k=2) turns the
+  * all-pairs problem into: explode signatures → hash equi-join on
+  * signature → distinct candidate pairs → verify with the exact
+  * `levenshtein` (codegen'd built-in). No cartesian product
+  * anywhere; the candidate set is a provable superset of the true
+  * result, so verification makes the output exact.
+  *
+  * Scale design: signature generation is a per-row map (array
+  * expression, whole-stage codegen); the join is a shuffle hash
+  * equi-join on the signature string. Skew guard: ultra-hot
+  * signatures (short strings share deletions — e.g. every 1-char
+  * string reaches "") would quadratically blow up the candidate
+  * pairs, so signatures whose frequency exceeds `hotSigCap` on
+  * EITHER side are dropped with a documented recall consequence —
+  * the same stop-key pattern as TextCorpus.winnowPairs. Pairs missed
+  * that way can only be pairs of strings ≤ k+1 chars apart from a
+  * degenerate hub; for vocabularies (the intended input: distinct
+  * tokens/names, not raw corpus rows) the cap never fires below
+  * ~10⁴ same-signature types.
+  *
+  * Reference analog: the reference engine has no fuzzy join; its
+  * `search` query (processing/src/main/java/org/apache/druid/query/
+  * search/SearchQuery.java) only does substring/insensitive
+  * matching. This operator covers the training-data-pipeline need
+  * (typo clustering / near-identical entity names) the same way the
+  * MinHash path covers document near-dup.
+  */
+object FuzzyJoin {
+
+  /** All strings reachable from `col` by deleting up to `maxEdits`
+    * characters (including the string itself), distinct.
+    * Pure SQL-expression tree (dynamic positions need the SQL
+    * `substring(s, pos, len)` form — the Scala DSL overload only
+    * takes literal ints). */
+  private def deletionSigs(colName: String, maxEdits: Int): String = {
+    require(maxEdits == 1 || maxEdits == 2, s"maxEdits 1 or 2, got $maxEdits")
+    val del1 = (s: String) =>
+      s"transform(sequence(1, length($s)), i -> concat(substring($s, 1, i-1), substring($s, i+1, length($s))))"
+    val base = s"array_union(array($colName), ${del1(colName)})"
+    if (maxEdits == 1) base
+    else
+      // second deletion applied to each first-deletion variant;
+      // array_distinct keeps the signature fan-out at the true
+      // neighborhood size (≤ 1 + n + n(n-1)/2), not n² duplicates
+      s"array_distinct(array_union($base, flatten(transform(${del1(colName)}, d -> ${del1("d")}))))"
+  }
+
+  /** Self-join: all unordered pairs of distinct `keyCol` values with
+    * levenshtein ≤ maxEdits. Output: (left, right, dist) with
+    * left < right. Input rows are deduplicated on the key first —
+    * this is a vocabulary-level operator. */
+  def editDistanceSelfJoin(
+      df: DataFrame, keyCol: String, maxEdits: Int,
+      hotSigCap: Int = 10000): DataFrame = {
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).distinct()
+    val sigs = keys
+      .select(col("k"), explode(expr(deletionSigs("k", maxEdits))).as("sig"))
+    // stop-key guard: drop signatures hot enough to be quadratic
+    val cold = sigs.join(
+      sigs.groupBy("sig").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= hotSigCap)
+        .select("sig"),
+      Seq("sig"))
+    val cand = cold.as("a")
+      .join(cold.as("b"), col("a.sig") === col("b.sig") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("left"), col("b.k").as("right"))
+      .distinct()
+    cand
+      // cheap length filter first: |len difference| > k can't verify
+      .filter(abs(length(col("left")) - length(col("right"))) <= maxEdits)
+      .withColumn("dist", levenshtein(col("left"), col("right")))
+      .filter(col("dist") <= maxEdits)
+  }
+
+  /** Two-sided variant: rows of `left` matched to rows of `right`
+    * within `maxEdits`. Keeps one row per (left key, right key)
+    * value pair. */
+  def editDistanceJoin(
+      left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String,
+      maxEdits: Int, hotSigCap: Int = 10000): DataFrame = {
+    def side(df: DataFrame, c: String) =
+      df.select(col(c).cast("string").as("k")).filter(col("k").isNotNull)
+        .distinct()
+        .select(col("k"), explode(expr(deletionSigs("k", maxEdits))).as("sig"))
+    val ls = side(left, leftCol)
+    val rs = side(right, rightCol)
+    // cap on the join-key frequency of either side
+    def cool(df: DataFrame) = df.join(
+      df.groupBy("sig").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= hotSigCap).select("sig"),
+      Seq("sig"))
+    cool(ls).as("a").join(cool(rs).as("b"), "sig")
+      .select(col("a.k").as("left"), col("b.k").as("right"))
+      .distinct()
+      .filter(abs(length(col("left")) - length(col("right"))) <= maxEdits)
+      .withColumn("dist", levenshtein(col("left"), col("right")))
+      .filter(col("dist") <= maxEdits)
+  }
+}

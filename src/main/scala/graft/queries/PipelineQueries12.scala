@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{FuzzyJoin, GraphRank}
+
+/** Round-8 curation additions: fuzzy (edit-distance) joins via
+  * deletion-neighborhood blocking and exact fixed-point graph
+  * ranking (TextRank/PageRank). Oracles recompute the full result
+  * from scratch in DuckDB — brute-force `levenshtein` cross join for
+  * the fuzzy joins (the Spark side must reproduce it exactly from
+  * its candidate superset), and the unrolled 3-sweep integer
+  * PageRank CTE chain for TextRank. */
+object PipelineQueries12 {
+
+  /** Entity near-match self-join: customer names within levenshtein
+    * 1 of each other. The custkey bound keeps the O(n²) ORACLE
+    * bounded at every SF — the Spark side never materializes pairs
+    * beyond the deletion-signature candidates. */
+  val fuzzySelfJoin: Q = q(
+    "join_fuzzy_editdist",
+    """WITH c AS (SELECT c_name FROM customer WHERE c_custkey < 2000)
+      |SELECT a.c_name AS left_key, b.c_name AS right_key,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM c a, c b
+      |WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) {
+    (s, d) =>
+      FuzzyJoin.editDistanceSelfJoin(
+        Tables.customer(s, d).filter(col("c_custkey") < 2000), "c_name", maxEdits = 1)
+        .withColumnRenamed("left", "left_key").withColumnRenamed("right", "right_key")
+  }
+
+  /** Vocabulary spell-variant mining: distinct corpus tokens within
+    * levenshtein 2 — the typo-clustering pass of a text-cleaning
+    * pipeline, exercising the two-deletion signature path. */
+  val spellVariants: Q = q(
+    "vocab_spell_variants",
+    """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT a.tok AS left_key, b.tok AS right_key,
+      |       CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+      |FROM v a, v b
+      |WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2""".stripMargin) {
+    (s, d) =>
+      FuzzyJoin.editDistanceSelfJoin(
+        Tables.documents(s, d).select(explode(split(col("text"), " ")).as("tok")),
+        "tok", maxEdits = 2)
+        .withColumnRenamed("left", "left_key").withColumnRenamed("right", "right_key")
+  }
+
+  /** TextRank keyword weights: 3 exact integer PageRank sweeps over
+    * the adjacent-token co-occurrence graph. The oracle unrolls the
+    * iteration as CTEs with the identical integer-division order, so
+    * ranks hash-match bit-for-bit. */
+  val textRank: Q = q(
+    "graph_textrank",
+    """WITH w AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+      |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |b AS (SELECT w AS src, lead(w) OVER (PARTITION BY doc_id ORDER BY wi) AS dst FROM w),
+      |e0 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM b WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |e AS (SELECT src, dst, CAST(sum(c) AS BIGINT) AS w
+      |      FROM (SELECT src, dst, c FROM e0
+      |            UNION ALL SELECT dst AS src, src AS dst, c FROM e0)
+      |      GROUP BY 1, 2),
+      |om AS (SELECT src, CAST(sum(w) AS BIGINT) AS m FROM e GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM om),
+      |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) // n AS r FROM om, nn),
+      |c1 AS (SELECT e.dst AS dst, CAST(sum((r0.r * e.w) // om.m) AS BIGINT) AS cs
+      |       FROM e JOIN om ON e.src = om.src JOIN r0 ON e.src = r0.node GROUP BY 1),
+      |r1 AS (SELECT om.src AS node,
+      |         (SELECT (CAST(1000000000 AS BIGINT) * 15 // 100) // n FROM nn) + (85 * COALESCE(c1.cs, 0)) // 100 AS r
+      |       FROM om LEFT JOIN c1 ON om.src = c1.dst),
+      |c2 AS (SELECT e.dst AS dst, CAST(sum((r1.r * e.w) // om.m) AS BIGINT) AS cs
+      |       FROM e JOIN om ON e.src = om.src JOIN r1 ON e.src = r1.node GROUP BY 1),
+      |r2 AS (SELECT om.src AS node,
+      |         (SELECT (CAST(1000000000 AS BIGINT) * 15 // 100) // n FROM nn) + (85 * COALESCE(c2.cs, 0)) // 100 AS r
+      |       FROM om LEFT JOIN c2 ON om.src = c2.dst),
+      |c3 AS (SELECT e.dst AS dst, CAST(sum((r2.r * e.w) // om.m) AS BIGINT) AS cs
+      |       FROM e JOIN om ON e.src = om.src JOIN r2 ON e.src = r2.node GROUP BY 1),
+      |r3 AS (SELECT om.src AS node,
+      |         (SELECT (CAST(1000000000 AS BIGINT) * 15 // 100) // n FROM nn) + (85 * COALESCE(c3.cs, 0)) // 100 AS r
+      |       FROM om LEFT JOIN c3 ON om.src = c3.dst)
+      |SELECT node, CAST(r AS BIGINT) AS rank FROM r3""".stripMargin) {
+    (s, d) => GraphRank.textRank(Tables.documents(s, d), "text", iters = 3)
+  }
+
+  val all: Seq[Q] = Seq(fuzzySelfJoin, spellVariants, textRank)
+}

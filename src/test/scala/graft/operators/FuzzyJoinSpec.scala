@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSpec {
+
+  private def words(ws: String*) = {
+    import spark.implicits._
+    ws.toDF("w")
+  }
+
+  /** ground truth by brute force over the same key set */
+  private def brute(ws: Seq[String], k: Int): Set[(String, String, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ds = ws.distinct
+    (for {
+      a <- ds; b <- ds if a < b
+      dist = lev(a, b) if dist <= k
+    } yield (a, b, dist)).toSet
+  }
+
+  private def run(ws: Seq[String], k: Int): Set[(String, String, Int)] =
+    FuzzyJoin.editDistanceSelfJoin(words(ws: _*), "w", maxEdits = k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("k=1: substitutions, insertions, deletions found; distance-2 pairs excluded") {
+    val ws = Seq("cat", "bat", "cart", "ca", "dog", "dig", "catt", "cata")
+    assert(run(ws, 1) == brute(ws, 1))
+    // sanity on the shape of the truth itself
+    assert(brute(ws, 1).contains(("bat", "cat", 1)))   // substitution
+    assert(brute(ws, 1).contains(("cart", "cat", 1)))  // deletion
+    assert(brute(ws, 1).contains(("ca", "cat", 1)))    // insertion
+    assert(!brute(ws, 1).exists { case (a, b, _) => a == "cat" && b == "dog" })
+  }
+
+  test("k=2 matches brute force incl. transposition-as-two-edits and mixed ops") {
+    val ws = Seq("spark", "sprak", "spork", "spoon", "stark", "shark", "sharks",
+      "park", "ark", "a", "", "ab")
+    assert(run(ws, 2) == brute(ws, 2))
+    assert(brute(ws, 2).contains(("spark", "sprak", 2))) // transposition = 2 edits
+  }
+
+  test("duplicate input rows collapse; no self pairs; output ordered left<right") {
+    val out = run(Seq("aa", "aa", "aa", "ab"), 1)
+    assert(out == Set(("aa", "ab", 1)))
+  }
+
+  test("two-sided join matches brute force across sides") {
+    val l = words("color", "colour", "flavor")
+    val r = words("colour", "flavour", "color")
+    val got = FuzzyJoin.editDistanceJoin(l, "w", r, "w", maxEdits = 1)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2))).toSet
+    // pairs are directional (left side value, right side value)
+    assert(got == Set(
+      ("color", "colour", 1), ("colour", "color", 1),
+      ("color", "color", 0), ("colour", "colour", 0),
+      ("flavor", "flavour", 1)))
+  }
+
+  test("hotSigCap drops pairs bridged only by ultra-hot signatures") {
+    // 50 single-char strings all share the "" deletion signature;
+    // with cap 10 the hub is dropped and no pairs survive (documented
+    // recall loss), with the default cap all C(50,2) distance-1 pairs appear
+    val ws = (0 until 50).map(i => ('a' + i % 26).toChar.toString + (i / 26).toString).distinct
+    val capped = FuzzyJoin.editDistanceSelfJoin(words(ws: _*), "w", maxEdits = 2, hotSigCap = 10)
+      .collect()
+    val full = run(ws, 2)
+    assert(capped.length < full.size)
+    assert(full == brute(ws, 2))
+  }
+
+  test("plan: candidate generation is an equi-join (no cartesian product)") {
+    val plan = FuzzyJoin.editDistanceSelfJoin(words("cat", "bat", "rat"), "w", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphRankSpec extends SparkSpec {
+
+  private def edges(es: (String, String, Long)*) = {
+    import spark.implicits._
+    es.toDF("src", "dst", "w")
+  }
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("symmetric 2-node graph: equal ranks, mass ≈ scale") {
+    val r = ranks(GraphRank.pageRank(
+      edges(("a", "b", 1L), ("b", "a", 1L)), iters = 3))
+    assert(r("a") == r("b"))
+    // total mass within integer-truncation drift of the scale
+    val total = r.values.sum
+    assert(total > 999999990L && total <= 1000000000L)
+  }
+
+  test("star graph: hub outranks leaves; leaves tie") {
+    // undirected star a—{b,c,d}
+    val e = edges(
+      ("a", "b", 1L), ("b", "a", 1L),
+      ("a", "c", 1L), ("c", "a", 1L),
+      ("a", "d", 1L), ("d", "a", 1L))
+    val r = ranks(GraphRank.pageRank(e, iters = 5))
+    assert(r("a") > r("b"))
+    assert(r("b") == r("c") && r("c") == r("d"))
+  }
+
+  test("weighted edges steer rank: heavier in-edge wins") {
+    // s splits mass 9:1 between x and y; x and y return to s
+    val e = edges(
+      ("s", "x", 9L), ("s", "y", 1L),
+      ("x", "s", 1L), ("y", "s", 1L))
+    val r = ranks(GraphRank.pageRank(e, iters = 4))
+    assert(r("x") > r("y"))
+  }
+
+  test("exact integers: hand-computed single sweep on a 2-node cycle") {
+    // n=2, r0 = 5e8 each; contrib to each = (5e8*1) div 1 = 5e8
+    // r1 = (1e9*15 div 100) div 2 + (85*5e8) div 100 = 75e6 + 425e6 = 5e8
+    val r = ranks(GraphRank.pageRank(
+      edges(("a", "b", 1L), ("b", "a", 1L)), iters = 1))
+    assert(r("a") == 500000000L && r("b") == 500000000L)
+  }
+
+  test("bigramEdges: adjacency counts symmetrized; single-token docs dropped") {
+    import spark.implicits._
+    val df = Seq("x y x y", "x", "z z").toDF("text")
+    val e = GraphRank.bigramEdges(df, "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "x y x y": x→y twice, y→x once; symmetrized: x↔y weight 3 each way
+    assert(e(("x", "y")) == 3L && e(("y", "x")) == 3L)
+    assert(e(("z", "z")) == 2L) // self-loop from "z z" (both directions collapse)
+    assert(!e.keySet.exists { case (s, d) => s == "x" && d == "x" })
+  }
+
+  test("textRank on a corpus: ranks are positive and well-formed") {
+    import spark.implicits._
+    val df = Seq("a b c a b", "b c d", "d e").toDF("text")
+    val r = ranks(GraphRank.textRank(df, "text", iters = 3))
+    assert(r.keySet == Set("a", "b", "c", "d", "e"))
+    assert(r.values.forall(_ > 0))
+    // central tokens (b, c: weighted degree 4) outrank the periphery (e: degree 1)
+    assert(r("b") > r("e") && r("c") > r("e"))
+  }
+}
