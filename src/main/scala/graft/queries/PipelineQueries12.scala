@@ -83,5 +83,76 @@ object PipelineQueries12 {
     (s, d) => GraphRank.textRank(Tables.documents(s, d), "text", iters = 3)
   }
 
-  val all: Seq[Q] = Seq(fuzzySelfJoin, spellVariants, textRank)
+  /** Blocklist-phrase pass (C4-style "bad words" filtering): one
+    * Aho–Corasick automaton walk per document counts every
+    * occurrence of every phrase — overlap-counting, with patterns
+    * nested inside other patterns ("join" inside "slow join") firing
+    * independently. The oracle recomputes positionally: for each
+    * (doc, pattern), the number of start offsets where the substring
+    * matches. */
+  val blocklistPhrases: Q = {
+    val phrases = Seq("join", "slow join", "hash", "fast hash", "table scan", "scan slow")
+    val vals = phrases.map(p => s"('$p')").mkString(", ")
+    q(
+      "text_blocklist_phrases",
+      s"""WITH p AS (SELECT * FROM (VALUES $vals) t(pat)),
+         |h AS (SELECT d.doc_id, p.pat,
+         |        len(list_filter(range(1, length(d.text) - length(p.pat) + 2),
+         |            i -> substr(d.text, i, length(p.pat)) = p.pat)) AS c
+         |      FROM documents d CROSS JOIN p)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS hits,
+         |       CAST(count(*) FILTER (WHERE c > 0) AS INT) AS matched
+         |FROM h GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.AhoCorasick.acStats(col("text"), phrases).as("s"))
+        .select(col("doc_id"), col("s.hits").as("hits"), col("s.matched").as("matched"))
+    }
+  }
+
+  /** WARC ingest graded end to end (same discipline as
+    * `ingest_protobuf`): Spark assembles a two-record WARC file per
+    * document byte-for-byte in SQL — response payload deliberately
+    * EMBEDS a fake `WARC/1.0` record start, so only Content-Length-
+    * driven parsing recovers the true boundaries — and must parse
+    * its own bytes back through the real kernel
+    * ([[graft.sources.WarcKernels]]). The oracle states the values
+    * the assembler embedded. */
+  val ingestWarc: Q = {
+    val crlf = "chr(13) || chr(10)"
+    q(
+      "ingest_warc",
+      s"""SELECT doc_id, CAST(0 AS INT) AS rec_idx, 'response' AS warc_type,
+         |  'http://example.com/doc/' || doc_id AS target_uri,
+         |  CAST(strlen(text || $crlf || 'WARC/1.0' || $crlf || lang) AS BIGINT) AS content_length,
+         |  text || $crlf || 'WARC/1.0' || $crlf || lang AS payload
+         |FROM documents WHERE doc_id < 300
+         |UNION ALL
+         |SELECT doc_id, CAST(1 AS INT), 'metadata',
+         |  'http://example.com/doc/' || doc_id,
+         |  CAST(strlen('lang=' || lang) AS BIGINT), 'lang=' || lang
+         |FROM documents WHERE doc_id < 300""".stripMargin) { (s, d) =>
+      import graft.sources.Warc.warcRecords
+      val payload1 = concat(col("text"), lit("\r\nWARC/1.0\r\n"), col("lang"))
+      val payload2 = concat(lit("lang="), col("lang"))
+      def rec(tpe: String, payload: org.apache.spark.sql.Column) = concat(
+        lit("WARC/1.0\r\n"),
+        lit(s"WARC-Type: $tpe\r\n"),
+        lit("WARC-Target-URI: http://example.com/doc/"), col("doc_id").cast("string"), lit("\r\n"),
+        lit("Content-Length: "), octet_length(payload).cast("string"), lit("\r\n"),
+        lit("\r\n"), payload, lit("\r\n\r\n"))
+      Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          encode(concat(rec("response", payload1), rec("metadata", payload2)), "UTF-8").as("warc"))
+        .select(col("doc_id"), posexplode(warcRecords(col("warc"))).as(Seq("rec_idx", "r")))
+        .select(col("doc_id"), col("rec_idx"),
+          col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content_length").as("content_length"),
+          col("r.payload").cast("string").as("payload"))
+    }
+  }
+
+  val all: Seq[Q] =
+    Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc)
 }

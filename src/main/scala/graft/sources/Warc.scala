@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.exprs.{toCol, toExpr}
+
+/** WARC (Web ARChive, ISO 28500 — the container format of Common
+  * Crawl, the dominant pretraining web corpus) record parsing as a
+  * whole-stage-codegen expression over binary columns.
+  *
+  * Format parsed: `WARC/1.0\r\n`, header lines `Name: value\r\n`
+  * until a blank line, then exactly `Content-Length` BYTES of
+  * payload, then `\r\n\r\n`. Payload extraction is length-driven —
+  * a payload containing `WARC/1.0` or header-looking lines does NOT
+  * confuse record boundaries (the spec's reason for mandating
+  * Content-Length). Malformed input (bad magic, missing/invalid
+  * Content-Length, truncated payload or separator) → null, so a
+  * corrupt crawl file surfaces as a countable null rather than
+  * skewed records.
+  *
+  * Scale shape: one file (or stream chunk) per row via
+  * `spark.read.format("binaryFile")`, records exploded downstream;
+  * parsing is a per-row kernel with no shuffle. Gzip-member-per-
+  * record WARCs decompress upstream of this expression.
+  *
+  * Reference analog: the reference reads its own segment/JSON/
+  * protobuf formats but has no web-archive input; this covers the
+  * Common Crawl front door of an LLM data pipeline.
+  */
+object WarcKernels {
+
+  private val CRLF = Array[Byte]('\r', '\n')
+
+  private def lineEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+    if (i + 1 < b.length) i else -1
+  }
+
+  /** array<struct<warc_type, target_uri, content_length, payload>>
+    * or null when any record is malformed. */
+  def parse(bytes: Array[Byte]): GenericArrayData = {
+    val out = new java.util.ArrayList[AnyRef]()
+    var pos = 0
+    while (pos < bytes.length) {
+      // version line
+      val ve = lineEnd(bytes, pos)
+      if (ve < 0) return null
+      val version = new String(bytes, pos, ve - pos, "US-ASCII")
+      if (!version.startsWith("WARC/")) return null
+      pos = ve + 2
+      // headers until blank line
+      var warcType: String = null
+      var uri: String = null
+      var clen = -1L
+      var done = false
+      while (!done) {
+        val he = lineEnd(bytes, pos)
+        if (he < 0) return null
+        if (he == pos) { pos += 2; done = true }
+        else {
+          val line = new String(bytes, pos, he - pos, "US-ASCII")
+          val ci = line.indexOf(':')
+          if (ci <= 0) return null
+          val name = line.substring(0, ci).trim
+          val value = line.substring(ci + 1).trim
+          name.toLowerCase match {
+            case "warc-type"       => warcType = value
+            case "warc-target-uri" => uri = value
+            case "content-length" =>
+              try clen = java.lang.Long.parseLong(value)
+              catch { case _: NumberFormatException => return null }
+            case _ => () // other headers preserved by re-parsing callers
+          }
+          pos = he + 2
+        }
+      }
+      if (clen < 0 || clen > Int.MaxValue - 8 || pos + clen + 4 > bytes.length) return null
+      val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + clen.toInt)
+      pos += clen.toInt
+      // mandatory record separator
+      if (!(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+            bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n')) return null
+      pos += 4
+      out.add(new GenericInternalRow(Array[Any](
+        if (warcType == null) null else UTF8String.fromString(warcType),
+        if (uri == null) null else UTF8String.fromString(uri),
+        clen, payload)))
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `warc_records(binary)` → array of parsed WARC records. */
+case class WarcRecords(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    WarcKernels.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // result may be null on malformed input → explicit isNull branch
+    // (defineCodeGen would leave isNull false and NPE downstream)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.GenericArrayData wrec =
+      |  graft.sources.WarcKernels.parse($c);
+      |if (wrec == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = wrec; }
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): WarcRecords =
+    copy(child = c)
+  override def prettyName: String = "warc_records"
+}
+
+object Warc {
+  def warcRecords(bin: Column): Column = toCol(WarcRecords(toExpr(bin)))
+}

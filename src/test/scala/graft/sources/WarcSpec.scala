@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpec {
+
+  private def parse(bytes: Array[Byte]) = {
+    import spark.implicits._
+    Seq(bytes).toDF("b").select(Warc.warcRecords(col("b")).as("r"))
+      .collect().head
+  }
+
+  private def rec(tpe: String, uri: String, payload: Array[Byte],
+      extraHeader: String = ""): Array[Byte] = {
+    val head = s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+      extraHeader + s"Content-Length: ${payload.length}\r\n\r\n"
+    head.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  test("multi-record file with payload containing a fake record start") {
+    val p1 = "body\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nnot a record".getBytes("UTF-8")
+    val p2 = "x".getBytes("UTF-8")
+    val row = parse(rec("response", "http://a", p1) ++ rec("metadata", "http://b", p2))
+    val rs = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(rs.length == 2)
+    assert(rs(0).getString(0) == "response" && rs(0).getString(1) == "http://a")
+    assert(rs(0).getLong(2) == p1.length)
+    assert(new String(rs(0).getAs[Array[Byte]](3), "UTF-8").contains("not a record"))
+    assert(rs(1).getString(0) == "metadata" && rs(1).getLong(2) == 1L)
+  }
+
+  test("content-length counts BYTES: multi-byte UTF-8 payload round-trips") {
+    val p = "héllo — 你好".getBytes("UTF-8")
+    val row = parse(rec("resource", "urn:x", p))
+    val rs = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(rs.head.getLong(2) == p.length)
+    assert(new String(rs.head.getAs[Array[Byte]](3), "UTF-8") == "héllo — 你好")
+  }
+
+  test("unknown headers are tolerated; missing optional URI is null") {
+    val bytes = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val rs = parse(bytes).getSeq[org.apache.spark.sql.Row](0)
+    assert(rs.head.getString(0) == "warcinfo")
+    assert(rs.head.isNullAt(1))
+  }
+
+  test("malformed inputs are null, not garbage") {
+    val good = rec("response", "u", "abc".getBytes("UTF-8"))
+    def nullFor(b: Array[Byte]): Boolean = parse(b).isNullAt(0)
+    assert(nullFor("HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8")))      // bad magic
+    assert(nullFor(good.dropRight(1)))                                 // truncated separator
+    assert(nullFor(good.dropRight(7)))                                 // truncated payload
+    assert(nullFor(("WARC/1.0\r\nWARC-Type: x\r\n\r\n" +               // no content-length
+      "p\r\n\r\n").getBytes("UTF-8")))
+    assert(nullFor(("WARC/1.0\r\nContent-Length: zz\r\n\r\n\r\n\r\n")  // unparsable length
+      .getBytes("UTF-8")))
+    assert(!nullFor(good))
+  }
+
+  test("empty payload record parses") {
+    val rs = parse(rec("metadata", "u", Array.emptyByteArray))
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(rs.head.getLong(2) == 0L)
+    assert(rs.head.getAs[Array[Byte]](3).isEmpty)
+  }
+}
