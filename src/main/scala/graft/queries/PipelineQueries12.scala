@@ -153,6 +153,104 @@ object PipelineQueries12 {
     }
   }
 
+  /** Exact-moment OLS: n_chars regressed on (token count, distinct
+    * token count). Both engines do the identical exact-integer moment
+    * sums and wide-decimal Cramer determinants; the only float ops
+    * are the final per-coefficient divisions, so 6dp rounding is
+    * hash-stable regardless of partitioning. */
+  val olsFit: Q = q(
+    "stats_ols_fit",
+    """WITH f AS (SELECT n_chars AS y, len(string_split(text, ' ')) AS x1,
+      |                  len(list_distinct(string_split(text, ' '))) AS x2
+      |           FROM documents),
+      |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+      |        CAST(sum(y) AS HUGEINT) AS sy,
+      |        CAST(sum(x1*x1) AS HUGEINT) AS s11, CAST(sum(x1*x2) AS HUGEINT) AS s12,
+      |        CAST(sum(x2*x2) AS HUGEINT) AS s22,
+      |        CAST(sum(x1*y) AS HUGEINT) AS s1y, CAST(sum(x2*y) AS HUGEINT) AS s2y
+      |      FROM f),
+      |d AS (SELECT n,
+      |        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+      |        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+      |        n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+      |        n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+      |      FROM m)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b0,
+      |       round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b1,
+      |       round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b2
+      |FROM d""".stripMargin) { (s, d) =>
+    graft.operators.Regression.olsFit2(
+      Tables.documents(s, d)
+        .select(col("n_chars").as("y"),
+          size(split(col("text"), " ")).as("x1"),
+          size(array_distinct(split(col("text"), " "))).as("x2")),
+      "y", "x1", "x2")
+  }
+
+  /** Exact-sum Pearson correlation of doc length vs token count, per
+    * language — same determinism contract as `stats_ols_fit`. */
+  val corrExact: Q = q(
+    "stats_corr_exact",
+    """WITH f AS (SELECT lang, n_chars AS x, len(string_split(text, ' ')) AS y FROM documents),
+      |m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |        CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy,
+      |        CAST(sum(x*y) AS HUGEINT) AS sxy
+      |      FROM f GROUP BY lang)
+      |SELECT lang, CAST(n AS BIGINT) AS n,
+      |       round(CAST(n*sxy - sx*sy AS DOUBLE) /
+      |             sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r
+      |FROM m""".stripMargin) { (s, d) =>
+    graft.operators.Regression.pearson(
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").as("x"),
+          size(split(col("text"), " ")).as("y")),
+      "x", "y", groupCols = Seq("lang"))
+  }
+
+  /** Train/test leakage audit: near-duplicate document pairs (exact
+    * 5-gram Jaccard ≥ 0.5 via the inverted-index join — no LSH
+    * recall question in the graded path) that land on OPPOSITE sides
+    * of the stable document split — the contamination mode that
+    * inflates eval scores. Composes Dedup.jaccardIndexPairs with the
+    * same split hash as `train_test_split`. */
+  val splitLeakage: Q = q(
+    "split_leakage_neardup",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+      |       FROM d),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT ida, idb, CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jac
+      |      FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id),
+      |sp AS (SELECT doc_id, CASE WHEN b < 8000 THEN 'train'
+      |                           WHEN b < 9000 THEN 'test' ELSE 'val' END AS s
+      |       FROM (SELECT doc_id,
+      |               ((doc_id + 13) % 1000003) * 2654435761 % 2147483647 % 10000 AS b
+      |             FROM d))
+      |SELECT ida AS id_a, idb AS id_b, round(jac, 4) AS jaccard,
+      |       sa.s AS split_a, sb.s AS split_b
+      |FROM j JOIN sp sa ON ida = sa.doc_id JOIN sp sb ON idb = sb.doc_id
+      |WHERE jac >= 0.5 AND sa.s <> sb.s""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = graft.operators.Dedup.jaccardIndexPairs(docs, "doc_id", "text", 5, 0.5)
+    val sp = graft.operators.Sampling.split(
+      docs, "doc_id",
+      weights = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1), salt = 13L)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"),
+        col("split_a"), col("split_b"))
+  }
+
   val all: Seq[Q] =
-    Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc)
+    Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
+      olsFit, corrExact, splitLeakage)
 }

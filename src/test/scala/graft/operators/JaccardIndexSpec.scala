@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JaccardIndexSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f h"),   // near-dup of 1
+      (3L, "x y z w v u t"),
+      (4L, "a b c d e f g"),   // exact dup of 1
+      (5L, "q r")              // too short for 3-grams? no: 0 shingles at n=3? 2 tokens -> none
+    ).toDF("id", "text")
+  }
+
+  test("inverted-index pairs equal the brute-force cross-join primitive") {
+    val idx = Dedup.jaccardIndexPairs(docs, "id", "text", 3, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Dedup.ngramJaccardPairs(docs, "id", "text", 3)
+      .filter(col("jaccard") > 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the index path only emits pairs sharing ≥1 shingle — exactly
+    // the nonzero-jaccard pairs of the brute-force path
+    assert(idx == brute)
+    assert(idx((1L, 4L)) == 1.0)
+    assert(idx((1L, 2L)) > 0.5 && idx((1L, 2L)) < 1.0)
+    assert(!idx.contains((1L, 3L))) // disjoint docs never pair
+  }
+
+  test("minJaccard filters; hot-shingle cap drops boilerplate-bridged pairs") {
+    val strict = Dedup.jaccardIndexPairs(docs, "id", "text", 3, minJaccard = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 4L)))
+    // with a cap of 1, shingles shared by ≥2 docs vanish → no pairs at all
+    val capped = Dedup.jaccardIndexPairs(docs, "id", "text", 3, 0.0, hotShingleCap = Some(1))
+    assert(capped.count() == 0)
+  }
+}

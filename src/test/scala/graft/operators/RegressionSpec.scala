@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RegressionSpec extends SparkSpec {
+
+  test("olsFit2 recovers an exact linear relation") {
+    import spark.implicits._
+    // y = 2 + 3*x1 + 5*x2, non-degenerate design
+    val df = Seq((1, 1), (2, 1), (1, 2), (3, 2), (2, 4), (5, 3), (4, 7))
+      .map { case (x1, x2) => (2 + 3 * x1 + 5 * x2, x1, x2) }
+      .toDF("y", "x1", "x2")
+    val r = Regression.olsFit2(df, "y", "x1", "x2").collect().head
+    assert(r.getLong(0) == 7L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 3.0 && r.getDouble(3) == 5.0)
+  }
+
+  test("olsFit2 on noisy data matches a hand-solved normal-equation fit") {
+    import spark.implicits._
+    val df = Seq((3, 1, 1), (5, 2, 1), (4, 1, 2), (9, 3, 3), (8, 2, 3))
+      .toDF("y", "x1", "x2")
+    val r = Regression.olsFit2(df, "y", "x1", "x2").collect().head
+    // cross-checked against numpy lstsq: b≈(-0.166667, 1.833333, 1.333333)
+    assert(math.abs(r.getDouble(1) - (-0.166667)) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 1.833333) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 1.333333) < 1e-6)
+  }
+
+  test("pearson: perfect, inverse, and grouped correlation") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 10), ("a", 2, 20), ("a", 3, 30),
+                 ("b", 1, 9), ("b", 2, 5), ("b", 3, 1))
+      .toDF("g", "x", "y")
+    val r = Regression.pearson(df, "x", "y", Seq("g")).collect()
+      .map(row => row.getString(0) -> row.getDouble(2)).toMap
+    assert(r("a") == 1.0)
+    assert(r("b") == -1.0)
+  }
+
+  test("result is invariant to partitioning (exact sums, no float accumulation)") {
+    import spark.implicits._
+    val rows = (1 to 97).map(i => (i * 7 % 13, i % 5, (i * i) % 11))
+    val a = Regression.olsFit2(rows.toDF("y", "x1", "x2").repartition(1), "y", "x1", "x2")
+      .collect().head
+    val b = Regression.olsFit2(rows.toDF("y", "x1", "x2").repartition(16), "y", "x1", "x2")
+      .collect().head
+    assert(a == b)
+  }
+}
