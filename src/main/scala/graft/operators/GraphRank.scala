@@ -60,16 +60,22 @@ object GraphRank {
       edges: DataFrame, iters: Int,
       scale: Long = 1000000000L, dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
     require(iters >= 1 && iters <= 50, s"bounded sweep count, got $iters")
+    // materialize the edge list and out-mass ONCE: every sweep re-reads
+    // both, and without the checkpoint each sweep would re-execute the
+    // upstream edge pipeline (a full corpus scan for bigramEdges) —
+    // the same discipline as Dedup.connectedComponents. Fold the
+    // out-mass onto the edge row so the sweep is ONE join, not two.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val out = e.groupBy("src").agg(sum("w").as("m"))
+    val out = e.groupBy("src").agg(sum("w").as("m")).localCheckpoint()
+    val em = e.join(out, "src")
+      .select(col("src"), col("dst"), col("w"), col("m")).localCheckpoint()
     // node count: one scalar agg (the only driver-side value)
     val n = out.count()
     require(n > 0, "empty graph")
     val base = (scale * (dampDen - dampNum) / dampDen) / n
     var r = out.select(col("src").as("node"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(out, "src")
+      val contrib = em
         .join(r, col("src") === col("node"))
         .select(col("dst"), expr("r * w div m").as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))
@@ -78,7 +84,11 @@ object GraphRank {
         .select(col("node"),
           (lit(base) + expr(s"$dampNum * coalesce(cs, 0L) div $dampDen")).as("r"))
     }
-    r.select(col("node"), col("r").as("rank"))
+    val result = r.select(col("node"), col("r").as("rank"))
+    // rank lineage still references em/out until the caller executes;
+    // with bounded iters the frames stay pinned for the query's life —
+    // acceptable: they are edge- and node-sized, not corpus-sized
+    result
   }
 
   /** TextRank keyword weights for a corpus: pageRank over the

@@ -116,4 +116,33 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(rows(1L) == ((List("the", "th", "r"), 3L)), rows)
     assert(rows(2L) == ((List("e", "e"), 2L)), rows)
   }
+
+  test("AC blocklist stats and WARC parsing run unchanged inside a stream") {
+    // both are stateless per-row expressions (automaton and parser
+    // ride inside the plan) — a streaming crawl-ingest path can
+    // blocklist-filter WARC payloads with exact batch semantics
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def warcOf(body: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: ${body.getBytes("UTF-8").length}\r\n\r\n" +
+        body + "\r\n\r\n").getBytes("UTF-8")
+    val warcCol = udf(warcOf _).apply(col("body"))
+    val q = mem.toDF.toDF("id", "body")
+      .select(col("id"), explode(graft.sources.Warc.warcRecords(warcCol)).as("r"))
+      .select(col("id"),
+        graft.functions.AhoCorasick.acStats(
+          col("r.payload").cast("string"), Seq("bad", "bad word")).as("s"))
+      .select(col("id"), col("s.hits"), col("s.matched"))
+      .writeStream.format("memory").queryName("sq_ac_warc")
+      .outputMode("append").start()
+    mem.addData((1L, "a bad word here"), (2L, "clean text"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sq_ac_warc").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(rows(1L) == ((2L, 2)), rows) // "bad" and "bad word" both fire
+    assert(rows(2L) == ((0L, 0)), rows)
+  }
 }
