@@ -97,6 +97,47 @@ object TextCorpus {
         .as("nll_bigram"))
   }
 
+  /** Per-document interpolated trigram NLL (Jelinek & Mercer 1980
+    * linear interpolation): avg over trigram positions of
+    * -ln( λ₃·c₃(w₁w₂w₃)/c(w₁w₂·) + λ₂·c₂(w₂w₃)/c(w₂·) + λ₁·c₁(w₃)/N )
+    * — the deterministic analog of a KenLM-style interpolated model;
+    * backoff terms keep rare-context scores finite without discounts
+    * that would need float-sensitive tuning.
+    *
+    * Scale shape: three count tables built from the same explode
+    * passes (trigram table keyed by the gram string, context tables
+    * by prefix), then shuffle hash joins back on the gram keys — none
+    * broadcast (they grow with corpus vocab). Same persist-the-LM
+    * advice as [[bigramLogProb]] at 100 TB. */
+  def trigramInterpNll(df: DataFrame, idCol: String, textCol: String,
+      l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    import graft.functions.TextExpressions.wordShingles
+    val tri = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), 3)).as("g3"))
+    val big = df.select(explode(wordShingles(col(textCol), 2)).as("g2"))
+    val uni = df.select(explode(toks(col(textCol))).as("w"))
+    val c3 = tri.groupBy(col("g3")).agg(count(lit(1)).as("c3"))
+    val ctx2 = tri.groupBy(substring_index(col("g3"), " ", 2).as("p2"))
+      .agg(count(lit(1)).as("cp2"))
+    val c2 = big.groupBy(col("g2")).agg(count(lit(1)).as("c2"))
+    val ctx1 = big.groupBy(substring_index(col("g2"), " ", 1).as("p1"))
+      .agg(count(lit(1)).as("cp1"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = Option(uni.agg(count(lit(1))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
+    val p = lit(l3) * (col("c3").cast("double") / col("cp2")) +
+      lit(l2) * (col("c2").cast("double") / col("cp1")) +
+      lit(l1) * (col("c1").cast("double") / lit(total))
+    tri
+      .join(c3, Seq("g3"))
+      .join(ctx2, substring_index(col("g3"), " ", 2) === col("p2"))
+      .join(c2, substring_index(col("g3"), " ", -2) === col("g2"))
+      .join(ctx1, substring_index(substring_index(col("g3"), " ", -2), " ", 1) === col("p1"))
+      .join(c1, substring_index(col("g3"), " ", -1) === col("w"))
+      .groupBy(col("id"))
+      .agg(round(avg(-log(p)), 4).as("nll_trigram"))
+  }
+
   /** Cross-document n-gram doc-frequency coverage — the memorization /
     * near-duplication signal: for each document, how many of its
     * n-gram positions carry a gram that also occurs in ≥ minDf-1 OTHER

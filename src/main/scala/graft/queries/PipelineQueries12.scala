@@ -250,7 +250,42 @@ object PipelineQueries12 {
         col("split_a"), col("split_b"))
   }
 
+  /** Interpolated trigram LM scoring (TextCorpus.trigramInterpNll):
+    * λ₃p₃+λ₂p₂+λ₁p₁ with the identical double-op order on both
+    * engines; same round(4) margin argument as
+    * `text_bigram_perplexity`. */
+  val trigramNll: Q = q(
+    "text_trigram_interp",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g3 FROM d),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |        i -> w[i] || ' ' || w[i+1])) AS g2 FROM d),
+      |u AS (SELECT unnest(w) AS wd FROM d),
+      |c3 AS (SELECT g3, count(*) AS c3 FROM t GROUP BY 1),
+      |x2 AS (SELECT array_to_string(string_split(g3, ' ')[1:2], ' ') AS p2, count(*) AS cp2
+      |       FROM t GROUP BY 1),
+      |c2 AS (SELECT g2, count(*) AS c2 FROM b GROUP BY 1),
+      |x1 AS (SELECT string_split(g2, ' ')[1] AS p1, count(*) AS cp1 FROM b GROUP BY 1),
+      |c1 AS (SELECT wd, count(*) AS c1 FROM u GROUP BY 1),
+      |n AS (SELECT count(*) AS total FROM u)
+      |SELECT t.doc_id,
+      |  round(avg(-ln(
+      |    0.6 * (CAST(c3.c3 AS DOUBLE) / x2.cp2) +
+      |    0.3 * (CAST(c2.c2 AS DOUBLE) / x1.cp1) +
+      |    0.1 * (CAST(c1.c1 AS DOUBLE) / (SELECT total FROM n)))), 4) AS nll_trigram
+      |FROM t
+      |JOIN c3 USING (g3)
+      |JOIN x2 ON array_to_string(string_split(t.g3, ' ')[1:2], ' ') = x2.p2
+      |JOIN c2 ON array_to_string(string_split(t.g3, ' ')[2:3], ' ') = c2.g2
+      |JOIN x1 ON string_split(t.g3, ' ')[2] = x1.p1
+      |JOIN c1 ON string_split(t.g3, ' ')[3] = c1.wd
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.TextCorpus.trigramInterpNll(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("nll_trigram"))
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
-      olsFit, corrExact, splitLeakage)
+      olsFit, corrExact, splitLeakage, trigramNll)
 }
