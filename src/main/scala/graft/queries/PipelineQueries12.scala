@@ -285,7 +285,25 @@ object PipelineQueries12 {
       .select(col("id").as("doc_id"), col("nll_trigram"))
   }
 
+  /** Exact heavy-hitter tokens via Misra–Gries candidates + recount:
+    * tokens with frequency ≥ ⌊n/30⌋. The MG pass shuffles ≤ k
+    * counters per partition instead of the whole vocabulary; the
+    * recount's isin-filter pushes the ≤ k candidates into the scan.
+    * The result is EXACT (MG's superset guarantee is require-checked
+    * against the observed n), so the oracle is a plain HAVING. */
+  val heavyHitters: Q = q(
+    "topk_frequent_exact",
+    """WITH u AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+      |n AS (SELECT count(*) AS c FROM u)
+      |SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1
+      |HAVING count(*) >= greatest(1, (SELECT c // 30 FROM n))""".stripMargin) {
+    (s, d) =>
+      graft.aggs.FrequentItems.exactHeavyHittersByFraction(
+        Tables.documents(s, d).select(explode(split(col("text"), " ")).as("item")),
+        "item", denom = 30, k = 1024)
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
-      olsFit, corrExact, splitLeakage, trigramNll)
+      olsFit, corrExact, splitLeakage, trigramNll, heavyHitters)
 }

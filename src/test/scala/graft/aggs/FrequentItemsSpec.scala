@@ -1,0 +1,59 @@
+package graft.aggs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FrequentItemsSpec extends SparkSpec {
+
+  private def stream(items: Seq[String]) = {
+    import spark.implicits._
+    items.toDF("item")
+  }
+
+  test("MG guarantee: every item above n/(k+1) is in the summary") {
+    // n = 100: 40×a, 25×b, 15×c, 20 singletons; k=4 → threshold 20
+    val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(15)("c") ++
+      (0 until 20).map(i => s"z$i")
+    val shuffled = new scala.util.Random(7).shuffle(items)
+    val got = stream(shuffled).agg(FrequentItems.mgSummary(col("item"), 4).as("mg"))
+      .select(explode(col("mg")).as("e")).select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.contains("a") && got.contains("b"))
+    assert(got.size <= 4)
+    // counts are lower bounds within n/(k+1)
+    assert(got("a") <= 40 && got("a") >= 40 - 20)
+  }
+
+  test("exactHeavyHitters is exact and partition-invariant") {
+    val items = Seq.fill(300)("x") ++ Seq.fill(120)("y") ++ Seq.fill(99)("w") ++
+      (0 until 481).map(i => s"r${i % 97}") // long tail
+    val shuffled = new scala.util.Random(11).shuffle(items)
+    for (parts <- Seq(1, 7)) {
+      val got = FrequentItems.exactHeavyHitters(
+        stream(shuffled).repartition(parts), "item", minCount = 100, k = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("x" -> 300L, "y" -> 120L), s"parts=$parts")
+    }
+  }
+
+  test("guarantee violation is refused loudly") {
+    val e = intercept[IllegalArgumentException] {
+      FrequentItems.exactHeavyHitters(
+        stream(Seq.fill(1000)("a")), "item", minCount = 2, k = 4)
+    }
+    assert(e.getMessage.contains("MG guarantee"))
+  }
+
+  test("weighted merge path: heavy weight displaces k light counters") {
+    // exercised via repartition(1) vs many partitions in the exact test;
+    // here drive offer()'s decrement-batch loop directly through merge
+    // by aggregating two skewed partitions
+    import spark.implicits._
+    val df = (Seq.fill(500)("hot") ++ (0 until 64).map(i => s"cold$i"))
+      .toDF("item").repartition(8)
+    val got = df.agg(FrequentItems.mgSummary(col("item"), 2).as("mg"))
+      .select(explode(col("mg")).as("e")).select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0)).toSet
+    assert(got.contains("hot"))
+  }
+}
