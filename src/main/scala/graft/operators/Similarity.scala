@@ -682,4 +682,26 @@ object Similarity {
       .limit(k)
       .select(col("id"), col("lex_rank"), col("dense_rank"), col("rrf_fp"))
   }
+
+  /** Exact Gram matrix G = Σᵥ v·vᵀ over int8-quantized embeddings —
+    * the sufficient statistic for PCA / whitening / OPQ rotation of
+    * an embedding corpus, computed in pure integers so the matrix is
+    * bit-identical on any partitioning (float Gram sums are not).
+    *
+    * Scale shape: per row a d² outer-product explode feeds a
+    * map-side-combinable groupBy on (i, j) — the shuffle carries d²
+    * partial cells per partition, never the corpus. The d² per-row
+    * CPU is the Gram matrix's intrinsic cost. Zero vectors (null
+    * codes) are skipped, matching the quantized ranking paths. The
+    * d×d result then eigensolves driver-side (d ≤ a few thousand),
+    * exactly like k-means' bounded centroid collect. */
+  def int8GramMatrix(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus
+      .select(quantizeUnitInt8(col(vecCol)).as("code"))
+      .filter(col("code").isNotNull)
+      .select(explode(expr(
+        "flatten(transform(code, (ci, i) -> transform(code, (cj, j) -> " +
+          "struct(i as i, j as j, ci * cj as p))))")).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
 }

@@ -303,7 +303,28 @@ object PipelineQueries12 {
         "item", denom = 30, k = 1024)
   }
 
+  /** Integer-exact Gram matrix over int8-quantized embeddings — the
+    * PCA/whitening sufficient statistic. The oracle re-quantizes with
+    * the same fixed-order fold as `similarity_quantized` and sums
+    * code products per (i, j) cell. */
+  val gramMatrix: Q = q(
+    "embedding_gram_int8",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |      FROM e),
+      |qz AS (SELECT vec_id,
+      |              list_transform(v, x -> CAST(floor(x / nrm * 127 + 0.5) AS BIGINT)) AS code
+      |       FROM n WHERE nrm > 0)
+      |SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+      |       CAST(sum(code[CAST(i AS INT)] * code[CAST(j AS INT)]) AS BIGINT) AS g
+      |FROM qz, range(1, 65) r1(i), range(1, 65) r2(j)
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    graft.operators.Similarity.int8GramMatrix(Tables.embeddings(s, d), "embedding")
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
-      olsFit, corrExact, splitLeakage, trigramNll, heavyHitters)
+      olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix)
 }
