@@ -704,4 +704,38 @@ object Similarity {
           "struct(i as i, j as j, ci * cj as p))))")).as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+
+  /** Top principal direction of the int8 Gram matrix by EXACT integer
+    * power iteration: v₀ = 1, vₖ₊₁ = G·vₖ kept as unscaled
+    * DECIMAL(38,0) integers (no per-sweep normalization — for a PSD
+    * Gram with d ≤ 64 and ≤ 3 sweeps the magnitudes stay ≤ ~10²⁷,
+    * inside both engines' exact-decimal range), so every iterate is
+    * bit-identical on any partitioning. The returned component is
+    * vₖ / max|vₖ| rounded 6dp — the one float division happens once,
+    * after all exact arithmetic.
+    *
+    * Scale shape: each sweep is a (d²-row Gram) ⨝ (d-row vector)
+    * join + groupBy — trivially small after the Gram aggregation,
+    * which is the only corpus-sized stage. The Gram frame is
+    * checkpointed so sweeps don't re-run the corpus scan (same
+    * discipline as GraphRank.pageRank). */
+  def topComponentPowerIter(gram: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 3, "≤3 unscaled sweeps stay within decimal(38)")
+    val g = gram.select(col("i"), col("j"), col("g").cast("decimal(38,0)").as("g"))
+      .localCheckpoint()
+    var v = g.select(col("j")).distinct()
+      .select(col("j"), lit(1).cast("decimal(38,0)").as("v"))
+    for (_ <- 1 to iters) {
+      v = g.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("g") * col("v")).cast("decimal(38,0)").as("v"))
+        .select(col("i").as("j"), col("v"))
+    }
+    // bounded driver scalar (d-row frame), like pageRank's node count —
+    // avoids a 1-row cartesian the plan audit would flag
+    val last = v.localCheckpoint()
+    val m = last.agg(max(abs(col("v")))).head().getDecimal(0)
+    last.select(col("j").as("i"),
+      round(col("v").cast("double") / lit(m).cast("double"), 6).as("comp"))
+  }
 }

@@ -324,7 +324,40 @@ object PipelineQueries12 {
     graft.operators.Similarity.int8GramMatrix(Tables.embeddings(s, d), "embedding")
   }
 
+  /** Top principal direction of the embedding corpus: 3 exact
+    * integer power-iteration sweeps over the int8 Gram matrix
+    * (unscaled HUGEINT/DECIMAL(38,0) iterates), one float division
+    * at the very end — the same exact-iteration discipline as
+    * `graph_textrank`, applied to spectral analysis. */
+  val pcaPower: Q = q(
+    "embedding_pca_power",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |      FROM e),
+      |qz AS (SELECT vec_id,
+      |              list_transform(v, x -> CAST(floor(x / nrm * 127 + 0.5) AS BIGINT)) AS code
+      |       FROM n WHERE nrm > 0),
+      |gm AS (SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+      |              CAST(sum(code[CAST(i AS INT)] * code[CAST(j AS INT)]) AS HUGEINT) AS g
+      |       FROM qz, range(1, 65) r1(i), range(1, 65) r2(j) GROUP BY 1, 2),
+      |v1 AS (SELECT i AS j, CAST(sum(g) AS HUGEINT) AS v FROM gm GROUP BY 1),
+      |v2 AS (SELECT gm.i AS j, CAST(sum(gm.g * v1.v) AS HUGEINT) AS v
+      |       FROM gm JOIN v1 ON gm.j = v1.j GROUP BY 1),
+      |v3 AS (SELECT gm.i AS j, CAST(sum(gm.g * v2.v) AS HUGEINT) AS v
+      |       FROM gm JOIN v2 ON gm.j = v2.j GROUP BY 1),
+      |m AS (SELECT max(abs(v)) AS m FROM v3)
+      |SELECT v3.j AS i,
+      |       round(CAST(v3.v AS DOUBLE) / (SELECT CAST(m AS DOUBLE) FROM m), 6) AS comp
+      |FROM v3""".stripMargin) { (s, d) =>
+    graft.operators.Similarity.topComponentPowerIter(
+      graft.operators.Similarity.int8GramMatrix(Tables.embeddings(s, d), "embedding"),
+      iters = 3)
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
-      olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix)
+      olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
+      pcaPower)
 }
