@@ -356,8 +356,62 @@ object PipelineQueries12 {
       iters = 3)
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-20 token vocabulary ((count desc, token) order — fully
+    * deterministic) — the tokenizer-coverage signal in basis points,
+    * all integers. The vocab is a bounded broadcast; the corpus is
+    * never re-shuffled. */
+  val oovRate: Q = q(
+    "text_oov_rate",
+    """WITH u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM u GROUP BY 1)
+      |      ORDER BY c DESC, tok ASC LIMIT 20),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000 // count(*) AS bp_oov
+      |FROM t LEFT JOIN v ON t.tok = v.tok
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = broadcast(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(20)
+        .select(col("tok"), lit(1).as("__in")))
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("bp_oov", graft.exprs.idiv(col("n_oov") * 10000L, col("n_tokens")))
+  }
+
+  /** Within-language percentile rank of document length in basis
+    * points — rank-based score normalization (the CCNet bucketing
+    * primitive generalized): bp = (rank−1)·10000 div (groupN−1),
+    * rank by (n_chars, doc_id) — all integers, partitioned window
+    * only (no global sort). */
+  val scorePercentile: Q = q(
+    "quality_score_percentile",
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+      |             count(*) OVER (PARTITION BY lang) AS gn
+      |           FROM documents)
+      |SELECT doc_id, lang, n_chars,
+      |       CAST((rk - 1) * 10000 // greatest(gn - 1, 1) AS BIGINT) AS bp_rank
+      |FROM r""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("lang"))).as("gn"))
+      .withColumn("bp_rank",
+        graft.exprs.idiv((col("rk") - 1) * 10000L, greatest(col("gn") - 1, lit(1L))))
+      .drop("rk", "gn")
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
-      pcaPower)
+      pcaPower, oovRate, scorePercentile)
 }
