@@ -410,8 +410,32 @@ object PipelineQueries12 {
       .drop("rk", "gn")
   }
 
+  /** Spatial radius self-join: grid-cell blocking + exact integer
+    * L2² verification over synthetic planar points derived
+    * deterministically from customer keys. The oracle is the O(n²)
+    * cross join on the bounded key range; the Spark side only ever
+    * joins cell-colliding candidates. */
+  val geoRadius: Q = q(
+    "join_geo_radius",
+    """WITH p AS (SELECT c_custkey AS id,
+      |    (c_custkey * 2654435761) % 1048576 AS x,
+      |    (c_custkey * 97 + 40503) * 8191 % 1048576 AS y
+      |  FROM customer WHERE c_custkey < 1200)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist_sq
+      |FROM p a, p b
+      |WHERE a.id < b.id
+      |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= CAST(65536 AS BIGINT)*65536""".stripMargin) {
+    (s, d) =>
+      val pts = Tables.customer(s, d).filter(col("c_custkey") < 1200)
+        .select(col("c_custkey").as("id"),
+          (col("c_custkey") * 2654435761L % 1048576L).as("x"),
+          ((col("c_custkey") * 97L + 40503L) * 8191L % 1048576L).as("y"))
+      graft.operators.SpatialJoin.radiusSelfJoin(pts, "id", "x", "y", radius = 65536L)
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
-      pcaPower, oovRate, scorePercentile)
+      pcaPower, oovRate, scorePercentile, geoRadius)
 }

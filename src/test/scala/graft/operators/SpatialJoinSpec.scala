@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SpatialJoinSpec extends SparkSpec {
+
+  private def pts(ps: (Long, Long, Long)*) = {
+    import spark.implicits._
+    ps.toDF("id", "x", "y")
+  }
+
+  private def run(df: org.apache.spark.sql.DataFrame, r: Long) =
+    SpatialJoin.radiusSelfJoin(df, "id", "x", "y", r)
+      .collect().map(row => (row.getLong(0), row.getLong(1)) -> row.getLong(2)).toMap
+
+  test("pairs across cell boundaries are found; far pairs are not") {
+    // radius 10: cells of side 10. (9,9)-(11,11) straddles a corner.
+    val got = run(pts((1, 9, 9), (2, 11, 11), (3, 9, 30), (4, 500, 500)), 10)
+    assert(got == Map((1L, 2L) -> 8L)) // (2² + 2²); (1,3) at dy=21 > 10
+  }
+
+  test("boundary inclusivity: dist exactly r is kept, r+ε dropped") {
+    val got = run(pts((1, 0, 0), (2, 10, 0), (3, 0, 11)), 10)
+    assert(got == Map((1L, 2L) -> 100L))
+  }
+
+  test("matches brute force on a random cloud") {
+    val rnd = new scala.util.Random(42)
+    val cloud = (1L to 120L).map(i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val r = 90L
+    val expected = (for {
+      a <- cloud; b <- cloud if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1) -> d2).toMap
+    assert(run(pts(cloud: _*), r) == expected)
+  }
+
+  test("co-located points pair at distance zero") {
+    val got = run(pts((1, 5, 5), (2, 5, 5)), 3)
+    assert(got == Map((1L, 2L) -> 0L))
+  }
+}
