@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over (user, timestamp, type) streams —
+  * the funnel/retention layer every product-analytics deployment of
+  * a timeseries store runs (ClickHouse ships windowFunnel/retention
+  * natively; the reference engine leaves it to query authors).
+  *
+  * Scale design: both operators are one groupBy(user) pass. The
+  * funnel folds each user's time-sorted event structs with an
+  * `aggregate` HOF — per-user state is one int, the collect_list is
+  * bounded by per-user activity (product analytics' standing
+  * assumption; cap upstream for adversarial users). Retention joins
+  * the per-user cohort row back to the distinct (user, day) activity
+  * set — both sides keyed and shuffled on user_id once.
+  */
+object EventAnalytics {
+
+  /** Strict-order conversion funnel, optionally windowed (the
+    * ClickHouse-windowFunnel shape, anchored at the FIRST step-1
+    * event — deterministic, not sliding): stage s is reached at the
+    * first stage-s event strictly after the stage-(s−1) reach time
+    * and, when `window` is set, no later than anchor + window. A
+    * first-match fold over the time-sorted stream — equivalent to
+    * the chained-min definition whenever timestamps are distinct.
+    * Returns (stage, users): how many users topped out at each
+    * stage, 0 ≤ stage ≤ steps.length. */
+  def funnel(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], window: Option[String] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val evs = sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("t"))))
+    // fold state: (stage so far, anchor = ts of the step-1 event)
+    val init = struct(lit(0).as("s"), lit(null).cast("timestamp").as("a"))
+    val folded = aggregate(evs, init, (st, e) => {
+      val s = st.getField("s")
+      val a = st.getField("a")
+      val inWin = window match {
+        case Some(w) => e.getField("ts") <= a + expr(s"INTERVAL $w")
+        case None    => lit(true)
+      }
+      val first = when(s === 0 && e.getField("t") === steps.head,
+        struct(lit(1).as("s"), e.getField("ts").as("a")))
+      steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+        acc.when(s === i && e.getField("t") === step && inWin,
+          struct(lit(i + 1).as("s"), a.as("a")))
+      }.otherwise(st)
+    })
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(folded.getField("s").as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** Day-offset retention cohorts: users grouped by their first
+    * active day; for each requested offset k, how many of the cohort
+    * were active on cohort_day + k. Returns
+    * (cohort_day, day_offset, users). */
+  def retentionCohorts(
+      events: DataFrame, userCol: String, tsCol: String,
+      offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty, "need at least one day offset")
+    val activity = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    cohorts.join(activity, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset").isin(offsets: _*))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

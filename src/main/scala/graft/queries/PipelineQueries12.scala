@@ -434,8 +434,54 @@ object PipelineQueries12 {
       graft.operators.SpatialJoin.radiusSelfJoin(pts, "id", "x", "y", radius = 65536L)
   }
 
+  /** Strict-order conversion funnel view→click→purchase inside a
+    * 72-hour window anchored at the first view (windowFunnel shape):
+    * per-user first-match fold over the time-sorted stream (one
+    * groupBy pass); the oracle states the chained-min definition,
+    * which the fold equals for distinct timestamps. */
+  val funnel: Q = q(
+    "events_funnel",
+    """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      |                  AND e.ts <= t1.t1 + INTERVAL 72 HOUR
+      |       WHERE e.event_type = 'click' GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |       JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      |       JOIN t1 ON e.user_id = t1.user_id AND e.ts <= t1.t1 + INTERVAL 72 HOUR
+      |       WHERE e.event_type = 'purchase' GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |s AS (SELECT u.user_id,
+      |        CASE WHEN t3.user_id IS NOT NULL THEN 3
+      |             WHEN t2.user_id IS NOT NULL THEN 2
+      |             WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |      FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |             LEFT JOIN t3 USING (user_id))
+      |SELECT CAST(stage AS INT) AS stage, CAST(count(*) AS BIGINT) AS users
+      |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.funnel(
+      Tables.events(s, d), "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"), window = Some("72 HOUR"))
+  }
+
+  /** Day-offset retention cohorts (first-active-day cohorting,
+    * offsets 0/1/7/14) — all dates and counts integer-exact. */
+  val retention: Q = q(
+    "events_retention_cohort",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+      |SELECT c.cohort_day, CAST(a.day - c.cohort_day AS INT) AS day_offset,
+      |       CAST(count(*) AS BIGINT) AS users
+      |FROM c JOIN a USING (user_id)
+      |WHERE a.day - c.cohort_day IN (0, 1, 7, 14)
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.retentionCohorts(
+      Tables.events(s, d), "user_id", "ts", offsets = Seq(0, 1, 7, 14))
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
-      pcaPower, oovRate, scorePercentile, geoRadius)
+      pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention)
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.map { case (u, t, e) => (u, ts(t), e) }.toDF("user_id", "ts", "event_type")
+  }
+
+  private def stages(df: org.apache.spark.sql.DataFrame,
+      window: Option[String] = None): Map[Int, Long] =
+    EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), window)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  test("funnel: order matters, non-step events ignored, stages counted") {
+    val df = ev(
+      // user 1: full ordered funnel with noise
+      (1, "2024-01-01 10:00:00", "view"), (1, "2024-01-01 10:30:00", "error"),
+      (1, "2024-01-01 11:00:00", "click"), (1, "2024-01-01 12:00:00", "purchase"),
+      // user 2: purchase BEFORE view/click → only view+click count
+      (2, "2024-01-01 09:00:00", "purchase"), (2, "2024-01-01 10:00:00", "view"),
+      (2, "2024-01-01 11:00:00", "click"),
+      // user 3: never views
+      (3, "2024-01-01 10:00:00", "click"), (3, "2024-01-01 11:00:00", "purchase"))
+    assert(stages(df) == Map(3 -> 1L, 2 -> 1L, 0 -> 1L))
+  }
+
+  test("windowed funnel: late steps fall outside the anchor window") {
+    val df = ev(
+      // user 1: click within 1h of first view, purchase outside it
+      (1, "2024-01-01 10:00:00", "view"), (1, "2024-01-01 10:30:00", "click"),
+      (1, "2024-01-01 12:00:00", "purchase"),
+      // user 2: everything within the hour
+      (2, "2024-01-01 10:00:00", "view"), (2, "2024-01-01 10:20:00", "click"),
+      (2, "2024-01-01 10:40:00", "purchase"))
+    assert(stages(df, Some("1 HOUR")) == Map(2 -> 1L, 3 -> 1L))
+    // window is anchored at the FIRST view even if a later view would fit
+    val df2 = ev(
+      (1, "2024-01-01 10:00:00", "view"), (1, "2024-01-01 20:00:00", "view"),
+      (1, "2024-01-01 20:30:00", "click"))
+    assert(stages(df2, Some("1 HOUR")) == Map(1 -> 1L))
+  }
+
+  test("retention cohorts: offsets count only users active that exact day") {
+    val df = ev(
+      (1, "2024-01-01 10:00:00", "view"), (1, "2024-01-02 10:00:00", "view"),
+      (1, "2024-01-08 10:00:00", "view"),
+      (2, "2024-01-01 23:00:00", "view"), (2, "2024-01-03 10:00:00", "view"),
+      (3, "2024-01-02 10:00:00", "view"))
+    val got = EventAnalytics.retentionCohorts(df, "user_id", "ts", Seq(0, 1, 7))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L, ("2024-01-01", 7) -> 1L,
+      ("2024-01-02", 0) -> 1L))
+  }
+}
