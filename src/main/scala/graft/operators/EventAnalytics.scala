@@ -54,6 +54,28 @@ object EventAnalytics {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Top event paths: the most frequent length-`n` consecutive
+    * event-type sequences across users (the Sankey/path-analysis
+    * input). Per-user time-sorted fold to adjacent n-tuples — the
+    * event-stream analog of word shingles — then a count + exact
+    * total-ordered top-k. */
+  def topPaths(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(n >= 2 && n <= 8 && k >= 1, s"unsupported n=$n k=$k")
+    val evs = sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("t"))))
+    val paths = events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .filter(size(col("evs")) >= n) // sequence(0, neg) would run backwards
+      .select(explode(expr(
+        s"transform(sequence(0, size(evs) - $n), i -> " +
+          s"concat_ws('>', ${(0 until n).map(j => s"evs[i + $j].t").mkString(", ")}))")).as("path"))
+    paths
+      .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Day-offset retention cohorts: users grouped by their first
     * active day; for each requested offset k, how many of the cohort
     * were active on cohort_day + k. Returns

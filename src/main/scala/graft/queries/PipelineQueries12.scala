@@ -480,8 +480,24 @@ object PipelineQueries12 {
       Tables.events(s, d), "user_id", "ts", offsets = Seq(0, 1, 7, 14))
   }
 
+  /** Top-10 three-step event paths — path (Sankey) analysis; exact
+    * counts with a total order before LIMIT. */
+  val topPaths: Q = q(
+    "events_top_paths",
+    """WITH o AS (SELECT user_id, event_type, ts,
+      |             lead(event_type, 1) OVER w AS e2,
+      |             lead(event_type, 2) OVER w AS e3
+      |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+      |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM o
+      |      WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+      |SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1
+      |ORDER BY cnt DESC, path ASC LIMIT 10""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.topPaths(
+      Tables.events(s, d), "user_id", "ts", "event_type", n = 3, k = 10)
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
-      pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention)
+      pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention, topPaths)
 }
