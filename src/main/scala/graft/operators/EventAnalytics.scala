@@ -76,6 +76,57 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Markov transition matrix of consecutive per-user events:
+    * (from, to, cnt, bp) with bp = row-normalized probability in
+    * basis points — integer-exact. */
+  def transitionMatrix(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String): DataFrame = {
+    val evs = sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("t"))))
+    val pairs = events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .filter(size(col("evs")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(evs) - 2), i -> " +
+          "struct(evs[i].t as e1, evs[i + 1].t as e2))")).as("p"))
+      .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("e1")).agg(sum(col("cnt")).as("rt"))
+    pairs.join(totals, Seq("e1"))
+      .select(col("e1"), col("e2"), col("cnt"),
+        graft.exprs.idiv(col("cnt") * 10000L, col("rt")).as("bp"))
+  }
+
+  /** Robust per-group outlier counts via median / MAD (median
+    * absolute deviation), with DISCRETE medians — the lower-middle
+    * ELEMENT v[(n+1) div 2] of the sorted values, so both engines
+    * select the identical datum and the 3·MAD cut is engine-exact
+    * (no interpolation, no float accumulation). Flags
+    * |v − med| > 3·MAD. Returns (group, n, n_out, med, mad). */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def discMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(vCol))
+      val wn = Window.partitionBy(col("g"))
+      in.select(col("g"), col(vCol),
+        row_number().over(w).as("__rk"), count(lit(1)).over(wn).as("__n"))
+        .filter(col("__rk") === expr("(__n + 1) div 2"))
+        .select(col("g"), col(vCol).as(out))
+    }
+    val base = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val med = discMedian(base, "v", "med")
+    val dev = base.join(med, Seq("g")).withColumn("ad", abs(col("v") - col("med")))
+    val mad = discMedian(dev.select(col("g"), col("ad")), "ad", "mad")
+    base.join(med, Seq("g")).join(mad, Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("v") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"))
+      .select(col("g").as(groupCol), col("n"), col("n_out"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+  }
+
   /** Day-offset retention cohorts: users grouped by their first
     * active day; for each requested offset k, how many of the cohort
     * were active on cohort_day + k. Returns

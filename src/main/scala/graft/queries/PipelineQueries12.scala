@@ -496,8 +496,47 @@ object PipelineQueries12 {
       Tables.events(s, d), "user_id", "ts", "event_type", n = 3, k = 10)
   }
 
+  /** Markov transition matrix of consecutive per-user events, row
+    * probabilities in integer basis points. */
+  val transitions: Q = q(
+    "events_transition_matrix",
+    """WITH o AS (SELECT user_id, event_type AS e1,
+      |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS e2
+      |           FROM events),
+      |p AS (SELECT e1, e2, CAST(count(*) AS BIGINT) AS cnt FROM o
+      |      WHERE e2 IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT e1, sum(cnt) AS rt FROM p GROUP BY 1)
+      |SELECT p.e1, p.e2, p.cnt, CAST(p.cnt * 10000 // t.rt AS BIGINT) AS bp
+      |FROM p JOIN t USING (e1)""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.transitionMatrix(
+      Tables.events(s, d), "user_id", "ts", "event_type")
+  }
+
+  /** Robust outlier counts per event type: discrete (element-exact)
+    * median and MAD, 3·MAD cut — both engines select identical data
+    * and count identically. */
+  val madOutliers: Q = q(
+    "events_mad_outliers",
+    """WITH r AS (SELECT event_type AS g, value AS v,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+      |             count(*) OVER (PARTITION BY event_type) AS n
+      |           FROM events),
+      |m AS (SELECT g, v AS med FROM r WHERE rk = (n + 1) // 2),
+      |d AS (SELECT r.g, abs(r.v - m.med) AS ad, m.med FROM r JOIN m USING (g)),
+      |r2 AS (SELECT g, ad, row_number() OVER (PARTITION BY g ORDER BY ad) AS rk,
+      |              count(*) OVER (PARTITION BY g) AS n FROM d),
+      |md AS (SELECT g, ad AS mad FROM r2 WHERE rk = (n + 1) // 2)
+      |SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN d.ad > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+      |       round(any_value(d.med), 4) AS med, round(any_value(md.mad), 4) AS mad
+      |FROM d JOIN md USING (g)
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.madOutliers(Tables.events(s, d), "event_type", "value")
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
-      pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention, topPaths)
+      pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention, topPaths,
+      transitions, madOutliers)
 }
