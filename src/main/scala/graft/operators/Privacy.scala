@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PII / secret detection and redaction for training-data curation.
@@ -42,6 +42,20 @@ object Privacy {
   /** True when the text contains any redactable span — the cheap
     * pre-filter: at corpus scale most documents are clean, and a
     * single alternation scan routes them around the 5-pass rewrite. */
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002):
+    * each equivalence class (distinct QI combination) with fewer than
+    * k members is a re-identification risk. Returns one row per
+    * class: (qi columns..., n, at_risk). One map-side-combinable
+    * groupBy — the governance pass a dataset release runs at any
+    * scale; suppression/generalization decisions consume this table.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, s"need QI columns and k ≥ 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", (col("n") < k).cast("int"))
+  }
+
   def containsPii(text: Column): Column =
     rules.map { case (_, pat, _) => text.rlike(pat) }.reduce(_ || _)
 }

@@ -534,9 +534,25 @@ object PipelineQueries12 {
     graft.operators.EventAnalytics.madOutliers(Tables.events(s, d), "event_type", "value")
   }
 
+  /** k-anonymity audit (k=5) on (lang, source, length-bucket) quasi
+    * identifiers — the dataset-release governance pass; equivalence
+    * classes smaller than k are re-identification risks. */
+  val kAnon: Q = q(
+    "privacy_k_anonymity",
+    """SELECT lang, source, n_chars // 100 AS len_bucket,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT) AS at_risk
+      |FROM documents GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    graft.operators.Privacy.kAnonymity(
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          graft.exprs.idiv(col("n_chars"), lit(100L)).as("len_bucket")),
+      Seq("lang", "source", "len_bucket"), k = 5)
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
       pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention, topPaths,
-      transitions, madOutliers)
+      transitions, madOutliers, kAnon)
 }

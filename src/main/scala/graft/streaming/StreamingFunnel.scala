@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Real-time conversion funnel — the continuous form of
+  * [[graft.operators.EventAnalytics.funnel]]: per-user stage machine
+  * in flatMapGroupsWithState, emitting one Advance row the moment a
+  * user reaches a new stage (the live-dashboard shape: counting
+  * advances per stage downstream reproduces the batch funnel
+  * histogram incrementally).
+  *
+  * Semantics match the batch fold: stage s+1 is reached at the first
+  * step-(s+1) event after the stage-s reach, and — when `windowMs`
+  * is set — no later than the first-step anchor + window. Events are
+  * sorted (ts, type) within each micro-batch; cross-batch order is
+  * the source's responsibility (per-key ordered delivery, the usual
+  * per-partition Kafka contract).
+  *
+  * Scale design: state is ONE (stage, anchor) pair per active user,
+  * hash-partitioned across executors; users who finish the funnel
+  * stop updating state. A production deployment adds an event-time
+  * timeout to expire stale users; kept minimal here so the parity
+  * contract with the batch operator stays exact.
+  */
+object StreamingFunnel {
+
+  final case class Ev(user: Long, ts: java.sql.Timestamp, etype: String)
+  final case class FunnelState(stage: Int, anchorMs: Long)
+  final case class Advance(user: Long, stage: Int, atMs: Long)
+
+  def advances(
+      events: Dataset[Ev], steps: Seq[String],
+      windowMs: Option[Long] = None): Dataset[Advance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    implicit val ea = Encoders.product[Advance]
+    events
+      .groupByKey(_.user)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, Advance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L))
+          val out = Seq.newBuilder[Advance]
+          for (e <- rows.toSeq.sortBy(x => (x.ts.getTime, x.etype))) {
+            val s = st.stage
+            if (s < steps.length && e.etype == steps(s)) {
+              val t = e.ts.getTime
+              val inWin = s == 0 || windowMs.forall(w => t <= st.anchorMs + w)
+              if (inWin) {
+                st = FunnelState(s + 1, if (s == 0) t else st.anchorMs)
+                out += Advance(user, s + 1, t)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }(Encoders.product[FunnelState], ea)
+  }
+}

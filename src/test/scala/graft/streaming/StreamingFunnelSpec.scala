@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamingFunnelSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("stage advances emit incrementally and survive micro-batch boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingFunnel.advances(
+      mem.toDS().map { case (u, t, e) => StreamingFunnel.Ev(u, t, e) },
+      steps = Seq("view", "click", "purchase"),
+      windowMs = Some(3600 * 1000L))
+      .writeStream.format("memory").queryName("sf_funnel")
+      .outputMode("append").start()
+    // batch 1: user 1 views and clicks; user 2 only clicks (no view yet)
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "click"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("sf_funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(afterB1 == Set((1L, 1), (1L, 2)))
+    // batch 2: user 1 purchases inside the window (stage 3 via state
+    // carried across batches); user 2's view then click advance to 2;
+    // a second user-1 purchase must NOT re-emit
+    mem.addData(
+      (1L, ts("2024-01-01 10:30:00"), "purchase"),
+      (1L, ts("2024-01-01 10:40:00"), "purchase"),
+      (2L, ts("2024-01-01 10:20:00"), "view"),
+      (2L, ts("2024-01-01 10:30:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sf_funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(all == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2)))
+  }
+
+  test("window cut: a purchase past anchor+window never advances; parity with batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"), // outside 1h window
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:20:00"), "click"),
+      (2L, ts("2024-01-01 10:40:00"), "purchase"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingFunnel.advances(
+      mem.toDS().map { case (u, t, e) => StreamingFunnel.Ev(u, t, e) },
+      Seq("view", "click", "purchase"), windowMs = Some(3600 * 1000L))
+      .writeStream.format("memory").queryName("sf_funnel2")
+      .outputMode("append").start()
+    rows.foreach { r => mem.addData(r); q.processAllAvailable() } // one event per batch
+    q.stop()
+    val streamStages = spark.table("sf_funnel2").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2).max }
+    val batchStages = graft.operators.EventAnalytics.funnel(
+      rows.toDF("user_id", "ts", "event_type"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), Some("1 HOUR"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(streamStages == Map(1L -> 2, 2L -> 3))
+    assert(batchStages == Map(2 -> 1L, 3 -> 1L))
+  }
+}
