@@ -29,11 +29,23 @@ object EventAnalytics {
     * stage, 0 ≤ stage ≤ steps.length. */
   def funnel(
       events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], window: Option[String] = None): DataFrame =
+    funnelUsers(events, userCol, tsCol, typeCol, steps, window)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("users"))
+
+  /** Per-user funnel detail behind [[funnel]]: (user_id, stage,
+    * anchor_ts = first-step time, reach_ts = time the final reached
+    * stage was entered) — the input to conversion-latency and
+    * per-cohort breakdowns. */
+  def funnelUsers(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
       steps: Seq[String], window: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val evs = sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("t"))))
-    // fold state: (stage so far, anchor = ts of the step-1 event)
-    val init = struct(lit(0).as("s"), lit(null).cast("timestamp").as("a"))
+    // fold state: (stage, anchor = step-1 ts, reach = ts of last advance)
+    val init = struct(lit(0).as("s"),
+      lit(null).cast("timestamp").as("a"), lit(null).cast("timestamp").as("r"))
     val folded = aggregate(evs, init, (st, e) => {
       val s = st.getField("s")
       val a = st.getField("a")
@@ -42,16 +54,16 @@ object EventAnalytics {
         case None    => lit(true)
       }
       val first = when(s === 0 && e.getField("t") === steps.head,
-        struct(lit(1).as("s"), e.getField("ts").as("a")))
+        struct(lit(1).as("s"), e.getField("ts").as("a"), e.getField("ts").as("r")))
       steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
         acc.when(s === i && e.getField("t") === step && inWin,
-          struct(lit(i + 1).as("s"), a.as("a")))
+          struct(lit(i + 1).as("s"), a.as("a"), e.getField("ts").as("r")))
       }.otherwise(st)
     })
     events.groupBy(col(userCol).as("user_id"))
-      .agg(folded.getField("s").as("stage"))
-      .groupBy(col("stage"))
-      .agg(count(lit(1)).as("users"))
+      .agg(folded.as("f"))
+      .select(col("user_id"), col("f.s").as("stage"),
+        col("f.a").as("anchor_ts"), col("f.r").as("reach_ts"))
   }
 
   /** Top event paths: the most frequent length-`n` consecutive

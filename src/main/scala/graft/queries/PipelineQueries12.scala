@@ -550,9 +550,39 @@ object PipelineQueries12 {
       Seq("lang", "source", "len_bucket"), k = 5)
   }
 
+  /** Conversion-latency histogram for fully-converted users: hours
+    * from first view (anchor) to purchase, bucketed in 6-hour bins —
+    * exact integer microsecond arithmetic. */
+  val funnelLatency: Q = q(
+    "events_funnel_latency",
+    """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      |                  AND e.ts <= t1.t1 + INTERVAL 72 HOUR
+      |       WHERE e.event_type = 'click' GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |       JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      |       JOIN t1 ON e.user_id = t1.user_id AND e.ts <= t1.t1 + INTERVAL 72 HOUR
+      |       WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT CAST((epoch_us(t3.t3) - epoch_us(t1.t1)) // 21600000000 AS BIGINT) AS bucket_6h,
+      |       CAST(count(*) AS BIGINT) AS users
+      |FROM t3 JOIN t1 USING (user_id)
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.funnelUsers(
+      Tables.events(s, d), "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"), window = Some("72 HOUR"))
+      .filter(col("stage") === 3)
+      .select(graft.exprs.idiv(
+        unix_micros(col("reach_ts")) - unix_micros(col("anchor_ts")),
+        lit(21600000000L)).as("bucket_6h"))
+      .groupBy(col("bucket_6h"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
       pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention, topPaths,
-      transitions, madOutliers, kAnon)
+      transitions, madOutliers, kAnon, funnelLatency)
 }
