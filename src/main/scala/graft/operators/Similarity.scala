@@ -695,15 +695,41 @@ object Similarity {
     * codes) are skipped, matching the quantized ranking paths. The
     * d×d result then eigensolves driver-side (d ≤ a few thousand),
     * exactly like k-means' bounded centroid collect. */
-  def int8GramMatrix(corpus: DataFrame, vecCol: String): DataFrame =
+  def int8GramMatrix(corpus: DataFrame, vecCol: String): DataFrame = {
+    import corpus.sparkSession.implicits._
+    // Per-partition imperative accumulation (the MLlib Gramian
+    // pattern, one of the rare justified mapPartitions sites): each
+    // partition folds its vectors into ONE local d×d long array and
+    // emits d² (i, j, partial) rows, so the shuffle carries
+    // partitions × d² cells instead of rows × d² — at 100 TB that is
+    // the difference between a d²-wide shuffle and none.
     corpus
       .select(quantizeUnitInt8(col(vecCol)).as("code"))
       .filter(col("code").isNotNull)
-      .select(explode(expr(
-        "flatten(transform(code, (ci, i) -> transform(code, (cj, j) -> " +
-          "struct(i as i, j as j, ci * cj as p))))")).as("e"))
-      .select(col("e.i"), col("e.j"), col("e.p"))
+      .as[Seq[Long]]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next().toArray
+          val d = first.length
+          val acc = new Array[Long](d * d)
+          def add(v: Array[Long]): Unit = {
+            var i = 0
+            while (i < d) {
+              val vi = v(i); val base = i * d
+              var j = 0
+              while (j < d) { acc(base + j) += vi * v(j); j += 1 }
+              i += 1
+            }
+          }
+          add(first)
+          while (it.hasNext) add(it.next().toArray)
+          Iterator.tabulate(d * d)(k => (k / d, k % d, acc(k)))
+        }
+      }
+      .toDF("i", "j", "p")
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+  }
 
   /** Top principal direction of the int8 Gram matrix by EXACT integer
     * power iteration: v₀ = 1, vₖ₊₁ = G·vₖ kept as unscaled
