@@ -25,6 +25,30 @@ object Sampling {
   /** keep rows where the id-hash falls under the label's rate.
     * `rates` maps label → fraction; labels absent from the map use
     * `defaultRate`. Rates are exact at 1/10000 resolution. */
+  /** Proportional quota allocation by the largest-remainder (Hare)
+    * method: split a total budget across strata proportionally to
+    * their sizes, exactly — base = ⌊budget·n/N⌋ per stratum, then
+    * the leftover seats go to the largest remainders (ties broken by
+    * stratum key ascending). Pure integer arithmetic; quotas sum to
+    * exactly `budget`. The strata table is aggregate-sized, so the
+    * remainder ranking is a bounded sort, not a corpus sort. */
+  def quotaLargestRemainder(
+      df: DataFrame, stratumCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    val based = counts
+      .withColumn("base", graft.exprs.idiv(col("n") * budget, lit(total)))
+      .withColumn("rem", (col("n") * budget) % total)
+    val spare = budget - based.agg(sum(col("base"))).head().getLong(0)
+    val w = Window.orderBy(col("rem").desc, col("stratum").asc)
+    based
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("quota", col("base") + when(col("__rk") <= spare, 1L).otherwise(0L))
+      .select(col("stratum"), col("n"), col("quota"))
+  }
+
   def stratified(
       df: DataFrame, labelCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double,

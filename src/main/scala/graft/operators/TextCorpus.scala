@@ -97,6 +97,47 @@ object TextCorpus {
         .as("nll_bigram"))
   }
 
+  /** χ² token–class association (the classic feature-selection
+    * statistic; Yang & Pedersen 1997): for each (class, token) over
+    * document-level presence, χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    * from the 2×2 presence table. All counts and the numerator/
+    * denominator are exact integers (fits Long for corpora ≤ ~10⁵
+    * docs per class; the scale path swaps in DecimalType the way
+    * Regression does); one float division per cell at the end.
+    * Returns the top-k most source-discriminative tokens per class.
+    *
+    * Scale shape: one explode + distinct (doc, token) pass, then
+    * joins between aggregate-sized tables (per-class, per-token,
+    * per-cell counts); the top-k is a partitioned window over the
+    * cell table. */
+  def chi2Keywords(df: DataFrame, idCol: String, classCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pres = df.select(col(idCol).as("id"), col(classCol).as("cls"),
+      explode(array_distinct(toks(col(textCol)))).as("tok")).distinct()
+    val n = df.select(col(idCol)).distinct().count()
+    val byCell = pres.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("a"))
+    val byCls = pres.select(col("cls"), col("id")).distinct()
+      .groupBy(col("cls")).agg(count(lit(1)).as("nc"))
+    val byTok = pres.groupBy(col("tok")).agg(count(lit(1)).as("nt"))
+    val cells = byCell.join(byCls, Seq("cls")).join(byTok, Seq("tok"))
+      .withColumn("b", col("nc") - col("a"))
+      .withColumn("c", col("nt") - col("a"))
+      .withColumn("d", lit(n) - col("nc") - col("c"))
+    val num = lit(n) *
+      (col("a") * col("d") - col("b") * col("c")) *
+      (col("a") * col("d") - col("b") * col("c"))
+    val den = (col("a") + col("b")) * (col("c") + col("d")) *
+      (col("a") + col("c")) * (col("b") + col("d"))
+    val w = Window.partitionBy(col("cls")).orderBy(col("chi2").desc, col("tok").asc)
+    cells
+      .withColumn("chi2", round(num.cast("double") / den.cast("double"), 4))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("cls"), col("tok"), col("a"), round(col("chi2"), 4).as("chi2"),
+        col("__rk").as("rank"))
+  }
+
   /** Per-document interpolated trigram NLL (Jelinek & Mercer 1980
     * linear interpolation): avg over trigram positions of
     * -ln( λ₃·c₃(w₁w₂w₃)/c(w₁w₂·) + λ₂·c₂(w₂w₃)/c(w₂·) + λ₁·c₁(w₃)/N )

@@ -580,9 +580,58 @@ object PipelineQueries12 {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Largest-remainder (Hare) quota allocation of a 100-doc eval
+    * budget across languages — integer-exact, quotas sum to the
+    * budget exactly. */
+  val quotaRemainder: Q = q(
+    "sampling_quota_remainder",
+    """WITH c AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM c),
+      |b AS (SELECT stratum, n,
+      |        n * 100 // (SELECT total FROM t) AS base,
+      |        (n * 100) % (SELECT total FROM t) AS rem
+      |      FROM c),
+      |s AS (SELECT CAST(100 - sum(base) AS BIGINT) AS spare FROM b),
+      |r AS (SELECT stratum, n, base, rem,
+      |        row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk FROM b)
+      |SELECT stratum, n,
+      |       CAST(base + CASE WHEN rk <= (SELECT spare FROM s) THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM r""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.quotaLargestRemainder(
+      Tables.documents(s, d), "lang", budget = 100L)
+  }
+
+  /** χ² source-discriminative tokens (top 3 per source) over
+    * document-level presence — exact integer 2×2 statistics, ranked
+    * on the 4-dp-rounded score with lexicographic tie-break. */
+  val chi2Keywords: Q = q(
+    "text_chi2_keywords",
+    """WITH pres AS (SELECT DISTINCT doc_id AS id, source AS cls,
+      |                unnest(string_split(text, ' ')) AS tok FROM documents),
+      |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+      |cell AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS a FROM pres GROUP BY 1, 2),
+      |ncls AS (SELECT cls, CAST(count(DISTINCT id) AS BIGINT) AS nc FROM pres GROUP BY 1),
+      |ntok AS (SELECT tok, CAST(count(*) AS BIGINT) AS nt FROM pres GROUP BY 1),
+      |x AS (SELECT cell.cls, cell.tok, cell.a,
+      |        ncls.nc - cell.a AS b, ntok.nt - cell.a AS c,
+      |        (SELECT n FROM nn) - ncls.nc - (ntok.nt - cell.a) AS d
+      |      FROM cell JOIN ncls USING (cls) JOIN ntok USING (tok)),
+      |sc AS (SELECT cls, tok, a,
+      |         round(CAST((SELECT n FROM nn) * (a*d - b*c) * (a*d - b*c) AS DOUBLE) /
+      |               CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE), 4) AS chi2
+      |       FROM x),
+      |r AS (SELECT cls, tok, a, chi2,
+      |        CAST(row_number() OVER (PARTITION BY cls ORDER BY chi2 DESC, tok ASC) AS INT) AS rank
+      |      FROM sc)
+      |SELECT cls, tok, a, chi2, rank FROM r WHERE rank <= 3""".stripMargin) { (s, d) =>
+    graft.operators.TextCorpus.chi2Keywords(
+      Tables.documents(s, d), "doc_id", "source", "text", k = 3)
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
       pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention, topPaths,
-      transitions, madOutliers, kAnon, funnelLatency)
+      transitions, madOutliers, kAnon, funnelLatency, quotaRemainder, chi2Keywords)
 }

@@ -60,7 +60,9 @@ class PlanAuditSpec extends SparkSpec {
     "native_moving_average", "quality_perplexity_buckets",
     "sampling_dsir_weights", "sampling_temperature_mixture",
     "similarity_ivf_contract", "similarity_recall", "tokenize_bpe_pairs",
-    "search_hybrid_rrf")
+    "search_hybrid_rrf",
+    // remainder ranking over the per-stratum aggregate (rows = #strata)
+    "sampling_quota_remainder")
 
   test("no graded plan contains an unpartitioned window over corpus-sized input") {
     import org.apache.spark.sql.execution.window.WindowExec
