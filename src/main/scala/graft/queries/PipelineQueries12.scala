@@ -629,9 +629,38 @@ object PipelineQueries12 {
       Tables.documents(s, d), "doc_id", "source", "text", k = 3)
   }
 
+  /** Snapshot diff report: per source, how much of the current
+    * corpus carries over (by content fingerprint) from a previous
+    * release (the doc_id<250 twin) vs is new — the release-notes
+    * stat every dataset refresh publishes. Fingerprint-keyed
+    * anti/semi logic, never the text. */
+  val snapshotDiff: Q = q(
+    "corpus_snapshot_diff",
+    """WITH fp AS (SELECT doc_id, source,
+      |              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |            FROM documents),
+      |snap AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250)
+      |SELECT f.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+      |       CAST(sum(CASE WHEN s.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |FROM fp f LEFT JOIN snap s ON f.fp = s.fp
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val snap = docs.filter(col("doc_id") < 250)
+      .select(col("fp")).distinct().withColumn("__hit", lit(1))
+    docs.join(snap, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_carried"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_new"))
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
       pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention, topPaths,
-      transitions, madOutliers, kAnon, funnelLatency, quotaRemainder, chi2Keywords)
+      transitions, madOutliers, kAnon, funnelLatency, quotaRemainder, chi2Keywords,
+      snapshotDiff)
 }
