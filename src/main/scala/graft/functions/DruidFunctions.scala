@@ -397,6 +397,28 @@ object DruidFunctions {
     }
     // ARRAY_CONCAT_AGG(arrayExpr): concatenation of array rows.
     fn("array_concat_agg")(a => toExpr(flatten(collect_list(toCol(a.head)))))
+
+    // ---- graft-native operator surface (beyond the reference) ----
+    // AC_STATS(text, 'p1', 'p2', ...) → struct<hits, matched>:
+    // Aho–Corasick multi-pattern match counts (literal pattern list —
+    // the automaton is built once at plan time)
+    fn("ac_stats") { a =>
+      require(a.length >= 2, "ac_stats(text, pattern, ...)")
+      AcStats(a.head, a.tail.map(litStr))
+    }
+    // WARC_RECORDS(binary) → array of parsed WARC records
+    fn("warc_records")(a => graft.sources.WarcRecords(a.head))
+    // BPE_TOKENIZE(text, 'a b', 'c d', ...) → array<array<string>>
+    // per-word token arrays under the ordered merge list
+    fn("bpe_tokenize") { a =>
+      require(a.length >= 2, "bpe_tokenize(text, 'left right', ...)")
+      val merges = a.tail.map(litStr).map { m =>
+        val parts = m.split(" ", 2)
+        require(parts.length == 2, s"merge must be 'left right': $m")
+        (parts(0), parts(1))
+      }
+      BpeTokenize(a.head, merges)
+    }
     acc.result()
   }
 

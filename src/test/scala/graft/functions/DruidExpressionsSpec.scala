@@ -175,4 +175,18 @@ class DruidExpressionsSpec extends SparkSpec {
     assert(r.getSeq[String](0) == Seq("c", "a", "a"))
     assert(r.getSeq[String](1) == Seq("b"))
   }
+
+  test("SQL surface: ac_stats, warc_records, bpe_tokenize are registered") {
+    val r = spark.sql(
+      """SELECT ac_stats('a bad word', 'bad', 'bad word').hits AS h,
+        |       bpe_tokenize('the', 't h', 'th e')[0] AS toks
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[String](1) == Seq("the"))
+    val w = spark.sql(
+      """SELECT warc_records(CAST(concat('WARC/1.0\r\nWARC-Type: x\r\n',
+        |  'Content-Length: 2\r\n\r\nok\r\n\r\n') AS BINARY))[0].content_length AS cl
+        |""".stripMargin).collect().head
+    assert(w.getLong(0) == 2L)
+  }
 }
