@@ -657,10 +657,52 @@ object PipelineQueries12 {
         sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_new"))
   }
 
+  /** End-to-end quota-based eval selection: the Hare quotas of
+    * `sampling_quota_remainder` materialized into an actual 100-doc
+    * pick — per language, the quota docs with the smallest portable
+    * hash (salt 7), ties by doc_id. Fully deterministic; appending
+    * new languages only reallocates quotas, not hashes. */
+  val quotaSelect: Q = q(
+    "sampling_quota_select",
+    """WITH c AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM c),
+      |b AS (SELECT stratum, n,
+      |        n * 100 // (SELECT total FROM t) AS base,
+      |        (n * 100) % (SELECT total FROM t) AS rem
+      |      FROM c),
+      |s AS (SELECT CAST(100 - sum(base) AS BIGINT) AS spare FROM b),
+      |r AS (SELECT stratum, base, rem,
+      |        row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk FROM b),
+      |qt AS (SELECT stratum,
+      |         base + CASE WHEN rk <= (SELECT spare FROM s) THEN 1 ELSE 0 END AS quota
+      |       FROM r),
+      |h AS (SELECT lang, doc_id,
+      |        ((doc_id + 7) % 1000003) * 2654435761 % 2147483647 AS hv
+      |      FROM documents),
+      |rnk AS (SELECT lang, doc_id,
+      |          row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+      |        FROM h)
+      |SELECT rnk.lang, rnk.doc_id
+      |FROM rnk JOIN qt ON rnk.lang = qt.stratum
+      |WHERE rnk.rk <= qt.quota""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val quotas = graft.operators.Sampling.quotaLargestRemainder(docs, "lang", 100L)
+      .select(col("stratum").as("lang"), col("quota"))
+    val hv = ((col("doc_id") + 7L) % 1000003L) * 2654435761L % 2147483647L
+    val w = Window.partitionBy(col("lang")).orderBy(hv, col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("__rk") <= col("quota"))
+      .select(col("lang"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(fuzzySelfJoin, spellVariants, textRank, blocklistPhrases, ingestWarc,
       olsFit, corrExact, splitLeakage, trigramNll, heavyHitters, gramMatrix,
       pcaPower, oovRate, scorePercentile, geoRadius, funnel, retention, topPaths,
       transitions, madOutliers, kAnon, funnelLatency, quotaRemainder, chi2Keywords,
-      snapshotDiff)
+      snapshotDiff, quotaSelect)
 }
