@@ -61,8 +61,10 @@ class PlanAuditSpec extends SparkSpec {
     "sampling_dsir_weights", "sampling_temperature_mixture",
     "similarity_ivf_contract", "similarity_recall", "tokenize_bpe_pairs",
     "search_hybrid_rrf",
-    // remainder ranking over the per-stratum aggregate (rows = #strata)
-    "sampling_quota_remainder")
+    // remainder ranking over the per-stratum aggregate (rows = #strata);
+    // quota_select reuses the same quota frame (its own per-doc ranking
+    // IS partitioned by language)
+    "sampling_quota_remainder", "sampling_quota_select")
 
   test("no graded plan contains an unpartitioned window over corpus-sized input") {
     import org.apache.spark.sql.execution.window.WindowExec
