@@ -304,4 +304,39 @@ object Sampling {
           .otherwise(array().cast("array<long>"))))
       .drop("__dom", "__num", "__den")
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, "Priority sampling for
+    * estimating arbitrary subset sums", JACM 54(6) 2007): a
+    * weight-proportional WITHOUT-replacement sample of k rows, plus
+    * the paper's unbiased per-row subset-sum estimator
+    * `est = max(w, τ)` where τ is the (k+1)-th largest priority
+    * (0 when the population fits in k) — `sum(est)` over any selected
+    * subset estimates that subset's true weight mass unbiasedly.
+    *
+    * Determinism/portability: the uniform is the portable integer
+    * hash (hv+1)/2^31, and the priority w/u is computed as ONE
+    * IEEE-754 division of exactly-representable doubles
+    * (w·2^31 is a power-of-two scaling; hv+1 < 2^31), so any engine
+    * reproduces the same 64 bits and therefore the same top-k set.
+    * Ties (identical priority doubles) break by id ascending.
+    *
+    * Scale: selection is a distributed TakeOrdered (per-partition
+    * top-(k+1), driver merges k+1 rows per partition) — no global
+    * sort, no window, no shuffle of the corpus; τ is a bounded
+    * (k+1)-row aggregate. Weights must be positive. */
+  def prioritySample(
+      df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df.select(col(idCol).as("id"), col(weightCol).cast("long").as("weight"))
+    val hv = ((col("id") + salt) % 1000003L) * 2654435761L % 2147483647L
+    val withPri = base.withColumn("__pri",
+      col("weight").cast("double") * 2147483648.0 / (hv + lit(1L)).cast("double"))
+    val kth = withPri.orderBy(col("__pri").desc, col("id").asc).limit(k + 1)
+      .agg(count(lit(1)).as("n"), min(col("__pri")).as("p")).head()
+    val tau = if (kth.getLong(0) > k) kth.getDouble(1) else 0.0
+    withPri.orderBy(col("__pri").desc, col("id").asc).limit(k)
+      .withColumn("est", round(greatest(col("weight").cast("double"), lit(tau)), 4))
+      .select(col("id"), col("weight"), col("est"))
+  }
 }

@@ -270,6 +270,29 @@ object TextAnalysis {
   def gopherMask(flags: Seq[Column]): Column =
     flags.zipWithIndex.map { case (f, i) => f * (1L << i) }.reduce(_ + _)
 
+  /** Deterministic readability counts — the inputs to the two classic
+    * indices that need NO syllable model, so every engine reproduces
+    * them exactly from integer counts: alnum chars ([A-Za-z0-9]),
+    * whitespace words, sentence-ending runs ([.!?]+, floored at 1).
+    * Used by ARI (Senter & Smith 1967) and Coleman–Liau (1975); the
+    * float combination is a fixed expression over exact BIGINT counts,
+    * each step an exactly-rounded IEEE op, so any engine agrees. */
+  def readabilityCounts(text: Column): Seq[(String, Column)] = Seq(
+    "alnum" -> length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("long"),
+    "words" -> size(split(trim(text), "\\s+")).cast("long"),
+    "sentences" -> greatest(lit(1L), regexp_count(text, lit("[.!?]+")).cast("long")))
+
+  /** Automated Readability Index per document, floored to an integer
+    * US grade level: 4.71·(alnum/words) + 0.5·(words/sentences) −
+    * 21.43. `words` is never 0 (split of a trimmed empty string is one
+    * empty token), so the divisions are total. */
+  def ariGrade(text: Column): Column = {
+    val c = readabilityCounts(text).toMap
+    val ari = lit(4.71) * (c("alnum").cast("double") / c("words")) +
+      lit(0.5) * (c("words").cast("double") / c("sentences")) - lit(21.43)
+    floor(ari).cast("int")
+  }
+
   /** composite quality score in [0,1]: length sweet-spot × word-shape ×
     * stopword presence — the usual pre-training heuristic shape. */
   def qualityScore(text: Column): Column = {

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.BpeExpressions
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Round-8 additions, part 2: weighted-without-replacement priority
+  * sampling (Duffield–Lund–Thorup), syllable-free readability indices
+  * (ARI / Coleman–Liau), per-language tokenizer fertility over the
+  * graded BPE merge table, and distinct-bigram corpus diversity.
+  * Every oracle recomputes the result from scratch in DuckDB; float
+  * steps are fixed expressions over exact integer counts (or one
+  * IEEE division of exactly-representable doubles), so both engines
+  * agree bit-for-bit. */
+object PipelineQueries13 {
+
+  /** Priority sampling: weight-proportional WOR top-120 by n_chars
+    * with the unbiased subset-sum estimator max(w, τ). Selection is a
+    * distributed TakeOrdered on the Spark side (no global window /
+    * sort); the oracle recomputes priorities from the same portable
+    * hash and takes the same top-k. */
+  val priorityWor: Q = q(
+    "sampling_priority_wor",
+    """WITH p AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+      |             CAST(n_chars AS DOUBLE) * 2147483648 /
+      |               (((doc_id + 3) % 1000003) * 2654435761 % 2147483647 + 1) AS pri
+      |           FROM documents),
+      |r AS (SELECT id, weight, pri,
+      |        row_number() OVER (ORDER BY pri DESC, id ASC) AS rk FROM p),
+      |tau AS (SELECT coalesce(max(CASE WHEN rk = 121 THEN pri END), 0.0) AS t FROM r)
+      |SELECT id, weight,
+      |       round(greatest(CAST(weight AS DOUBLE), (SELECT t FROM tau)), 4) AS est
+      |FROM r WHERE rk <= 120""".stripMargin) { (s, d) =>
+    Sampling.prioritySample(Tables.documents(s, d), "doc_id", "n_chars",
+      k = 120, salt = 3L)
+  }
+
+  /** Per-(source, ARI grade) document histogram — the corpus-level
+    * readability profile a dataset card reports. Grade is the floored
+    * Automated Readability Index from exact per-doc integer counts. */
+  val readabilityGrades: Q = q(
+    "text_readability_grades",
+    """WITH c AS (SELECT source,
+      |             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+      |             len(string_split_regex(trim(text), '\s+')) AS words,
+      |             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sents
+      |           FROM documents),
+      |g AS (SELECT source,
+      |        CAST(floor(4.71 * (CAST(alnum AS DOUBLE) / words) +
+      |                   0.5 * (CAST(words AS DOUBLE) / sents) - 21.43) AS INT) AS grade
+      |      FROM c)
+      |SELECT source, grade, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM g GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), TextAnalysis.ariGrade(col("text")).as("grade"))
+      .groupBy(col("source"), col("grade"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Corpus-level ARI + Coleman–Liau per source from EXACT BIGINT
+    * count sums (no per-doc float averaging — summation order can
+    * never matter), with one fixed float expression at the end. */
+  val readabilitySource: Q = q(
+    "text_readability_source",
+    """WITH c AS (SELECT source,
+      |             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS alnum,
+      |             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS words,
+      |             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS sents
+      |           FROM documents),
+      |a AS (SELECT source, CAST(sum(alnum) AS BIGINT) AS alnum,
+      |             CAST(sum(words) AS BIGINT) AS words,
+      |             CAST(sum(sents) AS BIGINT) AS sentences
+      |      FROM c GROUP BY 1)
+      |SELECT source, alnum, words, sentences,
+      |  round(4.71 * (CAST(alnum AS DOUBLE) / words) +
+      |        0.5 * (CAST(words AS DOUBLE) / sentences) - 21.43, 4) AS ari,
+      |  round(0.0588 * ((100.0 * alnum) / words) -
+      |        0.296 * ((100.0 * sentences) / words) - 15.8, 4) AS cli
+      |FROM a""".stripMargin) { (s, d) =>
+    val counts = TextAnalysis.readabilityCounts(col("text"))
+    Tables.documents(s, d)
+      .select(col("source") +: counts.map { case (n, c) => c.as(n) }: _*)
+      .groupBy(col("source"))
+      .agg(sum(col("alnum")).as("alnum"), sum(col("words")).as("words"),
+        sum(col("sentences")).as("sentences"))
+      .select(col("source"), col("alnum"), col("words"), col("sentences"),
+        round(lit(4.71) * (col("alnum").cast("double") / col("words")) +
+          lit(0.5) * (col("words").cast("double") / col("sentences")) - lit(21.43), 4)
+          .as("ari"),
+        round(lit(0.0588) * ((lit(100.0) * col("alnum")) / col("words")) -
+          lit(0.296) * ((lit(100.0) * col("sentences")) / col("words")) - lit(15.8), 4)
+          .as("cli"))
+  }
+
+  private val GradedMerges: Seq[(String, String)] =
+    Seq("t" -> "h", "e" -> "r", "i" -> "n", "s" -> "c")
+
+  private def bpeToks: Column =
+    BpeExpressions.bpeTokenize(col("text"), GradedMerges)
+
+  /** Tokenizer fertility per language: BPE tokens per whitespace word
+    * and chars per token, from exact integer sums over the whole
+    * corpus — the per-language efficiency number every multilingual
+    * tokenizer evaluation reports (high fertility = the vocab serves
+    * that language poorly). Reuses the graded closed-form merge table
+    * of `tokenize_bpe` (see PipelineQueries11 for why the oracle's
+    * replace-marking trick is exact for it). */
+  val fertility: Q = q(
+    "tokenize_fertility",
+    """WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |           FROM documents),
+      |tk AS (SELECT lang,
+      |         len(regexp_extract_all(
+      |           replace(replace(replace(replace(w,
+      |             'th','{th}'), 'er','{er}'), 'in','{in}'), 'sc','{sc}'),
+      |           '\{[^}]*\}|.')) AS nt
+      |       FROM w),
+      |agg AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tk GROUP BY 1),
+      |wc AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+      |              CAST(sum(length(text)) AS BIGINT) AS n_chars
+      |       FROM documents GROUP BY 1)
+      |SELECT lang, n_tokens, n_words, n_chars,
+      |       round(CAST(n_tokens AS DOUBLE) / n_words, 4) AS fertility,
+      |       round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
+      |FROM agg JOIN wc USING (lang)""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(flatten(bpeToks)).cast("long").as("nt"),
+        size(split(col("text"), " ", -1)).cast("long").as("nw"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nt")).as("n_tokens"), sum(col("nw")).as("n_words"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_tokens"), col("n_words"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4).as("chars_per_token"))
+  }
+
+  /** Distinct-bigram corpus diversity per source (distinct-n of Li et
+    * al. 2016 at n=2): type/token ratio over word bigrams — low means
+    * templated/repetitive text. Exact distinct count, 4-dp ratio. */
+  val ngramDiversity: Q = q(
+    "text_ngram_diversity",
+    """WITH t AS (SELECT source, doc_id,
+      |             string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |w AS (SELECT source, doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+      |      FROM t),
+      |b AS (SELECT a.source, a.w || ' ' || c.w AS bg
+      |      FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+      |      WHERE a.source = c.source)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct,
+      |       round(CAST(count(DISTINCT bg) AS DOUBLE) / count(*), 4) AS diversity
+      |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(TextAnalysis.wordShingles(toks, 2)).as("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_distinct(col("bg")).as("n_distinct"),
+        round(count_distinct(col("bg")).cast("double") / count(lit(1)), 4)
+          .as("diversity"))
+  }
+
+  val all: Seq[Q] =
+    Seq(priorityWor, readabilityGrades, readabilitySource, fertility,
+      ngramDiversity)
+}

@@ -150,7 +150,40 @@ object SketchQueries {
       .orderBy(col("event_type"))
   }
 
+  /** approxHistogram (reference extensions-core/histogram/.../
+    * ApproximateHistogramAggregator.java; Ben-Haim & Yom-Tov 2010) —
+    * the streaming centroid histogram. count/min/max ride along
+    * exactly (as in the reference), so they value-check; centroid
+    * placement is arrival-order-dependent by construction, so the
+    * quantile estimates assert a 5% relative-error contract against
+    * the EXACT per-group percentile computed on the Spark side. */
+  val sketchApproxHistogram: Q = q(
+    "agg_approx_histogram_contract",
+    """SELECT l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(min(l_extendedprice), 2) AS v_min,
+      |       round(max(l_extendedprice), 2) AS v_max,
+      |       true AS p50_ok, true AS p90_ok, true AS bins_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    import graft.aggs.ApproxHistogramAgg._
+    import org.apache.spark.sql.Column
+    def relOk(est: Column, exact: Column): Column =
+      abs(est - exact) <= lit(0.05) * abs(exact)
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        approxHistogram(col("l_extendedprice"), 64).as("h"),
+        expr("percentile(l_extendedprice, 0.5)").as("x50"),
+        expr("percentile(l_extendedprice, 0.9)").as("x90"))
+      .select(col("l_returnflag"),
+        ahCount(col("h")).as("n_rows"),
+        round(ahMin(col("h")), 2).as("v_min"),
+        round(ahMax(col("h")), 2).as("v_max"),
+        relOk(ahQuantile(col("h"), lit(0.5)), col("x50")).as("p50_ok"),
+        relOk(ahQuantile(col("h"), lit(0.9)), col("x90")).as("p90_ok"),
+        (ahBins(col("h")) <= 64).as("bins_ok"))
+  }
+
   val all: Seq[Q] = Seq(
     sketchThetaDistinct, sketchThetaSetops, sketchKllQuantiles, sketchHllContract,
-    sketchBloomProbe, sketchTupleContract)
+    sketchBloomProbe, sketchTupleContract, sketchApproxHistogram)
 }

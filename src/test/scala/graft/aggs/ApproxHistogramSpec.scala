@@ -1,0 +1,75 @@
+package graft.aggs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ApproxHistogramSpec extends SparkSpec {
+
+  test("BhHistogram: <= maxBins distinct values stays exact") {
+    val h = new BhHistogram(8)
+    Seq(5.0, 1.0, 3.0, 1.0, 5.0, 5.0).foreach(h.insert)
+    assert(h.centroids.toSeq == Seq(1.0, 3.0, 5.0))
+    assert(h.counts.toSeq == Seq(2L, 1L, 3L))
+    assert(h.total == 6L && h.vmin == 1.0 && h.vmax == 5.0)
+  }
+
+  test("BhHistogram: collapse fuses closest pair into weighted mean") {
+    val h = new BhHistogram(2)
+    h.insert(0.0); h.insert(10.0); h.insert(10.5)
+    // closest pair (10, 10.5) -> centroid 10.25 count 2
+    assert(h.centroids.toSeq == Seq(0.0, 10.25))
+    assert(h.counts.toSeq == Seq(1L, 2L))
+    assert(h.total == 3L)
+  }
+
+  test("BhHistogram: merge preserves count/min/max exactly") {
+    val a = new BhHistogram(16); val b = new BhHistogram(16)
+    (0 until 100).foreach(i => a.insert(i.toDouble))
+    (50 until 250).foreach(i => b.insert(i.toDouble))
+    a.merge(b)
+    assert(a.total == 300L && a.vmin == 0.0 && a.vmax == 249.0)
+    assert(a.centroids.length <= 16)
+    assert(a.centroids.toSeq == a.centroids.sorted.toSeq)
+  }
+
+  test("BhHistogram: quantiles on uniform data land near truth") {
+    val h = new BhHistogram(64)
+    (0 until 10000).foreach(i => h.insert((i % 1000).toDouble))
+    val p50 = h.quantile(0.5); val p90 = h.quantile(0.9)
+    assert(math.abs(p50 - 500.0) < 50.0, s"p50=$p50")
+    assert(math.abs(p90 - 900.0) < 50.0, s"p90=$p90")
+    assert(h.quantile(0.0) == 0.0 && h.quantile(1.0) == 999.0)
+  }
+
+  test("serialization round-trips") {
+    val h = new BhHistogram(8)
+    (0 until 50).foreach(i => h.insert(i * 1.5))
+    val r = BhHistogram.fromBytes(h.toBytes)
+    assert(r.maxBins == 8 && r.total == 50L)
+    assert(r.centroids.toSeq == h.centroids.toSeq)
+    assert(r.counts.toSeq == h.counts.toSeq)
+    assert(r.vmin == h.vmin && r.vmax == h.vmax)
+  }
+
+  test("aggregate over a DataFrame: exact stats, bounded quantile error") {
+    import spark.implicits._
+    import ApproxHistogramAgg._
+    val df = (0 until 20000).map(i => (i % 4, (i * 37 % 1000).toDouble))
+      .toDF("g", "v").repartition(7)
+    val rows = df.groupBy("g")
+      .agg(approxHistogram(col("v"), 64).as("h"), count(lit(1)).as("n"))
+      .select(col("g"), col("n"), ahCount(col("h")).as("hc"),
+        ahMin(col("h")).as("mn"), ahMax(col("h")).as("mx"),
+        ahQuantile(col("h"), lit(0.5)).as("p50"),
+        ahBins(col("h")).as("bins"))
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hc") == r.getAs[Long]("n"))
+      assert(r.getAs[Double]("mn") >= 0.0 && r.getAs[Double]("mx") <= 999.0)
+      assert(r.getAs[Int]("bins") <= 64)
+      val p50 = r.getAs[Double]("p50")
+      assert(math.abs(p50 - 500.0) < 100.0, s"p50=$p50")
+    }
+  }
+}

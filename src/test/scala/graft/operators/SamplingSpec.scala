@@ -132,4 +132,42 @@ class SamplingSpec extends SparkSpec {
     assert(sel.count(_._2 == 1L) == 4)
     assert(Seq(0L, 10L, 20L, 301L).forall(sel(_) == 1L))
   }
+
+  test("prioritySample: exactly k rows, estimator floored at tau") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, 10L + i % 90)).toDF("id", "w")
+    val out = Sampling.prioritySample(df, "id", "w", k = 40, salt = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 40)
+    assert(out.map(_._1).distinct.length == 40)
+    // every estimate >= its weight (est = max(w, tau)), and the small
+    // weights all share the same tau value
+    assert(out.forall { case (_, w, est) => est >= w.toDouble })
+    val flooredEst = out.filter { case (_, w, est) => est > w.toDouble }.map(_._3)
+    assert(flooredEst.distinct.length <= 1)
+  }
+
+  test("prioritySample: population <= k returns everything with est = w") {
+    import spark.implicits._
+    val df = (0L until 10L).map(i => (i, 5L + i)).toDF("id", "w")
+    val out = Sampling.prioritySample(df, "id", "w", k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 10)
+    assert(out.forall { case (_, w, est) => est == w.toDouble })
+  }
+
+  test("prioritySample: unbiased in expectation across salts") {
+    import spark.implicits._
+    // sum of estimators over the FULL sample ~ total weight (the
+    // DLT guarantee, exact in expectation; spot-check the spread)
+    val df = (0L until 400L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    val total = (0L until 400L).map(i => 1L + i % 7).sum.toDouble
+    val rel = (1L to 8L).map { salt =>
+      val est = Sampling.prioritySample(df, "id", "w", k = 60, salt = salt)
+        .agg(sum(col("est"))).head().getDouble(0)
+      est / total
+    }
+    val mean = rel.sum / rel.size
+    assert(mean > 0.8 && mean < 1.2, s"mean relative estimate $mean")
+  }
 }

@@ -171,4 +171,26 @@ class TextQualitySpec extends SparkSpec {
     assert(row.getString(0) == cp1252)
     assert(row.getString(1) == intended)
   }
+
+  test("ariGrade: hand-computed grade for a simple sentence") {
+    import spark.implicits._
+    // "The cat sat." -> alnum 9, words 3, sentences 1:
+    // ARI = 4.71*(9/3) + 0.5*(3/1) - 21.43 = -5.8 -> floor -6
+    val g = Seq("The cat sat.").toDF("text")
+      .select(TextAnalysis.ariGrade(col("text"))).head().getInt(0)
+    assert(g == -6)
+  }
+
+  test("readabilityCounts: sentence runs collapse, floor at 1") {
+    import spark.implicits._
+    val row = Seq("No terminator at all", "Wait... what?! Yes.")
+      .toDF("text")
+      .select(TextAnalysis.readabilityCounts(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    // no [.!?] -> sentences floored to 1
+    assert(row(0).getLong(2) == 1L)
+    // "..." then "?!" then "." -> 3 runs
+    assert(row(1).getLong(2) == 3L)
+  }
 }
