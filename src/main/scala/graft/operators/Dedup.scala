@@ -674,6 +674,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directional n-gram containment |A∩B| / |A| over the same
+    * posting-list equi-join as [[jaccardIndexPairs]] — the quote /
+    * subset detector: a small document whose shingles live ≥ t inside
+    * a larger one is a quotation or excerpt even when symmetric
+    * Jaccard is tiny (Broder 1997's containment, the companion
+    * measure to resemblance). Emits BOTH orientations above the
+    * threshold as (id_in, id_of, containment): `id_in` is the
+    * (near-)contained side. Same scale shape as the Jaccard path:
+    * distinct-shingle postings, one equi-join on the shingle, optional
+    * hot-shingle cap as the stop-key guard. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      minContainment: Double, hotShingleCap: Option[Int] = None): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      explode(array_distinct(TextExpressions.wordShingles(col(textCol), n))).as("g"))
+    val cooled = hotShingleCap match {
+      case Some(cap) => sh.join(
+        sh.groupBy("g").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= cap).select("g"),
+        Seq("g"))
+      case None => sh
+    }
+    val cnt = sh.groupBy("id").agg(count(lit(1)).as("c"))
+    val inter = cooled.select(col("g"), col("id").as("id_a"))
+      .join(cooled.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val sized = inter
+      .join(cnt.select(col("id").as("id_a"), col("c").as("ca")), Seq("id_a"))
+      .join(cnt.select(col("id").as("id_b"), col("c").as("cb")), Seq("id_b"))
+    sized
+      .select(col("id_a").as("id_in"), col("id_b").as("id_of"),
+        (col("i").cast("double") / col("ca")).as("containment"))
+      .union(sized.select(col("id_b").as("id_in"), col("id_a").as("id_of"),
+        (col("i").cast("double") / col("cb")).as("containment")))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** exact n-gram Jaccard over all pairs of a (pre-filtered, small)
     * candidate set — the verification primitive; not for whole-corpus
     * use (that's what the LSH paths above are for). */

@@ -165,7 +165,34 @@ object PipelineQueries13 {
           .as("diversity"))
   }
 
+  /** Directional 5-gram containment (Broder 1997): pairs where one
+    * document's shingle set sits ≥ 60% inside another's — the quote /
+    * excerpt detector symmetric Jaccard misses when sizes differ.
+    * Posting-list equi-join on the shingle; both orientations graded. */
+  val containmentPairs: Q = q(
+    "dedup_containment_pairs",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS g
+      |       FROM d),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sized AS (SELECT ida, idb, i, ca.c AS ca, cb.c AS cb
+      |          FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id),
+      |u AS (SELECT ida AS id_in, idb AS id_of, CAST(i AS DOUBLE) / ca AS containment
+      |      FROM sized
+      |      UNION ALL
+      |      SELECT idb, ida, CAST(i AS DOUBLE) / cb FROM sized)
+      |SELECT id_in, id_of, round(containment, 4) AS containment
+      |FROM u WHERE containment >= 0.6""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.containmentPairs(
+      Tables.documents(s, d), "doc_id", "text", n = 5, minContainment = 0.6)
+      .select(col("id_in"), col("id_of"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   val all: Seq[Q] =
     Seq(priorityWor, readabilityGrades, readabilitySource, fertility,
-      ngramDiversity)
+      ngramDiversity, containmentPairs)
 }

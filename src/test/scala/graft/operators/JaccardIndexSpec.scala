@@ -38,4 +38,21 @@ class JaccardIndexSpec extends SparkSpec {
     val capped = Dedup.jaccardIndexPairs(docs, "id", "text", 3, 0.0, hotShingleCap = Some(1))
     assert(capped.count() == 0)
   }
+
+  test("containmentPairs: a quoted excerpt is contained but not a near-dup") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),                    // fully quoted inside 2
+      (2L, "x y a b c d e f g h i j"),
+      (3L, "p q r s t u")                 // unrelated
+    ).toDF("id", "text")
+    val c = Dedup.containmentPairs(d, "id", "text", 3, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 1's two 3-grams both appear in doc 2 -> containment 1.0
+    assert(c((1L, 2L)) == 1.0)
+    // the reverse orientation is far below threshold, as is Jaccard
+    assert(!c.contains((2L, 1L)) && !c.contains((3L, 2L)))
+    val jac = Dedup.jaccardIndexPairs(d, "id", "text", 3, minJaccard = 0.5)
+    assert(jac.count() == 0)
+  }
 }
