@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.BpeExpressions
@@ -192,7 +193,108 @@ object PipelineQueries13 {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** Timeseries gap-fill by linear interpolation: the hourly
+    * per-event-type series on a dense hour axis, missing buckets
+    * lerped between the bracketing observed points (leading/trailing
+    * gaps stay null — there is nothing to bracket them). The axis
+    * comes from one bounded min/max scalar + a per-type sequence
+    * explode (no cross join); prev/next locate via IGNORE NULLS
+    * running windows PARTITIONED by event_type. */
+  val timeseriesInterpolate: Q = q(
+    "timeseries_interpolate",
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, sum(value) AS sv
+      |           FROM events GROUP BY 1, 2),
+      |mm AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      |       FROM events),
+      |axis AS (SELECT t.event_type, r.r AS bucket
+      |         FROM (SELECT DISTINCT event_type FROM events) t,
+      |              (SELECT unnest(range((SELECT lo FROM mm),
+      |                 (SELECT hi FROM mm) + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS r) r),
+      |f AS (SELECT axis.event_type, axis.bucket, b.sv
+      |      FROM axis LEFT JOIN b USING (event_type, bucket)),
+      |w AS (SELECT event_type, bucket, sv,
+      |        last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |        last_value(CASE WHEN sv IS NOT NULL THEN bucket END IGNORE NULLS)
+      |          OVER (PARTITION BY event_type ORDER BY bucket
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+      |        first_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |        first_value(CASE WHEN sv IS NOT NULL THEN bucket END IGNORE NULLS)
+      |          OVER (PARTITION BY event_type ORDER BY bucket
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      |      FROM f)
+      |SELECT event_type, epoch_ms(bucket) AS bucket_ms,
+      |  round(CASE WHEN sv IS NOT NULL THEN sv
+      |             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |               pv + (nv - pv) * (CAST(epoch_ms(bucket) - epoch_ms(pb) AS DOUBLE)
+      |                 / (epoch_ms(nb) - epoch_ms(pb)))
+      |        END, 4) AS value_filled,
+      |  (sv IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+      |FROM w""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val mm = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi")).head()
+    val axis = ev.select(col("event_type")).distinct()
+      .withColumn("bucket", explode(sequence(
+        lit(mm.getTimestamp(0)), lit(mm.getTimestamp(1)), expr("interval 1 hour"))))
+    val agg = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(col("value")).as("sv"))
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val f = axis.join(agg, Seq("event_type", "bucket"), "left")
+      .withColumn("pv", last(col("sv"), ignoreNulls = true).over(wp))
+      .withColumn("pb", last(when(col("sv").isNotNull, col("bucket")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("sv"), ignoreNulls = true).over(wn))
+      .withColumn("nb", first(when(col("sv").isNotNull, col("bucket")), ignoreNulls = true).over(wn))
+    f.select(col("event_type"), unix_millis(col("bucket")).as("bucket_ms"),
+      round(
+        when(col("sv").isNotNull, col("sv"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((unix_millis(col("bucket")) - unix_millis(col("pb"))).cast("double") /
+                (unix_millis(col("nb")) - unix_millis(col("pb"))))), 4)
+        .as("value_filled"),
+      (col("sv").isNull && col("pv").isNotNull && col("nv").isNotNull)
+        .as("interpolated"))
+  }
+
+  /** Seasonal outliers, integer-exact: hourly cell sums in cents vs
+    * the same-hour-of-day profile of their event_type; flag
+    * |x − μ| > 2σ via the cross-multiplied integer form
+    * (xn − S)² > 4(nQ − S²) — no float μ/σ, so the flag set is
+    * engine-exact (same discipline as events_mad_outliers). Profile
+    * table is (types × 24)-sized; the join back is a broadcast. */
+  val seasonalOutliers: Q = q(
+    "events_seasonal_outliers",
+    """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |           FROM events GROUP BY 1, 2),
+      |h AS (SELECT *, CAST(hour(bucket) AS BIGINT) AS hod FROM c),
+      |p AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+      |      FROM h GROUP BY 1, 2)
+      |SELECT h.event_type, epoch_ms(h.bucket) AS bucket_ms, h.x AS x_cents
+      |FROM h JOIN p USING (event_type, hod)
+      |WHERE (h.x * p.n - p.s) * (h.x * p.n - p.s) > 4 * (p.n * p.q - p.s * p.s)""".stripMargin) { (s, d) =>
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .withColumn("hod", hour(col("bucket")).cast("long"))
+    val prof = cells.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    val dev = col("x") * col("n") - col("s")
+    cells.join(broadcast(prof), Seq("event_type", "hod"))
+      .filter(dev * dev > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), unix_millis(col("bucket")).as("bucket_ms"),
+        col("x").as("x_cents"))
+  }
+
   val all: Seq[Q] =
     Seq(priorityWor, readabilityGrades, readabilitySource, fertility,
-      ngramDiversity, containmentPairs)
+      ngramDiversity, containmentPairs, timeseriesInterpolate,
+      seasonalOutliers)
 }

@@ -183,7 +183,25 @@ object SketchQueries {
         (ahBins(col("h")) <= 64).as("bins_ok"))
   }
 
+  /** Sketches composed with grouping machinery: theta distinct users
+    * per event_type AND the rollup grand total from ONE pass —
+    * sub-threshold theta (lgK=14 vs 1.5k/15k users) is exact, so the
+    * estimate itself value-checks against the oracle's exact rollup. */
+  val sketchRollup: Q = q(
+    "groupby_rollup_sketch",
+    """SELECT coalesce(event_type, 'ALL') AS etype,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS theta_users,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      |FROM events GROUP BY ROLLUP (event_type)""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.events(s, d).rollup(col("event_type"))
+      .agg(round(thetaEstimate(ThetaAgg14(col("user_id")))).cast("long").as("theta_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        col("theta_users"), col("exact_users"))
+  }
+
   val all: Seq[Q] = Seq(
     sketchThetaDistinct, sketchThetaSetops, sketchKllQuantiles, sketchHllContract,
-    sketchBloomProbe, sketchTupleContract, sketchApproxHistogram)
+    sketchBloomProbe, sketchTupleContract, sketchApproxHistogram, sketchRollup)
 }
