@@ -293,8 +293,107 @@ object PipelineQueries13 {
         col("x").as("x_cents"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per source between
+    * the previous release (doc_id < 250 twin) and the newer docs, over
+    * the n_chars distribution — the release-gate "did the length
+    * profile shift" check. KS = max |cdfA − cdfB| computed entirely in
+    * integers (max |cA·nB − cB·nA| over the union of sample points,
+    * one division at the end), with a PARTITIONED cumsum window. */
+  val driftKs: Q = q(
+    "corpus_drift_ks",
+    """WITH d AS (SELECT source, n_chars AS x,
+      |             CASE WHEN doc_id < 250 THEN 1 ELSE 0 END AS ia,
+      |             CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END AS ib
+      |           FROM documents),
+      |g AS (SELECT source, x, CAST(sum(ia) AS BIGINT) AS ca,
+      |             CAST(sum(ib) AS BIGINT) AS cb
+      |      FROM d GROUP BY 1, 2),
+      |c AS (SELECT source, x,
+      |        sum(ca) OVER (PARTITION BY source ORDER BY x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |        sum(cb) OVER (PARTITION BY source ORDER BY x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |      FROM g),
+      |t AS (SELECT source, CAST(sum(ca) AS BIGINT) AS na,
+      |             CAST(sum(cb) AS BIGINT) AS nb FROM g GROUP BY 1)
+      |SELECT c.source, t.na, t.nb,
+      |       CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT) AS ks_num,
+      |       round(CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS DOUBLE)
+      |         / (t.na * t.nb), 4) AS ks
+      |FROM c JOIN t ON c.source = t.source
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val d0 = Tables.documents(s, d).select(col("source"), col("n_chars").as("x"),
+      when(col("doc_id") < 250, 1L).otherwise(0L).as("ia"),
+      when(col("doc_id") >= 250, 1L).otherwise(0L).as("ib"))
+    val g = d0.groupBy(col("source"), col("x"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    val w = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.select(col("source"),
+      sum(col("ca")).over(w).as("cuma"), sum(col("cb")).over(w).as("cumb"))
+    val t = g.groupBy(col("source"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    c.join(broadcast(t), Seq("source"))
+      .groupBy(col("source"), col("na"), col("nb"))
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("ks_num"))
+      .select(col("source"), col("na"), col("nb"), col("ks_num"),
+        round(col("ks_num").cast("double") / (col("na") * col("nb")), 4).as("ks"))
+  }
+
+  /** Embedding-space drift per label: cosine between the previous
+    * snapshot's (vec_id < 250) and the newer vectors' mean directions,
+    * over int8-quantized unit vectors — integer dim-sums and dot
+    * products, two IEEE sqrt/divide at the end. cosine ≈ 1 means the
+    * class's embedding centroid is stable across the refresh. */
+  val driftEmbedding: Q = q(
+    "embedding_drift_cosine",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |      FROM e),
+      |qz AS (SELECT vec_id, label,
+      |         CASE WHEN vec_id < 250 THEN 'prev' ELSE 'curr' END AS snap,
+      |         list_transform(v, x -> CAST(floor(x / nrm * 127 + 0.5) AS BIGINT)) AS code
+      |       FROM n WHERE nrm > 0),
+      |d AS (SELECT label, snap, i AS dim, CAST(sum(code[CAST(i AS INT)]) AS BIGINT) AS s
+      |      FROM qz, range(1, 65) r(i) GROUP BY 1, 2, 3),
+      |a AS (SELECT label, dim, s AS sa FROM d WHERE snap = 'prev'),
+      |b AS (SELECT label, dim, s AS sb FROM d WHERE snap = 'curr'),
+      |g AS (SELECT a.label, CAST(sum(sa * sb) AS BIGINT) AS dot,
+      |             CAST(sum(sa * sa) AS BIGINT) AS na2,
+      |             CAST(sum(sb * sb) AS BIGINT) AS nb2
+      |      FROM a JOIN b ON a.label = b.label AND a.dim = b.dim GROUP BY 1)
+      |SELECT label, dot,
+      |       round(CAST(dot AS DOUBLE)
+      |         / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4) AS drift_cosine
+      |FROM g WHERE na2 > 0 AND nb2 > 0""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("label"),
+      when(col("vec_id") < 250, "prev").otherwise("curr").as("snap"),
+      graft.operators.Similarity.quantizeUnitInt8(col("embedding")).as("code"))
+      .filter(col("code").isNotNull)
+    val sums = e.select(col("label"), col("snap"),
+      posexplode(col("code")).as(Seq("dim", "c")))
+      .groupBy(col("label"), col("snap"), col("dim"))
+      .agg(sum(col("c")).as("s"))
+    val a = sums.filter(col("snap") === "prev")
+      .select(col("label"), col("dim"), col("s").as("sa"))
+    val b = sums.filter(col("snap") === "curr")
+      .select(col("label"), col("dim"), col("s").as("sb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("na2"),
+        sum(col("sb") * col("sb")).as("nb2"))
+      .filter(col("na2") > 0 && col("nb2") > 0)
+      .select(col("label"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 4)
+          .as("drift_cosine"))
+  }
+
   val all: Seq[Q] =
     Seq(priorityWor, readabilityGrades, readabilitySource, fertility,
       ngramDiversity, containmentPairs, timeseriesInterpolate,
-      seasonalOutliers)
+      seasonalOutliers, driftKs, driftEmbedding)
 }
