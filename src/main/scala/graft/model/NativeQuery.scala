@@ -164,6 +164,12 @@ object Aggregator {
   final case class TupleSketch(
       name: String, fieldName: String, metricColumns: Seq[String],
       lgK: Int = 14) extends Aggregator
+  /** Ben-Haim–Yom-Tov streaming centroid histogram (reference
+    * histogram extension ApproximateHistogramAggregatorFactory /
+    * ApproximateHistogramFoldingAggregatorFactory; `resolution` =
+    * centroid budget). */
+  final case class ApproxHistogram(
+      name: String, fieldName: String, resolution: Int = 50) extends Aggregator
   /** fixed-buckets histogram (reference FixedBucketsHistogramAggregatorFactory):
     * outlierHandlingMode ∈ ignore | overflow | clip. */
   final case class FixedBucketsHistogram(
@@ -228,10 +234,15 @@ object PostAggregator {
       cdf: Boolean) extends PostAggregator
   final case class KllToRank(
       name: String, field: PostAggregator, value: Double) extends PostAggregator
-  /** interpolated quantile over a fixedBucketsHistogram column
-    * (reference histogram QuantilePostAggregator). */
+  /** interpolated quantile over a histogram column — serves both the
+    * fixed-buckets struct and the approxHistogram sketch (reference
+    * histogram QuantilePostAggregator). */
   final case class HistogramQuantile(
       name: String, field: PostAggregator, probability: Double) extends PostAggregator
+  /** exact min/max carried by an approxHistogram sketch (reference
+    * histogram MinPostAggregator / MaxPostAggregator). */
+  final case class HistogramMinMax(
+      name: String, field: PostAggregator, isMax: Boolean) extends PostAggregator
   /** sqrt of a variance agg (reference StandardDeviationPostAggregator). */
   final case class StdDev(name: String, field: PostAggregator) extends PostAggregator
   /** two-sample z-test score (reference teststats ZtestPostAggregator). */

@@ -425,6 +425,9 @@ object QueryJson {
       case "timeMax" => Aggregator.TimeMinMax(nm, isMax = true)
       case "distinctCount" => Aggregator.DistinctCount(nm, f)
       case "grouping" => Aggregator.Grouping(nm, arr(n, "groupings").map(_.asText()))
+      case "approxHistogram" | "approxHistogramFold" =>
+        Aggregator.ApproxHistogram(nm, f,
+          intOpt(n, "resolution").getOrElse(50))
       case "fixedBucketsHistogram" => Aggregator.FixedBucketsHistogram(
         nm, f, n.get("lowerLimit").asDouble(), n.get("upperLimit").asDouble(),
         n.get("numBuckets").asInt(),
@@ -500,6 +503,12 @@ object QueryJson {
         strOpt(n, "fieldName").map(PostAggregator.FieldAccess("", _))
           .getOrElse(parsePostAggregator(n.get("field"))),
         n.get("probability").asDouble())
+      // reference histogram extension MinPostAggregator/MaxPostAggregator
+      case mm @ ("min" | "max") => PostAggregator.HistogramMinMax(
+        nm,
+        strOpt(n, "fieldName").map(PostAggregator.FieldAccess("", _))
+          .getOrElse(parsePostAggregator(n.get("field"))),
+        isMax = mm == "max")
       case "stddev" => PostAggregator.StdDev(
         nm, PostAggregator.FieldAccess("", str(n, "fieldName")))
       case "zscore2sample" => PostAggregator.ZScore2Sample(

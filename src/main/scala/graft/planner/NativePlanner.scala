@@ -302,6 +302,9 @@ class NativePlanner(
     case Aggregator.TimeMinMax(n, isMax) =>
       (if (isMax) max(unix_millis(col(timeColumn)))
        else min(unix_millis(col(timeColumn)))).as(n)
+    case Aggregator.ApproxHistogram(n, f, resolution) =>
+      graft.aggs.ApproxHistogramAgg.approxHistogram(col(f), resolution)
+        .as(n, sketchMeta("bhhist"))
     case Aggregator.FixedBucketsHistogram(n, f, lo, hi, buckets, mode) =>
       HistogramAgg.fixedHistogram(col(f), lo, hi, buckets, mode).as(n)
     case Aggregator.Histogram(n, f, breaks) =>
@@ -422,7 +425,22 @@ class NativePlanner(
     case PostAggregator.KllToRank(n, f, v) =>
       sketches.kllRank(postAggToColumn(f, schema), lit(v)).as(n)
     case PostAggregator.HistogramQuantile(n, f, p) =>
-      HistogramAgg.histogramQuantile(postAggToColumn(f, schema), p).as(n)
+      // the reference's "quantile" post-agg serves BOTH histogram
+      // aggregators: dispatch on the aggregated column's type —
+      // binary = Ben-Haim–Yom-Tov sketch, struct = fixed buckets
+      val isBh = (f, schema) match {
+        case (PostAggregator.FieldAccess(_, fn), Some(sch)) =>
+          sch.fields.exists(x => x.name == fn &&
+            x.dataType == org.apache.spark.sql.types.BinaryType)
+        case _ => false
+      }
+      if (isBh)
+        graft.aggs.ApproxHistogramAgg
+          .ahQuantile(postAggToColumn(f, schema), lit(p)).as(n)
+      else HistogramAgg.histogramQuantile(postAggToColumn(f, schema), p).as(n)
+    case PostAggregator.HistogramMinMax(n, f, isMax) =>
+      (if (isMax) graft.aggs.ApproxHistogramAgg.ahMax(postAggToColumn(f, schema))
+       else graft.aggs.ApproxHistogramAgg.ahMin(postAggToColumn(f, schema))).as(n)
     case PostAggregator.StdDev(n, f) =>
       sqrt(postAggToColumn(f, schema)).as(n)
     case PostAggregator.ZScore2Sample(n, s1, n1, s2, n2) =>

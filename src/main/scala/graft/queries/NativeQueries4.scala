@@ -515,11 +515,54 @@ object NativeQueries4 {
         |}""".stripMargin)
   }
 
+  /** approxHistogram through the native JSON API (reference histogram
+    * extension ApproximateHistogramAggregatorFactory + quantile /
+    * min / max post-aggs): min/max ride the sketch exactly and
+    * value-check; the quantiles assert a 5% relative-error contract
+    * against the exact per-group percentile. */
+  val nativeApproxHistogram: Q = q(
+    "native_approx_histogram",
+    """SELECT event_type, round(min(value), 2) AS v_min,
+      |       round(max(value), 2) AS v_max,
+      |       true AS p50_ok, true AS p90_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val res = planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [
+        |    {"type": "approxHistogram", "name": "h", "fieldName": "value",
+        |     "resolution": 64}
+        |  ],
+        |  "postAggregations": [
+        |    {"type": "quantile", "name": "p50", "fieldName": "h", "probability": 0.5},
+        |    {"type": "quantile", "name": "p90", "fieldName": "h", "probability": 0.9},
+        |    {"type": "min", "name": "v_min", "fieldName": "h"},
+        |    {"type": "max", "name": "v_max", "fieldName": "h"}
+        |  ],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("x50"),
+        expr("percentile(value, 0.9)").as("x90"))
+    res.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        round(col("v_min"), 2).as("v_min"), round(col("v_max"), 2).as("v_max"),
+        (abs(col("p50") - col("x50")) <= lit(0.05) * abs(col("x50"))).as("p50_ok"),
+        (abs(col("p90") - col("x90")) <= lit(0.05) * abs(col("x90"))).as("p90_ok"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     nativeDruidExpr, nativeDruidExprScan, nativeJoinResidual,
     filterBoundStrlen, limitSpecVersion, nativeHllSketch,
     nativeSegmentMetadata, nativeFilteredEmptyGroup,
     nativeTopnDimensionOrder, nativeTimeformatExtraction,
     nativeSpatialFilter, nativeTupleSketch, nativeMatviewRewrite,
-    nativeJsonValue)
+    nativeJsonValue, nativeApproxHistogram)
 }
