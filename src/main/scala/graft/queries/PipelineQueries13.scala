@@ -199,10 +199,17 @@ object PipelineQueries13 {
     * gaps stay null — there is nothing to bracket them). The axis
     * comes from one bounded min/max scalar + a per-type sequence
     * explode (no cross join); prev/next locate via IGNORE NULLS
-    * running windows PARTITIONED by event_type. */
+    * running windows PARTITIONED by event_type.
+    *
+    * Exactness: cells are integer CENT sums and the lerp is pure
+    * integer arithmetic with explicit half-up rounding,
+    * (2N + den) div (2·den) for N = pv·den + (nv−pv)·k over hour
+    * offsets — a float lerp rounds 4dp-boundary values (e.g. x.xxxx5
+    * at t=7/8) differently across engines; integers cannot. */
   val timeseriesInterpolate: Q = q(
     "timeseries_interpolate",
-    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, sum(value) AS sv
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xc
       |           FROM events GROUP BY 1, 2),
       |mm AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
       |       FROM events),
@@ -210,27 +217,28 @@ object PipelineQueries13 {
       |         FROM (SELECT DISTINCT event_type FROM events) t,
       |              (SELECT unnest(range((SELECT lo FROM mm),
       |                 (SELECT hi FROM mm) + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS r) r),
-      |f AS (SELECT axis.event_type, axis.bucket, b.sv
+      |f AS (SELECT axis.event_type, axis.bucket,
+      |             epoch_ms(axis.bucket) // 3600000 AS hb, b.xc
       |      FROM axis LEFT JOIN b USING (event_type, bucket)),
-      |w AS (SELECT event_type, bucket, sv,
-      |        last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      |w AS (SELECT event_type, bucket, hb, xc,
+      |        last_value(xc IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-      |        last_value(CASE WHEN sv IS NOT NULL THEN bucket END IGNORE NULLS)
+      |        last_value(CASE WHEN xc IS NOT NULL THEN hb END IGNORE NULLS)
       |          OVER (PARTITION BY event_type ORDER BY bucket
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
-      |        first_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+      |        first_value(xc IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
       |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-      |        first_value(CASE WHEN sv IS NOT NULL THEN bucket END IGNORE NULLS)
+      |        first_value(CASE WHEN xc IS NOT NULL THEN hb END IGNORE NULLS)
       |          OVER (PARTITION BY event_type ORDER BY bucket
       |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
       |      FROM f)
       |SELECT event_type, epoch_ms(bucket) AS bucket_ms,
-      |  round(CASE WHEN sv IS NOT NULL THEN sv
-      |             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-      |               pv + (nv - pv) * (CAST(epoch_ms(bucket) - epoch_ms(pb) AS DOUBLE)
-      |                 / (epoch_ms(nb) - epoch_ms(pb)))
-      |        END, 4) AS value_filled,
-      |  (sv IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+      |  CAST(CASE WHEN xc IS NOT NULL THEN xc
+      |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |              (2 * (pv * (nb - pb) + (nv - pv) * (hb - pb)) + (nb - pb))
+      |                // (2 * (nb - pb))
+      |       END AS BIGINT) AS value_cents,
+      |  (xc IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
       |FROM w""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     val mm = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
@@ -239,25 +247,25 @@ object PipelineQueries13 {
       .withColumn("bucket", explode(sequence(
         lit(mm.getTimestamp(0)), lit(mm.getTimestamp(1)), expr("interval 1 hour"))))
     val agg = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-      .agg(sum(col("value")).as("sv"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("xc"))
     val wp = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wn = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val f = axis.join(agg, Seq("event_type", "bucket"), "left")
-      .withColumn("pv", last(col("sv"), ignoreNulls = true).over(wp))
-      .withColumn("pb", last(when(col("sv").isNotNull, col("bucket")), ignoreNulls = true).over(wp))
-      .withColumn("nv", first(col("sv"), ignoreNulls = true).over(wn))
-      .withColumn("nb", first(when(col("sv").isNotNull, col("bucket")), ignoreNulls = true).over(wn))
+      .withColumn("hb", graft.exprs.idiv(unix_millis(col("bucket")), lit(3600000L)))
+      .withColumn("pv", last(col("xc"), ignoreNulls = true).over(wp))
+      .withColumn("pb", last(when(col("xc").isNotNull, col("hb")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("xc"), ignoreNulls = true).over(wn))
+      .withColumn("nb", first(when(col("xc").isNotNull, col("hb")), ignoreNulls = true).over(wn))
+    val den = col("nb") - col("pb")
+    val lerpN = col("pv") * den + (col("nv") - col("pv")) * (col("hb") - col("pb"))
     f.select(col("event_type"), unix_millis(col("bucket")).as("bucket_ms"),
-      round(
-        when(col("sv").isNotNull, col("sv"))
-          .when(col("pv").isNotNull && col("nv").isNotNull,
-            col("pv") + (col("nv") - col("pv")) *
-              ((unix_millis(col("bucket")) - unix_millis(col("pb"))).cast("double") /
-                (unix_millis(col("nb")) - unix_millis(col("pb"))))), 4)
-        .as("value_filled"),
-      (col("sv").isNull && col("pv").isNotNull && col("nv").isNotNull)
+      when(col("xc").isNotNull, col("xc"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          graft.exprs.idiv(lit(2L) * lerpN + den, lit(2L) * den))
+        .cast("long").as("value_cents"),
+      (col("xc").isNull && col("pv").isNotNull && col("nv").isNotNull)
         .as("interpolated"))
   }
 

@@ -59,4 +59,32 @@ object StreamingQueries {
     closed.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
   }
+
+  /** Stream-static seasonal anomaly scoring — the streaming twin of
+    * `events_seasonal_outliers`: closed hourly cells join a
+    * PRECOMPUTED per-(dim, hour-of-day) profile (static broadcast;
+    * the profile itself is refreshed by a batch job) and flag
+    * |x − μ| > 2σ via the same exact integer cross-multiplied test
+    * (xn − S)² > 4(nQ − S²), so a cell flagged in the stream is
+    * flagged identically by the batch recomputation. Append mode,
+    * one decision per closed cell; state = open cells only.
+    * `profile` columns: (dimCol, hod, n, s, q). */
+  def seasonalFlags(
+      stream: DataFrame,
+      tsCol: String,
+      dimCol: String,
+      valueCents: Column,
+      profile: DataFrame,
+      watermark: String): DataFrame = {
+    val cells = stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour").as("__bucket"), col(dimCol))
+      .agg(sum(valueCents).as("x"))
+      .withColumn("__time", col("__bucket.start")).drop("__bucket")
+      .withColumn("hod", hour(col("__time")).cast("long"))
+    val dev = col("x") * col("n") - col("s")
+    cells.join(broadcast(profile), Seq(dimCol, "hod"))
+      .withColumn("is_outlier",
+        dev * dev > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col(dimCol), col("__time"), col("x"), col("is_outlier"))
+  }
 }

@@ -145,4 +145,43 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(rows(1L) == ((2L, 2)), rows) // "bad" and "bad word" both fire
     assert(rows(2L) == ((0L, 0)), rows)
   }
+
+  test("seasonalFlags: stream-static scoring matches the batch integer test") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // profile for dim "a", hod 0: three historical cells 100, 100, 400
+    // -> n=3, S=600, Q=180000; nQ-S^2 = 180000 (var*n^2), 2sigma test:
+    // (3x-600)^2 > 720000 <=> |x-200| > ~282.8 -> x=100 ok, x=600 flags
+    val profile = Seq(("a", 0L, 3L, 600L, 180000L))
+      .toDF("dim", "hod", "n", "s", "q")
+    val mem = MemoryStream[(String, Long, Long)]
+    val stream = mem.toDF.toDF("dim", "cents", "tsMs")
+      .select(col("dim"), col("cents"), timestamp_millis(col("tsMs")).as("ts"))
+    val q = StreamingQueries.seasonalFlags(
+      stream, "ts", "dim", col("cents"), profile, "10 minutes")
+      .writeStream.format("memory").queryName("sq_seasonal")
+      .outputMode("append").start()
+    // hour 00 of two different days: one normal cell, one outlier cell
+    mem.addData(
+      ("a", 40L, m("2024-01-01T00:10:00Z")),
+      ("a", 60L, m("2024-01-01T00:20:00Z")),   // day 1 cell x=100
+      ("a", 600L, m("2024-01-02T00:30:00Z")))  // day 2 cell x=600
+    q.processAllAvailable()
+    mem.addData(("a", 0L, m("2024-01-03T05:00:00Z"))) // close both cells
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sq_seasonal")
+      .select(col("__time").cast("long"), col("x"), col("is_outlier"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(rows.contains((m("2024-01-01T00:00:00Z") / 1000, 100L, false)), rows)
+    assert(rows.contains((m("2024-01-02T00:00:00Z") / 1000, 600L, true)), rows)
+    // batch twin: same test over the landed cells gives the same flags
+    val landed = Seq(("a", 0L, 100L), ("a", 0L, 600L)).toDF("dim", "hod", "x")
+    val batch = landed.join(profile, Seq("dim", "hod"))
+      .withColumn("f", (col("x") * col("n") - col("s")) * (col("x") * col("n") - col("s"))
+        > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("x"), col("f")).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch == Map(100L -> false, 600L -> true))
+  }
 }
