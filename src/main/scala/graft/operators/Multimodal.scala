@@ -315,6 +315,51 @@ object Multimodal {
     }(enc)
   }
 
+  val audioFrameType: StructType = StructType(Seq(
+    StructField("frame", IntegerType), StructField("n_samples", IntegerType),
+    StructField("peak", IntegerType), StructField("sum_sq", LongType)))
+
+  /** REAL framed feature extraction over decoded PCM (the VAD /
+    * energy-contour shape): fixed-length non-overlapping frames, per
+    * frame the sample count (last frame may be short), peak
+    * |amplitude| and energy — all integers, bit-exact anywhere.
+    * Non-PCM media → null (quarantine, no guessing). */
+  def withAudioFrames(
+      df: DataFrame, binCol: String, frameLen: Int,
+      outCol: String = "audio_frames"): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, org.apache.spark.sql.types.ArrayType(audioFrameType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val frames = decodeWavPcm(bytes) match {
+          case Some((_, _, _, s)) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var f = 0
+            while (f * frameLen < s.length) {
+              val start = f * frameLen
+              val end = math.min(s.length, start + frameLen)
+              var peak = 0; var sq = 0L; var i = start
+              while (i < end) {
+                val v = s(i); val a = math.abs(v)
+                if (a > peak) peak = a
+                sq += v.toLong * v
+                i += 1
+              }
+              out += Row(f, end - start, peak, sq)
+              f += 1
+            }
+            out.toSeq
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ frames)
+      }
+    }(enc)
+  }
+
   /** attach audio metadata (real WAV header probe; non-audio bytes →
     * null struct — callers quarantine, no guessing). */
   def withAudioMeta(df: DataFrame, binCol: String, metaCol: String = "audio_meta"): DataFrame = {

@@ -400,8 +400,64 @@ object PipelineQueries13 {
           .as("drift_cosine"))
   }
 
+  /** Framed audio energy contour over REAL WAV decode: self-assembled
+    * 16-bit PCM (same deterministic synthesis as `media_audio_pcm`),
+    * decoded by the real RIFF walk, then framed into 4-sample windows
+    * with per-frame peak/energy — the windowed feature extraction a
+    * VAD / audio-quality pipeline runs before filtering. The oracle
+    * recomputes every frame directly from the sample formula. */
+  val audioFrames: Q = q(
+    "media_audio_frames",
+    """WITH d AS (SELECT doc_id, doc_id % 7 + 10 AS ns FROM documents),
+      |s AS (SELECT doc_id, ns,
+      |        list_transform(range(0, ns),
+      |          k -> ((doc_id * 7 + k * 13) % 200 - 100) * 50) AS sm
+      |      FROM d),
+      |fx AS (SELECT doc_id, ns, sm,
+      |         unnest(range(0, CAST(ceil(CAST(ns AS DOUBLE) / 4) AS BIGINT))) AS f
+      |       FROM s),
+      |fr AS (SELECT doc_id, CAST(f AS INT) AS frame,
+      |         list_slice(sm, CAST(f * 4 + 1 AS INT),
+      |                    CAST(least(ns, f * 4 + 4) AS INT)) AS fs
+      |       FROM fx)
+      |SELECT doc_id, frame,
+      |  CAST(len(fs) AS INT) AS n_samples,
+      |  CAST(list_max(list_transform(fs, x -> abs(x))) AS INTEGER) AS peak,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(fs, x -> CAST(x AS BIGINT) * x)), (a, b) -> a + b)
+      |    AS BIGINT) AS sum_sq
+      |FROM fr""".stripMargin) { (s, d) =>
+    import graft.operators.Multimodal
+    def byteHex(c: Column): Column = lpad(lower(hex(c.cast("long"))), 2, "0")
+    def le16hex(v: Column): Column = {
+      val u = pmod(v.cast("long"), lit(65536L))
+      concat(byteHex(u % 256), byteHex(floor(u / 256.0).cast("long")))
+    }
+    def le32hex(v: Column): Column = {
+      val u = v.cast("long")
+      concat(byteHex(u % 256), byteHex(floor(u / 256.0).cast("long") % 256),
+        byteHex(floor(u / 65536.0).cast("long") % 256),
+        byteHex(floor(u / 16777216.0).cast("long") % 256))
+    }
+    val staticMid = "57415645" + "666d7420" + "10000000" + "0100" + "0100" +
+      "401f0000" + "803e0000" + "0200" + "1000" + "64617461"
+    val n = col("doc_id") % 7 + 10
+    val sampleHex = array_join(transform(sequence(lit(0L), n - 1),
+      k => le16hex(((col("doc_id") * 7 + k * 13) % 200 - 100) * 50)), "")
+    val wavHex = concat(
+      lit("52494646"), le32hex(n * 2 + 36), lit(staticMid),
+      le32hex(n * 2), sampleHex)
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), unhex(wavHex).as("media"))
+    Multimodal.withAudioFrames(media, "media", frameLen = 4)
+      .select(col("doc_id"), explode(col("audio_frames")).as("f"))
+      .select(col("doc_id"), col("f.frame").as("frame"),
+        col("f.n_samples").as("n_samples"), col("f.peak").as("peak"),
+        col("f.sum_sq").as("sum_sq"))
+  }
+
   val all: Seq[Q] =
     Seq(priorityWor, readabilityGrades, readabilitySource, fertility,
       ngramDiversity, containmentPairs, timeseriesInterpolate,
-      seasonalOutliers, driftKs, driftEmbedding)
+      seasonalOutliers, driftKs, driftEmbedding, audioFrames)
 }
