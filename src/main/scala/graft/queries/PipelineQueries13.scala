@@ -456,8 +456,73 @@ object PipelineQueries13 {
         col("f.sum_sq").as("sum_sq"))
   }
 
+  /** Collocation mining by association lift (the PMI exponent,
+    * Church & Hanks 1990): top-20 adjacent-token pairs by
+    * lift = N·c(ab) / (c(a)·c(b)) with support floors. The ordering
+    * key is ONE division chain over exact integer counts — no
+    * logarithm in the graded output, so both engines agree bit-for-
+    * bit (ln is monotone; ranking by lift IS ranking by PMI). */
+  val collocations: Q = q(
+    "text_collocations_lift",
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |           FROM documents),
+      |t AS (SELECT unnest(ws) AS tok FROM w),
+      |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      |bg AS (SELECT ws[i] AS a, ws[i + 1] AS b
+      |       FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w) x),
+      |bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY 1, 2),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+      |s AS (SELECT bc.a, bc.b, bc.cab, ta.c AS ca, tb.c AS cb,
+      |        CAST(bc.cab AS DOUBLE) * (SELECT nb FROM n) / ta.c / tb.c AS lift
+      |      FROM bc JOIN tc ta ON bc.a = ta.tok JOIN tc tb ON bc.b = tb.tok
+      |      WHERE bc.cab >= 3 AND ta.c >= 5 AND tb.c >= 5)
+      |SELECT a, b, cab, ca, cb, round(lift, 4) AS lift
+      |FROM s ORDER BY lift DESC, a ASC, b ASC LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = split(trim(col("text")), "\\s+")
+    val w = docs.select(toks.as("ws"))
+    val tc = w.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bg = w.select(explode(TextAnalysis.wordShingles(col("ws"), 2)).as("p"))
+      .select(split(col("p"), " ").getItem(0).as("a"),
+        split(col("p"), " ").getItem(1).as("b"))
+    val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val nb = bg.count()
+    bc.join(tc.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+      .join(tc.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+      .filter(col("cab") >= 3 && col("ca") >= 5 && col("cb") >= 5)
+      .withColumn("lift",
+        col("cab").cast("double") * lit(nb) / col("ca") / col("cb"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+      .limit(20)
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        round(col("lift"), 4).as("lift"))
+  }
+
+  /** Burst / rate-limit audit: each user's maximum event count inside
+    * any trailing 10-minute window (RANGE frame over the event
+    * stream, PARTITIONED by user) — the abuse-detection primitive an
+    * event platform runs continuously. Exact integer counts. */
+  val rateLimitAudit: Q = q(
+    "events_rate_limit_audit",
+    """WITH r AS (SELECT user_id,
+      |             count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |               RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) AS c
+      |           FROM events)
+      |SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst
+      |FROM r GROUP BY 1 HAVING max(c) >= 2""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+      .rangeBetween(-600000L, 0L)
+    Tables.events(s, d)
+      .withColumn("c", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("c")).as("max_burst"))
+      .filter(col("max_burst") >= 2)
+  }
+
   val all: Seq[Q] =
     Seq(priorityWor, readabilityGrades, readabilitySource, fertility,
       ngramDiversity, containmentPairs, timeseriesInterpolate,
-      seasonalOutliers, driftKs, driftEmbedding, audioFrames)
+      seasonalOutliers, driftKs, driftEmbedding, audioFrames,
+      collocations, rateLimitAudit)
 }
