@@ -520,9 +520,112 @@ object PipelineQueries13 {
       .filter(col("max_burst") >= 2)
   }
 
+  /** Welch's unequal-variance t-test between two event types' values
+    * (the A/B significance primitive next to the existing z-test):
+    * t and the Welch–Satterthwaite df from EXACT integer moment sums
+    * over cent-quantized values — the only float work is one fixed
+    * terminal expression over six BIGINTs, identical in any engine. */
+  val welchTtest: Q = q(
+    "events_welch_ttest",
+    """WITH m AS (SELECT
+      |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n1,
+      |  CAST(sum(CASE WHEN event_type = 'click'
+      |        THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS s1,
+      |  CAST(sum(CASE WHEN event_type = 'click'
+      |        THEN CAST(round(value * 100) AS BIGINT)
+      |             * CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS q1,
+      |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n2,
+      |  CAST(sum(CASE WHEN event_type = 'view'
+      |        THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS s2,
+      |  CAST(sum(CASE WHEN event_type = 'view'
+      |        THEN CAST(round(value * 100) AS BIGINT)
+      |             * CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS q2
+      |  FROM events),
+      |x AS (SELECT n1, s1, q1, n2, s2, q2,
+      |        (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1 AS v1,
+      |        (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2 AS v2
+      |      FROM m)
+      |SELECT n1, n2,
+      |  round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      |    / sqrt(v1 + v2), 4) AS t_stat,
+      |  round((v1 + v2) * (v1 + v2)
+      |    / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)), 2) AS welch_df
+      |FROM x""".stripMargin) { (s, d) =>
+    val cents = round(col("value") * 100).cast("long")
+    val m = Tables.events(s, d).agg(
+      count(when(col("event_type") === "click", 1)).as("n1"),
+      sum(when(col("event_type") === "click", cents)).as("s1"),
+      sum(when(col("event_type") === "click", cents * cents)).as("q1"),
+      count(when(col("event_type") === "view", 1)).as("n2"),
+      sum(when(col("event_type") === "view", cents)).as("s2"),
+      sum(when(col("event_type") === "view", cents * cents)).as("q2"))
+    val v1 = (col("q1").cast("double") - col("s1").cast("double") * col("s1") / col("n1")) /
+      (col("n1") - 1) / col("n1")
+    val v2 = (col("q2").cast("double") - col("s2").cast("double") * col("s2") / col("n2")) /
+      (col("n2") - 1) / col("n2")
+    m.select(col("n1"), col("n2"),
+      round((col("s1").cast("double") / col("n1") - col("s2").cast("double") / col("n2")) /
+        sqrt(v1 + v2), 4).as("t_stat"),
+      round((v1 + v2) * (v1 + v2) /
+        (v1 * v1 / (col("n1") - 1) + v2 * v2 / (col("n2") - 1)), 2).as("welch_df"))
+  }
+
+  /** CUSUM changepoint per event_type over the daily value series:
+    * the day k maximizing |K·S_k − k·S_K| (the scaled cumulative
+    * deviation from a constant mean — Page 1954's statistic with the
+    * mean cross-multiplied away), ties broken earliest. All BIGINT:
+    * cent sums, partitioned cumsum window, integer argmax. */
+  val cusumChangepoint: Q = q(
+    "events_cusum_changepoint",
+    """WITH day AS (SELECT event_type, date_trunc('day', ts) AS d,
+      |              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, d, x,
+      |        CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+      |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS k
+      |      FROM day),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS kk,
+      |             CAST(sum(x) AS BIGINT) AS stot FROM day GROUP BY 1),
+      |dev AS (SELECT c.event_type, c.d, c.k,
+      |          abs(t.kk * c.sk - c.k * t.stot) AS dv, t.kk
+      |        FROM c JOIN t ON c.event_type = t.event_type),
+      |mx AS (SELECT event_type, max(dv) AS mx FROM dev GROUP BY 1),
+      |best AS (SELECT dev.event_type, min(dev.d) AS change_day
+      |         FROM dev JOIN mx ON dev.event_type = mx.event_type
+      |                         AND dev.dv = mx.mx
+      |         GROUP BY 1)
+      |SELECT dev.event_type, epoch_ms(best.change_day) AS change_day_ms,
+      |       CAST(max(dev.dv) AS BIGINT) AS max_dev, CAST(max(dev.kk) AS BIGINT) AS n_days
+      |FROM dev JOIN best ON dev.event_type = best.event_type
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val day = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val c = day
+      .withColumn("sk", sum(col("x")).over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(wc).cast("long"))
+    val t = day.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("kk"), sum(col("x")).as("stot"))
+    val dev = c.join(broadcast(t), Seq("event_type"))
+      .withColumn("dv", abs(col("kk") * col("sk") - col("k") * col("stot")))
+    val best = dev
+      .groupBy(col("event_type"))
+      .agg(max(col("dv")).as("mx"))
+    dev.join(broadcast(best), Seq("event_type"))
+      .filter(col("dv") === col("mx"))
+      .groupBy(col("event_type"))
+      .agg(unix_millis(min(col("d"))).as("change_day_ms"),
+        max(col("dv")).as("max_dev"), max(col("kk")).as("n_days"))
+      .select(col("event_type"), col("change_day_ms"), col("max_dev"),
+        col("n_days"))
+  }
+
   val all: Seq[Q] =
     Seq(priorityWor, readabilityGrades, readabilitySource, fertility,
       ngramDiversity, containmentPairs, timeseriesInterpolate,
       seasonalOutliers, driftKs, driftEmbedding, audioFrames,
-      collocations, rateLimitAudit)
+      collocations, rateLimitAudit, welchTtest, cusumChangepoint)
 }
