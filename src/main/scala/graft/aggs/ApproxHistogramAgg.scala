@@ -219,6 +219,20 @@ object ApproxHistogramAgg {
       ApproxHistogramAgg(graft.exprs.toExpr(col.cast("double")), maxBins)
         .toAggregateExpression())
 
+  /** finalized JSON-friendly form (reference ApproximateHistogram
+    * serializes as breaks/counts; we ship count/min/max + the centroid
+    * bins — information-complete and strict-JSON safe). */
+  final case class AhSummary(
+      count: Long, min: Option[Double], max: Option[Double],
+      centroids: Seq[Double], counts: Seq[Long])
+
+  val ahFinalize = udf((bytes: Array[Byte]) => {
+    val h = BhHistogram.fromBytes(bytes)
+    if (h.total == 0L) AhSummary(0L, None, None, Nil, Nil)
+    else AhSummary(h.total, Some(h.vmin), Some(h.vmax),
+      h.centroids.toSeq, h.counts.toSeq)
+  })
+
   /** scalar readers over the serialized histogram */
   val ahQuantile = udf((bytes: Array[Byte], q: Double) =>
     BhHistogram.fromBytes(bytes).quantile(q))

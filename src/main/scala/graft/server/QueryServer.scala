@@ -2026,6 +2026,9 @@ class QueryServer(
           case "hll" => hll_sketch_estimate(col(f.name)).cast("double")
           case "tuple" => graft.exprs.toCol(graft.aggs.TupleEstimate(
             graft.exprs.toExpr(col(f.name))))
+          // approxHistogram: count/min/max + centroid bins, the
+          // strict-JSON analog of the reference's breaks/counts form
+          case "bhhist" => graft.aggs.ApproxHistogramAgg.ahFinalize(col(f.name))
           case _ => col(f.name)
         }).as(f.name)
       else col(f.name)
@@ -2175,6 +2178,7 @@ class QueryServer(
     case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
       val arr = target.addArray()
       x.foreach(e => jsonValue(e, et, arr))
+    case (x: Row, st: StructType) => target.add(rowObject(x, st))
     case (x: Array[Byte], _) =>
       // unfinalized sketches / raw binaries ship base64 (the
       // reference's JSON serialization for sketch objects)
@@ -2196,6 +2200,7 @@ class QueryServer(
     case (x: scala.collection.Seq[_], ArrayType(et, _)) =>
       val arr = o.putArray(name)
       x.foreach(e => jsonValue(e, et, arr))
+    case (x: Row, st: StructType) => o.set[ObjectNode](name, rowObject(x, st))
     case (x: Array[Byte], _) =>
       o.put(name, java.util.Base64.getEncoder.encodeToString(x))
     case (x, _) => o.put(name, String.valueOf(x))

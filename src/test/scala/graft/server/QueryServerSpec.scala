@@ -1117,6 +1117,24 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("approxHistogram finalizes to count/min/max + bins over HTTP") {
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      val (c, b) = post(port, "/druid/v2",
+        """{"queryType": "groupBy", "dataSource": "ds", "intervals": [],
+          |"granularity": "all", "dimensions": [],
+          |"aggregations": [{"type": "approxHistogram", "name": "h",
+          |  "fieldName": "m", "resolution": 32}]}""".stripMargin)
+      assert(c == 200, b)
+      // strict JSON object with the exact count and extremes; the raw
+      // binary must NOT ship by default
+      assert(b.contains("\"count\":"), b)
+      assert(b.contains("\"min\":"), b)
+      assert(b.contains("\"centroids\":"), b)
+    } finally srv.stop()
+  }
+
   test("URI-backed polling lookup: file load, poll refresh, DELETE") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lk")
     val f = dir.resolve("nations.csv")
