@@ -30,23 +30,38 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * order-dependent), so cross-engine grading must use bounds. */
 final class BhHistogram(val maxBins: Int) extends Serializable {
   require(maxBins >= 2, "maxBins must be >= 2")
-  // parallel arrays sorted by centroid; size <= maxBins after collapse
-  var centroids: Array[Double] = new Array[Double](0)
-  var counts: Array[Long] = new Array[Long](0)
+  // fixed-capacity parallel arrays sorted by centroid, `size` bins
+  // live — inserts shift in place (one bounded arraycopy, ZERO
+  // allocation per row; this aggregate runs once per input row, so
+  // per-insert allocation was the hot-path cost)
+  private var cap: Int = maxBins + 1
+  private var cs: Array[Double] = new Array[Double](cap)
+  private var ks: Array[Long] = new Array[Long](cap)
+  private var size: Int = 0
   var total: Long = 0L
   var vmin: Double = Double.PositiveInfinity
   var vmax: Double = Double.NegativeInfinity
+
+  def centroids: Array[Double] = java.util.Arrays.copyOf(cs, size)
+  def counts: Array[Long] = java.util.Arrays.copyOf(ks, size)
+  private[aggs] def setBins(c: Array[Double], k: Array[Long]): Unit = {
+    size = c.length
+    if (size > cap) { cap = size; cs = new Array[Double](cap); ks = new Array[Long](cap) }
+    System.arraycopy(c, 0, cs, 0, size); System.arraycopy(k, 0, ks, 0, size)
+  }
 
   def insert(v: Double): Unit = {
     total += 1
     if (v < vmin) vmin = v
     if (v > vmax) vmax = v
-    val i = java.util.Arrays.binarySearch(centroids, v)
-    if (i >= 0) { counts(i) += 1; return }
+    val i = java.util.Arrays.binarySearch(cs, 0, size, v)
+    if (i >= 0) { ks(i) += 1; return }
     val at = -i - 1
-    centroids = insertAt(centroids, at, v)
-    counts = insertAt(counts, at, 1L)
-    if (centroids.length > maxBins) collapseClosest()
+    System.arraycopy(cs, at, cs, at + 1, size - at)
+    System.arraycopy(ks, at, ks, at + 1, size - at)
+    cs(at) = v; ks(at) = 1L
+    size += 1
+    if (size > maxBins) collapseClosest()
   }
 
   def merge(other: BhHistogram): Unit = {
@@ -55,38 +70,39 @@ final class BhHistogram(val maxBins: Int) extends Serializable {
     if (other.vmin < vmin) vmin = other.vmin
     if (other.vmax > vmax) vmax = other.vmax
     // merge two sorted lists, fusing equal centroids
-    val n = centroids.length + other.centroids.length
+    val n = size + other.size
     val c = new Array[Double](n); val k = new Array[Long](n)
     var a = 0; var b = 0; var m = 0
-    while (a < centroids.length || b < other.centroids.length) {
-      val takeA = b >= other.centroids.length ||
-        (a < centroids.length && centroids(a) <= other.centroids(b))
-      val (cv, kv) =
-        if (takeA) { val r = (centroids(a), counts(a)); a += 1; r }
-        else { val r = (other.centroids(b), other.counts(b)); b += 1; r }
+    while (a < size || b < other.size) {
+      val takeA = b >= other.size || (a < size && cs(a) <= other.cs(b))
+      val cv = if (takeA) cs(a) else other.cs(b)
+      val kv = if (takeA) ks(a) else other.ks(b)
+      if (takeA) a += 1 else b += 1
       if (m > 0 && c(m - 1) == cv) k(m - 1) += kv
       else { c(m) = cv; k(m) = kv; m += 1 }
     }
-    centroids = java.util.Arrays.copyOf(c, m)
-    counts = java.util.Arrays.copyOf(k, m)
-    while (centroids.length > maxBins) collapseClosest()
+    if (m > cap) { cap = m + 1; cs = new Array[Double](cap); ks = new Array[Long](cap) }
+    System.arraycopy(c, 0, cs, 0, m); System.arraycopy(k, 0, ks, 0, m)
+    size = m
+    while (size > maxBins) collapseClosest()
   }
 
   /** fuse the closest centroid pair (leftmost on ties) into their
-    * count-weighted mean — the paper's update step. */
+    * count-weighted mean — the paper's update step. In place. */
   private def collapseClosest(): Unit = {
     var best = 0; var bestGap = Double.PositiveInfinity
     var i = 0
-    while (i < centroids.length - 1) {
-      val gap = centroids(i + 1) - centroids(i)
+    while (i < size - 1) {
+      val gap = cs(i + 1) - cs(i)
       if (gap < bestGap) { bestGap = gap; best = i }
       i += 1
     }
-    val k = counts(best) + counts(best + 1)
-    val c = (centroids(best) * counts(best) + centroids(best + 1) * counts(best + 1)) / k
-    centroids(best) = c; counts(best) = k
-    centroids = removeAt(centroids, best + 1)
-    counts = removeAt(counts, best + 1)
+    val k = ks(best) + ks(best + 1)
+    val c = (cs(best) * ks(best) + cs(best + 1) * ks(best + 1)) / k
+    cs(best) = c; ks(best) = k
+    System.arraycopy(cs, best + 2, cs, best + 1, size - best - 2)
+    System.arraycopy(ks, best + 2, ks, best + 1, size - best - 2)
+    size -= 1
   }
 
   /** estimated number of points <= b — the paper's `sum` procedure:
@@ -167,8 +183,7 @@ object BhHistogram {
     val h = new BhHistogram(in.readInt())
     val n = in.readInt()
     h.total = in.readLong(); h.vmin = in.readDouble(); h.vmax = in.readDouble()
-    h.centroids = Array.fill(n)(in.readDouble())
-    h.counts = Array.fill(n)(in.readLong())
+    h.setBins(Array.fill(n)(in.readDouble()), Array.fill(n)(in.readLong()))
     h
   }
 }

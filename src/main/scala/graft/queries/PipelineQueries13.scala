@@ -155,14 +155,22 @@ object PipelineQueries13 {
       |       CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct,
       |       round(CAST(count(DISTINCT bg) AS DOUBLE) / count(*), 4) AS diversity
       |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
-    val toks = split(trim(col("text")), "\\s+")
+    // two-level aggregate instead of count + count_distinct in one
+    // agg (the latter plans an Expand duplicating every bigram row),
+    // and the split MATERIALIZED in its own projection: wordShingles
+    // references its input inside a transform lambda, where no CSE
+    // runs — inlining the split would re-split the text per shingle
+    // element (O(W²) per doc)
     Tables.documents(s, d)
+      .select(col("source"), split(trim(col("text")), "\\s+").as("ws"))
       .select(col("source"),
-        explode(TextAnalysis.wordShingles(toks, 2)).as("bg"))
+        explode(TextAnalysis.wordShingles(col("ws"), 2)).as("bg"))
+      .groupBy(col("source"), col("bg"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        count_distinct(col("bg")).as("n_distinct"),
-        round(count_distinct(col("bg")).cast("double") / count(lit(1)), 4)
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 4)
           .as("diversity"))
   }
 
