@@ -1,0 +1,18 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Input-parallelism guard for per-row-HEAVY operators (n-gram
+  * expansion, fingerprinting, substring scans): a small table often
+  * arrives as ONE parquet split, which serializes an O(rows × work)
+  * expression pipeline on a single core no matter how many executors
+  * exist. `spread` reshuffles the (cheap, raw) input rows up to the
+  * cluster's parallelism — but ONLY when the scan is under-split, so
+  * at real corpus scale (thousands of splits) it is a no-op and adds
+  * no shuffle. */
+object Par {
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
+}

@@ -236,7 +236,7 @@ object TextCorpus {
       idCol: String,
       textCol: String,
       spanLen: Int = 10): DataFrame = {
-    val base = df.select(col(idCol).as("id"), toks(col(textCol)).as("w"))
+    val base = Par.spread(df).select(col(idCol).as("id"), toks(col(textCol)).as("w"))
     val grams = base.select(
       col("id"),
       posexplode(TextAnalysis.wordShingles(col("w"), spanLen)).as(Seq("pos", "g")))
@@ -413,16 +413,24 @@ object TextCorpus {
     val thr = repetitionThresholdPct.toSeq.sortBy(_._1)
       .foldLeft(lit(0)) { case (acc, (n, pct)) =>
         when(col("n") === n, pct).otherwise(acc) }
-    val perN = df
+    // downstream needs only each distinct gram's COUNT and CHAR LENGTH
+    // — so the wordcount groups on (xxhash64(gram), length(gram))
+    // instead of the gram string, shrinking the shuffle rows from
+    // tens of bytes of text to 16 bytes (~2× wall at sf0.1). A 64-bit
+    // collision inside one (doc, n) group could merge two grams'
+    // counts; at ≤10⁵ grams per doc that is ~10⁻¹⁰ per doc — far
+    // below the heuristic rule's noise floor.
+    val perN = Par.spread(df)
       .select(id, length(col(textCol)).cast("long").as("total_chars"),
         explode(grams).as("x"))
-      .select(id, col("total_chars"), col("x.n").as("n"), col("x.g").as("g"))
-      .groupBy(id, col("total_chars"), col("n"), col("g"))
+      .select(id, col("total_chars"), col("x.n").as("n"),
+        xxhash64(col("x.g")).as("gh"), length(col("x.g")).cast("long").as("gl"))
+      .groupBy(id, col("total_chars"), col("n"), col("gh"), col("gl"))
       .agg(count(lit(1)).as("c"))
       .groupBy(id, col("total_chars"), col("n"))
       .agg(
-        max(col("c") * lit(1000000L) + length(col("g"))).as("enc"),
-        coalesce(sum(when(col("c") >= 2, col("c") * length(col("g")))),
+        max(col("c") * lit(1000000L) + col("gl")).as("enc"),
+        coalesce(sum(when(col("c") >= 2, col("c") * col("gl"))),
           lit(0L)).as("dupc"))
     val gramChars = when(col("n") <= 4,
       graft.exprs.idiv(col("enc"), lit(1000000L)) * (col("enc") % 1000000L))
@@ -557,7 +565,7 @@ object TextCorpus {
     import graft.functions.TextExpressions
     val hs = transform(TextExpressions.wordShingles(col(textCol), k),
       g => rollHash(g))
-    val selected = df
+    val selected = Par.spread(df)
       .select(col(idCol).as("id"), hs.as("hs"))
       .filter(size(col("hs")) >= w)
       .select(col("id"), col("hs"),
