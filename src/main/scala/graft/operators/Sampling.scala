@@ -339,4 +339,31 @@ object Sampling {
       .withColumn("est", round(greatest(col("weight").cast("double"), lit(tau)), 4))
       .select(col("id"), col("weight"), col("est"))
   }
+
+  /** Per-stratum [[prioritySample]]: an independent weighted WOR
+    * sample of k rows per stratum, each with its OWN threshold τ_s
+    * (the stratum's (k+1)-th priority) — per-stratum subset-sum
+    * estimators stay unbiased. Selection is a rank window PARTITIONED
+    * by the stratum (no global sort); the bounded τ table
+    * (one row per stratum) broadcasts back. */
+  def prioritySampleByStratum(
+      df: DataFrame, stratumCol: String, idCol: String, weightCol: String,
+      k: Int, salt: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df.select(col(stratumCol).as("stratum"),
+      col(idCol).as("id"), col(weightCol).cast("long").as("weight"))
+    val hv = ((col("id") + salt) % 1000003L) * 2654435761L % 2147483647L
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("__pri").desc, col("id").asc)
+    val ranked = base.withColumn("__pri",
+      col("weight").cast("double") * 2147483648.0 / (hv + lit(1L)).cast("double"))
+      .withColumn("__rk", row_number().over(w))
+    val taus = ranked.filter(col("__rk") === k + 1)
+      .select(col("stratum"), col("__pri").as("__tau"))
+    ranked.filter(col("__rk") <= k)
+      .join(broadcast(taus), Seq("stratum"), "left")
+      .withColumn("est", round(greatest(col("weight").cast("double"),
+        coalesce(col("__tau"), lit(0.0))), 4))
+      .select(col("stratum"), col("id"), col("weight"), col("est"))
+  }
 }

@@ -38,6 +38,31 @@ object PipelineQueries13 {
       k = 120, salt = 3L)
   }
 
+  /** Per-language priority sampling: an independent weighted WOR
+    * top-24 per language with per-stratum thresholds — the "balanced
+    * eval set with honest weights" pick. Rank window partitioned by
+    * language; same engine-exact priority arithmetic as the global
+    * variant. */
+  val priorityStratified: Q = q(
+    "sampling_priority_stratified",
+    """WITH p AS (SELECT lang AS stratum, doc_id AS id,
+      |             CAST(n_chars AS BIGINT) AS weight,
+      |             CAST(n_chars AS DOUBLE) * 2147483648 /
+      |               (((doc_id + 11) % 1000003) * 2654435761 % 2147483647 + 1) AS pri
+      |           FROM documents),
+      |r AS (SELECT stratum, id, weight, pri,
+      |        row_number() OVER (PARTITION BY stratum
+      |          ORDER BY pri DESC, id ASC) AS rk FROM p),
+      |tau AS (SELECT stratum, pri AS t FROM r WHERE rk = 25)
+      |SELECT r.stratum, r.id, r.weight,
+      |       round(greatest(CAST(r.weight AS DOUBLE),
+      |         coalesce(tau.t, 0.0)), 4) AS est
+      |FROM r LEFT JOIN tau ON r.stratum = tau.stratum
+      |WHERE r.rk <= 24""".stripMargin) { (s, d) =>
+    Sampling.prioritySampleByStratum(Tables.documents(s, d),
+      "lang", "doc_id", "n_chars", k = 24, salt = 11L)
+  }
+
   /** Per-(source, ARI grade) document histogram — the corpus-level
     * readability profile a dataset card reports. Grade is the floored
     * Automated Readability Index from exact per-doc integer counts. */
@@ -632,8 +657,8 @@ object PipelineQueries13 {
   }
 
   val all: Seq[Q] =
-    Seq(priorityWor, readabilityGrades, readabilitySource, fertility,
-      ngramDiversity, containmentPairs, timeseriesInterpolate,
+    Seq(priorityWor, priorityStratified, readabilityGrades, readabilitySource,
+      fertility, ngramDiversity, containmentPairs, timeseriesInterpolate,
       seasonalOutliers, driftKs, driftEmbedding, audioFrames,
       collocations, rateLimitAudit, welchTtest, cusumChangepoint)
 }
