@@ -63,6 +63,41 @@ object PipelineQueries13 {
       "lang", "doc_id", "n_chars", k = 24, salt = 11L)
   }
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the product
+    * engagement triple. The trailing-window distinct is computed
+    * WITHOUT a range join (which Spark would plan as a nested loop):
+    * each (user, day) pair explodes into the ≤7 target days it can
+    * serve, distinct-reduced, then equi-joined to the observed-day
+    * axis — shuffles only, exact integers. */
+  val dauWau: Q = q(
+    "events_dau_wau",
+    """WITH ud AS (SELECT DISTINCT epoch_ms(date_trunc('day', ts)) // 86400000 AS dd,
+      |              user_id FROM events),
+      |days AS (SELECT DISTINCT dd FROM ud),
+      |contrib AS (SELECT DISTINCT dd + f AS td, user_id
+      |            FROM ud, range(0, 7) t(f)),
+      |wau AS (SELECT td, CAST(count(*) AS BIGINT) AS wau
+      |        FROM contrib JOIN days ON td = dd GROUP BY 1),
+      |dau AS (SELECT dd, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+      |SELECT dau.dd * 86400000 AS day_ms, dau.dau, wau.wau,
+      |       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau ON wau.td = dau.dd""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(graft.exprs.idiv(unix_millis(date_trunc("day", col("ts"))),
+        lit(86400000L)).as("dd"), col("user_id"))
+      .distinct()
+    val days = ud.select(col("dd")).distinct()
+    val contrib = ud
+      .select(explode(sequence(col("dd"), col("dd") + 6)).as("td"), col("user_id"))
+      .distinct()
+    val wau = contrib.join(broadcast(days.withColumnRenamed("dd", "td")), Seq("td"))
+      .groupBy(col("td")).agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy(col("dd")).agg(count(lit(1)).as("dau"))
+    dau.join(wau, col("dd") === col("td"))
+      .select((col("dd") * 86400000L).as("day_ms"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
   /** Per-(source, ARI grade) document histogram — the corpus-level
     * readability profile a dataset card reports. Grade is the floored
     * Automated Readability Index from exact per-doc integer counts. */
@@ -657,8 +692,9 @@ object PipelineQueries13 {
   }
 
   val all: Seq[Q] =
-    Seq(priorityWor, priorityStratified, readabilityGrades, readabilitySource,
-      fertility, ngramDiversity, containmentPairs, timeseriesInterpolate,
+    Seq(priorityWor, priorityStratified, dauWau, readabilityGrades,
+      readabilitySource, fertility, ngramDiversity, containmentPairs,
+      timeseriesInterpolate,
       seasonalOutliers, driftKs, driftEmbedding, audioFrames,
       collocations, rateLimitAudit, welchTtest, cusumChangepoint)
 }
