@@ -98,6 +98,100 @@ object PipelineQueries13 {
         round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
   }
 
+  /** Grading the LSH approximation itself: recall of the banded
+    * MinHash candidate pairs against the EXACT Jaccard ≥ 0.5 truth
+    * set (3-gram, doc_id < 80 — the dedup_minhash_lsh universe).
+    * Recall ships as integer basis points ((10000·hit) div truth):
+    * a float ratio of small integer counts can land exactly on a
+    * 4-dp half (e.g. 1/32) where engines round differently. */
+  val minhashRecall: Q = q(
+    "dedup_minhash_recall",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 80
+      |           UNION ALL
+      |           SELECT doc_id + 1000, text || ' zz zz'
+      |           FROM documents WHERE doc_id < 80 AND doc_id % 10 = 0),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' ||
+      |                string_split(text, ' ')[i+1] || ' ' ||
+      |                string_split(text, ' ')[i+2])) AS g
+      |  FROM d),
+      |hs AS (
+      |  SELECT doc_id, g, list_transform(g, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a*31 + b) % 1000000007)) AS h
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, g, list_transform(range(0, 16), i ->
+      |    list_min(list_transform(h, x -> (x*(2*i+1) + i*12345 + 7) % 2147483647))) AS s
+      |  FROM hs),
+      |banded AS (
+      |  SELECT doc_id, b.band AS band,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_slice(s, b.band*4 + 1, b.band*4 + 4)),
+      |           (a, x) -> (a*31 + x) % 1000000007) AS bucket
+      |  FROM sig, range(0, 4) b(band)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      |tsh AS (SELECT doc_id, unnest(g) AS gg FROM sh),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM tsh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      |          FROM tsh a JOIN tsh b ON a.gg = b.gg AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |truth AS (SELECT ida, idb
+      |          FROM inter JOIN cnt ca ON ida = ca.doc_id
+      |                     JOIN cnt cb ON idb = cb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5),
+      |hit AS (SELECT truth.ida FROM truth
+      |        JOIN cand ON truth.ida = cand.id_a AND truth.idb = cand.id_b)
+      |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+      |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+      |       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+      |       CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 10000
+      |            ELSE 10000 * (SELECT count(*) FROM hit)
+      |              // (SELECT count(*) FROM truth) END AS BIGINT) AS recall_bp""".stripMargin) {
+    (s, d) =>
+    import graft.functions.TextExpressions
+    import PipelineQueries2.{rollHash, minhashSig}
+    // the natural doc_id<80 slice has no true near-dups at some SFs,
+    // which would make recall vacuous — plant deterministic twins
+    // (one appended bigram → 3-gram Jaccard ≈ W/(W+3) ≫ 0.5), built
+    // identically by the oracle
+    val orig = Tables.documents(s, d).filter(col("doc_id") < 80)
+      .select(col("doc_id"), col("text"))
+    val docs = orig.unionByName(orig.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"), lit(" zz zz")).as("text")))
+    val base = docs.select(col("doc_id"),
+      array_distinct(TextExpressions.wordShingles(col("text"), 3)).as("g"))
+      .withColumn("h", transform(col("g"), rollHash(_)))
+      .withColumn("s", minhashSig(col("h"), 16))
+    val banded = base.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        aggregate(slice(col("s"), b * 4 + 1, 4), lit(0L),
+          (a, x) => (a * 31 + x) % 1000000007L)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val truth = graft.operators.Dedup
+      .jaccardIndexPairs(docs, "doc_id", "text", 3, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val nTruth = truth.count()
+    val nCand = cand.count()
+    val nHit = truth.join(cand, Seq("id_a", "id_b")).count()
+    import s.implicits._
+    Seq((nTruth, nCand, nHit,
+      if (nTruth == 0) 10000L else 10000L * nHit / nTruth))
+      .toDF("n_truth", "n_cand", "n_hit", "recall_bp")
+  }
+
   /** Per-(source, ARI grade) document histogram — the corpus-level
     * readability profile a dataset card reports. Grade is the floored
     * Automated Readability Index from exact per-doc integer counts. */
@@ -692,7 +786,7 @@ object PipelineQueries13 {
   }
 
   val all: Seq[Q] =
-    Seq(priorityWor, priorityStratified, dauWau, readabilityGrades,
+    Seq(priorityWor, priorityStratified, dauWau, minhashRecall, readabilityGrades,
       readabilitySource, fertility, ngramDiversity, containmentPairs,
       timeseriesInterpolate,
       seasonalOutliers, driftKs, driftEmbedding, audioFrames,
