@@ -192,6 +192,37 @@ object PipelineQueries13 {
       .toDF("n_truth", "n_cand", "n_hit", "recall_bp")
   }
 
+  /** Gini coefficient of the token-frequency distribution — the
+    * corpus-balance number a dataset card reports (1 ≈ a few tokens
+    * dominate). Over counts sorted ascending with global rank i:
+    * G = (2·Σi·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) — all BIGINT, shipped in
+    * basis points. The global rank comes from Ranks.orderedPrefix
+    * (range-partitioned two-pass rank, no single-reducer window). */
+  val tokenGini: Q = q(
+    "corpus_token_gini",
+    """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |           FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+      |r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt ASC, tok ASC)
+      |        AS BIGINT) AS rk FROM c),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+      |             CAST(sum(rk * cnt) AS BIGINT) AS ws FROM r)
+      |SELECT n AS n_types, s AS n_tokens,
+      |       CAST((10000 * (2 * ws - (n + 1) * s)) // (n * s) AS BIGINT) AS gini_bp
+      |FROM a""".stripMargin) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    graft.operators.Ranks.orderedPrefix(counts,
+        Seq(col("cnt").asc, col("tok").asc), None, rankName = "rk")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("rk") * col("cnt")).as("ws"))
+      .select(col("n").as("n_types"), col("s").as("n_tokens"),
+        graft.exprs.idiv(
+          lit(10000L) * (lit(2L) * col("ws") - (col("n") + 1) * col("s")),
+          col("n") * col("s")).cast("long").as("gini_bp"))
+  }
+
   /** Per-(source, ARI grade) document histogram — the corpus-level
     * readability profile a dataset card reports. Grade is the floored
     * Automated Readability Index from exact per-doc integer counts. */
@@ -786,7 +817,8 @@ object PipelineQueries13 {
   }
 
   val all: Seq[Q] =
-    Seq(priorityWor, priorityStratified, dauWau, minhashRecall, readabilityGrades,
+    Seq(priorityWor, priorityStratified, dauWau, minhashRecall, tokenGini,
+      readabilityGrades,
       readabilitySource, fertility, ngramDiversity, containmentPairs,
       timeseriesInterpolate,
       seasonalOutliers, driftKs, driftEmbedding, audioFrames,
