@@ -43,8 +43,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even under a name filter: the local
+    // sweep's DuckDB type lint (tools/localverify.py) runs over this
+    // file, and linting all 250 oracles on every filtered dev loop is
+    // what catches HUGEINT-typed oracle drift before the driver does.
+    // (localverify skips the value diff for queries with no output.)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // breakage must be visible as breakage: a query that throws would

@@ -4,11 +4,12 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.functions.udf
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
 
 /** Ben-Haim & Yom-Tov streaming histogram — the algorithm behind the
   * reference's approxHistogram aggregator (reference
@@ -155,26 +156,6 @@ final class BhHistogram(val maxBins: Int) extends Serializable {
     out.flush(); bos.toByteArray
   }
 
-  private def insertAt(a: Array[Double], i: Int, v: Double): Array[Double] = {
-    val r = new Array[Double](a.length + 1)
-    System.arraycopy(a, 0, r, 0, i); r(i) = v
-    System.arraycopy(a, i, r, i + 1, a.length - i); r
-  }
-  private def insertAt(a: Array[Long], i: Int, v: Long): Array[Long] = {
-    val r = new Array[Long](a.length + 1)
-    System.arraycopy(a, 0, r, 0, i); r(i) = v
-    System.arraycopy(a, i, r, i + 1, a.length - i); r
-  }
-  private def removeAt(a: Array[Double], i: Int): Array[Double] = {
-    val r = new Array[Double](a.length - 1)
-    System.arraycopy(a, 0, r, 0, i)
-    System.arraycopy(a, i + 1, r, i, a.length - i - 1); r
-  }
-  private def removeAt(a: Array[Long], i: Int): Array[Long] = {
-    val r = new Array[Long](a.length - 1)
-    System.arraycopy(a, 0, r, 0, i)
-    System.arraycopy(a, i + 1, r, i, a.length - i - 1); r
-  }
 }
 
 object BhHistogram {
@@ -234,26 +215,102 @@ object ApproxHistogramAgg {
       ApproxHistogramAgg(graft.exprs.toExpr(col.cast("double")), maxBins)
         .toAggregateExpression())
 
-  /** finalized JSON-friendly form (reference ApproximateHistogram
-    * serializes as breaks/counts; we ship count/min/max + the centroid
-    * bins — information-complete and strict-JSON safe). */
-  final case class AhSummary(
-      count: Long, min: Option[Double], max: Option[Double],
-      centroids: Seq[Double], counts: Seq[Long])
+  /** finalizers/readers as native Expressions (not udfs) — they run
+    * per-group in post-agg position but also per stored row when
+    * scanning rollup tables with histogram metric columns, and as
+    * Expressions they stay inside WholeStageCodegen with the rest of
+    * the sketch readers (library-wide zero-CodegenFallback). */
+  def ahFinalize(c: Column): Column = graft.exprs.toCol(AhFinalize(graft.exprs.toExpr(c)))
+  def ahQuantile(c: Column, q: Column): Column =
+    graft.exprs.toCol(AhQuantile(graft.exprs.toExpr(c), graft.exprs.toExpr(q)))
+  def ahCount(c: Column): Column = graft.exprs.toCol(AhRead(graft.exprs.toExpr(c), 0))
+  def ahMin(c: Column): Column = graft.exprs.toCol(AhRead(graft.exprs.toExpr(c), 1))
+  def ahMax(c: Column): Column = graft.exprs.toCol(AhRead(graft.exprs.toExpr(c), 2))
+  def ahBins(c: Column): Column = graft.exprs.toCol(AhRead(graft.exprs.toExpr(c), 3))
+}
 
-  val ahFinalize = udf((bytes: Array[Byte]) => {
+/** finalized JSON-friendly summary of a serialized Ben-Haim–Yom-Tov
+  * histogram (reference ApproximateHistogram serializes breaks/counts;
+  * we ship count/min/max + the centroid bins — information-complete
+  * and strict-JSON safe). min/max are null on the empty histogram. */
+case class AhFinalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("count", LongType, nullable = false),
+    StructField("min", DoubleType, nullable = true),
+    StructField("max", DoubleType, nullable = true),
+    StructField("centroids", ArrayType(DoubleType, containsNull = false)),
+    StructField("counts", ArrayType(LongType, containsNull = false))))
+  def summarize(bytes: Array[Byte]): InternalRow = {
     val h = BhHistogram.fromBytes(bytes)
-    if (h.total == 0L) AhSummary(0L, None, None, Nil, Nil)
-    else AhSummary(h.total, Some(h.vmin), Some(h.vmax),
-      h.centroids.toSeq, h.counts.toSeq)
-  })
+    if (h.total == 0L)
+      new GenericInternalRow(Array[Any](0L, null, null,
+        new GenericArrayData(Array.empty[Double]),
+        new GenericArrayData(Array.empty[Long])))
+    else
+      new GenericInternalRow(Array[Any](h.total, h.vmin, h.vmax,
+        new GenericArrayData(h.centroids), new GenericArrayData(h.counts)))
+  }
+  override def nullSafeEval(v: Any): Any = summarize(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ahFinalize", this)
+    defineCodeGen(ctx, ev, c => s"$ref.summarize($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): AhFinalize = copy(c)
+  override def prettyName: String = "approx_histogram_summary"
+}
 
-  /** scalar readers over the serialized histogram */
-  val ahQuantile = udf((bytes: Array[Byte], q: Double) =>
-    BhHistogram.fromBytes(bytes).quantile(q))
-  val ahCount = udf((bytes: Array[Byte]) => BhHistogram.fromBytes(bytes).total)
-  val ahMin = udf((bytes: Array[Byte]) => BhHistogram.fromBytes(bytes).vmin)
-  val ahMax = udf((bytes: Array[Byte]) => BhHistogram.fromBytes(bytes).vmax)
-  val ahBins = udf((bytes: Array[Byte]) =>
-    BhHistogram.fromBytes(bytes).centroids.length)
+/** quantile by interpolated-sum bisection over the serialized
+  * histogram (the paper's `uniform` inversion). */
+case class AhQuantile(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  def quantile(bytes: Array[Byte], q: Double): Double =
+    BhHistogram.fromBytes(bytes).quantile(q)
+  override def nullSafeEval(b: Any, q: Any): Any =
+    quantile(b.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ahQuantile", this)
+    defineCodeGen(ctx, ev, (b, q) => s"$ref.quantile($b, $q)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AhQuantile =
+    copy(left = l, right = r)
+  override def prettyName: String = "approx_histogram_quantile"
+}
+
+/** scalar readers: mode 0=count(long) 1=min 2=max (double, exact —
+  * carried alongside the bins) 3=bin count(int). */
+case class AhRead(child: Expression, mode: Int) extends UnaryExpression {
+  override def dataType: DataType = mode match {
+    case 0 => LongType
+    case 3 => IntegerType
+    case _ => DoubleType
+  }
+  def read(bytes: Array[Byte]): Any = {
+    val h = BhHistogram.fromBytes(bytes)
+    mode match {
+      case 0 => h.total
+      case 1 => h.vmin
+      case 2 => h.vmax
+      case 3 => h.centroids.length
+    }
+  }
+  override def nullSafeEval(v: Any): Any = read(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ahRead", this)
+    val box = dataType match {
+      case LongType => "Long"
+      case IntegerType => "Integer"
+      case _ => "Double"
+    }
+    defineCodeGen(ctx, ev, c => s"((java.lang.$box) $ref.read($c))." +
+      (dataType match {
+        case LongType => "longValue()"
+        case IntegerType => "intValue()"
+        case _ => "doubleValue()"
+      }))
+  }
+  override protected def withNewChildInternal(c: Expression): AhRead = copy(child = c)
+  override def prettyName: String =
+    Seq("approx_histogram_count", "approx_histogram_min",
+      "approx_histogram_max", "approx_histogram_num_bins")(mode)
 }

@@ -378,15 +378,21 @@ object Dedup {
       idCol: String, textCol: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): (DataFrame, DataFrame) = {
     val fpCol = TextAnalysis.fingerprint(col(textCol))
-    val bloom = corpus.select(fpCol.as("__fp"))
-      .stat.bloomFilter("__fp", expectedItems, fpp)
-    val bcast = batch.sparkSession.sparkContext.broadcast(bloom)
+    // build with the library's mergeable bloom aggregate (map-side
+    // partials union on a fixed seed) and probe with the codegen'd
+    // BloomFilterTest expression over the serialized filter as a
+    // literal — one bounded 1-row collect for the filter bytes; the
+    // probe stays inside WholeStageCodegen (the udf it replaced was
+    // the one CodegenFallback on this path).
+    val filterBytes = corpus.select(fpCol.as("__fp"))
+      .agg(graft.aggs.bloom.bloomFilter(col("__fp"), expectedItems, fpp).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
     // null-safe: a null fingerprint (null text) can't be in the corpus
     // filter, so it routes to definitelyFresh — mirroring the exact
     // anti-join, where a null key never matches
-    val mightContain =
-      udf((fp: String) => fp != null && bcast.value.mightContainString(fp))
-    val tagged = batch.withColumn("__maybe", mightContain(fpCol))
+    val mightContain = coalesce(
+      graft.aggs.bloom.bloomFilterTest(fpCol, lit(filterBytes)), lit(false))
+    val tagged = batch.withColumn("__maybe", mightContain)
     (tagged.filter(!col("__maybe")).drop("__maybe"),
       tagged.filter(col("__maybe")).drop("__maybe"))
   }

@@ -426,18 +426,35 @@ class NativePlanner(
       sketches.kllRank(postAggToColumn(f, schema), lit(v)).as(n)
     case PostAggregator.HistogramQuantile(n, f, p) =>
       // the reference's "quantile" post-agg serves BOTH histogram
-      // aggregators: dispatch on the aggregated column's type —
-      // binary = Ben-Haim–Yom-Tov sketch, struct = fixed buckets
-      val isBh = (f, schema) match {
+      // aggregators: dispatch on the `graft.sketch` metadata the agg
+      // layer stamps on the column — "bhhist" = Ben-Haim–Yom-Tov
+      // sketch binary, anything un-stamped = fixedBuckets struct.
+      // Dispatching on raw BinaryType would feed a theta/KLL/HLL
+      // binary to BhHistogram.fromBytes and decode garbage; those
+      // fields are rejected loudly instead.
+      val fieldKind = (f, schema) match {
         case (PostAggregator.FieldAccess(_, fn), Some(sch)) =>
-          sch.fields.exists(x => x.name == fn &&
-            x.dataType == org.apache.spark.sql.types.BinaryType)
-        case _ => false
+          sch.fields.find(_.name == fn).map { x =>
+            val kind =
+              if (x.metadata.contains("graft.sketch"))
+                x.metadata.getString("graft.sketch")
+              else ""
+            (x.dataType, kind)
+          }
+        case _ => None
       }
-      if (isBh)
-        graft.aggs.ApproxHistogramAgg
-          .ahQuantile(postAggToColumn(f, schema), lit(p)).as(n)
-      else HistogramAgg.histogramQuantile(postAggToColumn(f, schema), p).as(n)
+      fieldKind match {
+        case Some((org.apache.spark.sql.types.BinaryType, "bhhist")) =>
+          graft.aggs.ApproxHistogramAgg
+            .ahQuantile(postAggToColumn(f, schema), lit(p)).as(n)
+        case Some((org.apache.spark.sql.types.BinaryType, other)) =>
+          throw new IllegalArgumentException(
+            s"quantile post-agg field is a ${if (other.isEmpty) "binary" else other} " +
+              "sketch, not an approxHistogram; use the matching post-agg " +
+              "(e.g. quantileFromKllSketch)")
+        case _ =>
+          HistogramAgg.histogramQuantile(postAggToColumn(f, schema), p).as(n)
+      }
     case PostAggregator.HistogramMinMax(n, f, isMax) =>
       (if (isMax) graft.aggs.ApproxHistogramAgg.ahMax(postAggToColumn(f, schema))
        else graft.aggs.ApproxHistogramAgg.ahMin(postAggToColumn(f, schema))).as(n)

@@ -369,7 +369,7 @@ object PipelineQueries12 {
       |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
       |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-      |       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000 // count(*) AS bp_oov
+      |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS bp_oov
       |FROM t LEFT JOIN v ON t.tok = v.tok
       |GROUP BY 1""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d)

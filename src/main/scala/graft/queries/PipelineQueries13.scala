@@ -80,7 +80,7 @@ object PipelineQueries13 {
       |        FROM contrib JOIN days ON td = dd GROUP BY 1),
       |dau AS (SELECT dd, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
       |SELECT dau.dd * 86400000 AS day_ms, dau.dau, wau.wau,
-      |       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+      |       CAST(dau.dau * 10000 // wau.wau AS BIGINT) AS stickiness_bp
       |FROM dau JOIN wau ON wau.td = dau.dd""".stripMargin) { (s, d) =>
     val ud = Tables.events(s, d)
       .select(graft.exprs.idiv(unix_millis(date_trunc("day", col("ts"))),
@@ -93,9 +93,12 @@ object PipelineQueries13 {
     val wau = contrib.join(broadcast(days.withColumnRenamed("dd", "td")), Seq("td"))
       .groupBy(col("td")).agg(count(lit(1)).as("wau"))
     val dau = ud.groupBy(col("dd")).agg(count(lit(1)).as("dau"))
+    // stickiness ships as integer basis points (dau*10000 div wau):
+    // a float ratio of small integers can land exactly on a 4-dp half
+    // (dau=7, wau=32 -> 0.21875) where engines round differently.
     dau.join(wau, col("dd") === col("td"))
       .select((col("dd") * 86400000L).as("day_ms"), col("dau"), col("wau"),
-        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        graft.exprs.idiv(col("dau") * 10000L, col("wau")).as("stickiness_bp"))
   }
 
   /** Grading the LSH approximation itself: recall of the banded

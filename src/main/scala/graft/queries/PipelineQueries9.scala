@@ -104,6 +104,10 @@ object PipelineQueries9 {
       |SELECT doc_id, n_grams, n_shared, max_df,
       |       n_shared * 10000 // n_grams AS bp_shared
       |FROM cov ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // NOTE: bp_shared stays BIGINT only because n_shared is CAST AS
+    // BIGINT upstream in `cov` — a raw sum() here would be HUGEINT and
+    // hash-mismatch at the driver (the text_oov_rate r8 slip). The
+    // localverify.py type lint now guards this class mechanically.
     graft.operators.TextCorpus
       .ngramDocFrequency(Tables.documents(s, d), "doc_id", "text", n = 5, minDf = 2)
       .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),

@@ -60,4 +60,38 @@ class CodegenSpec extends SparkSpec {
         col("text"), Seq("t" -> "o", "a" -> "b")).as("t")),
       "bpe_tokenize"))
   }
+
+  test("approxHistogram finalizers are Expressions inside codegen spans") {
+    import graft.aggs.ApproxHistogramAgg._
+    // pre-aggregate a histogram, then read it per row in a projection —
+    // the rollup-table scan shape where these previously ran as udfs
+    val hist = spark.range(64)
+      .select((col("id") % 4).as("g"), col("id").cast("double").as("v"))
+      .groupBy(col("g")).agg(approxHistogram(col("v"), 16).as("h"))
+    val bytes = hist.select(col("h")).head().getAs[Array[Byte]](0)
+    // `when` on a real column keeps the bytes non-foldable — a plain
+    // lit() would constant-fold the readers away before codegen
+    val scan = spark.range(8)
+      .select(when(col("id") >= 0, lit(bytes)).as("h"))
+    assert(inCodegenSpan(
+      scan.select(ahQuantile(col("h"), lit(0.5)).as("q")).filter(col("q") >= 0),
+      "approx_histogram_quantile"))
+    assert(inCodegenSpan(
+      scan.select(ahCount(col("h")).as("n")).filter(col("n") >= 0),
+      "approx_histogram_count"))
+    assert(inCodegenSpan(
+      scan.select(ahMin(col("h")).as("mn"), ahMax(col("h")).as("mx"),
+        ahBins(col("h")).as("b")),
+      "approx_histogram_min"))
+    assert(inCodegenSpan(
+      scan.select(ahFinalize(col("h")).as("s")),
+      "approx_histogram_summary"))
+    // values survive the Expression rewrite
+    val row = scan.select(ahCount(col("h")).as("n"), ahMin(col("h")).as("mn"),
+      ahMax(col("h")).as("mx"), ahQuantile(col("h"), lit(0.0)).as("q0"),
+      ahFinalize(col("h")).as("s")).head()
+    assert(row.getAs[Long]("n") == 16L)
+    assert(row.getAs[Double]("mn") == row.getAs[Double]("q0"))
+    assert(row.getAs[org.apache.spark.sql.Row]("s").getAs[Long]("count") == 16L)
+  }
 }

@@ -88,6 +88,39 @@ class PlanAuditSpec extends SparkSpec {
       s"queries with single-reducer global windows: ${offenders.mkString(", ")}")
   }
 
+  test("every graded result schema uses only driver-hashable types") {
+    // Spark-side twin of the DuckDB oracle type lint in
+    // tools/localverify.py: the driver's value hasher canonicalizes
+    // long/int/double/string/bool/binary/date/timestamp (+ arrays and
+    // structs of those); DecimalType — which Spark introduces on
+    // untyped integral avg()/sum() over decimals or explicit casts —
+    // has no DuckDB-repr twin and would hash-mismatch even when the
+    // values agree (the r8 text_oov_rate failure mode, mirrored).
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case _: DecimalType => false
+      case ArrayType(e, _) => ok(e)
+      case MapType(k, v, _) => ok(k) && ok(v)
+      case StructType(fs) => fs.forall(f => ok(f.dataType))
+      case _ => true
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema =
+          try fn(spark, sfDir).schema
+          catch {
+            case e: Throwable =>
+              fail(s"$name failed to plan at $sfDir: ${e.getMessage}")
+          }
+        val bad = schema.fields.filterNot(f => ok(f.dataType))
+        if (bad.nonEmpty)
+          Some(s"$name(${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")})")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with non-hashable result column types: ${offenders.mkString("; ")}")
+  }
+
   test("no graded plan contains a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allowed(name) =>

@@ -2,16 +2,52 @@
 """Local stand-in for the driver's correctness gate: run graft.Verify
 output against DuckDB oracles on the same parquet tables and diff.
 
-Usage: python3 tools/localverify.py <sfDir> <verifyOutDir>
+Usage: python3 tools/localverify.py <sfDir> <verifyOutDir> [--lint-only]
+
+--lint-only skips the value diff and only runs the oracle type lint
+(needs <verifyOutDir>/oracle_sql.json but no query outputs).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# DuckDB result types with no Spark/parquet twin: the driver's value
+# hasher sees a different repr than Spark's (HUGEINT int128, DECIMAL,
+# unsigned ints), so an oracle emitting one hash-fails even when the
+# values are identical (the r8 text_oov_rate slip — an uncast
+# sum()*10000//count()). fetchall() normalizes these to Python int,
+# which is why the bug class is invisible to the value diff below and
+# needs this DESCRIBE-based lint. Allowlist: none.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT", "UINTEGER",
+                "USMALLINT", "UTINYINT")
+
+
+def lint_types(con, oracle):
+    """DESCRIBE every oracle and fail on result columns whose DuckDB
+    type cannot round-trip through the driver's hasher. Returns the
+    number of offending (query, column) pairs."""
+    bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            rel = con.sql(sql)
+            cols_types = list(zip(rel.columns, [str(t) for t in rel.types]))
+        except Exception as e:
+            print(f"LINT ERROR {name}: {e}")
+            bad += 1
+            continue
+        for col_name, t in cols_types:
+            t = t.upper()
+            if any(b in t for b in BANNED_TYPES):
+                print(f"LINT FAIL {name}: column {col_name} is {t} "
+                      f"(CAST it to BIGINT/DOUBLE in the oracle SQL)")
+                bad += 1
+    return bad
 
 
 def canon(rows, cols):
@@ -33,14 +69,24 @@ def canon(rows, cols):
     return sorted(out)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, lint_only=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_lint = lint_types(con, oracle)
+    if lint_only:
+        print(f"\n{len(oracle)} oracles, {n_lint} type-lint")
+        return 1 if n_lint else 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # oracle_sql.json always carries the FULL registry (so the type
+        # lint above covers everything); a filtered Verify run only
+        # materializes the requested queries — skip the rest.
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             got_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -69,9 +115,11 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skipped, "
+          f"{n_lint} type-lint")
+    return 1 if (n_fail or n_lint) else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  lint_only="--lint-only" in sys.argv[3:]))
