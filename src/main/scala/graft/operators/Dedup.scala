@@ -27,6 +27,22 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** document-level drop ledger for [[exact]]: one row per DROPPED
+    * duplicate — (kept_id, dropped_id), kept_id being the group's
+    * surviving min-id representative. Curation audits need the ledger
+    * (who was dropped, in favor of whom), not just the survivors;
+    * [[exact]]'s output plus this ledger's dropped_ids partitions the
+    * input exactly. Same single hash shuffle on the fingerprint as
+    * [[exact]], and the window carries only (fp, id) — never text. */
+  def exactLedger(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .select(col("__fp"), col(idCol))
+      .withColumn("kept_id", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("kept_id"))
+      .select(col("kept_id"), col(idCol).as("dropped_id"))
+  }
+
   /** exact dedup keeping the BEST row per fingerprint instead of the
     * smallest id — the curation-quality keep policy (e.g. keep the
     * longest / highest-quality duplicate); ties break on id so the

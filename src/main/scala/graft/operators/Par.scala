@@ -13,6 +13,9 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
+    // df.rdd here only forces plan-time RDD CONVERSION (physical
+    // planning of the scan to count its splits) — it never triggers a
+    // job; the data isn't read until an action runs downstream.
     if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
   }
 }

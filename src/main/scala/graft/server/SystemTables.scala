@@ -55,14 +55,16 @@ object SystemTables {
       resolveSegmentMeta: String => Option[Ingest.SegmentMeta],
       port: Int,
       taskRecords: () => Seq[TaskRecord] = () => Nil,
-      supervisorRecords: () => Seq[SupervisorRecord] = () => Nil): String = {
+      supervisorRecords: () => Seq[SupervisorRecord] = () => Nil,
+      replicasFor: (String, Long, Long) => Long = (_, _, _) => 1L): String = {
     val sysRefs = sysRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
     val infoRefs = infoRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
     if (sysRefs.isEmpty && infoRefs.isEmpty) return sql
 
     sysRefs.foreach {
       case "segments" =>
-        segments(spark, datasources, resolveTable, resolveSegmentMeta)
+        segments(spark, datasources, resolveTable, resolveSegmentMeta,
+          replicasFor)
           .createOrReplaceTempView("sys_segments")
       case "servers" =>
         servers(spark, port).createOrReplaceTempView("sys_servers")
@@ -96,12 +98,17 @@ object SystemTables {
 
   // ---------------------------------------------------------------- sys
 
-  /** SystemSchema.java SEGMENTS_SIGNATURE:132-151. */
+  /** SystemSchema.java SEGMENTS_SIGNATURE:132-151. `replicasFor`
+    * surfaces the coordinator rules' advisory replica count
+    * (RetentionRules — first-matching load rule's tieredReplicants
+    * sum) as num_replicas, the single-process stand-in for the
+    * reference's served-replica count. */
   def segments(
       spark: SparkSession,
       datasources: () => Seq[String],
       resolveTable: String => DataFrame,
-      resolveSegmentMeta: String => Option[Ingest.SegmentMeta]): DataFrame = {
+      resolveSegmentMeta: String => Option[Ingest.SegmentMeta],
+      replicasFor: (String, Long, Long) => Long = (_, _, _) => 1L): DataFrame = {
     val perDs = datasources().flatMap { ds =>
       val df = resolveTable(ds)
       val meta = resolveSegmentMeta(ds)
@@ -129,8 +136,14 @@ object SystemTables {
           val size = sizes.get(bucketDirName(start))
             .orElse(if (collected.length == 1) sizes.get("") else None)
             .getOrElse(0L)
+          // eternity rows carry out-of-Instant-range sentinels
+          def ms(iso: String, dflt: Long): Long =
+            try java.time.Instant.parse(iso).toEpochMilli
+            catch { case _: Exception => dflt }
+          val nReplicas = replicasFor(ds,
+            ms(start, Long.MinValue / 2), ms(r.getString(1), Long.MaxValue / 2))
           Row(s"${ds}_${start}_${r.getString(1)}_1", ds, start, r.getString(1),
-            size, "1", i.toLong, 1L, r.getLong(2), 1L, 1L, 0L, 0L,
+            size, "1", i.toLong, nReplicas, r.getLong(2), 1L, 1L, 0L, 0L,
             """{"type":"none"}""", dims.mkString(","), mets.mkString(","), null)
       }
       rows.toSeq

@@ -717,6 +717,52 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("rules history is recorded and sys.segments reflects tiered replicants") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rules3").toString
+    fixture.createOrReplaceTempView("ds_rules3")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO repltab SELECT __time, dim, m FROM ds_rules3 PARTITIONED BY DAY"}""")
+      assert(c1 == 200, b1)
+      def numReplicas(): String =
+        post(port, "/druid/v2/sql",
+          """{"query": "SELECT DISTINCT num_replicas AS nr FROM sys.segments WHERE datasource = 'repltab'"}""")._2
+      // bootstrapped default chain: loadForever with 2 default-tier
+      // replicas (the reference's fresh-cluster default)
+      assert(numReplicas() == """[{"nr":2}]""", numReplicas())
+      // a posted tiered load rule changes the advisory replica count
+      // to the tier sum (LoadRule.getNumReplicas semantics)
+      val (rc, _) = post(port, "/druid/coordinator/v1/rules/repltab",
+        """[{"type": "loadForever", "tieredReplicants": {"hot": 2, "_default_tier": 1}}]""")
+      assert(rc == 200)
+      assert(numReplicas() == """[{"nr":3}]""", numReplicas())
+      // history: newest-first audit entries, per-ds and global
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String): String = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      post(port, "/druid/coordinator/v1/rules/repltab",
+        """[{"type": "loadForever"}]""")
+      val hist = get("/druid/coordinator/v1/rules/repltab/history")
+      assert(hist.contains("\"key\":\"repltab\"") &&
+        hist.contains("auditTime") && hist.contains("tieredReplicants"), hist)
+      // newest first: the plain loadForever post precedes the tiered one
+      assert(hist.indexOf("""[{"type":"loadForever"}]""") <
+        hist.indexOf("tieredReplicants"), hist)
+      val all = get("/druid/coordinator/v1/rules/history")
+      assert(all.contains("repltab"), all)
+      // per-ds history filters other datasources out
+      assert(!get("/druid/coordinator/v1/rules/nosuchds/history")
+        .contains("repltab"))
+      // back on the plain rule, replicas return to the LoadRule default
+      assert(numReplicas() == """[{"nr":2}]""", numReplicas())
+    } finally srv.stop()
+  }
+
   test("SQL INSERT ... PARTITIONED BY ingests; table queryable; REPLACE overwrites") {
     val root = java.nio.file.Files.createTempDirectory("graft-sqlingest").toString
     fixture.createOrReplaceTempView("ds_ing")

@@ -1,0 +1,126 @@
+package graft.server
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the coordinator rule algebra against the
+  * reference's documented semantics (server/.../coordinator/rules/):
+  * first-match evaluation order, per-type applicability (overlap
+  * loads, containment drops, includeFuture), and tiered-replicant
+  * accounting. Pure JSON-in/decision-out — no Spark, no HTTP. */
+class RetentionRulesSpec extends AnyFunSuite {
+  import RetentionRules._
+
+  private val Day = 86400000L
+  // segment [2024-01-10, 2024-01-11) with "now" = 2024-02-01
+  private val segStart = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+  private val segEnd = segStart + Day
+  private val now = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+
+  private def chain(json: String) = parseChain(json)
+
+  test("first matching rule decides; later rules are dead") {
+    val dropFirst = chain(
+      """[{"type":"dropByInterval","interval":"2024-01-10/2024-01-11"},
+        |{"type":"loadForever"}]""".stripMargin)
+    assert(decide(dropFirst, segStart, segEnd, now).contains(Drop))
+    // same rules, reversed: loadForever matches first and wins
+    val loadFirst = chain(
+      """[{"type":"loadForever"},
+        |{"type":"dropByInterval","interval":"2024-01-10/2024-01-11"}]""".stripMargin)
+    assert(decide(loadFirst, segStart, segEnd, now)
+      .contains(Load(DefaultReplicants)))
+    // a segment the drop rule does not CONTAIN falls through to load
+    assert(decide(dropFirst, segStart - Day, segEnd - Day, now)
+      .contains(Load(DefaultReplicants)))
+  }
+
+  test("loadByInterval applies on OVERLAP, dropByInterval on CONTAINMENT") {
+    // interval covers only the first half-day: overlaps the segment
+    val load = chain(
+      """[{"type":"loadByInterval","interval":"2024-01-10/2024-01-10T12:00"}]""")
+    assert(decide(load, segStart, segEnd, now).exists(_.isInstanceOf[Load]))
+    // the same partial interval does NOT contain the segment → no drop
+    val drop = chain(
+      """[{"type":"dropByInterval","interval":"2024-01-10/2024-01-10T12:00"}]""")
+    assert(decide(drop, segStart, segEnd, now).isEmpty)
+    // widen to full containment → drop applies
+    val drop2 = chain(
+      """[{"type":"dropByInterval","interval":"2024-01-09/2024-01-12"}]""")
+    assert(decide(drop2, segStart, segEnd, now).contains(Drop))
+  }
+
+  test("loadByPeriod: includeFuture (default true) vs lookback overlap") {
+    // P7D from 2024-02-01 → cutoff 2024-01-25, after segEnd: only a
+    // future-inclusive rule is irrelevant — cutoff < segEnd is false
+    // either way, so the rule does not apply
+    val recent = chain("""[{"type":"loadByPeriod","period":"P7D"}]""")
+    assert(decide(recent, segStart, segEnd, now).isEmpty)
+    // P30D → cutoff 2024-01-02 < segEnd: applies
+    val month = chain("""[{"type":"loadByPeriod","period":"P30D"}]""")
+    assert(decide(month, segStart, segEnd, now).exists(_.isInstanceOf[Load]))
+    // includeFuture=false additionally requires segStart < now — a
+    // future segment is excluded where the default would load it
+    val futureSeg = now + Day
+    val incl = chain("""[{"type":"loadByPeriod","period":"P30D"}]""")
+    assert(decide(incl, futureSeg, futureSeg + Day, now)
+      .exists(_.isInstanceOf[Load]))
+    val excl = chain(
+      """[{"type":"loadByPeriod","period":"P30D","includeFuture":false}]""")
+    assert(decide(excl, futureSeg, futureSeg + Day, now).isEmpty)
+  }
+
+  test("dropByPeriod and dropBeforeByPeriod lookback semantics") {
+    // dropByPeriod P30D: cutoff 2024-01-02 <= segStart → applies
+    val d30 = chain("""[{"type":"dropByPeriod","period":"P30D"}]""")
+    assert(decide(d30, segStart, segEnd, now).contains(Drop))
+    // dropByPeriod P7D: cutoff 2024-01-25 > segStart → does not apply
+    val d7 = chain("""[{"type":"dropByPeriod","period":"P7D"}]""")
+    assert(decide(d7, segStart, segEnd, now).isEmpty)
+    // includeFuture=false: [cutoff, now] must CONTAIN the segment —
+    // a future segment is never dropped by lookback
+    val dIncl = chain(
+      """[{"type":"dropByPeriod","period":"P30D","includeFuture":false}]""")
+    assert(decide(dIncl, now + Day, now + 2 * Day, now).isEmpty)
+    // dropBeforeByPeriod P7D: segment wholly before 2024-01-25 → drop
+    val before = chain("""[{"type":"dropBeforeByPeriod","period":"P7D"}]""")
+    assert(decide(before, segStart, segEnd, now).contains(Drop))
+    // but a segment ending after the cutoff survives
+    val recentSeg = java.time.Instant.parse("2024-01-30T00:00:00Z").toEpochMilli
+    assert(decide(before, recentSeg, recentSeg + Day, now).isEmpty)
+    // time-only periods parse ("PT1H" has an empty calendar part)
+    val hourly = chain("""[{"type":"dropBeforeByPeriod","period":"PT1H"}]""")
+    assert(decide(hourly, segStart, segEnd, now).contains(Drop))
+  }
+
+  test("tiered replicants: explicit tiers sum; absent map defaults to 2") {
+    val tiered = chain(
+      """[{"type":"loadForever","tieredReplicants":{"hot":2,"_default_tier":1}}]""")
+    assert(decide(tiered, segStart, segEnd, now)
+      .contains(Load(Map("hot" -> 2, "_default_tier" -> 1))))
+    assert(replicas(tiered, segStart, segEnd, now) == 3L)
+    // LoadRule default: no tieredReplicants → {_default_tier: 2}
+    val plain = chain("""[{"type":"loadByPeriod","period":"P30D"}]""")
+    assert(replicas(plain, segStart, segEnd, now) == 2L)
+    // drop decision and no-matching-rule both mean zero replicas
+    val drop = chain("""[{"type":"dropForever"}]""")
+    assert(replicas(drop, segStart, segEnd, now) == 0L)
+    assert(replicas(Nil, segStart, segEnd, now) == 0L)
+    // broadcast rules are load decisions in one process
+    val bcast = chain("""[{"type":"broadcastForever"}]""")
+    assert(decide(bcast, segStart, segEnd, now).exists(_.isInstanceOf[Load]))
+  }
+
+  test("default chain bootstraps to loadForever with 2 default-tier replicas") {
+    val default = chain(DefaultChainJson)
+    assert(decide(default, segStart, segEnd, now).contains(Load(DefaultReplicants)))
+    assert(replicas(default, segStart, segEnd, now) == 2L)
+  }
+
+  test("parseChain tolerates malformed input; unknown types don't match") {
+    assert(parseChain("not json").isEmpty)
+    assert(parseChain("""{"type":"loadForever"}""").isEmpty) // not an array
+    val unknown = chain("""[{"type":"loadByWeirdness"},{"type":"dropForever"}]""")
+    // unknown rule never applies; the chain falls through to the next
+    assert(decide(unknown, segStart, segEnd, now).contains(Drop))
+  }
+}

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Scripted SF-matrix correctness sweep: run graft.Verify + the DuckDB
+oracle compare at every scale factor and record per-SF pass counts in a
+JSON artifact the driver (and the next round's builder) can read.
+
+The r8 sweeps were run by hand and caught a real boundary bug
+(timeseries_interpolate float-lerp at sf0.1); this makes that a
+recorded, repeatable gate so environmental drift (e.g. the r7
+events.parquet schema change) is caught at build time, not grade time.
+
+Usage: python3 tools/sweep.py <round-tag> [sf ...]
+  e.g. python3 tools/sweep.py r09            # sf0.001 sf0.01 sf0.1
+Writes SWEEP_<round-tag>.json in the repo root.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+
+def run_sf(sf, cpus):
+    sf_dir = f"/root/testdata/{sf}"
+    out_dir = f"/tmp/sweep_{sf}"
+    t0 = time.time()
+    verify = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
+        cwd=REPO, capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": cpus})
+    verify_sec = round(time.time() - t0, 1)
+    entry = {"verify_rc": verify.returncode, "verify_sec": verify_sec}
+    if verify.returncode != 0:
+        entry["error"] = verify.stderr[-2000:]
+        return entry
+    # queries that threw inside Verify (recorded, not silently absent)
+    try:
+        with open(f"{out_dir}/_failed.json") as f:
+            entry["threw"] = sorted(json.load(f))
+    except Exception:
+        entry["threw"] = ["<_failed.json unreadable>"]
+    cmp_ = subprocess.run(
+        ["python3", "tools/localverify.py", sf_dir, out_dir],
+        cwd=REPO, capture_output=True, text=True)
+    m = re.search(r"(\d+) pass, (\d+) fail, (\d+) skipped, (\d+) type-lint",
+                  cmp_.stdout)
+    if not m:
+        entry["error"] = "localverify output unparseable: " + cmp_.stdout[-500:]
+        return entry
+    entry.update({"pass": int(m.group(1)), "fail": int(m.group(2)),
+                  "skipped": int(m.group(3)), "type_lint": int(m.group(4))})
+    if entry["fail"] or entry["type_lint"]:
+        entry["failures"] = [
+            ln for ln in cmp_.stdout.splitlines()
+            if ln.startswith(("FAIL", "LINT"))][:40]
+    return entry
+
+
+def main():
+    tag = sys.argv[1] if len(sys.argv) > 1 else "local"
+    sfs = sys.argv[2:] or DEFAULT_SFS
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    result = {"tag": tag, "cpus": int(cpus), "sweeps": {}}
+    ok = True
+    for sf in sfs:
+        print(f"[sweep] {sf} ...", flush=True)
+        entry = run_sf(sf, cpus)
+        result["sweeps"][sf] = entry
+        print(f"[sweep] {sf}: {entry}", flush=True)
+        ok = ok and entry.get("fail") == 0 and entry.get("type_lint") == 0 \
+            and not entry.get("threw")
+    result["green"] = ok
+    out = os.path.join(REPO, f"SWEEP_{tag}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"[sweep] wrote {out} green={ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
