@@ -310,6 +310,11 @@ object Dedup {
       // exists and the jump is monotone — path doubling. The old label
       // rides along so the convergence check below needs no extra join
       // job: it is a limit-1 scan over this round's checkpointed rows.
+      // convergence witness rides the SAME action that materializes
+      // the round (observe → localCheckpoint): one job per round, not
+      // checkpoint + a separate witness-count scan. Labels only
+      // decrease, so max(__changed) == 0 ⇔ fixed point.
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = prop
         .join(
           prop.select(col("id").as("cluster_id"), col("cluster_id").as("jump")),
@@ -318,10 +323,15 @@ object Dedup {
         .join(labels.select(col("id"), col("cluster_id").as("__prev")), Seq("id"))
         .select(col("id"), col("cluster_id"),
           (col("cluster_id") < col("__prev")).as("__changed"))
+        .observe(obs, max(col("__changed").cast("int")).as("anyChanged"))
         .localCheckpoint()
-      // converged when no label strictly decreased this round; limit(1)
-      // stops the scan at the first witness.
-      converged = next.filter(col("__changed")).limit(1).count() == 0
+      converged = obs.get.get("anyChanged").flatMap(Option(_)) match {
+        case None => true // empty label table: trivially converged
+        case Some(n) => n.asInstanceOf[Int] == 0
+      }
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$iter converged=$converged " +
+          s"t=${System.nanoTime() / 1e9}")
       // release the superseded round's checkpointed blocks eagerly —
       // otherwise every round's label table stays pinned in executor
       // storage until GC-driven cleanup (O(rounds) copies at scale)

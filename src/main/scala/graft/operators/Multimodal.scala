@@ -23,6 +23,10 @@ object Multimodal {
 
   // ImageIO must never touch a display; all raster work is headless.
   System.setProperty("java.awt.headless", "true")
+  // ImageIO.read(InputStream) defaults to a FileCacheImageInputStream —
+  // a TEMP FILE per decode call. In-memory payloads decode orders of
+  // magnitude faster (and executor-disk-free) with the memory cache.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** REAL image decode via javax.imageio (PNG/GIF/BMP/JPEG readers
     * ship in the JDK). None for bytes no reader claims — callers fall

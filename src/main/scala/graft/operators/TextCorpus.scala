@@ -236,13 +236,26 @@ object TextCorpus {
       idCol: String,
       textCol: String,
       spanLen: Int = 10): DataFrame = {
-    val base = Par.spread(df).select(col(idCol).as("id"), toks(col(textCol)).as("w"))
+    // tokenized base is read twice (gram build + final reassembly);
+    // materialize it once
+    val base = Par.spread(df)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("w"))
+      .localCheckpoint()
+    // downstream only needs span IDENTITY, not the span text: carry
+    // two independently-salted xxhash64s (128 effective bits) instead
+    // of the ~10-token gram string — the ownership shuffle and the
+    // rejoin move 16-byte keys, not text. A simultaneous collision in
+    // both hashes (~1e-31 per corpus) is the only way to strip a span
+    // the oracle keeps. Materialized once for both consumers.
     val grams = base.select(
       col("id"),
       posexplode(TextAnalysis.wordShingles(col("w"), spanLen)).as(Seq("pos", "g")))
-    val owners = grams.groupBy(col("g"))
+      .select(col("id"), col("pos"),
+        xxhash64(col("g")).as("gh"), xxhash64(lit("s2"), col("g")).as("gh2"))
+      .localCheckpoint()
+    val owners = grams.groupBy(col("gh"), col("gh2"))
       .agg(countDistinct(col("id")).as("df"), min(col("id")).as("owner"))
-    val covered = grams.join(owners, Seq("g"))
+    val covered = grams.join(owners, Seq("gh", "gh2"))
       .filter(col("df") >= 2 && col("id") =!= col("owner"))
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("p"))
@@ -596,9 +609,13 @@ object TextCorpus {
       maxFpDf: Int = 20, minShared: Int = 3): DataFrame = {
     // the same fingerprint VALUE can be selected at several positions
     // of one document — the posting list is the distinct (id, fp) SET,
-    // or shared counts and df both overcount
+    // or shared counts and df both overcount.
+    // Materialized once: the posting list feeds THREE consumers (the
+    // df table + both sides of the pair join), and the upstream
+    // rolling-hash fingerprint pipeline is the dominant cost — without
+    // this it re-executes per branch whenever exchange reuse misses.
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col("id"), col("fp")).distinct()
+      .select(col("id"), col("fp")).distinct().localCheckpoint()
     val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
     val kept = fps.join(dfc.filter(col("__df") <= maxFpDf), Seq("fp"))
       .select(col("fp"), col("id"))

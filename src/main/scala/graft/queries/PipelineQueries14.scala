@@ -24,22 +24,22 @@ import graft.streaming.StreamingQueries
   * the sink contents an operator would land. */
 object PipelineQueries14 {
 
-  /** stage the (normalized) events for `event_type` as ONE parquet
-    * file and open it as a file-source stream. Staging writes to a
-    * fresh temp dir — test-scale only; a production stream reads the
-    * arriving files directly. */
-  private def stagedEventStream(
-      s: SparkSession, d: String, eventType: String): DataFrame = {
+  /** stage a frame as ONE parquet file and open it as a file-source
+    * stream. Staging writes to a fresh temp dir — test-scale only; a
+    * production stream reads the arriving files directly. */
+  private def stageAsStream(s: SparkSession, df: DataFrame): DataFrame = {
     val stage = java.nio.file.Files
       .createTempDirectory("graft_stream_stage").toFile.getAbsolutePath
-    Tables.events(s, d)
-      .filter(col("event_type") === eventType)
-      .select(col("ts"), col("user_id"), col("value"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(stage)
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
     val schema = s.read.parquet(stage).schema
     s.readStream.schema(schema).parquet(stage)
   }
+
+  private def stagedEventStream(
+      s: SparkSession, d: String, eventType: String): DataFrame =
+    stageAsStream(s, Tables.events(s, d)
+      .filter(col("event_type") === eventType)
+      .select(col("ts"), col("user_id"), col("value")))
 
   /** run an append-mode streaming frame to completion into a memory
     * sink and return the landed table. processAllAvailable covers the
@@ -108,6 +108,94 @@ object PipelineQueries14 {
       .orderBy(col("bucket_ms"), col("rk"))
   }
 
+  /** streaming gap-sessionization, graded end-to-end: the ARBITRARY-
+    * STATE path (flatMapGroupsWithState + event-time timeout), not a
+    * windowed agg. Deterministic closure contract at 0s watermark,
+    * single batch: a session with a successor event closes in-batch;
+    * a key's final session closes by timeout iff lastMs + gap <
+    * max(ts) (Spark fires event-time timeouts strictly below the
+    * watermark). Values ride as integral cents so per-session sums
+    * are order-independent and exact. */
+  val streamingSessionize: Q = q(
+    "streaming_sessionize_sink",
+    """WITH e AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS k, epoch_ms(ts) AS t,
+      |         CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE event_type = 'view'),
+      |mx AS (SELECT max(t) AS m FROM e),
+      |s AS (
+      |  SELECT k, t, c,
+      |         CASE WHEN lag(t) OVER w IS NULL
+      |                OR t - lag(t) OVER w > 3600000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY k ORDER BY t)),
+      |g AS (
+      |  SELECT k, t, c,
+      |         sum(brk) OVER (PARTITION BY k ORDER BY t
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s),
+      |agg AS (
+      |  SELECT k, sid, min(t) AS start_ms, max(t) AS end_ms,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(sum(c) AS BIGINT) AS cents
+      |  FROM g GROUP BY 1, 2)
+      |SELECT k AS user_id, start_ms, end_ms, n_events, cents
+      |FROM agg WHERE end_ms + 3600000 < (SELECT m FROM mx)
+      |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_stream_sess").toFile.getAbsolutePath
+    Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").cast("string").as("key"), col("ts"),
+        round(col("value") * 100).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val schema = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(schema).parquet(stage)
+    val sessions = graft.streaming.Sessionize.sessions(
+      stream.as[graft.streaming.Sessionize.Event](
+        org.apache.spark.sql.Encoders.product[graft.streaming.Sessionize.Event]),
+      gapMs = 3600000L)
+    runToMemorySink(s, sessions.toDF())
+      .select(col("key").as("user_id"), col("startMs").as("start_ms"),
+        col("endMs").as("end_ms"), col("nEvents").as("n_events"),
+        col("totalValue").cast("long").as("cents"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  /** streaming attribution join, graded end-to-end: the STREAM-STREAM
+    * JOIN machinery (two watermarked sources, state-bounded time-range
+    * join). Inner joins emit on match — with all data in one batch the
+    * landed pairs ARE the batch interval-join result, exactly; the
+    * per-user attribution rollup then runs batch-side over the sink
+    * (conversion cents ride as integers). */
+  val streamingJoin: Q = q(
+    "streaming_join_sink",
+    """WITH i AS (SELECT user_id AS iu, ts AS its FROM events
+      |           WHERE event_type = 'view'),
+      |c AS (SELECT user_id AS cu, ts AS cts,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT iu AS user_id, CAST(count(*) AS BIGINT) AS n_attr,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM i JOIN c ON iu = cu AND cts >= its
+      |              AND cts <= its + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val imps = stageAsStream(s, Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("iu"), col("ts").as("its")))
+    val convs = stageAsStream(s, Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        round(col("value") * 100).cast("long").as("cents")))
+    val joined = graft.streaming.StreamJoin.attribute(
+      imps, "iu", "its", convs, "cu", "cts",
+      lookback = "1 hour", watermark = "0 seconds")
+    runToMemorySink(s, joined)
+      .groupBy(col("iu").as("user_id"))
+      .agg(count(lit(1)).as("n_attr"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** the curation pipeline's DROP LEDGER: one row per document removed,
     * with the stage that removed it, the reason, and (for dedup) the
     * surviving representative it lost to. pipeline_end_to_end grades
@@ -160,5 +248,6 @@ object PipelineQueries14 {
   }
 
   val all: Seq[Q] = Seq(
-    streamingTimeseries, streamingTopn, pipelineDropLedger)
+    streamingTimeseries, streamingTopn, streamingSessionize,
+    streamingJoin, pipelineDropLedger)
 }

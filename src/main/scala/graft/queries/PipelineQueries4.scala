@@ -76,8 +76,11 @@ object PipelineQueries4 {
        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
     // materialized once: the interpreted portable-hash folds are the
     // dominant cost and this plan reads `base` three times (banding +
-    // both signature rejoins)
-    val base = Tables.documents(s, d)
+    // both signature rejoins). Par.spread: this is the one portable-
+    // hash pipeline that runs over the FULL corpus (the others grade
+    // bounded slices), and a single-file scan would fold every
+    // shingle on one core.
+    val base = graft.operators.Par.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         array_distinct(TextExpressions.wordShingles(col("text"), 3)).as("g"))
       .withColumn("h", transform(col("g"), PipelineQueries2.rollHash(_)))

@@ -210,7 +210,9 @@ object PipelineQueries9 {
       val enriched = enrich.foldLeft(col("text")) { case (c, (from, to)) =>
         replace(c, lit(from), lit(to))
       }
-      Tables.documents(s, d)
+      // ~60 chained per-char replace passes over every document — the
+      // per-row-heavy shape that serializes on a single-file scan
+      graft.operators.Par.spread(Tables.documents(s, d))
         .select(col("doc_id"), enriched.as("enriched"))
         .withColumn("garbled", TextAnalysis.corruptMojibake(col("enriched")))
         .withColumn("repaired", TextAnalysis.repairMojibake(col("garbled")))

@@ -103,11 +103,17 @@ object SketchQueries {
       |       true AS bloom_ok""".stripMargin) { (s, d) =>
     import graft.aggs.bloom._
     val members = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-    val bf = members.agg(bloomFilter(col("c_custkey")).as("bf"))
-    val counts = Tables.orders(s, d).crossJoin(broadcast(bf))
+    // the built filter ships as a plan LITERAL (the documented
+    // "pre-computed probe" mode; one bounded 1-row collect): a stable
+    // literal object hits the probe's identity cache, where a
+    // 1-row-crossJoin column arrives as a fresh per-row binary copy
+    // and forces a full filter memcmp every row.
+    val bfBytes = members.agg(bloomFilter(col("c_custkey")).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val counts = Tables.orders(s, d)
       .agg(
         count(lit(1)).as("total"),
-        sum(when(bloomFilterTest(col("o_custkey"), col("bf")), 1L).otherwise(0L))
+        sum(when(bloomFilterTest(col("o_custkey"), lit(bfBytes)), 1L).otherwise(0L))
           .as("bloom_cnt"))
     val exact = Tables.orders(s, d)
       .join(broadcast(members.select(col("c_custkey"))),

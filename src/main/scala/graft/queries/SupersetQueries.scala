@@ -296,12 +296,18 @@ object SupersetQueries {
             b2(doc * 3 + x * 5 + y * 11),
             b2(doc + x * 7 + y * 13))), ""),
           lit("000000").substr(lit(1), (pad * 2).cast("int")))), "")
-    val media = Tables.documents(s, d)
+    // spread BEFORE the per-pixel hex synthesis (single-file scan =
+    // one core otherwise), and checkpoint the blobs: repartitionBySize
+    // range-partitions on blob length, whose sampling pass would
+    // otherwise re-execute the whole synthesis
+    val media = graft.operators.Par.spread(Tables.documents(s, d))
       .select(doc, unhex(concat(header, pix)).as("media"))
+      .localCheckpoint()
     val staged = Multimodal.withMediaEmbedding(
       Multimodal.withDecodedResize(
         Multimodal.withMediaMeta(
-          Multimodal.repartitionBySize(media, "media", 8), "media"),
+          Multimodal.repartitionBySize(media, "media",
+            s.sparkContext.defaultParallelism), "media"),
         "media", 4, 3),
       "media", dim = 16)
     staged.select(

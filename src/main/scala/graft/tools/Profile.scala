@@ -28,6 +28,27 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.setup(spark)
     val q = SparkEntry.queries
+    // --all: time EVERY registry entry once (one warm + one timed
+    // pass) and print a sorted table — the round's perf audit over
+    // the non-bench registry; hotspots then get the min-of-3
+    // treatment by name.
+    if (args.headOption.contains("--all")) {
+      val timed = q.toSeq.sortBy(_._1).map { case (n, fn) =>
+        val sec = try {
+          run(fn(spark, sfDir)) // warm (plan + codegen)
+          time(run(fn(spark, sfDir)))
+        } catch { case e: Throwable =>
+          System.err.println(s"[profile] $n FAILED: ${e.getMessage}"); -1.0
+        }
+        n -> sec
+      }
+      timed.sortBy(-_._2).foreach { case (n, s) =>
+        println(f"[profile-all] $n%-34s $s%.3f")
+      }
+      println(f"[profile-all] TOTAL ${timed.map(_._2).filter(_ >= 0).sum}%.1f over ${timed.size} entries")
+      spark.stop()
+      return
+    }
     val names = args.toSeq
     // warm
     names.foreach(n => run(q(n)(spark, sfDir)))
