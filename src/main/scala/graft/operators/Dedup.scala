@@ -99,7 +99,7 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       seed: Int = 42): DataFrame =
-    df.select(
+    Par.spread(df).select(
       col(idCol).as("id"),
       TextExpressions.minhashSignature(
         TextExpressions.wordShingles(col(textCol), shingleSize), numHashes, seed).as("sig"))

@@ -196,6 +196,54 @@ object PipelineQueries14 {
       .orderBy(col("user_id"))
   }
 
+  /** streaming dedup against a static corpus, graded end-to-end: the
+    * STREAM-STATIC JOIN machinery — arriving documents fingerprint
+    * map-side and inner-join the (static, broadcastable) corpus
+    * fingerprint index; matches land in the sink as the quarantine
+    * feed (stream_doc, corpus representative it duplicates). Inner
+    * stream-static joins emit on match with no state, so the sink is
+    * exactly the batch join's answer. Fingerprint = the same
+    * normalized-md5 the batch dedup family grades. The natural
+    * fixture has no duplicates across the stream/corpus boundary, so
+    * the stream plants verbatim copies of corpus docs 100–119 (ids
+    * +2000) — both engines build them identically; the sink must
+    * quarantine exactly those 20. */
+  val streamingDedup: Q = q(
+    "streaming_dedup_sink",
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |arrivals AS (
+      |  SELECT doc_id, text FROM base WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT doc_id + 2000, text FROM base
+      |  WHERE doc_id >= 100 AND doc_id < 120),
+      |fpc AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  FROM base WHERE doc_id >= 100),
+      |corpus AS (SELECT f, min(doc_id) AS match_id FROM fpc GROUP BY 1),
+      |fps AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  FROM arrivals)
+      |SELECT s.doc_id, c.match_id
+      |FROM fps s JOIN corpus c ON s.f = c.f
+      |ORDER BY s.doc_id, c.match_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, d)
+    val corpusIdx = docs.filter(col("doc_id") >= 100)
+      .select(TextAnalysis.fingerprint(col("text")).as("__fp"), col("doc_id"))
+      .groupBy(col("__fp")).agg(min(col("doc_id")).as("match_id"))
+    val arrivals = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+        .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+    val stream = stageAsStream(s, arrivals)
+    val flagged = stream
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("__fp"))
+      .join(corpusIdx, Seq("__fp")) // stream-static inner join
+      .select(col("doc_id"), col("match_id"))
+    runToMemorySink(s, flagged)
+      .orderBy(col("doc_id"), col("match_id"))
+  }
+
   /** the curation pipeline's DROP LEDGER: one row per document removed,
     * with the stage that removed it, the reason, and (for dedup) the
     * surviving representative it lost to. pipeline_end_to_end grades
@@ -249,5 +297,5 @@ object PipelineQueries14 {
 
   val all: Seq[Q] = Seq(
     streamingTimeseries, streamingTopn, streamingSessionize,
-    streamingJoin, pipelineDropLedger)
+    streamingJoin, streamingDedup, pipelineDropLedger)
 }

@@ -121,6 +121,31 @@ class PlanAuditSpec extends SparkSpec {
       s"queries with non-hashable result column types: ${offenders.mkString("; ")}")
   }
 
+  test("flagship scans push filters down and prune columns at the parquet scan") {
+    // timeseries_hourly: the event_type selector must reach the scan
+    // as a pushed filter, and the scan must not read the wide `props`
+    // JSON column the query never touches
+    val ts = SparkEntry.queries("timeseries_hourly")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(ts.contains("EqualTo(event_type,click)"),
+      s"event_type filter not pushed to scan:\n${ts.take(2000)}")
+    assert(!ts.contains("props"),
+      s"scan reads unprojected props column:\n${ts.take(2000)}")
+    // groupby_pricing_summary (TPC-H Q1 shape, no filter): the
+    // 16-column lineitem scan must be pruned to the 5 referenced
+    // columns — no l_comment, no l_shipdate
+    val q1 = SparkEntry.queries("groupby_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q1.contains("l_comment") && !q1.contains("l_shipdate"),
+      s"scan reads unprojected columns:\n${q1.take(2000)}")
+    // filter_bound (selector on a lineitem measure): predicate reaches
+    // the scan as a pushed parquet filter
+    val fb = SparkEntry.queries("filter_bound")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(fb.contains("PushedFilters: [") && !fb.contains("PushedFilters: []"),
+      s"no pushed filters on filter_bound scan:\n${fb.take(2000)}")
+  }
+
   test("no graded plan contains a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allowed(name) =>
