@@ -63,4 +63,61 @@ class SessionizeSpec extends SparkSpec {
     assert(closed(0).nEvents == 2 && closed(0).totalValue == 2.0)
     assert(closed(0).endMs == base + 1000L)
   }
+
+  /** The graded streaming oracles (PipelineQueries14) encode TWO
+    * different watermark-boundary rules, both load-bearing for
+    * cross-engine grading:
+    *  - event-time TIMEOUTS fire STRICTLY below the watermark
+    *    (lastMs + gap < wm keeps the session open at equality);
+    *  - append-mode WINDOW emission is inclusive (end <= wm emits).
+    * A Spark upgrade flipping either silently breaks the DuckDB
+    * comparison; this spec pins them at the exact boundary. */
+  test("event-time timeout at exactly the watermark does NOT fire (strict <)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF.toDF("key", "tsMs", "value")
+      .select(col("key"), timestamp_millis(col("tsMs")).as("ts"), col("value"))
+      .as[Sessionize.Event]
+    val q = Sessionize.sessions(events, gapMs = 60000L).writeStream
+      .format("memory").queryName("sess_boundary").outputMode("append").start()
+    val base = m("2024-01-01T00:00:00Z")
+    // boundary key: timeout lands EXACTLY on the max event time
+    // (base + gap == maxTs == watermark at 0s delay) → must stay open;
+    // closed key: timeout strictly below the watermark → must emit
+    mem.addData(
+      ("closed", base - 1000L, 1.0),
+      ("boundary", base, 2.0),
+      ("wmdriver", base + 60000L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("sess_boundary").as[Sessionize.Session]
+      .collect().map(_.key).toSet
+    assert(keys == Set("closed"),
+      s"expected only the strictly-below-watermark session to close, got $keys")
+  }
+
+  test("append-mode window emission is inclusive at end == watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDF.toDF("tsMs", "value")
+      .select(timestamp_millis(col("tsMs")).as("ts"), col("value"))
+    val agged = StreamingQueries.timeseries(events, "ts", "1 hour", "0 seconds",
+      Seq(count(lit(1)).as("cnt")))
+    val q = agged.writeStream
+      .format("memory").queryName("ts_boundary").outputMode("append").start()
+    val base = m("2024-01-01T00:00:00Z")
+    // max ts lands EXACTLY on the first bucket's end: end <= wm → the
+    // [00:00, 01:00) bucket emits; the bucket containing max ts stays open
+    mem.addData((base + 1000L, 1.0), (base + 3600000L, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("ts_boundary")
+      .select(col("__time").cast("long") * 1000).as[Long].collect().toSet
+    assert(emitted == Set(base),
+      s"expected exactly the end==watermark bucket to emit, got $emitted")
+  }
 }
