@@ -99,7 +99,7 @@ object Bench {
     // before measurement).
     // per-table try/catch: one unreadable table must not zero the whole
     // round's bench signal (the timed loop below already guards per-query)
-    def measure(s: SparkSession): Seq[(String, Double)] = {
+    def measure(s: SparkSession, warmQueries: Boolean): Seq[(String, Double)] = {
       Tables.all.foreach { t =>
         try {
           val df = if (t == "events") Tables.events(s, sfDir)
@@ -109,7 +109,10 @@ object Bench {
           System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
         }
       }
-      headline.foreach { case (_, fn) =>
+      // pass 2 skips the per-query warmup loop: its JVM is already
+      // hot and min-of-3 absorbs the one compile-laden first rep, so
+      // the extra 18 runs would only add wall time
+      if (warmQueries) headline.foreach { case (_, fn) =>
         try run(fn(s, sfDir)) catch { case _: Throwable => () }
       }
       headline.map { case (name, fn) =>
@@ -126,13 +129,13 @@ object Bench {
     // prior round reported); `totals` carries both passes. Pass 2 is a
     // warm-JVM re-boot (fresh SparkContext; JIT + codegen cache stay),
     // so it brackets the noise band from the warm side.
-    val results = measure(spark)
+    val results = measure(spark, warmQueries = true)
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     spark = newSession(cpus)
-    val results2 = measure(spark)
+    val results2 = measure(spark, warmQueries = false)
     val total2 = results2.map(_._2).filter(_ >= 0).sum
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
