@@ -35,11 +35,19 @@ object Dedup {
     * input exactly. Same single hash shuffle on the fingerprint as
     * [[exact]], and the window carries only (fp, id) — never text. */
   def exactLedger(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__fp"))
+    // the SAME ordered window as [[exact]] (row_number over id asc,
+    // nulls first): kept = the group's rank-1 row, dropped = ranks > 1.
+    // A min(id)-based kept would diverge from exact on null or
+    // duplicated ids (min ignores nulls; equality filters drop ties),
+    // breaking the partition invariant.
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
     df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .select(col("__fp"), col(idCol))
-      .withColumn("kept_id", min(col(idCol)).over(w))
-      .filter(col(idCol) =!= col("kept_id"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("kept_id",
+        first(col(idCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__rn") > 1)
       .select(col("kept_id"), col(idCol).as("dropped_id"))
   }
 

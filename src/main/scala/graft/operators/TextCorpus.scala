@@ -224,13 +224,16 @@ object TextCorpus {
     * document with covered token positions dropped (pure integer
     * position logic, so the result is engine-exact).
     *
-    * Scale shape: posexplode of L-gram spans, one (gram → df, owner)
-    * aggregation, a shuffle hash join back on the gram string, and an
+    * Scale shape: posexplode of L-gram spans keyed by TWO salted
+    * xxhash64s (128 effective bits — the ownership aggregation and the
+    * rejoin shuffle 16-byte keys, never span text; a simultaneous
+    * collision in both hashes is the only way to strip a span the
+    * oracle keeps, ~1e-31 per corpus), one (gramHash → df, owner)
+    * aggregation, a shuffle hash join back on the hash pair, and an
     * interval-union per doc via distinct covered positions. The gram
-    * table scales with the corpus — never broadcast. At 100 TB key
-    * grams by xxhash64 (strings here keep the DuckDB oracle portable)
-    * and replace collect_set with a sorted run-length merge if single
-    * documents are huge. */
+    * table scales with the corpus — never broadcast. Replace
+    * collect_set with a sorted run-length merge if single documents
+    * are huge. */
   def stripDuplicateSpans(
       df: DataFrame,
       idCol: String,

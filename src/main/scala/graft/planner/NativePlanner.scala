@@ -432,18 +432,7 @@ class NativePlanner(
       // Dispatching on raw BinaryType would feed a theta/KLL/HLL
       // binary to BhHistogram.fromBytes and decode garbage; those
       // fields are rejected loudly instead.
-      val fieldKind = (f, schema) match {
-        case (PostAggregator.FieldAccess(_, fn), Some(sch)) =>
-          sch.fields.find(_.name == fn).map { x =>
-            val kind =
-              if (x.metadata.contains("graft.sketch"))
-                x.metadata.getString("graft.sketch")
-              else ""
-            (x.dataType, kind)
-          }
-        case _ => None
-      }
-      fieldKind match {
+      sketchFieldKind(f, schema) match {
         case Some((org.apache.spark.sql.types.BinaryType, "bhhist")) =>
           graft.aggs.ApproxHistogramAgg
             .ahQuantile(postAggToColumn(f, schema), lit(p)).as(n)
@@ -456,8 +445,19 @@ class NativePlanner(
           HistogramAgg.histogramQuantile(postAggToColumn(f, schema), p).as(n)
       }
     case PostAggregator.HistogramMinMax(n, f, isMax) =>
-      (if (isMax) graft.aggs.ApproxHistogramAgg.ahMax(postAggToColumn(f, schema))
-       else graft.aggs.ApproxHistogramAgg.ahMin(postAggToColumn(f, schema))).as(n)
+      // same dispatch discipline as the quantile case: min/max post-aggs
+      // belong to the approxHistogram module in the reference — feeding
+      // a theta/KLL/HLL binary to BhHistogram.fromBytes would decode
+      // garbage, so any non-bhhist binary is rejected loudly
+      sketchFieldKind(f, schema) match {
+        case Some((org.apache.spark.sql.types.BinaryType, other)) if other != "bhhist" =>
+          throw new IllegalArgumentException(
+            s"${if (isMax) "max" else "min"} post-agg field is a " +
+              s"${if (other.isEmpty) "binary" else other} sketch, not an approxHistogram")
+        case _ =>
+          (if (isMax) graft.aggs.ApproxHistogramAgg.ahMax(postAggToColumn(f, schema))
+           else graft.aggs.ApproxHistogramAgg.ahMin(postAggToColumn(f, schema))).as(n)
+      }
     case PostAggregator.StdDev(n, f) =>
       sqrt(postAggToColumn(f, schema)).as(n)
     case PostAggregator.ZScore2Sample(n, s1, n1, s2, n2) =>
@@ -468,6 +468,24 @@ class NativePlanner(
         p2 * (lit(1.0) - p2) / postAggToColumn(n2, schema).cast("double"))
       ((p1 - p2) / se).as(n)
   }
+
+  /** (dataType, graft.sketch metadata tag) of a post-agg's field when
+    * it is a direct fieldAccess into a known aggregated schema — the
+    * dispatch key for the histogram post-agg family. */
+  private def sketchFieldKind(
+      f: PostAggregator,
+      schema: Option[StructType]): Option[(org.apache.spark.sql.types.DataType, String)] =
+    (f, schema) match {
+      case (PostAggregator.FieldAccess(_, fn), Some(sch)) =>
+        sch.fields.find(_.name == fn).map { x =>
+          val kind =
+            if (x.metadata.contains("graft.sketch"))
+              x.metadata.getString("graft.sketch")
+            else ""
+          (x.dataType, kind)
+        }
+      case _ => None
+    }
 
   private def havingToColumn(
       h: HavingSpec, schema: Option[StructType] = None): Column = h match {

@@ -26,10 +26,19 @@ object PipelineQueries14 {
 
   /** stage a frame as ONE parquet file and open it as a file-source
     * stream. Staging writes to a fresh temp dir — test-scale only; a
-    * production stream reads the arriving files directly. */
+    * production stream reads the arriving files directly. The dirs are
+    * tracked per call chain and deleted by [[runToMemorySink]], so
+    * repeated invocations (plan audits, Profile --all) don't
+    * accumulate temp data. */
+  private val pendingStages =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[String]] {
+      override def initialValue() = scala.collection.mutable.ListBuffer.empty
+    }
+
   private def stageAsStream(s: SparkSession, df: DataFrame): DataFrame = {
     val stage = java.nio.file.Files
       .createTempDirectory("graft_stream_stage").toFile.getAbsolutePath
+    pendingStages.get() += stage
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     val schema = s.read.parquet(stage).schema
     s.readStream.schema(schema).parquet(stage)
@@ -42,8 +51,11 @@ object PipelineQueries14 {
       .select(col("ts"), col("user_id"), col("value")))
 
   /** run an append-mode streaming frame to completion into a memory
-    * sink and return the landed table. processAllAvailable covers the
-    * closing no-data batch that emits watermark-closed windows. */
+    * sink and return the landed rows DETACHED from the sink (local
+    * checkpoint), so the temp view and this chain's staging dirs can
+    * be dropped immediately instead of leaking one per invocation.
+    * processAllAvailable covers the closing no-data batch that emits
+    * watermark-closed windows. */
   private def runToMemorySink(s: SparkSession, out: DataFrame): DataFrame = {
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -51,30 +63,47 @@ object PipelineQueries14 {
       .outputMode("append").start()
     sq.processAllAvailable()
     sq.stop()
-    s.table(name)
+    val landed = s.table(name).localCheckpoint()
+    s.catalog.dropTempView(name)
+    val stages = pendingStages.get()
+    stages.foreach { dir =>
+      try {
+        val root = java.nio.file.Paths.get(dir)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => () } // best-effort cleanup
+    }
+    stages.clear()
+    landed
   }
 
   /** streaming timeseries, graded end-to-end: hourly click counts and
     * value sums land in the sink exactly as the batch timeseries
-    * computes them for every watermark-closed bucket. */
+    * computes them for every watermark-closed bucket. Values ride as
+    * integral cents (like every sibling sink): a rounded float sum of
+    * partition-order-dependent doubles could land on a 4-dp half and
+    * round differently than DuckDB's sequential sum. */
   val streamingTimeseries: Q = q(
     "streaming_timeseries_sink",
     """WITH mx AS (SELECT max(ts) AS m FROM events WHERE event_type = 'click'),
       |agg AS (
       |  SELECT date_trunc('hour', ts) AS b,
       |         CAST(count(*) AS BIGINT) AS cnt,
-      |         round(sum(value), 4) AS sum_value
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |  FROM events WHERE event_type = 'click' GROUP BY 1)
-      |SELECT epoch_ms(b) AS bucket_ms, cnt, sum_value
+      |SELECT epoch_ms(b) AS bucket_ms, cnt, sum_cents
       |FROM agg WHERE b + INTERVAL 1 HOUR <= (SELECT m FROM mx)
       |ORDER BY 1""".stripMargin) { (s, d) =>
     val stream = stagedEventStream(s, d, "click")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
     val agged = StreamingQueries.timeseries(stream, "ts",
       granularity = "1 hour", watermark = "0 seconds",
-      aggs = Seq(count(lit(1)).as("cnt"), sum(col("value")).as("__sv")))
+      aggs = Seq(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents")))
     runToMemorySink(s, agged)
       .select(unix_millis(col("__time")).as("bucket_ms"), col("cnt"),
-        round(col("__sv"), 4).as("sum_value"))
+        col("sum_cents"))
       .orderBy(col("bucket_ms"))
   }
 
@@ -141,16 +170,10 @@ object PipelineQueries14 {
       |SELECT k AS user_id, start_ms, end_ms, n_events, cents
       |FROM agg WHERE end_ms + 3600000 < (SELECT m FROM mx)
       |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_stream_sess").toFile.getAbsolutePath
-    Tables.events(s, d)
+    val stream = stageAsStream(s, Tables.events(s, d)
       .filter(col("event_type") === "view")
       .select(col("user_id").cast("string").as("key"), col("ts"),
-        round(col("value") * 100).as("value"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(stage)
-    val schema = s.read.parquet(stage).schema
-    val stream = s.readStream.schema(schema).parquet(stage)
+        round(col("value") * 100).as("value")))
     val sessions = graft.streaming.Sessionize.sessions(
       stream.as[graft.streaming.Sessionize.Event](
         org.apache.spark.sql.Encoders.product[graft.streaming.Sessionize.Event]),

@@ -71,7 +71,10 @@ class QueryServer(
       "_default" -> RetentionRules.DefaultChainJson)
 
   /** rules audit log (reference AuditManager behind RulesResource's
-    * /rules/{ds}/history): one entry per accepted POST, newest first. */
+    * /rules/{ds}/history): one entry per accepted POST, newest first,
+    * capped — the reference persists with retention; an in-memory log
+    * must not grow monotonically under automated rule re-posting. */
+  private val rulesHistoryMax = 1000
   private val rulesHistory =
     new java.util.concurrent.ConcurrentLinkedDeque[(String, String, String)]()
 
@@ -905,6 +908,10 @@ class QueryServer(
         case ("GET", ds) =>
           respond(ex, 200, retentionRules.getOrElse(ds, "[]"))
         case ("POST" | "PUT", ds) if ds.nonEmpty && !ds.contains("/") =>
+          // "history" is a route segment (GET /rules/history) — a rule
+          // chain stored under it would be write-only; reject clearly
+          require(ds != "history",
+            "'history' is a reserved path segment, not a datasource name")
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val n = mapper.readTree(body)
           require(n.isArray, "rules payload must be a JSON array of rules")
@@ -932,6 +939,7 @@ class QueryServer(
           retentionRules.put(ds, payload)
           rulesHistory.addFirst((ds, payload,
             java.time.Instant.now().toString))
+          while (rulesHistory.size() > rulesHistoryMax) rulesHistory.pollLast()
           respond(ex, 200, "")
         case _ => respond(ex, 405, """{"error":"GET /rules | GET/POST /rules/{ds} | GET /rules[/{ds}]/history"}""")
       }

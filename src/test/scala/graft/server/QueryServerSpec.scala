@@ -750,9 +750,14 @@ class QueryServerSpec extends SparkSpec {
       val hist = get("/druid/coordinator/v1/rules/repltab/history")
       assert(hist.contains("\"key\":\"repltab\"") &&
         hist.contains("auditTime") && hist.contains("tieredReplicants"), hist)
-      // newest first: the plain loadForever post precedes the tiered one
-      assert(hist.indexOf("""[{"type":"loadForever"}]""") <
-        hist.indexOf("tieredReplicants"), hist)
+      // newest first: the plain loadForever post (second POST) precedes
+      // the tiered one. Payloads are JSON-escaped inside the envelope,
+      // so match the escaped form — and require both matches to exist
+      // so the ordering check cannot pass vacuously on -1.
+      val plainAt = hist.indexOf("[{\\\"type\\\":\\\"loadForever\\\"}]")
+      val tieredAt = hist.indexOf("tieredReplicants")
+      assert(plainAt >= 0 && tieredAt >= 0, hist)
+      assert(plainAt < tieredAt, s"history not newest-first: $hist")
       val all = get("/druid/coordinator/v1/rules/history")
       assert(all.contains("repltab"), all)
       // per-ds history filters other datasources out
