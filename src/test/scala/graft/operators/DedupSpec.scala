@@ -22,6 +22,32 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("exactLedger partitions the input with exact, even on null/duplicated ids") {
+    import spark.implicits._
+    // fingerprint group with a NULL id and a duplicated id: exact's
+    // nulls-first window keeps the null row; the ledger must mirror
+    // that (kept_id = null, both id=7 rows and id=9 dropped) — a
+    // min(id)-based ledger would lose rows on both shapes
+    val tricky = Seq(
+      (Option.empty[Long], "same text"),
+      (Some(7L), "same text"),
+      (Some(7L), "same text"),
+      (Some(9L), "same text"),
+      (Some(1L), "other text")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exact(tricky, "doc_id", "text")
+      .select("doc_id").collect().map(r => Option(r.get(0)))
+    val ledger = Dedup.exactLedger(tricky, "doc_id", "text").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    // exact keeps the null-id row for the dup group + the singleton
+    assert(kept.toSet == Set(None, Some(1L)))
+    // ledger: every non-kept row appears once, attributed to the null keeper
+    assert(ledger.toSeq.sortBy(_._2.map(_.toString.toLong)) == Seq(
+      (None, Some(7L)), (None, Some(7L)), (None, Some(9L))))
+    // invariant: |kept| + |ledger| == |input|
+    assert(kept.length + ledger.length == 5)
+  }
+
   test("lineDedup: first global occurrence wins, docs reassemble in order") {
     import spark.implicits._
     val df = Seq(

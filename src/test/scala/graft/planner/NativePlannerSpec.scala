@@ -511,4 +511,30 @@ class NativePlannerSpec extends SparkSpec {
       graft.model.QueryJson.parse("""{"queryType": "select", "dataSource": "foo"}""")
     }
   }
+
+  test("histogram quantile/min/max post-aggs reject non-histogram sketch fields") {
+    // a theta sketch binary fed to an approxHistogram post-agg must be
+    // rejected by the graft.sketch metadata dispatch, not decoded as a
+    // Ben-Haim–Yom-Tov histogram (garbage values / EOF)
+    def q(postAgg: String): String =
+      s"""{"queryType": "timeseries", "dataSource": "foo", "intervals": [],
+         |"granularity": "all",
+         |"aggregations": [{"type": "thetaSketch", "name": "sk", "fieldName": "dim1"}],
+         |"postAggregations": [$postAgg]}""".stripMargin
+    for (pa <- Seq(
+        """{"type": "quantile", "name": "p50", "fieldName": "sk", "probability": 0.5}""",
+        """{"type": "min", "name": "mn", "fieldName": "sk"}""",
+        """{"type": "max", "name": "mx", "fieldName": "sk"}""")) {
+      val e = intercept[IllegalArgumentException] { planner.plan(q(pa)).collect() }
+      assert(e.getMessage.contains("theta"), e.getMessage)
+    }
+    // and the legitimate approxHistogram field still works end to end
+    val ok = planner.plan(q(
+      """{"type": "quantile", "name": "p50", "fieldName": "h", "probability": 0.5}""")
+      .replace(""""aggregations": [{"type": "thetaSketch", "name": "sk", "fieldName": "dim1"}]""",
+        """"aggregations": [{"type": "approxHistogram", "name": "h", "fieldName": "m1"}]"""))
+      .collect()(0)
+    val p50 = ok.getDouble(ok.fieldIndex("p50"))
+    assert(p50 >= 1.0 && p50 <= 6.0, s"p50=$p50")
+  }
 }

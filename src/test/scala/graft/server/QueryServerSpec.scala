@@ -763,6 +763,11 @@ class QueryServerSpec extends SparkSpec {
       // per-ds history filters other datasources out
       assert(!get("/druid/coordinator/v1/rules/nosuchds/history")
         .contains("repltab"))
+      // "history" is a route segment — storing rules under it would be
+      // write-only (GET returns the audit log), so POST rejects it
+      val (hc, hb) = post(port, "/druid/coordinator/v1/rules/history",
+        """[{"type": "loadForever"}]""")
+      assert(hc != 200 && hb.contains("reserved"), s"$hc $hb")
       // back on the plain rule, replicas return to the LoadRule default
       assert(numReplicas() == """[{"nr":2}]""", numReplicas())
     } finally srv.stop()
