@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Conversation-structure operators for instruction/SFT data curation
+  * — parsing role-tagged dialogue transcripts back into (turn, role,
+  * content) rows, the inverse of chat templating. Beyond the
+  * reference (its corpus model is flat documents); standard in
+  * LLM-data pipelines for splitting raw "user: ... assistant: ..."
+  * transcripts into gradeable turns.
+  *
+  * Scale shape: pure per-row expression work (lookahead split +
+  * posexplode) fused into the scan — no shuffle, no UDF; the explode
+  * multiplies rows by turn count only.
+  */
+object Chat {
+
+  /** split a transcript into role turns. A turn starts at a
+    * `role: ` marker (any of `roles`, which must be regex-safe
+    * lowercase words); text before the first marker is dropped
+    * (preamble). Returns (idCol, turn_idx, role, content, n_words)
+    * with content whitespace-trimmed.
+    */
+  def parseTurns(
+      df: DataFrame, idCol: String, textCol: String,
+      roles: Seq[String] = Seq("system", "user", "assistant")): DataFrame = {
+    require(roles.nonEmpty && roles.forall(_.matches("[a-z]+")),
+      s"roles must be lowercase words, got $roles")
+    val alt = roles.mkString("|")
+    // zero-width lookahead keeps the marker with its turn
+    val turns = split(col(textCol), s"(?=\\b(?:$alt): )")
+    val role = regexp_extract(col("__turn"), s"^($alt): ", 1)
+    val content = trim(regexp_replace(col("__turn"), s"^(?:$alt): ", ""))
+    df.select(col(idCol), posexplode(turns).as(Seq("__pos", "__turn")))
+      .filter(col("__turn").rlike(s"^(?:$alt): ")) // drop preamble cell
+      .withColumn("role", role)
+      .withColumn("content", content)
+      // re-rank after the preamble filter so turn_idx is dense
+      .withColumn("turn_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("__pos"))) - 1)
+      .select(col(idCol), col("turn_idx").cast("long").as("turn_idx"),
+        col("role"),
+        col("content"),
+        size(split(col("content"), " ")).cast("long").as("n_words"))
+  }
+}

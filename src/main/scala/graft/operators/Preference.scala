@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-pair construction for DPO/RLHF-style training sets:
+  * within each group (prompt, source, topic …) pick the best- and
+  * worst-scoring member as the (chosen, rejected) pair. Beyond the
+  * reference; the standard reward-data builder in LLM pipelines.
+  *
+  * Scale shape: ONE hash aggregation over the group key — chosen and
+  * rejected come from max/min over (score, id) structs inside the
+  * same groupBy, so there is no window, no self-join, and shuffle
+  * rows carry (group, score, id) only. Deterministic tie-breaks:
+  * chosen = highest score then LOWEST id; rejected = lowest score
+  * then HIGHEST id — so a group of n >= 2 members always yields two
+  * distinct documents, even when every score ties.
+  */
+object Preference {
+
+  /** build one (chosen, rejected) pair per group with at least two
+    * members. `scoreCol` must be integral (portable ordering — float
+    * scores can flip argmax across engines on ulp ties). Returns
+    * (groupCol, chosen_id, rejected_id, margin) with margin =
+    * chosenScore - rejectedScore (>= 0). */
+  def buildPairs(
+      df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    df.select(col(groupCol), col(idCol).as("__id"),
+        col(scoreCol).cast("long").as("__s"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        max(struct(col("__s"), (-col("__id")).as("__negid"))).as("__best"),
+        min(struct(col("__s"), (-col("__id")).as("__negid"))).as("__worst"))
+      .filter(col("__n") >= 2)
+      .select(col(groupCol),
+        (-col("__best.__negid")).as("chosen_id"),
+        (-col("__worst.__negid")).as("rejected_id"),
+        (col("__best.__s") - col("__worst.__s")).as("margin"))
+  }
+}

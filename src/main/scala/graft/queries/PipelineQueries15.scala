@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Chat, Preference, TextAnalysis}
+
+/** Round-9 additions, part 2: instruction-data structure — chat-turn
+  * parsing (the inverse of chat templating) and DPO-style preference-
+  * pair construction. Both oracles are stated analytically from the
+  * deterministic synthesis (the multimodal_pipeline trick): DuckDB
+  * never parses a transcript — Spark must, and a parser bug breaks
+  * the hash. */
+object PipelineQueries15 {
+
+  /** role-tagged transcripts synthesized from each doc's own words
+    * (turn i = role marker + words [8i, 8i+8); roles alternate
+    * user/assistant; 2 + doc_id%3 turns), then REPARSED by
+    * Chat.parseTurns. The oracle states every (turn_idx, role,
+    * n_words, first_word) from the construction arithmetic — a
+    * lookahead-split bug, role-extraction bug, or off-by-one in the
+    * dense re-ranking breaks the hash. */
+  val sftTurnParse: Q = q(
+    "sft_turn_parse",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |                  2 + doc_id % 3 AS nt
+      |           FROM documents),
+      |e AS (SELECT doc_id, w, nt FROM d WHERE len(w) >= 8 * nt),
+      |t AS (SELECT doc_id, w, unnest(range(0, nt)) AS i FROM e)
+      |SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+      |       CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |       CAST(8 AS BIGINT) AS n_words,
+      |       w[CAST(8 * i + 1 AS INT)] AS first_word
+      |FROM t ORDER BY doc_id, turn_idx""".stripMargin) { (s, d) =>
+    val w = split(col("text"), " ")
+    val nt = (lit(2) + col("doc_id") % 3).cast("int")
+    val transcript = concat_ws(" ",
+      transform(sequence(lit(0), nt - 1), i =>
+        concat(
+          when(i % 2 === 0, lit("user: ")).otherwise(lit("assistant: ")),
+          concat_ws(" ", slice(w, i * 8 + 1, lit(8))))))
+    val convos = Tables.documents(s, d)
+      .filter(size(w) >= nt * 8)
+      .select(col("doc_id"), transcript.as("convo"))
+    Chat.parseTurns(convos, "doc_id", "convo")
+      .select(col("doc_id"), col("turn_idx"), col("role"), col("n_words"),
+        element_at(split(col("content"), " "), 1).as("first_word"))
+      .orderBy(col("doc_id"), col("turn_idx"))
+  }
+
+  /** DPO preference pairs per source: integer quality score
+    * (stopword-rate minus digit-rate, both in 1e-5 units — integral,
+    * so the argmax/argmin ordering is portable), chosen = best score
+    * tie-lowest-id, rejected = worst score tie-highest-id, one hash
+    * aggregation (Preference.buildPairs). */
+  val dpoPairBuild: Q = q(
+    "dpo_pair_build",
+    """WITH s AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |             x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+      |                                 'that','for','on','with','as','are','was','be','this'], x)))
+      |           AS BIGINT) * 100000 // len(string_split(text, ' '))
+      |         - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |           AS BIGINT) * 100000 // length(text) AS sc
+      |  FROM documents),
+      |r AS (SELECT source, doc_id, sc,
+      |        row_number() OVER (PARTITION BY source ORDER BY sc DESC, doc_id ASC) AS rb,
+      |        row_number() OVER (PARTITION BY source ORDER BY sc ASC, doc_id DESC) AS rw
+      |      FROM s),
+      |g AS (SELECT source FROM s GROUP BY 1 HAVING count(*) >= 2),
+      |b AS (SELECT source, doc_id AS chosen_id, sc AS bs FROM r WHERE rb = 1),
+      |w AS (SELECT source, doc_id AS rejected_id, sc AS ws FROM r WHERE rw = 1)
+      |SELECT b.source, chosen_id, rejected_id, CAST(bs - ws AS BIGINT) AS margin
+      |FROM b JOIN w USING (source) JOIN g USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val score =
+      graft.exprs.idiv(
+        TextAnalysis.stopwordCount(toks).cast("long") * 100000L, size(toks)) -
+      graft.exprs.idiv(
+        TextAnalysis.digitCount(col("text")).cast("long") * 100000L,
+        length(col("text")))
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), score.as("sc"))
+    Preference.buildPairs(scored, "source", "doc_id", "sc")
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(sftTurnParse, dpoPairBuild)
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChatPreferenceSpec extends SparkSpec {
+
+  test("parseTurns: preamble drops, turn_idx is dense, roles/content extract") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ignored preamble user: hello there assistant: hi user: bye"),
+      // a role word WITHOUT the colon marker must not split a turn
+      (2L, "user: the user said assistant things assistant: ok")
+    ).toDF("id", "convo")
+    val turns = Chat.parseTurns(df, "id", "convo")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(turns.toSeq == Seq(
+      (1L, 0L, "user", "hello there"),
+      (1L, 1L, "assistant", "hi"),
+      (1L, 2L, "user", "bye"),
+      (2L, 0L, "user", "the user said assistant things"),
+      (2L, 1L, "assistant", "ok")))
+  }
+
+  test("buildPairs: deterministic tie-breaks and singleton filtering") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: clear best/worst
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L),
+      // group b: all scores tie → chosen = min id, rejected = max id
+      ("b", 5L, 7L), ("b", 6L, 7L), ("b", 9L, 7L),
+      // group c: singleton → filtered out
+      ("c", 4L, 99L)
+    ).toDF("g", "id", "s")
+    val pairs = Preference.buildPairs(df, "g", "id", "s")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(pairs.toSeq == Seq(
+      ("a", 2L, 1L, 20L),
+      ("b", 5L, 9L, 0L)))
+  }
+}
