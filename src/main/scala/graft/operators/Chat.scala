@@ -45,4 +45,26 @@ object Chat {
         col("content"),
         size(split(col("content"), " ")).cast("long").as("n_words"))
   }
+
+  /** chat templating, the forward direction: render (id, turn_idx,
+    * role, content) rows back into one role-tagged transcript per
+    * conversation. `parseTurns(renderTemplate(x)) == x` on well-formed
+    * turns (lowercase roles, colon-free content) — spec'd as a law.
+    *
+    * One hash aggregation per conversation; turn order is restored
+    * INSIDE each group via array_sort over (turn_idx, …) structs — no
+    * window, no secondary shuffle. */
+  def renderTemplate(
+      df: DataFrame, idCol: String,
+      turnCol: String = "turn_idx", roleCol: String = "role",
+      contentCol: String = "content",
+      outCol: String = "transcript"): DataFrame =
+    df.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        col(turnCol).as("i"), col(roleCol).as("r"), col(contentCol).as("c"))))
+        .as("__ts"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__ts"),
+          t => concat(t.getField("r"), lit(": "), t.getField("c"))))
+          .as(outCol))
 }

@@ -24,6 +24,22 @@ class ChatPreferenceSpec extends SparkSpec {
       (2L, 1L, "assistant", "ok")))
   }
 
+  test("parseTurns ∘ renderTemplate is the identity on well-formed turns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "sys setup user: hello there assistant: hi how are you user: fine"),
+      (2L, "user: one two assistant: three")
+    ).toDF("id", "convo")
+    val parsed = Chat.parseTurns(df, "id", "convo")
+    val rendered = Chat.renderTemplate(parsed, "id", outCol = "convo")
+    val reparsed = Chat.parseTurns(rendered, "id", "convo")
+    val a = parsed.select("id", "turn_idx", "role", "content")
+      .collect().map(_.toSeq).toSet
+    val b = reparsed.select("id", "turn_idx", "role", "content")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, s"round-trip mismatch:\n$a\nvs\n$b")
+  }
+
   test("buildPairs: deterministic tie-breaks and singleton filtering") {
     import spark.implicits._
     val df = Seq(
