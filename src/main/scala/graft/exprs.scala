@@ -14,4 +14,13 @@ object exprs {
   def idiv(a: Column, b: Column): Column = toCol(
     org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       toExpr(a), toExpr(b)))
+
+  /** xxhash64 with an explicit SEED (the public `xxhash64` pins 42).
+    * Two hashes of the same value under different seeds are
+    * independent draws of the same 64-bit family — the right way to
+    * build a 128-effective-bit key pair, vs. prefix-salting one
+    * seed's input (correlated through the shared internal state). */
+  def xxhash64Seeded(seed: Long, cols: Column*): Column = toCol(
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      cols.map(toExpr), seed))
 }

@@ -20,7 +20,19 @@ object Chat {
     * `role: ` marker (any of `roles`, which must be regex-safe
     * lowercase words); text before the first marker is dropped
     * (preamble). Returns (idCol, turn_idx, role, content, n_words)
-    * with content whitespace-trimmed.
+    * with content whitespace-trimmed; n_words counts non-empty
+    * whitespace-separated tokens (0 for an empty-content turn, and
+    * runs of spaces don't inflate the count).
+    *
+    * Contract limitation: a `role: ` marker is a TURN BOUNDARY
+    * wherever it appears — content that legitimately contains e.g.
+    * "user: " mid-sentence is split into a spurious extra turn. This
+    * is inherent to untagged role-marker transcripts (the format
+    * carries no escaping); feed pre-structured turns to
+    * [[renderTemplate]]'s inverse direction instead when content may
+    * embed markers. The parse/render round-trip law therefore holds
+    * on turns whose content contains no `role: ` marker (and, for
+    * exact content equality, no leading/trailing whitespace).
     */
   def parseTurns(
       df: DataFrame, idCol: String, textCol: String,
@@ -43,7 +55,10 @@ object Chat {
       .select(col(idCol), col("turn_idx").cast("long").as("turn_idx"),
         col("role"),
         col("content"),
-        size(split(col("content"), " ")).cast("long").as("n_words"))
+        // whitespace+ split, empty tokens dropped: "" -> 0, double
+        // spaces don't inflate (split(_, " ") would give 1 and 9)
+        size(filter(split(col("content"), "\\s+"), _ =!= ""))
+          .cast("long").as("n_words"))
   }
 
   /** chat templating, the forward direction: render (id, turn_idx,

@@ -26,6 +26,13 @@ object Preference {
   def buildPairs(
       df: DataFrame, groupCol: String, idCol: String,
       scoreCol: String): DataFrame = {
+    // the tie-break negates the id inside the argmax/argmin structs;
+    // unary minus on a non-numeric column silently casts to null and
+    // corrupts chosen/rejected instead of failing — reject at call time
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"buildPairs idCol '$idCol' must be numeric (tie-breaks negate it); " +
+        s"got ${idType.simpleString}")
     df.select(col(groupCol), col(idCol).as("__id"),
         col(scoreCol).cast("long").as("__s"))
       .groupBy(col(groupCol))

@@ -245,16 +245,19 @@ object TextCorpus {
       .select(col(idCol).as("id"), toks(col(textCol)).as("w"))
       .localCheckpoint()
     // downstream only needs span IDENTITY, not the span text: carry
-    // two independently-salted xxhash64s (128 effective bits) instead
+    // two DIFFERENTLY-SEEDED xxhash64s (128 effective bits) instead
     // of the ~10-token gram string — the ownership shuffle and the
-    // rejoin move 16-byte keys, not text. A simultaneous collision in
-    // both hashes (~1e-31 per corpus) is the only way to strip a span
-    // the oracle keeps. Materialized once for both consumers.
+    // rejoin move 16-byte keys, not text. Distinct seeds give
+    // independent draws (a prefix salt under one seed correlates the
+    // two hashes through the shared internal state); a simultaneous
+    // collision in both (~1e-31 per corpus) is the only way to strip
+    // a span the oracle keeps. Materialized once for both consumers.
     val grams = base.select(
       col("id"),
       posexplode(TextAnalysis.wordShingles(col("w"), spanLen)).as(Seq("pos", "g")))
       .select(col("id"), col("pos"),
-        xxhash64(col("g")).as("gh"), xxhash64(lit("s2"), col("g")).as("gh2"))
+        xxhash64(col("g")).as("gh"),
+        graft.exprs.xxhash64Seeded(0x5eed2L, col("g")).as("gh2"))
       .localCheckpoint()
     val owners = grams.groupBy(col("gh"), col("gh2"))
       .agg(countDistinct(col("id")).as("df"), min(col("id")).as("owner"))
@@ -430,9 +433,10 @@ object TextCorpus {
       .foldLeft(lit(0)) { case (acc, (n, pct)) =>
         when(col("n") === n, pct).otherwise(acc) }
     // downstream needs only each distinct gram's COUNT and CHAR LENGTH
-    // — so the wordcount groups on TWO independently-salted xxhash64
+    // — so the wordcount groups on TWO differently-seeded xxhash64
     // values + length(gram) instead of the gram string (128 effective
-    // key bits), shrinking the shuffle rows from tens of bytes of
+    // key bits; distinct seeds = independent draws, unlike a prefix
+    // salt under one seed), shrinking the shuffle rows from tens of bytes of
     // text to 24 bytes (~2× wall at sf0.1). Merging two grams' counts
     // now needs a simultaneous collision in both salted hashes inside
     // one (doc, n) group: ~10⁻²⁹ per doc at ≤10⁵ grams — beyond any
@@ -442,7 +446,7 @@ object TextCorpus {
         explode(grams).as("x"))
       .select(id, col("total_chars"), col("x.n").as("n"),
         xxhash64(col("x.g")).as("gh"),
-        xxhash64(lit("s2"), col("x.g")).as("gh2"),
+        graft.exprs.xxhash64Seeded(0x5eed2L, col("x.g")).as("gh2"),
         length(col("x.g")).cast("long").as("gl"))
       .groupBy(id, col("total_chars"), col("n"), col("gh"), col("gh2"),
         col("gl"))

@@ -65,20 +65,30 @@ object PipelineQueries14 {
     * Every graded contract here is partition-count-invariant
     * (verified at 2/8/32 CPUs), so this only moves wall clock. The
     * session conf is restored after the query starts — streaming
-    * queries pin their shuffle partitioning at start. */
+    * queries pin their shuffle partitioning at start.
+    *
+    * The conf swap mutates SESSION-global state, so the swap+start is
+    * serialized on [[confSwapLock]]: Verify/Profile run entries
+    * sequentially today, but a concurrent registry run would
+    * otherwise race two swaps and start a query under the wrong
+    * partitioning (or "restore" a peer's temporary value). Batch
+    * queries planned concurrently see at worst a smaller shuffle
+    * partition count for the start window — harmless at test scale. */
+  private val confSwapLock = new Object
   private def runToMemorySink(
       s: SparkSession, out: DataFrame,
       statePartitions: Int = 8): DataFrame = {
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val sq =
+    val sq = confSwapLock.synchronized {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
         s.conf.set("spark.sql.shuffle.partitions",
           math.min(statePartitions, prevShuffle.toInt).toString)
         out.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     sq.processAllAvailable()
     sq.stop()
     val landed = s.table(name).localCheckpoint()

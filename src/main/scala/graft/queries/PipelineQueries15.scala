@@ -18,32 +18,54 @@ object PipelineQueries15 {
     * Chat.parseTurns. The oracle states every (turn_idx, role,
     * n_words, first_word) from the construction arithmetic — a
     * lookahead-split bug, role-extraction bug, or off-by-one in the
-    * dense re-ranking breaks the hash. */
+    * dense re-ranking breaks the hash. Two planted edges grade the
+    * tokenization contract: docs with doc_id%5==0 get an extra FINAL
+    * turn with EMPTY content (n_words must be 0, first_word NULL —
+    * a naive split gives 1 and ""), and docs with doc_id%7==3 join
+    * turn 1's words with DOUBLE spaces (n_words must stay 8 — a
+    * naive split gives 15). Docs whose own text embeds a role marker
+    * are excluded on both sides (the documented parseTurns boundary
+    * limitation), making the entry robust to testdata regeneration. */
   val sftTurnParse: Q = q(
     "sft_turn_parse",
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
       |                  2 + doc_id % 3 AS nt
       |           FROM documents),
-      |e AS (SELECT doc_id, w, nt FROM d WHERE len(w) >= 8 * nt),
-      |t AS (SELECT doc_id, w, unnest(range(0, nt)) AS i FROM e)
+      |e AS (SELECT doc_id, w, nt FROM d
+      |      WHERE len(w) >= 8 * nt
+      |        AND text NOT LIKE '%user: %'
+      |        AND text NOT LIKE '%assistant: %'),
+      |t AS (SELECT doc_id, w, nt,
+      |             unnest(range(0, nt + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)) AS i
+      |      FROM e)
       |SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
       |       CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-      |       CAST(8 AS BIGINT) AS n_words,
-      |       w[CAST(8 * i + 1 AS INT)] AS first_word
+      |       CAST(CASE WHEN i = nt THEN 0 ELSE 8 END AS BIGINT) AS n_words,
+      |       CASE WHEN i = nt THEN NULL ELSE w[CAST(8 * i + 1 AS INT)] END AS first_word
       |FROM t ORDER BY doc_id, turn_idx""".stripMargin) { (s, d) =>
     val w = split(col("text"), " ")
     val nt = (lit(2) + col("doc_id") % 3).cast("int")
-    val transcript = concat_ws(" ",
-      transform(sequence(lit(0), nt - 1), i =>
-        concat(
-          when(i % 2 === 0, lit("user: ")).otherwise(lit("assistant: ")),
-          concat_ws(" ", slice(w, i * 8 + 1, lit(8))))))
+    def marker(i: org.apache.spark.sql.Column) =
+      when(i % 2 === 0, lit("user: ")).otherwise(lit("assistant: "))
+    val mainTurns = transform(sequence(lit(0), nt - 1), i => {
+      val body = concat_ws(" ", slice(w, i * 8 + 1, lit(8)))
+      concat(marker(i),
+        when(col("doc_id") % 7 === 3 && i === 1,
+          regexp_replace(body, " ", "  ")).otherwise(body))
+    })
+    // doc_id%5==0: plant an extra final turn with EMPTY content
+    val turns = when(col("doc_id") % 5 === 0,
+      concat(mainTurns, array(marker(nt)))).otherwise(mainTurns)
+    val transcript = concat_ws(" ", turns)
     val convos = Tables.documents(s, d)
-      .filter(size(w) >= nt * 8)
+      .filter(size(w) >= nt * 8 &&
+        !col("text").contains("user: ") && !col("text").contains("assistant: "))
       .select(col("doc_id"), transcript.as("convo"))
     Chat.parseTurns(convos, "doc_id", "convo")
       .select(col("doc_id"), col("turn_idx"), col("role"), col("n_words"),
-        element_at(split(col("content"), " "), 1).as("first_word"))
+        // empty array -> NULL, matching the oracle's NULL for the empty turn
+        try_element_at(filter(split(col("content"), "\\s+"), _ =!= ""), lit(1))
+          .as("first_word"))
       .orderBy(col("doc_id"), col("turn_idx"))
   }
 

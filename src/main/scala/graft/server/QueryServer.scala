@@ -72,9 +72,11 @@ class QueryServer(
 
   /** rules audit log (reference AuditManager behind RulesResource's
     * /rules/{ds}/history): one entry per accepted POST, newest first,
-    * capped — the reference persists with retention; an in-memory log
-    * must not grow monotonically under automated rule re-posting. */
-  private val rulesHistoryMax = 1000
+    * capped PER DATASOURCE — the reference persists with retention; an
+    * in-memory log must not grow monotonically under automated rule
+    * re-posting, but a busy datasource's re-posts must not evict
+    * another datasource's audit trail either. */
+  private val rulesHistoryMaxPerDs = 500
   private val rulesHistory =
     new java.util.concurrent.ConcurrentLinkedDeque[(String, String, String)]()
 
@@ -147,12 +149,20 @@ class QueryServer(
     }.toSet
   }
 
-  /** advisory replica count for a segment per its rule chain — feeds
-    * sys.segments.num_replicas (reference LoadRule tieredReplicants,
-    * summed across tiers; 0 = no load rule matched / dropped). */
+  /** replica count for a segment, feeding sys.segments.num_replicas.
+    * The reference's SystemSchema reports SERVED replicas, not the
+    * rule-desired count — a loadForever x2 chain still shows 1 on a
+    * single-historical cluster. We reproduce that: the rule chain's
+    * desired tiered-replicant sum (LoadRule.tieredReplicants, summed
+    * across tiers; 0 = dropped / no load rule matched) capped at the
+    * live server count, which is 1 in this single-process deployment
+    * (sys.servers has exactly one row). */
+  private val liveServerCount = 1L
   private def segmentReplicas(ds: String, startMs: Long, endMs: Long): Long =
-    RetentionRules.replicas(
-      ruleChain(ds), startMs, endMs, System.currentTimeMillis())
+    math.min(
+      RetentionRules.replicas(
+        ruleChain(ds), startMs, endMs, System.currentTimeMillis()),
+      liveServerCount)
 
   private def allDatasources(): Seq[String] =
     (datasources() ++ ingested.keySet).distinct
@@ -939,7 +949,16 @@ class QueryServer(
           retentionRules.put(ds, payload)
           rulesHistory.addFirst((ds, payload,
             java.time.Instant.now().toString))
-          while (rulesHistory.size() > rulesHistoryMax) rulesHistory.pollLast()
+          // evict oldest entries OF THIS DATASOURCE over the per-ds cap
+          import scala.jdk.CollectionConverters._
+          var excess =
+            rulesHistory.iterator().asScala.count(_._1 == ds) -
+              rulesHistoryMaxPerDs
+          if (excess > 0) {
+            val it = rulesHistory.descendingIterator()
+            while (excess > 0 && it.hasNext)
+              if (it.next()._1 == ds) { it.remove(); excess -= 1 }
+          }
           respond(ex, 200, "")
         case _ => respond(ex, 405, """{"error":"GET /rules | GET/POST /rules/{ds} | GET /rules[/{ds}]/history"}""")
       }

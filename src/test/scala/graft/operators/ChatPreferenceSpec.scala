@@ -40,6 +40,30 @@ class ChatPreferenceSpec extends SparkSpec {
     assert(a == b, s"round-trip mismatch:\n$a\nvs\n$b")
   }
 
+  test("parseTurns: n_words is 0 for empty content and ignores space runs") {
+    import spark.implicits._
+    val df = Seq(
+      // empty final turn; double-spaced content; leading/trailing pad
+      (1L, "user: one  two   three assistant: ")
+    ).toDF("id", "convo")
+    val turns = Chat.parseTurns(df, "id", "convo")
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(turns.toSeq == Seq(
+      (0L, "user", "one  two   three", 3L),
+      (1L, "assistant", "", 0L)))
+  }
+
+  test("buildPairs rejects a non-numeric id column at call time") {
+    import spark.implicits._
+    val df = Seq(("a", "x1", 10L), ("a", "x2", 20L)).toDF("g", "id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Preference.buildPairs(df, "g", "id", "s")
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
   test("buildPairs: deterministic tie-breaks and singleton filtering") {
     import spark.implicits._
     val df = Seq(
