@@ -24,25 +24,10 @@ import graft.streaming.StreamingQueries
   * the sink contents an operator would land. */
 object PipelineQueries14 {
 
-  /** stage a frame as ONE parquet file and open it as a file-source
-    * stream. Staging writes to a fresh temp dir — test-scale only; a
-    * production stream reads the arriving files directly. The dirs are
-    * tracked per call chain and deleted by [[runToMemorySink]], so
-    * repeated invocations (plan audits, Profile --all) don't
-    * accumulate temp data. */
-  private val pendingStages =
-    new ThreadLocal[scala.collection.mutable.ListBuffer[String]] {
-      override def initialValue() = scala.collection.mutable.ListBuffer.empty
-    }
-
-  private def stageAsStream(s: SparkSession, df: DataFrame): DataFrame = {
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_stream_stage").toFile.getAbsolutePath
-    pendingStages.get() += stage
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    val schema = s.read.parquet(stage).schema
-    s.readStream.schema(schema).parquet(stage)
-  }
+  /** staging + temp-dir cleanup now live in [[StreamStage]] (shared
+    * with the realtime-union entries in [[PipelineQueries16]]). */
+  private def stageAsStream(s: SparkSession, df: DataFrame): DataFrame =
+    StreamStage.stageAsStream(s, df)
 
   private def stagedEventStream(
       s: SparkSession, d: String, eventType: String): DataFrame =
@@ -93,17 +78,7 @@ object PipelineQueries14 {
     sq.stop()
     val landed = s.table(name).localCheckpoint()
     s.catalog.dropTempView(name)
-    val stages = pendingStages.get()
-    stages.foreach { dir =>
-      try {
-        val root = java.nio.file.Paths.get(dir)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Exception => () } // best-effort cleanup
-    }
-    stages.clear()
+    StreamStage.cleanup()
     landed
   }
 

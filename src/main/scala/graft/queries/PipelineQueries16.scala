@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.sources.Ingest
+import graft.sources.Ingest.{IngestSpec, Metric}
+import graft.streaming.{RealtimeDatasource, StreamingIngest}
+
+/** Round-10: realtime query-over-union, graded end-to-end — the
+  * reference's "rows are queryable seconds after ingest, while the
+  * stream is still running" semantic (realtime sinks union'd with
+  * historical segments at the broker; SegmentManager +
+  * SinkQueryRunners). Fixture: events are split at the midpoint
+  * timestamp; the older half lands as historical segments through the
+  * real streaming-ingest parquet path (completed stream = published
+  * segments), the newer half flows into a live realtime sink that is
+  * STILL ACTIVE when the graded query runs. The union query must fold
+  * partial rollups across both stores — the cut lands mid-hour, so
+  * the cut hour exists in BOTH and a union that doesn't re-aggregate
+  * across stores breaks the hash. The oracle is the batch hourly
+  * aggregate over ALL events: every arrived row must be visible
+  * exactly once, across the landed/in-flight boundary. */
+object PipelineQueries16 {
+
+  private def centsEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+  private val rollupSpec = IngestSpec(
+    timeColumn = "ts",
+    dimensions = Seq("event_type"),
+    metrics = Seq(Metric.Count("cnt"), Metric.LongSum("sum_cents", "cents")),
+    queryGranularity = Some("PT1H"),
+    segmentGranularity = "P1D")
+
+  /** land `df`'s rows as historical segments via the REAL streaming
+    * ingest path (file source → foreachBatch rollup → partitioned
+    * parquet), run to completion. Returns the historical dir. */
+  private def landHistorical(s: SparkSession, df: DataFrame): String = {
+    val histDir = StreamStage.tempDir("graft_rt_hist")
+    val ckpt = StreamStage.tempDir("graft_rt_ckpt")
+    val isq = StreamingIngest.start(
+      StreamStage.stageAsStream(s, df),
+      StreamingIngest.StreamSpec(rollupSpec, watermark = "0 seconds",
+        trigger = Trigger.ProcessingTime("0 seconds")),
+      histDir, ckpt)
+    isq.processAllAvailable()
+    isq.stop()
+    histDir
+  }
+
+  /** midpoint of [min(ts), max(ts)] — a 1-row bounded collect; any
+    * cut works for the contract (the stores must partition the rows),
+    * the midpoint just guarantees both stores are non-empty and share
+    * the cut hour. */
+  private def midpointCut(ev: DataFrame): Column = {
+    val r = ev.agg(
+      unix_millis(min(col("ts"))).as("a"),
+      unix_millis(max(col("ts"))).as("b")).head()
+    timestamp_millis(lit((r.getLong(0) + r.getLong(1)) / 2))
+  }
+
+  /** hourly fold of the broker view's partial-rollup rows — the
+    * query-time aggregation both stores' rows must merge through. */
+  private def hourlyFold(queryable: DataFrame): DataFrame =
+    queryable
+      .groupBy(col(Ingest.TimeCol))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_cents")).as("sum_cents"))
+      .select(unix_millis(col(Ingest.TimeCol)).as("bucket_ms"),
+        col("cnt"), col("sum_cents"))
+
+  private val unionOracle =
+    """WITH e AS (SELECT date_trunc('hour', ts) AS b,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events)
+      |SELECT epoch_ms(b) AS bucket_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** the mid-flight union query: graded WHILE the realtime stream is
+    * active (asserted), against the batch answer over all events. */
+  val streamingUnionQuery: Q = q(
+    "streaming_union_query", unionOracle) { (s, d) =>
+    val ev = centsEvents(s, d)
+    val cut = midpointCut(ev)
+    val histDir = landHistorical(s, ev.filter(col("ts") < cut))
+    val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
+    val sq = rtds.startRealtime(
+      StreamStage.stageAsStream(s, ev.filter(col("ts") >= cut)))
+    try {
+      sq.processAllAvailable() // rows arrived; the stream is STILL running
+      require(sq.isActive, "realtime stream must be active at query time")
+      // materialize while in-flight — this IS the graded semantic
+      hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+    } finally {
+      rtds.abort() // mid-flight entry: never published
+      StreamStage.cleanup()
+    }
+  }
+
+  /** segment handoff: after the realtime task publishes its rows to
+    * deep storage and drops the in-memory sink, the SAME query over
+    * the now-historical-only datasource returns the SAME answer. The
+    * output carries the mid-flight result joined to the post-handoff
+    * result per bucket (live_* columns) — a bucket lost or
+    * double-published by handoff breaks the hash. */
+  val streamingUnionHandoff: Q = q(
+    "streaming_union_handoff",
+    """WITH e AS (SELECT date_trunc('hour', ts) AS b,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events)
+      |SELECT epoch_ms(b) AS bucket_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(count(*) AS BIGINT) AS live_cnt,
+      |       CAST(sum(cents) AS BIGINT) AS live_sum_cents
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = centsEvents(s, d)
+    val cut = midpointCut(ev)
+    val histDir = landHistorical(s, ev.filter(col("ts") < cut))
+    val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
+    val sq = rtds.startRealtime(
+      StreamStage.stageAsStream(s, ev.filter(col("ts") >= cut)))
+    try {
+      sq.processAllAvailable() // all rows in the sink; still mid-flight
+      val live = hourlyFold(rtds.queryable()).localCheckpoint()
+      rtds.handoff() // publish + drop the in-memory sink
+      require(rtds.realtimeRows().isEmpty,
+        "realtime store must be empty after handoff")
+      hourlyFold(rtds.queryable())
+        .join(live.select(col("bucket_ms"),
+          col("cnt").as("live_cnt"), col("sum_cents").as("live_sum_cents")),
+          Seq("bucket_ms"))
+        .orderBy(col("bucket_ms"))
+        .localCheckpoint()
+    } finally {
+      rtds.abort() // no-op when handoff already ran; safety on failure
+      StreamStage.cleanup()
+    }
+  }
+
+  val all: Seq[Q] = Seq(streamingUnionQuery, streamingUnionHandoff)
+}

@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-scale staging shared by the graded streaming entries: write a
+  * frame as ONE parquet file and open it as a file-source stream (a
+  * production stream reads the arriving files / topic directly).
+  * Every temp dir is tracked per call chain and deleted by
+  * [[cleanup]], so repeated invocations (plan audits, Profile --all)
+  * don't accumulate temp data.
+  *
+  * Thread-locality: the pending-dir ledger is per-thread, matching
+  * the sequential-per-entry execution model of Verify/Profile. */
+private[queries] object StreamStage {
+
+  private val pending =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[String]] {
+      override def initialValue() = scala.collection.mutable.ListBuffer.empty
+    }
+
+  /** a fresh temp dir registered for [[cleanup]] (for checkpoints and
+    * staged historical tables). */
+  def tempDir(prefix: String = "graft_stream_stage"): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(prefix).toFile.getAbsolutePath
+    pending.get() += dir
+    dir
+  }
+
+  def stageAsStream(s: SparkSession, df: DataFrame): DataFrame = {
+    val stage = tempDir()
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val schema = s.read.parquet(stage).schema
+    s.readStream.schema(schema).parquet(stage)
+  }
+
+  /** best-effort recursive delete of every dir staged on this thread
+    * since the last cleanup. Call only after results are materialized
+    * (localCheckpoint) — the staged dirs back any un-collected plan. */
+  def cleanup(): Unit = {
+    val stages = pending.get()
+    stages.foreach { dir =>
+      try {
+        val root = java.nio.file.Paths.get(dir)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Exception => () }
+    }
+    stages.clear()
+  }
+}

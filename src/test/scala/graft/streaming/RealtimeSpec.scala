@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Ingest
+import graft.sources.Ingest.{IngestSpec, Metric}
+import org.apache.spark.sql.functions._
+
+/** Realtime query-over-union: incremental visibility (rows queryable
+  * per micro-batch while the stream runs), exactly-once across the
+  * historical/realtime boundary, handoff atomics, abort path. */
+class RealtimeSpec extends SparkSpec {
+
+  private def m(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+
+  private val spec = IngestSpec(
+    timeColumn = "ts",
+    dimensions = Seq("k"),
+    metrics = Seq(Metric.Count("cnt"), Metric.LongSum("sv", "v")),
+    queryGranularity = Some("PT1H"),
+    segmentGranularity = "P1D")
+
+  private def tmp(): String = java.nio.file.Files
+    .createTempDirectory("graft_rt_spec").toFile.getAbsolutePath
+
+  private def fold(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+    df.groupBy(col(Ingest.TimeCol))
+      .agg(sum("cnt").as("c"), sum("sv").as("s"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, (r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("rows are queryable per micro-batch while the stream is running") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // historical: one landed hour via the batch ingest path
+    val hist = tmp()
+    Ingest.ingest(
+      Seq(("a", m("2024-01-01T00:10:00Z"), 5L), ("a", m("2024-01-01T00:20:00Z"), 7L))
+        .toDF("k", "tsMs", "v").select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")),
+      spec, hist)
+
+    val rtds = new RealtimeDatasource(spark, spec, hist)
+    val mem = MemoryStream[(String, Long, Long)]
+    val sq = rtds.startRealtime(
+      mem.toDF.toDF("k", "tsMs", "v")
+        .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")))
+    try {
+      // before any realtime data: historical only
+      assert(fold(rtds.queryable()) ==
+        Map(m("2024-01-01T00:00:00Z") -> (2L, 12L)))
+
+      // batch 1 arrives → visible immediately, same hour FOLDS with
+      // the landed segment (the cut-hour merge) and a new hour appears
+      mem.addData(("a", m("2024-01-01T00:40:00Z"), 3L),
+        ("b", m("2024-01-01T01:05:00Z"), 10L))
+      sq.processAllAvailable()
+      assert(sq.isActive)
+      assert(fold(rtds.queryable()) == Map(
+        m("2024-01-01T00:00:00Z") -> (3L, 15L),
+        m("2024-01-01T01:00:00Z") -> (1L, 10L)))
+
+      // batch 2 increments again — still mid-flight
+      mem.addData(("b", m("2024-01-01T01:30:00Z"), 1L))
+      sq.processAllAvailable()
+      assert(fold(rtds.queryable()) == Map(
+        m("2024-01-01T00:00:00Z") -> (3L, 15L),
+        m("2024-01-01T01:00:00Z") -> (2L, 11L)))
+
+      // handoff: same answer, served from parquet alone
+      rtds.handoff()
+      assert(rtds.realtimeRows().isEmpty)
+      assert(fold(rtds.queryable()) == Map(
+        m("2024-01-01T00:00:00Z") -> (3L, 15L),
+        m("2024-01-01T01:00:00Z") -> (2L, 11L)))
+      assert(!sq.isActive)
+    } finally rtds.abort()
+  }
+
+  test("abort abandons the realtime window without touching history") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val hist = tmp()
+    Ingest.ingest(
+      Seq(("a", m("2024-02-01T00:00:00Z"), 1L))
+        .toDF("k", "tsMs", "v").select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")),
+      spec, hist)
+    val rtds = new RealtimeDatasource(spark, spec, hist)
+    val mem = MemoryStream[(String, Long, Long)]
+    val sq = rtds.startRealtime(
+      mem.toDF.toDF("k", "tsMs", "v")
+        .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")))
+    mem.addData(("z", m("2024-02-01T05:00:00Z"), 100L))
+    sq.processAllAvailable()
+    assert(fold(rtds.queryable()).size == 2)
+    rtds.abort()
+    assert(fold(rtds.queryable()) == Map(m("2024-02-01T00:00:00Z") -> (1L, 1L)))
+  }
+
+  test("queryable with neither store fails loudly; double start rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rtds = new RealtimeDatasource(spark, spec, tmp())
+    intercept[IllegalStateException](rtds.queryable())
+
+    val mem = MemoryStream[(String, Long, Long)]
+    val stream = mem.toDF.toDF("k", "tsMs", "v")
+      .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v"))
+    val sq = rtds.startRealtime(stream)
+    try intercept[IllegalArgumentException](rtds.startRealtime(stream))
+    finally { sq.stop(); rtds.abort() }
+  }
+}
