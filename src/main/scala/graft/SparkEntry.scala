@@ -17,7 +17,7 @@ object SparkEntry {
       PipelineQueries7.all ++ PipelineQueries8.all ++ PipelineQueries9.all ++
       PipelineQueries10.all ++ PipelineQueries11.all ++ PipelineQueries12.all ++
       PipelineQueries13.all ++ PipelineQueries14.all ++ PipelineQueries15.all ++
-      PipelineQueries16.all ++
+      PipelineQueries16.all ++ PipelineQueries17.all ++
       NativeQueries.all ++ NativeQueries2.all ++ NativeQueries3.all ++
       NativeQueries4.all ++
       SupersetQueries.all ++

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Chat, TextAnalysis}
+import graft.functions.AhoCorasick
+
+/** Round-10: instruction-data curation on real dialogue STRUCTURE —
+  * refusal/blocklist detection scoped to the assistant turn it
+  * occurs in, per-turn quality rules, and the conversation-level
+  * keep/drop gate composing both. All three parse role-tagged
+  * transcripts with Chat.parseTurns and grade against oracles stated
+  * analytically from the deterministic synthesis (the sft_turn_parse
+  * trick): transcripts are built from each doc's own words, with
+  * refusal phrases PLANTED into arithmetic-chosen assistant turns —
+  * DuckDB never parses a transcript or walks an automaton; Spark
+  * must, and a parser or matcher bug breaks the hash.
+  *
+  * Scale shape: pure per-row expression work (synthesis, lookahead
+  * split, one automaton walk per turn) plus one explode; the only
+  * shuffles are parseTurns' per-conversation dense re-rank and the
+  * gate's per-doc fold — both partitioned by conversation id. */
+object PipelineQueries17 {
+
+  /** refusal/blocklist phrase list — nested patterns ("decline"
+    * inside "must decline") fire independently per AC output-link
+    * semantics, and the oracle counts positionally so natural
+    * occurrences in document words grade identically to planted
+    * ones. */
+  private val refusalPhrases =
+    Seq("cannot help", "i cannot", "must decline", "decline")
+
+  /** shared synthesis: 2 + doc_id%3 turns of 8 words each, roles
+    * alternating user/assistant; docs with doc_id%4==1 get
+    * " i cannot help with that" appended to assistant turn 1, docs
+    * with doc_id%6==2 (all of which have 4 turns) get
+    * " sorry i must decline" appended to assistant turn 3. Docs whose
+    * own text embeds a role marker are excluded on both sides. */
+  private def convos(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nt = (lit(2) + col("doc_id") % 3).cast("int")
+    val transcript = concat_ws(" ",
+      transform(sequence(lit(0), nt - 1), i => {
+        val body = concat_ws(" ", slice(w, i * 8 + 1, lit(8)))
+        concat(
+          when(i % 2 === 0, lit("user: ")).otherwise(lit("assistant: ")),
+          body,
+          when(col("doc_id") % 4 === 1 && i === 1,
+            lit(" i cannot help with that")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 2 && i === 3,
+            lit(" sorry i must decline")).otherwise(lit("")))
+      }))
+    Tables.documents(s, d)
+      .filter(size(w) >= nt * 8 &&
+        !col("text").contains("user: ") && !col("text").contains("assistant: "))
+      .select(col("doc_id"), transcript.as("convo"))
+  }
+
+  /** oracle CTEs reconstructing each turn's content from the same
+    * arithmetic (w[8i+1..8i+8] joined by single spaces + planted
+    * suffixes). */
+  private val oracleTurns =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+      |                  2 + doc_id % 3 AS nt
+      |           FROM documents),
+      |e AS (SELECT doc_id, w, nt FROM d
+      |      WHERE len(w) >= 8 * nt
+      |        AND text NOT LIKE '%user: %'
+      |        AND text NOT LIKE '%assistant: %'),
+      |t AS (SELECT doc_id, nt, unnest(range(0, nt)) AS i, w FROM e),
+      |c AS (SELECT doc_id, nt, i,
+      |             array_to_string(list_slice(w, 8 * i + 1, 8 * i + 8), ' ') ||
+      |             CASE WHEN doc_id % 4 = 1 AND i = 1
+      |                  THEN ' i cannot help with that' ELSE '' END ||
+      |             CASE WHEN doc_id % 6 = 2 AND i = 3
+      |                  THEN ' sorry i must decline' ELSE '' END AS c
+      |      FROM t)""".stripMargin
+
+  private val oraclePhraseValues =
+    refusalPhrases.map(p => s"('$p')").mkString(", ")
+
+  /** per-ASSISTANT-TURN refusal scoping: one automaton walk per turn
+    * (not per conversation) localizes which turn refused — the
+    * C4-style blocklist pass lifted to dialogue granularity. */
+  val sftRefusalScope: Q = q(
+    "sft_refusal_scope",
+    s"""$oracleTurns,
+       |p AS (SELECT * FROM (VALUES $oraclePhraseValues) q(pat)),
+       |h AS (SELECT c.doc_id, c.i, p.pat,
+       |        len(list_filter(range(1, length(c.c) - length(p.pat) + 2),
+       |            k -> substr(c.c, k, length(p.pat)) = p.pat)) AS n
+       |      FROM c CROSS JOIN p WHERE c.i % 2 = 1)
+       |SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+       |       CAST(sum(n) AS BIGINT) AS hits,
+       |       CAST(count(*) FILTER (WHERE n > 0) AS INT) AS matched,
+       |       CAST(CASE WHEN sum(n) > 0 THEN 1 ELSE 0 END AS INT) AS refusal
+       |FROM h GROUP BY 1, 2 ORDER BY doc_id, turn_idx""".stripMargin) { (s, d) =>
+    Chat.parseTurns(convos(s, d), "doc_id", "convo")
+      .filter(col("role") === "assistant")
+      .select(col("doc_id"), col("turn_idx"),
+        AhoCorasick.acStats(col("content"), refusalPhrases).as("s"))
+      .select(col("doc_id"), col("turn_idx"),
+        col("s.hits").as("hits"), col("s.matched").as("matched"),
+        (col("s.hits") > 0).cast("int").as("refusal"))
+      .orderBy(col("doc_id"), col("turn_idx"))
+  }
+
+  /** per-turn quality rules over PARSED content (stopword presence +
+    * digit-density cap in basis points — integral, portable): the
+    * gopher-style rule set applied at turn granularity. */
+  val sftTurnQuality: Q = q(
+    "sft_turn_quality",
+    s"""$oracleTurns,
+       |m AS (SELECT doc_id, i, c,
+       |        CAST(length(c) AS BIGINT) AS n_chars,
+       |        CAST(len(list_filter(string_split(c, ' '),
+       |            x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+       |                                'that','for','on','with','as','are','was','be','this'], x)))
+       |          AS BIGINT) AS sw_cnt,
+       |        CAST(length(c) - length(regexp_replace(c, '[0-9]', '', 'g'))
+       |          AS BIGINT) * 10000 // length(c) AS digit_bp
+       |      FROM c)
+       |SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, n_chars, sw_cnt, digit_bp,
+       |       CAST(CASE WHEN sw_cnt >= 1 AND digit_bp <= 3000 THEN 1 ELSE 0 END
+       |            AS INT) AS pass
+       |FROM m ORDER BY doc_id, turn_idx""".stripMargin) { (s, d) =>
+    val toks = split(col("content"), " ")
+    val digitBp = graft.exprs.idiv(
+      TextAnalysis.digitCount(col("content")).cast("long") * 10000L,
+      length(col("content")))
+    Chat.parseTurns(convos(s, d), "doc_id", "convo")
+      .select(col("doc_id"), col("turn_idx"),
+        length(col("content")).cast("long").as("n_chars"),
+        TextAnalysis.stopwordCount(toks).cast("long").as("sw_cnt"),
+        digitBp.as("digit_bp"))
+      .withColumn("pass",
+        (col("sw_cnt") >= 1 && col("digit_bp") <= 3000).cast("int"))
+      .orderBy(col("doc_id"), col("turn_idx"))
+  }
+
+  /** the conversation-level curation gate: keep a conversation iff NO
+    * assistant turn refuses and EVERY turn passes the quality rules —
+    * parseTurns + AC + quality composed in one per-doc fold. */
+  val sftConvoGate: Q = q(
+    "sft_convo_gate",
+    s"""$oracleTurns,
+       |p AS (SELECT * FROM (VALUES $oraclePhraseValues) q(pat)),
+       |h AS (SELECT c.doc_id, c.i,
+       |        CAST(sum(len(list_filter(range(1, length(c.c) - length(p.pat) + 2),
+       |            k -> substr(c.c, k, length(p.pat)) = p.pat))) AS BIGINT) AS hits
+       |      FROM c CROSS JOIN p WHERE c.i % 2 = 1 GROUP BY 1, 2),
+       |m AS (SELECT doc_id, i,
+       |        CAST(len(list_filter(string_split(c, ' '),
+       |            x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+       |                                'that','for','on','with','as','are','was','be','this'], x)))
+       |          AS BIGINT) AS sw_cnt,
+       |        CAST(length(c) - length(regexp_replace(c, '[0-9]', '', 'g'))
+       |          AS BIGINT) * 10000 // length(c) AS digit_bp
+       |      FROM c),
+       |g AS (SELECT m.doc_id,
+       |        CAST(count(*) AS BIGINT) AS n_turns,
+       |        CAST(count(*) FILTER (WHERE m.i % 2 = 1) AS BIGINT) AS n_assistant,
+       |        CAST(coalesce(sum(CASE WHEN h.hits > 0 THEN 1 ELSE 0 END), 0)
+       |          AS BIGINT) AS n_refusals,
+       |        min(CASE WHEN m.sw_cnt >= 1 AND m.digit_bp <= 3000
+       |                 THEN 1 ELSE 0 END) AS all_pass
+       |      FROM m LEFT JOIN h ON m.doc_id = h.doc_id AND m.i = h.i
+       |      GROUP BY 1)
+       |SELECT doc_id, n_turns, n_assistant, n_refusals,
+       |       CAST(CASE WHEN n_refusals = 0 AND all_pass = 1 THEN 1 ELSE 0 END
+       |            AS INT) AS keep
+       |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("content"), " ")
+    val digitBp = graft.exprs.idiv(
+      TextAnalysis.digitCount(col("content")).cast("long") * 10000L,
+      length(col("content")))
+    val turns = Chat.parseTurns(convos(s, d), "doc_id", "convo")
+      .select(col("doc_id"), col("turn_idx"), col("role"),
+        (TextAnalysis.stopwordCount(toks) >= 1 && digitBp <= 3000)
+          .cast("int").as("q_pass"),
+        when(col("role") === "assistant",
+          (AhoCorasick.acStats(col("content"), refusalPhrases)
+            .getField("hits") > 0).cast("int")).otherwise(lit(0))
+          .as("refused"))
+    turns.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum((col("role") === "assistant").cast("long")).as("n_assistant"),
+        sum(col("refused")).cast("long").as("n_refusals"),
+        min(col("q_pass")).as("all_pass"))
+      .select(col("doc_id"), col("n_turns"), col("n_assistant"),
+        col("n_refusals"),
+        (col("n_refusals") === 0 && col("all_pass") === 1)
+          .cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(sftRefusalScope, sftTurnQuality, sftConvoGate)
+}
