@@ -26,7 +26,8 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")))
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // |queries| cosines per corpus row — spread an under-split scan
+    val scored = Par.spread(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .join(q, if (excludeSelf) col("id") =!= col("qid") else lit(true))
       .select(col("qid"), col("id"),
         VectorExpressions.cosineF32(col("qvec"), col("vec")).as("cosine"))
@@ -73,6 +74,8 @@ object Similarity {
   def ivfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iterations: Int = 3): DataFrame = {
+    require(nCentroids >= 1 && nCentroids <= 1024,
+      s"nCentroids must be 1..1024 (the centroid table is broadcast), got $nCentroids")
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // deterministic seed centroids: first n rows in hash order
     var centroids = c0
@@ -81,6 +84,10 @@ object Similarity {
       .select(row_number().over(
         Window.orderBy(col("__h"))).as("centroid_id"), col("vec").as("centroid"))
     for (_ <- 1 to iterations) {
+      // the chain stays LAZY: all rounds execute as ONE DAG at the
+      // consumer's action, where identical subtrees (round i's
+      // aggregation appears inside rounds i+1..n) dedupe via
+      // ReusedExchange — cheaper than forcing a job per round
       val assigned = assignClusters(c0, centroids)
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("vec")))
@@ -94,7 +101,11 @@ object Similarity {
     centroids
   }
 
-  /** nearest-centroid assignment via broadcast argmin (no shuffle). */
+  /** nearest-centroid assignment via broadcast argmin (no shuffle).
+    * Deliberately NOT Par.spread: k fused distances per row is light
+    * work, and at test scale fanning a 1-split scan into 32-task
+    * stages costs more in scheduling than it buys (heavy per-row
+    * operators — quantized dots, subvector explodes — do spread). */
   private[operators] def assignClusters(c0: DataFrame, centroids: DataFrame): DataFrame =
     c0.crossJoin(broadcast(centroids))
       .select(col("id"), col("vec"), col("centroid_id"),
@@ -314,7 +325,10 @@ object Similarity {
   def pqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, kPerSpace: Int, iterations: Int = 3): DataFrame = {
-    val sub = subvectors(corpus, idCol, vecCol, m)
+    // the subvector table feeds the init pass plus one assignment per
+    // Lloyd round — materialize it once instead of re-deriving the
+    // explode from the scan in every pass
+    val sub = subvectors(corpus, idCol, vecCol, m).localCheckpoint()
     var books = sub
       .groupBy(col("subspace"), col("subvec"))
       .agg(min(col("id")).as("first_id"))
@@ -325,6 +339,10 @@ object Similarity {
       .select(col("subspace"), col("__r").cast("long").as("cid"),
         col("subvec").as("centroid"))
     for (_ <- 1 to iterations) {
+      // assignPq embeds the (tiny) codebook as plan literals, so each
+      // round is: one bounded collect of the previous round's books +
+      // one map-only assignment pass + one (subspace, cid, pos)
+      // aggregation with map-side combine — no join, no broadcast job
       val assigned = assignPq(sub, books)
       books = assigned
         .select(col("subspace"), col("cid"), posexplode(col("subvec")))
@@ -335,7 +353,10 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean")).as("centroid"))
     }
-    books
+    // materialize the final (m × kPerSpace row) table once: encode and
+    // search each consume it (collect/broadcast), and a lazy plan
+    // would re-run the last round's aggregation per consumer
+    books.localCheckpoint()
   }
 
   /** split (id, vec) into (id, subspace, subvec: array<double>); m
@@ -354,18 +375,40 @@ object Similarity {
         col("col").as("subvec"))
   }
 
-  /** nearest-codeword assignment per (id, subspace): broadcast argmin
-    * over the subspace's codebook, ties to the lowest cid. */
-  private def assignPq(sub: DataFrame, books: DataFrame): DataFrame =
-    sub.join(broadcast(books), Seq("subspace"))
-      .select(col("id"), col("subspace"), col("subvec"), col("cid"),
-        aggregate(zip_with(col("subvec"), col("centroid"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d2"))
-      .groupBy(col("id"), col("subspace"))
-      .agg(min(struct(col("d2"), col("cid"))).as("best"),
-        first(col("subvec")).as("subvec"))
-      .select(col("id"), col("subspace"), col("subvec"),
-        col("best").getField("cid").as("cid"))
+  /** nearest-codeword assignment per (id, subspace): the codebook is
+    * bounded (m × kPerSpace rows), so it rides the plan as literals —
+    * element_at by subspace + argmin over that subspace's codewords
+    * makes assignment a MAP-ONLY projection (no join-multiply, no
+    * per-(id, subspace) re-aggregation shuffle). Ties to the lowest
+    * cid, and d2 is the same sequential zip_with fold as before —
+    * bit-identical distances. Bounded collect: the codebook itself. */
+  private def assignPq(sub: DataFrame, books: DataFrame): DataFrame = {
+    val collected = books
+      .select(col("subspace").cast("int"), col("cid").cast("long"),
+        transform(col("centroid"), _.cast("double")).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+    require(collected.nonEmpty && collected.length <= 4096,
+      s"codebook must have 1..4096 rows to ride the plan as literals, " +
+        s"got ${collected.length}")
+    val bySubspace: Seq[Seq[(Long, Seq[Double])]] = {
+      val maxSub = collected.map(_._1).max
+      (0 to maxSub).map(j =>
+        collected.filter(_._1 == j).sortBy(_._2)
+          .map(t => (t._2, t._3: Seq[Double])).toSeq)
+    }
+    val bookOf = element_at(typedLit(bySubspace), col("subspace") + 1)
+    val best = array_min(
+      transform(bookOf, c =>
+        struct(
+          aggregate(zip_with(col("subvec"), c.getField("_2"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+            .as("d2"),
+          c.getField("_1").as("cid")))
+        .cast("array<struct<d2:double,cid:bigint>>"))
+    sub.select(col("id"), col("subspace"), col("subvec"),
+      best.getField("cid").as("cid"))
+  }
 
   /** PQ-encode the corpus: (id, subspace, code) — the 100 TB-resident
     * form; m byte-ish codes replace the float vector (d/m·32× smaller
@@ -568,8 +611,10 @@ object Similarity {
     require(cents.nonEmpty && cents.length <= 1024,
       s"centroid set must have 1..1024 rows, got ${cents.length}")
     // quantize ONCE per row (the alias is non-cheap, so CollapseProject
-    // keeps it shared across the k dot products below)
-    val codes = df.select(quant(col(vecCol)).as("code"))
+    // keeps it shared across the k dot products below); spread the
+    // scan first — k fused dim-length dots per row on a single-split
+    // test table would otherwise run on one core
+    val codes = Par.spread(df).select(quant(col(vecCol)).as("code"))
     val dots = cents.zipWithIndex.map { case ((_, cc), j) =>
       struct(
         aggregate(zip_with(col("code"), typedLit(cc), (a, b) => a * b),
