@@ -1719,6 +1719,31 @@ class QueryServer(
       }
     } catch { case _: Exception => None }
 
+  /** driver-memory bound for a scan-derived slice list: a
+    * fine-granularity datasource spanning years would otherwise
+    * collect unbounded distinct-bucket rows per introspection call
+    * (PT1M over one year is ~525k). Above the cap the slice
+    * granularity COARSENS up a fixed ladder until it fits — the
+    * answer stays a correct (coarser) segmentation of the same data,
+    * the way a real deployment would never carry minute-granularity
+    * segments over years in its timeline. */
+  private val maxScanSlices = 10000
+  private val granLadder = Seq("PT1M", "PT1H", "P1D", "P1M", "P1Y")
+  /** rough ISO-8601 period length in millis — ladder ordering only. */
+  private def approxPeriodMs(g: String): Long = {
+    val m = "^P(?:T)?(\\d+)([SMHDWY])$".r.findFirstMatchIn(g.toUpperCase)
+    val unit = Map('S' -> 1000L, 'H' -> 3600000L, 'D' -> 86400000L,
+      'W' -> 604800000L, 'Y' -> 31536000000L)
+    m.map { mm =>
+      val n = mm.group(1).toLong
+      val u = mm.group(2).charAt(0)
+      // 'M' is minutes with a T prefix, months without
+      val per = if (u == 'M') { if (g.toUpperCase.startsWith("PT")) 60000L else 2592000000L }
+        else unit(u)
+      n * per
+    }.getOrElse(86400000L)
+  }
+
   private def slicesFromScan(
       dsName: String,
       intervals: Seq[graft.model.QueryInterval]): Seq[(Option[Long], Option[Long])] = {
@@ -1727,19 +1752,30 @@ class QueryServer(
     val timeCol = graft.sources.Ingest.TimeCol
     if (!base.columns.contains(timeCol)) Seq((None, None))
     else {
-      val gran = segmentMetaWithIngested(dsName)
-        .map(_.segmentGranularity).getOrElse("P1D")
       val scoped = intervals.map(iv =>
           col(timeCol) >= timestamp_millis(lit(iv.startMs)) &&
             col(timeCol) < timestamp_millis(lit(iv.endMs)))
         .reduceOption(_ || _).map(base.filter).getOrElse(base)
-      scoped
-        .select(graft.functions.TimeFunctions.timeFloor(col(timeCol), gran).as("s"))
-        .distinct()
-        .select(unix_millis(col("s")).as("s"),
-          unix_millis(graft.functions.TimeFunctions.timeShift(col("s"), gran, 1)).as("e"))
-        .orderBy("s").collect().toSeq
-        .map(r => (Some(r.getLong(0)), Some(r.getLong(1))))
+      def slicesAt(gran: String): Seq[(Option[Long], Option[Long])] = {
+        // limit(cap+1): the probe itself is bounded — we only need to
+        // know WHETHER the cap is exceeded, never the full overflow
+        val rows = scoped
+          .select(graft.functions.TimeFunctions.timeFloor(col(timeCol), gran).as("s"))
+          .distinct()
+          .select(unix_millis(col("s")).as("s"),
+            unix_millis(graft.functions.TimeFunctions.timeShift(col("s"), gran, 1)).as("e"))
+          .orderBy("s").limit(maxScanSlices + 1).collect().toSeq
+        if (rows.size > maxScanSlices) {
+          granLadder.find(approxPeriodMs(_) > approxPeriodMs(gran)) match {
+            case Some(coarser) => slicesAt(coarser)
+            case None => // P1Y still over the cap: truncate, bounded
+              rows.take(maxScanSlices)
+                .map(r => (Some(r.getLong(0)), Some(r.getLong(1))))
+          }
+        } else rows.map(r => (Some(r.getLong(0)), Some(r.getLong(1))))
+      }
+      slicesAt(segmentMetaWithIngested(dsName)
+        .map(_.segmentGranularity).getOrElse("P1D"))
     }
   }
 

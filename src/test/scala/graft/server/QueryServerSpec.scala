@@ -730,15 +730,17 @@ class QueryServerSpec extends SparkSpec {
       def numReplicas(): String =
         post(port, "/druid/v2/sql",
           """{"query": "SELECT DISTINCT num_replicas AS nr FROM sys.segments WHERE datasource = 'repltab'"}""")._2
-      // bootstrapped default chain: loadForever with 2 default-tier
-      // replicas (the reference's fresh-cluster default)
-      assert(numReplicas() == """[{"nr":2}]""", numReplicas())
-      // a posted tiered load rule changes the advisory replica count
-      // to the tier sum (LoadRule.getNumReplicas semantics)
+      // sys.segments reports SERVED replicas like the reference's
+      // SystemSchema: the bootstrapped default chain desires 2, but a
+      // single-server deployment serves 1 — the rule-desired sum is
+      // capped at the live server count
+      assert(numReplicas() == """[{"nr":1}]""", numReplicas())
+      // a tiered load rule desiring 3 replicas still reports the
+      // served count on one server
       val (rc, _) = post(port, "/druid/coordinator/v1/rules/repltab",
         """[{"type": "loadForever", "tieredReplicants": {"hot": 2, "_default_tier": 1}}]""")
       assert(rc == 200)
-      assert(numReplicas() == """[{"nr":3}]""", numReplicas())
+      assert(numReplicas() == """[{"nr":1}]""", numReplicas())
       // history: newest-first audit entries, per-ds and global
       val client = java.net.http.HttpClient.newHttpClient()
       def get(path: String): String = client.send(
@@ -768,8 +770,9 @@ class QueryServerSpec extends SparkSpec {
       val (hc, hb) = post(port, "/druid/coordinator/v1/rules/history",
         """[{"type": "loadForever"}]""")
       assert(hc != 200 && hb.contains("reserved"), s"$hc $hb")
-      // back on the plain rule, replicas return to the LoadRule default
-      assert(numReplicas() == """[{"nr":2}]""", numReplicas())
+      // back on the plain rule, the served count is still 1 (the
+      // LoadRule default desires 2; one live server serves 1)
+      assert(numReplicas() == """[{"nr":1}]""", numReplicas())
     } finally srv.stop()
   }
 
@@ -1281,6 +1284,35 @@ class QueryServerSpec extends SparkSpec {
       assert(sc == 200 && sb.contains("\"version\"") &&
         sb.contains("\"usedMemory\""), sb)
       assert(get("/status/health") == (200, "true"))
+    } finally srv.stop()
+  }
+
+  test("scan-derived slice introspection is bounded: fine granularity over decades coarsens") {
+    import org.apache.spark.sql.functions._
+    // 10,401 distinct days (28.5 years) — over the 10,000-slice cap at
+    // the default P1D granularity, so /candidates must coarsen up the
+    // ladder (P1D -> P1M) instead of collecting every day on the driver
+    val manyDays = spark.range(10401).select(
+      timestamp_millis(lit(java.time.Instant.parse("1990-01-01T00:00:00Z")
+        .toEpochMilli) + col("id") * 86400000L).as("__time"),
+      (col("id") % 7).as("m"))
+    val srv = new QueryServer(spark, { case "wide" => manyDays },
+      datasources = () => Seq("wide"))
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/druid/v2/datasources/wide/candidates" +
+            "?intervals=1990-01-01%2F2020-01-01")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val n = "\"interval\":".r.findAllIn(resp.body()).size
+      // 28.5 years of months, not 10,401 days
+      assert(n <= 400, s"expected <=400 coarsened slices, got $n")
+      assert(n >= 342, s"expected >=342 month slices, got $n")
+      assert(resp.body().contains(
+        "1990-01-01T00:00:00.000Z/1990-02-01T00:00:00.000Z"), resp.body())
     } finally srv.stop()
   }
 
