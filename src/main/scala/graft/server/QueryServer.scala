@@ -86,8 +86,14 @@ class QueryServer(
     scala.collection.concurrent.TrieMap.empty[String, Set[String]]
 
   private def resolveWithIngested(name: String): DataFrame =
-    if (ingested.contains(name)) readActive(name)
-    else resolveTable(name)
+    realtimeSupervisors.get(name) match {
+      // a realtime supervisor serves union(published, in-flight sink)
+      // — rows are queryable before any segment lands on deep storage
+      case Some(rtds) => rtds.queryable()
+      case None =>
+        if (ingested.contains(name)) readActive(name)
+        else resolveTable(name)
+    }
 
   /** an ingested table restricted to its ACTIVE segments: buckets
     * marked unused and buckets a drop rule retires are excluded. The
@@ -427,6 +433,12 @@ class QueryServer(
   def stop(): Unit = {
     if (stmtExec != null) stmtExec.shutdownNow()
     if (stmtWatchdog != null) stmtWatchdog.shutdownNow()
+    // abandon in-flight realtime windows and stop supervisor streams —
+    // a server teardown must not leak streaming queries or temp views
+    realtimeSupervisors.keys.toSeq.foreach(id =>
+      realtimeSupervisors.remove(id).foreach(_.abort()))
+    supervisors.keys.toSeq.foreach(id =>
+      supervisors.remove(id).foreach(_._1.stop()))
     if (server != null) server.stop(0)
   }
 
@@ -693,6 +705,11 @@ class QueryServer(
   private val supervisors = scala.collection.concurrent.TrieMap
     .empty[String, (org.apache.spark.sql.streaming.StreamingQuery, String)]
 
+  /** realtime-queryable supervisors (ioConfig.realtimeQueryable):
+    * datasource → the live union(historical, in-flight sink) view. */
+  private val realtimeSupervisors = scala.collection.concurrent.TrieMap
+    .empty[String, graft.streaming.RealtimeDatasource]
+
   /** supervisors suspended via POST /{id}/suspend: stream stopped,
     * spec retained for /resume (reference SupervisorResource). */
   private val suspendedSupervisors =
@@ -750,8 +767,13 @@ class QueryServer(
           // running, and a stale flag would let /resume start a second
           // concurrent query over the same source and checkpoint
           suspendedSupervisors.remove(parsed.datasource)
+          // a replaced REALTIME supervisor hands its window off first
+          // (publish, don't drop arrived rows on the floor)
+          realtimeSupervisors.remove(parsed.datasource).foreach(_.handoff())
           supervisors.remove(parsed.datasource).foreach(_._1.stop())
-          val q = startFileSupervisor(parsed)
+          val realtime = node.at("/spec/ioConfig/realtimeQueryable").asBoolean(false)
+          val q = if (realtime) startRealtimeSupervisor(parsed)
+            else startFileSupervisor(parsed)
           supervisors.put(parsed.datasource, (q, body))
           respond(ex, 200, s"""{"id":"${parsed.datasource}"}""")
         case ("GET", "") =>
@@ -770,6 +792,10 @@ class QueryServer(
         case ("POST", p) if p.endsWith("/terminate") =>
           val id = p.stripSuffix("/terminate")
           suspendedSupervisors.remove(id)
+          // realtime mode: terminate IS the handoff — the in-memory
+          // window publishes to deep storage through the shared batch
+          // write path, then the table serves from parquet alone
+          realtimeSupervisors.remove(id).foreach(_.handoff())
           supervisors.remove(id) match {
             case Some((q, _)) => q.stop(); respond(ex, 200, s"""{"id":"$id"}""")
             case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
@@ -778,6 +804,10 @@ class QueryServer(
           // reference SupervisorResource.specSuspend: stop consuming,
           // keep the spec; sys.supervisors reports SUSPENDED
           val id = p.stripSuffix("/suspend")
+          require(!realtimeSupervisors.contains(id),
+            s"realtime supervisor [$id] does not support suspend/resume: " +
+              "its in-memory sink is not checkpoint-recoverable — " +
+              "terminate (which publishes the window) and re-create")
           supervisors.get(id) match {
             case Some((q, _)) =>
               q.stop()
@@ -819,8 +849,10 @@ class QueryServer(
     * the directory (file streams need a fixed schema), native
     * transforms/filter applied, rollup + time-partitioned append via
     * the shared streaming path. */
-  private def startFileSupervisor(
-      p: TaskSpec.Parsed): org.apache.spark.sql.streaming.StreamingQuery = {
+  /** the watched-directory stream with time parsing, native
+    * transforms, and filter applied — shared by the per-batch-publish
+    * and realtime-queryable supervisor modes. */
+  private def buildSupervisorStream(p: TaskSpec.Parsed): DataFrame = {
     import graft.sources.Ingest
     val s = graft.GraftSession.setup(spark)
     // inputPath = baseDir/filter; the file stream watches baseDir
@@ -849,6 +881,12 @@ class QueryServer(
       stream = stream.filter(planner.filterToColumn(
         graft.model.QueryJson.parseFilter(fj), Some(stream.schema)))
     }
+    stream
+  }
+
+  private def startFileSupervisor(
+      p: TaskSpec.Parsed): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = buildSupervisorStream(p)
     val path = s"${storageRoot.get}/${p.datasource}"
     val checkpoint = s"${storageRoot.get}/_checkpoints/${p.datasource}"
     val q = graft.streaming.StreamingIngest.start(
@@ -864,6 +902,39 @@ class QueryServer(
     q
   }
 
+  /** the realtime-queryable supervisor mode (ioConfig.realtimeQueryable
+    * = true): rows serve from the in-memory sink the moment their
+    * micro-batch lands — BEFORE anything is published to deep storage
+    * — and queries resolve union(published segments, in-flight sink),
+    * the reference's SinkQueryRunners + SegmentManager timeline. The
+    * default mode publishes per micro-batch instead (immediate
+    * handoff), which keeps data durable at a ~trigger-interval
+    * visibility lag; realtime mode holds the window in memory until
+    * terminate publishes it (the reference's task-lifecycle handoff).
+    * Pre-handoff rows are not yet in sys.segments — the reference
+    * lists them as is_published=0 realtime segments; documented
+    * divergence. */
+  private def startRealtimeSupervisor(
+      p: TaskSpec.Parsed): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.Ingest
+    val path = s"${storageRoot.get}/${p.datasource}"
+    Ingest.writeSegmentMeta(spark, path, p.spec)
+    val name = p.datasource
+    val reader: () => Option[DataFrame] = () => {
+      val dir = new java.io.File(path)
+      if (dir.isDirectory && dir.listFiles().exists(f =>
+          f.isDirectory && f.getName.startsWith(Ingest.BucketCol + "=")))
+        Some(readActive(name))
+      else None
+    }
+    val rtds = new graft.streaming.RealtimeDatasource(
+      spark, p.spec, path, Some(reader))
+    val q = rtds.startRealtime(buildSupervisorStream(p))
+    realtimeSupervisors.put(name, rtds)
+    ingested.put(name, path)
+    q
+  }
+
   /** (re-)register SQL temp views for server-ingested tables: a
     * path-based DataFrame caches its file listing at creation, so
     * streaming-appended tables must re-list per request; tables whose
@@ -875,8 +946,18 @@ class QueryServer(
     val lower = sql.toLowerCase // Spark table resolution is case-insensitive
     ingested.foreach { case (name, _) =>
       if (sql.isEmpty || lower.contains(name.toLowerCase))
-        try readActive(name).createOrReplaceTempView(name)
-        catch { case _: Exception => }
+        // resolveWithIngested so a realtime supervisor's table view is
+        // the live union, not just the landed segments
+        try resolveWithIngested(name).createOrReplaceTempView(name)
+        catch {
+          // not-yet-landed tables are routine (first micro-batch
+          // pending); anything else — e.g. a store-schema mismatch in
+          // a realtime union — must be visible, not swallowed
+          case e: Exception =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            if (!msg.contains("PATH_NOT_FOUND"))
+              System.err.println(s"[server] view refresh '$name' failed: $msg")
+        }
     }
   }
 

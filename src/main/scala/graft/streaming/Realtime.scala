@@ -51,7 +51,11 @@ import graft.sources.Ingest.IngestSpec
 final class RealtimeDatasource(
     spark: SparkSession,
     spec: IngestSpec,
-    val historicalPath: String) {
+    val historicalPath: String,
+    /** how to read the landed side — injectable so a server can route
+      * it through its retention-rule-aware resolver; None = plain
+      * parquet read of [[historicalPath]] when it has data. */
+    historicalReader: Option[() => Option[DataFrame]] = None) {
 
   private val sinkName = "graft_rt_" +
     java.util.UUID.randomUUID().toString.replace("-", "")
@@ -83,13 +87,16 @@ final class RealtimeDatasource(
       spark.table(sinkName), spec.copy(transforms = Nil, rowFilter = None)))
   }
 
-  private def historicalRows(): Option[DataFrame] = {
-    val p = new java.io.File(historicalPath)
-    if (p.isDirectory &&
-        p.listFiles().exists(f => !f.getName.startsWith("_")))
-      Some(spark.read.parquet(historicalPath))
-    else None
-  }
+  private def historicalRows(): Option[DataFrame] =
+    historicalReader match {
+      case Some(reader) => reader()
+      case None =>
+        val p = new java.io.File(historicalPath)
+        if (p.isDirectory &&
+            p.listFiles().exists(f => !f.getName.startsWith("_")))
+          Some(spark.read.parquet(historicalPath))
+        else None
+    }
 
   /** the broker view: union(historical segments, realtime sink), both
     * as partial-rollup rows a query-time aggregator folds. Disjoint by
@@ -97,7 +104,16 @@ final class RealtimeDatasource(
     * moves it. */
   def queryable(): DataFrame = synchronized {
     (historicalRows(), realtimeRows()) match {
-      case (Some(hist), Some(rt)) => hist.unionByName(rt)
+      case (Some(hist), Some(rt)) =>
+        // an injected historical reader may hide the internal
+        // __bucket partition key (the server's readActive does) —
+        // align the realtime side to the landed side's visible schema
+        val rtAligned =
+          if (!hist.columns.contains(Ingest.BucketCol) &&
+              rt.columns.contains(Ingest.BucketCol))
+            rt.drop(Ingest.BucketCol)
+          else rt
+        hist.unionByName(rtAligned)
       case (Some(hist), None) => hist
       case (None, Some(rt)) => rt
       case (None, None) => throw new IllegalStateException(

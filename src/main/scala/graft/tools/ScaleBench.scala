@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftSession, SparkEntry}
+
+/** Scale-rehearsal metrics: run named registry entries against a
+  * scale-factor dir and print one JSON line with wall seconds, output
+  * rows, and SHUFFLE read/write bytes per entry — the evidence the
+  * 100 TB plan-shape arguments are made of (shuffle volume must grow
+  * ~linearly with input, not quadratically).
+  *
+  * Usage: runMain graft.tools.ScaleBench <sfDir> <name1> <name2> ...
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.setup(spark)
+
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    val q = SparkEntry.queries
+    val parts = names.map { name =>
+      // settle the async listener bus between entries so per-entry
+      // shuffle attribution is clean (rehearsal tool, not a gate)
+      Thread.sleep(1500)
+      shuffleRead.set(0); shuffleWrite.set(0)
+      val t0 = System.nanoTime()
+      val rows = q(name)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500)
+      s""""$name":{"sec":$sec,"rows":$rows,"shuffle_read_b":${
+        shuffleRead.get()},"shuffle_write_b":${shuffleWrite.get()}}"""
+    }
+    println(s"""{"sf_dir":"$sfDir","entries":{${parts.mkString(",")}}}""")
+    spark.stop()
+  }
+}

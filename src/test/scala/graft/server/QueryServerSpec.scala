@@ -1090,6 +1090,84 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("realtime supervisor: rows queryable before publish, handoff on terminate") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rt-sup").toString
+    val inputA = java.nio.file.Files.createTempDirectory("graft-rt-in-a").toString
+    val inputB = java.nio.file.Files.createTempDirectory("graft-rt-in-b").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inputA/seed.json"),
+      """{"t": 1704100000000, "etype": "click", "v": 2.0}
+        |{"t": 1704190000000, "etype": "view", "v": 5.0}
+        |""".stripMargin)
+    def spec(input: String) =
+      s"""{
+        |"type": "file",
+        |"spec": {
+        |  "dataSchema": {
+        |    "dataSource": "rt_stream",
+        |    "timestampSpec": {"column": "t", "format": "millis"},
+        |    "dimensionsSpec": {"dimensions": ["etype"]},
+        |    "granularitySpec": {"segmentGranularity": "DAY", "rollup": false}
+        |  },
+        |  "ioConfig": {"type": "index_parallel", "realtimeQueryable": true,
+        |    "inputSource": {"type": "local", "baseDir": "$input", "filter": "*.json"},
+        |    "inputFormat": {"type": "json"}}
+        |}}""".stripMargin
+    val srv = new QueryServer(spark, Map.empty[String, org.apache.spark.sql.DataFrame],
+      storageRoot = Some(root))
+    val port = srv.start()
+    def bucketDirs(): Seq[String] = {
+      val d = new java.io.File(s"$root/rt_stream")
+      if (!d.isDirectory) Nil
+      else d.listFiles().toSeq.filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("__bucket="))
+    }
+    def count(): String = post(port, "/druid/v2/sql",
+      """{"query": "SELECT count(*) AS n FROM rt_stream"}""")._2
+    try {
+      val (c1, b1) = post(port, "/druid/indexer/v1/supervisor", spec(inputA))
+      assert(c1 == 200 && b1 == """{"id":"rt_stream"}""", s"$c1 $b1")
+      srv.supervisorQuery("rt_stream").get.processAllAvailable()
+      // the Druid semantic: rows are queryable from the in-memory sink
+      // BEFORE anything is published to deep storage
+      assert(count() == """[{"n":2}]""", count())
+      assert(bucketDirs().isEmpty,
+        s"no segment may land before handoff, found ${bucketDirs()}")
+      // a newly arrived file is visible at the next micro-batch,
+      // stream still running, still nothing published
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inputA/more.json"),
+        """{"t": 1704200000000, "etype": "click", "v": 1.0}""" + "\n")
+      srv.supervisorQuery("rt_stream").get.processAllAvailable()
+      assert(count() == """[{"n":3}]""", count())
+      assert(bucketDirs().isEmpty)
+      // suspend is rejected with the actionable path (in-memory sink
+      // is not checkpoint-recoverable)
+      val (sc, sb) = post(port, "/druid/indexer/v1/supervisor/rt_stream/suspend", "")
+      assert(sc == 400 && sb.contains("terminate"), s"$sc $sb")
+      // REPLACE hands the old window off first (3 rows publish), then
+      // the new supervisor's in-flight rows union with them
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inputB/late.json"),
+        """{"t": 1704210000000, "etype": "view", "v": 9.0}""" + "\n")
+      val (cr, br) = post(port, "/druid/indexer/v1/supervisor", spec(inputB))
+      assert(cr == 200, s"$cr $br")
+      assert(bucketDirs().nonEmpty, "replace must publish the old window")
+      srv.supervisorQuery("rt_stream").get.processAllAvailable()
+      // union(published 3, in-flight 1) through the SQL endpoint
+      assert(count() == """[{"n":4}]""", count())
+      // terminate = final handoff: all 4 served from parquet alone
+      val (c6, _) = post(port, "/druid/indexer/v1/supervisor/rt_stream/terminate", "")
+      assert(c6 == 200)
+      assert(srv.supervisorQuery("rt_stream").isEmpty)
+      assert(count() == """[{"n":4}]""", count())
+      // and sys.segments now lists the published segments
+      val (_, segs) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM sys.segments WHERE datasource = 'rt_stream'"}""")
+      assert(segs != """[{"n":0}]""", segs)
+    } finally srv.stop()
+  }
+
   test("SQL ingestion statement errors are structured, not parse noise") {
     val root = java.nio.file.Files.createTempDirectory("graft-sqlingest2").toString
     fixture.createOrReplaceTempView("ds_ing2")

@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Scale-proof rehearsal: synthesize a 10x (sf1.0) documents/embeddings
+dataset from sf0.1, run the flagship dedup pipeline + similarity
+entries at both scales with shuffle metrics, hash-grade the sf1.0
+results against the DuckDB oracle over the SAME synthesized parquet,
+and write SCALE_r{N}.json.
+
+Usage: python3 tools/scale_rehearsal.py r10
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+
+ROUND = sys.argv[1] if len(sys.argv) > 1 else "r10"
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/target/scale/sf1.0"
+OUT = "/root/repo/target/scale/verify_out"
+# corpus-wide entries only: fixed-fixture contracts (e.g. the
+# doc_id<80 LSH contract) are scale-invariant by design and say
+# nothing here
+ENTRIES = ["dedup_minhash_fast", "dedup_clusters", "pipeline_drop_ledger",
+           "similarity_ivf_contract", "similarity_brute_force"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def synthesize():
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    # documents: 10 shifted copies. Copies i>0 interleave a per-copy
+    # marker token between every pair of words, which destroys ALL
+    # shingle overlap across copies — each copy-set is 10 mutually
+    # DISSIMILAR documents, so the corpus duplicate RATE stays that of
+    # sf0.1 and dedup edge counts scale ~linearly with rows (a
+    # clone-heavy synthesis would grow edges quadratically inside each
+    # clone family and say nothing about operator scaling). Duplicates
+    # WITHIN a copy (the natural sf0.1 ones) transform identically, so
+    # they stay duplicates. n_chars recomputed for the new text.
+    con.sql(f"""
+      COPY (
+        SELECT d.doc_id + i.i * 1000000 AS doc_id,
+               CASE WHEN i.i = 0 THEN d.text
+                    ELSE array_to_string(string_split(d.text, ' '),
+                                         ' q' || i.i || 'z ') END AS text,
+               d.lang, d.source,
+               CAST(length(CASE WHEN i.i = 0 THEN d.text
+                    ELSE array_to_string(string_split(d.text, ' '),
+                                         ' q' || i.i || 'z ') END)
+                    AS BIGINT) AS n_chars
+        FROM read_parquet('{SRC}/documents.parquet') d,
+             (SELECT unnest(range(0, 10)) AS i) i
+        ORDER BY doc_id
+      ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+    """)
+    # embeddings: 10 shifted copies, vectors unchanged (ties break by
+    # id in both engines — deterministic)
+    con.sql(f"""
+      COPY (
+        SELECT e.vec_id + i.i * 1000000 AS vec_id, e.embedding, e.label
+        FROM read_parquet('{SRC}/embeddings.parquet') e,
+             (SELECT unnest(range(0, 10)) AS i) i
+        ORDER BY vec_id
+      ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    n = con.sql(f"SELECT count(*) FROM '{DST}/documents.parquet'").fetchone()[0]
+    print(f"[scale] synthesized {DST}: documents={n}")
+
+
+def sbt_json(cmd):
+    p = subprocess.run(["sbt", "-batch", cmd], capture_output=True, text=True,
+                       cwd="/root/repo")
+    for line in p.stdout.splitlines():
+        if line.startswith('{"sf_dir"'):
+            return json.loads(line)
+    print(p.stdout[-3000:], file=sys.stderr)
+    raise RuntimeError(f"no JSON line from: {cmd}")
+
+
+def main():
+    synthesize()
+    names = " ".join(ENTRIES)
+    small = sbt_json(f"runMain graft.tools.ScaleBench {SRC} {names}")
+    big = sbt_json(f"runMain graft.tools.ScaleBench {DST} {names}")
+
+    # correctness at 10x: Verify subset + DuckDB oracle over DST
+    shutil.rmtree(OUT, ignore_errors=True)
+    subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.Verify {DST} {OUT} {','.join(ENTRIES)}"],
+        check=True, capture_output=True, text=True, cwd="/root/repo")
+    lv = subprocess.run(
+        ["python3", "tools/localverify.py", DST, OUT],
+        capture_output=True, text=True, cwd="/root/repo")
+    passes = {}
+    for line in lv.stdout.splitlines():
+        if line.startswith(("PASS ", "FAIL ")):
+            parts = line.split()
+            if parts[1] in ENTRIES:
+                passes[parts[1]] = parts[0] == "PASS"
+
+    report = {"round": ROUND, "synthesis": "sf0.1 x10 (documents near-dup "
+              "suffixed copies, embeddings shifted ids)", "entries": {}}
+    ok = True
+    for e in ENTRIES:
+        s, b = small["entries"][e], big["entries"][e]
+        ratio = (b["shuffle_write_b"] / s["shuffle_write_b"]
+                 if s["shuffle_write_b"] else None)
+        report["entries"][e] = {
+            "sf0.1": s, "sf1.0": b,
+            "shuffle_write_ratio_10x": ratio,
+            "wall_ratio_10x": b["sec"] / s["sec"] if s["sec"] else None,
+            "hash_pass_at_10x": passes.get(e, False),
+        }
+        ok = ok and passes.get(e, False)
+    report["all_hashes_green"] = ok
+    path = f"/root/repo/SCALE_{ROUND}.json"
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"[scale] wrote {path} all_hashes_green={ok}")
+    for e, r in report["entries"].items():
+        print(f"[scale] {e}: wall x{r['wall_ratio_10x']:.2f}, "
+              f"shuffle_write x{r['shuffle_write_ratio_10x'] and round(r['shuffle_write_ratio_10x'],2)}, "
+              f"pass={r['hash_pass_at_10x']}")
+
+
+if __name__ == "__main__":
+    main()
