@@ -85,6 +85,15 @@ class QueryServer(
   private val unusedBuckets =
     scala.collection.concurrent.TrieMap.empty[String, Set[String]]
 
+  /** sys.segments view of a realtime-queryable datasource: published
+    * store and in-flight window reported separately (is_published=1
+    * vs is_published=0/is_realtime=1), instead of the union the
+    * query path serves. */
+  private def realtimeSplitFor(
+      name: String): Option[SystemTables.RealtimeSplit] =
+    realtimeSupervisors.get(name).map(rtds =>
+      SystemTables.RealtimeSplit(rtds.publishedRows(), rtds.realtimeRows()))
+
   private def resolveWithIngested(name: String): DataFrame =
     realtimeSupervisors.get(name) match {
       // a realtime supervisor serves union(published, in-flight sink)
@@ -409,7 +418,7 @@ class QueryServer(
       spark, sql0,
       allDatasources _, resolveWithIngested, segmentMetaWithIngested, boundPort,
       () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq },
-      supervisorRecords _, segmentReplicas)
+      supervisorRecords _, segmentReplicas, realtimeSplitFor)
     graft.GraftSession.setup(spark).sql(sql)
   }
 
@@ -770,7 +779,28 @@ class QueryServer(
           // a replaced REALTIME supervisor hands its window off first
           // (publish, don't drop arrived rows on the floor)
           realtimeSupervisors.remove(parsed.datasource).foreach(_.handoff())
-          supervisors.remove(parsed.datasource).foreach(_._1.stop())
+          val oldSpec = supervisors.remove(parsed.datasource).map {
+            case (q, b) => q.stop(); b
+          }
+          // same inputSource → the durable checkpoint stands and the
+          // new supervisor continues from the committed offsets (the
+          // reference keeps stream offsets in the metadata store
+          // across spec updates). A CHANGED source invalidates them —
+          // the reference requires a reset for that; here the old
+          // window already published, so clearing the checkpoint is
+          // the reset (a Spark file-source checkpoint hard-fails on a
+          // basePath change, it cannot be reused).
+          for (old <- oldSpec) {
+            val oldSrc = mapper.readTree(old).at("/spec/ioConfig/inputSource")
+            val newSrc = node.at("/spec/ioConfig/inputSource")
+            if (oldSrc != newSrc) {
+              val fs = new org.apache.hadoop.fs.Path(storageRoot.get)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              Seq(s"${storageRoot.get}/_checkpoints/${parsed.datasource}",
+                s"${storageRoot.get}/_realtime/${parsed.datasource}").foreach(
+                d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+            }
+          }
           val realtime = node.at("/spec/ioConfig/realtimeQueryable").asBoolean(false)
           val q = if (realtime) startRealtimeSupervisor(parsed)
             else startFileSupervisor(parsed)
@@ -802,15 +832,18 @@ class QueryServer(
           }
         case ("POST", p) if p.endsWith("/suspend") =>
           // reference SupervisorResource.specSuspend: stop consuming,
-          // keep the spec; sys.supervisors reports SUSPENDED
+          // keep the spec; sys.supervisors reports SUSPENDED. A
+          // realtime supervisor's tasks additionally publish their
+          // in-flight window on the way down (the reference's
+          // graceful task shutdown) — the datasource keeps serving,
+          // now from historicals alone.
           val id = p.stripSuffix("/suspend")
-          require(!realtimeSupervisors.contains(id),
-            s"realtime supervisor [$id] does not support suspend/resume: " +
-              "its in-memory sink is not checkpoint-recoverable — " +
-              "terminate (which publishes the window) and re-create")
           supervisors.get(id) match {
             case Some((q, _)) =>
-              q.stop()
+              realtimeSupervisors.get(id) match {
+                case Some(rtds) => rtds.suspend()
+                case None => q.stop()
+              }
               suspendedSupervisors.add(id)
               respond(ex, 200, s"""{"id":"$id"}""")
             case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
@@ -824,7 +857,15 @@ class QueryServer(
                   .put("type", "index_parallel")
                   .set[com.fasterxml.jackson.databind.node.ObjectNode](
                     "spec", mapper.readTree(spec).get("spec")))
-              val q = startFileSupervisor(parsed)
+              // a realtime supervisor resumes its existing window
+              // holder — the source checkpoint survived suspend, so
+              // the stream continues from the committed offsets (the
+              // reference supervisor's stored-offset resume)
+              val q = realtimeSupervisors.get(id) match {
+                case Some(rtds) =>
+                  rtds.startRealtime(buildSupervisorStream(parsed))
+                case None => startFileSupervisor(parsed)
+              }
               supervisors.put(id, (q, spec))
               suspendedSupervisors.remove(id)
               respond(ex, 200, s"""{"id":"$id"}""")
@@ -911,9 +952,9 @@ class QueryServer(
     * handoff), which keeps data durable at a ~trigger-interval
     * visibility lag; realtime mode holds the window in memory until
     * terminate publishes it (the reference's task-lifecycle handoff).
-    * Pre-handoff rows are not yet in sys.segments — the reference
-    * lists them as is_published=0 realtime segments; documented
-    * divergence. */
+    * Pre-handoff rows list in sys.segments as is_published=0 /
+    * is_realtime=1 segments under version "realtime" (the
+    * reference's announced-but-unpublished realtime segments). */
   private def startRealtimeSupervisor(
       p: TaskSpec.Parsed): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sources.Ingest
@@ -928,7 +969,10 @@ class QueryServer(
       else None
     }
     val rtds = new graft.streaming.RealtimeDatasource(
-      spark, p.spec, path, Some(reader))
+      spark, p.spec, path, Some(reader),
+      // durable per-datasource state: the source checkpoint survives
+      // suspend/resume (stored-offset resume) and server restarts
+      stateDir = Some(s"${storageRoot.get}/_realtime/${p.datasource}"))
     val q = rtds.startRealtime(buildSupervisorStream(p))
     realtimeSupervisors.put(name, rtds)
     ingested.put(name, path)
@@ -1249,7 +1293,7 @@ class QueryServer(
         spark, substituteParameters(sql0, params),
         allDatasources _, resolveWithIngested, segmentMetaWithIngested, boundPort,
         () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq },
-        supervisorRecords _, segmentReplicas)
+        supervisorRecords _, segmentReplicas, realtimeSplitFor)
       // SQL ingestion (INSERT INTO / REPLACE INTO ... PARTITIONED BY):
       // synchronous task — respond with the reference's task envelope.
       if (IngestSql.looksLikeIngest(sql)) {
@@ -1477,7 +1521,7 @@ class QueryServer(
             allDatasources _, resolveWithIngested, segmentMetaWithIngested,
             boundPort,
             () => { import scala.jdk.CollectionConverters._; taskLog.asScala.toSeq },
-            supervisorRecords _, segmentReplicas)
+            supervisorRecords _, segmentReplicas, realtimeSplitFor)
           val sc = spark.sparkContext
           sc.setJobGroup(rec.group, s"graft statement $qid", interruptOnCancel = true)
           // watchdog: past the deadline, keep cancelling the group so

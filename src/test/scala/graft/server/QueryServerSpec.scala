@@ -1133,6 +1133,15 @@ class QueryServerSpec extends SparkSpec {
       assert(count() == """[{"n":2}]""", count())
       assert(bucketDirs().isEmpty,
         s"no segment may land before handoff, found ${bucketDirs()}")
+      // ...and sys.segments lists the unlanded window as the
+      // reference's announced-but-unpublished realtime segments
+      // (is_published=0, is_realtime=1): two DAY buckets, one row each
+      val (_, rtSegs) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT version, is_published, is_realtime, num_rows, size FROM sys.segments WHERE datasource = 'rt_stream' ORDER BY start"}""")
+      assert(rtSegs ==
+        """[{"version":"realtime","is_published":0,"is_realtime":1,"num_rows":1,"size":0},""" +
+        """{"version":"realtime","is_published":0,"is_realtime":1,"num_rows":1,"size":0}]""",
+        rtSegs)
       // a newly arrived file is visible at the next micro-batch,
       // stream still running, still nothing published
       java.nio.file.Files.writeString(
@@ -1141,30 +1150,58 @@ class QueryServerSpec extends SparkSpec {
       srv.supervisorQuery("rt_stream").get.processAllAvailable()
       assert(count() == """[{"n":3}]""", count())
       assert(bucketDirs().isEmpty)
-      // suspend is rejected with the actionable path (in-memory sink
-      // is not checkpoint-recoverable)
+      // suspend: tasks stop consuming and publish their window on
+      // the way down (reference graceful task shutdown) — the 3 rows
+      // land as segments, the datasource keeps serving
       val (sc, sb) = post(port, "/druid/indexer/v1/supervisor/rt_stream/suspend", "")
-      assert(sc == 400 && sb.contains("terminate"), s"$sc $sb")
-      // REPLACE hands the old window off first (3 rows publish), then
-      // the new supervisor's in-flight rows union with them
+      assert(sc == 200, s"$sc $sb")
+      assert(bucketDirs().nonEmpty, "suspend must publish the window")
+      assert(count() == """[{"n":3}]""", count())
+      val stS = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/druid/indexer/v1/supervisor/rt_stream/status"))
+          .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(stS.body().contains("SUSPENDED"), stS.body())
+      // resume continues from the committed source offsets (the
+      // checkpoint survived) — already-published files are NOT
+      // re-ingested; only the newly arrived one enters the window
+      val (rc, rb) = post(port, "/druid/indexer/v1/supervisor/rt_stream/resume", "")
+      assert(rc == 200, s"$rc $rb")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inputA/resumed.json"),
+        """{"t": 1704205000000, "etype": "click", "v": 4.0}""" + "\n")
+      srv.supervisorQuery("rt_stream").get.processAllAvailable()
+      assert(count() == """[{"n":4}]""", count())
+      // sys.segments reports BOTH stores separately: 3 published
+      // rows across the landed buckets, 1 realtime row in flight —
+      // the 2024-01-02 DAY interval exists in each store under its
+      // own version, never merged, never double-counted
+      val (_, mixSegs) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT version, sum(num_rows) AS n, count(*) AS segs FROM sys.segments WHERE datasource = 'rt_stream' GROUP BY 1 ORDER BY 1"}""")
+      assert(mixSegs ==
+        """[{"version":"1","n":3,"segs":2},""" +
+        """{"version":"realtime","n":1,"segs":1}]""", mixSegs)
+      // REPLACE hands the old window off first (the in-flight row
+      // publishes), then the new supervisor's rows union with them
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$inputB/late.json"),
         """{"t": 1704210000000, "etype": "view", "v": 9.0}""" + "\n")
       val (cr, br) = post(port, "/druid/indexer/v1/supervisor", spec(inputB))
       assert(cr == 200, s"$cr $br")
-      assert(bucketDirs().nonEmpty, "replace must publish the old window")
       srv.supervisorQuery("rt_stream").get.processAllAvailable()
-      // union(published 3, in-flight 1) through the SQL endpoint
-      assert(count() == """[{"n":4}]""", count())
-      // terminate = final handoff: all 4 served from parquet alone
+      // union(published 4, in-flight 1) through the SQL endpoint
+      assert(count() == """[{"n":5}]""", count())
+      // terminate = final handoff: all 5 served from parquet alone
       val (c6, _) = post(port, "/druid/indexer/v1/supervisor/rt_stream/terminate", "")
       assert(c6 == 200)
       assert(srv.supervisorQuery("rt_stream").isEmpty)
-      assert(count() == """[{"n":4}]""", count())
-      // and sys.segments now lists the published segments
+      assert(count() == """[{"n":5}]""", count())
+      // and sys.segments now lists published segments only — the
+      // realtime window handed off, so no version="realtime" row
+      // survives and all 5 rows count as published
       val (_, segs) = post(port, "/druid/v2/sql",
-        """{"query": "SELECT count(*) AS n FROM sys.segments WHERE datasource = 'rt_stream'"}""")
-      assert(segs != """[{"n":0}]""", segs)
+        """{"query": "SELECT count(*) AS segs, sum(num_rows) AS n, sum(is_realtime) AS rt FROM sys.segments WHERE datasource = 'rt_stream'"}""")
+      assert(segs == """[{"segs":2,"n":5,"rt":0}]""", segs)
     } finally srv.stop()
   }
 

@@ -100,6 +100,52 @@ class RealtimeSpec extends SparkSpec {
     assert(fold(rtds.queryable()) == Map(m("2024-02-01T00:00:00Z") -> (1L, 1L)))
   }
 
+  test("suspend publishes the window; resume continues from committed offsets") {
+    // file-backed source: the only stream kind whose checkpoint is
+    // recoverable across a stop/start cycle (the supervisor path)
+    val in = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/one.json"),
+      s"""{"k": "a", "tsMs": ${m("2024-03-01T00:10:00Z")}, "v": 5}""" + "\n")
+    val hist = tmp()
+    val state = tmp()
+    def stream() = spark.readStream
+      .schema("k STRING, tsMs LONG, v LONG").json(in)
+      .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v"))
+    val rtds = new RealtimeDatasource(spark, spec, hist, stateDir = Some(state))
+    val sq1 = rtds.startRealtime(stream())
+    try {
+      sq1.processAllAvailable()
+      assert(fold(rtds.queryable()) == Map(m("2024-03-01T00:00:00Z") -> (1L, 5L)))
+      assert(rtds.publishedRows().isEmpty, "nothing published pre-suspend")
+
+      // suspend = graceful task shutdown: window publishes, stream stops
+      rtds.suspend()
+      assert(!sq1.isActive)
+      assert(rtds.realtimeRows().isEmpty)
+      assert(rtds.publishedRows().isDefined)
+      assert(fold(rtds.queryable()) == Map(m("2024-03-01T00:00:00Z") -> (1L, 5L)))
+
+      // resume: the committed offsets survive — one.json is NOT
+      // re-ingested (no double count); only the new file enters
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$in/two.json"),
+        s"""{"k": "b", "tsMs": ${m("2024-03-01T02:00:00Z")}, "v": 7}""" + "\n")
+      val sq2 = rtds.startRealtime(stream())
+      sq2.processAllAvailable()
+      assert(sq2.isActive)
+      assert(fold(rtds.queryable()) == Map(
+        m("2024-03-01T00:00:00Z") -> (1L, 5L),
+        m("2024-03-01T02:00:00Z") -> (1L, 7L)))
+
+      // final handoff folds the resumed window into history
+      rtds.handoff()
+      assert(fold(rtds.queryable()) == Map(
+        m("2024-03-01T00:00:00Z") -> (1L, 5L),
+        m("2024-03-01T02:00:00Z") -> (1L, 7L)))
+    } finally rtds.abort()
+  }
+
   test("queryable with neither store fails loudly; double start rejected") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
