@@ -830,6 +830,41 @@ class QueryServer(
             case Some((q, _)) => q.stop(); respond(ex, 200, s"""{"id":"$id"}""")
             case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
           }
+        case ("POST", p) if p.endsWith("/reset") =>
+          // reference SupervisorResource.reset:427-434 →
+          // SeekableStreamSupervisor.reset: kill the running tasks
+          // WITHOUT publishing, clear the stored offsets, and start
+          // over from the stream's earliest data. The reference docs
+          // warn reset can duplicate or drop events — same here: a
+          // file source re-reads the whole directory, so rows already
+          // published land again.
+          val id = p.stripSuffix("/reset")
+          supervisors.get(id) match {
+            case Some((q, spec)) =>
+              q.stop()
+              realtimeSupervisors.get(id).foreach(_.abort())
+              val fs = new org.apache.hadoop.fs.Path(storageRoot.get)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              Seq(s"${storageRoot.get}/_checkpoints/$id",
+                s"${storageRoot.get}/_realtime/$id").foreach(
+                d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+              val parsed = TaskSpec.parse(
+                mapper.createObjectNode()
+                  .put("type", "index_parallel")
+                  .set[com.fasterxml.jackson.databind.node.ObjectNode](
+                    "spec", mapper.readTree(spec).get("spec")))
+              suspendedSupervisors.remove(id)
+              val q2 =
+                if (realtimeSupervisors.contains(id)) {
+                  // a fresh window holder: the old one's spill and
+                  // checkpoint are gone with the reset
+                  realtimeSupervisors.remove(id)
+                  startRealtimeSupervisor(parsed)
+                } else startFileSupervisor(parsed)
+              supervisors.put(id, (q2, spec))
+              respond(ex, 200, s"""{"id":"$id"}""")
+            case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
+          }
         case ("POST", p) if p.endsWith("/suspend") =>
           // reference SupervisorResource.specSuspend: stop consuming,
           // keep the spec; sys.supervisors reports SUSPENDED. A

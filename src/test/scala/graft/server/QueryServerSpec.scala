@@ -1205,6 +1205,56 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("supervisor reset clears stored offsets and re-reads from earliest") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rt-reset").toString
+    val input = java.nio.file.Files.createTempDirectory("graft-rt-reset-in").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$input/seed.json"),
+      """{"t": 1704100000000, "etype": "click", "v": 2.0}""" + "\n")
+    val spec =
+      s"""{
+        |"type": "file",
+        |"spec": {
+        |  "dataSchema": {
+        |    "dataSource": "rt_reset",
+        |    "timestampSpec": {"column": "t", "format": "millis"},
+        |    "dimensionsSpec": {"dimensions": ["etype"]},
+        |    "granularitySpec": {"segmentGranularity": "DAY", "rollup": false}
+        |  },
+        |  "ioConfig": {"type": "index_parallel", "realtimeQueryable": true,
+        |    "inputSource": {"type": "local", "baseDir": "$input", "filter": "*.json"},
+        |    "inputFormat": {"type": "json"}}
+        |}}""".stripMargin
+    val srv = new QueryServer(spark, Map.empty[String, org.apache.spark.sql.DataFrame],
+      storageRoot = Some(root))
+    val port = srv.start()
+    def count(): String = post(port, "/druid/v2/sql",
+      """{"query": "SELECT count(*) AS n FROM rt_reset"}""")._2
+    try {
+      val (c1, _) = post(port, "/druid/indexer/v1/supervisor", spec)
+      assert(c1 == 200)
+      srv.supervisorQuery("rt_reset").get.processAllAvailable()
+      assert(count() == """[{"n":1}]""", count())
+      // publish the row via suspend, resume with intact offsets: the
+      // file is NOT re-read
+      assert(post(port, "/druid/indexer/v1/supervisor/rt_reset/suspend", "")._1 == 200)
+      assert(post(port, "/druid/indexer/v1/supervisor/rt_reset/resume", "")._1 == 200)
+      srv.supervisorQuery("rt_reset").get.processAllAvailable()
+      assert(count() == """[{"n":1}]""", count())
+      // reset: offsets cleared, the supervisor restarts from the
+      // earliest data and re-reads the file — the published row now
+      // ALSO sits in the realtime window (the duplication the
+      // reference's reset docs warn about)
+      val (cr, _) = post(port, "/druid/indexer/v1/supervisor/rt_reset/reset", "")
+      assert(cr == 200)
+      srv.supervisorQuery("rt_reset").get.processAllAvailable()
+      assert(count() == """[{"n":2}]""", count())
+      // unknown id → 404
+      val (cn, _) = post(port, "/druid/indexer/v1/supervisor/nope/reset", "")
+      assert(cn == 404)
+    } finally srv.stop()
+  }
+
   test("SQL ingestion statement errors are structured, not parse noise") {
     val root = java.nio.file.Files.createTempDirectory("graft-sqlingest2").toString
     fixture.createOrReplaceTempView("ds_ing2")
