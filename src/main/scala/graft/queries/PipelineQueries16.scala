@@ -144,5 +144,47 @@ object PipelineQueries16 {
     }
   }
 
-  val all: Seq[Q] = Seq(streamingUnionQuery, streamingUnionHandoff)
+  /** the supervisor suspend/resume lifecycle, hash-graded: land the
+    * oldest third as historical segments, stream the middle third
+    * into the realtime window, SUSPEND (graceful shutdown — the
+    * window publishes, offsets survive), then the newest third
+    * arrives and the stream RESUMES from the committed offsets. The
+    * mid-flight union query after resume must see every event
+    * exactly once: a resume that re-read the already-published
+    * middle third doubles its rows and breaks the hash; one that
+    * dropped the window boundary hour loses rows. Both cuts land
+    * mid-hour, so each boundary hour folds across stores. */
+  val streamingUnionResume: Q = q(
+    "streaming_union_resume", unionOracle) { (s, d) =>
+    val ev = centsEvents(s, d)
+    val r = ev.agg(
+      unix_millis(min(col("ts"))).as("a"),
+      unix_millis(max(col("ts"))).as("b")).head()
+    val (a, b) = (r.getLong(0), r.getLong(1))
+    val cut1 = timestamp_millis(lit(a + (b - a) / 3))
+    val cut2 = timestamp_millis(lit(a + 2 * (b - a) / 3))
+    val histDir = landHistorical(s, ev.filter(col("ts") < cut1))
+    val srcDir = StreamStage.stageDir(
+      s, ev.filter(col("ts") >= cut1 && col("ts") < cut2))
+    val rtds = new RealtimeDatasource(s, rollupSpec, histDir,
+      stateDir = Some(StreamStage.tempDir("graft_rt_state")))
+    try {
+      val sq1 = rtds.startRealtime(StreamStage.openStream(s, srcDir))
+      sq1.processAllAvailable()
+      rtds.suspend() // middle third publishes; offsets survive
+      require(rtds.realtimeRows().isEmpty,
+        "window must be empty after suspend published it")
+      StreamStage.stageInto(srcDir, ev.filter(col("ts") >= cut2))
+      val sq2 = rtds.startRealtime(StreamStage.openStream(s, srcDir))
+      sq2.processAllAvailable() // only the new file enters the window
+      require(sq2.isActive, "resumed stream must be active at query time")
+      hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+    } finally {
+      rtds.abort()
+      StreamStage.cleanup()
+    }
+  }
+
+  val all: Seq[Q] =
+    Seq(streamingUnionQuery, streamingUnionHandoff, streamingUnionResume)
 }

@@ -34,6 +34,27 @@ private[queries] object StreamStage {
     s.readStream.schema(schema).parquet(stage)
   }
 
+  /** stage `df` as one parquet file into a fresh dir and return the
+    * dir — for entries that re-open the stream across a
+    * suspend/resume cycle ([[openStream]] reads it; [[stageInto]]
+    * appends later arrivals). */
+  def stageDir(s: SparkSession, df: DataFrame): String = {
+    val stage = tempDir()
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    stage
+  }
+
+  /** newly arriving data for an already-staged dir: appended as its
+    * own part file, which an open (or resumed) file-source stream
+    * picks up as the next micro-batch. */
+  def stageInto(dir: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode("append").parquet(dir)
+
+  def openStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    s.readStream.schema(schema).parquet(dir)
+  }
+
   /** best-effort recursive delete of every dir staged on this thread
     * since the last cleanup. Call only after results are materialized
     * (localCheckpoint) — the staged dirs back any un-collected plan. */
