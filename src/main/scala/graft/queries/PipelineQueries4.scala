@@ -20,7 +20,12 @@ object PipelineQueries4 {
 
   /** shared SQL prefix: portable minhash band-collision candidate pairs
     * over the whole documents table (16 slots, 4 bands × 4), edges kept
-    * at signature agreement ≥ 4 (est. Jaccard ≥ 0.25). */
+    * at signature agreement ≥ 4 (est. Jaccard ≥ 0.25). `sig` is
+    * MATERIALIZED: DuckDB inlines CTEs by default, and this one feeds
+    * the banding plus BOTH e0 signature rejoins — and, downstream,
+    * the recursive component closure, which would otherwise re-run
+    * the whole shingle/minhash pipeline EVERY iteration (hours at the
+    * sf1.0 rehearsal scale, same answer). */
   private val minhashEdgesSql =
     """d AS (SELECT doc_id, text FROM documents),
       |sh AS (
@@ -36,7 +41,7 @@ object PipelineQueries4 {
       |        list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT))),
       |      (a, b) -> (a*31 + b) % 1000000007)) AS h
       |  FROM sh),
-      |sig AS (
+      |sig AS MATERIALIZED (
       |  SELECT doc_id, list_transform(range(0, 16), i ->
       |    list_min(list_transform(h, x -> (x*(2*i+1) + i*12345 + 7) % 2147483647))) AS s
       |  FROM hs),
@@ -66,7 +71,7 @@ object PipelineQueries4 {
   val dedupClusters: Q = q(
     "dedup_clusters",
     s"""WITH RECURSIVE $minhashEdgesSql,
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM e0
        |          UNION ALL SELECT id_b, id_a FROM e0),
        |cc(id, comp) AS (
        |  SELECT doc_id, doc_id FROM d
@@ -272,7 +277,7 @@ object PipelineQueries4 {
     "dedup_clusters_fast",
     s"""WITH RECURSIVE ${PipelineQueries2.sparkMinhashPairsSql},
        |e0 AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.25),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM e0
        |          UNION ALL SELECT id_b, id_a FROM e0),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |cc(id, comp) AS (
