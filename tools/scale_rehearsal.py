@@ -31,31 +31,39 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def synthesize():
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    # documents: 10 shifted copies. Copies i>0 interleave a per-copy
-    # marker token between every pair of words, which destroys ALL
-    # shingle overlap across copies — each copy-set is 10 mutually
-    # DISSIMILAR documents, so the corpus duplicate RATE stays that of
-    # sf0.1 and dedup edge counts scale ~linearly with rows (a
-    # clone-heavy synthesis would grow edges quadratically inside each
-    # clone family and say nothing about operator scaling). Duplicates
-    # WITHIN a copy (the natural sf0.1 ones) transform identically, so
-    # they stay duplicates. n_chars recomputed for the new text.
+    # documents: 10 shifted copies. Copies i>0 PREFIX every word with a
+    # per-copy marker (w -> qNzw): a bijective word mapping, so the
+    # within-copy shingle-similarity structure exactly mirrors sf0.1
+    # (the natural duplicate RATE is preserved, and dedup edge counts
+    # scale ~linearly with rows), while shingle sets across copies are
+    # disjoint (every token carries its copy's marker). Rejected
+    # alternatives, both measured: clone suffixing keeps copies
+    # near-identical (edges grow quadratically inside clone families),
+    # and interleaving the marker as its own token creates grams like
+    # 'qNz w qNz' that any two docs sharing ANY word collide on —
+    # candidate pairs exploded ~100x (657 MB shuffle at sf1.0).
+    # n_chars recomputed for the new text.
     con.sql(f"""
       COPY (
         SELECT d.doc_id + i.i * 1000000 AS doc_id,
                CASE WHEN i.i = 0 THEN d.text
-                    ELSE array_to_string(string_split(d.text, ' '),
-                                         ' q' || i.i || 'z ') END AS text,
+                    ELSE 'q' || i.i || 'z' ||
+                         replace(d.text, ' ', ' q' || i.i || 'z') END AS text,
                d.lang, d.source,
                CAST(length(CASE WHEN i.i = 0 THEN d.text
-                    ELSE array_to_string(string_split(d.text, ' '),
-                                         ' q' || i.i || 'z ') END)
+                    ELSE 'q' || i.i || 'z' ||
+                         replace(d.text, ' ', ' q' || i.i || 'z') END)
                     AS BIGINT) AS n_chars
         FROM read_parquet('{SRC}/documents.parquet') d,
              (SELECT unnest(range(0, 10)) AS i) i
         ORDER BY doc_id
-      ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+      ) TO '{DST}/documents.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 4096)
     """)
+    # ROW_GROUP_SIZE 4096: DuckDB parallelizes scans per row group —
+    # a default-sized single group serializes the heavy per-row
+    # shingle/minhash oracle SQL on ONE core at sf1.0 (the DuckDB
+    # twin of the engine's single-split note in FIXTURES.md)
     # embeddings: 10 shifted copies, vectors unchanged (ties break by
     # id in both engines — deterministic)
     con.sql(f"""
@@ -64,7 +72,8 @@ def synthesize():
         FROM read_parquet('{SRC}/embeddings.parquet') e,
              (SELECT unnest(range(0, 10)) AS i) i
         ORDER BY vec_id
-      ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+      ) TO '{DST}/embeddings.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 4096)
     """)
     for t in TABLES:
         if t in ("documents", "embeddings"):
@@ -106,8 +115,8 @@ def main():
             if parts[1] in ENTRIES:
                 passes[parts[1]] = parts[0] == "PASS"
 
-    report = {"round": ROUND, "synthesis": "sf0.1 x10 (documents near-dup "
-              "suffixed copies, embeddings shifted ids)", "entries": {}}
+    report = {"round": ROUND, "synthesis": "sf0.1 x10 (documents per-copy "
+              "word-prefix bijection, embeddings shifted ids)", "entries": {}}
     ok = True
     for e in ENTRIES:
         s, b = small["entries"][e], big["entries"][e]
