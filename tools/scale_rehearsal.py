@@ -31,29 +31,42 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def synthesize():
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    # documents: 10 shifted copies. Copies i>0 PREFIX every word with a
-    # per-copy marker (w -> qNzw): a bijective word mapping, so the
-    # within-copy shingle-similarity structure exactly mirrors sf0.1
-    # (the natural duplicate RATE is preserved, and dedup edge counts
-    # scale ~linearly with rows), while shingle sets across copies are
-    # disjoint (every token carries its copy's marker). Rejected
+    # documents: 10 shifted copies. Copies i>0 PREFIX every
+    # non-stopword with a per-copy marker (w -> qNzw): a bijective
+    # word mapping, so the within-copy shingle-similarity structure
+    # mirrors sf0.1 (the natural duplicate RATE is preserved, and
+    # dedup edge counts scale ~linearly with rows), while cross-copy
+    # Jaccard stays negligible (only all-stopword trigrams collide —
+    # far below the 4/16-signature edge threshold). Stopwords stay
+    # UNMAPPED so quality scores (stopword-ratio features) keep their
+    # sf0.1 distribution — a full-vocabulary prefix zeroed them and
+    # collapsed the ledger entry to stage-1 drops. Other rejected
     # alternatives, both measured: clone suffixing keeps copies
-    # near-identical (edges grow quadratically inside clone families),
-    # and interleaving the marker as its own token creates grams like
-    # 'qNz w qNz' that any two docs sharing ANY word collide on —
-    # candidate pairs exploded ~100x (657 MB shuffle at sf1.0).
-    # n_chars recomputed for the new text.
+    # near-identical (edges grow quadratically inside clone families);
+    # interleaving the marker as its own TOKEN creates 'qNz w qNz'
+    # grams that any two docs sharing ANY word collide on — candidate
+    # pairs exploded ~100x (657 MB shuffle at sf1.0). n_chars
+    # recomputed for the new text.
+    stop = ("'the','a','an','and','or','of','to','in','is','it',"
+            "'that','for','on','with','as','are','was','be','this'")
     con.sql(f"""
       COPY (
         SELECT d.doc_id + i.i * 1000000 AS doc_id,
                CASE WHEN i.i = 0 THEN d.text
-                    ELSE 'q' || i.i || 'z' ||
-                         replace(d.text, ' ', ' q' || i.i || 'z') END AS text,
+                    ELSE array_to_string(list_transform(
+                           string_split(d.text, ' '),
+                           w -> CASE WHEN list_contains([{stop}], w) OR w = ''
+                                     THEN w
+                                     ELSE 'q' || i.i || 'z' || w END), ' ')
+               END AS text,
                d.lang, d.source,
                CAST(length(CASE WHEN i.i = 0 THEN d.text
-                    ELSE 'q' || i.i || 'z' ||
-                         replace(d.text, ' ', ' q' || i.i || 'z') END)
-                    AS BIGINT) AS n_chars
+                    ELSE array_to_string(list_transform(
+                           string_split(d.text, ' '),
+                           w -> CASE WHEN list_contains([{stop}], w) OR w = ''
+                                     THEN w
+                                     ELSE 'q' || i.i || 'z' || w END), ' ')
+               END) AS BIGINT) AS n_chars
         FROM read_parquet('{SRC}/documents.parquet') d,
              (SELECT unnest(range(0, 10)) AS i) i
         ORDER BY doc_id
