@@ -27,12 +27,8 @@ private[queries] object StreamStage {
     dir
   }
 
-  def stageAsStream(s: SparkSession, df: DataFrame): DataFrame = {
-    val stage = tempDir()
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    val schema = s.read.parquet(stage).schema
-    s.readStream.schema(schema).parquet(stage)
-  }
+  def stageAsStream(s: SparkSession, df: DataFrame): DataFrame =
+    openStream(s, stageDir(s, df))
 
   /** stage `df` as one parquet file into a fresh dir and return the
     * dir — for entries that re-open the stream across a

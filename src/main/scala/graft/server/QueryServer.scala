@@ -442,10 +442,12 @@ class QueryServer(
   def stop(): Unit = {
     if (stmtExec != null) stmtExec.shutdownNow()
     if (stmtWatchdog != null) stmtWatchdog.shutdownNow()
-    // abandon in-flight realtime windows and stop supervisor streams —
-    // a server teardown must not leak streaming queries or temp views
+    // detach in-flight realtime windows (stream stops; spill +
+    // checkpoint survive on disk — the reference's task restore
+    // file, so a restarted server re-POSTing the spec resumes the
+    // window and offsets exactly) and stop supervisor streams
     realtimeSupervisors.keys.toSeq.foreach(id =>
-      realtimeSupervisors.remove(id).foreach(_.abort()))
+      realtimeSupervisors.remove(id).foreach(_.detach()))
     supervisors.keys.toSeq.foreach(id =>
       supervisors.remove(id).foreach(_._1.stop()))
     if (server != null) server.stop(0)
@@ -743,6 +745,37 @@ class QueryServer(
         source = id, spec = spec)
     }.toSeq
 
+  /** delete a datasource's durable supervisor state: the file-source
+    * checkpoint (stored offsets) and the realtime window dir. */
+  private def clearSupervisorState(ds: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storageRoot.get)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"${storageRoot.get}/_checkpoints/$ds",
+      s"${storageRoot.get}/_realtime/$ds").foreach(
+      d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+  }
+
+  /** compare the incoming spec's inputSource against the persisted
+    * marker for the datasource; clear the durable state when the
+    * source changed (stored offsets belong to the OLD stream — the
+    * reference requires a reset to switch), then persist the new
+    * marker. On-disk, not in-memory, so a re-POST after a server
+    * restart can't poison the new stream with a stale checkpoint. */
+  private def reconcileSupervisorSource(
+      ds: String, newSource: JsonNode): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${storageRoot.get}/_checkpoints/$ds.source.json")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldSource =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try Some(mapper.readTree(in)) finally in.close()
+      } else None
+    if (oldSource.exists(_ != newSource)) clearSupervisorState(ds)
+    val out = fs.create(marker, true)
+    try out.write(mapper.writeValueAsBytes(newSource)) finally out.close()
+  }
+
   /** The reference's streaming supervisor, mapped honestly onto what
     * this environment can stream: a watched-directory file source
     * (Structured Streaming) with the SAME dataSchema as the task API.
@@ -779,28 +812,19 @@ class QueryServer(
           // a replaced REALTIME supervisor hands its window off first
           // (publish, don't drop arrived rows on the floor)
           realtimeSupervisors.remove(parsed.datasource).foreach(_.handoff())
-          val oldSpec = supervisors.remove(parsed.datasource).map {
-            case (q, b) => q.stop(); b
-          }
+          supervisors.remove(parsed.datasource).foreach(_._1.stop())
           // same inputSource → the durable checkpoint stands and the
           // new supervisor continues from the committed offsets (the
           // reference keeps stream offsets in the metadata store
           // across spec updates). A CHANGED source invalidates them —
-          // the reference requires a reset for that; here the old
-          // window already published, so clearing the checkpoint is
-          // the reset (a Spark file-source checkpoint hard-fails on a
-          // basePath change, it cannot be reused).
-          for (old <- oldSpec) {
-            val oldSrc = mapper.readTree(old).at("/spec/ioConfig/inputSource")
-            val newSrc = node.at("/spec/ioConfig/inputSource")
-            if (oldSrc != newSrc) {
-              val fs = new org.apache.hadoop.fs.Path(storageRoot.get)
-                .getFileSystem(spark.sparkContext.hadoopConfiguration)
-              Seq(s"${storageRoot.get}/_checkpoints/${parsed.datasource}",
-                s"${storageRoot.get}/_realtime/${parsed.datasource}").foreach(
-                d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
-            }
-          }
+          // the reference requires a reset for that; clearing the
+          // durable state is the reset (a Spark file-source
+          // checkpoint hard-fails on a basePath change, it cannot be
+          // reused). The comparison reads the on-disk source marker,
+          // not in-memory state, so it also covers a re-POST after a
+          // server restart against a stale persisted checkpoint.
+          reconcileSupervisorSource(
+            parsed.datasource, node.at("/spec/ioConfig/inputSource"))
           val realtime = node.at("/spec/ioConfig/realtimeQueryable").asBoolean(false)
           val q = if (realtime) startRealtimeSupervisor(parsed)
             else startFileSupervisor(parsed)
@@ -842,12 +866,8 @@ class QueryServer(
           supervisors.get(id) match {
             case Some((q, spec)) =>
               q.stop()
-              realtimeSupervisors.get(id).foreach(_.abort())
-              val fs = new org.apache.hadoop.fs.Path(storageRoot.get)
-                .getFileSystem(spark.sparkContext.hadoopConfiguration)
-              Seq(s"${storageRoot.get}/_checkpoints/$id",
-                s"${storageRoot.get}/_realtime/$id").foreach(
-                d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+              realtimeSupervisors.get(id).foreach(_.detach())
+              clearSupervisorState(id)
               val parsed = TaskSpec.parse(
                 mapper.createObjectNode()
                   .put("type", "index_parallel")

@@ -71,6 +71,9 @@ final class RealtimeDatasource(
       * resuming from offsets in the metadata store. */
     stateDir: Option[String] = None) {
 
+  /** owned temp state (no stateDir given) is deleted by [[abort]];
+    * caller-provided state survives for resume/restart. */
+  private val ownsState = stateDir.isEmpty
   private val stateRoot = stateDir.getOrElse(
     java.nio.file.Files.createTempDirectory("graft_rt_state").toString)
   private val spillDir = s"$stateRoot/spill"
@@ -117,7 +120,11 @@ final class RealtimeDatasource(
         val hfs = new org.apache.hadoop.fs.Path(spill).getFileSystem(f)
         val destP = new org.apache.hadoop.fs.Path(dest)
         if (hfs.exists(destP)) hfs.delete(destP, true) // crash replay
-        hfs.rename(new org.apache.hadoop.fs.Path(staging), destP)
+        // a false return (Hadoop reports most rename failures this
+        // way, not by throwing) MUST fail the batch so its offsets
+        // don't commit — otherwise the rows vanish silently
+        require(hfs.rename(new org.apache.hadoop.fs.Path(staging), destP),
+          s"realtime spill rename failed: $staging -> $destP")
         ()
         }
       }
@@ -179,22 +186,53 @@ final class RealtimeDatasource(
         hist.unionByName(rtAligned)
       case (Some(hist), None) => hist
       case (None, Some(rt)) => rt
-      case (None, None) => throw new IllegalStateException(
-        s"datasource has no historical segments at $historicalPath " +
-          "and no running realtime stream")
+      case (None, None) =>
+        // a datasource that HAS streamed but holds nothing right now
+        // (e.g. suspended before any data arrived, window published,
+        // nothing landed) serves empty, not an error — only a
+        // never-started instance with no history fails loudly
+        streamSchema match {
+          case Some(sch) => Ingest.prepare(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch),
+            spec.copy(transforms = Nil, rowFilter = None))
+          case None => throw new IllegalStateException(
+            s"datasource has no historical segments at $historicalPath " +
+              "and no running realtime stream")
+        }
     }
   }
 
-  /** publish whatever the spill holds through the shared batch write
-    * path, then clear it. Caller holds the lock. */
+  /** batch ids whose offsets the checkpoint committed — the publish
+    * boundary. None when the commit log doesn't exist yet. */
+  private def committedBatchIds(): Option[Set[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/commits")
+    val f = fs(checkpointDir)
+    if (!f.exists(p)) None
+    else Some(f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet)
+  }
+
+  /** publish the spill's COMMITTED batches through the shared batch
+    * write path, then clear the spill. An uncommitted `batch=` dir
+    * (stop raced an in-flight batch, or a crash mid-commit) is NOT
+    * published — its offsets never committed, so the source replays
+    * it on the next start; publishing it too would double its rows
+    * after the replay. Caller holds the lock. */
   private def publishSpill(): Unit = {
     val dirs = spillBatchDirs()
     if (dirs.nonEmpty) {
-      Ingest.write(
-        Ingest.prepare(
-          spark.read.parquet(dirs.map(_.toString): _*),
-          spec.copy(transforms = Nil, rowFilter = None)),
-        historicalPath)
+      val publishable = committedBatchIds() match {
+        case Some(ids) => dirs.filter(d =>
+          ids.contains(d.getName.stripPrefix("batch=").toLong))
+        case None => dirs
+      }
+      if (publishable.nonEmpty)
+        Ingest.write(
+          Ingest.prepare(
+            spark.read.parquet(publishable.map(_.toString): _*),
+            spec.copy(transforms = Nil, rowFilter = None)),
+          historicalPath)
       val f = fs(spillDir)
       f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
     }
@@ -219,12 +257,30 @@ final class RealtimeDatasource(
     * re-ingestion of published rows). */
   def suspend(): Unit = handoff()
 
+  /** stop the stream but keep spill AND checkpoint — server teardown
+    * (the reference's restore file: a realtime task persists its
+    * state on shutdown and resumes on restart). A new instance with
+    * the same stateDir picks the window and offsets up exactly where
+    * they were. */
+  def detach(): Unit = synchronized {
+    query.foreach(_.stop())
+    query = None
+  }
+
   /** stop without publishing (abandon the realtime window — the
-    * reference's task failure path; historical segments unaffected). */
+    * reference's task failure path; historical segments unaffected).
+    * Owned temp state is deleted entirely; a caller-provided
+    * stateDir keeps its checkpoint, so a later recreate resumes
+    * AFTER the abandoned offsets (the abandon is at-most-once —
+    * clearing the checkpoint instead would re-read rows already
+    * published by earlier handoffs). */
   def abort(): Unit = synchronized {
     query.foreach(_.stop())
-    val f = fs(spillDir)
-    f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
+    val f = fs(stateRoot)
+    if (ownsState)
+      f.delete(new org.apache.hadoop.fs.Path(stateRoot), true)
+    else
+      f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
     query = None
   }
 }

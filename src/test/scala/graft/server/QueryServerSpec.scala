@@ -1205,6 +1205,58 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("realtime window survives a server restart; changed source resets state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rt-restart").toString
+    val inputX = java.nio.file.Files.createTempDirectory("graft-rt-restart-x").toString
+    val inputY = java.nio.file.Files.createTempDirectory("graft-rt-restart-y").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inputX/seed.json"),
+      """{"t": 1704100000000, "etype": "click", "v": 2.0}""" + "\n")
+    def spec(input: String) =
+      s"""{
+        |"type": "file",
+        |"spec": {
+        |  "dataSchema": {
+        |    "dataSource": "rt_restart",
+        |    "timestampSpec": {"column": "t", "format": "millis"},
+        |    "dimensionsSpec": {"dimensions": ["etype"]},
+        |    "granularitySpec": {"segmentGranularity": "DAY", "rollup": false}
+        |  },
+        |  "ioConfig": {"type": "index_parallel", "realtimeQueryable": true,
+        |    "inputSource": {"type": "local", "baseDir": "$input", "filter": "*.json"},
+        |    "inputFormat": {"type": "json"}}
+        |}}""".stripMargin
+    def count(port: Int): String = post(port, "/druid/v2/sql",
+      """{"query": "SELECT count(*) AS n FROM rt_restart"}""")._2
+    // server A: one row in the realtime window, nothing published
+    val srvA = new QueryServer(spark, Map.empty[String, org.apache.spark.sql.DataFrame],
+      storageRoot = Some(root))
+    val portA = srvA.start()
+    assert(post(portA, "/druid/indexer/v1/supervisor", spec(inputX))._1 == 200)
+    srvA.supervisorQuery("rt_restart").get.processAllAvailable()
+    assert(count(portA) == """[{"n":1}]""", count(portA))
+    srvA.stop() // teardown detaches: spill + checkpoint survive on disk
+    // server B, same storageRoot: re-POSTing the SAME spec restores
+    // the window (no loss) without re-reading the file (no double)
+    val srvB = new QueryServer(spark, Map.empty[String, org.apache.spark.sql.DataFrame],
+      storageRoot = Some(root))
+    val portB = srvB.start()
+    try {
+      assert(post(portB, "/druid/indexer/v1/supervisor", spec(inputX))._1 == 200)
+      srvB.supervisorQuery("rt_restart").get.processAllAvailable()
+      assert(count(portB) == """[{"n":1}]""", count(portB))
+      // a CHANGED inputSource is a reset (stale checkpoint belongs to
+      // the old stream): replace publishes the restored window, the
+      // new supervisor reads only the new dir — no crash, no re-read
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inputY/other.json"),
+        """{"t": 1704190000000, "etype": "view", "v": 5.0}""" + "\n")
+      assert(post(portB, "/druid/indexer/v1/supervisor", spec(inputY))._1 == 200)
+      srvB.supervisorQuery("rt_restart").get.processAllAvailable()
+      assert(count(portB) == """[{"n":2}]""", count(portB))
+    } finally srvB.stop()
+  }
+
   test("supervisor reset clears stored offsets and re-reads from earliest") {
     val root = java.nio.file.Files.createTempDirectory("graft-rt-reset").toString
     val input = java.nio.file.Files.createTempDirectory("graft-rt-reset-in").toString

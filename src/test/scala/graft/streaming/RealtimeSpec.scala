@@ -146,6 +146,22 @@ class RealtimeSpec extends SparkSpec {
     } finally rtds.abort()
   }
 
+  test("suspended-empty datasource serves empty, not an error") {
+    val in = tmp() // stays empty: a stream that never sees data
+    val rtds = new RealtimeDatasource(spark, spec, tmp(), stateDir = Some(tmp()))
+    val sq = rtds.startRealtime(
+      spark.readStream.schema("k STRING, tsMs LONG, v LONG").json(in)
+        .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")))
+    try {
+      sq.processAllAvailable()
+      assert(fold(rtds.queryable()).isEmpty) // empty live window serves
+      rtds.suspend() // nothing to publish; stream stops
+      // no historical store, no window, but the datasource HAS
+      // streamed — it must keep serving (empty), not throw
+      assert(fold(rtds.queryable()).isEmpty)
+    } finally rtds.abort()
+  }
+
   test("queryable with neither store fails loudly; double start rejected") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
