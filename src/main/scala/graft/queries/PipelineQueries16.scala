@@ -185,6 +185,48 @@ object PipelineQueries16 {
     }
   }
 
-  val all: Seq[Q] =
-    Seq(streamingUnionQuery, streamingUnionHandoff, streamingUnionResume)
+  /** restore-on-restart, hash-graded: stream the middle third into
+    * the window, DETACH (server teardown — stream stops, spill and
+    * checkpoint persist on disk), then a NEW datasource holder over
+    * the same state must serve the restored window, resume the
+    * source from the committed offsets when the newest third
+    * arrives, and answer the union query exactly. A restore that
+    * dropped the spill loses the middle third; one that re-read the
+    * committed files doubles it — either breaks the hash. */
+  val streamingUnionRestart: Q = q(
+    "streaming_union_restart", unionOracle) { (s, d) =>
+    val ev = centsEvents(s, d)
+    val r = ev.agg(
+      unix_millis(min(col("ts"))).as("a"),
+      unix_millis(max(col("ts"))).as("b")).head()
+    val (a, b) = (r.getLong(0), r.getLong(1))
+    val cut1 = timestamp_millis(lit(a + (b - a) / 3))
+    val cut2 = timestamp_millis(lit(a + 2 * (b - a) / 3))
+    val histDir = landHistorical(s, ev.filter(col("ts") < cut1))
+    val state = StreamStage.tempDir("graft_rt_state")
+    val srcDir = StreamStage.stageDir(
+      s, ev.filter(col("ts") >= cut1 && col("ts") < cut2))
+    val first = new RealtimeDatasource(s, rollupSpec, histDir,
+      stateDir = Some(state))
+    first.startRealtime(StreamStage.openStream(s, srcDir))
+      .processAllAvailable()
+    first.detach() // the restart boundary: window + offsets persist
+    val restored = new RealtimeDatasource(s, rollupSpec, histDir,
+      stateDir = Some(state))
+    try {
+      require(restored.realtimeRows().isDefined,
+        "detached window must be restored from the persisted spill")
+      StreamStage.stageInto(srcDir, ev.filter(col("ts") >= cut2))
+      val sq = restored.startRealtime(StreamStage.openStream(s, srcDir))
+      sq.processAllAvailable() // resumes offsets: only the new file
+      require(sq.isActive, "restored stream must be active at query time")
+      hourlyFold(restored.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+    } finally {
+      restored.abort()
+      StreamStage.cleanup()
+    }
+  }
+
+  val all: Seq[Q] = Seq(streamingUnionQuery, streamingUnionHandoff,
+    streamingUnionResume, streamingUnionRestart)
 }
