@@ -48,14 +48,19 @@ import graft.sources.Ingest.IngestSpec
   * exactly the committed offsets; an ungraceful crash leaves at most
   * one uncommitted `batch=` dir, which the replay rewrites.
   *
-  * Handoff atomicity: [[handoff]] publishes to parquet BEFORE
-  * clearing the spill, and both mutations happen under the instance
-  * lock — a [[queryable]] plan built concurrently could read the
-  * overlap window twice (publish visible + spill not yet cleared).
-  * The reference swaps the timeline entry atomically at announce
-  * time; here, queries issued during handoff must be re-planned
-  * after it returns (the graded entries and specs query strictly
-  * before or after).
+  * Handoff atomicity: [[handoff]] appends the window to parquet and
+  * then marks the spill published (a `_published` marker) instead of
+  * deleting it — both under the instance lock. A [[queryable]] plan
+  * built BEFORE handoff keeps its snapshot: its historical side
+  * cached the pre-publish file listing at plan time and its realtime
+  * side reads spill files that still exist, so materializing it
+  * after handoff returns exactly the pre-handoff rows — never the
+  * overlap window twice, never a loss. A plan built AFTER handoff
+  * sees the published store alone (the marker hides the spill). This
+  * mirrors the reference's announce-time timeline swap, where the
+  * overshadowed realtime segment stays readable until queries drain
+  * (server SegmentManager). The marked spill is reclaimed by the
+  * next [[startRealtime]] or [[abort]].
   */
 final class RealtimeDatasource(
     spark: SparkSession,
@@ -86,10 +91,17 @@ final class RealtimeDatasource(
   private def fs(path: String) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** marker written by [[publishSpill]] instead of deleting the spill:
+    * the window's rows are on deep storage, but the files stay
+    * readable so a [[queryable]] plan built before the handoff keeps
+    * its snapshot (see class doc). */
+  private val publishedMarker = s"$spillDir/_published"
+
   private def spillBatchDirs(): Seq[org.apache.hadoop.fs.Path] = {
     val p = new org.apache.hadoop.fs.Path(spillDir)
     val f = fs(spillDir)
-    if (!f.exists(p)) Nil
+    if (!f.exists(p) || f.exists(new org.apache.hadoop.fs.Path(publishedMarker)))
+      Nil
     else f.listStatus(p).toSeq.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("batch=")).map(_.getPath)
   }
@@ -102,6 +114,12 @@ final class RealtimeDatasource(
     * `batch=<id>` parquet dir via an atomic staging rename. */
   def startRealtime(stream: DataFrame): StreamingQuery = synchronized {
     require(query.isEmpty, "realtime stream already running")
+    // reclaim a spill a previous handoff/suspend already published:
+    // its marker hides it from queries, but new batches must start in
+    // a clean dir or the marker would hide THEM too
+    val f0 = fs(spillDir)
+    if (f0.exists(new org.apache.hadoop.fs.Path(publishedMarker)))
+      f0.delete(new org.apache.hadoop.fs.Path(spillDir), true)
     var df = stream
     for ((name, e) <- spec.transforms)
       df = df.withColumn(name, org.apache.spark.sql.functions.expr(e))
@@ -161,11 +179,22 @@ final class RealtimeDatasource(
     historicalReader match {
       case Some(reader) => reader()
       case None =>
-        val p = new java.io.File(historicalPath)
-        if (p.isDirectory &&
-            p.listFiles().exists(f => !f.getName.startsWith("_")))
-          Some(spark.read.parquet(historicalPath))
-        else None
+        // detect landed data POSITIVELY — a bucket partition dir or a
+        // part file — the way the server's injected reader does
+        // (QueryServer.startRealtimeSupervisor). Ingest.write emits
+        // only __bucket=*/ dirs plus underscore sidecars, so "any
+        // non-underscore name" would see nothing on a filesystem
+        // without .crc sidecars (HDFS, object stores) and silently
+        // drop the whole historical store.
+        val p = new org.apache.hadoop.fs.Path(historicalPath)
+        val f = fs(historicalPath)
+        val hasData = f.exists(p) && f.getFileStatus(p).isDirectory &&
+          f.listStatus(p).exists { s =>
+            val n = s.getPath.getName
+            (s.isDirectory && n.startsWith(Ingest.BucketCol + "=")) ||
+              (!s.isDirectory && n.startsWith("part-"))
+          }
+        if (hasData) Some(spark.read.parquet(historicalPath)) else None
     }
 
   /** the broker view: union(historical segments, realtime window),
@@ -214,18 +243,22 @@ final class RealtimeDatasource(
   }
 
   /** publish the spill's COMMITTED batches through the shared batch
-    * write path, then clear the spill. An uncommitted `batch=` dir
-    * (stop raced an in-flight batch, or a crash mid-commit) is NOT
-    * published — its offsets never committed, so the source replays
-    * it on the next start; publishing it too would double its rows
-    * after the replay. Caller holds the lock. */
+    * write path, then mark the spill published (files stay readable
+    * for pre-built plans — see class doc; reclaimed on the next
+    * start/abort). An uncommitted `batch=` dir (stop raced an
+    * in-flight batch, or a crash mid-commit) is NOT published — its
+    * offsets never committed, so the source replays it on the next
+    * start; publishing it too would double its rows after the
+    * replay. A MISSING commit log means no offsets ever committed:
+    * every spill dir is replayable, so nothing publishes (publishing
+    * would double batch 0 after the replay). Caller holds the lock. */
   private def publishSpill(): Unit = {
     val dirs = spillBatchDirs()
     if (dirs.nonEmpty) {
       val publishable = committedBatchIds() match {
         case Some(ids) => dirs.filter(d =>
           ids.contains(d.getName.stripPrefix("batch=").toLong))
-        case None => dirs
+        case None => Nil
       }
       if (publishable.nonEmpty)
         Ingest.write(
@@ -234,13 +267,21 @@ final class RealtimeDatasource(
             spec.copy(transforms = Nil, rowFilter = None)),
           historicalPath)
       val f = fs(spillDir)
-      f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
+      if (publishable.size == dirs.size)
+        f.create(new org.apache.hadoop.fs.Path(publishedMarker), true).close()
+      else {
+        // some dirs stay replayable (uncommitted): drop only the
+        // published ones — a marker would hide the survivors too
+        publishable.foreach(d => f.delete(d, true))
+      }
     }
   }
 
   /** drain the stream, publish the window as historical segments, and
-    * clear the spill. After handoff, [[queryable]] returns the
-    * published table only — same rows, now served from deep storage. */
+    * mark the spill published. After handoff, [[queryable]] returns
+    * the published table only — same rows, now served from deep
+    * storage; a plan built BEFORE handoff keeps its pre-publish
+    * snapshot (class doc). */
   def handoff(): Unit = synchronized {
     query.foreach { sq =>
       sq.processAllAvailable()
@@ -256,6 +297,21 @@ final class RealtimeDatasource(
     * [[startRealtime]] resumes from the committed offsets (no
     * re-ingestion of published rows). */
   def suspend(): Unit = handoff()
+
+  /** the reference supervisor's RESET (SupervisorResource.reset:427 →
+    * SeekableStreamSupervisor.reset): stop WITHOUT publishing, clear
+    * the stored offsets AND the window — the next [[startRealtime]]
+    * re-reads the source from its earliest data. The reference docs
+    * warn reset can duplicate or drop events; same here: rows an
+    * earlier handoff already published are re-ingested by the
+    * re-read. Historical segments are untouched. */
+  def reset(): Unit = synchronized {
+    query.foreach(_.stop())
+    val f = fs(stateRoot)
+    f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
+    f.delete(new org.apache.hadoop.fs.Path(checkpointDir), true)
+    query = None
+  }
 
   /** stop the stream but keep spill AND checkpoint — server teardown
     * (the reference's restore file: a realtime task persists its

@@ -162,6 +162,104 @@ class RealtimeSpec extends SparkSpec {
     } finally rtds.abort()
   }
 
+  test("a pre-built queryable plan survives handoff: no row twice, none lost") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val hist = tmp()
+    Ingest.ingest(
+      Seq(("a", m("2024-05-01T00:05:00Z"), 2L))
+        .toDF("k", "tsMs", "v").select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")),
+      spec, hist)
+    val rtds = new RealtimeDatasource(spark, spec, hist)
+    val mem = MemoryStream[(String, Long, Long)]
+    val sq = rtds.startRealtime(
+      mem.toDF.toDF("k", "tsMs", "v")
+        .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")))
+    try {
+      mem.addData(("a", m("2024-05-01T00:30:00Z"), 3L),
+        ("b", m("2024-05-01T01:10:00Z"), 4L))
+      sq.processAllAvailable()
+      val expected = Map(
+        m("2024-05-01T00:00:00Z") -> (2L, 5L),
+        m("2024-05-01T01:00:00Z") -> (1L, 4L))
+      // the timeline-swap contract: a plan built BEFORE handoff must
+      // still answer correctly when materialized AFTER it — the
+      // publish appends and the spill is marked, not deleted, so the
+      // snapshot reads each row exactly once (never publish+spill)
+      val preBuilt = rtds.queryable()
+      rtds.handoff()
+      assert(fold(preBuilt) == expected, "pre-handoff plan after handoff")
+      assert(fold(rtds.queryable()) == expected, "fresh plan after handoff")
+      assert(rtds.realtimeRows().isEmpty)
+    } finally rtds.abort()
+  }
+
+  test("spill without a commit log publishes nothing (all batches replayable)") {
+    import spark.implicits._
+    // a stateDir carrying a batch=0 spill but NO checkpoint: no offset
+    // ever committed, so the source will replay the batch on the next
+    // start — publishing it now would double its rows after the replay
+    val state = tmp()
+    val hist = tmp()
+    Seq(("a", m("2024-06-01T00:10:00Z"), 9L))
+      .toDF("k", "tsMs", "v")
+      .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v"))
+      .write.parquet(s"$state/spill/batch=0")
+    val rtds = new RealtimeDatasource(spark, spec, hist, stateDir = Some(state))
+    rtds.suspend()
+    assert(rtds.publishedRows().isEmpty,
+      "nothing may publish without a committed offset")
+    // the replayable batch stays in the window (visible, not lost)
+    assert(fold(rtds.queryable()) == Map(m("2024-06-01T00:00:00Z") -> (1L, 9L)))
+    rtds.abort()
+  }
+
+  test("historical store detected without checksum sidecars") {
+    import spark.implicits._
+    val hist = tmp()
+    Ingest.ingest(
+      Seq(("a", m("2024-07-01T00:00:00Z"), 6L))
+        .toDF("k", "tsMs", "v").select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")),
+      spec, hist)
+    // simulate a filesystem that writes no .crc sidecars (HDFS, object
+    // stores): the only non-underscore local names were the sidecars,
+    // so name-based detection would silently drop the store
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(hist)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".crc"))
+      .toSeq.foreach(java.nio.file.Files.delete)
+    val rtds = new RealtimeDatasource(spark, spec, hist)
+    assert(fold(rtds.queryable()) == Map(m("2024-07-01T00:00:00Z") -> (1L, 6L)))
+    rtds.abort()
+  }
+
+  test("reset clears offsets + window; restart re-reads from earliest") {
+    val in = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/one.json"),
+      s"""{"k": "a", "tsMs": ${m("2024-08-01T00:10:00Z")}, "v": 5}""" + "\n")
+    val hist = tmp()
+    def stream() = spark.readStream
+      .schema("k STRING, tsMs LONG, v LONG").json(in)
+      .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v"))
+    val rtds = new RealtimeDatasource(spark, spec, hist, stateDir = Some(tmp()))
+    try {
+      rtds.startRealtime(stream()).processAllAvailable()
+      rtds.suspend() // publish the window; offsets commit
+      assert(fold(rtds.queryable()) == Map(m("2024-08-01T00:00:00Z") -> (1L, 5L)))
+      // reset: offsets + window gone; restart re-reads the whole dir,
+      // so the already-published row lands AGAIN — the documented
+      // duplication contrast vs resume (reference supervisor reset)
+      rtds.reset()
+      val sq = rtds.startRealtime(stream())
+      sq.processAllAvailable()
+      assert(sq.isActive)
+      assert(fold(rtds.queryable()) == Map(m("2024-08-01T00:00:00Z") -> (2L, 10L)))
+    } finally rtds.abort()
+  }
+
   test("queryable with neither store fails loudly; double start rejected") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
