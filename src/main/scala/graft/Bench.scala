@@ -90,7 +90,17 @@ object Bench {
           Tables.events(s, d).withColumnRenamed("ts", "__time"),
           "user_id", "__time", gapMs = 3600000L, measure = col("value"))
           .agg(count(lit(1)).as("sessions"), sum(col("n_events")).as("events"))),
-      "native_groupby" -> q("native_groupby"))
+      "native_groupby" -> q("native_groupby"),
+      // the round-10/11 heavy families the bench set was blind to
+      // (realtime lifecycle = the heaviest Profile class; dedup
+      // clustering + ANN recall + instruction-data parsing are the
+      // 100 TB pipeline workloads): a perf regression here must show
+      // in BENCH_r*.json, not just builder notes
+      "streaming_union_query" -> q("streaming_union_query"),
+      "streaming_union_handoff" -> q("streaming_union_handoff"),
+      "dedup_clusters" -> q("dedup_clusters"),
+      "similarity_recall" -> q("similarity_recall"),
+      "sft_refusal_scope" -> q("sft_refusal_scope"))
 
     // warmup: touch every table (file listing + footer caches), then run
     // each headline query once so the timed pass measures steady-state

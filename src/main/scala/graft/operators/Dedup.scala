@@ -755,9 +755,23 @@ object Dedup {
 
   /** exact n-gram Jaccard over all pairs of a (pre-filtered, small)
     * candidate set — the verification primitive; not for whole-corpus
-    * use (that's what the LSH paths above are for). */
+    * use (that's what the LSH paths above are for). All-pairs is
+    * O(n²) BY CONSTRUCTION, so the candidate count is guarded loudly:
+    * a caller that hands it the corpus fails with a pointer instead
+    * of silently cross-joining millions of rows. Raise `maxDocs`
+    * explicitly when a larger verification set is intended. */
   def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDocs: Int = 4096): DataFrame = {
+    // limit(cap+1) probe: bounded even when the input is the corpus —
+    // we only need to know WHETHER the cap is exceeded
+    val probed = df.limit(maxDocs + 1).count()
+    require(probed <= maxDocs,
+      s"ngramJaccardPairs is an all-pairs (O(n^2)) verification primitive " +
+        s"and got more than $maxDocs candidate rows; pre-filter the " +
+        s"candidate set (minhashCandidates / simhash are the whole-corpus " +
+        s"paths) or pass maxDocs explicitly if a " +
+        s"${maxDocs.toLong * maxDocs / 2}-pair cross join is intended")
     val sh = df.select(
       col(idCol).as("id"),
       array_distinct(TextExpressions.wordShingles(col(textCol), n)).as("sh"))

@@ -227,6 +227,60 @@ object PipelineQueries16 {
     }
   }
 
+  /** the supervisor RESET lifecycle, hash-graded with the documented
+    * duplication contrast vs resume (reference SupervisorResource
+    * .reset:427 → SeekableStreamSupervisor.reset; the reference docs
+    * warn reset "may cause duplicated or lost events"): suspend
+    * publishes the middle third and commits its offsets, reset wipes
+    * offsets + window, and the restarted stream re-reads the source
+    * from EARLIEST — so the already-published middle third lands
+    * again. The oracle is the batch aggregate with the middle third
+    * counted TWICE: an engine that secretly kept the offsets (a
+    * resume in disguise) under-counts and breaks the hash; one that
+    * dropped published segments loses rows. Splits compare epoch
+    * millis on both engines so the duplicated set is boundary-exact. */
+  val streamingUnionReset: Q = q(
+    "streaming_union_reset",
+    """WITH bounds AS (SELECT epoch_ms(min(ts)) AS a, epoch_ms(max(ts)) AS b
+      |                FROM events),
+      |e AS (SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |      FROM events),
+      |dup AS (SELECT e.ts, e.cents FROM e, bounds
+      |        WHERE epoch_ms(e.ts) >= a + ((b - a) // 3)
+      |          AND epoch_ms(e.ts) < a + ((2 * (b - a)) // 3)),
+      |u AS (SELECT * FROM e UNION ALL SELECT * FROM dup)
+      |SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = centsEvents(s, d)
+    val r = ev.agg(
+      unix_millis(min(col("ts"))).as("a"),
+      unix_millis(max(col("ts"))).as("b")).head()
+    val (a, b) = (r.getLong(0), r.getLong(1))
+    val (cut1, cut2) = (a + (b - a) / 3, a + 2 * (b - a) / 3)
+    val ms = unix_millis(col("ts"))
+    val histDir = landHistorical(s, ev.filter(ms < cut1))
+    val srcDir = StreamStage.stageDir(
+      s, ev.filter(ms >= cut1 && ms < cut2))
+    val rtds = new RealtimeDatasource(s, rollupSpec, histDir,
+      stateDir = Some(StreamStage.tempDir("graft_rt_state")))
+    try {
+      rtds.startRealtime(StreamStage.openStream(s, srcDir))
+        .processAllAvailable()
+      rtds.suspend() // middle third publishes; its offsets committed
+      rtds.reset()   // offsets + window wiped — NOT a resume
+      StreamStage.stageInto(srcDir, ev.filter(ms >= cut2))
+      val sq = rtds.startRealtime(StreamStage.openStream(s, srcDir))
+      sq.processAllAvailable() // earliest: middle third re-ingests + newest
+      require(sq.isActive, "reset-restarted stream must be active at query time")
+      hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+    } finally {
+      rtds.abort()
+      StreamStage.cleanup()
+    }
+  }
+
   val all: Seq[Q] = Seq(streamingUnionQuery, streamingUnionHandoff,
-    streamingUnionResume, streamingUnionRestart)
+    streamingUnionResume, streamingUnionRestart, streamingUnionReset)
 }

@@ -1,0 +1,44 @@
+package graft.server
+
+/** Driver-memory bound for per-bucket metadata materializations
+  * (sys.segments rows, scan-derived slice lists): a fine-granularity
+  * datasource spanning years would otherwise collect unbounded
+  * distinct-bucket rows per introspection call (PT1M over one year is
+  * ~525k). Above [[maxSlices]] the bucket granularity COARSENS up a
+  * fixed ladder until it fits — the answer stays a correct (coarser)
+  * segmentation of the same data, the way a real deployment would
+  * never carry minute-granularity segments over years in its
+  * timeline.
+  *
+  * Reference: the coordinator serves segment metadata from a bounded
+  * timeline it manages (SegmentsMetadataManager), so it never faces
+  * this; a single-process engine deriving metadata from data must
+  * bound it itself.
+  */
+private[server] object GranularityLadder {
+  val maxSlices = 10000
+  val ladder = Seq("PT1M", "PT1H", "P1D", "P1M", "P1Y")
+
+  private val periodRe =
+    ("^P(?:(\\d+)Y)?(?:(\\d+)M)?(?:(\\d+)W)?(?:(\\d+)D)?" +
+      "(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+(?:\\.\\d+)?)S)?)?$").r
+
+  /** rough ISO-8601 period length in millis — ladder ordering only.
+    * Handles COMPOUND periods (PT1H30M, P1DT12H): a single-component
+    * parse would silently fall back for those and compare the ladder
+    * against the wrong base. Unparseable input maps to one day. */
+  def approxPeriodMs(g: String): Long = g.toUpperCase match {
+    case periodRe(y, mo, w, d, h, mi, s)
+        if Seq(y, mo, w, d, h, mi, s).exists(_ != null) =>
+      def n(v: String) = Option(v).map(_.toDouble).getOrElse(0.0)
+      (n(y) * 31536000000L + n(mo) * 2592000000L + n(w) * 604800000L +
+        n(d) * 86400000L + n(h) * 3600000L + n(mi) * 60000L +
+        n(s) * 1000L).toLong
+    case _ => 86400000L
+  }
+
+  /** the next ladder granularity strictly coarser than `g`; None when
+    * `g` is already at or past the top (P1Y). */
+  def coarser(g: String): Option[String] =
+    ladder.find(approxPeriodMs(_) > approxPeriodMs(g))
+}

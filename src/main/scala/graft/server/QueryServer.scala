@@ -1899,30 +1899,9 @@ class QueryServer(
       }
     } catch { case _: Exception => None }
 
-  /** driver-memory bound for a scan-derived slice list: a
-    * fine-granularity datasource spanning years would otherwise
-    * collect unbounded distinct-bucket rows per introspection call
-    * (PT1M over one year is ~525k). Above the cap the slice
-    * granularity COARSENS up a fixed ladder until it fits — the
-    * answer stays a correct (coarser) segmentation of the same data,
-    * the way a real deployment would never carry minute-granularity
-    * segments over years in its timeline. */
-  private val maxScanSlices = 10000
-  private val granLadder = Seq("PT1M", "PT1H", "P1D", "P1M", "P1Y")
-  /** rough ISO-8601 period length in millis — ladder ordering only. */
-  private def approxPeriodMs(g: String): Long = {
-    val m = "^P(?:T)?(\\d+)([SMHDWY])$".r.findFirstMatchIn(g.toUpperCase)
-    val unit = Map('S' -> 1000L, 'H' -> 3600000L, 'D' -> 86400000L,
-      'W' -> 604800000L, 'Y' -> 31536000000L)
-    m.map { mm =>
-      val n = mm.group(1).toLong
-      val u = mm.group(2).charAt(0)
-      // 'M' is minutes with a T prefix, months without
-      val per = if (u == 'M') { if (g.toUpperCase.startsWith("PT")) 60000L else 2592000000L }
-        else unit(u)
-      n * per
-    }.getOrElse(86400000L)
-  }
+  /** scan-derived slice lists are bounded by the shared coarsening
+    * ladder ([[GranularityLadder]] — same bound sys.segments uses). */
+  private val maxScanSlices = GranularityLadder.maxSlices
 
   private def slicesFromScan(
       dsName: String,
@@ -1946,7 +1925,7 @@ class QueryServer(
             unix_millis(graft.functions.TimeFunctions.timeShift(col("s"), gran, 1)).as("e"))
           .orderBy("s").limit(maxScanSlices + 1).collect().toSeq
         if (rows.size > maxScanSlices) {
-          granLadder.find(approxPeriodMs(_) > approxPeriodMs(gran)) match {
+          GranularityLadder.coarser(gran) match {
             case Some(coarser) => slicesAt(coarser)
             case None => // P1Y still over the cap: truncate, bounded
               rows.take(maxScanSlices)

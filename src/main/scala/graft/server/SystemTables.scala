@@ -126,22 +126,33 @@ object SystemTables {
       replicasFor: (String, Long, Long) => Long = (_, _, _) => 1L,
       realtimeSplit: String => Option[RealtimeSplit] = _ => None): DataFrame = {
     // (start, end, num_rows) per segment-granularity bucket — a
-    // one-small-aggregation collect (bucket count, not row count)
+    // one-small-aggregation collect bounded by the shared coarsening
+    // ladder: the probe is limit(cap+1) (we only need to know WHETHER
+    // the cap is exceeded), and an over-cap listing recomputes at the
+    // next coarser granularity instead of inflating the driver (a
+    // PT1M datasource over years is ~525k buckets otherwise).
     def bucketCounts(df: DataFrame, gran: String): Seq[Row] = {
+      if (!df.columns.contains(Ingest.TimeCol))
+        return df.agg(count(lit(1)).as("num_rows"))
+          .select(lit("-146136543-09-08T08:23:32.096Z").as("start"),
+            lit("146140482-04-24T15:36:27.903Z").as("end"), col("num_rows"))
+          .collect().toSeq
+      val cap = GranularityLadder.maxSlices
       val bucketed =
-        if (df.columns.contains(Ingest.TimeCol))
-          df.groupBy(TimeFunctions.timeFloor(col(Ingest.TimeCol), gran).as("__start"))
-            .agg(count(lit(1)).as("num_rows"))
-            .select(
-              date_format(col("__start"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("start"),
-              date_format(TimeFunctions.timeShift(col("__start"), gran, 1),
-                "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("end"),
-              col("num_rows"))
-        else
-          df.agg(count(lit(1)).as("num_rows"))
-            .select(lit("-146136543-09-08T08:23:32.096Z").as("start"),
-              lit("146140482-04-24T15:36:27.903Z").as("end"), col("num_rows"))
-      bucketed.collect().toSeq.sortBy(_.getString(0))
+        df.groupBy(TimeFunctions.timeFloor(col(Ingest.TimeCol), gran).as("__start"))
+          .agg(count(lit(1)).as("num_rows"))
+          .select(
+            date_format(col("__start"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("start"),
+            date_format(TimeFunctions.timeShift(col("__start"), gran, 1),
+              "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("end"),
+            col("num_rows"))
+      val rows = bucketed.orderBy("start").limit(cap + 1).collect().toSeq
+      if (rows.size > cap)
+        GranularityLadder.coarser(gran) match {
+          case Some(coarserGran) => bucketCounts(df, coarserGran)
+          case None => rows.take(cap) // P1Y still over: truncate, bounded
+        }
+      else rows
     }
     val perDs = datasources().flatMap { ds =>
       val split = realtimeSplit(ds)

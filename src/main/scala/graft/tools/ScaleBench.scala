@@ -30,12 +30,18 @@ object ScaleBench {
 
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    // task OUTPUT bytes: every file-sink write the entry performs —
+    // for the realtime entries this is the executor-side spill +
+    // publish volume (the state the 100 TB design must bound), which
+    // shuffle metrics alone don't see
+    val outputWritten = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val m = s.stageInfo.taskMetrics
         if (m != null) {
           shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          outputWritten.addAndGet(m.outputMetrics.bytesWritten)
         }
       }
     }
@@ -46,13 +52,14 @@ object ScaleBench {
       // settle the async listener bus between entries so per-entry
       // shuffle attribution is clean (rehearsal tool, not a gate)
       Thread.sleep(1500)
-      shuffleRead.set(0); shuffleWrite.set(0)
+      shuffleRead.set(0); shuffleWrite.set(0); outputWritten.set(0)
       val t0 = System.nanoTime()
       val rows = q(name)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500)
       s""""$name":{"sec":$sec,"rows":$rows,"shuffle_read_b":${
-        shuffleRead.get()},"shuffle_write_b":${shuffleWrite.get()}}"""
+        shuffleRead.get()},"shuffle_write_b":${shuffleWrite.get()},"output_written_b":${
+        outputWritten.get()}}"""
     }
     println(s"""{"sf_dir":"$sfDir","entries":{${parts.mkString(",")}}}""")
     spark.stop()

@@ -152,6 +152,18 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
   }
 
+  test("ngram jaccard pairs: whole-corpus misuse fails loudly, not O(n^2)") {
+    import spark.implicits._
+    val big = spark.range(10).select(
+      col("id").as("doc_id"), concat(lit("doc number "), col("id")).as("text"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairs(big, "doc_id", "text", 3, maxDocs = 5))
+    assert(e.getMessage.contains("all-pairs"), e.getMessage)
+    // an explicit cap raise opts in
+    assert(Dedup.ngramJaccardPairs(big, "doc_id", "text", 3, maxDocs = 10)
+      .count() == 45L)
+  }
+
   test("connected components: chains merge, singletons keep their id") {
     import spark.implicits._
     // path 1-2-3-4 (multi-hop: 4 only reaches 1 transitively), pair 10-11,

@@ -1,0 +1,38 @@
+package graft.server
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compound ISO-8601 periods must order correctly on the coarsening
+  * ladder — a single-component parse silently mapped PT1H30M to the
+  * P1D default and could "coarsen" to something finer than the
+  * table's actual granularity. */
+class GranularityLadderSpec extends AnyFunSuite {
+
+  test("single-component periods (minutes vs months disambiguated by T)") {
+    assert(GranularityLadder.approxPeriodMs("PT1M") == 60000L)
+    assert(GranularityLadder.approxPeriodMs("P1M") == 2592000000L)
+    assert(GranularityLadder.approxPeriodMs("PT1H") == 3600000L)
+    assert(GranularityLadder.approxPeriodMs("P1D") == 86400000L)
+    assert(GranularityLadder.approxPeriodMs("P1W") == 604800000L)
+    assert(GranularityLadder.approxPeriodMs("P1Y") == 31536000000L)
+    assert(GranularityLadder.approxPeriodMs("PT15S") == 15000L)
+  }
+
+  test("compound periods sum their components") {
+    assert(GranularityLadder.approxPeriodMs("PT1H30M") == 5400000L)
+    assert(GranularityLadder.approxPeriodMs("P1DT12H") == 129600000L)
+    assert(GranularityLadder.approxPeriodMs("P1MT1H") == 2592000000L + 3600000L)
+    assert(GranularityLadder.approxPeriodMs("PT0.5S") == 500L)
+  }
+
+  test("coarser steps strictly up the ladder") {
+    assert(GranularityLadder.coarser("PT1M").contains("PT1H"))
+    assert(GranularityLadder.coarser("PT1H30M").contains("P1D"),
+      "90 minutes must coarsen to a day, not re-compare against P1D's default")
+    assert(GranularityLadder.coarser("P1DT12H").contains("P1M"))
+    assert(GranularityLadder.coarser("P1D").contains("P1M"))
+    assert(GranularityLadder.coarser("P1Y").isEmpty)
+    // unparseable input maps to one day -> coarsens to a month, never finer
+    assert(GranularityLadder.coarser("bogus").contains("P1M"))
+  }
+}

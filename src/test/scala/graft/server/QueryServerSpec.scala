@@ -1533,6 +1533,26 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sys.segments bucket listing is bounded by the coarsening ladder") {
+    import org.apache.spark.sql.functions._
+    // the same 28.5-year fixture: 10,401 distinct days exceeds the
+    // 10,000-slice cap at the default P1D granularity, so the segment
+    // listing must coarsen to months on the driver — exact row counts
+    // preserved, bounded collect — instead of materializing every day
+    val manyDays = spark.range(10401).select(
+      timestamp_millis(lit(java.time.Instant.parse("1990-01-01T00:00:00Z")
+        .toEpochMilli) + col("id") * 86400000L).as("__time"),
+      (col("id") % 7).as("m"))
+    val seg = SystemTables.segments(
+      spark, () => Seq("wide"), _ => manyDays, _ => None).collect()
+    assert(seg.length >= 342 && seg.length <= 400,
+      s"expected ~343 month segments, got ${seg.length}")
+    assert(seg.exists(r => r.getString(2) == "1990-01-01T00:00:00.000Z" &&
+      r.getString(3) == "1990-02-01T00:00:00.000Z"), "month boundaries")
+    assert(seg.map(_.getLong(8)).sum == 10401L,
+      "coarsening must preserve exact num_rows totals")
+  }
+
   test("context.bySegment wraps unmerged per-segment results") {
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()

@@ -21,9 +21,12 @@ DST = "/root/repo/target/scale/sf1.0"
 OUT = "/root/repo/target/scale/verify_out"
 # corpus-wide entries only: fixed-fixture contracts (e.g. the
 # doc_id<80 LSH contract) are scale-invariant by design and say
-# nothing here
+# nothing here. streaming_union_query is the realtime path at 10x
+# stream volume (events synthesized below): its output_written_b is
+# the executor spill + publish volume, which must grow ~linearly.
 ENTRIES = ["dedup_minhash_fast", "dedup_clusters", "pipeline_drop_ledger",
-           "similarity_ivf_contract", "similarity_brute_force"]
+           "similarity_ivf_contract", "similarity_brute_force",
+           "streaming_union_query"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -88,8 +91,23 @@ def synthesize():
       ) TO '{DST}/embeddings.parquet'
         (FORMAT PARQUET, ROW_GROUP_SIZE 4096)
     """)
+    # events: 10 copies with shifted ids, SAME timestamps — hourly
+    # volume (the realtime stream's per-window row count) scales 10x,
+    # which is exactly the axis the streaming_union_query rehearsal
+    # must stress (spill + publish volume per hour bucket).
+    con.sql(f"""
+      COPY (
+        SELECT e.event_id + i.i * 10000000 AS event_id, e.ts,
+               e.user_id + i.i * 10000000 AS user_id,
+               e.event_type, e.value, e.props
+        FROM read_parquet('{SRC}/events.parquet') e,
+             (SELECT unnest(range(0, 10)) AS i) i
+        ORDER BY ts
+      ) TO '{DST}/events.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 4096)
+    """)
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     n = con.sql(f"SELECT count(*) FROM '{DST}/documents.parquet'").fetchone()[0]
@@ -138,6 +156,10 @@ def main():
         report["entries"][e] = {
             "sf0.1": s, "sf1.0": b,
             "shuffle_write_ratio_10x": ratio,
+            # file-sink bytes (realtime spill + publish volume)
+            "output_written_ratio_10x": (
+                b.get("output_written_b", 0) / s["output_written_b"]
+                if s.get("output_written_b") else None),
             "wall_ratio_10x": b["sec"] / s["sec"] if s["sec"] else None,
             "hash_pass_at_10x": passes.get(e, False),
         }
