@@ -45,5 +45,52 @@ object IngestQueries {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(ingestRollupRoundtrip)
+  /** compaction roundtrip (reference CompactionTask): ingest hourly
+    * rollup, COMPACT the table (per-bucket file rewrite + intra-segment
+    * dim sort — the zone-map analog of the reference's dimension
+    * indexes), and hash-grade the daily fold over the COMPACTED copy
+    * against direct aggregation of the raw rows. A compaction that
+    * drops/duplicates a row, loses a bucket, or breaks the rollup
+    * partials breaks the hash; the file-count guard proves it
+    * actually rewrote small files instead of copying them. */
+  val ingestCompactionRoundtrip: Q = q(
+    "ingest_compaction_roundtrip",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(value), 4) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString
+    val spec = IngestSpec(
+      timeColumn = "ts",
+      dimensions = Seq("event_type"),
+      metrics = Seq(Metric.Count("cnt"), Metric.DoubleSum("sv", "value")),
+      queryGranularity = Some("PT1H"),
+      segmentGranularity = "P1D")
+    // four appended ingest runs (the reference's repeated ingest tasks
+    // over a day): each append lands its own files + partial rollups
+    // in every bucket dir — exactly the fragmentation compaction
+    // exists to fix
+    val ev = Tables.events(s, d)
+    (0L until 4L).foreach(k =>
+      Ingest.ingest(ev.filter(pmod(col("event_id"), lit(4L)) === k), spec, dir))
+    def parquetFiles(p: String) = s.read.parquet(p).inputFiles.length
+    val before = parquetFiles(dir)
+    Ingest.compact(s, dir, out, sortDims = Seq("event_type"))
+    val after = parquetFiles(out)
+    require(after < before,
+      s"compaction must merge small files: $before -> $after")
+    Ingest.read(s, out)
+      .groupBy(
+        graft.functions.TimeFunctions.timeFloor(col(Ingest.TimeCol), "P1D")
+          .as("day"),
+        col("event_type"))
+      .agg(sum("cnt").cast("long").as("cnt"),
+        round(sum("sv"), 4).as("total"))
+      .select(unix_millis(col("day")).as("day_ms"), col("event_type"),
+        col("cnt"), col("total"))
+      .orderBy(col("day_ms"), col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(ingestRollupRoundtrip, ingestCompactionRoundtrip)
 }

@@ -91,8 +91,12 @@ class QueryServer(
     * query path serves. */
   private def realtimeSplitFor(
       name: String): Option[SystemTables.RealtimeSplit] =
-    realtimeSupervisors.get(name).map(rtds =>
-      SystemTables.RealtimeSplit(rtds.publishedRows(), rtds.realtimeRows()))
+    realtimeSupervisors.get(name).map { rtds =>
+      // one-lock snapshot: two separate reads could straddle a
+      // concurrent handoff and report the window in NEITHER side
+      val (published, inFlight) = rtds.storesSnapshot()
+      SystemTables.RealtimeSplit(published, inFlight)
+    }
 
   private def resolveWithIngested(name: String): DataFrame =
     realtimeSupervisors.get(name) match {

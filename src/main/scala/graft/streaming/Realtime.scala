@@ -175,6 +175,14 @@ final class RealtimeDatasource(
     * [[realtimeRows]] it reports as is_published=0/is_realtime=1. */
   def publishedRows(): Option[DataFrame] = synchronized { historicalRows() }
 
+  /** one-lock snapshot of (published store, in-flight window): a
+    * metadata reader taking the two separately could observe a
+    * concurrent [[handoff]] halfway — the window already cleared but
+    * its published rows read before the publish — and report rows in
+    * NEITHER side. Same announce-time atomicity [[queryable]] has. */
+  def storesSnapshot(): (Option[DataFrame], Option[DataFrame]) =
+    synchronized { (historicalRows(), realtimeRows()) }
+
   private def historicalRows(): Option[DataFrame] =
     historicalReader match {
       case Some(reader) => reader()
