@@ -281,6 +281,54 @@ object PipelineQueries16 {
     }
   }
 
+  /** intermediate-persist merging, hash-graded mid-flight: the newer
+    * half arrives as FOUR micro-batches (maxFilesPerTrigger=1), so
+    * the window fragments into four spill segments — the reference's
+    * per-persist hydrants — and compactSpillWindow folds the
+    * committed ones into a single consolidated segment WHILE the
+    * stream stays active. The graded query runs after the merge: a
+    * compaction that drops a batch, double-reads one (merged +
+    * original), or touches the uncommitted tail breaks the hash
+    * against the batch answer over all events. Fragment counts are
+    * asserted so the merge provably happened (4 → 1). */
+  val streamingUnionPersistMerge: Q = q(
+    "streaming_union_persist_merge", unionOracle) { (s, d) =>
+    val ev = centsEvents(s, d)
+    val cut = midpointCut(ev)
+    val histDir = landHistorical(s, ev.filter(col("ts") < cut))
+    val newer = ev.filter(col("ts") >= cut)
+    val r = newer.agg(
+      unix_millis(min(col("ts"))).as("a"),
+      unix_millis(max(col("ts"))).as("b")).head()
+    val (a, b) = (r.getLong(0), r.getLong(1))
+    val ms = unix_millis(col("ts"))
+    // four arrival files over the newer half (last quarter open-ended)
+    val srcDir = StreamStage.stageDir(s, newer.filter(ms < a + (b - a) / 4))
+    (1 to 3).foreach { i =>
+      val lo = a + i.toLong * (b - a) / 4
+      val hi = a + (i + 1).toLong * (b - a) / 4
+      StreamStage.stageInto(srcDir, newer.filter(
+        if (i == 3) ms >= lo else ms >= lo && ms < hi))
+    }
+    val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
+    val sq = rtds.startRealtime(
+      StreamStage.openStream(s, srcDir, maxFilesPerTrigger = 1))
+    try {
+      sq.processAllAvailable() // 4 micro-batches -> 4 spill segments
+      require(rtds.windowFragments() == 4,
+        s"expected 4 spill segments, got ${rtds.windowFragments()}")
+      rtds.compactSpillWindow(maxDirs = 1)
+      require(rtds.windowFragments() == 1,
+        s"merge must consolidate to 1 segment, got ${rtds.windowFragments()}")
+      require(sq.isActive, "stream must still be active after the merge")
+      hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+    } finally {
+      rtds.abort()
+      StreamStage.cleanup()
+    }
+  }
+
   val all: Seq[Q] = Seq(streamingUnionQuery, streamingUnionHandoff,
-    streamingUnionResume, streamingUnionRestart, streamingUnionReset)
+    streamingUnionResume, streamingUnionRestart, streamingUnionReset,
+    streamingUnionPersistMerge)
 }

@@ -46,9 +46,16 @@ private[queries] object StreamStage {
   def stageInto(dir: String, df: DataFrame): Unit =
     df.coalesce(1).write.mode("append").parquet(dir)
 
-  def openStream(s: SparkSession, dir: String): DataFrame = {
+  /** `maxFilesPerTrigger` splits the staged files into that many
+    * micro-batches — for entries exercising per-batch behavior
+    * (spill fragmentation, compaction) rather than one bulk batch. */
+  def openStream(
+      s: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     val schema = s.read.parquet(dir).schema
-    s.readStream.schema(schema).parquet(dir)
+    val r = s.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).parquet(dir)
   }
 
   /** best-effort recursive delete of every dir staged on this thread

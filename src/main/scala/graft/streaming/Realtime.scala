@@ -97,13 +97,26 @@ final class RealtimeDatasource(
     * its snapshot (see class doc). */
   private val publishedMarker = s"$spillDir/_published"
 
+  /** live window dirs: the newest `merged=<C>` consolidation (if any)
+    * plus the `batch=<id>` dirs with id > C. Superseded merged dirs
+    * and batch dirs at or below C stay on disk so plans built before
+    * a [[compactSpillWindow]] keep reading their snapshot — they are
+    * garbage, not live, and [[startRealtime]] reclaims them. */
   private def spillBatchDirs(): Seq[org.apache.hadoop.fs.Path] = {
     val p = new org.apache.hadoop.fs.Path(spillDir)
     val f = fs(spillDir)
     if (!f.exists(p) || f.exists(new org.apache.hadoop.fs.Path(publishedMarker)))
-      Nil
-    else f.listStatus(p).toSeq.filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("batch=")).map(_.getPath)
+      return Nil
+    val entries = f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    val mergedUpTo = entries.flatMap(d =>
+      if (d.getName.startsWith("merged=")) Some(d.getName.stripPrefix("merged=").toLong)
+      else None).maxOption
+    val tail = entries.filter { d =>
+      d.getName.startsWith("batch=") &&
+        mergedUpTo.forall(_ < d.getName.stripPrefix("batch=").toLong)
+    }
+    mergedUpTo.map(c =>
+      new org.apache.hadoop.fs.Path(s"$spillDir/merged=$c")).toSeq ++ tail
   }
 
   /** start (or, after [[suspend]], resume) serving an in-flight
@@ -120,6 +133,7 @@ final class RealtimeDatasource(
     val f0 = fs(spillDir)
     if (f0.exists(new org.apache.hadoop.fs.Path(publishedMarker)))
       f0.delete(new org.apache.hadoop.fs.Path(spillDir), true)
+    else reclaimSupersededSpill()
     var df = stream
     for ((name, e) <- spec.transforms)
       df = df.withColumn(name, org.apache.spark.sql.functions.expr(e))
@@ -174,6 +188,11 @@ final class RealtimeDatasource(
     * sys.segments reports as is_published=1 rows, vs the in-flight
     * [[realtimeRows]] it reports as is_published=0/is_realtime=1. */
   def publishedRows(): Option[DataFrame] = synchronized { historicalRows() }
+
+  /** number of spill segments a window query currently reads (merged
+    * consolidations count one) — the observable
+    * [[compactSpillWindow]] bounds. */
+  def windowFragments(): Int = synchronized { spillBatchDirs().size }
 
   /** one-lock snapshot of (published store, in-flight window): a
     * metadata reader taking the two separately could observe a
@@ -265,7 +284,10 @@ final class RealtimeDatasource(
     if (dirs.nonEmpty) {
       val publishable = committedBatchIds() match {
         case Some(ids) => dirs.filter(d =>
-          ids.contains(d.getName.stripPrefix("batch=").toLong))
+          // a merged= consolidation holds committed batches only, by
+          // compactSpillWindow's construction
+          d.getName.startsWith("merged=") ||
+            ids.contains(d.getName.stripPrefix("batch=").toLong))
         case None => Nil
       }
       if (publishable.nonEmpty)
@@ -282,6 +304,74 @@ final class RealtimeDatasource(
         // published ones — a marker would hide the survivors too
         publishable.foreach(d => f.delete(d, true))
       }
+    }
+  }
+
+  /** merge the window's COMMITTED micro-batch spills into one
+    * consolidated `merged=<C>` dir once fragmentation passes
+    * `maxDirs` — the reference's intermediate-persist merging (a
+    * realtime task merges its persisted hydrants so queries don't
+    * walk hundreds of tiny indexes; AppenderatorImpl persist+merge
+    * lifecycle). A long-running stream at a 1 s trigger otherwise
+    * accumulates thousands of tiny parquet dirs that every
+    * [[queryable]] must list and read.
+    *
+    * Exactly-once safe BY CONSTRUCTION, no coordination with the
+    * running stream needed: only committed batches merge, and a
+    * committed batch is never replayed — the stream's foreachBatch
+    * only ever (re)writes `batch=` dirs whose offsets have NOT
+    * committed, so the merge's input set is immutable. The
+    * consolidated dir is staged and atomically renamed like any
+    * batch dir; a crash before the rename leaves a stray staging dir
+    * (reclaimed at the next start), a crash after it leaves the
+    * superseded originals as garbage (kept so plans built before the
+    * compaction stay readable — see class doc; reclaimed at the next
+    * [[startRealtime]]). Readers take the newest merged dir plus the
+    * batch dirs beyond it, so the window's row set is identical
+    * before and after. Call from a maintenance tick or after N
+    * micro-batches; safe under any lifecycle state. */
+  def compactSpillWindow(maxDirs: Int = 64): Unit = synchronized {
+    val live = spillBatchDirs()
+    if (live.size <= maxDirs) return
+    val committed = committedBatchIds().getOrElse(Set.empty[Long])
+    val mergeable = live.filter(d =>
+      d.getName.startsWith("merged=") ||
+        committed.contains(d.getName.stripPrefix("batch=").toLong))
+    if (mergeable.size <= 1) return // nothing new to fold in
+    val upTo = mergeable.map(d =>
+      d.getName.stripPrefix("merged=").stripPrefix("batch=").toLong).max
+    val staging = s"$spillDir/.staging-merged-$upTo"
+    val dest = s"$spillDir/merged=$upTo"
+    spark.read.parquet(mergeable.map(_.toString): _*)
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(staging)
+    val f = fs(spillDir)
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    if (f.exists(destP)) f.delete(destP, true)
+    require(f.rename(new org.apache.hadoop.fs.Path(staging), destP),
+      s"spill merge rename failed: $staging -> $dest")
+  }
+
+  /** delete spill entries superseded by the newest `merged=<C>` dir
+    * (batch dirs at or below C, older merged dirs, stray staging
+    * dirs). Runs at [[startRealtime]] — the documented reclaim point,
+    * when no pre-compaction plan can still be outstanding. */
+  private def reclaimSupersededSpill(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(spillDir)
+    val f = fs(spillDir)
+    if (!f.exists(p)) return
+    val entries = f.listStatus(p).toSeq.map(_.getPath)
+    val mergedUpTo = entries.flatMap(d =>
+      if (d.getName.startsWith("merged=")) Some(d.getName.stripPrefix("merged=").toLong)
+      else None).maxOption
+    entries.foreach { d =>
+      val n = d.getName
+      val superseded =
+        n.startsWith(".staging-") ||
+          mergedUpTo.exists(c =>
+            (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= c) ||
+              (n.startsWith("merged=") && n.stripPrefix("merged=").toLong < c))
+      if (superseded) f.delete(d, true)
     }
   }
 

@@ -260,6 +260,48 @@ class RealtimeSpec extends SparkSpec {
     } finally rtds.abort()
   }
 
+  test("spill compaction merges committed persists; answers + snapshots unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val hist = tmp()
+    Ingest.ingest(
+      Seq(("a", m("2024-09-01T00:05:00Z"), 2L))
+        .toDF("k", "tsMs", "v").select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")),
+      spec, hist)
+    val rtds = new RealtimeDatasource(spark, spec, hist)
+    val mem = MemoryStream[(String, Long, Long)]
+    val sq = rtds.startRealtime(
+      mem.toDF.toDF("k", "tsMs", "v")
+        .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")))
+    try {
+      Seq(("a", m("2024-09-01T00:40:00Z"), 3L),
+        ("b", m("2024-09-01T01:10:00Z"), 4L),
+        ("b", m("2024-09-01T01:20:00Z"), 5L)).foreach { row =>
+        mem.addData(row); sq.processAllAvailable()
+      }
+      assert(rtds.windowFragments() == 3, "one spill segment per micro-batch")
+      val expected = Map(
+        m("2024-09-01T00:00:00Z") -> (2L, 5L),
+        m("2024-09-01T01:00:00Z") -> (2L, 9L))
+      val preBuilt = rtds.queryable()
+      rtds.compactSpillWindow(maxDirs = 2)
+      assert(rtds.windowFragments() == 1, "committed persists merged into one")
+      // answers identical through the merge; a plan built before it
+      // keeps its snapshot (originals are garbage, not deleted)
+      assert(fold(rtds.queryable()) == expected, "fresh plan after merge")
+      assert(fold(preBuilt) == expected, "pre-merge plan after merge")
+      // under maxDirs nothing happens (no churn on every tick)
+      rtds.compactSpillWindow(maxDirs = 16)
+      assert(rtds.windowFragments() == 1)
+      // publish treats the merged dir as committed — handoff exact
+      rtds.handoff()
+      assert(rtds.realtimeRows().isEmpty)
+      assert(fold(rtds.queryable()) == expected, "post-handoff")
+    } finally rtds.abort()
+  }
+
   test("queryable with neither store fails loudly; double start rejected") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
