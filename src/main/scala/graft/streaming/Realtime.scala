@@ -74,7 +74,13 @@ final class RealtimeDatasource(
       * (graded entries). A server passes a per-datasource dir so the
       * checkpoint survives suspend/resume — the reference supervisor
       * resuming from offsets in the metadata store. */
-    stateDir: Option[String] = None) {
+    stateDir: Option[String] = None,
+    /** self-compact the window once it fragments past this many spill
+      * segments (the reference's automatic persist merging —
+      * maxPendingPersists-style bound); 0 disables. Runs inside the
+      * micro-batch callback after the spill rename, lock-free (see
+      * [[compactSpillWindow]]'s safety argument). */
+    autoCompactFragments: Int = 64) {
 
   /** owned temp state (no stateDir given) is deleted by [[abort]];
     * caller-provided state survives for resume/restart. */
@@ -157,6 +163,12 @@ final class RealtimeDatasource(
         // don't commit — otherwise the rows vanish silently
         require(hfs.rename(new org.apache.hadoop.fs.Path(staging), destP),
           s"realtime spill rename failed: $staging -> $destP")
+        // self-maintenance: fold committed persists once the window
+        // fragments — lock-FREE on purpose (a handoff draining this
+        // very batch holds the instance lock while it waits, so
+        // taking it here would deadlock); safety per the method doc
+        if (autoCompactFragments > 0)
+          compactSpillWindowCore(autoCompactFragments)
         ()
         }
       }
@@ -328,28 +340,41 @@ final class RealtimeDatasource(
     * compaction stay readable — see class doc; reclaimed at the next
     * [[startRealtime]]). Readers take the newest merged dir plus the
     * batch dirs beyond it, so the window's row set is identical
-    * before and after. Call from a maintenance tick or after N
-    * micro-batches; safe under any lifecycle state. */
+    * before and after — a reader's single listStatus sees either the
+    * pre- or post-rename state, both correct. The stream also runs
+    * this itself after each spill (`autoCompactFragments`); that call
+    * is lock-free because a draining [[handoff]] holds the instance
+    * lock while it WAITS on the batch — the in-progress flag keeps
+    * concurrent invocations from racing the staging dir instead. */
   def compactSpillWindow(maxDirs: Int = 64): Unit = synchronized {
-    val live = spillBatchDirs()
-    if (live.size <= maxDirs) return
-    val committed = committedBatchIds().getOrElse(Set.empty[Long])
-    val mergeable = live.filter(d =>
-      d.getName.startsWith("merged=") ||
-        committed.contains(d.getName.stripPrefix("batch=").toLong))
-    if (mergeable.size <= 1) return // nothing new to fold in
-    val upTo = mergeable.map(d =>
-      d.getName.stripPrefix("merged=").stripPrefix("batch=").toLong).max
-    val staging = s"$spillDir/.staging-merged-$upTo"
-    val dest = s"$spillDir/merged=$upTo"
-    spark.read.parquet(mergeable.map(_.toString): _*)
-      .coalesce(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(staging)
-    val f = fs(spillDir)
-    val destP = new org.apache.hadoop.fs.Path(dest)
-    if (f.exists(destP)) f.delete(destP, true)
-    require(f.rename(new org.apache.hadoop.fs.Path(staging), destP),
-      s"spill merge rename failed: $staging -> $dest")
+    compactSpillWindowCore(maxDirs)
+  }
+
+  private val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def compactSpillWindowCore(maxDirs: Int): Unit = {
+    if (!compacting.compareAndSet(false, true)) return
+    try {
+      val live = spillBatchDirs()
+      if (live.size <= maxDirs) return
+      val committed = committedBatchIds().getOrElse(Set.empty[Long])
+      val mergeable = live.filter(d =>
+        d.getName.startsWith("merged=") ||
+          committed.contains(d.getName.stripPrefix("batch=").toLong))
+      if (mergeable.size <= 1) return // nothing new to fold in
+      val upTo = mergeable.map(d =>
+        d.getName.stripPrefix("merged=").stripPrefix("batch=").toLong).max
+      val staging = s"$spillDir/.staging-merged-$upTo"
+      val dest = s"$spillDir/merged=$upTo"
+      spark.read.parquet(mergeable.map(_.toString): _*)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(staging)
+      val f = fs(spillDir)
+      val destP = new org.apache.hadoop.fs.Path(dest)
+      if (f.exists(destP)) f.delete(destP, true)
+      require(f.rename(new org.apache.hadoop.fs.Path(staging), destP),
+        s"spill merge rename failed: $staging -> $dest")
+    } finally compacting.set(false)
   }
 
   /** delete spill entries superseded by the newest `merged=<C>` dir

@@ -302,6 +302,30 @@ class RealtimeSpec extends SparkSpec {
     } finally rtds.abort()
   }
 
+  test("auto-compaction bounds window fragmentation with no operator action") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rtds = new RealtimeDatasource(spark, spec, tmp(),
+      autoCompactFragments = 2)
+    val mem = MemoryStream[(String, Long, Long)]
+    val sq = rtds.startRealtime(
+      mem.toDF.toDF("k", "tsMs", "v")
+        .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")))
+    try {
+      (1 to 5).foreach { i =>
+        mem.addData(("a", m("2024-10-01T00:00:00Z") + i * 60000L, i.toLong))
+        sq.processAllAvailable()
+      }
+      // five micro-batches, never more than merged + uncommitted tail
+      assert(rtds.windowFragments() <= 2,
+        s"auto-compaction must bound fragments, got ${rtds.windowFragments()}")
+      assert(fold(rtds.queryable()) ==
+        Map(m("2024-10-01T00:00:00Z") -> (5L, 15L)))
+    } finally rtds.abort()
+  }
+
   test("queryable with neither store fails loudly; double start rejected") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
