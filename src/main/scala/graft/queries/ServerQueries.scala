@@ -1,0 +1,96 @@
+package graft.queries
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.server.QueryServer
+
+/** Grades the SERVER HTTP loop end-to-end — the first registry entries
+  * that enter through a real socket instead of the planner API: SQL
+  * ingestion tasks (modern reference `REPLACE INTO ... OVERWRITE ALL |
+  * OVERWRITE WHERE ... PARTITIONED BY` on POST /druid/v2/sql, the MSQ
+  * controller surface) followed by a SQL read of the ingested
+  * datasource over the same endpoint, csv-parsed back into a frame the
+  * driver hash-compares against DuckDB over the raw rows.
+  */
+object ServerQueries {
+
+  private def postSql(port: Int, sql: String): String = {
+    // Jackson handles the quoting/newlines in the SQL body
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val body = mapper.createObjectNode()
+    body.put("query", sql)
+    body.put("resultFormat", "csv")
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2/sql"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"sql endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
+    resp.body()
+  }
+
+  /** REPLACE OVERWRITE ALL lays the table down day-partitioned, then
+    * REPLACE OVERWRITE WHERE rewrites exactly one day slice with
+    * DOUBLED cents — the oracle reproduces the doubling analytically,
+    * so a slice replace that leaves stale rows beside the new ones
+    * (count inflates), drops a neighboring segment, or misaligns the
+    * bucket boundaries breaks the hash. The final aggregate runs over
+    * the SAME HTTP endpoint (csv result), proving ingest + query +
+    * wire format as one loop. Columns are integers end-to-end so the
+    * csv round-trip is exact. */
+  val serverSqlReplace: Q = q(
+    "server_sql_replace_roundtrip",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+      |                      AND ts < TIMESTAMP '2024-01-11'
+      |                     THEN 2 * CAST(round(value * 100) AS BIGINT)
+      |                     ELSE CAST(round(value * 100) AS BIGINT) END)
+      |            AS BIGINT) AS cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("server_replace_src")
+    val storage =
+      java.nio.file.Files.createTempDirectory("graft_sql_ingest").toString
+    val srv = new QueryServer(s, _ => s.emptyDataFrame,
+      storageRoot = Some(storage))
+    val port = srv.start()
+    try {
+      val r1 = postSql(port,
+        """REPLACE INTO server_replace_tbl OVERWRITE ALL
+          |SELECT ts AS __time, event_type,
+          |       CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_replace_src
+          |PARTITIONED BY DAY CLUSTERED BY event_type""".stripMargin)
+      require(r1.contains("SUCCESS"), s"REPLACE ALL failed: $r1")
+      val r2 = postSql(port,
+        """REPLACE INTO server_replace_tbl
+          |OVERWRITE WHERE __time >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND __time < TIMESTAMP '2024-01-11 00:00:00'
+          |SELECT ts AS __time, event_type,
+          |       2 * CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_replace_src
+          |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+          |PARTITIONED BY DAY""".stripMargin)
+      require(r2.contains("SUCCESS"), s"REPLACE WHERE failed: $r2")
+      val csv = postSql(port,
+        """SELECT unix_millis(date_trunc('day', __time)) AS day_ms,
+          |       count(*) AS cnt, sum(cents) AS cents
+          |FROM server_replace_tbl GROUP BY 1 ORDER BY 1""".stripMargin)
+      import s.implicits._
+      csv.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val p = line.split(",")
+        (p(0).toLong, p(1).toLong, p(2).toLong)
+      }.toSeq.toDF("day_ms", "cnt", "cents").orderBy("day_ms")
+    } finally srv.stop()
+  }
+
+  val all: Seq[Q] = Seq(serverSqlReplace)
+}

@@ -345,7 +345,15 @@ final class RealtimeDatasource(
     * this itself after each spill (`autoCompactFragments`); that call
     * is lock-free because a draining [[handoff]] holds the instance
     * lock while it WAITS on the batch — the in-progress flag keeps
-    * concurrent invocations from racing the staging dir instead. */
+    * concurrent invocations from racing the staging dir instead.
+    *
+    * Write amplification: each merge rewrites the consolidated window
+    * so far, so total merge I/O over a stream's life is
+    * O(window × merges). The window is bounded (hours of data — the
+    * reference bounds it the same way with maxRowsInMemory +
+    * handoff), and `maxDirs` sets the merge cadence; for a
+    * faster-than-hourly trigger the default (64) keeps merge I/O a
+    * small multiple of ingest I/O. */
   def compactSpillWindow(maxDirs: Int = 64): Unit = synchronized {
     compactSpillWindowCore(maxDirs)
   }
