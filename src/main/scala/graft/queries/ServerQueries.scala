@@ -92,5 +92,62 @@ object ServerQueries {
     } finally srv.stop()
   }
 
-  val all: Seq[Q] = Seq(serverSqlReplace)
+  private def postTask(port: Int, taskJson: String): String = {
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/indexer/v1/task"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(taskJson, StandardCharsets.UTF_8))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"task endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
+    resp.body()
+  }
+
+  /** the segment data-lifecycle delete over the task API (reference
+    * KillUnusedSegmentsTask): ingest day-partitioned, POST a kill task
+    * for a two-day interval, and hash-grade the surviving table read
+    * back over the SQL endpoint against DuckDB excluding the killed
+    * slice. A kill that deletes a neighboring segment (fencepost on
+    * the bucket range), leaves part of the slice behind, or breaks the
+    * table's registration for subsequent queries breaks the hash. */
+  val serverKillTask: Q = q(
+    "server_kill_task_roundtrip",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events
+      |WHERE NOT (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("server_kill_src")
+    val storage =
+      java.nio.file.Files.createTempDirectory("graft_kill_task").toString
+    val srv = new QueryServer(s, _ => s.emptyDataFrame,
+      storageRoot = Some(storage))
+    val port = srv.start()
+    try {
+      val r1 = postSql(port,
+        """REPLACE INTO server_kill_tbl OVERWRITE ALL
+          |SELECT ts AS __time, CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_kill_src
+          |PARTITIONED BY DAY""".stripMargin)
+      require(r1.contains("SUCCESS"), s"REPLACE failed: $r1")
+      val r2 = postTask(port,
+        """{"type": "kill", "dataSource": "server_kill_tbl",
+          | "interval": "2024-01-10T00:00:00Z/2024-01-12T00:00:00Z"}""".stripMargin)
+      require(r2.contains("\"task\""), s"kill task failed: $r2")
+      val csv = postSql(port,
+        """SELECT unix_millis(date_trunc('day', __time)) AS day_ms,
+          |       count(*) AS cnt, sum(cents) AS cents
+          |FROM server_kill_tbl GROUP BY 1 ORDER BY 1""".stripMargin)
+      import s.implicits._
+      csv.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val p = line.split(",")
+        (p(0).toLong, p(1).toLong, p(2).toLong)
+      }.toSeq.toDF("day_ms", "cnt", "cents").orderBy("day_ms")
+    } finally srv.stop()
+  }
+
+  val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask)
 }
