@@ -26,9 +26,9 @@ import graft.sources.Ingest.IngestSpec
   *    rollup, so a query-time aggregator folds both stores
   *    identically (the mergeable-metric lifecycle);
   *  - segment handoff      = [[handoff]]: stop the stream, publish
-  *    the spilled rows through the shared batch write path, clear
-  *    the spill — after which [[queryable]] serves the same rows
-  *    from the published table alone;
+  *    the spilled rows through the shared batch write path, mark the
+  *    spill published — after which [[queryable]] serves the same
+  *    rows from the published table alone;
   *  - supervisor suspend   = [[suspend]]: drain + publish the window
   *    (the reference's graceful task shutdown publishes in-flight
   *    segments), keep the source checkpoint — [[startRealtime]]
@@ -313,7 +313,12 @@ final class RealtimeDatasource(
         f.create(new org.apache.hadoop.fs.Path(publishedMarker), true).close()
       else {
         // some dirs stay replayable (uncommitted): drop only the
-        // published ones — a marker would hide the survivors too
+        // published ones — a marker would hide the survivors too.
+        // Reclaim FIRST: if a merged= dir is among the published, the
+        // originals it superseded are still on disk as garbage, and
+        // deleting the merged dir alone would resurface them as live
+        // window rows — already published, now double-counted.
+        reclaimSupersededSpill()
         publishable.foreach(d => f.delete(d, true))
       }
     }

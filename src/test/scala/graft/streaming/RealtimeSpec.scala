@@ -302,6 +302,43 @@ class RealtimeSpec extends SparkSpec {
     } finally rtds.abort()
   }
 
+  test("partial publish of a merged window never resurfaces its originals") {
+    import spark.implicits._
+    // crash-restore shape: merged=0 consolidated committed batch 0
+    // (whose original dir is still on disk as garbage), batch=1 spilled
+    // but its offsets never committed. A suspend must publish ONLY the
+    // merged content, keep the replayable batch in the window, and NOT
+    // let deleting merged=0 resurface the garbage batch=0 — that row
+    // is already published and would double-count.
+    def rows(k: String, ts: String, v: Long) =
+      Seq((k, m(ts), v)).toDF("k", "tsMs", "v")
+        .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v"))
+    val state = tmp()
+    val hist = tmp()
+    rows("a", "2024-11-01T00:10:00Z", 7L).write.parquet(s"$state/spill/batch=0")
+    rows("a", "2024-11-01T00:10:00Z", 7L).write.parquet(s"$state/spill/merged=0")
+    rows("b", "2024-11-01T02:00:00Z", 9L).write.parquet(s"$state/spill/batch=1")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$state/ckpt/commits"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state/ckpt/commits/0"), "v1\n{}")
+    val rtds = new RealtimeDatasource(spark, spec, hist, stateDir = Some(state))
+    // pre-publish: window = merged(batch 0) + uncommitted batch 1
+    assert(fold(rtds.queryable()) == Map(
+      m("2024-11-01T00:00:00Z") -> (1L, 7L),
+      m("2024-11-01T02:00:00Z") -> (1L, 9L)))
+    rtds.suspend()
+    assert(fold(rtds.publishedRows().get) ==
+      Map(m("2024-11-01T00:00:00Z") -> (1L, 7L)), "published = merged only")
+    assert(fold(rtds.realtimeRows().get) ==
+      Map(m("2024-11-01T02:00:00Z") -> (1L, 9L)),
+      "window = the replayable batch only — batch 0 must not resurface")
+    assert(fold(rtds.queryable()) == Map(
+      m("2024-11-01T00:00:00Z") -> (1L, 7L),
+      m("2024-11-01T02:00:00Z") -> (1L, 9L)), "no row twice across stores")
+    rtds.abort()
+  }
+
   test("auto-compaction bounds window fragmentation with no operator action") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
