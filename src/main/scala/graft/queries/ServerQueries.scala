@@ -149,5 +149,53 @@ object ServerQueries {
     } finally srv.stop()
   }
 
-  val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask)
+  /** the native JSON API over the socket (reference POST /druid/v2 +
+    * QueryResource envelope): a timeseries query serialized to the
+    * reference's wire shape — `[{"timestamp": iso, "result": {...}}]`
+    * — parsed back and hash-graded against DuckDB. Grades the full
+    * native loop the planner-level native_* entries bypass: HTTP
+    * routing, envelope rendering, ISO timestamp formatting, numeric
+    * JSON round-trip. */
+  val serverNativeRoundtrip: Q = q(
+    "server_native_roundtrip",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS t_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(value), 4) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val srv = new QueryServer(s, {
+      case "events" => Tables.events(s, d).withColumnRenamed("ts", "__time")
+    })
+    val port = srv.start()
+    try {
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"queryType": "timeseries", "dataSource": "events",
+              | "intervals": [], "granularity": "day",
+              | "aggregations": [
+              |   {"type": "count", "name": "cnt"},
+              |   {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+              | "context": {"skipEmptyBuckets": true}}""".stripMargin,
+            StandardCharsets.UTF_8))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"native endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.readTree(resp.body())
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, round => sround}
+      arr.elements().asScala.map { e =>
+        (java.time.Instant.parse(e.get("timestamp").asText()).toEpochMilli,
+          e.get("result").get("cnt").asLong(),
+          e.get("result").get("total").asDouble())
+      }.toSeq.toDF("t_ms", "cnt", "raw_total")
+        .select(col("t_ms"), col("cnt"), sround(col("raw_total"), 4).as("total"))
+        .orderBy("t_ms")
+    } finally srv.stop()
+  }
+
+  val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask, serverNativeRoundtrip)
 }
