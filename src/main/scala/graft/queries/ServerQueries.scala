@@ -197,5 +197,72 @@ object ServerQueries {
     } finally srv.stop()
   }
 
-  val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask, serverNativeRoundtrip)
+  private def postCoordinator(port: Int, path: String, body: String): String = {
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/coordinator/v1/datasources$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"coordinator returned ${resp.statusCode()}: ${resp.body().take(500)}")
+    resp.body()
+  }
+
+  /** the coordinator used/unused segment lifecycle (reference
+    * SqlSegmentsMetadataManager markAsUnused/markAsUsed): unlike kill,
+    * the data stays on deep storage — markUnused hides the interval's
+    * segments from queries (a partition-prune filter, zero I/O), and
+    * markUsed restores them bit-exact. The graded output carries BOTH
+    * phases per day: the restored full aggregate and the hidden-phase
+    * count (0 for the marked slice). A mark that leaks a hidden
+    * bucket, hides a neighbor (containment fencepost), or fails to
+    * restore breaks the hash. */
+  val serverMarkUnused: Q = q(
+    "server_mark_unused_roundtrip",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(CASE WHEN date_trunc('day', ts) >= TIMESTAMP '2024-01-10'
+      |                  AND date_trunc('day', ts) < TIMESTAMP '2024-01-12'
+      |                 THEN 0 ELSE count(*) END AS BIGINT) AS hidden_cnt
+      |FROM events GROUP BY date_trunc('day', ts) ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("server_unused_src")
+    val storage =
+      java.nio.file.Files.createTempDirectory("graft_mark_unused").toString
+    val srv = new QueryServer(s, _ => s.emptyDataFrame,
+      storageRoot = Some(storage))
+    val port = srv.start()
+    try {
+      val r1 = postSql(port,
+        """REPLACE INTO server_unused_tbl OVERWRITE ALL
+          |SELECT ts AS __time, CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_unused_src
+          |PARTITIONED BY DAY""".stripMargin)
+      require(r1.contains("SUCCESS"), s"REPLACE failed: $r1")
+      val agg =
+        """SELECT unix_millis(date_trunc('day', __time)) AS day_ms,
+          |       count(*) AS cnt, sum(cents) AS cents
+          |FROM server_unused_tbl GROUP BY 1 ORDER BY 1""".stripMargin
+      def parse(csv: String): Seq[(Long, Long, Long)] =
+        csv.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+          val p = line.split(","); (p(0).toLong, p(1).toLong, p(2).toLong)
+        }.toSeq
+      val mu = postCoordinator(port, "/server_unused_tbl/markUnused",
+        """{"interval": "2024-01-10T00:00:00Z/2024-01-12T00:00:00Z"}""")
+      require(mu.contains("numChangedSegments"), mu)
+      val hidden = parse(postSql(port, agg)).map(r => r._1 -> r._2).toMap
+      postCoordinator(port, "/server_unused_tbl/markUsed",
+        """{"interval": "2024-01-10T00:00:00Z/2024-01-12T00:00:00Z"}""")
+      val restored = parse(postSql(port, agg))
+      import s.implicits._
+      restored.map { case (day, cnt, cents) =>
+        (day, cnt, cents, hidden.getOrElse(day, 0L))
+      }.toDF("day_ms", "cnt", "cents", "hidden_cnt").orderBy("day_ms")
+    } finally srv.stop()
+  }
+
+  val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask,
+    serverNativeRoundtrip, serverMarkUnused)
 }
