@@ -263,6 +263,72 @@ object ServerQueries {
     } finally srv.stop()
   }
 
+  /** coordinator retention rules applied to the query timeline
+    * (reference RunRules duty + RulesResource): POST a
+    * dropByInterval + loadForever chain for the datasource — the
+    * first matching rule decides, and drop applies on segment
+    * CONTAINMENT — and the dropped slice vanishes from queries with
+    * zero I/O (partition-prune, like historicals unloading segments).
+    * Restoring the default chain brings it back bit-exact. Output
+    * carries both phases per day; rule-evaluation bugs (overlap
+    * instead of containment, later-rule resurrection, a restore that
+    * keeps the drop) break the hash. */
+  val serverRetentionDrop: Q = q(
+    "server_retention_drop_roundtrip",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(CASE WHEN date_trunc('day', ts) >= TIMESTAMP '2024-01-15'
+      |                  AND date_trunc('day', ts) < TIMESTAMP '2024-01-17'
+      |                 THEN 0 ELSE count(*) END AS BIGINT) AS dropped_cnt
+      |FROM events GROUP BY date_trunc('day', ts) ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("server_rules_src")
+    val storage =
+      java.nio.file.Files.createTempDirectory("graft_rules_drop").toString
+    val srv = new QueryServer(s, _ => s.emptyDataFrame,
+      storageRoot = Some(storage))
+    val port = srv.start()
+    try {
+      val r1 = postSql(port,
+        """REPLACE INTO server_rules_tbl OVERWRITE ALL
+          |SELECT ts AS __time, CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_rules_src
+          |PARTITIONED BY DAY""".stripMargin)
+      require(r1.contains("SUCCESS"), s"REPLACE failed: $r1")
+      def postRules(rules: String): Unit = {
+        val resp = HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/druid/coordinator/v1/rules/server_rules_tbl"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(rules, StandardCharsets.UTF_8))
+            .build(),
+          HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"rules endpoint returned ${resp.statusCode()}: ${resp.body().take(300)}")
+      }
+      val agg =
+        """SELECT unix_millis(date_trunc('day', __time)) AS day_ms,
+          |       count(*) AS cnt, sum(cents) AS cents
+          |FROM server_rules_tbl GROUP BY 1 ORDER BY 1""".stripMargin
+      def parse(csv: String): Seq[(Long, Long, Long)] =
+        csv.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+          val p = line.split(","); (p(0).toLong, p(1).toLong, p(2).toLong)
+        }.toSeq
+      postRules(
+        """[{"type": "dropByInterval",
+          |  "interval": "2024-01-15T00:00:00Z/2024-01-17T00:00:00Z"},
+          | {"type": "loadForever", "tieredReplicants": {"_default_tier": 1}}]""".stripMargin)
+      val dropped = parse(postSql(port, agg)).map(r => r._1 -> r._2).toMap
+      postRules(
+        """[{"type": "loadForever", "tieredReplicants": {"_default_tier": 1}}]""")
+      val restored = parse(postSql(port, agg))
+      import s.implicits._
+      restored.map { case (day, cnt, cents) =>
+        (day, cnt, cents, dropped.getOrElse(day, 0L))
+      }.toDF("day_ms", "cnt", "cents", "dropped_cnt").orderBy("day_ms")
+    } finally srv.stop()
+  }
+
   val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask,
-    serverNativeRoundtrip, serverMarkUnused)
+    serverNativeRoundtrip, serverMarkUnused, serverRetentionDrop)
 }
