@@ -787,17 +787,36 @@ class NativePlanner(
     import org.apache.spark.sql.types._
     val df = base(q)
     val want = q.analysisTypes.toSet
+    // STRING min/max buffers are not UnsafeRow-mutable, so one string
+    // aggregate demotes the ENTIRE plan — including the multi-distinct
+    // cardinality Expand (one projection per distinct column) — from
+    // HashAggregate to SortAggregate: two full sorts of the expanded
+    // rows. Collect string-buffer aggregates separately; the main
+    // analysis then hash-aggregates, and the string side is a trivial
+    // no-expand single pass; the two 1-row results cross-join (both
+    // sides constant-sized by construction).
+    val stringStats = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val outOrder = scala.collection.mutable.ArrayBuffer[String]("numRows")
     val stats = df.schema.fields.flatMap { f =>
       val card =
-        if (want("cardinality")) Seq(
-          count_distinct(col(f.name)).as(s"${f.name}__cardinality"),
-          count(col(f.name)).as(s"${f.name}__count"))
-        else Nil
+        if (want("cardinality")) {
+          outOrder += s"${f.name}__cardinality"; outOrder += s"${f.name}__count"
+          Seq(
+            count_distinct(col(f.name)).as(s"${f.name}__cardinality"),
+            count(col(f.name)).as(s"${f.name}__count"))
+        } else Nil
       val minmax =
         if (want("minmax")) f.dataType match {
-          case _: NumericType | StringType => Seq(
-            min(col(f.name)).cast("string").as(s"${f.name}__min"),
-            max(col(f.name)).cast("string").as(s"${f.name}__max"))
+          case StringType =>
+            outOrder += s"${f.name}__min"; outOrder += s"${f.name}__max"
+            stringStats += min(col(f.name)).as(s"${f.name}__min")
+            stringStats += max(col(f.name)).as(s"${f.name}__max")
+            Nil
+          case _: NumericType =>
+            outOrder += s"${f.name}__min"; outOrder += s"${f.name}__max"
+            Seq(
+              min(col(f.name)).cast("string").as(s"${f.name}__min"),
+              max(col(f.name)).cast("string").as(s"${f.name}__max"))
           case _ => Nil
         } else Nil
       val size =
@@ -811,6 +830,7 @@ class NativePlanner(
             case StringType => Some(coalesce(sum(octet_length(col(f.name))), lit(0L)))
             case _ => None
           }
+          bytes.foreach(_ => outOrder += s"${f.name}__size")
           bytes.map(b => b.cast("long").as(s"${f.name}__size")).toSeq
         } else Nil
       card ++ minmax ++ size
@@ -829,21 +849,37 @@ class NativePlanner(
         if (want("aggregators"))
           // canonical "name=type(field)" list, metric order preserved —
           // the flat-DF form of the reference's aggregators map
-          Seq(first(lit(m.aggregators.map { case (n, t, f) => s"$n=$t($f)" }
-            .mkString(";"))).as("aggregators"))
+          Seq("aggregators" ->
+            first(lit(m.aggregators.map { case (n, t, f) => s"$n=$t($f)" }
+              .mkString(";"))).as("aggregators"))
         else Nil
       val roll =
-        if (want("rollup")) Seq(first(lit(m.rollup)).as("rollup")) else Nil
+        if (want("rollup"))
+          Seq("rollup" -> first(lit(m.rollup)).as("rollup")) else Nil
       val tsSpec =
         if (want("timestampspec"))
-          Seq(first(lit(m.timeColumn)).as("timestampSpec_column")) else Nil
+          Seq("timestampSpec_column" ->
+            first(lit(m.timeColumn)).as("timestampSpec_column")) else Nil
       val qGran =
         if (want("querygranularity"))
-          Seq(first(lit(m.queryGranularity.orNull)).cast("string")
-            .as("queryGranularity"))
+          Seq("queryGranularity" ->
+            first(lit(m.queryGranularity.orNull)).cast("string")
+              .as("queryGranularity"))
         else Nil
       agg ++ roll ++ tsSpec ++ qGran
     }
-    df.agg(count(lit(1)).as("numRows"), (stats.toSeq ++ interval ++ metaCols): _*)
+    if (want("interval") && df.columns.contains(timeColumn)) {
+      outOrder += "interval_start"; outOrder += "interval_end"
+    }
+    // metaCols are first(lit(...)) — several with string buffers; they
+    // ride the string-side pass so they can't demote the main one
+    outOrder ++= metaCols.map(_._1)
+    val main = df.agg(
+      count(lit(1)).as("numRows"), (stats.toSeq ++ interval): _*)
+    val lite = stringStats.toSeq ++ metaCols.map(_._2)
+    if (lite.isEmpty) main.select(outOrder.toSeq.map(col): _*)
+    else
+      main.crossJoin(df.agg(lite.head, lite.tail: _*))
+        .select(outOrder.toSeq.map(col): _*)
   }
 }

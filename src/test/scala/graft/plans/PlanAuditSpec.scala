@@ -35,7 +35,12 @@ class PlanAuditSpec extends SparkSpec {
     "search_bm25", "ngram_jaccard_pairs",
     // ONE-ROW broadcast query vector crossed into the corpus scan
     // (the dense half of RRF fusion) — same bounded pattern
-    "search_hybrid_rrf")
+    "search_hybrid_rrf",
+    // segmentMetadata: the string-buffer analyses (string min/max +
+    // sidecar literals) run as their own 1-row pass so the
+    // multi-distinct cardinality side stays a HashAggregate; the two
+    // ONE-ROW results cross-join — constant-sized by construction
+    "native_segment_metadata", "segment_metadata_stats")
 
   /** sites where an UNPARTITIONED Window is justified because its
     * input is provably bounded (a prior aggregation whose row count is
