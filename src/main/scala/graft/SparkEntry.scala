@@ -19,7 +19,7 @@ object SparkEntry {
       PipelineQueries13.all ++ PipelineQueries14.all ++ PipelineQueries15.all ++
       PipelineQueries16.all ++ PipelineQueries17.all ++
       NativeQueries.all ++ NativeQueries2.all ++ NativeQueries3.all ++
-      NativeQueries4.all ++
+      NativeQueries4.all ++ NativeQueries5.all ++
       SupersetQueries.all ++
       IngestQueries.all ++ ServerQueries.all
 

@@ -262,8 +262,13 @@ object DruidExprCompiler {
     def need(k: Int): Unit = if (raw.size != k)
       throw new ParseError(s"function $name needs $k arguments, got ${raw.size}")
     def dbl1(f: Column => Column): TC = { need(1); TC(f(d(0)), D) }
+    def lng(i: Int): Column = num(a(i)).c.cast(LongType)
 
-    name match {
+    // the reference resolves function names case-insensitively
+    // (Parser.java:90 lowercases before lookup), so `bitwiseAnd` and
+    // `BITWISEAND` are the same function; every case below is the
+    // lowercased name
+    name.toLowerCase(java.util.Locale.ROOT) match {
       // ---- math (Function.java) ----
       case "abs" => need(1); val v = num(a(0)); TC(abs(v.c), v.t)
       case "acos" => dbl1(acos)
@@ -309,6 +314,51 @@ object DruidExprCompiler {
         need(1)
         TC(graft.exprs.toCol(JavaMathUnary(graft.exprs.toExpr(d(0)), "ulp")), D)
       case "pi" => TC(lit(math.Pi), D)
+      case "copysign" => need(2)
+        TC(graft.exprs.toCol(JavaMathBinary(
+          graft.exprs.toExpr(d(0)), graft.exprs.toExpr(d(1)), "copySign")), D)
+      case "nextafter" => need(2)
+        TC(graft.exprs.toCol(JavaMathBinary(
+          graft.exprs.toExpr(d(0)), graft.exprs.toExpr(d(1)), "nextAfter")), D)
+      case "nextup" => need(1)
+        TC(graft.exprs.toCol(JavaMathUnary(graft.exprs.toExpr(d(0)), "nextUp")), D)
+      case "getexponent" => need(1)
+        TC(graft.exprs.toCol(JavaMathUnary(
+          graft.exprs.toExpr(d(0)), "getExponent")).cast(LongType), L)
+
+      // ---- bitwise (Function.java:888-1060): operands implicitly
+      // cast to LONG (Java truncation), nulls propagate, output LONG;
+      // the convert pair moves between IEEE-754 bits and doubles ----
+      case "bitwiseand" => need(2); TC(lng(0).bitwiseAND(lng(1)), L)
+      case "bitwiseor" => need(2); TC(lng(0).bitwiseOR(lng(1)), L)
+      case "bitwisexor" => need(2); TC(lng(0).bitwiseXOR(lng(1)), L)
+      case "bitwisecomplement" => need(1); TC(bitwise_not(lng(0)), L)
+      // Java long shifts mask the count to its low 6 bits; Catalyst
+      // Shift{Left,Right} on a LONG base does the same, and the
+      // long->int cast of the count preserves those bits exactly
+      case "bitwiseshiftleft" => need(2)
+        TC(graft.exprs.toCol(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+          graft.exprs.toExpr(lng(0)), graft.exprs.toExpr(lng(1).cast(IntegerType)))), L)
+      case "bitwiseshiftright" => need(2)
+        TC(graft.exprs.toCol(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+          graft.exprs.toExpr(lng(0)), graft.exprs.toExpr(lng(1).cast(IntegerType)))), L)
+      case "bitwiseconvertdoubletolongbits" => need(1)
+        TC(graft.exprs.toCol(JavaMathUnary(
+          graft.exprs.toExpr(d(0)), "doubleToLongBits")), L)
+      case "bitwiseconvertlongbitstodouble" => need(1)
+        TC(graft.exprs.toCol(LongBitsToDouble(graft.exprs.toExpr(lng(0)))), D)
+
+      // ---- bloom_filter_test expression macro (extensions-core/
+      // bloom-filter/.../expression/BloomFilterExprMacro.java): probe a
+      // serialized filter — the wire form carries it base64-encoded, a
+      // binary column (subquery-built filter) probes directly ----
+      case "bloom_filter_test" => need(2)
+        val filt = a(1)
+        val filtCol =
+          if (filt.t == S) unbase64(materialize(filt)) else materialize(filt)
+        TC(graft.exprs.toCol(graft.aggs.BloomFilterTest(
+          graft.exprs.toExpr(materialize(a(0))),
+          graft.exprs.toExpr(filtCol))), BL)
 
       // ---- conditionals / null (Function.java) ----
       case "if" =>

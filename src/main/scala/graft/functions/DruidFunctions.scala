@@ -119,6 +119,21 @@ object DruidFunctions {
     fn("bitwiseconvertdoubletolongbits")(a => JavaMathUnary(d(a.head), "doubleToLongBits"))
     fn("bitwiseconvertlongbitstodouble")(a =>
       LongBitsToDouble(toExpr(toCol(a.head).cast("long"))))
+    // ---- BITWISE_* SQL operators (reference DruidOperatorTable.java:
+    // 253-270): operands implicitly cast to LONG, output LONG; Java
+    // long shifts mask the count to its low 6 bits, which the
+    // long->int cast preserves ----
+    def lng(e: Expression) = toCol(e).cast("long")
+    fn("bitwise_and")(a => toExpr(lng(a.head).bitwiseAND(lng(a(1)))))
+    fn("bitwise_or")(a => toExpr(lng(a.head).bitwiseOR(lng(a(1)))))
+    fn("bitwise_xor")(a => toExpr(lng(a.head).bitwiseXOR(lng(a(1)))))
+    fn("bitwise_complement")(a => toExpr(bitwise_not(lng(a.head))))
+    fn("bitwise_shift_left")(a =>
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        toExpr(lng(a.head)), toExpr(lng(a(1)).cast("int"))))
+    fn("bitwise_shift_right")(a =>
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        toExpr(lng(a.head)), toExpr(lng(a(1)).cast("int"))))
     fn("todegrees")(a => toExpr(degrees(toCol(a.head))))
     fn("toradians")(a => toExpr(radians(toCol(a.head))))
     // subtract_months(t1, t2): whole-month index difference

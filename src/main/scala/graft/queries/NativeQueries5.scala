@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Tables
+import graft.planner.NativePlanner
+import org.apache.spark.sql.SparkSession
+
+/** Fifth native coverage batch: the bitwise corner of the expression
+  * language (reference core/.../math/expr/Function.java:888-1060 and
+  * sql/.../planner/DruidOperatorTable.java:253-270) graded through
+  * both front doors — the native JSON virtualColumns path and the SQL
+  * dialect's BITWISE_* operator names.
+  */
+object NativeQueries5 {
+
+  private def planner(s: SparkSession, d: String): NativePlanner =
+    new NativePlanner(s, {
+      case "events" => Tables.events(s, d).withColumnRenamed("ts", "__time")
+      case name => Tables.t(s, d, name)
+    })
+
+  /** bitwise native expressions end to end: and/or/xor/shifts/
+    * complement recomputed by DuckDB's operators, the IEEE-754
+    * convert pair graded as a bits→double→bits identity, and copySign
+    * graded against the analytic -abs identity (exact for finite
+    * doubles). Doubles implicitly cast to longs per
+    * BivariateBitwiseMathFunction. */
+  val nativeExprBitwise: Q = q(
+    "native_expr_bitwise",
+    """SELECT event_type,
+      |  CAST(sum(user_id & 255) AS BIGINT) AS ba_sum,
+      |  CAST(sum(user_id | 16) AS BIGINT) AS bo_sum,
+      |  CAST(sum(xor(user_id, 93)) AS BIGINT) AS bx_sum,
+      |  CAST(sum((user_id % 8) << 3) AS BIGINT) AS sl_sum,
+      |  CAST(sum(user_id >> 2) AS BIGINT) AS sr_sum,
+      |  CAST(sum(~user_id) AS BIGINT) AS bc_sum,
+      |  CAST(count(value) AS BIGINT) AS rt_ok_cnt,
+      |  CAST(count(value) AS BIGINT) AS cs_ok_cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "virtualColumns": [
+        |    {"name": "ba", "expression": "bitwiseAnd(user_id, 255)"},
+        |    {"name": "bo", "expression": "bitwiseOr(user_id, 16)"},
+        |    {"name": "bx", "expression": "bitwiseXor(user_id, 93)"},
+        |    {"name": "sl", "expression": "bitwiseShiftLeft(user_id % 8, 3)"},
+        |    {"name": "sr", "expression": "bitwiseShiftRight(user_id, 2)"},
+        |    {"name": "bc", "expression": "bitwiseComplement(user_id)"},
+        |    {"name": "rt_ok",
+        |     "expression": "cast(bitwiseConvertLongBitsToDouble(bitwiseConvertDoubleToLongBits(value)) == value, 'LONG')"},
+        |    {"name": "cs_ok",
+        |     "expression": "cast(copySign(value, -1.0) == 0 - abs(value), 'LONG')"}
+        |  ],
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [
+        |    {"type": "longSum", "name": "ba_sum", "fieldName": "ba"},
+        |    {"type": "longSum", "name": "bo_sum", "fieldName": "bo"},
+        |    {"type": "longSum", "name": "bx_sum", "fieldName": "bx"},
+        |    {"type": "longSum", "name": "sl_sum", "fieldName": "sl"},
+        |    {"type": "longSum", "name": "sr_sum", "fieldName": "sr"},
+        |    {"type": "longSum", "name": "bc_sum", "fieldName": "bc"},
+        |    {"type": "longSum", "name": "rt_ok_cnt", "fieldName": "rt_ok"},
+        |    {"type": "longSum", "name": "cs_ok_cnt", "fieldName": "cs_ok"}
+        |  ],
+        |  "limitSpec": {"type": "default", "columns": [
+        |    {"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+  }
+
+  /** the same family through the SQL dialect's names
+    * (DruidOperatorTable.java:253-270 BITWISE_* operator conversions),
+    * over spark.sql — proving the FunctionRegistry wiring, not just
+    * the native grammar. */
+  val sqlBitwiseOps: Q = q(
+    "sql_bitwise_ops",
+    """SELECT l_linenumber,
+      |  CAST(sum(CAST(l_quantity AS BIGINT) & 31) AS BIGINT) AS q_and,
+      |  CAST(sum(CAST(l_quantity AS BIGINT) | l_linenumber) AS BIGINT) AS q_or,
+      |  CAST(sum(xor(CAST(l_quantity AS BIGINT), l_linenumber)) AS BIGINT) AS q_xor,
+      |  CAST(sum(~CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_not,
+      |  CAST(sum(CAST(l_quantity AS BIGINT) << 2) AS BIGINT) AS q_shl,
+      |  CAST(sum(CAST(l_quantity AS BIGINT) >> 1) AS BIGINT) AS q_shr
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_bitwise")
+    s.sql(
+      """SELECT l_linenumber,
+        |  sum(BITWISE_AND(l_quantity, 31)) AS q_and,
+        |  sum(BITWISE_OR(l_quantity, l_linenumber)) AS q_or,
+        |  sum(BITWISE_XOR(l_quantity, l_linenumber)) AS q_xor,
+        |  sum(BITWISE_COMPLEMENT(l_quantity)) AS q_not,
+        |  sum(BITWISE_SHIFT_LEFT(l_quantity, 2)) AS q_shl,
+        |  sum(BITWISE_SHIFT_RIGHT(l_quantity, 1)) AS q_shr
+        |FROM graft_li_bitwise GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(nativeExprBitwise, sqlBitwiseOps)
+}

@@ -199,6 +199,53 @@ class DruidExprLangSpec extends SparkSpec {
     intercept[Exception](eval1("json_value(s, s)"))
   }
 
+  test("bitwise family matches Java long semantics (Function.java:888-1060)") {
+    assert(eval1("bitwiseAnd(12, 10)") == 8L)
+    assert(eval1("bitwiseOr(12, 10)") == 14L)
+    assert(eval1("bitwiseXor(12, 10)") == 6L)
+    assert(eval1("bitwiseComplement(0)") == -1L)
+    assert(eval1("bitwiseShiftLeft(1, 10)") == 1024L)
+    assert(eval1("bitwiseShiftRight(-8, 1)") == -4L) // arithmetic, sign-extending
+    assert(eval1("bitwiseShiftLeft(1, 64)") == 1L)   // Java masks the count to 6 bits
+    assert(eval1("bitwiseAnd(3.9, 7)") == 3L)        // doubles implicitly cast (truncate)
+    assert(eval1("bitwiseConvertDoubleToLongBits(2.0)") ==
+      java.lang.Double.doubleToLongBits(2.0))
+    assert(eval1("bitwiseConvertLongBitsToDouble(4611686018427387904)") == 2.0)
+    // null propagates (BivariateBitwiseMathFunction SQL-compatible mode)
+    assert(eval1("bitwiseAnd(null, 1)") == null)
+  }
+
+  test("java.lang.Math tail: copySign/nextAfter/nextUp/getExponent") {
+    assert(eval1("copySign(3.0, -1.0)") == -3.0)
+    assert(eval1("nextAfter(1.0, 2.0)") == Math.nextAfter(1.0, 2.0))
+    assert(eval1("nextUp(1.0)") == Math.nextUp(1.0))
+    assert(eval1("getExponent(32.0)") == 5L)
+    assert(eval1("getExponent(0.75)") == -1L)
+  }
+
+  test("function lookup is case-insensitive like the reference (Parser.java:90)") {
+    assert(eval1("SQRT(16.0)") == 4.0)
+    assert(eval1("BITWISEAND(12, 10)") == 8L)
+    assert(eval1("Timestamp_Floor(946684800000, 'P1D')") == 946684800000L)
+  }
+
+  test("bloom_filter_test macro probes a base64-serialized filter") {
+    import org.apache.spark.sql.functions._
+    // build a filter over the distinct values of s, probe it from the
+    // native grammar with the base64 wire form the reference macro takes
+    val ser = df.agg(graft.aggs.bloom.bloomFilter(col("s"), 100L, 0.01))
+      .collect()(0).getAs[Array[Byte]](0)
+    val b64 = java.util.Base64.getEncoder.encodeToString(ser)
+    val hits = df.select(C.column(
+      s"bloom_filter_test(s, '$b64')", Some(df.schema)).as("v"))
+      .collect().map(_.get(0)).toSeq
+    assert(hits == Seq(1L, 1L, 1L))
+    val miss = df.select(C.column(
+      s"bloom_filter_test(concat(s, '!'), '$b64')", Some(df.schema)).as("v"))
+      .collect().map(_.get(0)).toSeq
+    assert(miss == Seq(0L, 0L, 0L))
+  }
+
   test("render round-trips through the grammar") {
     import DruidExprLang._
     val exprs = Seq(
