@@ -164,6 +164,63 @@ case class KllRank(left: Expression, right: Expression)
   override def prettyName: String = "kll_rank"
 }
 
+/** human-readable sketch summary (reference datasketches hll/sql
+  * HllSketchToStringOperatorConversion → HllSketchToStringPostAggregator:
+  * the library's own toString dump, for debugging in SQL results). */
+case class HllToString(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = StringType
+  def summary(bin: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(bin)).toString)
+  override def nullSafeEval(v: Any): Any = summary(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hllToString", this)
+    defineCodeGen(ctx, ev, c => s"$ref.summary($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): HllToString = copy(c)
+  override def prettyName: String = "hll_sketch_to_string"
+}
+
+/** estimate-with-bounds for a theta sketch binary (reference
+  * datasketches/theta/SketchEstimateWithErrorBounds +
+  * ThetaSketchEstimateWithErrorBoundsOperatorConversion):
+  * [estimate, lowerBound, upperBound] at numStdDev. */
+case class ThetaEstimateBounds(child: Expression, numStdDevs: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  def bounds(bin: Array[Byte]): ArrayData = {
+    val sk = ThetaSketchAgg.wrap(bin)
+    ArrayData.toArrayData(Array(
+      sk.getEstimate, sk.getLowerBound(numStdDevs), sk.getUpperBound(numStdDevs)))
+  }
+  override def nullSafeEval(v: Any): Any = bounds(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("thetaBounds", this)
+    defineCodeGen(ctx, ev, c => s"$ref.bounds($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): ThetaEstimateBounds =
+    copy(child = c)
+  override def prettyName: String = "theta_sketch_estimate_with_error_bounds"
+}
+
+/** quantiles-sketch summary string (reference quantiles/sql
+  * DoublesSketchSummaryOperatorConversion → the library toString). */
+case class KllSummary(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = StringType
+  def summary(bin: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      KllDoublesSketch.heapify(Memory.wrap(bin)).toString)
+  override def nullSafeEval(v: Any): Any = summary(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllSummary", this)
+    defineCodeGen(ctx, ev, c => s"$ref.summary($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): KllSummary = copy(c)
+  override def prettyName: String = "ds_quantile_summary"
+}
+
 /** Column-level API mirroring the reference's sketch SQL operators. */
 object sketches {
   def thetaSketch(c: Column): Column = ThetaSketchAgg(c)
@@ -185,4 +242,8 @@ object sketches {
     toCol(TupleMetricSum(toExpr(bin), toExpr(idx)))
   def hllEstimateBounds(bin: Column, numStdDevs: Int): Column =
     toCol(HllEstimateBounds(toExpr(bin), numStdDevs))
+  def thetaEstimateBounds(bin: Column, numStdDevs: Int): Column =
+    toCol(ThetaEstimateBounds(toExpr(bin), numStdDevs))
+  def hllToString(bin: Column): Column = toCol(HllToString(toExpr(bin)))
+  def kllSummary(bin: Column): Column = toCol(KllSummary(toExpr(bin)))
 }

@@ -249,8 +249,8 @@ object DruidFunctions {
           .toAggregateExpression(),
         a(1))
     }
-    fn("kll_quantile")(a => KllQuantile(a.head, a(1)))
-    fn("kll_rank")(a => KllRank(a.head, a(1)))
+    fn("kll_quantile")(a => KllQuantile(a.head, d(a(1))))
+    fn("kll_rank")(a => KllRank(a.head, d(a(1))))
     // DS_HISTOGRAM/DS_CDF(expr, split1, split2, ...) / DS_RANK(expr, v)
     // (reference datasketches quantiles SQL operators) — aggregate the
     // column into a KLL sketch, then evaluate the distribution fn.
@@ -265,7 +265,7 @@ object DruidFunctions {
     fn("ds_rank") { a =>
       KllRank(KllDoublesAgg(a.head).toAggregateExpression(), a(1))
     }
-    fn("ds_get_quantile")(a => KllQuantile(a.head, a(1)))
+    fn("ds_get_quantile")(a => KllQuantile(a.head, d(a(1))))
     fn("approx_count_distinct_ds_theta") { a =>
       ThetaEstimate(ThetaSketchAgg(a.head).toAggregateExpression())
     }
@@ -278,10 +278,71 @@ object DruidFunctions {
     fn("ds_tuple_doubles_metrics_sum")(a => graft.aggs.TupleMetricSum(a.head, a(1)))
     // HLL names (reference datasketches hll ext) over Spark's
     // datasketches-backed hll_sketch_agg built-ins
-    fn("ds_hll")(a => toExpr(hll_sketch_agg(toCol(a.head))))
+    // DS_HLL(expr[, lgK]) — the reference signature carries an optional
+    // lgK (HllSketchBaseSqlAggregator); tgtHllType is a storage detail
+    fn("ds_hll")(a => toExpr(a.lift(1).map(k =>
+      hll_sketch_agg(toCol(a.head), litInt(k)))
+      .getOrElse(hll_sketch_agg(toCol(a.head)))))
     fn("hll_sketch_estimate_graft")(a => toExpr(hll_sketch_estimate(toCol(a.head))))
     fn("approx_count_distinct_ds_hll") { a =>
       toExpr(hll_sketch_estimate(hll_sketch_agg(toCol(a.head))).cast("long"))
+    }
+    // HLL_SKETCH_UNION([lgK, ]sketch...) (reference hll/sql
+    // HllSketchSetUnionOperatorConversion): fold Spark's hll_union over
+    // the sketch columns; the union auto-downsamples to the smallest
+    // lgK, so an explicit leading lgK literal only needs dropping
+    fn("hll_sketch_union") { a =>
+      val sketches = a.head match {
+        case k if k.foldable &&
+          (k.dataType == org.apache.spark.sql.types.IntegerType ||
+           k.dataType == org.apache.spark.sql.types.LongType) => a.tail
+        case _ => a
+      }
+      toExpr(sketches.map(toCol).reduce(hll_union(_, _, allowDifferentLgConfigK = true)))
+    }
+    fn("hll_sketch_to_string")(a => graft.aggs.HllToString(a.head))
+    // *_WITH_ERROR_BOUNDS → [estimate, lowerBound, upperBound] at
+    // numStdDev (default 1, like the reference post-aggregators)
+    fn("hll_sketch_estimate_with_error_bounds")(a =>
+      graft.aggs.HllEstimateBounds(a.head, a.lift(1).map(litInt).getOrElse(1)))
+    fn("theta_sketch_estimate_with_error_bounds")(a =>
+      graft.aggs.ThetaEstimateBounds(a.head, a.lift(1).map(litInt).getOrElse(1)))
+    // quantiles-sketch long tail (reference quantiles/sql):
+    // DS_GET_QUANTILES → one array of quantiles, DS_QUANTILE_SUMMARY →
+    // the library's summary dump, DS_QUANTILES_SKETCH → the sketch
+    // object aggregator (alias of DS_KLL)
+    // rank fractions arrive as DECIMAL literals from SQL text — cast
+    fn("ds_get_quantiles") { a =>
+      toExpr(array(a.tail.map(f =>
+        toCol(KllQuantile(a.head, d(f)))): _*))
+    }
+    fn("ds_quantile_summary")(a => graft.aggs.KllSummary(a.head))
+    fn("ds_quantiles_sketch")(a =>
+      KllDoublesAgg(a.head, a.lift(1).map(litInt).getOrElse(200))
+        .toAggregateExpression())
+    // TDIGEST_* (reference extensions-contrib/tdigestsketch/sql): served
+    // by the KLL path like the native tDigest aliases — same quantile
+    // contract, compression parameter accepted and mapped to k
+    fn("tdigest_generate_sketch")(a =>
+      KllDoublesAgg(a.head, a.lift(1).map(litInt).getOrElse(200))
+        .toAggregateExpression())
+    fn("tdigest_quantile") { a =>
+      if (a.head.dataType == org.apache.spark.sql.types.BinaryType)
+        KllQuantile(a.head, d(a(1)))
+      else KllQuantile(
+        KllDoublesAgg(a.head, a.lift(2).map(litInt).getOrElse(200))
+          .toAggregateExpression(), d(a(1)))
+    }
+    // APPROX_QUANTILE_FIXED_BUCKETS(expr, prob, numBuckets, lower,
+    // upper[, outlierHandlingMode]) (reference histogram/sql
+    // FixedBucketsHistogramQuantileSqlAggregator): fixed-bucket
+    // histogram + linear interpolation inside the covering bucket
+    fn("approx_quantile_fixed_buckets") { a =>
+      def litD(e: Expression): Double = e.eval(null).toString.toDouble
+      val h = graft.aggs.HistogramAgg.fixedHistogram(
+        toCol(a.head), litD(a(3)), litD(a(4)), litInt(a(2)),
+        a.lift(5).map(litStr).getOrElse("ignore").toLowerCase)
+      toExpr(graft.aggs.HistogramAgg.histogramQuantile(h, litD(a(1))))
     }
 
     // ---- remaining SQL-dialect aliases (DruidOperatorTable names that

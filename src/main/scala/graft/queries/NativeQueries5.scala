@@ -97,5 +97,105 @@ object NativeQueries5 {
         |FROM graft_li_bitwise GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(nativeExprBitwise, sqlBitwiseOps)
+  /** the datasketches scalar SQL utilities (reference hll/sql + theta/
+    * sql operator conversions): HLL_SKETCH_UNION folded over split
+    * sketches re-finds the full distinct count (coupon-exact regime at
+    * graded SFs), *_WITH_ERROR_BOUNDS arrays grade the lb ≤ est ≤ ub
+    * invariant AND the exact-regime estimate, the summary dumps grade
+    * non-degenerate output. */
+  val sqlSketchScalarOps: Q = q(
+    "sql_sketch_scalar_ops",
+    """SELECT CAST(count(DISTINCT CASE WHEN value IS NOT NULL THEN user_id END)
+      |       AS BIGINT) AS union_users,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS hll_est,
+      |       true AS hll_bounds_ok,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS theta_est,
+      |       true AS theta_bounds_ok,
+      |       true AS hll_str_ok,
+      |       true AS kll_sum_ok
+      |FROM events""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.events(s, d).createOrReplaceTempView("graft_events_sk")
+    s.sql(
+      """SELECT
+        |  CAST(round(hll_sketch_estimate_graft(
+        |    hll_sketch_union(sk_lo, sk_hi))) AS BIGINT) AS union_users,
+        |  CAST(round(element_at(hll_sketch_estimate_with_error_bounds(sk_all, 2), 1))
+        |    AS BIGINT) AS hll_est,
+        |  (element_at(hll_sketch_estimate_with_error_bounds(sk_all, 2), 2)
+        |     <= element_at(hll_sketch_estimate_with_error_bounds(sk_all, 2), 1)
+        |   AND element_at(hll_sketch_estimate_with_error_bounds(sk_all, 2), 1)
+        |     <= element_at(hll_sketch_estimate_with_error_bounds(sk_all, 2), 3))
+        |    AS hll_bounds_ok,
+        |  CAST(round(element_at(theta_sketch_estimate_with_error_bounds(th_all, 2), 1))
+        |    AS BIGINT) AS theta_est,
+        |  (element_at(theta_sketch_estimate_with_error_bounds(th_all, 2), 2)
+        |     <= element_at(theta_sketch_estimate_with_error_bounds(th_all, 2), 1)
+        |   AND element_at(theta_sketch_estimate_with_error_bounds(th_all, 2), 1)
+        |     <= element_at(theta_sketch_estimate_with_error_bounds(th_all, 2), 3))
+        |    AS theta_bounds_ok,
+        |  (instr(hll_sketch_to_string(sk_all), 'HLL') > 0) AS hll_str_ok,
+        |  (length(ds_quantile_summary(kll_all)) > 10) AS kll_sum_ok
+        |FROM (SELECT
+        |  ds_hll(CASE WHEN value < 250 THEN user_id END, 14) AS sk_lo,
+        |  ds_hll(CASE WHEN value >= 250 THEN user_id END, 14) AS sk_hi,
+        |  ds_hll(user_id, 14) AS sk_all,
+        |  ds_theta(user_id, 14) AS th_all,
+        |  ds_quantiles_sketch(value, 200) AS kll_all
+        |FROM graft_events_sk)""".stripMargin)
+  }
+
+  /** quantile SQL aliases (reference quantiles/sql + histogram/sql +
+    * tdigestsketch/sql): DS_GET_QUANTILES array + TDIGEST_* graded as
+    * rank-envelope contracts against the exact percentiles;
+    * APPROX_QUANTILE_FIXED_BUCKETS is deterministic (fixed-bucket
+    * interpolation) and value-checked by the oracle recomputing the
+    * same interpolation per group. */
+  val sqlQuantileAliases: Q = q(
+    "sql_quantile_aliases",
+    """WITH b AS (
+      |  SELECT event_type, CAST(floor(value / 50.0) AS INT) AS bucket
+      |  FROM events WHERE value >= 0 AND CAST(floor(value / 50.0) AS INT) < 10),
+      |grid AS (
+      |  SELECT event_type, CAST(i AS INT) AS bucket
+      |  FROM (SELECT DISTINCT event_type FROM events), range(0, 10) t(i)),
+      |c AS (
+      |  SELECT grid.event_type, grid.bucket, CAST(coalesce(n.cnt, 0) AS BIGINT) AS cnt
+      |  FROM grid LEFT JOIN (SELECT event_type, bucket, count(*) AS cnt
+      |                       FROM b GROUP BY 1, 2) n
+      |    ON grid.event_type = n.event_type AND grid.bucket = n.bucket),
+      |cum AS (
+      |  SELECT event_type, bucket, cnt,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS total
+      |  FROM c),
+      |sel AS (SELECT *, cum - cnt AS cum_before FROM cum),
+      |h50 AS (SELECT event_type, min(bucket) AS b FROM sel WHERE cum >= 0.5 * total GROUP BY 1)
+      |SELECT s.event_type, true AS q25_ok, true AS q50_ok, true AS q75_ok,
+      |       true AS td_ok,
+      |       round(50.0 * (s.bucket + (0.5 * s.total - s.cum_before) / s.cnt), 4) AS fb50
+      |FROM sel s JOIN h50 ON s.event_type = h50.event_type AND s.bucket = h50.b
+      |ORDER BY s.event_type""".stripMargin) { (s, d) =>
+    graft.GraftSession.setup(s)
+    Tables.events(s, d).createOrReplaceTempView("graft_events_q")
+    s.sql(
+      """SELECT event_type,
+        |  (element_at(qs, 1) BETWEEN p20 AND p30) AS q25_ok,
+        |  (element_at(qs, 2) BETWEEN p45 AND p55) AS q50_ok,
+        |  (element_at(qs, 3) BETWEEN p70 AND p80) AS q75_ok,
+        |  (td50 BETWEEN p45 AND p55) AS td_ok,
+        |  round(fb50, 4) AS fb50
+        |FROM (SELECT event_type,
+        |  ds_get_quantiles(ds_quantiles_sketch(value, 200), 0.25, 0.5, 0.75) AS qs,
+        |  tdigest_quantile(tdigest_generate_sketch(value, 200), 0.5) AS td50,
+        |  approx_quantile_fixed_buckets(value, 0.5, 10, 0.0, 500.0, 'ignore') AS fb50,
+        |  percentile(value, 0.20) AS p20, percentile(value, 0.30) AS p30,
+        |  percentile(value, 0.45) AS p45, percentile(value, 0.55) AS p55,
+        |  percentile(value, 0.70) AS p70, percentile(value, 0.80) AS p80
+        |FROM graft_events_q GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(
+    nativeExprBitwise, sqlBitwiseOps, sqlSketchScalarOps, sqlQuantileAliases)
 }

@@ -144,4 +144,52 @@ class SketchSpec extends SparkSpec {
     assert(t.getDouble(0) == 700.0)
     assert(t.getDouble(1) == (0 until 5000).map(_.toDouble).sum)
   }
+
+  test("SQL surface: sketch scalar utilities (union / bounds / summaries)") {
+    spark.range(0, 5000).select((col("id") % 700).as("k"), col("id").cast("double").as("v"))
+      .createOrReplaceTempView("sk_u")
+    // HLL_SKETCH_UNION over disjoint halves re-finds the full count;
+    // the optional leading lgK literal form must also parse
+    val u = spark.sql(
+      """SELECT
+        |  round(hll_sketch_estimate_graft(hll_sketch_union(lo, hi))) AS u1,
+        |  round(hll_sketch_estimate_graft(hll_sketch_union(12, lo, mixed))) AS u2
+        |FROM (SELECT ds_hll(CASE WHEN k < 350 THEN k END, 14) AS lo,
+        |             ds_hll(CASE WHEN k >= 350 THEN k END, 14) AS hi,
+        |             ds_hll(CASE WHEN k >= 350 THEN k END, 12) AS mixed
+        |      FROM sk_u)""".stripMargin).collect()(0)
+    assert(u.getLong(0) == 700L) // same lgK: coupon-exact at 700 entries
+    // mixed lgK + leading-lgK literal form: downsampled union, ~1% rse
+    assert(math.abs(u.getLong(1) - 700L) <= 21)
+    // error-bounds arrays: lb <= est <= ub, est exact in coupon regime
+    val b = spark.sql(
+      """SELECT hll_sketch_estimate_with_error_bounds(h, 2) AS hb,
+        |       theta_sketch_estimate_with_error_bounds(t, 2) AS tb,
+        |       hll_sketch_to_string(h) AS hs,
+        |       ds_quantile_summary(q) AS qs
+        |FROM (SELECT ds_hll(k, 14) AS h, ds_theta(k, 14) AS t,
+        |             ds_quantiles_sketch(v, 200) AS q FROM sk_u)""".stripMargin)
+      .collect()(0)
+    val hb = b.getSeq[Double](0); val tb = b.getSeq[Double](1)
+    assert(hb.length == 3 && hb(1) <= hb(0) && hb(0) <= hb(2))
+    assert(math.abs(hb(0) - 700.0) < 1.0)
+    assert(tb.length == 3 && tb(1) <= tb(0) && tb(0) <= tb(2))
+    assert(math.abs(tb(0) - 700.0) < 1e-9) // exact below nominal entries
+    assert(b.getString(2).contains("HLL"))
+    assert(b.getString(3).length > 10)
+    // quantiles long tail: array form + tdigest aliases + fixed buckets
+    val qr = spark.sql(
+      """SELECT ds_get_quantiles(ds_quantiles_sketch(v, 200), 0.25, 0.5, 0.75) AS qs,
+        |       tdigest_quantile(tdigest_generate_sketch(v, 100), 0.5) AS td,
+        |       tdigest_quantile(v, 0.5, 100) AS td2,
+        |       approx_quantile_fixed_buckets(v, 0.5, 10, 0.0, 5000.0) AS fb
+        |FROM sk_u""".stripMargin).collect()(0)
+    val qs = qr.getSeq[Double](0)
+    assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
+    assert(math.abs(qs(1) - 2500.0) < 200)
+    assert(math.abs(qr.getDouble(1) - 2500.0) < 200)
+    assert(math.abs(qr.getDouble(2) - 2500.0) < 200)
+    // uniform 0..5000 in 10 fixed buckets: interpolated median is exact
+    assert(math.abs(qr.getDouble(3) - 2500.0) < 1.0)
+  }
 }
