@@ -21,7 +21,7 @@ object SparkEntry {
       NativeQueries.all ++ NativeQueries2.all ++ NativeQueries3.all ++
       NativeQueries4.all ++ NativeQueries5.all ++
       SupersetQueries.all ++
-      IngestQueries.all ++ ServerQueries.all
+      IngestQueries.all ++ ServerQueries.all ++ CacheQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -45,7 +45,7 @@ object TimeFunctions {
   /** Default origin: epoch for month/day/time periods; the epoch-week
     * Monday (1969-12-29) for pure-week periods — matching the
     * reference's ISO-chronology week bucketing. */
-  private def defaultOriginMs(s: String): Long =
+  private[graft] def defaultOriginMs(s: String): Long =
     if (s.toUpperCase.contains("W")) -3L * 86400000L else 0L
 
   private def toLocal(ts: Column, tz: Option[String]): Column =

@@ -160,7 +160,7 @@ class NativePlanner(
     df
   }
 
-  private def bucketCol(g: Granularity): Option[Column] = g match {
+  private[planner] def bucketCol(g: Granularity): Option[Column] = g match {
     case Granularity.All => None
     case Granularity.Period(p, origin, tz) =>
       Some(TimeFunctions.timeFloor(col(timeColumn), p, origin, tz))
@@ -501,7 +501,7 @@ class NativePlanner(
 
   /** dimension output column, applying extractionFns and the MVD
     * convention (ArrayType dims explode at groupBy — handled by caller). */
-  private def dimColumn(df: DataFrame, d: DimensionSpec): Column = {
+  private[planner] def dimColumn(df: DataFrame, d: DimensionSpec): Column = {
     val extracted = d.extractionFn match {
       case None => col(d.dimension)
       case Some(fn) => extractionColumn(col(d.dimension), fn)
@@ -534,7 +534,7 @@ class NativePlanner(
 
   /** explode ArrayType (MVD) dims before grouping — the reference's
     * implicit group-per-element semantic. */
-  private def explodeMvds(df0: DataFrame, dims: Seq[DimensionSpec]): DataFrame =
+  private[planner] def explodeMvds(df0: DataFrame, dims: Seq[DimensionSpec]): DataFrame =
     dims.foldLeft(df0) { (df, d) =>
       df.schema.find(_.name == d.dimension) match {
         case Some(f) if f.dataType.isInstanceOf[ArrayType] =>

@@ -1,0 +1,383 @@
+package graft.planner
+
+import java.time.{LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.TimeFunctions
+import graft.model._
+import graft.sources.Ingest
+
+/** Per-segment result cache — the reference broker's
+  * CachingClusteredClient + CacheStrategy semantics
+  * (server/src/main/java/org/apache/druid/client/CachingClusteredClient.java,
+  * and each query type's QueryToolChest.getCacheStrategy): PARTIAL per-segment
+  * results are cached keyed by (segment, segment version, query
+  * fingerprint); a repeat query after an append recomputes only the new
+  * segments and merges cached partials with fresh ones. The query
+  * fingerprint strips everything applied at merge time (intervals,
+  * post-aggregators, ordering/limit/having, topN threshold), so one
+  * cache entry serves every query that shares the partial shape — like
+  * the reference key, which hashes granularity/filter/aggs/dims only.
+  *
+  * Mapped onto this engine: a "segment" is one `__bucket=` partition
+  * directory of an ingested datasource, its version the directory's
+  * file listing (name:length:mtime per file — REPLACE/append rewrite
+  * part files, changing the version, which invalidates exactly like the
+  * reference's announce-time version bump). A segment is cache-eligible
+  * for a query only when FULLY covered by one query interval; edge
+  * buckets are recomputed per query and never cached (the reference
+  * likewise bypasses the cache for partial-segment intervals).
+  *
+  * Scale shape: the partial stage is one declarative groupBy over ONLY
+  * the missed buckets (`__bucket IN (...)` → partition pruning, no I/O
+  * on hits); cached partials re-enter the plan as a driver-local
+  * relation bounded by `maxRowsPerSegment` (a bucket whose partial
+  * exceeds it is simply never populated — the reference's cache value
+  * size cap). The merge is the UNMODIFIED planner re-run over the
+  * partial rows with combining aggregators — the same
+  * rollup-reaggregation contract ingest-time rollup tables already
+  * grade (count→longSum, sums re-sum, sketch binaries fold).
+  */
+final class SegmentResultCache(
+    val maxTotalRows: Int = 1 << 20,
+    val maxRowsPerSegment: Int = 10000) {
+
+  final case class Key(path: String, bucket: String, version: String, fingerprint: String)
+  final case class Value(schema: StructType, rows: Array[Row])
+
+  // access-ordered LRU bounded by TOTAL cached rows (entries are
+  // whole-segment partials of very different sizes, so an entry count
+  // alone would not bound memory)
+  private val lru = new java.util.LinkedHashMap[Key, Value](64, 0.75f, true)
+  private var totalRows = 0L
+
+  @volatile var hits: Long = 0L
+  @volatile var misses: Long = 0L
+  @volatile var populated: Long = 0L
+  @volatile var bypassedQueries: Long = 0L
+  @volatile var populateSkipped: Long = 0L
+  /** buckets the LAST cached-plan call actually recomputed (covered
+    * misses + edge buckets) — what a spec asserts to prove an append
+    * only touched the new segment. */
+  @volatile var lastComputedBuckets: Seq[String] = Nil
+
+  def get(k: Key): Option[Value] = synchronized {
+    val v = Option(lru.get(k))
+    if (v.isDefined) hits += 1 else misses += 1
+    v
+  }
+
+  def put(k: Key, v: Value): Unit = synchronized {
+    if (v.rows.length > maxRowsPerSegment) { populateSkipped += 1; return }
+    Option(lru.remove(k)).foreach(old => totalRows -= old.rows.length)
+    lru.put(k, v)
+    totalRows += v.rows.length
+    populated += 1
+    // evict least-recently-used entries (iteration order = access
+    // order) until the row budget holds; the just-inserted entry is
+    // the youngest, so it survives unless it alone exceeds the budget
+    val it = lru.entrySet().iterator()
+    while (totalRows > maxTotalRows && it.hasNext) {
+      val eldest = it.next()
+      totalRows -= eldest.getValue.rows.length
+      it.remove()
+    }
+  }
+
+  def entryCount: Int = synchronized(lru.size())
+}
+
+object SegmentCachePlanner {
+  /** what the cache needs to know about one ingested datasource:
+    * its storage path, the ACTIVE buckets (unused/rule-dropped buckets
+    * excluded, mirroring the server's readActive), and the segment
+    * granularity from the ingest metadata sidecar. */
+  final case class TableInfo(
+      path: String, activeBuckets: Seq[String], segmentGranularity: String)
+}
+
+final class SegmentCachePlanner(
+    spark: SparkSession,
+    fallback: NativePlanner,
+    cache: SegmentResultCache,
+    resolveInfo: String => Option[SegmentCachePlanner.TableInfo],
+    timeColumn: String = "__time",
+    /** metadata-op bound: a datasource with more active buckets than
+      * this bypasses the cache (one listStatus per covered bucket per
+      * query would otherwise scale with segment count on the driver). */
+    maxBucketsForCache: Int = 4096,
+    /** populate-side driver bound across ALL missed buckets of one
+      * query; above it nothing is populated and the merge input stays
+      * fully distributed. */
+    maxPopulateRows: Int = 1 << 16) {
+
+  import SegmentCachePlanner.TableInfo
+  import graft.model.NativeQuery._
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  // ---------------- eligibility ----------------
+
+  /** partial-stage aggregator → combining aggregator over the partial
+    * column (reference AggregatorFactory.getCombiningFactory). None =
+    * not mergeable from partials → whole query bypasses the cache. */
+  private def combining(a: Aggregator): Option[Aggregator] = a match {
+    case Aggregator.Count(n) => Some(Aggregator.LongSum(n, n))
+    case Aggregator.LongSum(n, _) => Some(Aggregator.LongSum(n, n))
+    case Aggregator.DoubleSum(n, _) => Some(Aggregator.DoubleSum(n, n))
+    case Aggregator.LongMin(n, _) => Some(Aggregator.LongMin(n, n))
+    case Aggregator.LongMax(n, _) => Some(Aggregator.LongMax(n, n))
+    case Aggregator.DoubleMin(n, _) => Some(Aggregator.DoubleMin(n, n))
+    case Aggregator.DoubleMax(n, _) => Some(Aggregator.DoubleMax(n, n))
+    case Aggregator.ThetaSketch(n, _, lgK) =>
+      Some(Aggregator.ThetaSketch(n, n, lgK)) // folds stored binaries
+    case Aggregator.KllSketch(n, _, k) => Some(Aggregator.KllSketch(n, n, k))
+    case Aggregator.HllSketch(n, _, lgK, _) =>
+      Some(Aggregator.HllSketch(n, n, lgK, merge = true))
+    case Aggregator.Filtered(_, inner) if !inner.isInstanceOf[Aggregator.Filtered] =>
+      combining(inner) // the filter is applied at the partial stage
+    case _ => None
+  }
+
+  /** fixed-millis granularities only, in the session zone (UTC): month
+    * flooring and tz-local flooring are not modulo arithmetic, so
+    * interval alignment can't be checked driver-side — bypass. */
+  private def granPeriodMs(g: Granularity): Option[Option[(Long, Long)]] = g match {
+    case Granularity.All => Some(None)
+    case Granularity.Period(p, origin, tz) =>
+      if (tz.exists(_ != "UTC")) None
+      else try {
+        val ip = TimeFunctions.parsePeriod(p)
+        if (ip.months > 0) None
+        else Some(Some((ip.millis,
+          origin.getOrElse(TimeFunctions.defaultOriginMs(p)))))
+      } catch { case _: Exception => None }
+  }
+
+  private def intervalsAligned(
+      ivs: Seq[QueryInterval], gran: Option[(Long, Long)]): Boolean = gran match {
+    case None => true // granularity ALL: no result-time axis to misalign
+    case Some((ms, origin)) =>
+      ivs.forall(iv => (iv.startMs - origin) % ms == 0 && (iv.endMs - origin) % ms == 0)
+  }
+
+  private final case class Eligible(
+      name: String, info: TableInfo,
+      dims: Seq[DimensionSpec], aggs: Seq[Aggregator],
+      combiningAggs: Seq[Aggregator], granularity: Granularity,
+      rewrite: (DataSource, Seq[Aggregator], Seq[QueryInterval]) => NativeQuery)
+
+  private def eligible(q: NativeQuery): Option[Eligible] = {
+    val parts: Option[(DataSource, Seq[DimensionSpec], Seq[Aggregator], Granularity,
+        (DataSource, Seq[Aggregator], Seq[QueryInterval]) => NativeQuery)] = q match {
+      case t: Timeseries => Some((t.dataSource, Nil, t.aggregations, t.granularity,
+        (ds, as, ivs) => t.copy(dataSource = ds, aggregations = as,
+          intervals = ivs, filter = None, virtualColumns = Nil)))
+      case t: TopN => Some((t.dataSource, Seq(t.dimension), t.aggregations, t.granularity,
+        (ds, as, ivs) => t.copy(dataSource = ds, aggregations = as, intervals = ivs,
+          filter = None, virtualColumns = Nil,
+          dimension = DimensionSpec(t.dimension.outputName, t.dimension.outputName, None))))
+      case g: GroupBy if g.subtotalsSpec.isEmpty =>
+        Some((g.dataSource, g.dimensions, g.aggregations, g.granularity,
+          (ds, as, ivs) => g.copy(dataSource = ds, aggregations = as, intervals = ivs,
+            filter = None, virtualColumns = Nil,
+            dimensions = g.dimensions.map(d =>
+              DimensionSpec(d.outputName, d.outputName, None)))))
+      case _ => None
+    }
+    for {
+      (ds, dims, aggs, gran, rewrite) <- parts
+      name <- ds match { case DataSource.Table(n) => Some(n); case _ => None }
+      info <- resolveInfo(name)
+      if info.activeBuckets.size <= maxBucketsForCache
+      granMs <- granPeriodMs(gran)
+      if intervalsAligned(q.intervals, granMs)
+      combined <- traverse(aggs)(combining)
+      // reserved column names: the partial schema carries __bucket +
+      // the time column beside dim/agg outputs
+      outNames = dims.map(_.outputName) ++ aggs.map(_.name)
+      if outNames.distinct.size == outNames.size &&
+        !outNames.contains(timeColumn) && !outNames.contains(Ingest.BucketCol)
+      segMs <- try {
+        val p = TimeFunctions.parsePeriod(info.segmentGranularity)
+        Some(p) // months handled in bucketRange
+      } catch { case _: Exception => None }
+    } yield Eligible(name, info, dims, aggs, combined, gran, rewrite)
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
+    xs.foldLeft(Option(Seq.empty[B])) {
+      (acc, x) => acc.flatMap(s => f(x).map(s :+ _))
+    }
+
+  // ---------------- segment identity ----------------
+
+  /** [startMs, endMs) of one bucket directory, from its dir-name
+    * timestamp (Ingest writes yyyy-MM-dd'T'HH) + the table's segment
+    * granularity. */
+  private[planner] def bucketRange(bucket: String, segmentGranularity: String): Option[(Long, Long)] =
+    try {
+      val ldt = LocalDateTime.parse(bucket + ":00:00")
+      val start = ldt.toInstant(ZoneOffset.UTC).toEpochMilli
+      val p = TimeFunctions.parsePeriod(segmentGranularity)
+      val end =
+        if (p.months > 0) ldt.plusMonths(p.months).toInstant(ZoneOffset.UTC).toEpochMilli
+        else start + p.millis
+      Some((start, end))
+    } catch { case _: Exception => None }
+
+  /** covered = fully inside one interval (cacheable), edge = partial
+    * overlap (recompute, never cache), None = disjoint (skip: the
+    * reference never even routes the query to those segments). An
+    * unparseable bucket name degrades to edge — recomputed, never
+    * wrongly skipped. */
+  private def classify(
+      range: Option[(Long, Long)], ivs: Seq[QueryInterval]): Option[Boolean] = range match {
+    case None => Some(false)
+    case Some((bs, be)) =>
+      if (ivs.isEmpty || ivs.exists(iv => iv.startMs <= bs && be <= iv.endMs)) Some(true)
+      else if (ivs.exists(iv => iv.startMs < be && bs < iv.endMs)) Some(false)
+      else None
+  }
+
+  /** the segment's version IS its exact file listing — any append,
+    * replace or compaction renames part files, so staleness is
+    * structurally impossible (no hash, no collision). */
+  private def bucketVersion(path: String, bucket: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(path, s"${Ingest.BucketCol}=$bucket")
+    val fs = dir.getFileSystem(hconf)
+    fs.listStatus(dir).filter(_.isFile)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** everything that determines the PARTIAL rows — intervals,
+    * post-aggs, ordering, limits, thresholds all apply at merge time
+    * and are stripped so entries are shared across them (reference
+    * CacheKeyBuilder scope). */
+  private def fingerprint(q: NativeQuery): String = (q match {
+    case t: Timeseries => t.copy(intervals = Nil, postAggregations = Nil,
+      descending = false, skipEmptyBuckets = false, grandTotal = false)
+    case t: TopN => t.copy(intervals = Nil, postAggregations = Nil,
+      metric = "", metricDescending = false, threshold = 0,
+      metricOrdering = "")
+    case g: GroupBy => g.copy(intervals = Nil, postAggregations = Nil,
+      having = None, limitSpec = None)
+    case other => other
+  }).toString
+
+  // ---------------- the cached plan ----------------
+
+  /** partial stage over the listed buckets: the original query's
+    * virtual columns, interval predicate and filter, then ONE
+    * declarative groupBy at (bucket, floored time, dims) grain with the
+    * original aggregators. `__bucket IN (...)` prunes partitions, so
+    * hit buckets cost zero I/O. */
+  private def partialStage(q: NativeQuery, e: Eligible, buckets: Seq[String]): DataFrame = {
+    var df = spark.read.parquet(e.info.path)
+    df =
+      if (buckets.isEmpty) df.filter(lit(false))
+      else df.filter(col(Ingest.BucketCol).isin(buckets: _*))
+    for (vc <- q.virtualColumns)
+      df = df.withColumn(vc.name,
+        graft.functions.DruidExprCompiler.column(vc.expression, Some(df.schema), vc.outputType))
+    q.intervals.foldLeft(Option.empty[org.apache.spark.sql.Column]) { (acc, iv) =>
+      val c = col(timeColumn) >= timestamp_millis(lit(iv.startMs)) &&
+        col(timeColumn) < timestamp_millis(lit(iv.endMs))
+      Some(acc.map(_ || c).getOrElse(c))
+    }.foreach(c => df = df.filter(c))
+    q.filter.foreach(f => df = df.filter(fallback.filterToColumn(f, Some(df.schema))))
+    df = fallback.explodeMvds(df, e.dims)
+    val keys = col(Ingest.BucketCol) +:
+      (fallback.bucketCol(e.granularity).map(_.as(timeColumn)).toSeq ++
+        e.dims.map(d => fallback.dimColumn(df, d)))
+    val aggCols = e.aggs.map(fallback.aggToColumn(_, Some(df.schema)))
+    df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** the merge: run the UNMODIFIED planner over the union of cached +
+    * fresh partial rows with combining aggregators — zero-fill,
+    * grandTotal, topN ranking, having/limit/post-aggs all come from the
+    * same code path as the uncached plan. */
+  private def mergePlan(q: NativeQuery, e: Eligible, partials: DataFrame): DataFrame = {
+    // granularity ALL partials carry no time column, so the rewritten
+    // query must not re-filter by interval (every partial row already
+    // passed the original predicate at the partial stage)
+    val ivs = e.granularity match {
+      case Granularity.All => Nil
+      case _ => q.intervals
+    }
+    val rewritten = e.rewrite(DataSource.Table("__graft_partials"), e.combiningAggs, ivs)
+    new NativePlanner(spark, _ => partials.drop(Ingest.BucketCol), timeColumn)
+      .plan(rewritten)
+  }
+
+  def plan(q: NativeQuery, useCache: Boolean, populateCache: Boolean): DataFrame = {
+    if (!useCache && !populateCache) return fallback.plan(q)
+    eligible(q) match {
+      case None =>
+        cache.bypassedQueries += 1
+        fallback.plan(q)
+      case Some(e) =>
+        val fp = fingerprint(q)
+        val classed = e.info.activeBuckets.flatMap(b =>
+          classify(bucketRange(b, e.info.segmentGranularity), q.intervals).map(b -> _))
+        val covered = classed.collect { case (b, true) => b }
+        val edge = classed.collect { case (b, false) => b }
+        val versions = covered.map(b => b -> bucketVersion(e.info.path, b)).toMap
+        planCached(q, e, fp, covered, edge, versions, useCache, populateCache)
+    }
+  }
+
+  private def planCached(
+      q: NativeQuery, e: Eligible, fp: String,
+      covered: Seq[String], edge: Seq[String],
+      versions: Map[String, String],
+      useCache: Boolean, populateCache: Boolean): DataFrame = {
+    val hits: Seq[(String, cache.Value)] =
+      if (useCache) covered.flatMap { b =>
+        cache.get(cache.Key(e.info.path, b, versions(b), fp)).map(b -> _)
+      } else Nil
+    val hitSet = hits.map(_._1).toSet
+    val missedCovered = covered.filterNot(hitSet)
+    val toCompute = missedCovered ++ edge
+    cache.lastComputedBuckets = toCompute.sorted
+    val fresh = partialStage(q, e, toCompute)
+
+    // hit schemas must agree with the live partial schema (a dim type
+    // change across table versions would otherwise union-mismatch);
+    // disagreeing entries are simply treated as misses
+    val schema = fresh.schema
+    val usable = hits.filter(_._2.schema == schema)
+    val localHitRows: Seq[Row] = usable.flatMap(_._2.rows)
+
+    def withCached(freshSide: DataFrame): DataFrame =
+      if (localHitRows.isEmpty) freshSide
+      else freshSide.unionByName(spark.createDataFrame(
+        java.util.Arrays.asList(localHitRows: _*), schema))
+
+    val mergeInput: DataFrame =
+      if (populateCache && toCompute.nonEmpty) {
+        val arr = fresh.take(maxPopulateRows + 1)
+        if (arr.length <= maxPopulateRows) {
+          val bIdx = schema.fieldIndex(Ingest.BucketCol)
+          val byBucket = arr.groupBy(_.get(bIdx).toString)
+          missedCovered.foreach { b =>
+            val rows = byBucket.getOrElse(b, Array.empty[Row])
+            cache.put(cache.Key(e.info.path, b, versions(b), fp),
+              cache.Value(schema, rows))
+          }
+          withCached(spark.createDataFrame(
+            java.util.Arrays.asList(arr.toIndexedSeq: _*), schema))
+        } else {
+          cache.populateSkipped += 1
+          withCached(fresh)
+        }
+      } else withCached(fresh)
+
+    mergePlan(q, e, mergeInput)
+  }
+}

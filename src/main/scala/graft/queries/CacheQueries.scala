@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model._
+import graft.model.NativeQuery._
+import graft.planner.{NativePlanner, SegmentCachePlanner, SegmentResultCache}
+import graft.sources.Ingest
+
+/** Grades the per-segment result cache end-to-end (reference broker
+  * CachingClusteredClient + per-query-type CacheStrategy): populate
+  * over the full table, append a derived batch — NEW day segments plus
+  * extra rows into ONE existing day — and prove the repeat query
+  * recomputes exactly the invalidated/new segments while the untouched
+  * 29 days serve from cache. The oracle recomputes the whole
+  * append arithmetic from the raw events table, so a stale cached
+  * partial (missed invalidation), a dropped bucket, or a re-aggregation
+  * that double-counts merged partials breaks the hash; the `require`s
+  * grade the cache MECHANICS (hit/recompute sets) that the hash alone
+  * cannot see. */
+object CacheQueries {
+
+  val cacheSegmentRoundtrip: Q = q(
+    "cache_segment_roundtrip",
+    """WITH u AS (
+      |  SELECT ts, event_type, user_id, value FROM events
+      |  UNION ALL
+      |  SELECT ts + INTERVAL 31 DAY AS ts, event_type, user_id,
+      |         value * 2 AS value FROM events
+      |  UNION ALL
+      |  SELECT ts, event_type, user_id + 100000 AS user_id,
+      |         value + 1000 AS value FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06')
+      |SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(value), 4) AS total,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_q").toString
+    val spec = Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
+    val ev = Tables.events(s, d)
+    Ingest.ingest(ev, spec, dir)
+
+    val planner = new NativePlanner(s,
+      { case "events_ds" => Ingest.read(s, dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(s, planner, cache,
+      { case "events_ds" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(s, dir), "P1D"))
+        case _ => None })
+
+    def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+    val query = GroupBy(
+      DataSource.Table("events_ds"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-04-01T00:00:00Z"))),
+      Granularity.Period("P1D", None, None), None,
+      Seq(DimensionSpec("event_type", "event_type", None)),
+      Seq(Aggregator.Count("cnt"), Aggregator.DoubleSum("sv", "value"),
+        Aggregator.ThetaSketch("usk", "user_id")),
+      Nil, None, None, Nil, Nil)
+
+    // populate pass: every day segment computed once, cached
+    val warm = scp.plan(query, useCache = true, populateCache = true)
+    val nDays = warm.select(col(Ingest.TimeCol)).distinct().count()
+    require(cache.populated == nDays,
+      s"expected $nDays populated segments, got ${cache.populated}")
+
+    // the append: 30 NEW day segments (ts + 31 days, doubled values)
+    // plus extra rows into the existing 2024-01-05 segment
+    Ingest.write(Ingest.prepare(
+      ev.withColumn("ts", col("ts") + expr("INTERVAL 31 DAYS"))
+        .withColumn("value", col("value") * 2), spec), dir)
+    Ingest.write(Ingest.prepare(
+      ev.filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-06").cast("timestamp"))
+        .withColumn("user_id", col("user_id") + 100000L)
+        .withColumn("value", col("value") + 1000.0), spec), dir)
+
+    // repeat pass: ONLY the touched day + the new days recompute
+    val out = scp.plan(query, useCache = true, populateCache = true)
+      .select(
+        unix_millis(col(Ingest.TimeCol)).as("day_ms"), col("event_type"),
+        col("cnt"),
+        round(col("sv"), 4).as("total"),
+        round(graft.aggs.sketches.thetaEstimate(col("usk")))
+          .cast("long").as("users"))
+      .orderBy(col("day_ms"), col("event_type"))
+    val res = out.collect()
+    require(cache.hits == nDays - 1,
+      s"expected ${nDays - 1} cache hits, got ${cache.hits}")
+    require(cache.lastComputedBuckets.contains("2024-01-05T00"),
+      s"invalidated day missing from recompute set: ${cache.lastComputedBuckets}")
+    require(!cache.lastComputedBuckets.contains("2024-01-04T00"),
+      "untouched day was recomputed")
+    s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
+  }
+
+  val all: Seq[Q] = Seq(cacheSegmentRoundtrip)
+}

@@ -203,11 +203,34 @@ class QueryServer(
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
-  /** per-query result cache (reference broker ResultLevelCachingQueryRunner
-    * + CacheConfig useCache/populateCache): exact-body LRU with TTL.
-    * Opt-in per query via context.useCache/populateCache — correct for
-    * immutable segments (this engine's tables are immutable parquet);
-    * callers appending data pass useCache=false like the reference's
+  /** per-SEGMENT partial-result cache behind context.useCache/
+    * populateCache — the reference broker's CachingClusteredClient
+    * semantics: one entry per (bucket dir, file-listing version, query
+    * fingerprint); appends/REPLACEs invalidate exactly the touched
+    * buckets. Ingested batch datasources only — a realtime window
+    * mutates under any cache, so supervised names bypass (the
+    * reference likewise never caches realtime segments). */
+  private val segmentCache = new graft.planner.SegmentResultCache()
+  /** observable for tests. */
+  private[server] def segmentCacheStats: graft.planner.SegmentResultCache = segmentCache
+  private def segmentCacheInfo(name: String): Option[graft.planner.SegmentCachePlanner.TableInfo] =
+    if (realtimeSupervisors.contains(name)) None
+    else ingested.get(name).flatMap { path =>
+      graft.sources.Ingest.readSegmentMeta(spark, path).map { m =>
+        val excluded = unusedBuckets.getOrElse(name, Set.empty) ++
+          bucketsDroppedByRules(name, path)
+        graft.planner.SegmentCachePlanner.TableInfo(
+          path, listBuckets(path).filterNot(excluded), m.segmentGranularity)
+      }
+    }
+  private val cachingPlanner = new graft.planner.SegmentCachePlanner(
+    spark, planner, segmentCache, segmentCacheInfo)
+
+  /** per-query RESULT-level cache (reference broker
+    * ResultLevelCachingQueryRunner + CacheConfig): exact-body LRU with
+    * TTL. Opt-in per query via context.useResultLevelCache/
+    * populateResultLevelCache — correct for immutable segments;
+    * callers appending data leave it off like the reference's
     * realtime segments, which are never cached. */
   private val cacheMax = 128
   private val cacheTtlMs = 60000L
@@ -1761,7 +1784,12 @@ class QueryServer(
           if (contextFlag(body, "bySegment"))
             serveCached(ex, body)(open => writeBySegment(open, body, q, cap, tsAsLong))
           else {
-            val df = finalizeSketches(planner.plan(q), body)
+            val useSeg = contextFlag(body, "useCache")
+            val popSeg = contextFlag(body, "populateCache")
+            val planned =
+              if (useSeg || popSeg) cachingPlanner.plan(q, useSeg, popSeg)
+              else planner.plan(q)
+            val df = finalizeSketches(planned, body)
             ensureUnderCap(df, cap)
             serveCached(ex, body)(open => writeEnvelope(open, q, df, cap, tsAsLong))
           }
@@ -2642,13 +2670,14 @@ class QueryServer(
     } finally os.close()
   }
 
-  /** cache-aware dispatch: useCache serves an unexpired exact-body
-    * hit; populateCache buffers the response (bounded by maxRows) and
-    * stores it; otherwise the response streams chunked as usual. */
+  /** result-level cache dispatch: useResultLevelCache serves an
+    * unexpired exact-body hit; populateResultLevelCache buffers the
+    * response (bounded by maxRows) and stores it; otherwise the
+    * response streams chunked as usual. */
   private def serveCached(ex: HttpExchange, body: String)(
       produce: (String => OutputStream) => Unit): Unit = {
-    val use = contextFlag(body, "useCache")
-    val pop = contextFlag(body, "populateCache")
+    val use = contextFlag(body, "useResultLevelCache")
+    val pop = contextFlag(body, "populateResultLevelCache")
     if (use) cacheGet(body) match {
       case Some((code, ct, bytes)) =>
         cacheHits += 1

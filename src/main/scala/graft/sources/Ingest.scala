@@ -226,6 +226,17 @@ object Ingest {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** the table's __bucket directory values — one filesystem listing,
+    * no scan (the segment inventory the timeline/coordinator surfaces
+    * and the per-segment cache key off). */
+  def listBuckets(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = BucketCol + "="
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+  }
+
   /** input formats (reference data/input/impl: JsonInputFormat,
     * CsvInputFormat, DelimitedInputFormat + parquet/orc extensions) —
     * each a thin mapping onto the corresponding Spark reader so schema

@@ -1,0 +1,206 @@
+package graft.planner
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model._
+import graft.model.NativeQuery._
+import graft.sources.Ingest
+
+class SegmentCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ms(s: String): Long = Instant.parse(s).toEpochMilli
+
+  /** 4 ingested days, 48 rows/day at even 30-min spacing. */
+  private lazy val path: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache").toString
+    val df = spark.range(0, 4L * 48).select(
+      timestamp_millis(lit(ms("2024-01-01T00:00:00Z")) + col("id") * 1800000L).as("ts"),
+      concat(lit("u"), (col("id") % 5).cast("string")).as("user"),
+      concat(lit("k"), (col("id") % 3).cast("string")).as("kind"),
+      (col("id") % 100).cast("long").as("v"))
+    Ingest.ingest(df, Ingest.IngestSpec(timeColumn = "ts"), dir)
+    dir
+  }
+
+  private def buckets: Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(Ingest.BucketCol + "="))
+      .map(_.stripPrefix(Ingest.BucketCol + "="))
+  }
+
+  private def table: DataFrame = spark.read.parquet(path).drop(Ingest.BucketCol)
+
+  private def fresh(maxPerSeg: Int = 10000): (NativePlanner, SegmentResultCache, SegmentCachePlanner) = {
+    val planner = new NativePlanner(spark, { case "t" => table })
+    val cache = new SegmentResultCache(maxRowsPerSegment = maxPerSeg)
+    val scp = new SegmentCachePlanner(spark, planner, cache,
+      { case "t" => Some(SegmentCachePlanner.TableInfo(path, buckets, "P1D")); case _ => None })
+    (planner, cache, scp)
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private val allDays = Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-01-05T00:00:00Z")))
+  private def day = Granularity.Period("P1D", None, None)
+
+  private def ts(ivs: Seq[QueryInterval], aggs: Seq[Aggregator],
+      gran: Granularity = day, filter: Option[DimFilter] = None,
+      postAggs: Seq[PostAggregator] = Nil): Timeseries =
+    Timeseries(DataSource.Table("t"), ivs, gran, filter, aggs, postAggs,
+      Nil, descending = false, skipEmptyBuckets = false)
+
+  private val sumCount = Seq(
+    Aggregator.LongSum("sv", "v"), Aggregator.Count("cnt"))
+
+  test("timeseries: populate, then serve fully from cache; results equal direct") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, sumCount)
+    val direct = rows(planner.plan(q))
+    val first = rows(scp.plan(q, useCache = true, populateCache = true))
+    assert(first == direct)
+    assert(cache.populated == 4 && cache.hits == 0)
+    val second = rows(scp.plan(q, useCache = true, populateCache = true))
+    assert(second == direct)
+    assert(cache.hits == 4)
+    assert(cache.lastComputedBuckets.isEmpty)
+  }
+
+  test("append invalidates exactly the touched segment") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, sumCount)
+    rows(scp.plan(q, useCache = true, populateCache = true))
+    // append 2 rows into day 3 only
+    val extra = Seq(
+      (Instant.parse("2024-01-03T05:00:00Z"), "u9", "k0", 1000L),
+      (Instant.parse("2024-01-03T06:00:00Z"), "u9", "k1", 1000L)
+    ).toDF("ts0", "user", "kind", "v")
+      .select(col("ts0").cast("timestamp").as("ts"), col("user"), col("kind"), col("v"))
+    Ingest.write(Ingest.prepare(extra, Ingest.IngestSpec(timeColumn = "ts")), path)
+    val direct = rows(planner.plan(q))
+    val after = rows(scp.plan(q, useCache = true, populateCache = true))
+    assert(after == direct)
+    assert(cache.lastComputedBuckets == Seq("2024-01-03T00"))
+    // day-3 sum reflects the appended 2000
+    val day3 = after.find(_.head.toString.startsWith("2024-01-03")).get
+    assert(day3(1).asInstanceOf[Long] >= 2000L)
+  }
+
+  test("edge buckets recompute every query and are never populated") {
+    val (planner, cache, scp) = fresh()
+    // starts mid-day-1 (day granularity still aligned? no: 12:00 is NOT
+    // P1D-aligned, so use hour granularity to stay eligible)
+    val ivs = Seq(QueryInterval(ms("2024-01-01T12:00:00Z"), ms("2024-01-03T00:00:00Z")))
+    val q = ts(ivs, sumCount, gran = Granularity.Period("PT6H", None, None))
+    val direct = rows(planner.plan(q))
+    assert(rows(scp.plan(q, true, true)) == direct)
+    assert(cache.lastComputedBuckets.contains("2024-01-01T00"))
+    assert(cache.populated == 1) // only day 2 is fully covered
+    assert(rows(scp.plan(q, true, true)) == direct)
+    assert(cache.lastComputedBuckets == Seq("2024-01-01T00")) // edge again
+    assert(cache.hits == 1)
+  }
+
+  test("groupBy: entries shared across postAggs/having/limit variants") {
+    val (planner, cache, scp) = fresh()
+    def gb(having: Option[HavingSpec], limit: Option[LimitSpec],
+        post: Seq[PostAggregator]): GroupBy =
+      GroupBy(DataSource.Table("t"), allDays, Granularity.All, None,
+        Seq(DimensionSpec("kind", "kind", None)), sumCount, post,
+        having, limit, Nil, Nil)
+    val q1 = gb(None, None, Nil)
+    assert(rows(scp.plan(q1, true, true)).toSet == rows(planner.plan(q1)).toSet)
+    assert(cache.populated == 4)
+    val q2 = gb(None,
+      Some(LimitSpec(Seq(OrderByColumn("sv", descending = true, "numeric")), Some(2), None)),
+      Seq(PostAggregator.Arithmetic("ratio", "/",
+        Seq(PostAggregator.FieldAccess("f", "sv"), PostAggregator.FieldAccess("g", "cnt")))))
+    val direct2 = rows(planner.plan(q2))
+    assert(rows(scp.plan(q2, true, true)) == direct2)
+    assert(cache.hits == 4) // served from q1's partials
+  }
+
+  test("topN: threshold/ordering variants served from one partial set; sketch aggs fold") {
+    val (planner, cache, scp) = fresh()
+    def topn(threshold: Int, desc: Boolean): TopN =
+      TopN(DataSource.Table("t"), allDays, Granularity.All, None,
+        DimensionSpec("user", "user", None), "uv", desc, threshold,
+        Seq(Aggregator.LongSum("uv", "v"),
+          Aggregator.ThetaSketch("ksk", "kind")),
+        Seq(PostAggregator.ThetaEstimate("kinds",
+          PostAggregator.FieldAccess("f", "ksk"))),
+        Nil)
+    def strip(df: DataFrame) = rows(df.select("user", "uv", "kinds"))
+    val q1 = topn(3, desc = true)
+    assert(strip(scp.plan(q1, true, true)) == strip(planner.plan(q1)))
+    val q2 = topn(5, desc = false)
+    assert(strip(scp.plan(q2, true, true)) == strip(planner.plan(q2)))
+    assert(cache.hits == 4)
+    assert(cache.lastComputedBuckets.isEmpty)
+  }
+
+  test("filtered aggregator applies at the partial stage") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, Seq(
+      Aggregator.Filtered(DimFilter.Selector("kind", Some("k1"), None),
+        Aggregator.LongSum("k1v", "v")),
+      Aggregator.Count("cnt")))
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.hits == 4)
+  }
+
+  test("non-mergeable aggregators and unaligned intervals bypass the cache") {
+    val (planner, cache, scp) = fresh()
+    val qMean = ts(allDays, Seq(Aggregator.DoubleMean("m", "v")))
+    assert(rows(scp.plan(qMean, true, true)) == rows(planner.plan(qMean)))
+    assert(cache.bypassedQueries == 1 && cache.populated == 0)
+    // 12:00 endpoint is not P1D-aligned → bypass, still correct
+    val qMis = ts(Seq(QueryInterval(ms("2024-01-01T12:00:00Z"), ms("2024-01-03T00:00:00Z"))),
+      sumCount)
+    assert(rows(scp.plan(qMis, true, true)) == rows(planner.plan(qMis)))
+    assert(cache.bypassedQueries == 2)
+  }
+
+  test("per-segment row cap blocks population but never correctness") {
+    val (planner, cache, scp) = fresh(maxPerSeg = 1)
+    val q = GroupBy(DataSource.Table("t"), allDays, day, None,
+      Seq(DimensionSpec("user", "user", None)), sumCount, Nil, None, None, Nil, Nil)
+    // no limitSpec → output order is plan-dependent; compare as sets
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(cache.populated == 0 && cache.populateSkipped >= 4)
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(cache.hits == 0)
+  }
+
+  test("useCache=false ignores entries; populateCache=false writes none") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, sumCount)
+    rows(scp.plan(q, useCache = false, populateCache = true))
+    assert(cache.populated == 4)
+    rows(scp.plan(q, useCache = true, populateCache = false))
+    assert(cache.hits == 4)
+    rows(scp.plan(q, useCache = false, populateCache = false)) // plain fallback
+    assert(cache.hits == 4 && cache.populated == 4)
+  }
+
+  test("zero-fill, grandTotal and descending survive the merge path") {
+    val (planner, cache, scp) = fresh()
+    // a filter that empties day 2 → zero-filled bucket from cached partials
+    val q = Timeseries(DataSource.Table("t"), allDays, day,
+      Some(DimFilter.Bound("v", Some("90"), None, lowerStrict = false,
+        upperStrict = false, "numeric", None)),
+      sumCount, Nil, Nil, descending = true, skipEmptyBuckets = false,
+      grandTotal = true)
+    val direct = rows(planner.plan(q))
+    assert(rows(scp.plan(q, true, true)) == direct)
+    assert(rows(scp.plan(q, true, true)) == direct)
+  }
+}

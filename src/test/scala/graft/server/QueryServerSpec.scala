@@ -196,13 +196,13 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("result cache: populateCache stores, useCache serves the hit") {
+  test("result cache: populateResultLevelCache stores, useResultLevelCache serves the hit") {
     fixture.createOrReplaceTempView("ds_cache")
     val srv = new QueryServer(spark, { case "ds" => fixture })
     val port = srv.start()
     try {
       val q = """{"query": "SELECT dim, sum(m) AS s FROM ds_cache GROUP BY dim ORDER BY dim",
-                |"context": {"useCache": true, "populateCache": true}}""".stripMargin
+                |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin
       val (c1, b1) = post(port, "/druid/v2/sql", q)
       assert(c1 == 200, b1)
       assert(srv.cacheHits == 0)
@@ -212,7 +212,7 @@ class QueryServerSpec extends SparkSpec {
       // a different body misses
       val (c3, _) = post(port, "/druid/v2/sql",
         """{"query": "SELECT count(*) AS c FROM ds_cache",
-          |"context": {"useCache": true, "populateCache": true}}""".stripMargin)
+          |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin)
       assert(c3 == 200)
       assert(srv.cacheHits == 1)
     } finally srv.stop()
@@ -1611,6 +1611,51 @@ class QueryServerSpec extends SparkSpec {
       val (code, body) = post(port, "/druid/v2", """{"queryType": "nope"}""")
       assert(code == 400)
       assert(body.contains("error"))
+    } finally srv.stop()
+  }
+
+  test("segment cache over HTTP: useCache/populateCache, append invalidates one bucket") {
+    val root = java.nio.file.Files.createTempDirectory("graft-segcache-http").toString
+    fixture.createOrReplaceTempView("ds_segc")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (ci, bi) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO segctab SELECT __time, dim, m FROM ds_segc PARTITIONED BY DAY"}""")
+      assert(ci == 200, bi)
+      val q =
+        """{"queryType": "timeseries", "dataSource": "segctab",
+          |"intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"],
+          |"granularity": "day",
+          |"aggregations": [{"type": "count", "name": "cnt"},
+          |                 {"type": "doubleSum", "name": "sm", "fieldName": "m"}],
+          |"context": {"useCache": true, "populateCache": true}}""".stripMargin
+      val (c1, b1) = post(port, "/druid/v2", q)
+      assert(c1 == 200, b1)
+      assert(b1.contains(""""cnt":2""") && b1.contains(""""sm":3.0"""), b1)
+      val stats = srv.segmentCacheStats
+      assert(stats.populated == 2, s"populated=${stats.populated}")
+      val (c2, b2) = post(port, "/druid/v2", q)
+      assert(c2 == 200 && b2 == b1)
+      assert(stats.hits == 2 && stats.lastComputedBuckets.isEmpty,
+        s"hits=${stats.hits} computed=${stats.lastComputedBuckets}")
+      // append into day 2 only: that bucket's version changes, day 1
+      // keeps serving from cache
+      val (ca, ba) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO segctab SELECT timestamp '2024-01-02 03:00:00' AS __time, 'c' AS dim, CAST(10.0 AS DOUBLE) AS m PARTITIONED BY DAY"}""")
+      assert(ca == 200, ba)
+      val (c3, b3) = post(port, "/druid/v2", q)
+      assert(c3 == 200, b3)
+      assert(b3.contains(""""sm":13.0"""), b3)
+      assert(stats.lastComputedBuckets == Seq("2024-01-02T00"),
+        s"computed=${stats.lastComputedBuckets}")
+      // realtime/unknown datasources and non-native paths stay on the
+      // uncached planner: a plain query without the flags is untouched
+      val (c4, _) = post(port, "/druid/v2",
+        q.replace(""""useCache": true, "populateCache": true""",
+          """"useCache": false, "populateCache": false"""))
+      assert(c4 == 200)
     } finally srv.stop()
   }
 }
