@@ -266,6 +266,7 @@ final class SegmentCachePlanner(
       metricOrdering = "")
     case g: GroupBy => g.copy(intervals = Nil, postAggregations = Nil,
       having = None, limitSpec = None)
+    case tb: TimeBoundary => tb.copy(intervals = Nil, bound = None)
     case other => other
   }).toString
 
@@ -317,35 +318,81 @@ final class SegmentCachePlanner(
 
   def plan(q: NativeQuery, useCache: Boolean, populateCache: Boolean): DataFrame = {
     if (!useCache && !populateCache) return fallback.plan(q)
-    eligible(q) match {
-      case None =>
-        cache.bypassedQueries += 1
-        fallback.plan(q)
-      case Some(e) =>
-        val fp = fingerprint(q)
-        val classed = e.info.activeBuckets.flatMap(b =>
-          classify(bucketRange(b, e.info.segmentGranularity), q.intervals).map(b -> _))
-        val covered = classed.collect { case (b, true) => b }
-        val edge = classed.collect { case (b, false) => b }
-        val versions = covered.map(b => b -> bucketVersion(e.info.path, b)).toMap
-        planCached(q, e, fp, covered, edge, versions, useCache, populateCache)
+    q match {
+      // timeBoundary has its own cache strategy in the reference
+      // (TimeBoundaryQueryQueryToolChest): per-segment partials are the
+      // bucket's min/max candidate timestamps
+      case tb: TimeBoundary =>
+        (tb.dataSource match {
+          case DataSource.Table(n) => resolveInfo(n)
+          case _ => None
+        }) match {
+          case Some(info) if info.activeBuckets.size <= maxBucketsForCache =>
+            val fp = fingerprint(tb)
+            cachedExecution(tb, info, fp,
+              buckets => timeBoundaryPartials(tb, info, buckets),
+              partials => new NativePlanner(spark,
+                _ => partials.drop(Ingest.BucketCol), timeColumn)
+                .plan(tb.copy(dataSource = DataSource.Table("__graft_partials"),
+                  intervals = Nil, filter = None, virtualColumns = Nil)),
+              useCache, populateCache)
+          case _ => cache.bypassedQueries += 1; fallback.plan(tb)
+        }
+      case _ => eligible(q) match {
+        case None =>
+          cache.bypassedQueries += 1
+          fallback.plan(q)
+        case Some(e) =>
+          cachedExecution(q, e.info, fingerprint(q),
+            buckets => partialStage(q, e, buckets),
+            partials => mergePlan(q, e, partials),
+            useCache, populateCache)
+      }
     }
   }
 
-  private def planCached(
-      q: NativeQuery, e: Eligible, fp: String,
-      covered: Seq[String], edge: Seq[String],
-      versions: Map[String, String],
+  /** per-bucket min/max candidate timestamps, two rows per non-empty
+    * bucket — min of mins / max of maxes reproduce the exact bounds. */
+  private def timeBoundaryPartials(
+      tb: TimeBoundary, info: TableInfo, buckets: Seq[String]): DataFrame = {
+    var df = spark.read.parquet(info.path)
+    df =
+      if (buckets.isEmpty) df.filter(lit(false))
+      else df.filter(col(Ingest.BucketCol).isin(buckets: _*))
+    for (vc <- tb.virtualColumns)
+      df = df.withColumn(vc.name,
+        graft.functions.DruidExprCompiler.column(vc.expression, Some(df.schema), vc.outputType))
+    tb.intervals.foldLeft(Option.empty[org.apache.spark.sql.Column]) { (acc, iv) =>
+      val c = col(timeColumn) >= timestamp_millis(lit(iv.startMs)) &&
+        col(timeColumn) < timestamp_millis(lit(iv.endMs))
+      Some(acc.map(_ || c).getOrElse(c))
+    }.foreach(c => df = df.filter(c))
+    tb.filter.foreach(f => df = df.filter(fallback.filterToColumn(f, Some(df.schema))))
+    df.groupBy(col(Ingest.BucketCol))
+      .agg(min(col(timeColumn)).as("__mn"), max(col(timeColumn)).as("__mx"))
+      .select(col(Ingest.BucketCol),
+        explode(array(col("__mn"), col("__mx"))).as(timeColumn))
+  }
+
+  private def cachedExecution(
+      q: NativeQuery, info: TableInfo, fp: String,
+      partial: Seq[String] => DataFrame,
+      merge: DataFrame => DataFrame,
       useCache: Boolean, populateCache: Boolean): DataFrame = {
+    val classed = info.activeBuckets.flatMap(b =>
+      classify(bucketRange(b, info.segmentGranularity), q.intervals).map(b -> _))
+    val covered = classed.collect { case (b, true) => b }
+    val edge = classed.collect { case (b, false) => b }
+    val versions = covered.map(b => b -> bucketVersion(info.path, b)).toMap
     val hits: Seq[(String, cache.Value)] =
       if (useCache) covered.flatMap { b =>
-        cache.get(cache.Key(e.info.path, b, versions(b), fp)).map(b -> _)
+        cache.get(cache.Key(info.path, b, versions(b), fp)).map(b -> _)
       } else Nil
     val hitSet = hits.map(_._1).toSet
     val missedCovered = covered.filterNot(hitSet)
     val toCompute = missedCovered ++ edge
     cache.lastComputedBuckets = toCompute.sorted
-    val fresh = partialStage(q, e, toCompute)
+    val fresh = partial(toCompute)
 
     // hit schemas must agree with the live partial schema (a dim type
     // change across table versions would otherwise union-mismatch);
@@ -367,7 +414,7 @@ final class SegmentCachePlanner(
           val byBucket = arr.groupBy(_.get(bIdx).toString)
           missedCovered.foreach { b =>
             val rows = byBucket.getOrElse(b, Array.empty[Row])
-            cache.put(cache.Key(e.info.path, b, versions(b), fp),
+            cache.put(cache.Key(info.path, b, versions(b), fp),
               cache.Value(schema, rows))
           }
           withCached(spark.createDataFrame(
@@ -378,6 +425,6 @@ final class SegmentCachePlanner(
         }
       } else withCached(fresh)
 
-    mergePlan(q, e, mergeInput)
+    merge(mergeInput)
   }
 }

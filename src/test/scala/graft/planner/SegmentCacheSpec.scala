@@ -191,6 +191,25 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.hits == 4 && cache.populated == 4)
   }
 
+  test("timeBoundary: per-segment min/max candidates, bound variants share entries") {
+    val (planner, cache, scp) = fresh()
+    def tb(bound: Option[String], filter: Option[DimFilter] = None) =
+      TimeBoundary(DataSource.Table("t"), allDays, filter, bound, Nil)
+    val q = tb(None)
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.populated == 4)
+    // minTime/maxTime variants strip `bound` from the fingerprint
+    assert(rows(scp.plan(tb(Some("minTime")), true, true)) ==
+      rows(planner.plan(tb(Some("minTime")))))
+    assert(rows(scp.plan(tb(Some("maxTime")), true, true)) ==
+      rows(planner.plan(tb(Some("maxTime")))))
+    assert(cache.hits == 8 && cache.lastComputedBuckets.isEmpty)
+    // a filter changes the fingerprint: fresh partials, same answer
+    val qf = tb(None, Some(DimFilter.Selector("kind", Some("k2"), None)))
+    assert(rows(scp.plan(qf, true, true)) == rows(planner.plan(qf)))
+    assert(cache.populated == 8)
+  }
+
   test("zero-fill, grandTotal and descending survive the merge path") {
     val (planner, cache, scp) = fresh()
     // a filter that empties day 2 → zero-filled bucket from cached partials
