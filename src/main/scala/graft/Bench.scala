@@ -100,7 +100,13 @@ object Bench {
       "streaming_union_handoff" -> q("streaming_union_handoff"),
       "dedup_clusters" -> q("dedup_clusters"),
       "similarity_recall" -> q("similarity_recall"),
-      "sft_refusal_scope" -> q("sft_refusal_scope"))
+      "sft_refusal_scope" -> q("sft_refusal_scope"),
+      // per-segment cache HIT path: ingest + populate once per session
+      // (outside the timing), then each rep plans the same groupBy with
+      // useCache=true — measuring version listings + cached-partial
+      // merge, the steady-state latency a hot dashboard query sees
+      "segment_cache_hit" -> ((s: SparkSession, d: String) =>
+        CacheHitBench.plan(s, d)))
 
     // warmup: touch every table (file listing + footer caches), then run
     // each headline query once so the timed pass measures steady-state
@@ -157,5 +163,48 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       jmap(results)},"queries_warm":${jmap(results2)},"totals":[$total,$total2],"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+/** segment-cache hit-path fixture: one ingest + populate pass per
+  * (session, sfDir), memoized so the timed reps measure ONLY the
+  * cached plan (bucket version listings + local-partial merge). */
+private object CacheHitBench {
+  import graft.model._
+  import graft.model.NativeQuery._
+
+  private var key: (SparkSession, String) = _
+  private var scp: graft.planner.SegmentCachePlanner = _
+
+  private def query(d: String) = {
+    def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+    GroupBy(
+      DataSource.Table("bench_cache_ds"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-03-01T00:00:00Z"))),
+      Granularity.Period("P1D", None, None), None,
+      Seq(DimensionSpec("event_type", "event_type", None)),
+      Seq(model.Aggregator.Count("cnt"),
+        model.Aggregator.DoubleSum("sv", "value"),
+        model.Aggregator.ThetaSketch("usk", "user_id")),
+      Nil, None, None, Nil, Nil)
+  }
+
+  def plan(s: SparkSession, d: String): DataFrame = synchronized {
+    if (key != (s, d)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_cache").toString
+      sources.Ingest.ingest(Tables.events(s, d),
+        sources.Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1D"), dir)
+      val planner = new graft.planner.NativePlanner(s,
+        { case _ => sources.Ingest.read(s, dir).drop(sources.Ingest.BucketCol) })
+      scp = new graft.planner.SegmentCachePlanner(s, planner,
+        new graft.planner.SegmentResultCache(),
+        _ => Some(graft.planner.SegmentCachePlanner.TableInfo(
+          dir, sources.Ingest.listBuckets(s, dir), "P1D")))
+      // populate pass (untimed): every segment computed once
+      scp.plan(query(d), useCache = true, populateCache = true)
+        .write.mode("overwrite").format("noop").save()
+      key = (s, d)
+    }
+    scp.plan(query(d), useCache = true, populateCache = false)
   }
 }

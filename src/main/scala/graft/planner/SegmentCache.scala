@@ -381,9 +381,17 @@ final class SegmentCachePlanner(
       useCache: Boolean, populateCache: Boolean): DataFrame = {
     val classed = info.activeBuckets.flatMap(b =>
       classify(bucketRange(b, info.segmentGranularity), q.intervals).map(b -> _))
-    val covered = classed.collect { case (b, true) => b }
-    val edge = classed.collect { case (b, false) => b }
-    val versions = covered.map(b => b -> bucketVersion(info.path, b)).toMap
+    // a bucket whose directory vanished between the listing and the
+    // version read (concurrent kill/REPLACE) degrades to edge:
+    // recomputed this query (the partition filter simply finds no
+    // rows), never cached under a phantom version
+    val versioned = classed.collect { case (b, true) =>
+      b -> (try Some(bucketVersion(info.path, b)) catch { case _: Exception => None })
+    }
+    val covered = versioned.collect { case (b, Some(_)) => b }
+    val edge = classed.collect { case (b, false) => b } ++
+      versioned.collect { case (b, None) => b }
+    val versions = versioned.collect { case (b, Some(v)) => b -> v }.toMap
     val hits: Seq[(String, cache.Value)] =
       if (useCache) covered.flatMap { b =>
         cache.get(cache.Key(info.path, b, versions(b), fp)).map(b -> _)

@@ -347,6 +347,14 @@ class QueryServer(
             m.put("maxTimeMs", mx)
             m.put("failed", f)
         }
+        // segment-cache counters (reference query/cache/delta/* metrics,
+        // pull-form) beside the per-type timings
+        val sc = o.putObject("segmentCache")
+        sc.put("hits", segmentCache.hits)
+        sc.put("misses", segmentCache.misses)
+        sc.put("populated", segmentCache.populated)
+        sc.put("bypassedQueries", segmentCache.bypassedQueries)
+        sc.put("entries", segmentCache.entryCount)
         respond(ex, 200, mapper.writeValueAsString(o))
       } else if (ex.getRequestURI.getPath == "/status/properties") {
         val o = mapper.createObjectNode()

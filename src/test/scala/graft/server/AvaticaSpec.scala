@@ -238,6 +238,11 @@ class AvaticaSpec extends SparkSpec {
       assert(m2.get("fuzz-123") == null, m2.toString)
       assert(m2.get("unknown").get("count").asLong() == 2L, m2.toString)
       assert(m2.get("unknown").get("failed").asLong() == 2L, m2.toString)
+      // segment-cache counters ride the same endpoint (no queries used
+      // the cache here, so everything is zero but the shape is present)
+      val sc = m2.get("segmentCache")
+      assert(sc != null && sc.get("hits").asLong() == 0L, m2.toString)
+      assert(sc.get("entries").asLong() == 0L)
     } finally srv.stop()
   }
 

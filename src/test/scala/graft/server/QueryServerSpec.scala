@@ -1658,4 +1658,41 @@ class QueryServerSpec extends SparkSpec {
       assert(c4 == 200)
     } finally srv.stop()
   }
+
+  test("segment cache cannot resurrect retired segments (markUnused interplay)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-segcache-ret").toString
+    fixture.createOrReplaceTempView("ds_segr")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO segrtab SELECT __time, dim, m FROM ds_segr PARTITIONED BY DAY"}""")
+      val q =
+        """{"queryType": "timeseries", "dataSource": "segrtab",
+          |"intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"],
+          |"granularity": "all",
+          |"aggregations": [{"type": "count", "name": "cnt"}],
+          |"context": {"useCache": true, "populateCache": true, "skipEmptyBuckets": true}}""".stripMargin
+      val (c1, b1) = post(port, "/druid/v2", q)
+      assert(c1 == 200 && b1.contains(""""cnt":3"""), b1)
+      val stats = srv.segmentCacheStats
+      assert(stats.populated == 2)
+      // retire the 2024-01-02 segment: its CACHED partial must leave
+      // the answer with it (active-set scoping, not just versioning)
+      post(port, "/druid/coordinator/v1/datasources/segrtab/markUnused",
+        """{"interval": "2024-01-02/2024-01-03"}""")
+      val (c2, b2) = post(port, "/druid/v2", q)
+      assert(c2 == 200 && b2.contains(""""cnt":2"""), b2)
+      // restore: the still-cached entry serves again without recompute
+      val segId = "segrtab_2024-01-02T00:00:00.000Z_2024-01-03T00:00:00.000Z_1"
+      post(port, "/druid/coordinator/v1/datasources/segrtab/markUsed",
+        s"""{"segmentIds": ["$segId"]}""")
+      val preHits = stats.hits
+      val (c3, b3) = post(port, "/druid/v2", q)
+      assert(c3 == 200 && b3.contains(""""cnt":3"""), b3)
+      assert(stats.hits == preHits + 2 && stats.lastComputedBuckets.isEmpty,
+        s"hits=${stats.hits} computed=${stats.lastComputedBuckets}")
+    } finally srv.stop()
+  }
 }

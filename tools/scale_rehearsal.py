@@ -26,7 +26,11 @@ OUT = "/root/repo/target/scale/verify_out"
 # the executor spill + publish volume, which must grow ~linearly.
 ENTRIES = ["dedup_minhash_fast", "dedup_clusters", "pipeline_drop_ledger",
            "similarity_ivf_contract", "similarity_brute_force",
-           "streaming_union_query"]
+           "streaming_union_query",
+           # per-segment cache at 10x event volume: same 30 day buckets,
+           # 10x rows per segment — partial sizes grow, hit/recompute
+           # sets must stay exact (the entry's requires enforce them)
+           "cache_segment_roundtrip"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
