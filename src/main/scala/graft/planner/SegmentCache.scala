@@ -267,6 +267,7 @@ final class SegmentCachePlanner(
     case g: GroupBy => g.copy(intervals = Nil, postAggregations = Nil,
       having = None, limitSpec = None)
     case tb: TimeBoundary => tb.copy(intervals = Nil, bound = None)
+    case sq: Search => sq.copy(intervals = Nil, limit = None, sort = "")
     case other => other
   }).toString
 
@@ -338,6 +339,22 @@ final class SegmentCachePlanner(
               useCache, populateCache)
           case _ => cache.bypassedQueries += 1; fallback.plan(tb)
         }
+      // search caches per-segment (dimension, value, count) triples
+      // (reference SearchQueryQueryToolChest cache strategy); the merge
+      // re-sums counts and applies sort/limit — both stripped from the
+      // fingerprint, so limit/ordering variants share entries
+      case sq: Search =>
+        (sq.dataSource match {
+          case DataSource.Table(n) => resolveInfo(n)
+          case _ => None
+        }) match {
+          case Some(info) if info.activeBuckets.size <= maxBucketsForCache =>
+            cachedExecution(sq, info, fingerprint(sq),
+              buckets => searchPartials(sq, info, buckets),
+              partials => searchMerge(sq, partials),
+              useCache, populateCache)
+          case _ => cache.bypassedQueries += 1; fallback.plan(sq)
+        }
       case _ => eligible(q) match {
         case None =>
           cache.bypassedQueries += 1
@@ -349,6 +366,50 @@ final class SegmentCachePlanner(
             useCache, populateCache)
       }
     }
+  }
+
+  /** per-bucket (dimension, value) hit counts — the single-pass explode
+    * the uncached planSearch uses, bucket-grained. */
+  private def searchPartials(
+      sq: Search, info: TableInfo, buckets: Seq[String]): DataFrame = {
+    var df = spark.read.parquet(info.path)
+    df =
+      if (buckets.isEmpty) df.filter(lit(false))
+      else df.filter(col(Ingest.BucketCol).isin(buckets: _*))
+    for (vc <- sq.virtualColumns)
+      df = df.withColumn(vc.name,
+        graft.functions.DruidExprCompiler.column(vc.expression, Some(df.schema), vc.outputType))
+    sq.intervals.foldLeft(Option.empty[org.apache.spark.sql.Column]) { (acc, iv) =>
+      val c = col(timeColumn) >= timestamp_millis(lit(iv.startMs)) &&
+        col(timeColumn) < timestamp_millis(lit(iv.endMs))
+      Some(acc.map(_ || c).getOrElse(c))
+    }.foreach(c => df = df.filter(c))
+    sq.filter.foreach(f => df = df.filter(fallback.filterToColumn(f, Some(df.schema))))
+    val pairs = df.select(col(Ingest.BucketCol),
+      explode(array(sq.searchDimensions.map(d =>
+        struct(lit(d).as("dimension"), col(d).cast("string").as("value"))): _*)).as("dv"))
+      .select(col(Ingest.BucketCol),
+        col("dv.dimension").as("dimension"), col("dv.value").as("value"))
+    val pred =
+      if (sq.caseSensitive) col("value").contains(sq.value)
+      else lower(col("value")).contains(sq.value.toLowerCase)
+    pairs.filter(pred)
+      .groupBy(col(Ingest.BucketCol), col("dimension"), col("value"))
+      .agg(count(lit(1)).as("count"))
+  }
+
+  private def searchMerge(sq: Search, partials: DataFrame): DataFrame = {
+    val merged = partials.drop(Ingest.BucketCol)
+      .groupBy(col("dimension"), col("value"))
+      .agg(sum(col("count")).as("count"))
+    val valueKey = sq.sort match {
+      case "alphanumeric" =>
+        graft.functions.DruidExpressions.alphanumericSortKey(col("value"))
+      case "strlen" => length(col("value"))
+      case _ => col("value")
+    }
+    val out = merged.orderBy(valueKey.asc, col("value").asc, col("dimension").asc)
+    sq.limit.map(out.limit).getOrElse(out)
   }
 
   /** per-bucket min/max candidate timestamps, two rows per non-empty

@@ -210,6 +210,24 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.populated == 8)
   }
 
+  test("search: per-segment hit counts re-sum; sort/limit variants share entries") {
+    val (planner, cache, scp) = fresh()
+    def sq(limit: Option[Int], sort: String) = Search(
+      DataSource.Table("t"), allDays, None, Seq("user", "kind"),
+      "1", caseSensitive = false, limit, Nil, sort)
+    val q1 = sq(None, "lexicographic")
+    assert(rows(scp.plan(q1, true, true)) == rows(planner.plan(q1)))
+    assert(cache.populated == 4)
+    val q2 = sq(Some(2), "strlen")
+    assert(rows(scp.plan(q2, true, true)) == rows(planner.plan(q2)))
+    assert(cache.hits == 4 && cache.lastComputedBuckets.isEmpty)
+    // a different needle is a different fingerprint
+    val q3 = Search(DataSource.Table("t"), allDays, None, Seq("kind"),
+      "k2", caseSensitive = false, None, Nil, "lexicographic")
+    assert(rows(scp.plan(q3, true, true)) == rows(planner.plan(q3)))
+    assert(cache.populated == 8)
+  }
+
   test("zero-fill, grandTotal and descending survive the merge path") {
     val (planner, cache, scp) = fresh()
     // a filter that empties day 2 → zero-filled bucket from cached partials
