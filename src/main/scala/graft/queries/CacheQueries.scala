@@ -56,8 +56,11 @@ object CacheQueries {
       Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-04-01T00:00:00Z"))),
       Granularity.Period("P1D", None, None), None,
       Seq(DimensionSpec("event_type", "event_type", None)),
+      // lgK 16: exact-regime headroom to ~65k distinct per (day, type)
+      // group — the sf1.0 rehearsal reaches ~12k after the append
+      // doubles one day's users (lgK 12's 4096 nominal overflows there)
       Seq(Aggregator.Count("cnt"), Aggregator.DoubleSum("sv", "value"),
-        Aggregator.ThetaSketch("usk", "user_id")),
+        Aggregator.ThetaSketch("usk", "user_id", lgNomEntries = 16)),
       Nil, None, None, Nil, Nil)
 
     // populate pass: every day segment computed once, cached

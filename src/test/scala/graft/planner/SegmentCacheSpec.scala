@@ -146,6 +146,17 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.lastComputedBuckets.isEmpty)
   }
 
+  test("topN with period granularity: per-bucket ranking after the merge") {
+    val (planner, cache, scp) = fresh()
+    val q = TopN(DataSource.Table("t"), allDays,
+      Granularity.Period("P1D", None, None), None,
+      DimensionSpec("user", "user", None), "uv", metricDescending = true, 2,
+      Seq(Aggregator.LongSum("uv", "v")), Nil, Nil)
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.hits == 4)
+  }
+
   test("filtered aggregator applies at the partial stage") {
     val (planner, cache, scp) = fresh()
     val q = ts(allDays, Seq(
