@@ -239,6 +239,24 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.populated == 8)
   }
 
+  test("concurrent plans race safely: same answers, no duplicated rows") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, sumCount)
+    val expected = rows(planner.plan(q))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Seq[Seq[Any]]] {
+          def call(): Seq[Seq[Any]] = rows(scp.plan(q, true, true))
+        }))
+      futures.foreach(f => assert(f.get() == expected))
+    } finally pool.shutdown()
+    // every segment cached exactly once per (version, fingerprint) —
+    // concurrent populates overwrite idempotently, never double-count
+    assert(cache.entryCount == 4)
+    assert(rows(scp.plan(q, true, true)) == expected)
+  }
+
   test("zero-fill, grandTotal and descending survive the merge path") {
     val (planner, cache, scp) = fresh()
     // a filter that empties day 2 → zero-filled bucket from cached partials
