@@ -239,6 +239,35 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.populated == 8)
   }
 
+  test("MVD explode, extraction dims and virtual columns happen at the partial stage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_mvd").toString
+    val df = spark.range(0, 2L * 48).select(
+      timestamp_millis(lit(ms("2024-02-01T00:00:00Z")) + col("id") * 1800000L).as("ts"),
+      concat(lit("User"), (col("id") % 4).cast("string")).as("user"),
+      array(concat(lit("t"), (col("id") % 3).cast("string")),
+        concat(lit("t"), ((col("id") + 1) % 3).cast("string"))).as("tags"),
+      (col("id") % 7).cast("long").as("v"))
+    Ingest.ingest(df, Ingest.IngestSpec(timeColumn = "ts"), dir)
+    val planner = new NativePlanner(spark,
+      { case "m" => spark.read.parquet(dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(spark, planner, cache,
+      { case "m" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(spark, dir), "P1D")); case _ => None })
+    val ivs = Seq(QueryInterval(ms("2024-02-01T00:00:00Z"), ms("2024-02-03T00:00:00Z")))
+    // tags explodes per element (MVD), user lowercased via extraction,
+    // v2 = v * 2 via a native-grammar virtual column
+    val q = GroupBy(DataSource.Table("m"), ivs, Granularity.All, None,
+      Seq(DimensionSpec("tags", "tag", None),
+        DimensionSpec("user", "u", Some(ExtractionFn.Lower))),
+      Seq(Aggregator.LongSum("sv2", "v2"), Aggregator.Count("cnt")),
+      Nil, None, None, Nil, Seq(VirtualColumn("v2", "v * 2", Some("LONG"))))
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(cache.populated == 2)
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(cache.hits == 2 && cache.lastComputedBuckets.isEmpty)
+  }
+
   test("concurrent plans race safely: same answers, no duplicated rows") {
     val (planner, cache, scp) = fresh()
     val q = ts(allDays, sumCount)
