@@ -329,6 +329,86 @@ object ServerQueries {
     } finally srv.stop()
   }
 
+  /** the per-segment cache graded through the real socket: REPLACE
+    * lays the table down day-partitioned, a native timeseries with
+    * context.useCache/populateCache populates one entry per day
+    * segment, an INSERT appends ONE derived day (the 2024-01-05 slice
+    * shifted +40 days with doubled cents), and the repeat query must
+    * serve every old day from cache while recomputing exactly the new
+    * segment — the `require`s pin the hit/recompute sets, and the
+    * DuckDB oracle reproduces the append arithmetic so a stale cached
+    * partial or a double-merged segment breaks the hash. Integer cents
+    * end-to-end: the JSON envelope round-trip is exact. */
+  val serverCacheRoundtrip: Q = q(
+    "server_cache_roundtrip",
+    """WITH u AS (
+      |  SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      |  UNION ALL
+      |  SELECT ts + INTERVAL 40 DAY AS ts,
+      |         2 * CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06')
+      |SELECT epoch_ms(date_trunc('day', ts)) AS t_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("server_cache_src")
+    val storage =
+      java.nio.file.Files.createTempDirectory("graft_server_cache").toString
+    val srv = new QueryServer(s, _ => s.emptyDataFrame,
+      storageRoot = Some(storage))
+    val port = srv.start()
+    try {
+      postSql(port,
+        """REPLACE INTO server_cache_tbl OVERWRITE ALL
+          |SELECT ts AS __time, CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_cache_src PARTITIONED BY DAY""".stripMargin)
+      val body =
+        """{"queryType": "timeseries", "dataSource": "server_cache_tbl",
+          | "intervals": ["2024-01-01T00:00:00Z/2024-03-01T00:00:00Z"],
+          | "granularity": "day",
+          | "aggregations": [
+          |   {"type": "count", "name": "cnt"},
+          |   {"type": "longSum", "name": "cents", "fieldName": "cents"}],
+          | "context": {"useCache": true, "populateCache": true,
+          |             "skipEmptyBuckets": true}}""".stripMargin
+      def postNative(): com.fasterxml.jackson.databind.JsonNode = {
+        val resp = HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+            .build(),
+          HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"native endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+      }
+      val first = postNative()
+      val stats = srv.segmentCacheStats
+      require(stats.populated == first.size(),
+        s"expected one cached entry per day, got ${stats.populated} for ${first.size()} days")
+      postSql(port,
+        """INSERT INTO server_cache_tbl
+          |SELECT ts + INTERVAL 40 DAYS AS __time,
+          |       2 * CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_cache_src
+          |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+          |PARTITIONED BY DAY""".stripMargin)
+      val second = postNative()
+      require(stats.hits == first.size(),
+        s"expected ${first.size()} cache hits on the repeat, got ${stats.hits}")
+      require(stats.lastComputedBuckets == Seq("2024-02-14T00"),
+        s"expected only the appended day recomputed, got ${stats.lastComputedBuckets}")
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      second.elements().asScala.map { e =>
+        (java.time.Instant.parse(e.get("timestamp").asText()).toEpochMilli,
+          e.get("result").get("cnt").asLong(),
+          e.get("result").get("cents").asLong())
+      }.toSeq.toDF("t_ms", "cnt", "cents").orderBy("t_ms")
+    } finally srv.stop()
+  }
+
   val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask,
-    serverNativeRoundtrip, serverMarkUnused, serverRetentionDrop)
+    serverNativeRoundtrip, serverMarkUnused, serverRetentionDrop,
+    serverCacheRoundtrip)
 }

@@ -212,7 +212,7 @@ class QueryServer(
     * reference likewise never caches realtime segments). */
   private val segmentCache = new graft.planner.SegmentResultCache()
   /** observable for tests. */
-  private[server] def segmentCacheStats: graft.planner.SegmentResultCache = segmentCache
+  def segmentCacheStats: graft.planner.SegmentResultCache = segmentCache
   private def segmentCacheInfo(name: String): Option[graft.planner.SegmentCachePlanner.TableInfo] =
     if (realtimeSupervisors.contains(name)) None
     else ingested.get(name).flatMap { path =>
