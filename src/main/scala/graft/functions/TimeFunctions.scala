@@ -140,4 +140,61 @@ object TimeFunctions {
   /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS (sql/.../builtin). */
   def millisToTimestamp(ms: Column): Column = timestamp_millis(ms)
   def timestampToMillis(ts: Column): Column = unix_millis(ts)
+
+  /** Driver-side mirror of [[timeFloor]] on epoch millis — the same
+    * (month-index | pmod) flooring over the same wall-clock conversion
+    * java.time primitives Spark's from/to_utc_timestamp use, so a
+    * plan-time alignment check (is this interval endpoint a bucket
+    * boundary?) agrees with what the Column computes on rows.
+    * TimeFunctionsSpec cross-checks the two over a period × zone ×
+    * origin grid including DST transitions. */
+  def floorMs(
+      ms: Long,
+      period: String,
+      originMs: Option[Long] = None,
+      tz: Option[String] = None): Long = {
+    val p = parsePeriod(period)
+    val zone = java.time.ZoneId.of(tz.getOrElse("UTC"))
+    if (p.months > 0) {
+      val local = java.time.LocalDateTime
+        .ofInstant(java.time.Instant.ofEpochMilli(ms), zone)
+      val oLdt = java.time.LocalDateTime
+        .ofInstant(java.time.Instant.ofEpochMilli(originMs.getOrElse(0L)), zone)
+      val oIdx = oLdt.getYear.toLong * 12 + oLdt.getMonthValue - 1
+      val intraMs = java.time.Duration.between(
+        oLdt.toLocalDate.withDayOfMonth(1).atStartOfDay, oLdt).toMillis
+      val idx = local.getYear.toLong * 12 + local.getMonthValue - 1
+      val n = p.months.toLong
+      val fl = idx - Math.floorMod(idx - oIdx, n)
+      def bucketAt(i: Long): java.time.LocalDateTime =
+        java.time.LocalDateTime.of(
+          Math.floorDiv(i, 12L).toInt, (Math.floorMod(i, 12L) + 1).toInt, 1, 0, 0)
+          .plus(java.time.Duration.ofMillis(intraMs))
+      val cand = bucketAt(fl)
+      val res =
+        if (intraMs == 0L) cand
+        else if (!cand.isAfter(local)) cand
+        else bucketAt(fl - n)
+      res.atZone(zone).toInstant.toEpochMilli
+    } else {
+      // wall-clock-as-UTC millis, floored, re-anchored in the zone —
+      // the from_utc_timestamp → pmod → to_utc_timestamp round trip
+      val localMs = tz match {
+        case None => ms
+        case Some(_) =>
+          java.time.LocalDateTime
+            .ofInstant(java.time.Instant.ofEpochMilli(ms), zone)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      val o = originMs.getOrElse(defaultOriginMs(period))
+      val fl = localMs - Math.floorMod(localMs - o, p.millis)
+      tz match {
+        case None => fl
+        case Some(_) =>
+          java.time.LocalDateTime
+            .ofInstant(java.time.Instant.ofEpochMilli(fl), java.time.ZoneOffset.UTC)
+            .atZone(zone).toInstant.toEpochMilli
+      }
+    }
+  }
 }

@@ -763,9 +763,10 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       maxDocs: Int = 4096): DataFrame = {
-    // limit(cap+1) probe: bounded even when the input is the corpus —
-    // we only need to know WHETHER the cap is exceeded
-    val probed = df.limit(maxDocs + 1).count()
+    // limit(cap+1) probe over the id column only (column-pruned scan):
+    // bounded even when the input is the corpus — we only need to know
+    // WHETHER the cap is exceeded
+    val probed = df.select(col(idCol)).limit(maxDocs + 1).count()
     require(probed <= maxDocs,
       s"ngramJaccardPairs is an all-pairs (O(n^2)) verification primitive " +
         s"and got more than $maxDocs candidate rows; pre-filter the " +

@@ -269,7 +269,7 @@ class NativePlanner(
             .reduce(hll_union(_, _))).as(n)
       }
     case Aggregator.Filtered(f, inner) =>
-      filteredAgg(filterToColumn(f, schema), inner)
+      filteredAgg(filterToColumn(f, schema), inner, schema)
     case Aggregator.Variance(n, f, pop) =>
       (if (pop) var_pop(col(f)) else var_samp(col(f))).as(n)
     case Aggregator.ThetaSketch(n, f, lgK) =>
@@ -334,7 +334,14 @@ class NativePlanner(
 
   /** FILTER-clause rewrite of a wrapped aggregator
     * (reference FilteredAggregatorFactory.java:48). */
-  private def filteredAgg(cond: Column, a: Aggregator): Column = a match {
+  private def filteredAgg(
+      cond: Column, a: Aggregator,
+      schema: Option[StructType] = None): Column = a match {
+    // filtered-of-filtered: the filters AND together around the
+    // innermost aggregator (the reference wraps delegates arbitrarily
+    // deep — FilteredAggregatorFactory composes)
+    case Aggregator.Filtered(f2, inner2) =>
+      filteredAgg(cond && filterToColumn(f2, schema), inner2, schema)
     case Aggregator.Count(n) => count(when(cond, 1)).as(n)
     case Aggregator.LongSum(n, f) =>
       // SQL-null mode: a group where no row matches sums to null

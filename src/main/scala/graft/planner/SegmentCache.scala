@@ -1,14 +1,15 @@
 package graft.planner
 
 import java.time.{LocalDateTime, ZoneOffset}
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 import graft.functions.TimeFunctions
 import graft.model._
-import graft.sources.Ingest
+import graft.sources.{Ingest, SegmentVersions}
 
 /** Per-segment result cache — the reference broker's
   * CachingClusteredClient + CacheStrategy semantics
@@ -26,68 +27,128 @@ import graft.sources.Ingest
   * directory of an ingested datasource, its version the directory's
   * file listing (name:length:mtime per file — REPLACE/append rewrite
   * part files, changing the version, which invalidates exactly like the
-  * reference's announce-time version bump). A segment is cache-eligible
-  * for a query only when FULLY covered by one query interval; edge
-  * buckets are recomputed per query and never cached (the reference
-  * likewise bypasses the cache for partial-segment intervals).
+  * reference's announce-time version bump). Listings come from the
+  * [[SegmentVersions]] inventory: memoized per path epoch and
+  * invalidated by every write path, so a repeat query whose segments
+  * didn't change issues ZERO filesystem listings (the reference broker
+  * never lists deep storage — it holds announced versions in memory).
+  * A segment is cache-eligible for a query only when FULLY covered by
+  * one query interval; edge buckets are recomputed per query and never
+  * cached (the reference likewise bypasses the cache for
+  * partial-segment intervals).
+  *
+  * Version ↔ data atomicity: the partial stage reads EXACTLY the part
+  * files captured in the version listing (`spark.read.parquet(files)`
+  * with basePath), not the live directory — an append landing between
+  * the listing and the scan cannot leak post-append rows into an entry
+  * cached under the pre-append version. This is the Spark rendering of
+  * the reference's immutable segments: a version names a fixed file
+  * set, forever.
   *
   * Scale shape: the partial stage is one declarative groupBy over ONLY
-  * the missed buckets (`__bucket IN (...)` → partition pruning, no I/O
-  * on hits); cached partials re-enter the plan as a driver-local
-  * relation bounded by `maxRowsPerSegment` (a bucket whose partial
-  * exceeds it is simply never populated — the reference's cache value
-  * size cap). The merge is the UNMODIFIED planner re-run over the
-  * partial rows with combining aggregators — the same
+  * the missed buckets' pinned files (partition pruning by
+  * construction — hit buckets cost zero I/O, zero listings); cached
+  * partials re-enter the plan as a driver-local relation bounded by
+  * row AND byte caps. The merge is the UNMODIFIED planner re-run over
+  * the partial rows with combining aggregators — the same
   * rollup-reaggregation contract ingest-time rollup tables already
   * grade (count→longSum, sums re-sum, sketch binaries fold).
   */
 final class SegmentResultCache(
     val maxTotalRows: Int = 1 << 20,
-    val maxRowsPerSegment: Int = 10000) {
+    val maxRowsPerSegment: Int = 10000,
+    /** byte budgets (reference CacheConfig sizes caches in BYTES —
+      * server/src/main/java/org/apache/druid/client/cache/CacheConfig.java):
+      * a partial row carrying exact-regime sketch binaries is not a
+      * constant-size unit (a lgK=16 theta sketch is ~512 KB), so row
+      * caps alone could admit far more than driver heap. Entries are
+      * charged their estimated serialized size; eviction triggers on
+      * whichever budget breaks first. */
+    val maxTotalBytes: Long = 256L << 20,
+    val maxBytesPerSegment: Long = 32L << 20) {
 
   final case class Key(path: String, bucket: String, version: String, fingerprint: String)
   final case class Value(schema: StructType, rows: Array[Row])
 
-  // access-ordered LRU bounded by TOTAL cached rows (entries are
-  // whole-segment partials of very different sizes, so an entry count
-  // alone would not bound memory)
-  private val lru = new java.util.LinkedHashMap[Key, Value](64, 0.75f, true)
+  // access-ordered LRU bounded by total cached rows AND estimated bytes
+  private val lru = new java.util.LinkedHashMap[Key, (Value, Long)](64, 0.75f, true)
   private var totalRows = 0L
+  private var totalBytesVar = 0L
 
-  @volatile var hits: Long = 0L
-  @volatile var misses: Long = 0L
-  @volatile var populated: Long = 0L
-  @volatile var bypassedQueries: Long = 0L
-  @volatile var populateSkipped: Long = 0L
+  private val _hits = new AtomicLong()
+  private val _misses = new AtomicLong()
+  private val _populated = new AtomicLong()
+  private val _bypassedQueries = new AtomicLong()
+  private val _populateSkipped = new AtomicLong()
+
+  def hits: Long = _hits.get()
+  def misses: Long = _misses.get()
+  def populated: Long = _populated.get()
+  def bypassedQueries: Long = _bypassedQueries.get()
+  def populateSkipped: Long = _populateSkipped.get()
+  private[planner] def countBypass(): Unit = _bypassedQueries.incrementAndGet()
+  private[planner] def countPopulateSkipped(): Unit = _populateSkipped.incrementAndGet()
+  /** a get() counted as a hit turned out schema-stale and was
+    * recomputed — reclassify it so hit/miss stats reflect served data. */
+  private[planner] def demoteHits(n: Int): Unit =
+    if (n > 0) { _hits.addAndGet(-n.toLong); _misses.addAndGet(n.toLong) }
+
   /** buckets the LAST cached-plan call actually recomputed (covered
     * misses + edge buckets) — what a spec asserts to prove an append
-    * only touched the new segment. */
+    * only touched the new segment. Last-writer-wins under concurrent
+    * plans: meaningful for single-threaded test use only. */
   @volatile var lastComputedBuckets: Seq[String] = Nil
 
   def get(k: Key): Option[Value] = synchronized {
     val v = Option(lru.get(k))
-    if (v.isDefined) hits += 1 else misses += 1
-    v
+    if (v.isDefined) _hits.incrementAndGet() else _misses.incrementAndGet()
+    v.map(_._1)
   }
 
+  /** estimated in-memory/serialized size of one cached row: fixed
+    * widths for primitives, content length for strings/binaries,
+    * recursive for arrays/structs — the charge unit for the byte LRU
+    * (reference cache values are byte arrays, charged exactly). */
+  private def valueBytes(x: Any): Long = x match {
+    case null => 8L
+    case b: Array[Byte] => 24L + b.length
+    case s: String => 40L + 2L * s.length
+    case r: Row => 16L + r.toSeq.map(valueBytes).sum
+    case xs: scala.collection.Seq[_] => 16L + xs.map(valueBytes).sum
+    case m: scala.collection.Map[_, _] =>
+      16L + m.iterator.map { case (k, v) => valueBytes(k) + valueBytes(v) }.sum
+    case _ => 16L // numerics, booleans, timestamps, misc boxes
+  }
+
+  private[planner] def estimateBytes(v: Value): Long =
+    v.rows.iterator.map(r => 32L + r.toSeq.map(valueBytes).sum).sum
+
   def put(k: Key, v: Value): Unit = synchronized {
-    if (v.rows.length > maxRowsPerSegment) { populateSkipped += 1; return }
-    Option(lru.remove(k)).foreach(old => totalRows -= old.rows.length)
-    lru.put(k, v)
+    val bytes = estimateBytes(v)
+    if (v.rows.length > maxRowsPerSegment || bytes > maxBytesPerSegment) {
+      _populateSkipped.incrementAndGet(); return
+    }
+    Option(lru.remove(k)).foreach { case (old, ob) =>
+      totalRows -= old.rows.length; totalBytesVar -= ob
+    }
+    lru.put(k, (v, bytes))
     totalRows += v.rows.length
-    populated += 1
+    totalBytesVar += bytes
+    _populated.incrementAndGet()
     // evict least-recently-used entries (iteration order = access
-    // order) until the row budget holds; the just-inserted entry is
-    // the youngest, so it survives unless it alone exceeds the budget
+    // order) until BOTH budgets hold; the just-inserted entry is the
+    // youngest, so it survives unless it alone exceeds a budget
     val it = lru.entrySet().iterator()
-    while (totalRows > maxTotalRows && it.hasNext) {
+    while ((totalRows > maxTotalRows || totalBytesVar > maxTotalBytes) && it.hasNext) {
       val eldest = it.next()
-      totalRows -= eldest.getValue.rows.length
+      totalRows -= eldest.getValue._1.rows.length
+      totalBytesVar -= eldest.getValue._2
       it.remove()
     }
   }
 
   def entryCount: Int = synchronized(lru.size())
+  def totalBytes: Long = synchronized(totalBytesVar)
 }
 
 object SegmentCachePlanner {
@@ -106,8 +167,8 @@ final class SegmentCachePlanner(
     resolveInfo: String => Option[SegmentCachePlanner.TableInfo],
     timeColumn: String = "__time",
     /** metadata-op bound: a datasource with more active buckets than
-      * this bypasses the cache (one listStatus per covered bucket per
-      * query would otherwise scale with segment count on the driver). */
+      * this bypasses the cache (bounds the size of the in-memory
+      * version inventory a single query can pin). */
     maxBucketsForCache: Int = 4096,
     /** populate-side driver bound across ALL missed buckets of one
       * query; above it nothing is populated and the merge input stays
@@ -118,6 +179,11 @@ final class SegmentCachePlanner(
   import graft.model.NativeQuery._
 
   private def hconf = spark.sparkContext.hadoopConfiguration
+
+  /** test seam: runs between the version listings and the partial
+    * plan's construction — a spec injects an append here to prove the
+    * pinned file set keeps version ↔ data atomic. */
+  private[planner] var afterVersionListing: () => Unit = () => ()
 
   // ---------------- eligibility ----------------
 
@@ -137,31 +203,34 @@ final class SegmentCachePlanner(
     case Aggregator.KllSketch(n, _, k) => Some(Aggregator.KllSketch(n, n, k))
     case Aggregator.HllSketch(n, _, lgK, _) =>
       Some(Aggregator.HllSketch(n, n, lgK, merge = true))
-    case Aggregator.Filtered(_, inner) if !inner.isInstanceOf[Aggregator.Filtered] =>
-      combining(inner) // the filter is applied at the partial stage
+    // any Filtered nesting combines via the innermost factory — the
+    // whole filter chain applied at the partial stage (reference
+    // FilteredAggregatorFactory.getCombiningFactory delegates inward)
+    case Aggregator.Filtered(_, inner) => combining(inner)
     case _ => None
   }
 
-  /** fixed-millis granularities only, in the session zone (UTC): month
-    * flooring and tz-local flooring are not modulo arithmetic, so
-    * interval alignment can't be checked driver-side — bypass. */
-  private def granPeriodMs(g: Granularity): Option[Option[(Long, Long)]] = g match {
-    case Granularity.All => Some(None)
+  /** interval endpoints must land on result-granularity boundaries so
+    * the merge's interval re-filter keeps every partial row. Checked
+    * with the driver-side mirror of the row-level flooring
+    * (TimeFunctions.floorMs), so month periods and zoned granularities
+    * are cache-eligible too (reference PeriodGranularity caches
+    * uniformly). Sub-day periods in a non-UTC zone stay bypassed: a
+    * DST gap can fall on a sub-day boundary and make driver/row
+    * flooring disagree; day-multiple and month boundaries are
+    * wall-clock-stable. */
+  private def granularityEligible(
+      g: Granularity, ivs: Seq[QueryInterval]): Boolean = g match {
+    case Granularity.All => true
     case Granularity.Period(p, origin, tz) =>
-      if (tz.exists(_ != "UTC")) None
-      else try {
+      try {
         val ip = TimeFunctions.parsePeriod(p)
-        if (ip.months > 0) None
-        else Some(Some((ip.millis,
-          origin.getOrElse(TimeFunctions.defaultOriginMs(p)))))
-      } catch { case _: Exception => None }
-  }
-
-  private def intervalsAligned(
-      ivs: Seq[QueryInterval], gran: Option[(Long, Long)]): Boolean = gran match {
-    case None => true // granularity ALL: no result-time axis to misalign
-    case Some((ms, origin)) =>
-      ivs.forall(iv => (iv.startMs - origin) % ms == 0 && (iv.endMs - origin) % ms == 0)
+        val zoneOk = tz.forall(z =>
+          z == "UTC" || ip.months > 0 || ip.millis % 86400000L == 0L)
+        zoneOk && ivs.forall(iv =>
+          TimeFunctions.floorMs(iv.startMs, p, origin, tz) == iv.startMs &&
+            TimeFunctions.floorMs(iv.endMs, p, origin, tz) == iv.endMs)
+      } catch { case _: Exception => false }
   }
 
   private final case class Eligible(
@@ -193,8 +262,7 @@ final class SegmentCachePlanner(
       name <- ds match { case DataSource.Table(n) => Some(n); case _ => None }
       info <- resolveInfo(name)
       if info.activeBuckets.size <= maxBucketsForCache
-      granMs <- granPeriodMs(gran)
-      if intervalsAligned(q.intervals, granMs)
+      if granularityEligible(gran, q.intervals)
       combined <- traverse(aggs)(combining)
       // reserved column names: the partial schema carries __bucket +
       // the time column beside dim/agg outputs
@@ -243,17 +311,6 @@ final class SegmentCachePlanner(
       else None
   }
 
-  /** the segment's version IS its exact file listing — any append,
-    * replace or compaction renames part files, so staleness is
-    * structurally impossible (no hash, no collision). */
-  private def bucketVersion(path: String, bucket: String): String = {
-    val dir = new org.apache.hadoop.fs.Path(path, s"${Ingest.BucketCol}=$bucket")
-    val fs = dir.getFileSystem(hconf)
-    fs.listStatus(dir).filter(_.isFile)
-      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString("|")
-  }
-
   /** everything that determines the PARTIAL rows — intervals,
     * post-aggs, ordering, limits, thresholds all apply at merge time
     * and are stripped so entries are shared across them (reference
@@ -273,16 +330,31 @@ final class SegmentCachePlanner(
 
   // ---------------- the cached plan ----------------
 
-  /** partial stage over the listed buckets: the original query's
+  /** what a partial stage reads: the pinned part files of the buckets
+    * being computed (version ↔ data atomic), or a zero-row probe over
+    * the table path when only the schema is needed. */
+  private sealed trait PartialInput
+  private object PartialInput {
+    case object Probe extends PartialInput
+    final case class Files(files: Seq[String], buckets: Seq[String]) extends PartialInput
+  }
+
+  private def scanSource(info: TableInfo, in: PartialInput): DataFrame = in match {
+    case PartialInput.Probe =>
+      spark.read.parquet(info.path).filter(lit(false))
+    case PartialInput.Files(files, buckets) =>
+      if (files.isEmpty) spark.read.parquet(info.path).filter(lit(false))
+      else spark.read.option("basePath", info.path).parquet(files: _*)
+        .filter(col(Ingest.BucketCol).isin(buckets: _*))
+  }
+
+  /** partial stage over the pinned bucket files: the original query's
     * virtual columns, interval predicate and filter, then ONE
     * declarative groupBy at (bucket, floored time, dims) grain with the
-    * original aggregators. `__bucket IN (...)` prunes partitions, so
+    * original aggregators. Only missed/edge buckets' files are read —
     * hit buckets cost zero I/O. */
-  private def partialStage(q: NativeQuery, e: Eligible, buckets: Seq[String]): DataFrame = {
-    var df = spark.read.parquet(e.info.path)
-    df =
-      if (buckets.isEmpty) df.filter(lit(false))
-      else df.filter(col(Ingest.BucketCol).isin(buckets: _*))
+  private def partialStage(q: NativeQuery, e: Eligible, in: PartialInput): DataFrame = {
+    var df = scanSource(e.info, in)
     for (vc <- q.virtualColumns)
       df = df.withColumn(vc.name,
         graft.functions.DruidExprCompiler.column(vc.expression, Some(df.schema), vc.outputType))
@@ -331,13 +403,13 @@ final class SegmentCachePlanner(
           case Some(info) if info.activeBuckets.size <= maxBucketsForCache =>
             val fp = fingerprint(tb)
             cachedExecution(tb, info, fp,
-              buckets => timeBoundaryPartials(tb, info, buckets),
+              in => timeBoundaryPartials(tb, info, in),
               partials => new NativePlanner(spark,
                 _ => partials.drop(Ingest.BucketCol), timeColumn)
                 .plan(tb.copy(dataSource = DataSource.Table("__graft_partials"),
                   intervals = Nil, filter = None, virtualColumns = Nil)),
               useCache, populateCache)
-          case _ => cache.bypassedQueries += 1; fallback.plan(tb)
+          case _ => cache.countBypass(); fallback.plan(tb)
         }
       // search caches per-segment (dimension, value, count) triples
       // (reference SearchQueryQueryToolChest cache strategy); the merge
@@ -350,18 +422,18 @@ final class SegmentCachePlanner(
         }) match {
           case Some(info) if info.activeBuckets.size <= maxBucketsForCache =>
             cachedExecution(sq, info, fingerprint(sq),
-              buckets => searchPartials(sq, info, buckets),
+              in => searchPartials(sq, info, in),
               partials => searchMerge(sq, partials),
               useCache, populateCache)
-          case _ => cache.bypassedQueries += 1; fallback.plan(sq)
+          case _ => cache.countBypass(); fallback.plan(sq)
         }
       case _ => eligible(q) match {
         case None =>
-          cache.bypassedQueries += 1
+          cache.countBypass()
           fallback.plan(q)
         case Some(e) =>
           cachedExecution(q, e.info, fingerprint(q),
-            buckets => partialStage(q, e, buckets),
+            in => partialStage(q, e, in),
             partials => mergePlan(q, e, partials),
             useCache, populateCache)
       }
@@ -371,11 +443,8 @@ final class SegmentCachePlanner(
   /** per-bucket (dimension, value) hit counts — the single-pass explode
     * the uncached planSearch uses, bucket-grained. */
   private def searchPartials(
-      sq: Search, info: TableInfo, buckets: Seq[String]): DataFrame = {
-    var df = spark.read.parquet(info.path)
-    df =
-      if (buckets.isEmpty) df.filter(lit(false))
-      else df.filter(col(Ingest.BucketCol).isin(buckets: _*))
+      sq: Search, info: TableInfo, in: PartialInput): DataFrame = {
+    var df = scanSource(info, in)
     for (vc <- sq.virtualColumns)
       df = df.withColumn(vc.name,
         graft.functions.DruidExprCompiler.column(vc.expression, Some(df.schema), vc.outputType))
@@ -415,11 +484,8 @@ final class SegmentCachePlanner(
   /** per-bucket min/max candidate timestamps, two rows per non-empty
     * bucket — min of mins / max of maxes reproduce the exact bounds. */
   private def timeBoundaryPartials(
-      tb: TimeBoundary, info: TableInfo, buckets: Seq[String]): DataFrame = {
-    var df = spark.read.parquet(info.path)
-    df =
-      if (buckets.isEmpty) df.filter(lit(false))
-      else df.filter(col(Ingest.BucketCol).isin(buckets: _*))
+      tb: TimeBoundary, info: TableInfo, in: PartialInput): DataFrame = {
+    var df = scanSource(info, in)
     for (vc <- tb.virtualColumns)
       df = df.withColumn(vc.name,
         graft.functions.DruidExprCompiler.column(vc.expression, Some(df.schema), vc.outputType))
@@ -437,62 +503,103 @@ final class SegmentCachePlanner(
 
   private def cachedExecution(
       q: NativeQuery, info: TableInfo, fp: String,
-      partial: Seq[String] => DataFrame,
+      partial: PartialInput => DataFrame,
       merge: DataFrame => DataFrame,
       useCache: Boolean, populateCache: Boolean): DataFrame = {
+    val epoch = SegmentVersions.epochOf(info.path)
     val classed = info.activeBuckets.flatMap(b =>
       classify(bucketRange(b, info.segmentGranularity), q.intervals).map(b -> _))
-    // a bucket whose directory vanished between the listing and the
-    // version read (concurrent kill/REPLACE) degrades to edge:
-    // recomputed this query (the partition filter simply finds no
-    // rows), never cached under a phantom version
-    val versioned = classed.collect { case (b, true) =>
-      b -> (try Some(bucketVersion(info.path, b)) catch { case _: Exception => None })
-    }
+    // a bucket whose directory vanished between the active listing and
+    // the version read (concurrent kill/REPLACE) degrades to edge with
+    // no files: contributes no rows this query, never cached under a
+    // phantom version
+    def listed(b: String): Option[SegmentVersions.Listing] =
+      try Some(SegmentVersions.listing(hconf, info.path, b))
+      catch { case _: Exception => None }
+    val versioned = classed.collect { case (b, true) => b -> listed(b) }
     val covered = versioned.collect { case (b, Some(_)) => b }
+    val listings = versioned.collect { case (b, Some(l)) => b -> l }.toMap
+    // vanished covered buckets join the edge set with no files: they
+    // contribute no rows this query and are never cached
     val edge = classed.collect { case (b, false) => b } ++
       versioned.collect { case (b, None) => b }
-    val versions = versioned.collect { case (b, Some(v)) => b -> v }.toMap
-    val hits: Seq[(String, cache.Value)] =
+    val edgeFiles = edge.flatMap(b => listed(b).map(_.files).getOrElse(Nil))
+    afterVersionListing()
+
+    val rawHits: Seq[(String, cache.Value)] =
       if (useCache) covered.flatMap { b =>
-        cache.get(cache.Key(info.path, b, versions(b), fp)).map(b -> _)
+        cache.get(cache.Key(info.path, b, listings(b).version, fp)).map(b -> _)
       } else Nil
-    val hitSet = hits.map(_._1).toSet
+
+    // the live partial schema gates hit usability (a dim type change
+    // across table versions would otherwise union-mismatch). Known
+    // without touching the filesystem on the steady-state path via the
+    // SegmentVersions schema memo; a raw hit whose stored schema
+    // disagrees is put back into the recompute set — recomputed, never
+    // silently dropped.
+    var schemaOpt: Option[StructType] = SegmentVersions.schemaOf(info.path, fp)
+    if (schemaOpt.isEmpty && rawHits.nonEmpty)
+      schemaOpt = Some(partial(PartialInput.Probe).schema)
+    val usable = rawHits.filter(h => schemaOpt.contains(h._2.schema))
+    cache.demoteHits(rawHits.size - usable.size)
+    val hitSet = usable.map(_._1).toSet
     val missedCovered = covered.filterNot(hitSet)
     val toCompute = missedCovered ++ edge
     cache.lastComputedBuckets = toCompute.sorted
-    val fresh = partial(toCompute)
+    val computeFiles = missedCovered.flatMap(b => listings(b).files) ++ edgeFiles
 
-    // hit schemas must agree with the live partial schema (a dim type
-    // change across table versions would otherwise union-mismatch);
-    // disagreeing entries are simply treated as misses
-    val schema = fresh.schema
-    val usable = hits.filter(_._2.schema == schema)
+    val freshOpt: Option[DataFrame] =
+      if (computeFiles.nonEmpty)
+        Some(partial(PartialInput.Files(computeFiles, toCompute)))
+      else None
+    val schema: StructType = schemaOpt.getOrElse {
+      freshOpt.getOrElse(partial(PartialInput.Probe)).schema
+    }
+    SegmentVersions.putSchema(info.path, fp, epoch, schema)
+    if (freshOpt.exists(_.schema != schema)) {
+      // live partial schema drifted from the memo mid-plan (a write
+      // raced this query): serve the uncached plan — correct, uncached
+      cache.countBypass()
+      return fallback.plan(q)
+    }
+
     val localHitRows: Seq[Row] = usable.flatMap(_._2.rows)
+
+    def localDf(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
     def withCached(freshSide: DataFrame): DataFrame =
       if (localHitRows.isEmpty) freshSide
-      else freshSide.unionByName(spark.createDataFrame(
-        java.util.Arrays.asList(localHitRows: _*), schema))
+      else freshSide.unionByName(localDf(localHitRows))
 
-    val mergeInput: DataFrame =
-      if (populateCache && toCompute.nonEmpty) {
-        val arr = fresh.take(maxPopulateRows + 1)
+    val mergeInput: DataFrame = freshOpt match {
+      case None =>
+        // fully served from cache (or nothing to read at all): the
+        // merge input is driver-local — zero I/O, zero listings
+        localDf(localHitRows)
+      case Some(fresh) if populateCache =>
+        // persist before the bounded take so an over-cap populate pass
+        // doesn't execute the partial stage twice (take materializes,
+        // the merge below reuses the cached blocks; blocks are
+        // reclaimed by the context cleaner once unreferenced)
+        val freshP = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val arr = freshP.take(maxPopulateRows + 1)
         if (arr.length <= maxPopulateRows) {
+          freshP.unpersist(false)
           val bIdx = schema.fieldIndex(Ingest.BucketCol)
           val byBucket = arr.groupBy(_.get(bIdx).toString)
           missedCovered.foreach { b =>
             val rows = byBucket.getOrElse(b, Array.empty[Row])
-            cache.put(cache.Key(info.path, b, versions(b), fp),
+            cache.put(cache.Key(info.path, b, listings(b).version, fp),
               cache.Value(schema, rows))
           }
-          withCached(spark.createDataFrame(
-            java.util.Arrays.asList(arr.toIndexedSeq: _*), schema))
+          withCached(localDf(arr.toIndexedSeq))
         } else {
-          cache.populateSkipped += 1
-          withCached(fresh)
+          cache.countPopulateSkipped()
+          withCached(freshP)
         }
-      } else withCached(fresh)
+      case Some(fresh) => withCached(fresh)
+    }
 
     merge(mergeInput)
   }

@@ -224,6 +224,9 @@ object IngestSql {
           .partitionBy(Ingest.BucketCol)
           .parquet(path)
     }
+    // announce: segment versions changed for this table (per-segment
+    // cache inventory — SegmentVersions)
+    graft.sources.SegmentVersions.invalidate(path)
     // segment-header sidecar: SQL ingestion stores raw rows (no
     // rollup), dims = every non-time column — segmentMetadata's
     // aggregators/rollup/timestampSpec analyses and sys.segments work

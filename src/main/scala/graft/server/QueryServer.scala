@@ -214,7 +214,12 @@ class QueryServer(
   /** observable for tests. */
   def segmentCacheStats: graft.planner.SegmentResultCache = segmentCache
   private def segmentCacheInfo(name: String): Option[graft.planner.SegmentCachePlanner.TableInfo] =
-    if (realtimeSupervisors.contains(name)) None
+    // a LIVE realtime window mutates under any cache → bypass; once the
+    // supervisor handed off (stream stopped, window published) the
+    // datasource serves from its batch table alone and caches like any
+    // ingested table (reference CachingClusteredClient caches
+    // historicals only — post-handoff, everything IS historical)
+    if (realtimeSupervisors.get(name).exists(!_.isBatchOnly)) None
     else ingested.get(name).flatMap { path =>
       graft.sources.Ingest.readSegmentMeta(spark, path).map { m =>
         val excluded = unusedBuckets.getOrElse(name, Set.empty) ++
@@ -651,6 +656,7 @@ class QueryServer(
                   s"$path/${graft.sources.Ingest.BucketCol}=$bkt")
                 if (fs.exists(dir)) fs.delete(dir, true)
               }
+              graft.sources.SegmentVersions.invalidate(path)
               ("kill", ds)
             } else if (Option(node.get("type")).exists(_.asText() == "compact")) {
               // compaction task (reference CompactionTask): rewrite an
@@ -673,6 +679,7 @@ class QueryServer(
               fs.delete(new org.apache.hadoop.fs.Path(path), true)
               fs.rename(new org.apache.hadoop.fs.Path(tmp),
                 new org.apache.hadoop.fs.Path(path))
+              graft.sources.SegmentVersions.invalidate(path)
               ("compact", ds)
             } else {
               val parsed = TaskSpec.parse(node)

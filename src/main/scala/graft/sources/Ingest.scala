@@ -112,9 +112,14 @@ object Ingest {
         "yyyy-MM-dd'T'HH"))
   }
 
-  /** write prepared rows as a time-partitioned parquet table. */
-  def write(prepared: DataFrame, path: String, mode: String = "append"): Unit =
+  /** write prepared rows as a time-partitioned parquet table. The
+    * version inventory is invalidated for the path — the announce step
+    * that keeps per-segment cache versions fresh without per-query
+    * listings (SegmentVersions). */
+  def write(prepared: DataFrame, path: String, mode: String = "append"): Unit = {
     prepared.write.mode(mode).partitionBy(BucketCol).parquet(path)
+    SegmentVersions.invalidate(path)
+  }
 
   def ingest(input: DataFrame, spec: IngestSpec, path: String): Unit = {
     val prepared = prepare(input, spec)
@@ -330,5 +335,6 @@ object Ingest {
       org.apache.hadoop.fs.FileUtil.copy(
         fs, src, fs, new org.apache.hadoop.fs.Path(outPath, MetaFile),
         false, spark.sparkContext.hadoopConfiguration)
+    SegmentVersions.invalidate(outPath)
   }
 }

@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.types.StructType
+
+/** In-memory segment-version inventory — the analog of the reference
+  * broker's announced-segment timeline
+  * (server/src/main/java/org/apache/druid/client/CachingClusteredClient.java:
+  * the broker never lists deep storage per query; it holds announced
+  * segment versions in memory and the coordinator/ingest paths push
+  * changes). Here: one memoized file listing per (table path, bucket
+  * dir), invalidated by every write path that mutates segments
+  * ([[Ingest.write]]/[[Ingest.compact]], SQL REPLACE/INSERT, kill and
+  * compaction tasks), so the per-segment cache's repeat-query hit path
+  * issues ZERO filesystem listings when nothing changed — at
+  * object-store latencies per-query listings are the scale killer the
+  * reference designed around.
+  *
+  * A listing doubles as the segment's VERSION (name:length:mtime per
+  * file) and as the pinned read set: the partial stage reads exactly
+  * the part files captured here, so an append racing a query cannot
+  * cache post-append rows under a pre-append version (the reference's
+  * immutable-segment reads give the same atomicity for free).
+  *
+  * Writers outside this process (or raw `df.write` bypassing the
+  * ingest API) are invisible until the next invalidation — the same
+  * contract as the reference, where un-announced segments don't exist.
+  * Per-path epochs close the memoize-after-invalidate race: an entry
+  * is only stored if no invalidation landed since its listing began.
+  */
+object SegmentVersions {
+
+  /** version string + the pinned data-file paths behind it. */
+  final case class Listing(version: String, files: Seq[String])
+
+  private val maxEntries = 1 << 16
+  private val epochs = TrieMap.empty[String, AtomicLong]
+  private val memo = TrieMap.empty[(String, String), (Long, Listing)]
+  private val schemas = TrieMap.empty[(String, String), (Long, StructType)]
+  private val listingCount = new AtomicLong()
+  private val invalidationCount = new AtomicLong()
+
+  /** filesystem listStatus calls actually issued (specs assert the
+    * repeat-query hit path adds zero). */
+  def listings: Long = listingCount.get()
+  def invalidations: Long = invalidationCount.get()
+
+  def epochOf(path: String): Long =
+    epochs.getOrElseUpdate(path, new AtomicLong()).get()
+
+  /** drop every memoized listing and partial schema under `path`; all
+    * segment-mutating write paths call this. */
+  def invalidate(path: String): Unit = {
+    epochs.getOrElseUpdate(path, new AtomicLong()).incrementAndGet()
+    invalidationCount.incrementAndGet()
+    memo.keys.filter(_._1 == path).foreach(memo.remove)
+    schemas.keys.filter(_._1 == path).foreach(schemas.remove)
+  }
+
+  /** the bucket's current listing, memoized per path epoch. Throws
+    * (like a raw listStatus) when the directory is missing — callers
+    * degrade those buckets to edge/empty. */
+  def listing(hconf: Configuration, path: String, bucket: String): Listing = {
+    val key = (path, bucket)
+    val e = epochOf(path)
+    memo.get(key) match {
+      case Some((me, l)) if me == e => l
+      case _ =>
+        val dir = new org.apache.hadoop.fs.Path(
+          path, s"${Ingest.BucketCol}=$bucket")
+        val fs = dir.getFileSystem(hconf)
+        listingCount.incrementAndGet()
+        val statuses = fs.listStatus(dir).filter(_.isFile)
+        val version = statuses
+          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .sorted.mkString("|")
+        val files = statuses.map(_.getPath.toString).toSeq
+          .filterNot { p =>
+            val n = p.substring(p.lastIndexOf('/') + 1)
+            n.startsWith("_") || n.startsWith(".")
+          }.sorted
+        val l = Listing(version, files)
+        if (memo.size > maxEntries) memo.clear()
+        if (epochOf(path) == e) memo.put(key, (e, l))
+        l
+    }
+  }
+
+  /** partial-result schema for a (path, query fingerprint), valid for
+    * the current epoch only — lets a fully-cached repeat query build
+    * its merge input without touching the filesystem at all. */
+  def schemaOf(path: String, fingerprint: String): Option[StructType] =
+    schemas.get((path, fingerprint)).collect {
+      case (e, s) if e == epochOf(path) => s
+    }
+
+  def putSchema(
+      path: String, fingerprint: String, epoch: Long, s: StructType): Unit = {
+    if (schemas.size > maxEntries) schemas.clear()
+    if (epochOf(path) == epoch) schemas.put((path, fingerprint), (epoch, s))
+  }
+}

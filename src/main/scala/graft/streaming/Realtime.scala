@@ -100,19 +100,57 @@ final class RealtimeDatasource(
   /** marker written by [[publishSpill]] instead of deleting the spill:
     * the window's rows are on deep storage, but the files stay
     * readable so a [[queryable]] plan built before the handoff keeps
-    * its snapshot (see class doc). */
+    * its snapshot (see class doc). Contents: the published dir names,
+    * one per line; an EMPTY marker means the whole window published.
+    * A partial publish (handoff racing an uncommitted batch) lists
+    * exactly the published dirs, so the uncommitted survivors stay
+    * live AND the published files stay readable for pre-built plans —
+    * the same snapshot guarantee the full-publish path has. */
   private val publishedMarker = s"$spillDir/_published"
 
+  /** marker contents: None = no marker; Some(empty) = all published;
+    * Some(names) = those dirs published (hidden from the live set). */
+  private def publishedNames(): Option[Set[String]] = {
+    val p = new org.apache.hadoop.fs.Path(publishedMarker)
+    val f = fs(spillDir)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      buf.toString("UTF-8")
+    } finally in.close()
+    Some(body.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+  }
+
+  private def writePublishedMarker(names: Set[String]): Unit = {
+    val out = fs(spillDir).create(
+      new org.apache.hadoop.fs.Path(publishedMarker), true)
+    try out.write(names.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** live window dirs: the newest `merged=<C>` consolidation (if any)
-    * plus the `batch=<id>` dirs with id > C. Superseded merged dirs
-    * and batch dirs at or below C stay on disk so plans built before
-    * a [[compactSpillWindow]] keep reading their snapshot — they are
-    * garbage, not live, and [[startRealtime]] reclaims them. */
+    * plus the `batch=<id>` dirs with id > C, minus anything the
+    * published marker names. Superseded merged dirs and batch dirs at
+    * or below C stay on disk so plans built before a
+    * [[compactSpillWindow]] keep reading their snapshot — they are
+    * garbage, not live, and [[startRealtime]] reclaims them. The
+    * supersede calculation runs BEFORE the marker filter: a published
+    * merged=C still suppresses the batch dirs it consolidated, so
+    * hiding it cannot resurface already-published rows. */
   private def spillBatchDirs(): Seq[org.apache.hadoop.fs.Path] = {
     val p = new org.apache.hadoop.fs.Path(spillDir)
     val f = fs(spillDir)
-    if (!f.exists(p) || f.exists(new org.apache.hadoop.fs.Path(publishedMarker)))
-      return Nil
+    if (!f.exists(p)) return Nil
+    val published = publishedNames() match {
+      case Some(names) if names.isEmpty => return Nil // whole window published
+      case Some(names) => names
+      case None => Set.empty[String]
+    }
     val entries = f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
     val mergedUpTo = entries.flatMap(d =>
       if (d.getName.startsWith("merged=")) Some(d.getName.stripPrefix("merged=").toLong)
@@ -121,8 +159,9 @@ final class RealtimeDatasource(
       d.getName.startsWith("batch=") &&
         mergedUpTo.forall(_ < d.getName.stripPrefix("batch=").toLong)
     }
-    mergedUpTo.map(c =>
-      new org.apache.hadoop.fs.Path(s"$spillDir/merged=$c")).toSeq ++ tail
+    (mergedUpTo.map(c =>
+      new org.apache.hadoop.fs.Path(s"$spillDir/merged=$c")).toSeq ++ tail)
+      .filterNot(d => published.contains(d.getName))
   }
 
   /** start (or, after [[suspend]], resume) serving an in-flight
@@ -134,12 +173,23 @@ final class RealtimeDatasource(
   def startRealtime(stream: DataFrame): StreamingQuery = synchronized {
     require(query.isEmpty, "realtime stream already running")
     // reclaim a spill a previous handoff/suspend already published:
-    // its marker hides it from queries, but new batches must start in
-    // a clean dir or the marker would hide THEM too
+    // its marker hides it from queries, but new batches must start
+    // marker-free or the marker would hide THEM too. A full publish
+    // (empty marker) drops the whole dir; a partial publish drops the
+    // named dirs — AFTER the supersede reclaim, so a published
+    // merged=C's consolidated originals go first and cannot resurface
+    // as live rows. Unpublished (replayable) dirs survive.
     val f0 = fs(spillDir)
-    if (f0.exists(new org.apache.hadoop.fs.Path(publishedMarker)))
-      f0.delete(new org.apache.hadoop.fs.Path(spillDir), true)
-    else reclaimSupersededSpill()
+    publishedNames() match {
+      case Some(names) if names.isEmpty =>
+        f0.delete(new org.apache.hadoop.fs.Path(spillDir), true)
+      case Some(names) =>
+        reclaimSupersededSpill()
+        names.foreach(n => f0.delete(
+          new org.apache.hadoop.fs.Path(s"$spillDir/$n"), true))
+        f0.delete(new org.apache.hadoop.fs.Path(publishedMarker), false)
+      case None => reclaimSupersededSpill()
+    }
     var df = stream
     for ((name, e) <- spec.transforms)
       df = df.withColumn(name, org.apache.spark.sql.functions.expr(e))
@@ -205,6 +255,16 @@ final class RealtimeDatasource(
     * consolidations count one) — the observable
     * [[compactSpillWindow]] bounds. */
   def windowFragments(): Int = synchronized { spillBatchDirs().size }
+
+  /** true when the datasource serves from the published store alone —
+    * no running stream and no live window (post-handoff/suspend/reset).
+    * The gate for per-segment caching: the reference broker caches
+    * historicals only (CachingClusteredClient skips realtime
+    * segments), and after handoff this datasource IS historical-only,
+    * so it becomes cache-eligible until the next stream starts. */
+  def isBatchOnly: Boolean = synchronized {
+    query.isEmpty && spillBatchDirs().isEmpty
+  }
 
   /** one-lock snapshot of (published store, in-flight window): a
     * metadata reader taking the two separately could observe a
@@ -308,18 +368,17 @@ final class RealtimeDatasource(
             spark.read.parquet(publishable.map(_.toString): _*),
             spec.copy(transforms = Nil, rowFilter = None)),
           historicalPath)
-      val f = fs(spillDir)
       if (publishable.size == dirs.size)
-        f.create(new org.apache.hadoop.fs.Path(publishedMarker), true).close()
-      else {
-        // some dirs stay replayable (uncommitted): drop only the
-        // published ones — a marker would hide the survivors too.
-        // Reclaim FIRST: if a merged= dir is among the published, the
-        // originals it superseded are still on disk as garbage, and
-        // deleting the merged dir alone would resurface them as live
-        // window rows — already published, now double-counted.
-        reclaimSupersededSpill()
-        publishable.foreach(d => f.delete(d, true))
+        writePublishedMarker(Set.empty) // empty marker = whole window
+      else if (publishable.nonEmpty) {
+        // some dirs stay replayable (uncommitted): the marker names
+        // exactly the published ones, hiding them from the live set
+        // while their files stay readable — a [[queryable]] plan built
+        // before this partial publish keeps its snapshot (class doc),
+        // same as the full-publish path. Union with any earlier
+        // partial marker; dirs are reclaimed at the next start.
+        val prior = publishedNames().getOrElse(Set.empty)
+        writePublishedMarker(prior ++ publishable.map(_.getName))
       }
     }
   }
