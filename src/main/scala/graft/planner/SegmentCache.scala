@@ -149,6 +149,13 @@ final class SegmentResultCache(
 
   def entryCount: Int = synchronized(lru.size())
   def totalBytes: Long = synchronized(totalBytesVar)
+
+  /** test seam: snapshot of the stored entries (entrySet iteration
+    * does not perturb access order). */
+  private[planner] def entries: Seq[(Key, Value)] = synchronized {
+    import scala.jdk.CollectionConverters._
+    lru.entrySet().asScala.map(e => e.getKey -> e.getValue._1).toSeq
+  }
 }
 
 object SegmentCachePlanner {
@@ -205,8 +212,13 @@ final class SegmentCachePlanner(
       Some(Aggregator.HllSketch(n, n, lgK, merge = true))
     // any Filtered nesting combines via the innermost factory — the
     // whole filter chain applied at the partial stage (reference
-    // FilteredAggregatorFactory.getCombiningFactory delegates inward)
-    case Aggregator.Filtered(_, inner) => combining(inner)
+    // FilteredAggregatorFactory.getCombiningFactory delegates inward).
+    // The combining agg KEEPS a (now trivially-true) Filtered wrapper:
+    // zero-fill treats filtered aggs as null-filled and plain
+    // count/longSum as zero-filled, so unwrapping would change the
+    // merge's empty-bucket value vs the direct plan.
+    case Aggregator.Filtered(_, inner) =>
+      combining(inner).map(Aggregator.Filtered(DimFilter.True, _))
     case _ => None
   }
 

@@ -99,5 +99,151 @@ object CacheQueries {
     s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
   }
 
-  val all: Seq[Q] = Seq(cacheSegmentRoundtrip)
+  /** month-granularity caching (r11 bypassed any months>0 period;
+    * reference PeriodGranularity caches uniformly —
+    * core/.../granularity/PeriodGranularity.java:47): three month
+    * segments populate on the first P1M query and serve every repeat
+    * from cache — the bypass counter is asserted ZERO, so a silent
+    * regression back to "months bypass" fails the requires even though
+    * the fallback would keep the hash green. */
+  val cacheMonthGranularity: Q = q(
+    "cache_month_granularity",
+    """WITH u AS (
+      |  SELECT ts, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT ts + INTERVAL 31 DAY, event_type, value * 2 FROM events
+      |  UNION ALL
+      |  SELECT ts + INTERVAL 62 DAY, event_type, value * 3 FROM events)
+      |SELECT epoch_ms(date_trunc('month', ts)) AS month_ms, event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(value), 4) AS total
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_month").toString
+    val spec = Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1M")
+    val ev = Tables.events(s, d)
+    val u = ev
+      .unionByName(ev
+        .withColumn("ts", col("ts") + expr("INTERVAL 31 DAYS"))
+        .withColumn("value", col("value") * 2))
+      .unionByName(ev
+        .withColumn("ts", col("ts") + expr("INTERVAL 62 DAYS"))
+        .withColumn("value", col("value") * 3))
+    Ingest.ingest(u, spec, dir)
+
+    val planner = new NativePlanner(s,
+      { case "events_month_ds" => Ingest.read(s, dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(s, planner, cache,
+      { case "events_month_ds" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(s, dir), "P1M"))
+        case _ => None })
+
+    def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+    val query = GroupBy(
+      DataSource.Table("events_month_ds"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-06-01T00:00:00Z"))),
+      Granularity.Period("P1M", None, None), None,
+      Seq(DimensionSpec("event_type", "event_type", None)),
+      Seq(Aggregator.Count("cnt"), Aggregator.DoubleSum("sv", "value")),
+      Nil, None, None, Nil, Nil)
+
+    val warm = scp.plan(query, useCache = true, populateCache = true)
+    val nMonths = warm.select(col(Ingest.TimeCol)).distinct().count()
+    require(cache.bypassedQueries == 0,
+      s"P1M granularity must be cache-eligible, bypassed ${cache.bypassedQueries}")
+    require(cache.populated == nMonths,
+      s"expected $nMonths populated month segments, got ${cache.populated}")
+    val out = scp.plan(query, useCache = true, populateCache = false)
+      .select(
+        unix_millis(col(Ingest.TimeCol)).as("month_ms"), col("event_type"),
+        col("cnt"), round(col("sv"), 4).as("total"))
+      .orderBy(col("month_ms"), col("event_type"))
+    val res = out.collect()
+    require(cache.hits == nMonths,
+      s"expected $nMonths month-segment hits, got ${cache.hits}")
+    require(cache.lastComputedBuckets.isEmpty,
+      s"repeat query must recompute nothing: ${cache.lastComputedBuckets}")
+    s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
+  }
+
+  /** cache ↔ realtime interplay (reference CachingClusteredClient
+    * caches historicals only): while the realtime window is live the
+    * datasource bypasses; after handoff publishes the stream to the
+    * batch table it becomes cache-eligible — the repeat query
+    * populates, then serves from cache, and the post-handoff answer
+    * must equal both the live mid-flight answer and the batch oracle
+    * (a handoff that loses or doubles a row breaks the hash AND the
+    * live/post set compare). */
+  val cacheRealtimeHandoff: Q = q(
+    "cache_realtime_handoff",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val spec = Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
+    val histDir = StreamStage.tempDir("graft_cache_rt")
+    val rtds = new graft.streaming.RealtimeDatasource(s, spec, histDir)
+    val ev = Tables.events(s, d).select(
+      col("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val sq = rtds.startRealtime(StreamStage.stageAsStream(s, ev))
+    try {
+      sq.processAllAvailable()
+      require(!rtds.isBatchOnly, "window must be live before handoff")
+
+      val planner = new NativePlanner(s,
+        { case "rt_cache_ds" => rtds.queryable().drop(Ingest.BucketCol) })
+      val cache = new SegmentResultCache()
+      val scp = new SegmentCachePlanner(s, planner, cache,
+        { case "rt_cache_ds" if rtds.isBatchOnly =>
+            Some(SegmentCachePlanner.TableInfo(
+              histDir, Ingest.listBuckets(s, histDir), "P1D"))
+          case _ => None })
+
+      def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+      val query = GroupBy(
+        DataSource.Table("rt_cache_ds"),
+        Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-03-01T00:00:00Z"))),
+        Granularity.Period("P1D", None, None), None,
+        Seq(DimensionSpec("event_type", "event_type", None)),
+        Seq(Aggregator.Count("cnt"), Aggregator.LongSum("cents", "cents")),
+        Nil, None, None, Nil, Nil)
+
+      // mid-flight: the live window bypasses any cache (the reference
+      // never caches realtime segments) but still answers exactly
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select(
+          unix_millis(col(Ingest.TimeCol)).as("day_ms"), col("event_type"),
+          col("cnt"), col("cents"))
+        .orderBy(col("day_ms"), col("event_type"))
+      val live = shape(scp.plan(query, useCache = true, populateCache = true))
+        .collect()
+      require(cache.bypassedQueries == 1 && cache.populated == 0,
+        "a live realtime window must bypass the segment cache")
+
+      rtds.handoff()
+      require(rtds.isBatchOnly, "handoff must leave the datasource batch-only")
+
+      // post-handoff: the published table caches like any ingested one
+      val warm = scp.plan(query, useCache = true, populateCache = true)
+      val nDays = warm.select(col(Ingest.TimeCol)).distinct().count()
+      require(cache.populated == nDays,
+        s"expected $nDays populated segments post-handoff, got ${cache.populated}")
+      val out = shape(scp.plan(query, useCache = true, populateCache = false))
+      val res = out.collect()
+      require(cache.hits == nDays,
+        s"expected $nDays hits on the repeat, got ${cache.hits}")
+      // exactly-once across the handoff: the cached post-handoff answer
+      // is row-identical to the live mid-flight answer
+      require(live.map(_.toSeq).toSeq == res.map(_.toSeq).toSeq,
+        "post-handoff cached answer must equal the live answer")
+      s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
+    } finally {
+      rtds.abort()
+      StreamStage.cleanup()
+    }
+  }
+
+  val all: Seq[Q] = Seq(cacheSegmentRoundtrip, cacheMonthGranularity,
+    cacheRealtimeHandoff)
 }

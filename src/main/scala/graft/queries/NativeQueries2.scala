@@ -248,8 +248,54 @@ object NativeQueries2 {
         |}""".stripMargin)
   }
 
+  /** filtered-of-filtered (the reference wraps FilteredAggregatorFactory
+    * delegates arbitrarily deep; getCombiningFactory delegates inward —
+    * query/aggregation/FilteredAggregatorFactory.java): the filters AND
+    * together around the innermost aggregator, and SQL-null mode keeps
+    * a group with no matching rows null, not 0. */
+  val nativeNestedFiltered: Q = q(
+    "native_nested_filtered",
+    """SELECT event_type,
+      |       CAST(count(*) FILTER (WHERE value > 100 AND user_id % 2 = 0)
+      |            AS BIGINT) AS big_even_cnt,
+      |       round(coalesce(sum(value) FILTER
+      |               (WHERE value > 100 AND user_id % 2 = 0), 0.0), 4)
+      |         AS big_even_total,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    planner(s, d).plan(
+      """{
+        |  "queryType": "groupBy",
+        |  "dataSource": "events",
+        |  "intervals": [],
+        |  "granularity": "all",
+        |  "dimensions": ["event_type"],
+        |  "aggregations": [
+        |    {"type": "filtered",
+        |     "filter": {"type": "bound", "dimension": "value", "lower": "100",
+        |                "lowerStrict": true, "ordering": "numeric"},
+        |     "aggregator": {"type": "filtered",
+        |       "filter": {"type": "expression", "expression": "user_id % 2 == 0"},
+        |       "aggregator": {"type": "count", "name": "big_even_cnt"}}},
+        |    {"type": "filtered",
+        |     "filter": {"type": "bound", "dimension": "value", "lower": "100",
+        |                "lowerStrict": true, "ordering": "numeric"},
+        |     "aggregator": {"type": "filtered",
+        |       "filter": {"type": "expression", "expression": "user_id % 2 == 0"},
+        |       "aggregator": {"type": "doubleSum", "name": "big_even_total",
+        |                      "fieldName": "value"}}},
+        |    {"type": "count", "name": "cnt"}
+        |  ],
+        |  "limitSpec": {"type": "default",
+        |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
+        |}""".stripMargin)
+      .select(col("event_type"), col("big_even_cnt"),
+        round(coalesce(col("big_even_total"), lit(0.0)), 4).as("big_even_total"),
+        col("cnt"))
+  }
+
   val all: Seq[Q] = Seq(
     nativeFilteredAgg, nativeVarianceAgg, nativeThetaEstimate, nativeKllQuantile,
     nativeGreatestLeast, nativeVirtualColumn, nativeGranularityOrigin,
-    nativeUnionDatasource)
+    nativeUnionDatasource, nativeNestedFiltered)
 }

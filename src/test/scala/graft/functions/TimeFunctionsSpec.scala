@@ -113,4 +113,42 @@ class TimeFunctionsSpec extends SparkSpec {
     assert(r.getString(6) == "x")
     assert(r.getLong(7) == 3L)
   }
+
+  test("driver-side floorMs mirrors the timeFloor column across zones, origins and DST") {
+    // the per-segment cache's interval-alignment check runs floorMs on
+    // the driver and trusts it to agree with what the Column computes
+    // on rows — cross-check over a grid including DST transitions
+    // (US spring-forward/fall-back days; Chile shifts at midnight),
+    // a leap day, a fixed-offset half-hour zone, and a pre-epoch stamp
+    val samples: Seq[Long] = Seq(
+      "2024-01-15T13:47:11Z", "2024-02-29T23:59:59Z",
+      "2024-03-10T09:30:00Z", "2024-03-10T10:30:00Z",
+      "2024-11-03T08:30:00Z", "2024-11-03T09:30:00Z",
+      "2024-09-08T03:59:00Z", "2024-09-09T05:00:00Z",
+      "2024-07-04T00:00:00Z", "2023-12-31T23:59:59Z",
+      "2024-01-01T00:00:00Z", "1969-06-01T05:00:00Z").map(ms)
+    val combos: Seq[(String, Option[Long], Option[String])] = Seq(
+      ("PT1H", None, None),
+      ("PT15M", Some(ms("2024-01-01T00:05:00Z")), None),
+      ("P1D", None, None),
+      ("P1D", None, Some("America/Los_Angeles")),
+      ("P1D", None, Some("America/Santiago")),
+      ("P1D", None, Some("Asia/Kolkata")),
+      ("P7D", None, Some("America/Los_Angeles")),
+      ("P1M", None, None),
+      ("P1M", None, Some("America/Los_Angeles")),
+      ("P3M", Some(ms("2024-01-15T06:00:00Z")), None),
+      ("P1Y", None, Some("Asia/Kolkata")))
+    import spark.implicits._
+    val df = samples.toDF("t")
+    for ((p, o, z) <- combos) {
+      df.select(col("t"),
+        unix_millis(timeFloor(timestamp_millis(col("t")), p, o, z)).as("f"))
+        .collect().foreach { r =>
+          assert(TimeFunctions.floorMs(r.getLong(0), p, o, z) == r.getLong(1),
+            s"floorMs mismatch at ${r.getLong(0)} period=$p origin=$o tz=$z: " +
+              s"driver=${TimeFunctions.floorMs(r.getLong(0), p, o, z)} column=${r.getLong(1)}")
+        }
+    }
+  }
 }

@@ -286,6 +286,176 @@ class SegmentCacheSpec extends SparkSpec {
     assert(rows(scp.plan(q, true, true)) == expected)
   }
 
+  test("repeat query issues zero filesystem listings when nothing changed") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, sumCount)
+    val expected = rows(planner.plan(q))
+    rows(scp.plan(q, useCache = true, populateCache = true))
+    val l0 = graft.sources.SegmentVersions.listings
+    val again = rows(scp.plan(q, useCache = true, populateCache = false))
+    assert(again == expected)
+    assert(graft.sources.SegmentVersions.listings == l0,
+      "the hit path must issue zero listStatus calls — versions and the " +
+        "partial schema come from the in-memory inventory")
+    assert(cache.hits == 4)
+  }
+
+  test("an append racing the partial scan cannot poison a version's entry") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, sumCount)
+    val preDirect = rows(planner.plan(q))
+    // inject the append between the version listings and the partial
+    // plan: without pinned file reads, the scan would see the new part
+    // files and cache post-append rows under the pre-append version
+    var fired = false
+    scp.afterVersionListing = () => if (!fired) {
+      fired = true
+      val extra = Seq((Instant.parse("2024-01-02T09:00:00Z"), "u8", "k2", 7777L))
+        .toDF("ts0", "user", "kind", "v")
+        .select(col("ts0").cast("timestamp").as("ts"), col("user"), col("kind"), col("v"))
+      Ingest.write(Ingest.prepare(extra, Ingest.IngestSpec(timeColumn = "ts")), path)
+    }
+    val raced = rows(scp.plan(q, useCache = true, populateCache = true))
+    scp.afterVersionListing = () => ()
+    assert(fired)
+    assert(raced == preDirect,
+      "the raced query must serve the snapshot its versions name")
+    // the cached entries match their version keys: the repeat query
+    // recomputes exactly the appended day (new version = miss) and
+    // folds the untouched days' pre-append partials to the NEW answer
+    val after = rows(scp.plan(q, useCache = true, populateCache = true))
+    assert(after == rows(planner.plan(q)))
+    assert(after != preDirect, "the append must be visible post-invalidation")
+    assert(cache.lastComputedBuckets == Seq("2024-01-02T00"))
+  }
+
+  test("a schema-stale hit is recomputed, never silently dropped") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, sumCount)
+    val direct = rows(planner.plan(q))
+    rows(scp.plan(q, useCache = true, populateCache = true))
+    // poison one entry in place: same key, alien partial schema — the
+    // shape an append-driven column/type change leaves behind for
+    // buckets whose versions did not move
+    val (k, v) = cache.entries.find(_._1.bucket == "2024-01-02T00").get
+    val alien = org.apache.spark.sql.types.StructType(v.schema.fields.map(f =>
+      if (f.name == "sv") f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))
+    cache.put(k, cache.Value(alien, v.rows))
+    val out = rows(scp.plan(q, useCache = true, populateCache = true))
+    assert(out == direct,
+      "the stale bucket must be recomputed — not missing from the result")
+    assert(cache.lastComputedBuckets == Seq("2024-01-02T00"))
+  }
+
+  test("cache evicts on bytes long before the row budget") {
+    // unit level: ~400 KB single-row entries under a 1 MB budget — row
+    // counts are nowhere near any row cap, eviction triggers on bytes
+    val c = new SegmentResultCache(
+      maxTotalBytes = 1L << 20, maxBytesPerSegment = 1L << 20)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "b", org.apache.spark.sql.types.BinaryType)))
+    def v(seed: Byte) = c.Value(sch, Array(Row(Array.fill[Byte](400 * 1024)(seed))))
+    c.put(c.Key("p", "b1", "v", "f"), v(1))
+    c.put(c.Key("p", "b2", "v", "f"), v(2))
+    c.put(c.Key("p", "b3", "v", "f"), v(3))
+    assert(c.entryCount == 2 && c.totalBytes <= c.maxTotalBytes)
+    assert(c.get(c.Key("p", "b1", "v", "f")).isEmpty, "eldest evicted on bytes")
+    assert(c.get(c.Key("p", "b3", "v", "f")).isDefined, "newest survives")
+    // an entry alone above the per-segment byte cap never populates
+    val big = c.Value(sch, Array(Row(Array.fill[Byte](2 << 20)(9))))
+    c.put(c.Key("p", "b4", "v", "f"), big)
+    assert(c.get(c.Key("p", "b4", "v", "f")).isEmpty && c.populateSkipped == 1)
+
+    // end-to-end: lgK-16 theta partials against a tiny byte budget —
+    // one row per (bucket, day), far under every row cap, and the byte
+    // charge still evicts
+    val planner = new NativePlanner(spark, { case "t" => table })
+    val small = new SegmentResultCache(maxTotalBytes = 300)
+    val scp = new SegmentCachePlanner(spark, planner, small,
+      { case "t" => Some(SegmentCachePlanner.TableInfo(path, buckets, "P1D")); case _ => None })
+    val q = ts(allDays, Seq(
+      Aggregator.ThetaSketch("sk", "user", lgNomEntries = 16),
+      Aggregator.Count("cnt")))
+    assert(rows(scp.plan(q, true, true)).map(_.take(1)) ==
+      rows(planner.plan(q)).map(_.take(1))) // sketch binaries: compare shape
+    assert(small.entryCount < 4 && small.entryCount >= 1,
+      s"byte budget must evict sketch partials, kept ${small.entryCount}")
+  }
+
+  test("populate overflow computes the partial stage once and stays correct") {
+    val planner = new NativePlanner(spark, { case "t" => table })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(spark, planner, cache,
+      { case "t" => Some(SegmentCachePlanner.TableInfo(path, buckets, "P1D")); case _ => None },
+      maxPopulateRows = 2)
+    val q = GroupBy(DataSource.Table("t"), allDays, day, None,
+      Seq(DimensionSpec("user", "user", None)), sumCount, Nil, None, None, Nil, Nil)
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(cache.populateSkipped >= 1 && cache.populated == 0)
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+  }
+
+  test("nested filtered aggregators combine through the cache (no bypass)") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, Seq(
+      Aggregator.Filtered(DimFilter.Selector("kind", Some("k1"), None),
+        Aggregator.Filtered(DimFilter.Bound("v", Some("50"), None,
+          lowerStrict = false, upperStrict = false, "numeric", None),
+          Aggregator.LongSum("k1hi", "v"))),
+      Aggregator.Count("cnt")))
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.bypassedQueries == 0,
+      "filtered-of-filtered flattens via the inner combining factory")
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.hits == 4)
+  }
+
+  test("month granularity is cache-eligible (calendar-aligned intervals)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_month").toString
+    val df = spark.range(0, 90L * 4).select(
+      timestamp_millis(lit(ms("2024-01-01T00:00:00Z")) + col("id") * 21600000L).as("ts"),
+      concat(lit("k"), (col("id") % 3).cast("string")).as("kind"),
+      (col("id") % 11).cast("long").as("v"))
+    Ingest.ingest(df, Ingest.IngestSpec(
+      timeColumn = "ts", segmentGranularity = "P1M"), dir)
+    val planner = new NativePlanner(spark,
+      { case "mo" => spark.read.parquet(dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(spark, planner, cache,
+      { case "mo" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(spark, dir), "P1M")); case _ => None })
+    val q = Timeseries(DataSource.Table("mo"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-04-01T00:00:00Z"))),
+      Granularity.Period("P1M", None, None), None, sumCount, Nil, Nil,
+      descending = false, skipEmptyBuckets = false)
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.bypassedQueries == 0, "P1M must not bypass")
+    assert(cache.populated == 3)
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.hits == 3 && cache.lastComputedBuckets.isEmpty)
+  }
+
+  test("zoned day granularity is cache-eligible when intervals sit on local midnights") {
+    val (planner, cache, scp) = fresh()
+    // 2024-01-02T08:00Z..2024-01-04T08:00Z = LA midnights (UTC-8); the
+    // UTC day segments 01-02 and 01-04 are edges, 01-03 fully covered
+    val ivs = Seq(QueryInterval(ms("2024-01-02T08:00:00Z"), ms("2024-01-04T08:00:00Z")))
+    val q = ts(ivs, sumCount,
+      gran = Granularity.Period("P1D", None, Some("America/Los_Angeles")))
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.bypassedQueries == 0, "zoned P1D must not bypass")
+    assert(cache.populated == 1)
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.hits == 1)
+    // a zoned SUB-day granularity stays bypassed (DST-gap boundaries)
+    val qSub = ts(ivs, sumCount,
+      gran = Granularity.Period("PT1H", None, Some("America/Los_Angeles")))
+    assert(rows(scp.plan(qSub, true, true)) == rows(planner.plan(qSub)))
+    assert(cache.bypassedQueries == 1)
+  }
+
   test("zero-fill, grandTotal and descending survive the merge path") {
     val (planner, cache, scp) = fresh()
     // a filter that empties day 2 → zero-filled bucket from cached partials

@@ -327,7 +327,15 @@ class RealtimeSpec extends SparkSpec {
     assert(fold(rtds.queryable()) == Map(
       m("2024-11-01T00:00:00Z") -> (1L, 7L),
       m("2024-11-01T02:00:00Z") -> (1L, 9L)))
+    // the snapshot contract holds for PARTIAL publishes too: published
+    // dirs are marked by name, not deleted, so a plan built before the
+    // suspend materializes its exact pre-publish row set afterwards
+    val preBuilt = rtds.queryable()
     rtds.suspend()
+    assert(fold(preBuilt) == Map(
+      m("2024-11-01T00:00:00Z") -> (1L, 7L),
+      m("2024-11-01T02:00:00Z") -> (1L, 9L)),
+      "pre-built plan must survive a partial publish")
     assert(fold(rtds.publishedRows().get) ==
       Map(m("2024-11-01T00:00:00Z") -> (1L, 7L)), "published = merged only")
     assert(fold(rtds.realtimeRows().get) ==
