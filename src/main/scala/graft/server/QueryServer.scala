@@ -146,7 +146,9 @@ class QueryServer(
   /** first-matching-rule evaluation (RetentionRules — reference
     * Rule.appliesTo + RunRules): returns the buckets retired by a
     * drop decision. */
-  private def bucketsDroppedByRules(name: String, path: String): Set[String] = {
+  private def bucketsDroppedByRules(
+      name: String, path: String,
+      bucketsOverride: Seq[String] = null): Set[String] = {
     val rules = ruleChain(name)
     if (!rules.exists(r =>
         Option(r.get("type")).exists(_.asText().startsWith("drop"))))
@@ -154,7 +156,7 @@ class QueryServer(
     val gran = segmentMetaWithIngested(name)
       .map(_.segmentGranularity).getOrElse("P1D")
     val now = System.currentTimeMillis()
-    listBuckets(path).filter { b =>
+    Option(bucketsOverride).getOrElse(listBuckets(path)).filter { b =>
       if (b == "all") false
       else {
         val segStart = java.time.LocalDateTime
@@ -221,11 +223,19 @@ class QueryServer(
     // historicals only — post-handoff, everything IS historical)
     if (realtimeSupervisors.get(name).exists(!_.isBatchOnly)) None
     else ingested.get(name).flatMap { path =>
-      graft.sources.Ingest.readSegmentMeta(spark, path).map { m =>
+      // bucket inventory + sidecar memoized per write epoch
+      // (SegmentVersions.cached): the repeat-query resolve step issues
+      // zero filesystem operations when nothing changed. Exclusions
+      // (markUnused, retention rules) recompute per query — they are
+      // in-memory state + time-dependent rule decisions, never frozen.
+      graft.sources.SegmentVersions.cached(path, "__segment_meta")(
+        graft.sources.Ingest.readSegmentMeta(spark, path)).map { m =>
+        val buckets = graft.sources.SegmentVersions.cached(
+          path, "__bucket_inventory")(listBuckets(path))
         val excluded = unusedBuckets.getOrElse(name, Set.empty) ++
-          bucketsDroppedByRules(name, path)
+          bucketsDroppedByRules(name, path, buckets)
         graft.planner.SegmentCachePlanner.TableInfo(
-          path, listBuckets(path).filterNot(excluded), m.segmentGranularity)
+          path, buckets.filterNot(excluded), m.segmentGranularity)
       }
     }
   private val cachingPlanner = new graft.planner.SegmentCachePlanner(

@@ -59,6 +59,7 @@ object SegmentVersions {
     invalidationCount.incrementAndGet()
     memo.keys.filter(_._1 == path).foreach(memo.remove)
     schemas.keys.filter(_._1 == path).foreach(schemas.remove)
+    misc.keys.filter(_._1 == path).foreach(misc.remove)
   }
 
   /** the bucket's current listing, memoized per path epoch. Throws
@@ -102,5 +103,23 @@ object SegmentVersions {
       path: String, fingerprint: String, epoch: Long, s: StructType): Unit = {
     if (schemas.size > maxEntries) schemas.clear()
     if (epochOf(path) == epoch) schemas.put((path, fingerprint), (epoch, s))
+  }
+
+  private val misc = TrieMap.empty[(String, String), (Long, Any)]
+
+  /** generic per-epoch memo for derived table metadata (bucket
+    * inventory, segment-meta sidecar): recomputed only after a write
+    * invalidates the path — the server's resolve step then costs zero
+    * filesystem operations on the hit path too. */
+  def cached[T](path: String, key: String)(compute: => T): T = {
+    val e = epochOf(path)
+    misc.get((path, key)) match {
+      case Some((me, v)) if me == e => v.asInstanceOf[T]
+      case _ =>
+        val v = compute
+        if (misc.size > maxEntries) misc.clear()
+        if (epochOf(path) == e) misc.put((path, key), (e, v))
+        v
+    }
   }
 }
