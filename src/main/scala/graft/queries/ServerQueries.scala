@@ -19,6 +19,17 @@ import graft.server.QueryServer
   */
 object ServerQueries {
 
+  /** HTTP response bytes received since the last drain — the scale
+    * rehearsal records this beside shuffle bytes so a REST-layer
+    * regression (e.g. a result set ballooning with input size when the
+    * group count is fixed) is visible in SCALE_r*.json. */
+  private val respBytes = new java.util.concurrent.atomic.AtomicLong()
+  def drainResponseBytes(): Long = respBytes.getAndSet(0L)
+  private def recordResponse(body: String): String = {
+    respBytes.addAndGet(body.length.toLong)
+    body
+  }
+
   private def postSql(port: Int, sql: String): String = {
     // Jackson handles the quoting/newlines in the SQL body
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -34,7 +45,7 @@ object ServerQueries {
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
       s"sql endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
-    resp.body()
+    recordResponse(resp.body())
   }
 
   /** REPLACE OVERWRITE ALL lays the table down day-partitioned, then
@@ -102,7 +113,7 @@ object ServerQueries {
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
       s"task endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
-    resp.body()
+    recordResponse(resp.body())
   }
 
   /** the segment data-lifecycle delete over the task API (reference
@@ -207,7 +218,7 @@ object ServerQueries {
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
       s"coordinator returned ${resp.statusCode()}: ${resp.body().take(500)}")
-    resp.body()
+    recordResponse(resp.body())
   }
 
   /** the coordinator used/unused segment lifecycle (reference

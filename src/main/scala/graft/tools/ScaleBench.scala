@@ -53,13 +53,16 @@ object ScaleBench {
       // shuffle attribution is clean (rehearsal tool, not a gate)
       Thread.sleep(1500)
       shuffleRead.set(0); shuffleWrite.set(0); outputWritten.set(0)
+      graft.queries.ServerQueries.drainResponseBytes()
       val t0 = System.nanoTime()
       val rows = q(name)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // HTTP response volume for socket-loop entries (0 elsewhere)
+      val httpB = graft.queries.ServerQueries.drainResponseBytes()
       Thread.sleep(1500)
       s""""$name":{"sec":$sec,"rows":$rows,"shuffle_read_b":${
         shuffleRead.get()},"shuffle_write_b":${shuffleWrite.get()},"output_written_b":${
-        outputWritten.get()}}"""
+        outputWritten.get()},"http_response_b":$httpB}"""
     }
     println(s"""{"sf_dir":"$sfDir","entries":{${parts.mkString(",")}}}""")
     spark.stop()

@@ -30,7 +30,12 @@ ENTRIES = ["dedup_minhash_fast", "dedup_clusters", "pipeline_drop_ledger",
            # per-segment cache at 10x event volume: same 30 day buckets,
            # 10x rows per segment — partial sizes grow, hit/recompute
            # sets must stay exact (the entry's requires enforce them)
-           "cache_segment_roundtrip"]
+           "cache_segment_roundtrip",
+           # the HTTP loop at 10x: REPLACE ALL + slice REPLACE + SQL read
+           # over a real socket; http_response_b must stay ~flat (the
+           # result's group count is fixed at 30 days — a response that
+           # scales with input rows is a REST-layer regression)
+           "server_sql_replace_roundtrip"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -164,6 +169,11 @@ def main():
             "output_written_ratio_10x": (
                 b.get("output_written_b", 0) / s["output_written_b"]
                 if s.get("output_written_b") else None),
+            # socket-loop entries: response volume must NOT scale with
+            # input rows when the result's group count is fixed
+            "http_response_ratio_10x": (
+                b.get("http_response_b", 0) / s["http_response_b"]
+                if s.get("http_response_b") else None),
             "wall_ratio_10x": b["sec"] / s["sec"] if s["sec"] else None,
             "hash_pass_at_10x": passes.get(e, False),
         }
