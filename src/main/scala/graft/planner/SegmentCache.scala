@@ -261,7 +261,12 @@ final class SegmentCachePlanner(
         (ds, as, ivs) => t.copy(dataSource = ds, aggregations = as, intervals = ivs,
           filter = None, virtualColumns = Nil,
           dimension = DimensionSpec(t.dimension.outputName, t.dimension.outputName, None))))
-      case g: GroupBy if g.subtotalsSpec.isEmpty =>
+      // subtotals cache too: the partial grain is the FULL dim list,
+      // and the merge's grouping-sets pass re-aggregates each subset
+      // from it with combining aggs — the reference broker likewise
+      // computes subtotals from base-grain per-segment results
+      // (GroupByStrategyV2.processSubtotalsSpec)
+      case g: GroupBy =>
         Some((g.dataSource, g.dimensions, g.aggregations, g.granularity,
           (ds, as, ivs) => g.copy(dataSource = ds, aggregations = as, intervals = ivs,
             filter = None, virtualColumns = Nil,
@@ -334,7 +339,7 @@ final class SegmentCachePlanner(
       metric = "", metricDescending = false, threshold = 0,
       metricOrdering = "")
     case g: GroupBy => g.copy(intervals = Nil, postAggregations = Nil,
-      having = None, limitSpec = None)
+      having = None, limitSpec = None, subtotalsSpec = Nil)
     case tb: TimeBoundary => tb.copy(intervals = Nil, bound = None)
     case sq: Search => sq.copy(intervals = Nil, limit = None, sort = "")
     case other => other

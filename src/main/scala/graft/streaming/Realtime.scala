@@ -223,6 +223,7 @@ final class RealtimeDatasource(
         }
       }
       .outputMode("append").start()
+    windowKnownEmpty = false // batches may land at any moment
     query = Some(sq)
     sq
   }
@@ -256,6 +257,13 @@ final class RealtimeDatasource(
     * [[compactSpillWindow]] bounds. */
   def windowFragments(): Int = synchronized { spillBatchDirs().size }
 
+  /** window-is-empty memo, refreshed at lifecycle transitions so the
+    * per-query [[isBatchOnly]] gate costs zero filesystem operations
+    * in the steady post-handoff state. */
+  @volatile private var windowKnownEmpty = false
+  private def refreshWindowEmpty(): Unit =
+    windowKnownEmpty = spillBatchDirs().isEmpty
+
   /** true when the datasource serves from the published store alone —
     * no running stream and no live window (post-handoff/suspend/reset).
     * The gate for per-segment caching: the reference broker caches
@@ -263,7 +271,9 @@ final class RealtimeDatasource(
     * segments), and after handoff this datasource IS historical-only,
     * so it becomes cache-eligible until the next stream starts. */
   def isBatchOnly: Boolean = synchronized {
-    query.isEmpty && spillBatchDirs().isEmpty
+    query.isEmpty && (windowKnownEmpty || {
+      refreshWindowEmpty(); windowKnownEmpty
+    })
   }
 
   /** one-lock snapshot of (published store, in-flight window): a
@@ -484,6 +494,7 @@ final class RealtimeDatasource(
     }
     publishSpill()
     query = None
+    refreshWindowEmpty()
   }
 
   /** the reference's supervisor suspend: tasks stop consuming,
@@ -506,6 +517,7 @@ final class RealtimeDatasource(
     f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
     f.delete(new org.apache.hadoop.fs.Path(checkpointDir), true)
     query = None
+    windowKnownEmpty = true
   }
 
   /** stop the stream but keep spill AND checkpoint — server teardown
@@ -516,6 +528,7 @@ final class RealtimeDatasource(
   def detach(): Unit = synchronized {
     query.foreach(_.stop())
     query = None
+    refreshWindowEmpty()
   }
 
   /** stop without publishing (abandon the realtime window — the
@@ -533,5 +546,6 @@ final class RealtimeDatasource(
     else
       f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
     query = None
+    windowKnownEmpty = true
   }
 }

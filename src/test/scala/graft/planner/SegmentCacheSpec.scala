@@ -412,6 +412,25 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.hits == 4)
   }
 
+  test("groupBy subtotals serve from base-grain partials (no bypass)") {
+    val (planner, cache, scp) = fresh()
+    def gb(subtotals: Seq[Seq[String]]): GroupBy =
+      GroupBy(DataSource.Table("t"), allDays, Granularity.All, None,
+        Seq(DimensionSpec("user", "user", None), DimensionSpec("kind", "kind", None)),
+        sumCount, Nil, None, None, subtotals, Nil)
+    val q = gb(Seq(Seq("user"), Seq("kind"), Nil))
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(cache.bypassedQueries == 0, "subtotals must not bypass")
+    assert(cache.populated == 4)
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(cache.hits == 4)
+    // a different grouping-set list shares the base-grain entries
+    // (subtotals are a merge-time feature, stripped from the key)
+    val q2 = gb(Seq(Seq("kind")))
+    assert(rows(scp.plan(q2, true, true)).toSet == rows(planner.plan(q2)).toSet)
+    assert(cache.hits == 8)
+  }
+
   test("month granularity is cache-eligible (calendar-aligned intervals)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_segcache_month").toString
     val df = spark.range(0, 90L * 4).select(
