@@ -177,10 +177,15 @@ final class SegmentCachePlanner(
       * this bypasses the cache (bounds the size of the in-memory
       * version inventory a single query can pin). */
     maxBucketsForCache: Int = 4096,
-    /** populate-side driver bound across ALL missed buckets of one
-      * query; above it nothing is populated and the merge input stays
-      * fully distributed. */
-    maxPopulateRows: Int = 1 << 16) {
+    /** populate-side driver bounds across ALL missed buckets of one
+      * query; above either, nothing is populated and the merge input
+      * stays fully distributed. Both are checked DISTRIBUTED (a
+      * count/size aggregation over the persisted partials) before any
+      * row reaches the driver — a row cap alone would let 64k rows of
+      * ~512 KB sketch partials materialize tens of GB on the driver
+      * before the per-entry byte caps could reject them. */
+    maxPopulateRows: Int = 1 << 16,
+    maxPopulateBytes: Long = 64L << 20) {
 
   import SegmentCachePlanner.TableInfo
   import graft.model.NativeQuery._
@@ -595,13 +600,29 @@ final class SegmentCachePlanner(
         // merge input is driver-local — zero I/O, zero listings
         localDf(localHitRows)
       case Some(fresh) if populateCache =>
-        // persist before the bounded take so an over-cap populate pass
-        // doesn't execute the partial stage twice (take materializes,
-        // the merge below reuses the cached blocks; blocks are
+        // persist, then decide DISTRIBUTED whether the partials fit the
+        // driver budgets: a count + estimated-size aggregation over the
+        // cached blocks (the same charge model the cache's byte LRU
+        // uses), so an over-cap populate pass never round-trips a
+        // single partial row — and never executes the partial stage
+        // twice (the merge below reuses the persisted blocks; they are
         // reclaimed by the context cleaner once unreferenced)
         val freshP = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val arr = freshP.take(maxPopulateRows + 1)
-        if (arr.length <= maxPopulateRows) {
+        val sizeExpr = schema.fields.map { f =>
+          f.dataType match {
+            case BinaryType =>
+              lit(24L) + coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+            case StringType =>
+              lit(40L) + lit(2L) * coalesce(length(col(f.name)).cast("long"), lit(0L))
+            case _ => lit(16L)
+          }
+        }.reduce(_ + _) + lit(32L)
+        val stats = freshP
+          .agg(count(lit(1)).as("n"), sum(sizeExpr).as("b")).head()
+        val n = stats.getLong(0)
+        val estBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+        if (n <= maxPopulateRows && estBytes <= maxPopulateBytes) {
+          val arr = freshP.collect()
           freshP.unpersist(false)
           val bIdx = schema.fieldIndex(Ingest.BucketCol)
           val byBucket = arr.groupBy(_.get(bIdx).toString)

@@ -397,6 +397,21 @@ class SegmentCacheSpec extends SparkSpec {
     assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
   }
 
+  test("populate BYTE overflow is decided distributed — no driver materialization") {
+    val planner = new NativePlanner(spark, { case "t" => table })
+    val cache = new SegmentResultCache()
+    // row budget generous, byte budget tiny: the distributed size
+    // estimate must veto the populate before any row is collected
+    val scp = new SegmentCachePlanner(spark, planner, cache,
+      { case "t" => Some(SegmentCachePlanner.TableInfo(path, buckets, "P1D")); case _ => None },
+      maxPopulateBytes = 64)
+    val q = ts(allDays, sumCount)
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.populateSkipped >= 1 && cache.populated == 0,
+      "byte-overflowing partials must not populate")
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+  }
+
   test("nested filtered aggregators combine through the cache (no bypass)") {
     val (planner, cache, scp) = fresh()
     val q = ts(allDays, Seq(
