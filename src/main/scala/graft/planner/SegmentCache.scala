@@ -123,11 +123,17 @@ final class SegmentResultCache(
   private[planner] def estimateBytes(v: Value): Long =
     v.rows.iterator.map(r => 32L + r.toSeq.map(valueBytes).sum).sum
 
-  def put(k: Key, v: Value): Unit = synchronized {
+  def put(k: Key, v: Value): Unit = {
+    // size the entry OUTSIDE the lock: walking a multi-MB sketch row
+    // set must not block concurrent readers
     val bytes = estimateBytes(v)
     if (v.rows.length > maxRowsPerSegment || bytes > maxBytesPerSegment) {
       _populateSkipped.incrementAndGet(); return
     }
+    putSized(k, v, bytes)
+  }
+
+  private def putSized(k: Key, v: Value, bytes: Long): Unit = synchronized {
     Option(lru.remove(k)).foreach { case (old, ob) =>
       totalRows -= old.rows.length; totalBytesVar -= ob
     }

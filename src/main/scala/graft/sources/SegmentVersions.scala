@@ -85,11 +85,17 @@ object SegmentVersions {
             n.startsWith("_") || n.startsWith(".")
           }.sorted
         val l = Listing(version, files)
-        if (memo.size > maxEntries) memo.clear()
+        if (memo.size > maxEntries) shed(memo)
         if (epochOf(path) == e) memo.put(key, (e, l))
         l
     }
   }
+
+  /** cap overflow: shed half the entries (arbitrary victims) instead
+    * of clearing — a full clear would stampede every active table back
+    * to the filesystem at once. */
+  private def shed[V](m: TrieMap[(String, String), V]): Unit =
+    m.keys.take(m.size / 2).foreach(m.remove)
 
   /** partial-result schema for a (path, query fingerprint), valid for
     * the current epoch only — lets a fully-cached repeat query build
@@ -101,7 +107,7 @@ object SegmentVersions {
 
   def putSchema(
       path: String, fingerprint: String, epoch: Long, s: StructType): Unit = {
-    if (schemas.size > maxEntries) schemas.clear()
+    if (schemas.size > maxEntries) shed(schemas)
     if (epochOf(path) == epoch) schemas.put((path, fingerprint), (epoch, s))
   }
 
@@ -117,7 +123,7 @@ object SegmentVersions {
       case Some((me, v)) if me == e => v.asInstanceOf[T]
       case _ =>
         val v = compute
-        if (misc.size > maxEntries) misc.clear()
+        if (misc.size > maxEntries) shed(misc)
         if (epochOf(path) == e) misc.put((path, key), (e, v))
         v
     }
