@@ -138,6 +138,17 @@ object Aggregator {
   final case class First(name: String, fieldName: String) extends Aggregator
   final case class Last(name: String, fieldName: String) extends Aggregator
   final case class AnyValue(name: String, fieldName: String) extends Aggregator
+  /** INTERNAL (segment-cache partials; not JSON-parseable): first/last
+    * carried as a (t, v) struct — the reference's SerializablePair
+    * intermediate (query/aggregation/first/ LongFirstAggregatorFactory
+    * getCombiningFactory folds pairs on the carried timestamp).
+    * merge=false builds the pair from raw rows; merge=true folds stored
+    * pairs and extracts the value. */
+  final case class FirstPair(name: String, fieldName: String, merge: Boolean) extends Aggregator
+  final case class LastPair(name: String, fieldName: String, merge: Boolean) extends Aggregator
+  /** INTERNAL: mean carried as a (sum, count) pair (reference
+    * DoubleMeanAggregatorFactory's DoubleMeanHolder fold). */
+  final case class MeanPair(name: String, fieldName: String, merge: Boolean) extends Aggregator
   /** approx distinct over dims (cardinality) or a column (hyperUnique).
     * byRow=false (the reference's Jackson default) = distinct over the
     * UNION of the dims' value sets; byRow=true = distinct dim tuples. */

@@ -254,6 +254,23 @@ class NativePlanner(
     case Aggregator.First(n, f) => min_by(col(f), col(timeColumn)).as(n)
     case Aggregator.Last(n, f) => max_by(col(f), col(timeColumn)).as(n)
     case Aggregator.AnyValue(n, f) => any_value(col(f), lit(true)).as(n)
+    // cache-partial pair intermediates (SerializablePair lifecycle):
+    // build keeps (t, v) so a later fold can re-order across segments;
+    // fold re-minimizes/maximizes on the carried timestamp and extracts
+    // the value INSIDE the agg expression, so post-aggs/having/topN
+    // ranking downstream see the plain value
+    case Aggregator.FirstPair(n, f, false) =>
+      min_by(struct(col(timeColumn).as("t"), col(f).as("v")), col(timeColumn)).as(n)
+    case Aggregator.FirstPair(n, f, true) =>
+      min_by(col(f), col(f).getField("t")).getField("v").as(n)
+    case Aggregator.LastPair(n, f, false) =>
+      max_by(struct(col(timeColumn).as("t"), col(f).as("v")), col(timeColumn)).as(n)
+    case Aggregator.LastPair(n, f, true) =>
+      max_by(col(f), col(f).getField("t")).getField("v").as(n)
+    case Aggregator.MeanPair(n, f, false) =>
+      struct(sum(col(f).cast("double")).as("s"), count(col(f)).as("c")).as(n)
+    case Aggregator.MeanPair(n, f, true) =>
+      (sum(col(f).getField("s")) / sum(col(f).getField("c"))).as(n)
     case Aggregator.Cardinality(n, fields, byRow) =>
       if (byRow || fields.size == 1) {
         // byRow: distinct dim TUPLES (struct key)
@@ -370,6 +387,35 @@ class NativePlanner(
       else hll_sketch_agg(when(cond, col(f)), lit(lgK)).as(n)
     case Aggregator.DistinctCount(n, f) =>
       count_distinct(when(cond, col(f))).as(n)
+    // first/last/any under a filter: null the ORDERING key too —
+    // min_by/max_by skip null-ordered rows, so non-matching rows can
+    // neither win nor poison the extreme (reference
+    // FilteredAggregatorFactory wraps any factory)
+    case Aggregator.First(n, f) =>
+      min_by(when(cond, col(f)), when(cond, col(timeColumn))).as(n)
+    case Aggregator.Last(n, f) =>
+      max_by(when(cond, col(f)), when(cond, col(timeColumn))).as(n)
+    case Aggregator.AnyValue(n, f) =>
+      any_value(when(cond, col(f)), lit(true)).as(n)
+    // pair intermediates under a filter (cache partial stage)
+    case Aggregator.FirstPair(n, f, false) =>
+      min_by(when(cond, struct(col(timeColumn).as("t"), col(f).as("v"))),
+        when(cond, col(timeColumn))).as(n)
+    case Aggregator.FirstPair(n, f, true) =>
+      min_by(when(cond, col(f)), when(cond, col(f).getField("t")))
+        .getField("v").as(n)
+    case Aggregator.LastPair(n, f, false) =>
+      max_by(when(cond, struct(col(timeColumn).as("t"), col(f).as("v"))),
+        when(cond, col(timeColumn))).as(n)
+    case Aggregator.LastPair(n, f, true) =>
+      max_by(when(cond, col(f)), when(cond, col(f).getField("t")))
+        .getField("v").as(n)
+    case Aggregator.MeanPair(n, f, false) =>
+      struct(sum(when(cond, col(f).cast("double"))).as("s"),
+        count(when(cond, col(f))).as("c")).as(n)
+    case Aggregator.MeanPair(n, f, true) =>
+      (sum(when(cond, col(f).getField("s"))) /
+        sum(when(cond, col(f).getField("c")))).as(n)
     case other => throw new UnsupportedOperationException(
       s"filtered wrapper around ${other.getClass.getSimpleName}")
   }

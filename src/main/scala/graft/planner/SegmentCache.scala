@@ -221,6 +221,14 @@ final class SegmentCachePlanner(
     case Aggregator.KllSketch(n, _, k) => Some(Aggregator.KllSketch(n, n, k))
     case Aggregator.HllSketch(n, _, lgK, _) =>
       Some(Aggregator.HllSketch(n, n, lgK, merge = true))
+    // first/last/mean combine through pair intermediates (the reference's
+    // SerializablePair / DoubleMeanHolder getCombiningFactory): the
+    // partial stage stores (t, v) / (sum, count) structs — see
+    // partialize — and the fold extracts the value at merge
+    case Aggregator.First(n, _) => Some(Aggregator.FirstPair(n, n, merge = true))
+    case Aggregator.Last(n, _) => Some(Aggregator.LastPair(n, n, merge = true))
+    case Aggregator.DoubleMean(n, _) => Some(Aggregator.MeanPair(n, n, merge = true))
+    case Aggregator.AnyValue(n, _) => Some(Aggregator.AnyValue(n, n))
     // any Filtered nesting combines via the innermost factory — the
     // whole filter chain applied at the partial stage (reference
     // FilteredAggregatorFactory.getCombiningFactory delegates inward).
@@ -231,6 +239,17 @@ final class SegmentCachePlanner(
     case Aggregator.Filtered(_, inner) =>
       combining(inner).map(Aggregator.Filtered(DimFilter.True, _))
     case _ => None
+  }
+
+  /** the partial-stage form of an aggregator: first/last/mean store
+    * their pair intermediates (under any Filtered nesting) so segments
+    * can re-fold at merge; everything else aggregates as written. */
+  private def partialize(a: Aggregator): Aggregator = a match {
+    case Aggregator.First(n, f) => Aggregator.FirstPair(n, f, merge = false)
+    case Aggregator.Last(n, f) => Aggregator.LastPair(n, f, merge = false)
+    case Aggregator.DoubleMean(n, f) => Aggregator.MeanPair(n, f, merge = false)
+    case Aggregator.Filtered(fl, inner) => Aggregator.Filtered(fl, partialize(inner))
+    case other => other
   }
 
   /** interval endpoints must land on result-granularity boundaries so
@@ -259,7 +278,8 @@ final class SegmentCachePlanner(
   private final case class Eligible(
       name: String, info: TableInfo,
       dims: Seq[DimensionSpec], aggs: Seq[Aggregator],
-      combiningAggs: Seq[Aggregator], granularity: Granularity,
+      partialAggs: Seq[Aggregator], combiningAggs: Seq[Aggregator],
+      granularity: Granularity,
       rewrite: (DataSource, Seq[Aggregator], Seq[QueryInterval]) => NativeQuery)
 
   private def eligible(q: NativeQuery): Option[Eligible] = {
@@ -301,7 +321,7 @@ final class SegmentCachePlanner(
         val p = TimeFunctions.parsePeriod(info.segmentGranularity)
         Some(p) // months handled in bucketRange
       } catch { case _: Exception => None }
-    } yield Eligible(name, info, dims, aggs, combined, gran, rewrite)
+    } yield Eligible(name, info, dims, aggs, aggs.map(partialize), combined, gran, rewrite)
   }
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
@@ -396,7 +416,7 @@ final class SegmentCachePlanner(
     val keys = col(Ingest.BucketCol) +:
       (fallback.bucketCol(e.granularity).map(_.as(timeColumn)).toSeq ++
         e.dims.map(d => fallback.dimColumn(df, d)))
-    val aggCols = e.aggs.map(fallback.aggToColumn(_, Some(df.schema)))
+    val aggCols = e.partialAggs.map(fallback.aggToColumn(_, Some(df.schema)))
     df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 

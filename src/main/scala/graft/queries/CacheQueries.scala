@@ -166,6 +166,134 @@ object CacheQueries {
     s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
   }
 
+  /** first/last/mean through the cache via pair intermediates — the
+    * reference's SerializablePair / DoubleMeanHolder combining-factory
+    * lifecycle (query/aggregation/first/, DoubleMeanAggregatorFactory):
+    * the partial stage stores (t, v) and (sum, count) structs per
+    * segment, the merge re-folds on the carried timestamp / re-divides,
+    * and the repeat query serves every day from cache. Day granularity
+    * over day segments keeps the fold tie-freedom identical to the
+    * direct plan (one pair per group), so the DuckDB arg_min/arg_max
+    * oracle pins exact values. */
+  val cacheFirstLast: Q = q(
+    "cache_first_last",
+    // mean over integer CENTS: the partial sums are exact in double,
+    // so the merge's sum/count division has identical IEEE operands on
+    // both engines — a raw-double mean lands on .xxxx5 rounding
+    // boundaries whenever addition order differs (FIXTURES gotcha)
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+      |       round(arg_min(value, ts), 4) AS first_value,
+      |       round(arg_max(value, ts), 4) AS last_value,
+      |       round(avg(CAST(round(value * 100) AS BIGINT)), 4) AS mean_cents,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_fl").toString
+    val spec = Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
+    Ingest.ingest(Tables.events(s, d).withColumn(
+      "cents", round(col("value") * 100).cast("long")), spec, dir)
+
+    val planner = new NativePlanner(s,
+      { case "events_fl_ds" => Ingest.read(s, dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(s, planner, cache,
+      { case "events_fl_ds" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(s, dir), "P1D"))
+        case _ => None })
+
+    def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+    val query = GroupBy(
+      DataSource.Table("events_fl_ds"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-03-01T00:00:00Z"))),
+      Granularity.Period("P1D", None, None), None,
+      Seq(DimensionSpec("event_type", "event_type", None)),
+      Seq(Aggregator.First("first_value", "value"),
+        Aggregator.Last("last_value", "value"),
+        Aggregator.DoubleMean("mean_cents", "cents"),
+        Aggregator.Count("cnt")),
+      Nil, None, None, Nil, Nil)
+
+    val warm = scp.plan(query, useCache = true, populateCache = true)
+    val nDays = warm.select(col(Ingest.TimeCol)).distinct().count()
+    require(cache.bypassedQueries == 0,
+      s"first/last/mean must be cache-eligible, bypassed ${cache.bypassedQueries}")
+    require(cache.populated == nDays,
+      s"expected $nDays populated segments, got ${cache.populated}")
+    val out = scp.plan(query, useCache = true, populateCache = false)
+      .select(
+        unix_millis(col(Ingest.TimeCol)).as("day_ms"), col("event_type"),
+        round(col("first_value"), 4).as("first_value"),
+        round(col("last_value"), 4).as("last_value"),
+        round(col("mean_cents"), 4).as("mean_cents"),
+        col("cnt"))
+      .orderBy(col("day_ms"), col("event_type"))
+    val res = out.collect()
+    require(cache.hits == nDays,
+      s"expected $nDays hits on the repeat, got ${cache.hits}")
+    s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
+  }
+
+  /** zoned day granularity through the cache (reference
+    * PeriodGranularity caches uniformly; r11 bypassed any non-UTC tz):
+    * LA-midnight buckets over UTC day segments — the two UTC edge days
+    * recompute per query (partial interval coverage), every interior
+    * day populates then serves from cache. The events window is
+    * January (LA = fixed UTC-8, no DST inside the data; the DST
+    * boundary agreement itself is pinned by the TimeFunctionsSpec
+    * floorMs↔timeFloor grid), so the DuckDB oracle is the exact
+    * fixed-offset shift. */
+  val cacheTzGranularity: Q = q(
+    "cache_tz_granularity",
+    """SELECT epoch_ms(date_trunc('day', ts - INTERVAL 8 HOUR)
+      |                + INTERVAL 8 HOUR) AS day_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01 08:00:00'
+      |  AND ts < TIMESTAMP '2024-03-01 08:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_tz").toString
+    val spec = Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
+    val ev = Tables.events(s, d).select(
+      col("ts"), round(col("value") * 100).cast("long").as("cents"))
+    Ingest.ingest(ev, spec, dir)
+
+    val planner = new NativePlanner(s,
+      { case "events_tz_ds" => Ingest.read(s, dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(s, planner, cache,
+      { case "events_tz_ds" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(s, dir), "P1D"))
+        case _ => None })
+
+    def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+    val query = Timeseries(
+      DataSource.Table("events_tz_ds"),
+      Seq(QueryInterval(ms("2024-01-01T08:00:00Z"), ms("2024-03-01T08:00:00Z"))),
+      Granularity.Period("P1D", None, Some("America/Los_Angeles")), None,
+      Seq(Aggregator.Count("cnt"), Aggregator.LongSum("cents", "cents")),
+      Nil, Nil, descending = false, skipEmptyBuckets = true)
+
+    scp.plan(query, useCache = true, populateCache = true)
+      .write.mode("overwrite").format("noop").save()
+    require(cache.bypassedQueries == 0,
+      s"zoned P1D must be cache-eligible, bypassed ${cache.bypassedQueries}")
+    require(cache.populated >= 1, "interior LA days must populate")
+    val populatedFirst = cache.populated
+    val out = scp.plan(query, useCache = true, populateCache = true)
+      .select(
+        unix_millis(col(Ingest.TimeCol)).as("day_ms"),
+        col("cnt"), col("cents"))
+      .orderBy(col("day_ms"))
+    val res = out.collect()
+    require(cache.hits == populatedFirst,
+      s"repeat must hit every populated segment: ${cache.hits} vs $populatedFirst")
+    require(cache.lastComputedBuckets.nonEmpty &&
+      cache.lastComputedBuckets.forall(b =>
+        b == "2024-01-01T00" || b >= "2024-02"),
+      s"only UTC edge days may recompute: ${cache.lastComputedBuckets}")
+    s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
+  }
+
   /** cache ↔ realtime interplay (reference CachingClusteredClient
     * caches historicals only): while the realtime window is live the
     * datasource bypasses; after handoff publishes the stream to the
@@ -245,5 +373,5 @@ object CacheQueries {
   }
 
   val all: Seq[Q] = Seq(cacheSegmentRoundtrip, cacheMonthGranularity,
-    cacheRealtimeHandoff)
+    cacheTzGranularity, cacheFirstLast, cacheRealtimeHandoff)
 }

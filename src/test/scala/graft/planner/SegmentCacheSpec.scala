@@ -170,8 +170,10 @@ class SegmentCacheSpec extends SparkSpec {
 
   test("non-mergeable aggregators and unaligned intervals bypass the cache") {
     val (planner, cache, scp) = fresh()
-    val qMean = ts(allDays, Seq(Aggregator.DoubleMean("m", "v")))
-    assert(rows(scp.plan(qMean, true, true)) == rows(planner.plan(qMean)))
+    // variance has no combining form here (its fold needs the (n, mean,
+    // m2) triple the partial doesn't store) — served correct, uncached
+    val qVar = ts(allDays, Seq(Aggregator.Variance("m", "v", population = false)))
+    assert(rows(scp.plan(qVar, true, true)) == rows(planner.plan(qVar)))
     assert(cache.bypassedQueries == 1 && cache.populated == 0)
     // 12:00 endpoint is not P1D-aligned → bypass, still correct
     val qMis = ts(Seq(QueryInterval(ms("2024-01-01T12:00:00Z"), ms("2024-01-03T00:00:00Z"))),
@@ -425,6 +427,32 @@ class SegmentCacheSpec extends SparkSpec {
       "filtered-of-filtered flattens via the inner combining factory")
     assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
     assert(cache.hits == 4)
+  }
+
+  test("first/last/mean/any combine via pair intermediates (no bypass)") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, Seq(
+      Aggregator.First("fv", "v"), Aggregator.Last("lv", "v"),
+      Aggregator.DoubleMean("mv", "v"), Aggregator.AnyValue("av", "kind"),
+      Aggregator.Count("cnt")))
+    def strip(df: DataFrame) = rows(df.drop("av"))
+    assert(strip(scp.plan(q, true, true)) == strip(planner.plan(q)))
+    assert(cache.bypassedQueries == 0,
+      "first/last/mean/any must combine via pair intermediates, not bypass")
+    val second = scp.plan(q, true, true)
+    assert(strip(second) == strip(planner.plan(q)))
+    assert(cache.hits == 4 && cache.lastComputedBuckets.isEmpty)
+    // any_value is a nondeterministic pick, but must be a real member
+    val avs = second.select("av").collect().map(_.getString(0)).toSet
+    assert(avs.subsetOf(Set("k0", "k1", "k2")))
+    // filtered-wrapped first/last cache too: the pair form rides the
+    // FILTER rewrite (null ordering keys skip non-matching rows)
+    val qf = ts(allDays, Seq(
+      Aggregator.Filtered(DimFilter.Selector("kind", Some("k1"), None),
+        Aggregator.First("ffv", "v")), Aggregator.Count("cnt")))
+    assert(rows(scp.plan(qf, true, true)) == rows(planner.plan(qf)))
+    assert(rows(scp.plan(qf, true, true)) == rows(planner.plan(qf)))
+    assert(cache.bypassedQueries == 0 && cache.hits == 8)
   }
 
   test("groupBy subtotals serve from base-grain partials (no bypass)") {
