@@ -1,0 +1,89 @@
+package graft.aggs
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** fold of per-segment variance triples (n, mean, m2) into a global
+  * variance — the reference's VarianceAggregatorCollector.combineValues
+  * (extensions-core/stats/.../variance/VarianceAggregatorCollector.java),
+  * i.e. Chan et al.'s pairwise update:
+  *
+  *   n = nA + nB;  δ = mB − mA
+  *   mean = mA + δ·nB/n
+  *   m2   = m2A + m2B + δ²·nA·nB/n
+  *
+  * Input rows are `struct(n: long, m: double, m2: double)` — what the
+  * segment cache's partial stage stores for a variance aggregator
+  * (built from count/avg/var_pop·count, all Welford-stable built-ins).
+  * Finalizes to var_samp (null when n < 2) or var_pop (null when
+  * n == 0), matching Spark's null-on-divide-by-zero semantics.
+  */
+case class VarianceFoldAgg(
+    child: Expression,
+    population: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VarianceFoldAgg.Triple]
+  with UnaryLike[Expression] {
+
+  import VarianceFoldAgg.Triple
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Triple = new Triple(0L, 0.0, 0.0)
+
+  private def combine(b: Triple, n2: Long, m2mean: Double, m2m2: Double): Triple = {
+    if (n2 == 0L) return b
+    if (b.n == 0L) { b.n = n2; b.mean = m2mean; b.m2 = m2m2; return b }
+    val n = b.n + n2
+    val delta = m2mean - b.mean
+    b.m2 = b.m2 + m2m2 + delta * delta * b.n.toDouble * n2.toDouble / n.toDouble
+    b.mean = b.mean + delta * n2.toDouble / n.toDouble
+    b.n = n
+    b
+  }
+
+  override def update(buffer: Triple, input: InternalRow): Triple = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val row = v.asInstanceOf[InternalRow]
+    if (row.isNullAt(0)) return buffer
+    val n = row.getLong(0)
+    if (n == 0L || row.isNullAt(1) || row.isNullAt(2)) return buffer
+    combine(buffer, n, row.getDouble(1), row.getDouble(2))
+  }
+
+  override def merge(buffer: Triple, other: Triple): Triple =
+    combine(buffer, other.n, other.mean, other.m2)
+
+  override def eval(buffer: Triple): Any =
+    if (population) { if (buffer.n == 0L) null else buffer.m2 / buffer.n }
+    else { if (buffer.n < 2L) null else buffer.m2 / (buffer.n - 1L) }
+
+  override def serialize(buffer: Triple): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24)
+    bb.putLong(buffer.n).putDouble(buffer.mean).putDouble(buffer.m2)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Triple = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    new Triple(bb.getLong, bb.getDouble, bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VarianceFoldAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VarianceFoldAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VarianceFoldAgg =
+    copy(child = c)
+  override def prettyName: String = "variance_fold"
+}
+
+object VarianceFoldAgg {
+  final class Triple(var n: Long, var mean: Double, var m2: Double)
+}

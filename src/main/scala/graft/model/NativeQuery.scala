@@ -149,6 +149,12 @@ object Aggregator {
   /** INTERNAL: mean carried as a (sum, count) pair (reference
     * DoubleMeanAggregatorFactory's DoubleMeanHolder fold). */
   final case class MeanPair(name: String, fieldName: String, merge: Boolean) extends Aggregator
+  /** INTERNAL: variance carried as a (n, mean, m2) triple — the
+    * reference's VarianceAggregatorCollector; merge folds triples via
+    * the Chan pairwise update and finalizes to var_samp/var_pop. */
+  final case class VarPair(
+      name: String, fieldName: String, population: Boolean,
+      merge: Boolean) extends Aggregator
   /** approx distinct over dims (cardinality) or a column (hyperUnique).
     * byRow=false (the reference's Jackson default) = distinct over the
     * UNION of the dims' value sets; byRow=true = distinct dim tuples. */

@@ -271,6 +271,15 @@ class NativePlanner(
       struct(sum(col(f).cast("double")).as("s"), count(col(f)).as("c")).as(n)
     case Aggregator.MeanPair(n, f, true) =>
       (sum(col(f).getField("s")) / sum(col(f).getField("c"))).as(n)
+    // variance triple (reference VarianceAggregatorCollector): the
+    // build side uses Welford-stable built-ins (m2 = var_pop·n); the
+    // fold side is the Chan pairwise combine in VarianceFoldAgg
+    case Aggregator.VarPair(n, f, _, false) =>
+      struct(count(col(f)).as("n"), avg(col(f)).as("m"),
+        (var_pop(col(f)) * count(col(f))).as("m2")).as(n)
+    case Aggregator.VarPair(n, f, pop, true) =>
+      graft.exprs.toCol(graft.aggs.VarianceFoldAgg(
+        graft.exprs.toExpr(col(f)), pop).toAggregateExpression()).as(n)
     case Aggregator.Cardinality(n, fields, byRow) =>
       if (byRow || fields.size == 1) {
         // byRow: distinct dim TUPLES (struct key)
@@ -416,6 +425,13 @@ class NativePlanner(
     case Aggregator.MeanPair(n, f, true) =>
       (sum(when(cond, col(f).getField("s"))) /
         sum(when(cond, col(f).getField("c")))).as(n)
+    case Aggregator.VarPair(n, f, _, false) =>
+      struct(count(when(cond, col(f))).as("n"),
+        avg(when(cond, col(f))).as("m"),
+        (var_pop(when(cond, col(f))) * count(when(cond, col(f)))).as("m2")).as(n)
+    case Aggregator.VarPair(n, f, pop, true) =>
+      graft.exprs.toCol(graft.aggs.VarianceFoldAgg(
+        graft.exprs.toExpr(when(cond, col(f))), pop).toAggregateExpression()).as(n)
     case other => throw new UnsupportedOperationException(
       s"filtered wrapper around ${other.getClass.getSimpleName}")
   }

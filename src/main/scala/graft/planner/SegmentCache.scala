@@ -229,6 +229,8 @@ final class SegmentCachePlanner(
     case Aggregator.Last(n, _) => Some(Aggregator.LastPair(n, n, merge = true))
     case Aggregator.DoubleMean(n, _) => Some(Aggregator.MeanPair(n, n, merge = true))
     case Aggregator.AnyValue(n, _) => Some(Aggregator.AnyValue(n, n))
+    case Aggregator.Variance(n, _, pop) =>
+      Some(Aggregator.VarPair(n, n, pop, merge = true))
     // any Filtered nesting combines via the innermost factory — the
     // whole filter chain applied at the partial stage (reference
     // FilteredAggregatorFactory.getCombiningFactory delegates inward).
@@ -248,6 +250,7 @@ final class SegmentCachePlanner(
     case Aggregator.First(n, f) => Aggregator.FirstPair(n, f, merge = false)
     case Aggregator.Last(n, f) => Aggregator.LastPair(n, f, merge = false)
     case Aggregator.DoubleMean(n, f) => Aggregator.MeanPair(n, f, merge = false)
+    case Aggregator.Variance(n, f, pop) => Aggregator.VarPair(n, f, pop, merge = false)
     case Aggregator.Filtered(fl, inner) => Aggregator.Filtered(fl, partialize(inner))
     case other => other
   }

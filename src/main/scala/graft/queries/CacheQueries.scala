@@ -294,6 +294,85 @@ object CacheQueries {
     s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
   }
 
+  /** variance through the cache via the (n, mean, m2) triple — the
+    * reference's VarianceAggregatorCollector fold (extensions-core/
+    * stats/.../variance/VarianceAggregatorCollector.java): per-day
+    * partials store count/mean/m2 (Welford-stable built-ins), the
+    * merge Chan-combines them. Contract split per the float-rounding
+    * rule (FIXTURES): the hash-graded columns are the integer-exact
+    * moments (count, Σcents, Σcents²) riding the SAME cached plan —
+    * a fold that drops or double-counts a segment breaks them — while
+    * the variance values themselves are `require`-pinned to the
+    * direct Welford result within 1e-9 relative (rounding a variance
+    * double at any fixed scale lands on .xxxx5 boundaries; the n=2
+    * groups here did exactly that at sf0.001). */
+  val cacheVarianceContract: Q = q(
+    "cache_variance_contract",
+    """WITH c AS (SELECT ts, event_type,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events)
+      |SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(cents) AS BIGINT) AS s1,
+      |       CAST(sum(cents * cents) AS BIGINT) AS s2
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_var").toString
+    val spec = Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
+    val cents = round(col("value") * 100).cast("long")
+    Ingest.ingest(Tables.events(s, d)
+      .withColumn("cents", cents)
+      .withColumn("cents2", cents * cents), spec, dir)
+
+    val planner = new NativePlanner(s,
+      { case "events_var_ds" => Ingest.read(s, dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(s, planner, cache,
+      { case "events_var_ds" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(s, dir), "P1D"))
+        case _ => None })
+
+    def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+    val query = GroupBy(
+      DataSource.Table("events_var_ds"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-03-01T00:00:00Z"))),
+      Granularity.Period("P1D", None, None), None,
+      Seq(DimensionSpec("event_type", "event_type", None)),
+      Seq(Aggregator.Variance("var_value", "value", population = false),
+        Aggregator.Variance("varp_value", "value", population = true),
+        Aggregator.Count("cnt"),
+        Aggregator.LongSum("s1", "cents"), Aggregator.LongSum("s2", "cents2")),
+      Nil, None, None, Nil, Nil)
+
+    def shaped(df: org.apache.spark.sql.DataFrame) = df
+      .select(unix_millis(col(Ingest.TimeCol)).as("day_ms"), col("event_type"),
+        col("var_value"), col("varp_value"), col("cnt"), col("s1"), col("s2"))
+      .orderBy(col("day_ms"), col("event_type"))
+
+    val direct = shaped(planner.plan(query)).collect()
+    scp.plan(query, useCache = true, populateCache = true)
+      .write.mode("overwrite").format("noop").save()
+    require(cache.bypassedQueries == 0,
+      s"variance must be cache-eligible, bypassed ${cache.bypassedQueries}")
+    val nSegs = cache.populated
+    require(nSegs >= 1, "variance partials must populate")
+    val out = shaped(scp.plan(query, useCache = true, populateCache = false))
+    val res = out.collect()
+    require(cache.hits == nSegs,
+      s"expected $nSegs hits on the repeat, got ${cache.hits}")
+    require(direct.length == res.length, "row count drift vs direct")
+    direct.zip(res).foreach { case (w, g) =>
+      require(w.getLong(0) == g.getLong(0) && w.getString(1) == g.getString(1)
+        && w.getLong(4) == g.getLong(4), s"key/count drift: $w vs $g")
+      Seq(2, 3).foreach { i =>
+        val (b, a) = (w.getDouble(i), g.getDouble(i))
+        require(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"cached variance fold drifted from direct: $a vs $b")
+      }
+    }
+    s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
+      .select(col("day_ms"), col("event_type"), col("cnt"), col("s1"), col("s2"))
+  }
+
   /** cache ↔ realtime interplay (reference CachingClusteredClient
     * caches historicals only): while the realtime window is live the
     * datasource bypasses; after handoff publishes the stream to the
@@ -373,5 +452,6 @@ object CacheQueries {
   }
 
   val all: Seq[Q] = Seq(cacheSegmentRoundtrip, cacheMonthGranularity,
-    cacheTzGranularity, cacheFirstLast, cacheRealtimeHandoff)
+    cacheTzGranularity, cacheFirstLast, cacheVarianceContract,
+    cacheRealtimeHandoff)
 }

@@ -170,10 +170,11 @@ class SegmentCacheSpec extends SparkSpec {
 
   test("non-mergeable aggregators and unaligned intervals bypass the cache") {
     val (planner, cache, scp) = fresh()
-    // variance has no combining form here (its fold needs the (n, mean,
-    // m2) triple the partial doesn't store) — served correct, uncached
-    val qVar = ts(allDays, Seq(Aggregator.Variance("m", "v", population = false)))
-    assert(rows(scp.plan(qVar, true, true)) == rows(planner.plan(qVar)))
+    // cardinality's approximate-distinct partial state is not exposed
+    // as a column value — served correct, uncached (the HLL-sketch agg
+    // family is the mergeable path)
+    val qCard = ts(allDays, Seq(Aggregator.Cardinality("m", Seq("user"), byRow = true)))
+    assert(rows(scp.plan(qCard, true, true)) == rows(planner.plan(qCard)))
     assert(cache.bypassedQueries == 1 && cache.populated == 0)
     // 12:00 endpoint is not P1D-aligned → bypass, still correct
     val qMis = ts(Seq(QueryInterval(ms("2024-01-01T12:00:00Z"), ms("2024-01-03T00:00:00Z"))),
@@ -453,6 +454,34 @@ class SegmentCacheSpec extends SparkSpec {
     assert(rows(scp.plan(qf, true, true)) == rows(planner.plan(qf)))
     assert(rows(scp.plan(qf, true, true)) == rows(planner.plan(qf)))
     assert(cache.bypassedQueries == 0 && cache.hits == 8)
+  }
+
+  test("variance combines via the (n, mean, m2) triple — Chan fold") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, Seq(
+      Aggregator.Variance("vr", "v", population = false),
+      Aggregator.Variance("vp", "v", population = true),
+      Aggregator.Count("cnt")))
+    def check(): Unit = {
+      val got = rows(scp.plan(q, true, true))
+      val want = rows(planner.plan(q))
+      assert(got.size == want.size)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.head == w.head && g(3) == w(3)) // bucket + exact count
+        Seq(1, 2).foreach { i =>
+          val (a, b) = (g(i).asInstanceOf[Double], w(i).asInstanceOf[Double])
+          // Chan fold over per-segment triples vs direct Welford:
+          // identical within float tolerance, not bit-identical
+          assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+            s"variance mismatch at col $i: $a vs $b")
+        }
+      }
+    }
+    check()
+    assert(cache.bypassedQueries == 0, "variance must combine, not bypass")
+    assert(cache.populated == 4)
+    check()
+    assert(cache.hits == 4 && cache.lastComputedBuckets.isEmpty)
   }
 
   test("groupBy subtotals serve from base-grain partials (no bypass)") {
