@@ -626,7 +626,14 @@ final class SegmentCachePlanner(
     val mergeInput: DataFrame = freshOpt match {
       case None =>
         // fully served from cache (or nothing to read at all): the
-        // merge input is driver-local — zero I/O, zero listings
+        // merge input is driver-local — zero I/O, zero listings. A
+        // missed covered bucket with an EMPTY listing still gets an
+        // empty entry, so it hits next time instead of re-missing
+        // forever (the computeFiles-nonempty path does the same via
+        // byBucket.getOrElse)
+        if (populateCache) missedCovered.foreach(b =>
+          cache.put(cache.Key(info.path, b, listings(b).version, fp),
+            cache.Value(schema, Array.empty[Row])))
         localDf(localHitRows)
       case Some(fresh) if populateCache =>
         // persist, then decide DISTRIBUTED whether the partials fit the
@@ -637,15 +644,25 @@ final class SegmentCachePlanner(
         // twice (the merge below reuses the persisted blocks; they are
         // reclaimed by the context cleaner once unreferenced)
         val freshP = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sizeExpr = schema.fields.map { f =>
-          f.dataType match {
+        // per-column size expression mirroring the cache's driver-side
+        // charge model; structs recurse (the pair/triple intermediates
+        // carry strings inside), arrays/maps get a conservative flat
+        // charge (none appear in partial schemas today)
+        def colSize(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column =
+          dt match {
             case BinaryType =>
-              lit(24L) + coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+              lit(24L) + coalesce(octet_length(c).cast("long"), lit(0L))
             case StringType =>
-              lit(40L) + lit(2L) * coalesce(length(col(f.name)).cast("long"), lit(0L))
+              lit(40L) + lit(2L) * coalesce(length(c).cast("long"), lit(0L))
+            case st: StructType =>
+              st.fields.map(sf => colSize(c.getField(sf.name), sf.dataType))
+                .reduceOption(_ + _).getOrElse(lit(16L)) + lit(16L)
+            case _: ArrayType | _: MapType => lit(256L)
             case _ => lit(16L)
           }
-        }.reduce(_ + _) + lit(32L)
+        val sizeExpr = schema.fields
+          .map(f => colSize(col(f.name), f.dataType))
+          .reduce(_ + _) + lit(32L)
         val stats = freshP
           .agg(count(lit(1)).as("n"), sum(sizeExpr).as("b")).head()
         val n = stats.getLong(0)

@@ -26,7 +26,10 @@ object ServerQueries {
   private val respBytes = new java.util.concurrent.atomic.AtomicLong()
   def drainResponseBytes(): Long = respBytes.getAndSet(0L)
   private def recordResponse(body: String): String = {
-    respBytes.addAndGet(body.length.toLong)
+    // wire bytes, not UTF-16 code units — multi-byte payloads would
+    // otherwise be undercounted up to 3x in the 10x-ratio gate
+    respBytes.addAndGet(
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
     body
   }
 

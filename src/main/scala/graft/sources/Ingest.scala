@@ -178,6 +178,11 @@ object Ingest {
     val out = fs.create(p, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // the sidecar is part of the announced table state: callers write
+    // data first (which invalidates), then the sidecar — a query racing
+    // that gap would otherwise memoize the STALE sidecar under the new
+    // epoch and serve it until the next write
+    SegmentVersions.invalidate(path)
   }
 
   def readSegmentMeta(spark: SparkSession, path: String): Option[SegmentMeta] = {

@@ -223,7 +223,7 @@ final class RealtimeDatasource(
         }
       }
       .outputMode("append").start()
-    windowKnownEmpty = false // batches may land at any moment
+    windowEmptyMemo = None // batches may land at any moment
     query = Some(sq)
     sq
   }
@@ -257,12 +257,16 @@ final class RealtimeDatasource(
     * [[compactSpillWindow]] bounds. */
   def windowFragments(): Int = synchronized { spillBatchDirs().size }
 
-  /** window-is-empty memo, refreshed at lifecycle transitions so the
-    * per-query [[isBatchOnly]] gate costs zero filesystem operations
-    * in the steady post-handoff state. */
-  @volatile private var windowKnownEmpty = false
+  /** window-is-empty memo (None = unknown), refreshed at lifecycle
+    * transitions so the per-query [[isBatchOnly]] gate costs zero
+    * filesystem operations in EVERY steady state — both the
+    * post-handoff empty window and a detached/restored non-empty one.
+    * Safe to memoize either value: with no stream running, only the
+    * lifecycle methods (all of which update the memo under the lock)
+    * can change the spill dir. */
+  @volatile private var windowEmptyMemo: Option[Boolean] = None
   private def refreshWindowEmpty(): Unit =
-    windowKnownEmpty = spillBatchDirs().isEmpty
+    windowEmptyMemo = Some(spillBatchDirs().isEmpty)
 
   /** true when the datasource serves from the published store alone —
     * no running stream and no live window (post-handoff/suspend/reset).
@@ -271,9 +275,9 @@ final class RealtimeDatasource(
     * segments), and after handoff this datasource IS historical-only,
     * so it becomes cache-eligible until the next stream starts. */
   def isBatchOnly: Boolean = synchronized {
-    query.isEmpty && (windowKnownEmpty || {
-      refreshWindowEmpty(); windowKnownEmpty
-    })
+    query.isEmpty && windowEmptyMemo.getOrElse {
+      refreshWindowEmpty(); windowEmptyMemo.get
+    }
   }
 
   /** one-lock snapshot of (published store, in-flight window): a
@@ -517,7 +521,7 @@ final class RealtimeDatasource(
     f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
     f.delete(new org.apache.hadoop.fs.Path(checkpointDir), true)
     query = None
-    windowKnownEmpty = true
+    windowEmptyMemo = Some(true)
   }
 
   /** stop the stream but keep spill AND checkpoint — server teardown
@@ -546,6 +550,6 @@ final class RealtimeDatasource(
     else
       f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
     query = None
-    windowKnownEmpty = true
+    windowEmptyMemo = Some(true)
   }
 }
