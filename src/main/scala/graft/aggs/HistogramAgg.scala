@@ -58,6 +58,32 @@ object HistogramAgg {
       count(when(v.isNotNull, 1)).as("count"))
   }
 
+  /** fold of fixedHistogram partial structs across segments (the
+    * segment cache's combining form — reference
+    * FixedBucketsHistogramAggregatorFactory.getCombiningFactory):
+    * bucket counts and outliers sum elementwise; the bounds are
+    * identical in every partial by construction and ride along. */
+  def fixedHistogramFold(h: Column, numBuckets: Int): Column =
+    struct(
+      min(h.getField("lower")).as("lower"),
+      max(h.getField("upper")).as("upper"),
+      array((0 until numBuckets).map(i =>
+        sum(element_at(h.getField("buckets"), i + 1))): _*).as("buckets"),
+      sum(h.getField("lowerOutlier")).as("lowerOutlier"),
+      sum(h.getField("upperOutlier")).as("upperOutlier"),
+      sum(h.getField("count")).as("count"))
+
+  /** fold of breaksHistogram partial structs (reference
+    * HistogramAggregatorFactory combining: Histogram.fold sums slots). */
+  def breaksHistogramFold(h: Column, numSlots: Int): Column =
+    struct(
+      first(h.getField("breaks"), ignoreNulls = true).as("breaks"),
+      array((0 until numSlots).map(i =>
+        sum(element_at(h.getField("buckets"), i + 1))): _*).as("buckets"),
+      sum(h.getField("lowerOutlier")).as("lowerOutlier"),
+      sum(h.getField("upperOutlier")).as("upperOutlier"),
+      sum(h.getField("count")).as("count"))
+
   /** interpolated quantile over a fixedHistogram struct: rank
     * p*total falls in the first bucket whose cumulative count reaches
     * it; interpolate linearly within. Null when the histogram is empty. */

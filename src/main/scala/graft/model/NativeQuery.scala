@@ -155,6 +155,14 @@ object Aggregator {
   final case class VarPair(
       name: String, fieldName: String, population: Boolean,
       merge: Boolean) extends Aggregator
+  /** INTERNAL: merge-side folds of stored histogram structs — bucket
+    * counts and outliers sum elementwise (reference
+    * FixedBucketsHistogramAggregatorFactory.getCombiningFactory /
+    * Histogram.fold). */
+  final case class FixedHistogramFold(
+      name: String, fieldName: String, numBuckets: Int) extends Aggregator
+  final case class BreaksHistogramFold(
+      name: String, fieldName: String, numSlots: Int) extends Aggregator
   /** approx distinct over dims (cardinality) or a column (hyperUnique).
     * byRow=false (the reference's Jackson default) = distinct over the
     * UNION of the dims' value sets; byRow=true = distinct dim tuples. */

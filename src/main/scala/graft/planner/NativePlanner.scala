@@ -335,6 +335,10 @@ class NativePlanner(
       HistogramAgg.fixedHistogram(col(f), lo, hi, buckets, mode).as(n)
     case Aggregator.Histogram(n, f, breaks) =>
       HistogramAgg.breaksHistogram(col(f), breaks).as(n)
+    case Aggregator.FixedHistogramFold(n, f, b) =>
+      HistogramAgg.fixedHistogramFold(col(f), b).as(n)
+    case Aggregator.BreaksHistogramFold(n, f, slots) =>
+      HistogramAgg.breaksHistogramFold(col(f), slots).as(n)
     case Aggregator.ExpressionLambda(n, f, acc, init, fold, fin) =>
       // general fold: materialize the group's values and run the fold
       // expression (native grammar) through Spark's aggregate() HOF,
@@ -432,6 +436,16 @@ class NativePlanner(
     case Aggregator.VarPair(n, f, pop, true) =>
       graft.exprs.toCol(graft.aggs.VarianceFoldAgg(
         graft.exprs.toExpr(when(cond, col(f))), pop).toAggregateExpression()).as(n)
+    // histograms under a filter: nulled inputs fall out of every
+    // isNotNull / range predicate inside the builders
+    case Aggregator.FixedBucketsHistogram(n, f, lo, hi, b, m) =>
+      HistogramAgg.fixedHistogram(when(cond, col(f)), lo, hi, b, m).as(n)
+    case Aggregator.Histogram(n, f, breaks) =>
+      HistogramAgg.breaksHistogram(when(cond, col(f)), breaks).as(n)
+    case Aggregator.FixedHistogramFold(n, f, b) =>
+      HistogramAgg.fixedHistogramFold(when(cond, col(f)), b).as(n)
+    case Aggregator.BreaksHistogramFold(n, f, slots) =>
+      HistogramAgg.breaksHistogramFold(when(cond, col(f)), slots).as(n)
     case other => throw new UnsupportedOperationException(
       s"filtered wrapper around ${other.getClass.getSimpleName}")
   }

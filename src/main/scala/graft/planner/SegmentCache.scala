@@ -231,6 +231,11 @@ final class SegmentCachePlanner(
     case Aggregator.AnyValue(n, _) => Some(Aggregator.AnyValue(n, n))
     case Aggregator.Variance(n, _, pop) =>
       Some(Aggregator.VarPair(n, n, pop, merge = true))
+    // histogram structs fold elementwise (partial = the stored struct)
+    case Aggregator.FixedBucketsHistogram(n, _, _, _, b, _) =>
+      Some(Aggregator.FixedHistogramFold(n, n, b))
+    case Aggregator.Histogram(n, _, breaks) =>
+      Some(Aggregator.BreaksHistogramFold(n, n, breaks.size - 1))
     // any Filtered nesting combines via the innermost factory — the
     // whole filter chain applied at the partial stage (reference
     // FilteredAggregatorFactory.getCombiningFactory delegates inward).

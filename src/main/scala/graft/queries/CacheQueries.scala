@@ -373,6 +373,70 @@ object CacheQueries {
       .select(col("day_ms"), col("event_type"), col("cnt"), col("s1"), col("s2"))
   }
 
+  /** fixed-buckets histogram through the cache: the stored per-segment
+    * struct (bucket counts + outliers) folds elementwise at merge
+    * (reference FixedBucketsHistogramAggregatorFactory's combining
+    * factory). All-integer outputs — bucket counts are exact on both
+    * engines, so the hash pins the fold bit-for-bit. */
+  val cacheHistogram: Q = q(
+    "cache_histogram",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+      |       CAST(count(*) FILTER (WHERE value >= 0 AND value < 25) AS BIGINT) AS b0,
+      |       CAST(count(*) FILTER (WHERE value >= 25 AND value < 50) AS BIGINT) AS b1,
+      |       CAST(count(*) FILTER (WHERE value >= 50 AND value < 75) AS BIGINT) AS b2,
+      |       CAST(count(*) FILTER (WHERE value >= 75 AND value < 100) AS BIGINT) AS b3,
+      |       CAST(count(*) FILTER (WHERE value >= 100 AND value < 125) AS BIGINT) AS b4,
+      |       CAST(count(*) FILTER (WHERE value >= 125 AND value < 150) AS BIGINT) AS b5,
+      |       CAST(count(*) FILTER (WHERE value >= 150 AND value < 175) AS BIGINT) AS b6,
+      |       CAST(count(*) FILTER (WHERE value >= 175 AND value < 200) AS BIGINT) AS b7,
+      |       CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS lo_out,
+      |       CAST(count(*) FILTER (WHERE value >= 200) AS BIGINT) AS hi_out,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_hist").toString
+    val spec = Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
+    Ingest.ingest(Tables.events(s, d), spec, dir)
+
+    val planner = new NativePlanner(s,
+      { case "events_hist_ds" => Ingest.read(s, dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(s, planner, cache,
+      { case "events_hist_ds" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(s, dir), "P1D"))
+        case _ => None })
+
+    def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+    val query = GroupBy(
+      DataSource.Table("events_hist_ds"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-03-01T00:00:00Z"))),
+      Granularity.Period("P1D", None, None), None,
+      Seq(DimensionSpec("event_type", "event_type", None)),
+      Seq(Aggregator.FixedBucketsHistogram(
+          "h", "value", 0.0, 200.0, 8, "ignore"),
+        Aggregator.Count("cnt")),
+      Nil, None, None, Nil, Nil)
+
+    scp.plan(query, useCache = true, populateCache = true)
+      .write.mode("overwrite").format("noop").save()
+    require(cache.bypassedQueries == 0,
+      s"histograms must be cache-eligible, bypassed ${cache.bypassedQueries}")
+    val nSegs = cache.populated
+    require(nSegs >= 1, "histogram partials must populate")
+    val out = scp.plan(query, useCache = true, populateCache = false)
+      .select(Seq(
+        unix_millis(col(Ingest.TimeCol)).as("day_ms"), col("event_type")) ++
+        (0 until 8).map(i =>
+          element_at(col("h").getField("buckets"), i + 1).as(s"b$i")) ++ Seq(
+        col("h").getField("lowerOutlier").as("lo_out"),
+        col("h").getField("upperOutlier").as("hi_out"),
+        col("cnt")): _*)
+      .orderBy(col("day_ms"), col("event_type"))
+    val res = out.collect()
+    require(cache.hits == nSegs,
+      s"expected $nSegs hits on the repeat, got ${cache.hits}")
+    s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
+  }
+
   /** cache ↔ realtime interplay (reference CachingClusteredClient
     * caches historicals only): while the realtime window is live the
     * datasource bypasses; after handoff publishes the stream to the
@@ -453,5 +517,5 @@ object CacheQueries {
 
   val all: Seq[Q] = Seq(cacheSegmentRoundtrip, cacheMonthGranularity,
     cacheTzGranularity, cacheFirstLast, cacheVarianceContract,
-    cacheRealtimeHandoff)
+    cacheHistogram, cacheRealtimeHandoff)
 }

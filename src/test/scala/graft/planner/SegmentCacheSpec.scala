@@ -456,6 +456,18 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.bypassedQueries == 0 && cache.hits == 8)
   }
 
+  test("histogram structs fold elementwise through the cache (no bypass)") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, Seq(
+      Aggregator.FixedBucketsHistogram("fh", "v", 0, 100, 4, "ignore"),
+      Aggregator.Histogram("bh", "v", Seq(0.0, 25.0, 75.0, 100.0)),
+      Aggregator.Count("cnt")))
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.bypassedQueries == 0, "histograms must fold, not bypass")
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.hits == 4 && cache.lastComputedBuckets.isEmpty)
+  }
+
   test("variance combines via the (n, mean, m2) triple — Chan fold") {
     val (planner, cache, scp) = fresh()
     val q = ts(allDays, Seq(
