@@ -163,6 +163,12 @@ object Aggregator {
       name: String, fieldName: String, numBuckets: Int) extends Aggregator
   final case class BreaksHistogramFold(
       name: String, fieldName: String, numSlots: Int) extends Aggregator
+  /** INTERNAL: union stored ArrayOfDoubles tuple-sketch binaries — the
+    * metric SOURCE columns don't exist in partial rows, so the merge
+    * form carries only the value count the union needs. */
+  final case class TupleSketchMerge(
+      name: String, fieldName: String, numValues: Int,
+      lgK: Int) extends Aggregator
   /** approx distinct over dims (cardinality) or a column (hyperUnique).
     * byRow=false (the reference's Jackson default) = distinct over the
     * UNION of the dims' value sets; byRow=true = distinct dim tuples. */

@@ -318,6 +318,14 @@ class NativePlanner(
         graft.exprs.toExpr(array(metrics.map(col(_).cast("double")): _*)),
         metrics.size, lgK).toAggregateExpression())
         .as(n, sketchMeta("tuple"))
+    case Aggregator.TupleSketchMerge(n, f, nv, lgK) =>
+      // binary-key path only: the values expression is never evaluated
+      // for pre-built sketches but must still typecheck
+      graft.exprs.toCol(graft.aggs.TupleSketchAgg(
+        graft.exprs.toExpr(col(f)),
+        graft.exprs.toExpr(array((0 until math.max(nv, 1)).map(_ => lit(0.0)): _*)),
+        nv, lgK).toAggregateExpression())
+        .as(n, sketchMeta("tuple"))
     case Aggregator.DistinctCount(n, f) => count_distinct(col(f)).as(n)
     case Aggregator.Grouping(n, gs) =>
       // bit i (msb-first) set when groupings(i) is NOT in the current
@@ -436,6 +444,17 @@ class NativePlanner(
     case Aggregator.VarPair(n, f, pop, true) =>
       graft.exprs.toCol(graft.aggs.VarianceFoldAgg(
         graft.exprs.toExpr(when(cond, col(f))), pop).toAggregateExpression()).as(n)
+    // tuple sketches under a filter: nulling the KEY skips the row
+    case Aggregator.TupleSketch(n, f, metrics, lgK) =>
+      graft.exprs.toCol(graft.aggs.TupleSketchAgg(
+        graft.exprs.toExpr(when(cond, col(f))),
+        graft.exprs.toExpr(array(metrics.map(col(_).cast("double")): _*)),
+        metrics.size, lgK).toAggregateExpression()).as(n)
+    case Aggregator.TupleSketchMerge(n, f, nv, lgK) =>
+      graft.exprs.toCol(graft.aggs.TupleSketchAgg(
+        graft.exprs.toExpr(when(cond, col(f))),
+        graft.exprs.toExpr(array((0 until math.max(nv, 1)).map(_ => lit(0.0)): _*)),
+        nv, lgK).toAggregateExpression()).as(n)
     // histograms under a filter: nulled inputs fall out of every
     // isNotNull / range predicate inside the builders
     case Aggregator.FixedBucketsHistogram(n, f, lo, hi, b, m) =>

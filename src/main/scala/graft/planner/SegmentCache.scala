@@ -236,6 +236,9 @@ final class SegmentCachePlanner(
       Some(Aggregator.FixedHistogramFold(n, n, b))
     case Aggregator.Histogram(n, _, breaks) =>
       Some(Aggregator.BreaksHistogramFold(n, n, breaks.size - 1))
+    // tuple sketch binaries union like theta
+    case Aggregator.TupleSketch(n, _, metrics, lgK) =>
+      Some(Aggregator.TupleSketchMerge(n, n, metrics.size, lgK))
     // any Filtered nesting combines via the innermost factory — the
     // whole filter chain applied at the partial stage (reference
     // FilteredAggregatorFactory.getCombiningFactory delegates inward).

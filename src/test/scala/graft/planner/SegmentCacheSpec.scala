@@ -468,6 +468,22 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.hits == 4 && cache.lastComputedBuckets.isEmpty)
   }
 
+  test("tuple sketch binaries union through the cache (exact regime)") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, Seq(
+      Aggregator.TupleSketch("tsk", "user", Seq("v"), lgK = 12),
+      Aggregator.Count("cnt")))
+    def shaped(df: DataFrame) = rows(df.select(col(Ingest.TimeCol),
+      graft.aggs.sketches.tupleEstimate(col("tsk")).cast("long").as("keys"),
+      graft.aggs.sketches.tupleMetricSum(col("tsk"), lit(0))
+        .cast("long").as("vsum"),
+      col("cnt")))
+    assert(shaped(scp.plan(q, true, true)) == shaped(planner.plan(q)))
+    assert(cache.bypassedQueries == 0, "tuple sketch must union, not bypass")
+    assert(shaped(scp.plan(q, true, true)) == shaped(planner.plan(q)))
+    assert(cache.hits == 4)
+  }
+
   test("variance combines via the (n, mean, m2) triple — Chan fold") {
     val (planner, cache, scp) = fresh()
     val q = ts(allDays, Seq(
