@@ -249,14 +249,25 @@ class QueryServer(
     * realtime segments, which are never cached. */
   private val cacheMax = 128
   private val cacheTtlMs = 60000L
+  /** result-cache byte budgets (reference CacheConfig sizes the result
+    * level cache in BYTES — server/src/main/java/org/apache/druid/client/cache/
+    * CacheConfig.java `resultLevelCacheLimit`, enforced per entry by
+    * ResultLevelCachingQueryRunner.java when the serialized results
+    * outgrow it): entries are charged their exact `bytes.length`; a
+    * body over the per-entry limit is never cached (the query still
+    * answers, uncached), and the total budget evicts LRU — an entry
+    * cap alone would let 128 × multi-hundred-MB scan bodies sit on the
+    * driver heap. Both settable before start() for tests. */
+  var resultCacheMaxTotalBytes: Long = 64L << 20
+  var resultCacheMaxEntryBytes: Long = 8L << 20
+  private var resultCacheBytesVar: Long = 0L
   private val resultCache =
-    new java.util.LinkedHashMap[String, (Long, Int, String, Array[Byte])](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Int, String, Array[Byte])]): Boolean =
-        size() > cacheMax
-    }
+    new java.util.LinkedHashMap[String, (Long, Int, String, Array[Byte])](16, 0.75f, true)
   /** observable for tests. */
   @volatile var cacheHits: Long = 0L
+  @volatile var cacheOversizeSkipped: Long = 0L
+  def resultCacheEntryCount: Int = resultCache.synchronized(resultCache.size())
+  def resultCacheTotalBytes: Long = resultCache.synchronized(resultCacheBytesVar)
 
   /** per-query-type metrics (reference DefaultQueryMetrics emitting
     * query/time + query/count through the emitter): counts, total and
@@ -291,10 +302,32 @@ class QueryServer(
           (code, ct, bytes)
       }
     }
-  private def cachePut(key: String, code: Int, contentType: String, bytes: Array[Byte]): Unit =
-    resultCache.synchronized {
-      resultCache.put(key, (System.currentTimeMillis(), code, contentType, bytes))
+  private def cachePut(key: String, code: Int, contentType: String, bytes: Array[Byte]): Unit = {
+    if (bytes.length > resultCacheMaxEntryBytes) {
+      // over the per-entry limit: serve uncached, like the reference's
+      // ResultLevelCachingQueryRunner dropping bodies past
+      // resultLevelCacheLimit mid-accumulation
+      cacheOversizeSkipped += 1
+      return
     }
+    resultCache.synchronized {
+      Option(resultCache.remove(key)).foreach { case (_, _, _, old) =>
+        resultCacheBytesVar -= old.length
+      }
+      resultCache.put(key, (System.currentTimeMillis(), code, contentType, bytes))
+      resultCacheBytesVar += bytes.length
+      // evict least-recently-used until BOTH the entry cap and the byte
+      // budget hold (iteration order = access order; the fresh entry is
+      // youngest and survives — it already passed the per-entry limit)
+      val it = resultCache.entrySet().iterator()
+      while ((resultCache.size() > cacheMax ||
+          resultCacheBytesVar > resultCacheMaxTotalBytes) && it.hasNext) {
+        val eldest = it.next()
+        resultCacheBytesVar -= eldest.getValue._4.length
+        it.remove()
+      }
+    }
+  }
 
   /** default HTTP result-row cap; override per query with
     * context.maxRows. */

@@ -218,6 +218,47 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("result cache: byte budget evicts LRU far below the entry cap; oversize bodies never cached") {
+    fixture.createOrReplaceTempView("ds_cache_bytes")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    // budgets sized so ~20 KB bodies overflow after three entries —
+    // eviction must trigger on BYTES while entry count is ~2% of the
+    // 128-entry cap (the r12 defect: 128 × multi-hundred-MB bodies)
+    srv.resultCacheMaxTotalBytes = 60000L
+    srv.resultCacheMaxEntryBytes = 40000L
+    val port = srv.start()
+    def q(n: Int, len: Int) =
+      s"""{"query": "SELECT $n AS tag, repeat('x', $len) AS s FROM ds_cache_bytes LIMIT 1",
+         |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin
+    try {
+      (1 to 3).foreach { i => assert(post(port, "/druid/v2/sql", q(i, 20000))._1 == 200) }
+      assert(srv.resultCacheTotalBytes <= 60000L,
+        s"byte budget breached: ${srv.resultCacheTotalBytes}")
+      assert(srv.resultCacheEntryCount < 3,
+        s"expected byte-triggered eviction with entries far under cacheMax, " +
+          s"got ${srv.resultCacheEntryCount} entries / ${srv.resultCacheTotalBytes} bytes")
+      // LRU order: the youngest entry survived and still hits
+      val hitsBefore = srv.cacheHits
+      assert(post(port, "/druid/v2/sql", q(3, 20000))._1 == 200)
+      assert(srv.cacheHits == hitsBefore + 1, "youngest entry must survive eviction")
+      // the evicted eldest re-misses (recomputed, correct body)
+      val (c1, b1) = post(port, "/druid/v2/sql", q(1, 20000))
+      assert(c1 == 200 && b1.contains("\"tag\":1"))
+      assert(srv.cacheHits == hitsBefore + 1, "eldest entry must have been evicted")
+      // a body over the per-entry limit is served but never stored
+      // (reference ResultLevelCachingQueryRunner drops bodies past
+      // resultLevelCacheLimit)
+      val bytesBefore = srv.resultCacheTotalBytes
+      assert(post(port, "/druid/v2/sql", q(9, 50000))._1 == 200)
+      assert(srv.cacheOversizeSkipped >= 1, "oversize body must be skipped")
+      assert(srv.resultCacheTotalBytes == bytesBefore,
+        "oversize body must not be charged to the cache")
+      val hits2 = srv.cacheHits
+      assert(post(port, "/druid/v2/sql", q(9, 50000))._1 == 200)
+      assert(srv.cacheHits == hits2, "oversize body must re-miss")
+    } finally srv.stop()
+  }
+
   test("query capacity: at the slot limit new queries get the 429 shape") {
     spark.udf.register("graft_cap_sleep", (x: Long) => { Thread.sleep(30); x })
     spark.range(0, 400).createOrReplaceTempView("cap_t")
