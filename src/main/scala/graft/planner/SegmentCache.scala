@@ -203,6 +203,24 @@ final class SegmentCachePlanner(
     * pinned file set keeps version ↔ data atomic. */
   private[planner] var afterVersionListing: () => Unit = () => ()
 
+  /** over-cap populate passes hand their persisted partials to the
+    * merge plan lazily, so they cannot unpersist inline; entries land
+    * here and the NEXT plan() call drains them. Spark's ContextCleaner
+    * does not reclaim SQL cache entries, so without this every
+    * distinct over-cap populate would pin its blocks for the session's
+    * lifetime. Unpersisting a plan the caller hasn't executed yet only
+    * costs a recompute — never correctness. */
+  private val pendingUnpersist =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private[planner] def pendingUnpersistCount: Int = pendingUnpersist.size()
+  private def drainPendingUnpersist(): Unit = {
+    var df = pendingUnpersist.poll()
+    while (df != null) {
+      try df.unpersist(false) catch { case _: Exception => () }
+      df = pendingUnpersist.poll()
+    }
+  }
+
   // ---------------- eligibility ----------------
 
   /** partial-stage aggregator → combining aggregator over the partial
@@ -316,8 +334,21 @@ final class SegmentCachePlanner(
               DimensionSpec(d.outputName, d.outputName, None)))))
       case _ => None
     }
+    val quotedParts = parts.map { case (ds, dims, aggs, gran, rewrite) =>
+      // the rewritten merge query references partial columns BY NAME
+      // (dimension = outputName, agg fieldName = agg name); quote them
+      // so an outputName containing a dot resolves as the literal
+      // top-level partial column, not a nested-field path
+      val rewriteQ = (dsx: DataSource, as: Seq[Aggregator], ivs: Seq[QueryInterval]) =>
+        rewrite(dsx, as.map(quoteFieldRef), ivs) match {
+          case t: TopN => t.copy(dimension = quoteDimRef(t.dimension))
+          case g: GroupBy => g.copy(dimensions = g.dimensions.map(quoteDimRef))
+          case other => other
+        }
+      (ds, dims, aggs, gran, rewriteQ)
+    }
     for {
-      (ds, dims, aggs, gran, rewrite) <- parts
+      (ds, dims, aggs, gran, rewrite) <- quotedParts
       name <- ds match { case DataSource.Table(n) => Some(n); case _ => None }
       info <- resolveInfo(name)
       if info.activeBuckets.size <= maxBucketsForCache
@@ -333,6 +364,37 @@ final class SegmentCachePlanner(
         Some(p) // months handled in bucketRange
       } catch { case _: Exception => None }
     } yield Eligible(name, info, dims, aggs, aggs.map(partialize), combined, gran, rewrite)
+  }
+
+  /** backtick-quote a name used as a column REFERENCE in the merge
+    * query, so dots stay literal; already-quoted or dot-free names
+    * pass through. */
+  private def quoteRef(n: String): String =
+    if (n.contains('.') && !n.startsWith("`")) s"`${n.replace("`", "``")}`" else n
+
+  private def quoteDimRef(d: DimensionSpec): DimensionSpec =
+    d.copy(dimension = quoteRef(d.dimension))
+
+  private def quoteFieldRef(a: Aggregator): Aggregator = a match {
+    case x: Aggregator.LongSum => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.DoubleSum => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.LongMin => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.LongMax => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.DoubleMin => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.DoubleMax => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.ThetaSketch => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.KllSketch => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.HllSketch => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.FirstPair => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.LastPair => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.MeanPair => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.AnyValue => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.VarPair => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.FixedHistogramFold => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.BreaksHistogramFold => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.TupleSketchMerge => x.copy(fieldName = quoteRef(x.fieldName))
+    case Aggregator.Filtered(f, inner) => Aggregator.Filtered(f, quoteFieldRef(inner))
+    case other => other
   }
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
@@ -449,6 +511,7 @@ final class SegmentCachePlanner(
   }
 
   def plan(q: NativeQuery, useCache: Boolean, populateCache: Boolean): DataFrame = {
+    drainPendingUnpersist()
     if (!useCache && !populateCache) return fallback.plan(q)
     q match {
       // timeBoundary has its own cache strategy in the reference
@@ -609,7 +672,16 @@ final class SegmentCachePlanner(
 
     val freshOpt: Option[DataFrame] =
       if (computeFiles.nonEmpty)
-        Some(partial(PartialInput.Files(computeFiles, toCompute)))
+        // a pinned file already gone at plan construction (in-process
+        // kill/REPLACE/compact between the memoized listing and now):
+        // drop the stale inventory, serve the live uncached plan
+        try Some(partial(PartialInput.Files(computeFiles, toCompute)))
+        catch {
+          case ex: Throwable if isMissingFile(ex) =>
+            SegmentVersions.invalidate(info.path)
+            cache.countBypass()
+            return fallback.plan(q)
+        }
       else None
     val schema: StructType = schemaOpt.getOrElse {
       freshOpt.getOrElse(partial(PartialInput.Probe)).schema
@@ -668,31 +740,69 @@ final class SegmentCachePlanner(
             case _: ArrayType | _: MapType => lit(256L)
             case _ => lit(16L)
           }
+        // quote every field reference: a dimension outputName may
+        // legally contain a dot, which unquoted parses as a
+        // nested-field path and fails resolution
         val sizeExpr = schema.fields
-          .map(f => colSize(col(f.name), f.dataType))
+          .map(f => colSize(col(s"`${f.name.replace("`", "``")}`"), f.dataType))
           .reduce(_ + _) + lit(32L)
-        val stats = freshP
-          .agg(count(lit(1)).as("n"), sum(sizeExpr).as("b")).head()
-        val n = stats.getLong(0)
-        val estBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-        if (n <= maxPopulateRows && estBytes <= maxPopulateBytes) {
-          val arr = freshP.collect()
-          freshP.unpersist(false)
-          val bIdx = schema.fieldIndex(Ingest.BucketCol)
-          val byBucket = arr.groupBy(_.get(bIdx).toString)
-          missedCovered.foreach { b =>
-            val rows = byBucket.getOrElse(b, Array.empty[Row])
-            cache.put(cache.Key(info.path, b, listings(b).version, fp),
-              cache.Value(schema, rows))
+        try {
+          val stats = freshP
+            .agg(count(lit(1)).as("n"), sum(sizeExpr).as("b")).head()
+          val n = stats.getLong(0)
+          val estBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+          if (n <= maxPopulateRows && estBytes <= maxPopulateBytes) {
+            val arr = freshP.collect()
+            freshP.unpersist(false)
+            val bIdx = schema.fieldIndex(Ingest.BucketCol)
+            val byBucket = arr.groupBy(_.get(bIdx).toString)
+            missedCovered.foreach { b =>
+              val rows = byBucket.getOrElse(b, Array.empty[Row])
+              cache.put(cache.Key(info.path, b, listings(b).version, fp),
+                cache.Value(schema, rows))
+            }
+            withCached(localDf(arr.toIndexedSeq))
+          } else {
+            cache.countPopulateSkipped()
+            // cannot unpersist inline (the merge below reads freshP
+            // lazily) — the next plan() call reclaims the blocks
+            pendingUnpersist.add(freshP)
+            withCached(freshP)
           }
-          withCached(localDf(arr.toIndexedSeq))
-        } else {
-          cache.countPopulateSkipped()
-          withCached(freshP)
+        } catch {
+          case ex: Throwable if isMissingFile(ex) =>
+            // a pinned part file vanished between the memoized listing
+            // and this populate action (in-process kill/REPLACE/compact
+            // racing the query): drop the stale inventory and serve the
+            // uncached plan over the live directory — correct, counted
+            // as a bypass, exactly like the vanished-directory degrade
+            try freshP.unpersist(false) catch { case _: Exception => () }
+            SegmentVersions.invalidate(info.path)
+            cache.countBypass()
+            return fallback.plan(q)
         }
       case Some(fresh) => withCached(fresh)
     }
 
     merge(mergeInput)
+  }
+
+  /** a scan-time missing-file failure anywhere in the cause chain —
+    * Spark wraps the FileNotFoundException in SparkException layers. */
+  private def isMissingFile(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          if (Option(c.getMessage).exists(m =>
+            m.contains("FileNotFoundException") ||
+              m.contains("does not exist"))) return true
+      }
+      c = c.getCause
+      depth += 1
+    }
+    false
   }
 }

@@ -415,6 +415,103 @@ class SegmentCacheSpec extends SparkSpec {
     assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
   }
 
+  test("over-cap populate blocks are reclaimed by the next plan() call") {
+    val planner = new NativePlanner(spark, { case "t" => table })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(spark, planner, cache,
+      { case "t" => Some(SegmentCachePlanner.TableInfo(path, buckets, "P1D")); case _ => None },
+      maxPopulateRows = 2)
+    // dims differ from every other over-cap test in this suite: the
+    // CacheManager dedups persist() by plan equality, and a same-plan
+    // freshP left persisted by an earlier test would mask this one's
+    val q = GroupBy(DataSource.Table("t"), allDays, day, None,
+      Seq(DimensionSpec("kind", "kind", None)), sumCount, Nil, None, None, Nil, Nil)
+    val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // over-cap populate: freshP stays persisted for the lazy merge and
+    // is registered for deferred cleanup, not leaked to session end
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(cache.populateSkipped >= 1)
+    assert(scp.pendingUnpersistCount == 1,
+      "over-cap freshP must be registered for deferred unpersist")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- idsBefore
+    assert(leaked.nonEmpty,
+      "executing the over-cap plan must have materialized cached blocks")
+    // the next plan() drains the queue and frees the blocks
+    assert(rows(scp.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(scp.pendingUnpersistCount == 1,
+      "the drained slot is replaced by THIS call's over-cap freshP only")
+    val leaked2 = spark.sparkContext.getPersistentRDDs.keySet -- idsBefore
+    scp.plan(ts(allDays, sumCount), true, false) // eligible, no populate
+    assert(scp.pendingUnpersistCount == 0, "queue must drain")
+    val stillThere =
+      spark.sparkContext.getPersistentRDDs.keySet.intersect(leaked ++ leaked2)
+    assert(stillThere.isEmpty,
+      s"over-cap populate blocks must be unpersisted, not left for GC: $stillThere")
+  }
+
+  test("dotted dimension outputName survives the populate size estimate") {
+    val (planner, cache, scp) = fresh()
+    // `user.name` unquoted would parse as a nested-field reference in
+    // the populate pass's per-column size expression
+    val q = GroupBy(DataSource.Table("t"), allDays, day, None,
+      Seq(DimensionSpec("user", "user.name", None)), sumCount,
+      Nil, None, None, Nil, Nil)
+    val direct = rows(planner.plan(q)).toSet
+    assert(rows(scp.plan(q, true, true)).toSet == direct)
+    assert(cache.populated > 0 && cache.bypassedQueries == 0,
+      s"dotted outputName must populate: populated=${cache.populated} " +
+        s"bypassed=${cache.bypassedQueries}")
+    assert(rows(scp.plan(q, true, false)).toSet == direct)
+    assert(cache.hits > 0)
+  }
+
+  test("a pinned part file vanishing mid-populate degrades to the live fallback") {
+    // separate ingest dir: this test deletes a data file
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_fnf").toString
+    val df = spark.range(0, 96).select(
+      timestamp_millis(lit(ms("2024-01-01T00:00:00Z")) + col("id") * 1800000L).as("ts"),
+      (col("id") % 7).cast("long").as("v"))
+    Ingest.ingest(df, Ingest.IngestSpec(timeColumn = "ts"), dir)
+    def bkts = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(Ingest.BucketCol + "="))
+        .map(_.stripPrefix(Ingest.BucketCol + "="))
+    }
+    val planner = new NativePlanner(spark,
+      { case "t2" => spark.read.parquet(dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(spark, planner, cache,
+      { case "t2" => Some(SegmentCachePlanner.TableInfo(dir, bkts, "P1D")); case _ => None })
+    // delete one pinned part file AFTER the version listing is taken —
+    // an in-process kill/compact racing the query
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var deleted = false
+    scp.afterVersionListing = () => if (!deleted) {
+      val b0 = new org.apache.hadoop.fs.Path(dir, s"${Ingest.BucketCol}=${bkts.head}")
+      val part = fs.listStatus(b0).filter(_.isFile)
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.delete(part, false)
+      deleted = true
+    }
+    val q = Timeseries(DataSource.Table("t2"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-01-03T00:00:00Z"))),
+      day, None, sumCount, Nil, Nil, descending = false, skipEmptyBuckets = false)
+    val out = rows(scp.plan(q, true, true))
+    scp.afterVersionListing = () => ()
+    assert(deleted, "seam must have fired")
+    assert(cache.bypassedQueries >= 1,
+      "vanished pinned file must be counted as a bypass")
+    assert(cache.populated == 0, "nothing may cache from the failed pass")
+    // the fallback read the LIVE post-delete directory — same as direct
+    assert(out == rows(planner.plan(q)))
+    // and the stale inventory was invalidated: the next populate works
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    assert(cache.populated > 0)
+  }
+
   test("nested filtered aggregators combine through the cache (no bypass)") {
     val (planner, cache, scp) = fresh()
     val q = ts(allDays, Seq(
