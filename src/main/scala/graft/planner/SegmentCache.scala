@@ -628,6 +628,11 @@ final class SegmentCachePlanner(
       partial: PartialInput => DataFrame,
       merge: DataFrame => DataFrame,
       useCache: Boolean, populateCache: Boolean): DataFrame = {
+    // O(1) cross-process freshness check: one small sidecar read per
+    // (query, table) — an external writer's announcement invalidates
+    // the memoized listings here, without a restart and without
+    // O(buckets) listStatus calls
+    SegmentVersions.probe(hconf, info.path)
     val epoch = SegmentVersions.epochOf(info.path)
     val classed = info.activeBuckets.flatMap(b =>
       classify(bucketRange(b, info.segmentGranularity), q.intervals).map(b -> _))

@@ -225,8 +225,9 @@ object IngestSql {
           .parquet(path)
     }
     // announce: segment versions changed for this table (per-segment
-    // cache inventory — SegmentVersions)
-    graft.sources.SegmentVersions.invalidate(path)
+    // cache inventory + cross-process sidecar — SegmentVersions)
+    graft.sources.SegmentVersions.announce(
+      spark.sparkContext.hadoopConfiguration, path)
     // segment-header sidecar: SQL ingestion stores raw rows (no
     // rollup), dims = every non-time column — segmentMetadata's
     // aggregators/rollup/timestampSpec analyses and sys.segments work

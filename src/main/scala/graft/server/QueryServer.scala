@@ -228,6 +228,8 @@ class QueryServer(
       // zero filesystem operations when nothing changed. Exclusions
       // (markUnused, retention rules) recompute per query — they are
       // in-memory state + time-dependent rule decisions, never frozen.
+      graft.sources.SegmentVersions.probe(
+        spark.sparkContext.hadoopConfiguration, path)
       graft.sources.SegmentVersions.cached(path, "__segment_meta")(
         graft.sources.Ingest.readSegmentMeta(spark, path)).map { m =>
         val buckets = graft.sources.SegmentVersions.cached(
@@ -699,7 +701,8 @@ class QueryServer(
                   s"$path/${graft.sources.Ingest.BucketCol}=$bkt")
                 if (fs.exists(dir)) fs.delete(dir, true)
               }
-              graft.sources.SegmentVersions.invalidate(path)
+              graft.sources.SegmentVersions.announce(
+                spark.sparkContext.hadoopConfiguration, path)
               ("kill", ds)
             } else if (Option(node.get("type")).exists(_.asText() == "compact")) {
               // compaction task (reference CompactionTask): rewrite an
@@ -722,7 +725,8 @@ class QueryServer(
               fs.delete(new org.apache.hadoop.fs.Path(path), true)
               fs.rename(new org.apache.hadoop.fs.Path(tmp),
                 new org.apache.hadoop.fs.Path(path))
-              graft.sources.SegmentVersions.invalidate(path)
+              graft.sources.SegmentVersions.announce(
+                spark.sparkContext.hadoopConfiguration, path)
               ("compact", ds)
             } else {
               val parsed = TaskSpec.parse(node)

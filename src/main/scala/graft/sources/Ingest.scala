@@ -118,7 +118,8 @@ object Ingest {
     * listings (SegmentVersions). */
   def write(prepared: DataFrame, path: String, mode: String = "append"): Unit = {
     prepared.write.mode(mode).partitionBy(BucketCol).parquet(path)
-    SegmentVersions.invalidate(path)
+    SegmentVersions.announce(
+      prepared.sparkSession.sparkContext.hadoopConfiguration, path)
   }
 
   def ingest(input: DataFrame, spec: IngestSpec, path: String): Unit = {
@@ -182,7 +183,7 @@ object Ingest {
     // data first (which invalidates), then the sidecar — a query racing
     // that gap would otherwise memoize the STALE sidecar under the new
     // epoch and serve it until the next write
-    SegmentVersions.invalidate(path)
+    SegmentVersions.announce(spark.sparkContext.hadoopConfiguration, path)
   }
 
   def readSegmentMeta(spark: SparkSession, path: String): Option[SegmentMeta] = {
@@ -340,6 +341,6 @@ object Ingest {
       org.apache.hadoop.fs.FileUtil.copy(
         fs, src, fs, new org.apache.hadoop.fs.Path(outPath, MetaFile),
         false, spark.sparkContext.hadoopConfiguration)
-    SegmentVersions.invalidate(outPath)
+    SegmentVersions.announce(spark.sparkContext.hadoopConfiguration, outPath)
   }
 }

@@ -26,40 +26,169 @@ import org.apache.spark.sql.types.StructType
   * cache post-append rows under a pre-append version (the reference's
   * immutable-segment reads give the same atomicity for free).
   *
-  * Writers outside this process (or raw `df.write` bypassing the
-  * ingest API) are invisible until the next invalidation — the same
-  * contract as the reference, where un-announced segments don't exist.
+  * Cross-process announcement: every announcing write path also bumps
+  * a per-table `_graft_epoch` sidecar with a fresh token; a
+  * cache-routed query [[probe]]s the sidecar with ONE O(1) read per
+  * (query, table) — not O(buckets) listings — and a token it hasn't
+  * seen invalidates the memo. That makes a second, independent writer
+  * (another process, or a raw `df.write` followed by
+  * [[announceExternal]]) visible to a running cache without a restart —
+  * the reference's ZK announce feeding the broker timeline. A writer
+  * that neither goes through the announcing APIs nor bumps the sidecar
+  * remains invisible until the next announcement, the same contract as
+  * un-announced segments in the reference.
+  *
   * Per-path epochs close the memoize-after-invalidate race: an entry
   * is only stored if no invalidation landed since its listing began.
+  * Cap overflow sheds in LRU order (access-ordered maps), so a hot
+  * table's listings survive a burst of one-shot paths.
   */
 object SegmentVersions {
 
   /** version string + the pinned data-file paths behind it. */
   final case class Listing(version: String, files: Seq[String])
 
-  private val maxEntries = 1 << 16
+  /** per-table announcement sidecar; underscore-prefixed so parquet
+    * readers and the bucket listings both ignore it. */
+  val SidecarFile = "_graft_epoch"
+
+  /** memo cap per map; var only as a test seam (specs shrink it to
+    * prove LRU shedding without 64k real directories). */
+  private[graft] var maxEntries = 1 << 16
   private val epochs = TrieMap.empty[String, AtomicLong]
-  private val memo = TrieMap.empty[(String, String), (Long, Listing)]
-  private val schemas = TrieMap.empty[(String, String), (Long, StructType)]
   private val listingCount = new AtomicLong()
   private val invalidationCount = new AtomicLong()
+  private val probeCount = new AtomicLong()
+  private val tokenCounter = new AtomicLong()
+
+  /** access-ordered memo bounded at [[maxEntries]]: get() refreshes
+    * recency, overflow evicts the least-recently-used half in one
+    * sweep (a full clear would stampede every active table back to
+    * the filesystem at once; arbitrary victims could shed a hot
+    * table's listings and force a relisting burst). */
+  private final class LruMemo[V] {
+    private val m =
+      new java.util.LinkedHashMap[(String, String), V](64, 0.75f, true)
+    def get(k: (String, String)): Option[V] = synchronized(Option(m.get(k)))
+    def put(k: (String, String), v: V): Unit = synchronized {
+      if (m.size > maxEntries) {
+        val it = m.entrySet().iterator()
+        var toDrop = m.size / 2
+        while (toDrop > 0 && it.hasNext) { it.next(); it.remove(); toDrop -= 1 }
+      }
+      m.put(k, v)
+    }
+    def removePath(path: String): Unit = synchronized {
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == path) it.remove()
+    }
+    def keys: Seq[(String, String)] = synchronized {
+      import scala.jdk.CollectionConverters._
+      m.keySet().asScala.toSeq
+    }
+  }
+
+  private val memo = new LruMemo[(Long, Listing)]
+  private val schemas = new LruMemo[(Long, StructType)]
+  private val misc = new LruMemo[(Long, Any)]
+  /** last sidecar token seen (or announced) per table path. */
+  private val sidecarTokens = TrieMap.empty[String, String]
 
   /** filesystem listStatus calls actually issued (specs assert the
     * repeat-query hit path adds zero). */
   def listings: Long = listingCount.get()
   def invalidations: Long = invalidationCount.get()
+  /** sidecar freshness probes issued (each is ONE small read, O(1) per
+    * query per table — specs assert the hit path stays zero-LISTING
+    * while probes still run). */
+  def probes: Long = probeCount.get()
 
   def epochOf(path: String): Long =
     epochs.getOrElseUpdate(path, new AtomicLong()).get()
 
   /** drop every memoized listing and partial schema under `path`; all
-    * segment-mutating write paths call this. */
+    * segment-mutating write paths call this (via [[announce]]). */
   def invalidate(path: String): Unit = {
     epochs.getOrElseUpdate(path, new AtomicLong()).incrementAndGet()
     invalidationCount.incrementAndGet()
-    memo.keys.filter(_._1 == path).foreach(memo.remove)
-    schemas.keys.filter(_._1 == path).foreach(schemas.remove)
-    misc.keys.filter(_._1 == path).foreach(misc.remove)
+    memo.removePath(path)
+    schemas.removePath(path)
+    misc.removePath(path)
+  }
+
+  private def sidecarPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, SidecarFile)
+
+  /** in-process announce: bump the sidecar token, remember it (so this
+    * process's own probes don't re-invalidate), and invalidate the
+    * memo. Every segment-mutating write path calls this. */
+  def announce(hconf: Configuration, path: String): Unit = {
+    val token =
+      s"${ProcessHandle.current().pid()}:${tokenCounter.incrementAndGet()}:" +
+        s"${System.currentTimeMillis()}"
+    try {
+      val p = sidecarPath(path)
+      val fs = p.getFileSystem(hconf)
+      val out = fs.create(p, true)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      sidecarTokens.put(path, token)
+    } catch {
+      // the sidecar is an optimization for OTHER processes; this
+      // process's own invalidation below never depends on it
+      case _: Exception => sidecarTokens.remove(path)
+    }
+    invalidate(path)
+  }
+
+  /** what an EXTERNAL writer (another process, or a raw `df.write`
+    * bypassing the ingest API) calls — or reproduces by writing the
+    * `_graft_epoch` file itself with any fresh content: bump the
+    * sidecar WITHOUT touching this process's in-memory state, exactly
+    * as a foreign process would. Running caches pick it up on their
+    * next [[probe]]. */
+  def announceExternal(hconf: Configuration, path: String): Unit = {
+    val token =
+      s"ext:${tokenCounter.incrementAndGet()}:${System.nanoTime()}"
+    val p = sidecarPath(path)
+    val fs = p.getFileSystem(hconf)
+    val out = fs.create(p, true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** O(1)-per-query freshness check: read the table's sidecar token
+    * (one small open+read — on an object store a single GET,
+    * comparable to the HEAD the reference broker never even needs
+    * because ZK pushes announcements). A token this process hasn't
+    * seen — an external writer landed — invalidates the memo. Missing
+    * sidecar (never-announced table) and read failures leave the memo
+    * untouched: in-process invalidation still governs, the r11
+    * contract. */
+  def probe(hconf: Configuration, path: String): Unit = {
+    probeCount.incrementAndGet()
+    val current: Option[String] =
+      try {
+        val p = sidecarPath(path)
+        val fs = p.getFileSystem(hconf)
+        val st =
+          try Some(fs.getFileStatus(p))
+          catch { case _: java.io.FileNotFoundException => None }
+        st.map { s =>
+          val in = fs.open(p)
+          try {
+            val buf = new Array[Byte](math.min(s.getLen, 256L).toInt)
+            in.readFully(0L, buf)
+            new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+        }
+      } catch { case _: Exception => None }
+    current.foreach { token =>
+      if (!sidecarTokens.get(path).contains(token)) {
+        sidecarTokens.put(path, token)
+        invalidate(path)
+      }
+    }
   }
 
   /** the bucket's current listing, memoized per path epoch. Throws
@@ -85,17 +214,14 @@ object SegmentVersions {
             n.startsWith("_") || n.startsWith(".")
           }.sorted
         val l = Listing(version, files)
-        if (memo.size > maxEntries) shed(memo)
         if (epochOf(path) == e) memo.put(key, (e, l))
         l
     }
   }
 
-  /** cap overflow: shed half the entries (arbitrary victims) instead
-    * of clearing — a full clear would stampede every active table back
-    * to the filesystem at once. */
-  private def shed[V](m: TrieMap[(String, String), V]): Unit =
-    m.keys.take(m.size / 2).foreach(m.remove)
+  /** test seam: the memoized (path, bucket) keys in LRU order,
+    * least-recently-used first. */
+  private[graft] def memoKeys: Seq[(String, String)] = memo.keys
 
   /** partial-result schema for a (path, query fingerprint), valid for
     * the current epoch only — lets a fully-cached repeat query build
@@ -106,12 +232,8 @@ object SegmentVersions {
     }
 
   def putSchema(
-      path: String, fingerprint: String, epoch: Long, s: StructType): Unit = {
-    if (schemas.size > maxEntries) shed(schemas)
+      path: String, fingerprint: String, epoch: Long, s: StructType): Unit =
     if (epochOf(path) == epoch) schemas.put((path, fingerprint), (epoch, s))
-  }
-
-  private val misc = TrieMap.empty[(String, String), (Long, Any)]
 
   /** generic per-epoch memo for derived table metadata (bucket
     * inventory, segment-meta sidecar): recomputed only after a write
@@ -123,7 +245,6 @@ object SegmentVersions {
       case Some((me, v)) if me == e => v.asInstanceOf[T]
       case _ =>
         val v = compute
-        if (misc.size > maxEntries) shed(misc)
         if (epochOf(path) == e) misc.put((path, key), (e, v))
         v
     }

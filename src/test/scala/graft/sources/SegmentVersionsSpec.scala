@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model._
+import graft.model.NativeQuery._
+import graft.planner.{NativePlanner, SegmentCachePlanner, SegmentResultCache}
+
+class SegmentVersionsSpec extends SparkSpec {
+
+  private def ms(s: String): Long = Instant.parse(s).toEpochMilli
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  test("cap overflow sheds in LRU order: recently-used listings survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_segver_lru").toString
+    val df = spark.range(0, 12L * 4).select(
+      timestamp_millis(lit(ms("2024-02-01T00:00:00Z")) +
+        col("id") * 21600000L).as("ts"),
+      col("id").as("v"))
+    Ingest.ingest(df, Ingest.IngestSpec(timeColumn = "ts"), dir)
+    val buckets = (1 to 12).map(d => f"2024-02-$d%02dT00")
+    val saved = SegmentVersions.maxEntries
+    try {
+      SegmentVersions.maxEntries = 8
+      // fill past the cap; overflow evicts the LRU half on the put
+      // that trips it
+      buckets.foreach(b => SegmentVersions.listing(hconf, dir, b))
+      // touch the two OLDEST surviving keys to refresh their recency
+      val touched = SegmentVersions.memoKeys.take(2).map(_._2)
+      val before = SegmentVersions.listings
+      touched.foreach(b => SegmentVersions.listing(hconf, dir, b))
+      assert(SegmentVersions.listings == before, "touch must be memo hits")
+      // overfill again: the touched keys must survive the shed while
+      // colder keys go
+      buckets.foreach(b => SegmentVersions.listing(hconf, dir, b))
+      val kept = SegmentVersions.memoKeys.map(_._2).toSet
+      // the freshest re-listed buckets are present, and the memo obeys
+      // the cap (LinkedHashMap sheds half at overflow)
+      assert(kept.size <= 9, s"cap not enforced: ${kept.size}")
+      assert(kept.contains(buckets.last),
+        "most recently used listing must survive shedding")
+      // an LRU shed keeps the tail (recently used) of the access order:
+      // the last 4 listed buckets are all present
+      buckets.takeRight(4).foreach(b =>
+        assert(kept.contains(b), s"recently-used $b was shed: $kept"))
+    } finally SegmentVersions.maxEntries = saved
+  }
+
+  test("an external writer's sidecar bump is seen by a running cache without a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_segver_ext").toString
+    val df = spark.range(0, 2L * 48).select(
+      timestamp_millis(lit(ms("2024-01-01T00:00:00Z")) +
+        col("id") * 1800000L).as("ts"),
+      (col("id") % 10).cast("long").as("v"))
+    Ingest.ingest(df, Ingest.IngestSpec(timeColumn = "ts"), dir)
+    def bkts = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hconf)
+      fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(Ingest.BucketCol + "="))
+        .map(_.stripPrefix(Ingest.BucketCol + "="))
+    }
+    val planner = new NativePlanner(spark,
+      { case "ext_t" => spark.read.parquet(dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(spark, planner, cache,
+      { case "ext_t" => Some(SegmentCachePlanner.TableInfo(dir, bkts, "P1D"))
+        case _ => None })
+    val q = Timeseries(DataSource.Table("ext_t"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-01-03T00:00:00Z"))),
+      Granularity.Period("P1D", None, None), None,
+      Seq(Aggregator.Count("cnt"), Aggregator.LongSum("sv", "v")),
+      Nil, Nil, descending = false, skipEmptyBuckets = false)
+    def run() = scp.plan(q, useCache = true, populateCache = true)
+      .orderBy(col(Ingest.TimeCol)).collect().toSeq.map(_.toSeq)
+
+    val r1 = run()
+    // steady state: the repeat query issues ZERO filesystem listings
+    // while the O(1) sidecar probe still runs every query
+    val (l0, p0) = (SegmentVersions.listings, SegmentVersions.probes)
+    assert(run() == r1)
+    assert(SegmentVersions.listings == l0,
+      "repeat query must stay zero-listing")
+    assert(SegmentVersions.probes > p0, "every query must probe the sidecar")
+
+    // a SECOND, INDEPENDENT writer: raw df.write into an existing
+    // bucket dir (bypassing every announcing API) + a sidecar bump —
+    // exactly what a foreign process would do
+    spark.range(0, 5).select(
+      timestamp_millis(lit(ms("2024-01-01T06:00:00Z")) + col("id")).as("__time"),
+      lit(100L).as("v"))
+      .write.mode("append")
+      .parquet(s"$dir/${Ingest.BucketCol}=2024-01-01T00")
+    SegmentVersions.announceExternal(hconf, dir)
+
+    // the running cache sees the foreign rows on the very next query:
+    // the probe invalidates, the touched day relists and recomputes,
+    // the untouched day still serves from cache
+    val hitsBefore = cache.hits
+    val r2 = run()
+    assert(r2 != r1, "external append must be visible")
+    assert(r2.head(1) == r1.head(1).asInstanceOf[Long] + 5L,
+      s"day-1 count must include the 5 foreign rows: ${r2.head}")
+    assert(r2(1) == r1(1), "untouched day unchanged")
+    assert(cache.hits == hitsBefore + 1,
+      "untouched day must still serve from cache after the probe invalidate")
+    assert(SegmentVersions.listings > l0, "the invalidate must relist")
+
+    // and WITHOUT a bump, raw writes stay invisible (the documented
+    // un-announced-segment contract)
+    val r3 = run()
+    assert(r3 == r2, "no announcement → memoized inventory keeps serving")
+  }
+}
