@@ -174,6 +174,18 @@ object Aggregator {
     * UNION of the dims' value sets; byRow=true = distinct dim tuples. */
   final case class Cardinality(
       name: String, fields: Seq[String], byRow: Boolean = true) extends Aggregator
+  /** INTERNAL (cache partial stage): per-segment HLL sketch BINARY for
+    * a cardinality/hyperUnique aggregator — the reference's
+    * CardinalityAggregatorFactory.getCombiningFactory routing partials
+    * through HyperUniquesAggregatorFactory
+    * (processing/.../cardinality/CardinalityAggregatorFactory.java:62). */
+  final case class CardinalityPartial(
+      name: String, fields: Seq[String], byRow: Boolean,
+      lgK: Int = 14) extends Aggregator
+  /** INTERNAL (cache merge): union stored HLL binaries, output the
+    * estimate — HyperUniquesAggregatorFactory folding sketches. */
+  final case class CardinalityFold(
+      name: String, fieldName: String) extends Aggregator
   final case class Filtered(filter: DimFilter, aggregator: Aggregator) extends Aggregator {
     def name: String = aggregator.name
   }

@@ -294,6 +294,22 @@ class NativePlanner(
           fields.map(f => hll_sketch_agg(col(f).cast("string")))
             .reduce(hll_union(_, _))).as(n)
       }
+    case Aggregator.CardinalityPartial(n, fields, byRow, lgK) =>
+      // cache partial stage: per-segment DataSketches HLL binary.
+      // byRow sketches the (stringified) tuple; byValue unions per-dim
+      // sketches — segment-level union then re-unions losslessly at
+      // merge (HLL register max is associative).
+      val target =
+        if (fields.size == 1) col(fields.head).cast("string")
+        else if (byRow) to_json(struct(fields.map(col): _*))
+        else null
+      (if (target != null) hll_sketch_agg(target, lit(lgK))
+       else fields.map(f => hll_sketch_agg(col(f).cast("string"), lit(lgK)))
+         .reduce(hll_union(_, _))).as(n, sketchMeta("hll"))
+    case Aggregator.CardinalityFold(n, f) =>
+      // coalesce: a group whose every partial is null (all-null source
+      // values) must estimate 0 like approx_count_distinct does
+      coalesce(hll_sketch_estimate(hll_union_agg(col(f), lit(true))), lit(0L)).as(n)
     case Aggregator.Filtered(f, inner) =>
       filteredAgg(filterToColumn(f, schema), inner, schema)
     case Aggregator.Variance(n, f, pop) =>
@@ -403,6 +419,18 @@ class NativePlanner(
       (if (pop) var_pop(when(cond, col(f))) else var_samp(when(cond, col(f)))).as(n)
     case Aggregator.Cardinality(n, fields, _) if fields.size == 1 =>
       approx_count_distinct(when(cond, col(fields.head))).as(n)
+    case Aggregator.CardinalityPartial(n, fields, byRow, lgK) =>
+      val target =
+        if (fields.size == 1) col(fields.head).cast("string")
+        else if (byRow) to_json(struct(fields.map(col): _*))
+        else null
+      (if (target != null) hll_sketch_agg(when(cond, target), lit(lgK))
+       else fields.map(f =>
+         hll_sketch_agg(when(cond, col(f).cast("string")), lit(lgK)))
+         .reduce(hll_union(_, _))).as(n, sketchMeta("hll"))
+    case Aggregator.CardinalityFold(n, f) =>
+      coalesce(hll_sketch_estimate(
+        hll_union_agg(when(cond, col(f)), lit(true))), lit(0L)).as(n)
     case Aggregator.HllSketch(n, f, lgK, merge) =>
       if (merge) hll_union_agg(when(cond, col(f)), lit(true)).as(n)
       else hll_sketch_agg(when(cond, col(f)), lit(lgK)).as(n)

