@@ -1,0 +1,57 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+
+/** localCheckpoint recycling for repeatedly-invoked operators.
+  *
+  * `localCheckpoint` truncates lineage and pins blocks in executor
+  * storage; checkpointed RDDs have no lineage to recompute from, and
+  * Spark's GC-driven cleanup is far too lazy for tight loops — a bench
+  * rep or repeated query invocation piles up a full copy of its
+  * intermediates per run (the r12 `dedup_clusters` warm-pass outlier:
+  * blocks from prior reps crowding executor storage).
+  *
+  * Contract: `recycle(tag, df)` releases the blocks a PREVIOUS call
+  * with the same tag registered, then registers `df`. Callers use one
+  * tag per logical operator invocation site, so recycling assumes only
+  * that the SAME entry's previous result has been fully consumed
+  * before it runs again — true for bench reps, Verify entries and
+  * repeated dashboard queries; two different entries never release
+  * each other's blocks. */
+object Ckpt {
+
+  private val pending = TrieMap.empty[String, List[DataFrame]]
+
+  /** release blocks registered under `tag` by a previous invocation,
+    * then register `df` (which must already be localCheckpoint'd). */
+  def recycle(tag: String, df: DataFrame): DataFrame = {
+    drain(tag)
+    register(tag, df)
+    df
+  }
+
+  /** register without draining — for multiple checkpoints in one
+    * invocation (drain once at entry, register each). */
+  def register(tag: String, df: DataFrame): DataFrame = {
+    pending.updateWith(tag) {
+      case Some(xs) => Some(df :: xs)
+      case None => Some(df :: Nil)
+    }
+    df
+  }
+
+  def drain(tag: String): Unit =
+    pending.remove(tag).foreach(_.foreach(release))
+
+  /** explicitly free a localCheckpoint'd DataFrame's storage blocks
+    * (checkpointed RDDs have no public unpersist). No-op for other
+    * plans. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try lr.rdd.unpersist(false) catch { case _: Exception => () }
+      case _ => ()
+    }
+}

@@ -83,7 +83,11 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 8,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42,
+      /** see [[connectedComponents]]: repeated invocation sites pass a
+        * stable tag so each run releases the signature blocks the
+        * previous same-tag run pinned. */
+      recycleTag: Option[String] = None): DataFrame = {
     // the candidate plan reads the signature table three times (band
     // explode + one rejoin per pair side); materialize signatures once
     // (localCheckpoint = executor block storage, ~numHashes·8B per doc
@@ -92,6 +96,7 @@ object Dedup {
     // on the sf0.1 corpus.
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes, seed)
       .localCheckpoint()
+    recycleTag.foreach(t => Ckpt.recycle(t + "/minhash", sigs))
     minhashCandidatesFromSignatures(sigs, "id", "sig", numHashes, bands)
   }
 
@@ -284,7 +289,16 @@ object Dedup {
       srcCol: String,
       dstCol: String,
       nodes: Option[(DataFrame, String)] = None,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      /** repeated-invocation sites pass a stable tag: the blocks the
+        * PREVIOUS same-tag call left pinned (endpoints + final labels,
+        * still referenced lazily by its returned plan) are released at
+        * this call's entry — bench reps and repeated queries no longer
+        * accumulate a full copy of intermediates per run. Contract per
+        * [[Ckpt]]: the previous same-tag result was consumed. */
+      recycleTag: Option[String] = None): DataFrame = {
+    val tag = recycleTag.map(_ + "/cc")
+    tag.foreach(Ckpt.drain)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // materialize the symmetric edge list ONCE: it is re-read every
     // propagation round (and again by each convergence check), and the
@@ -348,6 +362,10 @@ object Dedup {
       iter += 1
     }
     releaseLocalCheckpoint(sym)
+    // endpoints + the final label table stay referenced by the lazy
+    // plan returned below; with a recycle tag they are released by the
+    // NEXT same-tag invocation instead of leaking until session end
+    tag.foreach { t => Ckpt.register(t, endpoints); Ckpt.register(t, labels) }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
@@ -668,7 +686,8 @@ object Dedup {
       .filter(graft.functions.VectorExpressions.cosineF32(
         col("va"), col("vb")).cast("double") >= threshold)
       .select(col("id_a"), col("id_b"))
-    val labels = connectedComponents(pairs, "id_a", "id_b") // (id, cluster_id)
+    val labels = connectedComponents(pairs, "id_a", "id_b",
+      recycleTag = Some("semdedup")) // (id, cluster_id)
     assigned.select(col("id"), col("centroid_id").as("cluster"))
       .join(labels, Seq("id"), "left")
       // survivors: dup-group representative (min id) or singleton

@@ -85,13 +85,14 @@ object PipelineQueries4 {
     // hash pipeline that runs over the FULL corpus (the others grade
     // bounded slices), and a single-file scan would fold every
     // shingle on one core.
-    val base = graft.operators.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"),
-        array_distinct(TextExpressions.wordShingles(col("text"), 3)).as("g"))
-      .withColumn("h", transform(col("g"), PipelineQueries2.rollHash(_)))
-      .withColumn("s", PipelineQueries2.minhashSig(col("h"), 16))
-      .select(col("doc_id"), col("s"))
-      .localCheckpoint()
+    val base = graft.operators.Ckpt.recycle("dedup_clusters/base",
+      graft.operators.Par.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          array_distinct(TextExpressions.wordShingles(col("text"), 3)).as("g"))
+        .withColumn("h", transform(col("g"), PipelineQueries2.rollHash(_)))
+        .withColumn("s", PipelineQueries2.minhashSig(col("h"), 16))
+        .select(col("doc_id"), col("s"))
+        .localCheckpoint())
     val banded = base.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         aggregate(slice(col("s"), b * 4 + 1, 4), lit(0L),
@@ -110,7 +111,8 @@ object PipelineQueries4 {
         i => element_at(col("sa"), i) === element_at(col("sb"), i))) >= 4)
       .select("id_a", "id_b")
     Dedup.connectedComponents(edges, "id_a", "id_b",
-      nodes = Some((base.select(col("doc_id")), "doc_id")))
+      nodes = Some((base.select(col("doc_id")), "doc_id")),
+      recycleTag = Some("dedup_clusters"))
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -291,9 +293,11 @@ object PipelineQueries4 {
        |       CAST(max(sz) AS BIGINT) AS max_cluster
        |FROM sz""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val edges = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val edges = Dedup.minhashCandidates(docs, "doc_id", "text",
+      recycleTag = Some("dedup_clusters_fast"))
       .filter(col("est_jaccard") >= 0.25)
-    Dedup.connectedComponents(edges, "id_a", "id_b")
+    Dedup.connectedComponents(edges, "id_a", "id_b",
+      recycleTag = Some("dedup_clusters_fast"))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("sz")).as("docs_clustered"),

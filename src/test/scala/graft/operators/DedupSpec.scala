@@ -187,6 +187,33 @@ class DedupSpec extends SparkSpec {
       cc.filter(_._2 != 0L).take(5))
   }
 
+  test("recycle tags release the previous run's checkpoint blocks (no per-rep growth)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r1 = Dedup.connectedComponents(edges, "a", "b",
+      recycleTag = Some("cc_recycle_spec")).collect().toSet
+    val added1 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added1.nonEmpty,
+      "a tagged run must leave exactly its endpoints + final labels pinned")
+    // the SAME tag's next run frees the previous run's blocks first
+    val r2 = Dedup.connectedComponents(edges, "a", "b",
+      recycleTag = Some("cc_recycle_spec")).collect().toSet
+    val still = spark.sparkContext.getPersistentRDDs.keySet.intersect(added1)
+    assert(still.isEmpty,
+      s"previous run's checkpoint blocks must be released, not pile up: $still")
+    assert(r2 == r1)
+    // a DIFFERENT tag never releases another entry's blocks
+    val added2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    Dedup.connectedComponents(edges, "a", "b",
+      recycleTag = Some("cc_recycle_other")).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .intersect(added2).nonEmpty,
+      "a different tag must not free this entry's live blocks")
+    Ckpt.drain("cc_recycle_spec/cc")
+    Ckpt.drain("cc_recycle_other/cc")
+  }
+
   test("incremental dedup: fresh-only survives, batch-internal dups collapse") {
     import spark.implicits._
     val corpus = Seq(
