@@ -209,6 +209,49 @@ case class ApproxHistogramAgg(
   override def prettyName: String = "approx_histogram"
 }
 
+/** fold of STORED serialized histograms — the reference's
+  * ApproximateHistogramFoldingAggregatorFactory (broker-side combining
+  * of per-segment histograms, and the combining factory the segment
+  * cache uses): update deserializes a binary and merges it into the
+  * buffer. Merge order affects centroid placement exactly as it does
+  * across partitions in the build aggregate — count/min/max stay
+  * exact, quantiles keep the error contract. */
+case class ApproxHistogramFoldAgg(
+    child: Expression,
+    maxBins: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BhHistogram] with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): BhHistogram = new BhHistogram(maxBins)
+
+  override def update(buffer: BhHistogram, input: InternalRow): BhHistogram = {
+    val v = child.eval(input)
+    if (v != null) buffer.merge(BhHistogram.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: BhHistogram, other: BhHistogram): BhHistogram = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: BhHistogram): Any = buffer.toBytes
+  override def serialize(buffer: BhHistogram): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): BhHistogram =
+    BhHistogram.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ApproxHistogramFoldAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ApproxHistogramFoldAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ApproxHistogramFoldAgg =
+    copy(child = c)
+  override def prettyName: String = "approx_histogram_fold"
+}
+
 object ApproxHistogramAgg {
   def approxHistogram(col: Column, maxBins: Int = 64): Column =
     graft.exprs.toCol(

@@ -213,6 +213,10 @@ object Aggregator {
     * centroid budget). */
   final case class ApproxHistogram(
       name: String, fieldName: String, resolution: Int = 50) extends Aggregator
+  /** INTERNAL (cache merge): fold stored serialized Ben-Haim-Yom-Tov
+    * histograms (reference ApproximateHistogramFoldingAggregatorFactory). */
+  final case class ApproxHistogramFold(
+      name: String, fieldName: String, resolution: Int) extends Aggregator
   /** fixed-buckets histogram (reference FixedBucketsHistogramAggregatorFactory):
     * outlierHandlingMode ∈ ignore | overflow | clip. */
   final case class FixedBucketsHistogram(

@@ -355,6 +355,10 @@ class NativePlanner(
     case Aggregator.ApproxHistogram(n, f, resolution) =>
       graft.aggs.ApproxHistogramAgg.approxHistogram(col(f), resolution)
         .as(n, sketchMeta("bhhist"))
+    case Aggregator.ApproxHistogramFold(n, f, resolution) =>
+      graft.exprs.toCol(graft.aggs.ApproxHistogramFoldAgg(
+        graft.exprs.toExpr(col(f)), resolution).toAggregateExpression())
+        .as(n, sketchMeta("bhhist"))
     case Aggregator.FixedBucketsHistogram(n, f, lo, hi, buckets, mode) =>
       HistogramAgg.fixedHistogram(col(f), lo, hi, buckets, mode).as(n)
     case Aggregator.Histogram(n, f, breaks) =>
@@ -431,6 +435,10 @@ class NativePlanner(
     case Aggregator.CardinalityFold(n, f) =>
       coalesce(hll_sketch_estimate(
         hll_union_agg(when(cond, col(f)), lit(true))), lit(0L)).as(n)
+    case Aggregator.ApproxHistogramFold(n, f, resolution) =>
+      graft.exprs.toCol(graft.aggs.ApproxHistogramFoldAgg(
+        graft.exprs.toExpr(when(cond, col(f))), resolution).toAggregateExpression())
+        .as(n, sketchMeta("bhhist"))
     case Aggregator.HllSketch(n, f, lgK, merge) =>
       if (merge) hll_union_agg(when(cond, col(f)), lit(true)).as(n)
       else hll_sketch_agg(when(cond, col(f)), lit(lgK)).as(n)

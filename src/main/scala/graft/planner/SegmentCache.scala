@@ -266,6 +266,13 @@ final class SegmentCachePlanner(
     // contract-style like variance.
     case Aggregator.Cardinality(n, _, _) =>
       Some(Aggregator.CardinalityFold(n, n))
+    // approxHistogram: stored serialized histograms fold at merge
+    // (reference ApproximateHistogramFoldingAggregatorFactory). Merge
+    // order moves centroids exactly as partition order does in the
+    // direct plan — count/min/max stay exact, quantiles keep the error
+    // contract; graded contract-style.
+    case Aggregator.ApproxHistogram(n, _, res) =>
+      Some(Aggregator.ApproxHistogramFold(n, n, res))
     // any Filtered nesting combines via the innermost factory — the
     // whole filter chain applied at the partial stage (reference
     // FilteredAggregatorFactory.getCombiningFactory delegates inward).
@@ -405,6 +412,7 @@ final class SegmentCachePlanner(
     case x: Aggregator.BreaksHistogramFold => x.copy(fieldName = quoteRef(x.fieldName))
     case x: Aggregator.TupleSketchMerge => x.copy(fieldName = quoteRef(x.fieldName))
     case x: Aggregator.CardinalityFold => x.copy(fieldName = quoteRef(x.fieldName))
+    case x: Aggregator.ApproxHistogramFold => x.copy(fieldName = quoteRef(x.fieldName))
     case Aggregator.Filtered(f, inner) => Aggregator.Filtered(f, quoteFieldRef(inner))
     case other => other
   }

@@ -618,7 +618,106 @@ object CacheQueries {
           org.apache.spark.sql.types.BooleanType))))
   }
 
+  /** approxHistogram through the cache — the LAST combining bypass
+    * closed (reference ApproximateHistogramFoldingAggregatorFactory:
+    * the broker folds per-segment serialized histograms; merge order
+    * moves centroids exactly as partition order does in the direct
+    * plan). Contract split like `agg_approx_histogram_contract`:
+    * count/min/max ride the histogram EXACTLY at any merge order and
+    * hash-grade; the quantile asserts a 5% relative-error contract
+    * against the exact per-group percentile; `require`s pin the cache
+    * mechanics (no bypass, populate/hit counts, binary partials). */
+  val cacheApproxHistogram: Q = q(
+    "cache_approx_histogram",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(min(value), 4) AS v_min,
+      |       round(max(value), 4) AS v_max,
+      |       true AS p50_ok
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_ah").toString
+    val spec = Ingest.IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
+    val ev = Tables.events(s, d)
+    Ingest.ingest(ev, spec, dir)
+
+    val planner = new NativePlanner(s,
+      { case "events_ah_ds" => Ingest.read(s, dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(s, planner, cache,
+      { case "events_ah_ds" => Some(SegmentCachePlanner.TableInfo(
+          dir, Ingest.listBuckets(s, dir), "P1D"))
+        case _ => None })
+
+    def ms(x: String) = java.time.Instant.parse(x).toEpochMilli
+    val query = GroupBy(
+      DataSource.Table("events_ah_ds"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-03-01T00:00:00Z"))),
+      Granularity.Period("P1D", None, None), None,
+      Seq(DimensionSpec("event_type", "event_type", None)),
+      Seq(Aggregator.Count("cnt"),
+        Aggregator.ApproxHistogram("h", "value", resolution = 64)),
+      Nil, None, None, Nil, Nil)
+
+    scp.plan(query, useCache = true, populateCache = true)
+      .write.mode("overwrite").format("noop").save()
+    require(cache.bypassedQueries == 0,
+      s"approxHistogram must be cache-eligible, bypassed ${cache.bypassedQueries}")
+    val nSegs = cache.populated
+    require(nSegs >= 1, "histogram partials must populate")
+    cache.entries.foreach { case (_, v) =>
+      require(v.schema("h").dataType == org.apache.spark.sql.types.BinaryType,
+        "partials must store serialized histograms") }
+
+    import graft.aggs.ApproxHistogramAgg._
+    val out = scp.plan(query, useCache = true, populateCache = false)
+      .select(unix_millis(col(Ingest.TimeCol)).as("day_ms"), col("event_type"),
+        ahCount(col("h")).as("n_rows"),
+        round(ahMin(col("h")), 4).as("v_min"),
+        round(ahMax(col("h")), 4).as("v_max"),
+        ahQuantile(col("h"), lit(0.5)).as("p50"),
+        col("cnt"))
+      .orderBy(col("day_ms"), col("event_type"))
+    val res = out.collect()
+    require(cache.hits == nSegs,
+      s"expected $nSegs hits on the repeat, got ${cache.hits}")
+
+    // exact per-group medians, computed OUTSIDE the cache
+    val exact = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("x50"),
+        count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant.toEpochMilli, r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val graded = res.map { r =>
+      val key = (r.getLong(0), r.getString(1))
+      val (x50, exCnt) = exact(key)
+      require(r.getLong(2) == exCnt && r.getLong(6) == exCnt,
+        s"count drift through the fold at $key")
+      val ok = math.abs(r.getDouble(5) - x50) <= 0.05 * math.max(1.0, math.abs(x50))
+      require(ok, s"cached median outside 5% at $key: ${r.getDouble(5)} vs $x50")
+      Row(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), ok)
+    }
+    s.createDataFrame(java.util.Arrays.asList(graded.toIndexedSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day_ms",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v_min",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("v_max",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("p50_ok",
+          org.apache.spark.sql.types.BooleanType))))
+  }
+
   val all: Seq[Q] = Seq(cacheSegmentRoundtrip, cacheMonthGranularity,
     cacheTzGranularity, cacheFirstLast, cacheVarianceContract,
-    cacheHistogram, cacheRealtimeHandoff, cacheCardinality)
+    cacheHistogram, cacheRealtimeHandoff, cacheCardinality,
+    cacheApproxHistogram)
 }

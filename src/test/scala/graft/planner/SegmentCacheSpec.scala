@@ -170,10 +170,10 @@ class SegmentCacheSpec extends SparkSpec {
 
   test("non-mergeable aggregators and unaligned intervals bypass the cache") {
     val (planner, cache, scp) = fresh()
-    // cardinality's approximate-distinct partial state is not exposed
-    // as a column value — served correct, uncached (the HLL-sketch agg
-    // family is the mergeable path)
-    val qCard = ts(allDays, Seq(Aggregator.Cardinality("m", Seq("user"), byRow = true)))
+    // EXACT distinct count has no bounded mergeable partial (a
+    // per-segment value set is corpus-sized) — served correct,
+    // uncached; the sketch families are the mergeable path
+    val qCard = ts(allDays, Seq(Aggregator.DistinctCount("m", "user")))
     assert(rows(scp.plan(qCard, true, true)) == rows(planner.plan(qCard)))
     assert(cache.bypassedQueries == 1 && cache.populated == 0)
     // 12:00 endpoint is not P1D-aligned → bypass, still correct
@@ -649,6 +649,30 @@ class SegmentCacheSpec extends SparkSpec {
       assert(r(5).asInstanceOf[Long] == exact(key).toLong,
         s"byValue union-of-value-sets drifted at $key: $r")
     }
+  }
+
+  test("approxHistogram folds stored binaries through the cache (no bypass)") {
+    val (planner, cache, scp) = fresh()
+    val q = ts(allDays, Seq(Aggregator.Count("cnt"),
+      Aggregator.ApproxHistogram("h", "v", resolution = 200)))
+    // resolution 200 > distinct v values (100): no collapse happens,
+    // so even centroid placement is deterministic and cached == direct
+    // (binaries compared through the finalized summary — raw
+    // Array[Byte] equality in Seq[Any] is reference-based)
+    import graft.aggs.ApproxHistogramAgg._
+    val summarize = (df: DataFrame) => df.select(col(Ingest.TimeCol), col("cnt"),
+      ahFinalize(col("h")).as("s"))
+      .collect().toSeq.map(r => (r.get(0), r.getLong(1), r.getStruct(2).toString))
+    val direct = summarize(planner.plan(q))
+    assert(summarize(scp.plan(q, true, true)) == direct)
+    assert(cache.bypassedQueries == 0,
+      s"approxHistogram must be cache-eligible, bypassed ${cache.bypassedQueries}")
+    assert(cache.populated > 0)
+    cache.entries.foreach { case (_, v) =>
+      assert(v.schema("h").dataType == org.apache.spark.sql.types.BinaryType)
+    }
+    assert(summarize(scp.plan(q, true, false)) == direct)
+    assert(cache.hits > 0)
   }
 
   test("groupBy subtotals serve from base-grain partials (no bypass)") {

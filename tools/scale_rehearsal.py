@@ -35,7 +35,12 @@ ENTRIES = ["dedup_minhash_fast", "dedup_clusters", "pipeline_drop_ledger",
            # over a real socket; http_response_b must stay ~flat (the
            # result's group count is fixed at 30 days — a response that
            # scales with input rows is a REST-layer regression)
-           "server_sql_replace_roundtrip"]
+           "server_sql_replace_roundtrip",
+           # r13 cardinality caching at 10x distinct users per group:
+           # the HLL partial/union path leaves the exact regime here,
+           # so this rehearses the 5%-tolerance contract where it is
+           # actually approximate
+           "cache_cardinality"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
