@@ -115,6 +115,54 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** the pipeline's PORTABLE rolling hash — bit-identical to the
+    * declarative fold `aggregate(split(s, ""), 0L,
+    * (a, c) => (a*31 + ascii(c)) % 1000000007)` that every paired
+    * DuckDB oracle replicates, but one code-point walk with zero
+    * allocation instead of a per-character string array + HOF lambda
+    * per character (the dominant cost of the minhash signature stage:
+    * every character of every shingle allocated its own UTF8String). */
+  def portableRollHash(s: UTF8String): Long = {
+    val str = s.toString
+    var a = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      a = (a * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    a
+  }
+
+  /** k-slot minhash over pre-hashed shingles — bit-identical to
+    * `transform(sequence(0, k-1), i => array_min(transform(hs,
+    * x => (x*(2i+1) + i*12345 + 7) % 2147483647)))` (slot i null when
+    * `hs` is empty or all-null, matching array_min), but one pass over
+    * `hs` computing all k mins with zero intermediate arrays. */
+  def portableMinhash(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val mul = 2L * i + 1L
+      val add = i.toLong * 12345L + 7L
+      var best = Long.MaxValue
+      var found = false
+      var j = 0
+      while (j < n) {
+        if (!hs.isNullAt(j)) {
+          val v = (hs.getLong(j) * mul + add) % 2147483647L
+          if (v < best) { best = v; found = true }
+        }
+        j += 1
+      }
+      out(i) = if (found) java.lang.Long.valueOf(best) else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def signatureAgreement(l: ArrayData, r: ArrayData): Double = {
     val a = l.toIntArray()
     val b = r.toIntArray()
@@ -224,9 +272,43 @@ case class SignatureAgreement(left: Expression, right: Expression)
   override def prettyName: String = "signature_agreement"
 }
 
+/** portable rolling hash as a native expression (see
+  * TextKernels.portableRollHash — same value, one allocation-free
+  * pass; stays in WholeStageCodegen). */
+case class PortableRollHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      TextKernels.portableRollHash(v.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.portableRollHash($c)")
+  override protected def withNewChildInternal(c: Expression): PortableRollHash =
+    copy(c)
+  override def prettyName: String = "portable_roll_hash"
+}
+
+/** k-slot portable minhash over pre-hashed shingles (see
+  * TextKernels.portableMinhash). */
+case class PortableMinhash(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.portableMinhash(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.portableMinhash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): PortableMinhash =
+    copy(child = c)
+  override def prettyName: String = "portable_minhash"
+}
+
 object TextExpressions {
   def signatureAgreement(a: Column, b: Column): Column =
     toCol(SignatureAgreement(toExpr(a), toExpr(b)))
+  def portableRollHash(s: Column): Column =
+    toCol(PortableRollHash(toExpr(s)))
+  def portableMinhash(hs: Column, k: Int): Column =
+    toCol(PortableMinhash(toExpr(hs), k))
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShingles(toExpr(text), n))
 

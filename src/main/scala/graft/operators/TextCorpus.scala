@@ -538,7 +538,7 @@ object TextCorpus {
     * `list_reduce(list_prepend(0, list_transform(regexp_extract_all(s,
     * '.'), ascii)), (a,c) -> (a*31+c) % 1000000007)`. */
   private[operators] def rollHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L), (a, c) => (a * 31 + ascii(c)) % 1000000007L)
+    graft.functions.TextExpressions.portableRollHash(s)
 
   /** fastText-style linear text classifier over HASHED bag-of-words
     * features (Joulin et al. 2016): each token hashes into one of

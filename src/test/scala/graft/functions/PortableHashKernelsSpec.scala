@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bit-parity of the native portable-hash kernels against the
+  * declarative HOF folds they replaced (r13 perf: the HOF path
+  * allocated a UTF8String per CHARACTER of every shingle — the
+  * dominant cost of the minhash signature stage). The DuckDB oracles
+  * replicate the HOF arithmetic, so parity here IS oracle parity. */
+class PortableHashKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** the r12 declarative forms, verbatim. */
+  private def hofRollHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (a, c) => (a * 31 + ascii(c)) % 1000000007L)
+  private def hofMinhashSig(hs: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hs,
+        x => (x * (i * 2 + 1) + i.cast("long") * 12345L + 7L) % 2147483647L)))
+
+  test("portableRollHash is bit-identical to the aggregate/split/ascii fold") {
+    val rnd = new scala.util.Random(1013)
+    val ascii = (1 to 400).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(40)).mkString +
+        (if (rnd.nextBoolean()) " with spaces and punct.,!?" else ""))
+    val unicode = Seq("", " ", "héllo wörld", "ασδφ γς", "日本語のテキスト",
+      "mixé 語 ascii", "tab\tand\nnewline", "ééé", "é́ combining")
+    val df = (ascii ++ unicode).toDF("s")
+    val diff = df.select(
+      TextExpressions.portableRollHash(col("s")).as("native"),
+      hofRollHash(col("s")).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("portableMinhash is bit-identical to the transform/array_min chain incl. empty and null slots") {
+    val rnd = new scala.util.Random(2027)
+    val arrays: Seq[Seq[java.lang.Long]] =
+      (1 to 200).map(_ => Seq.fill(rnd.nextInt(30))(
+        java.lang.Long.valueOf(rnd.nextLong(1000000007L)))) ++
+        Seq(Seq.empty[java.lang.Long],
+          Seq(null.asInstanceOf[java.lang.Long]),
+          Seq(java.lang.Long.valueOf(5L), null.asInstanceOf[java.lang.Long]))
+    val df = arrays.toDF("hs")
+    val diff = df.select(
+      TextExpressions.portableMinhash(col("hs"), 16).as("native"),
+      hofMinhashSig(col("hs"), 16).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("native kernels stay inside WholeStageCodegen (no fallback)") {
+    val df = Seq("a b c d e f g").toDF("text")
+      .select(TextExpressions.portableMinhash(
+        transform(TextExpressions.wordShingles(col("text"), 3),
+          g => TextExpressions.portableRollHash(g)), 16).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+    assert(df.collect().head.getSeq[Long](0).length == 16)
+  }
+}
