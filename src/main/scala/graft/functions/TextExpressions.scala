@@ -163,6 +163,32 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** winnowing position selection (Schleimer et al., MOSS) —
+    * bit-identical to `transform(sequence(0, n-w), j => j + w -
+    * array_position(reverse(slice(hs, j+1, w)), array_min(slice)))`:
+    * for each length-w window, the 0-based position of the RIGHTMOST
+    * minimum hash. One pass, no per-window slice/reverse allocation. */
+  def winnowPositions(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    val m = n - w + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var best = hs.getLong(j)
+      var bestAt = j
+      var i = j + 1
+      while (i < j + w) {
+        val v = hs.getLong(i)
+        if (v <= best) { best = v; bestAt = i } // rightmost min wins
+        i += 1
+      }
+      out(j) = java.lang.Long.valueOf(bestAt.toLong)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def signatureAgreement(l: ArrayData, r: ArrayData): Double = {
     val a = l.toIntArray()
     val b = r.toIntArray()
@@ -288,6 +314,20 @@ case class PortableRollHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "portable_roll_hash"
 }
 
+/** winnowing rightmost-min window positions (see
+  * TextKernels.winnowPositions). */
+case class WinnowPositions(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.winnowPositions(v.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.winnowPositions($c, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowPositions =
+    copy(child = c)
+  override def prettyName: String = "winnow_positions"
+}
+
 /** k-slot portable minhash over pre-hashed shingles (see
   * TextKernels.portableMinhash). */
 case class PortableMinhash(child: Expression, k: Int) extends UnaryExpression {
@@ -309,6 +349,8 @@ object TextExpressions {
     toCol(PortableRollHash(toExpr(s)))
   def portableMinhash(hs: Column, k: Int): Column =
     toCol(PortableMinhash(toExpr(hs), k))
+  def winnowPositions(hs: Column, w: Int): Column =
+    toCol(WinnowPositions(toExpr(hs), w))
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShingles(toExpr(text), n))
 

@@ -593,11 +593,10 @@ object TextCorpus {
       .select(col(idCol).as("id"), hs.as("hs"))
       .filter(size(col("hs")) >= w)
       .select(col("id"), col("hs"),
-        explode(transform(sequence(lit(0), size(col("hs")) - w), j => {
-          val win = slice(col("hs"), j + 1, lit(w))
-          val minv = array_min(win)
-          j + lit(w) - array_position(reverse(win), minv)
-        })).as("pos"))
+        // native rightmost-min window kernel (TextKernels
+        // .winnowPositions; parity spec pins it to the slice/reverse/
+        // array_position fold the DuckDB oracle replicates)
+        explode(TextExpressions.winnowPositions(col("hs"), w)).as("pos"))
       .select(col("id"), col("pos").cast("long").as("pos"),
         element_at(col("hs"), (col("pos") + 1).cast("int")).as("fp"))
     selected.distinct()

@@ -52,6 +52,27 @@ class PortableHashKernelsSpec extends SparkSpec {
     assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
   }
 
+  test("winnowPositions is bit-identical to the slice/reverse/array_position fold") {
+    val rnd = new scala.util.Random(3041)
+    val w = 4
+    // duplicates guaranteed: values drawn from a tiny range so ties
+    // exercise the rightmost-min rule
+    val arrays = (1 to 300).map(_ =>
+      Seq.fill(w + rnd.nextInt(40))(rnd.nextLong(8L)))
+    val df = arrays.toDF("hs")
+    def hofWinnow(hs: Column): Column =
+      transform(sequence(lit(0), size(hs) - w), j => {
+        val win = slice(hs, j + 1, lit(w))
+        val minv = array_min(win)
+        (j + lit(w) - array_position(reverse(win), minv)).cast("long")
+      })
+    val diff = df.select(
+      TextExpressions.winnowPositions(col("hs"), w).as("native"),
+      hofWinnow(col("hs")).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
   test("native kernels stay inside WholeStageCodegen (no fallback)") {
     val df = Seq("a b c d e f g").toDF("text")
       .select(TextExpressions.portableMinhash(
