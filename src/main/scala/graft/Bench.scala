@@ -237,11 +237,19 @@ private object CacheHitBench {
   /** the populate pass, isolated: a FRESH cache every rep over the
     * same ingested table — partial stage across all segments +
     * distributed admission + driver collect + merge. Separate from
-    * the hit metric so the two paths can't blur (r12 finding #2). */
+    * the hit metric so the two paths can't blur (r12 finding #2).
+    * The PREVIOUS rep's discarded planner releases its deferred
+    * blocks here (its result was consumed last rep): an over-cap
+    * populate would otherwise pin a MEMORY_AND_DISK copy of the
+    * partials per rep — exactly the monotone rep growth queries_reps
+    * exists to catch, inflating the metric being measured. */
+  private var lastPopScp: graft.planner.SegmentCachePlanner = _
   def populatePlan(s: SparkSession, d: String): DataFrame = synchronized {
     ensureIngested(s, d)
+    if (lastPopScp != null) lastPopScp.releasePending()
     val freshScp = new graft.planner.SegmentCachePlanner(s, planner,
       new graft.planner.SegmentResultCache(), info)
+    lastPopScp = freshScp
     freshScp.plan(query(d), useCache = true, populateCache = true)
   }
 }

@@ -94,9 +94,13 @@ object Dedup {
     // — the in-memory form of the write-them-out advice below) instead
     // of recomputing shingles+minhash per read. Measured 0.64→0.51 s
     // on the sf0.1 corpus.
+    // drain the previous same-tag signature blocks BEFORE the new
+    // checkpoint materializes — recycling after would hold both copies
+    // pinned at once (2x transient executor-storage peak per rep)
+    recycleTag.foreach(t => Ckpt.drain(t + "/minhash"))
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes, seed)
       .localCheckpoint()
-    recycleTag.foreach(t => Ckpt.recycle(t + "/minhash", sigs))
+    recycleTag.foreach(t => Ckpt.register(t + "/minhash", sigs))
     minhashCandidatesFromSignatures(sigs, "id", "sig", numHashes, bands)
   }
 
@@ -382,14 +386,10 @@ object Dedup {
     }
   }
 
-  /** explicitly free a localCheckpoint'd DataFrame's storage blocks
-    * (checkpointed RDDs have no public unpersist; GC-driven cleanup is
-    * too lazy for tight iterative loops). No-op for other plans. */
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+  /** explicitly free a localCheckpoint'd DataFrame's storage blocks —
+    * the shared [[Ckpt.release]] (guarded against a raced/stopped
+    * context; no-op for other plans). */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit = Ckpt.release(df)
 
   /** Incremental (cross-snapshot) exact dedup: keep only batch rows
     * whose normalized fingerprint is NOT already in the corpus, then
@@ -675,7 +675,11 @@ object Dedup {
     * components over the pair edges). Returns (id, cluster, keep). */
   def semantic(
       df: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int, threshold: Double, iterations: Int = 3): DataFrame = {
+      nClusters: Int, threshold: Double, iterations: Int = 3,
+      /** caller-owned (see [[Ckpt]]): a shared operator must not pick
+        * its own fixed tag — a second call anywhere would free blocks
+        * the first caller's un-consumed plan still references. */
+      recycleTag: Option[String] = None): DataFrame = {
     val c0 = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids =
       broadcast(Similarity.ivfCentroids(df, idCol, vecCol, nClusters, iterations))
@@ -687,7 +691,7 @@ object Dedup {
         col("va"), col("vb")).cast("double") >= threshold)
       .select(col("id_a"), col("id_b"))
     val labels = connectedComponents(pairs, "id_a", "id_b",
-      recycleTag = Some("semdedup")) // (id, cluster_id)
+      recycleTag = recycleTag) // (id, cluster_id)
     assigned.select(col("id"), col("centroid_id").as("cluster"))
       .join(labels, Seq("id"), "left")
       // survivors: dup-group representative (min id) or singleton

@@ -214,6 +214,11 @@ final class SegmentCachePlanner(
   private val pendingUnpersist =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private[planner] def pendingUnpersistCount: Int = pendingUnpersist.size()
+  /** for callers that DISCARD a planner after a single plan() call
+    * (fresh-cache benchmarks): release any deferred-unpersist blocks
+    * now, once the plan's result has been consumed — a discarded
+    * instance never reaches the next plan() drain. */
+  def releasePending(): Unit = drainPendingUnpersist()
   private def drainPendingUnpersist(): Unit = {
     var df = pendingUnpersist.poll()
     while (df != null) {

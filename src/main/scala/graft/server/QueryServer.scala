@@ -250,7 +250,8 @@ class QueryServer(
     * callers appending data leave it off like the reference's
     * realtime segments, which are never cached. */
   private val cacheMax = 128
-  private val cacheTtlMs = 60000L
+  /** var: spec seam (a TTL-expiry test can't wait a real minute). */
+  var cacheTtlMs = 60000L
   /** result-cache byte budgets (reference CacheConfig sizes the result
     * level cache in BYTES — server/src/main/java/org/apache/druid/client/cache/
     * CacheConfig.java `resultLevelCacheLimit`, enforced per entry by
@@ -299,13 +300,27 @@ class QueryServer(
 
   private def cacheGet(key: String): Option[(Int, String, Array[Byte])] =
     resultCache.synchronized {
-      Option(resultCache.get(key)).collect {
-        case (t, code, ct, bytes) if System.currentTimeMillis() - t < cacheTtlMs =>
-          (code, ct, bytes)
+      Option(resultCache.get(key)) match {
+        case Some((t, code, ct, bytes))
+            if System.currentTimeMillis() - t < cacheTtlMs =>
+          Some((code, ct, bytes))
+        case Some((_, _, _, bytes)) =>
+          // expired: REMOVE — the access-ordered get above just marked
+          // a never-servable body most-recently-used, so leaving it
+          // would both hold the byte budget and out-survive still-valid
+          // younger entries under put-time eviction pressure
+          resultCache.remove(key)
+          resultCacheBytesVar -= bytes.length
+          None
+        case None => None
       }
     }
   private def cachePut(key: String, code: Int, contentType: String, bytes: Array[Byte]): Unit = {
-    if (bytes.length > resultCacheMaxEntryBytes) {
+    // clamp against BOTH budgets: an operator setting the per-entry
+    // limit above the total budget must not admit an entry the
+    // eviction loop below would immediately have to flush the whole
+    // cache (fresh entry included) to fit
+    if (bytes.length > math.min(resultCacheMaxEntryBytes, resultCacheMaxTotalBytes)) {
       // over the per-entry limit: serve uncached, like the reference's
       // ResultLevelCachingQueryRunner dropping bodies past
       // resultLevelCacheLimit mid-accumulation

@@ -91,7 +91,13 @@ object SegmentVersions {
   private val memo = new LruMemo[(Long, Listing)]
   private val schemas = new LruMemo[(Long, StructType)]
   private val misc = new LruMemo[(Long, Any)]
-  /** last sidecar token seen (or announced) per table path. */
+  /** last sidecar token seen (or announced) per table path. Like
+    * `epochs`, deliberately unbounded: both are keyed per TABLE PATH
+    * (not per query or per bucket) at ~50 bytes/entry, and evicting an
+    * epoch entry mid-flight could race a concurrent invalidate into a
+    * lost bump — the memo maps above shed under LRU because they hold
+    * whole file listings; these two hold a counter and a short token
+    * for a set of tables that is operationally bounded. */
   private val sidecarTokens = TrieMap.empty[String, String]
 
   /** filesystem listStatus calls actually issued (specs assert the
@@ -167,21 +173,26 @@ object SegmentVersions {
     * contract. */
   def probe(hconf: Configuration, path: String): Unit = {
     probeCount.incrementAndGet()
+    // ONE filesystem RPC: open + bounded read (tokens are ≤64 bytes;
+    // on an object store this is a single small GET). A separate
+    // getFileStatus to size the buffer would double the hot-path
+    // round-trips for nothing.
     val current: Option[String] =
       try {
         val p = sidecarPath(path)
         val fs = p.getFileSystem(hconf)
-        val st =
-          try Some(fs.getFileStatus(p))
-          catch { case _: java.io.FileNotFoundException => None }
-        st.map { s =>
-          val in = fs.open(p)
-          try {
-            val buf = new Array[Byte](math.min(s.getLen, 256L).toInt)
-            in.readFully(0L, buf)
-            new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-          } finally in.close()
-        }
+        val in =
+          try fs.open(p)
+          catch { case _: java.io.FileNotFoundException => null }
+        if (in == null) None
+        else try {
+          val buf = new Array[Byte](256)
+          var off = 0
+          var n = in.read(buf, 0, buf.length)
+          while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
+          if (n > 0) off += n
+          Some(new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
       } catch { case _: Exception => None }
     current.foreach { token =>
       if (!sidecarTokens.get(path).contains(token)) {

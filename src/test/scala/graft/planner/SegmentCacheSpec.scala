@@ -447,6 +447,15 @@ class SegmentCacheSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.keySet.intersect(leaked ++ leaked2)
     assert(stillThere.isEmpty,
       s"over-cap populate blocks must be unpersisted, not left for GC: $stillThere")
+    // a planner DISCARDED after one call releases via releasePending()
+    // (the fresh-cache bench pattern — no next plan() ever drains it)
+    val scp2 = new SegmentCachePlanner(spark, planner, new SegmentResultCache(),
+      { case "t" => Some(SegmentCachePlanner.TableInfo(path, buckets, "P1D")); case _ => None },
+      maxPopulateRows = 2)
+    assert(rows(scp2.plan(q, true, true)).toSet == rows(planner.plan(q)).toSet)
+    assert(scp2.pendingUnpersistCount == 1)
+    scp2.releasePending()
+    assert(scp2.pendingUnpersistCount == 0)
   }
 
   test("dotted dimension outputName survives the populate size estimate") {

@@ -259,6 +259,57 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("result cache: expired entries are removed on get, releasing their bytes") {
+    fixture.createOrReplaceTempView("ds_cache_ttl")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    srv.cacheTtlMs = 150L
+    val port = srv.start()
+    val q = """{"query": "SELECT repeat('x', 5000) AS s FROM ds_cache_ttl LIMIT 1",
+              |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin
+    try {
+      assert(post(port, "/druid/v2/sql", q)._1 == 200)
+      assert(srv.resultCacheEntryCount == 1 && srv.resultCacheTotalBytes > 5000L)
+      Thread.sleep(300)
+      // the expired body must not be served, must not stay charged to
+      // the byte budget, and must not be freshly-MRU'd past live entries
+      val hits = srv.cacheHits
+      assert(post(port, "/druid/v2/sql", q)._1 == 200)
+      assert(srv.cacheHits == hits, "expired entry must miss")
+      // that miss also re-populated (populate flag on): exactly one
+      // LIVE entry remains — the dead body was removed, not retained
+      assert(srv.resultCacheEntryCount == 1,
+        s"expired entry must be removed on get, got ${srv.resultCacheEntryCount}")
+      assert(post(port, "/druid/v2/sql", q)._1 == 200)
+      assert(srv.cacheHits == hits + 1, "the repopulated entry serves")
+    } finally srv.stop()
+  }
+
+  test("result cache: a per-entry limit above the total budget cannot flush the cache") {
+    fixture.createOrReplaceTempView("ds_cache_clamp")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    // misconfigured: per-entry 1 MB > total 30 KB — an admitted 40 KB
+    // body would force the eviction loop to drain everything including
+    // itself; the put must clamp against BOTH budgets and skip instead
+    srv.resultCacheMaxTotalBytes = 30000L
+    srv.resultCacheMaxEntryBytes = 1L << 20
+    val port = srv.start()
+    def q(n: Int, len: Int) =
+      s"""{"query": "SELECT $n AS tag, repeat('x', $len) AS s FROM ds_cache_clamp LIMIT 1",
+         |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin
+    try {
+      assert(post(port, "/druid/v2/sql", q(1, 10000))._1 == 200) // fits
+      assert(srv.resultCacheEntryCount == 1)
+      assert(post(port, "/druid/v2/sql", q(2, 40000))._1 == 200) // > total
+      assert(srv.cacheOversizeSkipped >= 1,
+        "an entry over the TOTAL budget must be skipped even under a larger per-entry limit")
+      assert(srv.resultCacheEntryCount == 1,
+        "the misconfigured put must not have flushed the live entry")
+      val hits = srv.cacheHits
+      assert(post(port, "/druid/v2/sql", q(1, 10000))._1 == 200)
+      assert(srv.cacheHits == hits + 1, "the small entry still serves")
+    } finally srv.stop()
+  }
+
   test("query capacity: at the slot limit new queries get the 429 shape") {
     spark.udf.register("graft_cap_sleep", (x: Long) => { Thread.sleep(30); x })
     spark.range(0, 400).createOrReplaceTempView("cap_t")
