@@ -572,6 +572,72 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("an external writer's sidecar bump is served over the socket without a restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft-extannounce").toString
+    fixture.createOrReplaceTempView("ds_extann")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO extann SELECT __time, dim, m FROM ds_extann PARTITIONED BY DAY"}""")
+      assert(c1 == 200, b1)
+      val body =
+        """{"queryType": "timeseries", "dataSource": "extann",
+          | "intervals": ["2024-01-01T00:00:00Z/2024-01-03T00:00:00Z"],
+          | "granularity": "day",
+          | "aggregations": [{"type": "count", "name": "cnt"},
+          |                  {"type": "doubleSum", "name": "sm", "fieldName": "m"}],
+          | "context": {"useCache": true, "populateCache": true,
+          |             "skipEmptyBuckets": true}}""".stripMargin
+      def counts(): Seq[(String, Long)] = {
+        val (c, b) = post(port, "/druid/v2", body)
+        assert(c == 200, b)
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(b)
+        import scala.jdk.CollectionConverters._
+        n.elements().asScala.map(e =>
+          e.get("timestamp").asText() -> e.get("result").get("cnt").asLong()).toSeq
+      }
+      val stats = srv.segmentCacheStats
+      val r1 = counts()
+      assert(r1.map(_._2) == Seq(2L, 1L))
+      val (hits0, pop0) = (stats.hits, stats.populated)
+      assert(pop0 >= 2, "both day segments must populate")
+      // steady state over the socket: repeat serves from cache,
+      // zero listings while the sidecar probe still runs
+      val (l0, p0) = (graft.sources.SegmentVersions.listings,
+        graft.sources.SegmentVersions.probes)
+      assert(counts() == r1)
+      assert(stats.hits == hits0 + 2, "repeat must hit both days")
+      assert(graft.sources.SegmentVersions.listings == l0,
+        "socket repeat must stay zero-listing")
+      assert(graft.sources.SegmentVersions.probes > p0,
+        "every socket query must probe the sidecar")
+
+      // a SECOND, INDEPENDENT writer: raw parquet append into the
+      // existing day-1 bucket dir (bypassing every server API), then
+      // the sidecar bump a foreign process would do
+      import org.apache.spark.sql.functions._
+      spark.range(0, 3).select(
+        timestamp_millis(lit(java.time.Instant.parse("2024-01-01T05:00:00Z")
+          .toEpochMilli) + col("id")).as("__time"),
+        lit("x").as("dim"), lit(10.0).as("m"))
+        .write.mode("append").parquet(s"$root/extann/__bucket=2024-01-01T00")
+      graft.sources.SegmentVersions.announceExternal(
+        spark.sparkContext.hadoopConfiguration, s"$root/extann")
+
+      // the very next socket query sees the foreign rows: day 1
+      // recomputes under its new version, day 2 still serves from cache
+      val hits1 = stats.hits
+      val r3 = counts()
+      assert(r3.map(_._2) == Seq(5L, 1L),
+        s"foreign rows must be visible over the socket: $r3")
+      assert(stats.lastComputedBuckets == Seq("2024-01-01T00"),
+        s"only the externally-touched day may recompute: ${stats.lastComputedBuckets}")
+      assert(stats.hits == hits1 + 1, "the untouched day must still hit")
+    } finally srv.stop()
+  }
+
   test("segment slices for ingested tables come from the directory layout, no scan") {
     val root = java.nio.file.Files.createTempDirectory("graft-layout").toString
     fixture.createOrReplaceTempView("ds_layout")
