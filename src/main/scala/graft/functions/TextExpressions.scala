@@ -169,6 +169,7 @@ object TextKernels {
     * for each length-w window, the 0-based position of the RIGHTMOST
     * minimum hash. One pass, no per-window slice/reverse allocation. */
   def winnowPositions(hs: ArrayData, w: Int): ArrayData = {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
     val n = hs.numElements()
     val m = n - w + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])

@@ -86,7 +86,12 @@ object Dedup {
       seed: Int = 42,
       /** see [[connectedComponents]]: repeated invocation sites pass a
         * stable tag so each run releases the signature blocks the
-        * previous same-tag run pinned. */
+        * previous same-tag run pinned. The previous blocks are drained
+        * at ENTRY (before the new checkpoint materializes — recycling
+        * after would pin both copies at once), so `df` must NOT derive
+        * from the previous same-tag invocation's output: its truncated
+        * lineage would have nothing to recompute from. Raw-corpus
+        * inputs (every in-repo caller) are unaffected. */
       recycleTag: Option[String] = None): DataFrame = {
     // the candidate plan reads the signature table three times (band
     // explode + one rejoin per pair side); materialize signatures once
@@ -299,7 +304,10 @@ object Dedup {
         * still referenced lazily by its returned plan) are released at
         * this call's entry — bench reps and repeated queries no longer
         * accumulate a full copy of intermediates per run. Contract per
-        * [[Ckpt]]: the previous same-tag result was consumed. */
+        * [[Ckpt]]: the previous same-tag result was consumed. Loops
+        * that re-invoke without a tag (the default) keep each call's
+        * two block sets pinned until session end — pass a tag from any
+        * repeated call site. */
       recycleTag: Option[String] = None): DataFrame = {
     val tag = recycleTag.map(_ + "/cc")
     tag.foreach(Ckpt.drain)

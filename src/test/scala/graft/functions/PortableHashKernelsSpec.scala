@@ -74,12 +74,28 @@ class PortableHashKernelsSpec extends SparkSpec {
   }
 
   test("native kernels stay inside WholeStageCodegen (no fallback)") {
+    // ALL THREE r13 kernels in one plan — a doGenCode regression in any
+    // of them (silent interpreted fallback) fails here
     val df = Seq("a b c d e f g").toDF("text")
-      .select(TextExpressions.portableMinhash(
-        transform(TextExpressions.wordShingles(col("text"), 3),
-          g => TextExpressions.portableRollHash(g)), 16).as("s"))
+      .select(
+        TextExpressions.portableMinhash(
+          transform(TextExpressions.wordShingles(col("text"), 3),
+            g => TextExpressions.portableRollHash(g)), 16).as("s"),
+        TextExpressions.winnowPositions(
+          transform(TextExpressions.wordShingles(col("text"), 3),
+            g => TextExpressions.portableRollHash(g)), 4).as("w"))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CodegenFallback"), plan)
-    assert(df.collect().head.getSeq[Long](0).length == 16)
+    val row = df.collect().head
+    assert(row.getSeq[Long](0).length == 16)
+    assert(row.getSeq[Long](1).length == 5 - 4 + 1) // 5 shingles, w=4 → 2 windows
+  }
+
+  test("winnowPositions rejects a window under 1") {
+    intercept[Exception] {
+      Seq(Seq(1L, 2L)).toDF("hs")
+        .select(TextExpressions.winnowPositions(col("hs"), 0))
+        .collect()
+    }
   }
 }
