@@ -123,6 +123,22 @@ object TextKernels {
     * per character (the dominant cost of the minhash signature stage:
     * every character of every shingle allocated its own UTF8String). */
   def portableRollHash(s: UTF8String): Long = {
+    // ASCII fast path: fold the UTF8 bytes in place — byte value ==
+    // code point, no String decode/copy per call (this kernel runs
+    // once per shingle of every document)
+    val nb = s.numBytes()
+    var a = 0L
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      if (b < 0) return portableRollHashUnicode(s) // multibyte sequence
+      a = (a * 31L + b) % 1000000007L
+      i += 1
+    }
+    a
+  }
+
+  private def portableRollHashUnicode(s: UTF8String): Long = {
     val str = s.toString
     var a = 0L
     var i = 0

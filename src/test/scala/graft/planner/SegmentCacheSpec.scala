@@ -618,6 +618,33 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.hits == 4 && cache.lastComputedBuckets.isEmpty)
   }
 
+  test("byte-LRU accounting invariant holds under randomized put/get churn") {
+    import org.apache.spark.sql.types._
+    val cache = new SegmentResultCache(
+      maxTotalRows = 200, maxRowsPerSegment = 50,
+      maxTotalBytes = 20000L, maxBytesPerSegment = 6000L)
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("v", LongType)))
+    val rnd = new scala.util.Random(4057)
+    def mkValue(): cache.Value = cache.Value(schema,
+      Array.fill(rnd.nextInt(12))(Row("x" * rnd.nextInt(200), rnd.nextLong())))
+    val keys = (1 to 40).map(i => cache.Key(s"/p${i % 7}", s"b$i", "v1", "fp"))
+    (1 to 500).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 | 1 => cache.put(keys(rnd.nextInt(keys.size)), mkValue())
+        case 2 => cache.get(keys(rnd.nextInt(keys.size)))
+      }
+      // invariants after EVERY operation: charged bytes equal the sum
+      // of the stored entries' estimates, and both budgets hold
+      val expect = cache.entries.map { case (_, v) => cache.estimateBytes(v) }.sum
+      assert(cache.totalBytes == expect,
+        s"byte accounting drifted: charged ${cache.totalBytes}, actual $expect")
+      assert(cache.totalBytes <= 20000L && cache.entryCount <= 200)
+      val rows = cache.entries.map(_._2.rows.length).sum
+      assert(rows <= 200, s"row budget breached: $rows")
+    }
+  }
+
   test("cardinality/hyperUnique combine via HLL partial binaries (no bypass)") {
     val (planner, cache, scp) = fresh()
     // byRow single-field (hyperUnique), byRow tuple, and byValue
