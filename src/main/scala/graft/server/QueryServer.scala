@@ -244,11 +244,15 @@ class QueryServer(
     spark, planner, segmentCache, segmentCacheInfo)
 
   /** per-query RESULT-level cache (reference broker
-    * ResultLevelCachingQueryRunner + CacheConfig): exact-body LRU with
-    * TTL. Opt-in per query via context.useResultLevelCache/
-    * populateResultLevelCache — correct for immutable segments;
-    * callers appending data leave it off like the reference's
-    * realtime segments, which are never cached. */
+    * ResultLevelCachingQueryRunner + CacheConfig): LRU keyed on
+    * (segment-state etag, exact body) with a TTL backstop. Opt-in per
+    * query via context.useResultLevelCache/populateResultLevelCache.
+    * Freshness is etag-coupled like the reference's
+    * `computeCurrentEtag`: every announced write (INSERT/REPLACE/kill/
+    * compaction, or an external writer's sidecar bump once probed)
+    * advances the referenced tables' epochs and turns every entry
+    * touching them into an automatic miss — see [[resultCacheEtag]].
+    * The TTL only backstops writers that never announce. */
   private val cacheMax = 128
   /** var: spec seam (a TTL-expiry test can't wait a real minute). */
   var cacheTtlMs = 60000L
@@ -2747,15 +2751,67 @@ class QueryServer(
     } finally os.close()
   }
 
+  /** does `body` mention `name` as a standalone word? Conservative:
+    * a datasource name inside a string literal only contributes an
+    * extra etag component (a possible extra miss), never staleness. */
+  private def referencesName(body: String, name: String): Boolean = {
+    if (name.isEmpty) return false
+    var i = body.indexOf(name)
+    while (i >= 0) {
+      val before = i == 0 || {
+        val c = body.charAt(i - 1); !Character.isLetterOrDigit(c) && c != '_'
+      }
+      val end = i + name.length
+      val after = end >= body.length || {
+        val c = body.charAt(end); !Character.isLetterOrDigit(c) && c != '_'
+      }
+      if (before && after) return true
+      i = body.indexOf(name, i + 1)
+    }
+    false
+  }
+
+  /** result-level cache freshness etag — the reference's
+    * `computeCurrentEtag` over announced segment versions
+    * (server/src/main/java/org/apache/druid/client/CachingClusteredClient.java
+    * feeding ResultLevelCachingQueryRunner.java's fetch-by-etag): every
+    * datasource the body references contributes its table path's
+    * in-memory write epoch, which every announcing write path bumps
+    * (SQL INSERT/REPLACE, task ingest, kill, compaction — via
+    * [[graft.sources.SegmentVersions.announce]]) and which a
+    * probe-detected external sidecar bump also advances. A write is
+    * therefore an automatic cache MISS for every entry touching that
+    * table, with zero extra I/O on the hit path (the epochs are
+    * counters SegmentVersions already keeps in memory). markUnused and
+    * live-realtime visibility are mixed in directly; the TTL remains
+    * the backstop for writers that never announce. */
+  private def resultCacheEtag(body: String): Option[String] = {
+    val referenced = allDatasources().filter(referencesName(body, _)).sorted
+    // a LIVE realtime window mutates between identical queries — never
+    // serve OR populate the result cache for it (the reference never
+    // caches realtime results); post-handoff it caches like batch
+    if (referenced.exists(n =>
+        realtimeSupervisors.get(n).exists(!_.isBatchOnly))) None
+    else Some(referenced.map { n =>
+      val epoch = ingested.get(n)
+        .map(graft.sources.SegmentVersions.epochOf).getOrElse(0L)
+      val unused = unusedBuckets.getOrElse(n, Set.empty).hashCode()
+      s"$n:$epoch:$unused"
+    }.mkString(","))
+  }
+
   /** result-level cache dispatch: useResultLevelCache serves an
-    * unexpired exact-body hit; populateResultLevelCache buffers the
-    * response (bounded by maxRows) and stores it; otherwise the
-    * response streams chunked as usual. */
+    * unexpired hit keyed on (segment-state etag, exact body);
+    * populateResultLevelCache buffers the response (bounded by
+    * maxRows) and stores it; otherwise the response streams chunked
+    * as usual. */
   private def serveCached(ex: HttpExchange, body: String)(
       produce: (String => OutputStream) => Unit): Unit = {
-    val use = contextFlag(body, "useResultLevelCache")
-    val pop = contextFlag(body, "populateResultLevelCache")
-    if (use) cacheGet(body) match {
+    val etag = resultCacheEtag(body)
+    val use = etag.isDefined && contextFlag(body, "useResultLevelCache")
+    val pop = etag.isDefined && contextFlag(body, "populateResultLevelCache")
+    lazy val key = etag.get + "\u0000" + body
+    if (use) cacheGet(key) match {
       case Some((code, ct, bytes)) =>
         cacheHits += 1
         respondBytes(ex, code, ct, bytes)
@@ -2767,7 +2823,7 @@ class QueryServer(
       var ctype = "application/json"
       produce(ct => { ctype = ct; baos })
       val bytes = baos.toByteArray
-      cachePut(body, 200, ctype, bytes)
+      cachePut(key, 200, ctype, bytes)
       respondBytes(ex, 200, ctype, bytes)
     } else produce(ct => openStream(ex, ct))
   }

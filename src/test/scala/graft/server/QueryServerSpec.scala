@@ -310,6 +310,49 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("result cache freshness: REPLACE misses the very next cached query inside the TTL") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cache-etag").toString
+    fixture.createOrReplaceTempView("ds_etag_src")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    // generous TTL: freshness must come from the epoch etag, not expiry
+    srv.cacheTtlMs = 600000L
+    val port = srv.start()
+    try {
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO etag_t SELECT __time, dim, m FROM ds_etag_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO etag_u SELECT __time, dim, m FROM ds_etag_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      val q = """{"query": "SELECT sum(m) AS s FROM etag_t",
+                |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin
+      val qOther = """{"query": "SELECT sum(m) AS s FROM etag_u",
+                     |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin
+      val (c1, b1) = post(port, "/druid/v2/sql", q)
+      assert(c1 == 200 && b1 == """[{"s":6.0}]""", b1)
+      assert(post(port, "/druid/v2/sql", qOther)._1 == 200)
+      // populated: repeats serve from cache
+      assert(post(port, "/druid/v2/sql", q)._2 == b1)
+      assert(srv.cacheHits == 1, s"expected a warm hit, got ${srv.cacheHits}")
+      // REPLACE rewrites etag_t; the very next cached query must MISS
+      // (announced write bumped the epoch → new etag) and serve
+      // post-REPLACE rows — well inside the TTL window
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO etag_t OVERWRITE ALL SELECT __time, dim, m * 10 AS m FROM ds_etag_src WHERE dim = 'a' PARTITIONED BY ALL TIME"}""")._1 == 200)
+      val (c3, b3) = post(port, "/druid/v2/sql", q)
+      assert(c3 == 200, b3)
+      assert(b3 == """[{"s":40.0}]""",
+        s"stale result-cache body served after REPLACE: $b3")
+      assert(srv.cacheHits == 1, "the post-REPLACE query must be an etag miss")
+      // the fresh entry serves repeats again
+      assert(post(port, "/druid/v2/sql", q)._2 == b3)
+      assert(srv.cacheHits == 2)
+      // invalidation is per-referenced-datasource, not a global flush:
+      // the untouched table's entry still hits
+      assert(post(port, "/druid/v2/sql", qOther)._2 == """[{"s":6.0}]""")
+      assert(srv.cacheHits == 3, "an untouched datasource's entry must survive")
+    } finally srv.stop()
+  }
+
   test("query capacity: at the slot limit new queries get the 429 shape") {
     spark.udf.register("graft_cap_sleep", (x: Long) => { Thread.sleep(30); x })
     spark.range(0, 400).createOrReplaceTempView("cap_t")
