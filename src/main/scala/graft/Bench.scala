@@ -175,12 +175,22 @@ object Bench {
     val jreps = results3.map { case (k, _, reps) =>
       "\"" + k + "\":[" + reps.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // per-phase wall decomposition for the lifecycle entries (r13
+    // directive: a multi-second end-to-end entry that moves
+    // round-over-round must show WHICH phase moved in the artifact —
+    // ingest vs handoff vs query). Phases are from the LAST rep of
+    // pass 2 (the steady-state invocation).
+    val jphases = queries.Phases.entries.map { e =>
+      "\"" + e + "\":" + queries.Phases.of(e)
+        .map { case (p, sec) => "\"" + p + "\":" + sec }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     // `queries` stays pass-1 (the cold-session methodology every prior
     // round reported); `queries_warm` records pass 2 per-query so a
     // cold-ratio outlier is attributable to boot noise vs regression
     // from the artifact alone.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      jmap(results)},"queries_warm":${jmap(results2)},"queries_reps":$jreps,"totals":[$total,$total2],"sf":"$sfDir"}""")
+      jmap(results)},"queries_warm":${jmap(results2)},"queries_reps":$jreps,"phases":$jphases,"totals":[$total,$total2],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

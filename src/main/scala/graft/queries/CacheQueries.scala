@@ -458,9 +458,11 @@ object CacheQueries {
     val ev = Tables.events(s, d).select(
       col("ts"), col("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
+    val n = "cache_realtime_handoff"
+    Phases.reset(n)
     val sq = rtds.startRealtime(StreamStage.stageAsStream(s, ev))
     try {
-      sq.processAllAvailable()
+      Phases.timed(n, "stream_ingest")(sq.processAllAvailable())
       require(!rtds.isBatchOnly, "window must be live before handoff")
 
       val planner = new NativePlanner(s,
@@ -488,21 +490,23 @@ object CacheQueries {
           unix_millis(col(Ingest.TimeCol)).as("day_ms"), col("event_type"),
           col("cnt"), col("cents"))
         .orderBy(col("day_ms"), col("event_type"))
-      val live = shape(scp.plan(query, useCache = true, populateCache = true))
-        .collect()
+      val live = Phases.timed(n, "live_query")(
+        shape(scp.plan(query, useCache = true, populateCache = true))
+          .collect())
       require(cache.bypassedQueries == 1 && cache.populated == 0,
         "a live realtime window must bypass the segment cache")
 
-      rtds.handoff()
+      Phases.timed(n, "handoff")(rtds.handoff())
       require(rtds.isBatchOnly, "handoff must leave the datasource batch-only")
 
       // post-handoff: the published table caches like any ingested one
       val warm = scp.plan(query, useCache = true, populateCache = true)
-      val nDays = warm.select(col(Ingest.TimeCol)).distinct().count()
+      val nDays = Phases.timed(n, "cache_populate")(
+        warm.select(col(Ingest.TimeCol)).distinct().count())
       require(cache.populated == nDays,
         s"expected $nDays populated segments post-handoff, got ${cache.populated}")
       val out = shape(scp.plan(query, useCache = true, populateCache = false))
-      val res = out.collect()
+      val res = Phases.timed(n, "cache_hit_query")(out.collect())
       require(cache.hits == nDays,
         s"expected $nDays hits on the repeat, got ${cache.hits}")
       // exactly-once across the handoff: the cached post-handoff answer

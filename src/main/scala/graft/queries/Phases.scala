@@ -1,0 +1,46 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+/** Per-entry wall-clock phase decomposition for the end-to-end
+  * lifecycle entries (streaming ingest → handoff → query; cache
+  * populate → hit). These entries report multi-second totals in the
+  * bench artifact with no baseline analog; when one moves
+  * round-over-round the artifact itself must show WHICH phase moved
+  * (the r13 `streaming_union_handoff` +36% could only be narrated,
+  * not decomposed — this closes that).
+  *
+  * Contract: an entry calls [[reset]] on invocation entry, then wraps
+  * each phase in [[timed]]; [[of]] returns the LAST completed
+  * invocation's phases in execution order. Entries execute
+  * sequentially within a Verify/Bench/Profile run, and concurrent
+  * DIFFERENT entries never share a key, so a plain concurrent map of
+  * per-entry vectors suffices. Recording costs two `nanoTime` calls
+  * per phase — nothing measurable against multi-second phases. */
+object Phases {
+
+  private val last = TrieMap.empty[String, Vector[(String, Double)]]
+
+  /** drop the previous invocation's phases for `entry` — call first
+    * so a failed run can't splice its partial phases onto stale ones. */
+  def reset(entry: String): Unit = last.remove(entry)
+
+  /** run `f`, recording its wall seconds as `phase` of `entry`. */
+  def timed[T](entry: String, phase: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    last.updateWith(entry) {
+      case Some(v) => Some(v :+ (phase, sec))
+      case None => Some(Vector((phase, sec)))
+    }
+    r
+  }
+
+  /** the last completed invocation's (phase, seconds) in order. */
+  def of(entry: String): Seq[(String, Double)] =
+    last.getOrElse(entry, Vector.empty)
+
+  /** every entry that recorded phases this session. */
+  def entries: Seq[String] = last.keys.toSeq.sorted
+}

@@ -86,17 +86,22 @@ object PipelineQueries16 {
     * active (asserted), against the batch answer over all events. */
   val streamingUnionQuery: Q = q(
     "streaming_union_query", unionOracle) { (s, d) =>
+    val n = "streaming_union_query"
+    Phases.reset(n)
     val ev = centsEvents(s, d)
     val cut = midpointCut(ev)
-    val histDir = landHistorical(s, ev.filter(col("ts") < cut))
+    val histDir = Phases.timed(n, "land_historical")(
+      landHistorical(s, ev.filter(col("ts") < cut)))
     val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
     val sq = rtds.startRealtime(
       StreamStage.stageAsStream(s, ev.filter(col("ts") >= cut)))
     try {
-      sq.processAllAvailable() // rows arrived; the stream is STILL running
+      // rows arrived; the stream is STILL running
+      Phases.timed(n, "stream_ingest")(sq.processAllAvailable())
       require(sq.isActive, "realtime stream must be active at query time")
       // materialize while in-flight — this IS the graded semantic
-      hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+      Phases.timed(n, "union_query")(
+        hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
     } finally {
       rtds.abort() // mid-flight entry: never published
       StreamStage.cleanup()
@@ -120,24 +125,31 @@ object PipelineQueries16 {
       |       CAST(count(*) AS BIGINT) AS live_cnt,
       |       CAST(sum(cents) AS BIGINT) AS live_sum_cents
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val n = "streaming_union_handoff"
+    Phases.reset(n)
     val ev = centsEvents(s, d)
     val cut = midpointCut(ev)
-    val histDir = landHistorical(s, ev.filter(col("ts") < cut))
+    val histDir = Phases.timed(n, "land_historical")(
+      landHistorical(s, ev.filter(col("ts") < cut)))
     val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
     val sq = rtds.startRealtime(
       StreamStage.stageAsStream(s, ev.filter(col("ts") >= cut)))
     try {
-      sq.processAllAvailable() // all rows in the sink; still mid-flight
-      val live = hourlyFold(rtds.queryable()).localCheckpoint()
-      rtds.handoff() // publish + drop the in-memory sink
+      // all rows in the sink; still mid-flight
+      Phases.timed(n, "stream_ingest")(sq.processAllAvailable())
+      val live = Phases.timed(n, "live_query")(
+        hourlyFold(rtds.queryable()).localCheckpoint())
+      // publish + drop the in-memory sink
+      Phases.timed(n, "handoff")(rtds.handoff())
       require(rtds.realtimeRows().isEmpty,
         "realtime store must be empty after handoff")
-      hourlyFold(rtds.queryable())
-        .join(live.select(col("bucket_ms"),
-          col("cnt").as("live_cnt"), col("sum_cents").as("live_sum_cents")),
-          Seq("bucket_ms"))
-        .orderBy(col("bucket_ms"))
-        .localCheckpoint()
+      Phases.timed(n, "post_handoff_query")(
+        hourlyFold(rtds.queryable())
+          .join(live.select(col("bucket_ms"),
+            col("cnt").as("live_cnt"), col("sum_cents").as("live_sum_cents")),
+            Seq("bucket_ms"))
+          .orderBy(col("bucket_ms"))
+          .localCheckpoint())
     } finally {
       rtds.abort() // no-op when handoff already ran; safety on failure
       StreamStage.cleanup()
@@ -161,24 +173,30 @@ object PipelineQueries16 {
       unix_millis(min(col("ts"))).as("a"),
       unix_millis(max(col("ts"))).as("b")).head()
     val (a, b) = (r.getLong(0), r.getLong(1))
+    val n = "streaming_union_resume"
+    Phases.reset(n)
     val cut1 = timestamp_millis(lit(a + (b - a) / 3))
     val cut2 = timestamp_millis(lit(a + 2 * (b - a) / 3))
-    val histDir = landHistorical(s, ev.filter(col("ts") < cut1))
+    val histDir = Phases.timed(n, "land_historical")(
+      landHistorical(s, ev.filter(col("ts") < cut1)))
     val srcDir = StreamStage.stageDir(
       s, ev.filter(col("ts") >= cut1 && col("ts") < cut2))
     val rtds = new RealtimeDatasource(s, rollupSpec, histDir,
       stateDir = Some(StreamStage.tempDir("graft_rt_state")))
     try {
       val sq1 = rtds.startRealtime(StreamStage.openStream(s, srcDir))
-      sq1.processAllAvailable()
-      rtds.suspend() // middle third publishes; offsets survive
+      Phases.timed(n, "stream_ingest")(sq1.processAllAvailable())
+      // middle third publishes; offsets survive
+      Phases.timed(n, "suspend")(rtds.suspend())
       require(rtds.realtimeRows().isEmpty,
         "window must be empty after suspend published it")
       StreamStage.stageInto(srcDir, ev.filter(col("ts") >= cut2))
       val sq2 = rtds.startRealtime(StreamStage.openStream(s, srcDir))
-      sq2.processAllAvailable() // only the new file enters the window
+      // only the new file enters the window
+      Phases.timed(n, "resume_ingest")(sq2.processAllAvailable())
       require(sq2.isActive, "resumed stream must be active at query time")
-      hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+      Phases.timed(n, "union_query")(
+        hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
     } finally {
       rtds.abort()
       StreamStage.cleanup()
@@ -200,27 +218,34 @@ object PipelineQueries16 {
       unix_millis(min(col("ts"))).as("a"),
       unix_millis(max(col("ts"))).as("b")).head()
     val (a, b) = (r.getLong(0), r.getLong(1))
+    val n = "streaming_union_restart"
+    Phases.reset(n)
     val cut1 = timestamp_millis(lit(a + (b - a) / 3))
     val cut2 = timestamp_millis(lit(a + 2 * (b - a) / 3))
-    val histDir = landHistorical(s, ev.filter(col("ts") < cut1))
+    val histDir = Phases.timed(n, "land_historical")(
+      landHistorical(s, ev.filter(col("ts") < cut1)))
     val state = StreamStage.tempDir("graft_rt_state")
     val srcDir = StreamStage.stageDir(
       s, ev.filter(col("ts") >= cut1 && col("ts") < cut2))
     val first = new RealtimeDatasource(s, rollupSpec, histDir,
       stateDir = Some(state))
-    first.startRealtime(StreamStage.openStream(s, srcDir))
-      .processAllAvailable()
-    first.detach() // the restart boundary: window + offsets persist
-    val restored = new RealtimeDatasource(s, rollupSpec, histDir,
-      stateDir = Some(state))
+    Phases.timed(n, "stream_ingest")(
+      first.startRealtime(StreamStage.openStream(s, srcDir))
+        .processAllAvailable())
+    // the restart boundary: window + offsets persist
+    Phases.timed(n, "detach")(first.detach())
+    val restored = Phases.timed(n, "restore")(
+      new RealtimeDatasource(s, rollupSpec, histDir, stateDir = Some(state)))
     try {
       require(restored.realtimeRows().isDefined,
         "detached window must be restored from the persisted spill")
       StreamStage.stageInto(srcDir, ev.filter(col("ts") >= cut2))
       val sq = restored.startRealtime(StreamStage.openStream(s, srcDir))
-      sq.processAllAvailable() // resumes offsets: only the new file
+      // resumes offsets: only the new file
+      Phases.timed(n, "resume_ingest")(sq.processAllAvailable())
       require(sq.isActive, "restored stream must be active at query time")
-      hourlyFold(restored.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+      Phases.timed(n, "union_query")(
+        hourlyFold(restored.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
     } finally {
       restored.abort()
       StreamStage.cleanup()
@@ -258,23 +283,30 @@ object PipelineQueries16 {
       unix_millis(min(col("ts"))).as("a"),
       unix_millis(max(col("ts"))).as("b")).head()
     val (a, b) = (r.getLong(0), r.getLong(1))
+    val n = "streaming_union_reset"
+    Phases.reset(n)
     val (cut1, cut2) = (a + (b - a) / 3, a + 2 * (b - a) / 3)
     val ms = unix_millis(col("ts"))
-    val histDir = landHistorical(s, ev.filter(ms < cut1))
+    val histDir = Phases.timed(n, "land_historical")(
+      landHistorical(s, ev.filter(ms < cut1)))
     val srcDir = StreamStage.stageDir(
       s, ev.filter(ms >= cut1 && ms < cut2))
     val rtds = new RealtimeDatasource(s, rollupSpec, histDir,
       stateDir = Some(StreamStage.tempDir("graft_rt_state")))
     try {
-      rtds.startRealtime(StreamStage.openStream(s, srcDir))
-        .processAllAvailable()
-      rtds.suspend() // middle third publishes; its offsets committed
+      Phases.timed(n, "stream_ingest")(
+        rtds.startRealtime(StreamStage.openStream(s, srcDir))
+          .processAllAvailable())
+      // middle third publishes; its offsets committed
+      Phases.timed(n, "suspend")(rtds.suspend())
       rtds.reset()   // offsets + window wiped — NOT a resume
       StreamStage.stageInto(srcDir, ev.filter(ms >= cut2))
       val sq = rtds.startRealtime(StreamStage.openStream(s, srcDir))
-      sq.processAllAvailable() // earliest: middle third re-ingests + newest
+      // earliest: middle third re-ingests + newest
+      Phases.timed(n, "reingest_from_earliest")(sq.processAllAvailable())
       require(sq.isActive, "reset-restarted stream must be active at query time")
-      hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+      Phases.timed(n, "union_query")(
+        hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
     } finally {
       rtds.abort()
       StreamStage.cleanup()
@@ -293,9 +325,12 @@ object PipelineQueries16 {
     * asserted so the merge provably happened (4 → 1). */
   val streamingUnionPersistMerge: Q = q(
     "streaming_union_persist_merge", unionOracle) { (s, d) =>
+    val n = "streaming_union_persist_merge"
+    Phases.reset(n)
     val ev = centsEvents(s, d)
     val cut = midpointCut(ev)
-    val histDir = landHistorical(s, ev.filter(col("ts") < cut))
+    val histDir = Phases.timed(n, "land_historical")(
+      landHistorical(s, ev.filter(col("ts") < cut)))
     val newer = ev.filter(col("ts") >= cut)
     val r = newer.agg(
       unix_millis(min(col("ts"))).as("a"),
@@ -314,14 +349,16 @@ object PipelineQueries16 {
     val sq = rtds.startRealtime(
       StreamStage.openStream(s, srcDir, maxFilesPerTrigger = 1))
     try {
-      sq.processAllAvailable() // 4 micro-batches -> 4 spill segments
+      // 4 micro-batches -> 4 spill segments
+      Phases.timed(n, "stream_ingest")(sq.processAllAvailable())
       require(rtds.windowFragments() == 4,
         s"expected 4 spill segments, got ${rtds.windowFragments()}")
-      rtds.compactSpillWindow(maxDirs = 1)
+      Phases.timed(n, "compact_spill")(rtds.compactSpillWindow(maxDirs = 1))
       require(rtds.windowFragments() == 1,
         s"merge must consolidate to 1 segment, got ${rtds.windowFragments()}")
       require(sq.isActive, "stream must still be active after the merge")
-      hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint()
+      Phases.timed(n, "union_query")(
+        hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
     } finally {
       rtds.abort()
       StreamStage.cleanup()

@@ -55,6 +55,12 @@ object Profile {
     names.foreach { n =>
       val ts = (1 to 3).map(_ => time(run(q(n)(spark, sfDir))))
       println(f"[profile] $n%-28s ${ts.min}%.3f min / ${ts.sum / 3}%.3f avg")
+      val phases = graft.queries.Phases.of(n)
+      if (phases.nonEmpty) {
+        val split = phases
+          .map { case (p, sec) => f"$p=$sec%.3f" }.mkString(" ")
+        println(s"[profile-phases] $n $split")
+      }
     }
     if (sys.env.contains("PROFILE_EXPLAIN"))
       names.foreach { n =>
