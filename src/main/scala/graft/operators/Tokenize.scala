@@ -36,11 +36,18 @@ object Tokenize {
       .agg(count(lit(1)).as("cnt"))
 
   /** Learn `numMerges` BPE merges from the corpus: one distributed
-    * word-count aggregation, then the standard greedy loop on the
-    * collected (word, count) vocabulary. `maxVocab` guards the
-    * collect — a corpus whose distinct-word count exceeds it fails
-    * loudly instead of silently OOMing the driver. Ties on pair count
-    * break deterministically to the lexicographically smallest pair.
+    * word-count aggregation with the `minCount` vocabulary threshold
+    * applied DISTRIBUTED-side — words rarer than minCount neither
+    * reach the driver nor contribute to pair statistics (at corpus
+    * scale the sub-threshold long tail is typically more than half
+    * the distinct words) — then the standard greedy loop on the
+    * collected (word, count) vocabulary. `maxVocab` bounds the driver
+    * pull over the vocabulary that actually matters: rows arrive
+    * most-frequent-first (ties broken by word, so near-cap corpora
+    * keep the same frequent words deterministically), and a
+    * ≥minCount vocabulary exceeding the cap fails loudly instead of
+    * silently OOMing the driver. Ties on pair count break
+    * deterministically to the lexicographically smallest pair.
     * Learning stops early when the best pair's weighted count falls
     * below `minCount`. */
   def learnBpe(
@@ -53,11 +60,15 @@ object Tokenize {
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      // TakeOrderedAndProject: a bounded top-K heap per partition +
+      // merge, never a full sort materialization
+      .orderBy(desc("cnt"), col("w"))
       .limit(maxVocab + 1)
       .collect()
     require(counted.length <= maxVocab,
-      s"distinct-word vocabulary exceeds maxVocab=$maxVocab; " +
-        "raise the guard or pre-truncate the corpus")
+      s"words with count >= $minCount exceed maxVocab=$maxVocab; " +
+        "raise the guard, raise minCount, or pre-truncate the corpus")
     learnFromWordCounts(
       counted.map(r => (r.getString(0), r.getLong(1))), numMerges, minCount)
   }

@@ -338,8 +338,12 @@ object PipelineQueries11 {
   }
 
   /** Unrolled-iteration DuckDB twin of [[Tokenize.learnBpe]] (k merges,
-    * minCount=2): s0 holds the weighted word vocab as wrapped token
-    * strings; each iteration counts adjacent pairs (pK), picks the
+    * minCount=2 as BOTH the vocabulary threshold and the merge early
+    * stop): s0 holds the FULL weighted word vocab as wrapped token
+    * strings (merges must still APPLY to sub-threshold words — the
+    * Spark side tokenizes every document); pair counting (pK) reads
+    * only the >=minCount rows, mirroring the learner's
+    * distributed-side vocabulary filter, then picks the
     * winner (wK — NULL when nothing reaches minCount, and once NULL
     * the state is a fixpoint so later iterations stay NULL, matching
     * the learner's early stop), and rewrites the state (sK). */
@@ -358,7 +362,8 @@ object PipelineQueries11 {
       sb ++= s""",
         |p$k AS (SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
         |  FROM (SELECT unnest(list_transform(range(1, len(tk)), i -> [tk[i], tk[i+1]])) AS pr, cnt
-        |        FROM (SELECT list_filter(string_split(s, $S), x -> x <> '') AS tk, cnt FROM $prev))
+        |        FROM (SELECT list_filter(string_split(s, $S), x -> x <> '') AS tk, cnt
+        |              FROM $prev WHERE cnt >= 2))
         |  GROUP BY 1, 2),
         |w$k AS MATERIALIZED (SELECT first([a, b] ORDER BY c DESC, a ASC, b ASC) AS win FROM p$k WHERE c >= 2),
         |s$k AS MATERIALIZED (SELECT CASE WHEN (SELECT win FROM w$k) IS NULL THEN s

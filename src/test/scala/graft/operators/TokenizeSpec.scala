@@ -84,8 +84,11 @@ class TokenizeSpec extends SparkSpec {
     val df = Seq("low low low lower newest newest", "newest widest newest lower")
       .toDF("text")
     val m1 = Tokenize.learnBpe(df, "text", 3)
+    // the minCount vocabulary threshold is distributed-side: words
+    // rarer than minCount ('widest') are excluded from learning
     val counts = df.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").count().as[(String, Long)].collect()
+      .filter(_._2 >= 2L)
     val m2 = Tokenize.learnFromWordCounts(counts, 3)
     assert(m1 == m2 && m1.nonEmpty)
   }
@@ -112,7 +115,26 @@ class TokenizeSpec extends SparkSpec {
   }
 
   test("learnBpe maxVocab guard throws on oversized vocabularies") {
-    val df = Seq("a b c d e f").toDF("text")
+    val df = Seq("a a b b c c d d").toDF("text")
+    intercept[IllegalArgumentException] {
+      Tokenize.learnBpe(df, "text", 1, maxVocab = 3)
+    }
+  }
+
+  test("learnBpe learns when only the sub-minCount tail exceeds maxVocab") {
+    // raw distinct words = 4 frequent + 20 singletons = 24 > maxVocab,
+    // but the >=minCount vocabulary (4 words) fits: the threshold is
+    // applied distributed-side BEFORE the cap guard, so this learns
+    // instead of throwing (r13 directive)
+    val tail = (0 until 20).map(i => s"rare$i").mkString(" ")
+    val df = Seq(s"low low lower lower newest newest wider wider $tail")
+      .toDF("text")
+    val merges = Tokenize.learnBpe(df, "text", 2, maxVocab = 8)
+    val expected = Tokenize.learnFromWordCounts(
+      Array(("low", 2L), ("lower", 2L), ("newest", 2L), ("wider", 2L)), 2)
+    assert(merges == expected && merges.nonEmpty)
+    // and the guard still measures the vocabulary that matters: more
+    // than maxVocab FREQUENT words still throws
     intercept[IllegalArgumentException] {
       Tokenize.learnBpe(df, "text", 1, maxVocab = 3)
     }
