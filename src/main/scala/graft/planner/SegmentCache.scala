@@ -214,11 +214,61 @@ final class SegmentCachePlanner(
   private val pendingUnpersist =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private[planner] def pendingUnpersistCount: Int = pendingUnpersist.size()
+  /** unpersist quiescence gate. CacheManager dedups persist() by plan
+    * equality, so a cached partial plan can be SHARED by concurrent
+    * plan() calls — and unpersisting cached blocks while another task
+    * set is reading them can fail that job outright in local mode
+    * ("Block rdd_N_M does not exist"; task retries are 1), not merely
+    * force a recompute. Every unpersist of a possibly-shared plan
+    * therefore runs under this gate ONLY when no other plan() call is
+    * in flight (`activePlans == 1` — entry/exit increments synchronize
+    * on the gate, so no new reader can begin mid-unpersist); otherwise
+    * the frame is deferred to the queue for the next quiescent drain.
+    * The remaining documented seam is unchanged from the original
+    * design: an over-cap plan EXECUTED by its caller after plan()
+    * returns is invisible to the gate — the contract stays "consume a
+    * returned plan before issuing the next plan() on another thread". */
+  private val planGate = new Object
+  private var activePlans = 0
+  /** queue-pressure bound: enqueueing past this force-unpersists the
+    * ELDEST deferred entries at the next quiescent moment, so a burst
+    * of over-cap populates with no follow-up plan() call cannot pin an
+    * unbounded pile of MEMORY_AND_DISK partials. var as a test seam. */
+  private[planner] var maxPendingUnpersist = 4
   /** for callers that DISCARD a planner after a single plan() call
     * (fresh-cache benchmarks): release any deferred-unpersist blocks
     * now, once the plan's result has been consumed — a discarded
     * instance never reaches the next plan() drain. */
-  def releasePending(): Unit = drainPendingUnpersist()
+  def releasePending(): Unit = planGate.synchronized(drainPendingUnpersist())
+  /** session-close hook: an idle-after-populate session must not hold
+    * its deferred partials until JVM exit (the server's stop() calls
+    * this; embedders owning a planner directly should too). Idempotent
+    * — the planner remains usable, a later plan() just re-persists. */
+  def close(): Unit = planGate.synchronized(drainPendingUnpersist())
+  /** unpersist `df` now if this is the only in-flight plan() (no
+    * possible concurrent reader of a plan-equal cache entry), else
+    * defer it to the queue. */
+  private def unpersistOrDefer(df: DataFrame): Unit = planGate.synchronized {
+    if (activePlans <= 1) {
+      try df.unpersist(false) catch { case _: Exception => () }
+      trimPendingOverCap()
+    } else pendingUnpersist.add(df)
+  }
+  private def enqueuePendingUnpersist(df: DataFrame): Unit =
+    planGate.synchronized {
+      pendingUnpersist.add(df)
+      if (activePlans <= 1) trimPendingOverCap()
+    }
+  /** caller must hold planGate with activePlans <= 1. */
+  private def trimPendingOverCap(): Unit =
+    while (pendingUnpersist.size() > maxPendingUnpersist) {
+      val eldest = pendingUnpersist.poll()
+      if (eldest != null)
+        try eldest.unpersist(false) catch { case _: Exception => () }
+    }
+  private def drainIfQuiescent(): Unit = planGate.synchronized {
+    if (activePlans <= 1) drainPendingUnpersist()
+  }
   private def drainPendingUnpersist(): Unit = {
     var df = pendingUnpersist.poll()
     while (df != null) {
@@ -536,7 +586,14 @@ final class SegmentCachePlanner(
   }
 
   def plan(q: NativeQuery, useCache: Boolean, populateCache: Boolean): DataFrame = {
-    drainPendingUnpersist()
+    planGate.synchronized { activePlans += 1 }
+    try planInner(q, useCache, populateCache)
+    finally planGate.synchronized { activePlans -= 1 }
+  }
+
+  private def planInner(
+      q: NativeQuery, useCache: Boolean, populateCache: Boolean): DataFrame = {
+    drainIfQuiescent()
     if (!useCache && !populateCache) return fallback.plan(q)
     q match {
       // timeBoundary has its own cache strategy in the reference
@@ -783,7 +840,10 @@ final class SegmentCachePlanner(
           val estBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
           if (n <= maxPopulateRows && estBytes <= maxPopulateBytes) {
             val arr = freshP.collect()
-            freshP.unpersist(false)
+            // a plan-equal freshP may be shared by a CONCURRENT plan()
+            // (CacheManager dedups persist by plan): unpersist only at
+            // quiescence, defer otherwise
+            unpersistOrDefer(freshP)
             val bIdx = schema.fieldIndex(Ingest.BucketCol)
             val byBucket = arr.groupBy(_.get(bIdx).toString)
             missedCovered.foreach { b =>
@@ -795,8 +855,9 @@ final class SegmentCachePlanner(
           } else {
             cache.countPopulateSkipped()
             // cannot unpersist inline (the merge below reads freshP
-            // lazily) — the next plan() call reclaims the blocks
-            pendingUnpersist.add(freshP)
+            // lazily) — the next plan() call, close(), or queue
+            // pressure past maxPendingUnpersist reclaims the blocks
+            enqueuePendingUnpersist(freshP)
             withCached(freshP)
           }
         } catch {
@@ -806,7 +867,7 @@ final class SegmentCachePlanner(
             // racing the query): drop the stale inventory and serve the
             // uncached plan over the live directory — correct, counted
             // as a bypass, exactly like the vanished-directory degrade
-            try freshP.unpersist(false) catch { case _: Exception => () }
+            unpersistOrDefer(freshP)
             SegmentVersions.invalidate(info.path)
             cache.countBypass()
             return fallback.plan(q)
@@ -817,18 +878,31 @@ final class SegmentCachePlanner(
     merge(mergeInput)
   }
 
-  /** a scan-time missing-file failure anywhere in the cause chain —
-    * Spark wraps the FileNotFoundException in SparkException layers. */
-  private def isMissingFile(t: Throwable): Boolean = {
+  /** a missing-file failure anywhere in the cause chain — at SCAN time
+    * Spark wraps a FileNotFoundException in SparkException layers
+    * (SparkFileNotFoundException extends it, one class match covers
+    * both); at plan-CONSTRUCTION time a vanished pinned path surfaces
+    * as AnalysisException with error condition PATH_NOT_FOUND.
+    * Matching is by exception CLASS / error condition, not message
+    * substrings: a substring like "does not exist" also appears in
+    * unrelated analysis errors ("Table or view does not exist"), which
+    * must surface as real failures, not silently degrade to the
+    * uncached fallback and miscount as bypasses. The one message check
+    * kept is the fully-qualified FNF class name, for executor
+    * exceptions that arrive stringified into the driver-side message
+    * rather than as a live cause chain (cluster mode) — a string an
+    * unrelated error can't contain. */
+  private[planner] def isMissingFile(t: Throwable): Boolean = {
     var c: Throwable = t
     var depth = 0
     while (c != null && depth < 16) {
       c match {
         case _: java.io.FileNotFoundException => return true
+        case st: org.apache.spark.SparkThrowable
+            if st.getCondition == "PATH_NOT_FOUND" => return true
         case _ =>
-          if (Option(c.getMessage).exists(m =>
-            m.contains("FileNotFoundException") ||
-              m.contains("does not exist"))) return true
+          if (Option(c.getMessage).exists(
+            _.contains("java.io.FileNotFoundException"))) return true
       }
       c = c.getCause
       depth += 1

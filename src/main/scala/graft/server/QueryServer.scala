@@ -554,6 +554,10 @@ class QueryServer(
       realtimeSupervisors.remove(id).foreach(_.detach()))
     supervisors.keys.toSeq.foreach(id =>
       supervisors.remove(id).foreach(_._1.stop()))
+    // release any deferred-unpersist partials an over-cap populate
+    // left behind — an idle-after-populate server must not hold
+    // MEMORY_AND_DISK blocks until JVM exit
+    cachingPlanner.close()
     if (server != null) server.stop(0)
   }
 

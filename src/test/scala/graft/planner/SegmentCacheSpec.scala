@@ -458,6 +458,65 @@ class SegmentCacheSpec extends SparkSpec {
     assert(scp2.pendingUnpersistCount == 0)
   }
 
+  test("close() and queue pressure reclaim deferred over-cap blocks without a next plan()") {
+    val planner = new NativePlanner(spark, { case "t" => table })
+    val scp = new SegmentCachePlanner(spark, planner, new SegmentResultCache(),
+      { case "t" => Some(SegmentCachePlanner.TableInfo(path, buckets, "P1D")); case _ => None },
+      maxPopulateRows = 2)
+    // UNIQUE aggregator output names per plan: CacheManager dedups
+    // persist() by plan equality across the whole suite, so any plan
+    // equal to another test's leftover would reuse its cached RDD and
+    // break this test's leak accounting
+    def q(tag: String) = GroupBy(DataSource.Table("t"), allDays, day, None,
+      Seq(DimensionSpec("user", "user", None)),
+      Seq(Aggregator.Count(s"cnt_close_$tag")), Nil, None, None, Nil, Nil)
+    val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // an idle-after-populate session: over-cap populate, result fully
+    // consumed, then NO further plan() call ever drains the queue
+    assert(rows(scp.plan(q("a"), true, true)).nonEmpty)
+    assert(scp.pendingUnpersistCount == 1)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- idsBefore
+    assert(leaked.nonEmpty, "over-cap plan must have materialized cached blocks")
+    scp.close()
+    assert(scp.pendingUnpersistCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.intersect(leaked).isEmpty,
+      "close() must unpersist pending over-cap blocks, not hold them to JVM exit")
+    // the planner stays usable after close
+    assert(rows(scp.plan(q("b"), true, false)).nonEmpty)
+    scp.close()
+    // queue pressure: a burst of over-cap populates past the cap
+    // force-unpersists the eldest entries at enqueue time
+    scp.maxPendingUnpersist = 2
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    (0 until 5).foreach { i =>
+      val plan = scp.plan(q(s"burst$i"), true, true)
+      assert(rows(plan).nonEmpty)
+    }
+    assert(scp.pendingUnpersistCount <= 2,
+      s"queue must stay under the cap, got ${scp.pendingUnpersistCount}")
+    scp.close()
+    assert(before2.diff(spark.sparkContext.getPersistentRDDs.keySet).isEmpty,
+      "pre-existing cached RDDs must be untouched by the trim/close")
+  }
+
+  test("isMissingFile matches the exception class, not 'does not exist' prose") {
+    val (planner, cache, scp) = fresh()
+    val _ = (planner, cache)
+    // real missing-file shapes: bare, Spark-wrapped cause chain, and a
+    // stringified executor message (cluster mode)
+    assert(scp.isMissingFile(new java.io.FileNotFoundException("/x/part-0")))
+    assert(scp.isMissingFile(new RuntimeException("stage failure",
+      new java.io.FileNotFoundException("gone"))))
+    assert(scp.isMissingFile(new RuntimeException(
+      "Job aborted: java.io.FileNotFoundException: /x/part-0")))
+    // analysis errors whose message merely CONTAINS 'does not exist'
+    // must surface, not silently degrade to the uncached fallback
+    assert(!scp.isMissingFile(new RuntimeException(
+      "Table or view does not exist: t")))
+    assert(!scp.isMissingFile(new RuntimeException("outer",
+      new IllegalArgumentException("column `user` does not exist"))))
+  }
+
   test("dotted dimension outputName survives the populate size estimate") {
     val (planner, cache, scp) = fresh()
     // `user.name` unquoted would parse as a nested-field reference in
