@@ -580,6 +580,73 @@ class SegmentCacheSpec extends SparkSpec {
     assert(cache.populated > 0)
   }
 
+  test("an external writer landing between probe and the pinned scan degrades correctly") {
+    // the r13 multi-writer contract's race window: the query has
+    // already probed the sidecar (fresh at probe time) and taken its
+    // pinned listing when a SECOND cooperating process replaces the
+    // bucket's files and bumps _graft_epoch. The pinned scan must hit
+    // the vanished file, degrade to the live fallback (serving the
+    // POST-replace rows — never a stale/partial mix), count a bypass,
+    // and leave the bumped sidecar to make the next query relist.
+    val dir = java.nio.file.Files.createTempDirectory("graft_segcache_race").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def data(mult: Long) = spark.range(0, 96).select(
+      timestamp_millis(lit(ms("2024-01-01T00:00:00Z")) + col("id") * 1800000L).as("ts"),
+      (col("id") % 7 * mult).cast("long").as("v"))
+    Ingest.ingest(data(1L), Ingest.IngestSpec(timeColumn = "ts"), dir)
+    def bkts = Ingest.listBuckets(spark, dir)
+    val planner = new NativePlanner(spark,
+      { case "t3" => spark.read.parquet(dir).drop(Ingest.BucketCol) })
+    val cache = new SegmentResultCache()
+    val scp = new SegmentCachePlanner(spark, planner, cache,
+      { case "t3" => Some(SegmentCachePlanner.TableInfo(dir, bkts, "P1D")); case _ => None })
+    val q = Timeseries(DataSource.Table("t3"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-01-03T00:00:00Z"))),
+      day, None, sumCount, Nil, Nil, descending = false, skipEmptyBuckets = false)
+    // warm pass: populate from the original files
+    assert(rows(scp.plan(q, true, true)) == rows(planner.plan(q)))
+    val popBefore = cache.populated
+    assert(popBefore > 0)
+    // the external writer fires INSIDE the race window of the next
+    // query: replace one bucket's part files with scaled rows and bump
+    // the sidecar, exactly as a foreign process would
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    var fired = false
+    scp.afterVersionListing = () => if (!fired) {
+      fired = true
+      val b0 = new org.apache.hadoop.fs.Path(dir, s"${Ingest.BucketCol}=${bkts.head}")
+      val day0 = data(10L).filter(
+        col("ts") < timestamp_millis(lit(ms("2024-01-02T00:00:00Z"))))
+        .drop(Ingest.BucketCol)
+      fs.delete(b0, true)
+      day0.coalesce(1).write.parquet(b0.toString)
+      graft.sources.SegmentVersions.announceExternal(hconf, dir)
+    }
+    // invalidate the warm entries' versions? No — the REPLACED bucket's
+    // pinned files vanish mid-plan; the untouched bucket may serve from
+    // cache. Issue a fresh query whose plan must recompute the replaced
+    // bucket: drop the cached entries by querying with a new fingerprint
+    val q2 = Timeseries(DataSource.Table("t3"),
+      Seq(QueryInterval(ms("2024-01-01T00:00:00Z"), ms("2024-01-03T00:00:00Z"))),
+      day, None, Seq(Aggregator.LongSum("sv_race", "v")), Nil, Nil,
+      descending = false, skipEmptyBuckets = false)
+    val bypassBefore = cache.bypassedQueries
+    val out = rows(scp.plan(q2, true, true))
+    scp.afterVersionListing = () => ()
+    assert(fired, "the external writer seam must have fired")
+    assert(cache.bypassedQueries == bypassBefore + 1,
+      "the vanished pinned file must count as a bypass")
+    // the degrade served the LIVE post-replace directory
+    assert(out == rows(planner.plan(q2)),
+      "degrade must serve post-replace rows, never a stale/partial mix")
+    // the bumped sidecar is visible to the NEXT query's probe: it
+    // relists, repopulates against the new files, and answers fresh
+    assert(rows(scp.plan(q2, true, true)) == rows(planner.plan(q2)))
+    assert(cache.populated > popBefore,
+      "the next query must repopulate against the externally-replaced files")
+    assert(rows(scp.plan(q2, true, false)) == rows(planner.plan(q2)))
+  }
+
   test("nested filtered aggregators combine through the cache (no bypass)") {
     val (planner, cache, scp) = fresh()
     val q = ts(allDays, Seq(
