@@ -183,7 +183,12 @@ object TextKernels {
     * bit-identical to `transform(sequence(0, n-w), j => j + w -
     * array_position(reverse(slice(hs, j+1, w)), array_min(slice)))`:
     * for each length-w window, the 0-based position of the RIGHTMOST
-    * minimum hash. One pass, no per-window slice/reverse allocation. */
+    * minimum hash. One pass, no per-window slice/reverse allocation.
+    * Null slots follow the declarative twin exactly: array_min SKIPS
+    * nulls (a null can never be the window minimum) and an all-null
+    * window yields a null output slot (array_min null →
+    * array_position null). Current call sites hash to non-null, but
+    * the parity claim must hold unconditionally. */
   def winnowPositions(hs: ArrayData, w: Int): ArrayData = {
     require(w >= 1, s"winnow window must be >= 1, got $w")
     val n = hs.numElements()
@@ -192,15 +197,17 @@ object TextKernels {
     val out = new Array[Any](m)
     var j = 0
     while (j < m) {
-      var best = hs.getLong(j)
-      var bestAt = j
-      var i = j + 1
+      var best = Long.MaxValue
+      var bestAt = -1
+      var i = j
       while (i < j + w) {
-        val v = hs.getLong(i)
-        if (v <= best) { best = v; bestAt = i } // rightmost min wins
+        if (!hs.isNullAt(i)) {
+          val v = hs.getLong(i)
+          if (bestAt < 0 || v <= best) { best = v; bestAt = i } // rightmost min
+        }
         i += 1
       }
-      out(j) = java.lang.Long.valueOf(bestAt.toLong)
+      out(j) = if (bestAt < 0) null else java.lang.Long.valueOf(bestAt.toLong)
       j += 1
     }
     new GenericArrayData(out)
@@ -334,7 +341,8 @@ case class PortableRollHash(child: Expression) extends UnaryExpression {
 /** winnowing rightmost-min window positions (see
   * TextKernels.winnowPositions). */
 case class WinnowPositions(child: Expression, w: Int) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // an all-null window yields a null slot, matching the HOF twin
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullSafeEval(v: Any): Any =
     TextKernels.winnowPositions(v.asInstanceOf[ArrayData], w)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -25,11 +25,16 @@ object Ckpt {
   private val pending = TrieMap.empty[String, List[DataFrame]]
 
   /** release blocks registered under `tag` by a previous invocation,
-    * then register `df` (which must already be localCheckpoint'd). */
-  def recycle(tag: String, df: DataFrame): DataFrame = {
+    * then register `df` (which must already be localCheckpoint'd).
+    * `df` is BY-NAME: an eager `localCheckpoint()` argument must
+    * materialize its blocks AFTER the previous run's are drained —
+    * by-value evaluation would pin both copies at peak, the exact 2x
+    * transient recycling exists to avoid. */
+  def recycle(tag: String, df: => DataFrame): DataFrame = {
     drain(tag)
-    register(tag, df)
-    df
+    val materialized = df
+    register(tag, materialized)
+    materialized
   }
 
   /** register without draining — for multiple checkpoints in one

@@ -125,6 +125,16 @@ object SegmentVersions {
   private def sidecarPath(path: String) =
     new org.apache.hadoop.fs.Path(path, SidecarFile)
 
+  /** the in-memory form of a sidecar's content: length + SHA-256 of
+    * the first [[SidecarProbeBytes]] bytes. announce() and probe()
+    * must agree on this form, or a process's own probe would spuriously
+    * re-invalidate right after its own announce. */
+  private def digestToken(bytes: Array[Byte], len: Int): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.update(bytes, 0, len)
+    s"$len:${java.util.Base64.getEncoder.encodeToString(d.digest())}"
+  }
+
   /** in-process announce: bump the sidecar token, remember it (so this
     * process's own probes don't re-invalidate), and invalidate the
     * memo. Every segment-mutating write path calls this. */
@@ -136,9 +146,12 @@ object SegmentVersions {
       val p = sidecarPath(path)
       val fs = p.getFileSystem(hconf)
       val out = fs.create(p, true)
-      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val bytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      try out.write(bytes)
       finally out.close()
-      sidecarTokens.put(path, token)
+      // remember the DIGEST form probe() computes, so this process's
+      // own next probe sees its own announcement as already-known
+      sidecarTokens.put(path, digestToken(bytes, bytes.length))
     } catch {
       // the sidecar is an optimization for OTHER processes; this
       // process's own invalidation below never depends on it
@@ -149,10 +162,13 @@ object SegmentVersions {
 
   /** what an EXTERNAL writer (another process, or a raw `df.write`
     * bypassing the ingest API) calls — or reproduces by writing the
-    * `_graft_epoch` file itself with any fresh content: bump the
-    * sidecar WITHOUT touching this process's in-memory state, exactly
-    * as a foreign process would. Running caches pick it up on their
-    * next [[probe]]. */
+    * `_graft_epoch` file itself with any fresh content whose change is
+    * visible within the first [[SidecarProbeBytes]] (64 KB; keep
+    * tokens small — a constant prefix of that size with a changing
+    * tail is not a supported announcement): bump the sidecar WITHOUT
+    * touching this process's in-memory state, exactly as a foreign
+    * process would. Running caches pick it up on their next
+    * [[probe]]. */
   def announceExternal(hconf: Configuration, path: String): Unit = {
     val token =
       s"ext:${tokenCounter.incrementAndGet()}:${System.nanoTime()}"
@@ -171,12 +187,25 @@ object SegmentVersions {
     * sidecar (never-announced table) and read failures leave the memo
     * untouched: in-process invalidation still governs, the r11
     * contract. */
+  /** content considered by [[probe]]: the first 64 KB. Our own tokens
+    * are <64 bytes; an external writer may put ANY fresh content in the
+    * sidecar as long as a change is visible within this bound (a
+    * constant 64 KB header with a changing tail is not a supported
+    * announcement — documented on [[announceExternal]]). The bound
+    * exists so a hot query path can never be made to stream an
+    * arbitrarily large file per probe. */
+  val SidecarProbeBytes: Int = 64 << 10
+
   def probe(hconf: Configuration, path: String): Unit = {
     probeCount.incrementAndGet()
-    // ONE filesystem RPC: open + bounded read (tokens are ≤64 bytes;
-    // on an object store this is a single small GET). A separate
+    // ONE filesystem RPC: open + bounded read (tokens are ≤64 bytes —
+    // on an object store this is a single small GET; the 64 KB bound
+    // only matters for oversized external sidecars). A separate
     // getFileStatus to size the buffer would double the hot-path
-    // round-trips for nothing.
+    // round-trips for nothing. The in-memory token is a digest of the
+    // content read, not the raw bytes, so an external writer's large
+    // token costs ~32 bytes of driver memory, and ANY content change
+    // within the bound is detected — not just changes to a prefix.
     val current: Option[String] =
       try {
         val p = sidecarPath(path)
@@ -186,12 +215,12 @@ object SegmentVersions {
           catch { case _: java.io.FileNotFoundException => null }
         if (in == null) None
         else try {
-          val buf = new Array[Byte](256)
+          val buf = new Array[Byte](SidecarProbeBytes)
           var off = 0
           var n = in.read(buf, 0, buf.length)
           while (n > 0 && off + n < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
           if (n > 0) off += n
-          Some(new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8))
+          Some(digestToken(buf, off))
         } finally in.close()
       } catch { case _: Exception => None }
     current.foreach { token =>

@@ -56,9 +56,19 @@ class PortableHashKernelsSpec extends SparkSpec {
     val rnd = new scala.util.Random(3041)
     val w = 4
     // duplicates guaranteed: values drawn from a tiny range so ties
-    // exercise the rightmost-min rule
+    // exercise the rightmost-min rule; ~1/8 of slots null so the
+    // null-skip and all-null-window paths match the twin too
     val arrays = (1 to 300).map(_ =>
-      Seq.fill(w + rnd.nextInt(40))(rnd.nextLong(8L)))
+      Seq.fill(w + rnd.nextInt(40))(
+        if (rnd.nextInt(8) == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextLong(8L)))) ++
+      // deterministic all-null and leading/trailing-null windows
+      Seq(
+        Seq.fill(6)(null.asInstanceOf[java.lang.Long]),
+        (Seq.fill(4)(null.asInstanceOf[java.lang.Long]) ++
+          Seq(java.lang.Long.valueOf(3L), java.lang.Long.valueOf(1L))),
+        (Seq(java.lang.Long.valueOf(2L)) ++
+          Seq.fill(5)(null.asInstanceOf[java.lang.Long])))
     val df = arrays.toDF("hs")
     def hofWinnow(hs: Column): Column =
       transform(sequence(lit(0), size(hs) - w), j => {

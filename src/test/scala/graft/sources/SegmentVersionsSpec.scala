@@ -114,4 +114,44 @@ class SegmentVersionsSpec extends SparkSpec {
     val r3 = run()
     assert(r3 == r2, "no announcement → memoized inventory keeps serving")
   }
+
+  test("probe detects sidecar changes past a constant 256-byte prefix") {
+    // an external writer whose sidecar content keeps a constant header
+    // and varies only the tail: the probe digests the full content (up
+    // to SidecarProbeBytes), so the change is detected — the r13
+    // 256-byte-prefix blind spot
+    val dir = java.nio.file.Files.createTempDirectory("graft_segver_tail").toString
+    def writeSidecar(tail: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, SegmentVersions.SidecarFile)
+      val fs = p.getFileSystem(hconf)
+      val out = fs.create(p, true)
+      try out.write(("h" * 300 + tail)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    writeSidecar("v1")
+    val e0 = SegmentVersions.epochOf(dir)
+    SegmentVersions.probe(hconf, dir)
+    val e1 = SegmentVersions.epochOf(dir)
+    assert(e1 > e0, "a first-seen sidecar invalidates")
+    // unchanged content: no spurious invalidation
+    SegmentVersions.probe(hconf, dir)
+    assert(SegmentVersions.epochOf(dir) == e1,
+      "an unchanged sidecar must not re-invalidate")
+    // tail-only change beyond byte 256 must be detected
+    writeSidecar("v2")
+    SegmentVersions.probe(hconf, dir)
+    assert(SegmentVersions.epochOf(dir) > e1,
+      "a tail-only sidecar change past 256 bytes must invalidate")
+  }
+
+  test("a process's own probe right after its own announce is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_segver_self").toString
+    SegmentVersions.announce(hconf, dir)
+    val e = SegmentVersions.epochOf(dir)
+    // announce stored the digest form probe() computes: no self-bump
+    SegmentVersions.probe(hconf, dir)
+    assert(SegmentVersions.epochOf(dir) == e,
+      "own announcement must be recognized by the next probe")
+  }
 }
