@@ -2811,9 +2811,13 @@ class QueryServer(
     * as usual. */
   private def serveCached(ex: HttpExchange, body: String)(
       produce: (String => OutputStream) => Unit): Unit = {
-    val etag = resultCacheEtag(body)
-    val use = etag.isDefined && contextFlag(body, "useResultLevelCache")
-    val pop = etag.isDefined && contextFlag(body, "populateResultLevelCache")
+    val wantUse = contextFlag(body, "useResultLevelCache")
+    val wantPop = contextFlag(body, "populateResultLevelCache")
+    // etag computed only for opt-in requests: the non-caching hot path
+    // must not pay the referenced-datasource scan per query
+    val etag = if (wantUse || wantPop) resultCacheEtag(body) else None
+    val use = wantUse && etag.isDefined
+    val pop = wantPop && etag.isDefined
     lazy val key = etag.get + "\u0000" + body
     if (use) cacheGet(key) match {
       case Some((code, ct, bytes)) =>
