@@ -61,8 +61,11 @@ object Tokenize {
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
-      // TakeOrderedAndProject: a bounded top-K heap per partition +
-      // merge, never a full sort materialization
+      // ordered limit: below spark.sql.execution.topKSortFallbackThreshold
+      // this is a TakeOrderedAndProject heap; above it Spark sorts the
+      // (word, cnt) aggregate — a narrow two-column set ALREADY shrunk
+      // by the minCount filter, so the sort is cheap at corpus scale
+      // and buys a deterministic cap guard that keeps frequent words
       .orderBy(desc("cnt"), col("w"))
       .limit(maxVocab + 1)
       .collect()
