@@ -353,6 +353,40 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("result cache etag: a REPLACE on a prefix-named table leaves other tables' entries alone") {
+    // word-boundary matching: datasource `etagp` is a strict prefix of
+    // `etagp2`; a write to `etagp` must not invalidate a cached query
+    // on `etagp2` (boundary check — '2' continues the identifier), and
+    // vice versa a write to `etagp2` must not touch `etagp`'s entry
+    val root = java.nio.file.Files.createTempDirectory("graft-cache-etagp").toString
+    fixture.createOrReplaceTempView("ds_etagp_src")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    srv.cacheTtlMs = 600000L
+    val port = srv.start()
+    try {
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO etagp SELECT __time, dim, m FROM ds_etagp_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO etagp2 SELECT __time, dim, m FROM ds_etagp_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      def q(t: String) =
+        s"""{"query": "SELECT sum(m) AS s FROM $t",
+           |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin
+      assert(post(port, "/druid/v2/sql", q("etagp2"))._1 == 200)
+      assert(post(port, "/druid/v2/sql", q("etagp"))._1 == 200)
+      assert(srv.cacheHits == 0)
+      // REPLACE the PREFIX table: etagp2's entry must still hit
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO etagp OVERWRITE ALL SELECT __time, dim, m * 2 AS m FROM ds_etagp_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      assert(post(port, "/druid/v2/sql", q("etagp2"))._2 == """[{"s":6.0}]""")
+      assert(srv.cacheHits == 1,
+        "a write to 'etagp' must not invalidate 'etagp2' (word boundary)")
+      // while etagp itself misses and serves the replaced rows
+      assert(post(port, "/druid/v2/sql", q("etagp"))._2 == """[{"s":12.0}]""")
+      assert(srv.cacheHits == 1, "the replaced table must miss")
+    } finally srv.stop()
+  }
+
   test("query capacity: at the slot limit new queries get the 429 shape") {
     spark.udf.register("graft_cap_sleep", (x: Long) => { Thread.sleep(30); x })
     spark.range(0, 400).createOrReplaceTempView("cap_t")
