@@ -172,6 +172,26 @@ object SegmentCachePlanner {
     * granularity from the ingest metadata sidecar. */
   final case class TableInfo(
       path: String, activeBuckets: Seq[String], segmentGranularity: String)
+
+  /** unpersist quiescence gate, GLOBAL across planner instances.
+    * Spark's CacheManager dedups persist() by plan equality
+    * JVM-wide, so a cached partial plan can be SHARED by concurrent
+    * plan() calls on the SAME or DIFFERENT planners — and unpersisting
+    * cached blocks while another task set is reading them can fail
+    * that job outright in local mode ("Block rdd_N_M does not exist";
+    * task retries are 1), not merely force a recompute. Every
+    * unpersist of a possibly-shared plan therefore runs under this
+    * gate ONLY when no other plan() call is in flight anywhere
+    * (`activePlans == 1` — entry/exit increments synchronize on the
+    * gate, so no new reader can begin mid-unpersist); otherwise the
+    * frame is deferred to its planner's queue for the next quiescent
+    * drain. The remaining documented seam is unchanged from the
+    * original design: an over-cap plan EXECUTED by its caller after
+    * plan() returns is invisible to the gate — the contract stays
+    * "consume a returned plan before issuing the next plan() on
+    * another thread". */
+  private[planner] val planGate = new Object
+  private[planner] var activePlans = 0
 }
 
 final class SegmentCachePlanner(
@@ -214,22 +234,8 @@ final class SegmentCachePlanner(
   private val pendingUnpersist =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private[planner] def pendingUnpersistCount: Int = pendingUnpersist.size()
-  /** unpersist quiescence gate. CacheManager dedups persist() by plan
-    * equality, so a cached partial plan can be SHARED by concurrent
-    * plan() calls — and unpersisting cached blocks while another task
-    * set is reading them can fail that job outright in local mode
-    * ("Block rdd_N_M does not exist"; task retries are 1), not merely
-    * force a recompute. Every unpersist of a possibly-shared plan
-    * therefore runs under this gate ONLY when no other plan() call is
-    * in flight (`activePlans == 1` — entry/exit increments synchronize
-    * on the gate, so no new reader can begin mid-unpersist); otherwise
-    * the frame is deferred to the queue for the next quiescent drain.
-    * The remaining documented seam is unchanged from the original
-    * design: an over-cap plan EXECUTED by its caller after plan()
-    * returns is invisible to the gate — the contract stays "consume a
-    * returned plan before issuing the next plan() on another thread". */
-  private val planGate = new Object
-  private var activePlans = 0
+  import SegmentCachePlanner.planGate
+  private def activePlans = SegmentCachePlanner.activePlans
   /** queue-pressure bound: enqueueing past this force-unpersists the
     * ELDEST deferred entries at the next quiescent moment, so a burst
     * of over-cap populates with no follow-up plan() call cannot pin an
@@ -586,9 +592,9 @@ final class SegmentCachePlanner(
   }
 
   def plan(q: NativeQuery, useCache: Boolean, populateCache: Boolean): DataFrame = {
-    planGate.synchronized { activePlans += 1 }
+    planGate.synchronized { SegmentCachePlanner.activePlans += 1 }
     try planInner(q, useCache, populateCache)
-    finally planGate.synchronized { activePlans -= 1 }
+    finally planGate.synchronized { SegmentCachePlanner.activePlans -= 1 }
   }
 
   private def planInner(
