@@ -2755,6 +2755,49 @@ class QueryServer(
     } finally os.close()
   }
 
+  /** context keys that cannot change a response body — excluded from
+    * the result-cache key so a re-issued query with a fresh queryId or
+    * a different timeout still HITS (the reference computes its
+    * result-level cache key from the parsed Query, and
+    * QueryContexts.java treats these as execution metadata, not query
+    * identity). Everything else — including maxRows (truncation),
+    * resultFormat/header (byte shape), sqlTimeZone (semantics) — stays
+    * in the key. */
+  private val nonSemanticContextKeys = Set(
+    "queryId", "timeout", "priority", "lane",
+    "useResultLevelCache", "populateResultLevelCache")
+
+  /** canonical cache form of a request body: JSON re-serialized with
+    * object keys sorted recursively and non-semantic context keys
+    * dropped, so key order, whitespace, and a changing queryId don't
+    * fragment the cache (the reference keys on the PARSED query, not
+    * request bytes — sql/http/SqlQuery.java equality, and native
+    * queries' getCacheKey). Unparseable bodies fall back to the raw
+    * string — exact-body keying, never a correctness risk. */
+  private def canonicalCacheBody(body: String): String =
+    try {
+      val root = mapper.readTree(body)
+      def canon(n: JsonNode): JsonNode = n match {
+        case o: ObjectNode =>
+          val out = mapper.createObjectNode()
+          val names = scala.collection.mutable.ArrayBuffer.empty[String]
+          o.fieldNames().forEachRemaining(names += _)
+          names.sorted.foreach(f => out.set[JsonNode](f, canon(o.get(f))))
+          out
+        case a: ArrayNode =>
+          val out = mapper.createArrayNode()
+          a.forEach(e => out.add(canon(e)))
+          out
+        case other => other
+      }
+      val c = canon(root).asInstanceOf[ObjectNode]
+      Option(c.get("context")).collect { case ctx: ObjectNode =>
+        nonSemanticContextKeys.foreach(ctx.remove)
+        if (ctx.isEmpty) c.remove("context")
+      }
+      mapper.writeValueAsString(c)
+    } catch { case _: Exception => body }
+
   /** does `body` mention `name` as a standalone word? Conservative:
     * a datasource name inside a string literal only contributes an
     * extra etag component (a possible extra miss), never staleness. */
@@ -2818,7 +2861,7 @@ class QueryServer(
     val etag = if (wantUse || wantPop) resultCacheEtag(body) else None
     val use = wantUse && etag.isDefined
     val pop = wantPop && etag.isDefined
-    lazy val key = etag.get + "\u0000" + body
+    lazy val key = etag.get + "\u0000" + canonicalCacheBody(body)
     if (use) cacheGet(key) match {
       case Some((code, ct, bytes)) =>
         cacheHits += 1

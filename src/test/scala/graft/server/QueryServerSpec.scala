@@ -353,6 +353,38 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("result cache key is canonical: queryId/timeout/key-order don't fragment, semantics do") {
+    fixture.createOrReplaceTempView("ds_canon")
+    val srv = new QueryServer(spark, { case "ds" => fixture })
+    val port = srv.start()
+    try {
+      // populate with one spelling
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT dim, sum(m) AS s FROM ds_canon GROUP BY dim ORDER BY dim",
+          |"context": {"useResultLevelCache": true, "populateResultLevelCache": true,
+          |            "queryId": "first-run", "timeout": 30000}}""".stripMargin)
+      assert(c1 == 200, b1)
+      assert(srv.cacheHits == 0)
+      // fresh queryId + different timeout + reordered JSON keys +
+      // different whitespace: the reference keys on the PARSED query,
+      // so this must HIT
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"context": {"timeout": 99999, "queryId": "second-run", "priority": 7,
+          |             "populateResultLevelCache": true, "useResultLevelCache": true},
+          |  "query": "SELECT dim, sum(m) AS s FROM ds_canon GROUP BY dim ORDER BY dim"}""".stripMargin)
+      assert(c2 == 200 && b2 == b1, b2)
+      assert(srv.cacheHits == 1,
+        "non-semantic context and key order must not fragment the cache")
+      // a SEMANTIC difference (resultFormat changes the bytes) must miss
+      val (c3, b3) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT dim, sum(m) AS s FROM ds_canon GROUP BY dim ORDER BY dim",
+          |"resultFormat": "array",
+          |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin)
+      assert(c3 == 200 && b3 != b1, b3)
+      assert(srv.cacheHits == 1, "a changed resultFormat must be a different key")
+    } finally srv.stop()
+  }
+
   test("result cache etag: a REPLACE on a prefix-named table leaves other tables' entries alone") {
     // word-boundary matching: datasource `etagp` is a strict prefix of
     // `etagp2`; a write to `etagp` must not invalidate a cached query
