@@ -353,6 +353,37 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("native-path result cache is etag-coupled too: REPLACE misses the next /druid/v2 hit") {
+    // the native endpoint shares serveCached with SQL; this pins the
+    // envelope-writing path: a populated native timeseries entry on an
+    // ingested table must miss (and re-answer fresh) after a REPLACE,
+    // with the datasource name detected through the native JSON shape
+    val root = java.nio.file.Files.createTempDirectory("graft-cache-etagn").toString
+    fixture.createOrReplaceTempView("ds_etagn_src")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    srv.cacheTtlMs = 600000L
+    val port = srv.start()
+    try {
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO etagn SELECT __time, dim, m FROM ds_etagn_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      val q = """{"queryType": "timeseries", "dataSource": "etagn", "intervals": [],
+                |"granularity": "all",
+                |"aggregations": [{"type": "doubleSum", "name": "s", "fieldName": "m"}],
+                |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin
+      val (c1, b1) = post(port, "/druid/v2", q)
+      assert(c1 == 200 && b1.contains("\"s\":6.0"), b1)
+      assert(post(port, "/druid/v2", q)._2 == b1)
+      assert(srv.cacheHits == 1, "native envelope must serve from the cache")
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO etagn OVERWRITE ALL SELECT __time, dim, m * 10 AS m FROM ds_etagn_src WHERE dim = 'a' PARTITIONED BY ALL TIME"}""")._1 == 200)
+      val (c2, b2) = post(port, "/druid/v2", q)
+      assert(c2 == 200 && b2.contains("\"s\":40.0"),
+        s"stale native envelope served after REPLACE: $b2")
+      assert(srv.cacheHits == 1, "the post-REPLACE native query must be an etag miss")
+    } finally srv.stop()
+  }
+
   test("result cache key is canonical: queryId/timeout/key-order don't fragment, semantics do") {
     fixture.createOrReplaceTempView("ds_canon")
     val srv = new QueryServer(spark, { case "ds" => fixture })
