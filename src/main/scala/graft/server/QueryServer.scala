@@ -295,6 +295,62 @@ class QueryServer(
     }
   }
 
+  /** a scan that lost its planned files to a concurrent in-place
+    * rewrite (REPLACE/kill/compaction racing the query). The reference
+    * cannot hit this — its segments are immutable and versioned, so a
+    * query keeps reading the version it planned against — and a query
+    * here must not surface an error the reference contract says cannot
+    * exist: the handler re-resolves (fresh file listing) and retries
+    * ONCE before any response bytes. Class/condition matching only
+    * (same lesson as SegmentCachePlanner.isMissingFile): message
+    * substrings would also match unrelated analysis errors. */
+  private def isVanishedFile(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case st: org.apache.spark.SparkThrowable
+            if Option(st.getCondition).exists(cond =>
+              cond.startsWith("FAILED_READ_FILE") ||
+                cond == "PATH_NOT_FOUND") => return true
+        case _ =>
+          if (Option(c.getMessage).exists(
+            _.contains("java.io.FileNotFoundException"))) return true
+      }
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** run `attempt` (which must not have started the response yet when
+    * it can throw a vanished-file error — both query handlers execute
+    * the plan via ensureUnderCap before any bytes), re-resolving and
+    * retrying with a short backoff when a concurrent rewrite yanked
+    * the planned files. BOUNDED mitigation, not full parity: the
+    * retries cover sub-second rewrite windows; a reader racing a
+    * long-running REPLACE can still surface the error after they
+    * exhaust (the full fix is versioned segment directories — old
+    * version serves until the new one announces — which is a storage
+    * layout change, not a handler change). Observable for tests. */
+  @volatile var vanishedFileRetries: Long = 0L
+  var vanishedFileRetryBackoffMs: Long = 200L
+  private def withVanishedFileRetry[T](reResolve: () => Unit)(attempt: () => T): T = {
+    var left = 3
+    while (true) {
+      try return attempt()
+      catch {
+        case e: Exception if left > 0 && isVanishedFile(e) =>
+          left -= 1
+          vanishedFileRetries += 1
+          Thread.sleep(vanishedFileRetryBackoffMs)
+          reResolve()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def contextFlag(body: String, name: String): Boolean =
     try {
       val n = mapper.readTree(body)
@@ -1504,13 +1560,15 @@ class QueryServer(
       val header = Option(node.get("header")).exists(_.asBoolean(false))
       val typesHeader = Option(node.get("typesHeader")).exists(_.asBoolean(false))
       val sqlTypesHeader = Option(node.get("sqlTypesHeader")).exists(_.asBoolean(false))
-      val df = graft.GraftSession.setup(spark).sql(sql)
-      withCapacity(body) {
-        withLimits(body, qid) { () =>
-          val cap = maxRows(body)
-          ensureUnderCap(df, cap)
-          serveCached(ex, body)(open =>
-            writeSqlResult(open, df, format, header, cap, typesHeader, sqlTypesHeader))
+      withVanishedFileRetry(() => refreshIngestedViews(sql0)) { () =>
+        val df = graft.GraftSession.setup(spark).sql(sql)
+        withCapacity(body) {
+          withLimits(body, qid) { () =>
+            val cap = maxRows(body)
+            ensureUnderCap(df, cap)
+            serveCached(ex, body)(open =>
+              writeSqlResult(open, df, format, header, cap, typesHeader, sqlTypesHeader))
+          }
         }
       }
     } catch {
@@ -1862,21 +1920,26 @@ class QueryServer(
         respondNoBody(ex, 304)
         return
       }
-      withCapacity(body) {
-        withLimits(body, qid) { () =>
-          val cap = maxRows(body)
-          val tsAsLong = contextFlag(body, "serializeDateTimeAsLong")
-          if (contextFlag(body, "bySegment"))
-            serveCached(ex, body)(open => writeBySegment(open, body, q, cap, tsAsLong))
-          else {
-            val useSeg = contextFlag(body, "useCache")
-            val popSeg = contextFlag(body, "populateCache")
-            val planned =
-              if (useSeg || popSeg) cachingPlanner.plan(q, useSeg, popSeg)
-              else planner.plan(q)
-            val df = finalizeSketches(planned, body)
-            ensureUnderCap(df, cap)
-            serveCached(ex, body)(open => writeEnvelope(open, q, df, cap, tsAsLong))
+      // re-plan on retry: planner.plan resolves tables fresh (new file
+      // listing); the caching planner's inventory was already
+      // invalidated by the rewrite's announce
+      withVanishedFileRetry(() => ()) { () =>
+        withCapacity(body) {
+          withLimits(body, qid) { () =>
+            val cap = maxRows(body)
+            val tsAsLong = contextFlag(body, "serializeDateTimeAsLong")
+            if (contextFlag(body, "bySegment"))
+              serveCached(ex, body)(open => writeBySegment(open, body, q, cap, tsAsLong))
+            else {
+              val useSeg = contextFlag(body, "useCache")
+              val popSeg = contextFlag(body, "populateCache")
+              val planned =
+                if (useSeg || popSeg) cachingPlanner.plan(q, useSeg, popSeg)
+                else planner.plan(q)
+              val df = finalizeSketches(planned, body)
+              ensureUnderCap(df, cap)
+              serveCached(ex, body)(open => writeEnvelope(open, q, df, cap, tsAsLong))
+            }
           }
         }
       }

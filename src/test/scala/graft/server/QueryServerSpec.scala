@@ -384,6 +384,78 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("cached readers racing REPLACE writers never observe a stale body between writes") {
+    // the etag contract under concurrency: once a REPLACE response has
+    // returned, ANY subsequent cached query must serve the post-write
+    // body — inside a generous TTL, with readers hammering the entry
+    // the whole time. Reads that overlap a write may see either side,
+    // or (bounded by the handler's vanished-file retries) surface the
+    // in-place rewrite as a FAILED_READ_FILE error — the one documented
+    // delta vs the reference's versioned immutable segments. What must
+    // NEVER happen: a 200 body older than the last acknowledged write
+    // (staleness — the etag contract), a body outside the legal value
+    // set (torn read), or a vanished-file error while no write is in
+    // flight.
+    val root = java.nio.file.Files.createTempDirectory("graft-cache-race").toString
+    fixture.createOrReplaceTempView("ds_etagr_src")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    srv.cacheTtlMs = 600000L
+    val port = srv.start()
+    try {
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO etagr SELECT __time, dim, m FROM ds_etagr_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      val q = """{"query": "SELECT sum(m) AS s FROM etagr",
+                |"context": {"useResultLevelCache": true, "populateResultLevelCache": true}}""".stripMargin
+      // legal bodies: after k replaces, sum = 6 * (k+1)
+      def legal(k: Int) = s"""[{"s":${6.0 * (k + 1)}}]"""
+      assert(post(port, "/druid/v2/sql", q)._2 == legal(0))
+      val version = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val overlapErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+      val okReads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writer = new Thread(() => {
+        try (1 to 4).foreach { k =>
+          val (c, b) = post(port, "/druid/v2/sql",
+            s"""{"query": "REPLACE INTO etagr OVERWRITE ALL SELECT __time, dim, m * ${k + 1} AS m FROM ds_etagr_src PARTITIONED BY ALL TIME"}""")
+          if (c != 200) errors.add(s"REPLACE $k -> $c: $b")
+          version.set(k)
+          Thread.sleep(150) // a between-writes window for the readers
+        } finally writerDone.set(true)
+      })
+      val readers = (1 to 3).map(_ => new Thread(() => {
+        while (!writerDone.get()) {
+          val pre = version.get()
+          val (c, b) = post(port, "/druid/v2/sql", q)
+          if (c != 200) {
+            // tolerated during the write storm ONLY for the documented
+            // in-place-rewrite error class; any other failure is real
+            if (b.contains("FAILED_READ_FILE")) overlapErrors.incrementAndGet()
+            else errors.add(s"read -> $c: $b")
+          } else (0 to 4).find(k => b == legal(k)) match {
+            case None => errors.add(s"ILLEGAL body: $b")
+            case Some(k) if k < pre =>
+              // an acknowledged write (version bumped before this read
+              // began) must never be rolled back by a cached body;
+              // k == pre + 1 is a landed-but-unacknowledged write — fine
+              errors.add(s"STALE: observed version $k after $pre acknowledged")
+            case _ => okReads.incrementAndGet()
+          }
+        }
+      }))
+      readers.foreach(_.start()); writer.start()
+      writer.join(60000); readers.foreach(_.join(60000))
+      assert(errors.isEmpty, errors.toArray.take(5).mkString("; "))
+      assert(okReads.get() > 0, "the storm must include successful reads")
+      // end state: the final value serves, and repeats hit the cache
+      assert(post(port, "/druid/v2/sql", q)._2 == legal(4))
+      val hits = srv.cacheHits
+      assert(post(port, "/druid/v2/sql", q)._2 == legal(4))
+      assert(srv.cacheHits > hits, "the settled entry must serve from cache")
+    } finally srv.stop()
+  }
+
   test("result cache key is canonical: queryId/timeout/key-order don't fragment, semantics do") {
     fixture.createOrReplaceTempView("ds_canon")
     val srv = new QueryServer(spark, { case "ds" => fixture })
