@@ -209,20 +209,42 @@ object IngestSql {
     val path = s"$storageRoot/${st.table}"
     st.overwriteWhere match {
       case Some((s, e)) =>
-        // drop the in-range segment directories, then append the slice
+        // drop the in-range segment directories INSIDE the current
+        // version, then append the slice — slice replaces stay
+        // in-place (the reference re-versions only touched segments;
+        // our bucket-level equivalent is the in-place rewrite, with
+        // the query handlers' vanished-file retries as the race cover)
+        val dd = dataDir(spark, path)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
         for (b <- bucketsInRange(s, e, st.granularity)) {
           val dir = new org.apache.hadoop.fs.Path(
-            s"$path/${Ingest.BucketCol}=$b")
+            s"$dd/${Ingest.BucketCol}=$b")
           if (fs.exists(dir)) fs.delete(dir, true)
         }
-        arranged.write.mode("append").partitionBy(Ingest.BucketCol).parquet(path)
+        arranged.write.mode("append").partitionBy(Ingest.BucketCol).parquet(dd)
+      case None if st.replace =>
+        // REPLACE ... OVERWRITE ALL is ATOMIC via version directories
+        // (the reference's versioned immutable segments: readers keep
+        // the version they planned against; the new one serves only
+        // once fully committed). Write `_v=<N+1>` (Spark's _SUCCESS
+        // marker commits it), then prune versions older than the
+        // PREVIOUS current — in-flight readers of the previous version
+        // finish untouched; the dir they read dies at the NEXT replace.
+        val prev = currentVersion(spark, path)
+        val next = prev.getOrElse(0L) + 1L
+        arranged.write.mode("overwrite").partitionBy(Ingest.BucketCol)
+          .parquet(s"$path/$VersionPrefix$next")
+        // prune: everything strictly older than the PREVIOUS current —
+        // its own dir survives until the replace after, so in-flight
+        // readers finish on the files they planned against
+        prev.foreach(p => pruneVersions(spark, path, keep = p))
       case None =>
-        arranged.write
-          .mode(if (st.replace) "overwrite" else "append")
-          .partitionBy(Ingest.BucketCol)
-          .parquet(path)
+        // INSERT appends into the current version (legacy root when
+        // the table has never been REPLACEd) — append never deletes,
+        // so concurrent readers see a superset/subset, never a vanish
+        arranged.write.mode("append").partitionBy(Ingest.BucketCol)
+          .parquet(dataDir(spark, path))
     }
     // announce: segment versions changed for this table (per-segment
     // cache inventory + cross-process sidecar — SegmentVersions)
@@ -243,5 +265,62 @@ object IngestSql {
   /** Read an ingested table back (bucket column dropped — it is a
     * storage detail, not part of the datasource schema). */
   def readTable(spark: SparkSession, storageRoot: String, table: String): DataFrame =
-    spark.read.parquet(s"$storageRoot/$table").drop(Ingest.BucketCol)
+    spark.read.parquet(dataDir(spark, s"$storageRoot/$table"))
+      .drop(Ingest.BucketCol)
+
+  /** version-directory name prefix; underscore-prefixed so root-level
+    * parquet readers and bucket listings both ignore version dirs. */
+  val VersionPrefix = "_v="
+
+  private def listVersions(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(VersionPrefix))
+      .flatMap(s =>
+        scala.util.Try(s.getPath.getName.stripPrefix(VersionPrefix).toLong).toOption)
+  }
+
+  /** the table's current COMMITTED version number: the highest `_v=N`
+    * carrying Spark's _SUCCESS marker (a crashed or in-flight REPLACE
+    * leaves an uncommitted dir that readers must skip). None = legacy
+    * unversioned layout. */
+  private[server] def currentVersion(
+      spark: SparkSession, path: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, path).sorted.reverse.find(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$VersionPrefix$v/_SUCCESS")))
+  }
+
+  /** the directory a READER of this table resolves: the current
+    * committed version dir, or the table root for legacy layouts.
+    * Resolving once per query pins the reader to an immutable file
+    * set — a concurrent REPLACE writes a NEW version and never
+    * deletes the one being read (it dies at the replace after). */
+  def dataDir(spark: SparkSession, path: String): String =
+    try currentVersion(spark, path)
+      .map(v => s"$path/$VersionPrefix$v").getOrElse(path)
+    catch { case _: Exception => path }
+
+  /** delete version dirs strictly older than `keep`, plus — once a
+    * versioned current from a PREVIOUS commit exists (keep >= 1) —
+    * the legacy root bucket dirs ("version 0"). Called after a new
+    * version has committed, with `keep` = the version it superseded,
+    * so in-flight readers of `keep` finish untouched. */
+  private[server] def pruneVersions(
+      spark: SparkSession, path: String, keep: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (v <- listVersions(fs, path) if v < keep)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$VersionPrefix$v"), true)
+    if (keep >= 1L) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(root)) fs.listStatus(root)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(Ingest.BucketCol + "="))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
 }

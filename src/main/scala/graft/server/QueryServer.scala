@@ -116,7 +116,7 @@ class QueryServer(
     * from historicals. */
   private def readActive(name: String): DataFrame = {
     val path = ingested(name)
-    val raw = spark.read.parquet(path)
+    val raw = spark.read.parquet(dataDirOf(path))
     if (!raw.columns.contains(graft.sources.Ingest.BucketCol))
       return raw
     val excluded = unusedBuckets.getOrElse(name, Set.empty) ++
@@ -128,9 +128,19 @@ class QueryServer(
     scoped.drop(graft.sources.Ingest.BucketCol)
   }
 
+  /** the table's CURRENT data directory — its committed `_v=N` version
+    * dir for REPLACE-versioned tables, the root for legacy layouts.
+    * Memoized per write epoch (SegmentVersions.cached), so the
+    * repeat-query hit path stays zero-listing; every announcing write
+    * invalidates it, and version dirs are children of the announced
+    * root so their pinned listings invalidate with it. */
+  private def dataDirOf(path: String): String =
+    graft.sources.SegmentVersions.cached(path, "__data_dir")(
+      IngestSql.dataDir(spark, path))
+
   private def listBuckets(path: String): Seq[String] =
     try {
-      val p = new org.apache.hadoop.fs.Path(path)
+      val p = new org.apache.hadoop.fs.Path(dataDirOf(path))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prefix = graft.sources.Ingest.BucketCol + "="
       fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
@@ -236,8 +246,12 @@ class QueryServer(
           path, "__bucket_inventory")(listBuckets(path))
         val excluded = unusedBuckets.getOrElse(name, Set.empty) ++
           bucketsDroppedByRules(name, path, buckets)
+        // TableInfo.path is the CURRENT data dir: the partial stage's
+        // pinned file listings must point at the version the query
+        // resolved — a REPLACE creates a new dir (new cache keys; the
+        // old version's entries become unreachable and LRU-shed)
         graft.planner.SegmentCachePlanner.TableInfo(
-          path, buckets.filterNot(excluded), m.segmentGranularity)
+          dataDirOf(path), buckets.filterNot(excluded), m.segmentGranularity)
       }
     }
   private val cachingPlanner = new graft.planner.SegmentCachePlanner(
@@ -775,9 +789,13 @@ class QueryServer(
               val g = meta.map(_.segmentGranularity).getOrElse("P1D")
               val fs = new org.apache.hadoop.fs.Path(path)
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              // kill retires segments inside the CURRENT version (an
+              // in-place delete; rare admin op — the handlers'
+              // vanished-file retries cover a racing reader)
+              val killDir = dataDirOf(path)
               for (bkt <- IngestSql.bucketsInRange(start, end, g)) {
                 val dir = new org.apache.hadoop.fs.Path(
-                  s"$path/${graft.sources.Ingest.BucketCol}=$bkt")
+                  s"$killDir/${graft.sources.Ingest.BucketCol}=$bkt")
                 if (fs.exists(dir)) fs.delete(dir, true)
               }
               graft.sources.SegmentVersions.announce(
@@ -798,12 +816,24 @@ class QueryServer(
                 .map(it => Iterator.continually(it).takeWhile(_.hasNext)
                   .map(_.next().asText()).toSeq).getOrElse(Nil)
               val tmp = path + "_compacting"
-              graft.sources.Ingest.compact(spark, path, tmp, sortDims)
+              graft.sources.Ingest.compact(spark, dataDirOf(path), tmp, sortDims)
               val fs = new org.apache.hadoop.fs.Path(path)
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
-              fs.delete(new org.apache.hadoop.fs.Path(path), true)
-              fs.rename(new org.apache.hadoop.fs.Path(tmp),
-                new org.apache.hadoop.fs.Path(path))
+              IngestSql.currentVersion(spark, path) match {
+                case Some(cur) =>
+                  // versioned table: the compacted copy COMMITS as the
+                  // next version (atomic like REPLACE ALL — readers of
+                  // `cur` finish untouched), then old versions prune
+                  fs.rename(new org.apache.hadoop.fs.Path(tmp),
+                    new org.apache.hadoop.fs.Path(
+                      s"$path/${IngestSql.VersionPrefix}${cur + 1}"))
+                  IngestSql.pruneVersions(spark, path, keep = cur)
+                case None =>
+                  // legacy layout: in-place swap, as before
+                  fs.delete(new org.apache.hadoop.fs.Path(path), true)
+                  fs.rename(new org.apache.hadoop.fs.Path(tmp),
+                    new org.apache.hadoop.fs.Path(path))
+              }
               graft.sources.SegmentVersions.announce(
                 spark.sparkContext.hadoopConfiguration, path)
               ("compact", ds)
@@ -818,11 +848,14 @@ class QueryServer(
           // nothing to read (schema inference would fail) — deregister
           // the datasource instead of failing the successful kill.
           val tablePath = s"${storageRoot.get}/$datasource"
+          // check the CURRENT data dir (version-aware): a versioned
+          // table's root holds only _v= dirs, no bucket dirs
+          val segDir = IngestSql.dataDir(spark, tablePath)
           val tableFs = new org.apache.hadoop.fs.Path(tablePath)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val hasSegments =
-            tableFs.exists(new org.apache.hadoop.fs.Path(tablePath)) &&
-              tableFs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
+            tableFs.exists(new org.apache.hadoop.fs.Path(segDir)) &&
+              tableFs.listStatus(new org.apache.hadoop.fs.Path(segDir))
                 .exists(_.getPath.getName.startsWith(
                   graft.sources.Ingest.BucketCol + "="))
           if (hasSegments)
@@ -1511,6 +1544,7 @@ class QueryServer(
       val params = Option(node.get("parameters")).filterNot(_.isNull)
         .map(_.elements()).map(it => Iterator.continually(it)
           .takeWhile(_.hasNext).map(_.next()).toSeq).getOrElse(Nil)
+      val cacheEtag = preCaptureEtag(body)
       refreshIngestedViews(sql0)
       val sql = SystemTables.prepare(
         spark, substituteParameters(sql0, params),
@@ -1566,7 +1600,7 @@ class QueryServer(
           withLimits(body, qid) { () =>
             val cap = maxRows(body)
             ensureUnderCap(df, cap)
-            serveCached(ex, body)(open =>
+            serveCached(ex, body, cacheEtag)(open =>
               writeSqlResult(open, df, format, header, cap, typesHeader, sqlTypesHeader))
           }
         }
@@ -1920,6 +1954,7 @@ class QueryServer(
         respondNoBody(ex, 304)
         return
       }
+      val cacheEtag = preCaptureEtag(body)
       // re-plan on retry: planner.plan resolves tables fresh (new file
       // listing); the caching planner's inventory was already
       // invalidated by the rewrite's announce
@@ -1929,7 +1964,7 @@ class QueryServer(
             val cap = maxRows(body)
             val tsAsLong = contextFlag(body, "serializeDateTimeAsLong")
             if (contextFlag(body, "bySegment"))
-              serveCached(ex, body)(open => writeBySegment(open, body, q, cap, tsAsLong))
+              serveCached(ex, body, cacheEtag)(open => writeBySegment(open, body, q, cap, tsAsLong))
             else {
               val useSeg = contextFlag(body, "useCache")
               val popSeg = contextFlag(body, "populateCache")
@@ -1938,7 +1973,7 @@ class QueryServer(
                 else planner.plan(q)
               val df = finalizeSketches(planned, body)
               ensureUnderCap(df, cap)
-              serveCached(ex, body)(open => writeEnvelope(open, q, df, cap, tsAsLong))
+              serveCached(ex, body, cacheEtag)(open => writeEnvelope(open, q, df, cap, tsAsLong))
             }
           }
         }
@@ -2047,7 +2082,7 @@ class QueryServer(
       path: String, dsName: String,
       intervals: Seq[graft.model.QueryInterval]): Option[Seq[(Option[Long], Option[Long])]] =
     try {
-      val p = new org.apache.hadoop.fs.Path(path)
+      val p = new org.apache.hadoop.fs.Path(dataDirOf(path))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prefix = graft.sources.Ingest.BucketCol + "="
       // the timeline only lists ACTIVE segments: buckets marked unused
@@ -2915,15 +2950,26 @@ class QueryServer(
     * populateResultLevelCache buffers the response (bounded by
     * maxRows) and stores it; otherwise the response streams chunked
     * as usual. */
-  private def serveCached(ex: HttpExchange, body: String)(
+  /** capture the cache etag BEFORE table resolution and planning:
+    * etag and data must come from the same snapshot, like the
+    * reference's per-version segments. Computing it at populate time
+    * instead would let a write landing MID-QUERY store the old body
+    * under the NEW etag — served as current to every later reader.
+    * With pre-capture the torn window degrades the harmless way: an
+    * old etag may store a newer body (an immediate-miss or a
+    * fresher-than-claimed hit), never a stale one. Computed only for
+    * opt-in requests: the non-caching hot path must not pay the
+    * referenced-datasource scan per query. */
+  private def preCaptureEtag(body: String): Option[String] =
+    if (contextFlag(body, "useResultLevelCache") ||
+        contextFlag(body, "populateResultLevelCache")) resultCacheEtag(body)
+    else None
+
+  private def serveCached(
+      ex: HttpExchange, body: String, etag: Option[String])(
       produce: (String => OutputStream) => Unit): Unit = {
-    val wantUse = contextFlag(body, "useResultLevelCache")
-    val wantPop = contextFlag(body, "populateResultLevelCache")
-    // etag computed only for opt-in requests: the non-caching hot path
-    // must not pay the referenced-datasource scan per query
-    val etag = if (wantUse || wantPop) resultCacheEtag(body) else None
-    val use = wantUse && etag.isDefined
-    val pop = wantPop && etag.isDefined
+    val use = etag.isDefined && contextFlag(body, "useResultLevelCache")
+    val pop = etag.isDefined && contextFlag(body, "populateResultLevelCache")
     lazy val key = etag.get + "\u0000" + canonicalCacheBody(body)
     if (use) cacheGet(key) match {
       case Some((code, ct, bytes)) =>

@@ -79,8 +79,15 @@ object SegmentVersions {
       m.put(k, v)
     }
     def removePath(path: String): Unit = synchronized {
+      val prefix = path + "/"
       val it = m.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 == path) it.remove()
+      while (it.hasNext) {
+        val k = it.next()._1
+        // exact match plus SUBPATHS: a versioned table's listings are
+        // keyed by its _v=N data dir, a child of the announced root —
+        // an append into the current version must drop those memos too
+        if (k == path || k.startsWith(prefix)) it.remove()
+      }
     }
     def keys: Seq[(String, String)] = synchronized {
       import scala.jdk.CollectionConverters._
@@ -112,9 +119,16 @@ object SegmentVersions {
   def epochOf(path: String): Long =
     epochs.getOrElseUpdate(path, new AtomicLong()).get()
 
-  /** drop every memoized listing and partial schema under `path`; all
-    * segment-mutating write paths call this (via [[announce]]). */
+  /** drop every memoized listing and partial schema under `path` —
+    * INCLUDING subpaths (a versioned table's `_v=N` data dirs live
+    * under the announced root); all segment-mutating write paths call
+    * this (via [[announce]]). */
   def invalidate(path: String): Unit = {
+    val prefix = path + "/"
+    // BUMP (never delete) subpath epochs: deleting would reset a
+    // version dir's epoch to zero, which a later re-memoized entry
+    // could collide with
+    epochs.foreach { case (k, e) => if (k.startsWith(prefix)) e.incrementAndGet() }
     epochs.getOrElseUpdate(path, new AtomicLong()).incrementAndGet()
     invalidationCount.incrementAndGet()
     memo.removePath(path)

@@ -384,18 +384,78 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("REPLACE ALL is atomic via version directories: planned readers keep their version") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vdirs").toString
+    fixture.createOrReplaceTempView("ds_vd_src")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO vtab SELECT __time, dim, m FROM ds_vd_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      val tableDir = new java.io.File(s"$root/vtab")
+      def entries = tableDir.listFiles().map(_.getName).toSet
+      // legacy layout after INSERT: bucket dirs at the root
+      assert(entries.exists(_.startsWith("__bucket=")))
+      // a reader PLANS against the legacy layout and holds the plan
+      val planned = spark.read.parquet(s"$root/vtab")
+      // first REPLACE commits _v=1 and KEEPS the legacy dirs (they are
+      // the previous version an in-flight reader may still be on)
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO vtab OVERWRITE ALL SELECT __time, dim, m * 10 AS m FROM ds_vd_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      assert(entries.contains("_v=1"), entries.toString)
+      assert(entries.exists(_.startsWith("__bucket=")),
+        "the superseded legacy version must survive one replace")
+      // the crown jewel: the reader planned BEFORE the replace still
+      // collects ITS version's rows — no vanished files, old data
+      assert(planned.agg(sum(col("m"))).head().getDouble(0) == 6.0,
+        "a planned reader must keep the version it planned against")
+      // new readers resolve _v=1
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(m) AS s FROM vtab"}""")
+      assert(c1 == 200 && b1 == """[{"s":60.0}]""", b1)
+      // second REPLACE commits _v=2, prunes the legacy dirs, keeps _v=1
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO vtab OVERWRITE ALL SELECT __time, dim, m * 100 AS m FROM ds_vd_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      assert(entries.contains("_v=2") && entries.contains("_v=1"), entries.toString)
+      assert(!entries.exists(_.startsWith("__bucket=")),
+        "the twice-superseded legacy version must be pruned")
+      // third REPLACE prunes _v=1
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO vtab OVERWRITE ALL SELECT __time, dim, m FROM ds_vd_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      assert(entries.contains("_v=3") && entries.contains("_v=2") &&
+        !entries.contains("_v=1"), entries.toString)
+      val (c2, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(m) AS s FROM vtab"}""")
+      assert(c2 == 200 && b2 == """[{"s":6.0}]""", b2)
+      // INSERT appends into the CURRENT version; the table serves both
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO vtab SELECT __time, dim, m FROM ds_vd_src PARTITIONED BY ALL TIME"}""")._1 == 200)
+      val (c3, b3) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(m) AS s, count(*) AS n FROM vtab"}""")
+      assert(c3 == 200 && b3 == """[{"s":12.0,"n":6}]""", b3)
+      // and the native path + segment metadata agree with the layout
+      val (c4, b4) = post(port, "/druid/v2",
+        """{"queryType": "timeBoundary", "dataSource": "vtab", "intervals": []}""")
+      assert(c4 == 200 && b4.contains("maxTime"), b4)
+    } finally srv.stop()
+  }
+
   test("cached readers racing REPLACE writers never observe a stale body between writes") {
     // the etag contract under concurrency: once a REPLACE response has
     // returned, ANY subsequent cached query must serve the post-write
     // body — inside a generous TTL, with readers hammering the entry
-    // the whole time. Reads that overlap a write may see either side,
-    // or (bounded by the handler's vanished-file retries) surface the
-    // in-place rewrite as a FAILED_READ_FILE error — the one documented
-    // delta vs the reference's versioned immutable segments. What must
-    // NEVER happen: a 200 body older than the last acknowledged write
-    // (staleness — the etag contract), a body outside the legal value
-    // set (torn read), or a vanished-file error while no write is in
-    // flight.
+    // the whole time. REPLACE ALL is atomic (version directories), so
+    // overlapping reads normally finish on the version they planned
+    // against; the tolerated FAILED_READ_FILE remainder is a reader
+    // slow enough to span TWO replace cycles (its version dir pruned
+    // under it) — covered by the handlers' bounded retries first.
+    // What must NEVER happen: a 200 body older than the last
+    // acknowledged write (staleness — the etag contract; this also
+    // pins the etag being captured BEFORE planning, so a mid-query
+    // write can't file the old body under the new etag), a body
+    // outside the legal value set (torn read), or any other failure
+    // class.
     val root = java.nio.file.Files.createTempDirectory("graft-cache-race").toString
     fixture.createOrReplaceTempView("ds_etagr_src")
     val srv = new QueryServer(spark, { case "ds" => fixture },
