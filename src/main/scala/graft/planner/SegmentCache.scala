@@ -543,9 +543,13 @@ final class SegmentCachePlanner(
 
   private def scanSource(info: TableInfo, in: PartialInput): DataFrame = in match {
     case PartialInput.Probe =>
-      spark.read.parquet(info.path).filter(lit(false))
+      // layout-aware zero-row probe: a slice-managed table's schema
+      // comes from its live generations, not the loose leftovers a
+      // plain root read would see (SegmentLayout.readData)
+      graft.sources.SegmentLayout.readData(spark, info.path).filter(lit(false))
     case PartialInput.Files(files, buckets) =>
-      if (files.isEmpty) spark.read.parquet(info.path).filter(lit(false))
+      if (files.isEmpty)
+        graft.sources.SegmentLayout.readData(spark, info.path).filter(lit(false))
       else spark.read.option("basePath", info.path).parquet(files: _*)
         .filter(col(Ingest.BucketCol).isin(buckets: _*))
   }

@@ -209,20 +209,16 @@ object IngestSql {
     val path = s"$storageRoot/${st.table}"
     st.overwriteWhere match {
       case Some((s, e)) =>
-        // drop the in-range segment directories INSIDE the current
-        // version, then append the slice — slice replaces stay
-        // in-place (the reference re-versions only touched segments;
-        // our bucket-level equivalent is the in-place rewrite, with
-        // the query handlers' vanished-file retries as the race cover)
-        val dd = dataDir(spark, path)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-        for (b <- bucketsInRange(s, e, st.granularity)) {
-          val dir = new org.apache.hadoop.fs.Path(
-            s"$dd/${Ingest.BucketCol}=$b")
-          if (fs.exists(dir)) fs.delete(dir, true)
-        }
-        arranged.write.mode("append").partitionBy(Ingest.BucketCol).parquet(dd)
+        // slice replace is ATOMIC per-bucket-generation (the reference
+        // re-versions only the touched segments and publishes them in
+        // one metadata transaction): staged rows rename in as new
+        // `_sv.K` generations, in-range buckets with no rows
+        // tombstone, and ONE manifest create publishes the change —
+        // readers keep the generations they planned against
+        // (SegmentLayout.commitSlice)
+        graft.sources.SegmentLayout.commitSlice(
+          spark, dataDir(spark, path), arranged,
+          bucketsInRange(s, e, st.granularity))
       case None if st.replace =>
         // REPLACE ... OVERWRITE ALL is ATOMIC via version directories
         // (the reference's versioned immutable segments: readers keep
@@ -242,9 +238,10 @@ object IngestSql {
       case None =>
         // INSERT appends into the current version (legacy root when
         // the table has never been REPLACEd) — append never deletes,
-        // so concurrent readers see a superset/subset, never a vanish
-        arranged.write.mode("append").partitionBy(Ingest.BucketCol)
-          .parquet(dataDir(spark, path))
+        // so concurrent readers see a superset/subset, never a vanish;
+        // on a slice-managed table, rows for a bucket serving a
+        // generation dir land inside it (SegmentLayout.append)
+        graft.sources.SegmentLayout.append(arranged, path)
     }
     // announce: segment versions changed for this table (per-segment
     // cache inventory + cross-process sidecar — SegmentVersions)
@@ -265,62 +262,26 @@ object IngestSql {
   /** Read an ingested table back (bucket column dropped — it is a
     * storage detail, not part of the datasource schema). */
   def readTable(spark: SparkSession, storageRoot: String, table: String): DataFrame =
-    spark.read.parquet(dataDir(spark, s"$storageRoot/$table"))
+    graft.sources.SegmentLayout
+      .readData(spark, dataDir(spark, s"$storageRoot/$table"))
       .drop(Ingest.BucketCol)
 
-  /** version-directory name prefix; underscore-prefixed so root-level
-    * parquet readers and bucket listings both ignore version dirs. */
-  val VersionPrefix = "_v="
+  // table-version resolution lives with the rest of the segment layout
+  // (sources.SegmentLayout); these delegates keep the server-side call
+  // sites stable.
+  val VersionPrefix: String = graft.sources.SegmentLayout.VersionPrefix
 
-  private def listVersions(
-      fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(VersionPrefix))
-      .flatMap(s =>
-        scala.util.Try(s.getPath.getName.stripPrefix(VersionPrefix).toLong).toOption)
-  }
-
-  /** the table's current COMMITTED version number: the highest `_v=N`
-    * carrying Spark's _SUCCESS marker (a crashed or in-flight REPLACE
-    * leaves an uncommitted dir that readers must skip). None = legacy
-    * unversioned layout. */
   private[server] def currentVersion(
-      spark: SparkSession, path: String): Option[Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    listVersions(fs, path).sorted.reverse.find(v =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$VersionPrefix$v/_SUCCESS")))
-  }
+      spark: SparkSession, path: String): Option[Long] =
+    graft.sources.SegmentLayout.currentVersion(
+      spark.sparkContext.hadoopConfiguration, path)
 
-  /** the directory a READER of this table resolves: the current
-    * committed version dir, or the table root for legacy layouts.
-    * Resolving once per query pins the reader to an immutable file
-    * set — a concurrent REPLACE writes a NEW version and never
-    * deletes the one being read (it dies at the replace after). */
   def dataDir(spark: SparkSession, path: String): String =
-    try currentVersion(spark, path)
-      .map(v => s"$path/$VersionPrefix$v").getOrElse(path)
-    catch { case _: Exception => path }
+    graft.sources.SegmentLayout.dataDir(
+      spark.sparkContext.hadoopConfiguration, path)
 
-  /** delete version dirs strictly older than `keep`, plus — once a
-    * versioned current from a PREVIOUS commit exists (keep >= 1) —
-    * the legacy root bucket dirs ("version 0"). Called after a new
-    * version has committed, with `keep` = the version it superseded,
-    * so in-flight readers of `keep` finish untouched. */
   private[server] def pruneVersions(
-      spark: SparkSession, path: String, keep: Long): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    for (v <- listVersions(fs, path) if v < keep)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$VersionPrefix$v"), true)
-    if (keep >= 1L) {
-      val root = new org.apache.hadoop.fs.Path(path)
-      if (fs.exists(root)) fs.listStatus(root)
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(Ingest.BucketCol + "="))
-        .foreach(s => fs.delete(s.getPath, true))
-    }
-  }
+      spark: SparkSession, path: String, keep: Long): Unit =
+    graft.sources.SegmentLayout.pruneVersions(
+      spark.sparkContext.hadoopConfiguration, path, keep)
 }

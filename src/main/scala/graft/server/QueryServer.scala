@@ -116,7 +116,10 @@ class QueryServer(
     * from historicals. */
   private def readActive(name: String): DataFrame = {
     val path = ingested(name)
-    val raw = spark.read.parquet(dataDirOf(path))
+    // layout-aware read: slice-managed tables serve their manifest's
+    // live generations (tombstones excluded); plain tables read the
+    // root exactly as before (SegmentLayout.readData)
+    val raw = graft.sources.SegmentLayout.readData(spark, dataDirOf(path))
     if (!raw.columns.contains(graft.sources.Ingest.BucketCol))
       return raw
     val excluded = unusedBuckets.getOrElse(name, Set.empty) ++
@@ -138,14 +141,11 @@ class QueryServer(
     graft.sources.SegmentVersions.cached(path, "__data_dir")(
       IngestSql.dataDir(spark, path))
 
+  /** the table's LIVE segment inventory: manifest tombstones excluded,
+    * memoized per write epoch (SegmentLayout.liveBuckets). */
   private def listBuckets(path: String): Seq[String] =
-    try {
-      val p = new org.apache.hadoop.fs.Path(dataDirOf(path))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prefix = graft.sources.Ingest.BucketCol + "="
-      fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
-    } catch { case _: Exception => Nil }
+    graft.sources.SegmentLayout.liveBuckets(
+      spark.sparkContext.hadoopConfiguration, dataDirOf(path))
 
   /** the datasource's effective rule chain (its own rules then the
     * `_default` cluster chain — reference RunRules ordering). */
@@ -756,7 +756,8 @@ class QueryServer(
           // deltas are cheap even on large tables
           def tableRows(ds: String): Long =
             ingested.get(ds).flatMap { path =>
-              try Some(spark.read.parquet(path).count())
+              try Some(graft.sources.SegmentLayout
+                .readData(spark, dataDirOf(path)).count())
               catch { case _: Exception => None }
             }.getOrElse(0L)
           val preDs = Option(node.get("type")).map(_.asText()) match {
@@ -787,17 +788,18 @@ class QueryServer(
               val (start, end) = (inst(a), inst(b))
               val meta = graft.sources.Ingest.readSegmentMeta(spark, path)
               val g = meta.map(_.segmentGranularity).getOrElse("P1D")
-              val fs = new org.apache.hadoop.fs.Path(path)
-                .getFileSystem(spark.sparkContext.hadoopConfiguration)
-              // kill retires segments inside the CURRENT version (an
-              // in-place delete; rare admin op — the handlers'
-              // vanished-file retries cover a racing reader)
-              val killDir = dataDirOf(path)
-              for (bkt <- IngestSql.bucketsInRange(start, end, g)) {
-                val dir = new org.apache.hadoop.fs.Path(
-                  s"$killDir/${graft.sources.Ingest.BucketCol}=$bkt")
-                if (fs.exists(dir)) fs.delete(dir, true)
-              }
+              // atomic kill (SegmentLayout.commitTombstones): buckets
+              // already hidden from queries (marked unused, dropped by
+              // rules, or tombstoned by an earlier kill) delete
+              // physically — the reference's unused→kill discipline,
+              // no reader can be on them; still-live buckets tombstone
+              // in ONE manifest commit (queries stop serving at the
+              // flip, data reclaims on a re-kill)
+              val hidden = unusedBuckets.getOrElse(ds, Set.empty) ++
+                bucketsDroppedByRules(ds, path)
+              graft.sources.SegmentLayout.commitTombstones(
+                spark, dataDirOf(path),
+                IngestSql.bucketsInRange(start, end, g), hidden)
               graft.sources.SegmentVersions.announce(
                 spark.sparkContext.hadoopConfiguration, path)
               ("kill", ds)
@@ -848,16 +850,12 @@ class QueryServer(
           // nothing to read (schema inference would fail) — deregister
           // the datasource instead of failing the successful kill.
           val tablePath = s"${storageRoot.get}/$datasource"
-          // check the CURRENT data dir (version-aware): a versioned
-          // table's root holds only _v= dirs, no bucket dirs
-          val segDir = IngestSql.dataDir(spark, tablePath)
-          val tableFs = new org.apache.hadoop.fs.Path(tablePath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val hasSegments =
-            tableFs.exists(new org.apache.hadoop.fs.Path(segDir)) &&
-              tableFs.listStatus(new org.apache.hadoop.fs.Path(segDir))
-                .exists(_.getPath.getName.startsWith(
-                  graft.sources.Ingest.BucketCol + "="))
+          // LIVE segments in the CURRENT data dir (version- and
+          // manifest-aware): a kill that tombstoned every bucket
+          // leaves nothing servable even though dirs may linger
+          val hasSegments = graft.sources.SegmentLayout.liveBuckets(
+            spark.sparkContext.hadoopConfiguration,
+            IngestSql.dataDir(spark, tablePath)).nonEmpty
           if (hasSegments)
             readActive(datasource).createOrReplaceTempView(datasource)
           else {
@@ -2082,19 +2080,18 @@ class QueryServer(
       path: String, dsName: String,
       intervals: Seq[graft.model.QueryInterval]): Option[Seq[(Option[Long], Option[Long])]] =
     try {
-      val p = new org.apache.hadoop.fs.Path(dataDirOf(path))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prefix = graft.sources.Ingest.BucketCol + "="
-      // the timeline only lists ACTIVE segments: buckets marked unused
-      // or retired by a drop rule are invisible here too, matching
-      // what readActive serves (candidates/bySegment/uncovered all
-      // agree with the queryable set)
+      // the timeline only lists ACTIVE segments: buckets marked unused,
+      // retired by a drop rule, or tombstoned by a kill are invisible
+      // here too, matching what readActive serves (candidates/
+      // bySegment/uncovered all agree with the queryable set)
+      val dd = dataDirOf(path)
+      val fs = new org.apache.hadoop.fs.Path(dd)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dd)))
+        throw new java.io.FileNotFoundException(dd)
       val excluded = unusedBuckets.getOrElse(dsName, Set.empty) ++
         bucketsDroppedByRules(dsName, path)
-      val buckets = fs.listStatus(p).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
-        .filterNot(excluded)
+      val buckets = listBuckets(path).filterNot(excluded)
       if (buckets.contains("all")) Some(Seq((None, None)))
       else {
         val gran = segmentMetaWithIngested(dsName)

@@ -117,7 +117,13 @@ object Ingest {
     * that keeps per-segment cache versions fresh without per-query
     * listings (SegmentVersions). */
   def write(prepared: DataFrame, path: String, mode: String = "append"): Unit = {
-    prepared.write.mode(mode).partitionBy(BucketCol).parquet(path)
+    // appends resolve the table's CURRENT data dir and respect a slice
+    // manifest (SegmentLayout.append) — a task-spec append into a
+    // REPLACE-versioned or slice-managed table lands where readers
+    // look, not invisibly at the root; overwrite replaces the raw path
+    // wholesale (a fresh table), as before
+    if (mode == "append") SegmentLayout.append(prepared, path)
+    else prepared.write.mode(mode).partitionBy(BucketCol).parquet(path)
     SegmentVersions.announce(
       prepared.sparkSession.sparkContext.hadoopConfiguration, path)
   }
@@ -328,7 +334,11 @@ object Ingest {
   def compact(
       spark: SparkSession, path: String, outPath: String,
       sortDims: Seq[String] = Nil): Unit = {
-    val df = spark.read.parquet(path).repartition(col(BucketCol))
+    // live rows only: a slice-managed source reads its manifest's
+    // generations (tombstoned buckets stay dead — compaction must not
+    // resurrect killed data); the compacted copy is plain-layout, so
+    // the manifest history collapses with the rewrite
+    val df = SegmentLayout.readData(spark, path).repartition(col(BucketCol))
     val sorted =
       if (sortDims.isEmpty) df
       else df.sortWithinPartitions((BucketCol +: sortDims).map(col): _*)

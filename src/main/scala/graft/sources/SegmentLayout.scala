@@ -1,0 +1,458 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** On-disk segment layout of a server-managed table, and the ATOMIC
+  * commit protocol for every mutation of it — the analog of the
+  * reference's versioned immutable segments plus the metadata-store
+  * transaction that publishes them
+  * (server/src/main/java/org/apache/druid/timeline/VersionedIntervalTimeline.java;
+  * SegmentTransactionalInsertAction): readers resolve a consistent
+  * snapshot in O(1) reads, writers commit a whole multi-segment change
+  * with ONE atomic file create, and data files are never deleted out
+  * from under the snapshot a reader planned against (they die when the
+  * generation after next commits, exactly like overshadowed segment
+  * versions).
+  *
+  * Three nested pieces:
+  *
+  *  1. **Table versions** (`_v=N` dirs under the table root): a full
+  *     REPLACE OVERWRITE ALL or compaction writes a complete new data
+  *     dir, committed by Spark's `_SUCCESS` marker. Readers resolve
+  *     [[dataDir]] once per query.
+  *  2. **Bucket generations** (`_sv.K` dirs INSIDE a bucket dir): a
+  *     slice mutation (REPLACE OVERWRITE WHERE, kill, an INSERT into a
+  *     managed bucket) re-versions only the touched buckets — the
+  *     reference re-versions only the touched segments, never the
+  *     table. Generation dirs are dot-less underscore-prefixed with no
+  *     '=' so Spark's listing hides them from plain root reads; an
+  *     explicit leaf read with `basePath` still derives `__bucket`
+  *     (pinned by LayoutProbeSpec).
+  *  3. **The manifest** (`_graft_manifest.N.json` in the data dir):
+  *     maps bucket → live generation (or tombstone). Written
+  *     create-only at N+1 — the single atomic commit point for a
+  *     multi-bucket change; readers take the highest N. Buckets absent
+  *     from the manifest serve their loose files (the layout every
+  *     plain ingest writes), so a table pays ZERO migration cost when
+  *     its first slice mutation lands: only touched buckets get
+  *     entries.
+  *
+  * Generation lifecycle on a commit that changes bucket B from
+  * generation `old` to `new`: every generation of B except {old, new}
+  * is deleted (the grandparent a reader could only still hold by
+  * spanning two full commits — the same documented window as table
+  * versions, covered by the query handlers' bounded retries); `old`
+  * survives until the NEXT commit touching B.
+  *
+  * External writers: appending a whole new bucket dir + bumping the
+  * `_graft_epoch` sidecar stays visible (unmanaged buckets serve
+  * loose). Raw root reads of a MANAGED table see only the loose
+  * generation — external readers of slice-mutated tables must resolve
+  * through the manifest (or the server API), documented on
+  * [[SegmentVersions.announceExternal]].
+  *
+  * Single-writer per table assumed for segment mutations, the
+  * reference's task-lock granularity (two concurrent REPLACEs on one
+  * datasource queue on the interval lock there; here the second
+  * manifest create-only write fails loudly).
+  */
+object SegmentLayout {
+
+  /** hidden per-bucket generation dir prefix: underscore + no '=' so
+    * file listings skip it (LayoutProbeSpec pins this). */
+  val GenPrefix = "_sv."
+  val ManifestPrefix = "_graft_manifest."
+  private val ManifestSuffix = ".json"
+  val StagingPrefix = ".graft_staging_"
+  /** table-version dir prefix (REPLACE OVERWRITE ALL / compaction). */
+  val VersionPrefix = "_v="
+
+  /** a bucket's data generation: its loose top-level files, or a
+    * numbered `_sv.K` dir. */
+  sealed trait Gen
+  object Gen {
+    case object Loose extends Gen
+    final case class Sv(k: Long) extends Gen
+  }
+
+  /** manifest entry: live generation `sv` (None = tombstone — the
+    * bucket is logically deleted and serves nothing). */
+  final case class Entry(sv: Option[Long])
+
+  final case class Manifest(n: Long, entries: Map[String, Entry])
+
+  /** a consistent read snapshot of a data dir: the committed manifest
+    * (if any) + the bucket dirs on disk. */
+  final case class Resolved(manifest: Option[Manifest], onDisk: Seq[String]) {
+    def managed: Boolean = manifest.isDefined
+    private def entries: Map[String, Entry] =
+      manifest.map(_.entries).getOrElse(Map.empty)
+    /** buckets serving their loose top-level files. */
+    def looseLive: Seq[String] = onDisk.filterNot(entries.contains)
+    /** buckets serving a numbered generation dir. */
+    def svLive: Map[String, Long] = entries.collect {
+      case (b, Entry(Some(k))) if onDisk.contains(b) => b -> k
+    }
+    def tombstoned: Set[String] = entries.collect {
+      case (b, Entry(None)) => b
+    }.toSet
+    def liveBuckets: Seq[String] = (looseLive ++ svLive.keys).sorted
+    /** the one directory bucket `b` serves from; None = tombstoned or
+      * absent. */
+    def liveLeafDir(dd: String, b: String): Option[String] =
+      entries.get(b) match {
+        case Some(Entry(Some(k))) => Some(svDir(dd, b, k))
+        case Some(Entry(None)) => None
+        case None => if (onDisk.contains(b)) Some(bucketDir(dd, b)) else None
+      }
+    def liveLeafDirs(dd: String): Seq[String] =
+      liveBuckets.flatMap(liveLeafDir(dd, _))
+  }
+
+  def bucketDir(dd: String, b: String): String =
+    s"$dd/${Ingest.BucketCol}=$b"
+  private def svDir(dd: String, b: String, k: Long): String =
+    s"${bucketDir(dd, b)}/$GenPrefix$k"
+
+  private def fsOf(hconf: Configuration, p: String): FileSystem =
+    new Path(p).getFileSystem(hconf)
+
+  // ------------------------------------------------------ table versions
+
+  private def listVersions(fs: FileSystem, root: String): Seq[Long] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(VersionPrefix))
+      .flatMap(s =>
+        scala.util.Try(s.getPath.getName.stripPrefix(VersionPrefix).toLong).toOption)
+  }
+
+  /** the table's current COMMITTED version number: the highest `_v=N`
+    * carrying Spark's `_SUCCESS` marker (a crashed or in-flight
+    * REPLACE leaves an uncommitted dir readers must skip). None =
+    * legacy unversioned layout. */
+  def currentVersion(hconf: Configuration, root: String): Option[Long] = {
+    val fs = fsOf(hconf, root)
+    listVersions(fs, root).sorted.reverse.find(v =>
+      fs.exists(new Path(s"$root/$VersionPrefix$v/_SUCCESS")))
+  }
+
+  /** the directory a READER of this table resolves: the current
+    * committed version dir, or the table root for legacy layouts.
+    * Resolving once per query pins the reader to a version a
+    * concurrent REPLACE never deletes (it dies at the replace after). */
+  def dataDir(hconf: Configuration, root: String): String =
+    try currentVersion(hconf, root)
+      .map(v => s"$root/$VersionPrefix$v").getOrElse(root)
+    catch { case _: Exception => root }
+
+  /** delete version dirs strictly older than `keep`, plus — once a
+    * versioned current from a PREVIOUS commit exists (keep >= 1) —
+    * the legacy root bucket dirs ("version 0"). Called after a new
+    * version has committed, with `keep` = the version it superseded,
+    * so in-flight readers of `keep` finish untouched. */
+  def pruneVersions(hconf: Configuration, root: String, keep: Long): Unit = {
+    val fs = fsOf(hconf, root)
+    for (v <- listVersions(fs, root) if v < keep)
+      fs.delete(new Path(s"$root/$VersionPrefix$v"), true)
+    if (keep >= 1L) {
+      val p = new Path(root)
+      if (fs.exists(p)) fs.listStatus(p)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(Ingest.BucketCol + "="))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
+
+  // ------------------------------------------------------- resolution
+
+  /** uncached snapshot: ONE listStatus of the data dir (bucket dirs +
+    * manifest names) + one small manifest read. Write paths use this;
+    * read paths go through [[resolveCached]]. Missing dir → empty. */
+  def resolve(hconf: Configuration, dd: String): Resolved = {
+    val fs = fsOf(hconf, dd)
+    val p = new Path(dd)
+    val statuses =
+      try fs.listStatus(p).toSeq
+      catch { case _: java.io.FileNotFoundException => return Resolved(None, Nil) }
+    val prefix = Ingest.BucketCol + "="
+    val onDisk = statuses.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+    val manifestN = statuses.filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.startsWith(ManifestPrefix) && n.endsWith(ManifestSuffix))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(ManifestPrefix).stripSuffix(ManifestSuffix).toLong).toOption)
+      .sorted.lastOption
+    val manifest = manifestN.map(n => readManifest(fs, dd, n))
+    Resolved(manifest, onDisk)
+  }
+
+  /** memoized per write epoch (SegmentVersions) — the repeat-query hit
+    * path resolves with ZERO filesystem operations; every announcing
+    * write invalidates it. */
+  def resolveCached(hconf: Configuration, dd: String): Resolved =
+    SegmentVersions.cached(dd, "__layout")(resolve(hconf, dd))
+
+  def liveBuckets(hconf: Configuration, dd: String): Seq[String] =
+    try resolveCached(hconf, dd).liveBuckets
+    catch { case _: Exception => Nil }
+
+  /** the single live directory behind (dd, bucket) — what the
+    * per-segment cache pins file listings against. None = tombstoned
+    * or absent. */
+  def liveLeafDir(hconf: Configuration, dd: String, b: String): Option[String] =
+    resolveCached(hconf, dd).liveLeafDir(dd, b)
+
+  private def readManifest(fs: FileSystem, dd: String, n: Long): Manifest = {
+    val in = fs.open(new Path(dd, s"$ManifestPrefix$n$ManifestSuffix"))
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+        .foreach(c => buf.write(chunk, 0, c))
+      buf.toString("UTF-8")
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    import scala.jdk.CollectionConverters._
+    val entries = Option(node.get("buckets")).map { b =>
+      b.properties().asScala.map { e =>
+        val sv = Option(e.getValue.get("sv")).filterNot(_.isNull).map(_.asLong())
+        e.getKey -> Entry(sv)
+      }.toMap
+    }.getOrElse(Map.empty[String, Entry])
+    Manifest(n, entries)
+  }
+
+  /** atomic commit point: create `_graft_manifest.{n}.json` with
+    * overwrite=false — a concurrent writer racing to the same n fails
+    * loudly instead of silently merging. Manifests older than n-1 are
+    * deleted (n-1 survives for readers that resolved just before). */
+  private def writeManifest(fs: FileSystem, dd: String, m: Manifest): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("n", m.n)
+    val buckets = root.putObject("buckets")
+    m.entries.toSeq.sortBy(_._1).foreach { case (b, e) =>
+      val o = buckets.putObject(b)
+      e.sv match {
+        case Some(k) => o.put("sv", k)
+        case None => o.put("tomb", true)
+      }
+    }
+    val out = fs.create(new Path(dd, s"$ManifestPrefix${m.n}$ManifestSuffix"), false)
+    try out.write(mapper.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.listStatus(new Path(dd)).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(ManifestPrefix) && n.endsWith(ManifestSuffix) &&
+          scala.util.Try(n.stripPrefix(ManifestPrefix)
+            .stripSuffix(ManifestSuffix).toLong).toOption.exists(_ < m.n - 1)
+      }.foreach(fs.delete(_, false))
+  }
+
+  // ---------------------------------------------------------- reading
+
+  /** the table's live rows with `__bucket` attached — the one reader
+    * every query/compaction/accounting path shares. Unmanaged dirs
+    * (no manifest) read the root exactly as before: zero cost, zero
+    * behavior change. Managed dirs read the explicit live leaf dirs
+    * (basePath derives `__bucket`; superseded generations and
+    * tombstoned buckets are invisible). */
+  def readData(spark: SparkSession, dd: String): DataFrame = {
+    val r = resolveCached(spark.sparkContext.hadoopConfiguration, dd)
+    r.manifest match {
+      case None => spark.read.parquet(dd)
+      case Some(_) =>
+        val leaves = r.liveLeafDirs(dd)
+        require(leaves.nonEmpty, s"no live segments under $dd")
+        spark.read.option("basePath", dd).parquet(leaves: _*)
+    }
+  }
+
+  // ---------------------------------------------------------- writing
+
+  private def nextSv(fs: FileSystem, dd: String, b: String): Long = {
+    val p = new Path(bucketDir(dd, b))
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(GenPrefix).toLong).toOption)
+      .maxOption.map(_ + 1L).getOrElse(0L)
+  }
+
+  /** delete every generation of bucket `b` except `keep`: older
+    * generations a reader could only hold by spanning two commits,
+    * plus crashed writers' orphan `_sv.K` dirs (hidden from reads,
+    * reclaimed here). */
+  private def sweepBucket(
+      fs: FileSystem, dd: String, b: String, keep: Set[Gen]): Unit = {
+    val p = new Path(bucketDir(dd, b))
+    if (!fs.exists(p)) return
+    for (s <- fs.listStatus(p)) {
+      val name = s.getPath.getName
+      if (s.isDirectory && name.startsWith(GenPrefix)) {
+        val k = scala.util.Try(name.stripPrefix(GenPrefix).toLong).toOption
+        if (!k.exists(v => keep.contains(Gen.Sv(v)))) fs.delete(s.getPath, true)
+      } else if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        if (!keep.contains(Gen.Loose)) fs.delete(s.getPath, false)
+      }
+    }
+  }
+
+  private def liveGenOf(r: Resolved, b: String): Option[Gen] =
+    r.manifest.flatMap(_.entries.get(b)) match {
+      case Some(Entry(Some(k))) => Some(Gen.Sv(k))
+      case Some(Entry(None)) => None
+      case None => if (r.onDisk.contains(b)) Some(Gen.Loose) else None
+    }
+
+  /** REPLACE ... OVERWRITE WHERE commit: stage the slice's rows, then
+    * per touched bucket rename the staged dir in as a NEW generation
+    * (buckets in range with no staged rows tombstone — the slice
+    * erases them), and publish the whole change with one manifest
+    * create. Readers that resolved the previous manifest keep the
+    * generations it references; those die at the NEXT commit touching
+    * the same buckets. */
+  def commitSlice(
+      spark: SparkSession, dd: String, arranged: DataFrame,
+      sliceBuckets: Seq[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(hconf, dd)
+    // single-writer contract: stale staging dirs are crashed writers'
+    val ddPath = new Path(dd)
+    if (fs.exists(ddPath)) fs.listStatus(ddPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(StagingPrefix))
+      .foreach(s => fs.delete(s.getPath, true))
+    val staging = s"$dd/$StagingPrefix${java.util.UUID.randomUUID().toString.take(8)}"
+    arranged.write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
+    val stagedBuckets = fs.listStatus(new Path(staging)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(Ingest.BucketCol + "="))
+      .map(_.stripPrefix(Ingest.BucketCol + "=")).toSet
+    val cur = resolve(hconf, dd)
+    val curEntries = cur.manifest.map(_.entries).getOrElse(Map.empty)
+    val touched = sliceBuckets.filter(b =>
+      stagedBuckets.contains(b) || curEntries.contains(b) || cur.onDisk.contains(b))
+    val updates = touched.map { b =>
+      val oldGen = liveGenOf(cur, b)
+      if (stagedBuckets.contains(b)) {
+        val k = nextSv(fs, dd, b)
+        val dest = new Path(svDir(dd, b, k))
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(new Path(s"$staging/${Ingest.BucketCol}=$b"), dest),
+          s"failed to stage generation $dest")
+        b -> (Entry(Some(k)), Set(Gen.Sv(k)) ++ oldGen)
+      } else b -> (Entry(None), oldGen.toSet[Gen]) // erased by the slice
+    }
+    val next = Manifest(
+      cur.manifest.map(_.n).getOrElse(0L) + 1L,
+      curEntries ++ updates.map { case (b, (e, _)) => b -> e })
+    writeManifest(fs, dd, next) // <- the atomic publish
+    for ((b, (_, keep)) <- updates) sweepBucket(fs, dd, b, keep)
+    fs.delete(new Path(staging), true)
+  }
+
+  /** kill commit (reference KillUnusedSegmentsTask): buckets already
+    * invisible to new queries (`reclaimable` — marked unused, dropped
+    * by rules, or tombstoned by an earlier kill) are physically
+    * deleted, the reference's unused→kill discipline with no reader
+    * risk; still-live buckets are TOMBSTONED atomically (queries stop
+    * serving them at the manifest flip) and their data is reclaimed by
+    * a later kill over the same interval. */
+  def commitTombstones(
+      spark: SparkSession, dd: String, buckets: Seq[String],
+      reclaimable: String => Boolean): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(hconf, dd)
+    val cur = resolve(hconf, dd)
+    val curEntries = cur.manifest.map(_.entries).getOrElse(Map.empty)
+    val touched = buckets.filter(b =>
+      curEntries.contains(b) || cur.onDisk.contains(b))
+    if (touched.isEmpty) return
+    var entries = curEntries
+    val sweeps = Seq.newBuilder[(String, Set[Gen])]
+    for (b <- touched) {
+      val alreadyTomb = curEntries.get(b).exists(_.sv.isEmpty)
+      if (alreadyTomb || reclaimable(b)) {
+        fs.delete(new Path(bucketDir(dd, b)), true)
+        entries -= b
+      } else {
+        entries += b -> Entry(None)
+        sweeps += b -> liveGenOf(cur, b).toSet[Gen]
+      }
+    }
+    // a pure physical reclaim of already-hidden buckets on an
+    // unmanaged table needs no manifest — don't flip the table into
+    // managed mode for it
+    if (entries != curEntries || cur.manifest.isDefined)
+      writeManifest(fs, dd,
+        Manifest(cur.manifest.map(_.n).getOrElse(0L) + 1L, entries))
+    for ((b, keep) <- sweeps.result()) sweepBucket(fs, dd, b, keep)
+  }
+
+  /** append prepared rows (with `__bucket`) into the table root's
+    * current data dir. Unmanaged tables append loose exactly as
+    * before. On a managed table, rows for a bucket serving a `_sv.K`
+    * generation land INSIDE it (a loose append there would be
+    * invisible); rows for a tombstoned bucket revive it as a new
+    * generation (a manifest commit). */
+  def append(prepared: DataFrame, root: String): Unit = {
+    val spark = prepared.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dd = dataDir(hconf, root)
+    val r = resolve(hconf, dd)
+    val redirected = r.svLive.keySet ++ r.tombstoned
+    if (!r.managed || redirected.isEmpty) {
+      prepared.write.mode("append").partitionBy(Ingest.BucketCol).parquet(dd)
+      return
+    }
+    val fs = fsOf(hconf, dd)
+    val bucketCol = col(Ingest.BucketCol)
+    val redirectedSeq = redirected.toSeq
+    prepared.filter(!bucketCol.isin(redirectedSeq: _*))
+      .write.mode("append").partitionBy(Ingest.BucketCol).parquet(dd)
+    val staging = s"$dd/$StagingPrefix${java.util.UUID.randomUUID().toString.take(8)}"
+    prepared.filter(bucketCol.isin(redirectedSeq: _*))
+      .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
+    val staged = fs.listStatus(new Path(staging)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(Ingest.BucketCol + "="))
+      .map(_.stripPrefix(Ingest.BucketCol + "="))
+    var revived = Map.empty[String, Entry]
+    for (b <- staged) {
+      val src = new Path(s"$staging/${Ingest.BucketCol}=$b")
+      r.svLive.get(b) match {
+        case Some(k) =>
+          // append INTO the live generation: per-file moves (Spark
+          // part names carry job UUIDs — collision-free)
+          val dest = new Path(svDir(dd, b, k))
+          for (f <- fs.listStatus(src) if f.isFile &&
+              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+            require(fs.rename(f.getPath, new Path(dest, f.getPath.getName)),
+              s"failed to append ${f.getPath} into $dest")
+          }
+        case None =>
+          // tombstoned: revive as a fresh generation
+          val k = nextSv(fs, dd, b)
+          val dest = new Path(svDir(dd, b, k))
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(src, dest), s"failed to revive $dest")
+          revived += b -> Entry(Some(k))
+      }
+    }
+    if (revived.nonEmpty) {
+      val cur = resolve(hconf, dd) // entries unchanged since `r` (single writer)
+      writeManifest(fs, dd, Manifest(
+        cur.manifest.map(_.n).getOrElse(0L) + 1L,
+        cur.manifest.map(_.entries).getOrElse(Map.empty) ++ revived))
+    }
+    fs.delete(new Path(staging), true)
+  }
+}

@@ -1285,6 +1285,135 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("REPLACE OVERWRITE WHERE is atomic per bucket generation: planned readers keep theirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft-slice-atomic").toString
+    fixture.createOrReplaceTempView("ds_owa")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO towa SELECT __time, dim, m FROM ds_owa PARTITIONED BY DAY"}""")._1 == 200)
+      val dd = s"$root/towa"
+      // a reader PLANS against the loose generation and holds the plan
+      val planned = graft.sources.SegmentLayout.readData(spark, dd)
+      // slice-replace day 2 (m*10): ONE manifest create publishes it
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO towa OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02 00:00:00' AND __time < TIMESTAMP '2024-01-03 00:00:00' SELECT __time, dim, m * 10 AS m FROM ds_owa WHERE __time >= TIMESTAMP '2024-01-02' PARTITIONED BY DAY"}""")._1 == 200)
+      // new queries serve the new generation
+      val (_, b1) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(m) AS s FROM towa"}""")
+      assert(b1 == """[{"s":33.0}]""", b1)
+      // the planned reader still collects the generation it planned
+      // against — the slice's old files were NOT deleted under it
+      assert(planned.agg(sum(col("m"))).head().getDouble(0) == 6.0,
+        "a planned reader must keep the generation it planned against")
+      // a second slice replace: the reader planned between the two
+      // keeps generation 0 (it dies only at the commit after next)
+      val planned2 = graft.sources.SegmentLayout.readData(spark, dd)
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO towa OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02 00:00:00' AND __time < TIMESTAMP '2024-01-03 00:00:00' SELECT __time, dim, m * 100 AS m FROM ds_owa WHERE __time >= TIMESTAMP '2024-01-02' PARTITIONED BY DAY"}""")._1 == 200)
+      val (_, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(m) AS s FROM towa"}""")
+      assert(b2 == """[{"s":303.0}]""", b2)
+      assert(planned2.agg(sum(col("m"))).head().getDouble(0) == 33.0,
+        "one-commit overlap must never vanish a planned reader's files")
+      // untouched day-1 bucket still serves its ORIGINAL loose files
+      val b1dir = new java.io.File(
+        s"$dd/${graft.sources.Ingest.BucketCol}=2024-01-01T00")
+      assert(b1dir.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+        "a slice replace must not rewrite untouched buckets")
+    } finally srv.stop()
+  }
+
+  test("kill: live buckets tombstone atomically; unused-then-kill reclaims physically") {
+    val root = java.nio.file.Files.createTempDirectory("graft-kill-atomic").toString
+    fixture.createOrReplaceTempView("ds_killa")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO tkilla SELECT __time, dim, m FROM ds_killa PARTITIONED BY DAY"}""")._1 == 200)
+      val day1 = new java.io.File(
+        s"$root/tkilla/${graft.sources.Ingest.BucketCol}=2024-01-01T00")
+      val day2 = new java.io.File(
+        s"$root/tkilla/${graft.sources.Ingest.BucketCol}=2024-01-02T00")
+      // kill a LIVE bucket: queries stop serving it at the manifest
+      // flip, but its files stay for in-flight readers
+      assert(post(port, "/druid/indexer/v1/task",
+        """{"type": "kill", "dataSource": "tkilla",
+          |"interval": "2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"}""".stripMargin)._1 == 200)
+      val (_, b1) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(m) AS s FROM tkilla"}""")
+      assert(b1 == """[{"s":3.0}]""", b1)
+      assert(day1.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+        "a killed LIVE bucket keeps its data until a re-kill (in-flight readers)")
+      // re-kill the same interval: the tombstoned bucket reclaims
+      assert(post(port, "/druid/indexer/v1/task",
+        """{"type": "kill", "dataSource": "tkilla",
+          |"interval": "2024-01-01T00:00:00Z/2024-01-02T00:00:00Z"}""".stripMargin)._1 == 200)
+      assert(!day1.exists(), "a re-kill physically reclaims the tombstoned bucket")
+      // the reference discipline — markUnused first — reclaims at the
+      // FIRST kill: the bucket was already invisible to new queries
+      assert(post(port, "/druid/coordinator/v1/datasources/tkilla/markUnused",
+        """{"interval": "2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"}""")._1 == 200)
+      assert(post(port, "/druid/indexer/v1/task",
+        """{"type": "kill", "dataSource": "tkilla",
+          |"interval": "2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"}""".stripMargin)._1 == 200)
+      assert(!day2.exists(), "unused->kill deletes physically at the first kill")
+      // every segment gone: the datasource deregisters
+      val (cq, _) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM tkilla"}""")
+      assert(cq != 200, "a fully-killed datasource must deregister")
+    } finally srv.stop()
+  }
+
+  test("readers racing slice replaces never observe a torn or illegal slice") {
+    val root = java.nio.file.Files.createTempDirectory("graft-slice-race").toString
+    fixture.createOrReplaceTempView("ds_slicer")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO tslicer SELECT __time, dim, m FROM ds_slicer PARTITIONED BY DAY"}""")._1 == 200)
+      val q = """{"query": "SELECT sum(m) AS s FROM tslicer"}"""
+      // after k slice replaces of day 2 (m = 3 * 10^k): 3 + 3*10^k
+      def legal(k: Int) = s"""[{"s":${3.0 + 3.0 * math.pow(10, k)}}]"""
+      assert(post(port, "/druid/v2/sql", q)._2 == legal(0))
+      val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val overlapErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+      val okReads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writer = new Thread(() => {
+        try (1 to 3).foreach { k =>
+          val (c, b) = post(port, "/druid/v2/sql",
+            s"""{"query": "REPLACE INTO tslicer OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02 00:00:00' AND __time < TIMESTAMP '2024-01-03 00:00:00' SELECT __time, dim, m * ${math.pow(10, k).toLong} AS m FROM ds_slicer WHERE __time >= TIMESTAMP '2024-01-02' PARTITIONED BY DAY"}""")
+          if (c != 200) errors.add(s"REPLACE $k -> $c: $b")
+          Thread.sleep(100)
+        } finally writerDone.set(true)
+      })
+      val readers = (1 to 2).map(_ => new Thread(() => {
+        while (!writerDone.get()) {
+          val (c, b) = post(port, "/druid/v2/sql", q)
+          if (c != 200) {
+            // only the documented double-span class is tolerated
+            if (b.contains("FAILED_READ_FILE")) overlapErrors.incrementAndGet()
+            else errors.add(s"read -> $c: $b")
+          } else if (!(0 to 3).exists(k => b == legal(k)))
+            errors.add(s"TORN/ILLEGAL body: $b")
+          else okReads.incrementAndGet()
+        }
+      }))
+      readers.foreach(_.start()); writer.start()
+      writer.join(60000); readers.foreach(_.join(60000))
+      assert(errors.isEmpty, errors.toArray.take(5).mkString("; "))
+      assert(okReads.get() > 0, "the storm must include successful reads")
+      assert(post(port, "/druid/v2/sql", q)._2 == legal(3))
+    } finally srv.stop()
+  }
+
   test("task API: inline inputSource ingests rows carried in the spec") {
     val root = java.nio.file.Files.createTempDirectory("graft-inline").toString
     val srv = new QueryServer(spark, Map.empty[String, org.apache.spark.sql.DataFrame],

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two Spark listing/partition-inference behaviors
+  * [[SegmentLayout]]'s hidden per-bucket generation dirs depend on:
+  * underscore-prefixed '='-less dirs are invisible to root reads, and
+  * an explicit read of such a dir with `basePath` still derives the
+  * `__bucket` partition column — including mixed with loose bucket
+  * dirs in one read. If a Spark upgrade changes either, this fails
+  * before anything subtle does. */
+class LayoutProbeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]").appName("layout-probe")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("hidden generation dirs: invisible to root reads, readable explicitly with basePath") {
+    import spark.implicits._
+    val dd = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    // loose generation: two buckets
+    Seq(("a", 1L, "2024-01-01T00"), ("b", 2L, "2024-01-02T00"))
+      .toDF("k", "v", "__bucket")
+      .write.mode("overwrite").partitionBy("__bucket").parquet(dd)
+    // a hidden generation dir inside bucket 2024-01-02T00
+    val svDir = s"$dd/__bucket=2024-01-02T00/_sv.3"
+    Seq(("c", 30L, "2024-01-02T00")).toDF("k", "v", "__bucket")
+      .write.partitionBy("__bucket").parquet(s"$dd/.stage")
+    val fs = new org.apache.hadoop.fs.Path(dd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dd/.stage/__bucket=2024-01-02T00"),
+      new org.apache.hadoop.fs.Path(svDir)))
+    // 1) root read ignores the hidden dir
+    val root = spark.read.parquet(dd)
+    assert(root.columns.contains("__bucket"))
+    assert(root.select("k").as[String].collect().toSet == Set("a", "b"),
+      root.collect().mkString(", "))
+    // 2) explicit read of the hidden dir with basePath derives __bucket
+    val sv = spark.read.option("basePath", dd).parquet(svDir)
+    assert(sv.columns.contains("__bucket"), sv.columns.mkString(","))
+    val row = sv.collect()
+    assert(row.length == 1 && row(0).getAs[String]("k") == "c", row.mkString(", "))
+    assert(row(0).getAs[String]("__bucket") == "2024-01-02T00", row.mkString(", "))
+    // 3) mixed explicit leaves: hidden-gen dir + a loose bucket dir, one read
+    val mixed = spark.read.option("basePath", dd)
+      .parquet(svDir, s"$dd/__bucket=2024-01-01T00")
+    assert(mixed.select("k").as[String].collect().toSet == Set("a", "c"),
+      mixed.collect().mkString(", "))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-bucket generation commit protocol (SegmentLayout): slice
+  * replaces and kills are atomic at a single manifest create, readers
+  * keep the generations they planned against, superseded generations
+  * die at the commit after next, and appends land where readers look. */
+class SegmentLayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]").appName("segment-layout")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  /** three day buckets, m = 1/2/3 on d1/d2/d3. */
+  private def freshTable(): String = {
+    import spark.implicits._
+    val dd = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    Seq((1L, "2024-01-01T00"), (2L, "2024-01-02T00"), (3L, "2024-01-03T00"))
+      .toDF("m", Ingest.BucketCol)
+      .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(dd)
+    dd
+  }
+
+  private def slice(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("m", Ingest.BucketCol)
+  }
+
+  private def sums(df: DataFrame): Map[String, Long] =
+    df.groupBy(Ingest.BucketCol).agg(sum("m").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def refresh(dd: String): Unit = SegmentVersions.invalidate(dd)
+
+  test("commitSlice: atomic publish, planned readers keep their generation") {
+    val dd = freshTable()
+    val planned = SegmentLayout.readData(spark, dd) // plans the loose gen
+    // replace day 2 with m=20
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((20L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+    refresh(dd)
+    // new readers serve the new generation
+    assert(sums(SegmentLayout.readData(spark, dd)) ==
+      Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 20L, "2024-01-03T00" -> 3L))
+    // the planned reader still collects the loose generation: its
+    // files survive the commit (they die at the commit after next)
+    assert(sums(planned) ==
+      Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 2L, "2024-01-03T00" -> 3L))
+    // exactly one manifest, one generation dir
+    val files = new java.io.File(dd).listFiles().map(_.getName).toSet
+    assert(files.exists(_.startsWith(SegmentLayout.ManifestPrefix)), files)
+    val b2 = new java.io.File(s"$dd/${Ingest.BucketCol}=2024-01-02T00")
+    assert(b2.listFiles().exists(_.getName.startsWith(SegmentLayout.GenPrefix)))
+    assert(b2.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "the superseded loose generation must survive one commit")
+    // second slice replace of the same bucket prunes the loose gen
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((200L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+    refresh(dd)
+    assert(sums(SegmentLayout.readData(spark, dd))("2024-01-02T00") == 200L)
+    assert(!b2.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "the twice-superseded loose generation must be pruned")
+    assert(b2.listFiles().count(_.getName.startsWith(SegmentLayout.GenPrefix)) == 2,
+      "the live + superseded generations survive")
+    // a third commit prunes gen0: always exactly {live, superseded}
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((2000L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+    refresh(dd)
+    val gens = b2.listFiles().map(_.getName)
+      .filter(_.startsWith(SegmentLayout.GenPrefix)).sorted
+    assert(gens.toSeq == Seq(s"${SegmentLayout.GenPrefix}1",
+      s"${SegmentLayout.GenPrefix}2"), gens.mkString(","))
+    assert(sums(SegmentLayout.readData(spark, dd))("2024-01-02T00") == 2000L)
+  }
+
+  test("commitSlice: an in-range bucket with no staged rows tombstones") {
+    val dd = freshTable()
+    // slice covers d2+d3 but only provides d2 rows → d3 is erased
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((20L, "2024-01-02T00"))),
+      Seq("2024-01-02T00", "2024-01-03T00"))
+    refresh(dd)
+    assert(sums(SegmentLayout.readData(spark, dd)) ==
+      Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 20L))
+    val r = SegmentLayout.resolveCached(hconf, dd)
+    assert(r.tombstoned == Set("2024-01-03T00"))
+    assert(SegmentLayout.liveBuckets(hconf, dd) ==
+      Seq("2024-01-01T00", "2024-01-02T00"))
+  }
+
+  test("commitTombstones: live buckets hide atomically; re-kill reclaims") {
+    val dd = freshTable()
+    SegmentLayout.commitTombstones(
+      spark, dd, Seq("2024-01-01T00"), _ => false)
+    refresh(dd)
+    // hidden from reads, data still on disk (a racing reader's files)
+    assert(sums(SegmentLayout.readData(spark, dd)).keySet ==
+      Set("2024-01-02T00", "2024-01-03T00"))
+    val b1 = new java.io.File(s"$dd/${Ingest.BucketCol}=2024-01-01T00")
+    assert(b1.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "a tombstoned live bucket keeps its data for in-flight readers")
+    // re-kill physically reclaims and drops the entry
+    SegmentLayout.commitTombstones(
+      spark, dd, Seq("2024-01-01T00"), _ => false)
+    refresh(dd)
+    assert(!b1.exists(), "a re-kill reclaims the tombstoned bucket")
+    assert(SegmentLayout.resolveCached(hconf, dd).tombstoned.isEmpty)
+  }
+
+  test("commitTombstones: already-hidden buckets delete physically, no manifest on plain tables") {
+    val dd = freshTable()
+    // the unused→kill discipline: bucket already hidden → straight delete
+    SegmentLayout.commitTombstones(
+      spark, dd, Seq("2024-01-03T00"), Set("2024-01-03T00"))
+    refresh(dd)
+    assert(!new java.io.File(s"$dd/${Ingest.BucketCol}=2024-01-03T00").exists())
+    // and the table did NOT flip into managed mode for it
+    assert(!new java.io.File(dd).listFiles()
+      .exists(_.getName.startsWith(SegmentLayout.ManifestPrefix)),
+      "a pure physical reclaim must not create a manifest")
+    assert(sums(SegmentLayout.readData(spark, dd)).keySet ==
+      Set("2024-01-01T00", "2024-01-02T00"))
+  }
+
+  test("append: loose buckets stay loose; managed buckets land in their generation; tombstones revive") {
+    import spark.implicits._
+    val dd = freshTable()
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((20L, "2024-01-02T00"))),
+      Seq("2024-01-02T00", "2024-01-03T00")) // d2 → gen, d3 → tombstone
+    refresh(dd)
+    // rows for: loose d1, managed d2, tombstoned d3, new d4
+    SegmentLayout.append(
+      slice(Seq((100L, "2024-01-01T00"), (100L, "2024-01-02T00"),
+        (100L, "2024-01-03T00"), (100L, "2024-01-04T00"))), dd)
+    refresh(dd)
+    assert(sums(SegmentLayout.readData(spark, dd)) == Map(
+      "2024-01-01T00" -> 101L, // loose append
+      "2024-01-02T00" -> 120L, // into the live generation
+      "2024-01-03T00" -> 100L, // revived from tombstone (old rows stay dead)
+      "2024-01-04T00" -> 100L)) // brand-new bucket, loose
+    val r = SegmentLayout.resolveCached(hconf, dd)
+    assert(r.tombstoned.isEmpty)
+    assert(r.svLive.keySet == Set("2024-01-02T00", "2024-01-03T00"))
+    assert(r.looseLive.toSet == Set("2024-01-01T00", "2024-01-04T00"))
+  }
+
+  test("crashed writers: stale staging dirs and orphan generations are invisible, then swept") {
+    val dd = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    // simulate a crash: a staged dir + an orphan generation dir with a
+    // (never-published) data file in bucket d1
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$dd/${SegmentLayout.StagingPrefix}dead"))
+    val orphan = s"$dd/${Ingest.BucketCol}=2024-01-01T00/${SegmentLayout.GenPrefix}7"
+    slice(Seq((999L, "2024-01-01T00"))).drop(Ingest.BucketCol)
+      .write.parquet(orphan)
+    refresh(dd)
+    // invisible to reads (plain AND managed resolution)
+    assert(sums(SegmentLayout.readData(spark, dd))("2024-01-01T00") == 1L)
+    // a commit touching the bucket sweeps the orphan; any commit sweeps
+    // stale staging dirs
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((10L, "2024-01-01T00"))), Seq("2024-01-01T00"))
+    refresh(dd)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(orphan)),
+      "an orphan generation dies at the next commit of its bucket")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dd/${SegmentLayout.StagingPrefix}dead")))
+    assert(sums(SegmentLayout.readData(spark, dd))("2024-01-01T00") == 10L)
+  }
+
+  test("manifest files rotate: older than n-1 deleted, concurrent same-n create fails loudly") {
+    val dd = freshTable()
+    for (i <- 1 to 3) {
+      SegmentLayout.commitSlice(spark, dd,
+        slice(Seq((i * 10L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+      refresh(dd)
+    }
+    val manifests = new java.io.File(dd).listFiles().map(_.getName)
+      .filter(_.startsWith(SegmentLayout.ManifestPrefix)).sorted
+    assert(manifests.toSeq == Seq("_graft_manifest.2.json", "_graft_manifest.3.json"),
+      manifests.mkString(","))
+    assert(sums(SegmentLayout.readData(spark, dd))("2024-01-02T00") == 30L)
+  }
+}
