@@ -66,9 +66,11 @@ object GraphRank {
     // the same discipline as Dedup.connectedComponents. Fold the
     // out-mass onto the edge row so the sweep is ONE join, not two.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-    val out = e.groupBy("src").agg(sum("w").as("m")).localCheckpoint()
-    val em = e.join(out, "src")
-      .select(col("src"), col("dst"), col("w"), col("m")).localCheckpoint()
+    Ckpt.drain("page_rank")
+    val out = Ckpt.register("page_rank",
+      e.groupBy("src").agg(sum("w").as("m")).localCheckpoint())
+    val em = Ckpt.register("page_rank", e.join(out, "src")
+      .select(col("src"), col("dst"), col("w"), col("m")).localCheckpoint())
     // node count: one scalar agg (the only driver-side value)
     val n = out.count()
     require(n > 0, "empty graph")

@@ -327,8 +327,12 @@ object Similarity {
       m: Int, kPerSpace: Int, iterations: Int = 3): DataFrame = {
     // the subvector table feeds the init pass plus one assignment per
     // Lloyd round — materialize it once instead of re-deriving the
-    // explode from the scan in every pass
-    val sub = subvectors(corpus, idCol, vecCol, m).localCheckpoint()
+    // explode from the scan in every pass. Ckpt-recycled: a bench rep
+    // or repeated training call would otherwise pile a full corpus-
+    // sized subvector copy into executor storage per invocation
+    Ckpt.drain("pq_codebooks")
+    val sub = Ckpt.register("pq_codebooks",
+      subvectors(corpus, idCol, vecCol, m).localCheckpoint())
     var books = sub
       .groupBy(col("subspace"), col("subvec"))
       .agg(min(col("id")).as("first_id"))
@@ -356,7 +360,7 @@ object Similarity {
     // materialize the final (m × kPerSpace row) table once: encode and
     // search each consume it (collect/broadcast), and a lazy plan
     // would re-run the last round's aggregation per consumer
-    books.localCheckpoint()
+    Ckpt.register("pq_codebooks", books.localCheckpoint())
   }
 
   /** split (id, vec) into (id, subspace, subvec: array<double>); m
@@ -792,8 +796,10 @@ object Similarity {
     * discipline as GraphRank.pageRank). */
   def topComponentPowerIter(gram: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 3, "≤3 unscaled sweeps stay within decimal(38)")
-    val g = gram.select(col("i"), col("j"), col("g").cast("decimal(38,0)").as("g"))
-      .localCheckpoint()
+    Ckpt.drain("power_iter")
+    val g = Ckpt.register("power_iter",
+      gram.select(col("i"), col("j"), col("g").cast("decimal(38,0)").as("g"))
+        .localCheckpoint())
     var v = g.select(col("j")).distinct()
       .select(col("j"), lit(1).cast("decimal(38,0)").as("v"))
     for (_ <- 1 to iters) {
@@ -804,7 +810,7 @@ object Similarity {
     }
     // bounded driver scalar (d-row frame), like pageRank's node count —
     // avoids a 1-row cartesian the plan audit would flag
-    val last = v.localCheckpoint()
+    val last = Ckpt.register("power_iter", v.localCheckpoint())
     val m = last.agg(max(abs(col("v")))).head().getDecimal(0)
     last.select(col("j").as("i"),
       round(col("v").cast("double") / lit(m).cast("double"), 6).as("comp"))

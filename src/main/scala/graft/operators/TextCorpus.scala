@@ -240,10 +240,11 @@ object TextCorpus {
       textCol: String,
       spanLen: Int = 10): DataFrame = {
     // tokenized base is read twice (gram build + final reassembly);
-    // materialize it once
-    val base = Par.spread(df)
+    // materialize it once (Ckpt: repeat invocations recycle blocks)
+    Ckpt.drain("strip_spans")
+    val base = Ckpt.register("strip_spans", Par.spread(df)
       .select(col(idCol).as("id"), toks(col(textCol)).as("w"))
-      .localCheckpoint()
+      .localCheckpoint())
     // downstream only needs span IDENTITY, not the span text: carry
     // two DIFFERENTLY-SEEDED xxhash64s (128 effective bits) instead
     // of the ~10-token gram string — the ownership shuffle and the
@@ -252,13 +253,13 @@ object TextCorpus {
     // two hashes through the shared internal state); a simultaneous
     // collision in both (~1e-31 per corpus) is the only way to strip
     // a span the oracle keeps. Materialized once for both consumers.
-    val grams = base.select(
+    val grams = Ckpt.register("strip_spans", base.select(
       col("id"),
       posexplode(TextAnalysis.wordShingles(col("w"), spanLen)).as(Seq("pos", "g")))
       .select(col("id"), col("pos"),
         xxhash64(col("g")).as("gh"),
         graft.exprs.xxhash64Seeded(0x5eed2L, col("g")).as("gh2"))
-      .localCheckpoint()
+      .localCheckpoint())
     val owners = grams.groupBy(col("gh"), col("gh2"))
       .agg(countDistinct(col("id")).as("df"), min(col("id")).as("owner"))
     val covered = grams.join(owners, Seq("gh", "gh2"))
@@ -620,8 +621,9 @@ object TextCorpus {
     // df table + both sides of the pair join), and the upstream
     // rolling-hash fingerprint pipeline is the dominant cost — without
     // this it re-executes per branch whenever exchange reuse misses.
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col("id"), col("fp")).distinct().localCheckpoint()
+    val fps = Ckpt.recycle("winnow_pairs",
+      winnowFingerprints(df, idCol, textCol, k, w)
+        .select(col("id"), col("fp")).distinct().localCheckpoint())
     val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
     val kept = fps.join(dfc.filter(col("__df") <= maxFpDf), Seq("fp"))
       .select(col("fp"), col("id"))

@@ -341,10 +341,11 @@ object PipelineQueries8 {
     // ground truth is consumed by BOTH recall joins below — pin the
     // 50-row result once or the full brute-force corpus scan re-runs
     // per consumer (lazy plans don't share work across joins)
-    val bf = Similarity.bruteForceTopK(
-      queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 10)
-      .select(col("qid"), col("id"))
-      .localCheckpoint()
+    val bf = graft.operators.Ckpt.recycle("similarity_recall/bf",
+      Similarity.bruteForceTopK(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("id"))
+        .localCheckpoint())
     val ivf = Similarity.ivfTopK(
       queries, "vec_id", "embedding", emb, "vec_id", "embedding",
       k = 10, nCentroids = 8, nProbe = 5)

@@ -300,9 +300,10 @@ object SupersetQueries {
     // one core otherwise), and checkpoint the blobs: repartitionBySize
     // range-partitions on blob length, whose sampling pass would
     // otherwise re-execute the whole synthesis
-    val media = graft.operators.Par.spread(Tables.documents(s, d))
-      .select(doc, unhex(concat(header, pix)).as("media"))
-      .localCheckpoint()
+    val media = graft.operators.Ckpt.recycle("multimodal_media",
+      graft.operators.Par.spread(Tables.documents(s, d))
+        .select(doc, unhex(concat(header, pix)).as("media"))
+        .localCheckpoint())
     val staged = Multimodal.withMediaEmbedding(
       Multimodal.withDecodedResize(
         Multimodal.withMediaMeta(

@@ -231,7 +231,7 @@ object SegmentLayout {
     * overwrite=false — a concurrent writer racing to the same n fails
     * loudly instead of silently merging. Manifests older than n-1 are
     * deleted (n-1 survives for readers that resolved just before). */
-  private def writeManifest(fs: FileSystem, dd: String, m: Manifest): Unit = {
+  private[sources] def writeManifest(fs: FileSystem, dd: String, m: Manifest): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("n", m.n)
@@ -243,7 +243,18 @@ object SegmentLayout {
         case None => o.put("tomb", true)
       }
     }
-    val out = fs.create(new Path(dd, s"$ManifestPrefix${m.n}$ManifestSuffix"), false)
+    val out =
+      try fs.create(new Path(dd, s"$ManifestPrefix${m.n}$ManifestSuffix"), false)
+      catch {
+        case e: java.io.IOException =>
+          // the create-only commit lost to another writer racing the
+          // same table — the single-writer analog of the reference's
+          // task-lock conflict, surfaced as a retryable failure
+          throw new IllegalStateException(
+            s"concurrent segment commit on $dd (manifest ${m.n} already " +
+              "exists): segment mutations are single-writer per table; " +
+              "retry the statement", e)
+      }
     try out.write(mapper.writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

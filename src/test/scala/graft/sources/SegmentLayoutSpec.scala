@@ -178,6 +178,21 @@ class SegmentLayoutSpec extends AnyFunSuite {
     assert(sums(SegmentLayout.readData(spark, dd))("2024-01-01T00") == 10L)
   }
 
+  test("a commit losing the manifest-create race fails loudly, not silently") {
+    // the narrow window: a competitor lands the same manifest number
+    // between a writer's resolve and its create — the create-only
+    // publish must surface a clear retryable conflict, never merge
+    val dd = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    val m = SegmentLayout.Manifest(1L,
+      Map("2024-01-02T00" -> SegmentLayout.Entry(Some(0L))))
+    SegmentLayout.writeManifest(fs, dd, m)
+    val e = intercept[IllegalStateException] {
+      SegmentLayout.writeManifest(fs, dd, m)
+    }
+    assert(e.getMessage.contains("concurrent segment commit"), e.getMessage)
+  }
+
   test("manifest files rotate: older than n-1 deleted, concurrent same-n create fails loudly") {
     val dd = freshTable()
     for (i <- 1 to 3) {
