@@ -422,7 +422,88 @@ object ServerQueries {
     } finally srv.stop()
   }
 
+  /** the per-segment cache crossed with an ATOMIC slice replace
+    * (SegmentLayout): populate one entry per day segment, REPLACE
+    * OVERWRITE WHERE exactly one day (doubled cents — the new rows
+    * land as a `_sv.K` generation published by one manifest commit),
+    * and the repeat query must hit every untouched day's cache entry
+    * while recomputing ONLY the replaced segment — the generation dir
+    * changes that bucket's pinned listing version, so its stale
+    * partial can never serve, while loose untouched buckets keep their
+    * version and hit. The `require`s pin the hit/recompute sets; the
+    * DuckDB oracle reproduces the doubling arithmetic, so a stale
+    * cached partial, a double-merged segment, or an over-invalidation
+    * all break the entry. */
+  val serverCacheSliceReplace: Q = q(
+    "server_cache_slice_replace",
+    """SELECT epoch_ms(date_trunc('day', ts)) AS t_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+      |                      AND ts < TIMESTAMP '2024-01-11'
+      |                     THEN 2 * CAST(round(value * 100) AS BIGINT)
+      |                     ELSE CAST(round(value * 100) AS BIGINT) END)
+      |            AS BIGINT) AS cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("server_scache_src")
+    val storage =
+      java.nio.file.Files.createTempDirectory("graft_cache_slice").toString
+    val srv = new QueryServer(s, _ => s.emptyDataFrame,
+      storageRoot = Some(storage))
+    val port = srv.start()
+    try {
+      postSql(port,
+        """REPLACE INTO server_scache_tbl OVERWRITE ALL
+          |SELECT ts AS __time, CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_scache_src PARTITIONED BY DAY""".stripMargin)
+      val body =
+        """{"queryType": "timeseries", "dataSource": "server_scache_tbl",
+          | "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+          | "granularity": "day",
+          | "aggregations": [
+          |   {"type": "count", "name": "cnt"},
+          |   {"type": "longSum", "name": "cents", "fieldName": "cents"}],
+          | "context": {"useCache": true, "populateCache": true,
+          |             "skipEmptyBuckets": true}}""".stripMargin
+      def postNative(): com.fasterxml.jackson.databind.JsonNode = {
+        val resp = HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+            .build(),
+          HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"native endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+      }
+      val first = postNative()
+      val stats = srv.segmentCacheStats
+      require(stats.populated == first.size(),
+        s"expected one cached entry per day, got ${stats.populated} for ${first.size()} days")
+      postSql(port,
+        """REPLACE INTO server_scache_tbl
+          |OVERWRITE WHERE __time >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND __time < TIMESTAMP '2024-01-11 00:00:00'
+          |SELECT ts AS __time, 2 * CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_scache_src
+          |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+          |PARTITIONED BY DAY""".stripMargin)
+      val second = postNative()
+      require(stats.hits == first.size() - 1,
+        s"expected ${first.size() - 1} cache hits on the repeat (untouched days), " +
+          s"got ${stats.hits}")
+      require(stats.lastComputedBuckets == Seq("2024-01-10T00"),
+        s"expected only the replaced day recomputed, got ${stats.lastComputedBuckets}")
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      second.elements().asScala.map { e =>
+        (java.time.Instant.parse(e.get("timestamp").asText()).toEpochMilli,
+          e.get("result").get("cnt").asLong(),
+          e.get("result").get("cents").asLong())
+      }.toSeq.toDF("t_ms", "cnt", "cents").orderBy("t_ms")
+    } finally srv.stop()
+  }
+
   val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask,
     serverNativeRoundtrip, serverMarkUnused, serverRetentionDrop,
-    serverCacheRoundtrip)
+    serverCacheRoundtrip, serverCacheSliceReplace)
 }
