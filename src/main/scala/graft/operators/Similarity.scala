@@ -61,22 +61,28 @@ object Similarity {
   }
 
   /** IVF (inverted-file) index: k-means centroids learned with a few
-    * Lloyd iterations entirely as DataFrame transforms — assignment is
-    * a broadcast argmin over the centroid set, centroid update is a
-    * per-(cluster, position) average via posexplode. Returns
-    * (centroid_id, centroid) — small, intended to be broadcast.
+    * Lloyd iterations. Each round is one MAP-ONLY assignment pass over
+    * a checkpointed base (the round's centroids ride the plan as
+    * literals — see [[assignClusters]]) followed by one
+    * (cluster, position) average with map-side combine. Rounds
+    * materialize via a bounded collect of the tiny centroid table, so
+    * the corpus parquet is scanned EXACTLY ONCE regardless of
+    * iteration count — the lazy nested-DAG formulation re-executed
+    * every prior round per consumer (16 scans for a 2-iteration
+    * search plan; ReusedExchange never fired across the nesting).
+    * Returns (centroid_id, centroid) — small, checkpointed.
     *
-    * At corpus scale this is the standard ANN layout: each row is
-    * scored against nCentroids vectors per iteration (centroids
-    * broadcast, no shuffle of the corpus beyond the final cluster
-    * groupBy), and the search path only scores rows in the query's
-    * nProbe nearest clusters. */
+    * At corpus scale this is the standard ANN layout: one corpus scan
+    * + `iterations` map-passes with no per-row shuffle, and the search
+    * path only scores rows in the query's nProbe nearest clusters. */
   def ivfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iterations: Int = 3): DataFrame = {
     require(nCentroids >= 1 && nCentroids <= 1024,
       s"nCentroids must be 1..1024 (the centroid table is broadcast), got $nCentroids")
-    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    Ckpt.drain("ivf_centroids")
+    val c0 = Ckpt.register("ivf_centroids",
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")).localCheckpoint())
     // deterministic seed centroids: first n rows in hash order
     var centroids = c0
       .withColumn("__h", hash(col("id")))
@@ -84,10 +90,6 @@ object Similarity {
       .select(row_number().over(
         Window.orderBy(col("__h"))).as("centroid_id"), col("vec").as("centroid"))
     for (_ <- 1 to iterations) {
-      // the chain stays LAZY: all rounds execute as ONE DAG at the
-      // consumer's action, where identical subtrees (round i's
-      // aggregation appears inside rounds i+1..n) dedupe via
-      // ReusedExchange — cheaper than forcing a job per round
       val assigned = assignClusters(c0, centroids)
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("vec")))
@@ -98,22 +100,37 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
     }
-    centroids
+    // materialize once: the search path consumes the final table
+    // several times (probe routing + assignment literals)
+    Ckpt.register("ivf_centroids", centroids.localCheckpoint())
   }
 
-  /** nearest-centroid assignment via broadcast argmin (no shuffle).
-    * Deliberately NOT Par.spread: k fused distances per row is light
-    * work, and at test scale fanning a 1-split scan into 32-task
-    * stages costs more in scheduling than it buys (heavy per-row
-    * operators — quantized dots, subvector explodes — do spread). */
-  private[operators] def assignClusters(c0: DataFrame, centroids: DataFrame): DataFrame =
-    c0.crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("centroid_id"),
-        VectorExpressions.l2F32(col("vec"), col("centroid")).as("d"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("d").asc, col("centroid_id").asc)))
-      .filter(col("__r") === 1)
-      .select(col("id"), col("vec"), col("centroid_id"))
+  /** nearest-centroid assignment as a literal argmin: the centroid
+    * table is bounded (require ≤1024), so it rides the plan as
+    * float-array literals and assignment is a MAP-ONLY projection —
+    * no join, no Window, no shuffle of the corpus (the prior
+    * formulation shuffled every row through a per-id row_number).
+    * Distances use the same codegen'd [[VectorExpressions.l2F32]]
+    * kernel as before; ties break to the lowest centroid_id via the
+    * (d, cid) struct ordering, matching the old orderBy. Bounded
+    * collect: the centroid table itself. */
+  private[operators] def assignClusters(c0: DataFrame, centroids: DataFrame): DataFrame = {
+    val collected = centroids
+      .select(col("centroid_id").cast("int"),
+        transform(col("centroid"), _.cast("float")).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq))
+      .sortBy(_._1)
+    require(collected.nonEmpty && collected.length <= 1024,
+      s"centroid table must have 1..1024 rows to ride the plan as literals, " +
+        s"got ${collected.length}")
+    val best = array_min(array(collected.map { case (cid, c) =>
+      struct(
+        VectorExpressions.l2F32(col("vec"), typedLit(c)).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    c0.select(col("id"), col("vec"), best.getField("cid").as("centroid_id"))
+  }
 
   /** IVF approximate top-k: score only corpus rows whose cluster is
     * among the query's nProbe nearest centroids. */
