@@ -341,15 +341,25 @@ object Similarity {
     * practice) and encode the full corpus with the broadcast result. */
   def pqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, kPerSpace: Int, iterations: Int = 3): DataFrame = {
-    // the subvector table feeds the init pass plus one assignment per
-    // Lloyd round — materialize it once instead of re-deriving the
-    // explode from the scan in every pass. Ckpt-recycled: a bench rep
-    // or repeated training call would otherwise pile a full corpus-
-    // sized subvector copy into executor storage per invocation
+      m: Int, kPerSpace: Int, iterations: Int = 3): DataFrame =
+    codebooksFromSub(stageSubvectors(corpus, idCol, vecCol, m),
+      kPerSpace, iterations)
+
+  /** the checkpointed (id, subspace, subvec) table training and encode
+    * SHARE — one corpus scan + one explode serves both (re-deriving it
+    * for the encode pass doubled the corpus scans). Ckpt-recycled: a
+    * bench rep or repeated training call would otherwise pile a full
+    * corpus-sized subvector copy into executor storage per
+    * invocation. */
+  private def stageSubvectors(
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
     Ckpt.drain("pq_codebooks")
-    val sub = Ckpt.register("pq_codebooks",
+    Ckpt.register("pq_codebooks",
       subvectors(corpus, idCol, vecCol, m).localCheckpoint())
+  }
+
+  private def codebooksFromSub(
+      sub: DataFrame, kPerSpace: Int, iterations: Int): DataFrame = {
     var books = sub
       .groupBy(col("subspace"), col("subvec"))
       .agg(min(col("id")).as("first_id"))
@@ -437,7 +447,10 @@ object Similarity {
   def pqEncode(
       corpus: DataFrame, idCol: String, vecCol: String,
       books: DataFrame, m: Int): DataFrame =
-    assignPq(subvectors(corpus, idCol, vecCol, m), books)
+    encodeFromSub(subvectors(corpus, idCol, vecCol, m), books)
+
+  private def encodeFromSub(sub: DataFrame, books: DataFrame): DataFrame =
+    assignPq(sub, books)
       .select(col("id"), col("subspace"), col("cid").as("code"))
 
   /** Persist a trained PQ index: `books/` (subspace, cid, centroid)
@@ -504,8 +517,11 @@ object Similarity {
       m: Int, kPerSpace: Int, k: Int, kPrime: Int,
       iterations: Int = 3): DataFrame = {
     require(kPrime >= k, "kPrime must be >= k")
-    val books = pqCodebooks(corpus, idCol, vecCol, m, kPerSpace, iterations)
-    val codes = pqEncode(corpus, idCol, vecCol, books, m)
+    // train and encode share ONE staged subvector table — one corpus
+    // scan for the whole index build
+    val sub = stageSubvectors(corpus, idCol, vecCol, m)
+    val books = codebooksFromSub(sub, kPerSpace, iterations)
+    val codes = encodeFromSub(sub, books)
     val cands = pqTopK(queries, qidCol, qvecCol, codes, books, m, kPrime)
       .select(col("qid"), col("id"))
     val q = broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")))
@@ -542,8 +558,9 @@ object Similarity {
       .select(col("id"), col("centroid_id"),
         zip_with(col("vec"), col("centroid"),
           (a, b) => a.cast("double") - b.cast("double")).as("rvec"))
-    val books = pqCodebooks(resid, "id", "rvec", m, kPerSpace, iterations)
-    val codes = pqEncode(resid, "id", "rvec", books, m)
+    val rsub = stageSubvectors(resid, "id", "rvec", m)
+    val books = codebooksFromSub(rsub, kPerSpace, iterations)
+    val codes = encodeFromSub(rsub, books)
       .join(resid.select(col("id"), col("centroid_id")), Seq("id"))
     // probe cells + per-(query, cell) residual
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
