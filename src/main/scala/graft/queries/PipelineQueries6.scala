@@ -58,7 +58,11 @@ object PipelineQueries6 {
          |       right($redacted, 100) AS tail
          |FROM inj ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val inj = Tables.documents(s, d).select(col("doc_id"), injectCol.as("injected"))
+    // 10 regex passes per row over a SINGLE-FILE parquet scan would
+    // otherwise run on one core (the Par.spread discipline for heavy
+    // per-row work at test SFs)
+    val inj = graft.operators.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"), injectCol.as("injected"))
     inj.select(
       (col("doc_id") +:
         Privacy.matchCounts(col("injected")) :+
