@@ -90,11 +90,15 @@ object SegmentLayout {
     def managed: Boolean = manifest.isDefined
     private def entries: Map[String, Entry] =
       manifest.map(_.entries).getOrElse(Map.empty)
+    // O(1) membership: per-bucket checks over a Seq would cost
+    // O(entries x buckets) on wide tables (hour grain x years)
+    private lazy val onDiskSet: Set[String] = onDisk.toSet
+    def onDiskContains(b: String): Boolean = onDiskSet.contains(b)
     /** buckets serving their loose top-level files. */
     def looseLive: Seq[String] = onDisk.filterNot(entries.contains)
     /** buckets serving a numbered generation dir. */
     def svLive: Map[String, Long] = entries.collect {
-      case (b, Entry(Some(k))) if onDisk.contains(b) => b -> k
+      case (b, Entry(Some(k))) if onDiskSet.contains(b) => b -> k
     }
     def tombstoned: Set[String] = entries.collect {
       case (b, Entry(None)) => b
@@ -106,7 +110,7 @@ object SegmentLayout {
       entries.get(b) match {
         case Some(Entry(Some(k))) => Some(svDir(dd, b, k))
         case Some(Entry(None)) => None
-        case None => if (onDisk.contains(b)) Some(bucketDir(dd, b)) else None
+        case None => if (onDiskSet.contains(b)) Some(bucketDir(dd, b)) else None
       }
     def liveLeafDirs(dd: String): Seq[String] =
       liveBuckets.flatMap(liveLeafDir(dd, _))
@@ -321,7 +325,7 @@ object SegmentLayout {
     r.manifest.flatMap(_.entries.get(b)) match {
       case Some(Entry(Some(k))) => Some(Gen.Sv(k))
       case Some(Entry(None)) => None
-      case None => if (r.onDisk.contains(b)) Some(Gen.Loose) else None
+      case None => if (r.onDiskContains(b)) Some(Gen.Loose) else None
     }
 
   /** REPLACE ... OVERWRITE WHERE commit: stage the slice's rows, then
@@ -349,8 +353,9 @@ object SegmentLayout {
       .map(_.stripPrefix(Ingest.BucketCol + "=")).toSet
     val cur = resolve(hconf, dd)
     val curEntries = cur.manifest.map(_.entries).getOrElse(Map.empty)
+    val onDiskSet = cur.onDisk.toSet
     val touched = sliceBuckets.filter(b =>
-      stagedBuckets.contains(b) || curEntries.contains(b) || cur.onDisk.contains(b))
+      stagedBuckets.contains(b) || curEntries.contains(b) || onDiskSet.contains(b))
     val updates = touched.map { b =>
       val oldGen = liveGenOf(cur, b)
       if (stagedBuckets.contains(b)) {
@@ -384,8 +389,9 @@ object SegmentLayout {
     val fs = fsOf(hconf, dd)
     val cur = resolve(hconf, dd)
     val curEntries = cur.manifest.map(_.entries).getOrElse(Map.empty)
+    val onDiskSet = cur.onDisk.toSet
     val touched = buckets.filter(b =>
-      curEntries.contains(b) || cur.onDisk.contains(b))
+      curEntries.contains(b) || onDiskSet.contains(b))
     if (touched.isEmpty) return
     var entries = curEntries
     val sweeps = Seq.newBuilder[(String, Set[Gen])]
