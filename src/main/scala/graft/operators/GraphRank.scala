@@ -55,7 +55,12 @@ object GraphRank {
 
   /** `iters` Jacobi sweeps of damped PageRank over (src, dst, w)
     * edges. Returns (node, rank) with rank an exact scaled integer;
-    * rank/scale sums to ≈1 over the graph. */
+    * rank/scale sums to ≈1 over the graph.
+    *
+    * Ckpt contract (operators.Ckpt): consume the returned frame before
+    * invoking pageRank again — the next call drains this call's
+    * checkpoint blocks, and a still-unexecuted earlier plan cannot
+    * recompute them. Serial per-operator invocations only. */
   def pageRank(
       edges: DataFrame, iters: Int,
       scale: Long = 1000000000L, dampNum: Int = 85, dampDen: Int = 100): DataFrame = {

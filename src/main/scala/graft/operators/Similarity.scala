@@ -74,7 +74,11 @@ object Similarity {
     *
     * At corpus scale this is the standard ANN layout: one corpus scan
     * + `iterations` map-passes with no per-row shuffle, and the search
-    * path only scores rows in the query's nProbe nearest clusters. */
+    * path only scores rows in the query's nProbe nearest clusters.
+    *
+    * Ckpt contract: consume the previous ivf* invocation's result
+    * before training again — the next call drains the prior call's
+    * checkpoint blocks (serial per-operator invocations only). */
   def ivfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iterations: Int = 3): DataFrame = {
@@ -121,9 +125,15 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq))
       .sortBy(_._1)
-    require(collected.nonEmpty && collected.length <= 1024,
-      s"centroid table must have 1..1024 rows to ride the plan as literals, " +
+    require(collected.length <= 1024,
+      s"centroid table must have <=1024 rows to ride the plan as literals, " +
         s"got ${collected.length}")
+    // empty corpus => empty centroid table => empty assignment (the
+    // broadcast-argmin formulation produced the same; a require here
+    // would turn an empty search into a crash)
+    if (collected.isEmpty)
+      return c0.select(col("id"), col("vec"),
+        lit(null).cast("int").as("centroid_id")).filter(lit(false))
     val best = array_min(array(collected.map { case (cid, c) =>
       struct(
         VectorExpressions.l2F32(col("vec"), typedLit(c)).as("d"),
@@ -350,7 +360,9 @@ object Similarity {
     * for the encode pass doubled the corpus scans). Ckpt-recycled: a
     * bench rep or repeated training call would otherwise pile a full
     * corpus-sized subvector copy into executor storage per
-    * invocation. */
+    * invocation. Ckpt contract: consume the previous pq* invocation's
+    * result before building another index (serial per-operator
+    * invocations only — the next call drains these blocks). */
   private def stageSubvectors(
       corpus: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
     Ckpt.drain("pq_codebooks")

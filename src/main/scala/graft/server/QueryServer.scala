@@ -852,10 +852,13 @@ class QueryServer(
           val tablePath = s"${storageRoot.get}/$datasource"
           // LIVE segments in the CURRENT data dir (version- and
           // manifest-aware): a kill that tombstoned every bucket
-          // leaves nothing servable even though dirs may linger
-          val hasSegments = graft.sources.SegmentLayout.liveBuckets(
+          // leaves nothing servable even though dirs may linger.
+          // STRICT resolve: a transient filesystem error here must
+          // fail the task (retryable), never read as "no segments"
+          // and deregister a healthy datasource
+          val hasSegments = graft.sources.SegmentLayout.resolve(
             spark.sparkContext.hadoopConfiguration,
-            IngestSql.dataDir(spark, tablePath)).nonEmpty
+            IngestSql.dataDir(spark, tablePath)).liveBuckets.nonEmpty
           if (hasSegments)
             readActive(datasource).createOrReplaceTempView(datasource)
           else {

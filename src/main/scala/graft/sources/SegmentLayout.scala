@@ -231,10 +231,15 @@ object SegmentLayout {
     Manifest(n, entries)
   }
 
-  /** atomic commit point: create `_graft_manifest.{n}.json` with
-    * overwrite=false — a concurrent writer racing to the same n fails
-    * loudly instead of silently merging. Manifests older than n-1 are
-    * deleted (n-1 survives for readers that resolved just before). */
+  /** atomic commit point: the manifest body is fully written to a
+    * hidden temp file and RENAMED to `_graft_manifest.{n}.json` —
+    * create() alone is only name-atomic, not content-atomic, so a
+    * reader racing a direct write could parse an empty/partial body.
+    * Rename onto an existing destination fails, so a concurrent writer
+    * racing to the same n still fails loudly instead of silently
+    * merging; any other I/O failure propagates as what it is.
+    * Manifests older than n-1 are deleted (n-1 survives for readers
+    * that resolved just before). */
   private[sources] def writeManifest(fs: FileSystem, dd: String, m: Manifest): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -247,21 +252,30 @@ object SegmentLayout {
         case None => o.put("tomb", true)
       }
     }
-    val out =
-      try fs.create(new Path(dd, s"$ManifestPrefix${m.n}$ManifestSuffix"), false)
-      catch {
-        case e: java.io.IOException =>
-          // the create-only commit lost to another writer racing the
-          // same table — the single-writer analog of the reference's
-          // task-lock conflict, surfaced as a retryable failure
-          throw new IllegalStateException(
-            s"concurrent segment commit on $dd (manifest ${m.n} already " +
-              "exists): segment mutations are single-writer per table; " +
-              "retry the statement", e)
-      }
+    val dest = new Path(dd, s"$ManifestPrefix${m.n}$ManifestSuffix")
+    val tmp = new Path(dd,
+      s".graft_manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
     try out.write(mapper.writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // lost the publish race to another writer on the same table — the
+    // single-writer analog of the reference's task-lock conflict,
+    // surfaced as a retryable failure. Only a pre-existing destination
+    // is a conflict; any other I/O failure propagates as what it is.
+    def conflict() = {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent segment commit on $dd (manifest ${m.n} already " +
+          "exists): segment mutations are single-writer per table; " +
+          "retry the statement")
+    }
+    if (fs.exists(dest)) conflict()
+    if (!fs.rename(tmp, dest)) {
+      if (fs.exists(dest)) conflict() // raced in between
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"manifest publish rename failed: $tmp -> $dest")
+    }
     fs.listStatus(new Path(dd)).toSeq.map(_.getPath)
       .filter { p =>
         val n = p.getName
@@ -321,6 +335,16 @@ object SegmentLayout {
     }
   }
 
+  private def sweepStaging(fs: FileSystem, dd: String): Unit = {
+    val ddPath = new Path(dd)
+    if (fs.exists(ddPath)) fs.listStatus(ddPath).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith(StagingPrefix)) fs.delete(s.getPath, true)
+      else if (s.isFile && n.startsWith(".graft_manifest_tmp_"))
+        fs.delete(s.getPath, false)
+    }
+  }
+
   private def liveGenOf(r: Resolved, b: String): Option[Gen] =
     r.manifest.flatMap(_.entries.get(b)) match {
       case Some(Entry(Some(k))) => Some(Gen.Sv(k))
@@ -340,17 +364,24 @@ object SegmentLayout {
       sliceBuckets: Seq[String]): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = fsOf(hconf, dd)
-    // single-writer contract: stale staging dirs are crashed writers'
-    val ddPath = new Path(dd)
-    if (fs.exists(ddPath)) fs.listStatus(ddPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(StagingPrefix))
-      .foreach(s => fs.delete(s.getPath, true))
+    // single-writer contract: stale staging dirs / manifest temps are
+    // crashed writers' leftovers
+    sweepStaging(fs, dd)
     val staging = s"$dd/$StagingPrefix${java.util.UUID.randomUUID().toString.take(8)}"
     arranged.write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
     val stagedBuckets = fs.listStatus(new Path(staging)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(Ingest.BucketCol + "="))
       .map(_.stripPrefix(Ingest.BucketCol + "=")).toSet
+    // every staged bucket must be renamed in below — a staged bucket
+    // outside the slice enumeration would be silently DELETED with the
+    // staging dir (a granularity mismatch between the rows' bucketing
+    // and the slice's bucket list); fail loudly instead
+    val unclaimed = stagedBuckets -- sliceBuckets
+    require(unclaimed.isEmpty,
+      s"slice commit staged buckets outside the slice range: " +
+        s"${unclaimed.toSeq.sorted.take(5).mkString(", ")} — the staged rows' " +
+        "bucketing disagrees with the slice's bucket enumeration")
     val cur = resolve(hconf, dd)
     val curEntries = cur.manifest.map(_.entries).getOrElse(Map.empty)
     val onDiskSet = cur.onDisk.toSet
@@ -425,19 +456,18 @@ object SegmentLayout {
     val hconf = spark.sparkContext.hadoopConfiguration
     val dd = dataDir(hconf, root)
     val r = resolve(hconf, dd)
-    val redirected = r.svLive.keySet ++ r.tombstoned
-    if (!r.managed || redirected.isEmpty) {
+    if (!r.managed) {
       prepared.write.mode("append").partitionBy(Ingest.BucketCol).parquet(dd)
       return
     }
+    // managed table: ONE staging write of the whole frame (filtering
+    // per destination would execute the upstream plan twice — double
+    // the ingest work, and an inconsistent split if the source is
+    // nondeterministic or concurrently modified), then metadata-only
+    // moves route each staged bucket where readers look
     val fs = fsOf(hconf, dd)
-    val bucketCol = col(Ingest.BucketCol)
-    val redirectedSeq = redirected.toSeq
-    prepared.filter(!bucketCol.isin(redirectedSeq: _*))
-      .write.mode("append").partitionBy(Ingest.BucketCol).parquet(dd)
     val staging = s"$dd/$StagingPrefix${java.util.UUID.randomUUID().toString.take(8)}"
-    prepared.filter(bucketCol.isin(redirectedSeq: _*))
-      .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
+    prepared.write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
     val staged = fs.listStatus(new Path(staging)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(Ingest.BucketCol + "="))
@@ -449,27 +479,35 @@ object SegmentLayout {
         case Some(k) =>
           // append INTO the live generation: per-file moves (Spark
           // part names carry job UUIDs — collision-free)
-          val dest = new Path(svDir(dd, b, k))
-          for (f <- fs.listStatus(src) if f.isFile &&
-              !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
-            require(fs.rename(f.getPath, new Path(dest, f.getPath.getName)),
-              s"failed to append ${f.getPath} into $dest")
-          }
-        case None =>
+          moveDataFiles(fs, src, new Path(svDir(dd, b, k)))
+        case None if r.tombstoned.contains(b) =>
           // tombstoned: revive as a fresh generation
           val k = nextSv(fs, dd, b)
           val dest = new Path(svDir(dd, b, k))
           fs.mkdirs(dest.getParent)
           require(fs.rename(src, dest), s"failed to revive $dest")
           revived += b -> Entry(Some(k))
+        case None =>
+          // loose (or brand-new) bucket: files land at the bucket
+          // dir's top level, exactly where a plain append puts them
+          moveDataFiles(fs, src, new Path(bucketDir(dd, b)))
       }
     }
-    if (revived.nonEmpty) {
-      val cur = resolve(hconf, dd) // entries unchanged since `r` (single writer)
+    if (revived.nonEmpty)
       writeManifest(fs, dd, Manifest(
-        cur.manifest.map(_.n).getOrElse(0L) + 1L,
-        cur.manifest.map(_.entries).getOrElse(Map.empty) ++ revived))
-    }
+        r.manifest.map(_.n).getOrElse(0L) + 1L,
+        r.manifest.map(_.entries).getOrElse(Map.empty) ++ revived))
     fs.delete(new Path(staging), true)
+  }
+
+  /** move a staged dir's data files into `dest` (created if absent);
+    * hidden/marker files stay behind and die with the staging dir. */
+  private def moveDataFiles(fs: FileSystem, src: Path, dest: Path): Unit = {
+    fs.mkdirs(dest)
+    for (f <- fs.listStatus(src) if f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+      require(fs.rename(f.getPath, new Path(dest, f.getPath.getName)),
+        s"failed to move ${f.getPath} into $dest")
+    }
   }
 }
