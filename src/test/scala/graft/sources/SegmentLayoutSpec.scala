@@ -193,6 +193,23 @@ class SegmentLayoutSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent segment commit"), e.getMessage)
   }
 
+  test("commitSlice rejects staged buckets outside the slice enumeration") {
+    // a granularity mismatch between the staged rows' bucketing and
+    // the slice's bucket list must fail loudly — silently deleting the
+    // staged rows with the staging dir would be data loss
+    val dd = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      SegmentLayout.commitSlice(spark, dd,
+        slice(Seq((20L, "2024-01-02T00"), (30L, "2024-01-03T00"))),
+        Seq("2024-01-02T00")) // 2024-01-03T00 staged but not in the slice
+    }
+    assert(e.getMessage.contains("outside the slice range"), e.getMessage)
+    // nothing was published: the table still serves its loose rows
+    refresh(dd)
+    assert(sums(SegmentLayout.readData(spark, dd)) ==
+      Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 2L, "2024-01-03T00" -> 3L))
+  }
+
   test("manifest files rotate: older than n-1 deleted, concurrent same-n create fails loudly") {
     val dd = freshTable()
     for (i <- 1 to 3) {
