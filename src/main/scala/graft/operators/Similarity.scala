@@ -78,15 +78,30 @@ object Similarity {
     *
     * Ckpt contract: consume the previous ivf* invocation's result
     * before training again — the next call drains the prior call's
-    * checkpoint blocks (serial per-operator invocations only). */
+    * checkpoint blocks (serial per-operator invocations only).
+    *
+    * `trainFraction` < 1 trains on a DETERMINISTIC hash sample of the
+    * corpus (standard practice at scale — k-means needs ~100-1000 rows
+    * per centroid, not the corpus; FAISS caps training points the same
+    * way): the checkpointed training set is then bounded regardless of
+    * corpus size, and the sample is a pure function of the ids, so
+    * training is reproducible run over run. Assignment/search always
+    * covers the FULL corpus. */
   def ivfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iterations: Int = 3): DataFrame = {
+      nCentroids: Int, iterations: Int = 3,
+      trainFraction: Double = 1.0): DataFrame = {
     require(nCentroids >= 1 && nCentroids <= 1024,
       s"nCentroids must be 1..1024 (the centroid table is broadcast), got $nCentroids")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     Ckpt.drain("ivf_centroids")
-    val c0 = Ckpt.register("ivf_centroids",
-      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")).localCheckpoint())
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sampled =
+      if (trainFraction >= 1.0) base
+      else base.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
+        lit((trainFraction * 1e6).toLong))
+    val c0 = Ckpt.register("ivf_centroids", sampled.localCheckpoint())
     // deterministic seed centroids: first n rows in hash order
     var centroids = c0
       .withColumn("__h", hash(col("id")))
@@ -147,8 +162,10 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int, nProbe: Int = 2, iterations: Int = 3): DataFrame = {
-    val centroids = broadcast(ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations))
+      k: Int, nCentroids: Int, nProbe: Int = 2, iterations: Int = 3,
+      trainFraction: Double = 1.0): DataFrame = {
+    val centroids = broadcast(
+      ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations, trainFraction))
     val assigned = assignClusters(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
@@ -349,11 +366,27 @@ object Similarity {
     * small rows per corpus row, with map-side combine in every
     * aggregation; at 100 TB you train codebooks on a sample (standard
     * practice) and encode the full corpus with the broadcast result. */
+  /** `trainFraction` < 1 learns the codebooks from a deterministic
+    * hash sample of the documents (the paper's and FAISS's standard
+    * practice at corpus scale — see [[ivfCentroids]]); encoding always
+    * covers the full corpus. */
   def pqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, kPerSpace: Int, iterations: Int = 3): DataFrame =
-    codebooksFromSub(stageSubvectors(corpus, idCol, vecCol, m),
+      m: Int, kPerSpace: Int, iterations: Int = 3,
+      trainFraction: Double = 1.0): DataFrame =
+    codebooksFromSub(
+      trainSlice(stageSubvectors(corpus, idCol, vecCol, m), trainFraction),
       kPerSpace, iterations)
+
+  /** deterministic per-id training sample over a staged subvector
+    * table (a filter over checkpoint blocks — no extra corpus scan). */
+  private def trainSlice(sub: DataFrame, trainFraction: Double): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    if (trainFraction >= 1.0) sub
+    else sub.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
+      lit((trainFraction * 1e6).toLong))
+  }
 
   /** the checkpointed (id, subspace, subvec) table training and encode
     * SHARE — one corpus scan + one explode serves both (re-deriving it
@@ -527,12 +560,14 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, kPerSpace: Int, k: Int, kPrime: Int,
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3, trainFraction: Double = 1.0): DataFrame = {
     require(kPrime >= k, "kPrime must be >= k")
     // train and encode share ONE staged subvector table — one corpus
-    // scan for the whole index build
+    // scan for the whole index build; a trainFraction < 1 samples the
+    // TRAINING slice only (encode stays full-corpus)
     val sub = stageSubvectors(corpus, idCol, vecCol, m)
-    val books = codebooksFromSub(sub, kPerSpace, iterations)
+    val books = codebooksFromSub(
+      trainSlice(sub, trainFraction), kPerSpace, iterations)
     val codes = encodeFromSub(sub, books)
     val cands = pqTopK(queries, qidCol, qvecCol, codes, books, m, kPrime)
       .select(col("qid"), col("id"))

@@ -59,6 +59,34 @@ class SimilaritySpec extends SparkSpec {
     assert(top.forall(_ % 2 == 0), top.toSeq)
   }
 
+  test("sampled training (trainFraction<1) bounds the training set; search still covers the full corpus") {
+    import spark.implicits._
+    val pts = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      val jit = (i / 2) * 0.004f
+      (i.toLong, Array(base(0) + jit, base(1) - jit))
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    // all-probes regime: candidates = whole corpus regardless of the
+    // sampled centroids, so results must equal the unsampled run
+    // exactly — the deterministic hash sample only bounds TRAINING
+    def ids(tf: Double) = Similarity.ivfTopK(
+      corpus.filter($"vec_id" === 0L), "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5, nCentroids = 2, nProbe = 2,
+      trainFraction = tf)
+      .orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    val full = ids(1.0)
+    assert(ids(0.5) == full, "all-probes results must not depend on the training sample")
+    // PQ: sampled codebooks still nominate, full-corpus encode intact
+    val pq = Similarity.pqRerankTopK(
+      corpus.filter($"vec_id" === 0L), "vec_id", "embedding",
+      corpus, "vec_id", "embedding",
+      m = 2, kPerSpace = 16, k = 5, kPrime = 20, trainFraction = 0.5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(pq.length == 5)
+    assert(pq.forall(_ % 2 == 0), s"nearest to (1,0) are the even cluster: $pq")
+  }
+
   test("persisted IVF index: save → load reproduces the in-memory path and prunes cells") {
     import spark.implicits._
     val pts = (0 until 20).map { i =>
