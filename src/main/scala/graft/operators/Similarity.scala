@@ -85,23 +85,36 @@ object Similarity {
     * per centroid, not the corpus; FAISS caps training points the same
     * way): the checkpointed training set is then bounded regardless of
     * corpus size, and the sample is a pure function of the ids, so
-    * training is reproducible run over run. Assignment/search always
-    * covers the FULL corpus. */
+    * training is reproducible run over run. A sample too small to seed
+    * every centroid (possible on a small corpus) falls back to the
+    * full corpus — an under-sampled config must never silently yield
+    * an empty/degenerate index. Assignment/search always covers the
+    * FULL corpus.
+    *
+    * `tag` namespaces the checkpoint-recycle slot: two entries building
+    * IVF indexes in one session must pass distinct tags, or the second
+    * invocation drains blocks the first's UNCONSUMED result may still
+    * reference (the serial per-tag consumption contract on [[Ckpt]]). */
   def ivfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iterations: Int = 3,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0, tag: String = "ivf_centroids"): DataFrame = {
     require(nCentroids >= 1 && nCentroids <= 1024,
       s"nCentroids must be 1..1024 (the centroid table is broadcast), got $nCentroids")
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
-    Ckpt.drain("ivf_centroids")
+    Ckpt.drain(tag)
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val sampled =
       if (trainFraction >= 1.0) base
       else base.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
         lit((trainFraction * 1e6).toLong))
-    val c0 = Ckpt.register("ivf_centroids", sampled.localCheckpoint())
+    var c0 = Ckpt.register(tag, sampled.localCheckpoint())
+    // under-sampled training set (fewer rows than centroids): train on
+    // the full corpus instead — the sampled blocks are tiny and die at
+    // the next drain
+    if (trainFraction < 1.0 && c0.count() < nCentroids)
+      c0 = Ckpt.register(tag, base.localCheckpoint())
     // deterministic seed centroids: first n rows in hash order
     var centroids = c0
       .withColumn("__h", hash(col("id")))
@@ -121,7 +134,7 @@ object Similarity {
     }
     // materialize once: the search path consumes the final table
     // several times (probe routing + assignment literals)
-    Ckpt.register("ivf_centroids", centroids.localCheckpoint())
+    Ckpt.register(tag, centroids.localCheckpoint())
   }
 
   /** nearest-centroid assignment as a literal argmin: the centroid
@@ -163,9 +176,10 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int, nProbe: Int = 2, iterations: Int = 3,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0, tag: String = "ivf_topk"): DataFrame = {
     val centroids = broadcast(
-      ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations, trainFraction))
+      ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations,
+        trainFraction, tag))
     val assigned = assignClusters(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
@@ -209,7 +223,8 @@ object Similarity {
   def saveIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       nCentroids: Int, iterations: Int = 3): Unit = {
-    val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations)
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations,
+      tag = "ivf_save")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     val loaded = corpus.sparkSession.read.parquet(s"$dir/centroids")
     assignClusters(
@@ -373,10 +388,10 @@ object Similarity {
   def pqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, kPerSpace: Int, iterations: Int = 3,
-      trainFraction: Double = 1.0): DataFrame =
+      trainFraction: Double = 1.0, tag: String = "pq_codebooks"): DataFrame =
     codebooksFromSub(
-      trainSlice(stageSubvectors(corpus, idCol, vecCol, m), trainFraction),
-      kPerSpace, iterations)
+      trainSlice(stageSubvectors(corpus, idCol, vecCol, m, tag), trainFraction),
+      kPerSpace, iterations, tag)
 
   /** deterministic per-id training sample over a staged subvector
     * table (a filter over checkpoint blocks — no extra corpus scan). */
@@ -395,16 +410,19 @@ object Similarity {
     * corpus-sized subvector copy into executor storage per
     * invocation. Ckpt contract: consume the previous pq* invocation's
     * result before building another index (serial per-operator
-    * invocations only — the next call drains these blocks). */
+    * invocations only — the next call drains these blocks). `tag`
+    * namespaces the recycle slot per calling entry (see
+    * [[ivfCentroids]]). */
   private def stageSubvectors(
-      corpus: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
-    Ckpt.drain("pq_codebooks")
-    Ckpt.register("pq_codebooks",
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      tag: String): DataFrame = {
+    Ckpt.drain(tag)
+    Ckpt.register(tag,
       subvectors(corpus, idCol, vecCol, m).localCheckpoint())
   }
 
   private def codebooksFromSub(
-      sub: DataFrame, kPerSpace: Int, iterations: Int): DataFrame = {
+      sub: DataFrame, kPerSpace: Int, iterations: Int, tag: String): DataFrame = {
     var books = sub
       .groupBy(col("subspace"), col("subvec"))
       .agg(min(col("id")).as("first_id"))
@@ -432,7 +450,7 @@ object Similarity {
     // materialize the final (m × kPerSpace row) table once: encode and
     // search each consume it (collect/broadcast), and a lazy plan
     // would re-run the last round's aggregation per consumer
-    Ckpt.register("pq_codebooks", books.localCheckpoint())
+    Ckpt.register(tag, books.localCheckpoint())
   }
 
   /** split (id, vec) into (id, subspace, subvec: array<double>); m
@@ -508,7 +526,8 @@ object Similarity {
   def savePqIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       m: Int, kPerSpace: Int, iterations: Int = 3): Unit = {
-    val books = pqCodebooks(corpus, idCol, vecCol, m, kPerSpace, iterations)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, kPerSpace, iterations,
+      tag = "pq_save")
     books.write.mode("overwrite").parquet(s"$dir/books")
     val loaded = corpus.sparkSession.read.parquet(s"$dir/books")
     pqEncode(corpus, idCol, vecCol, loaded, m)
@@ -560,14 +579,15 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, kPerSpace: Int, k: Int, kPrime: Int,
-      iterations: Int = 3, trainFraction: Double = 1.0): DataFrame = {
+      iterations: Int = 3, trainFraction: Double = 1.0,
+      tag: String = "pq_rerank"): DataFrame = {
     require(kPrime >= k, "kPrime must be >= k")
     // train and encode share ONE staged subvector table — one corpus
     // scan for the whole index build; a trainFraction < 1 samples the
     // TRAINING slice only (encode stays full-corpus)
-    val sub = stageSubvectors(corpus, idCol, vecCol, m)
+    val sub = stageSubvectors(corpus, idCol, vecCol, m, tag)
     val books = codebooksFromSub(
-      trainSlice(sub, trainFraction), kPerSpace, iterations)
+      trainSlice(sub, trainFraction), kPerSpace, iterations, tag)
     val codes = encodeFromSub(sub, books)
     val cands = pqTopK(queries, qidCol, qvecCol, codes, books, m, kPrime)
       .select(col("qid"), col("id"))
@@ -596,17 +616,18 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int, nProbe: Int,
       m: Int, kPerSpace: Int, iterations: Int = 3,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, tag: String = "ivfpq"): DataFrame = {
     val centroids = broadcast(
-      ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations))
+      ivfCentroids(corpus, idCol, vecCol, nCentroids, iterations,
+        tag = s"$tag/ivf"))
     val assigned = assignClusters(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
     val resid = assigned.join(centroids, Seq("centroid_id"))
       .select(col("id"), col("centroid_id"),
         zip_with(col("vec"), col("centroid"),
           (a, b) => a.cast("double") - b.cast("double")).as("rvec"))
-    val rsub = stageSubvectors(resid, "id", "rvec", m)
-    val books = codebooksFromSub(rsub, kPerSpace, iterations)
+    val rsub = stageSubvectors(resid, "id", "rvec", m, s"$tag/pq")
+    val books = codebooksFromSub(rsub, kPerSpace, iterations, s"$tag/pq")
     val codes = encodeFromSub(rsub, books)
       .join(resid.select(col("id"), col("centroid_id")), Seq("id"))
     // probe cells + per-(query, cell) residual

@@ -163,7 +163,8 @@ object PipelineQueries6 {
       .select(col("vec_id"),
         Similarity.quantizeUnitInt8(col("embedding")).as("qvec"))
     val m = 8
-    val books = Similarity.pqCodebooks(quant, "vec_id", "qvec", m, kPerSpace = 80)
+    val books = Similarity.pqCodebooks(quant, "vec_id", "qvec", m, kPerSpace = 80,
+      tag = "pq_contract")
     val codes = Similarity.pqEncode(quant, "vec_id", "qvec", books, m)
     Similarity.pqTopK(
       quant.filter(col("vec_id") < 4), "vec_id", "qvec", codes, books, m, k = 5)

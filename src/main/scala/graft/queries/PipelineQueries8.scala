@@ -348,11 +348,12 @@ object PipelineQueries8 {
         .localCheckpoint())
     val ivf = Similarity.ivfTopK(
       queries, "vec_id", "embedding", emb, "vec_id", "embedding",
-      k = 10, nCentroids = 8, nProbe = 5)
+      k = 10, nCentroids = 8, nProbe = 5, tag = "similarity_recall/ivf")
       .select(col("qid"), col("id"))
     val pq = Similarity.pqRerankTopK(
       queries, "vec_id", "embedding", emb, "vec_id", "embedding",
-      m = 8, kPerSpace = 16, k = 10, kPrime = 100)
+      m = 8, kPerSpace = 16, k = 10, kPrime = 100,
+      tag = "similarity_recall/pq")
       .select(col("qid"), col("id"))
     def hits(approx: org.apache.spark.sql.DataFrame, name: String) =
       bf.join(approx, Seq("qid", "id"), "left_semi")

@@ -78,9 +78,20 @@ object SegmentLayout {
     final case class Sv(k: Long) extends Gen
   }
 
-  /** manifest entry: live generation `sv` (None = tombstone — the
-    * bucket is logically deleted and serves nothing). */
-  final case class Entry(sv: Option[Long])
+  /** manifest entry: the bucket's LIVE generation set — `loose` keeps
+    * its top-level files serving, `svs` lists live `_sv.K` dirs (an
+    * append adds one without touching the others, so a bucket can
+    * legally serve several generations at once, exactly like several
+    * appended segments sharing one interval in the reference). Both
+    * empty = tombstone: the bucket is logically deleted and serves
+    * nothing. */
+  final case class Entry(loose: Boolean, svs: Seq[Long]) {
+    def isTomb: Boolean = !loose && svs.isEmpty
+  }
+  object Entry {
+    def sv(k: Long): Entry = Entry(loose = false, Seq(k))
+    val Tomb: Entry = Entry(loose = false, Nil)
+  }
 
   final case class Manifest(n: Long, entries: Map[String, Entry])
 
@@ -94,26 +105,36 @@ object SegmentLayout {
     // O(entries x buckets) on wide tables (hour grain x years)
     private lazy val onDiskSet: Set[String] = onDisk.toSet
     def onDiskContains(b: String): Boolean = onDiskSet.contains(b)
-    /** buckets serving their loose top-level files. */
-    def looseLive: Seq[String] = onDisk.filterNot(entries.contains)
-    /** buckets serving a numbered generation dir. */
-    def svLive: Map[String, Long] = entries.collect {
-      case (b, Entry(Some(k))) if onDiskSet.contains(b) => b -> k
+    /** buckets serving their loose top-level files (absent from the
+      * manifest, or present with `loose` set). */
+    def looseLive: Seq[String] = onDisk.filter(b =>
+      entries.get(b).forall(_.loose))
+    /** buckets serving one or more numbered generation dirs. */
+    def svLive: Map[String, Seq[Long]] = entries.collect {
+      case (b, e) if e.svs.nonEmpty && onDiskSet.contains(b) => b -> e.svs
     }
     def tombstoned: Set[String] = entries.collect {
-      case (b, Entry(None)) => b
+      case (b, e) if e.isTomb => b
     }.toSet
-    def liveBuckets: Seq[String] = (looseLive ++ svLive.keys).sorted
-    /** the one directory bucket `b` serves from; None = tombstoned or
-      * absent. */
-    def liveLeafDir(dd: String, b: String): Option[String] =
-      entries.get(b) match {
-        case Some(Entry(Some(k))) => Some(svDir(dd, b, k))
-        case Some(Entry(None)) => None
-        case None => if (onDiskSet.contains(b)) Some(bucketDir(dd, b)) else None
-      }
+    /** the bucket's live generation set (empty = tombstoned/absent). */
+    def liveGens(b: String): Set[Gen] = entries.get(b) match {
+      case Some(e) =>
+        (if (e.loose && onDiskSet.contains(b)) Set[Gen](Gen.Loose) else Set.empty[Gen]) ++
+          e.svs.map(Gen.Sv(_): Gen)
+      case None =>
+        if (onDiskSet.contains(b)) Set[Gen](Gen.Loose) else Set.empty[Gen]
+    }
+    def liveBuckets: Seq[String] =
+      (looseLive ++ svLive.keys).distinct.sorted
+    /** every directory bucket `b` serves from (loose top-level first,
+      * then generation dirs in order); empty = tombstoned or absent. */
+    def liveLeafDirsOf(dd: String, b: String): Seq[String] =
+      liveGens(b).toSeq.collect {
+        case Gen.Loose => bucketDir(dd, b)
+        case Gen.Sv(k) => svDir(dd, b, k)
+      }.sorted
     def liveLeafDirs(dd: String): Seq[String] =
-      liveBuckets.flatMap(liveLeafDir(dd, _))
+      liveBuckets.flatMap(liveLeafDirsOf(dd, _))
   }
 
   def bucketDir(dd: String, b: String): String =
@@ -205,27 +226,42 @@ object SegmentLayout {
     try resolveCached(hconf, dd).liveBuckets
     catch { case _: Exception => Nil }
 
-  /** the single live directory behind (dd, bucket) — what the
-    * per-segment cache pins file listings against. None = tombstoned
-    * or absent. */
-  def liveLeafDir(hconf: Configuration, dd: String, b: String): Option[String] =
-    resolveCached(hconf, dd).liveLeafDir(dd, b)
+  /** the live directories behind (dd, bucket) — what the per-segment
+    * cache pins file listings against. Empty = tombstoned or absent. */
+  def liveLeafDirsOf(hconf: Configuration, dd: String, b: String): Seq[String] =
+    resolveCached(hconf, dd).liveLeafDirsOf(dd, b)
 
-  private def readManifest(fs: FileSystem, dd: String, n: Long): Manifest = {
-    val in = fs.open(new Path(dd, s"$ManifestPrefix$n$ManifestSuffix"))
-    val body = try {
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
         .foreach(c => buf.write(chunk, 0, c))
       buf.toString("UTF-8")
     } finally in.close()
+  }
+
+  private def readManifest(fs: FileSystem, dd: String, n: Long): Manifest = {
+    val body = readSmallFile(fs, new Path(dd, s"$ManifestPrefix$n$ManifestSuffix"))
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
     import scala.jdk.CollectionConverters._
     val entries = Option(node.get("buckets")).map { b =>
       b.properties().asScala.map { e =>
-        val sv = Option(e.getValue.get("sv")).filterNot(_.isNull).map(_.asLong())
-        e.getKey -> Entry(sv)
+        val v = e.getValue
+        val entry = Option(v.get("svs")) match {
+          case Some(arr) => Entry(
+            Option(v.get("loose")).exists(_.asBoolean()),
+            arr.elements().asScala.map(_.asLong()).toSeq)
+          case None =>
+            // single-generation / tombstone forms (also the pre-multi-gen
+            // on-disk format): {"sv": k} or {"tomb": true}
+            Option(v.get("sv")).filterNot(_.isNull).map(_.asLong()) match {
+              case Some(k) => Entry.sv(k)
+              case None => Entry.Tomb
+            }
+        }
+        e.getKey -> entry
       }.toMap
     }.getOrElse(Map.empty[String, Entry])
     Manifest(n, entries)
@@ -235,21 +271,45 @@ object SegmentLayout {
     * hidden temp file and RENAMED to `_graft_manifest.{n}.json` —
     * create() alone is only name-atomic, not content-atomic, so a
     * reader racing a direct write could parse an empty/partial body.
-    * Rename onto an existing destination fails, so a concurrent writer
-    * racing to the same n still fails loudly instead of silently
-    * merging; any other I/O failure propagates as what it is.
-    * Manifests older than n-1 are deleted (n-1 survives for readers
-    * that resolved just before). */
+    * Two writers racing to the same n must never silently merge: on
+    * HDFS-like FileSystems rename onto an existing destination fails,
+    * but POSIX-backed FileSystems (RawLocalFileSystem delegates to
+    * rename(2)) atomically OVERWRITE it — so after the rename the
+    * destination is RE-READ and its embedded one-time writer token
+    * compared against ours; a mismatch means another writer's body is
+    * what readers now see, and THIS commit fails loudly as the race
+    * loser. (If our rename overwrote a competitor that had already
+    * verified and returned, the single-writer contract was doubly
+    * violated; the verify narrows the silent window to that
+    * interleaving, which the documented single-writer assumption — the
+    * reference's task-lock granularity — excludes.) Manifests older
+    * than n-1 are deleted (n-1 survives for readers that resolved just
+    * before). */
+  /** test seam: runs between the publish rename and the post-rename
+    * verify — a spec injects a racing writer's overwrite here to prove
+    * the verify turns a silent POSIX last-write-win into a loud
+    * conflict. */
+  private[sources] var beforeVerify: () => Unit = () => ()
+
   private[sources] def writeManifest(fs: FileSystem, dd: String, m: Manifest): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("n", m.n)
+    // one-time writer token: lets the post-rename verify distinguish
+    // this writer's published body from a racing writer's (readers
+    // ignore unknown fields)
+    val writerToken = java.util.UUID.randomUUID().toString
+    root.put("writer", writerToken)
     val buckets = root.putObject("buckets")
     m.entries.toSeq.sortBy(_._1).foreach { case (b, e) =>
       val o = buckets.putObject(b)
-      e.sv match {
-        case Some(k) => o.put("sv", k)
-        case None => o.put("tomb", true)
+      e match {
+        case Entry(false, Seq(k)) => o.put("sv", k) // r14 single-gen form
+        case Entry(false, Nil) => o.put("tomb", true)
+        case Entry(loose, svs) =>
+          o.put("loose", loose)
+          val arr = o.putArray("svs")
+          svs.foreach(arr.add)
       }
     }
     val dest = new Path(dd, s"$ManifestPrefix${m.n}$ManifestSuffix")
@@ -276,6 +336,21 @@ object SegmentLayout {
       fs.delete(tmp, false)
       throw new java.io.IOException(s"manifest publish rename failed: $tmp -> $dest")
     }
+    // POSIX rename(2) overwrites silently: verify the published body is
+    // OURS. Losing here (another writer's token) fails this commit
+    // loudly; the competitor's commit stands.
+    beforeVerify()
+    val publishedWriter =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          readSmallFile(fs, dest))
+        Option(node.get("writer")).map(_.asText()).getOrElse("")
+      } catch { case _: Exception => "" } // unreadable = someone mid-overwrite
+    if (publishedWriter != writerToken)
+      throw new IllegalStateException(
+        s"concurrent segment commit on $dd (manifest ${m.n} was " +
+          "overwritten by a racing writer): segment mutations are " +
+          "single-writer per table; retry the statement")
     fs.listStatus(new Path(dd)).toSeq.map(_.getPath)
       .filter { p =>
         val n = p.getName
@@ -292,16 +367,43 @@ object SegmentLayout {
     * (no manifest) read the root exactly as before: zero cost, zero
     * behavior change. Managed dirs read the explicit live leaf dirs
     * (basePath derives `__bucket`; superseded generations and
-    * tombstoned buckets are invisible). */
+    * tombstoned buckets are invisible). A managed table whose every
+    * bucket is tombstoned (a REPLACE OVERWRITE WHERE spanning all
+    * buckets with an empty SELECT) is a legal EMPTY table, not an
+    * error: the schema is recovered from any on-disk superseded
+    * footer — such buckets keep their previous generation until the
+    * next commit, so a footer exists whenever the table ever held
+    * rows. */
   def readData(spark: SparkSession, dd: String): DataFrame = {
     val r = resolveCached(spark.sparkContext.hadoopConfiguration, dd)
     r.manifest match {
       case None => spark.read.parquet(dd)
       case Some(_) =>
         val leaves = r.liveLeafDirs(dd)
-        require(leaves.nonEmpty, s"no live segments under $dd")
-        spark.read.option("basePath", dd).parquet(leaves: _*)
+        if (leaves.nonEmpty) spark.read.option("basePath", dd).parquet(leaves: _*)
+        else {
+          val fs = fsOf(spark.sparkContext.hadoopConfiguration, dd)
+          val anyFile = r.onDisk.iterator.flatMap(b =>
+            findDataFile(fs, new Path(bucketDir(dd, b)))).nextOption()
+          val footer = anyFile.getOrElse(throw new IllegalStateException(
+            s"no live segments and no recoverable footer under $dd — " +
+              "the table's data was fully reclaimed; drop or re-ingest it"))
+          spark.read.option("basePath", dd).parquet(footer).filter(lit(false))
+        }
     }
+  }
+
+  /** first data file under a bucket dir (top level or inside a
+    * generation dir) — the schema-recovery footer for an all-tombstoned
+    * table. */
+  private def findDataFile(fs: FileSystem, dir: Path): Option[String] = {
+    val statuses = try fs.listStatus(dir).toSeq catch { case _: Exception => Nil }
+    statuses.collectFirst {
+      case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") => s.getPath.toString
+    }.orElse(statuses.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+      .flatMap(s => findDataFile(fs, s.getPath)).headOption)
   }
 
   // ---------------------------------------------------------- writing
@@ -345,12 +447,6 @@ object SegmentLayout {
     }
   }
 
-  private def liveGenOf(r: Resolved, b: String): Option[Gen] =
-    r.manifest.flatMap(_.entries.get(b)) match {
-      case Some(Entry(Some(k))) => Some(Gen.Sv(k))
-      case Some(Entry(None)) => None
-      case None => if (r.onDiskContains(b)) Some(Gen.Loose) else None
-    }
 
   /** REPLACE ... OVERWRITE WHERE commit: stage the slice's rows, then
     * per touched bucket rename the staged dir in as a NEW generation
@@ -388,15 +484,15 @@ object SegmentLayout {
     val touched = sliceBuckets.filter(b =>
       stagedBuckets.contains(b) || curEntries.contains(b) || onDiskSet.contains(b))
     val updates = touched.map { b =>
-      val oldGen = liveGenOf(cur, b)
+      val oldGens = cur.liveGens(b)
       if (stagedBuckets.contains(b)) {
         val k = nextSv(fs, dd, b)
         val dest = new Path(svDir(dd, b, k))
         fs.mkdirs(dest.getParent)
         require(fs.rename(new Path(s"$staging/${Ingest.BucketCol}=$b"), dest),
           s"failed to stage generation $dest")
-        b -> (Entry(Some(k)), Set(Gen.Sv(k)) ++ oldGen)
-      } else b -> (Entry(None), oldGen.toSet[Gen]) // erased by the slice
+        b -> (Entry.sv(k), Set[Gen](Gen.Sv(k)) ++ oldGens)
+      } else b -> (Entry.Tomb, oldGens) // erased by the slice
     }
     val next = Manifest(
       cur.manifest.map(_.n).getOrElse(0L) + 1L,
@@ -427,13 +523,13 @@ object SegmentLayout {
     var entries = curEntries
     val sweeps = Seq.newBuilder[(String, Set[Gen])]
     for (b <- touched) {
-      val alreadyTomb = curEntries.get(b).exists(_.sv.isEmpty)
+      val alreadyTomb = curEntries.get(b).exists(_.isTomb)
       if (alreadyTomb || reclaimable(b)) {
         fs.delete(new Path(bucketDir(dd, b)), true)
         entries -= b
       } else {
-        entries += b -> Entry(None)
-        sweeps += b -> liveGenOf(cur, b).toSet[Gen]
+        entries += b -> Entry.Tomb
+        sweeps += b -> cur.liveGens(b)
       }
     }
     // a pure physical reclaim of already-hidden buckets on an
@@ -446,11 +542,20 @@ object SegmentLayout {
   }
 
   /** append prepared rows (with `__bucket`) into the table root's
-    * current data dir. Unmanaged tables append loose exactly as
-    * before. On a managed table, rows for a bucket serving a `_sv.K`
-    * generation land INSIDE it (a loose append there would be
-    * invisible); rows for a tombstoned bucket revive it as a new
-    * generation (a manifest commit). */
+    * current data dir. Unmanaged tables append loose exactly as before
+    * (plain Spark parquet append — the layout every fresh table is
+    * built with). On a MANAGED table the append is TRANSACTIONAL like
+    * every other segment mutation: each staged bucket's rows become a
+    * brand-new `_sv.K` generation dir (one rename — never per-file
+    * moves into a dir a reader may be listing), and ONE manifest
+    * publish flips every touched bucket's live set to include it — the
+    * reference's appenderator → transactional-publish discipline
+    * (segments appended to an interval coexist with the interval's
+    * existing segments under one atomic metadata commit). A reader —
+    * in-process or EXTERNAL, resolving through the manifest — sees all
+    * of the append or none of it; a crash before the publish leaves
+    * only an invisible orphan generation, reclaimed by the post-publish
+    * sweep of the next append/commit touching the bucket. */
   def append(prepared: DataFrame, root: String): Unit = {
     val spark = prepared.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -463,51 +568,38 @@ object SegmentLayout {
     // managed table: ONE staging write of the whole frame (filtering
     // per destination would execute the upstream plan twice — double
     // the ingest work, and an inconsistent split if the source is
-    // nondeterministic or concurrently modified), then metadata-only
-    // moves route each staged bucket where readers look
+    // nondeterministic or concurrently modified), then one rename per
+    // bucket + one manifest create publish the whole append atomically
     val fs = fsOf(hconf, dd)
+    sweepStaging(fs, dd) // crashed writers' leftovers (single-writer contract)
     val staging = s"$dd/$StagingPrefix${java.util.UUID.randomUUID().toString.take(8)}"
     prepared.write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
     val staged = fs.listStatus(new Path(staging)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(Ingest.BucketCol + "="))
       .map(_.stripPrefix(Ingest.BucketCol + "="))
-    var revived = Map.empty[String, Entry]
-    for (b <- staged) {
-      val src = new Path(s"$staging/${Ingest.BucketCol}=$b")
-      r.svLive.get(b) match {
-        case Some(k) =>
-          // append INTO the live generation: per-file moves (Spark
-          // part names carry job UUIDs — collision-free)
-          moveDataFiles(fs, src, new Path(svDir(dd, b, k)))
-        case None if r.tombstoned.contains(b) =>
-          // tombstoned: revive as a fresh generation
-          val k = nextSv(fs, dd, b)
-          val dest = new Path(svDir(dd, b, k))
-          fs.mkdirs(dest.getParent)
-          require(fs.rename(src, dest), s"failed to revive $dest")
-          revived += b -> Entry(Some(k))
-        case None =>
-          // loose (or brand-new) bucket: files land at the bucket
-          // dir's top level, exactly where a plain append puts them
-          moveDataFiles(fs, src, new Path(bucketDir(dd, b)))
-      }
+    val curEntries = r.manifest.map(_.entries).getOrElse(Map.empty)
+    val updates = staged.map { b =>
+      val oldGens = r.liveGens(b)
+      val k = nextSv(fs, dd, b)
+      val dest = new Path(svDir(dd, b, k))
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(new Path(s"$staging/${Ingest.BucketCol}=$b"), dest),
+        s"failed to stage appended generation $dest")
+      // the new entry is the old live set PLUS the appended generation;
+      // a tombstoned bucket revives as just the new generation
+      val entry = Entry(oldGens.contains(Gen.Loose),
+        (oldGens.collect { case Gen.Sv(old) => old }.toSeq :+ k).sorted)
+      (b, entry, oldGens + Gen.Sv(k))
     }
-    if (revived.nonEmpty)
-      writeManifest(fs, dd, Manifest(
+    if (updates.nonEmpty)
+      writeManifest(fs, dd, Manifest( // <- the atomic publish
         r.manifest.map(_.n).getOrElse(0L) + 1L,
-        r.manifest.map(_.entries).getOrElse(Map.empty) ++ revived))
+        curEntries ++ updates.map { case (b, e, _) => b -> e }))
+    // reclaim orphan generations of the touched buckets (crashed
+    // writers): everything outside the NEW live set dies — the same
+    // one-commit-spanning reader window as commitSlice documents
+    for ((b, _, keep) <- updates) sweepBucket(fs, dd, b, keep)
     fs.delete(new Path(staging), true)
-  }
-
-  /** move a staged dir's data files into `dest` (created if absent);
-    * hidden/marker files stay behind and die with the staging dir. */
-  private def moveDataFiles(fs: FileSystem, src: Path, dest: Path): Unit = {
-    fs.mkdirs(dest)
-    for (f <- fs.listStatus(src) if f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
-      require(fs.rename(f.getPath, new Path(dest, f.getPath.getName)),
-        s"failed to move ${f.getPath} into $dest")
-    }
   }
 }

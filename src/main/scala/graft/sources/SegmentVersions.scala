@@ -254,38 +254,46 @@ object SegmentVersions {
     memo.get(key) match {
       case Some((me, l)) if me == e => l
       case _ =>
-        // the bucket's LIVE generation dir: a slice-managed bucket pins
-        // the `_sv.K` dir its manifest references — superseded
-        // generations and loose leftovers are invisible. A TOMBSTONED
-        // bucket pins the committed empty set; an ABSENT bucket throws
-        // like a raw listStatus (callers degrade it, never cache it).
+        // the bucket's LIVE generation dirs: a slice-managed bucket pins
+        // the `_sv.K` dirs (and/or loose top level) its manifest
+        // references — superseded generations are invisible. An appended
+        // bucket legally serves SEVERAL generations; the version string
+        // concatenates them all, so any generation-set change re-versions
+        // the segment. A TOMBSTONED bucket pins the committed empty set;
+        // an ABSENT bucket throws like a raw listStatus (callers degrade
+        // it, never cache it).
         val resolved = SegmentLayout.resolveCached(hconf, path)
         if (resolved.tombstoned.contains(bucket)) {
           val l = Listing(s"tombstone@$e", Nil)
           if (epochOf(path) == e) memo.put(key, (e, l))
           return l
         }
-        val leaf = resolved.liveLeafDir(path, bucket).getOrElse(
+        val leaves = resolved.liveLeafDirsOf(path, bucket)
+        if (leaves.isEmpty)
           throw new java.io.FileNotFoundException(
-            s"$path/${Ingest.BucketCol}=$bucket"))
-        val dir = new org.apache.hadoop.fs.Path(leaf)
-        val fs = dir.getFileSystem(hconf)
-        listingCount.incrementAndGet()
-        val statuses = fs.listStatus(dir).filter(_.isFile)
-        // the generation dir's name joins the version: two generations
-        // could otherwise collide on identical file names/sizes/mtimes
-        val gen =
-          if (dir.getName.startsWith(SegmentLayout.GenPrefix)) dir.getName + "|"
-          else ""
-        val version = gen + statuses
-          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-          .sorted.mkString("|")
-        val files = statuses.map(_.getPath.toString).toSeq
-          .filterNot { p =>
-            val n = p.substring(p.lastIndexOf('/') + 1)
-            n.startsWith("_") || n.startsWith(".")
-          }.sorted
-        val l = Listing(version, files)
+            s"$path/${Ingest.BucketCol}=$bucket")
+        val perLeaf = leaves.map { leaf =>
+          val dir = new org.apache.hadoop.fs.Path(leaf)
+          val fs = dir.getFileSystem(hconf)
+          listingCount.incrementAndGet()
+          val statuses = fs.listStatus(dir).filter(_.isFile)
+          // the generation dir's name joins the version: two generations
+          // could otherwise collide on identical file names/sizes/mtimes
+          val gen =
+            if (dir.getName.startsWith(SegmentLayout.GenPrefix)) dir.getName + "|"
+            else ""
+          val version = gen + statuses
+            .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+            .sorted.mkString("|")
+          val files = statuses.map(_.getPath.toString).toSeq
+            .filterNot { p =>
+              val n = p.substring(p.lastIndexOf('/') + 1)
+              n.startsWith("_") || n.startsWith(".")
+            }.sorted
+          (version, files)
+        }
+        val l = Listing(perLeaf.map(_._1).mkString("||"),
+          perLeaf.flatMap(_._2))
         if (epochOf(path) == e) memo.put(key, (e, l))
         l
     }

@@ -85,6 +85,12 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(pq.length == 5)
     assert(pq.forall(_ % 2 == 0), s"nearest to (1,0) are the even cluster: $pq")
+    // an under-sampled training set (here: a fraction so small the hash
+    // sample selects nothing) must fall back to full-corpus training,
+    // never silently return an empty index / zero results
+    val tiny = ids(1e-6)
+    assert(tiny == full,
+      s"zero-row training sample must fall back to the full corpus: $tiny")
   }
 
   test("persisted IVF index: save → load reproduces the in-memory path and prunes cells") {

@@ -130,7 +130,7 @@ class SegmentLayoutSpec extends AnyFunSuite {
       Set("2024-01-01T00", "2024-01-02T00"))
   }
 
-  test("append: loose buckets stay loose; managed buckets land in their generation; tombstones revive") {
+  test("append: every touched bucket gains a NEW generation published by one manifest; loose files keep serving; tombstones revive") {
     import spark.implicits._
     val dd = freshTable()
     SegmentLayout.commitSlice(spark, dd,
@@ -143,14 +143,100 @@ class SegmentLayoutSpec extends AnyFunSuite {
         (100L, "2024-01-03T00"), (100L, "2024-01-04T00"))), dd)
     refresh(dd)
     assert(sums(SegmentLayout.readData(spark, dd)) == Map(
-      "2024-01-01T00" -> 101L, // loose append
-      "2024-01-02T00" -> 120L, // into the live generation
+      "2024-01-01T00" -> 101L, // loose files + appended generation
+      "2024-01-02T00" -> 120L, // live generation + appended generation
       "2024-01-03T00" -> 100L, // revived from tombstone (old rows stay dead)
-      "2024-01-04T00" -> 100L)) // brand-new bucket, loose
+      "2024-01-04T00" -> 100L)) // brand-new bucket, one generation
     val r = SegmentLayout.resolveCached(hconf, dd)
     assert(r.tombstoned.isEmpty)
-    assert(r.svLive.keySet == Set("2024-01-02T00", "2024-01-03T00"))
-    assert(r.looseLive.toSet == Set("2024-01-01T00", "2024-01-04T00"))
+    // every appended bucket serves a generation; d1's original loose
+    // files stay live beside its appended one (d4 never had loose files)
+    assert(r.svLive.keySet == Set("2024-01-01T00", "2024-01-02T00",
+      "2024-01-03T00", "2024-01-04T00"))
+    assert(r.looseLive.toSet == Set("2024-01-01T00"))
+    // d2 now serves TWO generations (slice gen + append gen)
+    assert(r.svLive("2024-01-02T00").size == 2, r.svLive)
+    // a second append into d2 publishes a third generation atomically
+    SegmentLayout.append(slice(Seq((7L, "2024-01-02T00"))), dd)
+    refresh(dd)
+    assert(sums(SegmentLayout.readData(spark, dd))("2024-01-02T00") == 127L)
+    assert(SegmentLayout.resolveCached(hconf, dd)
+      .svLive("2024-01-02T00").size == 3)
+  }
+
+  test("append publish is atomic: a reader resolving mid-append sees all of it or none (no per-file window)") {
+    val dd = freshTable()
+    // manage the table (slice d2), then append to d1 (loose) and d2 (gen)
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((20L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+    refresh(dd)
+    val before = Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 20L,
+      "2024-01-03T00" -> 3L)
+    val after = Map("2024-01-01T00" -> 101L, "2024-01-02T00" -> 120L,
+      "2024-01-03T00" -> 3L)
+    // external-reader storm: readers resolve FRESH (no memo) while the
+    // append runs, exactly like a foreign process listing the table
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val readers = (1 to 2).map { _ =>
+      val t = new Thread(() => {
+        while (!stop.get() && bad.get() == null) {
+          val seen =
+            try sums(SegmentLayout.readData(spark,
+              { SegmentVersions.invalidate(dd); dd }))
+            catch { case _: Exception => before } // transient listing race = retry
+          if (seen != before && seen != after)
+            bad.set(seen.toString)
+        }
+      })
+      t.start(); t
+    }
+    try
+      SegmentLayout.append(
+        slice(Seq((100L, "2024-01-01T00"), (100L, "2024-01-02T00"))), dd)
+    finally { stop.set(true); readers.foreach(_.join(20000)) }
+    assert(bad.get() == null,
+      s"reader observed a partial append: ${bad.get()} (legal: $before or $after)")
+    refresh(dd)
+    assert(sums(SegmentLayout.readData(spark, dd)) == after)
+  }
+
+  test("readData: a managed table with every bucket tombstoned serves an EMPTY frame with the recovered schema") {
+    val dd = freshTable()
+    // slice every bucket with an empty SELECT → all tombstoned
+    SegmentLayout.commitSlice(spark, dd, slice(Nil),
+      Seq("2024-01-01T00", "2024-01-02T00", "2024-01-03T00"))
+    refresh(dd)
+    val out = SegmentLayout.readData(spark, dd)
+    assert(out.columns.toSeq == Seq("m", Ingest.BucketCol), out.columns.toSeq)
+    assert(out.count() == 0L)
+    // and an append revives the table
+    SegmentLayout.append(slice(Seq((5L, "2024-01-02T00"))), dd)
+    refresh(dd)
+    assert(sums(SegmentLayout.readData(spark, dd)) == Map("2024-01-02T00" -> 5L))
+  }
+
+  test("writeManifest verify: a racing writer's POSIX rename-overwrite fails THIS commit loudly, never merges") {
+    val dd = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    val m = SegmentLayout.Manifest(1L,
+      Map("2024-01-02T00" -> SegmentLayout.Entry.sv(0L)))
+    // inject the competitor between our rename and our verify: on a
+    // POSIX FileSystem its rename lands on the SAME destination
+    SegmentLayout.beforeVerify = () => {
+      val dest = new org.apache.hadoop.fs.Path(dd, "_graft_manifest.1.json")
+      val out = fs.create(dest, true)
+      try out.write(
+        """{"n":1,"writer":"racing-competitor","buckets":{}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        SegmentLayout.writeManifest(fs, dd, m)
+      }
+      assert(e.getMessage.contains("overwritten by a racing writer"), e.getMessage)
+    } finally SegmentLayout.beforeVerify = () => ()
   }
 
   test("crashed writers: stale staging dirs and orphan generations are invisible, then swept") {
@@ -185,7 +271,7 @@ class SegmentLayoutSpec extends AnyFunSuite {
     val dd = freshTable()
     val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
     val m = SegmentLayout.Manifest(1L,
-      Map("2024-01-02T00" -> SegmentLayout.Entry(Some(0L))))
+      Map("2024-01-02T00" -> SegmentLayout.Entry.sv(0L)))
     SegmentLayout.writeManifest(fs, dd, m)
     val e = intercept[IllegalStateException] {
       SegmentLayout.writeManifest(fs, dd, m)
