@@ -24,6 +24,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** per-rep contention telemetry (r14 directive: a contended rep —
+    * the driver's join_broadcast_inner [0.94, 1.91, 2.54] — must be
+    * attributable from the artifact alone): wall seconds + the rep's
+    * JVM GC-time delta + executor storage bytes AFTER the rep. A
+    * host-contention spike shows as wall up with gc/storage flat; a
+    * leak (unfreed checkpoint/cache blocks) shows as storage growing
+    * monotonically; GC pressure shows as gc tracking wall. */
+  final case class Rep(wall: Double, gcSec: Double, storageBytes: Long)
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def storageBytes(s: SparkSession): Long =
+    try s.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    catch { case _: Exception => -1L }
+
+  private def timeRep(s: SparkSession)(f: => Unit): Rep = {
+    val g0 = gcMillis()
+    val w = time(f)
+    Rep(w, (gcMillis() - g0) / 1e3, storageBytes(s))
+  }
+
   private def run(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
@@ -117,7 +142,16 @@ object Bench {
       "segment_cache_populate" -> ((s: SparkSession, d: String) =>
         CacheHitBench.populatePlan(s, d)),
       "segment_cache_hit" -> ((s: SparkSession, d: String) =>
-        CacheHitBench.plan(s, d)))
+        CacheHitBench.plan(s, d)),
+      // the full realtime supervisor lifecycle (r14 directive #5: these
+      // had Profile phase splits only — a resume/restart/reset
+      // regression could not show in BENCH_r*.json) + the heaviest
+      // remaining graded cache entry
+      "streaming_union_resume" -> q("streaming_union_resume"),
+      "streaming_union_restart" -> q("streaming_union_restart"),
+      "streaming_union_reset" -> q("streaming_union_reset"),
+      "streaming_union_persist_merge" -> q("streaming_union_persist_merge"),
+      "cache_segment_roundtrip" -> q("cache_segment_roundtrip"))
 
     // warmup: touch every table (file listing + footer caches), then run
     // each headline query once so the timed pass measures steady-state
@@ -127,7 +161,7 @@ object Bench {
     // per-table try/catch: one unreadable table must not zero the whole
     // round's bench signal (the timed loop below already guards per-query)
     def measure(
-        s: SparkSession, warmQueries: Boolean): Seq[(String, Double, List[Double])] = {
+        s: SparkSession, warmQueries: Boolean): Seq[(String, Double, List[Rep])] = {
       Tables.all.foreach { t =>
         try {
           val df = if (t == "events") Tables.events(s, sfDir)
@@ -144,9 +178,9 @@ object Bench {
         try run(fn(s, sfDir)) catch { case _: Throwable => () }
       }
       headline.map { case (name, fn) =>
-        val reps = try (1 to 3).map(_ => time(run(fn(s, sfDir)))).toList
-          catch { case _: Throwable => List(-1.0) }
-        (name, reps.min, reps)
+        val reps = try (1 to 3).map(_ => timeRep(s)(run(fn(s, sfDir)))).toList
+          catch { case _: Throwable => List(Rep(-1.0, 0.0, -1L)) }
+        (name, reps.map(_.wall).min, reps)
       }
     }
 
@@ -177,32 +211,56 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     // per-rep times for pass 1 (r12 directive: monotone rep-to-rep
     // growth — leaked checkpoint blocks, unfreed caches — must be
-    // visible in the artifact, not just a warm-total anomaly)
-    val jreps = results3.map { case (k, _, reps) =>
-      "\"" + k + "\":[" + reps.map(f3).mkString(",") + "]"
+    // visible in the artifact, not just a warm-total anomaly), plus
+    // per-rep GC seconds and post-rep executor storage MB (r14
+    // directive: host contention vs leaked state must be attributable
+    // from the artifact alone)
+    def jrepsOf(pick: Rep => String) = results3.map { case (k, _, reps) =>
+      "\"" + k + "\":[" + reps.map(pick).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val jreps = jrepsOf(r => f3(r.wall))
+    val jrepsGc = jrepsOf(r => f3(r.gcSec))
+    val jrepsMb = jrepsOf(r => f3(r.storageBytes / 1048576.0))
     // per-phase wall decomposition for the lifecycle entries (r13
     // directive: a multi-second end-to-end entry that moves
     // round-over-round must show WHICH phase moved in the artifact —
     // ingest vs handoff vs query). Phases are from the LAST rep of
     // pass 2 (the steady-state invocation).
-    val jphases = queries.Phases.entries.map { e =>
+    def jphasesOf(names: Seq[String]) = names.map { e =>
       "\"" + e + "\":" + queries.Phases.of(e)
         .map { case (p, sec) => "\"" + p + "\":" + f3(sec) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    val jphasesAll = jphasesOf(queries.Phases.entries)
+    // the stdout line must stay well inside the driver's ~2000-char
+    // recovery window: it carries the three ORIGINAL lifecycle
+    // entries' phases only; BENCH_DETAIL carries every recorded entry
+    val jphasesLine = jphasesOf(queries.Phases.entries.filter(Set(
+      "streaming_union_query", "streaming_union_handoff",
+      "cache_realtime_handoff")))
+    // round-over-round comparability: the bench set grew by 5 entries
+    // this round (resume/restart/reset/persist_merge +
+    // cache_segment_roundtrip), so `totals_core` reports the
+    // r14-comparable 26-entry subset beside the full totals
+    val added = Set("streaming_union_resume", "streaming_union_restart",
+      "streaming_union_reset", "streaming_union_persist_merge",
+      "cache_segment_roundtrip")
+    def coreTotal(rs: Seq[(String, Double)]): Double =
+      rs.collect { case (k, v) if !added(k) && v >= 0 => v }.sum
     // `queries` stays pass-1 (the cold-session methodology every prior
     // round reported); `queries_warm` records pass 2 per-query so a
     // cold-ratio outlier is attributable to boot noise vs regression.
-    // The stdout line carries the headline fields + the lifecycle
-    // phase splits (~1.3 KB total — inside the driver's window); the
-    // full decomposition (warm pass, per-rep times) also lands in
-    // BENCH_DETAIL.json in the repo root for the judge.
+    // The stdout line carries the headline fields + the original
+    // lifecycle phase splits (~1.6 KB total — inside the driver's
+    // window); the full decomposition (warm pass, per-rep wall/GC/
+    // storage) also lands in BENCH_DETAIL.json for the judge.
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
-      jmap(results)},"phases":$jphases,"totals":[${f3(total)},${f3(total2)}],"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
+      jmap(results)},"phases":$jphasesLine,"totals":[${f3(total)},${f3(total2)}],"totals_core":[${
+      f3(coreTotal(results))},${f3(coreTotal(results2))}],"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     val detail = s"""{"queries":${jmap(results)},"queries_warm":${
-      jmap(results2)},"queries_reps":$jreps,"phases":$jphases,"totals":[${
-      f3(total)},${f3(total2)}],"sf":"$sfDir"}"""
+      jmap(results2)},"queries_reps":$jreps,"queries_reps_gc_sec":$jrepsGc,"queries_reps_storage_mb":$jrepsMb,"phases":$jphasesAll,"totals":[${
+      f3(total)},${f3(total2)}],"totals_core":[${
+      f3(coreTotal(results))},${f3(coreTotal(results2))}],"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
