@@ -335,6 +335,11 @@ private object CacheHitBench {
     val freshScp = new graft.planner.SegmentCachePlanner(s, planner,
       new graft.planner.SegmentResultCache(), info)
     lastPopScp = freshScp
-    freshScp.plan(query(d), useCache = true, populateCache = true)
+    // phase split (r14 directive): populate's partial stage + admission
+    // collect execute INSIDE plan(); the residual against the entry's
+    // wall time is the driver-local merge the caller executes
+    queries.Phases.reset("segment_cache_populate")
+    queries.Phases.timed("segment_cache_populate", "populate_plan")(
+      freshScp.plan(query(d), useCache = true, populateCache = true))
   }
 }

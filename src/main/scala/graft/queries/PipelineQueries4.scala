@@ -85,14 +85,19 @@ object PipelineQueries4 {
     // hash pipeline that runs over the FULL corpus (the others grade
     // bounded slices), and a single-file scan would fold every
     // shingle on one core.
-    val base = graft.operators.Ckpt.recycle("dedup_clusters/base",
-      graft.operators.Par.spread(Tables.documents(s, d))
-        .select(col("doc_id"),
-          array_distinct(TextExpressions.wordShingles(col("text"), 3)).as("g"))
-        .withColumn("h", transform(col("g"), PipelineQueries2.rollHash(_)))
-        .withColumn("s", PipelineQueries2.minhashSig(col("h"), 16))
-        .select(col("doc_id"), col("s"))
-        .localCheckpoint())
+    // phase splits (r14 directive): signature fold and label
+    // propagation execute eagerly (checkpoints); the residual against
+    // the entry's wall time is the lazy banding/filter execution
+    Phases.reset("dedup_clusters")
+    val base = Phases.timed("dedup_clusters", "minhash_signatures")(
+      graft.operators.Ckpt.recycle("dedup_clusters/base",
+        graft.operators.Par.spread(Tables.documents(s, d))
+          .select(col("doc_id"),
+            array_distinct(TextExpressions.wordShingles(col("text"), 3)).as("g"))
+          .withColumn("h", transform(col("g"), PipelineQueries2.rollHash(_)))
+          .withColumn("s", PipelineQueries2.minhashSig(col("h"), 16))
+          .select(col("doc_id"), col("s"))
+          .localCheckpoint()))
     val banded = base.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         aggregate(slice(col("s"), b * 4 + 1, 4), lit(0L),
@@ -110,9 +115,10 @@ object PipelineQueries4 {
       .filter(size(filter(sequence(lit(1), lit(16)),
         i => element_at(col("sa"), i) === element_at(col("sb"), i))) >= 4)
       .select("id_a", "id_b")
-    Dedup.connectedComponents(edges, "id_a", "id_b",
-      nodes = Some((base.select(col("doc_id")), "doc_id")),
-      recycleTag = Some("dedup_clusters"))
+    Phases.timed("dedup_clusters", "label_propagation")(
+      Dedup.connectedComponents(edges, "id_a", "id_b",
+        nodes = Some((base.select(col("doc_id")), "doc_id")),
+        recycleTag = Some("dedup_clusters")))
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
   }

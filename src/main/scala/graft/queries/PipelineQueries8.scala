@@ -338,22 +338,31 @@ object PipelineQueries8 {
     import graft.operators.Similarity
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 5)
+    // phase splits (r14 directive: the multi-second entries must
+    // decompose in the bench artifact): ground truth and both index
+    // TRAINING passes execute eagerly here (checkpoints + bounded
+    // collects); the residual against the entry's wall time is the
+    // lazy search/recall-join execution the caller drives
+    Phases.reset("similarity_recall")
     // ground truth is consumed by BOTH recall joins below — pin the
     // 50-row result once or the full brute-force corpus scan re-runs
     // per consumer (lazy plans don't share work across joins)
-    val bf = graft.operators.Ckpt.recycle("similarity_recall/bf",
-      Similarity.bruteForceTopK(
-        queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 10)
-        .select(col("qid"), col("id"))
-        .localCheckpoint())
-    val ivf = Similarity.ivfTopK(
-      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
-      k = 10, nCentroids = 8, nProbe = 5, tag = "similarity_recall/ivf")
+    val bf = Phases.timed("similarity_recall", "brute_force_gt")(
+      graft.operators.Ckpt.recycle("similarity_recall/bf",
+        Similarity.bruteForceTopK(
+          queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("id"))
+          .localCheckpoint()))
+    val ivf = Phases.timed("similarity_recall", "ivf_train")(
+      Similarity.ivfTopK(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        k = 10, nCentroids = 8, nProbe = 5, tag = "similarity_recall/ivf"))
       .select(col("qid"), col("id"))
-    val pq = Similarity.pqRerankTopK(
-      queries, "vec_id", "embedding", emb, "vec_id", "embedding",
-      m = 8, kPerSpace = 16, k = 10, kPrime = 100,
-      tag = "similarity_recall/pq")
+    val pq = Phases.timed("similarity_recall", "pq_train")(
+      Similarity.pqRerankTopK(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding",
+        m = 8, kPerSpace = 16, k = 10, kPrime = 100,
+        tag = "similarity_recall/pq"))
       .select(col("qid"), col("id"))
     def hits(approx: org.apache.spark.sql.DataFrame, name: String) =
       bf.join(approx, Seq("qid", "id"), "left_semi")
