@@ -465,6 +465,17 @@ object SegmentLayout {
     sweepStaging(fs, dd)
     val staging = s"$dd/$StagingPrefix${java.util.UUID.randomUUID().toString.take(8)}"
     arranged.write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
+    commitStagedSlice(fs, dd, staging, sliceBuckets)
+  }
+
+  /** everything after the staged write: the pure-filesystem commit
+    * steps (rename generations in, publish the manifest, sweep).
+    * Factored out so the crash-interleaving property spec can drive
+    * thousands of interleavings against hand-staged dirs without a
+    * Spark job per scenario. */
+  private[sources] def commitStagedSlice(
+      fs: FileSystem, dd: String, staging: String,
+      sliceBuckets: Seq[String]): Unit = {
     val stagedBuckets = fs.listStatus(new Path(staging)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(Ingest.BucketCol + "="))
@@ -478,7 +489,7 @@ object SegmentLayout {
       s"slice commit staged buckets outside the slice range: " +
         s"${unclaimed.toSeq.sorted.take(5).mkString(", ")} — the staged rows' " +
         "bucketing disagrees with the slice's bucket enumeration")
-    val cur = resolve(hconf, dd)
+    val cur = resolve(fs.getConf, dd)
     val curEntries = cur.manifest.map(_.entries).getOrElse(Map.empty)
     val onDiskSet = cur.onDisk.toSet
     val touched = sliceBuckets.filter(b =>
@@ -511,10 +522,14 @@ object SegmentLayout {
     * a later kill over the same interval. */
   def commitTombstones(
       spark: SparkSession, dd: String, buckets: Seq[String],
+      reclaimable: String => Boolean): Unit =
+    commitTombstonesFs(
+      fsOf(spark.sparkContext.hadoopConfiguration, dd), dd, buckets, reclaimable)
+
+  private[sources] def commitTombstonesFs(
+      fs: FileSystem, dd: String, buckets: Seq[String],
       reclaimable: String => Boolean): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = fsOf(hconf, dd)
-    val cur = resolve(hconf, dd)
+    val cur = resolve(fs.getConf, dd)
     val curEntries = cur.manifest.map(_.entries).getOrElse(Map.empty)
     val onDiskSet = cur.onDisk.toSet
     val touched = buckets.filter(b =>
@@ -574,6 +589,16 @@ object SegmentLayout {
     sweepStaging(fs, dd) // crashed writers' leftovers (single-writer contract)
     val staging = s"$dd/$StagingPrefix${java.util.UUID.randomUUID().toString.take(8)}"
     prepared.write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
+    commitStagedAppend(fs, dd, staging)
+  }
+
+  /** the pure-filesystem append commit (see [[commitStagedSlice]] for
+    * why it is factored out): rename each staged bucket in as a new
+    * generation, publish ONE manifest adding it to every touched
+    * bucket's live set, sweep orphans. */
+  private[sources] def commitStagedAppend(
+      fs: FileSystem, dd: String, staging: String): Unit = {
+    val r = resolve(fs.getConf, dd)
     val staged = fs.listStatus(new Path(staging)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(Ingest.BucketCol + "="))

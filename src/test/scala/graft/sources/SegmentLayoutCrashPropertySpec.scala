@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, FSDataOutputStream, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based crash-interleaving property test of the segment commit
+  * protocol (r14 directive #6): the protocol's informal argument —
+  * "crash orphans are invisible; the manifest create is the single
+  * commit point, so a reader sees all of a commit or none of it" —
+  * checked as an invariant over thousands of ScalaCheck-generated
+  * interleavings.
+  *
+  * Method: every MUTATING FileSystem call (create/rename/delete/
+  * mkdirs) a writer issues goes through [[CrashFs]], which kills the
+  * writer after a generated op budget — so a crash is injected before
+  * every single mutation point of every operation in a generated
+  * {slice, append, kill} sequence. After each crash the on-disk state
+  * is read back through the REAL FileSystem exactly like a concurrent
+  * reader (resolve → live leaf dirs → file listing) and must equal the
+  * model's PRE- or POST-operation visible file set — nothing else is a
+  * legal snapshot. The writer then retries the operation crash-free
+  * (the documented single-writer recovery: stale staging is swept, the
+  * next commit reclaims orphan generations) and must land exactly on
+  * the model's post state; the remaining operations run crash-free and
+  * the final state must match the model.
+  *
+  * The ops drive the factored pure-filesystem commit steps
+  * ([[SegmentLayout.commitStagedSlice]]/[[SegmentLayout.commitStagedAppend]]/
+  * [[SegmentLayout.commitTombstonesFs]]) against hand-staged dirs, so
+  * one scenario costs milliseconds, not a Spark job — the full run
+  * drives >1000 crash interleavings. */
+class SegmentLayoutCrashPropertySpec extends AnyFunSuite {
+
+  private val hconf = new Configuration()
+
+  /** a FileSystem whose MUTATIONS die after `budget` calls — the
+    * crash-injection point for the writer under test. Reads are never
+    * injected (the verifier and a concurrent reader use the real fs). */
+  private final class CrashFs(raw: FileSystem, budget: AtomicInteger)
+      extends FilterFileSystem(raw) {
+    setConf(raw.getConf)
+    private def tick(): Unit =
+      if (budget.decrementAndGet() < 0)
+        throw new java.io.IOException("injected crash")
+    // delegate straight to the wrapped fs (not super): FileSystem's
+    // convenience overloads funnel into each other, and a super chain
+    // would tick the budget twice for one logical mutation
+    override def create(
+        f: Path, permission: FsPermission, overwrite: Boolean,
+        bufferSize: Int, replication: Short, blockSize: Long,
+        progress: Progressable): FSDataOutputStream = {
+      tick()
+      fs.create(f, permission, overwrite, bufferSize, replication,
+        blockSize, progress)
+    }
+    override def rename(src: Path, dst: Path): Boolean = {
+      tick(); fs.rename(src, dst)
+    }
+    override def delete(f: Path, recursive: Boolean): Boolean = {
+      tick(); fs.delete(f, recursive)
+    }
+    override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+      tick(); fs.mkdirs(f, permission)
+    }
+    override def mkdirs(f: Path): Boolean = {
+      tick(); fs.mkdirs(f)
+    }
+  }
+
+  // ---------------------------------------------------------- model
+
+  private val Buckets = Vector("b1", "b2", "b3")
+
+  private sealed trait Op
+  private case class Slice(staged: Set[String], sliceBuckets: Set[String]) extends Op
+  private case class Append(staged: Set[String]) extends Op
+  private case class Kill(buckets: Set[String]) extends Op
+
+  /** model state: bucket → the file names a reader must see. */
+  private type Model = Map[String, Set[String]]
+
+  private def fileName(opIdx: Int, b: String, retry: Boolean) =
+    s"part-op$opIdx${if (retry) "r" else ""}-$b.parquet"
+
+  private def post(m: Model, op: Op, opIdx: Int, retry: Boolean): Model = op match {
+    case Slice(staged, sliceBuckets) =>
+      val touched = sliceBuckets.filter(b => staged(b) || m.contains(b))
+      touched.foldLeft(m) { (acc, b) =>
+        if (staged(b)) acc + (b -> Set(fileName(opIdx, b, retry)))
+        else acc - b // erased by the slice
+      }
+    case Append(staged) =>
+      staged.foldLeft(m) { (acc, b) =>
+        acc + (b -> (acc.getOrElse(b, Set.empty) + fileName(opIdx, b, retry)))
+      }
+    case Kill(buckets) => m -- buckets
+  }
+
+  // ------------------------------------------------------- execution
+
+  private def rawFs(dd: String): FileSystem = new Path(dd).getFileSystem(hconf)
+
+  private def stage(
+      fs: FileSystem, dd: String, opIdx: Int, buckets: Set[String],
+      retry: Boolean): String = {
+    val staging =
+      s"$dd/${SegmentLayout.StagingPrefix}op$opIdx${if (retry) "r" else ""}"
+    fs.mkdirs(new Path(staging)) // Spark's writer creates the dir even for zero rows
+    for (b <- buckets) {
+      val dir = new Path(s"$staging/${Ingest.BucketCol}=$b")
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, fileName(opIdx, b, retry)), true)
+      try out.write(s"op$opIdx-$b".getBytes) finally out.close()
+    }
+    staging
+  }
+
+  /** run `op` through `fs` (possibly crash-injecting). Staging is
+    * always written through the REAL fs — the crash model targets the
+    * COMMIT steps; a crash mid-staging trivially leaves the hidden
+    * staging dir and nothing else. */
+  private def execute(
+      fs: FileSystem, dd: String, op: Op, opIdx: Int, retry: Boolean): Unit =
+    op match {
+      case Slice(staged, sliceBuckets) =>
+        val s = stage(rawFs(dd), dd, opIdx, staged, retry)
+        SegmentLayout.commitStagedSlice(fs, dd, s, sliceBuckets.toSeq.sorted)
+      case Append(staged) =>
+        val s = stage(rawFs(dd), dd, opIdx, staged, retry)
+        SegmentLayout.commitStagedAppend(fs, dd, s)
+      case Kill(buckets) =>
+        SegmentLayout.commitTombstonesFs(fs, dd, buckets.toSeq.sorted, _ => false)
+    }
+
+  /** what a reader sees RIGHT NOW: resolve through the real fs, list
+    * the live leaf dirs, collect data-file names. */
+  private def visible(dd: String): Model = {
+    val r = SegmentLayout.resolve(hconf, dd)
+    val fs = rawFs(dd)
+    r.liveBuckets.map { b =>
+      val files = r.liveLeafDirsOf(dd, b).flatMap { leaf =>
+        val p = new Path(leaf)
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      }.toSet
+      b -> files
+    }.toMap.filter(_._2.nonEmpty)
+  }
+
+  // ------------------------------------------------------ generators
+
+  private val genBucketSet: Gen[Set[String]] =
+    Gen.someOf(Buckets).map(_.toSet).suchThat(_.nonEmpty)
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    5 -> (for {
+      slice <- genBucketSet
+      staged <- Gen.someOf(slice).map(_.toSet) // staged ⊆ slice (the commit contract)
+    } yield Slice(staged, slice)),
+    4 -> genBucketSet.map(Append(_)),
+    2 -> genBucketSet.map(Kill(_)))
+
+  private case class Scenario(ops: List[Op], crashAt: Int, budget: Int)
+
+  private val genScenario: Gen[Scenario] = for {
+    // first op is always a slice so the table is manifest-managed (the
+    // factored append-commit is the MANAGED branch; plain-layout appends
+    // are raw Spark appends with no commit protocol to crash)
+    first <- genBucketSet.map(s => Slice(s, s))
+    rest <- Gen.listOfN(3, genOp)
+    ops = first :: rest
+    crashAt <- Gen.choose(0, ops.length - 1)
+    budget <- Gen.choose(0, 13)
+  } yield Scenario(ops, crashAt, budget)
+
+  test("every crash point in every commit resolves to the pre- or post-state; retry completes it (>1000 interleavings)") {
+    val iterations = 1000
+    var crashesInjected = 0
+    var seed = rng.Seed(42L)
+    for (i <- 0 until iterations) {
+      val (scenario, nextSeed) = {
+        val s = genScenario.pureApply(Gen.Parameters.default, seed)
+        (s, seed.next)
+      }
+      seed = nextSeed
+      val dd = java.nio.file.Files
+        .createTempDirectory(s"graft-crash-$i").toString
+      val fs = rawFs(dd)
+      // initial loose table: every bucket holds one file
+      var model: Model = Buckets.map { b =>
+        val dir = new Path(s"$dd/${Ingest.BucketCol}=$b")
+        fs.mkdirs(dir)
+        val out = fs.create(new Path(dir, s"part-init-$b.parquet"), true)
+        try out.write(b.getBytes) finally out.close()
+        b -> Set(s"part-init-$b.parquet")
+      }.toMap
+      for ((op, idx) <- scenario.ops.zipWithIndex) {
+        if (idx == scenario.crashAt) {
+          val budget = new AtomicInteger(scenario.budget)
+          val crashFs = new CrashFs(fs, budget)
+          val pre = model
+          val expectedPost = post(model, op, idx, retry = false)
+          val crashed =
+            try { execute(crashFs, dd, op, idx, retry = false); false }
+            catch { case e: java.io.IOException
+                if e.getMessage == "injected crash" => true }
+          val seen = visible(dd)
+          assert(seen == pre || seen == expectedPost,
+            s"iter $i op $idx ($op) budget ${scenario.budget} " +
+              s"crashed=$crashed: reader saw\n  $seen\nlegal:\n  pre  $pre" +
+              s"\n  post $expectedPost")
+          if (crashed) {
+            crashesInjected += 1
+            // single-writer recovery: retry the operation crash-free.
+            // If the crashed attempt already PUBLISHED (manifest flip
+            // landed before the crash), the retry simply applies the
+            // operation again on top — both outcomes are the retry's
+            // post state over what the reader saw.
+            val retryPost = post(seen, op, idx, retry = true)
+            execute(fs, dd, op, idx, retry = true)
+            val after = visible(dd)
+            assert(after == retryPost,
+              s"iter $i op $idx ($op): retry landed\n  $after\nexpected\n  $retryPost")
+            model = retryPost
+          } else model = expectedPost
+        } else {
+          model = post(model, op, idx, retry = false)
+          execute(fs, dd, op, idx, retry = false)
+        }
+        assert(visible(dd) == model,
+          s"iter $i after op $idx ($op): reader/model diverged")
+      }
+      // cheap cleanup — thousands of tmp dirs otherwise linger
+      fs.delete(new Path(dd), true)
+    }
+    // the generator must actually be exercising crashes, not just
+    // oversized budgets that let every op complete
+    assert(crashesInjected > iterations / 3,
+      s"only $crashesInjected crashes in $iterations iterations — budgets too large")
+    info(s"$iterations interleavings, $crashesInjected injected crashes")
+  }
+}

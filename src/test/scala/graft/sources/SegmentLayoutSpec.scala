@@ -296,6 +296,76 @@ class SegmentLayoutSpec extends AnyFunSuite {
       Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 2L, "2024-01-03T00" -> 3L))
   }
 
+  test("manifest history stays O(touched buckets) under 100-commit slice churn; compaction resets to manifest-free loose layout") {
+    val dd = freshTable()
+    val root = new java.io.File(dd)
+    def manifests = root.listFiles().map(_.getName)
+      .filter(_.startsWith(SegmentLayout.ManifestPrefix))
+    def gens(b: String) = {
+      val f = new java.io.File(s"$dd/${Ingest.BucketCol}=$b")
+      if (!f.exists()) Array.empty[String]
+      else f.listFiles().map(_.getName).filter(_.startsWith(SegmentLayout.GenPrefix))
+    }
+    // a year of daily slice replaces, compressed: alternate replacing
+    // d2 and erasing/reviving d3 so tombstone churn is in the mix too
+    for (i <- 1 to 100) {
+      val rows =
+        if (i % 2 == 0) Seq((i * 10L, "2024-01-02T00"), (i * 100L, "2024-01-03T00"))
+        else Seq((i * 10L, "2024-01-02T00")) // d3 erased this cycle
+      SegmentLayout.commitSlice(spark, dd, slice(rows),
+        Seq("2024-01-02T00", "2024-01-03T00"))
+      refresh(dd)
+      if (i % 25 == 0) {
+        // bounded at every sampled point, not just the end
+        assert(manifests.length <= 2, s"cycle $i: ${manifests.toSeq}")
+        assert(gens("2024-01-02T00").length <= 2, s"cycle $i")
+        assert(gens("2024-01-03T00").length <= 2, s"cycle $i")
+      }
+    }
+    val r = SegmentLayout.resolveCached(hconf, dd)
+    // entries = the two ever-touched buckets, NOT 100-cycle history
+    assert(r.manifest.get.entries.keySet ==
+      Set("2024-01-02T00", "2024-01-03T00"))
+    assert(sums(SegmentLayout.readData(spark, dd)) ==
+      Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 1000L,
+        "2024-01-03T00" -> 10000L))
+    // appends accumulate generations (the reference's appended-segment
+    // growth)… until the next slice replace collapses the bucket to one
+    for (j <- 1 to 3) {
+      SegmentLayout.append(slice(Seq((j.toLong, "2024-01-02T00"))), dd)
+      refresh(dd)
+    }
+    assert(SegmentLayout.resolveCached(hconf, dd)
+      .svLive("2024-01-02T00").size == 4) // live slice gen + 3 appends
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((42L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+    refresh(dd)
+    assert(SegmentLayout.resolveCached(hconf, dd)
+      .svLive("2024-01-02T00").size == 1,
+      "a slice replace collapses the appended generation pile")
+    // a kill + re-kill REMOVES the bucket's entry — tombstones of
+    // reclaimed buckets do not accumulate
+    SegmentLayout.commitTombstones(spark, dd, Seq("2024-01-03T00"), _ => false)
+    refresh(dd)
+    SegmentLayout.commitTombstones(spark, dd, Seq("2024-01-03T00"), _ => false)
+    refresh(dd)
+    assert(!SegmentLayout.resolveCached(hconf, dd)
+      .manifest.get.entries.contains("2024-01-03T00"))
+    // COMPACTION (the REPLACE OVERWRITE ALL path): live rows rewrite
+    // into a fresh `_v=1` version dir — manifest-free loose layout,
+    // the whole slice history collapses with the rewrite
+    SegmentLayout.readData(spark, dd)
+      .write.mode("overwrite").partitionBy(Ingest.BucketCol)
+      .parquet(s"$dd/${SegmentLayout.VersionPrefix}1")
+    refresh(dd)
+    val dd2 = SegmentLayout.dataDir(hconf, dd)
+    assert(dd2.endsWith(s"${SegmentLayout.VersionPrefix}1"))
+    val r2 = SegmentLayout.resolveCached(hconf, dd2)
+    assert(r2.manifest.isEmpty, "compaction must reset to loose layout")
+    assert(sums(SegmentLayout.readData(spark, dd2)) ==
+      Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 42L))
+  }
+
   test("manifest files rotate: older than n-1 deleted, concurrent same-n create fails loudly") {
     val dd = freshTable()
     for (i <- 1 to 3) {
