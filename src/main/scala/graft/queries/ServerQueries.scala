@@ -503,7 +503,110 @@ object ServerQueries {
     } finally srv.stop()
   }
 
+  /** ATOMIC APPEND × the per-segment cache (round 15: appends on a
+    * manifest-managed table publish a NEW `_sv.K` generation per
+    * touched bucket with one manifest flip — never per-file moves a
+    * reader could list mid-append). One day is slice-replaced (managed,
+    * ×2 cents), then ONE SQL INSERT appends rows into BOTH that managed
+    * day (×3) and an untouched loose day (×5): the managed bucket then
+    * serves TWO generations and the loose bucket serves its top-level
+    * files PLUS a generation. The repeat query must hit every untouched
+    * day's cache entry and recompute exactly the two appended days
+    * (their generation-set change re-versions the pinned listing); the
+    * DuckDB oracle reproduces the per-day arithmetic, so a lost append
+    * generation, a double-served loose file, or an over-invalidation
+    * all break the entry. */
+  val serverAppendGeneration: Q = q(
+    "server_append_generation",
+    """WITH base AS (
+      |  SELECT ts, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |d10 AS (SELECT * FROM base WHERE ts >= TIMESTAMP '2024-01-10'
+      |                             AND ts < TIMESTAMP '2024-01-11'),
+      |d05 AS (SELECT * FROM base WHERE ts >= TIMESTAMP '2024-01-05'
+      |                             AND ts < TIMESTAMP '2024-01-06'),
+      |live AS (
+      |  SELECT ts, c FROM base
+      |  WHERE ts < TIMESTAMP '2024-01-10' OR ts >= TIMESTAMP '2024-01-11'
+      |  UNION ALL SELECT ts, 2 * c FROM d10
+      |  UNION ALL SELECT ts, 3 * c FROM d10
+      |  UNION ALL SELECT ts, 5 * c FROM d05)
+      |SELECT epoch_ms(date_trunc('day', ts)) AS t_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(c) AS BIGINT) AS cents
+      |FROM live GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("server_agen_src")
+    val storage =
+      java.nio.file.Files.createTempDirectory("graft_append_gen").toString
+    val srv = new QueryServer(s, _ => s.emptyDataFrame,
+      storageRoot = Some(storage))
+    val port = srv.start()
+    try {
+      postSql(port,
+        """REPLACE INTO server_agen_tbl OVERWRITE ALL
+          |SELECT ts AS __time, CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_agen_src PARTITIONED BY DAY""".stripMargin)
+      // manage day 10 (×2): its bucket now serves a `_sv.K` generation
+      postSql(port,
+        """REPLACE INTO server_agen_tbl
+          |OVERWRITE WHERE __time >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND __time < TIMESTAMP '2024-01-11 00:00:00'
+          |SELECT ts AS __time, 2 * CAST(round(value * 100) AS BIGINT) AS cents
+          |FROM server_agen_src
+          |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+          |PARTITIONED BY DAY""".stripMargin)
+      val body =
+        """{"queryType": "timeseries", "dataSource": "server_agen_tbl",
+          | "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+          | "granularity": "day",
+          | "aggregations": [
+          |   {"type": "count", "name": "cnt"},
+          |   {"type": "longSum", "name": "cents", "fieldName": "cents"}],
+          | "context": {"useCache": true, "populateCache": true,
+          |             "skipEmptyBuckets": true}}""".stripMargin
+      def postNative(): com.fasterxml.jackson.databind.JsonNode = {
+        val resp = HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+            .build(),
+          HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"native endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+      }
+      val first = postNative()
+      val stats = srv.segmentCacheStats
+      require(stats.populated == first.size(),
+        s"expected one cached entry per day, got ${stats.populated} for ${first.size()} days")
+      // ONE append into the managed day (×3) AND the loose day (×5):
+      // both buckets gain a generation, published by one manifest flip
+      postSql(port,
+        """INSERT INTO server_agen_tbl
+          |SELECT ts AS __time,
+          |       CASE WHEN ts >= TIMESTAMP '2024-01-10'
+          |            THEN 3 * CAST(round(value * 100) AS BIGINT)
+          |            ELSE 5 * CAST(round(value * 100) AS BIGINT) END AS cents
+          |FROM server_agen_src
+          |WHERE (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11')
+          |   OR (ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06')
+          |PARTITIONED BY DAY""".stripMargin)
+      val second = postNative()
+      require(stats.hits == first.size() - 2,
+        s"expected ${first.size() - 2} cache hits on the repeat (untouched days), " +
+          s"got ${stats.hits}")
+      require(stats.lastComputedBuckets == Seq("2024-01-05T00", "2024-01-10T00"),
+        s"expected only the two appended days recomputed, got ${stats.lastComputedBuckets}")
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      second.elements().asScala.map { e =>
+        (java.time.Instant.parse(e.get("timestamp").asText()).toEpochMilli,
+          e.get("result").get("cnt").asLong(),
+          e.get("result").get("cents").asLong())
+      }.toSeq.toDF("t_ms", "cnt", "cents").orderBy("t_ms")
+    } finally srv.stop()
+  }
+
   val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask,
     serverNativeRoundtrip, serverMarkUnused, serverRetentionDrop,
-    serverCacheRoundtrip, serverCacheSliceReplace)
+    serverCacheRoundtrip, serverCacheSliceReplace, serverAppendGeneration)
 }

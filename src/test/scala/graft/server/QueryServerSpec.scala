@@ -1285,6 +1285,32 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("REPLACE OVERWRITE WHERE erasing EVERY bucket leaves a queryable empty table, not a 500") {
+    val root = java.nio.file.Files.createTempDirectory("graft-slice-empty").toString
+    fixture.createOrReplaceTempView("ds_owe")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO tempty SELECT __time, dim, m FROM ds_owe PARTITIONED BY DAY"}""")._1 == 200)
+      // a slice spanning the whole table with an empty SELECT: every
+      // bucket tombstones — the table is EMPTY, not broken
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO tempty OVERWRITE WHERE __time >= TIMESTAMP '2024-01-01 00:00:00' AND __time < TIMESTAMP '2024-01-05 00:00:00' SELECT __time, dim, m FROM ds_owe WHERE m < 0 PARTITIONED BY DAY"}""")._1 == 200)
+      val (c1, b1) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM tempty"}""")
+      assert(c1 == 200, s"$c1 $b1")
+      assert(b1 == """[{"n":0}]""", b1)
+      // and an INSERT revives it
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO tempty SELECT __time, dim, m FROM ds_owe WHERE dim = 'a' PARTITIONED BY DAY"}""")._1 == 200)
+      val (_, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n FROM tempty"}""")
+      assert(b2.contains("\"n\":") && !b2.contains("\"n\":0"), b2)
+    } finally srv.stop()
+  }
+
   test("REPLACE OVERWRITE WHERE is atomic per bucket generation: planned readers keep theirs") {
     val root = java.nio.file.Files.createTempDirectory("graft-slice-atomic").toString
     fixture.createOrReplaceTempView("ds_owa")
