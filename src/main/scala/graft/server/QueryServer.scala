@@ -821,21 +821,21 @@ class QueryServer(
               graft.sources.Ingest.compact(spark, dataDirOf(path), tmp, sortDims)
               val fs = new org.apache.hadoop.fs.Path(path)
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
-              IngestSql.currentVersion(spark, path) match {
-                case Some(cur) =>
-                  // versioned table: the compacted copy COMMITS as the
-                  // next version (atomic like REPLACE ALL — readers of
-                  // `cur` finish untouched), then old versions prune
-                  fs.rename(new org.apache.hadoop.fs.Path(tmp),
-                    new org.apache.hadoop.fs.Path(
-                      s"$path/${IngestSql.VersionPrefix}${cur + 1}"))
-                  IngestSql.pruneVersions(spark, path, keep = cur)
-                case None =>
-                  // legacy layout: in-place swap, as before
-                  fs.delete(new org.apache.hadoop.fs.Path(path), true)
-                  fs.rename(new org.apache.hadoop.fs.Path(tmp),
-                    new org.apache.hadoop.fs.Path(path))
-              }
+              // the compacted copy COMMITS as the next version dir —
+              // atomic like REPLACE ALL: readers of the current layout
+              // finish untouched and new queries resolve the committed
+              // version. A legacy (never-versioned) table flips to
+              // `_v=1` the same way — its loose root dirs get one full
+              // commit of reader grace and die at the NEXT
+              // replace/compact via pruneVersions, exactly like the
+              // REPLACE ALL path (the previous in-place delete+rename
+              // swap had a reader-visible empty window; this was the
+              // last non-atomic segment rewrite).
+              val cur = IngestSql.currentVersion(spark, path)
+              fs.rename(new org.apache.hadoop.fs.Path(tmp),
+                new org.apache.hadoop.fs.Path(
+                  s"$path/${IngestSql.VersionPrefix}${cur.getOrElse(0L) + 1}"))
+              cur.foreach(c => IngestSql.pruneVersions(spark, path, keep = c))
               graft.sources.SegmentVersions.announce(
                 spark.sparkContext.hadoopConfiguration, path)
               ("compact", ds)

@@ -1285,6 +1285,55 @@ class QueryServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("compact task commits atomically on legacy tables and collapses appended generations") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-atomic").toString
+    fixture.createOrReplaceTempView("ds_cmp")
+    val srv = new QueryServer(spark, { case "ds" => fixture },
+      storageRoot = Some(root))
+    val port = srv.start()
+    try {
+      // legacy loose layout (INSERT only — never REPLACEd)
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO tcmp SELECT __time, dim, m FROM ds_cmp PARTITIONED BY DAY"}""")._1 == 200)
+      val path = s"$root/tcmp"
+      // slice-manage day 2 then append into it: the bucket serves TWO
+      // generations under a manifest
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "REPLACE INTO tcmp OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02 00:00:00' AND __time < TIMESTAMP '2024-01-03 00:00:00' SELECT __time, dim, m * 10 AS m FROM ds_cmp WHERE __time >= TIMESTAMP '2024-01-02' PARTITIONED BY DAY"}""")._1 == 200)
+      assert(post(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO tcmp SELECT __time, dim, m * 100 AS m FROM ds_cmp WHERE __time >= TIMESTAMP '2024-01-02' PARTITIONED BY DAY"}""")._1 == 200)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      assert(graft.sources.SegmentLayout
+        .resolve(hconf, path).svLive("2024-01-02T00").size == 2)
+      // a reader plans against the pre-compaction layout and holds it
+      val planned = graft.sources.SegmentLayout.readData(spark, path)
+      // m: day1 1+2 (loose), day2 3*10 + 3*100 = 330
+      assert(post(port, "/druid/indexer/v1/task",
+        """{"type": "compact", "dataSource": "tcmp"}""")._1 == 200)
+      // committed as _v=1 (atomic flip), manifest collapsed, data right
+      val dd = graft.sources.SegmentLayout.dataDir(hconf, path)
+      assert(dd.endsWith("_v=1"), dd)
+      assert(graft.sources.SegmentLayout.resolve(hconf, dd).manifest.isEmpty,
+        "compaction must collapse the manifest history")
+      val (_, b1) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(m) AS s FROM tcmp"}""")
+      assert(b1 == """[{"s":333.0}]""", b1)
+      // the planned reader keeps the pre-compaction files (legacy dirs
+      // get one commit of grace — they die at the NEXT replace/compact)
+      assert(planned.agg(sum(col("m"))).head().getDouble(0) == 333.0,
+        "a planned reader must survive the compaction commit")
+      // a second compact prunes the legacy loose dirs + _v=1
+      assert(post(port, "/druid/indexer/v1/task",
+        """{"type": "compact", "dataSource": "tcmp"}""")._1 == 200)
+      val rootFiles = new java.io.File(path).listFiles().map(_.getName).toSet
+      assert(!rootFiles.exists(_.startsWith(graft.sources.Ingest.BucketCol + "=")),
+        s"legacy loose dirs must die at the commit after next: $rootFiles")
+      val (_, b2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(m) AS s FROM tcmp"}""")
+      assert(b2 == """[{"s":333.0}]""", b2)
+    } finally srv.stop()
+  }
+
   test("REPLACE OVERWRITE WHERE erasing EVERY bucket leaves a queryable empty table, not a 500") {
     val root = java.nio.file.Files.createTempDirectory("graft-slice-empty").toString
     fixture.createOrReplaceTempView("ds_owe")
