@@ -390,17 +390,27 @@ object Similarity {
       m: Int, kPerSpace: Int, iterations: Int = 3,
       trainFraction: Double = 1.0, tag: String = "pq_codebooks"): DataFrame =
     codebooksFromSub(
-      trainSlice(stageSubvectors(corpus, idCol, vecCol, m, tag), trainFraction),
+      trainSlice(stageSubvectors(corpus, idCol, vecCol, m, tag),
+        trainFraction, m, kPerSpace),
       kPerSpace, iterations, tag)
 
   /** deterministic per-id training sample over a staged subvector
-    * table (a filter over checkpoint blocks — no extra corpus scan). */
-  private def trainSlice(sub: DataFrame, trainFraction: Double): DataFrame = {
+    * table (a filter over checkpoint blocks — no extra corpus scan).
+    * A sample with fewer ids than codewords per subspace cannot seed
+    * the codebooks (the IVF fallback's PQ twin): train on the full
+    * staged table instead — an under-sampled config must never yield
+    * a degenerate/empty index. */
+  private def trainSlice(
+      sub: DataFrame, trainFraction: Double, m: Int, kPerSpace: Int): DataFrame = {
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
     if (trainFraction >= 1.0) sub
-    else sub.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
-      lit((trainFraction * 1e6).toLong))
+    else {
+      val sampled = sub.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
+        lit((trainFraction * 1e6).toLong))
+      // rows = sampled ids × m (each id explodes to exactly m subvectors)
+      if (sampled.count() < m.toLong * kPerSpace) sub else sampled
+    }
   }
 
   /** the checkpointed (id, subspace, subvec) table training and encode
@@ -587,7 +597,7 @@ object Similarity {
     // TRAINING slice only (encode stays full-corpus)
     val sub = stageSubvectors(corpus, idCol, vecCol, m, tag)
     val books = codebooksFromSub(
-      trainSlice(sub, trainFraction), kPerSpace, iterations, tag)
+      trainSlice(sub, trainFraction, m, kPerSpace), kPerSpace, iterations, tag)
     val codes = encodeFromSub(sub, books)
     val cands = pqTopK(queries, qidCol, qvecCol, codes, books, m, kPrime)
       .select(col("qid"), col("id"))

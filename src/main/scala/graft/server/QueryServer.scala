@@ -832,9 +832,17 @@ class QueryServer(
               // swap had a reader-visible empty window; this was the
               // last non-atomic segment rewrite).
               val cur = IngestSql.currentVersion(spark, path)
-              fs.rename(new org.apache.hadoop.fs.Path(tmp),
-                new org.apache.hadoop.fs.Path(
-                  s"$path/${IngestSql.VersionPrefix}${cur.getOrElse(0L) + 1}"))
+              // next = above EVERY version dir on disk, committed or
+              // not: renaming onto a crashed REPLACE's uncommitted
+              // leftover would nest (or fail) and the compacted copy
+              // would silently never serve
+              val next = math.max(cur.getOrElse(0L),
+                graft.sources.SegmentLayout.maxVersionOnDisk(
+                  spark.sparkContext.hadoopConfiguration, path).getOrElse(0L)) + 1L
+              val dest = new org.apache.hadoop.fs.Path(
+                s"$path/${IngestSql.VersionPrefix}$next")
+              require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dest),
+                s"compaction commit rename failed: $tmp -> $dest")
               cur.foreach(c => IngestSql.pruneVersions(spark, path, keep = c))
               graft.sources.SegmentVersions.announce(
                 spark.sparkContext.hadoopConfiguration, path)

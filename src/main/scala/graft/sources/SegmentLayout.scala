@@ -84,7 +84,18 @@ object SegmentLayout {
     * legally serve several generations at once, exactly like several
     * appended segments sharing one interval in the reference). Both
     * empty = tombstone: the bucket is logically deleted and serves
-    * nothing. */
+    * nothing.
+    *
+    * Format compatibility: the single-generation `{"sv": k}` /
+    * `{"tomb": true}` forms read AND write unchanged; the
+    * multi-generation `{"loose": …, "svs": […]}` form appears only
+    * once a bucket actually serves several generations. A PRE-multi-gen
+    * reader decodes that form as a tombstone (no "sv" key), so external
+    * readers of managed tables must run a matching engine version —
+    * the manifest is an internal contract, like the reference's
+    * metadata-store schema (documented on
+    * [[SegmentVersions.announceExternal]] alongside the raw-root-read
+    * caveat). */
   final case class Entry(loose: Boolean, svs: Seq[Long]) {
     def isTomb: Boolean = !loose && svs.isEmpty
   }
@@ -165,6 +176,14 @@ object SegmentLayout {
     listVersions(fs, root).sorted.reverse.find(v =>
       fs.exists(new Path(s"$root/$VersionPrefix$v/_SUCCESS")))
   }
+
+  /** the highest version-dir number PRESENT on disk, committed or not —
+    * a writer publishing by rename picks the next number above this, so
+    * a crashed REPLACE's uncommitted `_v=N` leftover is never renamed
+    * onto (rename onto an existing dir fails or nests — either way the
+    * new version would silently not serve). */
+  def maxVersionOnDisk(hconf: Configuration, root: String): Option[Long] =
+    listVersions(fsOf(hconf, root), root).maxOption
 
   /** the directory a READER of this table resolves: the current
     * committed version dir, or the table root for legacy layouts.
@@ -337,16 +356,32 @@ object SegmentLayout {
       throw new java.io.IOException(s"manifest publish rename failed: $tmp -> $dest")
     }
     // POSIX rename(2) overwrites silently: verify the published body is
-    // OURS. Losing here (another writer's token) fails this commit
-    // loudly; the competitor's commit stands.
+    // OURS. Losing here (another writer's token read back successfully)
+    // fails this commit loudly; the competitor's commit stands. A read
+    // that merely FAILS is retried and then surfaced as an I/O error —
+    // NOT as a writer conflict: our rename succeeded, so the commit is
+    // likely durable, and a "retry the statement" verdict on a landed
+    // commit would double-apply it (an appended slice twice, for one).
     beforeVerify()
-    val publishedWriter =
+    var publishedWriter: Option[String] = None
+    var attempt = 0
+    while (publishedWriter.isEmpty && attempt < 3) {
+      attempt += 1
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
           readSmallFile(fs, dest))
-        Option(node.get("writer")).map(_.asText()).getOrElse("")
-      } catch { case _: Exception => "" } // unreadable = someone mid-overwrite
-    if (publishedWriter != writerToken)
+        publishedWriter =
+          Some(Option(node.get("writer")).map(_.asText()).getOrElse(""))
+      } catch {
+        case _: Exception if attempt < 3 => Thread.sleep(20L * attempt)
+        case e: Exception =>
+          throw new java.io.IOException(
+            s"manifest ${m.n} on $dd was published (rename succeeded) but " +
+              "could not be read back for verification — the commit may " +
+              "have landed; inspect the table before retrying", e)
+      }
+    }
+    if (!publishedWriter.contains(writerToken))
       throw new IllegalStateException(
         s"concurrent segment commit on $dd (manifest ${m.n} was " +
           "overwritten by a racing writer): segment mutations are " +
@@ -492,8 +527,17 @@ object SegmentLayout {
     val cur = resolve(fs.getConf, dd)
     val curEntries = cur.manifest.map(_.entries).getOrElse(Map.empty)
     val onDiskSet = cur.onDisk.toSet
+    // already-tombstoned buckets with no staged rows are a NO-OP, not a
+    // re-erase: touching them would re-sweep with an empty keep set and
+    // destroy the grace-kept superseded generation — the last on-disk
+    // footer an all-tombstoned table recovers its schema from (a second
+    // identical empty REPLACE, e.g. an idempotent client retry, must
+    // not turn a legal empty table into an unreadable one). Their data
+    // is reclaimed by kill or replaced by a later staged slice.
     val touched = sliceBuckets.filter(b =>
-      stagedBuckets.contains(b) || curEntries.contains(b) || onDiskSet.contains(b))
+      stagedBuckets.contains(b) ||
+        (curEntries.contains(b) && !curEntries(b).isTomb) ||
+        (!curEntries.contains(b) && onDiskSet.contains(b)))
     val updates = touched.map { b =>
       val oldGens = cur.liveGens(b)
       if (stagedBuckets.contains(b)) {
@@ -505,10 +549,15 @@ object SegmentLayout {
         b -> (Entry.sv(k), Set[Gen](Gen.Sv(k)) ++ oldGens)
       } else b -> (Entry.Tomb, oldGens) // erased by the slice
     }
-    val next = Manifest(
-      cur.manifest.map(_.n).getOrElse(0L) + 1L,
-      curEntries ++ updates.map { case (b, (e, _)) => b -> e })
-    writeManifest(fs, dd, next) // <- the atomic publish
+    // a fully no-op slice (nothing staged, nothing live to erase)
+    // publishes nothing — in particular it must not flip an unmanaged
+    // table into managed mode for free
+    if (updates.nonEmpty) {
+      val next = Manifest(
+        cur.manifest.map(_.n).getOrElse(0L) + 1L,
+        curEntries ++ updates.map { case (b, (e, _)) => b -> e })
+      writeManifest(fs, dd, next) // <- the atomic publish
+    }
     for ((b, (_, keep)) <- updates) sweepBucket(fs, dd, b, keep)
     fs.delete(new Path(staging), true)
   }
@@ -540,7 +589,13 @@ object SegmentLayout {
     for (b <- touched) {
       val alreadyTomb = curEntries.get(b).exists(_.isTomb)
       if (alreadyTomb || reclaimable(b)) {
-        fs.delete(new Path(bucketDir(dd, b)), true)
+        // the entry may only leave the manifest once the data is GONE:
+        // dropping it while grace-kept loose files survive a failed
+        // delete would resurrect logically-deleted rows as looseLive
+        val p = new Path(bucketDir(dd, b))
+        if (!fs.delete(p, true) && fs.exists(p))
+          throw new java.io.IOException(
+            s"kill could not reclaim $p — the bucket stays tombstoned; retry the kill")
         entries -= b
       } else {
         entries += b -> Entry.Tomb
@@ -570,7 +625,16 @@ object SegmentLayout {
     * in-process or EXTERNAL, resolving through the manifest — sees all
     * of the append or none of it; a crash before the publish leaves
     * only an invisible orphan generation, reclaimed by the post-publish
-    * sweep of the next append/commit touching the bucket. */
+    * sweep of the next append/commit touching the bucket.
+    *
+    * Generation growth: each append adds one `_sv.K` per touched
+    * bucket, so an insert-heavy managed table accumulates generations
+    * exactly as the reference accumulates appended segments per
+    * interval — and the remedy is the same: the compact task (or any
+    * REPLACE) collapses a bucket back to one generation
+    * (SegmentLayoutSpec pins both the growth and the collapse). Size
+    * ingest batches accordingly and compact insert-heavy tables
+    * periodically, as the reference's auto-compaction does. */
   def append(prepared: DataFrame, root: String): Unit = {
     val spark = prepared.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -91,6 +91,14 @@ class SimilaritySpec extends SparkSpec {
     val tiny = ids(1e-6)
     assert(tiny == full,
       s"zero-row training sample must fall back to the full corpus: $tiny")
+    // the PQ twin: an empty codebook-training sample falls back too
+    val pqTiny = Similarity.pqRerankTopK(
+      corpus.filter($"vec_id" === 0L), "vec_id", "embedding",
+      corpus, "vec_id", "embedding",
+      m = 2, kPerSpace = 16, k = 5, kPrime = 20, trainFraction = 1e-6)
+      .collect().map(_.getLong(1)).toSeq
+    assert(pqTiny.length == 5, s"PQ under-sample must not yield a degenerate index: $pqTiny")
+    assert(pqTiny.forall(_ % 2 == 0), pqTiny)
   }
 
   test("persisted IVF index: save → load reproduces the in-memory path and prunes cells") {

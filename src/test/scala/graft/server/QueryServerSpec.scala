@@ -1307,12 +1307,16 @@ class QueryServerSpec extends SparkSpec {
         .resolve(hconf, path).svLive("2024-01-02T00").size == 2)
       // a reader plans against the pre-compaction layout and holds it
       val planned = graft.sources.SegmentLayout.readData(spark, path)
+      // a crashed REPLACE's UNCOMMITTED leftover (no _SUCCESS): the
+      // compact commit must version PAST it, never rename onto it
+      new java.io.File(s"$path/_v=5").mkdirs()
       // m: day1 1+2 (loose), day2 3*10 + 3*100 = 330
       assert(post(port, "/druid/indexer/v1/task",
         """{"type": "compact", "dataSource": "tcmp"}""")._1 == 200)
-      // committed as _v=1 (atomic flip), manifest collapsed, data right
+      // committed PAST the uncommitted leftover (atomic flip), manifest
+      // collapsed, data right
       val dd = graft.sources.SegmentLayout.dataDir(hconf, path)
-      assert(dd.endsWith("_v=1"), dd)
+      assert(dd.endsWith("_v=6"), dd)
       assert(graft.sources.SegmentLayout.resolve(hconf, dd).manifest.isEmpty,
         "compaction must collapse the manifest history")
       val (_, b1) = post(port, "/druid/v2/sql",

@@ -210,10 +210,44 @@ class SegmentLayoutSpec extends AnyFunSuite {
     val out = SegmentLayout.readData(spark, dd)
     assert(out.columns.toSeq == Seq("m", Ingest.BucketCol), out.columns.toSeq)
     assert(out.count() == 0L)
+    // an IDENTICAL second empty slice (an idempotent client retry) is a
+    // NO-OP: re-tombstoning already-dead buckets must not re-sweep the
+    // grace-kept footers the empty table recovers its schema from
+    SegmentLayout.commitSlice(spark, dd, slice(Nil),
+      Seq("2024-01-01T00", "2024-01-02T00", "2024-01-03T00"))
+    refresh(dd)
+    val out2 = SegmentLayout.readData(spark, dd)
+    assert(out2.columns.toSeq == Seq("m", Ingest.BucketCol),
+      "the retry must leave the empty table readable")
+    assert(out2.count() == 0L)
     // and an append revives the table
     SegmentLayout.append(slice(Seq((5L, "2024-01-02T00"))), dd)
     refresh(dd)
     assert(sums(SegmentLayout.readData(spark, dd)) == Map("2024-01-02T00" -> 5L))
+  }
+
+  test("a kill whose physical delete fails keeps the tombstone entry (no resurrection) and fails loudly") {
+    val dd = freshTable()
+    // tombstone d1 (live → hidden, data grace-kept)
+    SegmentLayout.commitTombstones(spark, dd, Seq("2024-01-01T00"), _ => false)
+    refresh(dd)
+    // re-kill with a FileSystem whose deletes fail: the entry must stay
+    val raw = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      setConf(raw.getConf)
+      override def delete(f: org.apache.hadoop.fs.Path, r: Boolean): Boolean = false
+    }
+    val e = intercept[java.io.IOException] {
+      SegmentLayout.commitTombstonesFs(failing, dd, Seq("2024-01-01T00"), _ => false)
+    }
+    assert(e.getMessage.contains("could not reclaim"), e.getMessage)
+    refresh(dd)
+    val r = SegmentLayout.resolveCached(hconf, dd)
+    assert(r.tombstoned == Set("2024-01-01T00"),
+      "a failed reclaim must keep the tombstone — dropping it would " +
+        "resurrect the grace-kept loose files")
+    assert(sums(SegmentLayout.readData(spark, dd)).keySet ==
+      Set("2024-01-02T00", "2024-01-03T00"))
   }
 
   test("writeManifest verify: a racing writer's POSIX rename-overwrite fails THIS commit loudly, never merges") {
@@ -236,6 +270,24 @@ class SegmentLayoutSpec extends AnyFunSuite {
         SegmentLayout.writeManifest(fs, dd, m)
       }
       assert(e.getMessage.contains("overwritten by a racing writer"), e.getMessage)
+    } finally SegmentLayout.beforeVerify = () => ()
+  }
+
+  test("writeManifest verify: a transient read-back failure is an I/O error, never a 'retry the statement' conflict") {
+    // the rename SUCCEEDED → the commit is likely durable; telling the
+    // client to retry would double-apply it (an appended slice twice)
+    val dd = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    val m = SegmentLayout.Manifest(1L,
+      Map("2024-01-02T00" -> SegmentLayout.Entry.sv(0L)))
+    SegmentLayout.beforeVerify = () =>
+      fs.delete(new org.apache.hadoop.fs.Path(dd, "_graft_manifest.1.json"), false)
+    try {
+      val e = intercept[java.io.IOException] {
+        SegmentLayout.writeManifest(fs, dd, m)
+      }
+      assert(e.getMessage.contains("could not be read back"), e.getMessage)
+      assert(!e.getMessage.contains("retry the statement"), e.getMessage)
     } finally SegmentLayout.beforeVerify = () => ()
   }
 
