@@ -246,4 +246,87 @@ class SegmentLayoutCrashPropertySpec extends AnyFunSuite {
       s"only $crashesInjected crashes in $iterations iterations — budgets too large")
     info(s"$iterations interleavings, $crashesInjected injected crashes")
   }
+
+  // ------------------------------------------- table-version protocol
+
+  /** one REPLACE-ALL/compaction commit at the filesystem level, the
+    * order the real writers use: version dir, data files, _SUCCESS
+    * marker LAST (the commit point), then pruning of versions older
+    * than the superseded current. */
+  private def replaceAll(
+      fs: FileSystem, root: String, n: Long, token: String): Unit = {
+    val prev = SegmentLayout.currentVersion(hconf, root)
+    val vd = s"$root/${SegmentLayout.VersionPrefix}$n"
+    val bucket = new Path(s"$vd/${Ingest.BucketCol}=b1")
+    fs.mkdirs(bucket)
+    val out = fs.create(new Path(bucket, s"part-$token.parquet"), true)
+    try out.write(token.getBytes) finally out.close()
+    fs.create(new Path(vd, "_SUCCESS"), true).close() // <- the commit
+    prev.foreach(p => SegmentLayout.pruneVersions(hconf, root, keep = p))
+  }
+
+  test("table-version protocol: every crash point resolves dataDir to a COMMITTED version holding exactly one full replace (1000 interleavings)") {
+    val iterations = 1000
+    var crashes = 0
+    var seed = rng.Seed(4242L)
+    val genCase = for {
+      commits <- Gen.choose(2, 4)
+      crashAt <- Gen.choose(1, commits) // version number whose commit crashes
+      budget <- Gen.choose(0, 5)        // a replace issues ~4-5 mutations + prune
+    } yield (commits, crashAt, budget)
+    for (i <- 0 until iterations) {
+      val (commits, crashAt, budget) = genCase.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val root = java.nio.file.Files.createTempDirectory(s"graft-vcrash-$i").toString
+      val fs = rawFs(root)
+      var committed = List.empty[Long] // version numbers that fully committed
+      for (n <- 1L to commits.toLong) {
+        val injected =
+          if (n == crashAt) {
+            val cfs = new CrashFs(fs, new AtomicInteger(budget))
+            try { replaceAll(cfs, root, n, s"v$n"); false }
+            catch { case e: java.io.IOException
+                if e.getMessage == "injected crash" => crashes += 1; true }
+          } else { replaceAll(fs, root, n, s"v$n"); false }
+        // a crash AFTER the _SUCCESS create (e.g. mid-prune) is a
+        // LANDED commit — the marker is the commit point, not the op end
+        val landed = fs.exists(new Path(
+          s"$root/${SegmentLayout.VersionPrefix}$n/_SUCCESS"))
+        if (!injected || landed) committed ::= n
+        // INVARIANT after every step (crashed or not): dataDir resolves
+        // to the HIGHEST committed version, whose data is complete —
+        // an uncommitted (_SUCCESS-less) crash leftover never serves
+        val dd = SegmentLayout.dataDir(hconf, root)
+        committed.headOption match {
+          case None =>
+            assert(dd == root, s"iter $i: no committed version, dataDir must be the root, got $dd")
+          case Some(top) =>
+            assert(dd.endsWith(s"${SegmentLayout.VersionPrefix}$top"),
+              s"iter $i after v$n (crashed=$injected): dataDir $dd, committed=$committed")
+            val leaf = new Path(s"$dd/${Ingest.BucketCol}=b1")
+            val files = fs.listStatus(leaf).filter(_.isFile)
+              .map(_.getPath.getName).filterNot(_.startsWith("_")).toSeq
+            assert(files == Seq(s"part-v$top.parquet"),
+              s"iter $i: committed version $top must hold exactly its replace, got $files")
+        }
+        // a crashed writer retries with the NEXT number (the real
+        // REPLACE path re-resolves currentVersion; Spark's overwrite
+        // also self-heals an uncommitted leftover — modeled here as a
+        // fresh higher version, which maxVersionOnDisk guarantees the
+        // compact path picks too)
+        if (injected) {
+          val retryN = SegmentLayout.maxVersionOnDisk(hconf, root).getOrElse(0L) + 1L
+          replaceAll(fs, root, retryN, s"v$retryN")
+          committed ::= retryN
+          val dd2 = SegmentLayout.dataDir(hconf, root)
+          assert(dd2.endsWith(s"${SegmentLayout.VersionPrefix}$retryN"),
+            s"iter $i: retry must serve, got $dd2")
+        }
+      }
+      fs.delete(new Path(root), true)
+    }
+    assert(crashes > iterations / 4,
+      s"only $crashes crashes in $iterations iterations — budgets too large")
+    info(s"$iterations interleavings, $crashes injected crashes")
+  }
 }
