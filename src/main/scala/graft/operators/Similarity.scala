@@ -112,8 +112,9 @@ object Similarity {
     var c0 = Ckpt.register(tag, sampled.localCheckpoint())
     // under-sampled training set (fewer rows than centroids): train on
     // the full corpus instead — the sampled blocks are tiny and die at
-    // the next drain
-    if (trainFraction < 1.0 && c0.count() < nCentroids)
+    // the next drain. limit() short-circuits via CollectLimit, so a
+    // plentiful sample never pays a full count scan.
+    if (trainFraction < 1.0 && c0.limit(nCentroids).count() < nCentroids)
       c0 = Ckpt.register(tag, base.localCheckpoint())
     // deterministic seed centroids: first n rows in hash order
     var centroids = c0
@@ -408,8 +409,11 @@ object Similarity {
     else {
       val sampled = sub.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
         lit((trainFraction * 1e6).toLong))
-      // rows = sampled ids × m (each id explodes to exactly m subvectors)
-      if (sampled.count() < m.toLong * kPerSpace) sub else sampled
+      // rows = sampled ids × m (each id explodes to exactly m
+      // subvectors); limit() short-circuits via CollectLimit, so a
+      // plentiful sample never pays a full scan of the staged table
+      val needed = m * kPerSpace
+      if (sampled.limit(needed).count() < needed) sub else sampled
     }
   }
 

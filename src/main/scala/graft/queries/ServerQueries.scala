@@ -376,26 +376,8 @@ object ServerQueries {
         """REPLACE INTO server_cache_tbl OVERWRITE ALL
           |SELECT ts AS __time, CAST(round(value * 100) AS BIGINT) AS cents
           |FROM server_cache_src PARTITIONED BY DAY""".stripMargin)
-      val body =
-        """{"queryType": "timeseries", "dataSource": "server_cache_tbl",
-          | "intervals": ["2024-01-01T00:00:00Z/2024-03-01T00:00:00Z"],
-          | "granularity": "day",
-          | "aggregations": [
-          |   {"type": "count", "name": "cnt"},
-          |   {"type": "longSum", "name": "cents", "fieldName": "cents"}],
-          | "context": {"useCache": true, "populateCache": true,
-          |             "skipEmptyBuckets": true}}""".stripMargin
-      def postNative(): com.fasterxml.jackson.databind.JsonNode = {
-        val resp = HttpClient.newHttpClient().send(
-          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
-            .header("Content-Type", "application/json")
-            .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-            .build(),
-          HttpResponse.BodyHandlers.ofString())
-        require(resp.statusCode() == 200,
-          s"native endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
-        new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
-      }
+      def postNative(): com.fasterxml.jackson.databind.JsonNode =
+        postCentsTimeseries(port, "server_cache_tbl", "2024-03-01T00:00:00Z")
       val first = postNative()
       val stats = srv.segmentCacheStats
       require(stats.populated == first.size(),
@@ -412,13 +394,7 @@ object ServerQueries {
         s"expected ${first.size()} cache hits on the repeat, got ${stats.hits}")
       require(stats.lastComputedBuckets == Seq("2024-02-14T00"),
         s"expected only the appended day recomputed, got ${stats.lastComputedBuckets}")
-      import scala.jdk.CollectionConverters._
-      import s.implicits._
-      second.elements().asScala.map { e =>
-        (java.time.Instant.parse(e.get("timestamp").asText()).toEpochMilli,
-          e.get("result").get("cnt").asLong(),
-          e.get("result").get("cents").asLong())
-      }.toSeq.toDF("t_ms", "cnt", "cents").orderBy("t_ms")
+      centsRows(s, second)
     } finally srv.stop()
   }
 
@@ -455,26 +431,8 @@ object ServerQueries {
         """REPLACE INTO server_scache_tbl OVERWRITE ALL
           |SELECT ts AS __time, CAST(round(value * 100) AS BIGINT) AS cents
           |FROM server_scache_src PARTITIONED BY DAY""".stripMargin)
-      val body =
-        """{"queryType": "timeseries", "dataSource": "server_scache_tbl",
-          | "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
-          | "granularity": "day",
-          | "aggregations": [
-          |   {"type": "count", "name": "cnt"},
-          |   {"type": "longSum", "name": "cents", "fieldName": "cents"}],
-          | "context": {"useCache": true, "populateCache": true,
-          |             "skipEmptyBuckets": true}}""".stripMargin
-      def postNative(): com.fasterxml.jackson.databind.JsonNode = {
-        val resp = HttpClient.newHttpClient().send(
-          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
-            .header("Content-Type", "application/json")
-            .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-            .build(),
-          HttpResponse.BodyHandlers.ofString())
-        require(resp.statusCode() == 200,
-          s"native endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
-        new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
-      }
+      def postNative(): com.fasterxml.jackson.databind.JsonNode =
+        postCentsTimeseries(port, "server_scache_tbl", "2024-02-01T00:00:00Z")
       val first = postNative()
       val stats = srv.segmentCacheStats
       require(stats.populated == first.size(),
@@ -493,13 +451,7 @@ object ServerQueries {
           s"got ${stats.hits}")
       require(stats.lastComputedBuckets == Seq("2024-01-10T00"),
         s"expected only the replaced day recomputed, got ${stats.lastComputedBuckets}")
-      import scala.jdk.CollectionConverters._
-      import s.implicits._
-      second.elements().asScala.map { e =>
-        (java.time.Instant.parse(e.get("timestamp").asText()).toEpochMilli,
-          e.get("result").get("cnt").asLong(),
-          e.get("result").get("cents").asLong())
-      }.toSeq.toDF("t_ms", "cnt", "cents").orderBy("t_ms")
+      centsRows(s, second)
     } finally srv.stop()
   }
 
@@ -554,26 +506,8 @@ object ServerQueries {
           |FROM server_agen_src
           |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
           |PARTITIONED BY DAY""".stripMargin)
-      val body =
-        """{"queryType": "timeseries", "dataSource": "server_agen_tbl",
-          | "intervals": ["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
-          | "granularity": "day",
-          | "aggregations": [
-          |   {"type": "count", "name": "cnt"},
-          |   {"type": "longSum", "name": "cents", "fieldName": "cents"}],
-          | "context": {"useCache": true, "populateCache": true,
-          |             "skipEmptyBuckets": true}}""".stripMargin
-      def postNative(): com.fasterxml.jackson.databind.JsonNode = {
-        val resp = HttpClient.newHttpClient().send(
-          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
-            .header("Content-Type", "application/json")
-            .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-            .build(),
-          HttpResponse.BodyHandlers.ofString())
-        require(resp.statusCode() == 200,
-          s"native endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
-        new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
-      }
+      def postNative(): com.fasterxml.jackson.databind.JsonNode =
+        postCentsTimeseries(port, "server_agen_tbl", "2024-02-01T00:00:00Z")
       val first = postNative()
       val stats = srv.segmentCacheStats
       require(stats.populated == first.size(),
@@ -596,14 +530,49 @@ object ServerQueries {
           s"got ${stats.hits}")
       require(stats.lastComputedBuckets == Seq("2024-01-05T00", "2024-01-10T00"),
         s"expected only the two appended days recomputed, got ${stats.lastComputedBuckets}")
-      import scala.jdk.CollectionConverters._
-      import s.implicits._
-      second.elements().asScala.map { e =>
-        (java.time.Instant.parse(e.get("timestamp").asText()).toEpochMilli,
-          e.get("result").get("cnt").asLong(),
-          e.get("result").get("cents").asLong())
-      }.toSeq.toDF("t_ms", "cnt", "cents").orderBy("t_ms")
+      centsRows(s, second)
     } finally srv.stop()
+  }
+
+
+  /** POST one day-granularity count + longSum(cents) timeseries (with
+    * cache populate) to the native endpoint and parse the response —
+    * the shared probe of the three cache-grading entries. */
+  private def postCentsTimeseries(
+      port: Int, dataSource: String,
+      intervalEnd: String): com.fasterxml.jackson.databind.JsonNode = {
+    val body =
+      s"""{"queryType": "timeseries", "dataSource": "$dataSource",
+         | "intervals": ["2024-01-01T00:00:00Z/$intervalEnd"],
+         | "granularity": "day",
+         | "aggregations": [
+         |   {"type": "count", "name": "cnt"},
+         |   {"type": "longSum", "name": "cents", "fieldName": "cents"}],
+         | "context": {"useCache": true, "populateCache": true,
+         |             "skipEmptyBuckets": true}}""".stripMargin
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"native endpoint returned ${resp.statusCode()}: ${resp.body().take(500)}")
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+  }
+
+  /** (timestamp, cnt, cents) rows of a native timeseries response as
+    * the graded frame. */
+  private def centsRows(
+      s: SparkSession,
+      node: com.fasterxml.jackson.databind.JsonNode): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    node.elements().asScala.map { e =>
+      (java.time.Instant.parse(e.get("timestamp").asText()).toEpochMilli,
+        e.get("result").get("cnt").asLong(),
+        e.get("result").get("cents").asLong())
+    }.toSeq.toDF("t_ms", "cnt", "cents").orderBy("t_ms")
   }
 
   val all: Seq[Q] = Seq(serverSqlReplace, serverKillTask,

@@ -833,12 +833,12 @@ class QueryServer(
               // last non-atomic segment rewrite).
               val cur = IngestSql.currentVersion(spark, path)
               // next = above EVERY version dir on disk, committed or
-              // not: renaming onto a crashed REPLACE's uncommitted
-              // leftover would nest (or fail) and the compacted copy
-              // would silently never serve
-              val next = math.max(cur.getOrElse(0L),
-                graft.sources.SegmentLayout.maxVersionOnDisk(
-                  spark.sparkContext.hadoopConfiguration, path).getOrElse(0L)) + 1L
+              // not (a superset of `cur` by construction): renaming
+              // onto a crashed REPLACE's uncommitted leftover would
+              // nest (or fail) and the compacted copy would silently
+              // never serve
+              val next = graft.sources.SegmentLayout.maxVersionOnDisk(
+                spark.sparkContext.hadoopConfiguration, path).getOrElse(0L) + 1L
               val dest = new org.apache.hadoop.fs.Path(
                 s"$path/${IngestSql.VersionPrefix}$next")
               require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dest),

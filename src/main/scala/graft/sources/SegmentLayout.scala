@@ -568,7 +568,17 @@ object SegmentLayout {
     * deleted, the reference's unused→kill discipline with no reader
     * risk; still-live buckets are TOMBSTONED atomically (queries stop
     * serving them at the manifest flip) and their data is reclaimed by
-    * a later kill over the same interval. */
+    * a later kill over the same interval.
+    *
+    * Crash/failure ordering on a MANAGED table: every touched bucket is
+    * tombstoned in ONE manifest publish BEFORE any physical delete
+    * runs, and a bucket's entry leaves the manifest (second publish)
+    * only once its directory is verifiably gone. A delete may therefore
+    * crash or fail at any point without ever leaving a ghost LIVE entry
+    * over a deleted directory — which a later append would union back
+    * into the bucket's generation set, breaking every read of the
+    * table — and without ever dropping an entry whose grace-kept files
+    * survive (which would resurrect them as looseLive). */
   def commitTombstones(
       spark: SparkSession, dd: String, buckets: Seq[String],
       reclaimable: String => Boolean): Unit =
@@ -584,31 +594,46 @@ object SegmentLayout {
     val touched = buckets.filter(b =>
       curEntries.contains(b) || onDiskSet.contains(b))
     if (touched.isEmpty) return
-    var entries = curEntries
-    val sweeps = Seq.newBuilder[(String, Set[Gen])]
-    for (b <- touched) {
-      val alreadyTomb = curEntries.get(b).exists(_.isTomb)
-      if (alreadyTomb || reclaimable(b)) {
-        // the entry may only leave the manifest once the data is GONE:
-        // dropping it while grace-kept loose files survive a failed
-        // delete would resurrect logically-deleted rows as looseLive
-        val p = new Path(bucketDir(dd, b))
-        if (!fs.delete(p, true) && fs.exists(p))
-          throw new java.io.IOException(
-            s"kill could not reclaim $p — the bucket stays tombstoned; retry the kill")
-        entries -= b
-      } else {
-        entries += b -> Entry.Tomb
-        sweeps += b -> cur.liveGens(b)
-      }
-    }
+    val (toReclaim, toTomb) = touched.partition(b =>
+      curEntries.get(b).exists(_.isTomb) || reclaimable(b))
     // a pure physical reclaim of already-hidden buckets on an
     // unmanaged table needs no manifest — don't flip the table into
-    // managed mode for it
-    if (entries != curEntries || cur.manifest.isDefined)
-      writeManifest(fs, dd,
-        Manifest(cur.manifest.map(_.n).getOrElse(0L) + 1L, entries))
-    for ((b, keep) <- sweeps.result()) sweepBucket(fs, dd, b, keep)
+    // managed mode for it. Crash mid-delete leaves a partial dir the
+    // server-side hidden state keeps invisible; a re-kill finishes.
+    if (cur.manifest.isEmpty && toTomb.isEmpty) {
+      val failures = toReclaim.filter { b =>
+        val p = new Path(bucketDir(dd, b))
+        !fs.delete(p, true) && fs.exists(p)
+      }
+      if (failures.nonEmpty) throw new java.io.IOException(
+        s"kill could not reclaim ${failures.size} bucket dir(s) under $dd " +
+          s"(first: ${bucketDir(dd, failures.head)}); retry the kill")
+      return
+    }
+    // phase 1 — ONE atomic publish tombstoning EVERY touched bucket,
+    // reclaim targets included: no physical delete may run while the
+    // manifest still lists its bucket live
+    val sweeps = toTomb.map(b => b -> cur.liveGens(b))
+    val tombstoned = curEntries ++ touched.map(_ -> Entry.Tomb)
+    var n = cur.manifest.map(_.n).getOrElse(0L)
+    if (tombstoned != curEntries || cur.manifest.isEmpty) {
+      n += 1
+      writeManifest(fs, dd, Manifest(n, tombstoned))
+    }
+    // phase 2 — physical deletes; a failed one keeps its tombstone
+    val (failed, reclaimed) = toReclaim.partition { b =>
+      val p = new Path(bucketDir(dd, b))
+      !fs.delete(p, true) && fs.exists(p)
+    }
+    for ((b, keep) <- sweeps) sweepBucket(fs, dd, b, keep)
+    // phase 3 — drop entries ONLY for verifiably-gone directories, so
+    // the manifest stays O(live + pending-reclaim buckets)
+    if (reclaimed.nonEmpty)
+      writeManifest(fs, dd, Manifest(n + 1, tombstoned -- reclaimed))
+    if (failed.nonEmpty) throw new java.io.IOException(
+      s"kill could not reclaim ${failed.size} bucket dir(s) under $dd " +
+        s"(first: ${bucketDir(dd, failed.head)}) — they stay tombstoned; " +
+        "retry the kill")
   }
 
   /** append prepared rows (with `__bucket`) into the table root's

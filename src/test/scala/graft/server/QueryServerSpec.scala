@@ -279,6 +279,9 @@ class QueryServerSpec extends SparkSpec {
       // LIVE entry remains — the dead body was removed, not retained
       assert(srv.resultCacheEntryCount == 1,
         s"expired entry must be removed on get, got ${srv.resultCacheEntryCount}")
+      // expiry is proven; widen the TTL (evaluated at get) so a slow
+      // post on a loaded host can't expire the REPOPULATED entry too
+      srv.cacheTtlMs = 60000L
       assert(post(port, "/druid/v2/sql", q)._1 == 200)
       assert(srv.cacheHits == hits + 1, "the repopulated entry serves")
     } finally srv.stop()

@@ -262,7 +262,18 @@ class SegmentLayoutCrashPropertySpec extends AnyFunSuite {
     val out = fs.create(new Path(bucket, s"part-$token.parquet"), true)
     try out.write(token.getBytes) finally out.close()
     fs.create(new Path(vd, "_SUCCESS"), true).close() // <- the commit
-    prev.foreach(p => SegmentLayout.pruneVersions(hconf, root, keep = p))
+    // prune THROUGH the (possibly crash-injecting) fs — routing it
+    // around the injector would make the landed-then-crash-mid-prune
+    // interleaving unreachable
+    for (keep <- prev) {
+      val stale = fs.listStatus(new Path(root)).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(SegmentLayout.VersionPrefix))
+        .filter(st => scala.util.Try(st.getPath.getName
+          .stripPrefix(SegmentLayout.VersionPrefix).toLong)
+          .toOption.exists(_ < keep))
+      stale.foreach(st => fs.delete(st.getPath, true))
+    }
   }
 
   test("table-version protocol: every crash point resolves dataDir to a COMMITTED version holding exactly one full replace (1000 interleavings)") {
