@@ -111,11 +111,20 @@ object Similarity {
         lit((trainFraction * 1e6).toLong))
     var c0 = Ckpt.register(tag, sampled.localCheckpoint())
     // under-sampled training set (fewer rows than centroids): train on
-    // the full corpus instead — the sampled blocks are tiny and die at
-    // the next drain. limit() short-circuits via CollectLimit, so a
-    // plentiful sample never pays a full count scan.
-    if (trainFraction < 1.0 && c0.limit(nCentroids).count() < nCentroids)
+    // the full corpus instead. limit() short-circuits via CollectLimit,
+    // so a plentiful sample never pays a full count scan. The gate
+    // counts IDS — duplicate vectors among the seeds collapse to
+    // duplicate centroids (fewer effective clusters, search still
+    // correct via nProbe), unlike PQ's exact-regime contract which
+    // gates on DISTINCT subvectors (see [[trainSlice]]).
+    if (trainFraction < 1.0 && c0.limit(nCentroids).count() < nCentroids) {
+      // free the sampled blocks BEFORE materializing the full corpus:
+      // nothing else is registered under the tag yet this invocation,
+      // and keeping both would pin a transient 2x of executor storage
+      // on exactly the small-corpus path that triggers the fallback
+      Ckpt.drain(tag)
       c0 = Ckpt.register(tag, base.localCheckpoint())
+    }
     // deterministic seed centroids: first n rows in hash order
     var centroids = c0
       .withColumn("__h", hash(col("id")))
@@ -397,10 +406,12 @@ object Similarity {
 
   /** deterministic per-id training sample over a staged subvector
     * table (a filter over checkpoint blocks — no extra corpus scan).
-    * A sample with fewer ids than codewords per subspace cannot seed
-    * the codebooks (the IVF fallback's PQ twin): train on the full
-    * staged table instead — an under-sampled config must never yield
-    * a degenerate/empty index. */
+    * A sample with fewer than kPerSpace DISTINCT subvectors in any
+    * subspace cannot seed that subspace's codebook (the IVF fallback's
+    * PQ twin, gated on distinct VALUES because duplicate vectors
+    * collapse at the deterministic init): train on the full staged
+    * table instead — an under-sampled config must never yield a
+    * degenerate/empty index. */
   private def trainSlice(
       sub: DataFrame, trainFraction: Double, m: Int, kPerSpace: Int): DataFrame = {
     require(trainFraction > 0.0 && trainFraction <= 1.0,
@@ -409,11 +420,24 @@ object Similarity {
     else {
       val sampled = sub.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
         lit((trainFraction * 1e6).toLong))
-      // rows = sampled ids × m (each id explodes to exactly m
-      // subvectors); limit() short-circuits via CollectLimit, so a
-      // plentiful sample never pays a full scan of the staged table
-      val needed = m * kPerSpace
-      if (sampled.limit(needed).count() < needed) sub else sampled
+      // the sample must be able to SEED every subspace's codebook:
+      // kPerSpace DISTINCT subvectors per subspace, all m subspaces
+      // present. A row/id count is not enough — duplicate vectors
+      // collapse at init (the first-kPerSpace-distinct seeding), the
+      // degenerate-index case this fallback exists to prevent. One
+      // HLL pass over the sampled checkpoint blocks (map-side
+      // partials, no distinct shuffle); HLL++ is exact in its sparse
+      // regime far above any legal kPerSpace (codebooks are plan
+      // literals, <=4096 rows total), and a near-threshold low
+      // estimate merely falls back to full-table training — a
+      // perf-conservative miss, never a correctness one.
+      val row = sampled.groupBy(col("subspace"))
+        .agg(approx_count_distinct(xxhash64(col("subvec"))).as("nd"))
+        .agg(min(col("nd")).as("mn"), count(lit(1)).as("subspaces"))
+        .head()
+      val seeded = !row.isNullAt(0) && row.getLong(0) >= kPerSpace &&
+        row.getLong(1) == m.toLong
+      if (seeded) sampled else sub
     }
   }
 

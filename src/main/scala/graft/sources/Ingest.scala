@@ -334,6 +334,19 @@ object Ingest {
   def compact(
       spark: SparkSession, path: String, outPath: String,
       sortDims: Seq[String] = Nil): Unit = {
+    // an all-tombstoned managed table has NOTHING to compact: the
+    // rewrite would commit a version dir with zero data files, which
+    // later plain parquet reads cannot infer a schema from — refuse
+    // loudly (metadata-only check, no job) instead of publishing an
+    // unreadable version
+    val resolved = SegmentLayout.resolve(
+      spark.sparkContext.hadoopConfiguration, path)
+    if (resolved.managed && resolved.liveLeafDirs(path).isEmpty)
+      throw new IllegalStateException(
+        s"refusing to compact $path: every bucket is tombstoned (the " +
+          "table has no live rows, only a grace-kept schema footer) — " +
+          "compaction would publish a version dir with no data files; " +
+          "kill/drop the table or re-ingest it instead")
     // live rows only: a slice-managed source reads its manifest's
     // generations (tombstoned buckets stay dead — compaction must not
     // resurrect killed data); the compacted copy is plain-layout, so

@@ -69,6 +69,19 @@ object SegmentLayout {
   val StagingPrefix = ".graft_staging_"
   /** table-version dir prefix (REPLACE OVERWRITE ALL / compaction). */
   val VersionPrefix = "_v="
+  /** per-manifest-number publish lock marker (dot-prefixed: invisible
+    * to resolve() and to Spark's file listings). */
+  val LockPrefix = ".graft_manifest_lock."
+  /** the manifest format this engine WRITES and the highest it READS:
+    * 1 = the r14 single-generation forms ({"sv":k}/{"tomb":true}),
+    * 2 = the multi-generation entry form ({"loose":…,"svs":[…]}).
+    * Readers accept manifests with `fmt` absent (written before the
+    * field existed — formats 1 and 2 are both decodable) or `fmt` <=
+    * this value, and FAIL LOUDLY above it: a version-skewed reader
+    * must surface an actionable incompatibility, never misread a
+    * newer layout as tombstones/empty (the pre-multi-gen silent-empty
+    * hazard this field exists to prevent from ever recurring). */
+  val ManifestFmt = 2L
 
   /** a bucket's data generation: its loose top-level files, or a
     * numbered `_sv.K` dir. */
@@ -90,10 +103,14 @@ object SegmentLayout {
     * `{"tomb": true}` forms read AND write unchanged; the
     * multi-generation `{"loose": …, "svs": […]}` form appears only
     * once a bucket actually serves several generations. A PRE-multi-gen
-    * reader decodes that form as a tombstone (no "sv" key), so external
-    * readers of managed tables must run a matching engine version —
-    * the manifest is an internal contract, like the reference's
-    * metadata-store schema (documented on
+    * (r14) reader decodes that form as a tombstone (no "sv" key) — a
+    * documented one-way break: external readers of managed tables must
+    * run an engine at least as new as the multi-gen form. Manifests now
+    * carry an explicit `"fmt"` field ([[ManifestFmt]]) and readers
+    * REFUSE formats above what they speak, so every FUTURE format
+    * change degrades loudly (an actionable version error) instead of
+    * silently — the manifest stays an internal contract, like the
+    * reference's metadata-store schema (documented on
     * [[SegmentVersions.announceExternal]] alongside the raw-root-read
     * caveat). */
   final case class Entry(loose: Boolean, svs: Seq[Long]) {
@@ -243,7 +260,13 @@ object SegmentLayout {
 
   def liveBuckets(hconf: Configuration, dd: String): Seq[String] =
     try resolveCached(hconf, dd).liveBuckets
-    catch { case _: Exception => Nil }
+    catch {
+      // the manifest-format fence must stay LOUD on every read path —
+      // swallowing it here would reintroduce the silent-empty reads
+      // the fmt field exists to prevent
+      case e: IllegalStateException => throw e
+      case _: Exception => Nil
+    }
 
   /** the live directories behind (dd, bucket) — what the per-segment
     * cache pins file listings against. Empty = tombstoned or absent. */
@@ -264,6 +287,16 @@ object SegmentLayout {
   private def readManifest(fs: FileSystem, dd: String, n: Long): Manifest = {
     val body = readSmallFile(fs, new Path(dd, s"$ManifestPrefix$n$ManifestSuffix"))
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    // format fence: a manifest written by a NEWER engine refuses
+    // loudly instead of decoding garbage (absent fmt = pre-field
+    // manifests, formats 1 and 2 — both decodable below)
+    val fmt = Option(node.get("fmt")).filterNot(_.isNull)
+      .map(_.asLong()).getOrElse(1L)
+    if (fmt > ManifestFmt) throw new IllegalStateException(
+      s"manifest $ManifestPrefix$n$ManifestSuffix under $dd declares " +
+        s"format $fmt, written by a newer engine than this reader " +
+        s"(reads <= $ManifestFmt) — upgrade this engine before querying " +
+        "the table; refusing rather than misreading newer segment state")
     import scala.jdk.CollectionConverters._
     val entries = Option(node.get("buckets")).map { b =>
       b.properties().asScala.map { e =>
@@ -290,30 +323,75 @@ object SegmentLayout {
     * hidden temp file and RENAMED to `_graft_manifest.{n}.json` —
     * create() alone is only name-atomic, not content-atomic, so a
     * reader racing a direct write could parse an empty/partial body.
-    * Two writers racing to the same n must never silently merge: on
+    * Two writers racing to the same n must never silently merge. Three
+    * fences, outermost first: (1) a create-only per-n LOCK marker
+    * ([[acquirePublishLock]]) serializes same-n publishers before any
+    * rename — the realistic race loser hard-fails here; (2) on
     * HDFS-like FileSystems rename onto an existing destination fails,
     * but POSIX-backed FileSystems (RawLocalFileSystem delegates to
-    * rename(2)) atomically OVERWRITE it — so after the rename the
+    * rename(2)) atomically OVERWRITE it — so (3) after the rename the
     * destination is RE-READ and its embedded one-time writer token
     * compared against ours; a mismatch means another writer's body is
     * what readers now see, and THIS commit fails loudly as the race
-    * loser. (If our rename overwrote a competitor that had already
-    * verified and returned, the single-writer contract was doubly
-    * violated; the verify narrows the silent window to that
-    * interleaving, which the documented single-writer assumption — the
-    * reference's task-lock granularity — excludes.) Manifests older
-    * than n-1 are deleted (n-1 survives for readers that resolved just
-    * before). */
+    * loser. The token verify remains the backstop for writers that
+    * bypass or outlive the lock (a pause longer than the
+    * crash-recovery grace). Manifests older than n-1 are deleted (n-1
+    * survives for readers that resolved just before), their locks
+    * with them. */
   /** test seam: runs between the publish rename and the post-rename
     * verify — a spec injects a racing writer's overwrite here to prove
     * the verify turns a silent POSIX last-write-win into a loud
     * conflict. */
   private[sources] var beforeVerify: () => Unit = () => ()
 
+  /** grace between held-lock rechecks (test seam: the crash property
+    * spec shortens it so presumed-crashed-holder recovery doesn't
+    * dominate 1000 interleavings' wall time). */
+  private[sources] var lockRetryDelayMs: Long = 50L
+
+  private def publishConflict(dd: String, n: Long, how: String): Nothing =
+    throw new IllegalStateException(
+      s"concurrent segment commit on $dd (manifest $n $how): segment " +
+        "mutations are single-writer per table; retry the statement")
+
+  /** serialize same-n publishers BEFORE any rename: a create-only
+    * (O_EXCL-style) lock marker per manifest number turns the POSIX
+    * rename-overwrite race into a hard failure at lock acquisition for
+    * realistic interleavings, instead of the probabilistic post-rename
+    * token detection (which remains as the backstop — create() on some
+    * FileSystems is itself check-then-act, and a holder paused longer
+    * than the crash-recovery grace below degrades to the token verify).
+    * A held lock with NOTHING published after the grace is a crashed
+    * writer's orphan (the holder renames within microseconds of
+    * locking) and is broken — the single-writer recovery path; a
+    * competitor that published n while we waited is a hard conflict. */
+  private def acquirePublishLock(fs: FileSystem, dd: String, n: Long): Unit = {
+    val lock = new Path(dd, s"$LockPrefix$n")
+    val dest = new Path(dd, s"$ManifestPrefix$n$ManifestSuffix")
+    // only "already exists" means the lock is held; every other failure
+    // (I/O error, injected crash in the property spec) propagates as
+    // what it is — swallowing it would let a "crashed" writer continue
+    def taken(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    if (taken()) return
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      if (fs.exists(dest)) publishConflict(dd, n, "already exists")
+      Thread.sleep(lockRetryDelayMs)
+    }
+    if (fs.exists(dest)) publishConflict(dd, n, "already exists")
+    fs.delete(lock, false) // presumed-crashed holder: grace expired, nothing published
+    if (!taken()) publishConflict(dd, n, "is being published by a racing writer")
+  }
+
   private[sources] def writeManifest(fs: FileSystem, dd: String, m: Manifest): Unit = {
+    acquirePublishLock(fs, dd, m.n)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("n", m.n)
+    root.put("fmt", ManifestFmt)
     // one-time writer token: lets the post-rename verify distinguish
     // this writer's published body from a racing writer's (readers
     // ignore unknown fields)
@@ -386,12 +464,20 @@ object SegmentLayout {
         s"concurrent segment commit on $dd (manifest ${m.n} was " +
           "overwritten by a racing writer): segment mutations are " +
           "single-writer per table; retry the statement")
+    // rotate manifests AND their publish locks older than n-1 (n-1
+    // survives for readers that resolved just before; the current n's
+    // lock stays so a late same-n publisher still hard-fails at it)
     fs.listStatus(new Path(dd)).toSeq.map(_.getPath)
       .filter { p =>
-        val n = p.getName
-        n.startsWith(ManifestPrefix) && n.endsWith(ManifestSuffix) &&
-          scala.util.Try(n.stripPrefix(ManifestPrefix)
-            .stripSuffix(ManifestSuffix).toLong).toOption.exists(_ < m.n - 1)
+        val name = p.getName
+        val num =
+          if (name.startsWith(ManifestPrefix) && name.endsWith(ManifestSuffix))
+            scala.util.Try(name.stripPrefix(ManifestPrefix)
+              .stripSuffix(ManifestSuffix).toLong).toOption
+          else if (name.startsWith(LockPrefix))
+            scala.util.Try(name.stripPrefix(LockPrefix).toLong).toOption
+          else None
+        num.exists(_ < m.n - 1)
       }.foreach(fs.delete(_, false))
   }
 
@@ -418,8 +504,9 @@ object SegmentLayout {
         if (leaves.nonEmpty) spark.read.option("basePath", dd).parquet(leaves: _*)
         else {
           val fs = fsOf(spark.sparkContext.hadoopConfiguration, dd)
-          val anyFile = r.onDisk.iterator.flatMap(b =>
-            findDataFile(fs, new Path(bucketDir(dd, b)))).nextOption()
+          val anyFile = r.onDisk.flatMap(b =>
+            newestDataFile(fs, new Path(bucketDir(dd, b))))
+            .sortBy { case (p, t) => (-t, p) }.headOption.map(_._1)
           val footer = anyFile.getOrElse(throw new IllegalStateException(
             s"no live segments and no recoverable footer under $dd — " +
               "the table's data was fully reclaimed; drop or re-ingest it"))
@@ -428,17 +515,25 @@ object SegmentLayout {
     }
   }
 
-  /** first data file under a bucket dir (top level or inside a
-    * generation dir) — the schema-recovery footer for an all-tombstoned
-    * table. */
-  private def findDataFile(fs: FileSystem, dir: Path): Option[String] = {
+  /** (path, modification time) of the NEWEST data file under a bucket
+    * dir (top level or inside a generation dir) — the schema-recovery
+    * footer for an all-tombstoned table. Newest-written wins because
+    * grace-kept SUPERSEDED generations still hold pre-replace footers:
+    * after a schema-evolving REPLACE, recovering from the first file
+    * found could resurrect the stale pre-replace schema. The recovery
+    * path only runs on a fully-tombstoned (empty) table, so the extra
+    * per-bucket listing costs nothing on any serving query. */
+  private def newestDataFile(fs: FileSystem, dir: Path): Option[(String, Long)] = {
     val statuses = try fs.listStatus(dir).toSeq catch { case _: Exception => Nil }
-    statuses.collectFirst {
+    val files = statuses.collect {
       case s if s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith(".") => s.getPath.toString
-    }.orElse(statuses.filter(s =>
+        !s.getPath.getName.startsWith(".") =>
+        (s.getPath.toString, s.getModificationTime)
+    }
+    val nested = statuses.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
-      .flatMap(s => findDataFile(fs, s.getPath)).headOption)
+      .flatMap(s => newestDataFile(fs, s.getPath))
+    (files ++ nested).sortBy { case (p, t) => (-t, p) }.headOption
   }
 
   // ---------------------------------------------------------- writing

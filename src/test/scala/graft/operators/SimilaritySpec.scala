@@ -101,6 +101,62 @@ class SimilaritySpec extends SparkSpec {
     assert(pqTiny.forall(_ % 2 == 0), pqTiny)
   }
 
+  test("PQ training sample gates on DISTINCT subvectors: duplicate-value collapse falls back to full training") {
+    import spark.implicits._
+    val kPerSpace = 16
+    // which ids the deterministic hash sample (trainFraction=0.5)
+    // selects — computed with the operator's own expression so the
+    // fixture can place DUPLICATE vectors on exactly the sampled ids
+    val ids = (0L until 64L).toDF("id")
+    val sampledIds = ids
+      .filter(pmod(xxhash64(col("id")), lit(1000000L)) < lit(500000L))
+      .as[Long].collect().toSet
+    assert(sampledIds.size >= kPerSpace && sampledIds.size < 64,
+      s"fixture needs a proper subset with >= $kPerSpace ids, got ${sampledIds.size}")
+    // sampled ids all carry ONE vector (plenty of ROWS, one VALUE —
+    // the collapse the old id-count gate missed); unsampled ids carry
+    // a small integer grid (exact regime: distinct subvecs < kPerSpace)
+    val pts = (0L until 64L).map { i =>
+      if (sampledIds(i)) (i, Array(9.0f, 9.0f, 9.0f, 9.0f))
+      else (i, Array((i % 4).toFloat, (i % 4).toFloat,
+        (i / 4 % 4).toFloat, (i / 4 % 4).toFloat))
+    }
+    val corpus = pts.toDF("id", "vec")
+    val books = Similarity.pqCodebooks(corpus, "id", "vec",
+      m = 2, kPerSpace = kPerSpace, iterations = 2,
+      trainFraction = 0.5, tag = "spec_dup_gate")
+      .collect().groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    // the full corpus has 5 distinct subvecs per subspace (4 grid
+    // values + the duplicate-block vector); a codebook trained on the
+    // collapsed sample would have exactly 1 codeword per subspace
+    assert(books.values.forall(_ == 5),
+      s"duplicate-collapsed sample must fall back to full training: $books")
+    graft.operators.Ckpt.drain("spec_dup_gate")
+  }
+
+  test("ivf under-sample fallback releases the sampled checkpoint before pinning the full corpus") {
+    import spark.implicits._
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, Array(i.toFloat, (30 - i).toFloat))).toDF("id", "vec")
+    // a fraction whose hash sample is nonempty but smaller than
+    // nCentroids — the fallback branch under test
+    val tf = Seq(0.1, 0.15, 0.05, 0.2).find { f =>
+      val n = corpus
+        .filter(pmod(xxhash64(col("id")), lit(1000000L)) < lit((f * 1e6).toLong))
+        .count()
+      n > 0 && n < 8
+    }.getOrElse(fail("no fraction yields a small nonempty sample"))
+    val before = spark.sparkContext.getRDDStorageInfo.length
+    Similarity.ivfCentroids(corpus, "id", "vec",
+      nCentroids = 8, iterations = 1, trainFraction = tf, tag = "spec_release")
+    val after = spark.sparkContext.getRDDStorageInfo.length
+    // fallback path pins the full-corpus checkpoint + the final
+    // centroid table; the superseded SAMPLED checkpoint must be gone
+    assert(after - before <= 2,
+      s"sampled checkpoint still pinned: $before -> $after RDDs with storage")
+    graft.operators.Ckpt.drain("spec_release")
+  }
+
   test("persisted IVF index: save → load reproduces the in-memory path and prunes cells") {
     import spark.implicits._
     val pts = (0 until 20).map { i =>

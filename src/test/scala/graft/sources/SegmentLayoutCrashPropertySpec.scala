@@ -39,6 +39,11 @@ class SegmentLayoutCrashPropertySpec extends AnyFunSuite {
 
   private val hconf = new Configuration()
 
+  // a crash between lock-create and rename leaves an orphan publish
+  // lock the retry must break after the grace; at full grace the
+  // recovery sleeps would dominate 1000 interleavings' wall time
+  SegmentLayout.lockRetryDelayMs = 1L
+
   /** a FileSystem whose MUTATIONS die after `budget` calls — the
     * crash-injection point for the writer under test. Reads are never
     * injected (the verifier and a concurrent reader use the real fs). */

@@ -418,6 +418,103 @@ class SegmentLayoutSpec extends AnyFunSuite {
       Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 42L))
   }
 
+  test("manifest format fence: fmt above what this engine speaks fails loudly; the pre-fmt form round-trips") {
+    val dd = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((20L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+    refresh(dd)
+    def put(n: Long, body: String): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dd, s"_graft_manifest.$n.json"), true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // the r14 on-disk form: no fmt field, single-gen entry — must keep
+    // reading exactly as before the field existed
+    put(1L, """{"n":1,"buckets":{"2024-01-02T00":{"sv":0}}}""")
+    refresh(dd)
+    assert(sums(SegmentLayout.readData(spark, dd)) ==
+      Map("2024-01-01T00" -> 1L, "2024-01-02T00" -> 20L, "2024-01-03T00" -> 3L))
+    // a manifest from a NEWER engine: loud version error on every read
+    // path, never an empty/tombstone misread
+    put(2L, """{"n":2,"fmt":99,"buckets":{}}""")
+    refresh(dd)
+    val e = intercept[IllegalStateException](SegmentLayout.readData(spark, dd))
+    assert(e.getMessage.contains("format 99"), e.getMessage)
+    val e2 = intercept[IllegalStateException](
+      SegmentLayout.liveBuckets(hconf, dd))
+    assert(e2.getMessage.contains("newer engine"), e2.getMessage)
+  }
+
+  test("publish lock: an orphan lock from a crashed holder is broken after the grace; a published n hard-fails AT the lock") {
+    val dd = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    val prev = SegmentLayout.lockRetryDelayMs
+    SegmentLayout.lockRetryDelayMs = 1L
+    try {
+      // a holder that crashed between lock-create and rename: nothing
+      // published, so the next writer breaks the lock and commits
+      fs.create(new org.apache.hadoop.fs.Path(
+        dd, s"${SegmentLayout.LockPrefix}1"), false).close()
+      SegmentLayout.commitSlice(spark, dd,
+        slice(Seq((20L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+      refresh(dd)
+      assert(sums(SegmentLayout.readData(spark, dd))("2024-01-02T00") == 20L)
+      // a same-n publisher now fails at the held lock + published dest —
+      // a hard conflict BEFORE any rename could overwrite the winner
+      val m = SegmentLayout.Manifest(1L,
+        Map("2024-01-02T00" -> SegmentLayout.Entry.sv(0L)))
+      val e = intercept[IllegalStateException](
+        SegmentLayout.writeManifest(fs, dd, m))
+      assert(e.getMessage.contains("concurrent segment commit"), e.getMessage)
+      // locks rotate with their manifests: older than n-1 swept
+      for (i <- 2 to 3) {
+        SegmentLayout.commitSlice(spark, dd,
+          slice(Seq((i * 10L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+        refresh(dd)
+      }
+      val locks = new java.io.File(dd).listFiles().map(_.getName)
+        .filter(_.startsWith(SegmentLayout.LockPrefix)).sorted
+      assert(locks.toSeq == Seq(
+        s"${SegmentLayout.LockPrefix}2", s"${SegmentLayout.LockPrefix}3"),
+        locks.mkString(","))
+    } finally SegmentLayout.lockRetryDelayMs = prev
+  }
+
+  test("all-tombstoned recovery prefers the newest generation's footer; compacting such a table refuses loudly") {
+    import spark.implicits._
+    val dd = java.nio.file.Files.createTempDirectory("graft-layout-schema").toString
+    Seq((1L, "2024-01-01T00"), (2L, "2024-01-02T00"))
+      .toDF("m", Ingest.BucketCol)
+      .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(dd)
+    Thread.sleep(50) // modtime must order the generations
+    // schema-EVOLVING replace of d2 only: adds column `extra`
+    SegmentLayout.commitSlice(spark, dd,
+      Seq((20L, 7L, "2024-01-02T00")).toDF("m", "extra", Ingest.BucketCol),
+      Seq("2024-01-02T00"))
+    refresh(dd)
+    // erase BOTH buckets (empty staged slice): all-tombstoned, with
+    // d1's loose files (OLD schema) and d2's generation (NEW schema)
+    // both grace-kept on disk
+    SegmentLayout.commitSlice(spark, dd,
+      Seq.empty[(Long, Long, String)].toDF("m", "extra", Ingest.BucketCol),
+      Seq("2024-01-01T00", "2024-01-02T00"))
+    refresh(dd)
+    val empty = SegmentLayout.readData(spark, dd)
+    assert(empty.count() == 0L)
+    // the recovered schema must be the most recently WRITTEN one —
+    // first-found recovery resurrected d1's stale pre-replace schema
+    assert(empty.columns.contains("extra"),
+      s"stale pre-replace schema recovered: ${empty.columns.toSeq}")
+    // compaction of a no-live-rows table must refuse, not publish an
+    // unreadable data-file-less version dir
+    val out = java.nio.file.Files.createTempDirectory("graft-layout-compact").toString
+    val e = intercept[IllegalStateException](
+      Ingest.compact(spark, dd, out))
+    assert(e.getMessage.contains("refusing to compact"), e.getMessage)
+  }
+
   test("manifest files rotate: older than n-1 deleted, concurrent same-n create fails loudly") {
     val dd = freshTable()
     for (i <- 1 to 3) {
