@@ -52,6 +52,53 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** host-calibration sentinels (r15 directive #1 — host drift consumed
+    * parts of three rounds: r13's fast recording, r14's phantom
+    * regression, r15's contended streaming reps): fixed micro-workloads
+    * with invariant cost, timed min-of-3 at the top of EACH pass — a
+    * single-threaded pure-CPU spin (host CPU contention, no Spark), a
+    * fixed 32-partition shuffle of generated data (scheduler + exchange
+    * path), and an aggregation scan of a fixed generated parquet
+    * fixture (I/O + scan path; the fixture write is untimed). A
+    * cross-round totals comparison reads these first: totals moving
+    * WITH the sentinels = the host moved; totals moving against flat
+    * sentinels = the tree changed. */
+  @volatile private var spinSink = 0L
+  private def calibrate(s: SparkSession): Seq[(String, Double, List[Rep])] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_calib").toString
+    s.range(0L, 2000000L, 1L, 8)
+      .select(col("id"), pmod(col("id") * 2654435761L, lit(997L)).as("k"))
+      .write.mode("overwrite").parquet(dir)
+    val work: Seq[(String, () => Unit)] = Seq(
+      "calib_cpu_spin" -> (() => {
+        // 100M-step LCG; the volatile sink keeps JIT from eliding it
+        var x = spinSink
+        var i = 0
+        while (i < 100000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          i += 1
+        }
+        spinSink = x
+      }),
+      "calib_shuffle32" -> (() => run(
+        s.range(0L, 2000000L, 1L, 32)
+          .groupBy(pmod(col("id") * 2654435761L, lit(1009L)).as("k"))
+          .agg(sum(col("id")).as("v"), count(lit(1)).as("c")))),
+      "calib_scan_parquet" -> (() => run(
+        s.read.parquet(dir).groupBy(col("k")).agg(sum(col("id")).as("v")))))
+    val out = work.map { case (name, fn) =>
+      val reps = (1 to 3).map(_ => timeRep(s)(fn())).toList
+      (name, reps.map(_.wall).min, reps)
+    }
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Exception => () }
+    out
+  }
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -161,7 +208,11 @@ object Bench {
     // per-table try/catch: one unreadable table must not zero the whole
     // round's bench signal (the timed loop below already guards per-query)
     def measure(
-        s: SparkSession, warmQueries: Boolean): Seq[(String, Double, List[Rep])] = {
+        s: SparkSession, warmQueries: Boolean):
+        (Seq[(String, Double, List[Rep])], Seq[(String, Double, List[Rep])]) = {
+      // sentinels FIRST: they must see the same host state the pass's
+      // queries see, before any of this pass's own load warms/loads it
+      val calib = calibrate(s)
       Tables.all.foreach { t =>
         try {
           val df = if (t == "events") Tables.events(s, sfDir)
@@ -177,11 +228,12 @@ object Bench {
       if (warmQueries) headline.foreach { case (_, fn) =>
         try run(fn(s, sfDir)) catch { case _: Throwable => () }
       }
-      headline.map { case (name, fn) =>
+      val measured = headline.map { case (name, fn) =>
         val reps = try (1 to 3).map(_ => timeRep(s)(run(fn(s, sfDir)))).toList
           catch { case _: Throwable => List(Rep(-1.0, 0.0, -1L)) }
         (name, reps.map(_.wall).min, reps)
       }
+      (calib, measured)
     }
 
     // two measurement passes with a session teardown + rebuild between
@@ -191,14 +243,15 @@ object Bench {
     // prior round reported); `totals` carries both passes. Pass 2 is a
     // warm-JVM re-boot (fresh SparkContext; JIT + codegen cache stay),
     // so it brackets the noise band from the warm side.
-    val results3 = measure(spark, warmQueries = true)
+    val (calibCold, results3) = measure(spark, warmQueries = true)
     val results = results3.map(r => (r._1, r._2))
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     spark = newSession(cpus)
-    val results2 = measure(spark, warmQueries = false).map(r => (r._1, r._2))
+    val (calibWarm, results3w) = measure(spark, warmQueries = false)
+    val results2 = results3w.map(r => (r._1, r._2))
     val total2 = results2.map(_._2).filter(_ >= 0).sum
 
     // 3-decimal formatting everywhere: the driver recovers the JSON
@@ -254,11 +307,27 @@ object Bench {
     // lifecycle phase splits (~1.6 KB total — inside the driver's
     // window); the full decomposition (warm pass, per-rep wall/GC/
     // storage) also lands in BENCH_DETAIL.json for the judge.
+    // host-calibration sentinels: per-pass mins on the line (~110
+    // chars), full per-rep walls in BENCH_DETAIL — a cross-round total
+    // comparison reads these FIRST to split host drift from tree change
+    def jcal(cal: Seq[(String, Double, List[Rep])]): String =
+      jmap(cal.map(c => (c._1, c._2)))
+    def jcalReps(cal: Seq[(String, Double, List[Rep])]): String =
+      cal.map { case (k, _, reps) =>
+        "\"" + k + "\":[" + reps.map(r => f3(r.wall)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    // the stdout line must stay inside the driver's ~2000-char
+    // recovery window: short keys there, full names in BENCH_DETAIL
+    def jcalShort(cal: Seq[(String, Double, List[Rep])]): String =
+      jmap(cal.map(c => (c._1.stripPrefix("calib_").take(4), c._2)))
+    val jcalib = s"""{"cold":${jcalShort(calibCold)},"warm":${jcalShort(calibWarm)}}"""
+    val jcalibDetail = s"""{"cold":${jcal(calibCold)},"warm":${jcal(calibWarm)},"cold_reps":${
+      jcalReps(calibCold)},"warm_reps":${jcalReps(calibWarm)}}"""
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
-      jmap(results)},"phases":$jphasesLine,"totals":[${f3(total)},${f3(total2)}],"totals_core":[${
+      jmap(results)},"phases":$jphasesLine,"calibration":$jcalib,"totals":[${f3(total)},${f3(total2)}],"totals_core":[${
       f3(coreTotal(results))},${f3(coreTotal(results2))}],"sf":"$sfDir","detail":"BENCH_DETAIL.json"}"""
     val detail = s"""{"queries":${jmap(results)},"queries_warm":${
-      jmap(results2)},"queries_reps":$jreps,"queries_reps_gc_sec":$jrepsGc,"queries_reps_storage_mb":$jrepsMb,"phases":$jphasesAll,"totals":[${
+      jmap(results2)},"queries_reps":$jreps,"queries_reps_gc_sec":$jrepsGc,"queries_reps_storage_mb":$jrepsMb,"phases":$jphasesAll,"calibration":$jcalibDetail,"totals":[${
       f3(total)},${f3(total2)}],"totals_core":[${
       f3(coreTotal(results))},${f3(coreTotal(results2))}],"sf":"$sfDir"}"""
     try java.nio.file.Files.write(

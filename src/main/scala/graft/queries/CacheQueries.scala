@@ -460,7 +460,11 @@ object CacheQueries {
       round(col("value") * 100).cast("long").as("cents"))
     val n = "cache_realtime_handoff"
     Phases.reset(n)
-    val sq = rtds.startRealtime(StreamStage.stageAsStream(s, ev))
+    // phase coverage (r15 directive #2): staging + stream start and the
+    // teardown below record phases so the entry's wall decomposes
+    // >=90% in BENCH_DETAIL
+    val src = Phases.timed(n, "stage_source")(StreamStage.stageAsStream(s, ev))
+    val sq = Phases.timed(n, "start_stream")(rtds.startRealtime(src))
     try {
       Phases.timed(n, "stream_ingest")(sq.processAllAvailable())
       require(!rtds.isBatchOnly, "window must be live before handoff")
@@ -499,13 +503,17 @@ object CacheQueries {
       Phases.timed(n, "handoff")(rtds.handoff())
       require(rtds.isBatchOnly, "handoff must leave the datasource batch-only")
 
-      // post-handoff: the published table caches like any ingested one
-      val warm = scp.plan(query, useCache = true, populateCache = true)
+      // post-handoff: the published table caches like any ingested one.
+      // plan(populateCache=true) EXECUTES the partial stage + admission
+      // inside the call — it must sit in a phase, not the residual
+      val warm = Phases.timed(n, "cache_populate_plan")(
+        scp.plan(query, useCache = true, populateCache = true))
       val nDays = Phases.timed(n, "cache_populate")(
         warm.select(col(Ingest.TimeCol)).distinct().count())
       require(cache.populated == nDays,
         s"expected $nDays populated segments post-handoff, got ${cache.populated}")
-      val out = shape(scp.plan(query, useCache = true, populateCache = false))
+      val out = Phases.timed(n, "cache_hit_plan")(
+        shape(scp.plan(query, useCache = true, populateCache = false)))
       val res = Phases.timed(n, "cache_hit_query")(out.collect())
       require(cache.hits == nDays,
         s"expected $nDays hits on the repeat, got ${cache.hits}")
@@ -514,7 +522,7 @@ object CacheQueries {
       require(live.map(_.toSeq).toSeq == res.map(_.toSeq).toSeq,
         "post-handoff cached answer must equal the live answer")
       s.createDataFrame(java.util.Arrays.asList(res.toIndexedSeq: _*), out.schema)
-    } finally {
+    } finally Phases.timed(n, "teardown") {
       rtds.abort()
       StreamStage.cleanup()
     }

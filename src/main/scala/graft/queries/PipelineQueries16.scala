@@ -89,12 +89,18 @@ object PipelineQueries16 {
     val n = "streaming_union_query"
     Phases.reset(n)
     val ev = centsEvents(s, d)
-    val cut = midpointCut(ev)
+    // phase coverage contract (r15 directive #2): every non-trivial
+    // segment of the entry's wall — bounds collect, source staging,
+    // stream start, teardown — records a phase, so BENCH_DETAIL's
+    // phase sum reaches >=90% of the wall and an anomalous rep is
+    // decomposable from the artifact alone
+    val cut = Phases.timed(n, "bounds")(midpointCut(ev))
     val histDir = Phases.timed(n, "land_historical")(
       landHistorical(s, ev.filter(col("ts") < cut)))
-    val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
-    val sq = rtds.startRealtime(
+    val src = Phases.timed(n, "stage_source")(
       StreamStage.stageAsStream(s, ev.filter(col("ts") >= cut)))
+    val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
+    val sq = Phases.timed(n, "start_stream")(rtds.startRealtime(src))
     try {
       // rows arrived; the stream is STILL running
       Phases.timed(n, "stream_ingest")(sq.processAllAvailable())
@@ -102,7 +108,7 @@ object PipelineQueries16 {
       // materialize while in-flight — this IS the graded semantic
       Phases.timed(n, "union_query")(
         hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
-    } finally {
+    } finally Phases.timed(n, "teardown") {
       rtds.abort() // mid-flight entry: never published
       StreamStage.cleanup()
     }
@@ -128,12 +134,13 @@ object PipelineQueries16 {
     val n = "streaming_union_handoff"
     Phases.reset(n)
     val ev = centsEvents(s, d)
-    val cut = midpointCut(ev)
+    val cut = Phases.timed(n, "bounds")(midpointCut(ev))
     val histDir = Phases.timed(n, "land_historical")(
       landHistorical(s, ev.filter(col("ts") < cut)))
-    val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
-    val sq = rtds.startRealtime(
+    val src = Phases.timed(n, "stage_source")(
       StreamStage.stageAsStream(s, ev.filter(col("ts") >= cut)))
+    val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
+    val sq = Phases.timed(n, "start_stream")(rtds.startRealtime(src))
     try {
       // all rows in the sink; still mid-flight
       Phases.timed(n, "stream_ingest")(sq.processAllAvailable())
@@ -150,7 +157,7 @@ object PipelineQueries16 {
             Seq("bucket_ms"))
           .orderBy(col("bucket_ms"))
           .localCheckpoint())
-    } finally {
+    } finally Phases.timed(n, "teardown") {
       rtds.abort() // no-op when handoff already ran; safety on failure
       StreamStage.cleanup()
     }
@@ -168,36 +175,39 @@ object PipelineQueries16 {
     * mid-hour, so each boundary hour folds across stores. */
   val streamingUnionResume: Q = q(
     "streaming_union_resume", unionOracle) { (s, d) =>
-    val ev = centsEvents(s, d)
-    val r = ev.agg(
-      unix_millis(min(col("ts"))).as("a"),
-      unix_millis(max(col("ts"))).as("b")).head()
-    val (a, b) = (r.getLong(0), r.getLong(1))
     val n = "streaming_union_resume"
     Phases.reset(n)
+    val ev = centsEvents(s, d)
+    val r = Phases.timed(n, "bounds")(ev.agg(
+      unix_millis(min(col("ts"))).as("a"),
+      unix_millis(max(col("ts"))).as("b")).head())
+    val (a, b) = (r.getLong(0), r.getLong(1))
     val cut1 = timestamp_millis(lit(a + (b - a) / 3))
     val cut2 = timestamp_millis(lit(a + 2 * (b - a) / 3))
     val histDir = Phases.timed(n, "land_historical")(
       landHistorical(s, ev.filter(col("ts") < cut1)))
-    val srcDir = StreamStage.stageDir(
-      s, ev.filter(col("ts") >= cut1 && col("ts") < cut2))
+    val srcDir = Phases.timed(n, "stage_source")(StreamStage.stageDir(
+      s, ev.filter(col("ts") >= cut1 && col("ts") < cut2)))
     val rtds = new RealtimeDatasource(s, rollupSpec, histDir,
       stateDir = Some(StreamStage.tempDir("graft_rt_state")))
     try {
-      val sq1 = rtds.startRealtime(StreamStage.openStream(s, srcDir))
+      val sq1 = Phases.timed(n, "start_stream")(
+        rtds.startRealtime(StreamStage.openStream(s, srcDir)))
       Phases.timed(n, "stream_ingest")(sq1.processAllAvailable())
       // middle third publishes; offsets survive
       Phases.timed(n, "suspend")(rtds.suspend())
       require(rtds.realtimeRows().isEmpty,
         "window must be empty after suspend published it")
-      StreamStage.stageInto(srcDir, ev.filter(col("ts") >= cut2))
-      val sq2 = rtds.startRealtime(StreamStage.openStream(s, srcDir))
+      Phases.timed(n, "stage_arrivals")(
+        StreamStage.stageInto(srcDir, ev.filter(col("ts") >= cut2)))
+      val sq2 = Phases.timed(n, "restart_stream")(
+        rtds.startRealtime(StreamStage.openStream(s, srcDir)))
       // only the new file enters the window
       Phases.timed(n, "resume_ingest")(sq2.processAllAvailable())
       require(sq2.isActive, "resumed stream must be active at query time")
       Phases.timed(n, "union_query")(
         hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
-    } finally {
+    } finally Phases.timed(n, "teardown") {
       rtds.abort()
       StreamStage.cleanup()
     }
@@ -213,25 +223,25 @@ object PipelineQueries16 {
     * committed files doubles it — either breaks the hash. */
   val streamingUnionRestart: Q = q(
     "streaming_union_restart", unionOracle) { (s, d) =>
-    val ev = centsEvents(s, d)
-    val r = ev.agg(
-      unix_millis(min(col("ts"))).as("a"),
-      unix_millis(max(col("ts"))).as("b")).head()
-    val (a, b) = (r.getLong(0), r.getLong(1))
     val n = "streaming_union_restart"
     Phases.reset(n)
+    val ev = centsEvents(s, d)
+    val r = Phases.timed(n, "bounds")(ev.agg(
+      unix_millis(min(col("ts"))).as("a"),
+      unix_millis(max(col("ts"))).as("b")).head())
+    val (a, b) = (r.getLong(0), r.getLong(1))
     val cut1 = timestamp_millis(lit(a + (b - a) / 3))
     val cut2 = timestamp_millis(lit(a + 2 * (b - a) / 3))
     val histDir = Phases.timed(n, "land_historical")(
       landHistorical(s, ev.filter(col("ts") < cut1)))
     val state = StreamStage.tempDir("graft_rt_state")
-    val srcDir = StreamStage.stageDir(
-      s, ev.filter(col("ts") >= cut1 && col("ts") < cut2))
+    val srcDir = Phases.timed(n, "stage_source")(StreamStage.stageDir(
+      s, ev.filter(col("ts") >= cut1 && col("ts") < cut2)))
     val first = new RealtimeDatasource(s, rollupSpec, histDir,
       stateDir = Some(state))
-    Phases.timed(n, "stream_ingest")(
-      first.startRealtime(StreamStage.openStream(s, srcDir))
-        .processAllAvailable())
+    val sq1 = Phases.timed(n, "start_stream")(
+      first.startRealtime(StreamStage.openStream(s, srcDir)))
+    Phases.timed(n, "stream_ingest")(sq1.processAllAvailable())
     // the restart boundary: window + offsets persist
     Phases.timed(n, "detach")(first.detach())
     val restored = Phases.timed(n, "restore")(
@@ -239,14 +249,16 @@ object PipelineQueries16 {
     try {
       require(restored.realtimeRows().isDefined,
         "detached window must be restored from the persisted spill")
-      StreamStage.stageInto(srcDir, ev.filter(col("ts") >= cut2))
-      val sq = restored.startRealtime(StreamStage.openStream(s, srcDir))
+      Phases.timed(n, "stage_arrivals")(
+        StreamStage.stageInto(srcDir, ev.filter(col("ts") >= cut2)))
+      val sq = Phases.timed(n, "restart_stream")(
+        restored.startRealtime(StreamStage.openStream(s, srcDir)))
       // resumes offsets: only the new file
       Phases.timed(n, "resume_ingest")(sq.processAllAvailable())
       require(sq.isActive, "restored stream must be active at query time")
       Phases.timed(n, "union_query")(
         hourlyFold(restored.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
-    } finally {
+    } finally Phases.timed(n, "teardown") {
       restored.abort()
       StreamStage.cleanup()
     }
@@ -278,36 +290,38 @@ object PipelineQueries16 {
       |       CAST(count(*) AS BIGINT) AS cnt,
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val ev = centsEvents(s, d)
-    val r = ev.agg(
-      unix_millis(min(col("ts"))).as("a"),
-      unix_millis(max(col("ts"))).as("b")).head()
-    val (a, b) = (r.getLong(0), r.getLong(1))
     val n = "streaming_union_reset"
     Phases.reset(n)
+    val ev = centsEvents(s, d)
+    val r = Phases.timed(n, "bounds")(ev.agg(
+      unix_millis(min(col("ts"))).as("a"),
+      unix_millis(max(col("ts"))).as("b")).head())
+    val (a, b) = (r.getLong(0), r.getLong(1))
     val (cut1, cut2) = (a + (b - a) / 3, a + 2 * (b - a) / 3)
     val ms = unix_millis(col("ts"))
     val histDir = Phases.timed(n, "land_historical")(
       landHistorical(s, ev.filter(ms < cut1)))
-    val srcDir = StreamStage.stageDir(
-      s, ev.filter(ms >= cut1 && ms < cut2))
+    val srcDir = Phases.timed(n, "stage_source")(StreamStage.stageDir(
+      s, ev.filter(ms >= cut1 && ms < cut2)))
     val rtds = new RealtimeDatasource(s, rollupSpec, histDir,
       stateDir = Some(StreamStage.tempDir("graft_rt_state")))
     try {
-      Phases.timed(n, "stream_ingest")(
-        rtds.startRealtime(StreamStage.openStream(s, srcDir))
-          .processAllAvailable())
+      val sq1 = Phases.timed(n, "start_stream")(
+        rtds.startRealtime(StreamStage.openStream(s, srcDir)))
+      Phases.timed(n, "stream_ingest")(sq1.processAllAvailable())
       // middle third publishes; its offsets committed
       Phases.timed(n, "suspend")(rtds.suspend())
-      rtds.reset()   // offsets + window wiped — NOT a resume
-      StreamStage.stageInto(srcDir, ev.filter(ms >= cut2))
-      val sq = rtds.startRealtime(StreamStage.openStream(s, srcDir))
+      Phases.timed(n, "reset")(rtds.reset()) // offsets + window wiped — NOT a resume
+      Phases.timed(n, "stage_arrivals")(
+        StreamStage.stageInto(srcDir, ev.filter(ms >= cut2)))
+      val sq = Phases.timed(n, "restart_stream")(
+        rtds.startRealtime(StreamStage.openStream(s, srcDir)))
       // earliest: middle third re-ingests + newest
       Phases.timed(n, "reingest_from_earliest")(sq.processAllAvailable())
       require(sq.isActive, "reset-restarted stream must be active at query time")
       Phases.timed(n, "union_query")(
         hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
-    } finally {
+    } finally Phases.timed(n, "teardown") {
       rtds.abort()
       StreamStage.cleanup()
     }
@@ -328,26 +342,29 @@ object PipelineQueries16 {
     val n = "streaming_union_persist_merge"
     Phases.reset(n)
     val ev = centsEvents(s, d)
-    val cut = midpointCut(ev)
+    val cut = Phases.timed(n, "bounds")(midpointCut(ev))
     val histDir = Phases.timed(n, "land_historical")(
       landHistorical(s, ev.filter(col("ts") < cut)))
     val newer = ev.filter(col("ts") >= cut)
-    val r = newer.agg(
+    val r = Phases.timed(n, "bounds_newer")(newer.agg(
       unix_millis(min(col("ts"))).as("a"),
-      unix_millis(max(col("ts"))).as("b")).head()
+      unix_millis(max(col("ts"))).as("b")).head())
     val (a, b) = (r.getLong(0), r.getLong(1))
     val ms = unix_millis(col("ts"))
     // four arrival files over the newer half (last quarter open-ended)
-    val srcDir = StreamStage.stageDir(s, newer.filter(ms < a + (b - a) / 4))
-    (1 to 3).foreach { i =>
-      val lo = a + i.toLong * (b - a) / 4
-      val hi = a + (i + 1).toLong * (b - a) / 4
-      StreamStage.stageInto(srcDir, newer.filter(
-        if (i == 3) ms >= lo else ms >= lo && ms < hi))
+    val srcDir = Phases.timed(n, "stage_source") {
+      val dir = StreamStage.stageDir(s, newer.filter(ms < a + (b - a) / 4))
+      (1 to 3).foreach { i =>
+        val lo = a + i.toLong * (b - a) / 4
+        val hi = a + (i + 1).toLong * (b - a) / 4
+        StreamStage.stageInto(dir, newer.filter(
+          if (i == 3) ms >= lo else ms >= lo && ms < hi))
+      }
+      dir
     }
     val rtds = new RealtimeDatasource(s, rollupSpec, histDir)
-    val sq = rtds.startRealtime(
-      StreamStage.openStream(s, srcDir, maxFilesPerTrigger = 1))
+    val sq = Phases.timed(n, "start_stream")(rtds.startRealtime(
+      StreamStage.openStream(s, srcDir, maxFilesPerTrigger = 1)))
     try {
       // 4 micro-batches -> 4 spill segments
       Phases.timed(n, "stream_ingest")(sq.processAllAvailable())
@@ -359,7 +376,7 @@ object PipelineQueries16 {
       require(sq.isActive, "stream must still be active after the merge")
       Phases.timed(n, "union_query")(
         hourlyFold(rtds.queryable()).orderBy(col("bucket_ms")).localCheckpoint())
-    } finally {
+    } finally Phases.timed(n, "teardown") {
       rtds.abort()
       StreamStage.cleanup()
     }

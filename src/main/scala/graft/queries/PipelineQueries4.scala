@@ -115,12 +115,18 @@ object PipelineQueries4 {
       .filter(size(filter(sequence(lit(1), lit(16)),
         i => element_at(col("sa"), i) === element_at(col("sb"), i))) >= 4)
       .select("id_a", "id_b")
-    Phases.timed("dedup_clusters", "label_propagation")(
+    val cc = Phases.timed("dedup_clusters", "label_propagation")(
       Dedup.connectedComponents(edges, "id_a", "id_b",
         nodes = Some((base.select(col("doc_id")), "doc_id")),
         recycleTag = Some("dedup_clusters")))
-      .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy(col("doc_id"))
+    // materialize the labeled output here (Ckpt-recycled) so the final
+    // select/sort lands in a phase instead of the caller's untracked
+    // residual (r15 directive #2: phases must sum >=90% of wall)
+    Phases.timed("dedup_clusters", "sort_output")(
+      graft.operators.Ckpt.recycle("dedup_clusters/out",
+        cc.select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()))
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 analogs on

@@ -367,13 +367,20 @@ object PipelineQueries8 {
     def hits(approx: org.apache.spark.sql.DataFrame, name: String) =
       bf.join(approx, Seq("qid", "id"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as(name))
-    queries.select(col("vec_id").as("qid"))
-      .join(hits(ivf, "ivf_hits"), Seq("qid"), "left")
-      .join(hits(pq, "pq_hits"), Seq("qid"), "left")
-      .select(col("qid"), lit(10).as("k"),
-        (coalesce(col("ivf_hits"), lit(0L)) >= 4).as("ivf_ok"),
-        (coalesce(col("pq_hits"), lit(0L)) >= 4).as("pq_ok"))
-      .orderBy(col("qid"))
+    // the searches + recall joins execute HERE (checkpointed 5-row
+    // result, Ckpt-recycled) so the entry's wall decomposes fully into
+    // phases in BENCH_DETAIL — lazily they'd run in the caller's
+    // materialization, outside any phase (r15 directive #2)
+    Phases.timed("similarity_recall", "search_recall")(
+      graft.operators.Ckpt.recycle("similarity_recall/out",
+        queries.select(col("vec_id").as("qid"))
+          .join(hits(ivf, "ivf_hits"), Seq("qid"), "left")
+          .join(hits(pq, "pq_hits"), Seq("qid"), "left")
+          .select(col("qid"), lit(10).as("k"),
+            (coalesce(col("ivf_hits"), lit(0L)) >= 4).as("ivf_ok"),
+            (coalesce(col("pq_hits"), lit(0L)) >= 4).as("pq_ok"))
+          .orderBy(col("qid"))
+          .localCheckpoint()))
   }
 
   /** REAL PCM audio decode graded end to end (the audio twin of

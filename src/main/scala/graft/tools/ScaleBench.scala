@@ -47,22 +47,49 @@ object ScaleBench {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
     val q = SparkEntry.queries
     val parts = names.map { name =>
-      // settle the async listener bus between entries so per-entry
-      // shuffle attribution is clean (rehearsal tool, not a gate)
-      Thread.sleep(1500)
-      shuffleRead.set(0); shuffleWrite.set(0); outputWritten.set(0)
-      graft.queries.ServerQueries.drainResponseBytes()
-      val t0 = System.nanoTime()
-      val rows = q(name)(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // HTTP response volume for socket-loop entries (0 elsewhere)
-      val httpB = graft.queries.ServerQueries.drainResponseBytes()
-      Thread.sleep(1500)
-      s""""$name":{"sec":$sec,"rows":$rows,"shuffle_read_b":${
-        shuffleRead.get()},"shuffle_write_b":${shuffleWrite.get()},"output_written_b":${
-        outputWritten.get()},"http_response_b":$httpB}"""
+      // min-of-2 with per-rep wall + GC seconds (r15 directive #4: the
+      // single-rep harness let one scheduler hiccup print as a
+      // breached-looking scale ratio — cache_cardinality's x2.02 —
+      // with no self-diagnosis; two reps + GC split host noise from a
+      // real shape regression at sf1.0 cost). Shuffle/output/HTTP
+      // volumes are from the FIRST rep (the shape evidence; identical
+      // across reps for these deterministic entries).
+      var rows = 0L
+      var firstShuffleR = 0L; var firstShuffleW = 0L
+      var firstOutput = 0L; var firstHttp = 0L
+      val reps = (1 to 2).map { rep =>
+        // settle the async listener bus around each rep so per-entry
+        // shuffle attribution is clean (rehearsal tool, not a gate)
+        Thread.sleep(1500)
+        shuffleRead.set(0); shuffleWrite.set(0); outputWritten.set(0)
+        graft.queries.ServerQueries.drainResponseBytes()
+        val g0 = gcMillis()
+        val t0 = System.nanoTime()
+        rows = q(name)(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gcSec = (gcMillis() - g0) / 1e3
+        val httpB = graft.queries.ServerQueries.drainResponseBytes()
+        Thread.sleep(1500)
+        if (rep == 1) {
+          firstShuffleR = shuffleRead.get(); firstShuffleW = shuffleWrite.get()
+          firstOutput = outputWritten.get(); firstHttp = httpB
+        }
+        (sec, gcSec)
+      }
+      def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      s""""$name":{"sec":${fmt(reps.map(_._1).min)},"reps":[${
+        reps.map(r => fmt(r._1)).mkString(",")}],"gc_sec":[${
+        reps.map(r => fmt(r._2)).mkString(",")}],"rows":$rows,"shuffle_read_b":${
+        firstShuffleR},"shuffle_write_b":$firstShuffleW,"output_written_b":${
+        firstOutput},"http_response_b":$firstHttp}"""
     }
     println(s"""{"sf_dir":"$sfDir","entries":{${parts.mkString(",")}}}""")
     spark.stop()
