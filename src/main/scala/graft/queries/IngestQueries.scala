@@ -92,5 +92,96 @@ object IngestQueries {
       .orderBy(col("day_ms"), col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(ingestRollupRoundtrip, ingestCompactionRoundtrip)
+  /** manifest-format + publish-lock contract, graded end-to-end (the
+    * r16 protocol hardening: SegmentLayout.ManifestFmt / LockPrefix).
+    * Lifecycle: ingest events → slice-REPLACE one day (value×3) so the
+    * table becomes manifest-managed → assert the written manifest
+    * declares fmt 2 and its publish lock landed → a hand-written
+    * HIGHER-format manifest must refuse loudly on read (never decode
+    * as tombstones/empty) → the table recovers when it's removed → the
+    * manifest is rewritten in the PRE-fmt r14 single-gen form and the
+    * GRADED FOLD runs over that state, so backward read compatibility
+    * is hash-verified: a reader that misdecodes the old form drops the
+    * replaced day and breaks the hash. The booleans pin the fence
+    * mechanics the hash alone can't see. */
+  val layoutFmtFenceRoundtrip: Q = q(
+    "layout_fmt_fence_roundtrip",
+    """WITH u AS (
+      |  SELECT ts, value FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-05' OR ts >= TIMESTAMP '2024-01-06'
+      |  UNION ALL
+      |  SELECT ts, value * 3 AS value FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06')
+      |SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(value), 4) AS total,
+      |       TRUE AS fence_ok, TRUE AS lock_ok
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.{SegmentLayout, SegmentVersions}
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_fence").toString
+    val spec = IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
+    val ev = Tables.events(s, d).select(col("ts"), col("value"))
+    Ingest.ingest(ev, spec, dir)
+    // slice-replace 2024-01-05 with value*3: the first manifest commit
+    val day = ev
+      .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+        col("ts") < lit("2024-01-06").cast("timestamp"))
+      .withColumn("value", col("value") * 3)
+    val prepared = Ingest.prepare(day, spec)
+    val sliceBuckets = prepared.select(Ingest.BucketCol)
+      .distinct().collect().map(_.getString(0)).toSeq
+    SegmentLayout.commitSlice(s, dir, prepared, sliceBuckets)
+    SegmentVersions.announce(s.sparkContext.hadoopConfiguration, dir)
+
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    def readFile(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def writeFile(p: org.apache.hadoop.fs.Path, body: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val r0 = SegmentLayout.resolve(hconf, dir)
+    val n0 = r0.manifest.get.n
+    val manifestPath = new org.apache.hadoop.fs.Path(dir, s"_graft_manifest.$n0.json")
+    val body0 = readFile(manifestPath)
+    require(body0.contains("\"fmt\":" + SegmentLayout.ManifestFmt),
+      s"committed manifest must declare fmt ${SegmentLayout.ManifestFmt}: $body0")
+    val lockOk = fs.exists(new org.apache.hadoop.fs.Path(
+      dir, s"${SegmentLayout.LockPrefix}$n0"))
+    require(lockOk, "the publish lock marker must land with its manifest")
+    // a manifest from a NEWER engine: every read refuses loudly
+    val fencePath = new org.apache.hadoop.fs.Path(
+      dir, s"_graft_manifest.${n0 + 1}.json")
+    writeFile(fencePath, s"""{"n":${n0 + 1},"fmt":99,"buckets":{}}""")
+    SegmentVersions.invalidate(dir)
+    val fenceOk =
+      try { SegmentLayout.readData(s, dir).count(); false }
+      catch { case e: IllegalStateException => e.getMessage.contains("format 99") }
+    require(fenceOk, "a format-99 manifest must refuse loudly, not read as empty")
+    fs.delete(fencePath, false)
+    // rewrite the committed manifest in the PRE-fmt r14 single-gen
+    // form; the graded fold below runs over THIS state, hash-verifying
+    // backward read compatibility (all entries are single-gen after
+    // one slice replace)
+    val prefmt = r0.manifest.get.entries.map { case (b, e) =>
+      s""""$b":${if (e.isTomb) """{"tomb":true}""" else s"""{"sv":${e.svs.head}}"""}"""
+    }.mkString(",")
+    writeFile(manifestPath, s"""{"n":$n0,"buckets":{$prefmt}}""")
+    SegmentVersions.invalidate(dir)
+    SegmentLayout.readData(s, dir)
+      .groupBy(graft.functions.TimeFunctions.timeFloor(col(Ingest.TimeCol), "P1D")
+        .as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        round(sum(col("value")), 4).as("total"))
+      .select(unix_millis(col("day")).as("day_ms"), col("cnt"), col("total"),
+        lit(fenceOk).as("fence_ok"), lit(lockOk).as("lock_ok"))
+      .orderBy(col("day_ms"))
+  }
+
+  val all: Seq[Q] = Seq(ingestRollupRoundtrip, ingestCompactionRoundtrip,
+    layoutFmtFenceRoundtrip)
 }
