@@ -347,7 +347,7 @@ object SegmentLayout {
   /** grace between held-lock rechecks (test seam: the crash property
     * spec shortens it so presumed-crashed-holder recovery doesn't
     * dominate 1000 interleavings' wall time). */
-  private[sources] var lockRetryDelayMs: Long = 50L
+  private[sources] var lockRetryDelayMs: Long = 100L
 
   private def publishConflict(dd: String, n: Long, how: String): Nothing =
     throw new IllegalStateException(
