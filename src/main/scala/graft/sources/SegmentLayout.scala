@@ -368,12 +368,22 @@ object SegmentLayout {
   private def acquirePublishLock(fs: FileSystem, dd: String, n: Long): Unit = {
     val lock = new Path(dd, s"$LockPrefix$n")
     val dest = new Path(dd, s"$ManifestPrefix$n$ManifestSuffix")
-    // only "already exists" means the lock is held; every other failure
-    // (I/O error, injected crash in the property spec) propagates as
-    // what it is — swallowing it would let a "crashed" writer continue
+    // "already exists" means the lock is held. Any OTHER create failure
+    // is re-qualified against the lock's existence: if the lock is now
+    // on disk, a concurrent creator won an internal race of the
+    // FileSystem itself (ChecksumFileSystem's .crc bookkeeping races a
+    // same-name create with a chmod/ExitCodeException, observed live in
+    // SegmentLayoutRaceSpec) — that IS "lock held", and must surface as
+    // the loud conflict, not a confusing checksum error. If the lock is
+    // NOT on disk the failure is real (an actual I/O error, or the
+    // crash property spec's injected fault, which fires before any
+    // mutation) and propagates as what it is.
     def taken(): Boolean =
       try { fs.create(lock, false).close(); true }
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(lock)) false else throw e
+      }
     if (taken()) return
     var attempt = 0
     while (attempt < 3) {
@@ -382,7 +392,15 @@ object SegmentLayout {
       Thread.sleep(lockRetryDelayMs)
     }
     if (fs.exists(dest)) publishConflict(dd, n, "already exists")
-    fs.delete(lock, false) // presumed-crashed holder: grace expired, nothing published
+    // presumed-crashed holder: grace expired, nothing published. The
+    // delete itself can race another breaker's delete/re-create on a
+    // checksummed FileSystem — a failure here just means someone else
+    // is acting on the lock; taken() below adjudicates. (Unreachable
+    // under the crash property spec's injector: an orphan lock for the
+    // injected attempt's own n cannot pre-exist, so the break path only
+    // ever runs on the crash-free retry.)
+    try fs.delete(lock, false)
+    catch { case _: java.io.IOException => () }
     if (!taken()) publishConflict(dd, n, "is being published by a racing writer")
   }
 

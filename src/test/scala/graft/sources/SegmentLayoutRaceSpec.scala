@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.util.concurrent.CyclicBarrier
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Live two-writer storm on the manifest publish fence (r16: per-n
+  * create-only lock + the r15 writer-token verify behind it). Two
+  * threads race writeManifest for the SAME manifest number from a
+  * barrier, many rounds. The invariant is the single-writer conflict
+  * contract, not a specific winner:
+  *
+  *  - at least one writer succeeds every round;
+  *  - a failing writer fails LOUDLY with the retryable
+  *    "concurrent segment commit" conflict — never any other error,
+  *    never silently;
+  *  - the published manifest is EXACTLY one writer's body (entry sets
+  *    never merge), whoever won;
+  *  - both-succeed is reachable only through the documented POSIX
+  *    degradation (a holder paused past the lock grace loses the lock
+  *    and both renames land, each verifying its own body last) — it
+  *    must still leave exactly one writer's body published.
+  *
+  * The grace is shortened so the degradation path is actually
+  * reachable under test contention instead of the race always
+  * resolving at the lock. */
+class SegmentLayoutRaceSpec extends AnyFunSuite {
+
+  private val hconf = new Configuration()
+
+  test("two writers racing one manifest number: one loud conflict or the documented degradation, never a merge") {
+    val prev = SegmentLayout.lockRetryDelayMs
+    SegmentLayout.lockRetryDelayMs = 2L
+    var bothSucceeded = 0
+    var conflicts = 0
+    try {
+      for (round <- 0 until 40) {
+        val dd = java.nio.file.Files
+          .createTempDirectory(s"graft-race-$round").toString
+        val fs = new Path(dd).getFileSystem(hconf)
+        val mA = SegmentLayout.Manifest(1L,
+          Map("2024-01-01T00" -> SegmentLayout.Entry.sv(round.toLong)))
+        val mB = SegmentLayout.Manifest(1L,
+          Map("2024-01-02T00" -> SegmentLayout.Entry.sv(round.toLong + 1000L)))
+        val barrier = new CyclicBarrier(2)
+        @volatile var errA: Option[Throwable] = None
+        @volatile var errB: Option[Throwable] = None
+        def writer(m: SegmentLayout.Manifest, rec: Throwable => Unit) =
+          new Thread(() => {
+            barrier.await()
+            try SegmentLayout.writeManifest(fs, dd, m)
+            catch { case t: Throwable => rec(t) }
+          })
+        val tA = writer(mA, t => errA = Some(t))
+        val tB = writer(mB, t => errB = Some(t))
+        tA.start(); tB.start(); tA.join(); tB.join()
+
+        // every failure is the loud retryable conflict, nothing else
+        for (e <- errA.toSeq ++ errB.toSeq) {
+          assert(e.isInstanceOf[IllegalStateException] &&
+            e.getMessage.contains("concurrent segment commit"),
+            s"round $round: unexpected failure mode: $e")
+          conflicts += 1
+        }
+        assert(errA.isEmpty || errB.isEmpty,
+          s"round $round: both writers failed — the table is unpublishable")
+        if (errA.isEmpty && errB.isEmpty) bothSucceeded += 1
+
+        // the published body is exactly ONE writer's entry set — the
+        // atomic no-merge contract, regardless of who won
+        val r = SegmentLayout.resolve(hconf, dd)
+        val entries = r.manifest.map(_.entries).getOrElse(Map.empty)
+        assert(entries == mA.entries || entries == mB.entries,
+          s"round $round: merged/corrupt manifest published: $entries")
+        fs.delete(new Path(dd), true)
+      }
+      info(s"40 rounds: $conflicts loud conflicts, " +
+        s"$bothSucceeded documented both-succeed degradations")
+    } finally SegmentLayout.lockRetryDelayMs = prev
+  }
+}
