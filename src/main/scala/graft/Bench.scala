@@ -33,7 +33,9 @@ object Bench {
     * monotonically; GC pressure shows as gc tracking wall. */
   final case class Rep(wall: Double, gcSec: Double, storageBytes: Long)
 
-  private def gcMillis(): Long = {
+  /** shared with ScaleBench so the two artifacts' GC columns can never
+    * drift apart in methodology. */
+  private[graft] def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
@@ -65,10 +67,17 @@ object Bench {
     * sentinels = the tree changed. */
   @volatile private var spinSink = 0L
   private def calibrate(s: SparkSession): Seq[(String, Double, List[Rep])] = {
+    // per-sentinel try/catch (and one around the fixture write): the
+    // sentinels protect the bench signal against host drift — a
+    // transient failure in one of them must not zero the very signal
+    // they exist to protect (same guard discipline as the queries)
     val dir = java.nio.file.Files.createTempDirectory("graft_calib").toString
-    s.range(0L, 2000000L, 1L, 8)
+    try s.range(0L, 2000000L, 1L, 8)
       .select(col("id"), pmod(col("id") * 2654435761L, lit(997L)).as("k"))
       .write.mode("overwrite").parquet(dir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] calib fixture write failed: ${e.getMessage}")
+    }
     val work: Seq[(String, () => Unit)] = Seq(
       "calib_cpu_spin" -> (() => {
         // 100M-step LCG; the volatile sink keeps JIT from eliding it
@@ -87,14 +96,16 @@ object Bench {
       "calib_scan_parquet" -> (() => run(
         s.read.parquet(dir).groupBy(col("k")).agg(sum(col("id")).as("v")))))
     val out = work.map { case (name, fn) =>
-      val reps = (1 to 3).map(_ => timeRep(s)(fn())).toList
+      val reps = try (1 to 3).map(_ => timeRep(s)(fn())).toList
+        catch { case _: Throwable => List(Rep(-1.0, 0.0, -1L)) }
       (name, reps.map(_.wall).min, reps)
     }
     try {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     } catch { case _: Exception => () }
     out
   }

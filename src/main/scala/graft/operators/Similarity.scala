@@ -424,15 +424,17 @@ object Similarity {
       // kPerSpace DISTINCT subvectors per subspace, all m subspaces
       // present. A row/id count is not enough — duplicate vectors
       // collapse at init (the first-kPerSpace-distinct seeding), the
-      // degenerate-index case this fallback exists to prevent. One
-      // HLL pass over the sampled checkpoint blocks (map-side
-      // partials, no distinct shuffle); HLL++ is exact in its sparse
-      // regime far above any legal kPerSpace (codebooks are plan
-      // literals, <=4096 rows total), and a near-threshold low
-      // estimate merely falls back to full-table training — a
-      // perf-conservative miss, never a correctness one.
-      val row = sampled.groupBy(col("subspace"))
-        .agg(approx_count_distinct(xxhash64(col("subvec"))).as("nd"))
+      // degenerate-index case this fallback exists to prevent. The
+      // count must be EXACT-or-under, never over: an HLL estimate can
+      // overshoot near the threshold and keep a sample that under-seeds
+      // the codebooks, silently breaking the exact-regime contract. So:
+      // exact distinct over the 64-bit subvector hash — one narrow
+      // (subspace, hash) distinct shuffle over the sampled blocks; a
+      // 64-bit collision only ever UNDERcounts, i.e. falls back to
+      // full-table training, the safe direction.
+      val row = sampled
+        .select(col("subspace"), xxhash64(col("subvec")).as("__h")).distinct()
+        .groupBy(col("subspace")).agg(count(lit(1)).as("nd"))
         .agg(min(col("nd")).as("mn"), count(lit(1)).as("subspaces"))
         .head()
       val seeded = !row.isNullAt(0) && row.getLong(0) >= kPerSpace &&

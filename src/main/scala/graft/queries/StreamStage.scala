@@ -67,9 +67,11 @@ private[queries] object StreamStage {
       try {
         val root = java.nio.file.Paths.get(dir)
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close() // Files.walk holds directory handles open
       } catch { case _: Exception => () }
     }
     stages.clear()

@@ -339,7 +339,10 @@ object Ingest {
     // later plain parquet reads cannot infer a schema from — refuse
     // loudly (metadata-only check, no job) instead of publishing an
     // unreadable version
-    val resolved = SegmentLayout.resolve(
+    // resolveCached, NOT resolve: the guard must see the SAME snapshot
+    // the readData below plans against, or a stale/fresh split between
+    // them could let the empty-recovery frame through the guard
+    val resolved = SegmentLayout.resolveCached(
       spark.sparkContext.hadoopConfiguration, path)
     if (resolved.managed && resolved.liveLeafDirs(path).isEmpty)
       throw new IllegalStateException(

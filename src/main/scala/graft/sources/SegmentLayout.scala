@@ -406,6 +406,28 @@ object SegmentLayout {
 
   private[sources] def writeManifest(fs: FileSystem, dd: String, m: Manifest): Unit = {
     acquirePublishLock(fs, dd, m.n)
+    try publishLocked(fs, dd, m)
+    catch { case t: Throwable =>
+      // a failed commit must not strand its lock: the documented retry
+      // recomputes the SAME n when nothing landed, and would otherwise
+      // burn the full orphan-break grace on every retry (handing a
+      // concurrent writer the exact degradation window the lock
+      // narrows). Releasing is safe in every failure branch: either
+      // nothing is at dest (the retry re-locks cleanly) or dest holds
+      // a published n (same-n publishers still conflict at the dest
+      // check). Best-effort — under a crash the delete itself fails
+      // and the orphan-break grace covers it, as before.
+      try fs.delete(new Path(dd, s"$LockPrefix${m.n}"), false)
+      catch { case _: Exception => () }
+      throw t
+    }
+  }
+
+  /** the commit body, entered with the per-n publish lock HELD; on
+    * success the lock is left in place (a late same-n publisher
+    * hard-fails at it before any rename), on failure the caller
+    * releases it. */
+  private def publishLocked(fs: FileSystem, dd: String, m: Manifest): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("n", m.n)
@@ -524,7 +546,7 @@ object SegmentLayout {
           val fs = fsOf(spark.sparkContext.hadoopConfiguration, dd)
           val anyFile = r.onDisk.flatMap(b =>
             newestDataFile(fs, new Path(bucketDir(dd, b))))
-            .sortBy { case (p, t) => (-t, p) }.headOption.map(_._1)
+            .sortBy { case (p, t, k) => (-t, -k, p) }.headOption.map(_._1)
           val footer = anyFile.getOrElse(throw new IllegalStateException(
             s"no live segments and no recoverable footer under $dd — " +
               "the table's data was fully reclaimed; drop or re-ingest it"))
@@ -533,25 +555,35 @@ object SegmentLayout {
     }
   }
 
-  /** (path, modification time) of the NEWEST data file under a bucket
-    * dir (top level or inside a generation dir) — the schema-recovery
-    * footer for an all-tombstoned table. Newest-written wins because
-    * grace-kept SUPERSEDED generations still hold pre-replace footers:
-    * after a schema-evolving REPLACE, recovering from the first file
-    * found could resurrect the stale pre-replace schema. The recovery
-    * path only runs on a fully-tombstoned (empty) table, so the extra
-    * per-bucket listing costs nothing on any serving query. */
-  private def newestDataFile(fs: FileSystem, dir: Path): Option[(String, Long)] = {
+  /** (path, modification time, generation number) of the NEWEST data
+    * file under a bucket dir (top level or inside a generation dir) —
+    * the schema-recovery footer for an all-tombstoned table.
+    * Newest-written wins because grace-kept SUPERSEDED generations
+    * still hold pre-replace footers: after a schema-evolving REPLACE,
+    * recovering from the first file found could resurrect the stale
+    * pre-replace schema. Modification-time ties (one mtime granule can
+    * hold two back-to-back commits) break to the HIGHER generation
+    * number — a lexicographic path tiebreak would rank `_sv.9` above
+    * `_sv.10`. Loose top-level files carry genK = -1 (always the
+    * oldest layout of a bucket). The recovery path only runs on a
+    * fully-tombstoned (empty) table, so the extra per-bucket listing
+    * costs nothing on any serving query. */
+  private def newestDataFile(
+      fs: FileSystem, dir: Path, genK: Long = -1L): Option[(String, Long, Long)] = {
     val statuses = try fs.listStatus(dir).toSeq catch { case _: Exception => Nil }
     val files = statuses.collect {
       case s if s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith(".") =>
-        (s.getPath.toString, s.getModificationTime)
+        (s.getPath.toString, s.getModificationTime, genK)
     }
     val nested = statuses.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
-      .flatMap(s => newestDataFile(fs, s.getPath))
-    (files ++ nested).sortBy { case (p, t) => (-t, p) }.headOption
+      .flatMap { s =>
+        val k = scala.util.Try(
+          s.getPath.getName.stripPrefix(GenPrefix).toLong).getOrElse(-1L)
+        newestDataFile(fs, s.getPath, k)
+      }
+    (files ++ nested).sortBy { case (p, t, k) => (-t, -k, p) }.headOption
   }
 
   // ---------------------------------------------------------- writing

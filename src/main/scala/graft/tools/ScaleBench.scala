@@ -47,11 +47,7 @@ object ScaleBench {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    def gcMillis(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-    }
+    def gcMillis(): Long = graft.Bench.gcMillis()
 
     val q = SparkEntry.queries
     val parts = names.map { name =>

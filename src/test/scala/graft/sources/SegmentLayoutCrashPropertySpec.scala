@@ -35,14 +35,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * [[SegmentLayout.commitTombstonesFs]]) against hand-staged dirs, so
   * one scenario costs milliseconds, not a Spark job — the full run
   * drives >1000 crash interleavings. */
-class SegmentLayoutCrashPropertySpec extends AnyFunSuite {
+class SegmentLayoutCrashPropertySpec
+    extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private val hconf = new Configuration()
 
   // a crash between lock-create and rename leaves an orphan publish
   // lock the retry must break after the grace; at full grace the
-  // recovery sleeps would dominate 1000 interleavings' wall time
-  SegmentLayout.lockRetryDelayMs = 1L
+  // recovery sleeps would dominate 1000 interleavings' wall time.
+  // Saved/restored so a later suite in the same JVM sees the default.
+  private var prevGrace = 0L
+  override def beforeAll(): Unit = {
+    prevGrace = SegmentLayout.lockRetryDelayMs
+    SegmentLayout.lockRetryDelayMs = 1L
+  }
+  override def afterAll(): Unit =
+    SegmentLayout.lockRetryDelayMs = prevGrace
 
   /** a FileSystem whose MUTATIONS die after `budget` calls — the
     * crash-injection point for the writer under test. Reads are never

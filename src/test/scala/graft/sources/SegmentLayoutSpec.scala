@@ -515,6 +515,30 @@ class SegmentLayoutSpec extends AnyFunSuite {
     assert(e.getMessage.contains("refusing to compact"), e.getMessage)
   }
 
+  test("schema-recovery mtime tie breaks to the HIGHER generation, not the lexicographic path") {
+    import spark.implicits._
+    val dd = java.nio.file.Files.createTempDirectory("graft-layout-tie").toString
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    val b = s"$dd/${Ingest.BucketCol}=2024-01-01T00"
+    // generation 1 = pre-replace schema, generation 9 = evolved schema;
+    // the lexicographic path tiebreak ranks ".../_sv.1/..." first
+    Seq(1L).toDF("m").write.parquet(s"$b/${SegmentLayout.GenPrefix}1")
+    Seq((1L, 2L)).toDF("m", "extra").write.parquet(s"$b/${SegmentLayout.GenPrefix}9")
+    // force both generations into ONE mtime granule
+    val t = 1700000000000L
+    for (g <- Seq(1, 9);
+         s <- fs.listStatus(new org.apache.hadoop.fs.Path(
+           s"$b/${SegmentLayout.GenPrefix}$g")) if s.isFile)
+      fs.setTimes(s.getPath, t, t)
+    SegmentLayout.writeManifest(fs, dd, SegmentLayout.Manifest(1L,
+      Map("2024-01-01T00" -> SegmentLayout.Entry.Tomb)))
+    refresh(dd)
+    val empty = SegmentLayout.readData(spark, dd)
+    assert(empty.count() == 0L)
+    assert(empty.columns.contains("extra"),
+      s"mtime tie resolved to the older generation: ${empty.columns.toSeq}")
+  }
+
   test("manifest files rotate: older than n-1 deleted, concurrent same-n create fails loudly") {
     val dd = freshTable()
     for (i <- 1 to 3) {
