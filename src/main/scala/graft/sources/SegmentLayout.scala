@@ -121,7 +121,21 @@ object SegmentLayout {
     val Tomb: Entry = Entry(loose = false, Nil)
   }
 
-  final case class Manifest(n: Long, entries: Map[String, Entry])
+  /** `rt`: per-realtime-datasource publish watermarks (key → highest
+    * spill segment id published into this table), carried in the SAME
+    * atomic manifest create as the data flip — the analog of the
+    * reference's transactional segment publish, where the stream's
+    * commit metadata lands in one metadata-store transaction with the
+    * segments (SeekableStreamIndexTaskRunner.publishAndRegisterHandoff;
+    * SegmentTransactionalInsertAction with startMetadata/endMetadata).
+    * A crash between "rows published" and "window marked published"
+    * can therefore never double-serve: the window's read path consults
+    * this watermark, so visibility flips on both sides at the manifest
+    * create. Absent (empty) on every non-realtime table; carried
+    * forward verbatim by every other commit. */
+  final case class Manifest(
+      n: Long, entries: Map[String, Entry],
+      rt: Map[String, Long] = Map.empty)
 
   /** a consistent read snapshot of a data dir: the committed manifest
     * (if any) + the bucket dirs on disk. */
@@ -316,7 +330,10 @@ object SegmentLayout {
         e.getKey -> entry
       }.toMap
     }.getOrElse(Map.empty[String, Entry])
-    Manifest(n, entries)
+    val rt = Option(node.get("rt")).map { r =>
+      r.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    Manifest(n, entries, rt)
   }
 
   /** atomic commit point: the manifest body is fully written to a
@@ -349,6 +366,16 @@ object SegmentLayout {
     * dominate 1000 interleavings' wall time). */
   private[sources] var lockRetryDelayMs: Long = 100L
 
+  /** lease before a held publish lock is presumed a crashed writer's
+    * orphan and broken: the lock file's MTIME is the lease clock, so a
+    * freshly (re-)created lock is never broken — a live-but-paused
+    * holder (GC pause, slow NFS) keeps its lock for the full grace in
+    * seconds, not the former ~300 ms retry budget. Test seam: the
+    * crash/race specs shorten it so orphan recovery and the documented
+    * both-succeed degradation stay reachable without dominating their
+    * wall time. */
+  private[sources] var orphanBreakGraceMs: Long = 5000L
+
   private def publishConflict(dd: String, n: Long, how: String): Nothing =
     throw new IllegalStateException(
       s"concurrent segment commit on $dd (manifest $n $how): segment " +
@@ -365,7 +392,8 @@ object SegmentLayout {
     * writer's orphan (the holder renames within microseconds of
     * locking) and is broken — the single-writer recovery path; a
     * competitor that published n while we waited is a hard conflict. */
-  private def acquirePublishLock(fs: FileSystem, dd: String, n: Long): Unit = {
+  private def acquirePublishLock(
+      fs: FileSystem, dd: String, n: Long, token: String): Unit = {
     val lock = new Path(dd, s"$LockPrefix$n")
     val dest = new Path(dd, s"$ManifestPrefix$n$ManifestSuffix")
     // "already exists" means the lock is held. Any OTHER create failure
@@ -377,48 +405,79 @@ object SegmentLayout {
     // the loud conflict, not a confusing checksum error. If the lock is
     // NOT on disk the failure is real (an actual I/O error, or the
     // crash property spec's injected fault, which fires before any
-    // mutation) and propagates as what it is.
+    // mutation) and propagates as what it is. The holder's one-time
+    // token is written as the lock BODY — the ownership record the
+    // failure-path release checks, so a verify-loser's cleanup can
+    // never delete a lock a grace-breaking winner now owns.
     def taken(): Boolean =
-      try { fs.create(lock, false).close(); true }
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case e: java.io.IOException => if (fs.exists(lock)) false else throw e
       }
     if (taken()) return
-    var attempt = 0
-    while (attempt < 3) {
-      attempt += 1
+    // held: wait the holder out against the lock's mtime LEASE. The
+    // mtime is re-statted every pass, so a lock re-created by another
+    // breaker restarts the age clock — a fresh lock is never broken; a
+    // holder that PUBLISHES while we wait is a hard conflict at the
+    // dest check (the common case, caught within one retry delay).
+    val waitStart = System.currentTimeMillis()
+    while (true) {
       if (fs.exists(dest)) publishConflict(dd, n, "already exists")
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MinValue }
+      if (age == Long.MinValue) {
+        // released (holder failed and cleaned up) — contend for it
+        if (taken()) return
+      } else if (age > orphanBreakGraceMs) {
+        // presumed-crashed holder: the lease expired with nothing
+        // published. The delete can race another breaker's
+        // delete/re-create on a checksummed FileSystem — a failure here
+        // just means someone else is acting on the lock; taken()
+        // adjudicates. (Unreachable under the crash property spec's
+        // injector: an orphan lock for the injected attempt's own n
+        // cannot pre-exist, so the break path only ever runs on the
+        // crash-free retry.)
+        try fs.delete(lock, false)
+        catch { case _: java.io.IOException => () }
+        if (taken()) return
+        publishConflict(dd, n, "is being published by a racing writer")
+      }
+      // a lock that stays held AND fresh past several leases means an
+      // active publisher storm — fail loudly rather than spin forever
+      if (System.currentTimeMillis() - waitStart > orphanBreakGraceMs * 3 + 1000L)
+        publishConflict(dd, n, "is being held beyond the lock wait budget")
       Thread.sleep(lockRetryDelayMs)
     }
-    if (fs.exists(dest)) publishConflict(dd, n, "already exists")
-    // presumed-crashed holder: grace expired, nothing published. The
-    // delete itself can race another breaker's delete/re-create on a
-    // checksummed FileSystem — a failure here just means someone else
-    // is acting on the lock; taken() below adjudicates. (Unreachable
-    // under the crash property spec's injector: an orphan lock for the
-    // injected attempt's own n cannot pre-exist, so the break path only
-    // ever runs on the crash-free retry.)
-    try fs.delete(lock, false)
-    catch { case _: java.io.IOException => () }
-    if (!taken()) publishConflict(dd, n, "is being published by a racing writer")
   }
 
   private[sources] def writeManifest(fs: FileSystem, dd: String, m: Manifest): Unit = {
-    acquirePublishLock(fs, dd, m.n)
-    try publishLocked(fs, dd, m)
+    // one-time writer token: the lock's ownership record AND the
+    // post-rename verify discriminator (readers ignore unknown fields)
+    val writerToken = java.util.UUID.randomUUID().toString
+    acquirePublishLock(fs, dd, m.n, writerToken)
+    try publishLocked(fs, dd, m, writerToken)
     catch { case t: Throwable =>
       // a failed commit must not strand its lock: the documented retry
       // recomputes the SAME n when nothing landed, and would otherwise
       // burn the full orphan-break grace on every retry (handing a
       // concurrent writer the exact degradation window the lock
-      // narrows). Releasing is safe in every failure branch: either
-      // nothing is at dest (the retry re-locks cleanly) or dest holds
-      // a published n (same-n publishers still conflict at the dest
-      // check). Best-effort — under a crash the delete itself fails
-      // and the orphan-break grace covers it, as before.
-      try fs.delete(new Path(dd, s"$LockPrefix${m.n}"), false)
-      catch { case _: Exception => () }
+      // narrows). Release ONLY while the lock body still carries OUR
+      // token: after a grace-break the single lock file for n may be
+      // the racing winner's, and deleting it mid-publish would
+      // downgrade the winner's fence to the check-then-act dest-exists
+      // check. Best-effort — an unreadable/foreign body leaks the
+      // lock and the orphan-break lease covers it, as before.
+      try {
+        if (readSmallFile(fs, new Path(dd, s"$LockPrefix${m.n}")) == writerToken)
+          fs.delete(new Path(dd, s"$LockPrefix${m.n}"), false)
+      } catch { case _: Exception => () }
       throw t
     }
   }
@@ -427,16 +486,23 @@ object SegmentLayout {
     * success the lock is left in place (a late same-n publisher
     * hard-fails at it before any rename), on failure the caller
     * releases it. */
-  private def publishLocked(fs: FileSystem, dd: String, m: Manifest): Unit = {
+  private def publishLocked(
+      fs: FileSystem, dd: String, m: Manifest, writerToken: String): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("n", m.n)
     root.put("fmt", ManifestFmt)
-    // one-time writer token: lets the post-rename verify distinguish
-    // this writer's published body from a racing writer's (readers
-    // ignore unknown fields)
-    val writerToken = java.util.UUID.randomUUID().toString
+    // the writer's one-time token: lets the post-rename verify
+    // distinguish this writer's published body from a racing writer's
+    // (readers ignore unknown fields)
     root.put("writer", writerToken)
+    // realtime publish watermarks ride the same atomic create as the
+    // data flip (see Manifest.rt); omitted entirely when empty so
+    // non-realtime tables' manifests are byte-identical to r16's
+    if (m.rt.nonEmpty) {
+      val rtNode = root.putObject("rt")
+      m.rt.toSeq.sortBy(_._1).foreach { case (k, v) => rtNode.put(k, v) }
+    }
     val buckets = root.putObject("buckets")
     m.entries.toSeq.sortBy(_._1).foreach { case (b, e) =>
       val o = buckets.putObject(b)
@@ -617,7 +683,7 @@ object SegmentLayout {
     }
   }
 
-  private def sweepStaging(fs: FileSystem, dd: String): Unit = {
+  private[graft] def sweepStaging(fs: FileSystem, dd: String): Unit = {
     val ddPath = new Path(dd)
     if (fs.exists(ddPath)) fs.listStatus(ddPath).foreach { s =>
       val n = s.getPath.getName
@@ -700,7 +766,8 @@ object SegmentLayout {
     if (updates.nonEmpty) {
       val next = Manifest(
         cur.manifest.map(_.n).getOrElse(0L) + 1L,
-        curEntries ++ updates.map { case (b, (e, _)) => b -> e })
+        curEntries ++ updates.map { case (b, (e, _)) => b -> e },
+        cur.manifest.map(_.rt).getOrElse(Map.empty))
       writeManifest(fs, dd, next) // <- the atomic publish
     }
     for ((b, (_, keep)) <- updates) sweepBucket(fs, dd, b, keep)
@@ -760,10 +827,11 @@ object SegmentLayout {
     // manifest still lists its bucket live
     val sweeps = toTomb.map(b => b -> cur.liveGens(b))
     val tombstoned = curEntries ++ touched.map(_ -> Entry.Tomb)
+    val rtCarried = cur.manifest.map(_.rt).getOrElse(Map.empty)
     var n = cur.manifest.map(_.n).getOrElse(0L)
     if (tombstoned != curEntries || cur.manifest.isEmpty) {
       n += 1
-      writeManifest(fs, dd, Manifest(n, tombstoned))
+      writeManifest(fs, dd, Manifest(n, tombstoned, rtCarried))
     }
     // phase 2 — physical deletes; a failed one keeps its tombstone
     val (failed, reclaimed) = toReclaim.partition { b =>
@@ -774,7 +842,7 @@ object SegmentLayout {
     // phase 3 — drop entries ONLY for verifiably-gone directories, so
     // the manifest stays O(live + pending-reclaim buckets)
     if (reclaimed.nonEmpty)
-      writeManifest(fs, dd, Manifest(n + 1, tombstoned -- reclaimed))
+      writeManifest(fs, dd, Manifest(n + 1, tombstoned -- reclaimed, rtCarried))
     if (failed.nonEmpty) throw new java.io.IOException(
       s"kill could not reclaim ${failed.size} bucket dir(s) under $dd " +
         s"(first: ${bucketDir(dd, failed.head)}) — they stay tombstoned; " +
@@ -830,8 +898,9 @@ object SegmentLayout {
     * why it is factored out): rename each staged bucket in as a new
     * generation, publish ONE manifest adding it to every touched
     * bucket's live set, sweep orphans. */
-  private[sources] def commitStagedAppend(
-      fs: FileSystem, dd: String, staging: String): Unit = {
+  private[graft] def commitStagedAppend(
+      fs: FileSystem, dd: String, staging: String,
+      rtUpdate: Map[String, Long] => Map[String, Long] = identity): Unit = {
     val r = resolve(fs.getConf, dd)
     val staged = fs.listStatus(new Path(staging)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -854,7 +923,10 @@ object SegmentLayout {
     if (updates.nonEmpty)
       writeManifest(fs, dd, Manifest( // <- the atomic publish
         r.manifest.map(_.n).getOrElse(0L) + 1L,
-        curEntries ++ updates.map { case (b, e, _) => b -> e }))
+        curEntries ++ updates.map { case (b, e, _) => b -> e },
+        // realtime watermark updates commit ATOMICALLY with the data
+        // (Manifest.rt — the transactional-handoff contract)
+        rtUpdate(r.manifest.map(_.rt).getOrElse(Map.empty))))
     // reclaim orphan generations of the touched buckets (crashed
     // writers): everything outside the NEW live set dies — the same
     // one-commit-spanning reader window as commitSlice documents

@@ -1,10 +1,158 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.sources.Ingest
+import graft.sources.{Ingest, SegmentLayout, SegmentVersions}
 import graft.sources.Ingest.IngestSpec
+
+/** The pure-filesystem half of the realtime window's commit protocol —
+  * factored out of the instance (like SegmentLayout.commitStagedSlice)
+  * so [[RealtimeHandoffCrashPropertySpec]] can drive hundreds of crash
+  * interleavings against hand-staged dirs without a Spark job each.
+  *
+  * Exactly-once across a handoff crash: the handoff's single atomic
+  * commit point is the historical table's MANIFEST create
+  * ([[SegmentLayout.commitStagedAppend]]), which publishes the window's
+  * rows AND the per-datasource watermark (`Manifest.rt`: spill segment
+  * ids <= upTo are published) in one rename — the reference's
+  * transactional publish, where stream commit metadata lands in the
+  * same metadata-store transaction as the segments
+  * (SeekableStreamIndexTaskRunner; SegmentTransactionalInsertAction).
+  * The window's read path ([[liveSpillDirs]]) consults that watermark,
+  * so the instant the manifest lands the historical store serves the
+  * rows and the window hides them — a crash before the spill-side
+  * marker lands can no longer double-serve, and a crashed handoff's
+  * retry recomputes its publishable set AGAINST the watermark, so it
+  * never re-publishes. The `_published` marker is derived state (a
+  * fast-path hide + the reclaim list); every value it can hold is
+  * already implied by the watermark. */
+object RealtimeDatasource {
+
+  /** id of a spill segment dir (`batch=<id>` or `merged=<id>`). */
+  private[streaming] def dirId(name: String): Long =
+    name.stripPrefix("batch=").stripPrefix("merged=").toLong
+
+  private[streaming] def markerPath(spillDir: String): Path =
+    new Path(s"$spillDir/_published")
+
+  /** marker contents: None = no marker; Some(empty) = whole window
+    * published; Some(names) = those dirs published (hidden from the
+    * live set). */
+  private[streaming] def readMarker(
+      fs: FileSystem, spillDir: String): Option[Set[String]] = {
+    val p = markerPath(spillDir)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      buf.toString("UTF-8")
+    } finally in.close()
+    Some(body.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+  }
+
+  /** content-atomic marker write (hidden temp + rename): a direct
+    * create could crash mid-body, and a TORN partial-publish list —
+    * in the worst case truncated to empty, which reads as "whole
+    * window published" — would hide replayable rows (served by
+    * neither store until the replay). With tmp+rename a crash leaves
+    * the old marker or the new one, never a torn body. */
+  private[streaming] def writeMarkerAtomic(
+      fs: FileSystem, spillDir: String, names: Set[String]): Unit = {
+    val tmp = new Path(
+      s"$spillDir/._published_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(names.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = markerPath(spillDir)
+    // delete-then-rename (HDFS rename won't overwrite): a crash between
+    // the two leaves NO marker — safe, the marker is derived state and
+    // the watermark already hides everything it named
+    if (fs.exists(dest)) fs.delete(dest, false)
+    require(fs.rename(tmp, dest),
+      s"published-marker rename failed: $tmp -> $dest")
+  }
+
+  /** the handoff publish watermark recorded in the historical table's
+    * manifest: highest spill dir id published by datasource `rtKey`
+    * into `histDd`. None when the table is unmanaged or carries no
+    * entry for the key. Uncached resolve — instance read paths go
+    * through the epoch-memoized wrapper. */
+  private[streaming] def publishedUpTo(
+      hconf: org.apache.hadoop.conf.Configuration, histDd: String,
+      rtKey: String): Option[Long] =
+    try SegmentLayout.resolve(hconf, histDd).manifest.flatMap(_.rt.get(rtKey))
+    catch { case _: Exception => None }
+
+  /** live window dirs: the newest `merged=<C>` consolidation (if any)
+    * plus the `batch=<id>` dirs with id > C, minus anything the marker
+    * names or the historical watermark covers (id <= upTo). The
+    * supersede calculation runs BEFORE the published filter: a
+    * published merged=C still suppresses the batch dirs it
+    * consolidated, so hiding it cannot resurface already-published
+    * rows. Superseded dirs stay on disk so plans built before a
+    * compaction keep their snapshot — garbage, not live. */
+  private[streaming] def liveSpillDirs(
+      fs: FileSystem, spillDir: String,
+      marker: Option[Set[String]], upTo: Option[Long]): Seq[Path] = {
+    val p = new Path(spillDir)
+    if (!fs.exists(p)) return Nil
+    val published = marker match {
+      case Some(names) if names.isEmpty => return Nil // whole window published
+      case Some(names) => names
+      case None => Set.empty[String]
+    }
+    val entries = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    val mergedUpTo = entries.flatMap(d =>
+      if (d.getName.startsWith("merged=")) Some(dirId(d.getName)) else None)
+      .maxOption
+    val tail = entries.filter { d =>
+      d.getName.startsWith("batch=") &&
+        mergedUpTo.forall(_ < dirId(d.getName))
+    }
+    (mergedUpTo.map(c => new Path(s"$spillDir/merged=$c")).toSeq ++ tail)
+      .filterNot(d => published.contains(d.getName) ||
+        upTo.exists(dirId(d.getName) <= _))
+  }
+
+  /** the publishable subset of the live window: committed batches and
+    * consolidations (a merged dir holds committed batches only, by
+    * compactSpillWindow's construction). A MISSING commit log means no
+    * offsets ever committed — every dir is replayable, nothing
+    * publishes. */
+  private[streaming] def publishable(
+      live: Seq[Path], committed: Option[Set[Long]]): Seq[Path] =
+    committed match {
+      case Some(ids) => live.filter(d =>
+        d.getName.startsWith("merged=") || ids.contains(dirId(d.getName)))
+      case None => Nil
+    }
+
+  /** pure-fs handoff commit, entered with the window's prepared rows
+    * already STAGED under the historical data dir (staging must be
+    * non-empty — the caller publishes nothing otherwise): ONE manifest
+    * create publishes the rows and advances the watermark (monotonic
+    * max; other epochs of the same datasource id are pruned — they are
+    * pre-reset history), then the derived marker is rewritten
+    * atomically. Crash anywhere: before the manifest the staged
+    * generations are invisible orphans (pre state); after it the rows
+    * serve from the historical store and the watermark hides their
+    * spill dirs (post state) — never both, never neither. */
+  private[streaming] def commitHandoffFs(
+      fs: FileSystem, spillDir: String, histDd: String, staging: String,
+      rtKey: String, upTo: Long, markerNames: Set[String]): Unit = {
+    val idPrefix = rtKey.substring(0, rtKey.indexOf('#') + 1)
+    SegmentLayout.commitStagedAppend(fs, histDd, staging, rt =>
+      rt.filterNot(_._1.startsWith(idPrefix)) +
+        (rtKey -> math.max(upTo, rt.getOrElse(rtKey, Long.MinValue))))
+    writeMarkerAtomic(fs, spillDir, markerNames)
+  }
+}
 
 /** Realtime query-over-union: rows are queryable seconds after they
   * arrive, WHILE the stream is still running — the reference's
@@ -48,9 +196,14 @@ import graft.sources.Ingest.IngestSpec
   * exactly the committed offsets; an ungraceful crash leaves at most
   * one uncommitted `batch=` dir, which the replay rewrites.
   *
-  * Handoff atomicity: [[handoff]] appends the window to parquet and
-  * then marks the spill published (a `_published` marker) instead of
-  * deleting it — both under the instance lock. A [[queryable]] plan
+  * Handoff atomicity: [[handoff]] publishes the window as a
+  * TRANSACTIONAL managed append — one manifest create flips the rows
+  * into the historical store and records this datasource's publish
+  * watermark in the same atomic write (`Manifest.rt`; companion doc),
+  * so a crash at ANY point of the handoff leaves the union serving
+  * each row exactly once (RealtimeHandoffCrashPropertySpec drives the
+  * interleavings). The spill is then marked published (a `_published`
+  * marker, derived state) instead of deleted. A [[queryable]] plan
   * built BEFORE handoff keeps its snapshot: its historical side
   * cached the pre-publish file listing at plan time and its realtime
   * side reads spill files that still exist, so materializing it
@@ -105,64 +258,84 @@ final class RealtimeDatasource(
     * A partial publish (handoff racing an uncommitted batch) lists
     * exactly the published dirs, so the uncommitted survivors stay
     * live AND the published files stay readable for pre-built plans —
-    * the same snapshot guarantee the full-publish path has. */
-  private val publishedMarker = s"$spillDir/_published"
+    * the same snapshot guarantee the full-publish path has. DERIVED
+    * state: everything it hides is also covered by the historical
+    * manifest's watermark (companion doc), which is what makes a crash
+    * between publish and marker harmless. */
+  private def publishedNames(): Option[Set[String]] =
+    RealtimeDatasource.readMarker(fs(spillDir), spillDir)
 
-  /** marker contents: None = no marker; Some(empty) = all published;
-    * Some(names) = those dirs published (hidden from the live set). */
-  private def publishedNames(): Option[Set[String]] = {
-    val p = new org.apache.hadoop.fs.Path(publishedMarker)
-    val f = fs(spillDir)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val body = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
-        .foreach(n => buf.write(chunk, 0, n))
-      buf.toString("UTF-8")
-    } finally in.close()
-    Some(body.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+  /** stable identity of this datasource's state (survives restarts of
+    * the same stateDir) — the watermark key's id half. Owned temp
+    * state gets a fresh id per instance: no recovery exists for it
+    * anyway, and a fresh id can never collide with a published key. */
+  private lazy val rtId: String = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateRoot/_rt_id")
+    val f = fs(stateRoot)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      val out = f.create(p, true)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      id
+    }
   }
 
-  private def writePublishedMarker(names: Set[String]): Unit = {
-    val out = fs(spillDir).create(
-      new org.apache.hadoop.fs.Path(publishedMarker), true)
-    try out.write(names.toSeq.sorted.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** reset epoch — the watermark key's second half. [[reset]] bumps it
+    * so a from-earliest re-read (batch ids restart at 0) is never
+    * hidden by the pre-reset watermark: the documented reset
+    * re-ingestion semantics survive the transactional handoff. */
+  @volatile private var rtEpochMemo: Long = -1L
+  private def rtEpoch(): Long = {
+    if (rtEpochMemo < 0L) {
+      val p = new org.apache.hadoop.fs.Path(s"$stateRoot/_rt_epoch")
+      val f = fs(stateRoot)
+      rtEpochMemo =
+        if (!f.exists(p)) 0L
+        else {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        }
+    }
+    rtEpochMemo
+  }
+  private def writeEpoch(e: Long): Unit = {
+    val out = fs(stateRoot).create(
+      new org.apache.hadoop.fs.Path(s"$stateRoot/_rt_epoch"), true)
+    try out.write(e.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    rtEpochMemo = e
   }
 
-  /** live window dirs: the newest `merged=<C>` consolidation (if any)
-    * plus the `batch=<id>` dirs with id > C, minus anything the
-    * published marker names. Superseded merged dirs and batch dirs at
-    * or below C stay on disk so plans built before a
-    * [[compactSpillWindow]] keep reading their snapshot — they are
-    * garbage, not live, and [[startRealtime]] reclaims them. The
-    * supersede calculation runs BEFORE the marker filter: a published
-    * merged=C still suppresses the batch dirs it consolidated, so
-    * hiding it cannot resurface already-published rows. */
-  private def spillBatchDirs(): Seq[org.apache.hadoop.fs.Path] = {
-    val p = new org.apache.hadoop.fs.Path(spillDir)
-    val f = fs(spillDir)
-    if (!f.exists(p)) return Nil
-    val published = publishedNames() match {
-      case Some(names) if names.isEmpty => return Nil // whole window published
-      case Some(names) => names
-      case None => Set.empty[String]
-    }
-    val entries = f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
-    val mergedUpTo = entries.flatMap(d =>
-      if (d.getName.startsWith("merged=")) Some(d.getName.stripPrefix("merged=").toLong)
-      else None).maxOption
-    val tail = entries.filter { d =>
-      d.getName.startsWith("batch=") &&
-        mergedUpTo.forall(_ < d.getName.stripPrefix("batch=").toLong)
-    }
-    (mergedUpTo.map(c =>
-      new org.apache.hadoop.fs.Path(s"$spillDir/merged=$c")).toSeq ++ tail)
-      .filterNot(d => published.contains(d.getName))
+  private def rtKey: String = s"$rtId#${rtEpoch()}"
+
+  /** the historical table's current data dir, memoized per write epoch
+    * (zero listings on the repeat-query path; every announcing write
+    * invalidates it). */
+  private def histDataDir(): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    SegmentVersions.cached(historicalPath, "__rt_data_dir")(
+      SegmentLayout.dataDir(hconf, historicalPath))
   }
+
+  /** highest spill dir id the historical manifest records as published
+    * by THIS datasource (epoch-memoized like every read-path resolve). */
+  private def watermark(): Option[Long] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    SegmentVersions.cached(historicalPath, s"__rt_upto_$rtKey")(
+      RealtimeDatasource.publishedUpTo(hconf, histDataDir(), rtKey))
+  }
+
+  /** live window dirs — [[RealtimeDatasource.liveSpillDirs]] over the
+    * marker AND the historical watermark. */
+  private def spillBatchDirs(): Seq[org.apache.hadoop.fs.Path] =
+    RealtimeDatasource.liveSpillDirs(
+      fs(spillDir), spillDir, publishedNames(), watermark())
 
   /** start (or, after [[suspend]], resume) serving an in-flight
     * stream: transforms + filter apply map-side (exactly the
@@ -178,17 +351,33 @@ final class RealtimeDatasource(
     // (empty marker) drops the whole dir; a partial publish drops the
     // named dirs — AFTER the supersede reclaim, so a published
     // merged=C's consolidated originals go first and cannot resurface
-    // as live rows. Unpublished (replayable) dirs survive.
+    // as live rows. Unpublished (replayable) dirs survive. A handoff
+    // that crashed between the manifest flip and the marker write left
+    // NO marker — its published dirs are recovered from the historical
+    // WATERMARK instead (the authoritative record) and reclaimed the
+    // same way; the stream's post-restart batch ids continue above the
+    // checkpoint's committed offsets, so the watermark can never hide
+    // a future batch.
     val f0 = fs(spillDir)
     publishedNames() match {
       case Some(names) if names.isEmpty =>
         f0.delete(new org.apache.hadoop.fs.Path(spillDir), true)
-      case Some(names) =>
+      case other =>
         reclaimSupersededSpill()
-        names.foreach(n => f0.delete(
+        val spillP = new org.apache.hadoop.fs.Path(spillDir)
+        val covered = watermark() match {
+          case Some(upTo) if f0.exists(spillP) =>
+            f0.listStatus(spillP).toSeq.filter(_.isDirectory)
+              .map(_.getPath.getName)
+              .filter(n => (n.startsWith("batch=") || n.startsWith("merged=")) &&
+                RealtimeDatasource.dirId(n) <= upTo).toSet
+          case _ => Set.empty[String]
+        }
+        val published = other.getOrElse(Set.empty) ++ covered
+        published.foreach(n => f0.delete(
           new org.apache.hadoop.fs.Path(s"$spillDir/$n"), true))
-        f0.delete(new org.apache.hadoop.fs.Path(publishedMarker), false)
-      case None => reclaimSupersededSpill()
+        if (other.isDefined)
+          f0.delete(RealtimeDatasource.markerPath(spillDir), false)
     }
     var df = stream
     for ((name, e) <- spec.transforms)
@@ -292,22 +481,37 @@ final class RealtimeDatasource(
     historicalReader match {
       case Some(reader) => reader()
       case None =>
-        // detect landed data POSITIVELY — a bucket partition dir or a
-        // part file — the way the server's injected reader does
-        // (QueryServer.startRealtimeSupervisor). Ingest.write emits
-        // only __bucket=*/ dirs plus underscore sidecars, so "any
-        // non-underscore name" would see nothing on a filesystem
-        // without .crc sidecars (HDFS, object stores) and silently
-        // drop the whole historical store.
-        val p = new org.apache.hadoop.fs.Path(historicalPath)
-        val f = fs(historicalPath)
-        val hasData = f.exists(p) && f.getFileStatus(p).isDirectory &&
-          f.listStatus(p).exists { s =>
-            val n = s.getPath.getName
-            (s.isDirectory && n.startsWith(Ingest.BucketCol + "=")) ||
-              (!s.isDirectory && n.startsWith("part-"))
-          }
-        if (hasData) Some(spark.read.parquet(historicalPath)) else None
+        // a table the transactional handoff has published into is
+        // slice-MANAGED: its rows live in manifest-listed generation
+        // dirs a plain root read cannot see — read it layout-aware
+        // (SegmentLayout.readData), exactly like the server's resolver
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val dd = histDataDir()
+        val resolved =
+          try SegmentLayout.resolveCached(hconf, dd)
+          catch { case _: Exception => SegmentLayout.Resolved(None, Nil) }
+        if (resolved.managed) {
+          if (resolved.liveLeafDirs(dd).nonEmpty)
+            Some(SegmentLayout.readData(spark, dd))
+          else None // manifest exists but every bucket is tombstoned
+        } else {
+          // unmanaged: detect landed data POSITIVELY — a bucket
+          // partition dir or a part file — the way the server's
+          // injected reader does (QueryServer.startRealtimeSupervisor).
+          // Ingest.write emits only __bucket=*/ dirs plus underscore
+          // sidecars, so "any non-underscore name" would see nothing on
+          // a filesystem without .crc sidecars (HDFS, object stores)
+          // and silently drop the whole historical store.
+          val p = new org.apache.hadoop.fs.Path(historicalPath)
+          val f = fs(historicalPath)
+          val hasData = f.exists(p) && f.getFileStatus(p).isDirectory &&
+            f.listStatus(p).exists { s =>
+              val n = s.getPath.getName
+              (s.isDirectory && n.startsWith(Ingest.BucketCol + "=")) ||
+                (!s.isDirectory && n.startsWith("part-"))
+            }
+          if (hasData) Some(spark.read.parquet(historicalPath)) else None
+        }
     }
 
   /** the broker view: union(historical segments, realtime window),
@@ -355,46 +559,56 @@ final class RealtimeDatasource(
       .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet)
   }
 
-  /** publish the spill's COMMITTED batches through the shared batch
-    * write path, then mark the spill published (files stay readable
-    * for pre-built plans — see class doc; reclaimed on the next
-    * start/abort). An uncommitted `batch=` dir (stop raced an
+  /** publish the spill's COMMITTED batches as a TRANSACTIONAL managed
+    * append into the historical table: one staged Spark write, then
+    * the pure-fs [[RealtimeDatasource.commitHandoffFs]] — a single
+    * manifest create publishes the rows AND this datasource's
+    * watermark, and the derived marker lands after (files stay
+    * readable for pre-built plans — see class doc; reclaimed on the
+    * next start/abort). An uncommitted `batch=` dir (stop raced an
     * in-flight batch, or a crash mid-commit) is NOT published — its
     * offsets never committed, so the source replays it on the next
     * start; publishing it too would double its rows after the
     * replay. A MISSING commit log means no offsets ever committed:
     * every spill dir is replayable, so nothing publishes (publishing
-    * would double batch 0 after the replay). Caller holds the lock. */
+    * would double batch 0 after the replay). A handoff RETRY after a
+    * crash recomputes its publishable set through [[spillBatchDirs]],
+    * which consults the watermark — a publish that already landed is
+    * never applied twice. Caller holds the lock. */
   private def publishSpill(): Unit = {
     val dirs = spillBatchDirs()
-    if (dirs.nonEmpty) {
-      val publishable = committedBatchIds() match {
-        case Some(ids) => dirs.filter(d =>
-          // a merged= consolidation holds committed batches only, by
-          // compactSpillWindow's construction
-          d.getName.startsWith("merged=") ||
-            ids.contains(d.getName.stripPrefix("batch=").toLong))
-        case None => Nil
-      }
-      if (publishable.nonEmpty)
-        Ingest.write(
-          Ingest.prepare(
-            spark.read.parquet(publishable.map(_.toString): _*),
-            spec.copy(transforms = Nil, rowFilter = None)),
-          historicalPath)
-      if (publishable.size == dirs.size)
-        writePublishedMarker(Set.empty) // empty marker = whole window
-      else if (publishable.nonEmpty) {
+    if (dirs.isEmpty) return
+    val publishable = RealtimeDatasource.publishable(dirs, committedBatchIds())
+    if (publishable.isEmpty) return
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dd = SegmentLayout.dataDir(hconf, historicalPath)
+    val f = fs(historicalPath)
+    SegmentLayout.sweepStaging(f, dd) // crashed handoffs' leftovers (single writer)
+    val staging =
+      s"$dd/${SegmentLayout.StagingPrefix}rt_${java.util.UUID.randomUUID().toString.take(8)}"
+    Ingest.prepare(
+      spark.read.parquet(publishable.map(_.toString): _*),
+      spec.copy(transforms = Nil, rowFilter = None))
+      .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
+    val markerNames =
+      if (publishable.size == dirs.size) Set.empty[String] // whole window
+      else {
         // some dirs stay replayable (uncommitted): the marker names
         // exactly the published ones, hiding them from the live set
         // while their files stay readable — a [[queryable]] plan built
         // before this partial publish keeps its snapshot (class doc),
         // same as the full-publish path. Union with any earlier
         // partial marker; dirs are reclaimed at the next start.
-        val prior = publishedNames().getOrElse(Set.empty)
-        writePublishedMarker(prior ++ publishable.map(_.getName))
+        publishedNames().getOrElse(Set.empty) ++ publishable.map(_.getName)
       }
-    }
+    RealtimeDatasource.commitHandoffFs(
+      f, spillDir, dd, staging, rtKey,
+      publishable.map(d => RealtimeDatasource.dirId(d.getName)).max,
+      markerNames)
+    // announce the segment mutation: invalidates the epoch-memoized
+    // data-dir/watermark/layout resolves and the per-segment caches,
+    // exactly as Ingest.write does for batch ingest
+    SegmentVersions.announce(hconf, historicalPath)
   }
 
   /** merge the window's COMMITTED micro-batch spills into one
@@ -517,6 +731,12 @@ final class RealtimeDatasource(
     * re-read. Historical segments are untouched. */
   def reset(): Unit = synchronized {
     query.foreach(_.stop())
+    // bump the watermark epoch FIRST: the re-read restarts batch ids at
+    // 0, and the pre-reset watermark keyed on the old epoch must not
+    // hide (or skip publishing) the re-ingested batches — reset means
+    // re-read, duplicates included, per the reference's documented
+    // semantics
+    writeEpoch(rtEpoch() + 1L)
     val f = fs(stateRoot)
     f.delete(new org.apache.hadoop.fs.Path(spillDir), true)
     f.delete(new org.apache.hadoop.fs.Path(checkpointDir), true)

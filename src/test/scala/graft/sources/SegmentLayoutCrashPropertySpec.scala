@@ -43,14 +43,20 @@ class SegmentLayoutCrashPropertySpec
   // a crash between lock-create and rename leaves an orphan publish
   // lock the retry must break after the grace; at full grace the
   // recovery sleeps would dominate 1000 interleavings' wall time.
+  // Both seams (retry cadence + mtime lease) are shortened.
   // Saved/restored so a later suite in the same JVM sees the default.
+  private var prevDelay = 0L
   private var prevGrace = 0L
   override def beforeAll(): Unit = {
-    prevGrace = SegmentLayout.lockRetryDelayMs
+    prevDelay = SegmentLayout.lockRetryDelayMs
+    prevGrace = SegmentLayout.orphanBreakGraceMs
     SegmentLayout.lockRetryDelayMs = 1L
+    SegmentLayout.orphanBreakGraceMs = 5L
   }
-  override def afterAll(): Unit =
-    SegmentLayout.lockRetryDelayMs = prevGrace
+  override def afterAll(): Unit = {
+    SegmentLayout.lockRetryDelayMs = prevDelay
+    SegmentLayout.orphanBreakGraceMs = prevGrace
+  }
 
   /** a FileSystem whose MUTATIONS die after `budget` calls — the
     * crash-injection point for the writer under test. Reads are never

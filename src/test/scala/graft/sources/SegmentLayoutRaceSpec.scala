@@ -32,7 +32,13 @@ class SegmentLayoutRaceSpec extends AnyFunSuite {
 
   test("two writers racing one manifest number: one loud conflict or the documented degradation, never a merge") {
     val prev = SegmentLayout.lockRetryDelayMs
+    val prevGrace = SegmentLayout.orphanBreakGraceMs
     SegmentLayout.lockRetryDelayMs = 2L
+    // shorten the mtime lease too (r17: the lock's mtime is the lease
+    // clock) so the documented both-succeed degradation — a holder
+    // paused past the grace losing its lock — stays reachable under
+    // test contention
+    SegmentLayout.orphanBreakGraceMs = 2L
     var bothSucceeded = 0
     var conflicts = 0
     try {
@@ -78,6 +84,9 @@ class SegmentLayoutRaceSpec extends AnyFunSuite {
       }
       info(s"40 rounds: $conflicts loud conflicts, " +
         s"$bothSucceeded documented both-succeed degradations")
-    } finally SegmentLayout.lockRetryDelayMs = prev
+    } finally {
+      SegmentLayout.lockRetryDelayMs = prev
+      SegmentLayout.orphanBreakGraceMs = prevGrace
+    }
   }
 }

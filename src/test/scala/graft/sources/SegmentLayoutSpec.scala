@@ -451,7 +451,9 @@ class SegmentLayoutSpec extends AnyFunSuite {
     val dd = freshTable()
     val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
     val prev = SegmentLayout.lockRetryDelayMs
+    val prevGrace = SegmentLayout.orphanBreakGraceMs
     SegmentLayout.lockRetryDelayMs = 1L
+    SegmentLayout.orphanBreakGraceMs = 5L // shorten the mtime lease too
     try {
       // a holder that crashed between lock-create and rename: nothing
       // published, so the next writer breaks the lock and commits
@@ -479,7 +481,10 @@ class SegmentLayoutSpec extends AnyFunSuite {
       assert(locks.toSeq == Seq(
         s"${SegmentLayout.LockPrefix}2", s"${SegmentLayout.LockPrefix}3"),
         locks.mkString(","))
-    } finally SegmentLayout.lockRetryDelayMs = prev
+    } finally {
+      SegmentLayout.lockRetryDelayMs = prev
+      SegmentLayout.orphanBreakGraceMs = prevGrace
+    }
   }
 
   test("all-tombstoned recovery prefers the newest generation's footer; compacting such a table refuses loudly") {
