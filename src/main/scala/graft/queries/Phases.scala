@@ -44,3 +44,17 @@ object Phases {
   /** every entry that recorded phases this session. */
   def entries: Seq[String] = last.keys.toSeq.sorted
 }
+
+/** Plan-audit mode (r16 directive #4): entries that materialize an
+  * eagerly-checkpointed output for phase decomposition
+  * (`dedup_clusters`, `similarity_recall`) dump as a bare
+  * `Scan ExistingRDD` under `explain` — the 100×-scale join/training
+  * trees vanish from the PLANS artifact. Profile's PROFILE_EXPLAIN
+  * pass sets [[lazyPlans]] so those entries return their LAZY
+  * composition instead (exactly what executes, minus the final
+  * checkpoint), restoring the auditable plan. Never set on the driver
+  * surfaces (Verify/Bench) — grading always runs the materializing
+  * path. */
+object PlanMode {
+  @volatile var lazyPlans: Boolean = false
+}

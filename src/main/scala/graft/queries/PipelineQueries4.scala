@@ -121,12 +121,16 @@ object PipelineQueries4 {
         recycleTag = Some("dedup_clusters")))
     // materialize the labeled output here (Ckpt-recycled) so the final
     // select/sort lands in a phase instead of the caller's untracked
-    // residual (r15 directive #2: phases must sum >=90% of wall)
-    Phases.timed("dedup_clusters", "sort_output")(
+    // residual (r15 directive #2: phases must sum >=90% of wall).
+    // Under PlanMode.lazyPlans (Profile's explain pass) return the
+    // lazy composition instead, so PLANS shows the label-propagation
+    // join tree, not `Scan ExistingRDD` (r16 directive #4).
+    val labeled = cc.select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+    if (PlanMode.lazyPlans) labeled
+    else Phases.timed("dedup_clusters", "sort_output")(
       graft.operators.Ckpt.recycle("dedup_clusters/out",
-        cc.select(col("id").as("doc_id"), col("cluster_id"))
-          .orderBy(col("doc_id"))
-          .localCheckpoint()))
+        labeled.localCheckpoint()))
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 analogs on

@@ -370,17 +370,21 @@ object PipelineQueries8 {
     // the searches + recall joins execute HERE (checkpointed 5-row
     // result, Ckpt-recycled) so the entry's wall decomposes fully into
     // phases in BENCH_DETAIL — lazily they'd run in the caller's
-    // materialization, outside any phase (r15 directive #2)
-    Phases.timed("similarity_recall", "search_recall")(
+    // materialization, outside any phase (r15 directive #2). Under
+    // PlanMode.lazyPlans (Profile's explain pass) return the lazy
+    // composition instead, so PLANS shows the search/recall join tree
+    // over the trained indexes, not `Scan ExistingRDD` (r16 dir. #4).
+    val recall = queries.select(col("vec_id").as("qid"))
+      .join(hits(ivf, "ivf_hits"), Seq("qid"), "left")
+      .join(hits(pq, "pq_hits"), Seq("qid"), "left")
+      .select(col("qid"), lit(10).as("k"),
+        (coalesce(col("ivf_hits"), lit(0L)) >= 4).as("ivf_ok"),
+        (coalesce(col("pq_hits"), lit(0L)) >= 4).as("pq_ok"))
+      .orderBy(col("qid"))
+    if (PlanMode.lazyPlans) recall
+    else Phases.timed("similarity_recall", "search_recall")(
       graft.operators.Ckpt.recycle("similarity_recall/out",
-        queries.select(col("vec_id").as("qid"))
-          .join(hits(ivf, "ivf_hits"), Seq("qid"), "left")
-          .join(hits(pq, "pq_hits"), Seq("qid"), "left")
-          .select(col("qid"), lit(10).as("k"),
-            (coalesce(col("ivf_hits"), lit(0L)) >= 4).as("ivf_ok"),
-            (coalesce(col("pq_hits"), lit(0L)) >= 4).as("pq_ok"))
-          .orderBy(col("qid"))
-          .localCheckpoint()))
+        recall.localCheckpoint()))
   }
 
   /** REAL PCM audio decode graded end to end (the audio twin of

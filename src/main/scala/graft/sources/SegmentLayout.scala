@@ -364,7 +364,7 @@ object SegmentLayout {
   /** grace between held-lock rechecks (test seam: the crash property
     * spec shortens it so presumed-crashed-holder recovery doesn't
     * dominate 1000 interleavings' wall time). */
-  private[sources] var lockRetryDelayMs: Long = 100L
+  private[graft] var lockRetryDelayMs: Long = 100L
 
   /** lease before a held publish lock is presumed a crashed writer's
     * orphan and broken: the lock file's MTIME is the lease clock, so a
@@ -374,7 +374,7 @@ object SegmentLayout {
     * crash/race specs shorten it so orphan recovery and the documented
     * both-succeed degradation stay reachable without dominating their
     * wall time. */
-  private[sources] var orphanBreakGraceMs: Long = 5000L
+  private[graft] var orphanBreakGraceMs: Long = 5000L
 
   private def publishConflict(dd: String, n: Long, how: String): Nothing =
     throw new IllegalStateException(

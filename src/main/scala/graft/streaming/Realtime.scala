@@ -133,6 +133,58 @@ object RealtimeDatasource {
       case None => Nil
     }
 
+  /** delete spill entries superseded by the newest `merged=<C>` dir
+    * (batch dirs at or below C, older merged dirs, stray staging
+    * dirs). Runs at the start-of-stream reclaim point, when no
+    * pre-compaction plan can still be outstanding. */
+  private[streaming] def reclaimSupersededSpill(
+      fs: FileSystem, spillDir: String): Unit = {
+    val p = new Path(spillDir)
+    if (!fs.exists(p)) return
+    val entries = fs.listStatus(p).toSeq.map(_.getPath)
+    val mergedUpTo = entries.flatMap(d =>
+      if (d.getName.startsWith("merged=")) Some(dirId(d.getName)) else None)
+      .maxOption
+    entries.foreach { d =>
+      val n = d.getName
+      val superseded =
+        n.startsWith(".staging-") ||
+          mergedUpTo.exists(c =>
+            (n.startsWith("batch=") && dirId(n) <= c) ||
+              (n.startsWith("merged=") && dirId(n) < c))
+      if (superseded) fs.delete(d, true)
+    }
+  }
+
+  /** the start-of-stream reclaim: drop spill dirs a previous handoff
+    * already published — named by the marker OR covered by the
+    * historical watermark (the authoritative record when a handoff
+    * crashed between its manifest flip and its marker write) — plus
+    * consolidation garbage, and clear the marker so new batches start
+    * unhidden. Every dir it deletes is already invisible to readers,
+    * so a crash at any point leaves the served union unchanged. */
+  private[streaming] def reclaimForStart(
+      fs: FileSystem, spillDir: String, upTo: Option[Long]): Unit = {
+    readMarker(fs, spillDir) match {
+      case Some(names) if names.isEmpty =>
+        fs.delete(new Path(spillDir), true)
+      case other =>
+        reclaimSupersededSpill(fs, spillDir)
+        val p = new Path(spillDir)
+        val covered = upTo match {
+          case Some(u) if fs.exists(p) =>
+            fs.listStatus(p).toSeq.filter(_.isDirectory)
+              .map(_.getPath.getName)
+              .filter(n => (n.startsWith("batch=") || n.startsWith("merged=")) &&
+                dirId(n) <= u).toSet
+          case _ => Set.empty[String]
+        }
+        val published = other.getOrElse(Set.empty) ++ covered
+        published.foreach(n => fs.delete(new Path(s"$spillDir/$n"), true))
+        if (other.isDefined) fs.delete(markerPath(spillDir), false)
+    }
+  }
+
   /** pure-fs handoff commit, entered with the window's prepared rows
     * already STAGED under the historical data dir (staging must be
     * non-empty — the caller publishes nothing otherwise): ONE manifest
@@ -358,27 +410,7 @@ final class RealtimeDatasource(
     // same way; the stream's post-restart batch ids continue above the
     // checkpoint's committed offsets, so the watermark can never hide
     // a future batch.
-    val f0 = fs(spillDir)
-    publishedNames() match {
-      case Some(names) if names.isEmpty =>
-        f0.delete(new org.apache.hadoop.fs.Path(spillDir), true)
-      case other =>
-        reclaimSupersededSpill()
-        val spillP = new org.apache.hadoop.fs.Path(spillDir)
-        val covered = watermark() match {
-          case Some(upTo) if f0.exists(spillP) =>
-            f0.listStatus(spillP).toSeq.filter(_.isDirectory)
-              .map(_.getPath.getName)
-              .filter(n => (n.startsWith("batch=") || n.startsWith("merged=")) &&
-                RealtimeDatasource.dirId(n) <= upTo).toSet
-          case _ => Set.empty[String]
-        }
-        val published = other.getOrElse(Set.empty) ++ covered
-        published.foreach(n => f0.delete(
-          new org.apache.hadoop.fs.Path(s"$spillDir/$n"), true))
-        if (other.isDefined)
-          f0.delete(RealtimeDatasource.markerPath(spillDir), false)
-    }
+    RealtimeDatasource.reclaimForStart(fs(spillDir), spillDir, watermark())
     var df = stream
     for ((name, e) <- spec.transforms)
       df = df.withColumn(name, org.apache.spark.sql.functions.expr(e))
@@ -675,29 +707,6 @@ final class RealtimeDatasource(
       require(f.rename(new org.apache.hadoop.fs.Path(staging), destP),
         s"spill merge rename failed: $staging -> $dest")
     } finally compacting.set(false)
-  }
-
-  /** delete spill entries superseded by the newest `merged=<C>` dir
-    * (batch dirs at or below C, older merged dirs, stray staging
-    * dirs). Runs at [[startRealtime]] — the documented reclaim point,
-    * when no pre-compaction plan can still be outstanding. */
-  private def reclaimSupersededSpill(): Unit = {
-    val p = new org.apache.hadoop.fs.Path(spillDir)
-    val f = fs(spillDir)
-    if (!f.exists(p)) return
-    val entries = f.listStatus(p).toSeq.map(_.getPath)
-    val mergedUpTo = entries.flatMap(d =>
-      if (d.getName.startsWith("merged=")) Some(d.getName.stripPrefix("merged=").toLong)
-      else None).maxOption
-    entries.foreach { d =>
-      val n = d.getName
-      val superseded =
-        n.startsWith(".staging-") ||
-          mergedUpTo.exists(c =>
-            (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= c) ||
-              (n.startsWith("merged=") && n.stripPrefix("merged=").toLong < c))
-      if (superseded) f.delete(d, true)
-    }
   }
 
   /** drain the stream, publish the window as historical segments, and

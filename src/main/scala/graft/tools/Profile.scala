@@ -62,10 +62,15 @@ object Profile {
         println(s"[profile-phases] $n $split")
       }
     }
-    if (sys.env.contains("PROFILE_EXPLAIN"))
-      names.foreach { n =>
+    if (sys.env.contains("PROFILE_EXPLAIN")) {
+      // lazy-plan mode (r16 directive #4): eager-checkpoint entries
+      // return their pre-checkpoint composition so the dump shows the
+      // real join/training trees instead of `Scan ExistingRDD`
+      graft.queries.PlanMode.lazyPlans = true
+      try names.foreach { n =>
         println(s"=== $n"); q(n)(spark, sfDir).explain("formatted")
-      }
+      } finally graft.queries.PlanMode.lazyPlans = false
+    }
     spark.stop()
   }
 }

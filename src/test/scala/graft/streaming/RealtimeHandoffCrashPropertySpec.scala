@@ -1,0 +1,382 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, FSDataOutputStream, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Ingest, SegmentLayout}
+
+/** Model-based crash-interleaving property test of the realtime
+  * handoff/persist/publish path (r15 directive #5 / r16 next-round #1)
+  * — the one commit path that MOVES rows between stores. The claim
+  * under test is the transactional-handoff contract
+  * ([[RealtimeDatasource]] companion doc): the historical manifest
+  * create is the single commit point for a publish, carrying the
+  * spill watermark in the same rename, so EVERY reachable crash state
+  * serves each row exactly once — in the pre-handoff store or the
+  * post-handoff store, never both, never neither.
+  *
+  * Method (the SegmentLayoutCrashPropertySpec injection pattern):
+  * every MUTATING FileSystem call of a generated {persist,
+  * consolidate, publish, drop-sink} sequence goes through [[CrashFs]],
+  * which kills the writer after a generated op budget. After each
+  * crash the union a reader would serve is recomputed from disk
+  * exactly like the instance read paths do — historical rows via
+  * `SegmentLayout.resolve` + live leaf dirs, window rows via
+  * [[RealtimeDatasource.liveSpillDirs]] over the marker AND the
+  * manifest watermark — and must equal the model's pre- OR
+  * post-operation row multiset (for a publish the two are EQUAL: a
+  * handoff moves rows, so the union invariant is crash-point-free).
+  * The writer then retries crash-free, recomputing its publishable
+  * set against the watermark like the real
+  * [[RealtimeDatasource]].publishSpill does, and must land exactly on
+  * the model's post state.
+  *
+  * The ops drive the factored pure-filesystem commit steps
+  * ([[RealtimeDatasource.commitHandoffFs]] →
+  * SegmentLayout.commitStagedAppend) against hand-staged dirs, so one
+  * scenario costs milliseconds, not a Spark job — the run drives
+  * >500 interleavings with crashes injected before every mutation
+  * point of the publish protocol. */
+class RealtimeHandoffCrashPropertySpec
+    extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  private val hconf = new Configuration()
+
+  // a crash between the publish lock's create and the manifest rename
+  // leaves an orphan lock the retry must break after the mtime lease;
+  // at full lease the recovery would dominate the run's wall time
+  private var prevDelay = 0L
+  private var prevGrace = 0L
+  override def beforeAll(): Unit = {
+    prevDelay = SegmentLayout.lockRetryDelayMs
+    prevGrace = SegmentLayout.orphanBreakGraceMs
+    SegmentLayout.lockRetryDelayMs = 1L
+    SegmentLayout.orphanBreakGraceMs = 5L
+  }
+  override def afterAll(): Unit = {
+    SegmentLayout.lockRetryDelayMs = prevDelay
+    SegmentLayout.orphanBreakGraceMs = prevGrace
+  }
+
+  /** a FileSystem whose MUTATIONS die after `budget` calls. Reads are
+    * never injected (the verifier and a concurrent reader use the real
+    * fs). */
+  private final class CrashFs(raw: FileSystem, budget: AtomicInteger)
+      extends FilterFileSystem(raw) {
+    setConf(raw.getConf)
+    private def tick(): Unit =
+      if (budget.decrementAndGet() < 0)
+        throw new java.io.IOException("injected crash")
+    override def create(
+        f: Path, permission: FsPermission, overwrite: Boolean,
+        bufferSize: Int, replication: Short, blockSize: Long,
+        progress: Progressable): FSDataOutputStream = {
+      tick()
+      fs.create(f, permission, overwrite, bufferSize, replication,
+        blockSize, progress)
+    }
+    override def rename(src: Path, dst: Path): Boolean = {
+      tick(); fs.rename(src, dst)
+    }
+    override def delete(f: Path, recursive: Boolean): Boolean = {
+      tick(); fs.delete(f, recursive)
+    }
+    override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+      tick(); fs.mkdirs(f, permission)
+    }
+    override def mkdirs(f: Path): Boolean = {
+      tick(); fs.mkdirs(f)
+    }
+  }
+
+  // ---------------------------------------------------------- model
+
+  /** each spill batch id carries one row token per bucket it touches;
+    * a row is `"<id>:<bucket>"`. The fixture cycles batches over two
+    * buckets so publishes span multiple bucket renames (the
+    * multi-bucket atomicity the manifest flip must cover). */
+  private val Buckets = Vector("2024-01-01T00", "2024-01-02T00")
+  private def bucketsOf(id: Long): Seq[String] =
+    if (id % 3 == 2) Buckets else Seq(Buckets((id % 2).toInt))
+  private def rowsOf(id: Long): Set[String] =
+    bucketsOf(id).map(b => s"$id:$b").toSet
+
+  private sealed trait Op
+  /** spill a new micro-batch; `commits` = its offsets reach the commit
+    * log (Structured Streaming commits in order, so the generator only
+    * commits when every earlier batch committed). */
+  private case class Persist(commits: Boolean) extends Op
+  /** consolidate committed live dirs into merged=<maxId> (the
+    * intermediate-persist merge) — staged + renamed like the real
+    * compactSpillWindowCore. */
+  private case object Consolidate extends Op
+  /** the handoff publish: stage publishable rows under the historical
+    * dir, then the pure-fs transactional commit. */
+  private case object Publish extends Op
+  /** drop-sink (abort with caller-owned state): the spill dir is
+    * deleted wholesale; unpublished window rows are abandoned (the
+    * documented at-most-once task-failure path), published rows stay. */
+  private case object DropSink extends Op
+
+  private case class ModelState(
+      nextId: Long,
+      committed: Set[Long],
+      /** live spill ids (not yet published/abandoned). */
+      window: Set[Long],
+      /** ids whose rows the historical store serves. */
+      published: Set[Long]) {
+    def allRows: Set[String] =
+      (window ++ published).flatMap(rowsOf)
+  }
+
+  private def applyOp(m: ModelState, op: Op): ModelState = op match {
+    case Persist(commits) =>
+      val canCommit = commits && m.committed.size == m.nextId
+      m.copy(
+        nextId = m.nextId + 1,
+        committed = if (canCommit) m.committed + m.nextId else m.committed,
+        window = m.window + m.nextId)
+    case Consolidate => m // pure re-arrangement: row set unchanged
+    case Publish =>
+      val pub = m.window.intersect(m.committed)
+      m.copy(window = m.window -- pub, published = m.published ++ pub)
+    case DropSink => m.copy(window = Set.empty)
+  }
+
+  // ------------------------------------------------------- execution
+
+  private def rawFs(p: String): FileSystem = new Path(p).getFileSystem(hconf)
+
+  private def writeRowFile(fs: FileSystem, dir: Path, row: String): Unit = {
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, s"row-${row.replace(':', '_')}.parquet"), true)
+    try out.write(row.getBytes) finally out.close()
+  }
+
+  /** spill batch=<id>: one file per row token (raw rows carry no
+    * bucket layout — bucketing happens at publish staging, like
+    * Ingest.prepare does). */
+  private def persistBatch(fs: FileSystem, spillDir: String, id: Long): Unit = {
+    val staging = new Path(s"$spillDir/.staging-$id")
+    rowsOf(id).foreach(r => writeRowFile(fs, staging, r))
+    val dest = new Path(s"$spillDir/batch=$id")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    require(fs.rename(staging, dest), s"spill rename failed: $dest")
+  }
+
+  /** the ids a live spill dir carries, read back from its row files. */
+  private def idsIn(fs: FileSystem, d: Path): Set[Long] =
+    fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(_.startsWith("row-")).map(_.stripPrefix("row-")
+        .takeWhile(_ != '_').toLong).toSet
+
+  private def rowsInDir(fs: FileSystem, d: Path): Set[String] =
+    fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(_.startsWith("row-"))
+      .map(_.stripPrefix("row-").stripSuffix(".parquet").replace('_', ':'))
+      .toSet
+
+  /** consolidate committed live dirs (copy row files into a staged
+    * merged=<maxId>, rename in) — the compactSpillWindowCore shape
+    * with hand-copied files instead of a Spark rewrite. */
+  private def consolidate(
+      fs: FileSystem, spillDir: String, committed: Set[Long],
+      upTo: Option[Long]): Unit = {
+    val live = RealtimeDatasource.liveSpillDirs(
+      fs, spillDir, RealtimeDatasource.readMarker(fs, spillDir), upTo)
+    val mergeable = live.filter(d =>
+      d.getName.startsWith("merged=") ||
+        committed.contains(RealtimeDatasource.dirId(d.getName)))
+    if (mergeable.size <= 1) return
+    val top = mergeable.map(d => RealtimeDatasource.dirId(d.getName)).max
+    val staging = new Path(s"$spillDir/.staging-merged-$top")
+    mergeable.foreach(d =>
+      rowsInDir(fs, d).foreach(r => writeRowFile(fs, staging, r)))
+    val dest = new Path(s"$spillDir/merged=$top")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    require(fs.rename(staging, dest), s"merge rename failed: $dest")
+  }
+
+  /** the publish, exactly the real publishSpill's pure-fs shape:
+    * recompute the publishable set from the live dirs + commit log +
+    * watermark (so a RETRY after a landed-then-crashed commit
+    * publishes nothing twice), hand-stage the rows bucketed, and run
+    * [[RealtimeDatasource.commitHandoffFs]] through `fs` (possibly
+    * crash-injecting). */
+  private def publish(
+      fs: FileSystem, realFs: FileSystem, spillDir: String, histDd: String,
+      committed: Set[Long], rtKey: String): Unit = {
+    val upTo = RealtimeDatasource.publishedUpTo(hconf, histDd, rtKey)
+    val live = RealtimeDatasource.liveSpillDirs(
+      realFs, spillDir, RealtimeDatasource.readMarker(realFs, spillDir), upTo)
+    val pub = RealtimeDatasource.publishable(live, Some(committed))
+    if (pub.isEmpty) return
+    SegmentLayout.sweepStaging(realFs, histDd)
+    // staging through the REAL fs — the crash model targets the COMMIT
+    // steps; a crash mid-staging trivially leaves the hidden dir
+    val staging = s"$histDd/${SegmentLayout.StagingPrefix}rt_test"
+    val ids = pub.flatMap(d => idsIn(realFs, d)).toSet
+    for (id <- ids; b <- bucketsOf(id))
+      writeRowFile(realFs,
+        new Path(s"$staging/${Ingest.BucketCol}=$b"), s"$id:$b")
+    val markerNames =
+      if (pub.size == live.size) Set.empty[String]
+      else RealtimeDatasource.readMarker(realFs, spillDir)
+        .getOrElse(Set.empty) ++ pub.map(_.getName)
+    RealtimeDatasource.commitHandoffFs(
+      fs, spillDir, histDd, staging, rtKey,
+      pub.map(d => RealtimeDatasource.dirId(d.getName)).max, markerNames)
+  }
+
+  private def execute(
+      fs: FileSystem, realFs: FileSystem, spillDir: String, histDd: String,
+      m: ModelState, op: Op, rtKey: String): Unit = op match {
+    case Persist(_) =>
+      // the real lifecycle: a batch can only land after startRealtime,
+      // whose reclaim clears the published marker (a full-publish
+      // marker would otherwise hide the new batch). Running it through
+      // the (possibly crash-injecting) fs also property-tests the
+      // restart-recovery deletes — every dir they touch is already
+      // invisible, so any crash point must leave the union unchanged.
+      RealtimeDatasource.reclaimForStart(fs, spillDir,
+        RealtimeDatasource.publishedUpTo(hconf, histDd, rtKey))
+      persistBatch(fs, spillDir, m.nextId)
+    case Consolidate =>
+      consolidate(fs, spillDir, m.committed,
+        RealtimeDatasource.publishedUpTo(hconf, histDd, rtKey))
+    case Publish => publish(fs, realFs, spillDir, histDd, m.committed, rtKey)
+    case DropSink => fs.delete(new Path(spillDir), true)
+  }
+
+  // --------------------------------------------------- reader's view
+
+  /** what the union (queryable) serves RIGHT NOW, as a row MULTISET —
+    * a row counted twice (both stores, or a resurfaced original plus
+    * its consolidation) is exactly the bug class under test, so the
+    * verifier must not set-collapse it. */
+  private def visibleUnion(
+      spillDir: String, histDd: String, rtKey: String): Map[String, Int] = {
+    val fs = rawFs(histDd)
+    val hist = {
+      val r = SegmentLayout.resolve(hconf, histDd)
+      r.liveLeafDirs(histDd).flatMap { leaf =>
+        val p = new Path(leaf)
+        if (!fs.exists(p)) Nil else rowsInDir(fs, p).toSeq
+      }
+    }
+    val window = {
+      val sfs = rawFs(spillDir)
+      val upTo = RealtimeDatasource.publishedUpTo(hconf, histDd, rtKey)
+      RealtimeDatasource.liveSpillDirs(
+        sfs, spillDir, RealtimeDatasource.readMarker(sfs, spillDir), upTo)
+        .flatMap { d =>
+          // window rows serve bucketed at query time (Ingest.prepare):
+          // expand each id file to its bucket rows
+          idsIn(sfs, d).toSeq.flatMap(id => rowsOf(id).toSeq)
+        }
+    }
+    (hist ++ window).groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  private def exactlyOnce(rows: Set[String]): Map[String, Int] =
+    rows.map(_ -> 1).toMap
+
+  // ------------------------------------------------------ generators
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    5 -> Gen.oneOf(true, false).map(Persist(_)),
+    2 -> Gen.const(Consolidate),
+    4 -> Gen.const(Publish),
+    1 -> Gen.const(DropSink))
+
+  private case class Scenario(ops: List[Op], crashAt: Int, budget: Int)
+
+  private val genScenario: Gen[Scenario] = for {
+    // open with a committed persist + publish-biased tail so most
+    // scenarios exercise the path under test with a non-empty window
+    rest <- Gen.listOfN(4, genOp)
+    ops = Persist(commits = true) :: rest
+    crashAt <- Gen.choose(1, ops.length - 1)
+    // op-aware budget so crashes actually land: a full publish issues
+    // up to ~15 mutations (per-bucket mkdirs+rename, manifest tmp
+    // create+rename+lock+rotation, sweep, staging delete, marker
+    // tmp+delete+rename) — the other ops at most ~6 (persist staging +
+    // rename, merge staging + rename, one recursive delete)
+    budget <- ops(crashAt) match {
+      case Publish => Gen.choose(0, 15)
+      case _ => Gen.choose(0, 5)
+    }
+  } yield Scenario(ops, crashAt, budget)
+
+  test("every crash point of the handoff protocol serves each row exactly once; the retry converges (>500 interleavings)") {
+    val iterations = 600
+    var crashesInjected = 0
+    var seed = rng.Seed(1717L)
+    for (i <- 0 until iterations) {
+      val scenario = genScenario.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-rtcrash-$i").toString
+      val spillDir = s"$root/spill"
+      val histDd = s"$root/hist"
+      val fs = rawFs(root)
+      fs.mkdirs(new Path(histDd))
+      val rtKey = s"ds-$i#0"
+      // half the tables start with pre-existing loose historical rows
+      // (the landHistorical shape) so first publishes flip a LOOSE
+      // table to managed, not just empty ones
+      var model = ModelState(0L, Set.empty, Set.empty, Set.empty)
+      val seededRows: Set[String] =
+        if (i % 2 == 0) {
+          val b = Buckets.head
+          writeRowFile(fs, new Path(s"$histDd/${Ingest.BucketCol}=$b"), s"seed:$b")
+          Set(s"seed:$b")
+        } else Set.empty
+      def check(legal: Set[Map[String, Int]], what: String): Unit = {
+        val seen = visibleUnion(spillDir, histDd, rtKey)
+        assert(legal.contains(seen),
+          s"iter $i $what: union served\n  $seen\nlegal:\n  " +
+            legal.mkString("\n  "))
+      }
+      for ((op, idx) <- scenario.ops.zipWithIndex) {
+        val pre = model
+        model = applyOp(model, op)
+        if (idx == scenario.crashAt) {
+          val crashFs = new CrashFs(fs, new AtomicInteger(scenario.budget))
+          val crashed =
+            try {
+              execute(crashFs, fs, spillDir, histDd, pre, op, rtKey); false
+            } catch { case e: java.io.IOException
+                if e.getMessage == "injected crash" => true }
+          if (crashed) crashesInjected += 1
+          // THE invariant: at every crash point the union serves each
+          // row exactly once — pre- or post-op multiset, nothing else.
+          // For Publish pre == post (rows only MOVE), so any
+          // double-serve or loss at any of its mutation points fails.
+          check(Set(
+            exactlyOnce(pre.allRows ++ seededRows),
+            exactlyOnce(model.allRows ++ seededRows)), s"op $idx ($op) crashed=$crashed budget=${scenario.budget}")
+          if (crashed) {
+            // single-writer recovery: the retry recomputes what is
+            // still unpublished/undropped and completes the operation
+            execute(fs, fs, spillDir, histDd, pre, op, rtKey)
+          }
+        } else {
+          execute(fs, fs, spillDir, histDd, pre, op, rtKey)
+        }
+        check(Set(exactlyOnce(model.allRows ++ seededRows)),
+          s"after op $idx ($op)")
+      }
+      fs.delete(new Path(root), true)
+    }
+    assert(crashesInjected > iterations / 4,
+      s"only $crashesInjected crashes in $iterations iterations — budgets too large")
+    info(s"$iterations interleavings, $crashesInjected injected crashes")
+  }
+}
