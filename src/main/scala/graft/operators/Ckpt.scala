@@ -50,6 +50,17 @@ object Ckpt {
   def drain(tag: String): Unit =
     pending.remove(tag).foreach(_.foreach(release))
 
+  /** RDD ids currently registered under `tag` — test observability, so
+    * specs can assert release behavior against THIS registry instead
+    * of global storage counts (which any other suite's lingering
+    * persisted RDD or async-unpersist lag can flake). */
+  private[graft] def registeredRddIds(tag: String): Set[Int] =
+    pending.getOrElse(tag, Nil).flatMap(df =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd.id)
+        case _ => None
+      }).toSet
+
   /** explicitly free a localCheckpoint'd DataFrame's storage blocks
     * (checkpointed RDDs have no public unpersist). No-op for other
     * plans. */

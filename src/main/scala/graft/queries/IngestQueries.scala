@@ -23,7 +23,9 @@ object IngestQueries {
       |       round(sum(value), 4) AS total,
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_q").toString
+    // registered for StreamStage's shared end-of-run sweep (ADVICE r16:
+    // per-invocation ingested copies leaked under Bench reps x SWEEP SFs)
+    val dir = StreamStage.tempDir("graft_rollup_q")
     val spec = IngestSpec(
       timeColumn = "ts",
       dimensions = Seq("event_type"),
@@ -59,8 +61,8 @@ object IngestQueries {
       |       CAST(count(*) AS BIGINT) AS cnt,
       |       round(sum(value), 4) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString
+    val dir = StreamStage.tempDir("graft_compact_in")
+    val out = StreamStage.tempDir("graft_compact_out")
     val spec = IngestSpec(
       timeColumn = "ts",
       dimensions = Seq("event_type"),
@@ -118,7 +120,7 @@ object IngestQueries {
       |       TRUE AS fence_ok, TRUE AS lock_ok
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     import graft.sources.{SegmentLayout, SegmentVersions}
-    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_fence").toString
+    val dir = StreamStage.tempDir("graft_fmt_fence")
     val spec = IngestSpec(timeColumn = "ts", segmentGranularity = "P1D")
     val ev = Tables.events(s, d).select(col("ts"), col("value"))
     Ingest.ingest(ev, spec, dir)
@@ -167,6 +169,15 @@ object IngestQueries {
     // form; the graded fold below runs over THIS state, hash-verifying
     // backward read compatibility (all entries are single-gen after
     // one slice replace)
+    // the r14 form can express ONLY single-generation/tombstone entries;
+    // assert the fixture invariant (one slice replace => single-gen)
+    // instead of letting a future multi-gen/loose-only shape throw a
+    // bare NoSuchElementException at `svs.head` (ADVICE r16)
+    r0.manifest.get.entries.foreach { case (b, e) =>
+      require(e.isTomb || (!e.loose && e.svs.size == 1),
+        s"pre-fmt rewrite expects single-gen/tombstone entries (one " +
+          s"slice replace on a fresh table); bucket $b is $e")
+    }
     val prefmt = r0.manifest.get.entries.map { case (b, e) =>
       s""""$b":${if (e.isTomb) """{"tomb":true}""" else s"""{"sv":${e.svs.head}}"""}"""
     }.mkString(",")

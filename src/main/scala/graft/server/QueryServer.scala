@@ -209,6 +209,29 @@ class QueryServer(
   // requires a UTC session (see IngestSql.requireUtcSession).
   storageRoot.foreach(_ => IngestSql.requireUtcSession(spark))
 
+  /** per-table statement serialization for segment mutations — the
+    * broker-side analog of the reference's task interval locks
+    * (TaskLockbox: concurrent ingest/compact/kill on one datasource
+    * QUEUE on the lock rather than fail;
+    * indexing-service/.../overlord/TaskLockbox.java). The filesystem
+    * manifest lock stays as the cross-process fence; this lock turns
+    * same-process statement races into fair FIFO waits, so a composed
+    * concurrent workload (append + REPLACE WHERE + kill + compact on
+    * one table) makes progress without client retry loops — and
+    * compaction's read→rewrite→version-flip can never overlap a
+    * concurrent append's commit and strand it in a pruned version
+    * (the lost-update window the single-writer contract documents).
+    * Locked by datasource NAME: every mutating statement resolves its
+    * table path under the same name space. */
+  private val tableWriteLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+  private def withTableWriteLock[T](table: String)(f: => T): T = {
+    val l = tableWriteLocks.computeIfAbsent(
+      table, _ => new java.util.concurrent.locks.ReentrantLock(true))
+    l.lock()
+    try f finally l.unlock()
+  }
+
   private val planner =
     new NativePlanner(spark, resolveWithIngested,
       resolveSegmentMeta = segmentMetaWithIngested)
@@ -795,13 +818,15 @@ class QueryServer(
               // no reader can be on them; still-live buckets tombstone
               // in ONE manifest commit (queries stop serving at the
               // flip, data reclaims on a re-kill)
-              val hidden = unusedBuckets.getOrElse(ds, Set.empty) ++
-                bucketsDroppedByRules(ds, path)
-              graft.sources.SegmentLayout.commitTombstones(
-                spark, dataDirOf(path),
-                IngestSql.bucketsInRange(start, end, g), hidden)
-              graft.sources.SegmentVersions.announce(
-                spark.sparkContext.hadoopConfiguration, path)
+              withTableWriteLock(ds) {
+                val hidden = unusedBuckets.getOrElse(ds, Set.empty) ++
+                  bucketsDroppedByRules(ds, path)
+                graft.sources.SegmentLayout.commitTombstones(
+                  spark, dataDirOf(path),
+                  IngestSql.bucketsInRange(start, end, g), hidden)
+                graft.sources.SegmentVersions.announce(
+                  spark.sparkContext.hadoopConfiguration, path)
+              }
               ("kill", ds)
             } else if (Option(node.get("type")).exists(_.asText() == "compact")) {
               // compaction task (reference CompactionTask): rewrite an
@@ -818,6 +843,7 @@ class QueryServer(
                 .map(it => Iterator.continually(it).takeWhile(_.hasNext)
                   .map(_.next().asText()).toSeq).getOrElse(Nil)
               val tmp = path + "_compacting"
+              withTableWriteLock(ds) {
               graft.sources.Ingest.compact(spark, dataDirOf(path), tmp, sortDims)
               val fs = new org.apache.hadoop.fs.Path(path)
                 .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -846,10 +872,12 @@ class QueryServer(
               cur.foreach(c => IngestSql.pruneVersions(spark, path, keep = c))
               graft.sources.SegmentVersions.announce(
                 spark.sparkContext.hadoopConfiguration, path)
+              }
               ("compact", ds)
             } else {
               val parsed = TaskSpec.parse(node)
-              val path = TaskSpec.run(graft.GraftSession.setup(spark), parsed, storageRoot.get)
+              val path = withTableWriteLock(parsed.datasource)(
+                TaskSpec.run(graft.GraftSession.setup(spark), parsed, storageRoot.get))
               ingested.put(parsed.datasource, path)
               ("index_parallel", parsed.datasource)
             }
@@ -1568,7 +1596,8 @@ class QueryServer(
             "SQL ingestion is not enabled on this server (no storageRoot)")
         val st = IngestSql.parse(sql)
         val t0 = System.currentTimeMillis()
-        val path = IngestSql.run(graft.GraftSession.setup(spark), st, storageRoot.get)
+        val path = withTableWriteLock(st.table)(
+          IngestSql.run(graft.GraftSession.setup(spark), st, storageRoot.get))
         ingested.put(st.table, path)
         taskLog.add(SystemTables.TaskRecord(
           taskId = qid, taskType = "query_controller", datasource = st.table,
@@ -1809,8 +1838,8 @@ class QueryServer(
                 throw new IllegalArgumentException(
                   "SQL ingestion is not enabled on this server (no storageRoot)")
               val st = IngestSql.parse(sql)
-              val path = IngestSql.run(
-                graft.GraftSession.setup(spark), st, storageRoot.get)
+              val path = withTableWriteLock(st.table)(IngestSql.run(
+                graft.GraftSession.setup(spark), st, storageRoot.get))
               ingested.put(st.table, path)
               taskLog.add(SystemTables.TaskRecord(
                 taskId = qid, taskType = "query_controller", datasource = st.table,

@@ -182,9 +182,25 @@ object Ingest {
     val json = mapper.writeValueAsString(root)
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // content-atomic (hidden temp + rename): a truncate-in-place
+    // rewrite let a concurrent reader (kill resolving the table's
+    // granularity mid-storm) parse a torn half-written body — found
+    // live by QueryServerStormSpec's composed append+kill race
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s".${MetaFile}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      // a concurrent writer's sidecar landed between our delete and
+      // rename (HDFS-style no-overwrite rename): theirs is as fresh —
+      // both writers serialize behind the same table statement lock in
+      // the server, so this is unreachable there; tolerate elsewhere
+      if (!fs.exists(p)) throw new java.io.IOException(
+        s"segment meta sidecar rename failed: $tmp -> $p")
+    }
     // the sidecar is part of the announced table state: callers write
     // data first (which invalidates), then the sidecar — a query racing
     // that gap would otherwise memoize the STALE sidecar under the new
@@ -196,7 +212,10 @@ object Ingest {
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
+    // the writer's delete→rename swap has a no-sidecar instant; a
+    // reader landing inside it sees "no meta", same as pre-create
+    val in = try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
     val body = try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)

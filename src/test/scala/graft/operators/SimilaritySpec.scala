@@ -146,14 +146,31 @@ class SimilaritySpec extends SparkSpec {
         .count()
       n > 0 && n < 8
     }.getOrElse(fail("no fraction yields a small nonempty sample"))
-    val before = spark.sparkContext.getRDDStorageInfo.length
+    val beforeIds = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
     Similarity.ivfCentroids(corpus, "id", "vec",
       nCentroids = 8, iterations = 1, trainFraction = tf, tag = "spec_release")
-    val after = spark.sparkContext.getRDDStorageInfo.length
-    // fallback path pins the full-corpus checkpoint + the final
-    // centroid table; the superseded SAMPLED checkpoint must be gone
-    assert(after - before <= 2,
-      s"sampled checkpoint still pinned: $before -> $after RDDs with storage")
+    // assert against the Ckpt REGISTRY, not global storage counts
+    // (ADVICE r16: another suite's lingering persisted RDD in the
+    // shared session could flake a global-count delta): the fallback
+    // path ends with exactly the full-corpus checkpoint + the final
+    // centroid table registered, and nothing NEW is pinned outside
+    // those two — i.e. the superseded SAMPLED checkpoint was released.
+    val regIds = graft.operators.Ckpt.registeredRddIds("spec_release")
+    assert(regIds.size == 2,
+      s"fallback must leave exactly {full-corpus ckpt, centroids} registered: $regIds")
+    // async-unpersist lag tolerance: retry briefly before failing
+    var newPinned = Set.empty[Int]
+    val deadline = System.currentTimeMillis() + 5000L
+    var ok = false
+    while (!ok && System.currentTimeMillis() < deadline) {
+      newPinned =
+        spark.sparkContext.getRDDStorageInfo.map(_.id).toSet -- beforeIds
+      ok = newPinned.subsetOf(regIds)
+      if (!ok) Thread.sleep(100L)
+    }
+    assert(ok,
+      s"sampled checkpoint still pinned: new storage ${newPinned -- regIds} " +
+        s"outside the registered set $regIds")
     graft.operators.Ckpt.drain("spec_release")
   }
 
