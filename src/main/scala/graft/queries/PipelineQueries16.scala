@@ -382,7 +382,114 @@ object PipelineQueries16 {
     }
   }
 
+  /** transactional-handoff crash recovery, hash-graded (the r17
+    * protocol change, as a registry entry): the handoff is interrupted
+    * at its WORST crash point — the historical manifest (data + the
+    * publish watermark, one atomic create) has landed but the spill's
+    * published-marker never wrote. Pre-r17 that state double-served
+    * the window (spill still live, rows also in the historical store)
+    * and a restart re-published it. The graded output carries the
+    * post-crash union (crash_* columns — a fresh datasource over the
+    * crashed state must already serve each row exactly once: the
+    * watermark hides the published spill) joined to the answer after
+    * the REAL recovery path ran (restart reclaim + retried handoff,
+    * which must publish nothing new). Oracle = the batch aggregate
+    * over all events, duplicated into both column sets: a double-serve,
+    * a lost window, or a re-publish breaks the hash. */
+  val streamingUnionCrashPublish: Q = q(
+    "streaming_union_crash_publish",
+    """WITH e AS (SELECT date_trunc('hour', ts) AS b,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events)
+      |SELECT epoch_ms(b) AS bucket_ms,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(count(*) AS BIGINT) AS crash_cnt,
+      |       CAST(sum(cents) AS BIGINT) AS crash_sum_cents
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.{SegmentLayout, SegmentVersions}
+    import graft.streaming.RealtimeDatasource
+    val n = "streaming_union_crash_publish"
+    Phases.reset(n)
+    val ev = centsEvents(s, d)
+    val cut = Phases.timed(n, "bounds")(midpointCut(ev))
+    val histDir = Phases.timed(n, "land_historical")(
+      landHistorical(s, ev.filter(col("ts") < cut)))
+    val state = StreamStage.tempDir("graft_rt_state")
+    val srcDir = Phases.timed(n, "stage_source")(
+      StreamStage.stageDir(s, ev.filter(col("ts") >= cut)))
+    val first = new RealtimeDatasource(s, rollupSpec, histDir,
+      stateDir = Some(state))
+    val sq = Phases.timed(n, "start_stream")(
+      first.startRealtime(StreamStage.openStream(s, srcDir)))
+    Phases.timed(n, "stream_ingest")(sq.processAllAvailable())
+    Phases.timed(n, "detach")(first.detach()) // spill + offsets persist
+
+    // the interrupted handoff: exactly publishSpill's steps, stopping
+    // right AFTER the atomic manifest flip — before the marker write —
+    // i.e. the crash point the watermark protocol exists to cover
+    Phases.timed(n, "crash_publish") {
+      val hconf = s.sparkContext.hadoopConfiguration
+      val spillDir = s"$state/spill"
+      val fs = new org.apache.hadoop.fs.Path(histDir).getFileSystem(hconf)
+      def readSmall(p: String): String = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(p))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      val rtKey = readSmall(s"$state/_rt_id") + "#0" // fresh state: epoch 0
+      val committed = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$state/ckpt/commits")).toSeq
+        .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong).toSet
+      val dd = SegmentLayout.dataDir(hconf, histDir)
+      val pub = RealtimeDatasource.publishable(
+        RealtimeDatasource.liveSpillDirs(fs, spillDir,
+          RealtimeDatasource.readMarker(fs, spillDir), None),
+        Some(committed))
+      require(pub.nonEmpty, "fixture must have a committed window to publish")
+      val staging = s"$dd/${SegmentLayout.StagingPrefix}rt_crash"
+      Ingest.prepare(
+        s.read.parquet(pub.map(_.toString): _*),
+        rollupSpec.copy(transforms = Nil, rowFilter = None))
+        .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
+      val upTo = pub.map(p => RealtimeDatasource.dirId(p.getName)).max
+      SegmentLayout.commitStagedAppend(fs, dd, staging,
+        rt => rt + (rtKey -> upTo)) // <- the manifest flip lands...
+      // ...and the writer "crashes" here: NO marker write
+      SegmentVersions.announce(hconf, histDir)
+      require(RealtimeDatasource.publishedUpTo(hconf, dd, rtKey)
+        .contains(upTo), "the watermark must ride the manifest")
+      require(RealtimeDatasource.readMarker(fs, spillDir).isEmpty,
+        "the crash point is before the marker write")
+    }
+
+    // a fresh datasource over the crashed state: the union must ALREADY
+    // be exactly-once (watermark hides the published spill dirs)
+    val crashed = new RealtimeDatasource(s, rollupSpec, histDir,
+      stateDir = Some(state))
+    try {
+      val crashView = Phases.timed(n, "post_crash_query")(
+        hourlyFold(crashed.queryable()).localCheckpoint())
+      // the REAL recovery: retried handoff recomputes its publishable
+      // set against the watermark and must publish nothing new
+      Phases.timed(n, "retry_handoff")(crashed.handoff())
+      require(crashed.realtimeRows().isEmpty,
+        "retry must leave no live window")
+      Phases.timed(n, "post_recovery_query")(
+        hourlyFold(crashed.queryable())
+          .join(crashView.select(col("bucket_ms"),
+            col("cnt").as("crash_cnt"),
+            col("sum_cents").as("crash_sum_cents")),
+            Seq("bucket_ms"))
+          .orderBy(col("bucket_ms"))
+          .localCheckpoint())
+    } finally Phases.timed(n, "teardown") {
+      crashed.abort()
+      StreamStage.cleanup()
+    }
+  }
+
   val all: Seq[Q] = Seq(streamingUnionQuery, streamingUnionHandoff,
     streamingUnionResume, streamingUnionRestart, streamingUnionReset,
-    streamingUnionPersistMerge)
+    streamingUnionPersistMerge, streamingUnionCrashPublish)
 }

@@ -31,16 +31,16 @@ import graft.sources.Ingest.IngestSpec
 object RealtimeDatasource {
 
   /** id of a spill segment dir (`batch=<id>` or `merged=<id>`). */
-  private[streaming] def dirId(name: String): Long =
+  private[graft] def dirId(name: String): Long =
     name.stripPrefix("batch=").stripPrefix("merged=").toLong
 
-  private[streaming] def markerPath(spillDir: String): Path =
+  private[graft] def markerPath(spillDir: String): Path =
     new Path(s"$spillDir/_published")
 
   /** marker contents: None = no marker; Some(empty) = whole window
     * published; Some(names) = those dirs published (hidden from the
     * live set). */
-  private[streaming] def readMarker(
+  private[graft] def readMarker(
       fs: FileSystem, spillDir: String): Option[Set[String]] = {
     val p = markerPath(spillDir)
     if (!fs.exists(p)) return None
@@ -83,7 +83,7 @@ object RealtimeDatasource {
     * into `histDd`. None when the table is unmanaged or carries no
     * entry for the key. Uncached resolve — instance read paths go
     * through the epoch-memoized wrapper. */
-  private[streaming] def publishedUpTo(
+  private[graft] def publishedUpTo(
       hconf: org.apache.hadoop.conf.Configuration, histDd: String,
       rtKey: String): Option[Long] =
     try SegmentLayout.resolve(hconf, histDd).manifest.flatMap(_.rt.get(rtKey))
@@ -97,7 +97,7 @@ object RealtimeDatasource {
     * consolidated, so hiding it cannot resurface already-published
     * rows. Superseded dirs stay on disk so plans built before a
     * compaction keep their snapshot — garbage, not live. */
-  private[streaming] def liveSpillDirs(
+  private[graft] def liveSpillDirs(
       fs: FileSystem, spillDir: String,
       marker: Option[Set[String]], upTo: Option[Long]): Seq[Path] = {
     val p = new Path(spillDir)
@@ -125,7 +125,7 @@ object RealtimeDatasource {
     * compactSpillWindow's construction). A MISSING commit log means no
     * offsets ever committed — every dir is replayable, nothing
     * publishes. */
-  private[streaming] def publishable(
+  private[graft] def publishable(
       live: Seq[Path], committed: Option[Set[Long]]): Seq[Path] =
     committed match {
       case Some(ids) => live.filter(d =>
