@@ -468,21 +468,26 @@ object PipelineQueries16 {
     val crashed = new RealtimeDatasource(s, rollupSpec, histDir,
       stateDir = Some(state))
     try {
+      // Ckpt-recycled (both checkpoints): a raw localCheckpoint on a
+      // repeated path pins blocks across invocations — the documented
+      // warm>cold bench-drift class
       val crashView = Phases.timed(n, "post_crash_query")(
-        hourlyFold(crashed.queryable()).localCheckpoint())
+        graft.operators.Ckpt.recycle(s"$n/crash",
+          hourlyFold(crashed.queryable()).localCheckpoint()))
       // the REAL recovery: retried handoff recomputes its publishable
       // set against the watermark and must publish nothing new
       Phases.timed(n, "retry_handoff")(crashed.handoff())
       require(crashed.realtimeRows().isEmpty,
         "retry must leave no live window")
       Phases.timed(n, "post_recovery_query")(
-        hourlyFold(crashed.queryable())
-          .join(crashView.select(col("bucket_ms"),
-            col("cnt").as("crash_cnt"),
-            col("sum_cents").as("crash_sum_cents")),
-            Seq("bucket_ms"))
-          .orderBy(col("bucket_ms"))
-          .localCheckpoint())
+        graft.operators.Ckpt.recycle(s"$n/out",
+          hourlyFold(crashed.queryable())
+            .join(crashView.select(col("bucket_ms"),
+              col("cnt").as("crash_cnt"),
+              col("sum_cents").as("crash_sum_cents")),
+              Seq("bucket_ms"))
+            .orderBy(col("bucket_ms"))
+            .localCheckpoint()))
     } finally Phases.timed(n, "teardown") {
       crashed.abort()
       StreamStage.cleanup()

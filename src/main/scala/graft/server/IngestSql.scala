@@ -223,17 +223,33 @@ object IngestSql {
         // REPLACE ... OVERWRITE ALL is ATOMIC via version directories
         // (the reference's versioned immutable segments: readers keep
         // the version they planned against; the new one serves only
-        // once fully committed). Write `_v=<N+1>` (Spark's _SUCCESS
-        // marker commits it), then prune versions older than the
-        // PREVIOUS current — in-flight readers of the previous version
-        // finish untouched; the dir they read dies at the NEXT replace.
+        // once fully committed). The new version is STAGED (hidden dot
+        // dir) and renamed in: the rename is the commit, and realtime
+        // publish watermarks can be carried into the copy BEFORE it —
+        // no reader can ever observe the table without them
+        // (SegmentLayout.carryRtWatermarks). `next` clears every dir
+        // on disk, committed or not, so the rename never lands onto a
+        // crashed REPLACE's leftover (it would nest or fail). Then
+        // prune versions older than the PREVIOUS current — in-flight
+        // readers of the previous version finish untouched; the dir
+        // they read dies at the NEXT replace. A crash mid-staging
+        // leaves only the hidden dot dir, overwritten by the retry.
+        val hconf = spark.sparkContext.hadoopConfiguration
         val prev = currentVersion(spark, path)
-        val next = prev.getOrElse(0L) + 1L
+        val next = math.max(
+          prev.getOrElse(0L),
+          graft.sources.SegmentLayout.maxVersionOnDisk(hconf, path)
+            .getOrElse(0L)) + 1L
+        val staging = s"$path/.graft_staging_v$next"
         arranged.write.mode("overwrite").partitionBy(Ingest.BucketCol)
-          .parquet(s"$path/$VersionPrefix$next")
-        // prune: everything strictly older than the PREVIOUS current —
-        // its own dir survives until the replace after, so in-flight
-        // readers finish on the files they planned against
+          .parquet(staging)
+        graft.sources.SegmentLayout.carryRtWatermarks(
+          hconf, dataDir(spark, path), staging)
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(staging),
+          new org.apache.hadoop.fs.Path(s"$path/$VersionPrefix$next")),
+          s"REPLACE ALL commit rename failed: $staging -> $VersionPrefix$next")
         prev.foreach(p => pruneVersions(spark, path, keep = p))
       case None =>
         // INSERT appends into the current version (legacy root when

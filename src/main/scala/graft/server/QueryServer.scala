@@ -865,6 +865,12 @@ class QueryServer(
               // never serve
               val next = graft.sources.SegmentLayout.maxVersionOnDisk(
                 spark.sparkContext.hadoopConfiguration, path).getOrElse(0L) + 1L
+              // realtime publish watermarks must survive the flip
+              // (SegmentLayout.carryRtWatermarks): written into the
+              // compacted copy BEFORE the rename so no reader can ever
+              // observe the table without them
+              graft.sources.SegmentLayout.carryRtWatermarks(
+                spark.sparkContext.hadoopConfiguration, dataDirOf(path), tmp)
               val dest = new org.apache.hadoop.fs.Path(
                 s"$path/${IngestSql.VersionPrefix}$next")
               require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dest),
@@ -1048,8 +1054,12 @@ class QueryServer(
           // concurrent query over the same source and checkpoint
           suspendedSupervisors.remove(parsed.datasource)
           // a replaced REALTIME supervisor hands its window off first
-          // (publish, don't drop arrived rows on the floor)
-          realtimeSupervisors.remove(parsed.datasource).foreach(_.handoff())
+          // (publish, don't drop arrived rows on the floor) — under the
+          // table statement lock: the handoff publishes into the table,
+          // and a concurrent compact's version flip would otherwise
+          // strand the just-published window in a pruned version
+          realtimeSupervisors.remove(parsed.datasource)
+            .foreach(r => withTableWriteLock(parsed.datasource)(r.handoff()))
           supervisors.remove(parsed.datasource).foreach(_._1.stop())
           // same inputSource → the durable checkpoint stands and the
           // new supervisor continues from the committed offsets (the
@@ -1086,8 +1096,11 @@ class QueryServer(
           suspendedSupervisors.remove(id)
           // realtime mode: terminate IS the handoff — the in-memory
           // window publishes to deep storage through the shared batch
-          // write path, then the table serves from parquet alone
-          realtimeSupervisors.remove(id).foreach(_.handoff())
+          // write path, then the table serves from parquet alone.
+          // Locked like every other segment mutation on the table
+          // (a racing compact flip must not strand the publish).
+          realtimeSupervisors.remove(id)
+            .foreach(r => withTableWriteLock(id)(r.handoff()))
           supervisors.remove(id) match {
             case Some((q, _)) => q.stop(); respond(ex, 200, s"""{"id":"$id"}""")
             case None => respond(ex, 404, s"""{"error":"supervisor [$id] not found"}""")
@@ -1134,7 +1147,8 @@ class QueryServer(
           supervisors.get(id) match {
             case Some((q, _)) =>
               realtimeSupervisors.get(id) match {
-                case Some(rtds) => rtds.suspend()
+                // suspend publishes the window — same lock discipline
+                case Some(rtds) => withTableWriteLock(id)(rtds.suspend())
                 case None => q.stop()
               }
               suspendedSupervisors.add(id)

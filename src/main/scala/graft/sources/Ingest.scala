@@ -185,7 +185,13 @@ object Ingest {
     // content-atomic (hidden temp + rename): a truncate-in-place
     // rewrite let a concurrent reader (kill resolving the table's
     // granularity mid-storm) parse a torn half-written body — found
-    // live by QueryServerStormSpec's composed append+kill race
+    // live by QueryServerStormSpec's composed append+kill race.
+    // Crashed writers' stale tmps are swept here (the one place that
+    // touches them), so they cannot accumulate at the table root.
+    try fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(s".$MetaFile.tmp."))
+      .foreach(st => fs.delete(st.getPath, false))
+    catch { case _: Exception => () }
     val tmp = new org.apache.hadoop.fs.Path(path,
       s".${MetaFile}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)

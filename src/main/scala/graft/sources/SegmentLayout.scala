@@ -429,9 +429,19 @@ object SegmentLayout {
     val waitStart = System.currentTimeMillis()
     while (true) {
       if (fs.exists(dest)) publishConflict(dd, n, "already exists")
-      val age =
-        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MinValue }
+      val mtime =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      // an mtime of <=0 means the FileSystem doesn't report one (some
+      // object-store connectors): the lease cannot be measured, so
+      // NEVER presume a crash — age 0 keeps the lock unbroken and the
+      // bounded wait budget below conflicts loudly instead of silently
+      // breaking a live holder's lock on every contention
+      val age = mtime match {
+        case None => Long.MinValue
+        case Some(t) if t > 0L => System.currentTimeMillis() - t
+        case Some(_) => 0L
+      }
       if (age == Long.MinValue) {
         // released (holder failed and cleaned up) — contend for it
         if (taken()) return
@@ -585,6 +595,30 @@ object SegmentLayout {
           else None
         num.exists(_ < m.n - 1)
       }.foreach(fs.delete(_, false))
+  }
+
+  /** carry realtime publish watermarks across a WHOLE-TABLE version
+    * flip (compact / REPLACE OVERWRITE ALL): the new version dir
+    * starts manifest-free, which would erase `Manifest.rt` — and a
+    * handoff that crashed between its manifest flip and its marker
+    * write relies on exactly that watermark to keep its published
+    * spill dirs hidden. Losing it would resurface them (double-serve)
+    * and let the retried handoff re-publish them. If the current data
+    * dir records watermarks, a minimal manifest (n=1, NO entries —
+    * every bucket keeps serving its loose files) carrying them is
+    * written into `newDd` BEFORE the flip renames it in, so the
+    * watermark is never observable-absent. Content-independence is
+    * deliberate: the watermark records which spill segments were
+    * CONSUMED, not what the table now holds — a REPLACE ALL that
+    * dropped those rows was the operator's explicit overwrite, and
+    * resurrecting the window would undo it. */
+  def carryRtWatermarks(
+      hconf: Configuration, curDd: String, newDd: String): Unit = {
+    val rt =
+      try resolve(hconf, curDd).manifest.map(_.rt).getOrElse(Map.empty)
+      catch { case _: Exception => Map.empty[String, Long] }
+    if (rt.nonEmpty)
+      writeManifest(fsOf(hconf, newDd), newDd, Manifest(1L, Map.empty, rt))
   }
 
   // ---------------------------------------------------------- reading

@@ -45,8 +45,12 @@ import org.apache.spark.sql.functions._
   * data dir with no generation dirs and no manifests left to walk. */
 class QueryServerStormSpec extends SparkSpec {
 
+  // ONE shared client (thread-safe): a client per request would churn
+  // a selector thread + connection pool for every call of the 30 s
+  // storm's six hot loops
+  private val client = HttpClient.newHttpClient()
+
   private def post(port: Int, path: String, body: String): (Int, String) = {
-    val client = HttpClient.newHttpClient()
     val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
       .POST(HttpRequest.BodyPublishers.ofString(body)).build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())

@@ -544,6 +544,49 @@ class SegmentLayoutSpec extends AnyFunSuite {
       s"mtime tie resolved to the older generation: ${empty.columns.toSeq}")
   }
 
+  test("rt watermarks ride every commit and survive a whole-table version flip") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dd = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    // a realtime publish recorded its watermark in the manifest
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((10L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+    refresh(dd)
+    val cur = SegmentLayout.resolve(hconf, dd).manifest.get
+    SegmentLayout.writeManifest(fs, dd,
+      SegmentLayout.Manifest(cur.n + 1, cur.entries, Map("ds-a#0" -> 7L)))
+    refresh(dd)
+    // every later commit carries it forward verbatim
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((20L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+    refresh(dd)
+    assert(SegmentLayout.resolve(hconf, dd).manifest.get.rt ==
+      Map("ds-a#0" -> 7L), "slice commit must carry rt forward")
+    // a whole-table version flip (compact / REPLACE ALL) starts the
+    // new dir manifest-free — carryRtWatermarks writes the minimal
+    // carrying manifest (no entries: loose buckets keep serving)
+    val newDd = java.nio.file.Files.createTempDirectory("graft-rt-carry").toString
+    slice(Seq((30L, "2024-01-03T00")))
+      .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(newDd)
+    SegmentLayout.carryRtWatermarks(hconf, dd, newDd)
+    refresh(newDd)
+    val carried = SegmentLayout.resolve(hconf, newDd)
+    assert(carried.manifest.get.rt == Map("ds-a#0" -> 7L),
+      "the flip target must carry the watermark")
+    assert(carried.manifest.get.entries.isEmpty &&
+      carried.liveBuckets == Seq("2024-01-03T00"),
+      "the carrying manifest must not hide the new version's loose buckets")
+    assert(sums(SegmentLayout.readData(spark, newDd))("2024-01-03T00") == 30L)
+    // and a table with NO watermarks flips manifest-free, unchanged
+    val plainDd = java.nio.file.Files.createTempDirectory("graft-rt-plain").toString
+    slice(Seq((1L, "2024-01-04T00")))
+      .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(plainDd)
+    SegmentLayout.carryRtWatermarks(hconf, newDd + "_absent", plainDd)
+    assert(!new java.io.File(plainDd).listFiles().map(_.getName)
+      .exists(_.startsWith(SegmentLayout.ManifestPrefix)),
+      "no watermarks -> no manifest written")
+  }
+
   test("manifest files rotate: older than n-1 deleted, concurrent same-n create fails loudly") {
     val dd = freshTable()
     for (i <- 1 to 3) {
