@@ -613,12 +613,18 @@ object SegmentLayout {
     * dropped those rows was the operator's explicit overwrite, and
     * resurrecting the window would undo it. */
   def carryRtWatermarks(
-      hconf: Configuration, curDd: String, newDd: String): Unit = {
+      hconf: Configuration, curDd: String, newDd: String): Unit =
+    carryRtWatermarks(fsOf(hconf, newDd), curDd, newDd)
+
+  /** fs-taking variant — the crash property spec routes the carrying
+    * manifest's mutations through its injector. */
+  private[graft] def carryRtWatermarks(
+      fs: FileSystem, curDd: String, newDd: String): Unit = {
     val rt =
-      try resolve(hconf, curDd).manifest.map(_.rt).getOrElse(Map.empty)
+      try resolve(fs.getConf, curDd).manifest.map(_.rt).getOrElse(Map.empty)
       catch { case _: Exception => Map.empty[String, Long] }
     if (rt.nonEmpty)
-      writeManifest(fsOf(hconf, newDd), newDd, Manifest(1L, Map.empty, rt))
+      writeManifest(fs, newDd, Manifest(1L, Map.empty, rt))
   }
 
   // ---------------------------------------------------------- reading

@@ -123,6 +123,14 @@ class RealtimeHandoffCrashPropertySpec
     * deleted wholesale; unpublished window rows are abandoned (the
     * documented at-most-once task-failure path), published rows stay. */
   private case object DropSink extends Op
+  /** whole-table version flip (compact / REPLACE OVERWRITE ALL): the
+    * live historical rows rewrite into a staged `_v=<next>` dir, the
+    * rt watermarks are CARRIED into it (SegmentLayout.carryRtWatermarks
+    * — the r17 review finding: a flip that dropped them would
+    * resurface published spill dirs), the rename commits, old
+    * versions prune. Sum-neutral: any crash point that loses or
+    * doubles a row fails the union invariant. */
+  private case object Flip extends Op
 
   private case class ModelState(
       nextId: Long,
@@ -143,6 +151,7 @@ class RealtimeHandoffCrashPropertySpec
         committed = if (canCommit) m.committed + m.nextId else m.committed,
         window = m.window + m.nextId)
     case Consolidate => m // pure re-arrangement: row set unchanged
+    case Flip => m        // sum-neutral rewrite: row set unchanged
     case Publish =>
       val pub = m.window.intersect(m.committed)
       m.copy(window = m.window -- pub, published = m.published ++ pub)
@@ -210,8 +219,11 @@ class RealtimeHandoffCrashPropertySpec
     * [[RealtimeDatasource.commitHandoffFs]] through `fs` (possibly
     * crash-injecting). */
   private def publish(
-      fs: FileSystem, realFs: FileSystem, spillDir: String, histDd: String,
+      fs: FileSystem, realFs: FileSystem, spillDir: String, histRoot: String,
       committed: Set[Long], rtKey: String): Unit = {
+    // resolve the CURRENT version dir, as the real publishSpill does —
+    // the table may have flipped since the last publish
+    val histDd = SegmentLayout.dataDir(hconf, histRoot)
     val upTo = RealtimeDatasource.publishedUpTo(hconf, histDd, rtKey)
     val live = RealtimeDatasource.liveSpillDirs(
       realFs, spillDir, RealtimeDatasource.readMarker(realFs, spillDir), upTo)
@@ -234,8 +246,45 @@ class RealtimeHandoffCrashPropertySpec
       pub.map(d => RealtimeDatasource.dirId(d.getName)).max, markerNames)
   }
 
+  /** the whole-table version flip, the QueryServer compact / IngestSql
+    * REPLACE ALL shape: stage the live rows (+_SUCCESS) through the
+    * REAL fs, then carry + rename + prune through the (possibly
+    * crash-injecting) fs. The carrying manifest rides the staged copy
+    * BEFORE the commit rename — the property this op exists to check. */
+  private def flip(fs: FileSystem, realFs: FileSystem, histRoot: String): Unit = {
+    val curDd = SegmentLayout.dataDir(hconf, histRoot)
+    val prev = SegmentLayout.currentVersion(hconf, histRoot)
+    val next = math.max(
+      prev.getOrElse(0L),
+      SegmentLayout.maxVersionOnDisk(hconf, histRoot).getOrElse(0L)) + 1L
+    val staging = new Path(s"$histRoot/.staging_v$next")
+    if (realFs.exists(staging)) realFs.delete(staging, true)
+    val r = SegmentLayout.resolve(hconf, curDd)
+    for (b <- r.liveBuckets; leaf <- r.liveLeafDirsOf(curDd, b);
+         row <- { val lp = new Path(leaf)
+           if (realFs.exists(lp)) rowsInDir(realFs, lp) else Set.empty[String] })
+      writeRowFile(realFs, new Path(s"$staging/${Ingest.BucketCol}=$b"), row)
+    realFs.create(new Path(staging, "_SUCCESS"), true).close()
+    // commit steps through the injector: carry, rename, prune
+    SegmentLayout.carryRtWatermarks(fs, curDd, staging.toString)
+    require(fs.rename(staging,
+      new Path(s"$histRoot/${SegmentLayout.VersionPrefix}$next")),
+      s"flip rename failed: $staging")
+    for (keep <- prev) {
+      val stale = realFs.listStatus(new Path(histRoot)).toSeq.filter { st =>
+        val nm = st.getPath.getName
+        (st.isDirectory && nm.startsWith(SegmentLayout.VersionPrefix) &&
+          scala.util.Try(nm.stripPrefix(SegmentLayout.VersionPrefix).toLong)
+            .toOption.exists(_ < keep)) ||
+          (st.isDirectory && keep >= 1L &&
+            nm.startsWith(Ingest.BucketCol + "="))
+      }
+      stale.foreach(st => fs.delete(st.getPath, true))
+    }
+  }
+
   private def execute(
-      fs: FileSystem, realFs: FileSystem, spillDir: String, histDd: String,
+      fs: FileSystem, realFs: FileSystem, spillDir: String, histRoot: String,
       m: ModelState, op: Op, rtKey: String): Unit = op match {
     case Persist(_) =>
       // the real lifecycle: a batch can only land after startRealtime,
@@ -245,13 +294,16 @@ class RealtimeHandoffCrashPropertySpec
       // restart-recovery deletes — every dir they touch is already
       // invisible, so any crash point must leave the union unchanged.
       RealtimeDatasource.reclaimForStart(fs, spillDir,
-        RealtimeDatasource.publishedUpTo(hconf, histDd, rtKey))
+        RealtimeDatasource.publishedUpTo(
+          hconf, SegmentLayout.dataDir(hconf, histRoot), rtKey))
       persistBatch(fs, spillDir, m.nextId)
     case Consolidate =>
       consolidate(fs, spillDir, m.committed,
-        RealtimeDatasource.publishedUpTo(hconf, histDd, rtKey))
-    case Publish => publish(fs, realFs, spillDir, histDd, m.committed, rtKey)
+        RealtimeDatasource.publishedUpTo(
+          hconf, SegmentLayout.dataDir(hconf, histRoot), rtKey))
+    case Publish => publish(fs, realFs, spillDir, histRoot, m.committed, rtKey)
     case DropSink => fs.delete(new Path(spillDir), true)
+    case Flip => flip(fs, realFs, histRoot)
   }
 
   // --------------------------------------------------- reader's view
@@ -261,8 +313,10 @@ class RealtimeHandoffCrashPropertySpec
     * its consolidation) is exactly the bug class under test, so the
     * verifier must not set-collapse it. */
   private def visibleUnion(
-      spillDir: String, histDd: String, rtKey: String): Map[String, Int] = {
-    val fs = rawFs(histDd)
+      spillDir: String, histRoot: String, rtKey: String): Map[String, Int] = {
+    val fs = rawFs(histRoot)
+    // version-aware, like every real reader: the current committed dir
+    val histDd = SegmentLayout.dataDir(hconf, histRoot)
     val hist = {
       val r = SegmentLayout.resolve(hconf, histDd)
       r.liveLeafDirs(histDd).flatMap { leaf =>
@@ -293,7 +347,8 @@ class RealtimeHandoffCrashPropertySpec
     5 -> Gen.oneOf(true, false).map(Persist(_)),
     2 -> Gen.const(Consolidate),
     4 -> Gen.const(Publish),
-    1 -> Gen.const(DropSink))
+    1 -> Gen.const(DropSink),
+    2 -> Gen.const(Flip))
 
   private case class Scenario(ops: List[Op], crashAt: Int, budget: Int)
 
@@ -310,6 +365,9 @@ class RealtimeHandoffCrashPropertySpec
     // rename, merge staging + rename, one recursive delete)
     budget <- ops(crashAt) match {
       case Publish => Gen.choose(0, 15)
+      // flip commit: carrying manifest (lock + tmp + rename), the
+      // version rename, prune deletes
+      case Flip => Gen.choose(0, 8)
       case _ => Gen.choose(0, 5)
     }
   } yield Scenario(ops, crashAt, budget)
@@ -324,9 +382,9 @@ class RealtimeHandoffCrashPropertySpec
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-rtcrash-$i").toString
       val spillDir = s"$root/spill"
-      val histDd = s"$root/hist"
+      val histRoot = s"$root/hist"
       val fs = rawFs(root)
-      fs.mkdirs(new Path(histDd))
+      fs.mkdirs(new Path(histRoot))
       val rtKey = s"ds-$i#0"
       // half the tables start with pre-existing loose historical rows
       // (the landHistorical shape) so first publishes flip a LOOSE
@@ -335,11 +393,11 @@ class RealtimeHandoffCrashPropertySpec
       val seededRows: Set[String] =
         if (i % 2 == 0) {
           val b = Buckets.head
-          writeRowFile(fs, new Path(s"$histDd/${Ingest.BucketCol}=$b"), s"seed:$b")
+          writeRowFile(fs, new Path(s"$histRoot/${Ingest.BucketCol}=$b"), s"seed:$b")
           Set(s"seed:$b")
         } else Set.empty
       def check(legal: Set[Map[String, Int]], what: String): Unit = {
-        val seen = visibleUnion(spillDir, histDd, rtKey)
+        val seen = visibleUnion(spillDir, histRoot, rtKey)
         assert(legal.contains(seen),
           s"iter $i $what: union served\n  $seen\nlegal:\n  " +
             legal.mkString("\n  "))
@@ -351,7 +409,7 @@ class RealtimeHandoffCrashPropertySpec
           val crashFs = new CrashFs(fs, new AtomicInteger(scenario.budget))
           val crashed =
             try {
-              execute(crashFs, fs, spillDir, histDd, pre, op, rtKey); false
+              execute(crashFs, fs, spillDir, histRoot, pre, op, rtKey); false
             } catch { case e: java.io.IOException
                 if e.getMessage == "injected crash" => true }
           if (crashed) crashesInjected += 1
@@ -365,10 +423,10 @@ class RealtimeHandoffCrashPropertySpec
           if (crashed) {
             // single-writer recovery: the retry recomputes what is
             // still unpublished/undropped and completes the operation
-            execute(fs, fs, spillDir, histDd, pre, op, rtKey)
+            execute(fs, fs, spillDir, histRoot, pre, op, rtKey)
           }
         } else {
-          execute(fs, fs, spillDir, histDd, pre, op, rtKey)
+          execute(fs, fs, spillDir, histRoot, pre, op, rtKey)
         }
         check(Set(exactlyOnce(model.allRows ++ seededRows)),
           s"after op $idx ($op)")
