@@ -349,7 +349,7 @@ object Dedup {
       // checkpoint + a separate witness-count scan. Labels only
       // decrease, so max(__changed) == 0 ⇔ fixed point.
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val next = prop
+      val nextLazy = prop
         .join(
           prop.select(col("id").as("cluster_id"), col("cluster_id").as("jump")),
           Seq("cluster_id"))
@@ -358,7 +358,16 @@ object Dedup {
         .select(col("id"), col("cluster_id"),
           (col("cluster_id") < col("__prev")).as("__changed"))
         .observe(obs, max(col("__changed").cast("int")).as("anyChanged"))
-        .localCheckpoint()
+      // plan-audit mode: each round necessarily checkpoints (pointer
+      // doubling builds on the previous round's materialized labels),
+      // so the per-round join tree never survives into the entry's
+      // final plan — dump round 0's composition before it truncates
+      if (iter == 0 && graft.queries.PlanMode.lazyPlans) {
+        println("=== dedup_clusters/phase:cc_pointer_doubling_round " +
+          "(message join + min-label agg + pointer jump, pre-checkpoint)")
+        nextLazy.explain("formatted")
+      }
+      val next = nextLazy.localCheckpoint()
       converged = obs.get.get("anyChanged").flatMap(Option(_)) match {
         case None => true // empty label table: trivially converged
         case Some(n) => n.asInstanceOf[Int] == 0

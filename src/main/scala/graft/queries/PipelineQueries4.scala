@@ -127,7 +127,16 @@ object PipelineQueries4 {
     // join tree, not `Scan ExistingRDD` (r16 directive #4).
     val labeled = cc.select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
-    if (PlanMode.lazyPlans) labeled
+    if (PlanMode.lazyPlans) {
+      // the banding/edge stage executes behind the signature base's
+      // materialize-once checkpoint (read three times), so the final
+      // tree alone can't show it — dump the phase's own composition
+      // (r16 directive #4's "or dump the per-phase plans" arm)
+      println("=== dedup_clusters/phase:lsh_banding_edges " +
+        "(band,bucket equi-join + signature rejoins, pre-propagation)")
+      edges.explain("formatted")
+      labeled
+    }
     else Phases.timed("dedup_clusters", "sort_output")(
       graft.operators.Ckpt.recycle("dedup_clusters/out",
         labeled.localCheckpoint()))
