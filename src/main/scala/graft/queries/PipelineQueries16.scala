@@ -432,12 +432,9 @@ object PipelineQueries16 {
       val hconf = s.sparkContext.hadoopConfiguration
       val spillDir = s"$state/spill"
       val fs = new org.apache.hadoop.fs.Path(histDir).getFileSystem(hconf)
-      def readSmall(p: String): String = {
-        val in = fs.open(new org.apache.hadoop.fs.Path(p))
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      }
-      val rtKey = readSmall(s"$state/_rt_id") + "#0" // fresh state: epoch 0
+      val rtKey = SegmentLayout.readSmallFile(
+        fs, new org.apache.hadoop.fs.Path(s"$state/_rt_id")).trim +
+        "#0" // fresh state: epoch 0
       val committed = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$state/ckpt/commits")).toSeq
         .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong).toSet

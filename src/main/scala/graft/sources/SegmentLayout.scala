@@ -83,6 +83,14 @@ object SegmentLayout {
     * hazard this field exists to prevent from ever recurring). */
   val ManifestFmt = 2L
 
+  /** format 3 = format 2 + the `rt` realtime publish watermarks
+    * (Manifest.rt). Written ONLY when watermarks are present, so
+    * watermark-free tables stay byte-identical to format 2 — and a
+    * format-2 engine, whose rewrite would silently DROP `rt` (erasing
+    * the crashed-handoff fence), refuses a watermarked table loudly at
+    * its own fmt check instead. */
+  val ManifestFmtRt = 3L
+
   /** a bucket's data generation: its loose top-level files, or a
     * numbered `_sv.K` dir. */
   sealed trait Gen
@@ -221,9 +229,12 @@ object SegmentLayout {
     * Resolving once per query pins the reader to a version a
     * concurrent REPLACE never deletes (it dies at the replace after). */
   def dataDir(hconf: Configuration, root: String): String =
-    try currentVersion(hconf, root)
+    // NO catch: listVersions handles an absent root (Nil -> the root
+    // itself). A real listing failure must propagate — falling back to
+    // the root of a FLIPPED table would read dirs pruneVersions has
+    // emptied, silently serving nothing instead of erroring retryably.
+    currentVersion(hconf, root)
       .map(v => s"$root/$VersionPrefix$v").getOrElse(root)
-    catch { case _: Exception => root }
 
   /** delete version dirs strictly older than `keep`, plus — once a
     * versioned current from a PREVIOUS commit exists (keep >= 1) —
@@ -287,7 +298,10 @@ object SegmentLayout {
   def liveLeafDirsOf(hconf: Configuration, dd: String, b: String): Seq[String] =
     resolveCached(hconf, dd).liveLeafDirsOf(dd, b)
 
-  private def readSmallFile(fs: FileSystem, p: Path): String = {
+  /** whole-file read of a small control file (manifest, lock body,
+    * marker, id/epoch sidecars) — the ONE reader every commit-protocol
+    * consumer shares, so close/error semantics stay uniform. */
+  private[graft] def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -306,10 +320,10 @@ object SegmentLayout {
     // manifests, formats 1 and 2 — both decodable below)
     val fmt = Option(node.get("fmt")).filterNot(_.isNull)
       .map(_.asLong()).getOrElse(1L)
-    if (fmt > ManifestFmt) throw new IllegalStateException(
+    if (fmt > ManifestFmtRt) throw new IllegalStateException(
       s"manifest $ManifestPrefix$n$ManifestSuffix under $dd declares " +
         s"format $fmt, written by a newer engine than this reader " +
-        s"(reads <= $ManifestFmt) — upgrade this engine before querying " +
+        s"(reads <= $ManifestFmtRt) — upgrade this engine before querying " +
         "the table; refusing rather than misreading newer segment state")
     import scala.jdk.CollectionConverters._
     val entries = Option(node.get("buckets")).map { b =>
@@ -409,17 +423,27 @@ object SegmentLayout {
     // token is written as the lock BODY — the ownership record the
     // failure-path release checks, so a verify-loser's cleanup can
     // never delete a lock a grace-breaking winner now owns.
-    def taken(): Boolean =
-      try {
-        val out = fs.create(lock, false)
-        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
+    def taken(): Boolean = {
+      val out =
+        try fs.create(lock, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return false
+          case e: java.io.IOException =>
+            if (fs.exists(lock)) return false else throw e
+        }
+      // the create SUCCEEDED: from here the lock is OURS. A failure
+      // writing the token body is a real I/O fault, not contention —
+      // remove our own lock before surfacing it, or we would wait out
+      // and lease-break our OWN empty-bodied lock (and an empty body
+      // also defeats the ownership check on the failure-path release).
+      try { out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close(); true }
+      catch { case t: Throwable =>
+        try out.close() catch { case _: Exception => () }
+        try fs.delete(lock, false) catch { case _: Exception => () }
+        throw t
       }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException => if (fs.exists(lock)) false else throw e
-      }
+    }
     if (taken()) return
     // held: wait the holder out against the lock's mtime LEASE. The
     // mtime is re-statted every pass, so a lock re-created by another
@@ -472,20 +496,26 @@ object SegmentLayout {
     // post-rename verify discriminator (readers ignore unknown fields)
     val writerToken = java.util.UUID.randomUUID().toString
     acquirePublishLock(fs, dd, m.n, writerToken)
+    val acquiredAt = System.currentTimeMillis()
     try publishLocked(fs, dd, m, writerToken)
     catch { case t: Throwable =>
       // a failed commit must not strand its lock: the documented retry
       // recomputes the SAME n when nothing landed, and would otherwise
       // burn the full orphan-break grace on every retry (handing a
       // concurrent writer the exact degradation window the lock
-      // narrows). Release ONLY while the lock body still carries OUR
-      // token: after a grace-break the single lock file for n may be
-      // the racing winner's, and deleting it mid-publish would
-      // downgrade the winner's fence to the check-then-act dest-exists
-      // check. Best-effort — an unreadable/foreign body leaks the
-      // lock and the orphan-break lease covers it, as before.
+      // narrows). Release ONLY while (a) we are still safely inside
+      // the lease — a break requires the lock's mtime age to exceed
+      // the grace, so within half of it NO racing writer can have
+      // legally re-created the lock and read-token-then-delete has no
+      // foreign lock to race — AND (b) the body still carries OUR
+      // token (the backstop for clock skew). Past the half-lease the
+      // lock is deliberately LEAKED: a grace-breaker may own it now,
+      // and deleting a winner's lock mid-publish would downgrade its
+      // fence to the check-then-act dest-exists check; the orphan
+      // lease reclaims the leak, as before.
       try {
-        if (readSmallFile(fs, new Path(dd, s"$LockPrefix${m.n}")) == writerToken)
+        if (System.currentTimeMillis() - acquiredAt < orphanBreakGraceMs / 2 &&
+            readSmallFile(fs, new Path(dd, s"$LockPrefix${m.n}")) == writerToken)
           fs.delete(new Path(dd, s"$LockPrefix${m.n}"), false)
       } catch { case _: Exception => () }
       throw t
@@ -501,7 +531,11 @@ object SegmentLayout {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("n", m.n)
-    root.put("fmt", ManifestFmt)
+    // the declared format is the format actually USED: watermark-free
+    // manifests stay fmt 2 (byte-identical to r16), rt-bearing ones
+    // declare fmt 3 so an rt-unaware engine refuses loudly instead of
+    // rewriting the watermark away (see ManifestFmtRt)
+    root.put("fmt", if (m.rt.nonEmpty) ManifestFmtRt else ManifestFmt)
     // the writer's one-time token: lets the post-rename verify
     // distinguish this writer's published body from a racing writer's
     // (readers ignore unknown fields)
@@ -620,9 +654,13 @@ object SegmentLayout {
     * manifest's mutations through its injector. */
   private[graft] def carryRtWatermarks(
       fs: FileSystem, curDd: String, newDd: String): Unit = {
-    val rt =
-      try resolve(fs.getConf, curDd).manifest.map(_.rt).getOrElse(Map.empty)
-      catch { case _: Exception => Map.empty[String, Long] }
+    // NO catch: resolve already yields manifest=None for an absent or
+    // unmanaged dir (rt legitimately empty). A real read failure here
+    // must fail the FLIP loudly — mapping it to "no watermarks" would
+    // commit the new version without the carrying manifest, i.e. the
+    // exact silent watermark loss this function exists to prevent.
+    val rt = resolve(fs.getConf, curDd).manifest.map(_.rt).getOrElse(
+      Map.empty[String, Long])
     if (rt.nonEmpty)
       writeManifest(fs, newDd, Manifest(1L, Map.empty, rt))
   }

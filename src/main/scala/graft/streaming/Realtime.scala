@@ -44,14 +44,7 @@ object RealtimeDatasource {
       fs: FileSystem, spillDir: String): Option[Set[String]] = {
     val p = markerPath(spillDir)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val body = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
-        .foreach(n => buf.write(chunk, 0, n))
-      buf.toString("UTF-8")
-    } finally in.close()
+    val body = SegmentLayout.readSmallFile(fs, p)
     Some(body.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
   }
 
@@ -86,8 +79,13 @@ object RealtimeDatasource {
   private[graft] def publishedUpTo(
       hconf: org.apache.hadoop.conf.Configuration, histDd: String,
       rtKey: String): Option[Long] =
-    try SegmentLayout.resolve(hconf, histDd).manifest.flatMap(_.rt.get(rtKey))
-    catch { case _: Exception => None }
+    // NO catch: resolve handles the legitimately-absent cases itself
+    // (missing dir / unmanaged table -> manifest=None). A real read
+    // failure — the fmt fence, a transient I/O error — must stay LOUD:
+    // mapping it to "nothing published" is exactly the double-serve /
+    // re-publish the watermark exists to prevent (and the None would
+    // be epoch-memoized by the caller until the next announce).
+    SegmentLayout.resolve(hconf, histDd).manifest.flatMap(_.rt.get(rtKey))
 
   /** live window dirs: the newest `merged=<C>` consolidation (if any)
     * plus the `batch=<id>` dirs with id > C, minus anything the marker
@@ -325,9 +323,7 @@ final class RealtimeDatasource(
     val p = new org.apache.hadoop.fs.Path(s"$stateRoot/_rt_id")
     val f = fs(stateRoot)
     if (f.exists(p)) {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+      SegmentLayout.readSmallFile(f, p).trim
     } else {
       val id = java.util.UUID.randomUUID().toString
       val out = f.create(p, true)
@@ -348,11 +344,7 @@ final class RealtimeDatasource(
       val f = fs(stateRoot)
       rtEpochMemo =
         if (!f.exists(p)) 0L
-        else {
-          val in = f.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-          finally in.close()
-        }
+        else SegmentLayout.readSmallFile(f, p).trim.toLong
     }
     rtEpochMemo
   }
@@ -519,9 +511,12 @@ final class RealtimeDatasource(
         // (SegmentLayout.readData), exactly like the server's resolver
         val hconf = spark.sparkContext.hadoopConfiguration
         val dd = histDataDir()
-        val resolved =
-          try SegmentLayout.resolveCached(hconf, dd)
-          catch { case _: Exception => SegmentLayout.Resolved(None, Nil) }
+        // NO catch: resolveCached yields manifest=None for absent /
+        // unmanaged dirs. A real failure (the fmt fence, transient
+        // I/O) must not downgrade a MANAGED table to a plain root
+        // read — underscore generation dirs are hidden to Spark, so
+        // that read would silently serve a loose-only subset.
+        val resolved = SegmentLayout.resolveCached(hconf, dd)
         if (resolved.managed) {
           if (resolved.liveLeafDirs(dd).nonEmpty)
             Some(SegmentLayout.readData(spark, dd))
@@ -534,15 +529,20 @@ final class RealtimeDatasource(
           // sidecars, so "any non-underscore name" would see nothing on
           // a filesystem without .crc sidecars (HDFS, object stores)
           // and silently drop the whole historical store.
-          val p = new org.apache.hadoop.fs.Path(historicalPath)
-          val f = fs(historicalPath)
+          // list and read the RESOLVED data dir, not the table root:
+          // after a version flip without watermarks (compact / REPLACE
+          // ALL on an rt-less table) the current dir is `_v=N` and the
+          // root holds only version dirs — a root listing would see no
+          // bucket/part entries and silently drop the whole store
+          val p = new org.apache.hadoop.fs.Path(dd)
+          val f = fs(dd)
           val hasData = f.exists(p) && f.getFileStatus(p).isDirectory &&
             f.listStatus(p).exists { s =>
               val n = s.getPath.getName
               (s.isDirectory && n.startsWith(Ingest.BucketCol + "=")) ||
                 (!s.isDirectory && n.startsWith("part-"))
             }
-          if (hasData) Some(spark.read.parquet(historicalPath)) else None
+          if (hasData) Some(spark.read.parquet(dd)) else None
         }
     }
 

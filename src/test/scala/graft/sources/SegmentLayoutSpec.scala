@@ -600,4 +600,99 @@ class SegmentLayoutSpec extends AnyFunSuite {
       manifests.mkString(","))
     assert(sums(SegmentLayout.readData(spark, dd))("2024-01-02T00") == 30L)
   }
+
+  test("rt-bearing manifests declare fmt 3; watermark-free stay byte-level fmt 2") {
+    val dd = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    def rawBody(n: Long): String = {
+      val p = new org.apache.hadoop.fs.Path(dd, s"_graft_manifest.$n.json")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // no watermarks: the declared format stays 2 — an rt-unaware
+    // engine keeps full interop on tables realtime never touched
+    SegmentLayout.commitSlice(spark, dd,
+      slice(Seq((10L, "2024-01-02T00"))), Seq("2024-01-02T00"))
+    refresh(dd)
+    assert(rawBody(1L).contains("\"fmt\":2"), rawBody(1L))
+    // with a watermark: fmt 3 — an rt-unaware (fmt<=2) engine REFUSES
+    // this table at its own fence instead of rewriting the manifest
+    // without `rt` and silently erasing the crashed-handoff cover
+    val cur = SegmentLayout.resolve(hconf, dd).manifest.get
+    SegmentLayout.writeManifest(fs, dd,
+      SegmentLayout.Manifest(cur.n + 1, cur.entries, Map("ds-a#0" -> 7L)))
+    refresh(dd)
+    assert(rawBody(2L).contains("\"fmt\":3"), rawBody(2L))
+    // this engine reads fmt 3 back fine, watermark intact
+    assert(SegmentLayout.resolve(hconf, dd).manifest.get.rt ==
+      Map("ds-a#0" -> 7L))
+    assert(sums(SegmentLayout.readData(spark, dd))("2024-01-02T00") == 10L)
+  }
+
+  test("a lock-body write failure surfaces as I/O and cleans up its own lock — never a self-wait") {
+    val dd = freshTable()
+    val raw = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    // a FileSystem whose lock-file create succeeds but whose body
+    // write fails (disk full mid-write)
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      setConf(raw.getConf)
+      override def create(
+          f: org.apache.hadoop.fs.Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+        val out = super.create(f, overwrite)
+        if (f.getName.startsWith(SegmentLayout.LockPrefix)) {
+          out.close() // the lock FILE landed; its body write will fail
+          new org.apache.hadoop.fs.FSDataOutputStream(
+            new java.io.OutputStream {
+              override def write(b: Int): Unit =
+                throw new java.io.IOException("disk full writing lock body")
+            }, null)
+        } else out
+      }
+    }
+    val m = SegmentLayout.Manifest(1L,
+      Map("2024-01-02T00" -> SegmentLayout.Entry.sv(0L)))
+    val e = intercept[java.io.IOException] {
+      SegmentLayout.writeManifest(failing, dd, m)
+    }
+    assert(e.getMessage.contains("disk full"), e.getMessage)
+    // the failed taker removed its own (empty-bodied) lock: a clean
+    // retry must succeed IMMEDIATELY, not wait out / lease-break an
+    // orphan the failure left behind
+    assert(!raw.exists(new org.apache.hadoop.fs.Path(
+      dd, s"${SegmentLayout.LockPrefix}1")),
+      "the failed create must not strand an empty-bodied lock")
+    val t0 = System.currentTimeMillis()
+    SegmentLayout.writeManifest(raw, dd, m)
+    assert(System.currentTimeMillis() - t0 < SegmentLayout.orphanBreakGraceMs,
+      "the retry must not burn the orphan-break lease")
+    refresh(dd)
+    assert(SegmentLayout.resolve(hconf, dd).manifest.get.n == 1L)
+  }
+
+  test("carryRtWatermarks fails the flip loudly on a watermark read failure") {
+    // mapping a read failure to "no watermarks" would commit the flip
+    // WITHOUT the carrying manifest — the silent watermark loss the
+    // function exists to prevent — so it must propagate instead. The
+    // injected failure is the fmt fence itself: the one read error
+    // that is GUARANTEED to recur until an operator acts.
+    val dd = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(dd).getFileSystem(hconf)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dd, "_graft_manifest.1.json"), true)
+    try out.write("""{"n":1,"fmt":99,"buckets":{}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    refresh(dd)
+    val newDd = java.nio.file.Files
+      .createTempDirectory("graft-carry-loud").toString
+    val e = intercept[IllegalStateException] {
+      SegmentLayout.carryRtWatermarks(hconf, dd, newDd)
+    }
+    assert(e.getMessage.contains("format 99"), e.getMessage)
+    // and nothing was committed into the flip target
+    assert(!new java.io.File(newDd).listFiles().map(_.getName)
+      .exists(_.startsWith(SegmentLayout.ManifestPrefix)))
+  }
 }

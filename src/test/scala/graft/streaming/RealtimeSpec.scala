@@ -386,4 +386,50 @@ class RealtimeSpec extends SparkSpec {
     try intercept[IllegalArgumentException](rtds.startRealtime(stream))
     finally { sq.stop(); rtds.abort() }
   }
+
+  test("historical store survives a whole-table version flip (manifest-free _v=N)") {
+    import spark.implicits._
+    val hist = tmp()
+    Ingest.ingest(
+      Seq(("a", m("2024-07-01T00:00:00Z"), 6L))
+        .toDF("k", "tsMs", "v").select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")),
+      spec, hist)
+    // a compact / REPLACE OVERWRITE ALL on a watermark-free table
+    // flips to `_v=1` with NO carrying manifest and prunes the root
+    // bucket dirs — the unmanaged fallback must list/read the RESOLVED
+    // data dir, not the root (which now holds only the version dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val f = new org.apache.hadoop.fs.Path(hist).getFileSystem(hconf)
+    val v1 = new org.apache.hadoop.fs.Path(s"$hist/_v=1")
+    f.mkdirs(v1)
+    f.listStatus(new org.apache.hadoop.fs.Path(hist))
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(Ingest.BucketCol + "="))
+      .foreach(s => assert(f.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(v1, s.getPath.getName))))
+    f.create(new org.apache.hadoop.fs.Path(v1, "_SUCCESS"), true).close()
+    graft.sources.SegmentVersions.invalidate(hist)
+    val rtds = new RealtimeDatasource(spark, spec, hist)
+    assert(fold(rtds.queryable()) == Map(m("2024-07-01T00:00:00Z") -> (1L, 6L)),
+      "the flipped store must keep serving through the resolved data dir")
+    rtds.abort()
+  }
+
+  test("a watermark read failure stays loud — never 'nothing published'") {
+    // swallowing it would epoch-memoize None and double-serve the
+    // published window (plus let a retried handoff re-publish it)
+    val hist = tmp()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val f = new org.apache.hadoop.fs.Path(hist).getFileSystem(hconf)
+    f.mkdirs(new org.apache.hadoop.fs.Path(hist))
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(hist, "_graft_manifest.1.json"), true)
+    try out.write("""{"n":1,"fmt":99,"buckets":{}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      RealtimeDatasource.publishedUpTo(hconf, hist, "ds#0")
+    }
+    assert(e.getMessage.contains("format 99"), e.getMessage)
+  }
 }
