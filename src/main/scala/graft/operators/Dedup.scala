@@ -318,17 +318,35 @@ object Dedup {
     // per round. On a cluster this is the same role GraphX's edge
     // partition caching plays; swap for a reliable checkpoint when the
     // lineage must survive executor loss on very long runs.
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    //
+    // Shuffle-shape choice (guide §2.3): canonicalize (min,max) BEFORE
+    // the dedup so the distinct shuffles |E| rows, not both directions
+    // (2|E|) — symmetrization is a map-side union AFTER it.
+    // Two alternatives were measured and rejected (r17 optimization
+    // round): a hash-pre-partitioned checkpoint (localCheckpoint's
+    // LogicalRDD reports UnknownPartitioning in Spark 4.1, so the
+    // layout never reaches the round joins) and a persisted
+    // repartition+sortWithinPartitions edge cache (partitioning DOES
+    // survive InMemoryRelation and the round joins go exchange-free,
+    // but the columnar encode + AQE suppression inside the cached plan
+    // cost more than the saved exchanges: label_propagation 1.82 s →
+    // 2.70 s at sf0.1/local[32]; revisit on a real cluster where the
+    // per-round 2|E| network shuffle dominates).
+    val canon = e.select(least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst")).distinct()
+    val sym = canon.union(
+      canon.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     // Propagate ONLY over edge endpoints. In a dedup graph the corpus
     // dwarfs the near-duplicate set, so isolated nodes (no edges)
     // would otherwise ride every round's shuffles just to keep their
     // own id — at 100 TB that's billions of rows per round for
-    // nothing. They are appended as singleton clusters at the end.
-    // checkpointed itself: the singleton append below reads it AFTER
-    // sym's blocks are released, so it must not re-trace sym's lineage
-    val endpoints = sym.select(col("src").as("id")).distinct().localCheckpoint()
-    var labels = endpoints.select(col("id"), col("id").as("cluster_id"))
+    // nothing. They are appended as singleton clusters at the end
+    // (via the final label table, whose id set is exactly the
+    // endpoint set — no separate endpoints checkpoint needed).
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -383,10 +401,10 @@ object Dedup {
       iter += 1
     }
     releaseLocalCheckpoint(sym)
-    // endpoints + the final label table stay referenced by the lazy
-    // plan returned below; with a recycle tag they are released by the
-    // NEXT same-tag invocation instead of leaking until session end
-    tag.foreach { t => Ckpt.register(t, endpoints); Ckpt.register(t, labels) }
+    // the final label table stays referenced by the lazy plan returned
+    // below; with a recycle tag it is released by the NEXT same-tag
+    // invocation instead of leaking until session end
+    tag.foreach(t => Ckpt.register(t, labels))
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
@@ -395,8 +413,12 @@ object Dedup {
     val connected = labels.select(col("id"), col("cluster_id"))
     nodes match {
       case Some((df, c)) =>
+        // anti-join against the label table: its id set IS the
+        // endpoint set (initial labels are exactly the endpoints and
+        // every round preserves the id set), so the old separate
+        // endpoints checkpoint bought nothing
         val isolated = df.select(col(c).as("id")).distinct()
-          .join(endpoints, Seq("id"), "left_anti")
+          .join(connected.select(col("id")), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("cluster_id"))
         connected.union(isolated)
       case None => connected

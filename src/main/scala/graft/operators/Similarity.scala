@@ -334,8 +334,14 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, kPrime: Int): DataFrame = {
     require(kPrime >= k, "kPrime must be >= k")
-    val cands = quantizedTopK(queries, qidCol, qvecCol, corpus, idCol, vecCol, kPrime)
-      .select(col("qid"), col("id"))
+    // the candidate set is bounded (|queries| × kPrime rows of two
+    // longs) — broadcast it so the exact re-rank joins the corpus scan
+    // in place; without the hint the planner has no size estimate for
+    // the window-derived frame and sort-merge-shuffles the CORPUS by
+    // id, the exact shuffle the two-pass design exists to avoid
+    val cands = broadcast(
+      quantizedTopK(queries, qidCol, qvecCol, corpus, idCol, vecCol, kPrime)
+        .select(col("qid"), col("id")))
     val q = broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")))
     val exact = cands
       .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
@@ -629,8 +635,11 @@ object Similarity {
     val books = codebooksFromSub(
       trainSlice(sub, trainFraction, m, kPerSpace), kPerSpace, iterations, tag)
     val codes = encodeFromSub(sub, books)
-    val cands = pqTopK(queries, qidCol, qvecCol, codes, books, m, kPrime)
-      .select(col("qid"), col("id"))
+    // bounded |queries| × kPrime candidate frame: broadcast so the
+    // exact pass joins the corpus in place (see quantizedRerankTopK)
+    val cands = broadcast(
+      pqTopK(queries, qidCol, qvecCol, codes, books, m, kPrime)
+        .select(col("qid"), col("id")))
     val q = broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")))
     val exact = cands
       .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))

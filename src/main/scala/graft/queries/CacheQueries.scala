@@ -64,9 +64,15 @@ object CacheQueries {
         Aggregator.ThetaSketch("usk", "user_id", lgNomEntries = 16)),
       Nil, None, None, Nil, Nil)
 
-    // populate pass: every day segment computed once, cached
-    val warm = scp.plan(query, useCache = true, populateCache = true)
-    val nDays = warm.select(col(Ingest.TimeCol)).distinct().count()
+    // populate pass: every day segment computed once, cached (the
+    // partial stage + admission execute eagerly inside plan()). nDays
+    // comes from the bucket listing — one listStatus, not a
+    // distinct().count() Spark job over the merged result; the
+    // assertion is the same (a day bucket exists iff it has rows, and
+    // every bucket lies inside the query interval), and it now also
+    // pins populate = ALL buckets rather than all result days.
+    scp.plan(query, useCache = true, populateCache = true)
+    val nDays = Ingest.listBuckets(s, dir).size.toLong
     require(cache.populated == nDays,
       s"expected $nDays populated segments, got ${cache.populated}")
 

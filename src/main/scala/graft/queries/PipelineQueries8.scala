@@ -364,8 +364,13 @@ object PipelineQueries8 {
         m = 8, kPerSpace = 16, k = 10, kPrime = 100,
         tag = "similarity_recall/pq"))
       .select(col("qid"), col("id"))
+    // every frame here is bounded by construction (≤ |queries| × k
+    // rows): broadcast them so the recall joins are hash joins over
+    // the checkpointed ground truth instead of four sort-merge
+    // exchanges of 50-row frames (plan-shape fix; the sizes are
+    // invisible to the planner behind windows/checkpoints)
     def hits(approx: org.apache.spark.sql.DataFrame, name: String) =
-      bf.join(approx, Seq("qid", "id"), "left_semi")
+      bf.join(broadcast(approx), Seq("qid", "id"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as(name))
     // the searches + recall joins execute HERE (checkpointed 5-row
     // result, Ckpt-recycled) so the entry's wall decomposes fully into
@@ -375,8 +380,8 @@ object PipelineQueries8 {
     // composition instead, so PLANS shows the search/recall join tree
     // over the trained indexes, not `Scan ExistingRDD` (r16 dir. #4).
     val recall = queries.select(col("vec_id").as("qid"))
-      .join(hits(ivf, "ivf_hits"), Seq("qid"), "left")
-      .join(hits(pq, "pq_hits"), Seq("qid"), "left")
+      .join(broadcast(hits(ivf, "ivf_hits")), Seq("qid"), "left")
+      .join(broadcast(hits(pq, "pq_hits")), Seq("qid"), "left")
       .select(col("qid"), lit(10).as("k"),
         (coalesce(col("ivf_hits"), lit(0L)) >= 4).as("ivf_ok"),
         (coalesce(col("pq_hits"), lit(0L)) >= 4).as("pq_ok"))

@@ -28,7 +28,12 @@ private[queries] object StreamStage {
   }
 
   def stageAsStream(s: SparkSession, df: DataFrame): DataFrame =
-    openStream(s, stageDir(s, df))
+    // the staged file's schema IS df's schema (nullability relaxed the
+    // way a parquet round-trip reports it) — passing it skips the
+    // re-inference listing + footer read openStream would do per stage
+    openStream(s, stageDir(s, df), schema = Some(
+      org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true)))))
 
   /** stage `df` as one parquet file into a fresh dir and return the
     * dir — for entries that re-open the stream across a
@@ -50,9 +55,10 @@ private[queries] object StreamStage {
     * micro-batches — for entries exercising per-batch behavior
     * (spill fragmentation, compaction) rather than one bulk batch. */
   def openStream(
-      s: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
-    val schema = s.read.parquet(dir).schema
-    val r = s.readStream.schema(schema)
+      s: SparkSession, dir: String, maxFilesPerTrigger: Int = 0,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val sch = schema.getOrElse(s.read.parquet(dir).schema)
+    val r = s.readStream.schema(sch)
     (if (maxFilesPerTrigger > 0)
        r.option("maxFilesPerTrigger", maxFilesPerTrigger)
      else r).parquet(dir)

@@ -413,12 +413,24 @@ final class RealtimeDatasource(
     val sq = df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (batch.isEmpty) () else {
         val staging = s"$spill/.staging-$id"
         val dest = s"$spill/batch=$id"
-        batch.write.mode("overwrite").parquet(staging)
+        // ONE job per batch: the row count rides the staging write as
+        // an observed metric instead of a separate isEmpty/take(1) job
+        // before it (optimization guide §1.2: don't spend a pass
+        // deciding whether to do the pass). An empty batch (all rows
+        // filtered) writes an empty staging dir, which is deleted
+        // instead of renamed — exactly the old no-dir outcome, so
+        // windowFragments/liveSpillDirs semantics are unchanged.
+        val obs = org.apache.spark.sql.Observation()
+        batch.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.mode("overwrite").parquet(staging)
         val f = batch.sparkSession.sessionState.newHadoopConf()
         val hfs = new org.apache.hadoop.fs.Path(spill).getFileSystem(f)
+        val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (n == 0L) { hfs.delete(new org.apache.hadoop.fs.Path(staging), true); () }
+        else {
         val destP = new org.apache.hadoop.fs.Path(dest)
         if (hfs.exists(destP)) hfs.delete(destP, true) // crash replay
         // a false return (Hadoop reports most rename failures this
@@ -698,8 +710,22 @@ final class RealtimeDatasource(
         d.getName.stripPrefix("merged=").stripPrefix("batch=").toLong).max
       val staging = s"$spillDir/.staging-merged-$upTo"
       val dest = s"$spillDir/merged=$upTo"
+      // output file count from INPUT SIZE, not core count (guide §6):
+      // coalesce(defaultParallelism) wrote up to one file per core
+      // regardless of data — tiny windows fragmented into 32 shards a
+      // local merge exists to avoid, and a huge window on a small
+      // executor count under-split. Target ~128 MB per merged file.
+      val f0 = fs(spillDir)
+      val inputBytes = mergeable.map { d =>
+        try f0.getContentSummary(d).getLength catch { case _: Exception => 0L }
+      }.sum
+      val targetBytes = 128L * 1024 * 1024
+      // coalesce past the scan's own split count is a no-op, so no
+      // core-count cap is needed — the count is purely size-derived
+      val nOut = math.min(Int.MaxValue.toLong,
+        math.max(1L, (inputBytes + targetBytes - 1) / targetBytes)).toInt
       spark.read.parquet(mergeable.map(_.toString): _*)
-        .coalesce(spark.sparkContext.defaultParallelism)
+        .coalesce(nOut)
         .write.mode("overwrite").parquet(staging)
       val f = fs(spillDir)
       val destP = new org.apache.hadoop.fs.Path(dest)

@@ -61,13 +61,16 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(spec.trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // transforms/filter already ran in prepareStream — strip them
-          // so non-idempotent transforms don't apply twice per row
-          val batchSpec = spec.ingest.copy(transforms = Nil, rowFilter = None)
-          val out = Ingest.prepare(batch.drop(TimeCol), batchSpec)
-          Ingest.write(out, path)
-        }
+        // no isEmpty pre-job (it cost a full take(1) job per batch —
+        // guide §1.2): an empty batch writes nothing through the same
+        // append path (partitionBy of zero rows stages no bucket dirs,
+        // a managed commit with no staged buckets publishes no
+        // manifest), so the write IS the emptiness check
+        // transforms/filter already ran in prepareStream — strip them
+        // so non-idempotent transforms don't apply twice per row
+        val batchSpec = spec.ingest.copy(transforms = Nil, rowFilter = None)
+        val out = Ingest.prepare(batch.drop(TimeCol), batchSpec)
+        Ingest.write(out, path)
       }
       .start()
     // segment-metadata sidecar (same as the batch path) — written only
