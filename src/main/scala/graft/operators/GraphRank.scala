@@ -72,12 +72,15 @@ object GraphRank {
     // out-mass onto the edge row so the sweep is ONE join, not two.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     Ckpt.drain("page_rank")
+    // node count rides the out-mass checkpoint job as an observed
+    // metric — no separate count() job (the only driver-side value)
+    val obs = org.apache.spark.sql.Observation()
     val out = Ckpt.register("page_rank",
-      e.groupBy("src").agg(sum("w").as("m")).localCheckpoint())
+      e.groupBy("src").agg(sum("w").as("m"))
+        .observe(obs, count(lit(1)).as("n")).localCheckpoint())
     val em = Ckpt.register("page_rank", e.join(out, "src")
       .select(col("src"), col("dst"), col("w"), col("m")).localCheckpoint())
-    // node count: one scalar agg (the only driver-side value)
-    val n = out.count()
+    val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     require(n > 0, "empty graph")
     val base = (scale * (dampDen - dampNum) / dampDen) / n
     var r = out.select(col("src").as("node"), lit(scale / n).as("r"))

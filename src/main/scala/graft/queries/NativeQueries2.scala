@@ -121,11 +121,13 @@ object NativeQueries2 {
         |  ]
         |}""".stripMargin)
       .select(col("event_type"), col("median"))
+    // one shared exact-percentile buffer for the three fractions
     val exact = Tables.events(s, d).groupBy(col("event_type"))
-      .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("exact_median"),
-        expr("percentile(value, 0.45)").as("p45"),
-        expr("percentile(value, 0.55)").as("p55"))
+      .agg(expr("percentile(value, array(0.5, 0.45, 0.55))").as("px"))
+      .select(col("event_type"),
+        round(element_at(col("px"), 1), 4).as("exact_median"),
+        element_at(col("px"), 2).as("p45"),
+        element_at(col("px"), 3).as("p55"))
     exact.join(fromJson, Seq("event_type"))
       .select(col("event_type"), col("exact_median"),
         col("median").between(col("p45"), col("p55")).as("kll_ok"))

@@ -547,9 +547,11 @@ object NativeQueries4 {
         |  "limitSpec": {"type": "default",
         |    "columns": [{"dimension": "event_type", "direction": "ascending"}]}
         |}""".stripMargin)
+    // one shared exact-percentile buffer for both fractions
     val exact = Tables.events(s, d).groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("x50"),
-        expr("percentile(value, 0.9)").as("x90"))
+      .agg(expr("percentile(value, array(0.5, 0.9))").as("px"))
+      .select(col("event_type"),
+        element_at(col("px"), 1).as("x50"), element_at(col("px"), 2).as("x90"))
     res.join(exact, Seq("event_type"))
       .select(col("event_type"),
         round(col("v_min"), 2).as("v_min"), round(col("v_max"), 2).as("v_max"),

@@ -189,9 +189,12 @@ object NativeQueries5 {
         |  ds_get_quantiles(ds_quantiles_sketch(value, 200), 0.25, 0.5, 0.75) AS qs,
         |  tdigest_quantile(tdigest_generate_sketch(value, 200), 0.5) AS td50,
         |  approx_quantile_fixed_buckets(value, 0.5, 10, 0.0, 500.0, 'ignore') AS fb50,
-        |  percentile(value, 0.20) AS p20, percentile(value, 0.30) AS p30,
-        |  percentile(value, 0.45) AS p45, percentile(value, 0.55) AS p55,
-        |  percentile(value, 0.70) AS p70, percentile(value, 0.80) AS p80
+        |  percentile(value, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))[0] AS p20,
+        |  percentile(value, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))[1] AS p30,
+        |  percentile(value, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))[2] AS p45,
+        |  percentile(value, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))[3] AS p55,
+        |  percentile(value, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))[4] AS p70,
+        |  percentile(value, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))[5] AS p80
         |FROM graft_events_q GROUP BY event_type)
         |ORDER BY event_type""".stripMargin)
   }
