@@ -164,6 +164,19 @@ class DedupSpec extends SparkSpec {
       .count() == 45L)
   }
 
+  test("connected components: duplicate, reversed and self-loop edges canonicalize") {
+    import spark.implicits._
+    // (1,2) arrives duplicated and in both directions; 3 appears only
+    // via a self-loop (must survive as its own singleton component);
+    // (5,4) arrives reversed — the (least,greatest) canonicalization
+    // before the distinct must not change any component
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 1L), (3L, 3L), (5L, 4L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L), cc)
+  }
+
   test("connected components: chains merge, singletons keep their id") {
     import spark.implicits._
     // path 1-2-3-4 (multi-hop: 4 only reaches 1 transitively), pair 10-11,

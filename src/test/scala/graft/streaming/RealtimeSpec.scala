@@ -78,6 +78,40 @@ class RealtimeSpec extends SparkSpec {
     } finally rtds.abort()
   }
 
+  test("a fully-filtered micro-batch leaves no spill dir (observed-count path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val hist = tmp()
+    Ingest.ingest(
+      Seq(("a", m("2024-04-01T00:00:00Z"), 1L))
+        .toDF("k", "tsMs", "v").select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")),
+      spec, hist)
+    // rowFilter drops everything below 100: the first batch is empty
+    // AFTER the map-side filter — the spill write's observed row count
+    // must skip the rename (no batch= dir, no window fragment), and a
+    // later passing batch must land normally
+    val rtds = new RealtimeDatasource(spark, spec.copy(rowFilter = Some("v >= 100")), hist)
+    val mem = MemoryStream[(String, Long, Long)]
+    val sq = rtds.startRealtime(
+      mem.toDF.toDF("k", "tsMs", "v")
+        .select(col("k"), timestamp_millis(col("tsMs")).as("ts"), col("v")))
+    try {
+      mem.addData(("z", m("2024-04-01T05:00:00Z"), 7L)) // filtered out
+      sq.processAllAvailable()
+      assert(rtds.windowFragments() == 0,
+        "an all-filtered batch must not create a spill dir")
+      assert(fold(rtds.queryable()) == Map(m("2024-04-01T00:00:00Z") -> (1L, 1L)))
+      mem.addData(("z", m("2024-04-01T05:00:00Z"), 200L)) // passes
+      sq.processAllAvailable()
+      assert(rtds.windowFragments() == 1)
+      assert(fold(rtds.queryable()) == Map(
+        m("2024-04-01T00:00:00Z") -> (1L, 1L),
+        m("2024-04-01T05:00:00Z") -> (1L, 200L)))
+    } finally rtds.abort()
+  }
+
   test("abort abandons the realtime window without touching history") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
