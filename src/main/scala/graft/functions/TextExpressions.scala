@@ -115,6 +115,177 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Fused Gopher repetition-rule kernel (Rae et al. 2021 Table A1):
+    * per document, for each n in [minN, maxN] with at least one
+    * n-gram, the covered-char count the rule compares against the
+    * document length — most-frequent-gram chars for n ≤ 4 (count × gram
+    * chars of the argmax of the SAME packed integer `c*1e6 + len` the
+    * oracle maximizes, so ties break identically), duplicated-gram
+    * chars (Σ c×len over c ≥ 2) for n ≥ 5.
+    *
+    * Every grouping key of the unfused pipeline included the doc id,
+    * i.e. the whole computation is per-document — so the explode of
+    * ~(maxN−minN+1)·T gram rows per doc, TWO shuffled aggregations and
+    * a window collapse into this one map-side kernel (guide §2.3/§2.4:
+    * don't shuffle what never crosses documents). Tokenization runs
+    * ONCE (the unfused form re-tokenized per n); each n-gram is a
+    * contiguous byte slice of the space-joined token buffer, counted
+    * exactly (byte equality — the oracle's own grouping; the unfused
+    * form grouped on a 128-bit hash pair) in an open-addressed table
+    * reused across n. char counts are code points, matching length().
+    */
+  def repetitionGramChars(str: UTF8String, minN: Int, maxN: Int): ArrayData = {
+    val s = str.toString
+    // tokenize once: char ranges of maximal non-whitespace runs
+    var tokStartC = new Array[Int](64); var tokEndC = new Array[Int](64)
+    var nTok = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == tokStartC.length) {
+          tokStartC = java.util.Arrays.copyOf(tokStartC, nTok * 2)
+          tokEndC = java.util.Arrays.copyOf(tokEndC, nTok * 2)
+        }
+        tokStartC(nTok) = start; tokEndC(nTok) = i; nTok += 1
+      }
+    }
+    val mMax = nTok - minN + 1
+    if (mMax <= 0) return new GenericArrayData(Array.empty[Any])
+    // normalized buffer: tokens joined by single ' ' — every n-gram is
+    // then the contiguous byte slice [tokByteStart(j), tokByteEnd(j+n-1))
+    val sb = new java.lang.StringBuilder(len)
+    var t = 0
+    while (t < nTok) {
+      if (t > 0) sb.append(' ')
+      sb.append(s, tokStartC(t), tokEndC(t))
+      t += 1
+    }
+    val normB = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // token byte ranges in normB (0x20 can't occur inside a multi-byte
+    // sequence, so separator bytes are exactly the joins) + code-point
+    // prefix sums for gram char counts
+    val tokByteStart = new Array[Int](nTok)
+    val tokByteEnd = new Array[Int](nTok)
+    val cumCp = new Array[Long](nTok + 1)
+    var b = 0; t = 0
+    while (t < nTok) {
+      tokByteStart(t) = b
+      while (b < normB.length && normB(b) != 0x20) b += 1
+      tokByteEnd(t) = b
+      b += 1 // skip separator
+      cumCp(t + 1) = cumCp(t) +
+        Character.codePointCount(s, tokStartC(t), tokEndC(t))
+      t += 1
+    }
+    // open-addressed gram table, allocated once at the largest n's
+    // size and reused (counts==0 marks an empty slot)
+    var cap = 4
+    while (cap < mMax * 2) cap <<= 1
+    val mask = cap - 1
+    val hashes = new Array[Long](cap)
+    val starts = new Array[Int](cap)
+    val blens = new Array[Int](cap)
+    val gls = new Array[Long](cap)
+    val counts = new Array[Int](cap)
+    val out = new java.util.ArrayList[Any](maxN - minN + 1)
+    var n = minN
+    while (n <= maxN) {
+      val m = nTok - n + 1
+      if (m > 0) {
+        java.util.Arrays.fill(counts, 0, cap, 0)
+        var enc = Long.MinValue
+        var dupc = 0L
+        var j = 0
+        while (j < m) {
+          val bs = tokByteStart(j)
+          val be = tokByteEnd(j + n - 1)
+          val bl = be - bs
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(normB,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + bs, bl, 42L)
+          var idx = (h & mask).toInt
+          var done = false
+          while (!done) {
+            if (counts(idx) == 0) {
+              hashes(idx) = h; starts(idx) = bs; blens(idx) = bl
+              gls(idx) = cumCp(j + n) - cumCp(j) + (n - 1)
+              counts(idx) = 1
+              done = true
+            } else if (hashes(idx) == h && blens(idx) == bl && {
+              var k = 0; val os = starts(idx)
+              while (k < bl && normB(os + k) == normB(bs + k)) k += 1
+              k == bl
+            }) {
+              counts(idx) += 1
+              done = true
+            } else idx = (idx + 1) & mask
+          }
+          j += 1
+        }
+        var idx = 0
+        while (idx < cap) {
+          val c = counts(idx)
+          if (c > 0) {
+            val e = c * 1000000L + gls(idx)
+            if (e > enc) enc = e
+            if (c >= 2) dupc += c * gls(idx)
+          }
+          idx += 1
+        }
+        val gramChars =
+          if (n <= 4) (enc / 1000000L) * (enc % 1000000L) else dupc
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, gramChars)))
+      }
+      n += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Bit-identical to `regexp_replace(s, "\\s+", " ")`: Java `\s`
+    * without UNICODE_CHARACTER_CLASS is exactly [ \t\n\x0B\f\r] —
+    * all ASCII, and every byte of a multi-byte UTF-8 sequence is
+    * ≥ 0x80, so a single byte scan replicates the regex exactly. The
+    * regex engine walked every char of every document on the
+    * fingerprint path (dedup, datacard, streaming dedup); this is one
+    * allocation-free pass with an already-collapsed fast path. */
+  def collapseWhitespace(s: UTF8String): UTF8String = {
+    val nb = s.numBytes()
+    var i = 0
+    var prevWs = false
+    var dirty = false
+    while (i < nb && !dirty) {
+      val b = s.getByte(i)
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+      // a run of ≥2 ws bytes, or any single non-space ws byte, needs
+      // a rewrite; lone 0x20s are already in collapsed form
+      if (ws && (prevWs || b != 0x20)) dirty = true
+      prevWs = ws
+      i += 1
+    }
+    if (!dirty) return s
+    val out = new Array[Byte](nb)
+    var o = 0
+    i = 0
+    prevWs = false
+    while (i < nb) {
+      val b = s.getByte(i)
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+      if (ws) {
+        if (!prevWs) { out(o) = 0x20; o += 1 }
+      } else {
+        out(o) = b; o += 1
+      }
+      prevWs = ws
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   /** the pipeline's PORTABLE rolling hash — bit-identical to the
     * declarative fold `aggregate(split(s, ""), 0L,
     * (a, c) => (a*31 + ascii(c)) % 1000000007)` that every paired
@@ -367,6 +538,44 @@ case class PortableMinhash(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "portable_minhash"
 }
 
+/** whitespace-run collapse, bit-identical to
+  * `regexp_replace(s, "\\s+", " ")` (see
+  * TextKernels.collapseWhitespace) without the regex engine. */
+case class CollapseWhitespace(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.collapseWhitespace(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.collapseWhitespace($c)")
+  override protected def withNewChildInternal(c: Expression): CollapseWhitespace =
+    copy(child = c)
+  override def prettyName: String = "collapse_whitespace"
+}
+
+/** Fused Gopher repetition kernel: per document, an array of
+  * (n, gram_chars) structs for n in [minN, maxN] (see
+  * TextKernels.repetitionGramChars). Replaces explode → two shuffled
+  * aggregations → window with one map-side pass that never leaves the
+  * document's partition. */
+case class RepetitionGramChars(child: Expression, minN: Int, maxN: Int)
+  extends UnaryExpression {
+  require(minN >= 1 && maxN >= minN)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("n", IntegerType, nullable = false),
+      StructField("gram_chars", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.repetitionGramChars(v.asInstanceOf[UTF8String], minN, maxN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.repetitionGramChars($c, $minN, $maxN)")
+  override protected def withNewChildInternal(c: Expression): RepetitionGramChars =
+    copy(child = c)
+  override def prettyName: String = "repetition_gram_chars"
+}
+
 object TextExpressions {
   def signatureAgreement(a: Column, b: Column): Column =
     toCol(SignatureAgreement(toExpr(a), toExpr(b)))
@@ -378,6 +587,10 @@ object TextExpressions {
     toCol(WinnowPositions(toExpr(hs), w))
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShingles(toExpr(text), n))
+  def repetitionGramChars(text: Column, minN: Int, maxN: Int): Column =
+    toCol(RepetitionGramChars(toExpr(text), minN, maxN))
+  def collapseWhitespace(s: Column): Column =
+    toCol(CollapseWhitespace(toExpr(s)))
 
   def minhashSignature(tokens: Column, numHashes: Int = 64, seed: Int = 42): Column =
     toCol(MinHashSignature(toExpr(tokens), numHashes, seed))

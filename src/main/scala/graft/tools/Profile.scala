@@ -13,6 +13,23 @@ object Profile {
   private def run(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  // contention-robust counters: the sandbox host intermittently steals
+  // scheduler/IO time (adjudicated r16/r17 pattern), so wall A/Bs lie.
+  // Executor CPU ns and job counts are deterministic-ish under that
+  // noise and are the primary local evidence for kernel/plan changes.
+  private val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+  private val listener = new org.apache.spark.scheduler.SparkListener {
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobCount.incrementAndGet()
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,11 +67,20 @@ object Profile {
       return
     }
     val names = args.toSeq
+    spark.sparkContext.addSparkListener(listener)
     // warm
     names.foreach(n => run(q(n)(spark, sfDir)))
     names.foreach { n =>
-      val ts = (1 to 3).map(_ => time(run(q(n)(spark, sfDir))))
-      println(f"[profile] $n%-28s ${ts.min}%.3f min / ${ts.sum / 3}%.3f avg")
+      val reps = (1 to 3).map { _ =>
+        Thread.sleep(400) // settle the async listener bus between reps
+        val j0 = jobCount.get(); val c0 = cpuNs.get()
+        val sec = time(run(q(n)(spark, sfDir)))
+        Thread.sleep(400)
+        (sec, jobCount.get() - j0, (cpuNs.get() - c0) / 1e9)
+      }
+      val ts = reps.map(_._1)
+      println(f"[profile] $n%-28s ${ts.min}%.3f min / ${ts.sum / 3}%.3f avg" +
+        f" cpu=${reps.map(_._3).min}%.3f jobs=${reps.map(_._2).min}")
       val phases = graft.queries.Phases.of(n)
       if (phases.nonEmpty) {
         val split = phases
