@@ -40,9 +40,14 @@ object TextAnalysis {
   }
 
   /** content fingerprint: md5 of case/whitespace-normalized text —
-    * the exact-dedup key that survives formatting noise. */
+    * the exact-dedup key that survives formatting noise. The
+    * whitespace collapse is the codegen'd byte-scan kernel
+    * (bit-identical to `regexp_replace(_, "\\s+", " ")` — see
+    * TextKernels.collapseWhitespace); lower/trim/md5 stay builtin so
+    * the digest bytes are untouched. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(graft.functions.TextExpressions.collapseWhitespace(
+      lower(trim(text))))
 
   /** control chars (keeping \t \n \r), the zero-width family and the
     * BOM — the bytes encoding glitches leave behind. Written with
@@ -59,7 +64,8 @@ object TextAnalysis {
     * counts as \s and RE2 doesn't) is stripped first. */
   def normalizeText(text: Column): Column = {
     val nfc = graft.functions.TextExpressions.nfcNormalize(text)
-    trim(regexp_replace(regexp_replace(nfc, junkCharPattern, ""), "\\s+", " "))
+    trim(graft.functions.TextExpressions.collapseWhitespace(
+      regexp_replace(nfc, junkCharPattern, "")))
   }
 
   /** The classic mojibake table: what common non-ASCII characters look

@@ -531,14 +531,19 @@ object PipelineQueries13 {
       when(col("doc_id") >= 250, 1L).otherwise(0L).as("ib"))
     val g = d0.groupBy(col("source"), col("x"))
       .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    // na/nb are the final values of the running sums, so the whole-
+    // partition totals ride the SAME sorted window partition as the
+    // cumsums (one sort, two frames) instead of a second aggregation
+    // over g + a broadcast join — g executes once, no join (guide
+    // §2.3: one shuffle keyed by source carries everything).
     val w = Window.partitionBy(col("source")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val c = g.select(col("source"),
-      sum(col("ca")).over(w).as("cuma"), sum(col("cb")).over(w).as("cumb"))
-    val t = g.groupBy(col("source"))
-      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    c.join(broadcast(t), Seq("source"))
-      .groupBy(col("source"), col("na"), col("nb"))
+      sum(col("ca")).over(w).as("cuma"), sum(col("cb")).over(w).as("cumb"),
+      sum(col("ca")).over(wAll).as("na"), sum(col("cb")).over(wAll).as("nb"))
+    c.groupBy(col("source"), col("na"), col("nb"))
       .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("ks_num"))
       .select(col("source"), col("na"), col("nb"), col("ks_num"),
         round(col("ks_num").cast("double") / (col("na") * col("nb")), 4).as("ks"))

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bit-parity of the byte-scan whitespace collapse against the
+  * `regexp_replace(s, "\\s+", " ")` it replaced on the fingerprint /
+  * normalizeText paths. The DuckDB oracles spell out that regex
+  * verbatim, so parity here IS oracle parity. */
+class CollapseWhitespaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collapseWhitespace is bit-identical to regexp_replace \\s+ -> ' '") {
+    val rnd = new scala.util.Random(4099)
+    val wsChars = Array(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val fuzz = (1 to 500).map { _ =>
+      (1 to rnd.nextInt(30)).map { _ =>
+        if (rnd.nextInt(3) == 0)
+          (1 to 1 + rnd.nextInt(3)).map(_ => wsChars(rnd.nextInt(6))).mkString
+        else rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
+      }.mkString
+    }
+    val edges = Seq("", " ", "  ", "\t", "a", " a ", "a  b", "\t\na\r\fb\u000B",
+      "already collapsed single spaces", "héllo  wörld", "日本\t語", "é\u000Bé",
+      "trailing run   ", "   leading run", "\u00A0nbsp is NOT java \\s\u00A0 x",
+      "mix é \t 語  end")
+    val df = (fuzz ++ edges).toDF("s")
+    val diff = df.select(
+      TextExpressions.collapseWhitespace(col("s")).as("native"),
+      regexp_replace(col("s"), "\\s+", " ").as("re"))
+      .filter(!(col("native") <=> col("re")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("fingerprint kernel path matches the full regex composition") {
+    val docs = Seq("A  Doc\twith\r\nNoise ", "plain", "  UPPER  lower  ",
+      "é  Ö\u000B x", "").toDF("text")
+    val diff = docs.select(
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("native"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("re"))
+      .filter(!(col("native") <=> col("re")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+}
