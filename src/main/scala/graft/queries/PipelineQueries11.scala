@@ -67,13 +67,22 @@ object PipelineQueries11 {
       |  CAST(sum(cin) AS BIGINT) AS n_merge_in,
       |  CAST(sum(csc) AS BIGINT) AS n_merge_sc
       |FROM p GROUP BY doc_id""".stripMargin) { (s, d) =>
+    // Par.spread: the per-row merge-loop work otherwise runs on ONE
+    // core at test SFs (single-file scan; no-op on a many-split
+    // corpus). Materialize the token arrays once per level — six
+    // inlined copies of `toks`/`flatten(toks)` re-walked every word
+    // array per output column (CollapseProject inlines same-level
+    // duplicates; a multi-referenced non-cheap alias is kept).
     def merged(name: String): Column =
-      size(filter(flatten(toks), t => t === name)).cast("long").as(s"n_merge_$name")
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      array_join(transform(toks, ws => array_join(ws, "|")), " ").as("bpe_text"),
-      size(flatten(toks)).cast("long").as("n_tokens"),
-      merged("th"), merged("er"), merged("in"), merged("sc"))
+      size(filter(col("flat"), t => t === name)).cast("long").as(s"n_merge_$name")
+    graft.operators.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("tk"), flatten(col("tk")).as("flat"))
+      .select(
+        col("doc_id"),
+        array_join(transform(col("tk"), ws => array_join(ws, "|")), " ").as("bpe_text"),
+        size(col("flat")).cast("long").as("n_tokens"),
+        merged("th"), merged("er"), merged("in"), merged("sc"))
   }
 
   /** Token-id encoding over the BPE stream — the shape sequence
@@ -101,16 +110,22 @@ object PipelineQueries11 {
       |  CAST(sum(id) AS BIGINT) AS sum_ids,
       |  CAST(count(*) AS BIGINT) AS n_tokens
       |FROM i GROUP BY doc_id""".stripMargin) { (s, d) =>
-    val flat = flatten(toks)
-    val ids = transform(flat, t =>
+    // same discipline as tokenize_bpe above: spread the single-file
+    // scan, tokenize/flatten/id-map ONCE each in their own projection
+    // levels instead of three inlined re-evaluations per column
+    val ids = transform(col("flat"), t =>
       when(t === "th", 101).when(t === "er", 102)
         .when(t === "in", 103).when(t === "sc", 104)
         .otherwise(ascii(t) - 96))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      array_join(transform(ids, _.cast("string")), ",").as("ids_csv"),
-      aggregate(ids, lit(0L), (a, x) => a + x).as("sum_ids"),
-      size(flat).cast("long").as("n_tokens"))
+    graft.operators.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"), flatten(toks).as("flat"))
+      .select(col("doc_id"), ids.as("ids"),
+        size(col("flat")).cast("long").as("n_tokens"))
+      .select(
+        col("doc_id"),
+        array_join(transform(col("ids"), _.cast("string")), ",").as("ids_csv"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+        col("n_tokens"))
   }
 
   /** The first BPE learning iteration's statistic: adjacent-char pair
