@@ -246,6 +246,59 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Dual-seed xxhash64 of every n-token shingle of a token array —
+    * bit-identical to `xxhash64(gram)` / `XxHash64(gram, seed2)` over
+    * the `concat_ws(" ", tokens…)` gram strings, computed with ZERO
+    * per-gram allocation: the tokens are joined ONCE into a byte
+    * buffer and every gram is then a contiguous slice of it (tokens
+    * joined by single 0x20 — exactly the concat_ws bytes).
+    * Precondition: no null tokens (split() output never has any;
+    * concat_ws would SKIP a null, shifting the bytes). */
+  def wordShingleHashPairs(
+      w: ArrayData, n: Int, seed1: Long, seed2: Long): ArrayData = {
+    val t = w.numElements()
+    val m = t - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](t)
+    val starts = new Array[Int](t)
+    val lens = new Array[Int](t)
+    var total = t - 1 // single-space separators
+    var i = 0
+    while (i < t) {
+      val s = w.getUTF8String(i)
+      toks(i) = s
+      lens(i) = s.numBytes()
+      total += lens(i)
+      i += 1
+    }
+    val buf = new Array[Byte](total)
+    var o = 0
+    i = 0
+    while (i < t) {
+      if (i > 0) { buf(o) = 0x20; o += 1 }
+      starts(i) = o
+      toks(i).writeToMemory(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + o)
+      o += lens(i)
+      i += 1
+    }
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val bs = starts(j)
+      val bl = starts(j + n - 1) + lens(j + n - 1) - bs
+      val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + bs
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(buf, off, bl, seed1),
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(buf, off, bl, seed2)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Bit-identical to `regexp_replace(s, "\\s+", " ")`: Java `\s`
     * without UNICODE_CHARACTER_CLASS is exactly [ \t\n\x0B\f\r] —
     * all ASCII, and every byte of a multi-byte UTF-8 sequence is
@@ -538,6 +591,29 @@ case class PortableMinhash(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "portable_minhash"
 }
 
+/** dual-seed xxhash64 over every n-token shingle (see
+  * TextKernels.wordShingleHashPairs): replaces
+  * posexplode(word_shingles) → 2 × xxhash64 — the per-shingle gram
+  * STRING never materializes. */
+case class WordShingleHashPairs(
+    child: Expression, n: Int, seed1: Long, seed2: Long)
+  extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("gh", LongType, nullable = false),
+      StructField("gh2", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.wordShingleHashPairs(v.asInstanceOf[ArrayData], n, seed1, seed2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.wordShingleHashPairs($c, $n, ${seed1}L, ${seed2}L)")
+  override protected def withNewChildInternal(c: Expression): WordShingleHashPairs =
+    copy(child = c)
+  override def prettyName: String = "word_shingle_hash_pairs"
+}
+
 /** whitespace-run collapse, bit-identical to
   * `regexp_replace(s, "\\s+", " ")` (see
   * TextKernels.collapseWhitespace) without the regex engine. */
@@ -591,6 +667,9 @@ object TextExpressions {
     toCol(RepetitionGramChars(toExpr(text), minN, maxN))
   def collapseWhitespace(s: Column): Column =
     toCol(CollapseWhitespace(toExpr(s)))
+  def wordShingleHashPairs(
+      w: Column, n: Int, seed1: Long = 42L, seed2: Long = 0x5eed2L): Column =
+    toCol(WordShingleHashPairs(toExpr(w), n, seed1, seed2))
 
   def minhashSignature(tokens: Column, numHashes: Int = 64, seed: Int = 42): Column =
     toCol(MinHashSignature(toExpr(tokens), numHashes, seed))

@@ -253,12 +253,18 @@ object TextCorpus {
     // two hashes through the shared internal state); a simultaneous
     // collision in both (~1e-31 per corpus) is the only way to strip
     // a span the oracle keeps. Materialized once for both consumers.
+    // the fused kernel hashes each span as a byte slice of the once-
+    // joined token buffer (bit-identical to xxhash64 over the
+    // concat_ws gram strings — parity spec'd) so the gram STRINGS
+    // never materialize and the projection stays in codegen (the
+    // word_shingles + per-gram-hash form evaluated an interpreted HOF
+    // and allocated every 10-token span as a UTF8String).
     val grams = Ckpt.register("strip_spans", base.select(
       col("id"),
-      posexplode(TextAnalysis.wordShingles(col("w"), spanLen)).as(Seq("pos", "g")))
+      posexplode(graft.functions.TextExpressions
+        .wordShingleHashPairs(col("w"), spanLen)).as(Seq("pos", "x")))
       .select(col("id"), col("pos"),
-        xxhash64(col("g")).as("gh"),
-        graft.exprs.xxhash64Seeded(0x5eed2L, col("g")).as("gh2"))
+        col("x.gh").as("gh"), col("x.gh2").as("gh2"))
       .localCheckpoint())
     val owners = grams.groupBy(col("gh"), col("gh2"))
       .agg(countDistinct(col("id")).as("df"), min(col("id")).as("owner"))
@@ -268,14 +274,20 @@ object TextCorpus {
         explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("p"))
       .groupBy(col("id"))
       .agg(collect_set(col("p")).as("cov"))
+    // kept positions via array_except (hash set, O(T + |cov|)) instead
+    // of an array_contains scan per token (O(T·|cov|)); array_except
+    // preserves the left argument's order, so the reassembled token
+    // sequence is identical
     base.join(covered, Seq("id"), "left")
       .select(
         col("id"),
         size(col("w")).cast("long").as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
         concat_ws(" ",
-          filter(col("w"), (_, i) => !array_contains(coalesce(col("cov"),
-            array().cast("array<int>")), i))).as("text_kept"))
+          transform(
+            array_except(sequence(lit(0), size(col("w")) - 1),
+              coalesce(col("cov"), array().cast("array<int>"))),
+            i => element_at(col("w"), i + 1))).as("text_kept"))
   }
 
   /** GPT-style sequence packing: concatenate documents in a stable

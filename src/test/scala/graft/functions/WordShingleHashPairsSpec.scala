@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bit-parity of the fused shingle-hash kernel against the
+  * posexplode(word_shingles) → xxhash64 ×2 chain it replaced on the
+  * exact-substring dedup path. The oracle groups spans by these hash
+  * values, so parity here IS oracle parity. */
+class WordShingleHashPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingleHashPairs matches xxhash64 of the concat_ws gram strings") {
+    val rnd = new scala.util.Random(6133)
+    val fuzz = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(25)).map(_ =>
+        rnd.alphanumeric.take(rnd.nextInt(9)).mkString).mkString(" ")
+    }
+    val edges = Seq("", "one", "a b", " leading", "trailing ", "a  double",
+      "héllo wörld mixé 語 five six seven eight nine ten eleven",
+      (1 to 40).map(i => s"t$i").mkString(" "))
+    for (n <- Seq(1, 3, 10)) {
+      val df = (fuzz ++ edges).toDF("text")
+        .select(split(col("text"), " ").as("w"))
+      val fused = df.select(posexplode(
+          TextExpressions.wordShingleHashPairs(col("w"), n)).as(Seq("pos", "x")))
+        .select(col("pos"), col("x.gh").as("gh"), col("x.gh2").as("gh2"))
+      val hof = df.select(posexplode(
+          graft.operators.TextAnalysis.wordShingles(col("w"), n)).as(Seq("pos", "g")))
+        .select(col("pos"), xxhash64(col("g")).as("gh"),
+          graft.exprs.xxhash64Seeded(0x5eed2L, col("g")).as("gh2"))
+      assert(fused.count() == hof.count(), s"row counts differ at n=$n")
+      assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty,
+        s"hash values differ at n=$n")
+    }
+  }
+}
