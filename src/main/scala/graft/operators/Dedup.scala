@@ -591,7 +591,22 @@ object Dedup {
   def tfidfCosinePairs(
       df: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, quantMilli: Int = 1000): DataFrame = {
+    // IDF needs the FULL corpus, but norms and dots are only ever read
+    // through inner joins against `candidates` — so the weight table
+    // semi-filters to the candidate universe BEFORE the norm agg and
+    // the dot joins (reduce the big side before shuffling it; norming
+    // every corpus document to score |candidates| pairs is the waste
+    // that grows with corpus size, not candidate count). The id set is
+    // bounded by 2·|candidates| by construction, hence the broadcast.
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    // (measured and rejected: localCheckpoint-ing this filtered table
+    // for its three consumers — AQE already reuses the TF/DF shuffle
+    // stages at runtime, so the checkpoint only added its own job +
+    // eager serialization: jobs 20→22, wall up. The three consumers
+    // re-run only the narrow post-shuffle tail.)
     val w = tfidfWeights(df, idCol, textCol, quantMilli)
+      .join(broadcast(candIds), Seq("id"), "left_semi")
     val norms = w.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
     val dots = candidates
       .join(w.select(col("id").as("id_a"), col("token"), col("w").as("wa")), Seq("id_a"))
