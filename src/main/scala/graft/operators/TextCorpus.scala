@@ -259,10 +259,16 @@ object TextCorpus {
     // never materialize and the projection stays in codegen (the
     // word_shingles + per-gram-hash form evaluated an interpreted HOF
     // and allocated every 10-token span as a UTF8String).
+    // posexplode_OUTER + isNotNull (not posexplode): the non-outer
+    // generate would get an inferred `size(kernel(w)) > 0` filter that
+    // re-runs the whole span-hash kernel a second time per document
+    // (see repetitionStats); outer + an explicit null-row drop is the
+    // identical result with ONE kernel pass.
     val grams = Ckpt.register("strip_spans", base.select(
       col("id"),
-      posexplode(graft.functions.TextExpressions
+      posexplode_outer(graft.functions.TextExpressions
         .wordShingleHashPairs(col("w"), spanLen)).as(Seq("pos", "x")))
+      .filter(col("x").isNotNull)
       .select(col("id"), col("pos"),
         col("x.gh").as("gh"), col("x.gh2").as("gh2"))
       .localCheckpoint())
@@ -461,9 +467,18 @@ object TextCorpus {
             .otherwise(0L).as("pass"))).as("rp"))
       .withColumn("keep",
         array_min(transform(col("rp"), x => x.getField("pass"))))
+    // explode_OUTER + isNotNull, not explode: a plain (non-outer)
+    // generate makes InferFiltersFromGenerate add a
+    // `size(rp) > 0 AND isnotnull(rp)` filter that inlines and
+    // re-evaluates the WHOLE kernel a second time per document — and
+    // pushes it below the spread exchange, onto the unspread scan
+    // (verified in the plan: the kernel appeared twice, once serial).
+    // The rule skips outer generates; the null row an empty/null rp
+    // emits is dropped right here, so the output is identical.
     perDoc
-      .select(id, explode(col("rp")).as("x"), col("total_chars"),
+      .select(id, explode_outer(col("rp")).as("x"), col("total_chars"),
         col("keep"))
+      .filter(col("x").isNotNull)
       .select(id, col("x.n").as("n"), col("x.gram_chars").as("gram_chars"),
         col("total_chars"), col("x.pass").as("pass"), col("keep"))
   }
