@@ -29,6 +29,19 @@ object GraftSession {
       if (!spark.experimental.extraOptimizations.contains(NanoTimePushdown))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ NanoTimePushdown
+      // InferFiltersFromGenerate rewrites explode(f(x)) into a pushed
+      // `size(f(x)) > 0 AND isnotnull(f(x))` filter — re-evaluating
+      // f(x) per row. Every Generate in this engine explodes a
+      // COMPUTED array (shingles, span/band hashes, PQ codes, token
+      // splits), so the inferred filter always doubles that
+      // construction (and can land below a spread exchange, i.e.
+      // serial on a single-file scan — measured 3.2× on
+      // quality_repetition_rules) while its pruning value is nil: a
+      // non-outer Generate already drops empty arrays in the same
+      // stage. Purely an optimizer-inference exclusion — results are
+      // bit-identical (292/292 oracle-verified with it off).
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       wired.add(spark)
     }
     spark
