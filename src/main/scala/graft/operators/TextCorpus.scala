@@ -449,13 +449,23 @@ object TextCorpus {
     * map-side: zero shuffles, zero window, ~9× less tokenizer CPU.
     * `keep` folds over the in-row array instead of a window. No
     * floating point anywhere. */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetitionExplode(repetitionPerDoc(df, idCol, textCol), idCol)
+
+  /** the compact per-document stage of [[repetitionStats]]: one row per
+    * doc carrying the nine (n, gram_chars, pass) structs and the folded
+    * `keep` — i.e. everything the kernel computes, BEFORE the 9×
+    * explode. Callers that end in a global sort can checkpoint THIS
+    * frame (≈1/9 the exploded bytes) so the range partitioner's
+    * sampling pass re-reads checkpoint blocks instead of re-running
+    * the tokenize/count kernel. */
+  def repetitionPerDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.TextExpressions
     val id = col(idCol)
     val thrOf: Column => Column = n => repetitionThresholdPct.toSeq
       .sortBy(_._1).foldLeft(lit(0)) { case (acc, (k, pct)) =>
         when(n === k, pct).otherwise(acc) }
-    val perDoc = Par.spread(df)
+    Par.spread(df)
       .select(id, length(col(textCol)).cast("long").as("total_chars"),
         TextExpressions.repetitionGramChars(col(textCol), 2, 10).as("reps"))
       .select(id, col("total_chars"),
@@ -467,6 +477,12 @@ object TextCorpus {
             .otherwise(0L).as("pass"))).as("rp"))
       .withColumn("keep",
         array_min(transform(col("rp"), x => x.getField("pass"))))
+  }
+
+  /** the 9× explode tail of [[repetitionStats]] over a
+    * [[repetitionPerDoc]] frame. */
+  def repetitionExplode(perDoc: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
     // explode_OUTER + isNotNull, not explode: a plain (non-outer)
     // generate makes InferFiltersFromGenerate add a
     // `size(rp) > 0 AND isnotnull(rp)` filter that inlines and

@@ -67,8 +67,24 @@ object PipelineQueries10 {
       when(col("doc_id") % 3 === 0,
         concat_ws(" ", col("text"), rep, rep)).otherwise(col("text"))
         .as("text"))
-    TextCorpus.repetitionStats(augmented, "doc_id", "text")
-      .orderBy(col("doc_id"), col("n"))
+    if (PlanMode.lazyPlans)
+      TextCorpus.repetitionStats(augmented, "doc_id", "text")
+        .orderBy(col("doc_id"), col("n"))
+    else {
+      // a global ORDER BY executes its child twice (range-sampling
+      // pass + shuffle map). Checkpointing the 9×-exploded rows was
+      // measured WORSE (the pin costs more than the second kernel
+      // pass); pinning the COMPACT per-doc rows (one row per doc,
+      // nine structs in an array) keeps the fused repetition kernel
+      // to exactly one execution while both sort passes re-read only
+      // checkpoint blocks + the cheap explode.
+      val perDoc = graft.operators.Ckpt.recycle(
+        "quality_repetition_rules/perdoc",
+        TextCorpus.repetitionPerDoc(augmented, "doc_id", "text")
+          .localCheckpoint())
+      TextCorpus.repetitionExplode(perDoc, "doc_id")
+        .orderBy(col("doc_id"), col("n"))
+    }
   }
 
   /** CCNet-style head/middle/tail perplexity terciles over the corpus

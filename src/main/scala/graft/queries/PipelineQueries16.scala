@@ -43,13 +43,24 @@ object PipelineQueries16 {
   private def landHistorical(s: SparkSession, df: DataFrame): String = {
     val histDir = StreamStage.tempDir("graft_rt_hist")
     val ckpt = StreamStage.tempDir("graft_rt_ckpt")
+    val t0 = System.nanoTime()
+    val staged = StreamStage.stageAsStream(s, df)
+    val t1 = System.nanoTime()
     val isq = StreamingIngest.start(
-      StreamStage.stageAsStream(s, df),
+      staged,
       StreamingIngest.StreamSpec(rollupSpec, watermark = "0 seconds",
         trigger = Trigger.ProcessingTime("0 seconds")),
       histDir, ckpt)
+    val t2 = System.nanoTime()
     isq.processAllAvailable()
+    val t3 = System.nanoTime()
     isq.stop()
+    val t4 = System.nanoTime()
+    if (sys.env.contains("GRAFT_LAND_DEBUG")) {
+      System.err.println(f"[land] stage=${(t1-t0)/1e9}%.3f start=${(t2-t1)/1e9}%.3f process=${(t3-t2)/1e9}%.3f stop=${(t4-t3)/1e9}%.3f")
+      isq.recentProgress.foreach(p =>
+        System.err.println(s"[land-batch] rows=${p.numInputRows} durationMs=${p.durationMs}"))
+    }
     histDir
   }
 

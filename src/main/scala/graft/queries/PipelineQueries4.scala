@@ -126,7 +126,6 @@ object PipelineQueries4 {
     // lazy composition instead, so PLANS shows the label-propagation
     // join tree, not `Scan ExistingRDD` (r16 directive #4).
     val labeled = cc.select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy(col("doc_id"))
     if (PlanMode.lazyPlans) {
       // the banding/edge stage executes behind the signature base's
       // materialize-once checkpoint (read three times), so the final
@@ -135,11 +134,23 @@ object PipelineQueries4 {
       println("=== dedup_clusters/phase:lsh_banding_edges " +
         "(band,bucket equi-join + signature rejoins, pre-propagation)")
       edges.explain("formatted")
-      labeled
+      labeled.orderBy(col("doc_id"))
     }
-    else Phases.timed("dedup_clusters", "sort_output")(
-      graft.operators.Ckpt.recycle("dedup_clusters/out",
-        labeled.localCheckpoint()))
+    else Phases.timed("dedup_clusters", "sort_output") {
+      // a global ORDER BY executes its child TWICE (the range
+      // partitioner's sampling job, then the shuffle map — guide §2.4:
+      // an orderBy used only to make output deterministic still costs
+      // a full extra pass); here the child is the isolated-node
+      // anti-join over the corpus id set, so materialize the unordered
+      // labels ONCE and let both sort passes read the checkpoint
+      // blocks. The transient second copy is 2 longs per doc — far
+      // cheaper than re-running a corpus-sized anti-join at scale.
+      val unordered = labeled.localCheckpoint()
+      val out = graft.operators.Ckpt.recycle("dedup_clusters/out",
+        unordered.orderBy(col("doc_id")).localCheckpoint())
+      graft.operators.Ckpt.release(unordered)
+      out
+    }
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 analogs on

@@ -311,7 +311,7 @@ object SupersetQueries {
             s.sparkContext.defaultParallelism), "media"),
         "media", 4, 3),
       "media", dim = 16)
-    staged.select(
+    val features = staged.select(
       col("doc_id"),
       col("media_meta.format").as("fmt"),
       col("media_meta.width").cast("long").as("w"),
@@ -322,7 +322,18 @@ object SupersetQueries {
       element_at(col("media_embedding"), 7).cast("long").as("sum_gray"),
       element_at(col("media_embedding"), 8).cast("long").as("min_gray"),
       element_at(col("media_embedding"), 9).cast("long").as("max_gray"))
-      .orderBy(col("doc_id"))
+    if (graft.queries.PlanMode.lazyPlans) features.orderBy(col("doc_id"))
+    else {
+      // a global ORDER BY executes its child twice (range-sampling
+      // pass + shuffle map): pin the NARROW feature rows once so the
+      // imageio decode/resize/embedding kernels — the entry's whole
+      // cost — run exactly once; the sort then reads checkpoint
+      // blocks. (The media-blob checkpoint above serves
+      // repartitionBySize's sampling the same way.)
+      val out = graft.operators.Ckpt.recycle("multimodal_features",
+        features.localCheckpoint()).orderBy(col("doc_id"))
+      out
+    }
   }
 
   val all: Seq[Q] = Seq(

@@ -205,7 +205,7 @@ object IngestSql {
       if (st.clusterBy.nonEmpty)
         withBucket.repartition(col(Ingest.BucketCol))
           .sortWithinPartitions(st.clusterBy.map(col): _*)
-      else withBucket
+      else Ingest.arrangeByBucket(withBucket)
     val path = s"$storageRoot/${st.table}"
     st.overwriteWhere match {
       case Some((s, e)) =>

@@ -112,6 +112,19 @@ object Ingest {
         "yyyy-MM-dd'T'HH"))
   }
 
+  /** one bucket-keyed REBALANCE before a partitioned segment write.
+    * Without it every write task slivers every bucket it touches
+    * (tasks × buckets small files — commit renames, manifest listing
+    * and reader opens all scale with the product); keyed by the
+    * bucket, AQE coalesces small buckets into shared write tasks and
+    * splits hot ones toward the advisory partition size —
+    * scale-adaptive in both directions, the same policy as Iceberg's
+    * hash write-distribution mode (optimization guide §6). Rows and
+    * manifests are unchanged: only the file layout inside each bucket
+    * generation moves. */
+  def arrangeByBucket(prepared: DataFrame): DataFrame =
+    prepared.hint("rebalance", col(BucketCol))
+
   /** write prepared rows as a time-partitioned parquet table. The
     * version inventory is invalidated for the path — the announce step
     * that keeps per-segment cache versions fresh without per-query
@@ -123,7 +136,7 @@ object Ingest {
     // look, not invisibly at the root; overwrite replaces the raw path
     // wholesale (a fresh table), as before
     if (mode == "append") SegmentLayout.append(prepared, path)
-    else prepared.write.mode(mode).partitionBy(BucketCol).parquet(path)
+    else arrangeByBucket(prepared).write.mode(mode).partitionBy(BucketCol).parquet(path)
     SegmentVersions.announce(
       prepared.sparkSession.sparkContext.hadoopConfiguration, path)
   }

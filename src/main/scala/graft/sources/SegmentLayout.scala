@@ -957,7 +957,8 @@ object SegmentLayout {
     val dd = dataDir(hconf, root)
     val r = resolve(hconf, dd)
     if (!r.managed) {
-      prepared.write.mode("append").partitionBy(Ingest.BucketCol).parquet(dd)
+      Ingest.arrangeByBucket(prepared)
+        .write.mode("append").partitionBy(Ingest.BucketCol).parquet(dd)
       return
     }
     // managed table: ONE staging write of the whole frame (filtering
@@ -968,7 +969,8 @@ object SegmentLayout {
     val fs = fsOf(hconf, dd)
     sweepStaging(fs, dd) // crashed writers' leftovers (single-writer contract)
     val staging = s"$dd/$StagingPrefix${java.util.UUID.randomUUID().toString.take(8)}"
-    prepared.write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
+    Ingest.arrangeByBucket(prepared)
+      .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
     commitStagedAppend(fs, dd, staging)
   }
 

@@ -630,9 +630,9 @@ final class RealtimeDatasource(
     SegmentLayout.sweepStaging(f, dd) // crashed handoffs' leftovers (single writer)
     val staging =
       s"$dd/${SegmentLayout.StagingPrefix}rt_${java.util.UUID.randomUUID().toString.take(8)}"
-    Ingest.prepare(
+    Ingest.arrangeByBucket(Ingest.prepare(
       spark.read.parquet(publishable.map(_.toString): _*),
-      spec.copy(transforms = Nil, rowFilter = None))
+      spec.copy(transforms = Nil, rowFilter = None)))
       .write.mode("overwrite").partitionBy(Ingest.BucketCol).parquet(staging)
     val markerNames =
       if (publishable.size == dirs.size) Set.empty[String] // whole window
