@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -124,8 +124,209 @@ case class L2DistanceF32(left: Expression, right: Expression)
   override def prettyName: String = "l2_f32"
 }
 
+/** exact dot product over quantized integer codes (array<bigint>).
+  * Replaces the interpreted `aggregate(zip_with(a, b, _ * _), 0L, + )`
+  * HOF fold (two lambda invocations + boxing per ELEMENT) with one
+  * fused long loop — wrapping 64-bit arithmetic, order-independent,
+  * so results are bit-identical to the fold. */
+case class DotProductI64(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    var s = 0L; var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    java.lang.Long.valueOf(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector length mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductI64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_i64"
+}
+
+/** element accessor shared by the float-or-double array kernels: the
+  * PQ pipeline carries array<double> subvectors/centroids while raw
+  * embeddings are array<float> — both promote each element to double,
+  * exactly as the HOF folds' `x.cast("double")` did. */
+private[functions] object VecElem {
+  def getter(e: Expression): (ArrayData, Int) => Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case LongType => (a, i) => a.getLong(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"unsupported vector element type: $other")
+    }
+  def genGet(e: Expression, a: String, i: String): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => s"(double) $a.getFloat($i)"
+      case DoubleType => s"$a.getDouble($i)"
+      case LongType => s"(double) $a.getLong($i)"
+      case other => throw new IllegalArgumentException(
+        s"unsupported vector element type: $other")
+    }
+}
+
+/** squared L2 distance (NO sqrt) with the same sequential double
+  * accumulation as `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)),
+  * 0.0, + )` — the PQ codeword-assignment / ADC-table fold. Keeping
+  * the element order and per-step add order makes it bit-identical
+  * to the HOF chain it replaces. */
+case class SquaredL2F64(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  @transient private lazy val getL = VecElem.getter(left)
+  @transient private lazy val getR = VecElem.getter(right)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    var s = 0.0; var i = 0
+    while (i < n) { val d = getL(a, i) - getR(b, i); s += d * d; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector length mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = ${VecElem.genGet(left, a, i)} - ${VecElem.genGet(right, b, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredL2F64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "sql2_f64"
+}
+
+/** one-pass unit-normalized int8 quantizer: norm = sqrt(Σ x²)
+  * (sequential double fold, identical order to the HOF chain), then
+  * per element `floor(x / norm * 127.0 + 0.5)` as long. Zero-norm or
+  * null-element vectors quantize to NULL (direction-less vectors are
+  * dropped by every caller). Replaces a three-HOF chain
+  * (transform + aggregate + nested transform) that re-entered the
+  * interpreter per element. */
+case class QuantizeUnitInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val getE = VecElem.getter(child)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var ss = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = getE(a, i); ss += x * x; i += 1
+    }
+    val norm = math.sqrt(ss)
+    if (norm == 0.0) return null
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) { out(i) = math.floor(getE(a, i) / norm * 127.0 + 0.5).toLong; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val ss = ctx.freshName("ss"); val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out"); val bad = ctx.freshName("bad")
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $bad = false;
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |  final double ${i}x = ${VecElem.genGet(child, a, i)};
+         |  $ss += ${i}x * ${i}x;
+         |}
+         |final double $norm = java.lang.Math.sqrt($ss);
+         |if ($bad || $norm == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final long[] $out = new long[$n];
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $out[$j] = (long) java.lang.Math.floor(
+         |      ${VecElem.genGet(child, a, j)} / $norm * 127.0 + 0.5);
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): QuantizeUnitInt8 =
+    copy(child = c)
+  override def prettyName: String = "quantize_unit_int8"
+}
+
+/** fixed-scale quantizer: per element `floor(x * scale + 0.5)` as
+  * long — the exact-Lloyd code used by kmeansUpdateQuantized. One
+  * pass, no per-element lambda re-entry. */
+case class QuantizeScaleI64(child: Expression, scale: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val getE = VecElem.getter(child)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = math.floor(getE(a, i) * scale + 0.5).toLong; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (long) java.lang.Math.floor(
+         |    ${VecElem.genGet(child, a, i)} * (double) $scale + 0.5);
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): QuantizeScaleI64 =
+    copy(child = c)
+  override def prettyName: String = "quantize_scale_i64"
+}
+
 object VectorExpressions {
   def dotF32(a: Column, b: Column): Column = toCol(DotProductF32(toExpr(a), toExpr(b)))
   def cosineF32(a: Column, b: Column): Column = toCol(CosineSimilarityF32(toExpr(a), toExpr(b)))
   def l2F32(a: Column, b: Column): Column = toCol(L2DistanceF32(toExpr(a), toExpr(b)))
+  def dotI64(a: Column, b: Column): Column = toCol(DotProductI64(toExpr(a), toExpr(b)))
+  def sqL2F64(a: Column, b: Column): Column = toCol(SquaredL2F64(toExpr(a), toExpr(b)))
+  def quantizeUnitInt8(vec: Column): Column = toCol(QuantizeUnitInt8(toExpr(vec)))
+  def quantizeScaleI64(vec: Column, scale: Int): Column =
+    toCol(QuantizeScaleI64(toExpr(vec), scale))
 }

@@ -282,20 +282,13 @@ object Similarity {
     * — is bit-reproducible across engines. Zero vectors have no
     * direction: they quantize to an explicit null code (ANSI-safe —
     * no 0/0), and the ranking entry points drop null-coded rows. */
-  def quantizeUnitInt8(vec: Column): Column = {
-    val norm = sqrt(aggregate(
-      transform(vec, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (a, x) => a + x))
-    // bind the norm through a one-element outer transform so it is
-    // evaluated ONCE per row: HOF lambdas re-evaluate their whole body
-    // per element (no CSE inside lambdas), so inlining `norm` in the
-    // inner lambda would recompute the O(d) fold d times — O(d²)
-    element_at(
-      transform(array(norm),
-        n => when(n === 0.0, lit(null).cast("array<bigint>"))
-          .otherwise(transform(vec, x => floor(x.cast("double") / n * 127.0 + 0.5).cast("long")))),
-      1)
-  }
+  def quantizeUnitInt8(vec: Column): Column =
+    // fused codegen kernel (norm fold + per-element floor in ONE array
+    // pass); replaces a three-HOF chain that re-entered the
+    // interpreter per element. Bit-identical: same sequential norm
+    // accumulation and the same floor(x / norm * 127 + 0.5) per
+    // element; zero-norm still quantizes to null.
+    VectorExpressions.quantizeUnitInt8(vec)
 
   /** Top-k by int8-quantized dot product: queries broadcast, corpus
     * scanned once with a pure-integer score — no floating point in the
@@ -314,8 +307,9 @@ object Similarity {
       .filter(col("code").isNotNull)
     val scored = c.join(q, if (excludeSelf) col("id") =!= col("qid") else lit(true))
       .select(col("qid"), col("id"),
-        aggregate(zip_with(col("qcode"), col("code"), (a, b) => a * b),
-          lit(0L), (a, x) => a + x).as("qdot"))
+        // fused long loop in codegen (exact integer dot — order
+        // independent, bit-identical to the HOF fold it replaces)
+        VectorExpressions.dotI64(col("qcode"), col("code")).as("qdot"))
     val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -541,9 +535,9 @@ object Similarity {
     val best = array_min(
       transform(bookOf, c =>
         struct(
-          aggregate(zip_with(col("subvec"), c.getField("_2"),
-            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
-            .as("d2"),
+          // fused squared-L2 loop (same sequential accumulation as
+          // the zip_with/aggregate fold — bit-identical distances)
+          VectorExpressions.sqL2F64(col("subvec"), c.getField("_2")).as("d2"),
           c.getField("_1").as("cid")))
         .cast("array<struct<d2:double,cid:bigint>>"))
     sub.select(col("id"), col("subspace"), col("subvec"),
@@ -607,8 +601,7 @@ object Similarity {
       .withColumnRenamed("id", "qid")
     val table = qsub.join(broadcast(books), Seq("subspace"))
       .select(col("qid"), col("subspace"), col("cid").as("code"),
-        aggregate(zip_with(col("subvec"), col("centroid"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("pd2"))
+        VectorExpressions.sqL2F64(col("subvec"), col("centroid")).as("pd2"))
     val scored = corpusCodes.join(broadcast(table), Seq("subspace", "code"))
       .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
       .groupBy(col("qid"), col("id"))
@@ -696,8 +689,7 @@ object Similarity {
       .select(col("qkey").getField("qid").as("qid"),
         col("qkey").getField("centroid_id").as("centroid_id"),
         col("subspace"), col("cid").as("code"),
-        aggregate(zip_with(col("subvec"), col("centroid"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("pd2"))
+        VectorExpressions.sqL2F64(col("subvec"), col("centroid")).as("pd2"))
     val scored = codes
       .join(broadcast(table), Seq("centroid_id", "subspace", "code"))
       .filter(if (excludeSelf) col("id") =!= col("qid") else lit(true))
@@ -757,7 +749,9 @@ object Similarity {
       centroids: DataFrame, cidCol: String, cvecCol: String,
       scale: Int = 10000): DataFrame = {
     def quant(c: Column): Column =
-      transform(c, x => floor(x.cast("double") * scale + 0.5).cast("long"))
+      // one-pass codegen quantizer — same floor(x*scale + 0.5) per
+      // element as the transform lambda it replaces
+      VectorExpressions.quantizeScaleI64(c, scale)
     val cents = centroids
       .select(col(cidCol).cast("long").as("cid"), quant(col(cvecCol)).as("ccode"))
       .orderBy(col("cid"))
@@ -772,8 +766,7 @@ object Similarity {
     val codes = Par.spread(df).select(quant(col(vecCol)).as("code"))
     val dots = cents.zipWithIndex.map { case ((_, cc), j) =>
       struct(
-        aggregate(zip_with(col("code"), typedLit(cc), (a, b) => a * b),
-          lit(0L), (a, x) => a + x).as("d"),
+        VectorExpressions.dotI64(col("code"), typedLit(cc)).as("d"),
         lit(-j).as("nj"))
     }
     // argmax by (dot, -index): ties take the smaller index, i.e. the

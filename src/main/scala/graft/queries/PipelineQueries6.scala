@@ -63,11 +63,19 @@ object PipelineQueries6 {
     // per-row work at test SFs)
     val inj = graft.operators.Par.spread(Tables.documents(s, d))
       .select(col("doc_id"), injectCol.as("injected"))
-    inj.select(
+    val redacted = inj.select(
       (col("doc_id") +:
         Privacy.matchCounts(col("injected")) :+
         right(Privacy.redact(col("injected")), lit(100)).as("tail")): _*)
-      .orderBy(col("doc_id"))
+    if (PlanMode.lazyPlans) redacted.orderBy(col("doc_id"))
+    else
+      // the final global ORDER BY executes its child twice (range
+      // sampling + shuffle map) — that child is the 10-regex
+      // match/redact kernel, the entry's whole cost. Pin the NARROW
+      // result rows (id + counts + 100-char tail) once; both sort
+      // passes then read checkpoint blocks.
+      graft.operators.Ckpt.recycle("text_pii_redact/out",
+        redacted.localCheckpoint()).orderBy(col("doc_id"))
   }
 
   /** The scale-path pre-filter: one alternation scan routes clean docs

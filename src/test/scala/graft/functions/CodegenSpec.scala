@@ -32,6 +32,30 @@ class CodegenSpec extends SparkSpec {
         .filter(col("c") > 0),
       "cosine_f32"))
 
+    val codes = spark.range(8)
+      .select(col("id"), array(col("id"), lit(3L)).as("c"))
+    assert(inCodegenSpan(
+      codes.select(VectorExpressions.dotI64(col("c"), col("c")).as("d"))
+        .filter(col("d") >= 0),
+      "dot_i64"))
+
+    val dv = spark.range(8)
+      .select(array(col("id").cast("double"), lit(0.5)).as("v"))
+    assert(inCodegenSpan(
+      dv.select(VectorExpressions.sqL2F64(col("v"), col("v")).as("d"))
+        .filter(col("d") >= 0),
+      "sql2_f64"))
+
+    assert(inCodegenSpan(
+      emb.select(VectorExpressions.quantizeUnitInt8(col("v")).as("q"))
+        .filter(col("q").isNotNull),
+      "quantize_unit_int8"))
+
+    assert(inCodegenSpan(
+      dv.select(VectorExpressions.quantizeScaleI64(col("v"), 10000).as("q"))
+        .filter(size(col("q")) > 0),
+      "quantize_scale_i64"))
+
     assert(inCodegenSpan(
       rangeDocs.select(TextExpressions.minhashSignature(
         TextExpressions.wordShingles(col("text"), 2)).as("s")),

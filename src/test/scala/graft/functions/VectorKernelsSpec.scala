@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bit-parity of the fused vector kernels (dot_i64, sql2_f64,
+  * quantize_unit_int8, quantize_scale_i64) against the HOF
+  * aggregate/zip_with/transform chains they replaced on the
+  * similarity/kmeans paths. The folds are sequential, so parity must
+  * hold bit-for-bit, not approximately — the graded contracts
+  * (similarity_pq_contract, cluster_kmeans_update, …) hash these
+  * values. */
+class VectorKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7919)
+
+  test("dotI64 matches aggregate(zip_with(a, b, _*_)) on quantized codes") {
+    // in-contract magnitudes only (int8 codes ±127, kmeans codes
+    // ±~10^4·d): under ANSI mode the HOF fold THROWS on long overflow
+    // while the kernel wraps — both are out-of-contract inputs, and
+    // every caller quantizes well inside the safe range
+    val rows = (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      val scale = if (rnd.nextInt(5) == 0) 20001 else 255
+      def v() = (1 to n).map(_ => (rnd.nextInt(scale) - scale / 2).toLong)
+      (v(), v())
+    } :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      VectorExpressions.dotI64(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("sqL2F64 matches the sequential (a-b)^2 fold on double arrays") {
+    val rows = (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      def v() = (1 to n).map(_ => rnd.nextDouble() * 200 - 100)
+      (v(), v())
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      VectorExpressions.sqL2F64(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("sqL2F64 promotes float/long elements to double like the casts did") {
+    val df = Seq((Seq(1.5f, -2.25f, 3f), Seq(2L, -1L, 4L)))
+      .toDF("f", "l")
+    val diff = df.select(
+      VectorExpressions.sqL2F64(col("f"), col("l")).as("k"),
+      aggregate(zip_with(col("f"), col("l"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0)
+  }
+
+  test("quantizeUnitInt8 matches the HOF chain on float vectors") {
+    // the replaced chain: norm = sqrt(aggregate(transform(v, x²))),
+    // null when norm == 0, else floor(x / norm * 127 + 0.5)
+    def hofQuantize(vec: org.apache.spark.sql.Column) = {
+      val norm = sqrt(aggregate(
+        transform(vec, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x))
+      element_at(
+        transform(array(norm),
+          n => when(n === 0.0, lit(null).cast("array<bigint>"))
+            .otherwise(transform(vec,
+              x => floor(x.cast("double") / n * 127.0 + 0.5).cast("long")))),
+        1)
+    }
+    val rows = (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      (1 to n).map(_ => (rnd.nextFloat() * 4 - 2))
+    } ++ Seq(Seq(0f, 0f, 0f), Seq(1e-30f), Seq(-0f))
+    val df = rows.toDF("v")
+    val diff = df.select(
+      VectorExpressions.quantizeUnitInt8(col("v")).as("k"),
+      hofQuantize(col("v")).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+    // null vector quantizes to null either way
+    val nulls = Seq((1, None: Option[Seq[Float]])).toDF("i", "v")
+      .select(VectorExpressions.quantizeUnitInt8(col("v")).as("k"))
+    assert(nulls.collect()(0).isNullAt(0))
+  }
+
+  test("quantizeScaleI64 matches transform(floor(x*scale + 0.5)) on doubles") {
+    val rows = (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      (1 to n).map(_ => rnd.nextDouble() * 2 - 1)
+    }
+    val df = rows.toDF("v")
+    val diff = df.select(
+      VectorExpressions.quantizeScaleI64(col("v"), 10000).as("k"),
+      transform(col("v"),
+        x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+}
