@@ -299,6 +299,91 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** see [[graft.functions.DupLineStats]]: (n_lines, chars_total,
+    * n_dup_lines, chars_dup_lines) in one pass. Byte equality IS
+    * Spark string equality for UTF8String, and '\n' (0x0A) never
+    * appears inside a multi-byte UTF-8 sequence, so the byte-level
+    * split and the hash-set dup check replicate the Column chain
+    * exactly. */
+  def dupLineStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    val seen = new java.util.HashSet[UTF8String]()
+    var nLines = 0L; var charsTotal = 0L; var nDup = 0L; var charsDup = 0L
+    var start = 0
+    var i = 0
+    val nb = b.length
+    while (i <= nb) {
+      if (i == nb || b(i) == 0x0a) {
+        nLines += 1
+        var chars = 0L
+        var k = start
+        while (k < i) { if ((b(k) & 0xc0) != 0x80) chars += 1; k += 1 }
+        charsTotal += chars
+        if (!seen.add(UTF8String.fromBytes(b, start, i - start))) {
+          nDup += 1; charsDup += chars
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, charsTotal, nDup, charsDup))
+  }
+
+  /** see [[graft.functions.GopherCounts]]: (n, sum_len, n_alpha,
+    * n_hash, n_ell, sw) in one pass. Tokenization replicates
+    * `split(text, "\\s+")` with limit -1 exactly (Java `\s` is the
+    * six ASCII chars; maximal runs split, leading/trailing empty
+    * segments kept, "" → [""]); the ellipsis count replicates the
+    * leftmost non-overlapping `regexp_replace(text, "\\.\\.\\.", "")`
+    * length-diff/3; '#' and '.' are ASCII so char counts equal byte
+    * counts. */
+  def gopherCounts(
+      text: UTF8String,
+      stopwords: java.util.HashSet[UTF8String],
+      maxSwBytes: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    val nb = b.length
+    var n = 0L; var sumLen = 0L; var nAlpha = 0L; var sw = 0L
+    def isWs(x: Byte): Boolean = x == 0x20 || (x >= 0x09 && x <= 0x0d)
+    def emit(s: Int, e: Int): Unit = {
+      n += 1
+      var chars = 0L
+      var alpha = false
+      var k = s
+      while (k < e) {
+        val x = b(k)
+        if ((x & 0xc0) != 0x80) chars += 1
+        if ((x >= 'A' && x <= 'Z') || (x >= 'a' && x <= 'z')) alpha = true
+        k += 1
+      }
+      sumLen += chars
+      if (alpha) nAlpha += 1
+      if (e - s > 0 && e - s <= maxSwBytes &&
+        stopwords.contains(UTF8String.fromBytes(b, s, e - s))) sw += 1
+    }
+    var i = 0
+    var segStart = 0
+    while (i < nb) {
+      if (isWs(b(i))) {
+        emit(segStart, i)
+        while (i < nb && isWs(b(i))) i += 1
+        segStart = i
+      } else i += 1
+    }
+    emit(segStart, nb)
+    var nHash = 0L; var nEll = 0L
+    i = 0
+    while (i < nb) {
+      if (b(i) == '#') { nHash += 1; i += 1 }
+      else if (b(i) == '.' && i + 2 < nb && b(i + 1) == '.' && b(i + 2) == '.') {
+        nEll += 1; i += 3
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sumLen, nAlpha, nHash, nEll, sw))
+  }
+
   /** Bit-identical to `regexp_replace(s, "\\s+", " ")`: Java `\s`
     * without UNICODE_CHARACTER_CLASS is exactly [ \t\n\x0B\f\r] —
     * all ASCII, and every byte of a multi-byte UTF-8 sequence is
@@ -617,6 +702,67 @@ case class WordShingleHashPairs(
 /** whitespace-run collapse, bit-identical to
   * `regexp_replace(s, "\\s+", " ")` (see
   * TextKernels.collapseWhitespace) without the regex engine. */
+/** Fused Gopher document-rule counts: one pass over the text for the
+  * six integers the rule bounds consume (token count, summed token
+  * chars, alpha-containing tokens, '#' count, non-overlapping "..."
+  * count, stopword hits). Replaces per-token HOF trees — notably a
+  * REGEX (`rlike("[A-Za-z]")`) per token and a 19-element array scan
+  * per token — with byte tests inside one kernel. */
+case class GopherCounts(child: Expression, stopwords: Seq[String])
+  extends UnaryExpression {
+  private val swSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  private val maxSwBytes: Int =
+    if (stopwords.isEmpty) 0
+    else stopwords.map(_.getBytes("UTF-8").length).max
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_hash", LongType, nullable = false),
+    StructField("n_ell", LongType, nullable = false),
+    StructField("sw", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.gopherCounts(v.asInstanceOf[UTF8String], swSet, maxSwBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherStopwords", swSet,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.gopherCounts($c, $ref, $maxSwBytes)")
+  }
+  override protected def withNewChildInternal(c: Expression): GopherCounts =
+    copy(child = c)
+  override def prettyName: String = "gopher_counts"
+}
+
+/** Fused Gopher duplicate-line stats: one O(L) pass over the
+  * newline-joined text — line boundaries on 0x0A bytes (bit-identical
+  * to `split(text, "\n")` with Spark's keep-trailing-empties
+  * semantics), per-line code-point length (UTF8String.numChars
+  * semantics: count non-continuation bytes), and earlier-equal-line
+  * detection via an exact byte-equality hash set. Replaces the
+  * per-line `filter(slice(lines, 1, i), _ === l)` HOF chain, which
+  * was O(L²) per DOCUMENT — a real scale hazard on long documents,
+  * not just interpreter overhead. */
+case class DupLineStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("chars_total", LongType, nullable = false),
+    StructField("n_dup_lines", LongType, nullable = false),
+    StructField("chars_dup_lines", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.dupLineStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.dupLineStats($c)")
+  override protected def withNewChildInternal(c: Expression): DupLineStats =
+    copy(child = c)
+  override def prettyName: String = "dup_line_stats"
+}
+
 case class CollapseWhitespace(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
@@ -667,6 +813,10 @@ object TextExpressions {
     toCol(RepetitionGramChars(toExpr(text), minN, maxN))
   def collapseWhitespace(s: Column): Column =
     toCol(CollapseWhitespace(toExpr(s)))
+  def dupLineStats(text: Column): Column =
+    toCol(DupLineStats(toExpr(text)))
+  def gopherCounts(text: Column, stopwords: Seq[String]): Column =
+    toCol(GopherCounts(toExpr(text), stopwords))
   def wordShingleHashPairs(
       w: Column, n: Int, seed1: Long = 42L, seed2: Long = 0x5eed2L): Column =
     toCol(WordShingleHashPairs(toExpr(w), n, seed1, seed2))

@@ -163,19 +163,24 @@ object TextAnalysis {
       minWords: Int = 50,
       maxWords: Int = 100000,
       minStopwords: Int = 2): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    val n = size(toks).cast("long")
-    val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x))
-    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
-    val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
-    val ellipses =
-      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    // fused kernel (graft.functions.TextKernels.gopherCounts): the
+    // previous per-token HOF trees ran a REGEX (rlike) and a
+    // 19-element array scan per token, and each rule column carried
+    // its own copy of the tokenize; the six counts now come from ONE
+    // byte-scan struct (codegen CSE evaluates it once per row across
+    // all five rule columns).
+    val g = graft.functions.TextExpressions.gopherCounts(text, englishStopwords)
+    val n = g.getField("n")
+    val sumLen = g.getField("sum_len")
+    val nAlpha = g.getField("n_alpha")
+    val hashes = g.getField("n_hash")
+    val ellipses = g.getField("n_ell")
     Seq(
       "r_word_count" -> (n >= minWords && n <= maxWords),
       "r_mean_word_len" -> (sumLen >= n * 3L && sumLen <= n * 10L),
       "r_symbol_ratio" -> ((hashes + ellipses) * 10L < n),
       "r_alpha_words" -> (nAlpha * 10000L >= n * 8000L),
-      "r_stopwords" -> (stopwordCount(toks).cast("long") >= minStopwords)
+      "r_stopwords" -> (g.getField("sw") >= minStopwords)
     ).map { case (name, c) => name -> when(c, 1L).otherwise(0L) }
   }
 
@@ -210,22 +215,19 @@ object TextAnalysis {
     * iff an equal element precedes it) — no shuffle, O(lines²) per doc
     * with a small bounded line count, fuses into the scan. */
   def dupLineStats(text: Column): Seq[(String, Column)] = {
-    val lines = split(text, "\n")
-    val dupLens = transform(lines, (l, i) =>
-      when(size(filter(slice(lines, lit(1), i), x => x === l)) > 0,
-        length(l) + 1).otherwise(0))
-    // dupLens entries are length+1 so a duplicated EMPTY line still
-    // counts one line; chars subtract the +1 back out
-    val nDup = aggregate(dupLens, lit(0L),
-      (a, x) => a + when(x > 0, 1L).otherwise(0L))
-    val charsDup = aggregate(dupLens, lit(0L),
-      (a, x) => a + when(x > 0, (x - 1).cast("long")).otherwise(0L))
+    // fused O(L) kernel (graft.functions.TextKernels.dupLineStats):
+    // the previous Column chain probed every line against ALL earlier
+    // lines (`filter(slice(lines, 1, i), _ === l)`) — O(L²) per
+    // DOCUMENT, and each of the four stat columns carried its own
+    // copy of that tree. The four fields now read one shared struct
+    // (codegen subexpression elimination evaluates the kernel once
+    // per row across every consumer in the same projection).
+    val s = graft.functions.TextExpressions.dupLineStats(text)
     Seq(
-      "n_lines" -> size(lines).cast("long"),
-      "chars_total" -> aggregate(lines, lit(0L),
-        (a, l) => a + length(l).cast("long")),
-      "n_dup_lines" -> nDup,
-      "chars_dup_lines" -> charsDup)
+      "n_lines" -> s.getField("n_lines"),
+      "chars_total" -> s.getField("chars_total"),
+      "n_dup_lines" -> s.getField("n_dup_lines"),
+      "chars_dup_lines" -> s.getField("chars_dup_lines"))
   }
 
   /** Gopher bounds over [[dupLineStats]]: duplicate lines ≤ 30% of

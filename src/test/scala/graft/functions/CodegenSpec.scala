@@ -71,6 +71,16 @@ class CodegenSpec extends SparkSpec {
       rangeDocs.select(TextExpressions.nfcNormalize(col("text")).as("n")),
       "nfc_normalize"))
 
+    assert(inCodegenSpan(
+      rangeDocs.select(TextExpressions.dupLineStats(col("text")).as("s"))
+        .filter(col("s.n_lines") > 0),
+      "dup_line_stats"))
+
+    assert(inCodegenSpan(
+      rangeDocs.select(TextExpressions.gopherCounts(col("text"),
+        Seq("a", "the")).as("g")).filter(col("g.n") > 0),
+      "gopher_counts"))
+
     // literal (pre-built) bloom filter probed per row — the hot filter shape
     val bf = rangeDocs.select(graft.aggs.bloom.bloomFilter(col("text")).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)

@@ -102,6 +102,79 @@ class TextQualitySpec extends SparkSpec {
     assert(out == clean)
   }
 
+  test("gopherCounts kernel is bit-identical to the per-token HOF chain") {
+    import spark.implicits._
+    // the replaced chain, verbatim
+    def chain(): Seq[(String, org.apache.spark.sql.Column)] = {
+      val toks = split(col("text"), "\\s+")
+      val sw = array(TextAnalysis.englishStopwords.map(lit): _*)
+      Seq(
+        "n" -> size(toks).cast("long"),
+        "sum_len" -> aggregate(toks, lit(0L), (a, x) => a + length(x)),
+        "n_alpha" -> size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"),
+        "n_hash" -> (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).cast("long"),
+        "n_ell" -> ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long"),
+        "sw" -> size(filter(toks, t => array_contains(sw, t))).cast("long"))
+    }
+    val rnd = new scala.util.Random(2861)
+    val pool = Seq("the", "a", "word", "##", "...", "....", ".....", "é",
+      "日本語", "x1", "", "with", "mixedé#", "dots.end.", "that")
+    val fuzz = (1 to 300).map { _ =>
+      (0 to rnd.nextInt(15)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(Seq(" ", "  ", "\t", "\n", " \r ")(rnd.nextInt(5)))
+    } ++ Seq("", " ", "  leading", "trailing  ", "\t\n", "a", "the the the",
+      "...", "......x...", "#.#.#...##")
+    val df = fuzz.toDF("text")
+    val kernel = graft.functions.TextExpressions.gopherCounts(
+      col("text"), TextAnalysis.englishStopwords)
+    val old = chain()
+    val diff = df.select(
+      (old.map { case (n, _) => kernel.getField(n).as("k_" + n) } ++
+        old.map { case (n, c) => c.as("o_" + n) }): _*)
+      .filter(old.map(_._1).map(n =>
+        !(col("k_" + n) <=> col("o_" + n))).reduce(_ || _))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("dupLineStats kernel is bit-identical to the O(L²) Column chain") {
+    import spark.implicits._
+    // the replaced chain, verbatim
+    def chain(): Seq[(String, org.apache.spark.sql.Column)] = {
+      val lines = split(col("text"), "\n")
+      val dupLens = transform(lines, (l, i) =>
+        when(size(filter(slice(lines, lit(1), i), x => x === l)) > 0,
+          length(l) + 1).otherwise(0))
+      val nDup = aggregate(dupLens, lit(0L),
+        (a, x) => a + when(x > 0, 1L).otherwise(0L))
+      val charsDup = aggregate(dupLens, lit(0L),
+        (a, x) => a + when(x > 0, (x - 1).cast("long")).otherwise(0L))
+      Seq(
+        "n_lines" -> size(lines).cast("long"),
+        "chars_total" -> aggregate(lines, lit(0L),
+          (a, l) => a + length(l).cast("long")),
+        "n_dup_lines" -> nDup,
+        "chars_dup_lines" -> charsDup)
+    }
+    val rnd = new scala.util.Random(6151)
+    val pool = Seq("", "a", "aa", "héllo wörld", "日本語テキスト", "x y z",
+      "tab\there", "trailing ", " leading")
+    val fuzz = (1 to 300).map { _ =>
+      (0 to rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString("\n")
+    } ++ Seq("", "\n", "\n\n", "a\n", "\na", "é\né\né")
+    val df = fuzz.toDF("text")
+    val kernel = TextAnalysis.dupLineStats(col("text"))
+    val old = chain()
+    val diff = df.select(
+      (kernel.map { case (n, c) => c.as("k_" + n) } ++
+        old.map { case (n, c) => c.as("o_" + n) }): _*)
+      .filter(kernel.map(_._1).map(n =>
+        !(col("k_" + n) <=> col("o_" + n))).reduce(_ || _))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
   test("dupLineStats: occurrences beyond the first count as duplicates") {
     import spark.implicits._
     def run(text: String): Map[String, Long] = {
