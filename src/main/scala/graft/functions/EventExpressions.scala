@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.exprs.{toCol, toExpr}
+
+/** Per-row kernels for the event-sequence operators (EventAnalytics).
+  * Same discipline as TextKernels/VectorExpressions: interpreted eval
+  * and generated code run EXACTLY the same static method, bit-identical
+  * to the Column chains they replace. */
+object EventKernels {
+
+  /** see [[graft.functions.FunnelFold]]: the strict-order first-match
+    * funnel fold over a TIME-SORTED (ts, type) struct array. Replicates
+    * the aggregate() CaseWhen chain exactly: stage s advances at the
+    * first stage-s event strictly typed `steps(s)` while the state is
+    * s (conditions are mutually exclusive on the state value, so the
+    * chain's evaluation order is immaterial); the window bound is
+    * `ts <= anchor + winMicros` — the pure-micros form of
+    * `INTERVAL h HOURS` addition in a UTC session. Returns
+    * (stage, anchorMicros, reachMicros); anchor/reach are only read
+    * when stage >= 1 (the fold's null timestamps for stage 0 are
+    * restored by the expression layer). */
+  def funnelFold(
+      evs: ArrayData,
+      steps: Array[UTF8String],
+      winMicros: Long,
+      hasWin: Boolean): InternalRow = {
+    val n = evs.numElements()
+    var s = 0
+    var a = 0L
+    var r = 0L
+    var i = 0
+    while (i < n) {
+      if (!evs.isNullAt(i)) {
+        val e = evs.getStruct(i, 2)
+        if (!e.isNullAt(0) && !e.isNullAt(1)) {
+          val ts = e.getLong(0)
+          val t = e.getUTF8String(1)
+          if (s == 0) {
+            if (t.equals(steps(0))) { s = 1; a = ts; r = ts }
+          } else if (s < steps.length && t.equals(steps(s)) &&
+            (!hasWin || ts <= a + winMicros)) {
+            s += 1; r = ts
+          }
+        }
+      }
+      i += 1
+    }
+    if (s == 0)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, null, null))
+    else
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](s, a, r))
+  }
+}
+
+/** Fused strict-order funnel fold (EventAnalytics.funnelUsers): the
+  * previous `aggregate` HOF rebuilt a 3-field struct per EVENT through
+  * an interpreted CaseWhen chain (one lambda re-entry + struct
+  * allocation per event per user). One kernel pass over the sorted
+  * event array is bit-identical: integer state, micros timestamp
+  * compares, string equality via UTF8String — see
+  * EventKernels.funnelFold. Only built for month-free windows (hour /
+  * minute / day intervals are fixed micros in the UTC session);
+  * month-bearing windows keep the Column chain (calendar arithmetic). */
+case class FunnelFold(child: Expression, steps: Seq[String], winMicros: Option[Long])
+  extends UnaryExpression {
+  require(steps.nonEmpty, "funnel needs at least one step")
+  @transient private lazy val stepsU: Array[UTF8String] =
+    steps.map(UTF8String.fromString).toArray
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", IntegerType, nullable = false),
+    StructField("a", TimestampType, nullable = true),
+    StructField("r", TimestampType, nullable = true)))
+  override def nullSafeEval(v: Any): Any =
+    EventKernels.funnelFold(v.asInstanceOf[ArrayData], stepsU,
+      winMicros.getOrElse(0L), winMicros.isDefined)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("funnelSteps", stepsU,
+      classOf[Array[UTF8String]].getName)
+    val win = winMicros.getOrElse(0L)
+    val hasWin = winMicros.isDefined
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.EventKernels.funnelFold($c, $ref, ${win}L, $hasWin)")
+  }
+  override protected def withNewChildInternal(c: Expression): FunnelFold =
+    copy(child = c)
+  override def prettyName: String = "funnel_fold"
+}
+
+object EventExpressions {
+  def funnelFold(evs: Column, steps: Seq[String], winMicros: Option[Long]): Column =
+    toCol(FunnelFold(toExpr(evs), steps, winMicros))
+}

@@ -384,6 +384,75 @@ object TextKernels {
       Array[Any](n, sumLen, nAlpha, nHash, nEll, sw))
   }
 
+  /** see [[graft.functions.StopwordCount]]: bit-identical to
+    * `size(filter(toks, t => array_contains(sw, t)))` — count the
+    * array elements present in the stopword set (UTF8String equality
+    * IS Spark string equality; a null element never matches, exactly
+    * as `array_contains(sw, null)` yields null and the filter drops
+    * it). `maxSwBytes` is a fast-path length cap: tokens longer than
+    * the longest stopword skip the hash probe. */
+  def stopwordCount(
+      toks: ArrayData,
+      stopwords: java.util.HashSet[UTF8String],
+      maxSwBytes: Int): Int = {
+    val n = toks.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        if (t.numBytes() <= maxSwBytes && stopwords.contains(t)) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** see [[graft.functions.LineRuleStats]]: the four line-structure
+    * counts the Gopher/C4 line rules consume, in ONE byte pass —
+    * (n_lines, n_bullet, n_ell, n_terminal). Replicates exactly:
+    * `split(text, "\n")` boundaries on 0x0A with keep-empties
+    * semantics; `ltrim`/`rtrim` strip ONLY 0x20 (Spark trims only the
+    * space character since SPARK-17299); bullet prefixes "- ", "* "
+    * and "• " (the bullet is the byte sequence E2 80 A2 — multi-byte
+    * UTF-8 bytes are ≥ 0x80, so prefix byte comparison is exact);
+    * ellipsis = rtrimmed line ends with "..."; terminal = the RAW
+    * line's last byte is one of . ! ? " (all ASCII). */
+  def lineRuleStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    val nb = b.length
+    var nLines = 0L; var nBullet = 0L; var nEll = 0L; var nTerm = 0L
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || b(i) == 0x0a) {
+        nLines += 1
+        // bullet: skip leading 0x20s, then a 2-byte ASCII or 4-byte • prefix
+        var p = start
+        while (p < i && b(p) == 0x20) p += 1
+        if (i - p >= 2 && (b(p) == '-' || b(p) == '*') && b(p + 1) == 0x20)
+          nBullet += 1
+        else if (i - p >= 4 && b(p) == 0xe2.toByte && b(p + 1) == 0x80.toByte &&
+          b(p + 2) == 0xa2.toByte && b(p + 3) == 0x20)
+          nBullet += 1
+        // ellipsis: skip trailing 0x20s, then a "..." suffix
+        var q = i
+        while (q > start && b(q - 1) == 0x20) q -= 1
+        if (q - start >= 3 && b(q - 1) == '.' && b(q - 2) == '.' && b(q - 3) == '.')
+          nEll += 1
+        // terminal punctuation: raw line's last byte
+        if (i > start) {
+          val last = b(i - 1)
+          if (last == '.' || last == '!' || last == '?' || last == '"') nTerm += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, nBullet, nEll, nTerm))
+  }
+
   /** Bit-identical to `regexp_replace(s, "\\s+", " ")`: Java `\s`
     * without UNICODE_CHARACTER_CLASS is exactly [ \t\n\x0B\f\r] —
     * all ASCII, and every byte of a multi-byte UTF-8 sequence is
@@ -763,6 +832,58 @@ case class DupLineStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "dup_line_stats"
 }
 
+/** Fused stopword counter over a token ARRAY — bit-identical to
+  * `size(filter(toks, t => array_contains(sw, t)))` (INT, like size)
+  * without the per-token lambda re-entry + 19-element linear array
+  * scan: one hash-set probe per token, inside whole-stage codegen.
+  * Token arrays here come from `split`, so the input column keeps
+  * whatever split the caller chose (space vs \s+). */
+case class StopwordCount(child: Expression, stopwords: Seq[String])
+  extends UnaryExpression {
+  private val swSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  private val maxSwBytes: Int =
+    if (stopwords.isEmpty) 0
+    else stopwords.map(_.getBytes("UTF-8").length).max
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.stopwordCount(v.asInstanceOf[ArrayData], swSet, maxSwBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", swSet,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.stopwordCount($c, $ref, $maxSwBytes)")
+  }
+  override protected def withNewChildInternal(c: Expression): StopwordCount =
+    copy(child = c)
+  override def prettyName: String = "stopword_count"
+}
+
+/** Fused Gopher/C4 line-structure counts: one byte pass over the
+  * newline-joined text for the four integers the line rules consume
+  * (see TextKernels.lineRuleStats). Replaces per-line HOF filter
+  * trees (ltrim/startsWith ×3 bullets, rtrim/endsWith ellipsis,
+  * endsWith ×4 terminal probes — each stat column previously carried
+  * its own copy of the split + lambda walk). */
+case class LineRuleStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet", LongType, nullable = false),
+    StructField("n_ell", LongType, nullable = false),
+    StructField("n_terminal", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.lineRuleStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.lineRuleStats($c)")
+  override protected def withNewChildInternal(c: Expression): LineRuleStats =
+    copy(child = c)
+  override def prettyName: String = "line_rule_stats"
+}
+
 case class CollapseWhitespace(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
@@ -817,6 +938,10 @@ object TextExpressions {
     toCol(DupLineStats(toExpr(text)))
   def gopherCounts(text: Column, stopwords: Seq[String]): Column =
     toCol(GopherCounts(toExpr(text), stopwords))
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    toCol(StopwordCount(toExpr(toks), stopwords))
+  def lineRuleStats(text: Column): Column =
+    toCol(LineRuleStats(toExpr(text)))
   def wordShingleHashPairs(
       w: Column, n: Int, seed1: Long = 42L, seed2: Long = 0x5eed2L): Column =
     toCol(WordShingleHashPairs(toExpr(w), n, seed1, seed2))

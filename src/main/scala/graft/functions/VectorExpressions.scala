@@ -227,6 +227,183 @@ case class SquaredL2F64(left: Expression, right: Expression)
   override def prettyName: String = "sql2_f64"
 }
 
+/** plain dot product with sequential double accumulation — element
+  * order and per-step add order identical to
+  * `aggregate(sequence(1, n), 0.0, (a, i) => a +
+  * element_at(vec, i).cast("double") * element_at(lit(c), i))`, the
+  * portable-plane SRP fold, so results are bit-identical to that HOF
+  * chain. Left/right element types promote to double per element via
+  * VecElem, exactly as the fold's casts did. */
+case class DotProductF64(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  @transient private lazy val getL = VecElem.getter(left)
+  @transient private lazy val getR = VecElem.getter(right)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    var s = 0.0; var i = 0
+    while (i < n) { s += getL(a, i) * getR(b, i); i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector length mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${VecElem.genGet(left, a, i)} * ${VecElem.genGet(right, b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_f64"
+}
+
+/** fused nearest-centroid argmin over a LITERAL centroid set — the
+  * SemDeDup assignment (Dedup.semanticCandidates). Bit-identical to
+  * the Column chain it replaces: per centroid j the score is
+  * |c_j|² − 2·dot(v, c_j) with |c_j|² the same driver-side foldLeft,
+  * the dot the same sequential per-element double accumulation
+  * ((double)v_i first, then ·c_i, then +), and the argmin the same
+  * strict-< earliest-wins fold — including Spark's NaN-is-greatest
+  * `<` semantics (nanSafeCompareDoubles), NOT Java's always-false NaN
+  * compare. A vector whose length differs from the centroids' dim
+  * throws, like the element_at OOB of the original chain under ANSI
+  * mode (the session default); a NULL vector stays NULL (the caller
+  * coalesces to cluster 0, the old all-null-score fold result). */
+case class NearestCentroidF64(child: Expression, centroids: Seq[Seq[Double]])
+  extends UnaryExpression {
+  require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+    "centroids must be non-empty and rectangular")
+  private val dim: Int = centroids.head.length
+  private val k: Int = centroids.length
+  // |c|² via the SAME foldLeft the Column chain used driver-side
+  private val c2: Array[Double] =
+    centroids.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
+  private val flat: Array[Double] = centroids.flatten.toArray
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  @transient private lazy val getE = VecElem.getter(child)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    require(a.numElements() == dim,
+      s"vector length mismatch: ${a.numElements()} vs centroid dim $dim")
+    var bi = 0; var best = 0.0; var j = 0
+    while (j < k) {
+      var dot = 0.0; var i = 0; val off = j * dim
+      while (i < dim) { dot += getE(a, i) * flat(off + i); i += 1 }
+      val s = c2(j) - 2.0 * dot
+      // strict <, earliest wins; NaN sorts greatest (Spark `<`)
+      if (j == 0) best = s
+      else if (!java.lang.Double.isNaN(s) &&
+        (java.lang.Double.isNaN(best) || s < best)) { best = s; bi = j }
+      j += 1
+    }
+    java.lang.Integer.valueOf(bi)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+    val c2Ref = ctx.addReferenceObj("centroidsNormSq", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val off = ctx.freshName("off"); val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "vector length mismatch: " + $a.numElements() + " vs centroid dim " + $dim);
+         |}
+         |int $bi = 0; double $best = 0.0;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $dot = 0.0;
+         |  final int $off = $j * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dot += ${VecElem.genGet(child, a, i)} * $flatRef[$off + $i];
+         |  }
+         |  final double $s = $c2Ref[$j] - 2.0 * $dot;
+         |  if ($j == 0) { $best = $s; }
+         |  else if (!java.lang.Double.isNaN($s) &&
+         |      (java.lang.Double.isNaN($best) || $s < $best)) {
+         |    $best = $s; $bi = $j;
+         |  }
+         |}
+         |${ev.value} = $bi;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidF64 =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid_f64"
+}
+
+/** fused sign-random-projection bucket over a float vector with
+  * LITERAL ±1 float plane weights (Similarity.srpBucket). Per plane:
+  * dot = Σ (double)(v_i * w_i) — the FLOAT multiply then double
+  * accumulate of `aggregate(zip_with(v, w, _ * _), 0.0, +)`, kept
+  * exactly (the product rounds to float before widening); bit p set
+  * when dot >= 0 under Spark's NaN-is-greatest comparison. Returns
+  * NULL when the vector's length differs from the planes' dim (the
+  * original chain's zip_with null-padding nulled every plane's dot,
+  * folding the bucket to 0; the caller coalesces for parity). */
+case class SrpBucketF32(child: Expression, weights: Array[Float], nPlanes: Int)
+  extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 30 && weights.length % nPlanes == 0,
+    s"weights (${weights.length}) must be nPlanes ($nPlanes) x dim")
+  private val dim: Int = weights.length / nPlanes
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) return null
+    var bucket = 0; var p = 0
+    while (p < nPlanes) {
+      var s = 0.0; var i = 0; val off = p * dim
+      while (i < dim) { s += (a.getFloat(i) * weights(off + i)).toDouble; i += 1 }
+      if (java.lang.Double.isNaN(s) || s >= 0.0) bucket |= (1 << p)
+      p += 1
+    }
+    java.lang.Integer.valueOf(bucket)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("srpWeights", weights, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val off = ctx.freshName("off"); val s = ctx.freshName("s")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $bucket = 0;
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    double $s = 0.0;
+         |    final int $off = $p * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $s += (double) ($a.getFloat($i) * $wRef[$off + $i]);
+         |    }
+         |    if (java.lang.Double.isNaN($s) || $s >= 0.0) $bucket |= (1 << $p);
+         |  }
+         |  ${ev.value} = $bucket;
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): SrpBucketF32 =
+    copy(child = c)
+  override def prettyName: String = "srp_bucket_f32"
+}
+
 /** one-pass unit-normalized int8 quantizer: norm = sqrt(Σ x²)
   * (sequential double fold, identical order to the HOF chain), then
   * per element `floor(x / norm * 127.0 + 0.5)` as long. Zero-norm or
@@ -325,6 +502,11 @@ object VectorExpressions {
   def cosineF32(a: Column, b: Column): Column = toCol(CosineSimilarityF32(toExpr(a), toExpr(b)))
   def l2F32(a: Column, b: Column): Column = toCol(L2DistanceF32(toExpr(a), toExpr(b)))
   def dotI64(a: Column, b: Column): Column = toCol(DotProductI64(toExpr(a), toExpr(b)))
+  def dotF64(a: Column, b: Column): Column = toCol(DotProductF64(toExpr(a), toExpr(b)))
+  def nearestCentroidF64(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    toCol(NearestCentroidF64(toExpr(vec), centroids))
+  def srpBucketF32(vec: Column, weights: Array[Float], nPlanes: Int): Column =
+    toCol(SrpBucketF32(toExpr(vec), weights, nPlanes))
   def sqL2F64(a: Column, b: Column): Column = toCol(SquaredL2F64(toExpr(a), toExpr(b)))
   def quantizeUnitInt8(vec: Column): Column = toCol(QuantizeUnitInt8(toExpr(vec)))
   def quantizeScaleI64(vec: Column, scale: Int): Column =

@@ -697,19 +697,21 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val dim = centroids.head.length
-    def seqDot(vec: Column, c: Seq[Double]): Column = aggregate(
-      sequence(lit(1), lit(dim)), lit(0.0),
-      (a, i) => a + element_at(vec, i.cast("int")).cast("double") *
-        element_at(typedLit(c), i.cast("int")))
     // |v - c|^2 = |v|^2 - 2·dot + |c|^2; per-row |v|^2 is constant
     // across centroids, so argmin over (|c|^2 - 2·dot) suffices.
-    val scores = centroids.map(c =>
-      lit(c.foldLeft(0.0)((a, x) => a + x * x)) - lit(2.0) * seqDot(col("__v"), c))
-    val cluster = scores.zipWithIndex.tail
-      .foldLeft((lit(0), scores.head)) { case ((bi, bs), (s, i)) =>
-        (when(s < bs, lit(i)).otherwise(bi), when(s < bs, s).otherwise(bs))
-      }._1
+    // Fused codegen kernel (NearestCentroidF64): the previous chain
+    // ran k interpreted seqDot folds per row (k × dim lambda+boxing
+    // re-entries) and an argmin when-chain whose tree DOUBLED per
+    // centroid; the kernel keeps the identical |c|² foldLeft, the
+    // identical sequential (double)v_i·c_i accumulation, and the
+    // strict-< earliest-wins compare (Spark NaN semantics) — results
+    // bit-identical. A NULL vector folded to cluster 0 in the old
+    // chain (all-null scores → every when() false); coalesce keeps
+    // that. A dim-mismatched vector throws, as the old chain's
+    // element_at OOB did under ANSI mode.
+    val cluster = coalesce(
+      graft.functions.VectorExpressions.nearestCentroidF64(col("__v"), centroids),
+      lit(0))
     val assigned = df
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("cluster", cluster)

@@ -43,23 +43,45 @@ object EventAnalytics {
       steps: Seq[String], window: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val evs = sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("t"))))
-    // fold state: (stage, anchor = step-1 ts, reach = ts of last advance)
-    val init = struct(lit(0).as("s"),
-      lit(null).cast("timestamp").as("a"), lit(null).cast("timestamp").as("r"))
-    val folded = aggregate(evs, init, (st, e) => {
-      val s = st.getField("s")
-      val a = st.getField("a")
-      val inWin = window match {
-        case Some(w) => e.getField("ts") <= a + expr(s"INTERVAL $w")
-        case None    => lit(true)
+    // month-free windows (hour/minute/day — every in-repo caller) are
+    // fixed micros in the UTC session, so the fold runs as ONE fused
+    // kernel pass over the sorted array (FunnelFold — bit-identical to
+    // the aggregate() CaseWhen chain below, which rebuilt a 3-field
+    // struct through the interpreter per EVENT per user). Month-bearing
+    // windows need calendar arithmetic and keep the Column chain.
+    val winMicros: Option[Option[Long]] = window.map { w =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(s"INTERVAL $w").eval(null) match {
+        // ANSI day-time interval literal: already exact micros, and
+        // ts + day-time-interval IS micros addition (TimeAdd)
+        case m: java.lang.Long => Some(m.longValue)
+        // ANSI year-month interval: calendar arithmetic
+        case _: java.lang.Integer => None
+        // legacy multi-unit CalendarInterval: month-free days are
+        // fixed 86400s in the UTC session
+        case iv: org.apache.spark.unsafe.types.CalendarInterval =>
+          if (iv.months == 0) Some(iv.days * 86400000000L + iv.microseconds)
+          else None
       }
-      val first = when(s === 0 && e.getField("t") === steps.head,
-        struct(lit(1).as("s"), e.getField("ts").as("a"), e.getField("ts").as("r")))
-      steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
-        acc.when(s === i && e.getField("t") === step && inWin,
-          struct(lit(i + 1).as("s"), a.as("a"), e.getField("ts").as("r")))
-      }.otherwise(st)
-    })
+    }
+    val folded = winMicros match {
+      case Some(None) => // months in the window: calendar fold, unchanged
+        val init = struct(lit(0).as("s"),
+          lit(null).cast("timestamp").as("a"), lit(null).cast("timestamp").as("r"))
+        aggregate(evs, init, (st, e) => {
+          val s = st.getField("s")
+          val a = st.getField("a")
+          val inWin = e.getField("ts") <= a + expr(s"INTERVAL ${window.get}")
+          val first = when(s === 0 && e.getField("t") === steps.head,
+            struct(lit(1).as("s"), e.getField("ts").as("a"), e.getField("ts").as("r")))
+          steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+            acc.when(s === i && e.getField("t") === step && inWin,
+              struct(lit(i + 1).as("s"), a.as("a"), e.getField("ts").as("r")))
+          }.otherwise(st)
+        })
+      case _ =>
+        graft.functions.EventExpressions.funnelFold(evs, steps, winMicros.flatten)
+    }
     events.groupBy(col(userCol).as("user_id"))
       .agg(folded.as("f"))
       .select(col("user_id"), col("f.s").as("stage"),

@@ -44,20 +44,24 @@ object Similarity {
     * with hash-generated ±1 weights. */
   def srpBucket(vec: Column, dim: Int, nPlanes: Int = 8, seed: Int = 42): Column = {
     if (nPlanes == 0) return lit(0) // degenerate: one bucket ≡ exhaustive
-    val bits = (0 until nPlanes).map { p =>
-      // ±1 weight per (plane, dim index) from a 32-bit hash
-      // productHash is deprecated but its VALUES are load-bearing:
-      // bucket assignments must stay stable across library versions
-      // (a re-bucketed corpus would need a full re-index)
-      val weights = array((0 until dim).map { i =>
-        lit(if ((scala.util.hashing.MurmurHash3.productHash((seed, p, i)): @scala.annotation.nowarn) > 0) 1.0f else -1.0f)
-      }: _*)
-      val dot = aggregate(
-        zip_with(vec, weights, (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    // ±1 weight per (plane, dim index) from a 32-bit hash.
+    // productHash is deprecated but its VALUES are load-bearing:
+    // bucket assignments must stay stable across library versions
+    // (a re-bucketed corpus would need a full re-index).
+    val weights = Array.tabulate(nPlanes * dim) { j =>
+      val p = j / dim; val i = j % dim
+      if ((scala.util.hashing.MurmurHash3.productHash((seed, p, i)): @scala.annotation.nowarn) > 0) 1.0f else -1.0f
     }
-    bits.reduce(_ + _)
+    // fused codegen kernel: the per-plane zip_with/aggregate chain
+    // re-entered the interpreter per vector ELEMENT per plane
+    // (nPlanes × dim lambda calls/row); the kernel is bit-identical —
+    // float multiply then double accumulation, same order (see
+    // SrpBucketF32). A length-mismatched vector nulls every plane's
+    // dot in the old chain, folding the bucket to 0 — the kernel
+    // returns null there, coalesced back to 0.
+    coalesce(
+      graft.functions.VectorExpressions.srpBucketF32(vec, weights, nPlanes),
+      lit(0))
   }
 
   /** IVF (inverted-file) index: k-means centroids learned with a few

@@ -120,8 +120,14 @@ object TextAnalysis {
   def nChars(text: Column): Column = length(text)
   def nTokens(text: Column): Column = size(tokens(text))
   def avgTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+    // fused: the aggregate HOF walked the materialized token array
+    // with an interpreted lambda per token; gopherCounts' byte-scan
+    // kernel replicates `split(text, "\\s+")` token boundaries and
+    // code-point lengths exactly (empty stopword set = zero probes),
+    // so sum_len/n is bit-identical to the fold (exact integers well
+    // below 2^53 on both sides of the double division).
+    val g = graft.functions.TextExpressions.gopherCounts(text, Nil)
+    g.getField("sum_len").cast("double") / g.getField("n")
   }
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
@@ -132,10 +138,11 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "are", "was", "be", "this")
 
-  def stopwordCount(toks: Column, stopwords: Seq[String] = englishStopwords): Column = {
-    val sw = array(stopwords.map(lit): _*)
-    size(filter(toks, t => array_contains(sw, t)))
-  }
+  def stopwordCount(toks: Column, stopwords: Seq[String] = englishStopwords): Column =
+    // fused kernel (bit-identical to size(filter(toks,
+    // t => array_contains(sw, t))), INT like size): one hash-set probe
+    // per token instead of an interpreted lambda + linear array scan.
+    graft.functions.TextExpressions.stopwordCount(toks, stopwords)
 
   /** stopword-density language-ID heuristic: score = fraction of
     * tokens that are stopwords of the candidate language; highest
@@ -190,14 +197,17 @@ object TextAnalysis {
     * ellipsis. Integer cross-multiplied bounds, map-only over the
     * line array — same scan-speed shape as the word rules. */
   def gopherLineStats(text: Column): Seq[(String, Column)] = {
-    val lines = split(text, "\n")
-    val bullets = Seq("- ", "* ", "• ")
+    // fused kernel (TextKernels.lineRuleStats): previously each stat
+    // column carried its own split("\n") + per-line interpreted
+    // filter lambda (ltrim/startsWith ×3 bullet probes, rtrim/endsWith
+    // ellipsis); now all columns read fields of ONE byte-scan struct
+    // (codegen CSE evaluates it once per row across the consumers,
+    // [[c4Stats]] included).
+    val s = graft.functions.TextExpressions.lineRuleStats(text)
     Seq(
-      "n_lines" -> size(lines).cast("long"),
-      "n_bullet_lines" -> size(filter(lines, l =>
-        bullets.map(b => ltrim(l).startsWith(b)).reduce(_ || _))).cast("long"),
-      "n_ellipsis_lines" ->
-        size(filter(lines, l => rtrim(l).endsWith("..."))).cast("long"))
+      "n_lines" -> s.getField("n_lines"),
+      "n_bullet_lines" -> s.getField("n_bullet"),
+      "n_ellipsis_lines" -> s.getField("n_ell"))
   }
 
   def gopherLineRules(text: Column): Seq[(String, Column)] = {
@@ -247,12 +257,13 @@ object TextAnalysis {
     * ipsum", cookie/javascript/privacy-policy boilerplate). All string
     * probes fuse into the scan — map-only at any corpus size. */
   def c4Stats(text: Column): Seq[(String, Column)] = {
-    val lines = split(text, "\n")
+    // line counts via the shared lineRuleStats kernel (see
+    // [[gopherLineStats]]); the doc-level marker probes stay builtin
+    // `contains` — already codegen'd substring scans.
+    val s = graft.functions.TextExpressions.lineRuleStats(text)
     Seq(
-      "n_lines" -> size(lines).cast("long"),
-      "n_terminal" -> size(filter(lines, l =>
-        Seq(".", "!", "?", "\"").map(p => l.endsWith(p)).reduce(_ || _)))
-        .cast("long"),
+      "n_lines" -> s.getField("n_lines"),
+      "n_terminal" -> s.getField("n_terminal"),
       "f_curly" -> text.contains("{").cast("long"),
       "f_lorem" -> text.contains("lorem ipsum").cast("long"),
       "f_policy" -> (text.contains("cookie") || text.contains("javascript") ||

@@ -54,15 +54,23 @@ object PipelineQueries {
       |            AS INT) AS n_stopwords,
       |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS INT) AS n_regex_tokens
       |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val toks = TextAnalysis.tokens(col("text"))
+    // ONE gopherCounts byte-scan kernel serves n_tokens, avg_token_len
+    // and n_stopwords (codegen CSE shares the identical call): the
+    // kernel replicates split(text, "\\s+") token boundaries,
+    // code-point lengths, and set membership exactly, so each column's
+    // value — and its INT/DOUBLE type after the casts — is bit-identical
+    // to the previous split+HOF trees.
+    val g = graft.functions.TextExpressions.gopherCounts(
+      col("text"), TextAnalysis.englishStopwords)
     Tables.documents(s, d).filter(col("doc_id") < 60)
       .select(
         col("doc_id"),
         TextAnalysis.nChars(col("text")).cast("long").as("n_chars"),
-        TextAnalysis.nTokens(col("text")).as("n_tokens"),
-        round(TextAnalysis.avgTokenLen(col("text")), 4).as("avg_token_len"),
+        g.getField("n").cast("int").as("n_tokens"),
+        round(g.getField("sum_len").cast("double") / g.getField("n"), 4)
+          .as("avg_token_len"),
         TextAnalysis.digitCount(col("text")).cast("long").as("n_digits"),
-        TextAnalysis.stopwordCount(toks).as("n_stopwords"),
+        g.getField("sw").cast("int").as("n_stopwords"),
         size(TextAnalysis.regexTokens(col("text"))).as("n_regex_tokens"))
       .orderBy(col("doc_id"))
   }

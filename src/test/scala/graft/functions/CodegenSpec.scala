@@ -57,6 +57,44 @@ class CodegenSpec extends SparkSpec {
       "quantize_scale_i64"))
 
     assert(inCodegenSpan(
+      emb.select(VectorExpressions.dotF64(col("v"), col("v")).as("d"))
+        .filter(col("d") >= 0),
+      "dot_f64"))
+
+    assert(inCodegenSpan(
+      emb.select(VectorExpressions.nearestCentroidF64(col("v"),
+        Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))).as("c"))
+        .filter(col("c") >= 0),
+      "nearest_centroid_f64"))
+
+    assert(inCodegenSpan(
+      emb.select(graft.operators.Similarity.srpBucket(col("v"),
+        dim = 2, nPlanes = 4).as("b")).filter(col("b") >= 0),
+      "srp_bucket_f32"))
+
+    assert(inCodegenSpan(
+      rangeDocs.select(TextExpressions.stopwordCount(
+        split(col("text"), " "), Seq("a", "b")).as("c"))
+        .filter(col("c") >= 0),
+      "stopword_count"))
+
+    assert(inCodegenSpan(
+      rangeDocs.select(TextExpressions.lineRuleStats(col("text")).as("s"))
+        .filter(col("s.n_lines") > 0),
+      "line_rule_stats"))
+
+    // the funnel fold projects over a (sorted) struct array — here a
+    // synthesized one, the post-aggregation shape
+    val evArr = spark.range(8).select(array(
+      struct(col("id").cast("timestamp").as("ts"), lit("view").as("t")),
+      struct((col("id") + 1).cast("timestamp").as("ts"), lit("click").as("t"))).as("evs"))
+    assert(inCodegenSpan(
+      evArr.select(EventExpressions.funnelFold(
+        col("evs"), Seq("view", "click"), Some(3600000000L)).as("f"))
+        .filter(col("f.s") >= 0),
+      "funnel_fold"))
+
+    assert(inCodegenSpan(
       rangeDocs.select(TextExpressions.minhashSignature(
         TextExpressions.wordShingles(col("text"), 2)).as("s")),
       "minhash_signature"))

@@ -94,6 +94,86 @@ class VectorKernelsSpec extends SparkSpec {
     assert(nulls.collect()(0).isNullAt(0))
   }
 
+  test("dotF64 matches the sequential element_at cast fold") {
+    // the portable-plane SRP fold, verbatim: per element
+    // (double)v_i * w_i, sequential double accumulation
+    val rows = (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      ((1 to n).map(_ => rnd.nextFloat() * 4 - 2),
+        (1 to n).map(_ => if (rnd.nextBoolean()) 1.0 else -1.0))
+    }
+    val df = rows.toDF("v", "w")
+    val n = size(col("v"))
+    val old = aggregate(sequence(lit(1), n), lit(0.0),
+      (a, i) => a + element_at(col("v"), i.cast("int")).cast("double") *
+        element_at(col("w"), i.cast("int")))
+    val diff = df.select(
+      VectorExpressions.dotF64(col("v"), col("w")).as("k"), old.as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("nearestCentroidF64 matches the seqDot + strict-< argmin chain") {
+    import org.apache.spark.sql.functions.{typedLit => tl}
+    val dim = 8
+    val centroids: Seq[Seq[Double]] = (0 until 5).map(j =>
+      (0 until dim).map(i => math.sin(j * 31 + i) * 2))
+    // the replaced chain, verbatim (Dedup.semanticCandidates pre-kernel)
+    def seqDot(vec: org.apache.spark.sql.Column, c: Seq[Double]) = aggregate(
+      sequence(lit(1), lit(dim)), lit(0.0),
+      (a, i) => a + element_at(vec, i.cast("int")).cast("double") *
+        element_at(tl(c), i.cast("int")))
+    val scores = centroids.map(c =>
+      lit(c.foldLeft(0.0)((a, x) => a + x * x)) - lit(2.0) * seqDot(col("v"), c))
+    val oldCluster = scores.zipWithIndex.tail
+      .foldLeft((lit(0), scores.head)) { case ((bi, bs), (s, i)) =>
+        (when(s < bs, lit(i)).otherwise(bi), when(s < bs, s).otherwise(bs))
+      }._1
+    val rows = (1 to 200).map { _ =>
+      (0 until dim).map(_ => rnd.nextFloat() * 4 - 2)
+    } ++ centroids.map(_.map(_.toFloat)) :+ Seq.fill(dim)(0f)
+    val df = rows.toDF("v")
+    val kernel = coalesce(
+      VectorExpressions.nearestCentroidF64(col("v"), centroids), lit(0))
+    val diff = df.select(kernel.as("k"), oldCluster.as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+    // dim mismatch throws (the old chain's element_at OOB threw under
+    // ANSI mode, the session default)
+    val short = Seq(Seq(1f, 2f)).toDF("v")
+    intercept[Exception] { short.select(kernel.as("k")).collect() }
+    // null vector folds to cluster 0 (all-null scores in the old chain)
+    val nulls = Seq((1, None: Option[Seq[Float]])).toDF("i", "v")
+    assert(nulls.select(kernel.as("k")).head().getInt(0) == 0)
+  }
+
+  test("srpBucket kernel matches the per-plane zip_with/aggregate chain") {
+    val dim = 16; val nPlanes = 6; val seed = 42
+    // the replaced chain, verbatim (Similarity.srpBucket pre-kernel):
+    // FLOAT multiply inside zip_with, double accumulation
+    val oldBucket = (0 until nPlanes).map { p =>
+      val weights = array((0 until dim).map { i =>
+        lit(if ((scala.util.hashing.MurmurHash3.productHash((seed, p, i)): @scala.annotation.nowarn) > 0) 1.0f else -1.0f)
+      }: _*)
+      val dot = aggregate(
+        zip_with(col("v"), weights, (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val rows = (1 to 200).map { _ =>
+      (0 until dim).map(_ => rnd.nextFloat() * 4 - 2)
+    } :+ Seq.fill(dim)(0f) :+ Seq.fill(dim)(-0f)
+    val df = rows.toDF("v")
+    val kernel = graft.operators.Similarity.srpBucket(col("v"), dim, nPlanes, seed)
+    val diff = df.select(kernel.as("k"), oldBucket.as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+    // length-mismatched vectors bucket to 0 in both formulations
+    val short = Seq(Seq(1f, 2f)).toDF("v")
+    assert(short.select(kernel.as("k"), oldBucket.as("h"))
+      .head().toSeq == Seq(0, 0))
+  }
+
   test("quantizeScaleI64 matches transform(floor(x*scale + 0.5)) on doubles") {
     val rows = (1 to 200).map { _ =>
       val n = 1 + rnd.nextInt(16)

@@ -59,4 +59,59 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L, ("2024-01-01", 7) -> 1L,
       ("2024-01-02", 0) -> 1L))
   }
+
+  test("funnelFold kernel is bit-identical to the aggregate CaseWhen chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    // the replaced chain, verbatim (funnelUsers pre-kernel), applied to
+    // the same sorted struct array
+    def oldFold(window: Option[String]) = {
+      val evs = sort_array(collect_list(struct(col("ts").as("ts"),
+        col("event_type").as("t"))))
+      val init = struct(lit(0).as("s"),
+        lit(null).cast("timestamp").as("a"), lit(null).cast("timestamp").as("r"))
+      aggregate(evs, init, (st, e) => {
+        val s = st.getField("s")
+        val a = st.getField("a")
+        val inWin = window match {
+          case Some(w) => e.getField("ts") <= a + expr(s"INTERVAL $w")
+          case None    => lit(true)
+        }
+        val first = when(s === 0 && e.getField("t") === steps.head,
+          struct(lit(1).as("s"), e.getField("ts").as("a"), e.getField("ts").as("r")))
+        steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+          acc.when(s === i && e.getField("t") === step && inWin,
+            struct(lit(i + 1).as("s"), a.as("a"), e.getField("ts").as("r")))
+        }.otherwise(st)
+      })
+    }
+    // random event streams: repeated steps, noise types, shuffled times,
+    // boundary hits exactly AT the window edge
+    val rnd = new scala.util.Random(3371)
+    val types = Seq("view", "click", "purchase", "error", "view", "scroll")
+    val rows = (1 to 120).flatMap { u =>
+      (0 to rnd.nextInt(12)).map { _ =>
+        val t0 = 1704100000000000L // 2024-01-01-ish, micros
+        val ts = t0 + rnd.nextInt(3 * 3600) * 1000000L * rnd.nextInt(30)
+        (u.toLong, new java.sql.Timestamp(ts / 1000), types(rnd.nextInt(types.size)))
+      }
+    } ++ Seq( // exact window-boundary advance (ts == anchor + window)
+      (900L, ts("2024-01-01 10:00:00"), "view"),
+      (900L, ts("2024-01-01 11:00:00"), "click"))
+    val df = rows.toDF("user_id", "ts", "event_type")
+    for (w <- Seq(None, Some("1 HOUR"), Some("30 MINUTE"))) {
+      val kernel = EventAnalytics.funnelUsers(df, "user_id", "ts", "event_type",
+        steps, w).withColumnRenamed("stage", "k_s")
+        .withColumnRenamed("anchor_ts", "k_a").withColumnRenamed("reach_ts", "k_r")
+      val old = df.groupBy(col("user_id")).agg(oldFold(w).as("f"))
+        .select(col("user_id"), col("f.s").as("o_s"),
+          col("f.a").as("o_a"), col("f.r").as("o_r"))
+      val diff = kernel.join(old, Seq("user_id"), "full")
+        .filter(!(col("k_s") <=> col("o_s")) || !(col("k_a") <=> col("o_a")) ||
+          !(col("k_r") <=> col("o_r")))
+      assert(diff.count() == 0, s"window=$w: " +
+        diff.collect().take(3).mkString("; "))
+    }
+  }
 }

@@ -175,6 +175,75 @@ class TextQualitySpec extends SparkSpec {
     assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
   }
 
+  test("lineRuleStats kernel is bit-identical to the per-line filter chains") {
+    import spark.implicits._
+    // the replaced chains, verbatim (gopherLineStats bullet/ellipsis +
+    // c4Stats terminal)
+    def chain(): Seq[(String, org.apache.spark.sql.Column)] = {
+      val lines = split(col("text"), "\n")
+      val bullets = Seq("- ", "* ", "• ")
+      Seq(
+        "n_lines" -> size(lines).cast("long"),
+        "n_bullet" -> size(filter(lines, l =>
+          bullets.map(b => ltrim(l).startsWith(b)).reduce(_ || _))).cast("long"),
+        "n_ell" ->
+          size(filter(lines, l => rtrim(l).endsWith("..."))).cast("long"),
+        "n_terminal" -> size(filter(lines, l =>
+          Seq(".", "!", "?", "\"").map(p => l.endsWith(p)).reduce(_ || _)))
+          .cast("long"))
+    }
+    val rnd = new scala.util.Random(4093)
+    val pool = Seq("", " ", "- bullet", "  - indented", "* star", "• dot",
+      "•nospace", "-tight", "ends.", "bang!", "ask?", "quote\"",
+      "dots...", "dots... ", "   ", "mid...dle", "héllo wörld.",
+      "日本語…", "tab\t- x", " * s", "...", ". ", "-", "- ", "• ")
+    val fuzz = (1 to 300).map { _ =>
+      (0 to rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString("\n")
+    } ++ Seq("", "\n", "\n\n", "- a\n", "\n- a", "...")
+    val df = fuzz.toDF("text")
+    val kernel = graft.functions.TextExpressions.lineRuleStats(col("text"))
+    val old = chain()
+    val diff = df.select(
+      (old.map { case (n, _) => kernel.getField(n).as("k_" + n) } ++
+        old.map { case (n, c) => c.as("o_" + n) }): _*)
+      .filter(old.map(_._1).map(n =>
+        !(col("k_" + n) <=> col("o_" + n))).reduce(_ || _))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("stopwordCount/avgTokenLen kernels are bit-identical to the HOF folds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9241)
+    val pool = Seq("the", "a", "an", "and", "THE", "thé", "word", "", "is",
+      "it", "this", "日本語", "x", "wasx", "was")
+    val fuzz = (1 to 300).map { _ =>
+      (0 to rnd.nextInt(15)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(Seq(" ", "  ", "\t", "\n")(rnd.nextInt(4)))
+    } ++ Seq("", " ", "the", "  the  a  ", "\t\n")
+    val df = fuzz.toDF("text")
+    // replaced chains, verbatim
+    val toks = split(col("text"), "\\s+")
+    val sw = array(TextAnalysis.englishStopwords.map(lit): _*)
+    val oldSw = size(filter(toks, t => array_contains(sw, t)))
+    val oldAvg = aggregate(toks, lit(0L),
+      (acc, x) => acc + length(x)).cast("double") / size(toks)
+    // space-split tokens too (the text_langid shape)
+    val spToks = split(col("text"), " ")
+    val oldSwSp = size(filter(spToks, t => array_contains(sw, t)))
+    val diff = df.select(
+      TextAnalysis.stopwordCount(toks).as("k_sw"), oldSw.as("o_sw"),
+      TextAnalysis.avgTokenLen(col("text")).as("k_avg"), oldAvg.as("o_avg"),
+      TextAnalysis.stopwordCount(spToks).as("k_swsp"), oldSwSp.as("o_swsp"))
+      .filter(!(col("k_sw") <=> col("o_sw")) ||
+        !(col("k_avg") <=> col("o_avg")) ||
+        !(col("k_swsp") <=> col("o_swsp")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+    // schema parity: stopwordCount stays INT (size semantics)
+    val sch = df.select(TextAnalysis.stopwordCount(toks).as("c")).schema
+    assert(sch("c").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
   test("dupLineStats: occurrences beyond the first count as duplicates") {
     import spark.implicits._
     def run(text: String): Map[String, Long] = {
