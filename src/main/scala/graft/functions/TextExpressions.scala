@@ -453,6 +453,47 @@ object TextKernels {
       Array[Any](nLines, nBullet, nEll, nTerm))
   }
 
+  /** see [[graft.functions.RegroupSpaces]]: re-line a space-separated
+    * token stream into k-token lines. Bit-identical to
+    * `array_join(transform(sequence(0, ceil(n/k)-1),
+    *   i => array_join(slice(split(text, " "), i*k+1, k), " ")), "\n")`
+    * — the single-char split/slice/join round-trip preserves every
+    * byte and turns exactly every k-th space separator into the line
+    * break, so ONE copy + byte scan replaces the per-line slice+join
+    * allocation chain (0x20 never occurs inside a multi-byte UTF-8
+    * sequence). */
+  def regroupSpaces(text: UTF8String, k: Int): UTF8String = {
+    val nb = text.numBytes()
+    val res = java.util.Arrays.copyOf(text.getBytes, nb)
+    var cnt = 0
+    var i = 0
+    while (i < nb) {
+      if (res(i) == 0x20) { cnt += 1; if (cnt % k == 0) res(i) = 0x0a }
+      i += 1
+    }
+    UTF8String.fromBytes(res)
+  }
+
+  /** see [[graft.functions.LinearTokenScore]]: the hashed-bag-of-words
+    * linear score — Σ over tokens of
+    * `(portableRollHash(t) % dim + salt) * 2654435761 % 2147483647
+    *  % 2001 - 1000` — in one pass over the token array, replicating
+    * the aggregate() fold's long arithmetic exactly (rollHash is
+    * non-negative, so Java % == Spark's Remainder here). A null token
+    * nulls the whole sum, as the fold's `a + null` did. */
+  def linearTokenScore(toks: ArrayData, dim: Int, salt: Long): Any = {
+    val n = toks.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      val h = portableRollHash(toks.getUTF8String(i))
+      s += (h % dim + salt) * 2654435761L % 2147483647L % 2001L - 1000L
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   /** Bit-identical to `regexp_replace(s, "\\s+", " ")`: Java `\s`
     * without UNICODE_CHARACTER_CLASS is exactly [ \t\n\x0B\f\r] —
     * all ASCII, and every byte of a multi-byte UTF-8 sequence is
@@ -884,6 +925,53 @@ case class LineRuleStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "line_rule_stats"
 }
 
+/** k-token re-lining of a space-separated stream in one byte pass —
+  * the fixture-synthesis shape shared by the line-dedup/boilerplate
+  * entries (see TextKernels.regroupSpaces for the equivalence proof
+  * against the split/slice/join chain it replaces, which allocated a
+  * sliced array + joined string per LINE per document). */
+case class RegroupSpaces(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.regroupSpaces(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.regroupSpaces($c, $k)")
+  override protected def withNewChildInternal(c: Expression): RegroupSpaces =
+    copy(child = c)
+  override def prettyName: String = "regroup_spaces"
+}
+
+/** Fused hashed-linear-classifier score over a token array
+  * (TextCorpus.hashedLinearScore): one rollHash + weight fold per
+  * token inside codegen instead of the aggregate() lambda re-entry
+  * (which also re-entered the portable-hash expression through the
+  * interpreter per token). */
+case class LinearTokenScore(child: Expression, dim: Int, salt: Long)
+  extends UnaryExpression {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.linearTokenScore(v.asInstanceOf[ArrayData], dim, salt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |final Object $r = graft.functions.TextKernels.linearTokenScore($c, $dim, ${salt}L);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Long) $r).longValue();
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): LinearTokenScore =
+    copy(child = c)
+  override def prettyName: String = "linear_token_score"
+}
+
 case class CollapseWhitespace(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
@@ -942,6 +1030,10 @@ object TextExpressions {
     toCol(StopwordCount(toExpr(toks), stopwords))
   def lineRuleStats(text: Column): Column =
     toCol(LineRuleStats(toExpr(text)))
+  def regroupSpaces(text: Column, k: Int): Column =
+    toCol(RegroupSpaces(toExpr(text), k))
+  def linearTokenScore(toks: Column, dim: Int, salt: Long): Column =
+    toCol(LinearTokenScore(toExpr(toks), dim, salt))
   def wordShingleHashPairs(
       w: Column, n: Int, seed1: Long = 42L, seed2: Long = 0x5eed2L): Column =
     toCol(WordShingleHashPairs(toExpr(w), n, seed1, seed2))

@@ -404,6 +404,134 @@ case class SrpBucketF32(child: Expression, weights: Array[Float], nPlanes: Int)
   override def prettyName: String = "srp_bucket_f32"
 }
 
+/** element-wise difference promoted to double — bit-identical to
+  * `zip_with(a, b, (x, y) => x.cast("double") - y.cast("double"))` on
+  * equal-length vectors (the PQ residual shape). A null element yields
+  * a null output element, as the lambda did; a length mismatch throws
+  * (the zip_with null-padding produced all-null tails only on
+  * malformed data — every caller subtracts same-dim vectors). */
+case class SubF64(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  @transient private lazy val getL = VecElem.getter(left)
+  @transient private lazy val getR = VecElem.getter(right)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        out(i) = java.lang.Double.valueOf(getL(a, i) - getR(b, i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector length mismatch: " + $n + " vs " + $b.numElements());
+         |}
+         |final Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $out[$i] = java.lang.Double.valueOf(
+         |      ${VecElem.genGet(left, a, i)} - ${VecElem.genGet(right, b, i)});
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SubF64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "sub_f64"
+}
+
+/** fused sign-random-projection dim reduction (Achlioptas-style) with
+  * the ±1 signs PRECOMPUTED driver-side from the identical integer
+  * hash formula — out[j] = Σ_i (double)v_i · sign(i,j), sequential
+  * double accumulation per output dim, bit-identical to the nested
+  * transform(aggregate(...)) chain it replaces (outDim × dim
+  * interpreted lambda re-entries per row). A null input element nulls
+  * EVERY output dim (each fold consumed it), exactly as the chain
+  * did; a dim mismatch throws like the chain's element_at OOB under
+  * ANSI mode. */
+case class RandomProjectionF64(child: Expression, signs: Array[Double], outDim: Int)
+  extends UnaryExpression {
+  require(outDim >= 1 && signs.length % outDim == 0,
+    s"signs (${signs.length}) must be outDim ($outDim) x dim")
+  private val dim: Int = signs.length / outDim
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  @transient private lazy val getE = VecElem.getter(child)
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    require(a.numElements() == dim,
+      s"vector length mismatch: ${a.numElements()} vs projection dim $dim")
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](outDim))
+      i += 1
+    }
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      val off = j * dim
+      i = 0
+      while (i < dim) { s += getE(a, i) * signs(off + i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("rpSigns", signs, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val off = ctx.freshName("off"); val s = ctx.freshName("s")
+      val out = ctx.freshName("out"); val bad = ctx.freshName("bad")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "vector length mismatch: " + $a.numElements() + " vs projection dim " + $dim);
+         |}
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |}
+         |if ($bad) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new Object[$outDim]);
+         |} else {
+         |  final double[] $out = new double[$outDim];
+         |  for (int $j = 0; $j < $outDim; $j++) {
+         |    double $s = 0.0;
+         |    final int $off = $j * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $s += ${VecElem.genGet(child, a, i)} * $sRef[$off + $i];
+         |    }
+         |    $out[$j] = $s;
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): RandomProjectionF64 =
+    copy(child = c)
+  override def prettyName: String = "random_projection_f64"
+}
+
 /** one-pass unit-normalized int8 quantizer: norm = sqrt(Σ x²)
   * (sequential double fold, identical order to the HOF chain), then
   * per element `floor(x / norm * 127.0 + 0.5)` as long. Zero-norm or
@@ -507,6 +635,9 @@ object VectorExpressions {
     toCol(NearestCentroidF64(toExpr(vec), centroids))
   def srpBucketF32(vec: Column, weights: Array[Float], nPlanes: Int): Column =
     toCol(SrpBucketF32(toExpr(vec), weights, nPlanes))
+  def subF64(a: Column, b: Column): Column = toCol(SubF64(toExpr(a), toExpr(b)))
+  def randomProjectionF64(vec: Column, signs: Array[Double], outDim: Int): Column =
+    toCol(RandomProjectionF64(toExpr(vec), signs, outDim))
   def sqL2F64(a: Column, b: Column): Column = toCol(SquaredL2F64(toExpr(a), toExpr(b)))
   def quantizeUnitInt8(vec: Column): Column = toCol(QuantizeUnitInt8(toExpr(vec)))
   def quantizeScaleI64(vec: Column, scale: Int): Column =

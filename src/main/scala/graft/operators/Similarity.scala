@@ -221,12 +221,21 @@ object Similarity {
     * (the portable-fold oracle recipe). Pure Column tree — codegen'd,
     * no UDF. */
   def randomProjection(
-      vec: Column, dim: Int, outDim: Int, seed: Long = 42L): Column =
-    transform(sequence(lit(0L), lit(outDim - 1L)), j =>
-      aggregate(sequence(lit(0L), lit(dim - 1L)), lit(0.0), (acc, i) =>
-        acc + element_at(vec, (i + 1).cast("int")).cast("double") *
-          when(pmod((i * 2654435761L + j * 40503L + lit(seed)) %
-            2147483647L, lit(2L)) === 0, 1.0).otherwise(-1.0)))
+      vec: Column, dim: Int, outDim: Int, seed: Long = 42L): Column = {
+    // ±1 signs precomputed driver-side with the IDENTICAL integer hash
+    // the lambda evaluated per (i, j) per row; the fused kernel keeps
+    // the sequential (double)v_i·sign accumulation order, so outputs
+    // are bit-identical to the nested transform(aggregate(...)) chain
+    // (which re-entered the interpreter outDim × dim times per row).
+    // pmod replicated exactly (a negative seed can drive the inner
+    // remainder negative; pmod folds it back to {0, 1}).
+    val signs = Array.tabulate(outDim * dim) { x =>
+      val j = x / dim; val i = x % dim
+      val m = (i * 2654435761L + j * 40503L + seed) % 2147483647L
+      if ((m % 2L + 2L) % 2L == 0L) 1.0 else -1.0
+    }
+    graft.functions.VectorExpressions.randomProjectionF64(vec, signs, outDim)
+  }
 
   /** Persist a trained IVF index as a queryable parquet layout:
     * `centroids/` holds (centroid_id, centroid) and `cells/` holds
@@ -670,8 +679,10 @@ object Similarity {
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
     val resid = assigned.join(centroids, Seq("centroid_id"))
       .select(col("id"), col("centroid_id"),
-        zip_with(col("vec"), col("centroid"),
-          (a, b) => a.cast("double") - b.cast("double")).as("rvec"))
+        // fused residual (sub_f64): bit-identical to the zip_with
+        // cast-subtract lambda, one loop instead of per-element
+        // interpreter re-entry — this runs over the FULL corpus
+        VectorExpressions.subF64(col("vec"), col("centroid")).as("rvec"))
     val rsub = stageSubvectors(resid, "id", "rvec", m, s"$tag/pq")
     val books = codebooksFromSub(rsub, kPerSpace, iterations, s"$tag/pq")
     val codes = encodeFromSub(rsub, books)
@@ -680,8 +691,7 @@ object Similarity {
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
     val probes = q.crossJoin(centroids)
       .select(col("qid"), col("centroid_id"),
-        zip_with(col("qvec"), col("centroid"),
-          (a, b) => a.cast("double") - b.cast("double")).as("qres"),
+        VectorExpressions.subF64(col("qvec"), col("centroid")).as("qres"),
         VectorExpressions.l2F32(col("qvec"), col("centroid")).as("d"))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d").asc, col("centroid_id").asc)))

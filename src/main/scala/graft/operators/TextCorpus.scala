@@ -591,12 +591,16 @@ object TextCorpus {
       textCol: String,
       dim: Int = 1024,
       salt: Long = 7L): DataFrame = {
-    def weight(t: Column): Column =
-      (rollHash(t) % dim + salt) * 2654435761L % 2147483647L % 2001L - 1000L
+    // fused kernel (linear_token_score): the aggregate() fold
+    // re-entered the interpreter per token AND evaluated the
+    // portable-hash expression interpreted inside the lambda; the
+    // kernel runs the identical rollHash + long weight arithmetic in
+    // one codegen loop (bit-identical — fuzz spec'd).
     df.select(col(idCol).as("id"), toks(col(textCol)).as("ws"))
       .select(col("id"),
         size(col("ws")).cast("long").as("n_tokens"),
-        aggregate(col("ws"), lit(0L), (a, t) => a + weight(t)).as("score"))
+        graft.functions.TextExpressions.linearTokenScore(col("ws"), dim, salt)
+          .as("score"))
       .withColumn("label", (col("score") >= 0).cast("long"))
   }
 

@@ -99,14 +99,12 @@ object PipelineQueries7 {
       |       coalesce(string_agg(line, chr(10) ORDER BY line_idx)
       |                FILTER (WHERE rn = 1), '') AS text_kept
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val ws = split(col("text"), " ")
+    // 4-word re-lining via the regroup_spaces byte kernel (identical
+    // output to the split/slice/join chain — see RegroupSpaces)
     val lined = Tables.documents(s, d).select(
       col("doc_id"),
-      array_join(
-        transform(
-          sequence(lit(0), ((size(ws) + 3) / lit(4)).cast("int") - 1),
-          i => array_join(slice(ws, i * 4 + 1, lit(4)), " ")),
-        "\n").as("lined_text"))
+      graft.functions.TextExpressions.regroupSpaces(col("text"), 4)
+        .as("lined_text"))
     graft.operators.Dedup.lineDedup(lined, "doc_id", "lined_text")
       .orderBy(col("doc_id"))
   }

@@ -141,10 +141,11 @@ object PipelineQueries8 {
       |FROM l LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
       |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.functions._
-    val ws = split(col("text"), " ")
-    val body = array_join(
-      transform(sequence(lit(0), ((size(ws) + 3) / lit(4)).cast("int") - 1),
-        i => array_join(slice(ws, i * 4 + 1, lit(4)), " ")), "\n")
+    // 4-word re-lining via the regroup_spaces byte kernel — identical
+    // output to the split/slice/join chain (see RegroupSpaces), one
+    // pass per document instead of an array slice + join per LINE;
+    // this synthesis subtree executes once per explode consumer.
+    val body = graft.functions.TextExpressions.regroupSpaces(col("text"), 4)
     val lined = Tables.documents(s, d).select(
       col("doc_id"), col("source"),
       concat(lit("Home | About | Contact\nCookie notice "), col("source"),
@@ -207,10 +208,10 @@ object PipelineQueries8 {
       |                FILTER (WHERE rn = 1), '') AS text_kept
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.functions._
+    // re-lining via the regroup_spaces kernel (see text_boilerplate_
+    // strip); the appended first-4-word line keeps its slice form
     val ws = split(col("text"), " ")
-    val body = array_join(
-      transform(sequence(lit(0), ((size(ws) + 3) / lit(4)).cast("int") - 1),
-        i => array_join(slice(ws, i * 4 + 1, lit(4)), " ")), "\n")
+    val body = graft.functions.TextExpressions.regroupSpaces(col("text"), 4)
     val lined = Tables.documents(s, d).select(
       col("doc_id"),
       concat(body, lit("\n"), array_join(slice(ws, 1, 4), " ")).as("lined_text"))

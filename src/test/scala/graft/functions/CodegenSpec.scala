@@ -83,6 +83,26 @@ class CodegenSpec extends SparkSpec {
         .filter(col("s.n_lines") > 0),
       "line_rule_stats"))
 
+    assert(inCodegenSpan(
+      rangeDocs.select(TextExpressions.regroupSpaces(col("text"), 2).as("r"))
+        .filter(length(col("r")) > 0),
+      "regroup_spaces"))
+
+    assert(inCodegenSpan(
+      rangeDocs.select(TextExpressions.linearTokenScore(
+        split(col("text"), " "), 1024, 7L).as("sc")).filter(col("sc") >= 0),
+      "linear_token_score"))
+
+    assert(inCodegenSpan(
+      emb.select(VectorExpressions.subF64(col("v"), col("v")).as("r"))
+        .filter(size(col("r")) > 0),
+      "sub_f64"))
+
+    assert(inCodegenSpan(
+      emb.select(graft.operators.Similarity.randomProjection(
+        col("v"), 2, 3).as("p")).filter(size(col("p")) > 0),
+      "random_projection_f64"))
+
     // the funnel fold projects over a (sorted) struct array — here a
     // synthesized one, the post-aggregation shape
     val evArr = spark.range(8).select(array(

@@ -174,6 +174,40 @@ class VectorKernelsSpec extends SparkSpec {
       .head().toSeq == Seq(0, 0))
   }
 
+  test("subF64 matches zip_with cast-subtract on float/double vectors") {
+    val rows = (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      ((1 to n).map(_ => rnd.nextFloat() * 4 - 2),
+        (1 to n).map(_ => rnd.nextDouble() * 4 - 2))
+    }
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      VectorExpressions.subF64(col("a"), col("b")).as("k"),
+      zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") - y.cast("double")).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("randomProjection kernel matches the nested transform/aggregate chain") {
+    val dim = 16; val outDim = 4; val seed = 42L
+    // the replaced chain, verbatim (Similarity.randomProjection pre-kernel)
+    def oldProjection(vec: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0L), lit(outDim - 1L)), j =>
+        aggregate(sequence(lit(0L), lit(dim - 1L)), lit(0.0), (acc, i) =>
+          acc + element_at(vec, (i + 1).cast("int")).cast("double") *
+            when(pmod((i * 2654435761L + j * 40503L + lit(seed)) %
+              2147483647L, lit(2L)) === 0, 1.0).otherwise(-1.0)))
+    val rows = (1 to 200).map { _ =>
+      (0 until dim).map(_ => rnd.nextFloat() * 4 - 2)
+    } :+ Seq.fill(dim)(0f)
+    val df = rows.toDF("v")
+    val kernel = graft.operators.Similarity.randomProjection(col("v"), dim, outDim, seed)
+    val diff = df.select(kernel.as("k"), oldProjection(col("v")).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
   test("quantizeScaleI64 matches transform(floor(x*scale + 0.5)) on doubles") {
     val rows = (1 to 200).map { _ =>
       val n = 1 + rnd.nextInt(16)

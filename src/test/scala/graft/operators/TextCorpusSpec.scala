@@ -355,4 +355,50 @@ class TextCorpusSpec extends SparkSpec {
     // n=5: "p q r s t"×2 and "q r s t u"×2, len 9 each → 2*9 + 2*9 = 36
     assert(m(5L)._1 == 36L)
   }
+
+  test("regroupSpaces kernel is bit-identical to the split/slice/join chain") {
+    import spark.implicits._
+    // the replaced chain, verbatim (the line-dedup entries' synthesis)
+    def chain(k: Int) = {
+      val ws = split(col("text"), " ")
+      array_join(
+        transform(sequence(lit(0), ((size(ws) + k - 1) / lit(k)).cast("int") - 1),
+          i => array_join(slice(ws, i * k + 1, lit(k)), " ")), "\n")
+    }
+    val rnd = new scala.util.Random(7583)
+    val pool = Seq("a", "bb", "ccc", "", "héllo", "日本語", "x")
+    val fuzz = (1 to 300).map { _ =>
+      (0 to rnd.nextInt(20)).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")
+    } ++ Seq("", " ", "  ", "a", "a b c d e", " lead", "trail ", "a  b   c")
+    val df = fuzz.toDF("text")
+    for (k <- Seq(1, 4, 8)) {
+      val diff = df.select(
+        graft.functions.TextExpressions.regroupSpaces(col("text"), k).as("kk"),
+        chain(k).as("h"))
+        .filter(!(col("kk") <=> col("h")))
+      assert(diff.count() == 0,
+        s"k=$k: " + diff.collect().take(3).mkString("; "))
+    }
+  }
+
+  test("linearTokenScore kernel is bit-identical to the aggregate weight fold") {
+    import spark.implicits._
+    // the replaced fold, verbatim (hashedLinearScore pre-kernel)
+    def weight(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (graft.functions.TextExpressions.portableRollHash(t) % 1024 + 7L) *
+        2654435761L % 2147483647L % 2001L - 1000L
+    def oldScore(ws: org.apache.spark.sql.Column) =
+      aggregate(ws, lit(0L), (a, t) => a + weight(t))
+    val rnd = new scala.util.Random(3217)
+    val pool = Seq("the", "word", "", "é", "日本語", "x1", "longertokenhere", "a")
+    val fuzz = (1 to 300).map { _ =>
+      (0 to rnd.nextInt(15)).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")
+    } ++ Seq("", " ", "a", "a b")
+    val df = fuzz.toDF("text").select(split(col("text"), " ").as("ws"))
+    val diff = df.select(
+      graft.functions.TextExpressions.linearTokenScore(col("ws"), 1024, 7L).as("k"),
+      oldScore(col("ws")).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
 }
