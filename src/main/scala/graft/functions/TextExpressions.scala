@@ -474,6 +474,46 @@ object TextKernels {
     UTF8String.fromBytes(res)
   }
 
+  /** see [[graft.functions.DedupLinesInDoc]]: in-document first-
+    * occurrence line dedup in ONE pass — (lines_kept, lines_total,
+    * text_kept). Line boundaries are leftmost non-overlapping matches
+    * of the LITERAL separator bytes with keep-empties semantics
+    * (exactly `split(text, Pattern.quote(sep), -1)`); a line is kept
+    * iff no byte-equal line precedes it in the SAME document (the
+    * (line, id)-partitioned row_number() === 1 of the Column form);
+    * kept lines are re-joined in original order (the array_sort over
+    * unique (idx, line) structs). Byte equality IS Spark string
+    * equality for UTF8String. */
+  def dedupLinesInDoc(text: UTF8String, sep: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    val nb = b.length
+    val sl = sep.length
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new Array[Byte](nb) // kept ⊆ input, same separators
+    var o = 0
+    var kept = 0L
+    var total = 0L
+    var start = 0
+    var i = 0
+    def emit(s: Int, e: Int): Unit = {
+      total += 1
+      if (seen.add(UTF8String.fromBytes(b, s, e - s))) {
+        kept += 1
+        if (kept > 1L) { System.arraycopy(sep, 0, out, o, sl); o += sl }
+        System.arraycopy(b, s, out, o, e - s); o += e - s
+      }
+    }
+    while (i <= nb - sl && sl > 0) {
+      var m = 0
+      while (m < sl && b(i + m) == sep(m)) m += 1
+      if (m == sl) { emit(start, i); i += sl; start = i }
+      else i += 1
+    }
+    emit(start, nb)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](kept, total, UTF8String.fromBytes(out, 0, o)))
+  }
+
   /** see [[graft.functions.LinearTokenScore]]: the hashed-bag-of-words
     * linear score — Σ over tokens of
     * `(portableRollHash(t) % dim + salt) * 2654435761 % 2147483647
@@ -943,6 +983,32 @@ case class RegroupSpaces(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "regroup_spaces"
 }
 
+/** Fused in-document line dedup (Dedup.lineDedupInDoc): the Column
+  * form posexploded every line and ran TWO shuffles — a (line, id)
+  * window for first-occurrence ranking and a groupBy(id) for
+  * reassembly — for a decision that never leaves the document. One
+  * kernel pass per row computes the identical
+  * (lines_kept, lines_total, text_kept) with ZERO shuffles. */
+case class DedupLinesInDoc(child: Expression, sep: String)
+  extends UnaryExpression {
+  require(sep.nonEmpty, "separator must be non-empty")
+  private val sepBytes: Array[Byte] = sep.getBytes("UTF-8")
+  override def dataType: DataType = StructType(Seq(
+    StructField("lines_kept", LongType, nullable = false),
+    StructField("lines_total", LongType, nullable = false),
+    StructField("text_kept", StringType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.dedupLinesInDoc(v.asInstanceOf[UTF8String], sepBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dedupSep", sepBytes, "byte[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.dedupLinesInDoc($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): DedupLinesInDoc =
+    copy(child = c)
+  override def prettyName: String = "dedup_lines_in_doc"
+}
+
 /** Fused hashed-linear-classifier score over a token array
   * (TextCorpus.hashedLinearScore): one rollHash + weight fold per
   * token inside codegen instead of the aggregate() lambda re-entry
@@ -1032,6 +1098,8 @@ object TextExpressions {
     toCol(LineRuleStats(toExpr(text)))
   def regroupSpaces(text: Column, k: Int): Column =
     toCol(RegroupSpaces(toExpr(text), k))
+  def dedupLinesInDoc(text: Column, sep: String): Column =
+    toCol(DedupLinesInDoc(toExpr(text), sep))
   def linearTokenScore(toks: Column, dim: Int, salt: Long): Column =
     toCol(LinearTokenScore(toExpr(toks), dim, salt))
   def wordShingleHashPairs(

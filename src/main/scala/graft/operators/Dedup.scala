@@ -508,21 +508,35 @@ object Dedup {
   def lineDedup(
       df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame =
-    lineDedupScoped(df, idCol, textCol, sep, inDocOnly = false)
+    lineDedupScoped(df, idCol, textCol, sep)
 
   /** In-document variant: a line is dropped only when it repeats
     * WITHIN the same document (the Gopher-family in-doc repetition
     * cleanup) — cross-document repeats are untouched. Same output
-    * contract as [[lineDedup]]; the window key gains the doc id, so
-    * the shuffle is (line, id) instead of (line). */
+    * contract as [[lineDedup]].
+    *
+    * Unlike the cross-document dedup, NOTHING here ever needs to
+    * leave the document: the Column form's (line, id)-keyed window +
+    * groupBy(id) reassembly shuffled every line of every document
+    * TWICE for a per-row decision. One fused kernel pass
+    * (dedup_lines_in_doc — bit-identical to that chain, fuzz-spec'd)
+    * computes the keep set and the reassembled text map-side: zero
+    * shuffles at any corpus size. */
   def lineDedupInDoc(
       df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame =
-    lineDedupScoped(df, idCol, textCol, sep, inDocOnly = true)
+      sep: String = "\n"): DataFrame = {
+    val s = TextExpressions.dedupLinesInDoc(
+      coalesce(col(textCol), lit("")), sep)
+    df.select(col(idCol).as(idCol), s.as("__s"))
+      .select(col(idCol),
+        col("__s").getField("lines_kept").as("lines_kept"),
+        col("__s").getField("lines_total").as("lines_total"),
+        col("__s").getField("text_kept").as("text_kept"))
+  }
 
   private def lineDedupScoped(
       df: DataFrame, idCol: String, textCol: String,
-      sep: String, inDocOnly: Boolean): DataFrame = {
+      sep: String): DataFrame = {
     // null text → one empty line (posexplode of null would silently
     // drop the document from the output, breaking the every-doc-
     // returns contract)
@@ -531,10 +545,8 @@ object Dedup {
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep)))
         .as(Seq("__idx", "__line")))
-    val w =
-      (if (inDocOnly) Window.partitionBy(col("__line"), col("__id"))
-       else Window.partitionBy(col("__line")))
-        .orderBy(col("__id"), col("__idx"))
+    val w = Window.partitionBy(col("__line"))
+      .orderBy(col("__id"), col("__idx"))
     lines.withColumn("__rn", row_number().over(w))
       .groupBy(col("__id").as(idCol))
       .agg(
@@ -653,9 +665,17 @@ object Dedup {
         .as(Seq("__idx", "__line")))
     val domainDocs = df.groupBy(col(domainCol).as("__domain"))
       .agg(count(lit(1)).as("__n_docs"))
-    // distinct (domain, line, id) first: a line repeated inside ONE
-    // document counts once toward its doc frequency
-    val freq = lines.select("__domain", "__line", "__id").distinct()
+    // a line repeated inside ONE document counts once toward its doc
+    // frequency — and that dedup never needs to leave the document:
+    // array_distinct on the row's own line array replaces the previous
+    // (domain, line, id) DISTINCT, removing a full shuffle of every
+    // line of every document (each doc then contributes each of its
+    // distinct lines exactly once, so the (domain, line) counts are
+    // identical — ids are unique per row by the operator contract).
+    val freq = df.select(
+        col(domainCol).as("__domain"),
+        explode(array_distinct(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep)))).as("__line"))
       .groupBy("__domain", "__line").agg(count(lit(1)).as("__doc_freq"))
     val bp = freq.join(broadcast(domainDocs), Seq("__domain"))
       .filter(col("__n_docs") >= minDocs &&

@@ -89,6 +89,11 @@ class CodegenSpec extends SparkSpec {
       "regroup_spaces"))
 
     assert(inCodegenSpan(
+      rangeDocs.select(TextExpressions.dedupLinesInDoc(col("text"), "\n").as("s"))
+        .filter(col("s.lines_total") > 0),
+      "dedup_lines_in_doc"))
+
+    assert(inCodegenSpan(
       rangeDocs.select(TextExpressions.linearTokenScore(
         split(col("text"), " "), 1024, 7L).as("sc")).filter(col("sc") >= 0),
       "linear_token_score"))

@@ -322,6 +322,57 @@ class DedupSpec extends SparkSpec {
     assert(g(2L) == "other")
   }
 
+  test("lineDedupInDoc kernel is bit-identical to the windowed Column chain") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // the replaced chain, verbatim (lineDedupScoped with the in-doc
+    // window key), including the null-text coalesce
+    def oldChain(df: org.apache.spark.sql.DataFrame, sep: String) = {
+      val lines = df.select(
+        col("id").as("__id"),
+        posexplode(split(coalesce(col("text"), lit("")),
+          java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__idx", "__line")))
+      val w = Window.partitionBy(col("__line"), col("__id"))
+        .orderBy(col("__id"), col("__idx"))
+      lines.withColumn("__rn", row_number().over(w))
+        .groupBy(col("__id").as("id"))
+        .agg(
+          sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("lines_kept"),
+          count(lit(1)).as("lines_total"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("__rn") === 1, struct(col("__idx"), col("__line"))))),
+              x => x.getField("__line")),
+            sep).as("text_kept"))
+    }
+    val rnd = new scala.util.Random(6947)
+    val pool = Seq("", "a", "aa", "héllo wörld", "日本語", "x y", "trail ",
+      " lead", "a", "") // weighted toward repeats
+    val rows = (1 to 200).map { i =>
+      (i.toLong, (0 to rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString("\n"))
+    } :+ ((998L, null.asInstanceOf[String])) :+ ((999L, ""))
+    val df = rows.toDF("id", "text")
+    for (sep <- Seq("\n", "||")) {
+      val dfSep = if (sep == "\n") df
+        else df.select(col("id"), regexp_replace(col("text"), "\n",
+          java.util.regex.Matcher.quoteReplacement(sep)).as("text"))
+      val k = Dedup.lineDedupInDoc(dfSep, "id", "text", sep)
+        .withColumnRenamed("lines_kept", "k_k")
+        .withColumnRenamed("lines_total", "k_t")
+        .withColumnRenamed("text_kept", "k_x")
+      val o = oldChain(dfSep, sep)
+      val diff = k.join(o, Seq("id"), "full")
+        .filter(!(col("k_k") <=> col("lines_kept")) ||
+          !(col("k_t") <=> col("lines_total")) ||
+          !(col("k_x") <=> col("text_kept")))
+      assert(diff.count() == 0, s"sep=$sep: " +
+        diff.collect().take(3).mkString("; "))
+    }
+  }
+
   test("boilerplateStrip: frequent lines drop per domain, tiny domains exempt") {
     import spark.implicits._
     val docs = Seq(
