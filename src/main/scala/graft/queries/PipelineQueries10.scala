@@ -323,11 +323,14 @@ object PipelineQueries10 {
       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.operators.TextAnalysis
     val did = col("doc_id")
-    val toks = split(col("text"), " ")
-    val k = floor((size(toks) + 7) / lit(8)).cast("int")
-    val numbered = transform(sequence(lit(0), k - 1), i =>
-      concat(concat_ws(" ", slice(toks, i * 8 + 1, lit(8))),
-        when((did + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+    // 8-word re-lining via the regroup_spaces byte kernel (identical
+    // lines to the slice/concat_ws chain — fuzz-proven); only the
+    // cheap per-line dot decoration stays a transform, and its index
+    // argument equals the old sequence value
+    val linesRaw = split(
+      graft.functions.TextExpressions.regroupSpaces(col("text"), 8), "\n")
+    val numbered = transform(linesRaw, (l, i) =>
+      concat(l, when((did + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
     val assembled = concat(
       array_join(numbered, "\n"),
       when(did % 4 === 0, lit("\nlorem ipsum dolor sit")).otherwise(lit("")),

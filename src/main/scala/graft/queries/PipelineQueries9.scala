@@ -260,10 +260,12 @@ object PipelineQueries9 {
       |       AS BIGINT) AS keep
       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
     val did = col("doc_id")
-    val toks = split(col("text"), " ")
-    val k = floor((size(toks) + 7) / lit(8)).cast("int")
-    val linesRaw = transform(sequence(lit(0), k - 1),
-      i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))
+    // 8-word re-lining via the regroup_spaces byte kernel (identical
+    // lines to the slice/concat_ws chain — fuzz-proven); the per-line
+    // bullet/ellipsis decoration keeps its transform, whose index
+    // argument equals the old sequence value
+    val linesRaw = split(
+      graft.functions.TextExpressions.regroupSpaces(col("text"), 8), "\n")
     val decorated = transform(linesRaw, (l, i) => {
       val withBullet = when(did % 5 === 0 || (did + i) % 4 === 0,
         concat(lit("- "), l)).otherwise(l)
