@@ -60,6 +60,91 @@ object EventKernels {
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](s, a, r))
   }
+  /** see [[graft.functions.PathNgrams]]: consecutive length-n event
+    * paths over a time-sorted (ts, type) struct array — element i is
+    * the '>'-joined types of events i..i+n-1, exactly
+    * `transform(sequence(0, sz-n), i => concat_ws('>', evs[i].t, …))`
+    * including concat_ws's skip-nulls semantics. Callers filter
+    * size >= n first (the Column form's sequence would run backwards
+    * otherwise), so a shorter array is a loud error here. */
+  def pathNgrams(evs: ArrayData, n: Int): ArrayData = {
+    val sz = evs.numElements()
+    require(sz >= n, s"pathNgrams needs >= $n events, got $sz (callers pre-filter)")
+    val out = new Array[Any](sz - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= sz - n) {
+      sb.setLength(0)
+      var first = true
+      var j = 0
+      while (j < n) {
+        val e = evs.getStruct(i + j, 2)
+        if (!e.isNullAt(1)) {
+          if (!first) sb.append('>')
+          sb.append(e.getUTF8String(1).toString)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** see [[graft.functions.AdjacentPairs]]: consecutive (e1, e2) type
+    * pairs — exactly `transform(sequence(0, sz-2),
+    * i => struct(evs[i].t, evs[i+1].t))`. Callers filter size >= 2. */
+  def adjacentPairs(evs: ArrayData): ArrayData = {
+    val sz = evs.numElements()
+    require(sz >= 2, s"adjacentPairs needs >= 2 events, got $sz (callers pre-filter)")
+    val out = new Array[Any](sz - 1)
+    var i = 0
+    while (i < sz - 1) {
+      val a = evs.getStruct(i, 2)
+      val b = evs.getStruct(i + 1, 2)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          if (a.isNullAt(1)) null else a.getUTF8String(1),
+          if (b.isNullAt(1)) null else b.getUTF8String(1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Fused consecutive event-path n-grams (EventAnalytics.topPaths):
+  * the transform lambda re-entered the interpreter per PATH with n
+  * struct-index reads + a concat_ws per call; one kernel pass builds
+  * every path of the user's sorted stream. */
+case class PathNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    EventKernels.pathNgrams(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.EventKernels.pathNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): PathNgrams =
+    copy(child = c)
+  override def prettyName: String = "path_ngrams"
+}
+
+/** Fused consecutive event pairs (EventAnalytics.transitionMatrix). */
+case class AdjacentPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("e1", StringType, nullable = true),
+      StructField("e2", StringType, nullable = true))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    EventKernels.adjacentPairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.EventKernels.adjacentPairs($c)")
+  override protected def withNewChildInternal(c: Expression): AdjacentPairs =
+    copy(child = c)
+  override def prettyName: String = "adjacent_pairs"
 }
 
 /** Fused strict-order funnel fold (EventAnalytics.funnelUsers): the
@@ -99,4 +184,8 @@ case class FunnelFold(child: Expression, steps: Seq[String], winMicros: Option[L
 object EventExpressions {
   def funnelFold(evs: Column, steps: Seq[String], winMicros: Option[Long]): Column =
     toCol(FunnelFold(toExpr(evs), steps, winMicros))
+  def pathNgrams(evs: Column, n: Int): Column =
+    toCol(PathNgrams(toExpr(evs), n))
+  def adjacentPairs(evs: Column): Column =
+    toCol(AdjacentPairs(toExpr(evs)))
 }

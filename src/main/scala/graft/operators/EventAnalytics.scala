@@ -101,9 +101,11 @@ object EventAnalytics {
     val paths = events.groupBy(col(userCol).as("user_id"))
       .agg(evs.as("evs"))
       .filter(size(col("evs")) >= n) // sequence(0, neg) would run backwards
-      .select(explode(expr(
-        s"transform(sequence(0, size(evs) - $n), i -> " +
-          s"concat_ws('>', ${(0 until n).map(j => s"evs[i + $j].t").mkString(", ")}))")).as("path"))
+      // fused kernel (path_ngrams): the transform lambda re-entered the
+      // interpreter per PATH (n struct reads + concat_ws each);
+      // bit-identical incl. concat_ws's skip-nulls (fuzz spec'd)
+      .select(explode(
+        graft.functions.EventExpressions.pathNgrams(col("evs"), n)).as("path"))
     paths
       .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("path").asc)
@@ -119,9 +121,9 @@ object EventAnalytics {
     val pairs = events.groupBy(col(userCol).as("user_id"))
       .agg(evs.as("evs"))
       .filter(size(col("evs")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(evs) - 2), i -> " +
-          "struct(evs[i].t as e1, evs[i + 1].t as e2))")).as("p"))
+      // fused kernel (adjacent_pairs) — see topPaths
+      .select(explode(
+        graft.functions.EventExpressions.adjacentPairs(col("evs"))).as("p"))
       .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"))
       .agg(count(lit(1)).as("cnt"))
     val totals = pairs.groupBy(col("e1")).agg(sum(col("cnt")).as("rt"))

@@ -120,6 +120,16 @@ class CodegenSpec extends SparkSpec {
       "funnel_fold"))
 
     assert(inCodegenSpan(
+      evArr.select(EventExpressions.pathNgrams(col("evs"), 2).as("p"))
+        .filter(size(col("p")) > 0),
+      "path_ngrams"))
+
+    assert(inCodegenSpan(
+      evArr.select(EventExpressions.adjacentPairs(col("evs")).as("p"))
+        .filter(size(col("p")) > 0),
+      "adjacent_pairs"))
+
+    assert(inCodegenSpan(
       rangeDocs.select(TextExpressions.minhashSignature(
         TextExpressions.wordShingles(col("text"), 2)).as("s")),
       "minhash_signature"))

@@ -114,4 +114,36 @@ class EventAnalyticsSpec extends SparkSpec {
         diff.collect().take(3).mkString("; "))
     }
   }
+
+  test("pathNgrams/adjacentPairs kernels match the transform chains") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(5087)
+    val types = Seq("view", "click", "purchase", "x")
+    val rows = (1 to 150).map { u =>
+      (u.toLong, (2 to 2 + rnd.nextInt(10)).map(k =>
+        (1704100000000000L / 1000 + k * 1000L, types(rnd.nextInt(types.size)))))
+    }
+    val df = rows.toDF("user_id", "raw")
+      .select(col("user_id"), expr(
+        "transform(raw, r -> struct(timestamp_millis(r._1) as ts, r._2 as t))")
+        .as("evs"))
+    for (n <- Seq(2, 3)) {
+      val filtered = df.filter(size(col("evs")) >= n)
+      val oldPaths = expr(
+        s"transform(sequence(0, size(evs) - $n), i -> " +
+          s"concat_ws('>', ${(0 until n).map(j => s"evs[i + $j].t").mkString(", ")}))")
+      val d1 = filtered.select(
+        graft.functions.EventExpressions.pathNgrams(col("evs"), n).as("k"),
+        oldPaths.as("h")).filter(!(col("k") <=> col("h")))
+      assert(d1.count() == 0, s"n=$n: " + d1.collect().take(3).mkString("; "))
+    }
+    val oldPairs = expr(
+      "transform(sequence(0, size(evs) - 2), i -> " +
+        "struct(evs[i].t as e1, evs[i + 1].t as e2))")
+    val d2 = df.filter(size(col("evs")) >= 2).select(
+      graft.functions.EventExpressions.adjacentPairs(col("evs")).as("k"),
+      oldPairs.as("h")).filter(!(col("k") <=> col("h")))
+    assert(d2.count() == 0, d2.collect().take(3).mkString("; "))
+  }
 }
